@@ -1,0 +1,116 @@
+package graft.analytics
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.api.GraftQuery
+import Exact._
+import OracleFragments.{d2 => od2, sumD => oSumD}
+
+/** Batch analogues of the streaming plane over the `events` table: tumbling
+  * windows, sessionization (the stateful per-key pattern of the reference's
+  * InvokeStatefulLambda, cf. /root/reference .../InvokeStatefulLambda.java:61-65),
+  * JSON payload extraction, and per-key top-k. Each has a DuckDB oracle; the
+  * true streaming versions (Structured Streaming + transformWithState) are
+  * exercised in the ScalaTest suites.
+  */
+object EventsQueries {
+
+  // Tumbling 1-hour windows per event type (streaming window agg analogue).
+  private val qTumbling = GraftQuery(
+    "qe_hourly_by_type",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sumD(d2(col("value"))).as("sum_value"))
+        .orderBy(col("hour"), col("event_type"))
+    },
+    Some(s"""SELECT date_trunc('hour', ts) AS hour, event_type,
+      COUNT(*) AS n, ${oSumD(od2("value"))} AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""))
+
+  // Sessionization by 30-minute inactivity gap; exact integer µs arithmetic.
+  private val qSessions = GraftQuery(
+    "qe_sessionize_30m",
+    (s, dir) => {
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gapped = Tables.events(s, dir)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev_us", lag(col("us"), 1).over(wOrd))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      gapped
+        .withColumn("session_id", sum(col("new_sess")).over(wRun))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"), sumD(d2(col("value"))).as("session_value"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+    Some(s"""WITH g AS (
+      SELECT user_id, event_id, value, epoch_us(ts) AS us,
+        LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events),
+    m AS (
+      SELECT user_id, event_id, value,
+        CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess,
+        us FROM g),
+    sess AS (
+      SELECT user_id, value,
+        CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM m)
+    SELECT user_id, session_id, COUNT(*) AS n_events, ${oSumD(od2("value"))} AS session_value
+    FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id"""))
+
+  // JSON payload extraction + aggregation (props is a JSON string column).
+  private val qJson = GraftQuery(
+    "qe_json_props",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, COUNT(*) AS n,
+      CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  // Per-key accumulation + global top-k (the keyBy→state→rank shape).
+  private val qTopUsers = GraftQuery(
+    "qe_top_users_by_value",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(sumD(d2(col("value"))).as("total_value"), count(lit(1)).as("n_events"))
+        .orderBy(col("total_value").desc, col("user_id"))
+        .limit(10)
+    },
+    Some(s"""SELECT user_id, ${oSumD(od2("value"))} AS total_value, COUNT(*) AS n_events
+    FROM events GROUP BY user_id ORDER BY total_value DESC, user_id LIMIT 10"""))
+
+  // Per-user event-to-event deltas (lag) — feeds latency-style analyses.
+  private val qDeltas = GraftQuery(
+    "qe_user_event_deltas",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("delta_us", col("us") - lag(col("us"), 1).over(w))
+        .filter(col("delta_us").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_gaps"), sum(col("delta_us")).as("sum_gap_us"),
+          max(col("delta_us")).as("max_gap_us"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH d AS (
+      SELECT user_id,
+        epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta_us
+      FROM events)
+    SELECT user_id, COUNT(*) AS n_gaps, CAST(SUM(delta_us) AS BIGINT) AS sum_gap_us,
+      MAX(delta_us) AS max_gap_us
+    FROM d WHERE delta_us IS NOT NULL GROUP BY user_id ORDER BY user_id"""))
+
+  val queries: Seq[GraftQuery] = Seq(qTumbling, qSessions, qJson, qTopUsers, qDeltas)
+}

@@ -1,0 +1,84 @@
+package graft.analytics
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.api.GraftQuery
+import Exact._
+import OracleFragments.{d2 => od2, sumD => oSumD}
+
+/** Window-function queries (rank / running totals / lag) with DuckDB oracles.
+  * All window sorts carry full tie-break key chains so row content is
+  * deterministic across engines.
+  */
+object Windows {
+
+  // Top-3 orders per customer by price (row_number, dense ranking keys).
+  private val qRank = GraftQuery(
+    "qw_top_orders_per_customer",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rn"))
+    },
+    Some("""SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) t
+    WHERE rn <= 3 ORDER BY o_custkey, rn"""))
+
+  // Running quantity per supplier over ship time (exact decimal running sum).
+  private val qRunning = GraftQuery(
+    "qw_running_supplier_qty",
+    (s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(s, dir)
+        .filter(col("l_suppkey") < 5)
+        .withColumn("run_qty", sum(d2(col("l_quantity"))).over(w).cast("double"))
+        .select(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+          col("l_linenumber"), col("run_qty"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    },
+    Some(s"""SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+      CAST(SUM(${od2("l_quantity")}) OVER (
+        PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_qty
+    FROM lineitem WHERE l_suppkey < 5
+    ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber"""))
+
+  // Revenue rank of suppliers (TPC-H Q15 flavor): agg then global window max.
+  private val qTopSupplier = GraftQuery(
+    "qw_top_supplier_revenue",
+    (s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(discPrice).as("rev_dec"))
+      val w = Window.orderBy(col("rev_dec").desc, col("l_suppkey"))
+      rev.withColumn("rank", rank().over(w))
+        .filter(col("rank") <= 5)
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .select(col("rank"), col("s_suppkey"), col("s_name"),
+          col("rev_dec").cast("double").as("total_revenue"))
+        .orderBy(col("rank"))
+    },
+    Some(s"""WITH rev AS (
+      SELECT l_suppkey, SUM(${OracleFragments.discPrice}) AS rev_dec
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1998-04-01'
+      GROUP BY l_suppkey),
+    rk AS (
+      SELECT l_suppkey, rev_dec, RANK() OVER (ORDER BY rev_dec DESC, l_suppkey) AS rank
+      FROM rev)
+    SELECT rank, s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+    FROM rk, supplier WHERE l_suppkey = s_suppkey AND rank <= 5 ORDER BY rank"""))
+
+  val queries: Seq[GraftQuery] = Seq(qRank, qRunning, qTopSupplier)
+}
