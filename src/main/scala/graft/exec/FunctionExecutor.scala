@@ -1,0 +1,120 @@
+package graft.exec
+
+import java.nio.ByteBuffer
+import java.util.Base64
+
+import graft.model._
+
+/** Pluggable function backend — the engine-side abstraction of the
+  * reference's AWS Lambda dependency (InvokeStatefulLambda.java:86-92,
+  * InvokeStatelessLambda.java:81-87). The engine hands the executor an
+  * [[EventRequestReply]] envelope (event + opaque state + operator name) and
+  * gets one back whose `state` overwrites the stored state wholesale
+  * (InvokeStatefulLambda.java:109) and whose `event` is emitted downstream.
+  */
+trait FunctionExecutor extends Serializable {
+  def invoke(request: EventRequestReply): EventRequestReply
+}
+
+/** Wire-compatible JSON+Base64 envelope used by the reference's Lambda RPC:
+  * request `{"request": "<b64(EventRequestReply)>"}`, response
+  * `{"reply": "<b64(EventRequestReply)>"}` (InvokeStatefulLambda.java:89,
+  * 104-107). Lets any HTTP/Lambda-hosted function be plugged in without
+  * changing the engine; also lets tests assert the exact wire bytes.
+  */
+object LambdaEnvelope {
+  def encodeRequest(rr: EventRequestReply): String =
+    s"""{"request": "${Base64.getEncoder.encodeToString(ProtoCodec.encode(rr))}"}"""
+
+  private val b64Field = """"(?:reply|request)"\s*:\s*"([^"]*)"""".r
+
+  def decode(json: String): EventRequestReply = {
+    val b64 = b64Field.findFirstMatchIn(json)
+      .getOrElse(throw new IllegalArgumentException(s"no reply/request field in $json"))
+      .group(1)
+    ProtoCodec.decodeEventRequestReply(Base64.getDecoder.decode(b64))
+  }
+
+  def encodeReply(rr: EventRequestReply): String =
+    s"""{"reply": "${Base64.getEncoder.encodeToString(ProtoCodec.encode(rr))}"}"""
+}
+
+/** Deterministic in-JVM "stateful entity" backend for tests and benchmarks —
+  * plays the role of the StateFlow Python Lambda. Implements a counter
+  * entity over the opaque 8-byte big-endian state blob plus the EventFlow
+  * node-advancement contract the reference delegates to the Lambda
+  * (EgressRouter.java:55 TODO).
+  *
+  * EventFlow payload convention (ours, since the reference's flow plan lives
+  * in the Python client): UTF-8 `"ns/name/key|ns/name/key|..."` — the
+  * remaining nodes of the flow. Each invocation applies +1 to the current
+  * entity's counter, pops the head, and sets `current` to the next node (or
+  * node type RETURN when the plan is exhausted).
+  */
+final class LocalCounterExecutor extends FunctionExecutor {
+
+  private def counter(state: Array[Byte]): Long =
+    if (state == null || state.isEmpty) 0L else ByteBuffer.wrap(state).getLong
+
+  private def toState(v: Long): Array[Byte] =
+    ByteBuffer.allocate(8).putLong(v).array()
+
+  override def invoke(req: EventRequestReply): EventRequestReply = {
+    val e = req.event
+    e.request match {
+      case Some(Request.InitClass) =>
+        // Assign a deterministic new key (reference Lambda chooses the key;
+        // we derive it from the event id) and initialize the counter.
+        val key = s"k-${e.eventId}"
+        val addr = e.funAddress.copy(key = key)
+        val reply = e.copy(funAddress = addr).withReply(Reply.SuccessfulCreateClass)
+        EventRequestReply(reply, toState(0L), req.operatorName)
+
+      case Some(Request.InvokeStateful) =>
+        val delta = if (e.payload == null || e.payload.isEmpty) 1L
+          else ByteBuffer.wrap(e.payload).getLong
+        val v = counter(req.state) + delta
+        val reply = e.withReply(Reply.SuccessfulInvocation).copy(payload = toState(v))
+        EventRequestReply(reply, toState(v), req.operatorName)
+
+      case Some(Request.GetState) =>
+        val v = counter(req.state)
+        val reply = e.withReply(Reply.SuccessfulStateRequest).copy(payload = toState(v))
+        EventRequestReply(reply, req.state, req.operatorName)
+
+      case Some(Request.SetState) =>
+        val reply = e.withReply(Reply.SuccessfulStateRequest)
+        EventRequestReply(reply, e.payload, req.operatorName)
+
+      case Some(Request.FindClass) =>
+        val found = req.state != null && req.state.nonEmpty
+        val r = if (found) Reply.FoundClass else Reply.KeyNotFound
+        EventRequestReply(e.withReply(r), req.state, req.operatorName)
+
+      case Some(Request.EventFlow) =>
+        val v = counter(req.state) + 1L
+        val plan = new String(Option(e.payload).getOrElse(Array.emptyByteArray), "UTF-8")
+        val rest = plan.split('|').filter(_.nonEmpty)
+        val (nextNode, nextPayload) =
+          if (rest.isEmpty)
+            (EventFlowNode(e.current.map(_.currentFun).getOrElse(Event.emptyAddress), "RETURN"), "")
+          else {
+            val Array(ns, name, key) = rest.head.split('/')
+            (EventFlowNode(FunctionAddress(FunctionType(ns, name, stateful = true), key), "INVOKE"),
+              rest.tail.mkString("|"))
+          }
+        val out = e.copy(current = Some(nextNode), payload = nextPayload.getBytes("UTF-8"))
+        EventRequestReply(out, toState(v), req.operatorName)
+
+      case None if e.reply.contains(Reply.SuccessfulCreateClass) =>
+        // Create-reply re-keyed into the stateful path (StateFlowFlinkJob
+        // .java:88-103): first state write for the new key, reply passes
+        // through to egress.
+        EventRequestReply(e, toState(0L), req.operatorName)
+
+      case other =>
+        val reply = e.withReply(Reply.FailedInvocation)
+        EventRequestReply(reply, req.state, req.operatorName)
+    }
+  }
+}

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.exec.FunctionExecutor
+import graft.model._
+
+/** Production Kafka wiring — the deployment shape of the reference job:
+  * source topics `internal` + `client_request` (StateFlowFlinkJob.java:
+  * 47-54), sinks `client_reply` (:134-142) and `internal` (:127-132,
+  * 143-147, the feedback loop), protobuf values with the record key set to
+  * `event_id` bytes (KafkaSerializeProto.java:24-30), at-least-once
+  * end-to-end (checkpointed source offsets + Spark's at-least-once Kafka
+  * sink ≙ CheckpointingMode.AT_LEAST_ONCE + Semantic.AT_LEAST_ONCE).
+  *
+  * Needs the `spark-sql-kafka` connector on the classpath at runtime (not
+  * present in this offline container — exercised there only through
+  * [[LoopHarness]], which swaps the broker for a MemoryStream; the
+  * topology code is identical).
+  */
+object KafkaSupport {
+
+  /** S1+S2: subscribe + protobuf-decode. */
+  def readEvents(spark: SparkSession, bootstrap: String,
+      topics: String = "internal,client_request"): Dataset[Event] = {
+    import spark.implicits._
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topics)
+      .option("startingOffsets", "latest")
+      .option("kafka.group.id", "graft-group-id")
+      .load()
+      .select(col("value").as[Array[Byte]])
+      .map(ProtoCodec.decodeEvent)
+  }
+
+  /** S3: Event → (key = event_id bytes, value = proto bytes). */
+  def toKafkaRecords(events: Dataset[Event]): DataFrame = {
+    import events.sparkSession.implicits._
+    events.map(e => (e.eventId.getBytes("UTF-8"), ProtoCodec.encode(e)))
+      .toDF("key", "value")
+  }
+
+  /** Full job: one streaming query, single-pass fan-out to both topics in
+    * foreachBatch (the Spark shape for the reference's side outputs; the
+    * feedback loop closes through the `internal` topic re-entering the
+    * source, exactly as StateFlowFlinkJob.java:143-147 + :50).
+    */
+  def start(spark: SparkSession, bootstrap: String, executor: FunctionExecutor,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    StateflowPipeline.eventsToEgress(readEvents(spark, bootstrap), executor)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Route], _: Long) =>
+        batch.persist()
+        def sink(direction: Int, topic: String): Unit =
+          toKafkaRecords(batch.filter(_.direction == direction).map(_.eventValue))
+            .write.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap)
+            .option("topic", topic)
+            .save()
+        sink(RouteDirection.CLIENT, "client_reply")
+        sink(RouteDirection.INTERNAL, "internal")
+        batch.unpersist()
+        ()
+      }
+      .start()
+  }
+}

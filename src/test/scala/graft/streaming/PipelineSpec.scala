@@ -1,0 +1,116 @@
+package graft.streaming
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.exec.LocalCounterExecutor
+import graft.model._
+
+/** End-to-end streaming integration: MemoryStream → ingress routing →
+  * create path → per-key stateful invoke → egress routing → client sink,
+  * with the feedback loop closed through the harness (SURVEY.md §5.3).
+  */
+class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-pipeline-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val acct = FunctionType("global", "Account", stateful = true)
+  private def delta(v: Long): Array[Byte] = ByteBuffer.allocate(8).putLong(v).array()
+  private def asLong(b: Array[Byte]): Long = ByteBuffer.wrap(b).getLong
+
+  private def withHarness(useTws: Boolean)(body: LoopHarness => Unit): Unit = {
+    val h = new LoopHarness(spark, new LocalCounterExecutor, useTws = useTws)
+    try body(h) finally h.stop()
+  }
+
+  private def counterScenario(h: LoopHarness): Unit = {
+    // InitClass with empty key → create path assigns key k-init1
+    h.send(Event.request("init1", FunctionAddress(acct, ""), Request.InitClass))
+    h.drain()
+    val created = h.clientReplies.find(_.reply.contains(Reply.SuccessfulCreateClass))
+    assert(created.isDefined, s"no create reply in ${h.clientReplies}")
+    val key = created.get.funAddress.key
+    assert(key == "k-init1")
+
+    // three stateful increments against the assigned key
+    val keyed = FunctionAddress(acct, key)
+    h.send(
+      Event.request("i1", keyed, Request.InvokeStateful, delta(1)),
+      Event.request("i2", keyed, Request.InvokeStateful, delta(1)),
+      Event.request("i3", keyed, Request.InvokeStateful, delta(1)))
+    h.drain()
+
+    // GetState must observe counter == 3 (state persisted across batches)
+    h.send(Event.request("get1", keyed, Request.GetState))
+    h.drain()
+    val got = h.clientReplies.find(_.eventId == "get1")
+    assert(got.isDefined)
+    assert(got.get.reply.contains(Reply.SuccessfulStateRequest))
+    assert(asLong(got.get.payload) == 3L)
+  }
+
+  test("counter entity: init → +1 ×3 → get == 3 (transformWithState)") {
+    withHarness(useTws = true)(counterScenario)
+  }
+
+  test("counter entity: init → +1 ×3 → get == 3 (flatMapGroupsWithState)") {
+    withHarness(useTws = false)(counterScenario)
+  }
+
+  test("ping short-circuits to Pong without touching state") {
+    withHarness(useTws = false) { h =>
+      h.send(Event.request("p1", Event.emptyAddress, Request.Ping))
+      h.drain()
+      val pong = h.clientReplies.find(_.eventId == "p1")
+      assert(pong.isDefined && pong.get.reply.contains(Reply.Pong))
+    }
+  }
+
+  test("EventFlow walks a 2-hop plan through the feedback loop and returns") {
+    withHarness(useTws = false) { h =>
+      // plan: invoke global/Account/ka then global/Account/kb, then RETURN.
+      val first = EventFlowNode(FunctionAddress(acct, "ka"), "INVOKE")
+      val plan = "global/Account/kb"
+      h.send(Event.request("f1", FunctionAddress(acct, ""), Request.EventFlow,
+        plan.getBytes("UTF-8"), Some(first)))
+      h.drain()
+      val done = h.clientReplies.find(_.eventId == "f1")
+      assert(done.isDefined, s"flow did not return: ${h.clientReplies}")
+      assert(done.get.reply.contains(Reply.SuccessfulInvocation))
+
+      // each hop incremented its entity's counter exactly once
+      h.send(Event.request("gka", FunctionAddress(acct, "ka"), Request.GetState))
+      h.send(Event.request("gkb", FunctionAddress(acct, "kb"), Request.GetState))
+      h.drain()
+      assert(asLong(h.clientReplies.find(_.eventId == "gka").get.payload) == 1L)
+      assert(asLong(h.clientReplies.find(_.eventId == "gkb").get.payload) == 1L)
+    }
+  }
+
+  test("per-key isolation: interleaved keys accumulate independently") {
+    withHarness(useTws = false) { h =>
+      val ka = FunctionAddress(acct, "x1")
+      val kb = FunctionAddress(acct, "x2")
+      h.send(
+        Event.request("a1", ka, Request.InvokeStateful, delta(5)),
+        Event.request("b1", kb, Request.InvokeStateful, delta(7)),
+        Event.request("a2", ka, Request.InvokeStateful, delta(5)))
+      h.drain()
+      h.send(Event.request("ga", ka, Request.GetState), Event.request("gb", kb, Request.GetState))
+      h.drain()
+      assert(asLong(h.clientReplies.find(_.eventId == "ga").get.payload) == 10L)
+      assert(asLong(h.clientReplies.find(_.eventId == "gb").get.payload) == 7L)
+    }
+  }
+}
