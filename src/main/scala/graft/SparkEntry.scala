@@ -14,7 +14,9 @@ object SparkEntry {
 
   /** Full registry; modules own their query definitions. */
   def registry: Seq[GraftQuery] =
-    Relational.queries ++ Windows.queries ++ EventsQueries.queries
+    Relational.queries ++ Windows.queries ++ EventsQueries.queries ++
+      TextOps.queries ++ DedupOps.queries ++ SimilarityOps.queries ++
+      MultimodalOps.queries ++ RoutingQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

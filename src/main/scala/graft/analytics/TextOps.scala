@@ -1,0 +1,119 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+
+import graft.api.GraftQuery
+import Nlp._
+
+/** Text-analysis operators over `documents` — the language-ID / quality /
+  * token-statistics / fingerprinting stages of an LLM training-data
+  * pipeline. All map-only (no shuffle), codegen-friendly, each with a
+  * DuckDB oracle.
+  */
+object TextOps {
+
+  private val stopEn = "('the', 'a')"
+  private val stopData = "('table', 'row', 'column', 'query')"
+
+  // Token statistics: counts, char mass, deterministic avg token length.
+  private val qTokens = GraftQuery(
+    "qt_token_stats",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("toks", expr(toksExpr))
+        .select(
+          col("doc_id"),
+          col("n_chars"),
+          size(col("toks")).as("n_tokens"),
+          expr("aggregate(toks, 0, (acc, x) -> acc + length(x))").as("tok_chars"),
+          (expr("cast(aggregate(toks, 0, (acc, x) -> acc + length(x)) as double)") /
+            size(col("toks"))).as("avg_tok_len"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, n_chars, $toksSql AS toks FROM documents)
+    SELECT doc_id, n_chars, len(toks) AS n_tokens,
+      CAST(list_sum(list_transform(toks, x -> length(x))) AS INTEGER) AS tok_chars,
+      CAST(CAST(list_sum(list_transform(toks, x -> length(x))) AS INTEGER) AS DOUBLE) / len(toks) AS avg_tok_len
+    FROM t ORDER BY doc_id"""))
+
+  // Heuristic language ID: stopword-count vote with deterministic tiebreak.
+  // (The n-gram-profile approach from real lang-ID reduced to the two
+  // classes this synthetic vocabulary can express: English function words
+  // vs data-domain jargon.)
+  private val qLangId = GraftQuery(
+    "qt_lang_id",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("en_hits", expr(s"size(filter(toks, x -> x IN $stopEn))"))
+        .withColumn("data_hits", expr(s"size(filter(toks, x -> x IN $stopData))"))
+        .select(
+          col("doc_id"), col("lang").as("labeled_lang"),
+          col("en_hits"), col("data_hits"),
+          when(col("en_hits") * 3 >= col("data_hits"), lit("en"))
+            .otherwise(lit("data")).as("pred_lang"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+    h AS (SELECT doc_id, lang,
+      len(list_filter(toks, x -> x IN $stopEn)) AS en_hits,
+      len(list_filter(toks, x -> x IN $stopData)) AS data_hits
+    FROM t)
+    SELECT doc_id, lang AS labeled_lang, en_hits, data_hits,
+      CASE WHEN en_hits * 3 >= data_hits THEN 'en' ELSE 'data' END AS pred_lang
+    FROM h ORDER BY doc_id"""))
+
+  // Quality scoring: length/stopword/uniqueness ratios + a fixed-form
+  // composite score. Every double comes from one IEEE division or a fixed
+  // left-to-right expression, so it is bit-identical across engines.
+  private val qQuality = GraftQuery(
+    "qt_quality_score",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("uniq_tokens", expr("size(array_distinct(toks))"))
+        .withColumn("stop_hits", expr(s"size(filter(toks, x -> x IN $stopEn))"))
+        .withColumn("uniq_ratio", col("uniq_tokens").cast("double") / col("n_tokens"))
+        .withColumn("stop_ratio", col("stop_hits").cast("double") / col("n_tokens"))
+        .withColumn("len_score",
+          when(col("n_tokens") >= 20 && col("n_tokens") <= 80, 1.0).otherwise(0.5))
+        .withColumn("quality",
+          col("len_score") * 0.5 + col("uniq_ratio") * 0.3 + col("stop_ratio") * 0.2)
+        .select(col("doc_id"), col("n_tokens"), col("uniq_tokens"), col("uniq_ratio"),
+          col("stop_ratio"), col("quality"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+    m AS (SELECT doc_id, len(toks) AS n_tokens,
+      len(list_distinct(toks)) AS uniq_tokens,
+      len(list_filter(toks, x -> x IN $stopEn)) AS stop_hits FROM t),
+    r AS (SELECT doc_id, n_tokens, uniq_tokens,
+      CAST(uniq_tokens AS DOUBLE) / n_tokens AS uniq_ratio,
+      CAST(stop_hits AS DOUBLE) / n_tokens AS stop_ratio,
+      CASE WHEN n_tokens >= 20 AND n_tokens <= 80 THEN 1.0 ELSE 0.5 END AS len_score
+    FROM m)
+    SELECT doc_id, n_tokens, uniq_tokens, uniq_ratio, stop_ratio,
+      len_score * 0.5 + uniq_ratio * 0.3 + stop_ratio * 0.2 AS quality
+    FROM r ORDER BY doc_id"""))
+
+  // Document fingerprinting: md5 of the whitespace-normalized text plus a
+  // 60-bit numeric fingerprint (the join-key form used by exact dedup).
+  private val qFingerprint = GraftQuery(
+    "qt_fingerprint",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("norm", trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+        .select(
+          col("doc_id"),
+          md5(col("norm").cast("binary")).as("fp_md5"),
+          expr(h60("norm")).as("fp60"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id,
+      trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm FROM documents)
+    SELECT doc_id, md5(norm) AS fp_md5, ${h60Sql("norm")} AS fp60
+    FROM t ORDER BY doc_id"""))
+
+  val queries: Seq[GraftQuery] = Seq(qTokens, qLangId, qQuality, qFingerprint)
+}
