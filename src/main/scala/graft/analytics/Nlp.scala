@@ -14,10 +14,19 @@ object Nlp {
   val toksExpr = "filter(split(text, '\\\\s+'), x -> x != '')"
   val toksSql = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')"
 
-  /** Word 3-gram shingles (distinct), guarded for <3-token docs. */
+  /** Word 3-gram shingles (distinct), guarded for <3-token docs.
+    *
+    * PERF: built with zip_with over slices, NOT `toks[i]` indexing inside a
+    * lambda — indexed access to a *computed* array re-evaluates the whole
+    * array expression per element (lambdas are interpreted, no CSE), which
+    * turned tokenization O(tokens²) per row. zip_with receives its operand
+    * arrays once per row and walks them natively.
+    */
   def shingles(toks: String): String =
-    s"CASE WHEN size($toks) >= 3 THEN array_distinct(transform(sequence(0, size($toks) - 3), " +
-      s"i -> concat($toks[i], ' ', $toks[i+1], ' ', $toks[i+2]))) ELSE array('') END"
+    s"CASE WHEN size($toks) >= 3 THEN array_distinct(" +
+      s"zip_with(zip_with(slice($toks, 1, size($toks) - 2), slice($toks, 2, size($toks) - 2), " +
+      s"(x, y) -> concat(x, ' ', y)), slice($toks, 3, size($toks) - 2), " +
+      s"(xy, z) -> concat(xy, ' ', z))) ELSE array('') END"
   def shinglesSql(toks: String): String =
     s"CASE WHEN len($toks) >= 3 THEN list_distinct(list_transform(generate_series(1, len($toks) - 2), " +
       s"i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2])) ELSE [''] END"

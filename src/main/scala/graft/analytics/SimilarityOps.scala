@@ -4,49 +4,74 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.api.GraftQuery
-import DedupOps.{dotFold, dotFoldSql, normFold, normFoldSql}
-import Nlp.{h60, h60Sql}
+import graft.functions.GraftFunctions.graft_dot
+import DedupOps.{dotFoldSql, normFoldSql}
+import Nlp.h60Sql
 
 /** Approximate-nearest-neighbor search over the `embeddings` table.
   *
   * Two tiers:
   *  - `qs_topk_bruteforce`: exact cosine top-k for a small query set. The
   *    query side is tiny → broadcast; the corpus is scanned once, never
-  *    collected. Correctness baseline for the ANN tier.
+  *    collected; norms precomputed per row; dot products in the native
+  *    codegen'd DotProduct expression. Correctness baseline for ANN.
   *  - `qs_ann_lsh`: random-hyperplane LSH. Hyperplanes are derived
-  *    deterministically from md5 (so both engines — and every executor —
-  *    agree without shipping a matrix). Each vector gets a 4-bit bucket
-  *    (map-only); candidates co-located by a shuffle on bucket; exact
-  *    rerank inside the bucket. At 100 TB the bucket join replaces the
-  *    O(n·q) brute-force scan; recall tunes with planes/bands.
+  *    deterministically from md5 (computed once on the driver, shipped as
+  *    a literal — both engines and every executor agree). Each vector gets
+  *    a 4-bit bucket (map-only); candidates co-located by a join on
+  *    bucket; exact rerank inside the bucket. At 100 TB the bucket join
+  *    replaces the O(n·q) brute-force scan; recall tunes with planes.
   */
 object SimilarityOps {
 
   private val NQ = 20   // query vectors: vec_id < NQ
   private val K = 5
 
-  private val cosineCol =
-    expr(dotFold) / (sqrt(expr(normFold("va"))) * sqrt(expr(normFold("vb"))))
+  /** Driver-side replica of Nlp.h60 (md5 prefix → 60-bit long); used to
+    * derive the LSH plane weights once instead of per row.
+    */
+  private def h60Local(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(md.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+  }
+
+  /** weight(p, i) = (h60("plane<p>_<i>") % 2001 - 1000) / 1000 ∈ [-1, 1]. */
+  private[analytics] def planeWeights: Seq[Seq[Double]] =
+    (0 to 3).map(p => (0 to 63).map(i =>
+      (h60Local(s"plane${p}_$i") % 2001 - 1000).toDouble / 1000.0))
+
+  private def withCosine(pairs: org.apache.spark.sql.DataFrame) =
+    pairs.withColumn("cosine",
+      graft_dot(col("va"), col("vb")) / (col("na") * col("nb")))
+
   private val cosineSql =
     s"$dotFoldSql / (sqrt(${normFoldSql("va")}) * sqrt(${normFoldSql("vb")}))"
+
+  private def vectors(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(graft_dot(col("v"), col("v"))))
+
+  private def topK(pairs: org.apache.spark.sql.DataFrame) = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
 
   private val qBrute = GraftQuery(
     "qs_topk_bruteforce",
     (s, dir) => {
-      val e = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val e = vectors(s, dir)
       val q = e.filter(col("vec_id") < NQ)
-        .select(col("vec_id").as("query_id"), col("v").as("va"))
-      val pairs = e.select(col("vec_id").as("cand_id"), col("v").as("vb"))
+        .select(col("vec_id").as("query_id"), col("v").as("va"), col("nrm").as("na"))
+      val pairs = e.select(col("vec_id").as("cand_id"), col("v").as("vb"), col("nrm").as("nb"))
         .crossJoin(broadcast(q))
         .filter(col("query_id") =!= col("cand_id"))
-        .withColumn("cosine", cosineCol)
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cosine").desc, col("cand_id"))
-      pairs.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= K)
-        .select(col("query_id"), col("rank"), col("cand_id"), col("cosine"))
-        .orderBy(col("query_id"), col("rank"))
+      topK(withCosine(pairs))
     },
     Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     p AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.v AS va, c.v AS vb
@@ -57,15 +82,6 @@ object SimilarityOps {
       FROM sc)
     SELECT query_id, rank, cand_id, cosine FROM rk WHERE rank <= $K
     ORDER BY query_id, rank"""))
-
-  // 4 md5-derived hyperplanes; weight(p, i) ∈ [-1000, 1000]/1000.
-  private val planeW =
-    s"transform(sequence(0, 3), p -> transform(sequence(0, 63), i -> " +
-      s"cast(${h60("concat('plane', cast(p as string), '_', cast(i as string))")} % 2001 - 1000 as double) / 1000.0))"
-  private val bucketExpr =
-    s"aggregate(sequence(0, 3), 0, (acc, p) -> acc + CASE WHEN " +
-      s"aggregate(zip_with(w[p], v, (x, y) -> x * y), cast(0 as double), (a, t) -> a + t) >= 0 " +
-      s"THEN shiftleft(1, p) ELSE 0 END)"
 
   private val planeWSql =
     s"list_transform(generate_series(0, 3), p -> list_transform(generate_series(0, 63), i -> " +
@@ -78,23 +94,20 @@ object SimilarityOps {
   private val qAnnLsh = GraftQuery(
     "qs_ann_lsh",
     (s, dir) => {
-      val e = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        .withColumn("w", expr(planeW))
-        .withColumn("bucket", expr(bucketExpr))
-        .select(col("vec_id"), col("v"), col("bucket"))
+      val planes = planeWeights
+      // bucket bit p = sign of <w_p, v>; native dot against literal planes
+      val bucketCol = (0 to 3).map { p =>
+        when(graft_dot(typedLit(planes(p)), col("v")) >= 0.0, lit(1 << p)).otherwise(lit(0))
+      }.reduce(_ + _)
+      val e = vectors(s, dir).withColumn("bucket", bucketCol)
       val q = e.filter(col("vec_id") < NQ)
-        .select(col("vec_id").as("query_id"), col("v").as("va"), col("bucket"))
-      val cands = e.select(col("vec_id").as("cand_id"), col("v").as("vb"), col("bucket"))
+        .select(col("vec_id").as("query_id"), col("v").as("va"),
+          col("nrm").as("na"), col("bucket"))
+      val cands = e.select(col("vec_id").as("cand_id"), col("v").as("vb"),
+        col("nrm").as("nb"), col("bucket"))
       val pairs = cands.join(broadcast(q), Seq("bucket"))
         .filter(col("query_id") =!= col("cand_id"))
-        .withColumn("cosine", cosineCol)
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cosine").desc, col("cand_id"))
-      pairs.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= K)
-        .select(col("query_id"), col("rank"), col("cand_id"), col("cosine"))
-        .orderBy(col("query_id"), col("rank"))
+      topK(withCosine(pairs))
     },
     Some(s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     pw AS (SELECT $planeWSql AS w),
