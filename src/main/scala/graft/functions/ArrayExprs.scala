@@ -160,7 +160,7 @@ object GraftFunctions {
   /** SQL surface: `SELECT graft_dot(a, b)` after registration. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_dot", es => DotProduct(es.head, es(1)), "builtin")
-    reg.createOrReplaceTempFunction("graft_simhash60", es => SimHash60(es.head), "builtin")
+    reg.createOrReplaceTempFunction("graft_dot", es => DotProduct(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash60", es => SimHash60(es.head), "built-in")
   }
 }

@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native expressions must agree EXACTLY (bit-for-bit for doubles) with
+  * the SQL-composed forms they replace — that equivalence is what keeps the
+  * DuckDB oracle matching.
+  */
+class ArrayExprsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("DotProduct == aggregate(zip_with(...)) sequential fold, bit-exact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 200).map { i =>
+      (Seq.fill(64)(rnd.nextDouble() * 2 - 1), Seq.fill(64)(rnd.nextDouble() * 2 - 1))
+    }
+    val df = rows.toDF("va", "vb")
+    val got = df.select(
+      GraftFunctions.graft_dot(col("va"), col("vb")).as("fast"),
+      expr("aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v)")
+        .as("slow")).collect()
+    got.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("SimHash60 == per-bit majority vote composed form") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 100).map(_ => Seq.fill(rnd.nextInt(50) + 1)(rnd.nextLong() & ((1L << 60) - 1)))
+    val df = rows.toDF("hs")
+    val slow = "aggregate(sequence(0, 59), cast(0 as bigint), (acc, b) -> acc + " +
+      "CASE WHEN 2 * size(filter(hs, h -> (h div shiftleft(cast(1 as bigint), b)) % 2 = 1)) > size(hs) " +
+      "THEN shiftleft(cast(1 as bigint), b) ELSE cast(0 as bigint) END)"
+    val got = df.select(
+      GraftFunctions.graft_simhash60(col("hs")).as("fast"), expr(slow).as("slow")).collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("MinHashSig == transform(sequence, array_min(transform)) with conv/md5") {
+    import spark.implicits._
+    val df = Seq(
+      Seq("a b c", "b c d", "c d e"),
+      Seq("hello world x"),
+      Seq("q w e", "w e r", "e r t", "r t y")).toDF("sh")
+    val slow = "transform(sequence(0, 15), i -> array_min(transform(sh, " +
+      "s -> cast(conv(substring(md5(concat(cast(i as string), ':', s)), 1, 15), 16, 10) as bigint))))"
+    val got = df.select(
+      GraftFunctions.graft_minhash(col("sh"), 16).as("fast"), expr(slow).as("slow")).collect()
+    got.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+  }
+
+  test("expressions are SQL-registered and callable") {
+    GraftFunctions.register(spark)
+    val r = spark.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").collect()
+    assert(r.head.getDouble(0) == 11.0)
+  }
+}

@@ -1,0 +1,129 @@
+package graft.streaming
+
+import java.nio.ByteBuffer
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.exec.LocalCounterExecutor
+import graft.model._
+
+/** Checkpoint/restart (the reference's C1: 5 s AT_LEAST_ONCE checkpointing
+  * → Spark checkpointLocation + state store commit per batch) and
+  * event-time windowing with watermarks — the streaming capability the
+  * analytics plane adds beyond the reference's processing-time-only
+  * surface (WatermarkStrategy.noWatermarks, StateFlowFlinkJob.java:69).
+  */
+class StreamingExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val acct = FunctionType("global", "Account", stateful = true)
+  private def delta(v: Long): Array[Byte] = ByteBuffer.allocate(8).putLong(v).array()
+  private def asLong(b: Array[Byte]): Long = ByteBuffer.wrap(b).getLong
+
+  test("state survives query stop + restart from the same checkpoint") {
+    import spark.implicits._
+    val ckpt = Files.createTempDirectory("graft-restart").toString
+    val input = MemoryStream[Event](spark)
+    val replies = mutable.Buffer.empty[Event]
+
+    def startQuery() =
+      StateflowPipeline.eventsToEgress(input.toDS(), new LocalCounterExecutor, useTws = false)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: Dataset[Route], _: Long) =>
+          val client = batch.filter(_.direction == RouteDirection.CLIENT)
+            .map(_.eventValue).collect()
+          replies.synchronized { replies ++= client }
+          ()
+        }
+        .start()
+
+    val keyed = FunctionAddress(acct, "rk1")
+    val q1 = startQuery()
+    input.addData(Event.request("r1", keyed, Request.InvokeStateful, delta(2)))
+    input.addData(Event.request("r2", keyed, Request.InvokeStateful, delta(3)))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // restart against the same checkpoint: per-key state must be restored
+    val q2 = startQuery()
+    input.addData(Event.request("r3", keyed, Request.GetState))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val got = replies.synchronized(replies.find(_.eventId == "r3"))
+    assert(got.isDefined, s"no GetState reply after restart: $replies")
+    assert(asLong(got.get.payload) == 5L, "state lost across restart")
+  }
+
+  test("event-time tumbling windows with watermark drop late data") {
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, String, Double)](spark)
+    val agg = input.toDS().toDF("ts", "event_type", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("win_out")
+      .option("checkpointLocation", Files.createTempDirectory("graft-wm").toString)
+      .start()
+
+    def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    input.addData((ts(0), "click", 1.0), (ts(1), "click", 2.0), (ts(6), "view", 5.0))
+    q.processAllAvailable()
+    // advance event time far enough to close the first windows
+    input.addData((ts(30), "click", 7.0))
+    q.processAllAvailable()
+    // late arrival: inside an already-closed window, behind the watermark
+    input.addData((ts(2), "click", 100.0))
+    q.processAllAvailable()
+    input.addData((ts(45), "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("win_out")
+      .select(col("window.start").cast("string"), col("event_type"), col("n"), col("v"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // first click window has exactly the two on-time events; the late
+    // value=100 event must NOT appear anywhere
+    assert(rows.contains(("2024-01-01 10:00:00", "click", 2L, 3.0)), s"got $rows")
+    assert(rows.contains(("2024-01-01 10:05:00", "view", 1L, 5.0)))
+    assert(!rows.exists(_._4 == 100.0), "late data leaked past the watermark")
+  }
+
+  test("at-least-once: replayed batch duplicates replies, never loses them") {
+    import spark.implicits._
+    // Send the same event twice (the reference's AT_LEAST_ONCE contract
+    // allows duplicates, StateFlowFlinkJob.java:40,132); the engine must
+    // process both, not deduplicate silently.
+    val h = new LoopHarness(spark, new LocalCounterExecutor, useTws = false)
+    try {
+      val keyed = FunctionAddress(acct, "alo1")
+      val e = Event.request("dup1", keyed, Request.InvokeStateful, delta(1))
+      h.send(e); h.send(e)
+      h.drain()
+      h.send(Event.request("g1", keyed, Request.GetState))
+      h.drain()
+      assert(asLong(h.clientReplies.find(_.eventId == "g1").get.payload) == 2L)
+      assert(h.clientReplies.count(_.eventId == "dup1") == 2)
+    } finally h.stop()
+  }
+}
