@@ -1,0 +1,296 @@
+package graft.analytics
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.api.GraftQuery
+import Exact._
+import OracleFragments.{d2 => od2, discPrice => oRev, sumD => oSumD, avgD => oAvgD}
+
+/** Second coverage batch: statistical aggregates with engine-exact math,
+  * arg-min/max, string/date scalar functions, array aggregation, grouping
+  * sets, and the remaining TPC-H shapes (Q11/Q12/Q20 flavors).
+  */
+object Relational2 {
+
+  // Exact variance/stddev: naive-sum formula in DECIMAL (order-independent)
+  // rather than the engines' (different) streaming implementations.
+  private val qVariance = GraftQuery(
+    "qstat_exact_variance",
+    (s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(d2(col("l_quantity"))).as("sx"),
+          sum(d2(col("l_quantity")) * d2(col("l_quantity"))).as("sxx"))
+        .select(col("l_returnflag"), col("n"),
+          ((col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double") / col("n"))
+            / (col("n") - 1)).as("var_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some(s"""WITH a AS (SELECT l_returnflag, COUNT(*) AS n,
+      SUM(${od2("l_quantity")}) AS sx,
+      SUM(${od2("l_quantity")} * ${od2("l_quantity")}) AS sxx
+    FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+      (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1) AS var_qty
+    FROM a ORDER BY l_returnflag"""))
+
+  // arg-max via a unique composite key (price cents ⊕ orderkey) so the
+  // selection is tie-free and engine-independent.
+  private val qArgMax = GraftQuery(
+    "qstat_argminmax",
+    (s, dir) => {
+      Tables.orders(s, dir)
+        .withColumn("uk",
+          (col("o_totalprice") * 100).cast("bigint") * 1000000L + col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          max_by(col("o_orderkey"), col("uk")).as("priciest_order"),
+          min_by(col("o_orderkey"), col("uk")).as("cheapest_order"),
+          max(col("o_totalprice")).as("max_price"),
+          min(col("o_totalprice")).as("min_price"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority,
+      arg_max(o_orderkey, CAST(o_totalprice * 100 AS BIGINT) * 1000000 + o_orderkey) AS priciest_order,
+      arg_min(o_orderkey, CAST(o_totalprice * 100 AS BIGINT) * 1000000 + o_orderkey) AS cheapest_order,
+      MAX(o_totalprice) AS max_price, MIN(o_totalprice) AS min_price
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  // String function sweep over part names.
+  private val qStrings = GraftQuery(
+    "qf_string_functions",
+    (s, dir) => {
+      Tables.part(s, dir)
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("up"),
+          substring(col("p_name"), 1, 4).as("pre"),
+          length(col("p_name")).as("len"),
+          regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+          regexp_replace(col("p_name"), "[aeiou]", "_").as("devowel"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("tag"),
+          col("p_name").contains("bolt").as("has_bolt"),
+          lpad(col("p_partkey").cast("string"), 8, "0").as("padded"))
+        .orderBy(col("p_partkey"))
+    },
+    Some("""SELECT p_partkey, upper(p_name) AS up, substr(p_name, 1, 4) AS pre,
+      CAST(length(p_name) AS INTEGER) AS len,
+      regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+      regexp_replace(p_name, '[aeiou]', '_', 'g') AS devowel,
+      p_brand || '|' || p_type AS tag,
+      contains(p_name, 'bolt') AS has_bolt,
+      lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded
+    FROM part ORDER BY p_partkey"""))
+
+  // Date/time function sweep over orders.
+  private val qDates = GraftQuery(
+    "qf_date_functions",
+    (s, dir) => {
+      Tables.orders(s, dir)
+        .filter(col("o_orderkey") < 500)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("d"),
+          quarter(col("o_orderdate")).as("q"),
+          (dayofweek(col("o_orderdate")) - 1).as("dow_sun0"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+          col("o_orderdate").cast("date").as("as_date"),
+          add_months(col("o_orderdate").cast("date"), 3).as("plus3m"),
+          datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date")).as("days_to_2002"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey,
+      CAST(date_part('year', o_orderdate) AS INTEGER) AS y,
+      CAST(date_part('month', o_orderdate) AS INTEGER) AS m,
+      CAST(date_part('day', o_orderdate) AS INTEGER) AS d,
+      CAST(date_part('quarter', o_orderdate) AS INTEGER) AS q,
+      CAST(date_part('dow', o_orderdate) AS INTEGER) AS dow_sun0,
+      strftime(o_orderdate, '%Y-%m') AS ym,
+      CAST(o_orderdate AS DATE) AS as_date,
+      CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+      CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER) AS days_to_2002
+    FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey"""))
+
+  // Array aggregation: deterministic via post-sort.
+  private val qCollect = GraftQuery(
+    "qagg_collect_sorted",
+    (s, dir) => {
+      Tables.supplier(s, dir)
+        .groupBy(col("s_nationkey"))
+        .agg(sort_array(collect_list(col("s_suppkey"))).as("suppliers"),
+          count(lit(1)).as("n"))
+        .orderBy(col("s_nationkey"))
+    },
+    Some("""SELECT s_nationkey, list_sort(list(s_suppkey)) AS suppliers, COUNT(*) AS n
+    FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"""))
+
+  // GROUPING SETS with explicit grouping_id disambiguation.
+  private val qGroupingSets = GraftQuery(
+    "qagg_grouping_sets",
+    (s, dir) => {
+      Tables.orders(s, dir)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .cube(col("o_orderstatus"), col("o_year"))
+        .agg(count(lit(1)).as("n"), sumD(d2(col("o_totalprice"))).as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_year").cast("string"), lit("ALL")).as("yr"),
+          col("n"), col("total"))
+        .orderBy(col("status"), col("yr"))
+    },
+    Some(s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      COALESCE(CAST(CAST(date_part('year', o_orderdate) AS INTEGER) AS VARCHAR), 'ALL') AS yr,
+      COUNT(*) AS n, ${oSumD(od2("o_totalprice"))} AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, CAST(date_part('year', o_orderdate) AS INTEGER))
+    ORDER BY status, yr"""))
+
+  // Approximate distinct (HLL sketches differ across engines — exact count
+  // as the oracle-checked column, the approx column hash-free, bounded by
+  // a sanity predicate instead).
+  private val qApproxDistinct = GraftQuery(
+    "qagg_approx_distinct",
+    (s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          // sanity-only: approx within 5% of exact, surfaced as a boolean
+          (abs(approx_count_distinct(col("l_orderkey"), 0.02) - countDistinct(col("l_orderkey")))
+            <= countDistinct(col("l_orderkey")) * 0.05).as("approx_within_5pct"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_orders,
+      true AS approx_within_5pct
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  // TPC-H Q11 flavor: part value share above a global threshold (scalar
+  // subquery against the same aggregate).
+  private val qQ11 = GraftQuery(
+    "q11_important_parts",
+    (s, dir) => {
+      val partVal = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"))
+        .agg(sum(discPrice).as("val_dec"))
+      val total = partVal.agg(sum(col("val_dec")).as("tot_dec"))
+      partVal.crossJoin(broadcast(total))
+        .filter(col("val_dec").cast("double") > col("tot_dec").cast("double") * 0.001)
+        .select(col("l_partkey"), col("val_dec").cast("double").as("part_value"))
+        .orderBy(col("part_value").desc, col("l_partkey"))
+    },
+    Some(s"""WITH pv AS (SELECT l_partkey, SUM($oRev) AS val_dec FROM lineitem GROUP BY l_partkey)
+    SELECT l_partkey, CAST(val_dec AS DOUBLE) AS part_value
+    FROM pv
+    WHERE CAST(val_dec AS DOUBLE) > (SELECT CAST(SUM(val_dec) AS DOUBLE) FROM pv) * 0.001
+    ORDER BY part_value DESC, l_partkey"""))
+
+  // TPC-H Q12 flavor: priority-class counts per linestatus for a ship window.
+  private val qQ12 = GraftQuery(
+    "q12_priority_classes",
+    (s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+            .as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+            .as("low_line_count"))
+        .orderBy(col("l_linestatus"))
+    },
+    Some("""SELECT l_linestatus,
+      CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem, orders
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
+    GROUP BY l_linestatus ORDER BY l_linestatus"""))
+
+  // TPC-H Q20 flavor: suppliers who shipped more than 2× the average
+  // supplier volume of a part (nested agg + semi-join).
+  private val qQ20 = GraftQuery(
+    "q20_excess_suppliers",
+    (s, dir) => {
+      val perPartSupp = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(d2(col("l_quantity"))).as("qty_dec"))
+      val perPartAvg = perPartSupp
+        .groupBy(col("l_partkey").as("pk"))
+        .agg((sum(col("qty_dec")).cast("double") / count(lit(1))).as("avg_qty"))
+      val excess = perPartSupp
+        .join(perPartAvg, col("l_partkey") === col("pk"))
+        .filter(col("qty_dec").cast("double") > col("avg_qty") * 2.0)
+        .select(col("l_suppkey")).distinct()
+      Tables.supplier(s, dir)
+        .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy(col("s_suppkey"))
+    },
+    Some("""WITH pps AS (
+      SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty_dec
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    ppa AS (
+      SELECT l_partkey AS pk, CAST(SUM(qty_dec) AS DOUBLE) / COUNT(*) AS avg_qty
+      FROM pps GROUP BY l_partkey),
+    excess AS (
+      SELECT DISTINCT l_suppkey FROM pps JOIN ppa ON l_partkey = pk
+      WHERE CAST(qty_dec AS DOUBLE) > avg_qty * 2.0)
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE EXISTS (SELECT 1 FROM excess WHERE l_suppkey = s_suppkey)
+    ORDER BY s_suppkey"""))
+
+  // Null-handling scalar sweep (nullif/coalesce/nvl2-style case).
+  private val qNulls = GraftQuery(
+    "qf_null_handling",
+    (s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") < 300)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          nullif(col("l_discount"), lit(0.0)).as("disc_or_null"),
+          coalesce(nullif(col("l_discount"), lit(0.0)), lit(-1.0)).as("disc_or_neg1"),
+          when(col("l_tax") > 0, col("l_tax")).otherwise(lit(null)).as("tax_or_null"),
+          isnull(nullif(col("l_discount"), lit(0.0))).as("zero_disc"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+    Some("""SELECT l_orderkey, l_linenumber,
+      nullif(l_discount, 0.0) AS disc_or_null,
+      coalesce(nullif(l_discount, 0.0), -1.0) AS disc_or_neg1,
+      CASE WHEN l_tax > 0 THEN l_tax ELSE NULL END AS tax_or_null,
+      nullif(l_discount, 0.0) IS NULL AS zero_disc
+    FROM lineitem WHERE l_orderkey < 300 ORDER BY l_orderkey, l_linenumber"""))
+
+  // Custom TypedImperativeAggregate: per-segment top-5 orders by price,
+  // selected through a tie-free composite key (price cents ⊕ orderkey),
+  // decoded back to order keys. Bounded-memory heap per group vs the
+  // collect-everything composable form.
+  private val qTopKAgg = GraftQuery(
+    "qagg_topk_custom",
+    (s, dir) => {
+      Tables.orders(s, dir)
+        .withColumn("uk",
+          (col("o_totalprice") * 100).cast("bigint") * 1000000L + col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(graft.functions.TopKAgg.graft_topk(col("uk"), 5).as("top_uk"))
+        .select(col("o_orderpriority"),
+          expr("transform(top_uk, x -> x % 1000000)").as("top_orders"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""WITH u AS (SELECT o_orderpriority,
+      CAST(o_totalprice * 100 AS BIGINT) * 1000000 + o_orderkey AS uk FROM orders),
+    t AS (SELECT o_orderpriority, (list_sort(list(uk), 'DESC'))[1:5] AS top_uk
+      FROM u GROUP BY o_orderpriority)
+    SELECT o_orderpriority, list_transform(top_uk, x -> x % 1000000) AS top_orders
+    FROM t ORDER BY o_orderpriority"""))
+
+  val queries: Seq[GraftQuery] = Seq(
+    qVariance, qArgMax, qStrings, qDates, qCollect, qGroupingSets, qApproxDistinct,
+    qQ11, qQ12, qQ20, qNulls, qTopKAgg)
+}
