@@ -45,19 +45,21 @@ object StateflowPipeline {
     * overwritten wholesale with each executor reply (:109).
     */
   final class StatefulInvokeProcessor(executor: FunctionExecutor)
-      extends StatefulProcessor[String, Route, Event] {
+      extends StatefulProcessor[String, (Route, Long), Event] {
 
     @transient private var state: ValueState[Array[Byte]] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       state = getHandle.getValueState[Array[Byte]]("operatorState", Encoders.BINARY, TTLConfig.NONE)
 
-    override def handleInputRows(key: String, rows: Iterator[Route],
+    override def handleInputRows(key: String, rows: Iterator[(Route, Long)],
         timerValues: TimerValues): Iterator[Event] = {
-      // Eager fold: state read/write must interleave with row order, and
-      // per-key FIFO within the batch mirrors Flink's keyed-order guarantee.
+      // Per-key FIFO: the groupByKey shuffle loses arrival order, so rows
+      // carry an ingress sequence (Kafka (partition,offset) analogue) and
+      // are re-sorted inside the group — Flink's keyed-order guarantee
+      // (the reference relies on it for read-modify-write state).
       val out = Vector.newBuilder[Event]
-      rows.foreach { route =>
+      rows.toVector.sortBy(_._2).foreach { case (route, _) =>
         val cur = if (state.exists()) state.get() else Array.emptyByteArray
         val reply = executor.invoke(EventRequestReply(route.eventValue, cur, route.routeName))
         state.update(reply.state)
@@ -71,13 +73,13 @@ object StateflowPipeline {
     * HDFS-backed state store; transformWithState needs RocksDB).
     */
   private def statefulInvokeFMG(executor: FunctionExecutor)(
-      key: String, rows: Iterator[Route], state: GroupState[Array[Byte]]): Iterator[Event] = {
+      key: String, rows: Iterator[(Route, Long)], state: GroupState[Array[Byte]]): Iterator[Event] = {
     var cur = state.getOption.getOrElse(Array.emptyByteArray)
-    val out = rows.map { route =>
+    val out = rows.toVector.sortBy(_._2).map { case (route, _) =>
       val reply = executor.invoke(EventRequestReply(route.eventValue, cur, route.routeName))
       cur = reply.state
       reply.event
-    }.toVector
+    }
     state.update(cur)
     out.iterator
   }
@@ -126,9 +128,18 @@ object StateflowPipeline {
       .mapPartitions(invokeStateless(executor, statelessConcurrency, 2.seconds))
       .map(Routing.rekeyCreated)
 
-    // U1 union + K1 keyBy + P1 stateful invoke
+    // U1 union + K1 keyBy + P1 stateful invoke. The ingress sequence is
+    // attached BEFORE the keyBy shuffle (per source partition, monotonic in
+    // arrival order — the (partition, offset) stand-in) so the processor
+    // can restore per-key FIFO after the shuffle.
     val keyed = internal.filter((r: Route) => !isCreate(r)).union(created)
-      .groupByKey(_.key)
+      .mapPartitions { it =>
+        // partition-stamped arrival sequence (monotonically_increasing_id
+        // is rejected in streaming plans; this is its exact construction)
+        var seq = org.apache.spark.TaskContext.getPartitionId().toLong << 40
+        it.map { r => seq += 1; (r, seq) }
+      }
+      .groupByKey(_._1.key)
     val replies =
       if (useTws)
         keyed.transformWithState(

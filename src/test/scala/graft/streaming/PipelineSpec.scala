@@ -98,6 +98,22 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("per-key FIFO within one batch: SetState then increments apply in order") {
+    withHarness(useTws = false) { h =>
+      val k = FunctionAddress(acct, "ord1")
+      // all three in ONE batch; only arrival order gives 102 (SetState
+      // first), a reordering yields 100 (SetState overwrites) or 2
+      h.send(
+        Event.request("s1", k, Request.SetState, delta(100)),
+        Event.request("o1", k, Request.InvokeStateful, delta(1)),
+        Event.request("o2", k, Request.InvokeStateful, delta(1)))
+      h.drain()
+      h.send(Event.request("go", k, Request.GetState))
+      h.drain()
+      assert(asLong(h.clientReplies.find(_.eventId == "go").get.payload) == 102L)
+    }
+  }
+
   test("per-key isolation: interleaved keys accumulate independently") {
     withHarness(useTws = false) { h =>
       val ka = FunctionAddress(acct, "x1")

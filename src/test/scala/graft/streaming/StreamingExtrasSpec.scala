@@ -109,6 +109,25 @@ class StreamingExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!rows.exists(_._4 == 100.0), "late data leaked past the watermark")
   }
 
+  test("stream-static broadcast join enriches the stream without a shuffle of the stream") {
+    import spark.implicits._
+    val input = MemoryStream[(Long, String)](spark)
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val joined = input.toDS().toDF("user_id", "action")
+      .join(broadcast(dim), Seq("user_id"), "left_outer")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ss").toString)
+      .start()
+    input.addData((1L, "click"), (2L, "view"), (3L, "click"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("enrich_out")
+      .collect().map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSet
+    assert(rows == Set((1L, "click", Some("gold")), (2L, "view", Some("silver")),
+      (3L, "click", None)))
+  }
+
   test("at-least-once: replayed batch duplicates replies, never loses them") {
     import spark.implicits._
     // Send the same event twice (the reference's AT_LEAST_ONCE contract
