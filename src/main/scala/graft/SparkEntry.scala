@@ -14,7 +14,8 @@ object SparkEntry {
 
   /** Full registry; modules own their query definitions. */
   def registry: Seq[GraftQuery] =
-    Relational.queries ++ Relational2.queries ++ Windows.queries ++ EventsQueries.queries ++
+    Relational.queries ++ Relational2.queries ++ Relational3.queries ++
+      Windows.queries ++ EventsQueries.queries ++
       TextOps.queries ++ DedupOps.queries ++ SimilarityOps.queries ++
       MultimodalOps.queries ++ RoutingQueries.queries
 

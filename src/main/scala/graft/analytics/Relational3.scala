@@ -1,0 +1,104 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+
+import graft.api.GraftQuery
+import Exact._
+import OracleFragments.{d2 => od2, sumD => oSumD}
+
+/** Third coverage batch: built-in session windows, array functions, pivot,
+  * and the Scala-UDF tier.
+  */
+object Relational3 {
+
+  // Built-in session_window (gap-merge sessionization) — must agree with
+  // the lag/cumsum formulation the oracle uses.
+  private val qSessionWindow = GraftQuery(
+    "qe_session_window_builtin",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"), sumD(d2(col("value"))).as("session_value"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("n_events"), col("session_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    },
+    Some(s"""WITH g AS (
+      SELECT user_id, ts, event_id, value,
+        CASE WHEN LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+          OR epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+        THEN 1 ELSE 0 END AS new_sess
+      FROM events),
+    sess AS (
+      SELECT user_id, ts, value,
+        SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM g)
+    SELECT user_id, MIN(ts) AS session_start,
+      COUNT(*) AS n_events, ${oSumD(od2("value"))} AS session_value
+    FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start"""))
+
+  // Array-function sweep over embeddings.
+  private val qArrayFns = GraftQuery(
+    "qf_array_functions",
+    (s, dir) => {
+      Tables.embeddings(s, dir)
+        .filter(col("vec_id") < 100)
+        .select(
+          col("vec_id"),
+          size(col("embedding")).as("dim"),
+          expr("array_max(embedding)").cast("float").as("vmax"),
+          expr("array_min(embedding)").cast("float").as("vmin"),
+          expr("slice(embedding, 1, 3)").cast("array<float>").as("head3"),
+          expr("size(filter(embedding, x -> x > 0))").as("n_pos"),
+          expr("exists(embedding, x -> x > 0.5)").as("any_big"),
+          expr("reverse(slice(embedding, 1, 4))").cast("array<float>").as("rev4"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
+      list_max(embedding) AS vmax, list_min(embedding) AS vmin,
+      embedding[1:3] AS head3,
+      CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+      len(list_filter(embedding, x -> x > 0.5)) > 0 AS any_big,
+      list_reverse(embedding[1:4]) AS rev4
+    FROM embeddings WHERE vec_id < 100 ORDER BY vec_id"""))
+
+  // Pivot: event counts per user × type (Spark relational pivot vs
+  // conditional aggregation in the oracle).
+  private val qPivot = GraftQuery(
+    "qagg_pivot_event_types",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot(col("event_type"), Seq("click", "view", "error", "purchase", "signup"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id,
+      CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+      CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+      CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+      CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+      CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup
+    FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  // Scala UDF tier: char-code checksum (deterministic, SQL-replicable).
+  // UDFs are the last-resort tier (no codegen, serialization per row) —
+  // this demonstrates the surface; the native-Expression tier above it is
+  // what the hot paths use.
+  private val qUdf = GraftQuery(
+    "qf_scala_udf",
+    (s, dir) => {
+      val checksum = udf((t: String) => t.foldLeft(0L)(_ + _.toLong) % 97)
+      Tables.part(s, dir)
+        .select(col("p_partkey"), checksum(col("p_name")).as("name_checksum"))
+        .orderBy(col("p_partkey"))
+    },
+    Some("""SELECT p_partkey,
+      CAST(list_sum(list_transform(generate_series(1, length(p_name)),
+        i -> ascii(substr(p_name, i, 1)))) % 97 AS BIGINT) AS name_checksum
+    FROM part ORDER BY p_partkey"""))
+
+  val queries: Seq[GraftQuery] = Seq(qSessionWindow, qArrayFns, qPivot, qUdf)
+}
