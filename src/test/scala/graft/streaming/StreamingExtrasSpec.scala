@@ -109,6 +109,56 @@ class StreamingExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!rows.exists(_._4 == 100.0), "late data leaked past the watermark")
   }
 
+  test("streaming dropDuplicates within watermark dedupes replayed events") {
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, String)](spark)
+    val deduped = input.toDS().toDF("ts", "id")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("id")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .option("checkpointLocation", Files.createTempDirectory("graft-dd").toString)
+      .start()
+    val t = Timestamp.valueOf("2024-01-01 10:00:00")
+    input.addData((t, "a"), (t, "b"), (t, "a"))
+    q.processAllAvailable()
+    input.addData((t, "a"), (t, "c"))   // replay across batches
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_out").select("id").as[String].collect().sorted
+    assert(ids.toSeq == Seq("a", "b", "c"))
+  }
+
+  test("streaming sessionization with flatMapGroupsWithState + processing-time timeout") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val input = MemoryStream[(Long, Double)](spark)  // (user, value)
+    // running per-user session aggregate emitted on every update
+    val counts = input.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Double, (Long, Double)](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        case (user, rows, state: GroupState[Double]) =>
+          val acc = state.getOption.getOrElse(0.0) + rows.map(_._2).sum
+          state.update(acc)
+          state.setTimeoutDuration("1 hour")
+          Iterator((user, acc))
+      }
+    val q = counts.toDF("user_id", "acc").writeStream.outputMode("append")
+      .format("memory").queryName("sess_out")
+      .option("checkpointLocation", Files.createTempDirectory("graft-fs").toString)
+      .start()
+    input.addData((1L, 2.0), (2L, 5.0))
+    q.processAllAvailable()
+    input.addData((1L, 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val byUser = spark.table("sess_out")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    assert(byUser == Map(1L -> 5.0, 2L -> 5.0))
+  }
+
   test("stream-static broadcast join enriches the stream without a shuffle of the stream") {
     import spark.implicits._
     val input = MemoryStream[(Long, String)](spark)
