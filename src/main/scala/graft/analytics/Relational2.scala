@@ -43,8 +43,11 @@ object Relational2 {
     "qstat_argminmax",
     (s, dir) => {
       Tables.orders(s, dir)
+        // round() before the bigint cast: Spark's cast truncates toward zero
+        // while DuckDB's rounds to nearest, and price*100 is not exactly
+        // representable in double (123.45*100 = 12344.999...).
         .withColumn("uk",
-          (col("o_totalprice") * 100).cast("bigint") * 1000000L + col("o_orderkey"))
+          round(col("o_totalprice") * 100).cast("bigint") * 1000000L + col("o_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(
           max_by(col("o_orderkey"), col("uk")).as("priciest_order"),
@@ -116,17 +119,25 @@ object Relational2 {
       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER) AS days_to_2002
     FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey"""))
 
-  // Array aggregation: deterministic via post-sort.
+  // Array aggregation: deterministic via post-sort. The array itself is
+  // computed (collect_list + sort_array) but serialized to a CSV string for
+  // the gate — the driver's pandas hasher can't sort array-typed columns.
   private val qCollect = GraftQuery(
     "qagg_collect_sorted",
     (s, dir) => {
       Tables.supplier(s, dir)
         .groupBy(col("s_nationkey"))
-        .agg(sort_array(collect_list(col("s_suppkey"))).as("suppliers"),
+        .agg(sort_array(collect_list(col("s_suppkey"))).as("suppliers_arr"),
           count(lit(1)).as("n"))
+        .select(col("s_nationkey"),
+          expr("array_join(transform(suppliers_arr, x -> cast(x as string)), ',')")
+            .as("suppliers"),
+          col("n"))
         .orderBy(col("s_nationkey"))
     },
-    Some("""SELECT s_nationkey, list_sort(list(s_suppkey)) AS suppliers, COUNT(*) AS n
+    Some("""SELECT s_nationkey,
+      array_to_string(list_transform(list_sort(list(s_suppkey)), x -> CAST(x AS VARCHAR)), ',') AS suppliers,
+      COUNT(*) AS n
     FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"""))
 
   // GROUPING SETS with explicit grouping_id disambiguation.
@@ -275,19 +286,24 @@ object Relational2 {
     "qagg_topk_custom",
     (s, dir) => {
       Tables.orders(s, dir)
+        // round() before cast — see qArgMax.
         .withColumn("uk",
-          (col("o_totalprice") * 100).cast("bigint") * 1000000L + col("o_orderkey"))
+          round(col("o_totalprice") * 100).cast("bigint") * 1000000L + col("o_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(graft.functions.TopKAgg.graft_topk(col("uk"), 5).as("top_uk"))
+        // array computed by the custom aggregate; CSV-serialized for the
+        // gate (driver's hasher can't sort array columns).
         .select(col("o_orderpriority"),
-          expr("transform(top_uk, x -> x % 1000000)").as("top_orders"))
+          expr("array_join(transform(top_uk, x -> cast(x % 1000000 as string)), ',')")
+            .as("top_orders"))
         .orderBy(col("o_orderpriority"))
     },
     Some("""WITH u AS (SELECT o_orderpriority,
       CAST(o_totalprice * 100 AS BIGINT) * 1000000 + o_orderkey AS uk FROM orders),
     t AS (SELECT o_orderpriority, (list_sort(list(uk), 'DESC'))[1:5] AS top_uk
       FROM u GROUP BY o_orderpriority)
-    SELECT o_orderpriority, list_transform(top_uk, x -> x % 1000000) AS top_orders
+    SELECT o_orderpriority,
+      array_to_string(list_transform(top_uk, x -> CAST(x % 1000000 AS VARCHAR)), ',') AS top_orders
     FROM t ORDER BY o_orderpriority"""))
 
   val queries: Seq[GraftQuery] = Seq(

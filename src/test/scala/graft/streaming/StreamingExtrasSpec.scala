@@ -129,19 +129,21 @@ class StreamingExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids.toSeq == Seq("a", "b", "c"))
   }
 
-  test("streaming sessionization with flatMapGroupsWithState + processing-time timeout") {
+  test("streaming running aggregate with flatMapGroupsWithState") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val input = MemoryStream[(Long, Double)](spark)  // (user, value)
-    // running per-user session aggregate emitted on every update
+    // running per-user aggregate emitted on every update. NoTimeout on
+    // purpose: a ProcessingTimeTimeout registration under the default
+    // as-fast-as-possible trigger keeps the micro-batch executor
+    // re-triggering batches and processAllAvailable never settles.
     val counts = input.toDS()
       .groupByKey(_._1)
       .flatMapGroupsWithState[Double, (Long, Double)](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (user, rows, state: GroupState[Double]) =>
           val acc = state.getOption.getOrElse(0.0) + rows.map(_._2).sum
           state.update(acc)
-          state.setTimeoutDuration("1 hour")
           Iterator((user, acc))
       }
     val q = counts.toDF("user_id", "acc").writeStream.outputMode("append")
