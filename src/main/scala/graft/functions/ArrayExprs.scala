@@ -147,6 +147,81 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** MinHash signature from an ARRAY<BIGINT> of pre-hashed shingles via a
+  * multiply-mod universal family: slot i = min over x of
+  * `(A(i)·(x & 30-bit mask) + B(i)) mod (2³¹−1)`.
+  *
+  * Replaces the k-md5s-per-shingle [[MinHashSig]] path in the hot loop: one
+  * base hash per shingle plus k cheap integer ops, fully inside whole-stage
+  * codegen. The 30-bit mask keeps `A·x + B < 2⁶²`, so the identical
+  * arithmetic is expressible in DuckDB BIGINT without overflow — the oracle
+  * twin is exact, not approximate (companion emits the literal A/B lists).
+  */
+case class MinHashAffine(child: Expression, k: Int) extends UnaryExpression {
+  import MinHashAffine._
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_affine"
+
+  @transient private lazy val as: Array[Long] = Array.tabulate(k)(a)
+  @transient private lazy val bs: Array[Long] = Array.tabulate(k)(b)
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val sig = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val x = hs.getLong(j) & Mask
+      var i = 0
+      while (i < k) {
+        val v = (as(i) * x + bs(i)) % P
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val aRef = ctx.addReferenceObj("mhA", as, "long[]")
+      val bRef = ctx.addReferenceObj("mhB", bs, "long[]")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val x = ctx.freshName("x")
+      val v = ctx.freshName("v")
+      val sig = ctx.freshName("sig")
+      s"""
+        int $n = $c.numElements();
+        long[] $sig = new long[$k];
+        java.util.Arrays.fill($sig, Long.MAX_VALUE);
+        for (int $j = 0; $j < $n; $j++) {
+          long $x = $c.getLong($j) & ${Mask}L;
+          for (int $i = 0; $i < $k; $i++) {
+            long $v = ($aRef[$i] * $x + $bRef[$i]) % ${P}L;
+            if ($v < $sig[$i]) $sig[$i] = $v;
+          }
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+      """
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object MinHashAffine {
+  val P: Long = 2147483647L     // 2^31 − 1 (Mersenne prime)
+  val Mask: Long = 0x3FFFFFFFL  // base hash truncated to 30 bits
+  def a(i: Int): Long = (1103515245L * (i + 1)) % P
+  def b(i: Int): Long = (12345L * (2 * i + 1)) % P
+  /** DuckDB list literals for the oracle twin — single source of truth. */
+  def sqlListA(k: Int): String = Array.tabulate(k)(a).mkString("[", ", ", "]")
+  def sqlListB(k: Int): String = Array.tabulate(k)(b).mkString("[", ", ", "]")
+}
+
 object GraftFunctions {
   /** Column-API surface. */
   def graft_dot(a: Column, b: Column): Column =
@@ -156,6 +231,8 @@ object GraftFunctions {
     GraftColumnBridge.column(SimHash60(GraftColumnBridge.expression(hs)))
   def graft_minhash(sh: Column, k: Int): Column =
     GraftColumnBridge.column(MinHashSig(GraftColumnBridge.expression(sh), k))
+  def graft_minhash_affine(hs: Column, k: Int): Column =
+    GraftColumnBridge.column(MinHashAffine(GraftColumnBridge.expression(hs), k))
 
   /** SQL surface: `SELECT graft_dot(a, b)` after registration. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

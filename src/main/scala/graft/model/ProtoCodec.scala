@@ -126,6 +126,10 @@ object ProtoCodec {
       var shift = 0
       var result = 0L
       while (true) {
+        // bound against the enclosing slice, not the whole buffer: a
+        // truncated varint inside a nested message must fail cleanly, not
+        // silently consume the enclosing message's bytes
+        if (pos >= to) throw new IllegalArgumentException("truncated message")
         val b = buf(pos)
         pos += 1
         result |= (b & 0x7fL) << shift
@@ -138,18 +142,22 @@ object ProtoCodec {
 
     def readLenDelim(): (Int, Int) = {
       val len = readVarint().toInt
+      if (len < 0) throw new IllegalArgumentException("truncated message")
       val start = pos
       pos += len
       if (pos > to) throw new IllegalArgumentException("truncated message")
       (start, start + len)
     }
 
-    def skip(wireType: Int): Unit = wireType match {
-      case 0 => readVarint()
-      case 1 => pos += 8
-      case 2 => val _ = readLenDelim()
-      case 5 => pos += 4
-      case w => throw new IllegalArgumentException(s"unsupported wire type $w")
+    def skip(wireType: Int): Unit = {
+      wireType match {
+        case 0 => readVarint()
+        case 1 => pos += 8
+        case 2 => val _ = readLenDelim()
+        case 5 => pos += 4
+        case w => throw new IllegalArgumentException(s"unsupported wire type $w")
+      }
+      if (pos > to) throw new IllegalArgumentException("truncated message")
     }
   }
 

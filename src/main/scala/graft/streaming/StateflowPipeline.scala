@@ -1,8 +1,7 @@
 package graft.streaming
 
-import java.util.concurrent.{ArrayBlockingQueue, TimeUnit}
+import java.util.concurrent.TimeUnit
 
-import scala.concurrent.{Await, ExecutionContext, Future}
 import scala.concurrent.duration._
 
 import org.apache.spark.sql.{Dataset, Encoders}
@@ -85,22 +84,82 @@ object StateflowPipeline {
   }
 
   /** Bounded-concurrency stateless invoke: the reference hides Lambda
-    * latency with async unordered I/O, capacity 1000, timeout 2 s
-    * (StateFlowFlinkJob.java:84-87). Spark has no async operator; a Future
-    * pool inside mapPartitions gives the same in-flight bound per partition
-    * and completes within the micro-batch.
+    * latency with async unordered I/O, capacity 1000, per-request timeout
+    * 2 s (AsyncDataStream.unorderedWait, StateFlowFlinkJob.java:84-87).
+    * Spark has no async operator; this is a sliding-window completion loop
+    * inside mapPartitions: up to `concurrency` requests in flight at once,
+    * each with its OWN `timeout` deadline measured from submission, and
+    * results emitted as they complete (unordered — matching unorderedWait).
+    * One stuck request neither blocks the rest of the window nor inflates
+    * anyone else's budget; it times out alone at ~`timeout` and yields a
+    * FailedInvocation reply (the reference's AsyncDataStream would fail the
+    * job on timeout — a clean per-request failure reply is the graceful
+    * engine-level equivalent).
     */
   private def invokeStateless(executor: FunctionExecutor, concurrency: Int, timeout: FiniteDuration)(
       routes: Iterator[Route]): Iterator[Event] = {
-    implicit val ec: ExecutionContext = StatelessPool.ec
-    routes.grouped(concurrency).flatMap { chunk =>
-      val fs = chunk.map { r =>
-        Future {
-          val op = r.eventValue.funAddress.fullName
-          executor.invoke(EventRequestReply(r.eventValue, Array.emptyByteArray, op)).event
+    val timeoutNs = timeout.toNanos
+    new Iterator[Event] {
+      private val cs =
+        new java.util.concurrent.ExecutorCompletionService[Event](StatelessPool.pool)
+      // in-flight future → (route, absolute deadline)
+      private val pending =
+        new java.util.HashMap[java.util.concurrent.Future[Event], (Route, Long)]()
+      private val ready = scala.collection.mutable.Queue.empty[Event]
+
+      private def refill(): Unit =
+        while (pending.size < concurrency && routes.hasNext) {
+          val r = routes.next()
+          val f = cs.submit(() => {
+            val op = r.eventValue.funAddress.fullName
+            executor.invoke(EventRequestReply(r.eventValue, Array.emptyByteArray, op)).event
+          })
+          pending.put(f, (r, System.nanoTime() + timeoutNs))
         }
+
+      private def collectOne(): Unit =
+        while (ready.isEmpty && !pending.isEmpty) {
+          // earliest in-flight deadline bounds how long we may block
+          var minF: java.util.concurrent.Future[Event] = null
+          var minR: Route = null
+          var minDl = Long.MaxValue
+          val it = pending.entrySet().iterator()
+          while (it.hasNext) {
+            val en = it.next()
+            if (en.getValue._2 < minDl) {
+              minF = en.getKey; minR = en.getValue._1; minDl = en.getValue._2
+            }
+          }
+          val waitNs = minDl - System.nanoTime()
+          val f =
+            if (waitNs > 0) cs.poll(waitNs, TimeUnit.NANOSECONDS) else cs.poll()
+          if (f != null) {
+            val entry = pending.remove(f)
+            // null = late completion of an already-timed-out request: drop
+            if (entry != null)
+              ready += (try f.get() catch {
+                case scala.util.control.NonFatal(_) =>
+                  entry._1.eventValue.withReply(Reply.FailedInvocation)
+              })
+          } else if (System.nanoTime() >= minDl) {
+            minF.cancel(true)
+            pending.remove(minF)
+            ready += minR.eventValue.withReply(Reply.FailedInvocation)
+          }
+        }
+
+      override def hasNext: Boolean = {
+        refill()
+        if (ready.isEmpty) collectOne()
+        ready.nonEmpty
       }
-      Await.result(Future.sequence(fs), timeout * chunk.size.toLong)
+
+      override def next(): Event = {
+        if (!hasNext) throw new NoSuchElementException("exhausted")
+        val e = ready.dequeue()
+        refill()
+        e
+      }
     }
   }
 
@@ -139,7 +198,12 @@ object StateflowPipeline {
         var seq = org.apache.spark.TaskContext.getPartitionId().toLong << 40
         it.map { r => seq += 1; (r, seq) }
       }
-      .groupByKey(_._1.key)
+      // state is namespaced per OPERATOR × key, like the reference (one
+      // InvokeStatefulLambda instance — hence one ValueState namespace —
+      // per operator name): two operators invoked with the same entity key
+      // must not share a state blob. routeName is "ns/name" (no NUL),
+      // so the composite is collision-free.
+      .groupByKey(t => t._1.routeName + "\u0000" + t._1.key)
     val replies =
       if (useTws)
         keyed.transformWithState(
@@ -155,10 +219,10 @@ object StateflowPipeline {
 
 /** Shared daemon thread pool for the stateless-invoke path. */
 private object StatelessPool {
-  lazy val ec: ExecutionContext = ExecutionContext.fromExecutor(
+  lazy val pool: java.util.concurrent.ExecutorService =
     java.util.concurrent.Executors.newFixedThreadPool(64, r => {
       val t = new Thread(r, "graft-stateless-invoke")
       t.setDaemon(true)
       t
-    }))
+    })
 }

@@ -102,4 +102,26 @@ class ProtoCodecSpec extends AnyFunSuite {
     val extended = base ++ Array[Byte]((15 << 3).toByte, 0x2a)
     assert(ProtoCodec.decodeEvent(extended).eventId == "x")
   }
+
+  test("malformed wire bytes fail cleanly, never parse silently wrong") {
+    // length-delimited field claiming more bytes than the buffer holds
+    val overLength = Array[Byte]((1 << 3 | 2).toByte, 60, 'a', 'b')
+    intercept[IllegalArgumentException](ProtoCodec.decodeEvent(overLength))
+    // varint with its continuation bit set at end-of-buffer (truncated)
+    val cutVarint = Array[Byte]((3 << 3).toByte, 0x80.toByte)
+    intercept[IllegalArgumentException](ProtoCodec.decodeEvent(cutVarint))
+    // negative length-delimited size (varint 0xFFFFFFFF → int -1)
+    val negLen = Array[Byte]((1 << 3 | 2).toByte,
+      0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte, 0x0f)
+    intercept[IllegalArgumentException](ProtoCodec.decodeEvent(negLen))
+    // truncated varint INSIDE a nested message must not silently consume
+    // the enclosing message's bytes: fun_address (field 2) whose inner
+    // FunctionType.stateful varint is cut at the nested boundary
+    val nested = Array[Byte](
+      (2 << 3 | 2).toByte, 4,            // Event.fun_address, len 4
+      (1 << 3 | 2).toByte, 2,            // FunctionAddress.fun_type, len 2
+      (3 << 3).toByte, 0x80.toByte,      // FunctionType.stateful: truncated varint
+      (1 << 3 | 2).toByte, 1, 'z')       // Event.event_id = "z" (outside)
+    intercept[IllegalArgumentException](ProtoCodec.decodeEvent(nested))
+  }
 }

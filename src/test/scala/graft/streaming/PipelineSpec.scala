@@ -129,4 +129,85 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(asLong(h.clientReplies.find(_.eventId == "gb").get.payload) == 7L)
     }
   }
+
+  test("per-operator state namespace: same key under two operators stays isolated") {
+    // The reference runs one InvokeStatefulLambda (hence one ValueState
+    // namespace) PER OPERATOR (StateFlowFlinkJob.java:101-106 inside the
+    // operators loop); entity key 'u1' of global/Account and entity key
+    // 'u1' of global/Cart must not share a state blob.
+    withHarness(useTws = false) { h =>
+      val cart = FunctionType("global", "Cart", stateful = true)
+      val accU1 = FunctionAddress(acct, "u1")
+      val cartU1 = FunctionAddress(cart, "u1")
+      h.send(
+        Event.request("acc1", accU1, Request.InvokeStateful, delta(10)),
+        Event.request("cart1", cartU1, Request.InvokeStateful, delta(3)))
+      h.drain()
+      h.send(
+        Event.request("gacc", accU1, Request.GetState),
+        Event.request("gcart", cartU1, Request.GetState))
+      h.drain()
+      assert(asLong(h.clientReplies.find(_.eventId == "gacc").get.payload) == 10L,
+        "Account/u1 state corrupted by Cart/u1")
+      assert(asLong(h.clientReplies.find(_.eventId == "gcart").get.payload) == 3L,
+        "Cart/u1 state corrupted by Account/u1")
+    }
+  }
+
+  test("stateless create path: one stuck request times out alone at ~2s, others complete") {
+    // Mirrors AsyncDataStream.unorderedWait semantics (StateFlowFlinkJob
+    // .java:86-87): per-request timeout, no head-of-line blocking. The
+    // stuck request must yield FailedInvocation at ~2 s — not 2 s × batch —
+    // and must not delay the other creates in the same partition.
+    val h = new LoopHarness(spark, new SlowOneExecutor("slow1", 30000), useTws = false)
+    try {
+      val t0 = System.nanoTime()
+      h.send(
+        Event.request("slow1", FunctionAddress(acct, ""), Request.InitClass),
+        Event.request("fast1", FunctionAddress(acct, ""), Request.InitClass),
+        Event.request("fast2", FunctionAddress(acct, ""), Request.InitClass),
+        Event.request("fast3", FunctionAddress(acct, ""), Request.InitClass))
+      h.drain()
+      val elapsedMs = (System.nanoTime() - t0) / 1000000
+      val replies = h.clientReplies
+      assert(replies.count(_.reply.contains(Reply.SuccessfulCreateClass)) == 3,
+        s"fast creates lost: $replies")
+      assert(replies.find(_.eventId == "slow1").exists(_.reply.contains(Reply.FailedInvocation)),
+        s"stuck request did not fail cleanly: $replies")
+      // pooled-budget semantics would wait 2s × 4 = 8s+ (or the full 30s
+      // sleep); per-request deadline completes the batch shortly after 2s
+      assert(elapsedMs < 15000, s"batch blocked on the stuck request: ${elapsedMs}ms")
+    } finally h.stop()
+  }
+
+  test("EventFlow: malformed plan node degrades to FailedInvocation, not a task error") {
+    val ex = new LocalCounterExecutor
+    val e = Event.request("bad1", FunctionAddress(acct, "k1"), Request.EventFlow,
+      "not-a-valid-node".getBytes("UTF-8"),
+      Some(EventFlowNode(FunctionAddress(acct, "k1"), "INVOKE")))
+    val out = ex.invoke(EventRequestReply(e, Array.emptyByteArray, "global/Account"))
+    assert(out.event.reply.contains(Reply.FailedInvocation))
+    // empty trailing key is preserved, not a MatchError (split limit 3)
+    val ok = Event.request("ok1", FunctionAddress(acct, "k1"), Request.EventFlow,
+      "global/Account/".getBytes("UTF-8"),
+      Some(EventFlowNode(FunctionAddress(acct, "k1"), "INVOKE")))
+    val out2 = ex.invoke(EventRequestReply(ok, Array.emptyByteArray, "global/Account"))
+    assert(out2.event.current.exists(n => n.currentFun.key == "" && n.currentNodeType == "INVOKE"))
+  }
+}
+
+/** Delegates to LocalCounterExecutor but stalls one event id — used to prove
+  * the stateless path's per-request (not pooled) timeout.
+  */
+final class SlowOneExecutor(slowId: String, sleepMs: Long)
+    extends graft.exec.FunctionExecutor {
+  private val inner = new LocalCounterExecutor
+  override def invoke(req: graft.model.EventRequestReply): graft.model.EventRequestReply = {
+    // stall only the create-path invocation: the timed-out event flows on
+    // (as FailedInvocation) into the synchronous stateful path, which must
+    // not re-stall it
+    if (req.event.eventId == slowId && req.event.request.contains(Request.InitClass))
+      Thread.sleep(sleepMs)
+    inner.invoke(req)
+  }
 }
