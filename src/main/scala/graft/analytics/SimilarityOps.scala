@@ -27,6 +27,15 @@ object SimilarityOps {
   private val NQ = 20   // query vectors: vec_id < NQ
   private val K = 5
 
+  /** Hyperplane count: 2^Planes buckets. Sized for the test corpora (2k
+    * vectors / 16 buckets); at larger corpus scale raise it so the expected
+    * bucket occupancy n/2^Planes stays rerank-able (e.g. 12-16 planes at
+    * 10^9 vectors) — recall then tunes by unioning several plane sets.
+    * The oracle SQL derives from the same constant, so changing it keeps
+    * the gate consistent.
+    */
+  private[analytics] val Planes = 4
+
   /** Driver-side replica of Nlp.h60 (md5 prefix → 60-bit long); used to
     * derive the LSH plane weights once instead of per row.
     */
@@ -38,7 +47,7 @@ object SimilarityOps {
 
   /** weight(p, i) = (h60("plane<p>_<i>") % 2001 - 1000) / 1000 ∈ [-1, 1]. */
   private[analytics] def planeWeights: Seq[Seq[Double]] =
-    (0 to 3).map(p => (0 to 63).map(i =>
+    (0 until Planes).map(p => (0 to 63).map(i =>
       (h60Local(s"plane${p}_$i") % 2001 - 1000).toDouble / 1000.0))
 
   private def withCosine(pairs: org.apache.spark.sql.DataFrame) =
@@ -84,10 +93,10 @@ object SimilarityOps {
     ORDER BY query_id, rank"""))
 
   private val planeWSql =
-    s"list_transform(generate_series(0, 3), p -> list_transform(generate_series(0, 63), i -> " +
+    s"list_transform(generate_series(0, ${Planes - 1}), p -> list_transform(generate_series(0, 63), i -> " +
       s"CAST(${h60Sql("'plane' || p || '_' || i")} % 2001 - 1000 AS DOUBLE) / 1000.0))"
   private val bucketSql =
-    s"CAST(list_sum(list_transform(generate_series(1, 4), p -> CASE WHEN " +
+    s"CAST(list_sum(list_transform(generate_series(1, $Planes), p -> CASE WHEN " +
       s"list_reduce(list_transform(generate_series(1, 64), i -> w[p][i] * v[i]), (a, b) -> a + b) >= 0 " +
       s"THEN (1 << (p - 1)) ELSE 0 END)) AS INTEGER)"
 
@@ -96,7 +105,7 @@ object SimilarityOps {
     (s, dir) => {
       val planes = planeWeights
       // bucket bit p = sign of <w_p, v>; native dot against literal planes
-      val bucketCol = (0 to 3).map { p =>
+      val bucketCol = (0 until Planes).map { p =>
         when(graft_dot(typedLit(planes(p)), col("v")) >= 0.0, lit(1 << p)).otherwise(lit(0))
       }.reduce(_ + _)
       val e = vectors(s, dir).withColumn("bucket", bucketCol)

@@ -19,6 +19,24 @@ import graft.model._
   * [[LoopHarness]], which swaps the broker for a MemoryStream; the
   * topology code is identical).
   */
+/** Tuning surface of the reference job (StateFlowFlinkJob.java:34-40,
+  * 84-87) as explicit parameters:
+  *  - `trigger`: micro-batch pacing. `None` = as-fast-as-possible, the
+  *    analogue of `execution.buffer-timeout=0` (:36); a
+  *    `Trigger.ProcessingTime` adds deliberate batching latency.
+  *  - `statelessConcurrency` / `statelessTimeout`: the AsyncDataStream
+  *    capacity-1000 / 2 s settings for the create path (:84-87).
+  *  - `useTws`: transformWithState on RocksDB (the reference's
+  *    RocksDB-backed keyed state) vs flatMapGroupsWithState on the default
+  *    HDFS-backed store.
+  */
+final case class JobConfig(
+    trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+    statelessConcurrency: Int = 128,
+    statelessTimeout: scala.concurrent.duration.FiniteDuration =
+      scala.concurrent.duration.DurationInt(2).seconds,
+    useTws: Boolean = true)
+
 object KafkaSupport {
 
   /** S1+S2: subscribe + protobuf-decode. */
@@ -49,12 +67,20 @@ object KafkaSupport {
     * source, exactly as StateFlowFlinkJob.java:143-147 + :50).
     */
   def start(spark: SparkSession, bootstrap: String, executor: FunctionExecutor,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+      checkpoint: String,
+      config: JobConfig = JobConfig()): org.apache.spark.sql.streaming.StreamingQuery = {
     import spark.implicits._
-    StateflowPipeline.eventsToEgress(readEvents(spark, bootstrap), executor)
+    if (config.useTws)
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val writer = StateflowPipeline.eventsToEgress(readEvents(spark, bootstrap), executor,
+        statelessConcurrency = config.statelessConcurrency, useTws = config.useTws,
+        statelessTimeout = config.statelessTimeout)
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
+    config.trigger.foreach(writer.trigger)
+    writer
       .foreachBatch { (batch: Dataset[Route], _: Long) =>
         batch.persist()
         def sink(direction: Int, topic: String): Unit =

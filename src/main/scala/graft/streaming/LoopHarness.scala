@@ -23,7 +23,7 @@ import graft.model._
   * foreachBatch body writes to the two topics instead.
   */
 final class LoopHarness(spark: SparkSession, executor: FunctionExecutor,
-    useTws: Boolean = true) {
+    useTws: Boolean = true, config: JobConfig = JobConfig()) {
   import spark.implicits._
 
   if (useTws)
@@ -33,11 +33,17 @@ final class LoopHarness(spark: SparkSession, executor: FunctionExecutor,
   private val input = MemoryStream[Event](spark)
   private val clientBuf = mutable.Buffer.empty[Event]
 
-  val query: StreamingQuery =
-    StateflowPipeline.eventsToEgress(input.toDS(), executor, useTws = useTws)
+  private val writer =
+    StateflowPipeline.eventsToEgress(input.toDS(), executor, useTws = useTws,
+        statelessConcurrency = config.statelessConcurrency,
+        statelessTimeout = config.statelessTimeout)
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", Files.createTempDirectory("graft-ckpt").toString)
+
+  config.trigger.foreach(writer.trigger)
+
+  val query: StreamingQuery = writer
       .foreachBatch { (batch: Dataset[Route], _: Long) =>
         batch.persist()
         val client = batch.filter(_.direction == RouteDirection.CLIENT)

@@ -168,10 +168,13 @@ object StateflowPipeline {
 
   /** Assemble the full topology. Works on both streaming and batch
     * Datasets; `useTws` selects transformWithState (RocksDB state store)
-    * vs flatMapGroupsWithState.
+    * vs flatMapGroupsWithState. `statelessConcurrency`/`statelessTimeout`
+    * mirror the reference's async capacity 1000 / timeout 2 s
+    * (StateFlowFlinkJob.java:84-87).
     */
   def eventsToEgress(events: Dataset[Event], executor: FunctionExecutor,
-      statelessConcurrency: Int = 128, useTws: Boolean = true): Dataset[Route] = {
+      statelessConcurrency: Int = 128, useTws: Boolean = true,
+      statelessTimeout: FiniteDuration = 2.seconds): Dataset[Route] = {
     val spark = events.sparkSession
     import spark.implicits._
 
@@ -184,7 +187,7 @@ object StateflowPipeline {
 
     // create path: A1 async stateless invoke + A2 rekey
     val created = internal.filter(isCreate _)
-      .mapPartitions(invokeStateless(executor, statelessConcurrency, 2.seconds))
+      .mapPartitions(invokeStateless(executor, statelessConcurrency, statelessTimeout))
       .map(Routing.rekeyCreated)
 
     // U1 union + K1 keyBy + P1 stateful invoke. The ingress sequence is

@@ -180,6 +180,57 @@ class StreamingExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, "click", None)))
   }
 
+  test("streaming session windows: gap merge emits on watermark, late events drop") {
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, Long, Double)](spark)
+    val agg = input.toDS().toDF("ts", "user_id", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+      .select(col("user_id"), col("w.start").cast("string").as("start"),
+        col("n"), col("v"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("sess_win_out")
+      .option("checkpointLocation", Files.createTempDirectory("graft-sw").toString)
+      .start()
+
+    def ts(hm: String): Timestamp = Timestamp.valueOf(s"2024-01-01 $hm:00")
+    // user 1: 10:00 and 10:20 are within the 30 min gap → ONE session
+    input.addData((ts("10:00"), 1L, 1.0), (ts("10:20"), 1L, 2.0))
+    q.processAllAvailable()
+    // jump event time far ahead: watermark passes the session end → emit
+    input.addData((ts("13:00"), 1L, 5.0))
+    q.processAllAvailable()
+    // late event inside the closed session, behind the watermark → dropped
+    input.addData((ts("10:10"), 1L, 100.0))
+    q.processAllAvailable()
+    input.addData((ts("15:00"), 1L, 1.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("sess_win_out")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    // gap merge: [10:00, 10:50) holds both on-time events
+    assert(rows.contains((1L, "2024-01-01 10:00:00", 2L, 3.0)), s"got $rows")
+    assert(!rows.exists(_._4 == 100.0), "late event leaked into a closed session")
+    assert(!rows.exists(r => r._2 == "2024-01-01 10:20:00"),
+      "gap merge failed: second event started its own session")
+  }
+
+  test("non-default trigger: pipeline correct under Trigger.ProcessingTime") {
+    import org.apache.spark.sql.streaming.Trigger
+    val h = new LoopHarness(spark, new LocalCounterExecutor, useTws = false,
+      config = JobConfig(trigger = Some(Trigger.ProcessingTime("50 milliseconds"))))
+    try {
+      val k = FunctionAddress(acct, "trig1")
+      h.send(Event.request("t1", k, Request.InvokeStateful, delta(4)))
+      h.drain()
+      h.send(Event.request("gt", k, Request.GetState))
+      h.drain()
+      assert(asLong(h.clientReplies.find(_.eventId == "gt").get.payload) == 4L)
+    } finally h.stop()
+  }
+
   test("at-least-once: replayed batch duplicates replies, never loses them") {
     import spark.implicits._
     // Send the same event twice (the reference's AT_LEAST_ONCE contract
