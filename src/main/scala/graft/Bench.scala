@@ -10,6 +10,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warm-up: JIT + codegen + parquet footer reads, so the first
+    // timed query (alphabetically q01) doesn't absorb JVM startup cost
+    locally {
+      import graft.analytics.Tables
+      Seq(Tables.lineitem _, Tables.orders _, Tables.documents _,
+          Tables.embeddings _, Tables.events _).foreach { t =>
+        t(spark, sfDir).groupBy().count().write.format("noop").mode("overwrite").save()
+      }
+    }
     // noop sink: materializes every output column (count() would let
     // Catalyst prune the projection and under-report expression cost)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
