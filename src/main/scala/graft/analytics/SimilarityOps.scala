@@ -130,5 +130,67 @@ object SimilarityOps {
     SELECT query_id, rank, cand_id, cosine FROM rk WHERE rank <= $K
     ORDER BY query_id, rank"""))
 
-  val queries: Seq[GraftQuery] = Seq(qBrute, qAnnLsh)
+  // ------------------------------------------------------------- IVF ANN
+  /** Coarse-quantizer cell count and probe width. At corpus scale C grows
+    * ~√n (classic IVF sizing) and cells come from k-means; here the
+    * centroids are deterministic pseudo-random unit vectors (same
+    * md5-derived construction as the LSH planes, L2-normalized on the
+    * driver) so both engines and every executor share them as literals.
+    */
+  private val Cents = 8
+  private[analytics] def centroids: Seq[Seq[Double]] =
+    (0 until Cents).map { c =>
+      val raw = (0 to 63).map(i =>
+        (h60Local(s"cent${c}_$i") % 2001 - 1000).toDouble / 1000.0)
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(_ / n)
+    }
+
+  /** IVF (inverted-file) ANN: map-only cell assignment (argmax of native
+    * dot against the C centroid literals), queries probe their 2 best
+    * cells, exact cosine rerank inside the probed cells. The cell join
+    * replaces the O(n·q) scan; per-cell candidate lists are the "inverted
+    * file". The same approximation is mirrored in the oracle, so the gate
+    * is exact.
+    */
+  private val qAnnIvf = GraftQuery(
+    "qs_ann_ivf",
+    (s, dir) => {
+      val cents = centroids
+      val scoreArr = array(cents.map(c => graft_dot(typedLit(c), col("v"))): _*)
+      val e = vectors(s, dir)
+        .withColumn("sc", scoreArr)
+        .withColumn("cell", expr("array_position(sc, array_max(sc))"))
+      val corpus = e.select(col("vec_id").as("cand_id"), col("v").as("vb"),
+        col("nrm").as("nb"), col("cell"))
+      val q = e.filter(col("vec_id") < NQ)
+        .withColumn("p2",
+          expr("array_position(sc, array_max(filter(sc, x -> x != array_max(sc))))"))
+        .select(col("vec_id").as("query_id"), col("v").as("va"), col("nrm").as("na"),
+          explode(array(col("cell"), col("p2"))).as("cell"))
+      val pairs = corpus.join(broadcast(q), Seq("cell"))
+        .filter(col("query_id") =!= col("cand_id"))
+      topK(withCosine(pairs))
+    },
+    Some(s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cw AS (SELECT ${centroids.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")} AS w),
+    scs AS (SELECT vec_id, v,
+      list_transform(generate_series(1, $Cents), c ->
+        list_reduce(list_transform(generate_series(1, 64), i -> w[c][i] * v[i]), (a, b) -> a + b)) AS sc
+      FROM e0, cw),
+    e AS (SELECT vec_id, v, sc, list_position(sc, list_max(sc)) AS cell FROM scs),
+    q AS (SELECT vec_id, v, cell AS p1,
+        list_position(sc, list_max(list_filter(sc, x -> x <> list_max(sc)))) AS p2
+      FROM e WHERE vec_id < $NQ),
+    qp AS (SELECT vec_id, v, unnest([p1, p2]) AS cell FROM q),
+    p AS (SELECT q2.vec_id AS query_id, c.vec_id AS cand_id, q2.v AS va, c.v AS vb
+      FROM qp q2 JOIN e c ON q2.cell = c.cell AND q2.vec_id <> c.vec_id),
+    sc2 AS (SELECT query_id, cand_id, $cosineSql AS cosine FROM p),
+    rk AS (SELECT query_id, cand_id, cosine,
+      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+      FROM sc2)
+    SELECT query_id, rank, cand_id, cosine FROM rk WHERE rank <= $K
+    ORDER BY query_id, rank"""))
+
+  val queries: Seq[GraftQuery] = Seq(qBrute, qAnnLsh, qAnnIvf)
 }

@@ -36,6 +36,30 @@ object TextOps {
       CAST(CAST(list_sum(list_transform(toks, x -> length(x))) AS INTEGER) AS DOUBLE) / len(toks) AS avg_tok_len
     FROM t ORDER BY doc_id"""))
 
+  // BPE-style token counting: a GPT-2-ish pre-tokenizer regex (word /
+  // number / punctuation runs, each optionally space-prefixed) plus a
+  // subword estimate of ceil(len/4) per pre-token — the standard cheap
+  // stand-in for a real BPE vocab when budgeting training tokens. The
+  // alternation is first-match-wins in both Java regex and RE2, so the
+  // engines tokenize identically. Map-only, codegen'd regexp.
+  private val bpePattern = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+  private val qBpeTokens = GraftQuery(
+    "qt_bpe_tokens",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("pt", expr(s"regexp_extract_all(text, '$bpePattern', 0)"))
+        .select(
+          col("doc_id"),
+          size(col("pt")).as("n_pretokens"),
+          expr("aggregate(pt, 0, (acc, t) -> acc + cast(ceil(length(t) / 4.0) as int))")
+            .as("est_bpe_tokens"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, regexp_extract_all(text, '$bpePattern') AS pt FROM documents)
+    SELECT doc_id, len(pt) AS n_pretokens,
+      CAST(list_sum(list_transform(pt, t -> CAST(ceil(length(t) / 4.0) AS INTEGER))) AS INTEGER) AS est_bpe_tokens
+    FROM t ORDER BY doc_id"""))
+
   // Heuristic language ID: stopword-count vote with deterministic tiebreak.
   // (The n-gram-profile approach from real lang-ID reduced to the two
   // classes this synthetic vocabulary can express: English function words
@@ -115,5 +139,5 @@ object TextOps {
     SELECT doc_id, md5(norm) AS fp_md5, ${h60Sql("norm")} AS fp60
     FROM t ORDER BY doc_id"""))
 
-  val queries: Seq[GraftQuery] = Seq(qTokens, qLangId, qQuality, qFingerprint)
+  val queries: Seq[GraftQuery] = Seq(qTokens, qBpeTokens, qLangId, qQuality, qFingerprint)
 }

@@ -217,6 +217,40 @@ class StreamingExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
       "gap merge failed: second event started its own session")
   }
 
+  test("stream-stream join: watermarked interval join matches within the window only") {
+    import spark.implicits._
+    val clicks = MemoryStream[(Timestamp, Long)](spark)
+    val views = MemoryStream[(Timestamp, Long)](spark)
+    val cdf = clicks.toDS().toDF("cts", "c_user").withWatermark("cts", "10 minutes")
+    val vdf = views.toDS().toDF("vts", "v_user").withWatermark("vts", "10 minutes")
+    // view attributed to a click if it lands within 15 min AFTER the click
+    val joined = cdf.join(vdf,
+      expr("c_user = v_user AND vts >= cts AND vts <= cts + interval 15 minutes"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ssj").toString)
+      .start()
+
+    def ts(hm: String): Timestamp = Timestamp.valueOf(s"2024-01-01 $hm:00")
+    clicks.addData((ts("10:00"), 1L), (ts("10:00"), 2L))
+    views.addData((ts("10:05"), 1L))   // in window for user 1
+    views.addData((ts("10:40"), 2L))   // 40 min later: OUT of window for user 2
+    q.processAllAvailable()
+    // advance both watermarks so state can be evicted, then a too-late view
+    clicks.addData((ts("12:00"), 9L))
+    views.addData((ts("12:00"), 9L))
+    q.processAllAvailable()
+    views.addData((ts("10:06"), 2L))   // behind the watermark → dropped
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("ssj_out")
+      .collect().map(r => (r.getLong(1), r.getTimestamp(2).toString)).toSet
+    assert(rows.contains((1L, "2024-01-01 10:05:00.0")), s"got $rows")
+    assert(rows.contains((9L, "2024-01-01 12:00:00.0")))
+    assert(!rows.exists(_._1 == 2L), s"out-of-window or late view joined: $rows")
+  }
+
   test("non-default trigger: pipeline correct under Trigger.ProcessingTime") {
     import org.apache.spark.sql.streaming.Trigger
     val h = new LoopHarness(spark, new LocalCounterExecutor, useTws = false,
