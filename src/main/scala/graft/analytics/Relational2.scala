@@ -171,13 +171,15 @@ object Relational2 {
         .groupBy(col("l_returnflag"))
         .agg(
           countDistinct(col("l_orderkey")).as("exact_orders"),
-          // sanity-only: approx within 5% of exact, surfaced as a boolean
-          (abs(approx_count_distinct(col("l_orderkey"), 0.02) - countDistinct(col("l_orderkey")))
-            <= countDistinct(col("l_orderkey")) * 0.05).as("approx_within_5pct"))
+          // sanity-only: approx within 10% of exact, surfaced as a boolean
+          // (default rsd 0.05 — 4× smaller HLL sketches than rsd 0.02 for
+          // the same demonstrated operator)
+          (abs(approx_count_distinct(col("l_orderkey")) - countDistinct(col("l_orderkey")))
+            <= countDistinct(col("l_orderkey")) * 0.10).as("approx_within_10pct"))
         .orderBy(col("l_returnflag"))
     },
     Some("""SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_orders,
-      true AS approx_within_5pct
+      true AS approx_within_10pct
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   // TPC-H Q11 flavor: part value share above a global threshold (scalar

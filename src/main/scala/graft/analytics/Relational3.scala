@@ -68,6 +68,52 @@ object Relational3 {
       list_reverse(embedding[1:4])[1] AS rev4_first
     FROM embeddings WHERE vec_id < 100 ORDER BY vec_id"""))
 
+  // Map functions: build a per-user event_type→count map with
+  // map_from_entries over sorted entries (deterministic key order), then
+  // map_keys / element_at / size. The oracle restates the same facts via
+  // conditional aggregation — DuckDB's MAP extraction semantics vary by
+  // version, so the oracle avoids maps while still pinning every value the
+  // Spark map ops produce.
+  private val qMapFns = GraftQuery(
+    "qf_map_functions",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("user_id"))
+        .agg(expr("map_from_entries(sort_array(collect_list(struct(event_type, cnt))))").as("m"))
+        .select(
+          col("user_id"),
+          expr("array_join(map_keys(m), ',')").as("types_csv"),
+          coalesce(expr("element_at(m, 'click')"), lit(0L)).as("clicks"),
+          coalesce(expr("element_at(m, 'purchase')"), lit(0L)).as("purchases"),
+          size(expr("map_values(m)")).as("n_types"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH c AS (SELECT user_id, event_type, COUNT(*) AS cnt
+      FROM events GROUP BY user_id, event_type)
+    SELECT user_id,
+      array_to_string(list_sort(list(event_type)), ',') AS types_csv,
+      CAST(COALESCE(MAX(CASE WHEN event_type = 'click' THEN cnt END), 0) AS BIGINT) AS clicks,
+      CAST(COALESCE(MAX(CASE WHEN event_type = 'purchase' THEN cnt END), 0) AS BIGINT) AS purchases,
+      CAST(COUNT(*) AS INTEGER) AS n_types
+    FROM c GROUP BY user_id ORDER BY user_id"""))
+
+  // Generator / UDTF tier: posexplode (1 row in, N rows out with position).
+  // DuckDB zips parallel unnests of equal length for the ordinal.
+  private val qPosexplode = GraftQuery(
+    "qf_posexplode",
+    (s, dir) => {
+      Tables.embeddings(s, dir)
+        .filter(col("vec_id") < 50)
+        .select(col("vec_id"), posexplode(expr("slice(embedding, 1, 3)")))
+        .select(col("vec_id"), (col("pos") + 1).as("pos"), col("col").cast("float").as("val"))
+        .orderBy(col("vec_id"), col("pos"))
+    },
+    Some("""SELECT vec_id, CAST(unnest(generate_series(1, 3)) AS INTEGER) AS pos,
+      unnest(embedding[1:3]) AS val
+    FROM embeddings WHERE vec_id < 50 ORDER BY vec_id, pos"""))
+
   // Pivot: event counts per user × type (Spark relational pivot vs
   // conditional aggregation in the oracle).
   private val qPivot = GraftQuery(
@@ -105,5 +151,6 @@ object Relational3 {
         i -> ascii(substr(p_name, i, 1)))) % 97 AS BIGINT) AS name_checksum
     FROM part ORDER BY p_partkey"""))
 
-  val queries: Seq[GraftQuery] = Seq(qSessionWindow, qArrayFns, qPivot, qUdf)
+  val queries: Seq[GraftQuery] =
+    Seq(qSessionWindow, qArrayFns, qMapFns, qPosexplode, qPivot, qUdf)
 }
