@@ -36,14 +36,17 @@ class StreamingExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def delta(v: Long): Array[Byte] = ByteBuffer.allocate(8).putLong(v).array()
   private def asLong(b: Array[Byte]): Long = ByteBuffer.wrap(b).getLong
 
-  test("state survives query stop + restart from the same checkpoint") {
+  private def restartScenario(useTws: Boolean, key: String): Unit = {
     import spark.implicits._
+    if (useTws)
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val ckpt = Files.createTempDirectory("graft-restart").toString
     val input = MemoryStream[Event](spark)
     val replies = mutable.Buffer.empty[Event]
 
     def startQuery() =
-      StateflowPipeline.eventsToEgress(input.toDS(), new LocalCounterExecutor, useTws = false)
+      StateflowPipeline.eventsToEgress(input.toDS(), new LocalCounterExecutor, useTws = useTws)
         .writeStream.outputMode("append")
         .option("checkpointLocation", ckpt)
         .foreachBatch { (batch: Dataset[Route], _: Long) =>
@@ -54,7 +57,7 @@ class StreamingExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
         }
         .start()
 
-    val keyed = FunctionAddress(acct, "rk1")
+    val keyed = FunctionAddress(acct, key)
     val q1 = startQuery()
     input.addData(Event.request("r1", keyed, Request.InvokeStateful, delta(2)))
     input.addData(Event.request("r2", keyed, Request.InvokeStateful, delta(3)))
@@ -70,6 +73,14 @@ class StreamingExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = replies.synchronized(replies.find(_.eventId == "r3"))
     assert(got.isDefined, s"no GetState reply after restart: $replies")
     assert(asLong(got.get.payload) == 5L, "state lost across restart")
+  }
+
+  test("state survives query stop + restart from the same checkpoint") {
+    restartScenario(useTws = false, key = "rk1")
+  }
+
+  test("state survives restart on transformWithState + RocksDB") {
+    restartScenario(useTws = true, key = "rk2")
   }
 
   test("event-time tumbling windows with watermark drop late data") {
@@ -217,6 +228,37 @@ class StreamingExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
       "gap merge failed: second event started its own session")
   }
 
+  test("transformWithState event-time timers: session emits when watermark passes the gap") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(Long, Timestamp, Double)](spark)
+    val sessions = input.toDS().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .as[(Long, Timestamp, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionTimerProcessor(30 * 60 * 1000L),
+        TimeMode.EventTime(), OutputMode.Append())
+    val q = sessions.toDF("user_id", "n", "total").writeStream.outputMode("append")
+      .format("memory").queryName("tws_sess_out")
+      .option("checkpointLocation", Files.createTempDirectory("graft-twst").toString)
+      .start()
+
+    def ts(hm: String): Timestamp = Timestamp.valueOf(s"2024-01-01 $hm:00")
+    input.addData((1L, ts("10:00"), 1.0), (1L, ts("10:10"), 2.0))
+    q.processAllAvailable()
+    // watermark jumps past 10:10 + 30 min → user 1's session timer fires
+    input.addData((9L, ts("12:00"), 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("tws_sess_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.count(_._1 == 1L) == 1, s"session emitted ${rows.count(_._1 == 1L)} times: ${rows.toSeq}")
+    assert(rows.contains((1L, 2L, 3.0)), s"got ${rows.toSeq}")
+  }
+
   test("stream-stream join: watermarked interval join matches within the window only") {
     import spark.implicits._
     val clicks = MemoryStream[(Timestamp, Long)](spark)
@@ -281,5 +323,49 @@ class StreamingExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(asLong(h.clientReplies.find(_.eventId == "g1").get.payload) == 2L)
       assert(h.clientReplies.count(_.eventId == "dup1") == 2)
     } finally h.stop()
+  }
+}
+
+/** Event-time sessionization on raw transformWithState timers: per-key
+  * running (n, total, session-end) state; every input re-arms the session
+  * timer at maxTs + gap; the timer fires once the watermark passes it,
+  * emits the session, and clears state. Stale timers (re-armed sessions)
+  * are filtered by comparing against the stored session end — the
+  * manual-timer equivalent of the built-in session_window operator.
+  */
+final class SessionTimerProcessor(gapMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Timestamp, Double), (Long, Long, Double)] {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+
+  @transient private var agg: ValueState[(Long, Double, Long)] = _ // (n, total, maxTsMs)
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    agg = getHandle.getValueState[(Long, Double, Long)]("sess",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble, Encoders.scalaLong),
+      TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Timestamp, Double)],
+      timerValues: TimerValues): Iterator[(Long, Long, Double)] = {
+    var (n, total, maxTs) = if (agg.exists()) agg.get() else (0L, 0.0, 0L)
+    rows.foreach { r =>
+      n += 1; total += r._3; maxTs = math.max(maxTs, r._2.getTime)
+    }
+    agg.update((n, total, maxTs))
+    getHandle.registerTimer(maxTs + gapMs)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+      expired: ExpiredTimerInfo): Iterator[(Long, Long, Double)] = {
+    if (agg.exists()) {
+      val (n, total, maxTs) = agg.get()
+      if (expired.getExpiryTimeInMs >= maxTs + gapMs) {
+        agg.clear()
+        return Iterator((key, n, total))
+      }
+    }
+    Iterator.empty
   }
 }
