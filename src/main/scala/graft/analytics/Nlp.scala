@@ -11,7 +11,9 @@ object Nlp {
   /** Whitespace tokens, empties dropped. Spark lambdas index arrays 0-based,
     * DuckDB 1-based — mind the twins.
     */
-  val toksExpr = "filter(split(text, '\\\\s+'), x -> x != '')"
+  def toksExprOn(textCol: String): String =
+    s"filter(split($textCol, '\\\\s+'), x -> x != '')"
+  val toksExpr: String = toksExprOn("text")
   val toksSql = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')"
 
   /** Word 3-gram shingles (distinct), guarded for <3-token docs.

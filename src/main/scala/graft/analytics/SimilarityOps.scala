@@ -8,9 +8,12 @@ import graft.functions.GraftFunctions.graft_dot
 import DedupOps.{dotFoldSql, normFoldSql}
 import Nlp.h60Sql
 
-/** Approximate-nearest-neighbor search over the `embeddings` table.
+/** Nearest-neighbor search — exact top-k plus LSH and IVF approximate
+  * tiers — exposed as a column-parameterized public API (corpus + queries
+  * DataFrames with an id + vector column) and driver-checked bindings over
+  * the `embeddings` table.
   *
-  * Two tiers:
+  * Tiers:
   *  - `qs_topk_bruteforce`: exact cosine top-k for a small query set. The
   *    query side is tiny → broadcast; the corpus is scanned once, never
   *    collected; norms precomputed per row; dot products in the native
@@ -57,31 +60,97 @@ object SimilarityOps {
   private val cosineSql =
     s"$dotFoldSql / (sqrt(${normFoldSql("va")}) * sqrt(${normFoldSql("vb")}))"
 
-  private def vectors(s: org.apache.spark.sql.SparkSession, dir: String) =
-    Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+  /** Normalize any (idCol, vecCol) frame to (vec_id, v, nrm). */
+  private def prep(df: org.apache.spark.sql.DataFrame, idCol: String, vecCol: String) =
+    df.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(graft_dot(col("v"), col("v"))))
 
-  private def topK(pairs: org.apache.spark.sql.DataFrame) = {
+  private def vectors(s: org.apache.spark.sql.SparkSession, dir: String) =
+    prep(Tables.embeddings(s, dir), "vec_id", "embedding")
+
+  private def topK(pairs: org.apache.spark.sql.DataFrame, k: Int) = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
     pairs.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
+      .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("cand_id"), col("cosine"))
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ======================= public operator API =======================
+
+  /** Exact cosine top-k: broadcast the (small) query side, scan the corpus
+    * once, never collect; norms precomputed per row; dot products in the
+    * native codegen'd DotProduct expression. Correctness baseline for ANN.
+    * Output: (query_id, rank, cand_id, cosine).
+    */
+  def cosineTopK(corpus: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame, k: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): org.apache.spark.sql.DataFrame = {
+    val q = prep(queries, idCol, vecCol)
+      .select(col("vec_id").as("query_id"), col("v").as("va"), col("nrm").as("na"))
+    val pairs = prep(corpus, idCol, vecCol)
+      .select(col("vec_id").as("cand_id"), col("v").as("vb"), col("nrm").as("nb"))
+      .crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("cand_id"))
+    topK(withCosine(pairs), k)
+  }
+
+  /** Random-hyperplane LSH ANN: sign-bit buckets from the plane literals
+    * (map-only), candidates co-located by a bucket join, exact cosine
+    * rerank in-bucket. Sub-quadratic scale path; recall tunes with planes.
+    */
+  def annLsh(corpus: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame, k: Int = 5,
+      planes: Seq[Seq[Double]] = planeWeights,
+      idCol: String = "vec_id", vecCol: String = "embedding"): org.apache.spark.sql.DataFrame = {
+    val bucketCol = planes.zipWithIndex.map { case (w, p) =>
+      when(graft_dot(typedLit(w), col("v")) >= 0.0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val q = prep(queries, idCol, vecCol).withColumn("bucket", bucketCol)
+      .select(col("vec_id").as("query_id"), col("v").as("va"),
+        col("nrm").as("na"), col("bucket"))
+    val cands = prep(corpus, idCol, vecCol).withColumn("bucket", bucketCol)
+      .select(col("vec_id").as("cand_id"), col("v").as("vb"),
+        col("nrm").as("nb"), col("bucket"))
+    val pairs = cands.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+    topK(withCosine(pairs), k)
+  }
+
+  /** IVF (inverted-file) ANN: map-only cell assignment (argmax of native
+    * dot against the centroid literals), queries probe their `nprobe`=2
+    * best cells, exact cosine rerank inside the probed cells. The cell
+    * join replaces the O(n·q) scan; per-cell candidate lists are the
+    * "inverted file".
+    */
+  def annIvf(corpus: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame, k: Int = 5,
+      cents: Seq[Seq[Double]] = centroids,
+      idCol: String = "vec_id", vecCol: String = "embedding"): org.apache.spark.sql.DataFrame = {
+    val scoreArr = array(cents.map(c => graft_dot(typedLit(c), col("v"))): _*)
+    def withCell(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("sc", scoreArr)
+        .withColumn("cell", expr("array_position(sc, array_max(sc))"))
+    val corpusCells = withCell(prep(corpus, idCol, vecCol))
+      .select(col("vec_id").as("cand_id"), col("v").as("vb"),
+        col("nrm").as("nb"), col("cell"))
+    val q = withCell(prep(queries, idCol, vecCol))
+      .withColumn("p2",
+        expr("array_position(sc, array_max(filter(sc, x -> x != array_max(sc))))"))
+      .select(col("vec_id").as("query_id"), col("v").as("va"), col("nrm").as("na"),
+        explode(array(col("cell"), col("p2"))).as("cell"))
+    val pairs = corpusCells.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+    topK(withCosine(pairs), k)
+  }
+
+  // ==================== driver-checked query bindings ====================
+
   private val qBrute = GraftQuery(
     "qs_topk_bruteforce",
-    (s, dir) => {
-      val e = vectors(s, dir)
-      val q = e.filter(col("vec_id") < NQ)
-        .select(col("vec_id").as("query_id"), col("v").as("va"), col("nrm").as("na"))
-      val pairs = e.select(col("vec_id").as("cand_id"), col("v").as("vb"), col("nrm").as("nb"))
-        .crossJoin(broadcast(q))
-        .filter(col("query_id") =!= col("cand_id"))
-      topK(withCosine(pairs))
-    },
+    (s, dir) => cosineTopK(Tables.embeddings(s, dir),
+      Tables.embeddings(s, dir).filter(col("vec_id") < NQ), K),
     Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     p AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.v AS va, c.v AS vb
       FROM e q JOIN e c ON q.vec_id < $NQ AND q.vec_id <> c.vec_id),
@@ -102,22 +171,8 @@ object SimilarityOps {
 
   private val qAnnLsh = GraftQuery(
     "qs_ann_lsh",
-    (s, dir) => {
-      val planes = planeWeights
-      // bucket bit p = sign of <w_p, v>; native dot against literal planes
-      val bucketCol = (0 until Planes).map { p =>
-        when(graft_dot(typedLit(planes(p)), col("v")) >= 0.0, lit(1 << p)).otherwise(lit(0))
-      }.reduce(_ + _)
-      val e = vectors(s, dir).withColumn("bucket", bucketCol)
-      val q = e.filter(col("vec_id") < NQ)
-        .select(col("vec_id").as("query_id"), col("v").as("va"),
-          col("nrm").as("na"), col("bucket"))
-      val cands = e.select(col("vec_id").as("cand_id"), col("v").as("vb"),
-        col("nrm").as("nb"), col("bucket"))
-      val pairs = cands.join(broadcast(q), Seq("bucket"))
-        .filter(col("query_id") =!= col("cand_id"))
-      topK(withCosine(pairs))
-    },
+    (s, dir) => annLsh(Tables.embeddings(s, dir),
+      Tables.embeddings(s, dir).filter(col("vec_id") < NQ), K),
     Some(s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     pw AS (SELECT $planeWSql AS w),
     e AS (SELECT vec_id, v, $bucketSql AS bucket FROM e0, pw),
@@ -155,23 +210,8 @@ object SimilarityOps {
     */
   private val qAnnIvf = GraftQuery(
     "qs_ann_ivf",
-    (s, dir) => {
-      val cents = centroids
-      val scoreArr = array(cents.map(c => graft_dot(typedLit(c), col("v"))): _*)
-      val e = vectors(s, dir)
-        .withColumn("sc", scoreArr)
-        .withColumn("cell", expr("array_position(sc, array_max(sc))"))
-      val corpus = e.select(col("vec_id").as("cand_id"), col("v").as("vb"),
-        col("nrm").as("nb"), col("cell"))
-      val q = e.filter(col("vec_id") < NQ)
-        .withColumn("p2",
-          expr("array_position(sc, array_max(filter(sc, x -> x != array_max(sc))))"))
-        .select(col("vec_id").as("query_id"), col("v").as("va"), col("nrm").as("na"),
-          explode(array(col("cell"), col("p2"))).as("cell"))
-      val pairs = corpus.join(broadcast(q), Seq("cell"))
-        .filter(col("query_id") =!= col("cand_id"))
-      topK(withCosine(pairs))
-    },
+    (s, dir) => annIvf(Tables.embeddings(s, dir),
+      Tables.embeddings(s, dir).filter(col("vec_id") < NQ), K),
     Some(s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     cw AS (SELECT ${centroids.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")} AS w),
     scs AS (SELECT vec_id, v,

@@ -5,15 +5,92 @@ import org.apache.spark.sql.functions._
 import graft.api.GraftQuery
 import Nlp._
 
-/** Text-analysis operators over `documents` — the language-ID / quality /
-  * token-statistics / fingerprinting stages of an LLM training-data
-  * pipeline. All map-only (no shuffle), codegen-friendly, each with a
-  * DuckDB oracle.
+/** Text-analysis operators — the language-ID / quality / token-statistics
+  * / fingerprinting stages of an LLM training-data pipeline — exposed as a
+  * column-parameterized public API (any DataFrame with an id + text
+  * column) plus the driver-checked query bindings over `documents`. All
+  * map-only (no shuffle), codegen-friendly, each with a DuckDB oracle.
   */
 object TextOps {
 
   private val stopEn = "('the', 'a')"
   private val stopData = "('table', 'row', 'column', 'query')"
+
+  /** Normalize any (idCol, textCol) frame to the internal doc_id/text. */
+  private def norm(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String) =
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+
+  // ======================= public operator API =======================
+
+  /** Whitespace-token statistics per doc: count, char mass, avg length. */
+  def tokenStats(docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame =
+    norm(docs, idCol, textCol)
+      .withColumn("toks", expr(toksExpr))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        expr("aggregate(toks, 0, (acc, x) -> acc + length(x))").as("tok_chars"),
+        (expr("cast(aggregate(toks, 0, (acc, x) -> acc + length(x)) as double)") /
+          size(col("toks"))).as("avg_tok_len"))
+      .orderBy(col("doc_id"))
+
+  /** GPT-2-ish pre-tokenizer count + ceil(len/4) subword estimate. */
+  def bpeTokenEstimate(docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame =
+    norm(docs, idCol, textCol)
+      .withColumn("pt", expr(s"regexp_extract_all(text, '$bpePattern', 0)"))
+      .select(
+        col("doc_id"),
+        size(col("pt")).as("n_pretokens"),
+        expr("aggregate(pt, 0, (acc, t) -> acc + cast(ceil(length(t) / 4.0) as int))")
+          .as("est_bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Stopword-vote language heuristic → pred_lang ∈ {en, data}. */
+  def langId(docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame =
+    norm(docs, idCol, textCol)
+      .withColumn("toks", expr(toksExpr))
+      .withColumn("en_hits", expr(s"size(filter(toks, x -> x IN $stopEn))"))
+      .withColumn("data_hits", expr(s"size(filter(toks, x -> x IN $stopData))"))
+      .select(
+        col("doc_id"), col("en_hits"), col("data_hits"),
+        when(col("en_hits") * 3 >= col("data_hits"), lit("en"))
+          .otherwise(lit("data")).as("pred_lang"))
+      .orderBy(col("doc_id"))
+
+  /** Length/uniqueness/stopword-ratio quality composite ∈ [0, 1]. */
+  def qualityScore(docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame =
+    norm(docs, idCol, textCol)
+      .withColumn("toks", expr(toksExpr))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("uniq_tokens", expr("size(array_distinct(toks))"))
+      .withColumn("stop_hits", expr(s"size(filter(toks, x -> x IN $stopEn))"))
+      .withColumn("uniq_ratio", col("uniq_tokens").cast("double") / col("n_tokens"))
+      .withColumn("stop_ratio", col("stop_hits").cast("double") / col("n_tokens"))
+      .withColumn("len_score",
+        when(col("n_tokens") >= 20 && col("n_tokens") <= 80, 1.0).otherwise(0.5))
+      .withColumn("quality",
+        col("len_score") * 0.5 + col("uniq_ratio") * 0.3 + col("stop_ratio") * 0.2)
+      .select(col("doc_id"), col("n_tokens"), col("uniq_tokens"), col("uniq_ratio"),
+        col("stop_ratio"), col("quality"))
+      .orderBy(col("doc_id"))
+
+  /** md5 + 60-bit numeric fingerprint of the normalized text. */
+  def fingerprint(docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame =
+    norm(docs, idCol, textCol)
+      .withColumn("nrm", trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+      .select(
+        col("doc_id"),
+        md5(col("nrm").cast("binary")).as("fp_md5"),
+        expr(h60("nrm")).as("fp60"))
+      .orderBy(col("doc_id"))
+
+  // ==================== driver-checked query bindings ====================
 
   // Token statistics: counts, char mass, deterministic avg token length.
   private val qTokens = GraftQuery(

@@ -1,0 +1,90 @@
+package graft.analytics
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The analytics operators are a LIBRARY, not a fixed query set: every op
+  * takes any DataFrame plus id/text/vector column names. This spec runs
+  * them against a frame with non-default column names — the oracle gate
+  * (Verify/check.py) covers numeric correctness on the test tables; here
+  * we pin the public API contract.
+  */
+class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 10
+      (12L, "the quick brown fox jumps over the lazy cat"),   // near dup
+      (13L, "completely different content about database tables and rows"))
+      .toDF("post_id", "body")
+  }
+
+  test("exactDedup on custom column names finds the exact duplicate") {
+    val out = exactDedupRows
+    assert(out.toMap == Map(10L -> (10L, false), 11L -> (10L, true),
+      12L -> (12L, false), 13L -> (13L, false)))
+  }
+
+  private def exactDedupRows =
+    DedupOps.exactDedup(docs, idCol = "post_id", textCol = "body")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+
+  test("ngramJaccard on custom column names pairs the near-duplicates") {
+    val pairs = DedupOps.ngramJaccard(docs, idCol = "post_id", textCol = "body",
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((10L, 11L)), s"exact dup pair missing: $pairs")
+    assert(pairs.contains((10L, 12L)) && pairs.contains((11L, 12L)),
+      s"near-dup pair missing: $pairs")
+    assert(!pairs.exists(p => p._1 == 13L || p._2 == 13L), s"false pair: $pairs")
+  }
+
+  test("simhashPairs on custom column names pairs only the near-duplicates") {
+    val pairs = DedupOps.simhashPairs(docs, idCol = "post_id", textCol = "body",
+        maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((10L, 11L)), s"identical docs not hamming-0: $pairs")
+    assert(!pairs.exists(p => p._1 == 13L || p._2 == 13L), s"false pair: $pairs")
+  }
+
+  test("embeddingNearDup and cosineTopK on custom column names") {
+    import spark.implicits._
+    val vecs = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f)),
+      (101L, Array(0.9f, 0.1f, 0.0f)),    // close to 100
+      (102L, Array(0.0f, 0.0f, 1.0f)))    // orthogonal
+      .toDF("item", "emb")
+    val dups = DedupOps.embeddingNearDup(vecs, idCol = "item", vecCol = "emb",
+        threshold = 0.9, blocks = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dups == Set((100L, 101L)), s"got $dups")
+
+    val top = SimilarityOps.cosineTopK(vecs, vecs.filter($"item" === 100L),
+        k = 1, idCol = "item", vecCol = "emb")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(top.toSeq == Seq((100L, 1, 101L)), s"got ${top.toSeq}")
+  }
+
+  test("text ops on custom column names") {
+    val stats = TextOps.tokenStats(docs, idCol = "post_id", textCol = "body")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(stats(10L) == 9, s"got $stats")
+    val bpe = TextOps.bpeTokenEstimate(docs, idCol = "post_id", textCol = "body")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(bpe(10L) == 9, s"9 space-prefixed word pretokens expected: $bpe")
+    val fp = TextOps.fingerprint(docs, idCol = "post_id", textCol = "body")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(10L) == fp(11L) && fp(10L) != fp(12L))
+  }
+}
