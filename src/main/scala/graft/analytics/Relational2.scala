@@ -37,6 +37,60 @@ object Relational2 {
       (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1) AS var_qty
     FROM a ORDER BY l_returnflag"""))
 
+  // Ordered-set aggregate: percentile_disc picks ACTUAL data values (first
+  // value with cume_dist >= p — no interpolation, no float arithmetic), so
+  // it is engine-exact by construction; DuckDB's quantile_disc implements
+  // the same definition (probed: {1..4} → p25=1 p50=2 p75=3 p90=4).
+  private val qPercentileDisc = GraftQuery(
+    "qstat_percentile_disc",
+    (s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      s.sql("""SELECT l_returnflag,
+        percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity) AS p25,
+        percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_quantity) AS p50,
+        percentile_disc(0.9)  WITHIN GROUP (ORDER BY l_quantity) AS p90
+      FROM lineitem_v GROUP BY l_returnflag ORDER BY l_returnflag""")
+    },
+    Some("""SELECT l_returnflag,
+      quantile_disc(l_quantity, 0.25) AS p25,
+      quantile_disc(l_quantity, 0.5) AS p50,
+      quantile_disc(l_quantity, 0.9) AS p90
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  // Pearson correlation with engine-exact math: the streaming corr()
+  // implementations accumulate floats in engine-specific order, so instead
+  // accumulate the five moments in DECIMAL (order-independent) and apply
+  // one fixed-form double expression. quantity × discount keeps every sum
+  // below 2^53 scaled units, so the decimal→double casts are exact.
+  private val qCorr = GraftQuery(
+    "qstat_correlation",
+    (s, dir) => {
+      val q = d2(col("l_quantity"))
+      val dd = d2(col("l_discount"))
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(q).as("sx"), sum(dd).as("sy"),
+          sum(q * q).as("sxx"), sum(dd * dd).as("syy"), sum(q * dd).as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          ((col("n") * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")) /
+            (sqrt(col("n") * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")) *
+              sqrt(col("n") * col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double"))))
+            .as("corr_qty_disc"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some(s"""WITH a AS (SELECT l_returnflag, COUNT(*) AS n,
+      SUM(${od2("l_quantity")}) AS sx, SUM(${od2("l_discount")}) AS sy,
+      SUM(${od2("l_quantity")} * ${od2("l_quantity")}) AS sxx,
+      SUM(${od2("l_discount")} * ${od2("l_discount")}) AS syy,
+      SUM(${od2("l_quantity")} * ${od2("l_discount")}) AS sxy
+    FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+      (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+          sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qty_disc
+    FROM a ORDER BY l_returnflag"""))
+
   // arg-max via a unique composite key (price cents ⊕ orderkey) so the
   // selection is tie-free and engine-independent.
   private val qArgMax = GraftQuery(
@@ -309,6 +363,6 @@ object Relational2 {
     FROM t ORDER BY o_orderpriority"""))
 
   val queries: Seq[GraftQuery] = Seq(
-    qVariance, qArgMax, qStrings, qDates, qCollect, qGroupingSets, qApproxDistinct,
-    qQ11, qQ12, qQ20, qNulls, qTopKAgg)
+    qVariance, qPercentileDisc, qCorr, qArgMax, qStrings, qDates, qCollect,
+    qGroupingSets, qApproxDistinct, qQ11, qQ12, qQ20, qNulls, qTopKAgg)
 }
