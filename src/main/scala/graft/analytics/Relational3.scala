@@ -134,6 +134,57 @@ object Relational3 {
       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup
     FROM events GROUP BY user_id ORDER BY user_id"""))
 
+  // As-of join (time-series attribution): for each purchase, the most
+  // recent click at-or-before it by the same user. Spark has no ASOF JOIN
+  // operator; the scalable composition is union + running conditional max
+  // over an ordered per-user window — one shuffle on user_id, no per-row
+  // range probe, no skew beyond the user key itself. (A backward as-of
+  // join on (key, time) is exactly this window.)
+  private val qAsof = GraftQuery(
+    "qj_asof_attribution",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+        .withColumn("click_ts",
+          max(when(col("event_type") === "click", col("ts"))).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"), col("click_ts"))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    },
+    Some("""SELECT user_id, event_id, ts,
+      MAX(CASE WHEN event_type = 'click' THEN ts END)
+        OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_ts
+    FROM events
+    QUALIFY event_type = 'purchase'
+    ORDER BY user_id, ts, event_id"""))
+
+  // Range (band) join: lineitem rows bucketed into quantity bands via a
+  // non-equi join against a tiny broadcast band table — the one place a
+  // BroadcastNestedLoopJoin IS the right plan (3-row build side; each
+  // probe row scans 3 candidates, map-only, no shuffle of the fact table).
+  private val qRangeJoin = GraftQuery(
+    "qj_range_band",
+    (s, dir) => {
+      import s.implicits._
+      val bands = Seq((0, 10, "small"), (10, 25, "mid"), (25, 1000, "large"))
+        .toDF("lo", "hi", "band")
+      Tables.lineitem(s, dir)
+        .join(broadcast(bands),
+          col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"), sumD(d2(col("l_quantity"))).as("qty"))
+        .orderBy(col("band"))
+    },
+    Some(s"""WITH bands(lo, hi, band) AS (
+      VALUES (0, 10, 'small'), (10, 25, 'mid'), (25, 1000, 'large'))
+    SELECT band, COUNT(*) AS n, ${oSumD(od2("l_quantity"))} AS qty
+    FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity < hi
+    GROUP BY band ORDER BY band"""))
+
   // Scala UDF tier: char-code checksum (deterministic, SQL-replicable).
   // UDFs are the last-resort tier (no codegen, serialization per row) —
   // this demonstrates the surface; the native-Expression tier above it is
@@ -152,5 +203,6 @@ object Relational3 {
     FROM part ORDER BY p_partkey"""))
 
   val queries: Seq[GraftQuery] =
-    Seq(qSessionWindow, qArrayFns, qMapFns, qPosexplode, qPivot, qUdf)
+    Seq(qSessionWindow, qArrayFns, qMapFns, qPosexplode, qPivot, qAsof,
+      qRangeJoin, qUdf)
 }
