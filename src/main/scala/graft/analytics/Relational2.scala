@@ -57,6 +57,28 @@ object Relational2 {
       quantile_disc(l_quantity, 0.9) AS p90
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  // Continuous percentiles at EXACT binary fractions (0.25/0.5/0.75) over
+  // integral-valued quantities: position (n−1)·p and interpolation
+  // a + (b−a)·frac are exact IEEE operations for these inputs, so both
+  // engines' standard linear-interpolation definitions produce identical
+  // doubles. (Fractions like 0.9 are not binary-exact — percentile_disc
+  // above covers arbitrary fractions with no interpolation at all.)
+  private val qPercentileCont = GraftQuery(
+    "qstat_percentile_cont",
+    (s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v2")
+      s.sql("""SELECT l_returnflag,
+        percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity) AS c25,
+        percentile_cont(0.5)  WITHIN GROUP (ORDER BY l_quantity) AS c50,
+        percentile_cont(0.75) WITHIN GROUP (ORDER BY l_quantity) AS c75
+      FROM lineitem_v2 GROUP BY l_returnflag ORDER BY l_returnflag""")
+    },
+    Some("""SELECT l_returnflag,
+      quantile_cont(l_quantity, 0.25) AS c25,
+      quantile_cont(l_quantity, 0.5) AS c50,
+      quantile_cont(l_quantity, 0.75) AS c75
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   // Pearson correlation with engine-exact math: the streaming corr()
   // implementations accumulate floats in engine-specific order, so instead
   // accumulate the five moments in DECIMAL (order-independent) and apply
@@ -363,6 +385,6 @@ object Relational2 {
     FROM t ORDER BY o_orderpriority"""))
 
   val queries: Seq[GraftQuery] = Seq(
-    qVariance, qPercentileDisc, qCorr, qArgMax, qStrings, qDates, qCollect,
+    qVariance, qPercentileDisc, qPercentileCont, qCorr, qArgMax, qStrings, qDates, qCollect,
     qGroupingSets, qApproxDistinct, qQ11, qQ12, qQ20, qNulls, qTopKAgg)
 }
