@@ -239,5 +239,7 @@ object GraftFunctions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_dot", es => DotProduct(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash60", es => SimHash60(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash_affine", es => MinHashAffine(es.head,
+      es(1).eval().asInstanceOf[Int]), "built-in")
   }
 }

@@ -64,6 +64,21 @@ class ArrayExprsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("MinHashAffine == composed multiply-mod min over masked base hashes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 100).map(_ => Seq.fill(rnd.nextInt(40) + 1)(rnd.nextLong() & ((1L << 60) - 1)))
+    val df = rows.toDF("hs")
+    val aList = (0 until 16).map(MinHashAffine.a).mkString("array(", "L, ", "L)")
+    val bList = (0 until 16).map(MinHashAffine.b).mkString("array(", "L, ", "L)")
+    val slow = s"transform(sequence(0, 15), i -> array_min(transform(hs, " +
+      s"x -> ($aList[i] * (x & ${MinHashAffine.Mask}L) + $bList[i]) % ${MinHashAffine.P}L)))"
+    val got = df.select(
+      GraftFunctions.graft_minhash_affine(col("hs"), 16).as("fast"),
+      expr(slow).as("slow")).collect()
+    got.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
   test("expressions are SQL-registered and callable") {
     GraftFunctions.register(spark)
     val r = spark.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").collect()
