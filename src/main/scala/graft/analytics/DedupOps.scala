@@ -64,32 +64,44 @@ object DedupOps {
     */
   val ShingleDfCap = 500
 
-  /** Exact n-gram Jaccard ≥ threshold via an inverted index (shingle →
-    * docs) self-join — the verification kernel all approximate methods
-    * reduce to. The join key is the 60-bit shingle hash (8-byte shuffle key
-    * instead of ~20 chars). Output: (d1, d2, jaccard), d1 < d2.
+  /** Exact n-gram Jaccard ≥ threshold with PREFIX FILTERING (the
+    * AllPairs/PPJoin technique): sort each doc's distinct 60-bit shingle
+    * hashes into the global hash order; any pair with Jaccard ≥ t must
+    * share an element within each doc's first |x| − ⌈t·|x|⌉ + 1 hashes, so
+    * the inverted index holds only that prefix (~(1−t)·|x| postings per
+    * doc — 5× smaller at t=0.8, candidate pairs ~25× fewer) and candidates
+    * are verified exactly with a full array intersection. The prefix
+    * length uses `− floor(t·n) + 1`, which is ≥ the exact requirement
+    * under any floating-point rounding of t·n, so recall stays 1.0.
+    * Output: (d1, d2, jaccard), d1 < d2.
     */
   def ngramJaccard(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", threshold: Double = 0.8,
       dfCap: Int = ShingleDfCap): DataFrame = {
-    val sh = shingleTable(docs, idCol, textCol)
-      .select(col("doc_id"), explode(col("sh")).as("shingle"))
-      .select(col("doc_id"), expr(h60("shingle")).as("shingle"))
-    // hot list is tiny by construction (only df > cap survives) → broadcast
-    // anti-join costs one map-side filter, no extra shuffle of sh
-    val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > dfCap).select(col("shingle"))
-    val kept = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
-    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = kept.as("a").join(kept.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
-      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+    // sorted distinct hash arrays, barriered for reuse across join branches
+    val shl = shingleTable(docs, idCol, textCol)
+      .withColumn("hs", expr(s"sort_array(array_distinct(transform(sh, t -> ${h60("t")})))"))
+      .select(col("doc_id"), col("hs"))
+      .repartition(col("doc_id"))
+    val px = shl.select(col("doc_id"),
+      explode(expr(
+        s"slice(hs, 1, size(hs) - cast(floor($threshold * size(hs)) as int) + 1)")).as("ph"))
+    // hot-prefix skew guard: a posting list above the df cap fans out
+    // df²/2 candidate pairs; the hot list is tiny by construction →
+    // broadcast anti-join costs one map-side filter
+    val hot = px.groupBy(col("ph")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select(col("ph"))
+    val keptPx = px.join(broadcast(hot), Seq("ph"), "left_anti")
+    val cand = keptPx.as("a").join(keptPx.as("b"),
+        col("a.ph") === col("b.ph") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    cand
+      .join(shl.select(col("doc_id").as("d1"), col("hs").as("h1")), "d1")
+      .join(shl.select(col("doc_id").as("d2"), col("hs").as("h2")), "d2")
+      .withColumn("inter", expr("size(array_intersect(h1, h2))"))
       .withColumn("jaccard",
-        col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
+        col("inter").cast("double") / (size(col("h1")) + size(col("h2")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), col("jaccard"))
       .orderBy(col("d1"), col("d2"))
@@ -251,18 +263,19 @@ object DedupOps {
     "qd_ngram_jaccard",
     (s, dir) => ngramJaccard(Tables.documents(s, dir)),
     Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-    sh0 AS (SELECT doc_id, unnest(${shinglesSql("toks")}) AS shingle_s FROM t),
-    sh AS (SELECT doc_id, ${h60Sql("shingle_s")} AS shingle FROM sh0),
-    hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > $ShingleDfCap),
-    kept AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
-    inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
-      FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2)
-    SELECT d1, d2, CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) AS jaccard
-    FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
-    WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.8
-    ORDER BY d1, d2"""))
+    shl AS (SELECT doc_id, ${shinglesSql("toks")} AS sh FROM t),
+    hl AS (SELECT doc_id, list_sort(list_distinct(list_transform(sh, s -> ${h60Sql("s")}))) AS hs FROM shl),
+    px AS (SELECT doc_id,
+      unnest(list_slice(hs, 1, len(hs) - CAST(floor(0.8 * len(hs)) AS INTEGER) + 1)) AS ph FROM hl),
+    hot AS (SELECT ph FROM px GROUP BY ph HAVING COUNT(*) > $ShingleDfCap),
+    kept AS (SELECT * FROM px WHERE ph NOT IN (SELECT ph FROM hot)),
+    cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM kept a JOIN kept b ON a.ph = b.ph AND a.doc_id < b.doc_id),
+    v AS (SELECT d1, d2,
+      CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+        / (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))) AS jaccard
+      FROM cand JOIN hl x ON x.doc_id = d1 JOIN hl y ON y.doc_id = d2)
+    SELECT d1, d2, jaccard FROM v WHERE jaccard >= 0.8 ORDER BY d1, d2"""))
 
   private val qMinhash = GraftQuery(
     "qd_minhash_lsh",
