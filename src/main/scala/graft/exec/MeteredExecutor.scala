@@ -35,6 +35,25 @@ final class MeteredExecutor private (
 
   def meanMicros: Double =
     if (invocations.value == 0) 0.0 else totalNanos.value / 1000.0 / invocations.value
+
+  /** Upper-bound p-quantile latency in µs from the log2 buckets (the
+    * bucket's upper edge) — the mergeable analogue of the reference
+    * histogram's reservoir percentiles (Dropwizard getSnapshot().getValue).
+    */
+  def percentileMicrosUpper(p: Double): Long = {
+    require(p > 0.0 && p <= 1.0)
+    val n = invocations.value
+    if (n == 0) return 0L
+    val target = math.ceil(p * n).toLong
+    var acc = 0L
+    var i = 0
+    while (i < buckets.size) {
+      acc += buckets(i).value
+      if (acc >= target) return 1L << (i + 1)
+      i += 1
+    }
+    1L << 20
+  }
 }
 
 object MeteredExecutor {

@@ -1,0 +1,28 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Library deployment hook: the standard way to ship custom Catalyst
+  * expressions with a Spark library. Activate with
+  * `spark.sql.extensions=graft.functions.GraftExtensions` (cluster config)
+  * or `SparkSession.builder().withExtensions(new GraftExtensions)` — every
+  * session built with it (including Thrift/Connect sessions, where a
+  * per-session `GraftFunctions.register` call isn't reachable) gets the
+  * `graft_*` SQL functions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (es: Seq[Expression]) => DotProduct(es.head, es(1))))
+    ext.injectFunction((FunctionIdentifier("graft_simhash60"),
+      new ExpressionInfo(classOf[SimHash60].getName, "graft_simhash60"),
+      (es: Seq[Expression]) => SimHash60(es.head)))
+    ext.injectFunction((FunctionIdentifier("graft_minhash_affine"),
+      new ExpressionInfo(classOf[MinHashAffine].getName, "graft_minhash_affine"),
+      (es: Seq[Expression]) => MinHashAffine(es.head,
+        es(1).eval().asInstanceOf[Int])))
+  }
+}

@@ -37,6 +37,12 @@ class MeteredExecutorSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(metered.totalNanos.value > 0L)
       assert(metered.buckets.map(_.value.longValue).sum == 3L)
       assert(metered.meanMicros > 0.0)
+      // histogram is consumable: p50/p99 upper bounds are positive powers
+      // of two and monotone in p
+      val p50 = metered.percentileMicrosUpper(0.5)
+      val p99 = metered.percentileMicrosUpper(0.99)
+      assert(p50 > 0 && p99 >= p50)
+      assert((p50 & (p50 - 1)) == 0, s"bucket edge expected, got $p50")
     } finally h.stop()
   }
 
