@@ -40,6 +40,18 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Streaming exact dedup: keep the FIRST arrival per normalized-text
+    * fingerprint (state-store-backed dropDuplicates — works on a streaming
+    * DataFrame in append mode). Bound the dedup state by calling
+    * `.withWatermark(tsCol, ...)` on the input first; without a watermark
+    * the fingerprint state grows with distinct docs, exactly like any
+    * streaming distinct. All input columns pass through, plus `fp`.
+    */
+  def exactDedupStream(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("fp", md5(trim(regexp_replace(lower(col(textCol)), "\\s+", " ")).cast("binary")))
+      .dropDuplicates("fp")
+
   /** (doc_id, sh) with the distinct word-3-gram shingle array MATERIALIZED
     * behind an exchange. The barrier matters: downstream ops reference `sh`
     * many times (explode, signatures, verification), and without a physical

@@ -9,7 +9,9 @@ import Nlp._
   * / fingerprinting stages of an LLM training-data pipeline — exposed as a
   * column-parameterized public API (any DataFrame with an id + text
   * column) plus the driver-checked query bindings over `documents`. All
-  * map-only (no shuffle), codegen-friendly, each with a DuckDB oracle.
+  * map-only (no shuffle, NO sort), codegen-friendly, each with a DuckDB
+  * oracle — map-only means every function here also composes with
+  * `readStream` (see StreamingExtrasSpec's streaming text-pipeline test).
   */
 object TextOps {
 
@@ -34,7 +36,6 @@ object TextOps {
         expr("aggregate(toks, 0, (acc, x) -> acc + length(x))").as("tok_chars"),
         (expr("cast(aggregate(toks, 0, (acc, x) -> acc + length(x)) as double)") /
           size(col("toks"))).as("avg_tok_len"))
-      .orderBy(col("doc_id"))
 
   /** GPT-2-ish pre-tokenizer count + ceil(len/4) subword estimate. */
   def bpeTokenEstimate(docs: org.apache.spark.sql.DataFrame,
@@ -46,7 +47,6 @@ object TextOps {
         size(col("pt")).as("n_pretokens"),
         expr("aggregate(pt, 0, (acc, t) -> acc + cast(ceil(length(t) / 4.0) as int))")
           .as("est_bpe_tokens"))
-      .orderBy(col("doc_id"))
 
   /** Stopword-vote language heuristic → pred_lang ∈ {en, data}. */
   def langId(docs: org.apache.spark.sql.DataFrame,
@@ -59,7 +59,6 @@ object TextOps {
         col("doc_id"), col("en_hits"), col("data_hits"),
         when(col("en_hits") * 3 >= col("data_hits"), lit("en"))
           .otherwise(lit("data")).as("pred_lang"))
-      .orderBy(col("doc_id"))
 
   /** Length/uniqueness/stopword-ratio quality composite ∈ [0, 1]. */
   def qualityScore(docs: org.apache.spark.sql.DataFrame,
@@ -77,7 +76,6 @@ object TextOps {
         col("len_score") * 0.5 + col("uniq_ratio") * 0.3 + col("stop_ratio") * 0.2)
       .select(col("doc_id"), col("n_tokens"), col("uniq_tokens"), col("uniq_ratio"),
         col("stop_ratio"), col("quality"))
-      .orderBy(col("doc_id"))
 
   /** md5 + 60-bit numeric fingerprint of the normalized text. */
   def fingerprint(docs: org.apache.spark.sql.DataFrame,
@@ -88,7 +86,6 @@ object TextOps {
         col("doc_id"),
         md5(col("nrm").cast("binary")).as("fp_md5"),
         expr(h60("nrm")).as("fp60"))
-      .orderBy(col("doc_id"))
 
   // ==================== driver-checked query bindings ====================
 

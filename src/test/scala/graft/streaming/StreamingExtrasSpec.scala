@@ -307,6 +307,38 @@ class StreamingExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally h.stop()
   }
 
+  test("LLM text/dedup operators compose with readStream (map-only, first-wins dedup)") {
+    import spark.implicits._
+    val input = MemoryStream[(Long, String)](spark)
+    val docs = input.toDS().toDF("doc_id", "text")
+    // quality scoring is map-only → valid in a streaming plan; exact dedup
+    // streams through the state-backed dropDuplicates variant
+    val scored = graft.analytics.TextOps.qualityScore(docs)
+    val deduped = graft.analytics.DedupOps.exactDedupStream(docs)
+      .select(col("doc_id"))
+    val q1 = scored.writeStream.outputMode("append")
+      .format("memory").queryName("stream_quality")
+      .option("checkpointLocation", Files.createTempDirectory("graft-sq").toString)
+      .start()
+    val q2 = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("stream_dedup")
+      .option("checkpointLocation", Files.createTempDirectory("graft-sd").toString)
+      .start()
+    input.addData((1L, "the quick brown fox"), (2L, "the quick brown fox"))
+    q1.processAllAvailable(); q2.processAllAvailable()
+    input.addData((3L, "THE  quick   brown fox"), (4L, "something else entirely"))
+    q1.processAllAvailable(); q2.processAllAvailable()
+    q1.stop(); q2.stop()
+
+    assert(spark.table("stream_quality").count() == 4, "map-only op must emit per row")
+    val kept = spark.table("stream_dedup").as[Long].collect().toSet
+    // 1 and 2 collide in the SAME batch (either may win the intra-batch
+    // tie); 3 normalizes to the same fingerprint in a LATER batch, where
+    // the state store guarantees rejection; 4 is unique
+    assert(kept.size == 2 && kept.contains(4L) && !kept.contains(3L) &&
+      (kept - 4L).subsetOf(Set(1L, 2L)), s"got $kept")
+  }
+
   test("at-least-once: replayed batch duplicates replies, never loses them") {
     import spark.implicits._
     // Send the same event twice (the reference's AT_LEAST_ONCE contract
