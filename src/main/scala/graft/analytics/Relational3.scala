@@ -185,6 +185,32 @@ object Relational3 {
     FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity < hi
     GROUP BY band ORDER BY band"""))
 
+  // Bitwise function sweep (AND/OR/XOR/shifts/popcount) — exact integer
+  // semantics, identical in both engines.
+  private val qBitwise = GraftQuery(
+    "qf_bitwise",
+    (s, dir) => {
+      Tables.orders(s, dir)
+        .filter(col("o_orderkey") < 200)
+        .select(
+          col("o_orderkey"),
+          col("o_orderkey").bitwiseAND(lit(255L)).as("and255"),
+          col("o_orderkey").bitwiseOR(lit(4096L)).as("or4096"),
+          col("o_orderkey").bitwiseXOR(lit(21845L)).as("xor_alt"),
+          expr("shiftleft(o_orderkey, 3)").as("shl3"),
+          expr("shiftright(o_orderkey, 2)").as("shr2"),
+          expr("bit_count(o_orderkey)").as("popcnt"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey,
+      o_orderkey & 255 AS and255,
+      o_orderkey | 4096 AS or4096,
+      xor(o_orderkey, 21845) AS xor_alt,
+      o_orderkey << 3 AS shl3,
+      o_orderkey >> 2 AS shr2,
+      CAST(bit_count(o_orderkey) AS INTEGER) AS popcnt
+    FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey"""))
+
   // Scala UDF tier: char-code checksum (deterministic, SQL-replicable).
   // UDFs are the last-resort tier (no codegen, serialization per row) —
   // this demonstrates the surface; the native-Expression tier above it is
@@ -204,5 +230,5 @@ object Relational3 {
 
   val queries: Seq[GraftQuery] =
     Seq(qSessionWindow, qArrayFns, qMapFns, qPosexplode, qPivot, qAsof,
-      qRangeJoin, qUdf)
+      qRangeJoin, qBitwise, qUdf)
 }

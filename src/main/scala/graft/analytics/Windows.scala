@@ -80,5 +80,58 @@ object Windows {
     SELECT rank, s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
     FROM rk, supplier WHERE l_suppkey = s_suppkey AND rank <= 5 ORDER BY rank"""))
 
-  val queries: Seq[GraftQuery] = Seq(qRank, qRunning, qTopSupplier)
+  // Distribution window functions: ntile / percent_rank / cume_dist.
+  // The tie-break chain makes ranks unique, so percent_rank = (rank−1)/(n−1)
+  // and cume_dist = pos/n are exact-integer divisions — identical IEEE
+  // doubles in both engines.
+  private val qDistribution = GraftQuery(
+    "qw_distribution_functions",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .filter(col("o_custkey") < 50)
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("cdist", cume_dist().over(w))
+        .select(col("o_orderpriority"), col("o_orderkey"), col("quartile"),
+          col("pct_rank"), col("cdist"))
+        .orderBy(col("o_orderpriority"), col("o_orderkey"))
+    },
+    Some("""SELECT o_orderpriority, o_orderkey,
+      CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+      percent_rank() OVER w AS pct_rank,
+      cume_dist() OVER w AS cdist
+    FROM orders WHERE o_custkey < 50
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderpriority, o_orderkey"""))
+
+  // RANGE frame over a numeric day offset: trailing 30-day quantity per
+  // supplier. RANGE frames include ALL peer rows of the bound values, so
+  // the frame content is deterministic without physical-order tie-breaks;
+  // the decimal sum keeps it order-independent too.
+  private val qRangeFrame = GraftQuery(
+    "qw_range_frame_30d",
+    (s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(col("day_num"))
+        .rangeBetween(-30, Window.currentRow)
+      Tables.lineitem(s, dir)
+        .filter(col("l_suppkey") < 5)
+        .withColumn("day_num",
+          datediff(col("l_shipdate").cast("date"), lit("1992-01-01").cast("date")))
+        .withColumn("qty_30d", sum(d2(col("l_quantity"))).over(w).cast("double"))
+        .select(col("l_suppkey"), col("day_num"), col("l_orderkey"),
+          col("l_linenumber"), col("qty_30d"))
+        .orderBy(col("l_suppkey"), col("day_num"), col("l_orderkey"), col("l_linenumber"))
+    },
+    Some(s"""SELECT l_suppkey, day_num, l_orderkey, l_linenumber,
+      CAST(SUM(${od2("l_quantity")}) OVER (
+        PARTITION BY l_suppkey ORDER BY day_num
+        RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS qty_30d
+    FROM (SELECT *, CAST(date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS INTEGER) AS day_num
+      FROM lineitem WHERE l_suppkey < 5) t
+    ORDER BY l_suppkey, day_num, l_orderkey, l_linenumber"""))
+
+  val queries: Seq[GraftQuery] =
+    Seq(qRank, qRunning, qTopSupplier, qDistribution, qRangeFrame)
 }
