@@ -384,7 +384,31 @@ object Relational2 {
       array_to_string(list_transform(top_uk, x -> CAST(x % 1000000 AS VARCHAR)), ',') AS top_orders
     FROM t ORDER BY o_orderpriority"""))
 
+  // Typed Aggregator tier (Dataset-native custom aggregate, vs the
+  // Catalyst TypedImperativeAggregate in qagg_topk_custom): weighted mean
+  // price by quantity, accumulated exactly in integer cents.
+  private val qTypedAgg = GraftQuery(
+    "qagg_typed_aggregator",
+    (s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .select(
+          round(col("l_extendedprice") * 100).cast("long").as("v"),
+          round(col("l_quantity") * 100).cast("long").as("w"),
+          col("l_returnflag").as("rf"))
+        .as[(Long, Long, String)]
+        .groupByKey(_._3)
+        .mapValues(r => (r._1, r._2))
+        .agg(graft.functions.WeightedMeanAgg.toColumn.name("wavg_price"))
+        .toDF("l_returnflag", "wavg_price")
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag,
+      CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+        / CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS wavg_price
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   val queries: Seq[GraftQuery] = Seq(
     qVariance, qPercentileDisc, qPercentileCont, qCorr, qArgMax, qStrings, qDates, qCollect,
-    qGroupingSets, qApproxDistinct, qQ11, qQ12, qQ20, qNulls, qTopKAgg)
+    qGroupingSets, qApproxDistinct, qQ11, qQ12, qQ20, qNulls, qTopKAgg, qTypedAgg)
 }
