@@ -132,6 +132,36 @@ object Windows {
       FROM lineitem WHERE l_suppkey < 5) t
     ORDER BY l_suppkey, day_num, l_orderkey, l_linenumber"""))
 
+  // Value window functions: first/last/nth/lead over explicit frames (the
+  // full-partition frame makes last/nth deterministic; the tie-broken
+  // total order makes every value unique).
+  private val qValueFns = GraftQuery(
+    "qw_value_functions",
+    (s, dir) => {
+      val base = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wRun = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = base.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, dir)
+        .filter(col("o_custkey") < 30)
+        .withColumn("first_ok", first(col("o_orderkey")).over(wRun))
+        .withColumn("last_ok", last(col("o_orderkey")).over(wAll))
+        .withColumn("second_ok", nth_value(col("o_orderkey"), 2).over(wAll))
+        .withColumn("next_ok", lead(col("o_orderkey"), 1).over(base))
+        .select(col("o_custkey"), col("o_orderkey"), col("first_ok"),
+          col("last_ok"), col("second_ok"), col("next_ok"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+      first_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_ok,
+      last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ok,
+      nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_ok,
+      lead(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_ok
+    FROM orders WHERE o_custkey < 30 ORDER BY o_custkey, o_orderkey"""))
+
   val queries: Seq[GraftQuery] =
-    Seq(qRank, qRunning, qTopSupplier, qDistribution, qRangeFrame)
+    Seq(qRank, qRunning, qTopSupplier, qDistribution, qRangeFrame, qValueFns)
 }

@@ -39,6 +39,35 @@ object LambdaEnvelope {
     s"""{"reply": "${Base64.getEncoder.encodeToString(ProtoCodec.encode(rr))}"}"""
 }
 
+/** HTTP function backend: POSTs the reference's Base64-JSON envelope to a
+  * function endpoint and decodes the reply envelope — the deployment shape
+  * of the reference's Lambda RPC (InvokeStatefulLambda.java:86-92 invokes
+  * through the AWS SDK; any HTTP-fronted function — Lambda function URL,
+  * Knative, a plain service — speaks this same envelope). One HttpClient
+  * per executor instance; `timeout` bounds each call (the engine's
+  * stateless path adds its own per-request deadline on top).
+  */
+final class HttpFunctionExecutor(endpoint: String,
+    timeoutMillis: Long = 2000) extends FunctionExecutor {
+
+  @transient private lazy val client = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofMillis(timeoutMillis))
+    .build()
+
+  override def invoke(request: EventRequestReply): EventRequestReply = {
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(endpoint))
+      .timeout(java.time.Duration.ofMillis(timeoutMillis))
+      .header("Content-Type", "application/json")
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+        LambdaEnvelope.encodeRequest(request)))
+      .build()
+    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() != 200)
+      throw new RuntimeException(s"function endpoint returned ${resp.statusCode()}")
+    LambdaEnvelope.decode(resp.body())
+  }
+}
+
 /** Deterministic in-JVM "stateful entity" backend for tests and benchmarks —
   * plays the role of the StateFlow Python Lambda. Implements a counter
   * entity over the opaque 8-byte big-endian state blob plus the EventFlow
