@@ -1,0 +1,52 @@
+package graft.analytics
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guard: the pair-generation tier must never fall
+  * back to a cartesian product or an unbounded broadcast nested-loop join
+  * — the round-1 O(n²) scans must stay bucketed. (qs_topk_bruteforce is
+  * the documented exception: its BNL join broadcasts the tiny QUERY side
+  * over one corpus scan — the correct exact plan; qj_range_band likewise
+  * broadcasts a 3-row band table.)
+  */
+class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private val mustBeBucketed = Seq(
+    "qd_exact_dedup", "qd_ngram_jaccard", "qd_minhash_lsh", "qd_simhash",
+    "qd_embedding_neardup", "qs_ann_lsh", "qs_ann_ivf")
+
+  test("pair-generation plans contain no CartesianProduct or BNL join") {
+    mustBeBucketed.foreach { name =>
+      val plan = graft.SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name regressed to a cartesian product")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name regressed to a nested-loop join")
+    }
+  }
+
+  test("brute-force baseline broadcasts the query side, never the corpus") {
+    val plan = graft.SparkEntry.queries("qs_topk_bruteforce")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the cross join must exist (exact baseline) but only as a broadcast
+    // of the filtered query side
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "expected a broadcast cross join of the query side")
+    assert(!plan.contains("CartesianProduct"),
+      "corpus-by-corpus cartesian is never acceptable")
+  }
+}
