@@ -112,5 +112,25 @@ object EventsQueries {
       MAX(delta_us) AS max_gap_us
     FROM d WHERE delta_us IS NOT NULL GROUP BY user_id ORDER BY user_id"""))
 
-  val queries: Seq[GraftQuery] = Seq(qTumbling, qSessions, qJson, qTopUsers, qDeltas)
+  // Sliding windows (2 h duration, 1 h slide): Spark's window() assigns
+  // each event to exactly two epoch-aligned windows — starts at
+  // hour-floor(ts) and hour-floor(ts) − 1 h — which the oracle reproduces
+  // with a two-element unnest.
+  private val qSliding = GraftQuery(
+    "qe_sliding_windows",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sumD(d2(col("value"))).as("sum_value"))
+        .select(col("w.start").as("win_start"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("win_start"), col("event_type"))
+    },
+    Some(s"""WITH e AS (SELECT event_type, value,
+      unnest([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS win_start
+      FROM events)
+    SELECT win_start, event_type, COUNT(*) AS n, ${oSumD(od2("value"))} AS sum_value
+    FROM e GROUP BY win_start, event_type ORDER BY win_start, event_type"""))
+
+  val queries: Seq[GraftQuery] =
+    Seq(qTumbling, qSliding, qSessions, qJson, qTopUsers, qDeltas)
 }
