@@ -17,7 +17,7 @@ object SparkEntry {
     Relational.queries ++ Relational2.queries ++ Relational3.queries ++
       Windows.queries ++ EventsQueries.queries ++
       TextOps.queries ++ DedupOps.queries ++ SimilarityOps.queries ++
-      MultimodalOps.queries ++ RoutingQueries.queries
+      MultimodalOps.queries ++ ProfileOps.queries ++ RoutingQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
