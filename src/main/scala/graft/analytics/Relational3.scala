@@ -185,6 +185,41 @@ object Relational3 {
     FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity < hi
     GROUP BY band ORDER BY band"""))
 
+  // Math function sweep over the IEEE-exact subset: sqrt is
+  // correctly-rounded by the standard, abs/sign/mod/floor/ceil/least/
+  // greatest are exact. (exp/ln/pow/trig are deliberately absent — libm
+  // implementations differ by ULPs across engines, which would make the
+  // hash gate flaky rather than prove anything.)
+  private val qMath = GraftQuery(
+    "qf_math_functions",
+    (s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") < 300)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_discount") - 0.05).as("abs_c"),
+          signum(col("l_discount") - 0.05).as("sign_c"),
+          (col("l_extendedprice") % 97).as("mod_c"),
+          sqrt(col("l_extendedprice")).as("sqrt_c"),
+          floor(col("l_extendedprice") / 100).as("floor_c"),
+          ceil(col("l_extendedprice") / 100).as("ceil_c"),
+          round(col("l_extendedprice"), -2).as("round_c"),
+          greatest(col("l_discount"), col("l_tax")).as("g_c"),
+          least(col("l_discount"), col("l_tax")).as("l_c"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+    Some("""SELECT l_orderkey, l_linenumber,
+      abs(l_discount - 0.05) AS abs_c,
+      CAST(sign(l_discount - 0.05) AS DOUBLE) AS sign_c,
+      fmod(l_extendedprice, 97) AS mod_c,
+      sqrt(l_extendedprice) AS sqrt_c,
+      CAST(floor(l_extendedprice / 100) AS BIGINT) AS floor_c,
+      CAST(ceil(l_extendedprice / 100) AS BIGINT) AS ceil_c,
+      round(l_extendedprice, -2) AS round_c,
+      greatest(l_discount, l_tax) AS g_c,
+      least(l_discount, l_tax) AS l_c
+    FROM lineitem WHERE l_orderkey < 300 ORDER BY l_orderkey, l_linenumber"""))
+
   // Bitwise function sweep (AND/OR/XOR/shifts/popcount) — exact integer
   // semantics, identical in both engines.
   private val qBitwise = GraftQuery(
@@ -230,5 +265,5 @@ object Relational3 {
 
   val queries: Seq[GraftQuery] =
     Seq(qSessionWindow, qArrayFns, qMapFns, qPosexplode, qPivot, qAsof,
-      qRangeJoin, qBitwise, qUdf)
+      qRangeJoin, qMath, qBitwise, qUdf)
 }
