@@ -429,6 +429,44 @@ object Relational {
       WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
     ORDER BY custkey"""))
 
+  // Multiset set ops (EXCEPT ALL / INTERSECT ALL — duplicate-preserving
+  // semantics, vs the distinct forms above); results aggregated so the
+  // multiplicities themselves are what the gate checks.
+  private def prioIn(s: org.apache.spark.sql.SparkSession, dir: String,
+      y0: String, y1: String) =
+    Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit(y0).cast("timestamp") &&
+        col("o_orderdate") < lit(y1).cast("timestamp"))
+      .select(col("o_orderpriority").as("prio"))
+
+  private val qExceptAll = GraftQuery(
+    "qset_prio_except_all",
+    (s, dir) => prioIn(s, dir, "1995-01-01", "1996-01-01")
+      .exceptAll(prioIn(s, dir, "1996-01-01", "1997-01-01"))
+      .groupBy(col("prio")).agg(count(lit(1)).as("n"))
+      .orderBy(col("prio")),
+    Some("""SELECT prio, COUNT(*) AS n FROM (
+      SELECT o_orderpriority AS prio FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+      EXCEPT ALL
+      SELECT o_orderpriority FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01') t
+    GROUP BY prio ORDER BY prio"""))
+
+  private val qIntersectAll = GraftQuery(
+    "qset_prio_intersect_all",
+    (s, dir) => prioIn(s, dir, "1995-01-01", "1996-01-01")
+      .intersectAll(prioIn(s, dir, "1996-01-01", "1997-01-01"))
+      .groupBy(col("prio")).agg(count(lit(1)).as("n"))
+      .orderBy(col("prio")),
+    Some("""SELECT prio, COUNT(*) AS n FROM (
+      SELECT o_orderpriority AS prio FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+      INTERSECT ALL
+      SELECT o_orderpriority FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01') t
+    GROUP BY prio ORDER BY prio"""))
+
   // ---------------------------------------------------------------- rollup
   private val qRollup = GraftQuery(
     "qrollup_returnflag_status",
@@ -448,5 +486,5 @@ object Relational {
 
   val queries: Seq[GraftQuery] = Seq(
     q01, q03, q04, q05, q06, q07, q08, q09, q10, q13, q14, q16, q17, q18, q19, q22,
-    qIntersect, qExcept, qRollup)
+    qIntersect, qExcept, qExceptAll, qIntersectAll, qRollup)
 }

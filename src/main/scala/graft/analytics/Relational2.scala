@@ -164,6 +164,61 @@ object Relational2 {
       lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded
     FROM part ORDER BY p_partkey"""))
 
+  // Second string sweep: translate/repeat/reverse/instr/left/right/ascii.
+  private val qStrings2 = GraftQuery(
+    "qf_string_functions2",
+    (s, dir) => {
+      Tables.part(s, dir)
+        .select(
+          col("p_partkey"),
+          translate(col("p_name"), "aeiou", "01234").as("xlat"),
+          repeat(col("p_brand"), 2).as("rep2"),
+          reverse(col("p_name")).as("rev"),
+          instr(col("p_name"), "ol").as("pos_ol"),
+          expr("left(p_name, 5)").as("l5"),
+          expr("right(p_name, 5)").as("r5"),
+          ascii(col("p_name")).as("first_code"))
+        .orderBy(col("p_partkey"))
+    },
+    Some("""SELECT p_partkey,
+      translate(p_name, 'aeiou', '01234') AS xlat,
+      repeat(p_brand, 2) AS rep2,
+      reverse(p_name) AS rev,
+      CAST(strpos(p_name, 'ol') AS INTEGER) AS pos_ol,
+      left(p_name, 5) AS l5,
+      right(p_name, 5) AS r5,
+      CAST(ascii(p_name) AS INTEGER) AS first_code
+    FROM part ORDER BY p_partkey"""))
+
+  // Second date sweep: last_day / ISO week / day-of-year / week+quarter
+  // truncation / make_date (both engines truncate weeks to Monday and use
+  // ISO week numbering).
+  private val qDates2 = GraftQuery(
+    "qf_date_functions2",
+    (s, dir) => {
+      Tables.orders(s, dir)
+        .filter(col("o_orderkey") < 500)
+        .withColumn("d", col("o_orderdate").cast("date"))
+        .select(
+          col("o_orderkey"),
+          last_day(col("d")).as("month_end"),
+          weekofyear(col("d")).as("iso_week"),
+          dayofyear(col("d")).as("doy"),
+          date_trunc("week", col("d")).cast("date").as("week_start"),
+          date_trunc("quarter", col("d")).cast("date").as("quarter_start"),
+          make_date(year(col("d")), month(col("d")), lit(1)).as("month_start"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey,
+      last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      CAST(week(CAST(o_orderdate AS DATE)) AS INTEGER) AS iso_week,
+      CAST(dayofyear(CAST(o_orderdate AS DATE)) AS INTEGER) AS doy,
+      CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS DATE) AS week_start,
+      CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS DATE) AS quarter_start,
+      make_date(CAST(date_part('year', o_orderdate) AS INTEGER),
+        CAST(date_part('month', o_orderdate) AS INTEGER), 1) AS month_start
+    FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey"""))
+
   // Date/time function sweep over orders.
   private val qDates = GraftQuery(
     "qf_date_functions",
@@ -409,6 +464,7 @@ object Relational2 {
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   val queries: Seq[GraftQuery] = Seq(
-    qVariance, qPercentileDisc, qPercentileCont, qCorr, qArgMax, qStrings, qDates, qCollect,
+    qVariance, qPercentileDisc, qPercentileCont, qCorr, qArgMax, qStrings, qStrings2,
+    qDates, qDates2, qCollect,
     qGroupingSets, qApproxDistinct, qQ11, qQ12, qQ20, qNulls, qTopKAgg, qTypedAgg)
 }
