@@ -35,7 +35,12 @@ final case class JobConfig(
     statelessConcurrency: Int = 128,
     statelessTimeout: scala.concurrent.duration.FiniteDuration =
       scala.concurrent.duration.DurationInt(2).seconds,
-    useTws: Boolean = true)
+    useTws: Boolean = true,
+    /** The reference's `--operators` list (StateFlowFlinkJob.java:56):
+      * when set, events for unlisted operators return FailedInvocation
+      * instead of entering the stateful path.
+      */
+    knownOperators: Option[Set[String]] = None)
 
 object KafkaSupport {
 
@@ -75,7 +80,8 @@ object KafkaSupport {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val writer = StateflowPipeline.eventsToEgress(readEvents(spark, bootstrap), executor,
         statelessConcurrency = config.statelessConcurrency, useTws = config.useTws,
-        statelessTimeout = config.statelessTimeout)
+        statelessTimeout = config.statelessTimeout,
+        knownOperators = config.knownOperators)
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)

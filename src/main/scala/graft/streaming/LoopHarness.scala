@@ -36,7 +36,8 @@ final class LoopHarness(spark: SparkSession, executor: FunctionExecutor,
   private val writer =
     StateflowPipeline.eventsToEgress(input.toDS(), executor, useTws = useTws,
         statelessConcurrency = config.statelessConcurrency,
-        statelessTimeout = config.statelessTimeout)
+        statelessTimeout = config.statelessTimeout,
+        knownOperators = config.knownOperators)
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", Files.createTempDirectory("graft-ckpt").toString)

@@ -174,16 +174,33 @@ object StateflowPipeline {
     */
   def eventsToEgress(events: Dataset[Event], executor: FunctionExecutor,
       statelessConcurrency: Int = 128, useTws: Boolean = true,
-      statelessTimeout: FiniteDuration = 2.seconds): Dataset[Route] = {
+      statelessTimeout: FiniteDuration = 2.seconds,
+      knownOperators: Option[Set[String]] = None): Dataset[Route] = {
     val spark = events.sparkSession
     import spark.implicits._
 
     val routed: Dataset[Route] = events.map(Routing.ingress)
 
-    // EGRESS straight-throughs (Ping→Pong, flow RETURN): M1 passthrough
-    val ingressEgress = routed.filter(_.direction == RouteDirection.EGRESS).map(_.eventValue)
+    val internalAll = routed.filter(_.direction == RouteDirection.INTERNAL)
 
-    val internal = routed.filter(_.direction == RouteDirection.INTERNAL)
+    // The reference builds one side output per operator from the
+    // `--operators` CLI list (StateFlowFlinkJob.java:56-66); an event for
+    // an unlisted operator has no output tag and kills the job. With a
+    // known-operator set configured, we keep the validation but degrade
+    // gracefully: the event short-circuits to the client as a
+    // FailedInvocation reply instead of crashing the stream.
+    // EGRESS straight-throughs (Ping→Pong, flow RETURN): M1 passthrough
+    val ingressEgressBase = routed.filter(_.direction == RouteDirection.EGRESS)
+      .map(_.eventValue)
+
+    val (internal, ingressEgress) = knownOperators match {
+      case Some(ops) =>
+        val known = (r: Route) => ops.contains(r.routeName.stripSuffix("-create"))
+        (internalAll.filter(r => known(r)),
+          ingressEgressBase.union(internalAll.filter(r => !known(r))
+            .map(_.eventValue.withReply(Reply.FailedInvocation))))
+      case None => (internalAll, ingressEgressBase)
+    }
 
     // create path: A1 async stateless invoke + A2 rekey
     val created = internal.filter(isCreate _)

@@ -180,6 +180,26 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally h.stop()
   }
 
+  test("operator validation: events for unlisted operators fail cleanly") {
+    // Reference parity for the --operators list (StateFlowFlinkJob.java:56
+    // -66): an event addressed to an operator with no side output would
+    // kill the reference job; with knownOperators set we return
+    // FailedInvocation instead while listed operators work normally.
+    val h = new LoopHarness(spark, new LocalCounterExecutor, useTws = false,
+      config = JobConfig(knownOperators = Some(Set("global/Account"))))
+    try {
+      val ghost = FunctionType("global", "Ghost", stateful = true)
+      h.send(
+        Event.request("ok1", FunctionAddress(acct, "v1"), Request.InvokeStateful, delta(2)),
+        Event.request("no1", FunctionAddress(ghost, "v1"), Request.InvokeStateful, delta(2)))
+      h.drain()
+      val ok = h.clientReplies.find(_.eventId == "ok1")
+      val no = h.clientReplies.find(_.eventId == "no1")
+      assert(ok.exists(_.reply.contains(Reply.SuccessfulInvocation)), s"got ${h.clientReplies}")
+      assert(no.exists(_.reply.contains(Reply.FailedInvocation)), s"got ${h.clientReplies}")
+    } finally h.stop()
+  }
+
   test("EventFlow: malformed plan node degrades to FailedInvocation, not a task error") {
     val ex = new LocalCounterExecutor
     val e = Event.request("bad1", FunctionAddress(acct, "k1"), Request.EventFlow,
