@@ -63,6 +63,54 @@ object RoutingQueries {
            ELSE 'u' || user_id END AS key
     FROM events ORDER BY event_id"""))
 
+  // R6 egress routing through the REAL Routing.egress: replies → CLIENT,
+  // in-flight EventFlow requests → INTERNAL loop (EgressRouter.java:32-63),
+  // against an independent SQL restatement.
+  private def liftReply(eventType: String): Int = eventType match {
+    case "click" => Reply.SuccessfulInvocation
+    case "view" => Reply.SuccessfulStateRequest
+    case "error" => Reply.Pong
+    case "signup" => Reply.SuccessfulCreateClass
+    case _ => Reply.SuccessfulInvocation
+  }
+
+  private val qEgress = GraftQuery(
+    "qr_egress_route",
+    (s, dir) => {
+      import s.implicits._
+      val lifted = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("user_id"))
+        .as[(Long, String, Long)]
+        .map { case (eid, etype, uid) =>
+          val addr = FunctionAddress(FunctionType("app", "Session", stateful = true), s"u$uid")
+          val e =
+            if (etype == "purchase")
+              Event.request(s"e$eid", addr, Request.EventFlow,
+                current = Some(EventFlowNode(addr, "INVOKE")))
+            else
+              Event(s"e$eid", addr, None, Some(liftReply(etype)),
+                Array.emptyByteArray, None)
+          (eid, Routing.egress(e))
+        }
+      lifted
+        .select(col("_1").as("event_id"),
+          col("_2.direction").as("direction"),
+          col("_2.routeName").as("route_name"),
+          col("_2.key").as("key"),
+          col("_2.eventValue.reply").as("reply"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id,
+      CASE WHEN event_type = 'purchase' THEN 1 ELSE 2 END AS direction,
+      '' AS route_name,
+      'e' || event_id AS key,
+      CASE WHEN event_type = 'click' THEN 0
+           WHEN event_type = 'view' THEN 4
+           WHEN event_type = 'error' THEN 6
+           WHEN event_type = 'signup' THEN 1
+           ELSE NULL END AS reply
+    FROM events ORDER BY event_id"""))
+
   // P1 shape as batch: per-key opaque-state fold — the counter entity's
   // final state per key, computed as a distributed aggregation.
   private val qStateFold = GraftQuery(
@@ -78,5 +126,5 @@ object RoutingQueries {
     FROM events WHERE event_type = 'click'
     GROUP BY user_id ORDER BY key"""))
 
-  val queries: Seq[GraftQuery] = Seq(qIngress, qStateFold)
+  val queries: Seq[GraftQuery] = Seq(qIngress, qEgress, qStateFold)
 }
