@@ -50,6 +50,14 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!pairs.exists(p => p._1 == 13L || p._2 == 13L), s"false pair: $pairs")
   }
 
+  test("minhashLsh on custom column names surfaces the exact-dup pair") {
+    val pairs = DedupOps.minhashLsh(docs, idCol = "post_id", textCol = "body",
+        k = 16, bands = 4, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((10L, 11L)), s"identical docs not banded together: $pairs")
+    assert(!pairs.exists(p => p._1 == 13L || p._2 == 13L), s"false pair: $pairs")
+  }
+
   test("simhashPairs on custom column names pairs only the near-duplicates") {
     val pairs = DedupOps.simhashPairs(docs, idCol = "post_id", textCol = "body",
         maxHamming = 10)
