@@ -162,6 +162,30 @@ object Windows {
       lead(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_ok
     FROM orders WHERE o_custkey < 30 ORDER BY o_custkey, o_orderkey"""))
 
+  // LOCF imputation (last observation carried forward) — the standard
+  // time-series gap-fill for feature pipelines: last non-null value over
+  // the running frame via IGNORE NULLS. Nulls are injected deterministically
+  // (every third event) so both engines impute the same gaps.
+  private val qLocf = GraftQuery(
+    "qw_locf_impute",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .filter(col("user_id") < 20)
+        .withColumn("v_sparse", when(col("event_id") % 3 === 0, lit(null)).otherwise(col("value")))
+        .withColumn("v_filled", last(col("v_sparse"), ignoreNulls = true).over(w))
+        .select(col("user_id"), col("event_id"), col("v_sparse"), col("v_filled"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""SELECT user_id, event_id,
+      CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v_sparse,
+      last_value(CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END IGNORE NULLS)
+        OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+    FROM events WHERE user_id < 20 ORDER BY user_id, event_id"""))
+
   val queries: Seq[GraftQuery] =
-    Seq(qRank, qRunning, qTopSupplier, qDistribution, qRangeFrame, qValueFns)
+    Seq(qRank, qRunning, qTopSupplier, qDistribution, qRangeFrame, qValueFns, qLocf)
 }
