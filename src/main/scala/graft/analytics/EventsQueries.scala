@@ -131,6 +131,37 @@ object EventsQueries {
     SELECT win_start, event_type, COUNT(*) AS n, ${oSumD(od2("value"))} AS sum_value
     FROM e GROUP BY win_start, event_type ORDER BY win_start, event_type"""))
 
+  // Feature standardization: per-user z-score with exact-moment math (the
+  // same order-independent DECIMAL accumulation as qstat_exact_variance,
+  // applied per row over a full-partition window frame, then one
+  // fixed-form double expression — engine-exact).
+  private val qZscore = GraftQuery(
+    "qe_zscore_by_user",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+      Tables.events(s, dir)
+        .filter(col("user_id") < 20)
+        .withColumn("n", count(lit(1)).over(w))
+        .filter(col("n") > 1)
+        .withColumn("sx", sum(d2(col("value"))).over(w).cast("double"))
+        .withColumn("sxx", sum(d2(col("value")) * d2(col("value"))).over(w).cast("double"))
+        .withColumn("mean_v", col("sx") / col("n"))
+        .withColumn("std_v",
+          sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)))
+        .select(col("user_id"), col("event_id"), col("value"),
+          ((col("value") - col("mean_v")) / col("std_v")).as("z"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some(s"""WITH m AS (SELECT user_id, event_id, value,
+      COUNT(*) OVER (PARTITION BY user_id) AS n,
+      CAST(SUM(${od2("value")}) OVER (PARTITION BY user_id) AS DOUBLE) AS sx,
+      CAST(SUM(${od2("value")} * ${od2("value")}) OVER (PARTITION BY user_id) AS DOUBLE) AS sxx
+    FROM events WHERE user_id < 20)
+    SELECT user_id, event_id, value,
+      (value - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1)) AS z
+    FROM m WHERE n > 1 ORDER BY user_id, event_id"""))
+
   val queries: Seq[GraftQuery] =
-    Seq(qTumbling, qSliding, qSessions, qJson, qTopUsers, qDeltas)
+    Seq(qTumbling, qSliding, qSessions, qJson, qTopUsers, qDeltas, qZscore)
 }

@@ -87,6 +87,21 @@ object TextOps {
         md5(col("nrm").cast("binary")).as("fp_md5"),
         expr(h60("nrm")).as("fp60"))
 
+  /** Deterministic train/test split by CONTENT fingerprint, not row id:
+    * identical documents always land in the same split, so exact
+    * duplicates cannot leak from train into test. bucket ∈ [0, 100),
+    * split = "train" iff bucket < trainPct. Map-only, reproducible across
+    * runs and engines.
+    */
+  def trainTestSplit(docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      trainPct: Int = 80): org.apache.spark.sql.DataFrame =
+    norm(docs, idCol, textCol)
+      .withColumn("nrm", trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+      .withColumn("bucket", (expr(h60("nrm")) % 100).cast("int"))
+      .select(col("doc_id"), col("bucket"),
+        when(col("bucket") < trainPct, lit("train")).otherwise(lit("test")).as("split"))
+
   // ==================== driver-checked query bindings ====================
 
   // Token statistics: counts, char mass, deterministic avg token length.
@@ -213,5 +228,15 @@ object TextOps {
     SELECT doc_id, md5(norm) AS fp_md5, ${h60Sql("norm")} AS fp60
     FROM t ORDER BY doc_id"""))
 
-  val queries: Seq[GraftQuery] = Seq(qTokens, qBpeTokens, qLangId, qQuality, qFingerprint)
+  private val qSplit = GraftQuery(
+    "qt_train_test_split",
+    (s, dir) => trainTestSplit(Tables.documents(s, dir)).orderBy(col("doc_id")),
+    Some(s"""WITH t AS (SELECT doc_id,
+      trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nrm FROM documents)
+    SELECT doc_id, CAST(${h60Sql("nrm")} % 100 AS INTEGER) AS bucket,
+      CASE WHEN ${h60Sql("nrm")} % 100 < 80 THEN 'train' ELSE 'test' END AS split
+    FROM t ORDER BY doc_id"""))
+
+  val queries: Seq[GraftQuery] =
+    Seq(qTokens, qBpeTokens, qLangId, qQuality, qFingerprint, qSplit)
 }
