@@ -260,6 +260,22 @@ object DedupOps {
       .orderBy(col("v1"), col("v2"))
   }
 
+  /** Drop near-duplicates given a pair list (d1 < d2, as produced by
+    * [[ngramJaccard]] / [[simhashPairs]] / [[minhashLsh]] /
+    * [[embeddingNearDup]]): keeps the LOWER id of each pair (the same
+    * canonical-minimum convention as [[exactDedup]]). GREEDY, not a
+    * transitive closure: in a chain a–b, b–c, both b and c are dropped
+    * even if a–c alone wouldn't pair — the standard fast policy for
+    * near-dup pruning (full clustering needs iterative connected
+    * components, which Spark expresses via GraphX/iteration, out of scope
+    * for a single pass). One broadcast-able anti-join when the pair list
+    * is small; a shuffle anti-join otherwise.
+    */
+  def dropNearDups(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
+    docs.join(pairs.select(col("d2").as("__drop")),
+      col(idCol) === col("__drop"), "left_anti")
+
   // ==================== driver-checked query bindings ====================
 
   private val qExact = GraftQuery(

@@ -228,6 +228,37 @@ object TextOps {
     SELECT doc_id, md5(norm) AS fp_md5, ${h60Sql("norm")} AS fp60
     FROM t ORDER BY doc_id"""))
 
+  /** Language rebalancing: deterministically downsample each language to
+    * at most `cap` documents — the data-mix operation that keeps an
+    * over-represented language from dominating a training corpus. The
+    * kept subset is selected by content-fingerprint order (reproducible
+    * across runs/engines, independent of ingestion order), not by random
+    * sampling.
+    */
+  def rebalanceByLang(docs: org.apache.spark.sql.DataFrame, cap: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      langCol: String = "lang"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("fp60"), col("doc_id"))
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"), col(langCol).as("lang"))
+      .withColumn("nrm", trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+      .withColumn("fp60", expr(h60("nrm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+      .select(col("doc_id"), col("lang"), col("rn"))
+  }
+
+  private val qRebalance = GraftQuery(
+    "qt_lang_rebalance",
+    (s, dir) => rebalanceByLang(Tables.documents(s, dir), cap = 100)
+      .orderBy(col("lang"), col("rn")),
+    Some(s"""WITH t AS (SELECT doc_id, lang,
+      ${h60Sql("trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")} AS fp60 FROM documents),
+    r AS (SELECT doc_id, lang,
+      ROW_NUMBER() OVER (PARTITION BY lang ORDER BY fp60, doc_id) AS rn FROM t)
+    SELECT doc_id, lang, CAST(rn AS INTEGER) AS rn FROM r WHERE rn <= 100
+    ORDER BY lang, rn"""))
+
   private val qSplit = GraftQuery(
     "qt_train_test_split",
     (s, dir) => trainTestSplit(Tables.documents(s, dir)).orderBy(col("doc_id")),
@@ -238,5 +269,5 @@ object TextOps {
     FROM t ORDER BY doc_id"""))
 
   val queries: Seq[GraftQuery] =
-    Seq(qTokens, qBpeTokens, qLangId, qQuality, qFingerprint, qSplit)
+    Seq(qTokens, qBpeTokens, qLangId, qQuality, qFingerprint, qSplit, qRebalance)
 }

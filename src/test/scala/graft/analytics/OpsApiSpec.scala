@@ -84,6 +84,15 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top.toSeq == Seq((100L, 1, 101L)), s"got ${top.toSeq}")
   }
 
+  test("dropNearDups keeps the lower id of each pair") {
+    val pairs = DedupOps.ngramJaccard(docs, idCol = "post_id", textCol = "body",
+      threshold = 0.5)
+    val kept = DedupOps.dropNearDups(docs, pairs, idCol = "post_id")
+      .select("post_id").collect().map(_.getLong(0)).toSet
+    // 10-11 and 10-12/11-12 pair up → 11 and 12 dropped; 10 and 13 survive
+    assert(kept == Set(10L, 13L), s"got $kept")
+  }
+
   test("text ops on custom column names") {
     val stats = TextOps.tokenStats(docs, idCol = "post_id", textCol = "body")
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
