@@ -276,6 +276,39 @@ object DedupOps {
     docs.join(pairs.select(col("d2").as("__drop")),
       col(idCol) === col("__drop"), "left_anti")
 
+  /** Transitive near-dup clustering: connected components over a pair
+    * list via min-label propagation TO FIXPOINT — each doc ends up labeled
+    * with the smallest doc id reachable through any chain of pairs (the
+    * full version of [[dropNearDups]]'s greedy policy). Each iteration is
+    * one join + groupBy plus a count action for convergence detection
+    * (iterations needed = component diameter); the lineage is cut with a
+    * localCheckpoint each round so the plan stays flat. This is the
+    * standard MapReduce-era CC shape; at extreme graph sizes swap in
+    * large-star/small-star for fewer rounds.
+    */
+  def nearDupClusters(pairs: DataFrame, maxIter: Int = 100): DataFrame = {
+    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      .localCheckpoint()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges.join(labels, col("b") === col("id"))
+        .groupBy(col("a")).agg(min(col("lbl")).as("nbl"))
+      val updated = labels.join(nbrMin, col("id") === col("a"), "left")
+        .select(col("id"), col("lbl").as("old"),
+          least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      converged = updated.filter(col("lbl") =!= col("old")).isEmpty
+      labels = updated.select(col("id"), col("lbl"))
+      i += 1
+    }
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   // ==================== driver-checked query bindings ====================
 
   private val qExact = GraftQuery(
@@ -367,5 +400,29 @@ object DedupOps {
       FROM p)
     SELECT v1, v2, cosine FROM c WHERE cosine >= 0.4 ORDER BY v1, v2"""))
 
-  val queries: Seq[GraftQuery] = Seq(qExact, qNgram, qMinhash, qSimhash, qEmbed)
+  // Transitive clustering over the simhash pairs, oracled with a DuckDB
+  // recursive-CTE reachability closure.
+  private val qClusters = GraftQuery(
+    "qd_neardup_clusters",
+    (s, dir) => nearDupClusters(simhashPairs(Tables.documents(s, dir)))
+      .orderBy(col("doc_id")),
+    Some(s"""WITH RECURSIVE t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+    hs AS (SELECT doc_id, list_transform(toks, t -> ${h60Sql("t")}) AS h FROM t),
+    sig AS (SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 59), b ->
+        CASE WHEN 2 * len(list_filter(h, x -> ((x >> b) & 1) = 1)) > len(h)
+        THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
+      FROM hs),
+    pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
+    edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+    reach(x, y) AS (
+      SELECT a AS x, b AS y FROM edges
+      UNION
+      SELECT r.x, e.b FROM reach r JOIN edges e ON r.y = e.a)
+    SELECT x AS doc_id, least(x, MIN(y)) AS cluster_id
+    FROM reach GROUP BY x ORDER BY doc_id"""))
+
+  val queries: Seq[GraftQuery] =
+    Seq(qExact, qNgram, qMinhash, qSimhash, qEmbed, qClusters)
 }
