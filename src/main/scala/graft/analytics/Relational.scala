@@ -311,9 +311,16 @@ object Relational {
     "q17_small_qty_revenue",
     (s, dir) => {
       val li = Tables.lineitem(s, dir)
-      val perPart = li.groupBy(col("l_partkey").as("pk"))
-        .agg((avgD(d2(col("l_quantity"))) * 0.2).as("qty_lim"))
       val br = Tables.part(s, dir).filter(col("p_brand") === "Brand#3")
+      // Only Brand#3 parts' averages are ever consumed (inner join on pk
+      // below), so prune lineitem by the broadcast filtered-part list BEFORE
+      // the per-part aggregate — at scale this cuts the groupBy shuffle by
+      // the brand selectivity (~25×) with an identical answer.
+      val perPart = li
+        .join(broadcast(br.select(col("p_partkey").as("ppk"))),
+          col("l_partkey") === col("ppk"), "left_semi")
+        .groupBy(col("l_partkey").as("pk"))
+        .agg((avgD(d2(col("l_quantity"))) * 0.2).as("qty_lim"))
       li.join(broadcast(br), col("l_partkey") === col("p_partkey"))
         .join(perPart, col("l_partkey") === col("pk"))
         .filter(col("l_quantity") < col("qty_lim"))

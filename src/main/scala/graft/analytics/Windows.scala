@@ -61,9 +61,15 @@ object Windows {
           col("l_shipdate") < lit("1998-04-01").cast("timestamp"))
         .groupBy(col("l_suppkey"))
         .agg(sum(discPrice).as("rev_dec"))
+      // The tie-break chain (rev_dec DESC, l_suppkey) makes ranks unique, so
+      // rank() <= 5 selects exactly the first 5 rows of that ordering. Take
+      // them with orderBy().limit(5) — TakeOrderedAndProject, a parallel
+      // per-partition top-k reduction — instead of funnelling every supplier
+      // aggregate through one partition-less Window sort (the r2 scale
+      // bottleneck). The rank window then runs over a provably 5-row input.
+      val top5 = rev.orderBy(col("rev_dec").desc, col("l_suppkey")).limit(5)
       val w = Window.orderBy(col("rev_dec").desc, col("l_suppkey"))
-      rev.withColumn("rank", rank().over(w))
-        .filter(col("rank") <= 5)
+      top5.withColumn("rank", rank().over(w))
         .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
         .select(col("rank"), col("s_suppkey"), col("s_name"),
           col("rev_dec").cast("double").as("total_revenue"))

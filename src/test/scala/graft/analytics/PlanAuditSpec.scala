@@ -39,6 +39,19 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("qw_top_supplier_revenue has no single-partition window exchange") {
+    // r2 weakness: rank() over a partition-less Window funnelled every
+    // per-supplier aggregate through one task. The re-plan takes the top 5
+    // via TakeOrderedAndProject (parallel per-partition top-k) and only then
+    // ranks the provably-5-row result, so no global-sort exchange remains.
+    val plan = graft.SparkEntry.queries("qw_top_supplier_revenue")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "expected the parallel top-k (TakeOrderedAndProject) plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      "global window still forces a single-partition exchange")
+  }
+
   test("brute-force baseline broadcasts the query side, never the corpus") {
     val plan = graft.SparkEntry.queries("qs_topk_bruteforce")(spark, sf)
       .queryExecution.executedPlan.toString
