@@ -390,6 +390,44 @@ object Relational2 {
     WHERE EXISTS (SELECT 1 FROM excess WHERE l_suppkey = s_suppkey)
     ORDER BY s_suppkey"""))
 
+  // TPC-H Q21 flavor: suppliers solely at fault on finished multi-supplier
+  // orders. The test lineitem has no receipt/commit dates, so "at fault" is
+  // l_returnflag = 'R'; the optimizer shape is the Q21 one exactly — an
+  // EXISTS plus a NOT EXISTS both correlated to the SAME fact table on the
+  // same key (co-supplier line on the order / co-supplier line also at
+  // fault). Physically: semi + anti hash joins on l_orderkey with the
+  // supplier inequality as a post-join condition — never a nested loop —
+  // and the unique-key orders filter applied as a third semi join.
+  private val qQ21 = GraftQuery(
+    "q21_waiting_suppliers",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val l1 = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      val l2 = li.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+      val l3 = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
+      l1
+        .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F"),
+          col("ok") === col("o_orderkey"), "left_semi")
+        .join(l2, col("ok") === col("ok2") && col("sk") =!= col("sk2"), "left_semi")
+        .join(l3, col("ok") === col("ok3") && col("sk") =!= col("sk3"), "left_anti")
+        .join(broadcast(Tables.supplier(s, dir)), col("sk") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+    },
+    Some("""SELECT s_name, COUNT(*) AS numwait
+      FROM lineitem l1, orders, supplier
+      WHERE l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+        AND l1.l_returnflag = 'R' AND l1.l_suppkey = s_suppkey
+        AND EXISTS (SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_returnflag = 'R')
+      GROUP BY s_name ORDER BY numwait DESC, s_name"""))
+
   // Null-handling scalar sweep (nullif/coalesce/nvl2-style case).
   private val qNulls = GraftQuery(
     "qf_null_handling",
@@ -466,5 +504,5 @@ object Relational2 {
   val queries: Seq[GraftQuery] = Seq(
     qVariance, qPercentileDisc, qPercentileCont, qCorr, qArgMax, qStrings, qStrings2,
     qDates, qDates2, qCollect,
-    qGroupingSets, qApproxDistinct, qQ11, qQ12, qQ20, qNulls, qTopKAgg, qTypedAgg)
+    qGroupingSets, qApproxDistinct, qQ11, qQ12, qQ20, qQ21, qNulls, qTopKAgg, qTypedAgg)
 }

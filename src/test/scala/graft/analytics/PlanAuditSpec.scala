@@ -39,6 +39,15 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q21 correlated EXISTS/NOT-EXISTS plans as semi+anti hash joins") {
+    val plan = graft.SparkEntry.queries("q21_waiting_suppliers")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "correlated self-joins regressed to a nested loop")
+    assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"),
+      "expected semi + anti joins on the fact table")
+  }
+
   test("qw_top_supplier_revenue has no single-partition window exchange") {
     // r2 weakness: rank() over a partition-less Window funnelled every
     // per-supplier aggregate through one task. The re-plan takes the top 5
