@@ -102,6 +102,125 @@ object TextOps {
       .select(col("doc_id"), col("bucket"),
         when(col("bucket") < trainPct, lit("train")).otherwise(lit("test")).as("split"))
 
+  /** Benchmark-contamination check — the decontamination pass a training
+    * pipeline runs before anything else ships: flag every training doc
+    * whose normalized text exactly matches a benchmark doc, or that shares
+    * ANY `window`-token shingle window with one (partial overlap — the
+    * n-gram decontamination used by open-data pipelines; 8–13 token
+    * windows, because short-gram overlap is all false positives).
+    *
+    * Scale shape: the benchmark side is MBs against a 100 TB corpus, so
+    * its fingerprint and window-hash sets are aggregated tiny and
+    * BROADCAST; the corpus side is one map-scan plus an explode of window
+    * hashes into broadcast semi-joins — no corpus shuffle except the
+    * per-doc-id distinct. Window hashing is computed behind a repartition
+    * barrier so the token array is materialized (slice() in the lambda is
+    * then plain array access — see the Nlp.shingles PERF note).
+    *
+    * Output: (doc_id, exact_contam, partial_contam, contaminated), one row
+    * per training doc.
+    */
+  def contaminationCheck(train: org.apache.spark.sql.DataFrame,
+      benchmark: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      benchTextCol: String = "text", window: Int = 8): org.apache.spark.sql.DataFrame = {
+    def withHashes(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("nrm", trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+      .withColumn("fp60", expr(h60("nrm")))
+      .withColumn("toks", expr(toksExpr))
+      .select(col("doc_id"), col("fp60"), col("toks"))
+      // barrier AFTER tokenization: `toks` is a materialized attribute below,
+      // so slice() inside the window lambda is plain array access (fp60 is
+      // uniform, so this also works for the constant-id benchmark side)
+      .repartition(col("fp60"))
+      .withColumn("wh", expr(
+        s"CASE WHEN size(toks) >= $window THEN array_distinct(" +
+          s"transform(sequence(1, size(toks) - $window + 1), " +
+          s"i -> ${h60(s"array_join(slice(toks, i, $window), ' ')")})) " +
+          "ELSE cast(array() as array<bigint>) END"))
+      .select(col("doc_id"), col("fp60"), col("wh"))
+    val tn = withHashes(norm(train, idCol, textCol))
+    val bn = withHashes(
+      benchmark.select(col(benchTextCol).as("text"), lit(0L).as("doc_id")))
+    val bfp = bn.select(col("fp60").as("bfp")).distinct()
+    val bwh = bn.select(explode(col("wh")).as("bh")).distinct()
+    val exact = tn.join(broadcast(bfp), col("fp60") === col("bfp"), "left_semi")
+      .select(col("doc_id")).withColumn("e", lit(true))
+    val part = tn.select(col("doc_id"), explode(col("wh")).as("h"))
+      .join(broadcast(bwh), col("h") === col("bh"), "left_semi")
+      .select(col("doc_id")).distinct().withColumn("p", lit(true))
+    tn.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(part, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("e"), lit(false)).as("exact_contam"),
+        coalesce(col("p"), lit(false)).as("partial_contam"),
+        (coalesce(col("e"), lit(false)) || coalesce(col("p"), lit(false)))
+          .as("contaminated"))
+  }
+
+  /** Within-document repetition removal, C4/Gopher-style: split the text on
+    * `lineSep`, measure duplicate lines, and rebuild a cleaned text keeping
+    * only the FIRST occurrence of each line. Map-only (array functions, no
+    * shuffle, no UDF), so it composes with streaming reads.
+    *
+    * The keep-first filter is quadratic in lines-per-doc (array_position
+    * scans the line array per element) — bounded by document size, so
+    * per-row work stays constant as the corpus scales; for pathological
+    * million-line single documents, explode + groupBy(doc, line) min(pos)
+    * is the shuffle-based alternative.
+    */
+  def lineDedup(docs: org.apache.spark.sql.DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", lineSep: String = "\n"): org.apache.spark.sql.DataFrame =
+    norm(docs, idCol, textCol)
+      // split pattern goes through the DSL, not an expr() string: SQL
+      // string-literal escape parsing would mangle Pattern.quote's \Q...\E
+      .withColumn("lines",
+        filter(split(col("text"), java.util.regex.Pattern.quote(lineSep)),
+          x => x =!= ""))
+      .withColumn("kept",
+        expr("filter(lines, (x, i) -> array_position(lines, x) == i + 1)"))
+      .select(
+        col("doc_id"),
+        size(col("lines")).as("n_lines"),
+        (size(col("lines")) - size(col("kept"))).as("n_dup_lines"),
+        when(size(col("lines")) === 0, lit(0.0))
+          .otherwise((size(col("lines")) - size(col("kept"))).cast("double") / size(col("lines")))
+          .as("dup_line_ratio"),
+        array_join(col("kept"), lineSep).as("clean_text"))
+
+  /** Gopher-style within-document repetition statistics over the token
+    * stream: duplicate word-3-gram fraction (all occurrences, NOT distinct
+    * shingles) plus elongation cleanup — consecutive repeated tokens
+    * collapsed to one, keeping the first. Map-only. The 3-gram list and the
+    * collapse are built with zip_with over slices, never `toks[i]` inside a
+    * lambda (computed-array indexing re-evaluates the array per element —
+    * see the Nlp.shingles PERF note).
+    */
+  def repetitionStats(docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame =
+    norm(docs, idCol, textCol)
+      .withColumn("toks", expr(toksExpr))
+      .withColumn("grams", expr(
+        "CASE WHEN size(toks) >= 3 THEN " +
+          "zip_with(zip_with(slice(toks, 1, size(toks) - 2), slice(toks, 2, size(toks) - 2), " +
+          "(x, y) -> concat(x, ' ', y)), slice(toks, 3, size(toks) - 2), " +
+          "(xy, z) -> concat(xy, ' ', z)) ELSE cast(array() as array<string>) END"))
+      .withColumn("collapsed", expr(
+        "CASE WHEN size(toks) <= 1 THEN toks ELSE " +
+          "filter(zip_with(toks, concat(array(''), slice(toks, 1, size(toks) - 1)), " +
+          "(x, p) -> CASE WHEN x = p THEN NULL ELSE x END), x -> x IS NOT NULL) END"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(col("grams")).as("n_grams3"),
+        (size(col("grams")) - expr("size(array_distinct(grams))")).as("n_dup_grams3"),
+        when(size(col("grams")) === 0, lit(0.0))
+          .otherwise((size(col("grams")) - expr("size(array_distinct(grams))")).cast("double")
+            / size(col("grams"))).as("dup_gram_ratio"),
+        (size(col("toks")) - size(col("collapsed"))).as("n_consec_dups"),
+        array_join(col("collapsed"), " ").as("clean_text"))
+
   // ==================== driver-checked query bindings ====================
 
   // Token statistics: counts, char mass, deterministic avg token length.
@@ -268,6 +387,90 @@ object TextOps {
       CASE WHEN ${h60Sql("nrm")} % 100 < 80 THEN 'train' ELSE 'test' END AS split
     FROM t ORDER BY doc_id"""))
 
+  // Gopher-style repetition stats: 27/500 sf0.01 docs carry duplicate
+  // 3-grams and 388/500 carry consecutive repeated tokens, so both metrics
+  // and the collapsed clean_text are non-degenerate under the gate.
+  private val qRepetition = GraftQuery(
+    "qt_repetition",
+    (s, dir) => repetitionStats(Tables.documents(s, dir)).orderBy(col("doc_id")),
+    Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+    g AS (SELECT doc_id, toks,
+      CASE WHEN len(toks) >= 3 THEN list_transform(generate_series(1, len(toks) - 2),
+        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) ELSE [] END AS grams,
+      list_filter(toks, (x, i) -> i = 1 OR toks[i-1] != x) AS collapsed
+    FROM t)
+    SELECT doc_id, len(toks) AS n_tokens, len(grams) AS n_grams3,
+      len(grams) - len(list_distinct(grams)) AS n_dup_grams3,
+      CASE WHEN len(grams) = 0 THEN 0.0
+        ELSE CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams) END AS dup_gram_ratio,
+      len(toks) - len(collapsed) AS n_consec_dups,
+      array_to_string(collapsed, ' ') AS clean_text
+    FROM g ORDER BY doc_id"""))
+
+  // Within-doc line dedup over a deterministic line view (2-token chunks —
+  // 181/500 sf0.01 docs contain a duplicate chunk, so the keep-first
+  // removal is exercised for real). Both engines construct the same view,
+  // then run the same keep-first-occurrence semantics.
+  private val qLineDedup = GraftQuery(
+    "qt_line_dedup",
+    (s, dir) => {
+      val lineView = Tables.documents(s, dir)
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("lines0", expr(
+          "CASE WHEN size(toks) = 0 THEN cast(array() as array<string>) ELSE " +
+            "transform(sequence(1, cast(ceil(size(toks) / 2.0) as int)), " +
+            "i -> array_join(slice(toks, (i - 1) * 2 + 1, 2), ' ')) END"))
+        .select(col("doc_id"), array_join(col("lines0"), "\n").as("text"))
+      lineDedup(lineView).orderBy(col("doc_id"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+    lv AS (SELECT doc_id,
+      CASE WHEN len(toks) = 0 THEN []
+        ELSE list_transform(generate_series(1, CAST(ceil(len(toks) / 2.0) AS BIGINT)),
+          i -> array_to_string(toks[(i-1)*2+1:i*2], ' ')) END AS lines
+    FROM t),
+    d AS (SELECT doc_id, lines,
+      list_filter(lines, (x, i) -> list_position(lines, x) = i) AS kept FROM lv)
+    SELECT doc_id, len(lines) AS n_lines,
+      len(lines) - len(kept) AS n_dup_lines,
+      CASE WHEN len(lines) = 0 THEN 0.0
+        ELSE CAST(len(lines) - len(kept) AS DOUBLE) / len(lines) END AS dup_line_ratio,
+      array_to_string(kept, chr(10)) AS clean_text
+    FROM d ORDER BY doc_id"""))
+
+  // Contamination check with documents(doc_id % 17 = 0) standing in as the
+  // benchmark set: 30 exact hits (the benchmark members re-found in train)
+  // plus 2 genuine partial-overlap contaminants at sf0.01 — non-degenerate
+  // on both flags.
+  private val qContamination = GraftQuery(
+    "qt_contamination",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      contaminationCheck(docs, docs.filter(col("doc_id") % 17 === 0))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH tn AS (SELECT doc_id,
+      trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nrm,
+      $toksSql AS toks FROM documents),
+    tf AS (SELECT doc_id, ${h60Sql("nrm")} AS fp60, toks FROM tn),
+    tw AS (SELECT doc_id, fp60, CASE WHEN len(toks) >= 8 THEN
+        list_distinct(list_transform(generate_series(1, len(toks) - 7),
+          i -> ${h60Sql("array_to_string(toks[i:i+7], ' ')")}))
+      ELSE [] END AS wh FROM tf),
+    bfp AS (SELECT DISTINCT fp60 AS bfp FROM tf WHERE doc_id % 17 = 0),
+    bsh AS (SELECT DISTINCT h AS bh FROM
+      (SELECT unnest(wh) AS h FROM tw WHERE doc_id % 17 = 0)),
+    ex AS (SELECT DISTINCT doc_id FROM tf JOIN bfp ON fp60 = bfp),
+    pt AS (SELECT DISTINCT doc_id FROM
+      (SELECT doc_id, unnest(wh) AS h FROM tw) u JOIN bsh ON h = bh)
+    SELECT t.doc_id,
+      t.doc_id IN (SELECT doc_id FROM ex) AS exact_contam,
+      t.doc_id IN (SELECT doc_id FROM pt) AS partial_contam,
+      t.doc_id IN (SELECT doc_id FROM ex) OR t.doc_id IN (SELECT doc_id FROM pt)
+        AS contaminated
+    FROM tf t ORDER BY t.doc_id"""))
+
   val queries: Seq[GraftQuery] =
-    Seq(qTokens, qBpeTokens, qLangId, qQuality, qFingerprint, qSplit, qRebalance)
+    Seq(qTokens, qBpeTokens, qLangId, qQuality, qFingerprint, qSplit, qRebalance,
+      qRepetition, qLineDedup, qContamination)
 }

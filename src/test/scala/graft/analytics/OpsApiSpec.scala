@@ -93,6 +93,55 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept == Set(10L, 13L), s"got $kept")
   }
 
+  test("lineDedup keeps the first occurrence of each line") {
+    import spark.implicits._
+    val md = Seq(
+      (1L, "alpha\nbeta\nalpha\ngamma\nbeta"),
+      (3L, "solo")).toDF("post_id", "body")
+    val out = TextOps.lineDedup(md, idCol = "post_id", textCol = "body")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(4))))
+      .toMap
+    assert(out(1L) == ((5, 2, "alpha\nbeta\ngamma")), s"got $out")
+    assert(out(3L) == ((1, 0, "solo")), s"got $out")
+    // separator that is a regex metachar — must be quoted internally
+    val piped = Seq((2L, "one|two|one")).toDF("post_id", "body")
+    val out2 = TextOps.lineDedup(piped, idCol = "post_id", textCol = "body",
+        lineSep = "|")
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getString(4))).head
+    assert(out2 == ((3, 1, "one|two")), s"got $out2")
+  }
+
+  test("repetitionStats collapses consecutive repeats and counts dup 3-grams") {
+    import spark.implicits._
+    // doc 1 tokens: a a b a b a b → 3-grams (a a b)(a b a)(b a b)(a b a)(b a b)
+    // = 5 with 2 duplicate occurrences; one consecutive repeat collapsed.
+    val md = Seq((1L, "a a b a b a b"), (2L, "x y z")).toDF("post_id", "body")
+    val out = TextOps.repetitionStats(md, idCol = "post_id", textCol = "body")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(5), r.getString(6))))
+      .toMap
+    assert(out(1L) == ((7, 5, 2, 1, "a b a b a b")), s"got $out")
+    assert(out(2L) == ((3, 1, 0, 0, "x y z")), s"got $out")
+  }
+
+  test("contaminationCheck flags exact and window-overlap docs") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "w1 w2 w3 w4 w5"),            // exact copy of the benchmark doc
+      (2L, "zz w1 w2 w3 yy aa"),         // shares one 3-token window
+      (3L, "totally different words here")).toDF("post_id", "body")
+    val bench = Seq("w1 w2 w3 w4 w5").toDF("btxt")
+    val out = TextOps.contaminationCheck(train, bench, idCol = "post_id",
+        textCol = "body", benchTextCol = "btxt", window = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))))
+      .toMap
+    assert(out(1L) == ((true, true, true)), s"got $out")
+    assert(out(2L) == ((false, true, true)), s"got $out")
+    assert(out(3L) == ((false, false, false)), s"got $out")
+  }
+
   test("text ops on custom column names") {
     val stats = TextOps.tokenStats(docs, idCol = "post_id", textCol = "body")
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
