@@ -147,11 +147,22 @@ object SimilarityOps {
 
   // ==================== driver-checked query bindings ====================
 
-  private val qBrute = GraftQuery(
-    "qs_topk_bruteforce",
-    (s, dir) => cosineTopK(Tables.embeddings(s, dir),
-      Tables.embeddings(s, dir).filter(col("vec_id") < NQ), K),
-    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  /** Recall of an approximate top-k against the exact top-k: the fraction
+    * of exact (query, neighbor) pairs the approximation recovered — THE
+    * number a user tunes planes/nprobe against. One broadcast-able join of
+    * two k·|Q|-row frames + a global aggregate; never touches the corpus
+    * again. Both inputs come from deterministic, literal-seeded plans, so
+    * recall itself is a fixed, oracle-checkable number.
+    */
+  def annRecall(exact: org.apache.spark.sql.DataFrame,
+      approx: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    exact.select(col("query_id"), col("cand_id"))
+      .join(approx.select(col("query_id"), col("cand_id")).withColumn("hit", lit(1)),
+        Seq("query_id", "cand_id"), "left")
+      .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)))
+        .as("recall"))
+
+  private val bruteSql = s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     p AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.v AS va, c.v AS vb
       FROM e q JOIN e c ON q.vec_id < $NQ AND q.vec_id <> c.vec_id),
     sc AS (SELECT query_id, cand_id, $cosineSql AS cosine FROM p),
@@ -159,7 +170,13 @@ object SimilarityOps {
       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
       FROM sc)
     SELECT query_id, rank, cand_id, cosine FROM rk WHERE rank <= $K
-    ORDER BY query_id, rank"""))
+    ORDER BY query_id, rank"""
+
+  private val qBrute = GraftQuery(
+    "qs_topk_bruteforce",
+    (s, dir) => cosineTopK(Tables.embeddings(s, dir),
+      Tables.embeddings(s, dir).filter(col("vec_id") < NQ), K),
+    Some(bruteSql))
 
   private val planeWSql =
     s"list_transform(generate_series(0, ${Planes - 1}), p -> list_transform(generate_series(0, 63), i -> " +
@@ -169,11 +186,7 @@ object SimilarityOps {
       s"list_reduce(list_transform(generate_series(1, 64), i -> w[p][i] * v[i]), (a, b) -> a + b) >= 0 " +
       s"THEN (1 << (p - 1)) ELSE 0 END)) AS INTEGER)"
 
-  private val qAnnLsh = GraftQuery(
-    "qs_ann_lsh",
-    (s, dir) => annLsh(Tables.embeddings(s, dir),
-      Tables.embeddings(s, dir).filter(col("vec_id") < NQ), K),
-    Some(s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  private val lshSql = s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     pw AS (SELECT $planeWSql AS w),
     e AS (SELECT vec_id, v, $bucketSql AS bucket FROM e0, pw),
     p AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.v AS va, c.v AS vb
@@ -183,7 +196,13 @@ object SimilarityOps {
       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
       FROM sc)
     SELECT query_id, rank, cand_id, cosine FROM rk WHERE rank <= $K
-    ORDER BY query_id, rank"""))
+    ORDER BY query_id, rank"""
+
+  private val qAnnLsh = GraftQuery(
+    "qs_ann_lsh",
+    (s, dir) => annLsh(Tables.embeddings(s, dir),
+      Tables.embeddings(s, dir).filter(col("vec_id") < NQ), K),
+    Some(lshSql))
 
   // ------------------------------------------------------------- IVF ANN
   /** Coarse-quantizer cell count and probe width. At corpus scale C grows
@@ -208,11 +227,7 @@ object SimilarityOps {
     * file". The same approximation is mirrored in the oracle, so the gate
     * is exact.
     */
-  private val qAnnIvf = GraftQuery(
-    "qs_ann_ivf",
-    (s, dir) => annIvf(Tables.embeddings(s, dir),
-      Tables.embeddings(s, dir).filter(col("vec_id") < NQ), K),
-    Some(s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  private val ivfSql = s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     cw AS (SELECT ${centroids.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")} AS w),
     scs AS (SELECT vec_id, v,
       list_transform(generate_series(1, $Cents), c ->
@@ -230,7 +245,38 @@ object SimilarityOps {
       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
       FROM sc2)
     SELECT query_id, rank, cand_id, cosine FROM rk WHERE rank <= $K
-    ORDER BY query_id, rank"""))
+    ORDER BY query_id, rank"""
 
-  val queries: Seq[GraftQuery] = Seq(qBrute, qAnnLsh, qAnnIvf)
+  private val qAnnIvf = GraftQuery(
+    "qs_ann_ivf",
+    (s, dir) => annIvf(Tables.embeddings(s, dir),
+      Tables.embeddings(s, dir).filter(col("vec_id") < NQ), K),
+    Some(ivfSql))
+
+  /** recall@k of each approximate tier vs the exact top-k, as a
+    * deterministic oracled query: both approximations are seeded by
+    * literals, so recall is a fixed number both engines compute.
+    */
+  private def recallBranchSql(method: String, approxSql: String) =
+    s"""SELECT '$method' AS method,
+      CAST(SUM(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        / COUNT(*) AS recall
+      FROM ($bruteSql) e LEFT JOIN ($approxSql) a
+      ON e.query_id = a.query_id AND e.cand_id = a.cand_id"""
+
+  private val qRecall = GraftQuery(
+    "qs_ann_recall",
+    (s, dir) => {
+      val corpus = Tables.embeddings(s, dir)
+      val q = corpus.filter(col("vec_id") < NQ)
+      val exact = cosineTopK(corpus, q, K)
+      annRecall(exact, annIvf(corpus, q, K)).withColumn("method", lit("ivf"))
+        .unionByName(
+          annRecall(exact, annLsh(corpus, q, K)).withColumn("method", lit("lsh")))
+        .select(col("method"), col("recall"))
+    },
+    Some(s"""${recallBranchSql("ivf", ivfSql)}
+      UNION ALL ${recallBranchSql("lsh", lshSql)} ORDER BY method"""))
+
+  val queries: Seq[GraftQuery] = Seq(qBrute, qAnnLsh, qAnnIvf, qRecall)
 }

@@ -84,6 +84,19 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top.toSeq == Seq((100L, 1, 101L)), s"got ${top.toSeq}")
   }
 
+  test("annRecall is the fraction of exact pairs the approximation recovered") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L))
+      .toDF("query_id", "cand_id")
+    // recovers 3 of 4 exact pairs; the extra (2,99) pair must not count
+    val approx = Seq((1L, 10L), (1L, 11L), (2L, 12L), (2L, 99L))
+      .toDF("query_id", "cand_id")
+    val r = SimilarityOps.annRecall(exact, approx).collect().head.getDouble(0)
+    assert(r == 0.75, s"got $r")
+    val perfect = SimilarityOps.annRecall(exact, exact).collect().head.getDouble(0)
+    assert(perfect == 1.0, s"got $perfect")
+  }
+
   test("dropNearDups keeps the lower id of each pair") {
     val pairs = DedupOps.ngramJaccard(docs, idCol = "post_id", textCol = "body",
       threshold = 0.5)
