@@ -66,13 +66,16 @@ object DedupOps {
       .select(col("doc_id"), expr(shingles("toks")).as("sh"))
       .repartition(col("doc_id"))
 
-  /** Shingles hotter than this document frequency are dropped before the
-    * inverted-index self-join (standard stop-shingle guard). A df-f shingle
-    * fans out f²/2 candidate pairs, so one hot stop-phrase is a skew key
-    * that dominates the shuffle at corpus scale; capping df bounds per-key
-    * fan-out at Cap²/2. Jaccard is then defined over non-hot shingles —
-    * mirrored exactly in the oracle. (Max observed df in the test corpora
-    * is 25, so the cap is semantics-neutral there.)
+  /** Prefix-hash postings hotter than this document frequency are dropped
+    * before the inverted-index self-join (standard stop-shingle guard). A
+    * df-f posting fans out f²/2 candidate pairs, so one hot stop-phrase is
+    * a skew key that dominates the shuffle at corpus scale; capping df
+    * bounds per-key fan-out at Cap²/2. The cap only affects candidate
+    * GENERATION — verification still intersects the full hash arrays — so
+    * a pair whose shared prefix hashes are ALL above the cap is missed:
+    * recall is 1.0 exactly when the cap doesn't bind (max df in the test
+    * corpora is 25) and degrades gracefully for hot-prefix-only pairs when
+    * it does. The oracle mirrors the same cap, keeping the gate exact.
     */
   val ShingleDfCap = 500
 
@@ -84,8 +87,9 @@ object DedupOps {
     * doc — 5× smaller at t=0.8, candidate pairs ~25× fewer) and candidates
     * are verified exactly with a full array intersection. The prefix
     * length uses `− floor(t·n) + 1`, which is ≥ the exact requirement
-    * under any floating-point rounding of t·n, so recall stays 1.0.
-    * Output: (d1, d2, jaccard), d1 < d2.
+    * under any floating-point rounding of t·n, so the prefix filter itself
+    * loses nothing; exactness is conditional on the [[ShingleDfCap]] skew
+    * guard not binding (see its doc). Output: (d1, d2, jaccard), d1 < d2.
     */
   def ngramJaccard(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", threshold: Double = 0.8,
@@ -306,6 +310,11 @@ object DedupOps {
       labels = updated.select(col("id"), col("lbl"))
       i += 1
     }
+    // truncated labels are silently WRONG (two labels, one component) —
+    // fail loudly rather than return them
+    if (!converged) throw new IllegalStateException(
+      s"nearDupClusters did not converge in $maxIter iterations; " +
+        "a component's diameter exceeds maxIter")
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 

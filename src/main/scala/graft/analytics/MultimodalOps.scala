@@ -98,7 +98,8 @@ object MultimodalOps {
     assets.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       it.flatMap { case (id, bytes) =>
-        (0 until math.max(1, (bytes.length + stride - 1) / stride)).map { i =>
+        // a zero-length payload yields zero frames (ceil(0/stride) = 0)
+        (0 until (bytes.length + stride - 1) / stride).map { i =>
           val from = i * stride
           val slice = java.util.Arrays.copyOfRange(bytes, from,
             math.min(bytes.length, from + stride))
@@ -137,6 +138,10 @@ object MultimodalOps {
       sampleFrames(binaryAssets(s, dir), 64).toDF()
         .orderBy(col("doc_id"), col("frame_idx"))
     },
+    // NOTE: the oracle slices with character-based substr while Spark
+    // slices bytes — equivalent only because documents.text is ASCII in
+    // the test corpora (len here is octet_length, which matches char
+    // count under that assumption).
     Some("""WITH f AS (SELECT doc_id, octet_length(encode(text)) AS len, text FROM documents),
     idx AS (SELECT doc_id, len, text,
       unnest(generate_series(0, CAST(ceil(len / 64.0) AS INTEGER) - 1)) AS frame_idx

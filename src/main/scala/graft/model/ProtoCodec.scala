@@ -142,10 +142,10 @@ object ProtoCodec {
 
     def readLenDelim(): (Int, Int) = {
       val len = readVarint().toInt
-      if (len < 0) throw new IllegalArgumentException("truncated message")
+      // overflow-safe: `pos + len > to` wraps negative for len near 2^31
+      if (len < 0 || len > to - pos) throw new IllegalArgumentException("truncated message")
       val start = pos
       pos += len
-      if (pos > to) throw new IllegalArgumentException("truncated message")
       (start, start + len)
     }
 

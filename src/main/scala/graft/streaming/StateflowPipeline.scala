@@ -98,6 +98,9 @@ object StateflowPipeline {
     */
   private def invokeStateless(executor: FunctionExecutor, concurrency: Int, timeout: FiniteDuration)(
       routes: Iterator[Route]): Iterator[Event] = {
+    // concurrency <= 0 would make refill() never submit → routes silently dropped
+    require(concurrency > 0, s"concurrency must be positive, got $concurrency")
+    require(timeout > Duration.Zero, s"timeout must be positive, got $timeout")
     val timeoutNs = timeout.toNanos
     new Iterator[Event] {
       private val cs =

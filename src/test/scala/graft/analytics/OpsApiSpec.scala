@@ -84,6 +84,32 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top.toSeq == Seq((100L, 1, 101L)), s"got ${top.toSeq}")
   }
 
+  test("sampleFrames yields zero frames for an empty payload") {
+    import spark.implicits._
+    val assets = Seq(
+      (1L, Array.emptyByteArray),
+      (2L, Array.fill[Byte](65)(7))).toDS()
+    val frames = MultimodalOps.sampleFrames(assets, stride = 64)
+      .collect().map(f => (f.doc_id, f.frame_idx, f.frame_len))
+    assert(frames.toSet == Set((2L, 0, 64), (2L, 1, 1)), s"got ${frames.toSet}")
+  }
+
+  test("nearDupClusters converges on a diameter-20 chain and throws when truncated") {
+    import spark.implicits._
+    // path graph 0-1-2-...-20: one component, diameter 20. Min-label
+    // propagation moves the 0 label one hop per round, so convergence
+    // needs ~21 rounds (20 hops + the no-change detection round).
+    val chain = (0L until 20L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val labels = DedupOps.nearDupClusters(chain, maxIter = 25)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 21 && labels.values.forall(_ == 0L), s"got $labels")
+    // truncation must fail loudly, not return split clusters
+    val e = intercept[IllegalStateException] {
+      DedupOps.nearDupClusters(chain, maxIter = 10).collect()
+    }
+    assert(e.getMessage.contains("did not converge"), e.getMessage)
+  }
+
   test("annRecall is the fraction of exact pairs the approximation recovered") {
     import spark.implicits._
     val exact = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L))
