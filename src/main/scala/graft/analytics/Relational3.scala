@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.api.GraftQuery
 import Exact._
-import OracleFragments.{d2 => od2, sumD => oSumD}
+import OracleFragments.{d2 => od2, sumD => oSumD, discPrice => oRev}
 
 /** Third coverage batch: built-in session windows, array functions, pivot,
   * and the Scala-UDF tier.
@@ -263,7 +263,76 @@ object Relational3 {
         i -> ascii(substr(p_name, i, 1)))) % 97 AS BIGINT) AS name_checksum
     FROM part ORDER BY p_partkey"""))
 
+  // TPC-H Q2 flavor — correlated scalar-MIN subquery against a derived
+  // part×supplier catalog. The test schema has no partsupp table, so the
+  // catalog is derived from lineitem (min extended price a supplier ever
+  // charged for the part); the optimizer shape is Q2's exactly: an
+  // aggregate view joined back to itself through a per-part MIN, the
+  // winning (part, supplier) pairs decorated with the supplier/nation/
+  // region dimension chain (all broadcast — they are dimension-sized),
+  // deterministic top-100 via TakeOrdered, never a global sort.
+  private val qQ02 = GraftQuery(
+    "q02_min_cost_supplier",
+    (s, dir) => {
+      val ps = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(d2(col("l_extendedprice"))).as("cost"))
+      val minCost = ps.groupBy(col("l_partkey").as("pk"))
+        .agg(min(col("cost")).as("min_cost"))
+      ps.join(minCost, col("l_partkey") === col("pk") && col("cost") === col("min_cost"))
+        .join(broadcast(Tables.part(s, dir)
+            .filter(col("p_type") === "PROMO" && col("p_size") <= 5)),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_name"), col("cost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    },
+    Some("""WITH ps AS (
+      SELECT l_partkey, l_suppkey, MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey)
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, cost
+    FROM ps, part, supplier, nation
+    WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+      AND s_nationkey = n_nationkey
+      AND p_type = 'PROMO' AND p_size <= 5
+      AND cost = (SELECT MIN(cost) FROM ps i WHERE i.l_partkey = ps.l_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100"""))
+
+  // TPC-H Q15 — top supplier(s) by quarterly revenue: an aggregate view
+  // consumed twice, once raw and once through a scalar MAX, joined on
+  // equality. The scalar max is a 1-row frame broadcast into an equality
+  // filter (never a sort of the whole view); ties would all be returned,
+  // exactly like Q15's spec.
+  private val qQ15 = GraftQuery(
+    "q15_top_supplier",
+    (s, dir) => {
+      val revenue = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1996-04-01")
+        .groupBy(col("l_suppkey"))
+        .agg(sumD(discPrice).as("total_revenue"))
+      val maxRev = revenue.agg(max(col("total_revenue")).as("max_revenue"))
+      Tables.supplier(s, dir)
+        .join(revenue, col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(maxRev), col("total_revenue") === col("max_revenue"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    },
+    Some(s"""WITH revenue AS (
+      SELECT l_suppkey, ${oSumD(oRev)} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier, revenue
+    WHERE s_suppkey = l_suppkey
+      AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qSessionWindow, qArrayFns, qMapFns, qPosexplode, qPivot, qAsof,
-      qRangeJoin, qMath, qBitwise, qUdf)
+      qRangeJoin, qMath, qBitwise, qUdf, qQ02, qQ15)
 }

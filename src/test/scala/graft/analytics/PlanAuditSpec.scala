@@ -61,6 +61,19 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       "global window still forces a single-partition exchange")
   }
 
+  test("q02/q15 scalar-subquery shapes stay hash joins with parallel top-k") {
+    val p2 = graft.SparkEntry.queries("q02_min_cost_supplier")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p2.contains("CartesianProduct") && !p2.contains("BroadcastNestedLoopJoin"),
+      "q02 correlated scalar-min regressed to a nested loop")
+    assert(p2.contains("TakeOrderedAndProject"),
+      "q02 top-100 should be TakeOrdered, not a global sort")
+    val p15 = graft.SparkEntry.queries("q15_top_supplier")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p15.contains("CartesianProduct"),
+      "q15 scalar-max equality regressed to a cartesian")
+  }
+
   test("brute-force baseline broadcasts the query side, never the corpus") {
     val plan = graft.SparkEntry.queries("qs_topk_bruteforce")(spark, sf)
       .queryExecution.executedPlan.toString
