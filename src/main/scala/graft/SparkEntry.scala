@@ -16,8 +16,9 @@ object SparkEntry {
   def registry: Seq[GraftQuery] =
     Relational.queries ++ Relational2.queries ++ Relational3.queries ++
       Windows.queries ++ EventsQueries.queries ++
-      TextOps.queries ++ DedupOps.queries ++ SimilarityOps.queries ++
-      MultimodalOps.queries ++ ProfileOps.queries ++ RoutingQueries.queries
+      TextOps.queries ++ CurationOps.queries ++ DedupOps.queries ++
+      SimilarityOps.queries ++ MultimodalOps.queries ++ ProfileOps.queries ++
+      RoutingQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,243 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.api.GraftQuery
+import Nlp._
+
+/** Corpus-curation operators — the PII-redaction / boilerplate-filtering /
+  * cross-document paragraph-dedup passes of an LLM training-data pipeline
+  * (the C4 / Gopher / Dolma cleaning recipe), exposed as column-
+  * parameterized public API functions plus driver-checked bindings.
+  *
+  * `piiRedact` and `c4LineFilter` are map-only (regex + array lambdas, no
+  * shuffle — they compose with `readStream`). `paragraphDedup` is the one
+  * shuffling op: corpus-wide keep-first paragraph dedup shuffles once on
+  * the 60-bit paragraph hash (uniform key) and once back on doc id.
+  *
+  * The synthetic corpus contains no PII or punctuation, so the bindings
+  * build deterministic fixture views (PII spliced in by doc_id arithmetic,
+  * line views from token chunks) — both engines construct the identical
+  * view, then run the identical semantics; the API functions themselves
+  * take any DataFrame.
+  */
+object CurationOps {
+
+  private def norm(docs: DataFrame, idCol: String, textCol: String) =
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+
+  // ======================= public operator API =======================
+
+  /** RE2-safe PII patterns (no backrefs/lookaround — identical semantics
+    * in Java regex and DuckDB's RE2; kept deliberately simple: recall
+    * tuning belongs to the caller, the operator is the plumbing).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+  /** PII detection + redaction: count emails / IPv4s / phone numbers and
+    * rewrite them to `<EMAIL>` / `<IP>` / `<PHONE>` placeholders. Counts
+    * are taken on the ORIGINAL text; redaction applies email → ip → phone
+    * (an email never contains an IP-shaped substring once redacted, and
+    * phone/IP cannot overlap: dots vs dashes). Map-only, codegen'd regexes.
+    */
+  def piiRedact(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    norm(docs, idCol, textCol)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0))).as("n_ips"),
+        size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).as("n_phones"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+            Ipv4Re, "<IP>"),
+          PhoneRe, "<PHONE>").as("redacted_text"))
+
+  /** C4-style line-level quality filter: keep a line iff it ends with
+    * terminal punctuation, has at least `minWords` whitespace words, and
+    * contains none of `blockWords` (case-insensitive substring — the C4
+    * blocklist rule). Emits per-doc line counts, kept ratio, and the
+    * filtered text. Map-only array lambdas.
+    */
+  def c4LineFilter(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", lineSep: String = "\n", minWords: Int = 4,
+      blockWords: Seq[String] = Seq("javascript", "lorem ipsum")): DataFrame = {
+    require(blockWords.forall(w => !w.contains("'")),
+      "block words must not contain single quotes")
+    val blockPred = blockWords.map(w => s"instr(lower(x), '${w.toLowerCase}') = 0")
+      .foldLeft("true")((a, b) => s"$a AND $b")
+    norm(docs, idCol, textCol)
+      .withColumn("lines",
+        filter(split(col("text"), java.util.regex.Pattern.quote(lineSep)),
+          x => x =!= ""))
+      .withColumn("kept", expr(
+        s"""filter(lines, x -> x rlike '[.!?]$$'
+          AND size(filter(split(x, ' '), w -> w != '')) >= $minWords
+          AND $blockPred)"""))
+      .select(
+        col("doc_id"),
+        size(col("lines")).as("n_lines"),
+        size(col("kept")).as("n_kept"),
+        when(size(col("lines")) === 0, lit(0.0))
+          .otherwise(size(col("kept")).cast("double") / size(col("lines")))
+          .as("kept_ratio"),
+        array_join(col("kept"), lineSep).as("clean_text"))
+  }
+
+  /** Cross-document exact paragraph dedup (Dolma/Falcon-style): split every
+    * doc on `paraSep`, keep only the corpus-wide FIRST occurrence of each
+    * paragraph (ordered by doc id, then position), and rebuild each doc
+    * from its surviving paragraphs. The global keep-first is one
+    * row_number window partitioned BY PARAGRAPH HASH — a uniform 60-bit
+    * key, so the shuffle balances at any corpus size (contrast a
+    * partition-less window); the rebuild groups back by doc id.
+    * Output: (doc_id, n_paras, n_kept, clean_text).
+    */
+  def paragraphDedup(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", paraSep: String = "\n"): DataFrame = {
+    val paras = norm(docs, idCol, textCol)
+      .select(col("doc_id"),
+        posexplode(filter(split(col("text"), java.util.regex.Pattern.quote(paraSep)),
+          x => x =!= "")).as(Seq("pos", "para")))
+      .withColumn("h", expr(h60("para")))
+    val firstWin = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))
+    paras
+      .withColumn("keep", row_number().over(firstWin) === 1)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("keep"),
+              struct(col("pos"), col("para"))))),
+            s => s.getField("para")),
+          paraSep).as("clean_text"))
+  }
+
+  // ==================== driver-checked query bindings ====================
+
+  // ---- PII fixture: splice synthetic PII into the (PII-free) corpus by
+  // doc_id arithmetic — identical construction in both engines, so the
+  // detector sees per-doc-varying email/IP/phone populations.
+  private def dirtyDocs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.documents(s, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com now"))).otherwise(lit("")),
+        when(col("doc_id") % 5 < 2,
+          concat(lit(" node 10.2."), (col("doc_id") % 250).cast("string"),
+            lit(".7 up"))).otherwise(lit("")),
+        when(col("doc_id") % 7 < 3,
+          concat(lit(" call 555-010-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" today"))).otherwise(lit(""))).as("text"))
+
+  private val dirtySql = """SELECT doc_id, text
+      || CASE WHEN doc_id % 3 = 0
+        THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com now' ELSE '' END
+      || CASE WHEN doc_id % 5 < 2
+        THEN ' node 10.2.' || CAST(doc_id % 250 AS VARCHAR) || '.7 up' ELSE '' END
+      || CASE WHEN doc_id % 7 < 3
+        THEN ' call 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today' ELSE '' END
+      AS text FROM documents"""
+
+  private val qPii = GraftQuery(
+    "qt_pii_redact",
+    (s, dir) => piiRedact(dirtyDocs(s, dir)).orderBy(col("doc_id")),
+    Some(s"""WITH d AS ($dirtySql)
+    SELECT doc_id,
+      len(regexp_extract_all(text, '$EmailRe')) AS n_emails,
+      len(regexp_extract_all(text, '$Ipv4Re')) AS n_ips,
+      len(regexp_extract_all(text, '$PhoneRe')) AS n_phones,
+      regexp_replace(regexp_replace(regexp_replace(text,
+        '$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g'),
+        '$PhoneRe', '<PHONE>', 'g') AS redacted_text
+    FROM d ORDER BY doc_id"""))
+
+  // ---- line-view fixture for the C4 filter: 4-token chunks, with '.'
+  // appended unless (doc_id + i) % 3 = 0 — so the terminal-punctuation,
+  // min-words (short tail chunks), and blocklist ('slow' is corpus
+  // vocabulary) rules all bite.
+  private def lineViewDf(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.documents(s, dir)
+      .withColumn("toks", expr(toksExpr))
+      .withColumn("lines0", expr(
+        "CASE WHEN size(toks) = 0 THEN cast(array() as array<string>) ELSE " +
+          "transform(sequence(1, cast(ceil(size(toks) / 4.0) as int)), " +
+          "i -> concat(array_join(slice(toks, (i - 1) * 4 + 1, 4), ' '), " +
+          "CASE WHEN (doc_id + i) % 3 = 0 THEN '' ELSE '.' END)) END"))
+      .select(col("doc_id"), array_join(col("lines0"), "\n").as("text"))
+
+  private val lineViewSql = s"""SELECT doc_id, array_to_string(
+      CASE WHEN len(toks) = 0 THEN []
+        ELSE list_transform(generate_series(1, CAST(ceil(len(toks) / 4.0) AS BIGINT)),
+          i -> array_to_string(toks[(i-1)*4+1:i*4], ' ')
+            || CASE WHEN (doc_id + i) % 3 = 0 THEN '' ELSE '.' END) END,
+      chr(10)) AS text
+    FROM (SELECT doc_id, $toksSql AS toks FROM documents)"""
+
+  private val qC4 = GraftQuery(
+    "qt_c4_line_filter",
+    (s, dir) => c4LineFilter(lineViewDf(s, dir), minWords = 4,
+      blockWords = Seq("slow")).orderBy(col("doc_id")),
+    Some(s"""WITH lv AS ($lineViewSql),
+    l AS (SELECT doc_id,
+      list_filter(regexp_split_to_array(text, '\\n'), x -> x != '') AS lines FROM lv),
+    k AS (SELECT doc_id, lines,
+      list_filter(lines, x -> regexp_matches(x, '[.!?]$$')
+        AND len(list_filter(regexp_split_to_array(x, ' '), w -> w != '')) >= 4
+        AND instr(lower(x), 'slow') = 0) AS kept FROM l)
+    SELECT doc_id, len(lines) AS n_lines, len(kept) AS n_kept,
+      CASE WHEN len(lines) = 0 THEN 0.0
+        ELSE CAST(len(kept) AS DOUBLE) / len(lines) END AS kept_ratio,
+      coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+    FROM k ORDER BY doc_id"""))
+
+  // ---- paragraph view for cross-doc dedup: 3-token chunks. The tiny
+  // vocabulary makes cross-document chunk collisions common, so the
+  // corpus-wide keep-first policy is exercised hard (most docs lose
+  // paragraphs to earlier docs).
+  private def paraViewDf(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.documents(s, dir)
+      .withColumn("toks", expr(toksExpr))
+      .withColumn("paras0", expr(
+        "CASE WHEN size(toks) = 0 THEN cast(array() as array<string>) ELSE " +
+          "transform(sequence(1, cast(ceil(size(toks) / 3.0) as int)), " +
+          "i -> array_join(slice(toks, (i - 1) * 3 + 1, 3), ' ')) END"))
+      .select(col("doc_id"), array_join(col("paras0"), "\n").as("text"))
+
+  private val paraViewSql = s"""SELECT doc_id, array_to_string(
+      CASE WHEN len(toks) = 0 THEN []
+        ELSE list_transform(generate_series(1, CAST(ceil(len(toks) / 3.0) AS BIGINT)),
+          i -> array_to_string(toks[(i-1)*3+1:i*3], ' ')) END,
+      chr(10)) AS text
+    FROM (SELECT doc_id, $toksSql AS toks FROM documents)"""
+
+  private val qParaDedup = GraftQuery(
+    "qt_para_dedup",
+    (s, dir) => paragraphDedup(paraViewDf(s, dir)).orderBy(col("doc_id")),
+    Some(s"""WITH pv AS ($paraViewSql),
+    p0 AS (SELECT doc_id,
+      list_filter(regexp_split_to_array(text, '\\n'), x -> x != '') AS paras FROM pv),
+    px AS (SELECT doc_id,
+      unnest(list_transform(generate_series(1, len(paras)),
+        i -> struct_pack(pos := i, para := paras[i]))) AS s FROM p0),
+    p2 AS (SELECT doc_id, s.pos AS pos, s.para AS para FROM px),
+    r AS (SELECT doc_id, pos, para,
+      ROW_NUMBER() OVER (PARTITION BY ${h60Sql("para")}
+        ORDER BY doc_id, pos) = 1 AS keep FROM p2)
+    SELECT doc_id, COUNT(*) AS n_paras,
+      CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      coalesce(array_to_string(list(para ORDER BY pos) FILTER (WHERE keep), chr(10)), '')
+        AS clean_text
+    FROM r GROUP BY doc_id ORDER BY doc_id"""))
+
+  val queries: Seq[GraftQuery] = Seq(qPii, qC4, qParaDedup)
+}

@@ -84,6 +84,48 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top.toSeq == Seq((100L, 1, 101L)), s"got ${top.toSeq}")
   }
 
+  test("piiRedact counts and redacts emails, IPs, phones on custom columns") {
+    import spark.implicits._
+    val md = Seq(
+      (1L, "write a@b.io or c.d+x@e.org from 10.0.0.7 call 555-010-1234 end"),
+      (2L, "no pii here")).toDF("post_id", "body")
+    val out = CurationOps.piiRedact(md, idCol = "post_id", textCol = "body")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))))
+      .toMap
+    assert(out(1L) == ((2, 1, 1,
+      "write <EMAIL> or <EMAIL> from <IP> call <PHONE> end")), s"got $out")
+    assert(out(2L) == ((0, 0, 0, "no pii here")), s"got $out")
+  }
+
+  test("c4LineFilter applies punctuation, min-words, and blocklist rules") {
+    import spark.implicits._
+    val md = Seq((1L, Seq(
+      "a good long sentence here.",   // kept
+      "too short.",                   // < 4 words
+      "no terminal punctuation at all", // no [.!?]
+      "contains the BLOCKED word javascript today.").mkString("\n")))
+      .toDF("post_id", "body")
+    val r = CurationOps.c4LineFilter(md, idCol = "post_id", textCol = "body")
+      .collect().head
+    assert((r.getInt(1), r.getInt(2), r.getString(4)) ==
+      ((4, 1, "a good long sentence here.")), s"got $r")
+  }
+
+  test("paragraphDedup keeps the corpus-wide first occurrence only") {
+    import spark.implicits._
+    val md = Seq(
+      (1L, "alpha beta\nshared para\ngamma"),
+      (2L, "shared para\ndelta\nshared para")).toDF("post_id", "body")
+    val out = CurationOps.paragraphDedup(md, idCol = "post_id", textCol = "body")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // doc 1 owns "shared para" (lowest doc_id); doc 2 loses both copies
+    assert(out(1L) == ((3L, 3L, "alpha beta\nshared para\ngamma")), s"got $out")
+    assert(out(2L) == ((3L, 1L, "delta")), s"got $out")
+  }
+
   test("sampleFrames yields zero frames for an empty payload") {
     import spark.implicits._
     val assets = Seq(
