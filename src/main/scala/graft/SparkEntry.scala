@@ -16,7 +16,8 @@ object SparkEntry {
   def registry: Seq[GraftQuery] =
     Relational.queries ++ Relational2.queries ++ Relational3.queries ++
       Windows.queries ++ EventsQueries.queries ++
-      TextOps.queries ++ CurationOps.queries ++ DedupOps.queries ++
+      TextOps.queries ++ CurationOps.queries ++ MixOps.queries ++
+      DedupOps.queries ++
       SimilarityOps.queries ++ MultimodalOps.queries ++ ProfileOps.queries ++
       RoutingQueries.queries
 

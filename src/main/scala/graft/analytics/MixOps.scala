@@ -1,0 +1,189 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.api.GraftQuery
+import graft.functions.GraftFunctions.graft_nfc
+import Nlp._
+
+/** Corpus-assembly operators — the stages between "cleaned documents" and
+  * "training batches": Unicode normalization, temperature-based domain
+  * mixing, and fixed-token-budget sequence packing. Column-parameterized
+  * public API over any DataFrame, plus driver-checked bindings on
+  * `documents`.
+  *
+  * Scale shapes:
+  *  - [[normalizeText]] is map-only (native [[graft.functions.NfcNormalize]]
+  *    expression, stays in whole-stage codegen).
+  *  - [[domainMix]] aggregates one tiny per-domain frame (domains are
+  *    bounded — languages/sources, not documents), broadcasts the rates
+  *    back, and filters map-side: one small-key aggregation, no corpus
+  *    shuffle beyond it.
+  *  - [[packSequences]] is the one windowed op, and its window is
+  *    PARTITIONED by a hash bucket: each of `buckets` streams is packed
+  *    independently (the concatenate-and-chunk order is only ever defined
+  *    per stream), so no global sort / single-task window exists at any
+  *    scale — raise `buckets` with the cluster, each task packs one bucket.
+  */
+object MixOps {
+
+  private def norm(docs: DataFrame, idCol: String, textCol: String) =
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+
+  // ======================= public operator API =======================
+
+  /** Unicode NFC + lowercase + whitespace-collapse + trim. The canonical
+    * first pass before anything content-addressed (fingerprints, shingle
+    * hashes, exact dedup) — combining-mark and precomposed spellings of
+    * the same glyph otherwise hash apart. `changed` marks rows the
+    * normalization actually rewrote.
+    */
+  def normalizeText(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    norm(docs, idCol, textCol)
+      .select(
+        col("doc_id"),
+        trim(regexp_replace(lower(graft_nfc(col("text"))), "\\s+", " "))
+          .as("norm_text"),
+        col("text"))
+      .select(
+        col("doc_id"),
+        col("norm_text"),
+        length(col("norm_text")).as("n_chars_norm"),
+        (col("norm_text") =!= col("text")).as("changed"))
+
+  /** Temperature-based domain rebalancing (the multilingual-sampling rule
+    * from the mT5/XLM-R line of work): a domain with corpus share `s_d`
+    * is sampled proportionally to `s_d^(1/T)`, flattening the distribution
+    * toward uniform as T grows. Rates are scaled so the most-upweighted
+    * domain keeps everything (keep-rate 1.0) and every other domain is
+    * down-sampled deterministically by content hash — reproducible across
+    * runs, engines, and cluster layouts, unlike `rand()`-based sampling.
+    *
+    * keep_d = (s_d^(1/T) / s_d)  normalized to max 1
+    *        = (1/s_d)^((T-1)/T)  / max_d'(...)   — rarest domain → 1.0.
+    *
+    * Returns one row per domain: (domain, n_docs, n_kept). Per-doc keep
+    * decisions are exposed via [[domainMixKeep]].
+    */
+  def domainMix(docs: DataFrame, domainCol: String = "lang",
+      textCol: String = "text", temperature: Double = 2.0,
+      salt: String = "mix"): DataFrame =
+    domainMixKeep(docs, domainCol, textCol, temperature, salt)
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy(col("domain"))
+
+  /** Per-document keep decision for [[domainMix]] — joinable back to the
+    * corpus by the caller. Output: (domain, doc_hash_ratio, keep) plus all
+    * original columns.
+    */
+  def domainMixKeep(docs: DataFrame, domainCol: String = "lang",
+      textCol: String = "text", temperature: Double = 2.0,
+      salt: String = "mix"): DataFrame = {
+    require(temperature >= 1.0, s"temperature must be >= 1, got $temperature")
+    val d = docs.withColumn("domain", col(domainCol))
+    // Tiny frame: one row per domain. The unpartitioned windows below run
+    // on those few rows, never on the corpus.
+    val cnts = d.groupBy("domain").agg(count(lit(1)).as("cnt"))
+      .withColumn("total", sum(col("cnt")).over(Window.partitionBy()))
+      // r_d = (total/cnt_d)^((T-1)/T), the unnormalized upweight factor.
+      // T=2 is expressed via sqrt, which IEEE requires to be correctly
+      // rounded — bit-identical across engines, unlike pow's 1-ulp slack;
+      // the oracle binding relies on that.
+      .withColumn("r", {
+        val base = col("total").cast("double") / col("cnt").cast("double")
+        if (temperature == 2.0) sqrt(base)
+        else pow(base, lit((temperature - 1.0) / temperature))
+      })
+      .withColumn("keep_rate", col("r") / max(col("r")).over(Window.partitionBy()))
+      .select("domain", "keep_rate")
+    d.join(broadcast(cnts), "domain")
+      .withColumn("doc_hash_ratio",
+        (expr(h60(s"concat(${textCol}, '|$salt')")) % 1000000L).cast("double")
+          / lit(1000000.0))
+      .withColumn("keep", col("doc_hash_ratio") < col("keep_rate"))
+  }
+
+  /** Concatenate-and-chunk sequence packing — assign every document a
+    * (bucket, seq_id, seq_offset): documents are ordered deterministically
+    * by content hash inside each of `buckets` hash-partitioned streams,
+    * token counts are prefix-summed, and a document belongs to the
+    * `budget`-token training sequence its first token lands in (the GPT
+    * concat-then-chunk recipe; a doc straddling a boundary starts the
+    * spillover into the next chunk).
+    *
+    * The window is partitioned on the hash bucket, so packing is
+    * embarrassingly parallel across buckets — there is no global-order
+    * cumsum anywhere (that would be the single-task window trap).
+    */
+  def packSequences(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", budget: Int = 256,
+      buckets: Int = 16): DataFrame = {
+    require(budget > 0 && buckets > 0)
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("fp"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    norm(docs, idCol, textCol)
+      .withColumn("toks", expr(toksExpr))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("fp", expr(h60("text")))
+      .withColumn("bucket", (col("fp") % buckets).cast("int"))
+      .withColumn("cum", sum(col("n_tokens").cast("long")).over(w))
+      .select(
+        col("doc_id"), col("n_tokens"), col("bucket"),
+        expr(s"(cum - n_tokens) div $budget").as("seq_id"),
+        ((col("cum") - col("n_tokens")) % budget).as("seq_offset"))
+  }
+
+  // ==================== driver-checked bindings ======================
+
+  private val qNormalize = GraftQuery(
+    "qt_normalize",
+    (s, dir) => normalizeText(Tables.documents(s, dir)).orderBy(col("doc_id")),
+    Some("""WITH t AS (SELECT doc_id,
+      trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS norm_text,
+      text FROM documents)
+    SELECT doc_id, norm_text, length(norm_text) AS n_chars_norm,
+      norm_text != text AS changed
+    FROM t ORDER BY doc_id"""))
+
+  private val qDomainMix = GraftQuery(
+    "qt_domain_mix",
+    (s, dir) => domainMix(Tables.documents(s, dir)),
+    Some(s"""WITH d AS (SELECT lang AS domain, text FROM documents),
+    c AS (SELECT domain, COUNT(*) AS cnt, SUM(COUNT(*)) OVER () AS total
+      FROM d GROUP BY domain),
+    r AS (SELECT domain, sqrt(CAST(total AS DOUBLE) / CAST(cnt AS DOUBLE)) AS r FROM c),
+    k AS (SELECT domain, r / MAX(r) OVER () AS keep_rate FROM r),
+    dec AS (SELECT d.domain,
+      CAST(${h60Sql("d.text || '|mix'")} % 1000000 AS DOUBLE) / 1000000.0
+        < k.keep_rate AS keep
+      FROM d JOIN k ON d.domain = k.domain)
+    SELECT domain, COUNT(*) AS n_docs,
+      CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM dec GROUP BY domain ORDER BY domain"""))
+
+  private val PackBudget = 256
+  private val PackBuckets = 16
+
+  private val qSeqPack = GraftQuery(
+    "qt_seq_pack",
+    (s, dir) => packSequences(Tables.documents(s, dir),
+      budget = PackBudget, buckets = PackBuckets).orderBy(col("doc_id")),
+    Some(s"""WITH t AS (SELECT doc_id, len($toksSql) AS n_tokens,
+      ${h60Sql("text")} AS fp FROM documents),
+    b AS (SELECT doc_id, n_tokens, fp, CAST(fp % $PackBuckets AS INT) AS bucket FROM t),
+    c AS (SELECT doc_id, n_tokens, bucket,
+      CAST(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY fp, doc_id
+        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM b)
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, bucket,
+      (cum - n_tokens) // $PackBudget AS seq_id,
+      (cum - n_tokens) % $PackBudget AS seq_offset
+    FROM c ORDER BY doc_id"""))
+
+  def queries: Seq[GraftQuery] = Seq(qNormalize, qDomainMix, qSeqPack)
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.api.GraftQuery
-import graft.functions.GraftFunctions.graft_dot
+import graft.functions.GraftFunctions.{graft_dot, graft_idot}
 import DedupOps.{dotFoldSql, normFoldSql}
 import Nlp.h60Sql
 
@@ -278,5 +278,63 @@ object SimilarityOps {
     Some(s"""${recallBranchSql("ivf", ivfSql)}
       UNION ALL ${recallBranchSql("lsh", lshSql)} ORDER BY method"""))
 
-  val queries: Seq[GraftQuery] = Seq(qBrute, qAnnLsh, qAnnIvf, qRecall)
+  /** int8 scalar-quantized top-k — the memory-bandwidth scale path real
+    * vector stores use (FAISS `SQ8`): each vector is quantized once,
+    * map-only, to `round(x·127/maxabs)` ∈ [-127, 127]; candidates are
+    * scored by the EXACT integer dot product of the quantized vectors
+    * (native codegen'd [[graft.functions.IntDot]], bigint — no float
+    * drift, hash-identical across engines). At 100 TB the quantized
+    * column is what ships through the shuffle/broadcast: 4 bytes/element
+    * as a Spark int array, 1 byte packed to BINARY in a storage-side
+    * production variant — either way a 2–8× cut of the dominant cost,
+    * scan bandwidth. Composes with [[annLsh]]/[[annIvf]] bucketing: the
+    * quantized rerank replaces the exact rerank inside buckets.
+    * Output: (query_id, rank, cand_id, qscore).
+    */
+  def sqTopK(corpus: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame, k: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): org.apache.spark.sql.DataFrame = {
+    def quant(df: org.apache.spark.sql.DataFrame) =
+      df.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
+        .withColumn("m", expr("array_max(transform(v, x -> abs(x)))"))
+        .withColumn("qv", expr(
+          "CASE WHEN m = 0D THEN transform(v, x -> 0) " +
+            "ELSE transform(v, x -> cast(round(x * 127.0 / m) as int)) END"))
+    val q = quant(queries)
+      .select(col("vec_id").as("query_id"), col("qv").as("qa"))
+    val pairs = quant(corpus)
+      .select(col("vec_id").as("cand_id"), col("qv").as("qb"))
+      .crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("qscore", graft_idot(col("qa"), col("qb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qscore").desc, col("cand_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("qscore"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val sqSql = s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    mx AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM e),
+    z AS (SELECT vec_id, CASE WHEN m = 0 THEN list_transform(v, x -> 0)
+      ELSE list_transform(v, x -> CAST(round(x * 127.0 / m) AS INT)) END AS qv FROM mx),
+    p AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.qv AS qa, c.qv AS qb
+      FROM z q JOIN z c ON q.vec_id < $NQ AND q.vec_id <> c.vec_id),
+    sc AS (SELECT query_id, cand_id, CAST(list_sum(list_transform(
+      generate_series(1, len(qa)), i -> CAST(qa[i] AS BIGINT) * qb[i])) AS BIGINT) AS qscore
+      FROM p),
+    rk AS (SELECT query_id, cand_id, qscore,
+      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qscore DESC, cand_id) AS rank
+      FROM sc)
+    SELECT query_id, rank, cand_id, qscore FROM rk WHERE rank <= $K
+    ORDER BY query_id, rank"""
+
+  private val qSq = GraftQuery(
+    "qs_sq_topk",
+    (s, dir) => sqTopK(Tables.embeddings(s, dir),
+      Tables.embeddings(s, dir).filter(col("vec_id") < NQ), K),
+    Some(sqSql))
+
+  val queries: Seq[GraftQuery] = Seq(qBrute, qAnnLsh, qAnnIvf, qRecall, qSq)
 }

@@ -52,6 +52,46 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     copy(left = l, right = r)
 }
 
+/** Σ aᵢ·bᵢ over two ARRAY<INT> columns, exact BIGINT accumulation — the
+  * scoring kernel for int8-scalar-quantized similarity ([[graft.analytics
+  * .SimilarityOps.sqTopK]]). Kept separate from [[DotProduct]] so quantized
+  * vectors ship at 4 bytes/element (at scale they'd pack to BINARY at 1;
+  * the int array is the Spark-typed middle ground) and the score stays an
+  * exact integer — hash-comparable across engines with no float concerns.
+  */
+case class IntDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_idot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += x.getInt(i).toLong * y.getInt(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        long $acc = 0L;
+        for (int $i = 0; $i < $n; $i++) {
+          $acc += (long) $a.getInt($i) * (long) $b.getInt($i);
+        }
+        ${ev.value} = $acc;
+      """
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** 60-bit SimHash over an ARRAY<BIGINT> of token hashes: per-bit majority
   * vote (strict `2·ones > n`), bits 0..59.
   */
@@ -233,6 +273,11 @@ object GraftFunctions {
     GraftColumnBridge.column(MinHashSig(GraftColumnBridge.expression(sh), k))
   def graft_minhash_affine(hs: Column, k: Int): Column =
     GraftColumnBridge.column(MinHashAffine(GraftColumnBridge.expression(hs), k))
+  def graft_nfc(s: Column): Column =
+    GraftColumnBridge.column(NfcNormalize(GraftColumnBridge.expression(s)))
+  def graft_idot(a: Column, b: Column): Column =
+    GraftColumnBridge.column(IntDot(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
   /** SQL surface: `SELECT graft_dot(a, b)` after registration. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -241,5 +286,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_simhash60", es => SimHash60(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash_affine", es => MinHashAffine(es.head,
       es(1).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("graft_nfc", es => NfcNormalize(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_idot", es => IntDot(es.head, es(1)), "built-in")
   }
 }

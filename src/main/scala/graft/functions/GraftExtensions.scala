@@ -24,5 +24,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashAffine].getName, "graft_minhash_affine"),
       (es: Seq[Expression]) => MinHashAffine(es.head,
         es(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (es: Seq[Expression]) => NfcNormalize(es.head)))
+    ext.injectFunction((FunctionIdentifier("graft_idot"),
+      new ExpressionInfo(classOf[IntDot].getName, "graft_idot"),
+      (es: Seq[Expression]) => IntDot(es.head, es(1))))
   }
 }

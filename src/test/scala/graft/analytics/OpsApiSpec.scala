@@ -223,6 +223,78 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(3L) == ((false, false, false)), s"got $out")
   }
 
+  test("normalizeText applies NFC + lowercase + whitespace collapse") {
+    import spark.implicits._
+    val md = Seq(
+      (1L, "  Hello\t\tWORLD  "),
+      (2L, "Cafe\u0301"),       // combining acute -> precomposed e\u0301... NFC
+      (3L, "already clean")).toDF("post_id", "body")
+    val out = MixOps.normalizeText(md, idCol = "post_id", textCol = "body")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(3)))).toMap
+    assert(out(1L) == (("hello world", true)), s"got $out")
+    assert(out(2L) == (("caf\u00e9", true)), s"got $out")
+    assert(out(3L) == (("already clean", false)), s"got $out")
+  }
+
+  test("packSequences: partitioned packing covers every doc, offsets stay in budget") {
+    import spark.implicits._
+    val md = (1L to 100L).map(i => (i, ("w " * (i.toInt % 13 + 1)).trim))
+      .toDF("post_id", "body")
+    val out = MixOps.packSequences(md, idCol = "post_id", textCol = "body",
+      budget = 16, buckets = 4).collect()
+    assert(out.length == 100)
+    assert(out.forall(r => r.getInt(2) >= 0 && r.getInt(2) < 4))                 // bucket
+    assert(out.forall(r => r.getLong(4) >= 0 && r.getLong(4) < 16))              // seq_offset
+    // within a (bucket, seq_id), summed tokens of docs STARTING there stay
+    // under budget + the straddling doc's length; seq ids are dense from 0
+    val perBucket = out.groupBy(_.getInt(2))
+    perBucket.foreach { case (_, rows) =>
+      val seqs = rows.map(_.getLong(3)).distinct.sorted
+      assert(seqs.head == 0L)
+    }
+    // deterministic across runs
+    val again = MixOps.packSequences(md, idCol = "post_id", textCol = "body",
+      budget = 16, buckets = 4).collect()
+    assert(out.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
+
+  test("domainMix keeps all of the rarest domain and downsamples the rest") {
+    import spark.implicits._
+    val md = ((1 to 80).map(i => (s"en doc $i ${"filler " * (i % 5)}", "en")) ++
+      (1 to 5).map(i => (s"rare doc $i", "rare"))).toDF("body", "src")
+    val out = MixOps.domainMix(md, domainCol = "src", textCol = "body")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("rare") == ((5L, 5L)), s"rarest domain must keep everything: $out")
+    assert(out("en")._1 == 80L && out("en")._2 < 80L,
+      s"dominant domain must be downsampled: $out")
+    assert(intercept[IllegalArgumentException](
+      MixOps.domainMix(md, domainCol = "src", textCol = "body",
+        temperature = 0.5)).getMessage.contains("temperature"))
+  }
+
+  test("sqTopK agrees with exact cosine on well-separated vectors") {
+    import spark.implicits._
+    // 3 orthogonal-ish clusters; quantization cannot reorder a clear margin.
+    val base = Seq(
+      Seq.tabulate(8)(i => if (i < 3) 1.0f else 0.0f),
+      Seq.tabulate(8)(i => if (i >= 3 && i < 6) 1.0f else 0.0f),
+      Seq.tabulate(8)(i => if (i >= 6) 1.0f else 0.0f))
+    val vecs = (0 until 9).map(i =>
+      (i.toLong, base(i % 3).zipWithIndex.map { case (x, j) =>
+        x + 0.01f * ((i * 7 + j) % 5)}))
+    val df = vecs.toDF("vid", "emb")
+    val out = SimilarityOps.sqTopK(df, df.filter($"vid" < 3), k = 2,
+      idCol = "vid", vecCol = "emb").collect()
+    assert(out.length == 6)
+    // each query's top-2 come from its own cluster
+    out.foreach { r =>
+      assert(r.getLong(2) % 3 == r.getLong(0) % 3,
+        s"query ${r.getLong(0)} matched cross-cluster cand ${r.getLong(2)}")
+    }
+    // scores are exact ints bounded by 127*127*dim
+    assert(out.forall(r => math.abs(r.getLong(3)) <= 127L * 127 * 8))
+  }
+
   test("text ops on custom column names") {
     val stats = TextOps.tokenStats(docs, idCol = "post_id", textCol = "body")
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap

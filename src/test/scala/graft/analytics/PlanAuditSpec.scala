@@ -74,6 +74,25 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q15 scalar-max equality regressed to a cartesian")
   }
 
+  test("qt_seq_pack's packing window is hash-partitioned, never global") {
+    val plan = graft.SparkEntry.queries("qt_seq_pack")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      "packing cumsum must partition by bucket, not run on one task")
+    assert(plan.contains("hashpartitioning(bucket"),
+      s"expected a bucket hash-partitioned window exchange, got:\n$plan")
+  }
+
+  test("qt_domain_mix aggregates domains small and broadcasts rates back") {
+    val plan = graft.SparkEntry.queries("qt_domain_mix")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "per-domain keep-rates must broadcast back to the corpus scan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("SortMergeJoin"),
+      "rate join must not shuffle the corpus")
+  }
+
   test("brute-force baseline broadcasts the query side, never the corpus") {
     val plan = graft.SparkEntry.queries("qs_topk_bruteforce")(spark, sf)
       .queryExecution.executedPlan.toString

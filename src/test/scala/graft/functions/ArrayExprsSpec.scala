@@ -79,9 +79,43 @@ class ArrayExprsSpec extends AnyFunSuite with BeforeAndAfterAll {
     got.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
   }
 
+  test("IntDot == aggregate(zip_with(...)) exact integer fold") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 200).map { _ =>
+      (Seq.fill(64)(rnd.nextInt(255) - 127), Seq.fill(64)(rnd.nextInt(255) - 127))
+    }
+    val df = rows.toDF("qa", "qb")
+    val got = df.select(
+      GraftFunctions.graft_idot(col("qa"), col("qb")).as("fast"),
+      expr("aggregate(zip_with(qa, qb, (x, y) -> cast(x as bigint) * y), " +
+        "cast(0 as bigint), (acc, v) -> acc + v)").as("slow")).collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("NfcNormalize recomposes combining marks; identity on NFC input") {
+    import spark.implicits._
+    // "café" with a combining acute (e + U+0301) vs precomposed U+00E9.
+    val combining = "cafe\u0301 cre\u0300me"
+    val precomposed = "caf\u00e9 cr\u00e8me"
+    val df = Seq((combining, precomposed), ("plain ascii", "plain ascii"))
+      .toDF("a", "b")
+    val got = df.select(
+      GraftFunctions.graft_nfc(col("a")).as("na"),
+      GraftFunctions.graft_nfc(col("b")).as("nb")).collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1)))
+    assert(got.head.getString(0) == precomposed)
+    // null passes through
+    val n = df.select(GraftFunctions.graft_nfc(lit(null).cast("string"))).collect()
+    assert(n.head.isNullAt(0))
+  }
+
   test("expressions are SQL-registered and callable") {
     GraftFunctions.register(spark)
     val r = spark.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").collect()
     assert(r.head.getDouble(0) == 11.0)
+    val i = spark.sql("SELECT graft_idot(array(1, 2), array(3, 4)) AS d, " +
+      "graft_nfc('cafe\u0301') AS n").collect()
+    assert(i.head.getLong(0) == 11L && i.head.getString(1) == "caf\u00e9")
   }
 }
