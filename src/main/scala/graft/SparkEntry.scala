@@ -19,7 +19,7 @@ object SparkEntry {
       TextOps.queries ++ CurationOps.queries ++ MixOps.queries ++
       DedupOps.queries ++
       SimilarityOps.queries ++ MultimodalOps.queries ++ ProfileOps.queries ++
-      RoutingQueries.queries
+      SkewOps.queries ++ RoutingQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -139,6 +139,34 @@ object MixOps {
         ((col("cum") - col("n_tokens")) % budget).as("seq_offset"))
   }
 
+  /** Sliding token-window chunking — the RAG / context-window-prep op:
+    * split each document into windows of `size` tokens advancing by
+    * `stride` (overlap = size - stride). Map-only: tokenize, compute the
+    * window count with integer math, explode, slice. Empty documents
+    * yield no chunks. Output: (doc_id, chunk_idx, chunk_tokens,
+    * chunk_text).
+    *
+    * Window count for n tokens: 1 + ceil(max(0, n - size) / stride) —
+    * every token is covered, the last window may be short.
+    */
+  def chunkTokens(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", size: Int = 64, stride: Int = 48): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    norm(docs, idCol, textCol)
+      .withColumn("toks", expr(toksExpr))
+      .withColumn("n", expr("size(toks)"))
+      .filter(col("n") > 0)
+      .withColumn("nchunks",
+        expr(s"1 + (greatest(n - $size, 0) + ${stride - 1}) div $stride").cast("int"))
+      .withColumn("chunk_idx", explode(sequence(lit(0), col("nchunks") - 1)))
+      .select(
+        col("doc_id"), col("chunk_idx"),
+        expr(s"size(slice(toks, chunk_idx * $stride + 1, $size))").as("chunk_tokens"),
+        expr(s"array_join(slice(toks, chunk_idx * $stride + 1, $size), ' ')")
+          .as("chunk_text"))
+  }
+
   // ==================== driver-checked bindings ======================
 
   private val qNormalize = GraftQuery(
@@ -185,5 +213,25 @@ object MixOps {
       (cum - n_tokens) % $PackBudget AS seq_offset
     FROM c ORDER BY doc_id"""))
 
-  def queries: Seq[GraftQuery] = Seq(qNormalize, qDomainMix, qSeqPack)
+  private val ChunkSize = 64
+  private val ChunkStride = 48
+
+  private val qChunk = GraftQuery(
+    "qt_chunk",
+    (s, dir) => chunkTokens(Tables.documents(s, dir),
+        size = ChunkSize, stride = ChunkStride)
+      .orderBy(col("doc_id"), col("chunk_idx")),
+    Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+    n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+    c AS (SELECT doc_id, toks,
+      1 + CAST((greatest(n - $ChunkSize, 0) + ${ChunkStride - 1}) // $ChunkStride AS INT) AS nchunks
+      FROM n),
+    e AS (SELECT doc_id, toks,
+      unnest(generate_series(0, nchunks - 1)) AS chunk_idx FROM c)
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+      CAST(len(toks[chunk_idx * $ChunkStride + 1 : chunk_idx * $ChunkStride + $ChunkSize]) AS INT) AS chunk_tokens,
+      array_to_string(toks[chunk_idx * $ChunkStride + 1 : chunk_idx * $ChunkStride + $ChunkSize], ' ') AS chunk_text
+    FROM e ORDER BY doc_id, chunk_idx"""))
+
+  def queries: Seq[GraftQuery] = Seq(qNormalize, qDomainMix, qSeqPack, qChunk)
 }

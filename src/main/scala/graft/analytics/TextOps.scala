@@ -124,29 +124,32 @@ object TextOps {
       benchmark: org.apache.spark.sql.DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       benchTextCol: String = "text", window: Int = 8): org.apache.spark.sql.DataFrame = {
-    def withHashes(df: org.apache.spark.sql.DataFrame) = df
+    // Base pass: normalized fingerprint + token array, all codegen'd.
+    def base(df: org.apache.spark.sql.DataFrame) = df
       .withColumn("nrm", trim(regexp_replace(lower(col("text")), "\\s+", " ")))
       .withColumn("fp60", expr(h60("nrm")))
       .withColumn("toks", expr(toksExpr))
       .select(col("doc_id"), col("fp60"), col("toks"))
-      // barrier AFTER tokenization: `toks` is a materialized attribute below,
-      // so slice() inside the window lambda is plain array access (fp60 is
-      // uniform, so this also works for the constant-id benchmark side)
-      .repartition(col("fp60"))
-      .withColumn("wh", expr(
-        s"CASE WHEN size(toks) >= $window THEN array_distinct(" +
-          s"transform(sequence(1, size(toks) - $window + 1), " +
-          s"i -> ${h60(s"array_join(slice(toks, i, $window), ' ')")})) " +
-          "ELSE cast(array() as array<bigint>) END"))
-      .select(col("doc_id"), col("fp60"), col("wh"))
-    val tn = withHashes(norm(train, idCol, textCol))
-    val bn = withHashes(
+    // Window hashes as one row per (doc, window): explode the window starts,
+    // then slice/join/md5 as TOP-LEVEL expressions. Keeping the md5 out of a
+    // transform() lambda keeps it inside whole-stage codegen (higher-order
+    // lambdas run interpreted — this was a measured ~5× on the sf0.1 binding),
+    // and the per-doc distinct that the array form needed is subsumed by the
+    // post-join doc_id distinct.
+    def windowHashes(b: org.apache.spark.sql.DataFrame) = b
+      .filter(expr(s"size(toks) >= $window"))
+      .select(col("doc_id"), col("toks"),
+        explode(expr(s"sequence(1, size(toks) - $window + 1)")).as("i"))
+      .select(col("doc_id"),
+        expr(h60(s"array_join(slice(toks, i, $window), ' ')")).as("h"))
+    val tn = base(norm(train, idCol, textCol))
+    val bn = base(
       benchmark.select(col(benchTextCol).as("text"), lit(0L).as("doc_id")))
     val bfp = bn.select(col("fp60").as("bfp")).distinct()
-    val bwh = bn.select(explode(col("wh")).as("bh")).distinct()
+    val bwh = windowHashes(bn).select(col("h").as("bh")).distinct()
     val exact = tn.join(broadcast(bfp), col("fp60") === col("bfp"), "left_semi")
       .select(col("doc_id")).withColumn("e", lit(true))
-    val part = tn.select(col("doc_id"), explode(col("wh")).as("h"))
+    val part = windowHashes(tn)
       .join(broadcast(bwh), col("h") === col("bh"), "left_semi")
       .select(col("doc_id")).distinct().withColumn("p", lit(true))
     tn.select(col("doc_id"))

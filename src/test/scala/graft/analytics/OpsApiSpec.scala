@@ -295,6 +295,45 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.forall(r => math.abs(r.getLong(3)) <= 127L * 127 * 8))
   }
 
+  test("chunkTokens covers every token with the configured overlap") {
+    import spark.implicits._
+    val md = Seq(
+      (1L, (1 to 150).map(i => s"t$i").mkString(" ")),   // 150 toks → 3 chunks
+      (2L, "a b c"),                                     // short → 1 chunk
+      (3L, "")).toDF("post_id", "body")                  // empty → no chunks
+    val out = MixOps.chunkTokens(md, idCol = "post_id", textCol = "body",
+      size = 64, stride = 48).collect()
+    val byDoc = out.groupBy(_.getLong(0))
+    assert(!byDoc.contains(3L))
+    assert(byDoc(2L).map(r => (r.getInt(1), r.getInt(2), r.getString(3))).toSeq ==
+      Seq((0, 3, "a b c")))
+    val c1 = byDoc(1L).sortBy(_.getInt(1)).map(r => (r.getInt(1), r.getInt(2)))
+    // chunks start at 0, 48, 96: sizes 64, 64, 54 — all 150 tokens covered
+    assert(c1.toSeq == Seq((0, 64), (1, 64), (2, 54)), s"got ${c1.toSeq}")
+    val texts = byDoc(1L).sortBy(_.getInt(1)).map(_.getString(3))
+    assert(texts(0).endsWith("t64") && texts(1).startsWith("t49") &&
+      texts(2).endsWith("t150"))
+  }
+
+  test("salted agg and join are result-identical to the unsalted plans") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    // hot key: 900 of 1000 rows share key 1
+    val fact = (1 to 1000).map(i =>
+      (if (i <= 900) 1L else i.toLong, i.toLong)).toDF("k", "v")
+    val dim = (1 to 100).map(i => (i.toLong, s"name$i")).toDF("k", "nm")
+    val direct = fact.groupBy("k").agg(sum("v").as("s"), count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = SkewOps.saltedAgg(fact, Seq("k"), col("v"), salts = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted == direct)
+    val dj = fact.join(dim, "k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    val sj = SkewOps.saltedJoin(fact, dim, "k", salts = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(sj == dj, s"salted join changed the result: ${sj.size} vs ${dj.size}")
+  }
+
   test("text ops on custom column names") {
     val stats = TextOps.tokenStats(docs, idCol = "post_id", textCol = "body")
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
