@@ -17,6 +17,7 @@ object SparkEntry {
     Relational.queries ++ Relational2.queries ++ Relational3.queries ++
       Windows.queries ++ EventsQueries.queries ++
       TextOps.queries ++ CurationOps.queries ++ MixOps.queries ++
+      VocabOps.queries ++
       DedupOps.queries ++
       SimilarityOps.queries ++ MultimodalOps.queries ++ ProfileOps.queries ++
       SkewOps.queries ++ RoutingQueries.queries

@@ -120,6 +120,51 @@ object CurationOps {
           paraSep).as("clean_text"))
   }
 
+  /** The full Dolma/C4-style curation recipe as ONE composed call — the
+    * user-story entry point proving the tier composes: PII redaction →
+    * within-doc line dedup → C4 line filtering → Unicode/case/whitespace
+    * normalization → corpus-wide exact dedup → quality scoring, with a
+    * final keep decision. Every stage is the already-oracle-checked
+    * operator; this function only wires columns (OpsApiSpec pins the
+    * end-to-end behavior).
+    *
+    * Scale: stages 1–4 are map-only; exact dedup is the single corpus
+    * shuffle (uniform md5 key); quality is map-only again. Output:
+    * (doc_id, clean_text, n_pii, is_dup, quality, kept).
+    */
+  def curationPipeline(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minQuality: Double = 0.0,
+      lineSep: String = "\n"): DataFrame = {
+    val pii = piiRedact(docs, idCol, textCol)
+      .select(col("doc_id"),
+        (col("n_emails") + col("n_ips") + col("n_phones")).as("n_pii"),
+        col("redacted_text"))
+    val ld = TextOps.lineDedup(pii, idCol = "doc_id",
+        textCol = "redacted_text", lineSep = lineSep)
+      .select(col("doc_id"), col("clean_text").as("deduped_text"))
+    val c4 = c4LineFilter(ld, idCol = "doc_id", textCol = "deduped_text",
+        lineSep = lineSep)
+      .select(col("doc_id"), col("clean_text").as("filtered_text"))
+    val nt = MixOps.normalizeText(c4, idCol = "doc_id",
+        textCol = "filtered_text")
+      .select(col("doc_id"), col("norm_text"))
+    val ed = DedupOps.exactDedup(nt, idCol = "doc_id", textCol = "norm_text")
+      .select(col("doc_id"), col("is_dup"))
+    // quality is undefined (NULL) for docs cleaned down to nothing — they
+    // are dropped by the kept predicate anyway, and scoring them would
+    // divide by a zero token count under ANSI mode
+    val qs = TextOps.qualityScore(nt.filter(col("norm_text") =!= ""),
+        idCol = "doc_id", textCol = "norm_text")
+      .select(col("doc_id"), col("quality"))
+    nt.join(pii.select(col("doc_id"), col("n_pii")), "doc_id")
+      .join(ed, "doc_id")
+      .join(qs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("norm_text").as("clean_text"), col("n_pii"),
+        col("is_dup"), col("quality"),
+        (!col("is_dup") && col("norm_text") =!= "" &&
+          col("quality") >= minQuality).as("kept"))
+  }
+
   // ==================== driver-checked query bindings ====================
 
   // ---- PII fixture: splice synthetic PII into the (PII-free) corpus by

@@ -1,0 +1,94 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.api.GraftQuery
+import Nlp._
+
+/** Corpus-vocabulary operators: global token statistics and per-document
+  * keyword extraction — the "what is in this corpus" pass before tokenizer
+  * training / mixture design.
+  *
+  * Scale shapes: one explode + one hash aggregation on the token (uniform
+  * key, partial-agg friendly: per-partition combine collapses each
+  * partition to its distinct tokens before the shuffle). The global top-k
+  * goes through `orderBy(...).limit(k)` = TakeOrderedAndProject — parallel
+  * per-partition top-k, never a single-task global sort. Keyword ranking
+  * windows partition by doc_id (uniform), never globally.
+  */
+object VocabOps {
+
+  private def norm(docs: DataFrame, idCol: String, textCol: String) =
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+
+  // ======================= public operator API =======================
+
+  /** Global top-k vocabulary by total occurrence count (ties broken by
+    * token). Output: (token, n_occurrences, n_docs).
+    */
+  def vocabulary(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 100): DataFrame =
+    norm(docs, idCol, textCol)
+      .select(col("doc_id"), explode(expr(toksExpr)).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(k)
+
+  /** Per-document keywords by log-free TF-IDF: score = tf / df (document
+    * frequency), which orders identically to tf·(N/df) for a fixed corpus
+    * and keeps the score an exact IEEE division both engines compute
+    * bit-identically (ln() carries no cross-engine exactness guarantee —
+    * deliberately avoided). Top `k` tokens per doc, ties by token.
+    * Output: (doc_id, rank, token, tf, df, score).
+    */
+  def tfidfKeywords(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 3): DataFrame = {
+    val tf = norm(docs, idCol, textCol)
+      .select(col("doc_id"), explode(expr(toksExpr)).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token"))
+    tf.join(df, "token")
+      .withColumn("score", col("tf").cast("double") / col("df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"),
+        col("df"), col("score"))
+  }
+
+  // ==================== driver-checked bindings ======================
+
+  private val VocabK = 50
+
+  private val qVocab = GraftQuery(
+    "qt_vocab",
+    (s, dir) => vocabulary(Tables.documents(s, dir), k = VocabK),
+    Some(s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS token FROM documents)
+    SELECT token, COUNT(*) AS n_occurrences,
+      COUNT(DISTINCT doc_id) AS n_docs
+    FROM t GROUP BY token
+    ORDER BY n_occurrences DESC, token LIMIT $VocabK"""))
+
+  private val qKeywords = GraftQuery(
+    "qt_keywords",
+    (s, dir) => tfidfKeywords(Tables.documents(s, dir))
+      .orderBy(col("doc_id"), col("rank")),
+    Some(s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY doc_id, token),
+    df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    sc AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+      CAST(tf.tf AS DOUBLE) / df.df AS score,
+      ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.token) AS rank
+      FROM tf JOIN df ON tf.token = df.token)
+    SELECT doc_id, rank, token, tf, df, score FROM sc WHERE rank <= 3
+    ORDER BY doc_id, rank"""))
+
+  def queries: Seq[GraftQuery] = Seq(qVocab, qKeywords)
+}

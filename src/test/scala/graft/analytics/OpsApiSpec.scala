@@ -334,6 +334,49 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sj == dj, s"salted join changed the result: ${sj.size} vs ${dj.size}")
   }
 
+  test("curationPipeline composes redact -> dedup -> filter -> normalize -> keep") {
+    import spark.implicits._
+    val md = Seq(
+      // PII + a duplicated line + a boilerplate line; survives cleaning
+      (1L, "Contact a@b.io for the good long answer here.\n" +
+        "Contact a@b.io for the good long answer here.\n" +
+        "no terminal punctuation so dropped\n" +
+        "This Second Sentence also has enough words."),
+      // exact duplicate of doc 1 after cleaning → dropped as dup
+      (2L, "contact <EMAIL> for the good long answer here.\n" +
+        "this second sentence also has enough words."),
+      // everything filtered away → empty clean text, not kept
+      (3L, "short.\nno punct")).toDF("post_id", "body")
+    val out = CurationOps.curationPipeline(md, idCol = "post_id", textCol = "body")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getBoolean(3), r.getBoolean(5))))
+      .toMap
+    // normalizeText collapses the line separator into a single space
+    val expectClean = "contact <email> for the good long answer here. " +
+      "this second sentence also has enough words."
+    assert(out(1L) == ((expectClean, 2, false, true)), s"got ${out(1L)}")
+    // doc 2 normalizes to the same text as doc 1 → exact dup, dropped
+    assert(out(2L)._1 == expectClean && out(2L)._3 && !out(2L)._4, s"got ${out(2L)}")
+    assert(out(3L) == (("", 0, false, false)), s"got ${out(3L)}")
+  }
+
+  test("vocabulary and tfidfKeywords rank by count and tf/df") {
+    import spark.implicits._
+    val md = Seq(
+      (1L, "apple apple banana cherry"),
+      (2L, "apple banana banana date"),
+      (3L, "apple egg egg egg fig")).toDF("post_id", "body")
+    val vocab = VocabOps.vocabulary(md, idCol = "post_id", textCol = "body", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(vocab.toSeq == Seq(("apple", 4L, 3L), ("banana", 3L, 2L), ("egg", 3L, 1L)),
+      s"got ${vocab.toSeq}")
+    val kw = VocabOps.tfidfKeywords(md, idCol = "post_id", textCol = "body", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // doc 1: cherry tf=1 df=1 (score 1.0) beats apple 2/3; doc 3: egg 3/1
+    assert(kw == Map(1L -> "cherry", 2L -> "banana", 3L -> "egg"), s"got $kw")
+  }
+
   test("text ops on custom column names") {
     val stats = TextOps.tokenStats(docs, idCol = "post_id", textCol = "body")
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
