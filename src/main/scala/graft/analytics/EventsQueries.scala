@@ -162,6 +162,73 @@ object EventsQueries {
       (value - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1)) AS z
     FROM m WHERE n > 1 ORDER BY user_id, event_id"""))
 
+  /** Ordered conversion funnel view → click → purchase: a user advances a
+    * step only with a strictly-later event of the next type. Three
+    * per-user conditional-min aggregations chained by uniform user_id hash
+    * joins — each stage shrinks (funnel monotonicity), aggregations are
+    * partial-agg friendly, nothing windows globally. The classic product-
+    * analytics shape the events plane was missing.
+    */
+  private val qFunnel = GraftQuery(
+    "qe_funnel",
+    (s, dir) => {
+      val e = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      v.select(lit(1).as("step"), lit("view").as("step_name"), col("user_id"))
+        .unionByName(c.select(lit(2).as("step"), lit("view>click").as("step_name"),
+          col("user_id")))
+        .unionByName(p.select(lit(3).as("step"),
+          lit("view>click>purchase").as("step_name"), col("user_id")))
+        .groupBy(col("step"), col("step_name"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("step"))
+    },
+    Some("""WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+      JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+      JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id),
+    u AS (SELECT 1 AS step, 'view' AS step_name, user_id FROM v
+      UNION ALL SELECT 2, 'view>click', user_id FROM c
+      UNION ALL SELECT 3, 'view>click>purchase', user_id FROM p)
+    SELECT step, step_name, COUNT(DISTINCT user_id) AS n_users
+    FROM u GROUP BY step, step_name ORDER BY step"""))
+
+  /** Day-0 cohort retention: users grouped by first-seen day, activity
+    * counted per whole-week offset. One per-user min aggregation, a
+    * uniform user_id join back, one (cohort, week) aggregation.
+    */
+  private val qRetention = GraftQuery(
+    "qe_retention_cohorts",
+    (s, dir) => {
+      val e = Tables.events(s, dir).select(col("user_id"), col("ts"))
+      val first = e.groupBy(col("user_id"))
+        .agg(to_date(min(col("ts"))).as("cohort_day"))
+      e.join(first, "user_id")
+        .withColumn("week_offset",
+          expr("datediff(to_date(ts), cohort_day) div 7"))
+        .groupBy(col("cohort_day"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_day"), col("week_offset"))
+    },
+    Some("""WITH f AS (SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day
+      FROM events GROUP BY user_id)
+    SELECT f.cohort_day, (CAST(e.ts AS DATE) - f.cohort_day) // 7 AS week_offset,
+      COUNT(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN f ON e.user_id = f.user_id
+    GROUP BY 1, 2 ORDER BY cohort_day, week_offset"""))
+
   val queries: Seq[GraftQuery] =
-    Seq(qTumbling, qSliding, qSessions, qJson, qTopUsers, qDeltas, qZscore)
+    Seq(qTumbling, qSliding, qSessions, qJson, qTopUsers, qDeltas, qZscore,
+      qFunnel, qRetention)
 }

@@ -73,5 +73,30 @@ object ProfileOps {
     SELECT col_name, non_null, nulls, n_distinct, min_s, max_s
     FROM p ORDER BY col_name"""))
 
-  val queries: Seq[GraftQuery] = Seq(qProfile)
+  // Second binding on a different shape (events): bigint/varchar columns
+  // only — double and timestamp min/max would compare via engine-specific
+  // string formatting, which the profile's min_s/max_s casts can't make
+  // deterministic.
+  private val qProfileEvents = GraftQuery(
+    "qprof_events",
+    (s, dir) => profile(
+      Tables.events(s, dir).select("event_id", "user_id", "event_type"),
+      exact = true),
+    Some("""WITH p AS (
+      SELECT 'event_id' AS col_name, COUNT(event_id) AS non_null,
+        COUNT(*) - COUNT(event_id) AS nulls, COUNT(DISTINCT event_id) AS n_distinct,
+        CAST(MIN(event_id) AS VARCHAR) AS min_s, CAST(MAX(event_id) AS VARCHAR) AS max_s
+      FROM events
+      UNION ALL
+      SELECT 'user_id', COUNT(user_id), COUNT(*) - COUNT(user_id),
+        COUNT(DISTINCT user_id),
+        CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR) FROM events
+      UNION ALL
+      SELECT 'event_type', COUNT(event_type), COUNT(*) - COUNT(event_type),
+        COUNT(DISTINCT event_type),
+        CAST(MIN(event_type) AS VARCHAR), CAST(MAX(event_type) AS VARCHAR) FROM events)
+    SELECT col_name, non_null, nulls, n_distinct, min_s, max_s
+    FROM p ORDER BY col_name"""))
+
+  val queries: Seq[GraftQuery] = Seq(qProfile, qProfileEvents)
 }

@@ -336,5 +336,41 @@ object SimilarityOps {
       Tables.embeddings(s, dir).filter(col("vec_id") < NQ), K),
     Some(sqSql))
 
-  val queries: Seq[GraftQuery] = Seq(qBrute, qAnnLsh, qAnnIvf, qRecall, qSq)
+  /** Per-label embedding centroids — the k-means/IVF training kernel
+    * (cluster assignment's other half) as one aggregation: explode to
+    * (label, dim, x), hash-aggregate sums per (label, dim). Plain
+    * double-summing is shuffle-order-dependent, so values are quantized
+    * to exact BIGINTs at float's own precision (×2²⁴, round) and the mean
+    * is one final IEEE division — deterministic across engines, partitions,
+    * and retries, with no precision loss beyond the input floats'.
+    * Output: (label, dim, mean_val, n).
+    */
+  def labelCentroids(vecs: org.apache.spark.sql.DataFrame,
+      labelCol: String = "label", vecCol: String = "embedding"): org.apache.spark.sql.DataFrame =
+    vecs.select(col(labelCol).as("label"), col(vecCol).cast("array<double>").as("v"))
+      .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .withColumn("q", expr(s"cast(round(x * ${Quant}.0) as bigint)"))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+      .select(col("label"), col("dim"),
+        (col("sq").cast("double") / (col("n") * Quant)).as("mean_val"), col("n"))
+
+  private val Quant = 1 << 24   // float mantissa width: lossless-enough, exact sums
+
+  private val centroidsSql = s"""WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+    u AS (SELECT label, unnest(generate_series(1, len(v))) AS i, v FROM e),
+    q AS (SELECT label, i - 1 AS dim, CAST(round(v[i] * ${Quant}.0) AS BIGINT) AS q FROM u),
+    a AS (SELECT label, dim, SUM(q) AS sq, COUNT(*) AS n FROM q GROUP BY label, dim)
+    SELECT label, CAST(dim AS INT) AS dim,
+      CAST(sq AS DOUBLE) / (n * $Quant) AS mean_val, n
+    FROM a ORDER BY label, dim"""
+
+  private val qCentroids = GraftQuery(
+    "qs_label_centroids",
+    (s, dir) => labelCentroids(Tables.embeddings(s, dir))
+      .orderBy(col("label"), col("dim")),
+    Some(centroidsSql))
+
+  val queries: Seq[GraftQuery] = Seq(qBrute, qAnnLsh, qAnnIvf, qRecall, qSq,
+    qCentroids)
 }

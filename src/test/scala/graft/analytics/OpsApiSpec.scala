@@ -377,6 +377,19 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kw == Map(1L -> "cherry", 2L -> "banana", 3L -> "egg"), s"got $kw")
   }
 
+  test("labelCentroids computes exact per-label dimension means") {
+    import spark.implicits._
+    val vecs = Seq(
+      ("a", Array(1.0f, 0.0f)), ("a", Array(3.0f, 2.0f)),
+      ("b", Array(0.5f, 0.5f)))
+      .toDF("grp", "emb")
+    val out = SimilarityOps.labelCentroids(vecs, labelCol = "grp", vecCol = "emb")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> ((r.getDouble(2), r.getLong(3))))
+      .toMap
+    assert(out(("a", 0)) == ((2.0, 2L)) && out(("a", 1)) == ((1.0, 2L)), s"got $out")
+    assert(out(("b", 0)) == ((0.5, 1L)) && out(("b", 1)) == ((0.5, 1L)), s"got $out")
+  }
+
   test("text ops on custom column names") {
     val stats = TextOps.tokenStats(docs, idCol = "post_id", textCol = "body")
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
