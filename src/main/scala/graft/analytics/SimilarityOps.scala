@@ -371,6 +371,46 @@ object SimilarityOps {
       .orderBy(col("label"), col("dim")),
     Some(centroidsSql))
 
+  /** One Lloyd (k-means) iteration at corpus scale: map-only nearest-
+    * centroid assignment against the current centroid literals (argmax of
+    * native dot — identical to [[annIvf]]'s coarse quantizer), then the
+    * exact quantized centroid recompute of [[labelCentroids]] per cell.
+    * This is the whole training loop body for the IVF coarse quantizer:
+    * broadcast C centroids out, one aggregation back — iterate from the
+    * driver, C·dim doubles per round, corpus scanned once per iteration.
+    * Output: (cell, dim, mean_val, n).
+    */
+  def kmeansStep(vecs: org.apache.spark.sql.DataFrame,
+      cents: Seq[Seq[Double]] = centroids,
+      idCol: String = "vec_id", vecCol: String = "embedding"): org.apache.spark.sql.DataFrame = {
+    val scoreArr = array(cents.map(c => graft_dot(typedLit(c), col("v"))): _*)
+    val assigned = prep(vecs, idCol, vecCol)
+      .withColumn("sc", scoreArr)
+      .withColumn("cell", expr("array_position(sc, array_max(sc))"))
+    labelCentroids(assigned, labelCol = "cell", vecCol = "v")
+      .withColumnRenamed("label", "cell")
+  }
+
+  private val kmeansSql = s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cw AS (SELECT ${centroids.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")} AS w),
+    scs AS (SELECT vec_id, v,
+      list_transform(generate_series(1, $Cents), c ->
+        list_reduce(list_transform(generate_series(1, 64), i -> w[c][i] * v[i]), (a, b) -> a + b)) AS sc
+      FROM e0, cw),
+    e AS (SELECT list_position(sc, list_max(sc)) AS cell, v FROM scs),
+    u AS (SELECT cell, unnest(generate_series(1, len(v))) AS i, v FROM e),
+    qz AS (SELECT cell, i - 1 AS dim, CAST(round(v[i] * ${Quant}.0) AS BIGINT) AS q FROM u),
+    a AS (SELECT cell, dim, SUM(q) AS sq, COUNT(*) AS n FROM qz GROUP BY cell, dim)
+    SELECT CAST(cell AS BIGINT) AS cell, CAST(dim AS INT) AS dim,
+      CAST(sq AS DOUBLE) / (n * $Quant) AS mean_val, n
+    FROM a ORDER BY cell, dim"""
+
+  private val qKmeans = GraftQuery(
+    "qs_kmeans_step",
+    (s, dir) => kmeansStep(Tables.embeddings(s, dir))
+      .orderBy(col("cell"), col("dim")),
+    Some(kmeansSql))
+
   val queries: Seq[GraftQuery] = Seq(qBrute, qAnnLsh, qAnnIvf, qRecall, qSq,
-    qCentroids)
+    qCentroids, qKmeans)
 }

@@ -90,5 +90,25 @@ object VocabOps {
     SELECT doc_id, rank, token, tf, df, score FROM sc WHERE rank <= 3
     ORDER BY doc_id, rank"""))
 
-  def queries: Seq[GraftQuery] = Seq(qVocab, qKeywords)
+  // Edit distance between consecutive docs' 40-char prefixes: a bounded-
+  // cost keyed 1:1 self-join (uniform doc_id+1 key) exercising levenshtein
+  // — the string-similarity builtin the dedup tier's candidate verify
+  // would use for short fields (never on full docs: O(len²) per pair).
+  private val qEditDist = GraftQuery(
+    "qt_edit_distance",
+    (s, dir) => {
+      val d = norm(Tables.documents(s, dir), "doc_id", "text")
+      val a = d.select(col("doc_id"), substring(col("text"), 1, 40).as("s1"))
+      val b = d.select((col("doc_id") - 1).as("doc_id"),
+        substring(col("text"), 1, 40).as("s2"))
+      a.join(b, "doc_id")
+        .select(col("doc_id"), levenshtein(col("s1"), col("s2")).as("lev_prefix40"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT a.doc_id,
+      levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS lev_prefix40
+    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    ORDER BY a.doc_id"""))
+
+  def queries: Seq[GraftQuery] = Seq(qVocab, qKeywords, qEditDist)
 }
