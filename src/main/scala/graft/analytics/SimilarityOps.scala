@@ -378,6 +378,8 @@ object SimilarityOps {
     * This is the whole training loop body for the IVF coarse quantizer:
     * broadcast C centroids out, one aggregation back — iterate from the
     * driver, C·dim doubles per round, corpus scanned once per iteration.
+    * A cell that attracts no vectors emits no rows (the standard empty-
+    * cluster case — the driver loop re-seeds or drops it).
     * Output: (cell, dim, mean_val, n).
     */
   def kmeansStep(vecs: org.apache.spark.sql.DataFrame,

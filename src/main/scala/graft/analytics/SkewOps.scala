@@ -39,6 +39,8 @@ object SkewOps {
   def saltedAgg(df: DataFrame, keys: Seq[String], value: Column,
       salts: Int = 16): DataFrame = {
     require(salts > 0, s"salts must be positive, got $salts")
+    require(!df.columns.exists(c => c == "_salt" || c == "_v"),
+      "input already has a _salt/_v column")
     val keyCols = keys.map(col)
     df.withColumn("_v", value)
       .withColumn("_salt", pmod(hash(col("_v") +: keyCols: _*), lit(salts)))
@@ -56,6 +58,8 @@ object SkewOps {
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       salts: Int = 16): DataFrame = {
     require(salts > 0, s"salts must be positive, got $salts")
+    require(!fact.columns.contains("_salt") && !dim.columns.contains("_salt"),
+      "input already has a _salt column")
     val f = fact.withColumn("_salt",
       pmod(hash(fact.columns.map(col).toSeq: _*), lit(salts)))
     val d = dim.withColumn("_salt",

@@ -44,6 +44,15 @@ object VocabOps {
     * bit-identically (ln() carries no cross-engine exactness guarantee —
     * deliberately avoided). Top `k` tokens per doc, ties by token.
     * Output: (doc_id, rank, token, tf, df, score).
+    *
+    * SKEW NOTE (100 TB): the tf⋈df join keys on the token, and a stopword
+    * key carries one (doc, token) row per containing doc — a genuinely hot
+    * key at web scale. The guard is the same df-cap pattern as
+    * `DedupOps.ngramJaccard`: stopword-class tokens (df above a cap) can be
+    * pre-dropped via a broadcast anti-join before the tf⋈df shuffle — they
+    * can never be keywords, since their score tf/df is dominated by any
+    * rarer token's. Not applied here because the gate corpus has a
+    * 31-token vocabulary; apply the cap when wiring a real corpus.
     */
   def tfidfKeywords(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 3): DataFrame = {
