@@ -93,6 +93,23 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       "rate join must not shuffle the corpus")
   }
 
+  test("qe_funnel chains hash joins only, never a nested loop") {
+    val plan = graft.SparkEntry.queries("qe_funnel")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "funnel stage joins regressed to a nested loop")
+  }
+
+  test("centroid/k-means shapes are scan + aggregate, no joins at all") {
+    Seq("qs_label_centroids", "qs_kmeans_step").foreach { name =>
+      val plan = graft.SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"),
+        s"$name should be one scan + one aggregation, found a join:\n$plan")
+    }
+  }
+
   test("brute-force baseline broadcasts the query side, never the corpus") {
     val plan = graft.SparkEntry.queries("qs_topk_bruteforce")(spark, sf)
       .queryExecution.executedPlan.toString

@@ -339,6 +339,51 @@ class StreamingExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
       (kept - 4L).subsetOf(Set(1L, 2L)), s"got $kept")
   }
 
+  test("parquet file sink: append across restart yields every window exactly once") {
+    import spark.implicits._
+    // The production sink path: append-mode windowed agg → parquet files +
+    // checkpoint. The file sink's commit log must make the restart NOT
+    // rewrite batch 0's files (exactly-once file output, vs the at-least-
+    // once memory/foreachBatch path tested above).
+    val ckpt = Files.createTempDirectory("graft-fsink-ckpt").toString
+    val outDir = Files.createTempDirectory("graft-fsink-out").toString
+    def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    def start(input: MemoryStream[(Timestamp, String, Double)]) =
+      input.toDS().toDF("ts", "event_type", "value")
+        .withWatermark("ts", "1 minutes")
+        .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("ws"), col("event_type"), col("n"))
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .start()
+
+    val in = MemoryStream[(Timestamp, String, Double)](spark)
+    val q1 = start(in)
+    in.addData((ts(0), "click", 1.0), (ts(1), "click", 1.0))
+    q1.processAllAvailable()
+    in.addData((ts(10), "view", 1.0))   // watermark passes window [0,5)
+    q1.processAllAvailable()
+    q1.stop()
+
+    // restart from the same checkpoint: agg state (the open [10,15) view
+    // window) must be restored, and batch 0's committed files not rewritten
+    val q2 = start(in)
+    in.addData((ts(11), "view", 1.0))
+    q2.processAllAvailable()
+    in.addData((ts(30), "click", 1.0))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val rows = spark.read.parquet(outDir)
+      .select(col("ws").cast("string"), col("event_type"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    // exactly one row per closed window — no duplicates from the restart
+    assert(rows.sorted == Seq(
+      ("2024-01-01 10:00:00", "click", 2L),
+      ("2024-01-01 10:10:00", "view", 2L)).sorted, s"got $rows")
+  }
+
   test("at-least-once: replayed batch duplicates replies, never loses them") {
     import spark.implicits._
     // Send the same event twice (the reference's AT_LEAST_ONCE contract
