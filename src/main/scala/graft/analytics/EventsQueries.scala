@@ -228,7 +228,60 @@ object EventsQueries {
     FROM events e JOIN f ON e.user_id = f.user_id
     GROUP BY 1, 2 ORDER BY cohort_day, week_offset"""))
 
+  /** Time-series regularization (resampling): per-user hourly spine from
+    * first to last event (sequence + explode — each user's spine generates
+    * next to their aggregate, no driver involvement), left-joined hourly
+    * aggregates, gaps carried forward LOCF-style. The spine join keys on
+    * (user, hour) — uniform; sums stay decimal-exact.
+    */
+  private val qResample = GraftQuery(
+    "qe_resample_hourly",
+    (s, dir) => {
+      val e = Tables.events(s, dir).filter(col("user_id") < 10)
+      val hourly = e
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"), sumD(d2(col("value"))).as("sum_value"))
+      val spine = e.groupBy(col("user_id"))
+        .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+          date_trunc("hour", max(col("ts"))).as("h1"))
+        .select(col("user_id"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(hourly, Seq("user_id", "hour"), "left")
+        .select(col("user_id"), col("hour"),
+          coalesce(col("n"), lit(0L)).as("n"), col("sum_value"),
+          last(col("sum_value"), ignoreNulls = true).over(w).as("filled_sum"))
+        .orderBy(col("user_id"), col("hour"))
+    },
+    Some(s"""WITH e AS (SELECT * FROM events WHERE user_id < 10),
+    h AS (SELECT user_id, date_trunc('hour', ts) AS hour, COUNT(*) AS n,
+      ${oSumD(od2("value"))} AS sum_value FROM e GROUP BY 1, 2),
+    b AS (SELECT user_id, date_trunc('hour', MIN(ts)) AS h0,
+      date_trunc('hour', MAX(ts)) AS h1 FROM e GROUP BY 1),
+    sp AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM b),
+    j AS (SELECT sp.user_id, sp.hour, h.n, h.sum_value FROM sp
+      LEFT JOIN h ON sp.user_id = h.user_id AND sp.hour = h.hour)
+    SELECT user_id, hour, COALESCE(n, 0) AS n, sum_value,
+      last_value(sum_value IGNORE NULLS) OVER (PARTITION BY user_id
+        ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum
+    FROM j ORDER BY user_id, hour"""))
+
+  // Fixed-width value histogram (50-unit bins over [0, 500)): one map-only
+  // bin assignment + one uniform-key aggregation — the profiling
+  // complement to qprof_*'s min/max.
+  private val qHistogram = GraftQuery(
+    "qe_value_histogram",
+    (s, dir) => Tables.events(s, dir)
+      .withColumn("bin", floor(col("value") / 50.0).cast("int"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sumD(d2(col("value"))).as("sum_value"))
+      .orderBy(col("bin")),
+    Some(s"""SELECT CAST(floor(value / 50.0) AS INT) AS bin, COUNT(*) AS n,
+      ${oSumD(od2("value"))} AS sum_value
+    FROM events GROUP BY 1 ORDER BY bin"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qTumbling, qSliding, qSessions, qJson, qTopUsers, qDeltas, qZscore,
-      qFunnel, qRetention)
+      qFunnel, qRetention, qResample, qHistogram)
 }
