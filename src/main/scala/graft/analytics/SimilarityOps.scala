@@ -413,6 +413,50 @@ object SimilarityOps {
       .orderBy(col("cell"), col("dim")),
     Some(kmeansSql))
 
+  /** Embedding outlier detection — the embedding-QA pass: squared L2
+    * distance of every vector to its OWN label centroid, global top-k
+    * most-distant flagged (corrupt encodes, mislabeled rows, degenerate
+    * all-zero vectors all surface here). Centroids come from
+    * [[labelCentroids]] (exact, deterministic), collapse to one tiny
+    * broadcast array per label, and the distance is a sequential
+    * fold mirrored verbatim in the oracle; global top-k via
+    * orderBy+limit = TakeOrdered (parallel). Output: (vec_id, label,
+    * dist2).
+    */
+  def centroidOutliers(vecs: org.apache.spark.sql.DataFrame, k: Int = 10,
+      labelCol: String = "label", vecCol: String = "embedding"): org.apache.spark.sql.DataFrame = {
+    val cents = labelCentroids(vecs, labelCol, vecCol)
+      .groupBy(col("label"))
+      .agg(expr("transform(sort_array(collect_list(struct(dim, mean_val))), s -> s.mean_val)")
+        .as("m"))
+    vecs.select(col(labelCol).as("label"), col(vecCol).cast("array<double>").as("v"),
+        col("vec_id"))
+      .join(broadcast(cents), "label")
+      .withColumn("dist2", expr(
+        "aggregate(zip_with(v, m, (x, y) -> (x - y) * (x - y)), " +
+          "cast(0 as double), (a, b) -> a + b)"))
+      .orderBy(col("dist2").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("label"), col("dist2"))
+  }
+
+  private val outliersSql = s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    u AS (SELECT label, unnest(generate_series(1, len(v))) AS i, v FROM e),
+    qz AS (SELECT label, i AS dim1, CAST(round(v[i] * ${Quant}.0) AS BIGINT) AS q FROM u),
+    a AS (SELECT label, dim1,
+      CAST(SUM(q) AS DOUBLE) / (COUNT(*) * $Quant) AS mean_val FROM qz GROUP BY label, dim1),
+    m AS (SELECT label, list(mean_val ORDER BY dim1) AS m FROM a GROUP BY label),
+    d AS (SELECT e.vec_id, e.label,
+      list_reduce(list_transform(generate_series(1, 64),
+        i -> (e.v[i] - m.m[i]) * (e.v[i] - m.m[i])), (x, y) -> x + y) AS dist2
+      FROM e JOIN m ON e.label = m.label)
+    SELECT vec_id, label, dist2 FROM d ORDER BY dist2 DESC, vec_id LIMIT 10"""
+
+  private val qOutliers = GraftQuery(
+    "qs_centroid_outliers",
+    (s, dir) => centroidOutliers(Tables.embeddings(s, dir)),
+    Some(outliersSql))
+
   val queries: Seq[GraftQuery] = Seq(qBrute, qAnnLsh, qAnnIvf, qRecall, qSq,
-    qCentroids, qKmeans)
+    qCentroids, qKmeans, qOutliers)
 }
