@@ -26,7 +26,7 @@ import Nlp._
 object CurationOps {
 
   private def norm(docs: DataFrame, idCol: String, textCol: String) =
-    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    Nlp.normDocs(docs, idCol, textCol)
 
   // ======================= public operator API =======================
 
@@ -69,7 +69,11 @@ object CurationOps {
       blockWords: Seq[String] = Seq("javascript", "lorem ipsum")): DataFrame = {
     require(blockWords.forall(w => !w.contains("'")),
       "block words must not contain single quotes")
-    val blockPred = blockWords.map(w => s"instr(lower(x), '${w.toLowerCase}') = 0")
+    // escape backslashes for Spark's SQL string-literal parser — an
+    // unescaped \b would silently become a backspace char in the predicate
+    val blockPred = blockWords
+      .map(w => w.toLowerCase.replace("\\", "\\\\"))
+      .map(w => s"instr(lower(x), '$w') = 0")
       .foldLeft("true")((a, b) => s"$a AND $b")
     norm(docs, idCol, textCol)
       .withColumn("lines",
@@ -129,25 +133,34 @@ object CurationOps {
     * end-to-end behavior).
     *
     * Scale: stages 1–4 are map-only; exact dedup is the single corpus
-    * shuffle (uniform md5 key); quality is map-only again. Output:
-    * (doc_id, clean_text, n_pii, is_dup, quality, kept).
+    * shuffle (uniform md5 key); quality is map-only again. The final
+    * assembly references the cleaned-text lineage from three branches
+    * (spine, dedup, quality), and Spark does not share subplans across
+    * joins — at real scale pass `materialize` (e.g. `_.persist(...)`, or
+    * a write-read through the lake, which is how production pipelines
+    * stage between the map tier and the shuffle tier) so the regex-heavy
+    * map tier executes once instead of once per branch. The default
+    * identity keeps the plan dependency-free for the optimizer and is
+    * right for one-pass sizes.
+    * Output: (doc_id, clean_text, n_pii, is_dup, quality, kept).
     */
   def curationPipeline(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", minQuality: Double = 0.0,
-      lineSep: String = "\n"): DataFrame = {
-    val pii = piiRedact(docs, idCol, textCol)
+      lineSep: String = "\n",
+      materialize: DataFrame => DataFrame = identity): DataFrame = {
+    val pii = materialize(piiRedact(docs, idCol, textCol)
       .select(col("doc_id"),
         (col("n_emails") + col("n_ips") + col("n_phones")).as("n_pii"),
-        col("redacted_text"))
+        col("redacted_text")))
     val ld = TextOps.lineDedup(pii, idCol = "doc_id",
         textCol = "redacted_text", lineSep = lineSep)
       .select(col("doc_id"), col("clean_text").as("deduped_text"))
     val c4 = c4LineFilter(ld, idCol = "doc_id", textCol = "deduped_text",
         lineSep = lineSep)
       .select(col("doc_id"), col("clean_text").as("filtered_text"))
-    val nt = MixOps.normalizeText(c4, idCol = "doc_id",
+    val nt = materialize(MixOps.normalizeText(c4, idCol = "doc_id",
         textCol = "filtered_text")
-      .select(col("doc_id"), col("norm_text"))
+      .select(col("doc_id"), col("norm_text")))
     val ed = DedupOps.exactDedup(nt, idCol = "doc_id", textCol = "norm_text")
       .select(col("doc_id"), col("is_dup"))
     // quality is undefined (NULL) for docs cleaned down to nothing — they

@@ -30,7 +30,7 @@ import Nlp._
 object MixOps {
 
   private def norm(docs: DataFrame, idCol: String, textCol: String) =
-    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    Nlp.normDocs(docs, idCol, textCol)
 
   // ======================= public operator API =======================
 

@@ -8,6 +8,15 @@ package graft.analytics
   * linearly and stay inside whole-stage codegen.
   */
 object Nlp {
+  /** Normalize any (idCol, textCol) frame to the internal doc_id/text
+    * shape — the one column contract every text operator module shares
+    * (each module's private `norm` delegates here).
+    */
+  def normDocs(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    docs.select(org.apache.spark.sql.functions.col(idCol).as("doc_id"),
+      org.apache.spark.sql.functions.col(textCol).as("text"))
+
   /** Whitespace tokens, empties dropped. Spark lambdas index arrays 0-based,
     * DuckDB 1-based — mind the twins.
     */

@@ -274,6 +274,7 @@ object SimilarityOps {
         .unionByName(
           annRecall(exact, annLsh(corpus, q, K)).withColumn("method", lit("lsh")))
         .select(col("method"), col("recall"))
+        .orderBy(col("method"))
     },
     Some(s"""${recallBranchSql("ivf", ivfSql)}
       UNION ALL ${recallBranchSql("lsh", lshSql)} ORDER BY method"""))
@@ -424,13 +425,14 @@ object SimilarityOps {
     * dist2).
     */
   def centroidOutliers(vecs: org.apache.spark.sql.DataFrame, k: Int = 10,
-      labelCol: String = "label", vecCol: String = "embedding"): org.apache.spark.sql.DataFrame = {
+      idCol: String = "vec_id", labelCol: String = "label",
+      vecCol: String = "embedding"): org.apache.spark.sql.DataFrame = {
     val cents = labelCentroids(vecs, labelCol, vecCol)
       .groupBy(col("label"))
       .agg(expr("transform(sort_array(collect_list(struct(dim, mean_val))), s -> s.mean_val)")
         .as("m"))
     vecs.select(col(labelCol).as("label"), col(vecCol).cast("array<double>").as("v"),
-        col("vec_id"))
+        col(idCol).as("vec_id"))
       .join(broadcast(cents), "label")
       .withColumn("dist2", expr(
         "aggregate(zip_with(v, m, (x, y) -> (x - y) * (x - y)), " +

@@ -33,8 +33,13 @@ object SkewOps {
 
   /** Two-phase salted sum+count over `keys`. Result-identical to the
     * direct `groupBy(keys).agg(sum, count)` because decimal/long sums are
-    * associative; hash-based salt assignment keeps both phases
-    * deterministic. Output: keys..., `salted_sum`, `n_rows`.
+    * associative AND commutative — the result does not depend on which
+    * salt group a row lands in, so the salt only has to scatter. It is
+    * row-position based (`monotonically_increasing_id % salts`), NOT a
+    * hash of the row's values: a hot key whose rows all carry the same
+    * measure (the canonical count-style skew) would collapse a value-hash
+    * salt into one group and silently undo the mitigation.
+    * Output: keys..., `salted_sum`, `n_rows`.
     */
   def saltedAgg(df: DataFrame, keys: Seq[String], value: Column,
       salts: Int = 16): DataFrame = {
@@ -43,7 +48,7 @@ object SkewOps {
       "input already has a _salt/_v column")
     val keyCols = keys.map(col)
     df.withColumn("_v", value)
-      .withColumn("_salt", pmod(hash(col("_v") +: keyCols: _*), lit(salts)))
+      .withColumn("_salt", pmod(monotonically_increasing_id(), lit(salts)))
       .groupBy(keyCols :+ col("_salt"): _*)
       .agg(sum(col("_v")).as("_psum"), count(lit(1)).as("_pcnt"))
       .groupBy(keyCols: _*)
@@ -60,8 +65,10 @@ object SkewOps {
     require(salts > 0, s"salts must be positive, got $salts")
     require(!fact.columns.contains("_salt") && !dim.columns.contains("_salt"),
       "input already has a _salt column")
+    // row-position salt, same reasoning as saltedAgg: inner-join output is
+    // a bag, so scatter placement cannot change the result
     val f = fact.withColumn("_salt",
-      pmod(hash(fact.columns.map(col).toSeq: _*), lit(salts)))
+      pmod(monotonically_increasing_id(), lit(salts)))
     val d = dim.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))
     f.join(d, Seq(key, "_salt")).drop("_salt")

@@ -18,10 +18,8 @@ object TextOps {
   private val stopEn = "('the', 'a')"
   private val stopData = "('table', 'row', 'column', 'query')"
 
-  /** Normalize any (idCol, textCol) frame to the internal doc_id/text. */
   private def norm(docs: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String) =
-    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      textCol: String) = Nlp.normDocs(docs, idCol, textCol)
 
   // ======================= public operator API =======================
 
@@ -113,9 +111,9 @@ object TextOps {
     * its fingerprint and window-hash sets are aggregated tiny and
     * BROADCAST; the corpus side is one map-scan plus an explode of window
     * hashes into broadcast semi-joins — no corpus shuffle except the
-    * per-doc-id distinct. Window hashing is computed behind a repartition
-    * barrier so the token array is materialized (slice() in the lambda is
-    * then plain array access — see the Nlp.shingles PERF note).
+    * per-doc-id distinct. Window hashing explodes the window starts and
+    * hashes with top-level (whole-stage-codegen) expressions — see the
+    * PERF note at `windowHashes`.
     *
     * Output: (doc_id, exact_contam, partial_contam, contaminated), one row
     * per training doc.

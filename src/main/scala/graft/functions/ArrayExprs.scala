@@ -18,7 +18,15 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
   * operator efficiently (custom Expression beats UDF beats driver logic).
   */
 
-/** Σ aᵢ·bᵢ over two ARRAY<DOUBLE> columns, sequential accumulation. */
+/** Σ aᵢ·bᵢ over two ARRAY<DOUBLE> columns, sequential accumulation.
+  *
+  * Contract (shared by [[IntDot]]): mismatched lengths truncate to the
+  * shorter side (the FAISS-style "caller guarantees equal dims" contract —
+  * dimension checking belongs to ingestion, not the per-row hot loop), and
+  * a NULL element contributes 0 — guarded explicitly in BOTH eval paths so
+  * interpreted and codegen execution agree (unguarded, an UnsafeArrayData
+  * null slot reads as 0 under codegen but NPEs interpreted).
+  */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
@@ -29,7 +37,10 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     acc
   }
 
@@ -42,7 +53,9 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
         int $n = java.lang.Math.min($a.numElements(), $b.numElements());
         double $acc = 0.0;
         for (int $i = 0; $i < $n; $i++) {
-          $acc += $a.getDouble($i) * $b.getDouble($i);
+          if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+            $acc += $a.getDouble($i) * $b.getDouble($i);
+          }
         }
         ${ev.value} = $acc;
       """
@@ -69,7 +82,10 @@ case class IntDot(left: Expression, right: Expression) extends BinaryExpression 
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0L
     var i = 0
-    while (i < n) { acc += x.getInt(i).toLong * y.getInt(i); i += 1 }
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) acc += x.getInt(i).toLong * y.getInt(i)
+      i += 1
+    }
     acc
   }
 
@@ -82,7 +98,9 @@ case class IntDot(left: Expression, right: Expression) extends BinaryExpression 
         int $n = java.lang.Math.min($a.numElements(), $b.numElements());
         long $acc = 0L;
         for (int $i = 0; $i < $n; $i++) {
-          $acc += (long) $a.getInt($i) * (long) $b.getInt($i);
+          if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+            $acc += (long) $a.getInt($i) * (long) $b.getInt($i);
+          }
         }
         ${ev.value} = $acc;
       """
