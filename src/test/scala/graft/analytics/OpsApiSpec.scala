@@ -390,6 +390,22 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(("b", 0)) == ((0.5, 1L)) && out(("b", 1)) == ((0.5, 1L)), s"got $out")
   }
 
+  test("pageRank ranks the hub of a symmetrized star highest, mass conserved") {
+    import spark.implicits._
+    // star: hub 0 <-> spokes 1..5, symmetrized; hub receives from all 5
+    // spokes each round while each spoke only receives 1/5 of the hub
+    val e = (1L to 5L).flatMap(i => Seq((0L, i), (i, 0L))).toDF("a", "b")
+    val out = GraphOps.pageRank(e, iters = 3, srcCol = "a", dstCol = "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 6)
+    val hub = out(0L)
+    assert((1L to 5L).forall(i => out(i) < hub), s"hub must dominate: $out")
+    assert((1L to 5L).map(out).distinct.size == 1, s"spokes symmetric: $out")
+    // fixed-point mass stays near 1.0 (integer floors only lose ulps)
+    val total = out.values.sum
+    assert(total > 990000000000L && total <= 1000000000000L, s"mass: $total")
+  }
+
   test("text ops on custom column names") {
     val stats = TextOps.tokenStats(docs, idCol = "post_id", textCol = "body")
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
