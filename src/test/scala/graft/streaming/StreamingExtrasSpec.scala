@@ -293,6 +293,45 @@ class StreamingExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!rows.exists(_._1 == 2L), s"out-of-window or late view joined: $rows")
   }
 
+  test("stream-stream LEFT OUTER join emits null-padded rows on watermark expiry") {
+    import spark.implicits._
+    val clicks = MemoryStream[(Timestamp, Long)](spark)
+    val views = MemoryStream[(Timestamp, Long)](spark)
+    val cdf = clicks.toDS().toDF("cts", "c_user").withWatermark("cts", "10 minutes")
+    val vdf = views.toDS().toDF("vts", "v_user").withWatermark("vts", "10 minutes")
+    // LEFT OUTER: a click with no view inside its window must still be
+    // emitted — but only once the watermark proves no match can arrive
+    val joined = cdf.join(vdf,
+      expr("c_user = v_user AND vts >= cts AND vts <= cts + interval 15 minutes"),
+      "left_outer")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssoj_out")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ssoj").toString)
+      .start()
+
+    def ts(hm: String): Timestamp = Timestamp.valueOf(s"2024-01-01 $hm:00")
+    clicks.addData((ts("10:00"), 1L), (ts("10:00"), 2L))
+    views.addData((ts("10:05"), 1L))   // user 1 matches; user 2 never will
+    q.processAllAvailable()
+    // the unmatched click can only be emitted after the watermark passes
+    // its join window end; advance far beyond it
+    clicks.addData((ts("12:00"), 9L))
+    views.addData((ts("12:00"), 9L))
+    q.processAllAvailable()
+    clicks.addData((ts("13:00"), 9L))
+    views.addData((ts("13:00"), 9L))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("ssoj_out")
+      .select(col("c_user"), col("v_user"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    assert(rows.contains((1L, 1L)), s"matched row missing: $rows")
+    assert(rows.contains((2L, -1L)),
+      s"unmatched click not emitted null-padded after expiry: $rows")
+  }
+
   test("non-default trigger: pipeline correct under Trigger.ProcessingTime") {
     import org.apache.spark.sql.streaming.Trigger
     val h = new LoopHarness(spark, new LocalCounterExecutor, useTws = false,
