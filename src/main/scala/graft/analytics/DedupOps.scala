@@ -284,11 +284,12 @@ object DedupOps {
     * list via min-label propagation TO FIXPOINT — each doc ends up labeled
     * with the smallest doc id reachable through any chain of pairs (the
     * full version of [[dropNearDups]]'s greedy policy). Each iteration is
-    * one join + groupBy plus a count action for convergence detection
-    * (iterations needed = component diameter); the lineage is cut with a
-    * localCheckpoint each round so the plan stays flat. This is the
-    * standard MapReduce-era CC shape; at extreme graph sizes swap in
-    * large-star/small-star for fewer rounds.
+    * one neighbor-min join + groupBy, one pointer-jump (label-of-label)
+    * join, and a count action for convergence detection; the pointer jump
+    * shortcuts labels exponentially, so iterations needed are
+    * O(log diameter), not O(diameter) (a 2000-hop chain converges in ~13
+    * rounds — OpsApiSpec pins a 200-hop chain). Lineage is cut with a
+    * localCheckpoint each round so the plan stays flat.
     */
   def nearDupClusters(pairs: DataFrame, maxIter: Int = 100): DataFrame = {
     val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
@@ -302,9 +303,21 @@ object DedupOps {
     while (!converged && i < maxIter) {
       val nbrMin = edges.join(labels, col("b") === col("id"))
         .groupBy(col("a")).agg(min(col("lbl")).as("nbl"))
-      val updated = labels.join(nbrMin, col("id") === col("a"), "left")
+      val viaNbr = labels.join(nbrMin, col("id") === col("a"), "left")
         .select(col("id"), col("lbl").as("old"),
-          least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"))
+          least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("l1"))
+      // Pointer jump (label-of-label): labels shortcut toward the component
+      // min exponentially, so rounds are O(log diameter) instead of
+      // O(diameter) — a 2000-hop chain converges in ~13 rounds, not ~2000.
+      // Monotone (label(l1) ≤ l1 at the fixpoint path) and closed within
+      // the component, so the fixpoint is unchanged: component min
+      // everywhere. Join keys concentrate on component minima as
+      // convergence nears — the alternating large-star/small-star variant
+      // balances giant-component hubs better at extreme scale.
+      val parentTbl = labels.select(col("id").as("pid"), col("lbl").as("plbl"))
+      val updated = viaNbr.join(parentTbl, col("l1") === col("pid"), "left")
+        .select(col("id"), col("old"),
+          least(col("l1"), coalesce(col("plbl"), col("l1"))).as("lbl"))
         .localCheckpoint()
       converged = updated.filter(col("lbl") =!= col("old")).isEmpty
       labels = updated.select(col("id"), col("lbl"))

@@ -136,18 +136,18 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(frames.toSet == Set((2L, 0, 64), (2L, 1, 1)), s"got ${frames.toSet}")
   }
 
-  test("nearDupClusters converges on a diameter-20 chain and throws when truncated") {
+  test("nearDupClusters converges on a diameter-200 chain in O(log d) rounds") {
     import spark.implicits._
-    // path graph 0-1-2-...-20: one component, diameter 20. Min-label
-    // propagation moves the 0 label one hop per round, so convergence
-    // needs ~21 rounds (20 hops + the no-change detection round).
-    val chain = (0L until 20L).map(i => (i, i + 1)).toDF("d1", "d2")
-    val labels = DedupOps.nearDupClusters(chain, maxIter = 25)
+    // path graph 0-1-...-200: one component, diameter 200. Plain min-label
+    // propagation would need ~201 rounds; the pointer jump shortcuts
+    // label chains exponentially, so ~12 rounds must suffice.
+    val chain = (0L until 200L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val labels = DedupOps.nearDupClusters(chain, maxIter = 14)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(labels.size == 21 && labels.values.forall(_ == 0L), s"got $labels")
+    assert(labels.size == 201 && labels.values.forall(_ == 0L), s"got $labels")
     // truncation must fail loudly, not return split clusters
     val e = intercept[IllegalStateException] {
-      DedupOps.nearDupClusters(chain, maxIter = 10).collect()
+      DedupOps.nearDupClusters(chain, maxIter = 3).collect()
     }
     assert(e.getMessage.contains("did not converge"), e.getMessage)
   }
