@@ -78,4 +78,36 @@ class StorageLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fromCsv.exceptAll(base).isEmpty && base.exceptAll(fromCsv).isEmpty)
     assert(fromJson.exceptAll(base).isEmpty && base.exceptAll(fromJson).isEmpty)
   }
+
+  test("schema evolution: mergeSchema unifies files written with added columns") {
+    import spark.implicits._
+    // a 100 TB lake accretes columns over time; old files must stay readable
+    val dir = Files.createTempDirectory("graft-evolve").toString
+    Seq((1L, "a")).toDF("id", "v1").write.parquet(s"$dir/batch=1")
+    Seq((2L, "b", 9.5)).toDF("id", "v1", "v2").write.parquet(s"$dir/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq == Seq("batch", "id", "v1", "v2"))
+    val rows = merged.select("id", "v2").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    // the pre-evolution file surfaces NULL for the later column
+    assert(rows == Map(1L -> None, 2L -> Some(9.5)), s"got $rows")
+  }
+
+  test("dynamic partition overwrite replaces only the written partitions") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val dir = Files.createTempDirectory("graft-dyn").toString
+      Seq((1L, "en"), (2L, "fr")).toDF("id", "lang")
+        .write.partitionBy("lang").mode("overwrite").parquet(dir)
+      // overwrite ONLY lang=en; the fr partition must survive (static mode
+      // would wipe the whole table root)
+      Seq((10L, "en")).toDF("id", "lang")
+        .write.partitionBy("lang").mode("overwrite").parquet(dir)
+      val rows = spark.read.parquet(dir).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(rows == Set((10L, "en"), (2L, "fr")), s"got $rows")
+    } finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+  }
 }
