@@ -40,7 +40,13 @@ final case class JobConfig(
       * when set, events for unlisted operators return FailedInvocation
       * instead of entering the stateful path.
       */
-    knownOperators: Option[Set[String]] = None)
+    knownOperators: Option[Set[String]] = None,
+    /** Bounds per-entity state volume: entities idle longer than the TTL
+      * are dropped from the store (TWS path only). NONE = reference
+      * semantics (state lives forever).
+      */
+    stateTtl: org.apache.spark.sql.streaming.TTLConfig =
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
 
 object KafkaSupport {
 
@@ -81,7 +87,7 @@ object KafkaSupport {
     val writer = StateflowPipeline.eventsToEgress(readEvents(spark, bootstrap), executor,
         statelessConcurrency = config.statelessConcurrency, useTws = config.useTws,
         statelessTimeout = config.statelessTimeout,
-        knownOperators = config.knownOperators)
+        knownOperators = config.knownOperators, stateTtl = config.stateTtl)
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)

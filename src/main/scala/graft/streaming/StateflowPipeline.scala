@@ -43,13 +43,14 @@ object StateflowPipeline {
     * an opaque byte blob, initialized empty on first touch (:75-77) and
     * overwritten wholesale with each executor reply (:109).
     */
-  final class StatefulInvokeProcessor(executor: FunctionExecutor)
+  final class StatefulInvokeProcessor(executor: FunctionExecutor,
+      stateTtl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessor[String, (Route, Long), Event] {
 
     @transient private var state: ValueState[Array[Byte]] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      state = getHandle.getValueState[Array[Byte]]("operatorState", Encoders.BINARY, TTLConfig.NONE)
+      state = getHandle.getValueState[Array[Byte]]("operatorState", Encoders.BINARY, stateTtl)
 
     override def handleInputRows(key: String, rows: Iterator[(Route, Long)],
         timerValues: TimerValues): Iterator[Event] = {
@@ -178,7 +179,12 @@ object StateflowPipeline {
   def eventsToEgress(events: Dataset[Event], executor: FunctionExecutor,
       statelessConcurrency: Int = 128, useTws: Boolean = true,
       statelessTimeout: FiniteDuration = 2.seconds,
-      knownOperators: Option[Set[String]] = None): Dataset[Route] = {
+      knownOperators: Option[Set[String]] = None,
+      // Bounds state volume for abandoned keys (idle entities never
+      // cleaned up otherwise — at stream scale state grows with every key
+      // ever seen). NONE = reference semantics (state lives forever).
+      // TWS path only: flatMapGroupsWithState has no per-state TTL.
+      stateTtl: TTLConfig = TTLConfig.NONE): Dataset[Route] = {
     val spark = events.sparkSession
     import spark.implicits._
 
@@ -228,9 +234,14 @@ object StateflowPipeline {
       // so the composite is collision-free.
       .groupByKey(t => t._1.routeName + "\u0000" + t._1.key)
     val replies =
-      if (useTws)
+      if (useTws) {
+        // TTL'd state needs the processing-time clock; without a TTL keep
+        // the reference's time-agnostic mode
+        val timeMode =
+          if (stateTtl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
         keyed.transformWithState(
-          new StatefulInvokeProcessor(executor), TimeMode.None(), OutputMode.Append())
+          new StatefulInvokeProcessor(executor, stateTtl), timeMode, OutputMode.Append())
+      }
       else
         keyed.flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout())(
           statefulInvokeFMG(executor))(Encoders.BINARY, implicitly)

@@ -423,6 +423,57 @@ class StreamingExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("2024-01-01 10:10:00", "view", 2L)).sorted, s"got $rows")
   }
 
+  test("state TTL: an idle entity's state expires; fresh entities are unaffected") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{TTLConfig, Trigger}
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Event](spark)
+    val replies = mutable.Buffer.empty[Event]
+    val keyed = FunctionAddress(acct, "ttlk")
+    val ckpt = Files.createTempDirectory("graft-ttl").toString
+    // Two short-lived query runs against one checkpoint. ProcessingTime
+    // time-mode + processAllAvailable livelocks (the r2 lesson, TTL
+    // cleanup keeps scheduling batches), so each run polls for its reply
+    // with a bounded deadline and stops explicitly — no blocking waits.
+    def runOnce(expectId: String): Unit = {
+      val q = StateflowPipeline.eventsToEgress(input.toDS(),
+          new LocalCounterExecutor, useTws = true,
+          stateTtl = TTLConfig(java.time.Duration.ofMillis(1)))
+        .writeStream.outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: Dataset[Route], _: Long) =>
+          val client = batch.filter(_.direction == RouteDirection.CLIENT)
+            .map(_.eventValue).collect()
+          replies.synchronized { replies ++= client }
+          ()
+        }
+        .start()
+      val deadline = System.currentTimeMillis() + 60000
+      while (!replies.synchronized(replies.exists(_.eventId == expectId)) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      q.stop()
+    }
+    try {
+      input.addData(Event.request("t1", keyed, Request.InvokeStateful, delta(5)))
+      runOnce("t1")
+      Thread.sleep(50)   // let the 1 ms TTL lapse in wall-clock time
+      // same key again: the executor must see EMPTY state (expired), so the
+      // counter restarts at 0 + 7 instead of 5 + 7
+      input.addData(Event.request("t2", keyed, Request.InvokeStateful, delta(7)))
+      runOnce("t2")
+      val byId = replies.synchronized(replies.map(e => e.eventId -> asLong(e.payload)).toMap)
+      assert(byId("t1") == 5L, s"got $byId")
+      assert(byId("t2") == 7L, s"TTL'd state must read as empty, got $byId")
+    } finally prevProvider match {
+      case Some(p) => spark.conf.set(providerKey, p)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   test("at-least-once: replayed batch duplicates replies, never loses them") {
     import spark.implicits._
     // Send the same event twice (the reference's AT_LEAST_ONCE contract
