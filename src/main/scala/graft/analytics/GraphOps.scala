@@ -24,7 +24,8 @@ import graft.api.GraftQuery
   *
   * Contract: every node must have out-degree ≥ 1 (no dangling mass) —
   * symmetrize the edge list (as the binding does) or add self-loops
-  * before calling.
+  * before calling. Zero IN-degree is fine: such nodes hold the base
+  * (teleport) mass and keep contributing.
   */
 object GraphOps {
 
@@ -50,16 +51,23 @@ object GraphOps {
     require(n > 0, "empty edge list")
     val r0 = scale / n
     val base = (15L * r0) / 100L
-    var ranks = deg.select(col("src").as("node"), lit(r0).as("r"))
+    val nodes = deg.select(col("src").as("node")).localCheckpoint()
+    var ranks = nodes.withColumn("r", lit(r0))
     for (_ <- 1 to iters) {
-      ranks = edges
+      val contribs = edges
         .join(ranks, edges("src") === ranks("node"))
         .join(deg, "src")
         .select(col("dst"), expr("r div d").as("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("s"))
-        .select(col("dst").as("node"),
-          (lit(base) + expr("(85 * s) div 100")).as("r"))
+      // left join back to the FULL node set: a zero-in-degree node gets
+      // the base (teleport) mass and keeps contributing — dropping it
+      // (an inner shape) would silently delete its rank AND its outgoing
+      // mass from iteration 2 on
+      ranks = nodes
+        .join(contribs, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
         .localCheckpoint()
     }
     ranks.select(col("node"), col("r").as("rank_int"))

@@ -42,8 +42,14 @@ final case class JobConfig(
       */
     knownOperators: Option[Set[String]] = None,
     /** Bounds per-entity state volume: entities idle longer than the TTL
-      * are dropped from the store (TWS path only). NONE = reference
-      * semantics (state lives forever).
+      * are dropped from the store (TWS path only; rejected with useTws =
+      * false). NONE = reference semantics (state lives forever).
+      *
+      * MIGRATION CLIFF: switching between NONE and a TTL flips the
+      * operator's TimeMode (None ↔ ProcessingTime), which Spark validates
+      * against the checkpoint's operator metadata — an existing
+      * deployment cannot toggle this against its old checkpointLocation;
+      * plan a state rebuild (fresh checkpoint) for the switch.
       */
     stateTtl: org.apache.spark.sql.streaming.TTLConfig =
       org.apache.spark.sql.streaming.TTLConfig.NONE)

@@ -185,6 +185,11 @@ object StateflowPipeline {
       // ever seen). NONE = reference semantics (state lives forever).
       // TWS path only: flatMapGroupsWithState has no per-state TTL.
       stateTtl: TTLConfig = TTLConfig.NONE): Dataset[Route] = {
+    // fail fast: the FMG fallback has no per-state TTL, and silently
+    // dropping the setting would unbound exactly the state the caller
+    // asked to bound
+    require(stateTtl == TTLConfig.NONE || useTws,
+      "stateTtl requires the transformWithState path (useTws = true)")
     val spark = events.sparkSession
     import spark.implicits._
 

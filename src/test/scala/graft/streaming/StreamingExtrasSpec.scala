@@ -438,7 +438,7 @@ class StreamingExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
     // time-mode + processAllAvailable livelocks (the r2 lesson, TTL
     // cleanup keeps scheduling batches), so each run polls for its reply
     // with a bounded deadline and stops explicitly — no blocking waits.
-    def runOnce(expectId: String): Unit = {
+    def runOnce(expectId: String, commitBatch: Int): Unit = {
       val q = StateflowPipeline.eventsToEgress(input.toDS(),
           new LocalCounterExecutor, useTws = true,
           stateTtl = TTLConfig(java.time.Duration.ofMillis(1)))
@@ -452,19 +452,25 @@ class StreamingExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
           ()
         }
         .start()
+      // wait for the reply AND the batch's offset commit marker —
+      // stopping between foreachBatch and the commit would make the next
+      // run REPLAY this batch (at-least-once), merging t1+t2 into one
+      // handleInputRows call and defeating the TTL-lapse setup
+      val commitFile = java.nio.file.Paths.get(ckpt, "commits", commitBatch.toString)
       val deadline = System.currentTimeMillis() + 60000
-      while (!replies.synchronized(replies.exists(_.eventId == expectId)) &&
+      while ((!replies.synchronized(replies.exists(_.eventId == expectId)) ||
+          !java.nio.file.Files.exists(commitFile)) &&
         System.currentTimeMillis() < deadline) Thread.sleep(100)
       q.stop()
     }
     try {
       input.addData(Event.request("t1", keyed, Request.InvokeStateful, delta(5)))
-      runOnce("t1")
+      runOnce("t1", commitBatch = 0)
       Thread.sleep(50)   // let the 1 ms TTL lapse in wall-clock time
       // same key again: the executor must see EMPTY state (expired), so the
       // counter restarts at 0 + 7 instead of 5 + 7
       input.addData(Event.request("t2", keyed, Request.InvokeStateful, delta(7)))
-      runOnce("t2")
+      runOnce("t2", commitBatch = 1)
       val byId = replies.synchronized(replies.map(e => e.eventId -> asLong(e.payload)).toMap)
       assert(byId("t1") == 5L, s"got $byId")
       assert(byId("t2") == 7L, s"TTL'd state must read as empty, got $byId")
