@@ -406,6 +406,20 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(total > 990000000000L && total <= 1000000000000L, s"mass: $total")
   }
 
+  test("pageRank keeps zero-in-degree nodes and their outgoing mass") {
+    import spark.implicits._
+    // node 3 satisfies the out-degree contract but nothing links TO it:
+    // it must keep the base (teleport) rank and keep feeding node 1
+    val e = Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val out = GraphOps.pageRank(e, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L), s"node with in-degree 0 dropped: $out")
+    val base = (15L * (1000000000000L / 3)) / 100L
+    assert(out(3L) == base, s"in-degree-0 node must hold base mass: $out")
+    assert(out(1L) > out(2L) && out(2L) > out(3L),
+      s"1 (fed by 2 and 3) > 2 (fed by 1) > 3 (teleport only): $out")
+  }
+
   test("text ops on custom column names") {
     val stats = TextOps.tokenStats(docs, idCol = "post_id", textCol = "body")
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
