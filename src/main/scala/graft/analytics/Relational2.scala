@@ -501,8 +501,33 @@ object Relational2 {
         / CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS wavg_price
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  // Regexp-function sweep (count / full-match / first-match / replace /
+  // split-count). Spark's regexp_substr returns NULL on no-match where
+  // DuckDB's regexp_extract returns '' — NULLIF aligns them; regexp_count
+  // has no DuckDB builtin and oracles as len(regexp_extract_all).
+  private val qRegexp = GraftQuery(
+    "qf_regexp_functions",
+    (s, dir) => {
+      Tables.part(s, dir)
+        .select(
+          col("p_partkey"),
+          expr("regexp_count(p_name, '[aeiou]')").as("n_vowels"),
+          col("p_name").rlike("^[a-z]+ ").as("starts_word"),
+          expr("nullif(regexp_extract(p_name, '[a-z]*o[a-z]*', 0), '')").as("first_o_word"),
+          regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+          (size(split(col("p_name"), "\\s+"))).as("n_words"))
+        .orderBy(col("p_partkey"))
+    },
+    Some("""SELECT p_partkey,
+      CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS INTEGER) AS n_vowels,
+      regexp_matches(p_name, '^[a-z]+ ') AS starts_word,
+      NULLIF(regexp_extract(p_name, '[a-z]*o[a-z]*', 0), '') AS first_o_word,
+      regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+      CAST(len(regexp_split_to_array(p_name, '\s+')) AS INTEGER) AS n_words
+    FROM part ORDER BY p_partkey"""))
+
   val queries: Seq[GraftQuery] = Seq(
     qVariance, qPercentileDisc, qPercentileCont, qCorr, qArgMax, qStrings, qStrings2,
-    qDates, qDates2, qCollect,
+    qDates, qDates2, qCollect, qRegexp,
     qGroupingSets, qApproxDistinct, qQ11, qQ12, qQ20, qQ21, qNulls, qTopKAgg, qTypedAgg)
 }
