@@ -526,8 +526,32 @@ object Relational2 {
       CAST(len(regexp_split_to_array(p_name, '\s+')) AS INTEGER) AS n_words
     FROM part ORDER BY p_partkey"""))
 
+  // Boolean aggregates + the standard-SQL FILTER clause (conditional
+  // aggregation without CASE contortions) — both codegen'd built-ins.
+  private val qBoolAgg = GraftQuery(
+    "qagg_bool_filter",
+    (s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("bool_and(l_quantity > 0)").as("all_pos_qty"),
+          expr("bool_or(l_discount > 0.09)").as("any_big_disc"),
+          expr("count(1) FILTER (WHERE l_tax > 0.03)").as("n_taxed"),
+          expr("count(1) FILTER (WHERE l_returnflag = 'R' AND l_quantity < 5)")
+            .as("n_small_returns"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag,
+      bool_and(l_quantity > 0) AS all_pos_qty,
+      bool_or(l_discount > 0.09) AS any_big_disc,
+      COUNT(*) FILTER (WHERE l_tax > 0.03) AS n_taxed,
+      COUNT(*) FILTER (WHERE l_returnflag = 'R' AND l_quantity < 5) AS n_small_returns,
+      COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   val queries: Seq[GraftQuery] = Seq(
     qVariance, qPercentileDisc, qPercentileCont, qCorr, qArgMax, qStrings, qStrings2,
-    qDates, qDates2, qCollect, qRegexp,
+    qDates, qDates2, qCollect, qRegexp, qBoolAgg,
     qGroupingSets, qApproxDistinct, qQ11, qQ12, qQ20, qQ21, qNulls, qTopKAgg, qTypedAgg)
 }
