@@ -90,19 +90,27 @@ object GraphOps {
     e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
   }
 
+  // Mirrors the Scala iteration shape exactly: LEFT JOIN back to the full
+  // node set (zero-in-degree nodes keep their teleport mass), and every
+  // round's rank is CAST to BIGINT — DuckDB's SUM(BIGINT) widens to
+  // HUGEINT, which the gate's pandas conversion turns into float64 and
+  // hash-mismatches against Spark's int64 even on identical values.
   private def itSql(prev: String, out: String) =
-    s"""$out AS (SELECT node, bs + (85 * s) // 100 AS r FROM (
-      SELECT e.dst AS node, SUM($prev.r // deg.d) AS s FROM e
-        JOIN $prev ON e.src = $prev.node JOIN deg ON e.src = deg.src
-      GROUP BY e.dst) t, b)"""
+    s"""$out AS (SELECT nodes.node,
+      CAST(bs + (85 * COALESCE(t.s, 0)) // 100 AS BIGINT) AS r
+      FROM nodes LEFT JOIN (
+        SELECT e.dst AS node, SUM($prev.r // deg.d) AS s FROM e
+          JOIN $prev ON e.src = $prev.node JOIN deg ON e.src = deg.src
+        GROUP BY e.dst) t ON nodes.node = t.node CROSS JOIN b)"""
 
   private val prSql = s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src,
       l_suppkey * 2 + 1 AS dst FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
     e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
     deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+    nodes AS (SELECT src AS node FROM deg),
     nn AS (SELECT COUNT(*) AS n FROM deg),
     b AS (SELECT (15 * (${Scale} // n)) // 100 AS bs FROM nn),
-    r0 AS (SELECT src AS node, ${Scale} // n AS r FROM deg, nn),
+    r0 AS (SELECT src AS node, CAST(${Scale} // n AS BIGINT) AS r FROM deg, nn),
     ${itSql("r0", "r1")},
     ${itSql("r1", "r2")},
     ${itSql("r2", "r3")}

@@ -285,8 +285,13 @@ object Relational3 {
           col("l_partkey") === col("p_partkey"))
         .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        // cost surfaces as DOUBLE, not DECIMAL: the gate's pandas hasher
+        // converts Spark-parquet decimals and DuckDB decimals through
+        // different dtypes (object-Decimal vs float64) and hash-mismatches
+        // even on identical values — every exact-decimal aggregate in this
+        // repo casts to double at the output boundary (see Exact.sumD).
         .select(col("s_acctbal"), col("s_name"), col("n_name"),
-          col("p_partkey"), col("p_name"), col("cost"))
+          col("p_partkey"), col("p_name"), col("cost").cast("double").as("cost"))
         .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
           col("p_partkey"))
         .limit(100)
@@ -294,7 +299,8 @@ object Relational3 {
     Some("""WITH ps AS (
       SELECT l_partkey, l_suppkey, MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS cost
       FROM lineitem GROUP BY l_partkey, l_suppkey)
-    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, cost
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+      CAST(cost AS DOUBLE) AS cost
     FROM ps, part, supplier, nation
     WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
       AND s_nationkey = n_nationkey

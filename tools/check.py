@@ -56,6 +56,35 @@ def main():
             print(f"FAIL {name}: columns differ spark={got_cols} duck={want_cols}")
             n_fail += 1
             continue
+        # The DRIVER's gate converts both sides to pandas, where decimal128
+        # (Spark decimal output, or DuckDB HUGEINT from SUM(BIGINT)) maps to
+        # different dtypes on each side (object-Decimal vs float64) and
+        # hash-mismatches even on identical values. This pylist-based
+        # replica would silently PASS those (Decimal == int is True in
+        # Python), so treat any decimal-typed output column — or an
+        # int-vs-float kind mismatch between engines — as a hard failure.
+        kind_bad = []
+        for c in got_cols:
+            gt = got_tbl.schema.field(c).type
+            wt = want.schema.field(c).type
+            import pyarrow.types as pat
+            def kind(t):
+                if pat.is_decimal(t):
+                    return "decimal"
+                if pat.is_integer(t):
+                    return "int"
+                if pat.is_floating(t):
+                    return "float"
+                return "other"
+            gk, wk = kind(gt), kind(wt)
+            if gk == "decimal" or wk == "decimal":
+                kind_bad.append(f"{c}: decimal output (spark={gt}, duck={wt}) — cast to DOUBLE/BIGINT on both sides")
+            elif {gk, wk} == {"int", "float"}:
+                kind_bad.append(f"{c}: int-vs-float across engines (spark={gt}, duck={wt})")
+        if kind_bad:
+            print(f"FAIL {name}: gate-unsafe output types: " + "; ".join(kind_bad))
+            n_fail += 1
+            continue
         if got_tbl.num_rows != want.num_rows:
             print(f"FAIL {name}: rows spark={got_tbl.num_rows} duck={want.num_rows}")
             n_fail += 1
