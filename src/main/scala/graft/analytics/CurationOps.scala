@@ -39,24 +39,26 @@ object CurationOps {
   val PhoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
 
   /** PII detection + redaction: count emails / IPv4s / phone numbers and
-    * rewrite them to `<EMAIL>` / `<IP>` / `<PHONE>` placeholders. Counts
-    * are taken on the ORIGINAL text; redaction applies email → ip → phone
-    * (an email never contains an IP-shaped substring once redacted, and
-    * phone/IP cannot overlap: dots vs dashes). Map-only, codegen'd regexes.
+    * rewrite them to `<EMAIL>` / `<IP>` / `<PHONE>` placeholders.
+    * Redaction applies email → ip → phone, and each pattern is COUNTED on
+    * the progressively redacted text (emails on the original, IPs after
+    * emails are gone, phones after IPs are gone) — so an IP-shaped
+    * substring inside an email counts once as an email, never twice.
+    * Map-only, codegen'd regexes.
     */
   def piiRedact(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
     norm(docs, idCol, textCol)
-      .select(
-        col("doc_id"),
-        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).as("n_emails"),
-        size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0))).as("n_ips"),
-        size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).as("n_phones"),
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(col("text"), EmailRe, "<EMAIL>"),
-            Ipv4Re, "<IP>"),
-          PhoneRe, "<PHONE>").as("redacted_text"))
+      .withColumn("n_emails",
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))))
+      .withColumn("_t1", regexp_replace(col("text"), EmailRe, "<EMAIL>"))
+      .withColumn("n_ips",
+        size(regexp_extract_all(col("_t1"), lit(Ipv4Re), lit(0))))
+      .withColumn("_t2", regexp_replace(col("_t1"), Ipv4Re, "<IP>"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col("_t2"), lit(PhoneRe), lit(0))))
+      .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+        regexp_replace(col("_t2"), PhoneRe, "<PHONE>").as("redacted_text"))
 
   /** C4-style line-level quality filter: keep a line iff it ends with
     * terminal punctuation, has at least `minWords` whitespace words, and
@@ -209,15 +211,16 @@ object CurationOps {
   private val qPii = GraftQuery(
     "qt_pii_redact",
     (s, dir) => piiRedact(dirtyDocs(s, dir)).orderBy(col("doc_id")),
-    Some(s"""WITH d AS ($dirtySql)
+    Some(s"""WITH d AS ($dirtySql),
+    e AS (SELECT doc_id, text,
+      regexp_replace(text, '$EmailRe', '<EMAIL>', 'g') AS t1 FROM d),
+    i AS (SELECT *, regexp_replace(t1, '$Ipv4Re', '<IP>', 'g') AS t2 FROM e)
     SELECT doc_id,
       len(regexp_extract_all(text, '$EmailRe')) AS n_emails,
-      len(regexp_extract_all(text, '$Ipv4Re')) AS n_ips,
-      len(regexp_extract_all(text, '$PhoneRe')) AS n_phones,
-      regexp_replace(regexp_replace(regexp_replace(text,
-        '$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g'),
-        '$PhoneRe', '<PHONE>', 'g') AS redacted_text
-    FROM d ORDER BY doc_id"""))
+      len(regexp_extract_all(t1, '$Ipv4Re')) AS n_ips,
+      len(regexp_extract_all(t2, '$PhoneRe')) AS n_phones,
+      regexp_replace(t2, '$PhoneRe', '<PHONE>', 'g') AS redacted_text
+    FROM i ORDER BY doc_id"""))
 
   // ---- line-view fixture for the C4 filter: 4-token chunks, with '.'
   // appended unless (doc_id + i) % 3 = 0 — so the terminal-punctuation,

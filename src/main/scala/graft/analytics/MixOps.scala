@@ -106,6 +106,9 @@ object MixOps {
         (expr(h60(s"concat(${textCol}, '|$salt')")) % 1000000L).cast("double")
           / lit(1000000.0))
       .withColumn("keep", col("doc_hash_ratio") < col("keep_rate"))
+      // keep_rate is internal plumbing — the documented contract is
+      // (domain, doc_hash_ratio, keep) plus the original columns
+      .drop("keep_rate")
   }
 
   /** Concatenate-and-chunk sequence packing — assign every document a

@@ -47,12 +47,20 @@ object SkewOps {
     require(!df.columns.exists(c => c == "_salt" || c == "_v"),
       "input already has a _salt/_v column")
     val keyCols = keys.map(col)
-    df.withColumn("_v", value)
+    val withV = df.withColumn("_v", value)
+    // The two-level sum widens decimals twice (DECIMAL(p+20,s) where the
+    // direct groupBy yields p+10). Cast back to the single-level sum's
+    // type so the output schema is identical to the unsalted plan; an
+    // overflow of that type would overflow the direct plan too. Analysis
+    // only — no job runs here.
+    val directSumType = withV.select(sum(col("_v")).as("_s")).schema("_s").dataType
+    withV
       .withColumn("_salt", pmod(monotonically_increasing_id(), lit(salts)))
       .groupBy(keyCols :+ col("_salt"): _*)
       .agg(sum(col("_v")).as("_psum"), count(lit(1)).as("_pcnt"))
       .groupBy(keyCols: _*)
-      .agg(sum(col("_psum")).as("salted_sum"), sum(col("_pcnt")).as("n_rows"))
+      .agg(sum(col("_psum")).cast(directSumType).as("salted_sum"),
+        sum(col("_pcnt")).as("n_rows"))
   }
 
   /** Salted inner equi-join on `key`: the left/fact side scatters each key

@@ -88,7 +88,11 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     import spark.implicits._
     val md = Seq(
       (1L, "write a@b.io or c.d+x@e.org from 10.0.0.7 call 555-010-1234 end"),
-      (2L, "no pii here")).toDF("post_id", "body")
+      (2L, "no pii here"),
+      // IP-shaped substring inside the email's domain: counting happens on
+      // the progressively redacted text, so this is 1 email and 0 IPs —
+      // never double-counted
+      (3L, "ping a@10.0.0.7.io now")).toDF("post_id", "body")
     val out = CurationOps.piiRedact(md, idCol = "post_id", textCol = "body")
       .collect()
       .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))))
@@ -96,6 +100,7 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1L) == ((2, 1, 1,
       "write <EMAIL> or <EMAIL> from <IP> call <PHONE> end")), s"got $out")
     assert(out(2L) == ((0, 0, 0, "no pii here")), s"got $out")
+    assert(out(3L) == ((1, 0, 0, "ping <EMAIL> now")), s"got $out")
   }
 
   test("c4LineFilter applies punctuation, min-words, and blocklist rules") {
@@ -270,6 +275,12 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(intercept[IllegalArgumentException](
       MixOps.domainMix(md, domainCol = "src", textCol = "body",
         temperature = 0.5)).getMessage.contains("temperature"))
+    // per-doc contract: original columns + (domain, doc_hash_ratio, keep),
+    // and nothing else — internal keep_rate must not leak
+    val keepCols = MixOps.domainMixKeep(md, domainCol = "src",
+      textCol = "body").columns.toSeq
+    assert(keepCols.sorted ==
+      Seq("body", "doc_hash_ratio", "domain", "keep", "src"), s"got $keepCols")
   }
 
   test("sqTopK agrees with exact cosine on well-separated vectors") {
@@ -332,6 +343,14 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sj = SkewOps.saltedJoin(fact, dim, "k", salts = 8).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
     assert(sj == dj, s"salted join changed the result: ${sj.size} vs ${dj.size}")
+    // schema identity too: the two-level decimal sum must be cast back to
+    // the single-level sum's type (DECIMAL(p+10,s), not p+20)
+    val dec = fact.withColumn("d", col("v").cast("decimal(10,2)"))
+    val directType = dec.groupBy("k").agg(sum(col("d")).as("s"))
+      .schema("s").dataType
+    val saltedType = SkewOps.saltedAgg(dec, Seq("k"), col("d"), salts = 8)
+      .schema("salted_sum").dataType
+    assert(saltedType == directType, s"$saltedType != $directType")
   }
 
   test("curationPipeline composes redact -> dedup -> filter -> normalize -> keep") {
