@@ -30,6 +30,12 @@ object SimilarityOps {
   private val NQ = 20   // query vectors: vec_id < NQ
   private val K = 5
 
+  /** float mantissa width: lossless-enough, exact sums. Declared up top:
+    * vals interpolated into other vals' SQL strings must initialize
+    * FIRST or they silently read as 0 (Scala object init order).
+    */
+  private val Quant = 1 << 24
+
   /** Hyperplane count: 2^Planes buckets. Sized for the test corpora (2k
     * vectors / 16 buckets); at larger corpus scale raise it so the expected
     * bucket occupancy n/2^Planes stays rerank-able (e.g. 12-16 planes at
@@ -253,6 +259,108 @@ object SimilarityOps {
       Tables.embeddings(s, dir).filter(col("vec_id") < NQ), K),
     Some(ivfSql))
 
+  // --------------------------------------------------- trained IVF ANN
+  /** Lloyd-train the IVF coarse quantizer: `iters` rounds of
+    * [[kmeansStep]] starting from `init`, each round collecting the C·dim
+    * new centroid means to the driver (the sanctioned tiny driver
+    * traffic — C·dim doubles per round, the corpus itself is scanned
+    * once per round and never collected) and re-broadcasting them as
+    * literals for the next assignment. A cell that attracted no vectors
+    * keeps its previous centroid (standard empty-cluster fallback).
+    * Every mean is the exact quantized-BIGINT average of
+    * [[labelCentroids]], so the trained centroids are bit-identical
+    * across engines and the whole training loop stays oracle-checkable.
+    */
+  def trainCentroids(vecs: org.apache.spark.sql.DataFrame,
+      init: Seq[Seq[Double]] = centroids, iters: Int = IvfIters,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Double]] = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    var cs = init
+    for (_ <- 1 to iters) {
+      val rows = kmeansStep(vecs, cs, idCol, vecCol)
+        .select(col("cell"), col("dim"), col("mean_val")).collect()
+      val byCell = rows.groupBy(_.getLong(0))
+      cs = cs.indices.map { c =>
+        byCell.get((c + 1).toLong)
+          .map(_.sortBy(_.getInt(1)).map(_.getDouble(2)).toIndexedSeq: Seq[Double])
+          .getOrElse(cs(c))
+      }
+    }
+    cs
+  }
+
+  /** [[annIvf]] against a data-trained codebook: the composition real IVF
+    * indexes use (train the coarse quantizer with k-means, then assign +
+    * probe). Identical query plan to [[annIvf]] once trained — the
+    * training rounds are upstream kmeansStep scans.
+    */
+  def annIvfTrained(corpus: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame, k: Int = 5,
+      init: Seq[Seq[Double]] = centroids, iters: Int = IvfIters,
+      idCol: String = "vec_id", vecCol: String = "embedding"): org.apache.spark.sql.DataFrame =
+    annIvf(corpus, queries, k,
+      trainCentroids(corpus, init, iters, idCol, vecCol), idCol, vecCol)
+
+  private val IvfIters = 2
+
+  /** CTE chain mirroring [[trainCentroids]]: cw0 = the seed literals,
+    * cw<t> = the exact quantized means of the assignment against
+    * cw<t-1>, with the empty-cell coalesce fallback. Requires an `e0`
+    * CTE (vec_id, v) in scope.
+    */
+  private def lloydSql(iters: Int): String = {
+    val init =
+      s"cw0 AS (SELECT ${centroids.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")} AS w)"
+    val steps = (1 to iters).map { t =>
+      val prev = s"cw${t - 1}"
+      s"""ts$t AS (SELECT vec_id, v,
+      list_transform(generate_series(1, $Cents), c ->
+        list_reduce(list_transform(generate_series(1, 64), i -> w[c][i] * v[i]), (a, b) -> a + b)) AS sc
+      FROM e0, $prev),
+    ta$t AS (SELECT list_position(sc, list_max(sc)) AS cell, v FROM ts$t),
+    tu$t AS (SELECT cell, unnest(generate_series(1, len(v))) AS i, v FROM ta$t),
+    tq$t AS (SELECT cell, i AS dim1, CAST(round(v[i] * ${Quant}.0) AS BIGINT) AS q FROM tu$t),
+    tg$t AS (SELECT cell, dim1,
+      CAST(SUM(q) AS DOUBLE) / (COUNT(*) * $Quant) AS mean_val FROM tq$t GROUP BY cell, dim1),
+    tm$t AS (SELECT cell, list(mean_val ORDER BY dim1) AS m FROM tg$t GROUP BY cell),
+    cw$t AS (SELECT list(coalesce(m.m, w0.w[g.c]) ORDER BY g.c) AS w
+      FROM $prev w0, generate_series(1, $Cents) g(c) LEFT JOIN tm$t m ON m.cell = g.c)"""
+    }
+    (init +: steps).mkString(",\n    ")
+  }
+
+  /** The assign/probe/rerank tail of [[ivfSql]], parameterized on the
+    * centroid CTE name; requires `e0` in scope.
+    */
+  private def ivfTailSql(cwName: String): String = s"""scs AS (SELECT vec_id, v,
+      list_transform(generate_series(1, $Cents), c ->
+        list_reduce(list_transform(generate_series(1, 64), i -> w[c][i] * v[i]), (a, b) -> a + b)) AS sc
+      FROM e0, $cwName),
+    e AS (SELECT vec_id, v, sc, list_position(sc, list_max(sc)) AS cell FROM scs),
+    q AS (SELECT vec_id, v, cell AS p1,
+        list_position(sc, list_max(list_filter(sc, x -> x <> list_max(sc)))) AS p2
+      FROM e WHERE vec_id < $NQ),
+    qp AS (SELECT vec_id, v, unnest([p1, p2]) AS cell FROM q),
+    p AS (SELECT q2.vec_id AS query_id, c.vec_id AS cand_id, q2.v AS va, c.v AS vb
+      FROM qp q2 JOIN e c ON q2.cell = c.cell AND q2.vec_id <> c.vec_id),
+    sc2 AS (SELECT query_id, cand_id, $cosineSql AS cosine FROM p),
+    rk AS (SELECT query_id, cand_id, cosine,
+      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+      FROM sc2)
+    SELECT query_id, rank, cand_id, cosine FROM rk WHERE rank <= $K
+    ORDER BY query_id, rank"""
+
+  private val ivfTrainedSql =
+    s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ${lloydSql(IvfIters)},
+    ${ivfTailSql(s"cw$IvfIters")}"""
+
+  private val qAnnIvfTrained = GraftQuery(
+    "qs_ann_ivf_trained",
+    (s, dir) => annIvfTrained(Tables.embeddings(s, dir),
+      Tables.embeddings(s, dir).filter(col("vec_id") < NQ), K),
+    Some(ivfTrainedSql))
+
   /** recall@k of each approximate tier vs the exact top-k, as a
     * deterministic oracled query: both approximations are seeded by
     * literals, so recall is a fixed number both engines compute.
@@ -272,11 +380,15 @@ object SimilarityOps {
       val exact = cosineTopK(corpus, q, K)
       annRecall(exact, annIvf(corpus, q, K)).withColumn("method", lit("ivf"))
         .unionByName(
+          annRecall(exact, annIvfTrained(corpus, q, K))
+            .withColumn("method", lit("ivf_trained")))
+        .unionByName(
           annRecall(exact, annLsh(corpus, q, K)).withColumn("method", lit("lsh")))
         .select(col("method"), col("recall"))
         .orderBy(col("method"))
     },
     Some(s"""${recallBranchSql("ivf", ivfSql)}
+      UNION ALL ${recallBranchSql("ivf_trained", ivfTrainedSql)}
       UNION ALL ${recallBranchSql("lsh", lshSql)} ORDER BY method"""))
 
   /** int8 scalar-quantized top-k — the memory-bandwidth scale path real
@@ -355,8 +467,6 @@ object SimilarityOps {
       .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
       .select(col("label"), col("dim"),
         (col("sq").cast("double") / (col("n") * Quant)).as("mean_val"), col("n"))
-
-  private val Quant = 1 << 24   // float mantissa width: lossless-enough, exact sums
 
   private val centroidsSql = s"""WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
     u AS (SELECT label, unnest(generate_series(1, len(v))) AS i, v FROM e),
@@ -459,6 +569,6 @@ object SimilarityOps {
     (s, dir) => centroidOutliers(Tables.embeddings(s, dir)),
     Some(outliersSql))
 
-  val queries: Seq[GraftQuery] = Seq(qBrute, qAnnLsh, qAnnIvf, qRecall, qSq,
-    qCentroids, qKmeans, qOutliers)
+  val queries: Seq[GraftQuery] = Seq(qBrute, qAnnLsh, qAnnIvf, qAnnIvfTrained,
+    qRecall, qSq, qCentroids, qKmeans, qOutliers)
 }

@@ -170,6 +170,30 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(perfect == 1.0, s"got $perfect")
   }
 
+  test("trainCentroids moves seeds toward the data, empty cells keep theirs") {
+    import spark.implicits._
+    // two tight clusters in 4-d around e1 and e2
+    val vecs = ((0 until 20).map(i => (i.toLong,
+        Seq(1.0 + 0.01 * (i % 3), 0.02 * (i % 2), 0.0, 0.0).map(_.toFloat))) ++
+      (20 until 40).map(i => (i.toLong,
+        Seq(0.0, 0.02 * (i % 2), 1.0 + 0.01 * (i % 3), 0.0).map(_.toFloat))))
+      .toDF("item", "emb")
+    // seeds: near cluster 1, near cluster 2, and one orthogonal (never wins)
+    val init = Seq(Seq(0.9, 0.0, 0.1, 0.0), Seq(0.1, 0.0, 0.9, 0.0),
+      Seq(0.0, 0.0, 0.0, 1.0))
+    val trained = SimilarityOps.trainCentroids(vecs, init, iters = 2,
+      idCol = "item", vecCol = "emb")
+    assert(trained.size == 3 && trained.forall(_.size == 4))
+    // winning centroids moved to the cluster means (first coord ~1.01)
+    assert(math.abs(trained(0)(0) - 1.01) < 0.01, s"got ${trained(0)}")
+    assert(math.abs(trained(1)(2) - 1.01) < 0.01, s"got ${trained(1)}")
+    // the empty cell kept its seed verbatim
+    assert(trained(2) == init(2), s"got ${trained(2)}")
+    // iters = 0 is the identity
+    assert(SimilarityOps.trainCentroids(vecs, init, iters = 0,
+      idCol = "item", vecCol = "emb") == init)
+  }
+
   test("dropNearDups keeps the lower id of each pair") {
     val pairs = DedupOps.ngramJaccard(docs, idCol = "post_id", textCol = "body",
       threshold = 0.5)
