@@ -94,14 +94,17 @@ object DedupOps {
   def ngramJaccard(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", threshold: Double = 0.8,
       dfCap: Int = ShingleDfCap): DataFrame = {
-    // sorted distinct hash arrays, barriered for reuse across join branches
-    val shl = shingleTable(docs, idCol, textCol)
-      .withColumn("hs", expr(s"sort_array(array_distinct(transform(sh, t -> ${h60("t")})))"))
-      .select(col("doc_id"), col("hs"))
+    // sorted distinct hash arrays via the native codegen'd kernel
+    // ([[graft.functions.ShingleHashes]] — one tight loop from text to hash
+    // array, replacing the interpreted tokenize→shingle→md5→distinct→sort
+    // lambda chain), barriered for reuse across join branches
+    val shl = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .select(col("doc_id"),
+        GraftFunctions.graft_shingle_hashes(col("text"), 3).as("hs"))
       .repartition(col("doc_id"))
+    // prefix postings via the native Generator ([[graft.functions.ShinglePrefixGen]])
     val px = shl.select(col("doc_id"),
-      explode(expr(
-        s"slice(hs, 1, size(hs) - cast(floor($threshold * size(hs)) as int) + 1)")).as("ph"))
+      GraftFunctions.graft_prefix_explode(col("hs"), threshold).as("ph"))
     // hot-prefix skew guard: a posting list above the df cap fans out
     // df²/2 candidate pairs; the hot list is tiny by construction →
     // broadcast anti-join costs one map-side filter
@@ -136,10 +139,15 @@ object DedupOps {
     require(k % bands == 0, "k must be a multiple of bands")
     val rows = k / bands
     val sh = shingleTable(docs, idCol, textCol)
-    // barriered so the self-join's two branches don't recompute signatures
-    val sigs = sh.select(col("doc_id"),
+    // barriered so the self-join's two branches don't recompute signatures.
+    // Signature input = native sorted-distinct hash array: MinHash is
+    // invariant under dedup+sort (min ignores multiplicity and order), so
+    // this equals the transform(sh, h60) form while skipping the
+    // interpreted lambda chain.
+    val sigs = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .select(col("doc_id"),
         GraftFunctions.graft_minhash_affine(
-          expr(s"transform(sh, t -> ${h60("t")})"), k).as("sig"))
+          GraftFunctions.graft_shingle_hashes(col("text"), 3), k).as("sig"))
       .repartition(col("doc_id"))
     // bands joined as strings (slice — not sig[i] indexing — so sig is
     // evaluated once per band)

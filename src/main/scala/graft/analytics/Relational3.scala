@@ -338,7 +338,27 @@ object Relational3 {
       AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
     ORDER BY s_suppkey"""))
 
+  // Correlated LATERAL join (SQL table-function surface): each nation row
+  // drives a per-row generated series whose length depends on the row —
+  // the classic lateral/correlated-table-function shape (explode of a
+  // row-dependent sequence). Map-side generate, no shuffle; at scale this
+  // is embarrassingly parallel. Exercises Spark's `, LATERAL (subquery)`
+  // SQL syntax (DecorrelateInnerQuery), not just the LATERAL VIEW legacy
+  // form; the oracle uses DuckDB's `LATERAL unnest(generate_series(...))`.
+  private val qLateral = GraftQuery(
+    "qj_lateral_series",
+    (s, dir) => {
+      Tables.nation(s, dir).createOrReplaceTempView("lat_nation")
+      s.sql("""SELECT n_name, CAST(i AS BIGINT) AS i,
+          CAST(n_nationkey * i AS BIGINT) AS v
+        FROM lat_nation, LATERAL (SELECT explode(sequence(1, pmod(n_nationkey, 3) + 1)) AS i)
+        ORDER BY n_name, i""")
+    },
+    Some("""SELECT n_name, CAST(i AS BIGINT) AS i, CAST(n_nationkey * i AS BIGINT) AS v
+      FROM nation, LATERAL (SELECT unnest(generate_series(1, (n_nationkey % 3) + 1)) AS i) t
+      ORDER BY n_name, i"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qSessionWindow, qArrayFns, qMapFns, qPosexplode, qPivot, qAsof,
-      qRangeJoin, qMath, qBitwise, qUdf, qQ02, qQ15)
+      qRangeJoin, qMath, qBitwise, qUdf, qQ02, qQ15, qLateral)
 }

@@ -68,6 +68,58 @@ final class HttpFunctionExecutor(endpoint: String,
   }
 }
 
+/** AWS-Lambda-Invoke-API-shaped backend — the direct twin of the
+  * reference's function client (InvokeStatelessLambda.java:49-65 /
+  * InvokeStatefulLambda.java:52-54 build an AWS SDK `InvokeRequest` with a
+  * function name and the JSON envelope payload). This adapter speaks the
+  * same PUBLIC REST shape that SDK call lowers to —
+  * `POST {base}/2015-03-31/functions/{name}/invocations` with
+  * `X-Amz-Invocation-Type: RequestResponse` — carrying the identical
+  * Base64-JSON envelope, so any Lambda-API-compatible host (the AWS Lambda
+  * Runtime Interface Emulator, LocalStack, or a real endpoint behind a
+  * signing proxy) plugs in behind the [[FunctionExecutor]] trait unchanged.
+  * SigV4 signing/credentials deliberately stay OUT of the engine (a
+  * fronting proxy's job): the engine carries zero SDK dependencies.
+  *
+  * Error surface per the public Invoke API: a non-2xx status fails the
+  * call, and a 2xx with the `X-Amz-Function-Error` header set means the
+  * function itself raised — both throw rather than emit a corrupt reply.
+  */
+final class LambdaInvokeExecutor(baseUri: String, functionName: String,
+    qualifier: Option[String] = None,
+    timeoutMillis: Long = 2000) extends FunctionExecutor {
+
+  private val url = {
+    val base = baseUri.stripSuffix("/")
+    val q = qualifier.map(v => s"?Qualifier=$v").getOrElse("")
+    s"$base/2015-03-31/functions/$functionName/invocations$q"
+  }
+
+  @transient private lazy val client = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofMillis(timeoutMillis))
+    .build()
+
+  override def invoke(request: EventRequestReply): EventRequestReply = {
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+      .timeout(java.time.Duration.ofMillis(timeoutMillis))
+      .header("Content-Type", "application/json")
+      .header("X-Amz-Invocation-Type", "RequestResponse")
+      .header("X-Amz-Log-Type", "None")
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+        LambdaEnvelope.encodeRequest(request)))
+      .build()
+    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() < 200 || resp.statusCode() > 299)
+      throw new RuntimeException(
+        s"lambda invoke of $functionName returned ${resp.statusCode()}: ${resp.body()}")
+    val fnError = resp.headers().firstValue("X-Amz-Function-Error")
+    if (fnError.isPresent)
+      throw new RuntimeException(
+        s"lambda function $functionName raised ${fnError.get()}: ${resp.body()}")
+    LambdaEnvelope.decode(resp.body())
+  }
+}
+
 /** Deterministic in-JVM "stateful entity" backend for tests and benchmarks —
   * plays the role of the StateFlow Python Lambda. Implements a counter
   * entity over the opaque 8-byte big-endian state blob plus the EventFlow

@@ -296,6 +296,10 @@ object GraftFunctions {
   def graft_idot(a: Column, b: Column): Column =
     GraftColumnBridge.column(IntDot(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  def graft_shingle_hashes(text: Column, n: Int): Column =
+    GraftColumnBridge.column(ShingleHashes(GraftColumnBridge.expression(text), n))
+  def graft_prefix_explode(hs: Column, threshold: Double): Column =
+    GraftColumnBridge.column(ShinglePrefixGen(GraftColumnBridge.expression(hs), threshold))
 
   /** SQL surface: `SELECT graft_dot(a, b)` after registration. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -306,5 +310,23 @@ object GraftFunctions {
       es(1).eval().asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction("graft_nfc", es => NfcNormalize(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_idot", es => IntDot(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_shingle_hashes", es => ShingleHashes(es.head,
+      es(1).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("graft_prefix_explode", es => ShinglePrefixGen(es.head,
+      GraftFunctions.numericLiteral(es(1), "graft_prefix_explode threshold")), "built-in")
   }
+
+  /** Fold a foldable numeric argument expression to Double (SQL surface
+    * passes thresholds as int/decimal/double literals interchangeably).
+    */
+  private[functions] def numericLiteral(e: Expression, what: String): Double =
+    e.eval() match {
+      case d: java.lang.Double => d.doubleValue()
+      case f: java.lang.Float => f.doubleValue()
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case i: java.lang.Integer => i.doubleValue()
+      case l: java.lang.Long => l.doubleValue()
+      case other => throw new IllegalArgumentException(
+        s"$what must be a numeric literal, got $other")
+    }
 }

@@ -30,5 +30,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_idot"),
       new ExpressionInfo(classOf[IntDot].getName, "graft_idot"),
       (es: Seq[Expression]) => IntDot(es.head, es(1))))
+    ext.injectFunction((FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
+      (es: Seq[Expression]) => ShingleHashes(es.head,
+        es(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((FunctionIdentifier("graft_prefix_explode"),
+      new ExpressionInfo(classOf[ShinglePrefixGen].getName, "graft_prefix_explode"),
+      (es: Seq[Expression]) => ShinglePrefixGen(es.head,
+        GraftFunctions.numericLiteral(es(1), "graft_prefix_explode threshold"))))
   }
 }

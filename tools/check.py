@@ -14,6 +14,17 @@ import sys
 
 import duckdb
 import pyarrow.parquet as pq
+import pyarrow.types as pat
+
+
+def type_kind(t):
+    if pat.is_decimal(t):
+        return "decimal"
+    if pat.is_integer(t):
+        return "int"
+    if pat.is_floating(t):
+        return "float"
+    return "other"
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -63,20 +74,15 @@ def main():
         # replica would silently PASS those (Decimal == int is True in
         # Python), so treat any decimal-typed output column — or an
         # int-vs-float kind mismatch between engines — as a hard failure.
+        if len(set(got_cols)) != len(got_cols) or len(set(want_cols)) != len(want_cols):
+            print(f"FAIL {name}: duplicate column names spark={got_cols} duck={want_cols}")
+            n_fail += 1
+            continue
         kind_bad = []
         for c in got_cols:
             gt = got_tbl.schema.field(c).type
             wt = want.schema.field(c).type
-            import pyarrow.types as pat
-            def kind(t):
-                if pat.is_decimal(t):
-                    return "decimal"
-                if pat.is_integer(t):
-                    return "int"
-                if pat.is_floating(t):
-                    return "float"
-                return "other"
-            gk, wk = kind(gt), kind(wt)
+            gk, wk = type_kind(gt), type_kind(wt)
             if gk == "decimal" or wk == "decimal":
                 kind_bad.append(f"{c}: decimal output (spark={gt}, duck={wt}) — cast to DOUBLE/BIGINT on both sides")
             elif {gk, wk} == {"int", "float"}:
