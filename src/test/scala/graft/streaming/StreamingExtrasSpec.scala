@@ -332,6 +332,74 @@ class StreamingExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"unmatched click not emitted null-padded after expiry: $rows")
   }
 
+  test("dropDuplicatesWithinWatermark: dedupes inside the delay, re-admits after eviction") {
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, String)](spark)
+    // Unlike dropDuplicates (state grows with distinct keys forever),
+    // dropDuplicatesWithinWatermark BOUNDS state: a key's entry is evicted
+    // once the watermark passes its expiry, after which the same key is
+    // admitted again — the streaming contract exact dedup needs at scale.
+    val deduped = input.toDS().toDF("ts", "id")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("id")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("ddww_out")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ddww").toString)
+      .start()
+    def ts(hm: String): Timestamp = Timestamp.valueOf(s"2024-01-01 $hm:00")
+    input.addData((ts("10:00"), "a"), (ts("10:00"), "b"))
+    q.processAllAvailable()
+    input.addData((ts("10:05"), "a"))          // within the delay → deduped
+    q.processAllAvailable()
+    input.addData((ts("12:00"), "x"))          // advances watermark to 11:50
+    q.processAllAvailable()                     // → a/b entries evicted
+    input.addData((ts("12:01"), "a"))          // same key AFTER eviction
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("ddww_out").select("id").as[String].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(ids == Map("a" -> 2, "b" -> 1, "x" -> 1),
+      s"expected a re-admitted after watermark eviction, got $ids")
+  }
+
+  test("stream-stream FULL OUTER join null-pads BOTH unmatched sides on expiry") {
+    import spark.implicits._
+    val clicks = MemoryStream[(Timestamp, Long)](spark)
+    val views = MemoryStream[(Timestamp, Long)](spark)
+    val cdf = clicks.toDS().toDF("cts", "c_user").withWatermark("cts", "10 minutes")
+    val vdf = views.toDS().toDF("vts", "v_user").withWatermark("vts", "10 minutes")
+    val joined = cdf.join(vdf,
+      expr("c_user = v_user AND vts >= cts AND vts <= cts + interval 15 minutes"),
+      "full_outer")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssfoj_out")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ssfoj").toString)
+      .start()
+
+    def ts(hm: String): Timestamp = Timestamp.valueOf(s"2024-01-01 $hm:00")
+    clicks.addData((ts("10:00"), 1L), (ts("10:00"), 2L)) // 2 never matches
+    views.addData((ts("10:05"), 1L), (ts("10:05"), 3L))  // 3 never matches
+    q.processAllAvailable()
+    // push the watermark far past both join windows so unmatched state on
+    // BOTH sides expires and emits null-padded
+    clicks.addData((ts("12:00"), 9L))
+    views.addData((ts("12:00"), 9L))
+    q.processAllAvailable()
+    clicks.addData((ts("13:00"), 9L))
+    views.addData((ts("13:00"), 9L))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("ssfoj_out")
+      .select(col("c_user"), col("v_user"))
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    assert(rows.contains((1L, 1L)), s"matched pair missing: $rows")
+    assert(rows.contains((2L, -1L)), s"unmatched click not null-padded: $rows")
+    assert(rows.contains((-1L, 3L)), s"unmatched view not null-padded: $rows")
+  }
+
   test("non-default trigger: pipeline correct under Trigger.ProcessingTime") {
     import org.apache.spark.sql.streaming.Trigger
     val h = new LoopHarness(spark, new LocalCounterExecutor, useTws = false,
