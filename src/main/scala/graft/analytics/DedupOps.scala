@@ -272,6 +272,30 @@ object DedupOps {
       .orderBy(col("v1"), col("v2"))
   }
 
+  /** Substring-level duplicate detection ("Deduplicating Training Data"
+    * style): find w-token spans that appear in ≥ minDocs DISTINCT
+    * documents. The native [[graft.functions.SpanHashGen]] Generator emits
+    * one (pos, hash) row per span at `stride` (map-only, no text pair
+    * comparisons); one hash aggregation finds every duplicated passage.
+    * Scale: the shuffle key is a uniform 60-bit hash — no skew; output is
+    * bounded by the number of DUPLICATED spans, not the corpus. stride > 1
+    * trades recall of unaligned duplicates for a stride× smaller posting
+    * table (the standard corpus-scale setting; exact offset-independent
+    * coverage needs stride 1).
+    * Output: (span_hash, n_docs, n_occ) ordered by span_hash.
+    */
+  def duplicateSpans(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", w: Int = 20, stride: Int = 1,
+      minDocs: Int = 2): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .select(col("doc_id"),
+        GraftFunctions.graft_span_hashes(col("text"), w, stride).as(Seq("pos", "h")))
+      .groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("h").as("span_hash"), col("n_docs"), col("n_occ"))
+      .orderBy(col("span_hash"))
+
   /** Drop near-duplicates given a pair list (d1 < d2, as produced by
     * [[ngramJaccard]] / [[simhashPairs]] / [[minhashLsh]] /
     * [[embeddingNearDup]]): keeps the LOWER id of each pair (the same
@@ -453,6 +477,16 @@ object DedupOps {
     SELECT x AS doc_id, least(x, MIN(y)) AS cluster_id
     FROM reach GROUP BY x ORDER BY doc_id"""))
 
+  private val qSpans = GraftQuery(
+    "qd_span_dedup",
+    (s, dir) => duplicateSpans(Tables.documents(s, dir)),
+    Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+    s AS (SELECT doc_id, ${h60Sql("array_to_string(toks[i:i+19], ' ')")} AS h
+      FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 19)) AS i) g
+      WHERE len(toks) >= 20)
+    SELECT h AS span_hash, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
+    FROM s GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2 ORDER BY span_hash"""))
+
   val queries: Seq[GraftQuery] =
-    Seq(qExact, qNgram, qMinhash, qSimhash, qEmbed, qClusters)
+    Seq(qExact, qNgram, qMinhash, qSimhash, qEmbed, qClusters, qSpans)
 }

@@ -300,6 +300,8 @@ object GraftFunctions {
     GraftColumnBridge.column(ShingleHashes(GraftColumnBridge.expression(text), n))
   def graft_prefix_explode(hs: Column, threshold: Double): Column =
     GraftColumnBridge.column(ShinglePrefixGen(GraftColumnBridge.expression(hs), threshold))
+  def graft_span_hashes(text: Column, w: Int, stride: Int): Column =
+    GraftColumnBridge.column(SpanHashGen(GraftColumnBridge.expression(text), w, stride))
 
   /** SQL surface: `SELECT graft_dot(a, b)` after registration. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -314,6 +316,8 @@ object GraftFunctions {
       es(1).eval().asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction("graft_prefix_explode", es => ShinglePrefixGen(es.head,
       GraftFunctions.numericLiteral(es(1), "graft_prefix_explode threshold")), "built-in")
+    reg.createOrReplaceTempFunction("graft_span_hashes", es => SpanHashGen(es.head,
+      es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int]), "built-in")
   }
 
   /** Fold a foldable numeric argument expression to Double (SQL surface

@@ -38,5 +38,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ShinglePrefixGen].getName, "graft_prefix_explode"),
       (es: Seq[Expression]) => ShinglePrefixGen(es.head,
         GraftFunctions.numericLiteral(es(1), "graft_prefix_explode threshold"))))
+    ext.injectFunction((FunctionIdentifier("graft_span_hashes"),
+      new ExpressionInfo(classOf[SpanHashGen].getName, "graft_span_hashes"),
+      (es: Seq[Expression]) => SpanHashGen(es.head,
+        es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])))
   }
 }

@@ -44,20 +44,14 @@ object ShingleKernel {
     h >>> 4
   }
 
-  /** Sorted distinct h60 hashes of the word n-gram shingles of `text`.
-    * Tokenization mirrors `filter(split(text, '\\s+'), x -> x != '')`
-    * (same Java regex class Spark's `split` compiles); docs with fewer
-    * than n tokens hash the single empty-string shingle, mirroring the
-    * composed form's `CASE WHEN size(toks) >= n ... ELSE array('') END`.
+  /** Tokens of `text` (split on `\s+`, empties dropped) — shared by the
+    * shingle and span kernels.
     */
-  def shingleHashes(text: UTF8String, n: Int): ArrayData = {
+  def tokens(text: UTF8String): Array[String] = {
     val raw = Ws.split(text.toString, -1)
     var nToks = 0
     var i = 0
     while (i < raw.length) { if (!raw(i).isEmpty) nToks += 1; i += 1 }
-    if (nToks < n) {
-      return new GenericArrayData(Array(h60(Array.emptyByteArray)))
-    }
     val toks = new Array[String](nToks)
     var j = 0
     i = 0
@@ -65,9 +59,24 @@ object ShingleKernel {
       if (!raw(i).isEmpty) { toks(j) = raw(i); j += 1 }
       i += 1
     }
+    toks
+  }
+
+  /** Sorted distinct h60 hashes of the word n-gram shingles of `text`.
+    * Tokenization mirrors `filter(split(text, '\\s+'), x -> x != '')`
+    * (same Java regex class Spark's `split` compiles); docs with fewer
+    * than n tokens hash the single empty-string shingle, mirroring the
+    * composed form's `CASE WHEN size(toks) >= n ... ELSE array('') END`.
+    */
+  def shingleHashes(text: UTF8String, n: Int): ArrayData = {
+    val toks = tokens(text)
+    val nToks = toks.length
+    if (nToks < n) {
+      return new GenericArrayData(Array(h60(Array.emptyByteArray)))
+    }
     val seen = new java.util.HashSet[java.lang.Long]()
     val sb = new java.lang.StringBuilder()
-    i = 0
+    var i = 0
     while (i <= nToks - n) {
       sb.setLength(0)
       var k = 0
@@ -119,6 +128,56 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
   * in the AllPairs inverted-index build — same rows, one native generator
   * node instead of an interpreted slice+explode pair.
   */
+/** `graft_span_hashes(text, w, stride)` — native Generator emitting one row
+  * per w-token span of `text` at the given stride: `(pos, h)` where `pos`
+  * is the 0-based token offset and `h` the 60-bit hash of the
+  * space-joined span. The map stage of exact substring-level dedup
+  * ("duplicate 50-token spans across documents"): spans become join keys,
+  * so duplicated passages are found with one hash aggregation instead of
+  * any pairwise text comparison. Docs shorter than w tokens emit nothing
+  * (no sentinel — a short doc has no w-token span).
+  */
+case class SpanHashGen(child: Expression, w: Int, stride: Int)
+    extends UnaryExpression with Generator with CodegenFallback {
+  require(w >= 1, "span width must be >= 1")
+  require(stride >= 1, "stride must be >= 1")
+
+  override def elementSchema: StructType =
+    new StructType().add("pos", org.apache.spark.sql.types.IntegerType, nullable = false)
+      .add("h", LongType, nullable = false)
+  override def prettyName: String = "graft_span_hashes"
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) Iterator.empty
+    else {
+      val toks = ShingleKernel.tokens(v.asInstanceOf[UTF8String])
+      val n = toks.length
+      if (n < w) Iterator.empty
+      else new Iterator[InternalRow] {
+        private var i = 0
+        private val sb = new java.lang.StringBuilder()
+        override def hasNext: Boolean = i <= n - w
+        override def next(): InternalRow = {
+          sb.setLength(0)
+          var k = 0
+          while (k < w) {
+            if (k > 0) sb.append(' ')
+            sb.append(toks(i + k))
+            k += 1
+          }
+          val r = InternalRow(i,
+            ShingleKernel.h60(sb.toString.getBytes(StandardCharsets.UTF_8)))
+          i += stride
+          r
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class ShinglePrefixGen(child: Expression, threshold: Double)
     extends UnaryExpression with Generator with CodegenFallback {
   require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")

@@ -79,6 +79,38 @@ class ShingleExprsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ordered.nonEmpty)
   }
 
+  test("SpanHashGen == composed slide/hash chain; stride and short-doc contract") {
+    import spark.implicits._
+    val df = Seq(
+      "a b c d e f g",       // 7 tokens
+      "a b",                 // < w tokens → no spans
+      "  x  y   z  w  ",     // whitespace runs
+      "a b c d e f g"        // duplicate doc → duplicate spans
+    ).toDF("text").withColumn("id", monotonically_increasing_id())
+    val w = 3
+    // composed equivalent: positions 0..n-w, hash of space-joined slice
+    val composed = df.select(col("id"),
+        expr(s"filter(split(text, '\\\\s+'), x -> x != '')").as("toks"))
+      .select(col("id"), explode(expr(
+        s"CASE WHEN size(toks) >= $w THEN transform(sequence(0, size(toks) - $w), " +
+          s"i -> struct(i as pos, ${graft.analytics.Nlp.h60(s"array_join(slice(toks, i + 1, $w), ' ')")} as h)) " +
+          "ELSE array() END")).as("s"))
+      .select(col("id"), col("s.pos"), col("s.h"))
+    val viaGen = df.select(col("id"),
+      GraftFunctions.graft_span_hashes(col("text"), w, 1).as(Seq("pos", "h")))
+    assert(viaGen.except(composed).isEmpty && composed.except(viaGen).isEmpty,
+      s"gen=${viaGen.collect().toSeq} composed=${composed.collect().toSeq}")
+    // stride 2 keeps positions 0, 2, 4...
+    val strided = df.filter(col("id") === 0)
+      .select(GraftFunctions.graft_span_hashes(col("text"), w, 2).as(Seq("pos", "h")))
+      .select("pos").as[Int].collect().sorted
+    assert(strided.toSeq == Seq(0, 2, 4))
+    // short doc emits nothing
+    val short = df.filter(col("id") === 1)
+      .select(GraftFunctions.graft_span_hashes(col("text"), w, 1).as(Seq("pos", "h")))
+    assert(short.isEmpty)
+  }
+
   test("SQL surface: both functions registered and usable from spark.sql") {
     GraftFunctions.register(spark)
     sampleDf.createOrReplaceTempView("shingle_docs")
@@ -92,6 +124,9 @@ class ShingleExprsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val one = spark.sql(
       "SELECT graft_prefix_explode(graft_shingle_hashes('a b c d', 3), 1) AS ph").collect()
     assert(one.length == 1) // size 2, t=1 → prefix length 2-2+1 = 1
+    // span generator: two output columns straight from SQL
+    val spans = spark.sql("SELECT graft_span_hashes('a b c d', 3, 1)").collect()
+    assert(spans.length == 2 && spans.map(_.getInt(0)).toSeq == Seq(0, 1))
   }
 
   test("plan: ShingleHashes projection stays inside whole-stage codegen; Generate node present") {
