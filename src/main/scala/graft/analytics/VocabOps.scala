@@ -71,6 +71,62 @@ object VocabOps {
         col("df"), col("score"))
   }
 
+  /** Shared Spark/DuckDB BM25 term-score expression: the Okapi BM25 form
+    * with the log dropped from the IDF — `(N − df + 0.5)/(df + 0.5)` is a
+    * strictly monotone transform of the standard `ln(1 + (N−df+0.5)/(df+0.5))`,
+    * so document ranking is preserved while every operation stays an exact
+    * IEEE double (ln() carries no cross-engine bit-exactness guarantee —
+    * same policy as [[tfidfKeywords]]). Every operand is explicitly cast to
+    * double so both engines evaluate the identical float expression tree.
+    */
+  private def bm25TermExpr(k1: Double, b: Double): String =
+    s"((cast(n_docs as double) - cast(df as double) + 0.5) / (cast(df as double) + 0.5))" +
+      s" * (cast(tf as double) * cast(${k1 + 1} as double))" +
+      s" / (cast(tf as double) + cast($k1 as double) * (1 - cast($b as double)" +
+      s" + cast($b as double) * cast(dl as double)" +
+      s" / (cast(sum_dl as double) / cast(n_docs as double))))"
+
+  /** BM25 document ranking for a fixed bag of query terms — the retrieval
+    * scorer over a corpus (quality-filter / contamination-triage companion).
+    *
+    * Scale shape: tf and dl are one uniform-key aggregation each; the query
+    * side collapses to |terms| df rows and a 1-row corpus-stats frame, both
+    * BROADCAST into the per-(doc, term) score map — the only shuffles touch
+    * corpus-sized tables on uniform keys. Final top-k is
+    * TakeOrderedAndProject (per-partition top-k), never a global sort.
+    *
+    * Determinism: the per-document score is a sum of per-term doubles, and
+    * float addition does not commute — so terms are folded in SORTED token
+    * order from init 0.0 (`aggregate(sort_array(...))`), which the oracle
+    * mirrors with `list_reduce(list_prepend(0.0, list(ts ORDER BY token)))`.
+    * Output: (doc_id, n_terms, score), score DESC, doc_id tiebreak, top k.
+    */
+  def bm25Rank(docs: DataFrame, terms: Seq[String], idCol: String = "doc_id",
+      textCol: String = "text", k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 10): DataFrame = {
+    require(terms.nonEmpty, "bm25Rank needs at least one query term")
+    val tf = norm(docs, idCol, textCol)
+      .select(col("doc_id"), explode(expr(toksExpr)).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val qtf = tf.filter(col("token").isin(terms: _*))
+    val dfreq = qtf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    qtf.join(broadcast(dfreq), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("ts", expr(bm25TermExpr(k1, b)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sort_array(collect_list(struct(col("token"), col("ts")))).as("xs"))
+      .withColumn("score",
+        expr("aggregate(xs, cast(0 as double), (acc, x) -> acc + x.ts)"))
+      .select(col("doc_id"), col("n_terms"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   // ==================== driver-checked bindings ======================
 
   private val VocabK = 50
@@ -119,5 +175,24 @@ object VocabOps {
     FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
     ORDER BY a.doc_id"""))
 
-  def queries: Seq[GraftQuery] = Seq(qVocab, qKeywords, qEditDist)
+  private val Bm25Terms = Seq("spark", "query", "dup")
+
+  private val qBm25 = GraftQuery(
+    "qt_bm25",
+    (s, dir) => bm25Rank(Tables.documents(s, dir), Bm25Terms),
+    Some(s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY doc_id, token),
+    dlt AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+    st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dlt),
+    qt AS (SELECT * FROM tf WHERE token IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})),
+    dfx AS (SELECT token, COUNT(*) AS df FROM qt GROUP BY token),
+    sc AS (SELECT qt.doc_id, qt.token, ${bm25TermExpr(1.2, 0.75)} AS ts
+      FROM qt JOIN dfx USING (token) JOIN dlt USING (doc_id) CROSS JOIN st),
+    ag AS (SELECT doc_id, COUNT(*) AS n_terms,
+      list_reduce(list_prepend(CAST(0 AS DOUBLE), list(ts ORDER BY token)),
+        (a, b) -> a + b) AS score
+      FROM sc GROUP BY doc_id)
+    SELECT doc_id, n_terms, score FROM ag ORDER BY score DESC, doc_id LIMIT 10"""))
+
+  def queries: Seq[GraftQuery] = Seq(qVocab, qKeywords, qEditDist, qBm25)
 }

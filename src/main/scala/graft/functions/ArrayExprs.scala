@@ -302,6 +302,9 @@ object GraftFunctions {
     GraftColumnBridge.column(ShinglePrefixGen(GraftColumnBridge.expression(hs), threshold))
   def graft_span_hashes(text: Column, w: Int, stride: Int): Column =
     GraftColumnBridge.column(SpanHashGen(GraftColumnBridge.expression(text), w, stride))
+  def graft_intersect_count(a: Column, b: Column): Column =
+    GraftColumnBridge.column(IntersectCount(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
   /** SQL surface: `SELECT graft_dot(a, b)` after registration. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -318,6 +321,8 @@ object GraftFunctions {
       GraftFunctions.numericLiteral(es(1), "graft_prefix_explode threshold")), "built-in")
     reg.createOrReplaceTempFunction("graft_span_hashes", es => SpanHashGen(es.head,
       es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("graft_intersect_count",
+      es => IntersectCount(es.head, es(1)), "built-in")
   }
 
   /** Fold a foldable numeric argument expression to Double (SQL surface

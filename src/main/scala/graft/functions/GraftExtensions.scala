@@ -42,5 +42,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SpanHashGen].getName, "graft_span_hashes"),
       (es: Seq[Expression]) => SpanHashGen(es.head,
         es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])))
+    ext.injectFunction((FunctionIdentifier("graft_intersect_count"),
+      new ExpressionInfo(classOf[IntersectCount].getName, "graft_intersect_count"),
+      (es: Seq[Expression]) => IntersectCount(es.head, es(1))))
+    // optimizer tier: composed size(array_intersect(...)) rewritten to the
+    // allocation-free native count wherever result-identical
+    ext.injectOptimizerRule(_ => RewriteIntersectCount)
   }
 }
