@@ -79,6 +79,23 @@ class StorageLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fromJson.exceptAll(base).isEmpty && base.exceptAll(fromJson).isEmpty)
   }
 
+  test("ORC source round-trips with predicate pushdown and column pruning") {
+    val base = Tables.documents(spark, sf).select("doc_id", "lang", "n_chars")
+    val orcDir = Files.createTempDirectory("graft-orc").toString
+    base.write.mode("overwrite").orc(orcDir)
+
+    val fromOrc = spark.read.orc(orcDir)
+    assert(fromOrc.count() == base.count())
+    assert(fromOrc.exceptAll(base).isEmpty && base.exceptAll(fromOrc).isEmpty)
+    // filter reaches the ORC scan; projection prunes to the 2 used columns
+    val q = fromOrc.filter(col("doc_id") < 100).select("doc_id", "lang")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]"),
+      s"ORC scan did not push the filter:\n$scan")
+    assert(scan.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      s"ORC scan did not prune columns:\n$scan")
+  }
+
   test("schema evolution: mergeSchema unifies files written with added columns") {
     import spark.implicits._
     // a 100 TB lake accretes columns over time; old files must stay readable
