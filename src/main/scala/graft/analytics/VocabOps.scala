@@ -89,10 +89,12 @@ object VocabOps {
   /** BM25 document ranking for a fixed bag of query terms — the retrieval
     * scorer over a corpus (quality-filter / contamination-triage companion).
     *
-    * Scale shape: tf and dl are one uniform-key aggregation each; the query
-    * side collapses to |terms| df rows and a 1-row corpus-stats frame, both
-    * BROADCAST into the per-(doc, term) score map — the only shuffles touch
-    * corpus-sized tables on uniform keys. Final top-k is
+    * Scale shape: NO corpus-sized shuffle anywhere. Non-matching tokens are
+    * filtered BEFORE the tf aggregation, so the only token shuffle carries
+    * query-term hits; doc length is `size(tokens)` (map-only, no shuffle —
+    * identical to sum(tf) by definition); the corpus-stats frame partial-aggs
+    * to one row per partition; df collapses to |terms| rows and both small
+    * sides BROADCAST into the score map. Final top-k is
     * TakeOrderedAndProject (per-partition top-k), never a global sort.
     *
     * Determinism: the per-document score is a sum of per-term doubles, and
@@ -105,13 +107,14 @@ object VocabOps {
       textCol: String = "text", k1: Double = 1.2, b: Double = 0.75,
       topK: Int = 10): DataFrame = {
     require(terms.nonEmpty, "bm25Rank needs at least one query term")
-    val tf = norm(docs, idCol, textCol)
+    val dl = norm(docs, idCol, textCol)
+      .select(col("doc_id"), size(expr(toksExpr)).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val qtf = norm(docs, idCol, textCol)
       .select(col("doc_id"), explode(expr(toksExpr)).as("token"))
+      .filter(col("token").isin(terms: _*))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-    val qtf = tf.filter(col("token").isin(terms: _*))
     val dfreq = qtf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     qtf.join(broadcast(dfreq), "token")
       .join(dl, "doc_id")
@@ -181,10 +184,11 @@ object VocabOps {
     "qt_bm25",
     (s, dir) => bm25Rank(Tables.documents(s, dir), Bm25Terms),
     Some(s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
-    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY doc_id, token),
-    dlt AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+    dlt AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS dl FROM documents),
     st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dlt),
-    qt AS (SELECT * FROM tf WHERE token IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})),
+    qt AS (SELECT doc_id, token, COUNT(*) AS tf FROM t
+      WHERE token IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+      GROUP BY doc_id, token),
     dfx AS (SELECT token, COUNT(*) AS df FROM qt GROUP BY token),
     sc AS (SELECT qt.doc_id, qt.token, ${bm25TermExpr(1.2, 0.75)} AS ts
       FROM qt JOIN dfx USING (token) JOIN dlt USING (doc_id) CROSS JOIN st),

@@ -420,6 +420,44 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kw == Map(1L -> "cherry", 2L -> "banana", 3L -> "egg"), s"got $kw")
   }
 
+  test("bm25Rank ranks rare-term docs above common-term docs on custom columns") {
+    import spark.implicits._
+    val md = Seq(
+      (1L, "apple banana apple banana cherry date egg fig"),
+      (2L, "apple banana grape melon"),
+      (3L, "zebra apple banana banana banana melon grape kiwi"),
+      (4L, "pear plum quince melon")).toDF("post_id", "body")
+    // "zebra" df=1 (rare), "apple" df=3: doc 3 holds the rare term and must
+    // outrank docs with only the common one
+    val out = VocabOps.bm25Rank(md, Seq("apple", "zebra"),
+      idCol = "post_id", textCol = "body", topK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.head._1 == 3L, s"rare-term doc should rank first: ${out.toSeq}")
+    // doc 1 (tf=2) outscores doc 2 (tf=1, shorter): tf dominates at these dls
+    assert(out.map(_._1).toSeq == Seq(3L, 1L, 2L), s"got ${out.toSeq}")
+    // n_terms counts matched distinct terms
+    assert(out.head._2 == 2L)
+    // doc 4 matches nothing → absent
+    assert(!out.map(_._1).contains(4L))
+  }
+
+  test("duplicateSpans finds cross-doc spans on custom columns; stride bounds recall") {
+    import spark.implicits._
+    val md = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x y a b c d e q"),      // shares the 5-token span "a b c d e"
+      (3L, "p q r s t u v w")).toDF("post_id", "body")
+    val out = DedupOps.duplicateSpans(md, idCol = "post_id", textCol = "body",
+      w = 5, stride = 1).collect()
+    // exactly the one span shared by docs 1 and 2
+    assert(out.length == 1, s"got ${out.toSeq}")
+    assert(out.head.getLong(1) == 2L && out.head.getLong(2) == 2L)
+    // same corpus, stride 5: doc 2's copy starts at offset 2 — misses
+    val strided = DedupOps.duplicateSpans(md, idCol = "post_id",
+      textCol = "body", w = 5, stride = 5).collect()
+    assert(strided.isEmpty)
+  }
+
   test("labelCentroids computes exact per-label dimension means") {
     import spark.implicits._
     val vecs = Seq(
