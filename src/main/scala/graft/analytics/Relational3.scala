@@ -162,6 +162,35 @@ object Relational3 {
     QUALIFY event_type = 'purchase'
     ORDER BY user_id, ts, event_id"""))
 
+  // The same attribution as-of join through the NATIVE whole-operator path
+  // (graft.plans.AsofJoinExec: custom LogicalPlan + Strategy + SparkPlan —
+  // SURVEY §2.2 tier (c)). Each side shuffles once on user_id, sorts on
+  // (user_id, ts), and merges in one forward pass — no union, no window
+  // state. Oracled against DuckDB's first-class ASOF LEFT JOIN, which is a
+  // stronger statement than the window rewrite: two independent engines'
+  // as-of operators agree row-for-row.
+  private val qAsofNative = GraftQuery(
+    "qj_asof_native",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      graft.plans.AsofOps.asofJoin(
+          purchases, clicks, Seq("user_id"), Seq("c_user"), "ts", "c_ts")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("c_ts").as("click_ts"))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    },
+    Some("""SELECT p.user_id, p.event_id, p.ts, c.c_ts AS click_ts
+      FROM (SELECT user_id, event_id, ts FROM events
+            WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT user_id AS c_user, ts AS c_ts FROM events
+            WHERE event_type = 'click') c
+        ON p.user_id = c.c_user AND p.ts >= c.c_ts
+      ORDER BY p.user_id, p.ts, p.event_id"""))
+
   // Range (band) join: lineitem rows bucketed into quantity bands via a
   // non-equi join against a tiny broadcast band table — the one place a
   // BroadcastNestedLoopJoin IS the right plan (3-row build side; each
@@ -360,5 +389,5 @@ object Relational3 {
 
   val queries: Seq[GraftQuery] =
     Seq(qSessionWindow, qArrayFns, qMapFns, qPosexplode, qPivot, qAsof,
-      qRangeJoin, qMath, qBitwise, qUdf, qQ02, qQ15, qLateral)
+      qAsofNative, qRangeJoin, qMath, qBitwise, qUdf, qQ02, qQ15, qLateral)
 }

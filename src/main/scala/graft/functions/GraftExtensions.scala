@@ -48,5 +48,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer tier: composed size(array_intersect(...)) rewritten to the
     // allocation-free native count wherever result-identical
     ext.injectOptimizerRule(_ => RewriteIntersectCount)
+    // whole-operator tier: plans the AsofJoinPlan logical node onto the
+    // native sort-merge AsofJoinExec
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }
