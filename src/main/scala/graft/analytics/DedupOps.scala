@@ -487,6 +487,65 @@ object DedupOps {
     SELECT h AS span_hash, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
     FROM s GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2 ORDER BY span_hash"""))
 
+  // ------------------------------------- Bloom-pre-filtered incremental
+  /** Incremental exact dedup with a Bloom pre-filter: which incoming
+    * documents are NEW vs an existing corpus? The existing side — the
+    * 100 TB one — is collapsed to a Bloom filter over its 60-bit
+    * normalized-text fingerprints (a distributed `stat.bloomFilter`
+    * treeAggregate: the corpus itself never moves, only the fixed-size bit
+    * array merges up). The sketch broadcasts to every executor and probes
+    * the incoming batch map-side; only Bloom POSITIVES (true dups + ~fpp
+    * false positives) enter the exact semi-join against the corpus
+    * fingerprints. The result is therefore exactly the anti-join — the
+    * sketch never changes the answer (no false negatives by construction),
+    * it only prunes the join's probe side from |incoming| to ~|dups| rows.
+    * That pruning is the point at scale: the incoming batch never joins
+    * wholesale against a corpus-sized table.
+    *
+    * The probe is a Scala UDF deliberately: the sketch lives in a
+    * broadcast variable, and a sketch probe has no builtin-function or
+    * codegen'd-Expression equivalent — this is the one documented UDF
+    * class (same exemption as the MediaDecoder plumbing).
+    *
+    * Output: incoming (doc_id, is_new), ordered by doc_id.
+    */
+  def bloomNewDocs(existing: DataFrame, incoming: DataFrame,
+      fpp: Double = 0.03, expectedItems: Long = -1L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
+    def fps(df: DataFrame) = df.select(col(idCol).as("doc_id"),
+      expr(h60(s"trim(regexp_replace(lower($textCol), '\\\\s+', ' '))")).as("fp"))
+    val ex = fps(existing)
+    val inc = fps(incoming)
+    // sizing pass: one count of the existing side unless the caller knows it
+    val n = if (expectedItems > 0) expectedItems else math.max(ex.count(), 1L)
+    val bf = ex.stat.bloomFilter("fp", n, fpp)
+    val bc = existing.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((x: Long) => bc.value.mightContainLong(x))
+    val confirmed = inc.filter(mightContain(col("fp")))
+      .join(ex.select(col("fp")), Seq("fp"), "left_semi")
+      .select(col("doc_id"))
+    inc.select(col("doc_id"))
+      .join(confirmed.withColumn("dup", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"), not(coalesce(col("dup"), lit(false))).as("is_new"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qBloom = GraftQuery(
+    "qd_bloom_incremental",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      bloomNewDocs(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0))
+    },
+    Some(s"""WITH f AS (SELECT doc_id,
+      ${h60Sql("trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")} AS fp FROM documents),
+    inc AS (SELECT doc_id, fp FROM f WHERE doc_id % 5 = 0),
+    ex AS (SELECT fp FROM f WHERE doc_id % 5 <> 0)
+    SELECT inc.doc_id, inc.fp NOT IN (SELECT fp FROM ex) AS is_new
+    FROM inc ORDER BY inc.doc_id"""))
+
   val queries: Seq[GraftQuery] =
-    Seq(qExact, qNgram, qMinhash, qSimhash, qEmbed, qClusters, qSpans)
+    Seq(qExact, qNgram, qMinhash, qSimhash, qEmbed, qClusters, qSpans, qBloom)
 }

@@ -236,5 +236,99 @@ object MixOps {
       array_to_string(toks[chunk_idx * $ChunkStride + 1 : chunk_idx * $ChunkStride + $ChunkSize], ' ') AS chunk_text
     FROM e ORDER BY doc_id, chunk_idx"""))
 
-  def queries: Seq[GraftQuery] = Seq(qNormalize, qDomainMix, qSeqPack, qChunk)
+  // ------------------------------------------- DSIR importance weights
+  /** Data selection via hashed n-gram importance weights (the DSIR recipe,
+    * Xie et al. 2023, arXiv:2302.03169 — public method): score every raw
+    * document by how target-like its hashed unigram+bigram features are.
+    * Per bucket b, the smoothed likelihood ratio
+    * `(t_b+1)/(T+B) ÷ (r_b+1)/(R+B)` (target vs raw feature frequency);
+    * per document, the mean ratio over its feature bag. High score = looks
+    * like the target distribution — the resampling weight DSIR selects by.
+    *
+    * Determinism contract: the paper's log-weights would sum `ln()` values,
+    * and ln carries no cross-engine exactness guarantee (same reason
+    * [[VocabOps.tfidfKeywords]] is log-free). Instead each bucket ratio is
+    * quantized once to a BIGINT (×2²⁴; one IEEE multiply/divide tree both
+    * engines evaluate bit-identically), and per-doc aggregation is an
+    * exact integer sum — order- and partitioning-independent.
+    *
+    * Scale shape: feature hashing is map-only; the only corpus-sized
+    * shuffle is the uniform B-bucket count (partial-agg collapses it);
+    * the B-row ratio table is broadcast back over one feature scan. The
+    * target side is benchmarks/curated data — MBs against a 100 TB raw
+    * corpus.
+    *
+    * Output: (doc_id, n_feats, score) for every raw document.
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame,
+      buckets: Int = DsirBuckets,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    def featBuckets(df: DataFrame) =
+      norm(df, idCol, textCol)
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("bigrams", expr(
+          "zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)), " +
+            "slice(toks, 2, greatest(size(toks) - 1, 0)), " +
+            "(x, y) -> concat(x, ' ', y))"))
+        .select(col("doc_id"),
+          explode(expr("array_distinct(concat(toks, bigrams))")).as("f"))
+        .select(col("doc_id"), expr(s"${h60("f")} % $buckets").as("bucket"))
+
+    val rawFeats = featBuckets(raw)
+    val rb = rawFeats.groupBy(col("bucket")).agg(count(lit(1)).as("rc"))
+    val tb = featBuckets(target).groupBy(col("bucket")).agg(count(lit(1)).as("tc"))
+    val totals = rb.agg(sum(col("rc")).as("r_tot"))
+      .crossJoin(tb.agg(sum(col("tc")).as("t_tot")))
+    val spark = raw.sparkSession
+    val ratio = spark.range(buckets).select(col("id").as("bucket"))
+      .join(rb, Seq("bucket"), "left").join(tb, Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
+      // op tree mirrored CHARACTER-FOR-CHARACTER in the oracle: every step
+      // is IEEE +,*,/ on doubles (bit-identical across engines), then one
+      // round-to-BIGINT
+      .select(col("bucket"), expr(
+        s"cast(round(($DsirQuant.0 * ((coalesce(tc, 0) + 1.0) * " +
+          s"(cast(r_tot as double) + $buckets.0))) / ((coalesce(rc, 0) + 1.0) * " +
+          s"(cast(t_tot as double) + $buckets.0))) as bigint)").as("q"))
+    val perDoc = rawFeats.join(broadcast(ratio), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("q")).as("qsum"))
+    raw.select(col(idCol).as("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(expr(s"cast(qsum as double) / (n_feats * $DsirQuant.0)"), lit(0.0))
+          .as("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val DsirBuckets = 64
+  private val DsirQuant = 1 << 24
+
+  private val qDsir = GraftQuery(
+    "qt_dsir_weights",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      dsirWeights(docs, docs.filter(col("lang") === "en"))
+    },
+    Some(s"""WITH d AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+    fz AS (SELECT doc_id, lang, list_distinct(list_concat(toks,
+      list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1]))) AS feats
+      FROM d),
+    fe AS (SELECT doc_id, lang, ${h60Sql("f")} % $DsirBuckets AS bucket
+      FROM (SELECT doc_id, lang, unnest(feats) AS f FROM fz) u),
+    rb AS (SELECT bucket, COUNT(*) AS rc FROM fe GROUP BY bucket),
+    tb AS (SELECT bucket, COUNT(*) AS tc FROM fe WHERE lang = 'en' GROUP BY bucket),
+    tot AS (SELECT (SELECT SUM(rc) FROM rb) AS r_tot, (SELECT SUM(tc) FROM tb) AS t_tot),
+    qt AS (SELECT g.b AS bucket,
+      CAST(round(($DsirQuant.0 * ((coalesce(tb.tc, 0) + 1.0) * (CAST(r_tot AS DOUBLE) + $DsirBuckets.0))) / ((coalesce(rb.rc, 0) + 1.0) * (CAST(t_tot AS DOUBLE) + $DsirBuckets.0))) AS BIGINT) AS q
+      FROM generate_series(0, ${DsirBuckets - 1}) g(b)
+        LEFT JOIN rb ON rb.bucket = g.b LEFT JOIN tb ON tb.bucket = g.b, tot),
+    sc AS (SELECT doc_id, COUNT(*) AS n_feats, SUM(q) AS qsum
+      FROM fe JOIN qt USING (bucket) GROUP BY doc_id)
+    SELECT dd.doc_id, CAST(coalesce(sc.n_feats, 0) AS BIGINT) AS n_feats,
+      coalesce(CAST(sc.qsum AS DOUBLE) / (sc.n_feats * $DsirQuant.0), 0.0) AS score
+    FROM documents dd LEFT JOIN sc ON dd.doc_id = sc.doc_id ORDER BY dd.doc_id"""))
+
+  def queries: Seq[GraftQuery] = Seq(qNormalize, qDomainMix, qSeqPack, qChunk, qDsir)
 }

@@ -569,6 +569,72 @@ object SimilarityOps {
     (s, dir) => centroidOutliers(Tables.embeddings(s, dir)),
     Some(outliersSql))
 
+  // ----------------------------------------------------------- SemDeDup
+  /** Semantic deduplication via clustering (the SemDeDup recipe, Abbas et
+    * al. 2023, arXiv:2303.09540 — public method): k-means-cluster the
+    * embedding space, then look for near-identical pairs ONLY inside each
+    * cluster; any vector with a smaller-id neighbor at cosine >= `theta`
+    * in its own cell is dropped (keep-min rule — deterministic, the same
+    * tie-break every dedup tier here uses).
+    *
+    * Scale shape: cell assignment is map-only (argmax of the native dot
+    * against C centroid literals); the ONLY join is the intra-cell
+    * self-join, whose fan-out is bounded by cell occupancy — at corpus
+    * scale C grows ~√n (the quantizer is trained, see [[trainCentroids]]),
+    * so cells stay rerank-sized and the pair count stays ~n·(n/C) ≪ n².
+    * This is exactly why SemDeDup clusters first: the corpus is never
+    * compared all-pairs.
+    *
+    * Output: (vec_id, cell, kept) for every corpus row.
+    */
+  def semDedup(corpus: org.apache.spark.sql.DataFrame, theta: Double = 0.4,
+      cents: Seq[Seq[Double]] = centroids,
+      idCol: String = "vec_id", vecCol: String = "embedding"): org.apache.spark.sql.DataFrame = {
+    val scoreArr = array(cents.map(c => graft_dot(typedLit(c), col("v"))): _*)
+    val assigned = prep(corpus, idCol, vecCol)
+      .withColumn("sc", scoreArr)
+      .withColumn("cell", expr("array_position(sc, array_max(sc))"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    val lo = assigned.select(col("cell"), col("vec_id").as("query_id"),
+      col("v").as("va"), col("nrm").as("na"))
+    val hi = assigned.select(col("cell"), col("vec_id").as("cand_id"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val dropped = withCosine(
+        lo.join(hi, Seq("cell")).filter(col("query_id") < col("cand_id")))
+      .filter(col("cosine") >= theta)
+      .select(col("cand_id").as("vec_id")).distinct()
+    assigned
+      .join(dropped.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        not(coalesce(col("dup"), lit(false))).as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val SemTheta = 0.4
+
+  private val semDedupSql =
+    s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ${lloydSql(IvfIters)},
+    scs AS (SELECT vec_id, v,
+      list_transform(generate_series(1, $Cents), c ->
+        list_reduce(list_transform(generate_series(1, 64), i -> w[c][i] * v[i]), (a, b) -> a + b)) AS sc
+      FROM e0, cw$IvfIters),
+    e AS (SELECT vec_id, v, CAST(list_position(sc, list_max(sc)) AS BIGINT) AS cell FROM scs),
+    pr AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id, a.v AS va, b.v AS vb
+      FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+    dp AS (SELECT DISTINCT cand_id FROM
+      (SELECT cand_id, $cosineSql AS cosine FROM pr) x WHERE cosine >= $SemTheta)
+    SELECT e.vec_id, e.cell, dp.cand_id IS NULL AS kept
+    FROM e LEFT JOIN dp ON e.vec_id = dp.cand_id ORDER BY e.vec_id"""
+
+  private val qSemDedup = GraftQuery(
+    "qd_semdedup",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      semDedup(emb, SemTheta, trainCentroids(emb))
+    },
+    Some(semDedupSql))
+
   val queries: Seq[GraftQuery] = Seq(qBrute, qAnnLsh, qAnnIvf, qAnnIvfTrained,
-    qRecall, qSq, qCentroids, qKmeans, qOutliers)
+    qRecall, qSq, qCentroids, qKmeans, qOutliers, qSemDedup)
 }

@@ -512,4 +512,53 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(fp(10L) == fp(11L) && fp(10L) != fp(12L))
   }
+
+  test("bloomNewDocs equals the exact anti-join even at absurd fpp") {
+    // fpp = 0.5 floods the probe with false positives; the exact verify
+    // join must resolve every one — the sketch only prunes, never decides
+    val existing = docs.filter("post_id != 11 AND post_id != 13")
+    val incoming = docs.filter("post_id = 11 OR post_id = 13")
+    val out = DedupOps.bloomNewDocs(existing, incoming, fpp = 0.5,
+        idCol = "post_id", textCol = "body")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // 11 duplicates 10 (exists in corpus) -> not new; 13 is unique -> new
+    assert(out == Map(11L -> false, 13L -> true), s"got $out")
+  }
+
+  test("semDedup keeps each cell's minimum id and flags its near-dups") {
+    import spark.implicits._
+    // two tight clusters on orthogonal axes + one isolated vector
+    def v(axis: Int, eps: Double): Seq[Double] =
+      (0 until 64).map(i => if (i == axis) 1.0 else if (i == axis + 1) eps else 0.0)
+    val emb = Seq(
+      (1L, v(0, 0.0)), (2L, v(0, 0.01)),   // cosine ~1 -> 2 dropped
+      (3L, v(10, 0.0)), (4L, v(10, 0.02)), // cosine ~1 -> 4 dropped
+      (5L, v(30, 0.0))                      // alone in its cell
+    ).toDF("vid", "vec")
+    val out = SimilarityOps.semDedup(emb, theta = 0.9,
+        idCol = "vid", vecCol = "vec")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false, 5L -> true),
+      s"got $out")
+  }
+
+  test("dsirWeights scores target-like docs above off-target docs") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta", "t"),
+      (2L, "alpha beta gamma epsilon", "t"),
+      (3L, "zeta eta theta iota kappa", "r"),
+      (4L, "lambda mu nu xi omicron", "r"),
+      (5L, "alpha beta gamma delta epsilon", "r")) // r-side doc made of t-features
+      .toDF("id", "body", "side")
+    val out = MixOps.dsirWeights(corpus, corpus.filter("side = 't'"),
+        buckets = 32, idCol = "id", textCol = "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byId = out.map(t => t._1 -> t._3).toMap
+    // every doc got features; target-like docs outscore off-target ones
+    assert(out.forall(_._2 > 0), s"feature counts: $out")
+    assert(byId(5L) > byId(3L) && byId(5L) > byId(4L),
+      s"target-like doc must outscore off-target docs: $byId")
+    assert(byId(1L) > byId(3L), s"target doc must outscore off-target: $byId")
+  }
 }
