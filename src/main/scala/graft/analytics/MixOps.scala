@@ -264,16 +264,18 @@ object MixOps {
       buckets: Int = DsirBuckets,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    // short-doc sentinel the native kernel emits when a doc has < n tokens
+    // (h60 of the empty string) — not a real feature, stripped post-union
+    val sentinel = graft.functions.ShingleKernel.h60(Array.emptyByteArray)
     def featBuckets(df: DataFrame) =
       norm(df, idCol, textCol)
-        .withColumn("toks", expr(toksExpr))
-        .withColumn("bigrams", expr(
-          "zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)), " +
-            "slice(toks, 2, greatest(size(toks) - 1, 0)), " +
-            "(x, y) -> concat(x, ' ', y))"))
-        .select(col("doc_id"),
-          explode(expr("array_distinct(concat(toks, bigrams))")).as("f"))
-        .select(col("doc_id"), expr(s"${h60("f")} % $buckets").as("bucket"))
+        // native codegen'd kernels (no interpreted lambdas in the hot
+        // path): unigram + bigram hash SETS, deduped by array_union
+        .select(col("doc_id"), explode(array_remove(array_union(
+            graft.functions.GraftFunctions.graft_shingle_hashes(col("text"), 1),
+            graft.functions.GraftFunctions.graft_shingle_hashes(col("text"), 2)),
+          sentinel)).as("h"))
+        .select(col("doc_id"), (col("h") % buckets).as("bucket"))
 
     val rawFeats = featBuckets(raw)
     val rb = rawFeats.groupBy(col("bucket")).agg(count(lit(1)).as("rc"))
@@ -312,10 +314,11 @@ object MixOps {
       dsirWeights(docs, docs.filter(col("lang") === "en"))
     },
     Some(s"""WITH d AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
-    fz AS (SELECT doc_id, lang, list_distinct(list_concat(toks,
-      list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1]))) AS feats
+    fz AS (SELECT doc_id, lang, list_distinct(list_concat(
+      list_transform(toks, t -> ${h60Sql("t")}),
+      list_transform(generate_series(1, len(toks) - 1), i -> ${h60Sql("toks[i] || ' ' || toks[i+1]")}))) AS feats
       FROM d),
-    fe AS (SELECT doc_id, lang, ${h60Sql("f")} % $DsirBuckets AS bucket
+    fe AS (SELECT doc_id, lang, f % $DsirBuckets AS bucket
       FROM (SELECT doc_id, lang, unnest(feats) AS f FROM fz) u),
     rb AS (SELECT bucket, COUNT(*) AS rc FROM fe GROUP BY bucket),
     tb AS (SELECT bucket, COUNT(*) AS tc FROM fe WHERE lang = 'en' GROUP BY bucket),
