@@ -471,7 +471,52 @@ object TextOps {
         AS contaminated
     FROM tf t ORDER BY t.doc_id"""))
 
+  /** Deterministic stratified sampling: exactly `min(k, |stratum|)` rows
+    * per stratum, chosen by content-hash rank — reproducible across runs,
+    * engines, and cluster layouts, unlike `sampleBy` (Bernoulli per row:
+    * approximate counts, RNG-partition-order dependent). Rank is
+    * `row_number` over (h60(text ⊕ salt), doc_id) inside each stratum; the
+    * salt decorrelates this sample from every other hash-keyed decision
+    * (mix/split) on the same corpus.
+    *
+    * Scale shape: the `rank <= k` filter on a window rewrites to
+    * WindowGroupLimit (pinned in PlanAuditSpec) — every input partition
+    * keeps at most k rows PER STRATUM before the shuffle, so the exchange
+    * carries ~k·parts rows per stratum, not the stratum itself. A
+    * billion-row stratum therefore never funnels through one task's sort;
+    * the post-shuffle per-stratum merge handles k·parts rows.
+    *
+    * Output: (doc_id, stratum, rk) for the sampled rows, ordered.
+    */
+  def stratifiedSample(docs: org.apache.spark.sql.DataFrame, k: Int,
+      stratumCol: String = "lang", idCol: String = "doc_id",
+      textCol: String = "text", salt: String = "strat"): org.apache.spark.sql.DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum"))
+      .orderBy(col("hr"), col("doc_id"))
+    docs.select(col(idCol).as("doc_id"), col(stratumCol).as("stratum"),
+        col(textCol).as("text"))
+      .withColumn("hr", expr(h60(s"concat(text, '|$salt')")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("stratum"), col("rk"))
+      .orderBy(col("stratum"), col("rk"))
+  }
+
+  private val StratK = 20
+
+  private val qStratified = GraftQuery(
+    "qt_stratified_sample",
+    (s, dir) => stratifiedSample(Tables.documents(s, dir), StratK),
+    Some(s"""WITH h AS (SELECT doc_id, lang AS stratum,
+      ${h60Sql("text || '|strat'")} AS hr FROM documents),
+    r AS (SELECT doc_id, stratum,
+      ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY hr, doc_id) AS rk FROM h)
+    SELECT doc_id, stratum, CAST(rk AS INTEGER) AS rk FROM r
+    WHERE rk <= $StratK ORDER BY stratum, rk"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qTokens, qBpeTokens, qLangId, qQuality, qFingerprint, qSplit, qRebalance,
-      qRepetition, qLineDedup, qContamination)
+      qRepetition, qLineDedup, qContamination, qStratified)
 }

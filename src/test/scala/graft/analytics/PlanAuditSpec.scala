@@ -120,4 +120,33 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("CartesianProduct"),
       "corpus-by-corpus cartesian is never acceptable")
   }
+
+  test("qt_stratified_sample pre-prunes per-partition via WindowGroupLimit") {
+    // the rank<=k filter must rewrite to WindowGroupLimit so a giant
+    // stratum never funnels through one task's full sort
+    val plan = graft.SparkEntry.queries("qt_stratified_sample")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected partial per-partition group-limit, got:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      "stratified sampling must never global-sort the corpus")
+  }
+
+  test("qt_dsir_weights broadcasts the ratio table, never shuffles features to it") {
+    val plan = graft.SparkEntry.queries("qt_dsir_weights")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "bucket ratios (B rows) must broadcast over the feature scan")
+    assert(!plan.contains("CartesianProduct"), "no cartesian in DSIR")
+  }
+
+  test("qd_semdedup and qd_bloom_incremental never scan all-pairs") {
+    Seq("qd_semdedup", "qd_bloom_incremental").foreach { name =>
+      val plan = graft.SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name regressed to an all-pairs scan:\n$plan")
+    }
+  }
 }
