@@ -361,6 +361,130 @@ object SimilarityOps {
       Tables.embeddings(s, dir).filter(col("vec_id") < NQ), K),
     Some(ivfTrainedSql))
 
+  // ------------------------------------------- product quantization (ADC)
+  /** PQ geometry: 64 dims split into `SubM`=4 subspaces of `SubDim`=16,
+    * `PqK`=8 codewords per subspace → each corpus vector compresses to 4
+    * small ints (codebook addresses), a 128× cut of what the scoring join
+    * has to carry vs the raw 64 doubles.
+    */
+  private val SubM = 4
+  private val SubDim = 16
+  private val PqK = 8
+
+  /** md5-seeded PQ codebooks w(m)(c) ∈ [-1,1]^SubDim — deterministic
+    * literals both engines share, same construction as [[centroids]].
+    * [[pqTrainCodebooks]] refines them per subspace with the exact
+    * quantized Lloyd loop when a data-fit codebook is wanted.
+    */
+  private[analytics] def pqCodebooks: Seq[Seq[Seq[Double]]] =
+    (0 until SubM).map(m => (0 until PqK).map(c =>
+      (0 until SubDim).map(i =>
+        (h60Local(s"pq${m}_${c}_$i") % 2001 - 1000).toDouble / 1000.0)))
+
+  /** Product-quantization top-k with asymmetric distance computation
+    * (the public PQ/ADC method of Jégou, Douze & Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011 — the FAISS
+    * `IndexPQ` recipe):
+    *
+    *  1. ENCODE (map-only, corpus scanned once): each subvector slice is
+    *     assigned its nearest codeword by inner product; a vector becomes
+    *     `SubM` small-int codes. At 100 TB this is the point — the
+    *     scoring join ships (id, 4 ints) per corpus row, never the
+    *     embedding, so the dominant cost (corpus bytes through the
+    *     broadcast-join scan) drops ~128×, the same economics that let
+    *     FAISS hold billion-vector indexes in RAM.
+    *  2. LUT (map-only on the tiny query side): the query's `PqK`
+    *     sub-scores per subspace ARE the ADC lookup table — dot(q_sub,
+    *     codeword) for every codeword.
+    *  3. SCORE: adc(q, x) = Σ_m lut[m][code_m(x)] — `SubM` array lookups
+    *     + adds per pair instead of a 64-mult dot product. Top-k by the
+    *     same rank-window shape as every other tier.
+    *
+    * Composes with [[annIvf]] exactly like FAISS IVF-PQ: the cell join
+    * prunes candidates, the PQ codes score them. Deterministic end to
+    * end (literal codebooks, fixed fold order, first-max tie-break), so
+    * the whole approximation is oracle-checked, and [[annRecall]] reports
+    * its recall against the exact top-k next to the LSH/IVF tiers.
+    * Output: (query_id, rank, cand_id, adc).
+    */
+  def pqTopK(corpus: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame, k: Int = 5,
+      books: Seq[Seq[Seq[Double]]] = pqCodebooks,
+      idCol: String = "vec_id", vecCol: String = "embedding"): org.apache.spark.sql.DataFrame = {
+    require(books.nonEmpty && books.forall(_.nonEmpty), "empty PQ codebook")
+    val subDim = books.head.head.size
+    def base(df: org.apache.spark.sql.DataFrame) =
+      df.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
+    def subScores(m: Int) = array(books(m).map(cw =>
+      graft_dot(typedLit(cw), expr(s"slice(v, ${m * subDim + 1}, $subDim)"))): _*)
+    val enc = books.indices.foldLeft(base(corpus)) { (df, m) =>
+      df.withColumn(s"sc_$m", subScores(m))
+        .withColumn(s"code_$m",
+          expr(s"cast(array_position(sc_$m, array_max(sc_$m)) as int)"))
+    }.select(col("vec_id").as("cand_id") +:
+      books.indices.map(m => col(s"code_$m")): _*)
+    val q = books.indices.foldLeft(base(queries)) { (df, m) =>
+      df.withColumn(s"lut_$m", subScores(m))
+    }.select(col("vec_id").as("query_id") +:
+      books.indices.map(m => col(s"lut_$m")): _*)
+    val adc = books.indices.map(m =>
+      element_at(col(s"lut_$m"), col(s"code_$m"))).reduce(_ + _)
+    val pairs = enc.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("adc", adc)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("cand_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("adc"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Per-subspace Lloyd training for the PQ codebooks: [[trainCentroids]]
+    * (the exact quantized-BIGINT k-means loop) run independently on each
+    * `SubDim`-dim subvector slice — the standard PQ training procedure.
+    * Corpus is scanned once per (subspace, iteration); driver traffic is
+    * PqK·SubDim doubles per round.
+    */
+  def pqTrainCodebooks(corpus: org.apache.spark.sql.DataFrame,
+      init: Seq[Seq[Seq[Double]]] = pqCodebooks, iters: Int = IvfIters,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Seq[Double]]] =
+    init.indices.map { m =>
+      val subDim = init(m).head.size
+      val sub = corpus.select(col(idCol).as("vec_id"),
+        expr(s"slice(cast($vecCol as array<double>), ${m * subDim + 1}, $subDim)").as("v"))
+      trainCentroids(sub, init(m), iters, "vec_id", "v")
+    }
+
+  private val pqBooksSql = pqCodebooks.map(_.map(_.mkString("[", ", ", "]"))
+    .mkString("[", ", ", "]")).mkString("[", ", ", "]")
+
+  private val pqSql = s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    bw AS (SELECT $pqBooksSql AS w),
+    scs AS (SELECT vec_id, list_transform(generate_series(1, $SubM), m ->
+        list_transform(generate_series(1, $PqK), c ->
+          list_reduce(list_transform(generate_series(1, $SubDim),
+            i -> w[m][c][i] * v[(m - 1) * $SubDim + i]), (a, b) -> a + b))) AS sc
+      FROM e0, bw),
+    enc AS (SELECT vec_id,
+      list_transform(sc, s -> list_position(s, list_max(s))) AS code FROM scs),
+    p AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.sc AS lut, c.code AS code
+      FROM scs q JOIN enc c ON q.vec_id < $NQ AND q.vec_id <> c.vec_id),
+    a AS (SELECT query_id, cand_id,
+      ${(1 to SubM).map(m => s"lut[$m][code[$m]]").mkString(" + ")} AS adc FROM p),
+    rk AS (SELECT query_id, cand_id, adc,
+      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc DESC, cand_id) AS rank
+      FROM a)
+    SELECT query_id, rank, cand_id, adc FROM rk WHERE rank <= $K
+    ORDER BY query_id, rank"""
+
+  private val qPq = GraftQuery(
+    "qs_pq_topk",
+    (s, dir) => pqTopK(Tables.embeddings(s, dir),
+      Tables.embeddings(s, dir).filter(col("vec_id") < NQ), K),
+    Some(pqSql))
+
+
   /** recall@k of each approximate tier vs the exact top-k, as a
     * deterministic oracled query: both approximations are seeded by
     * literals, so recall is a fixed number both engines compute.
@@ -384,12 +508,15 @@ object SimilarityOps {
             .withColumn("method", lit("ivf_trained")))
         .unionByName(
           annRecall(exact, annLsh(corpus, q, K)).withColumn("method", lit("lsh")))
+        .unionByName(
+          annRecall(exact, pqTopK(corpus, q, K)).withColumn("method", lit("pq")))
         .select(col("method"), col("recall"))
         .orderBy(col("method"))
     },
     Some(s"""${recallBranchSql("ivf", ivfSql)}
       UNION ALL ${recallBranchSql("ivf_trained", ivfTrainedSql)}
-      UNION ALL ${recallBranchSql("lsh", lshSql)} ORDER BY method"""))
+      UNION ALL ${recallBranchSql("lsh", lshSql)}
+      UNION ALL ${recallBranchSql("pq", pqSql)} ORDER BY method"""))
 
   /** int8 scalar-quantized top-k — the memory-bandwidth scale path real
     * vector stores use (FAISS `SQ8`): each vector is quantized once,
@@ -636,5 +763,5 @@ object SimilarityOps {
     Some(semDedupSql))
 
   val queries: Seq[GraftQuery] = Seq(qBrute, qAnnLsh, qAnnIvf, qAnnIvfTrained,
-    qRecall, qSq, qCentroids, qKmeans, qOutliers, qSemDedup)
+    qRecall, qSq, qCentroids, qKmeans, qOutliers, qSemDedup, qPq)
 }

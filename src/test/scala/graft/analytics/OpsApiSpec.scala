@@ -561,4 +561,49 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"target-like doc must outscore off-target docs: $byId")
     assert(byId(1L) > byId(3L), s"target doc must outscore off-target: $byId")
   }
+
+  test("pqTopK scores by codebook lookup on custom columns; ADC is exact") {
+    import spark.implicits._
+    // 8-dim vectors, 2 subspaces of 4 dims, 2 codewords per subspace:
+    // codewords are +/- axis indicators so the ADC score is hand-checkable
+    val books: Seq[Seq[Seq[Double]]] = Seq(
+      Seq(Seq(1.0, 0, 0, 0), Seq(-1.0, 0, 0, 0)),
+      Seq(Seq(0, 0, 1.0, 0), Seq(0, 0, -1.0, 0)))
+    val vecs = Seq(
+      (100L, Seq(2.0, 0, 0, 0, 0, 0, 3.0, 0)),   // codes (1, 1)
+      (101L, Seq(-2.0, 0, 0, 0, 0, 0, 3.0, 0)),  // codes (2, 1)
+      (102L, Seq(-2.0, 0, 0, 0, 0, 0, -3.0, 0))) // codes (2, 2)
+      .toDF("vid", "vec")
+    val out = SimilarityOps.pqTopK(vecs, vecs.filter("vid = 100"), k = 2,
+        books = books, idCol = "vid", vecCol = "vec")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // query 100 subvectors: (2,0,0,0) and (0,0,3,0) -> LUTs: m1 = [2, -2],
+    // m2 = [3, -3]. adc(101) = lut1[2] + lut2[1] = -2 + 3 = 1;
+    // adc(102) = lut1[2] + lut2[2] = -2 - 3 = -5.
+    assert(out.toSeq == Seq((100L, 1, 101L, 1.0), (100L, 2, 102L, -5.0)),
+      s"got ${out.toSeq}")
+  }
+
+  test("pqTrainCodebooks recovers per-subspace cluster structure") {
+    import spark.implicits._
+    // 8-dim corpus whose first subspace has two tight clusters at +/- e1;
+    // one Lloyd round from rough seeds must pull codewords onto the
+    // cluster means in that subspace
+    val rows = (0 until 20).map { i =>
+      val sign = if (i % 2 == 0) 1.0 else -1.0
+      (i.toLong, Seq(sign, 0.001 * i, 0, 0, 1.0, 0, 0, 0))
+    }
+    val vecs = rows.toDF("vid", "vec")
+    val init: Seq[Seq[Seq[Double]]] = Seq(
+      Seq(Seq(0.5, 0, 0, 0), Seq(-0.5, 0, 0, 0)),
+      Seq(Seq(1.0, 0, 0, 0), Seq(0, 1.0, 0, 0)))
+    val trained = SimilarityOps.pqTrainCodebooks(vecs, init, iters = 1,
+      idCol = "vid", vecCol = "vec")
+    assert(trained.size == 2 && trained.forall(_.size == 2) &&
+      trained.forall(_.forall(_.size == 4)), "codebook geometry must survive")
+    // subspace 0: codeword 1 ~ (+1, ~0.01, 0, 0), codeword 2 ~ (-1, ...)
+    assert(math.abs(trained(0)(0)(0) - 1.0) < 1e-6 &&
+      math.abs(trained(0)(1)(0) + 1.0) < 1e-6,
+      s"Lloyd round missed the subspace clusters: ${trained(0)}")
+  }
 }

@@ -140,6 +140,33 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("CartesianProduct"), "no cartesian in DSIR")
   }
 
+  test("qs_pq_topk ships codes through the join, never the embedding") {
+    val df = graft.SparkEntry.queries("qs_pq_topk")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // broadcast cross join is the intended exact-scoring shape (tiny
+    // query side); corpus-by-corpus cartesian never is
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"expected the query LUTs to broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), "no cartesian in PQ scoring")
+    // the PQ economics: the scoring join carries the int codes (corpus
+    // side) and the K-entry LUTs (query side) — the raw 64-double `v`
+    // must not survive either encode projection into the join
+    val exec = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.inputPlan
+      case p => p
+    }
+    val joins = exec.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(joins.nonEmpty, s"expected a BNL scoring join:\n$plan")
+    val crossing = joins.head.children.flatMap(_.output.map(_.name))
+    assert(crossing.exists(_.startsWith("code_")),
+      s"corpus side should ship PQ codes, saw: $crossing")
+    assert(!crossing.contains("v"),
+      s"raw vectors crossed the scoring join: $crossing")
+  }
+
   test("qd_semdedup and qd_bloom_incremental never scan all-pairs") {
     Seq("qd_semdedup", "qd_bloom_incremental").foreach { name =>
       val plan = graft.SparkEntry.queries(name)(spark, sf)
