@@ -29,23 +29,40 @@ object Bench {
     }
     // noop sink: materializes every output column (count() would let
     // Catalyst prune the projection and under-report expression cost)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).flatMap { _ =>
+    //
+    // Rep policy (r6): reps are INTERLEAVED at the pass level — run the whole
+    // suite once, then again — rather than back-to-back per query. Back-to-back
+    // reps share one host-contention window, so min-of-N could not shave a
+    // transient stall that covered both reps (r4/r5 artifacts overstated some
+    // queries 10x that way). With pass-level interleaving the two samples of a
+    // query are ~minutes apart, so a contention burst lands on at most one.
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").take(3).mkString(" ")
+      catch { case _: Throwable => "" }
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
+    val passLoads = (1 to reps).map { pass =>
+      val la0 = loadavg()
+      names.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
+          samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name)
         } catch {
-          case e: Throwable => System.err.println(s"[bench] $name failed: $e"); None
+          case e: Throwable => System.err.println(s"[bench] $name failed (pass $pass): $e")
         }
       }
-      // a query that failed every rep still reports its (wasted) wall time
-      name -> (if (times.nonEmpty) times.min else (0.0))
+      s"$la0 -> ${loadavg()}"
+    }
+    // a query that failed every pass reports 0.0 (its stderr line is the flag)
+    val results = names.map { case (name, _) =>
+      name -> (samples(name) match { case Nil => 0.0; case ts => ts.min })
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"policy":"min-of-$reps","queries":$qs,"sf":"$sfDir"}"""
+    val loads = passLoads.map(s => "\"" + s + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"policy":"min-over-$reps-interleaved-passes","loadavg_per_pass":$loads,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // Also persist the full JSON in-repo: the driver captures only the tail
     // of stdout, which truncated BENCH_r02.json mid-line. A committed file

@@ -218,13 +218,19 @@ object SimilarityOps {
     * driver) so both engines and every executor share them as literals.
     */
   private val Cents = 8
-  private[analytics] def centroids: Seq[Seq[Double]] =
-    (0 until Cents).map { c =>
-      val raw = (0 to 63).map(i =>
-        (h60Local(s"cent${c}_$i") % 2001 - 1000).toDouble / 1000.0)
+
+  /** `c` deterministic md5-seeded unit vectors — the k-means/IVF seed
+    * codebook at any cell count (Lloyd training then fits them to data).
+    */
+  private[analytics] def seedCentroids(c: Int, dim: Int = 64): Seq[Seq[Double]] =
+    (0 until c).map { k =>
+      val raw = (0 until dim).map(i =>
+        (h60Local(s"cent${k}_$i") % 2001 - 1000).toDouble / 1000.0)
       val n = math.sqrt(raw.map(x => x * x).sum)
       raw.map(_ / n)
     }
+
+  private[analytics] def centroids: Seq[Seq[Double]] = seedCentroids(Cents)
 
   /** IVF (inverted-file) ANN: map-only cell assignment (argmax of native
     * dot against the C centroid literals), queries probe their 2 best
@@ -413,6 +419,10 @@ object SimilarityOps {
       idCol: String = "vec_id", vecCol: String = "embedding"): org.apache.spark.sql.DataFrame = {
     require(books.nonEmpty && books.forall(_.nonEmpty), "empty PQ codebook")
     val subDim = books.head.head.size
+    // uniform geometry is load-bearing: subspace m's slice offset is
+    // m·subDim, which mis-slices silently for ragged codebooks
+    require(books.forall(_.forall(_.size == subDim)),
+      s"PQ codebooks must share one subspace width (head = $subDim)")
     def base(df: org.apache.spark.sql.DataFrame) =
       df.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
     def subScores(m: Int) = array(books(m).map(cw =>
@@ -448,13 +458,19 @@ object SimilarityOps {
     */
   def pqTrainCodebooks(corpus: org.apache.spark.sql.DataFrame,
       init: Seq[Seq[Seq[Double]]] = pqCodebooks, iters: Int = IvfIters,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Seq[Double]]] =
+      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Seq[Double]]] = {
+    require(init.nonEmpty && init.forall(_.nonEmpty), "empty PQ codebook")
+    val subDim = init.head.head.size
+    // same uniform-geometry pin as [[pqTopK]]: both compute subspace m's
+    // slice offset as m·subDim, so trained books stay aligned with scoring
+    require(init.forall(_.forall(_.size == subDim)),
+      s"PQ codebooks must share one subspace width (head = $subDim)")
     init.indices.map { m =>
-      val subDim = init(m).head.size
       val sub = corpus.select(col(idCol).as("vec_id"),
         expr(s"slice(cast($vecCol as array<double>), ${m * subDim + 1}, $subDim)").as("v"))
       trainCentroids(sub, init(m), iters, "vec_id", "v")
     }
+  }
 
   private val pqBooksSql = pqCodebooks.map(_.map(_.mkString("[", ", ", "]"))
     .mkString("[", ", ", "]")).mkString("[", ", ", "]")
@@ -484,6 +500,148 @@ object SimilarityOps {
       Tables.embeddings(s, dir).filter(col("vec_id") < NQ), K),
     Some(pqSql))
 
+  // -------------------------------------------------------------- IVF-PQ
+  /** ADC rerank depth: the exact pass re-scores this many ADC-ranked
+    * candidates per query before the final top-k. At the test corpus size
+    * 4·K is plenty; at scale it's the standard recall/cost dial (FAISS's
+    * `k_factor`).
+    */
+  private val IvfPqRerank = 20
+
+  /** The full FAISS `IndexIVFPQ` composition (Jégou et al. 2011, §V —
+    * public method), in the no-residual encoding variant (FAISS
+    * `by_residual=false`): three stages, each one already proven alone:
+    *
+    *  1. PRUNE — trained-IVF cell assignment ([[annIvf]] against
+    *     [[trainCentroids]] output): queries probe their 2 best cells, so
+    *     the candidate join touches ~2/C of the corpus instead of all of
+    *     it.
+    *  2. SCORE — PQ/ADC inside the probed cells ([[pqTopK]]'s economics):
+    *     the candidate join carries (id, cell, `SubM` small-int codes) per
+    *     corpus row — never the vectors — and scoring is `SubM` LUT
+    *     lookups + adds per pair. This is what makes the probe affordable
+    *     when cells hold millions of vectors.
+    *  3. RERANK — the ADC top-`rerank` per query (row_number window over
+    *     a |Q|·rerank-sized frame) is re-scored EXACTLY: the survivor id
+    *     list is broadcast against one more corpus scan to fetch true
+    *     vectors (at scale: a broadcast semi-join id-fetch, the standard
+    *     two-phase lookup), exact cosine, final top-k. Fixes ADC ranking
+    *     errors among the survivors, so recall ≥ the pure-PQ tier's at
+    *     the same candidate budget.
+    *
+    * Corpus cost: two map-only scans (encode+assign, rerank fetch) and one
+    * broadcast join each — no corpus shuffle anywhere. Deterministic end
+    * to end (literal/trained-literal codebooks, fixed fold order,
+    * first-max + cand_id tie-breaks), so the whole index is
+    * oracle-checked and [[annRecall]] reports its recall row.
+    * Output: (query_id, rank, cand_id, cosine).
+    */
+  def ivfPqTopK(corpus: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame, k: Int = 5,
+      rerank: Int = IvfPqRerank,
+      cents: Seq[Seq[Double]] = centroids,
+      books: Seq[Seq[Seq[Double]]] = pqCodebooks,
+      idCol: String = "vec_id", vecCol: String = "embedding"): org.apache.spark.sql.DataFrame = {
+    require(rerank >= k, s"rerank depth $rerank must be >= k = $k")
+    require(books.nonEmpty && books.forall(_.nonEmpty), "empty PQ codebook")
+    val subDim = books.head.head.size
+    require(books.forall(_.forall(_.size == subDim)),
+      s"PQ codebooks must share one subspace width (head = $subDim)")
+    val scoreArr = array(cents.map(c => graft_dot(typedLit(c), col("v"))): _*)
+    def withCell(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("sc", scoreArr)
+        .withColumn("cell", expr("array_position(sc, array_max(sc))"))
+    def subScores(m: Int) = array(books(m).map(cw =>
+      graft_dot(typedLit(cw), expr(s"slice(v, ${m * subDim + 1}, $subDim)"))): _*)
+    val base = prep(corpus, idCol, vecCol)
+    // corpus side of the ADC join: (cand_id, cell, codes) — map-only
+    val enc = books.indices.foldLeft(withCell(base)) { (df, m) =>
+      df.withColumn(s"sq_$m", subScores(m))
+        .withColumn(s"code_$m",
+          expr(s"cast(array_position(sq_$m, array_max(sq_$m)) as int)"))
+    }.select(col("vec_id").as("cand_id") +: col("cell") +:
+      books.indices.map(m => col(s"code_$m")): _*)
+    // query side: 2 probed cells + the ADC LUTs (tiny → broadcast)
+    val q0 = withCell(prep(queries, idCol, vecCol))
+      .withColumn("p2",
+        expr("array_position(sc, array_max(filter(sc, x -> x != array_max(sc))))"))
+    val q = books.indices.foldLeft(q0) { (df, m) =>
+      df.withColumn(s"lut_$m", subScores(m))
+    }.select(col("vec_id").as("query_id") +:
+      explode(array(col("cell"), col("p2"))).as("cell") +:
+      books.indices.map(m => col(s"lut_$m")): _*)
+    val adc = books.indices.map(m =>
+      element_at(col(s"lut_$m"), col(s"code_$m"))).reduce(_ + _)
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("cand_id"))
+    val cands = enc.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("adc", adc)
+      .withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= rerank)
+      .select(col("query_id"), col("cand_id"))
+    // exact rerank of the |Q|·rerank survivors
+    val qv = prep(queries, idCol, vecCol)
+      .select(col("vec_id").as("query_id"), col("v").as("va"), col("nrm").as("na"))
+    val pairs = base
+      .select(col("vec_id").as("cand_id"), col("v").as("vb"), col("nrm").as("nb"))
+      .join(broadcast(cands), "cand_id")
+      .join(broadcast(qv), "query_id")
+    topK(withCosine(pairs), k)
+  }
+
+  /** Oracle mirror of [[ivfPqTopK]] against the Lloyd-trained cells: the
+    * ivfTrainedSql assignment CTEs + pqSql's encode/LUT CTEs + the ADC
+    * window + the exact-rerank tail.
+    */
+  private val ivfpqSql =
+    s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ${lloydSql(IvfIters)},
+    scs AS (SELECT vec_id, v,
+      list_transform(generate_series(1, $Cents), c ->
+        list_reduce(list_transform(generate_series(1, 64), i -> w[c][i] * v[i]), (a, b) -> a + b)) AS sc
+      FROM e0, cw$IvfIters),
+    e AS (SELECT vec_id, v, sc, list_position(sc, list_max(sc)) AS cell FROM scs),
+    q AS (SELECT vec_id, cell AS p1,
+        list_position(sc, list_max(list_filter(sc, x -> x <> list_max(sc)))) AS p2
+      FROM e WHERE vec_id < $NQ),
+    qp AS (SELECT vec_id, unnest([p1, p2]) AS cell FROM q),
+    bw AS (SELECT $pqBooksSql AS w),
+    ps AS (SELECT vec_id, list_transform(generate_series(1, $SubM), m ->
+        list_transform(generate_series(1, $PqK), c ->
+          list_reduce(list_transform(generate_series(1, $SubDim),
+            i -> w[m][c][i] * v[(m - 1) * $SubDim + i]), (a, b) -> a + b))) AS sc2
+      FROM e0, bw),
+    enc AS (SELECT vec_id,
+      list_transform(sc2, s -> list_position(s, list_max(s))) AS code FROM ps),
+    pr AS (SELECT qp.vec_id AS query_id, c.vec_id AS cand_id, l.sc2 AS lut, n.code AS code
+      FROM qp JOIN e c ON qp.cell = c.cell AND qp.vec_id <> c.vec_id
+      JOIN enc n ON n.vec_id = c.vec_id
+      JOIN ps l ON l.vec_id = qp.vec_id),
+    a AS (SELECT query_id, cand_id,
+      ${(1 to SubM).map(m => s"lut[$m][code[$m]]").mkString(" + ")} AS adc FROM pr),
+    ar AS (SELECT query_id, cand_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc DESC, cand_id) AS arank
+      FROM a),
+    cnd AS (SELECT query_id, cand_id FROM ar WHERE arank <= $IvfPqRerank),
+    px AS (SELECT cnd.query_id, cnd.cand_id, qv.v AS va, cv.v AS vb
+      FROM cnd JOIN e0 qv ON qv.vec_id = cnd.query_id
+      JOIN e0 cv ON cv.vec_id = cnd.cand_id),
+    sc3 AS (SELECT query_id, cand_id, $cosineSql AS cosine FROM px),
+    rk AS (SELECT query_id, cand_id, cosine,
+      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+      FROM sc3)
+    SELECT query_id, rank, cand_id, cosine FROM rk WHERE rank <= $K
+    ORDER BY query_id, rank"""
+
+  private val qIvfPq = GraftQuery(
+    "qs_ivfpq_topk",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      ivfPqTopK(emb, emb.filter(col("vec_id") < NQ), K,
+        cents = trainCentroids(emb))
+    },
+    Some(ivfpqSql))
 
   /** recall@k of each approximate tier vs the exact top-k, as a
     * deterministic oracled query: both approximations are seeded by
@@ -507,6 +665,9 @@ object SimilarityOps {
           annRecall(exact, annIvfTrained(corpus, q, K))
             .withColumn("method", lit("ivf_trained")))
         .unionByName(
+          annRecall(exact, ivfPqTopK(corpus, q, K, cents = trainCentroids(corpus)))
+            .withColumn("method", lit("ivfpq")))
+        .unionByName(
           annRecall(exact, annLsh(corpus, q, K)).withColumn("method", lit("lsh")))
         .unionByName(
           annRecall(exact, pqTopK(corpus, q, K)).withColumn("method", lit("pq")))
@@ -515,6 +676,7 @@ object SimilarityOps {
     },
     Some(s"""${recallBranchSql("ivf", ivfSql)}
       UNION ALL ${recallBranchSql("ivf_trained", ivfTrainedSql)}
+      UNION ALL ${recallBranchSql("ivfpq", ivfpqSql)}
       UNION ALL ${recallBranchSql("lsh", lshSql)}
       UNION ALL ${recallBranchSql("pq", pqSql)} ORDER BY method"""))
 
@@ -706,17 +868,24 @@ object SimilarityOps {
     *
     * Scale shape: cell assignment is map-only (argmax of the native dot
     * against C centroid literals); the ONLY join is the intra-cell
-    * self-join, whose fan-out is bounded by cell occupancy — at corpus
-    * scale C grows ~√n (the quantizer is trained, see [[trainCentroids]]),
-    * so cells stay rerank-sized and the pair count stays ~n·(n/C) ≪ n².
-    * This is exactly why SemDeDup clusters first: the corpus is never
-    * compared all-pairs.
+    * self-join, whose fan-out is bounded by cell occupancy — the expected
+    * intra-cell pair count is ~n²/(2C), so C MUST grow ~√n (classic IVF
+    * sizing) for the pair count to stay ~n^1.5 ≪ n². This is exactly why
+    * SemDeDup clusters first: the corpus is never compared all-pairs.
+    *
+    * The quantizer is therefore REQUIRED, not defaulted: callers size it
+    * with [[semDedupCellCount]] (C ≈ √n) and train it via
+    * [[trainCentroids]] from [[seedCentroids]] — a fixed tiny C at a large
+    * n silently degrades to a quadratic self-join. OpsApiSpec pins the
+    * fan-out bound.
     *
     * Output: (vec_id, cell, kept) for every corpus row.
     */
-  def semDedup(corpus: org.apache.spark.sql.DataFrame, theta: Double = 0.4,
-      cents: Seq[Seq[Double]] = centroids,
+  def semDedup(corpus: org.apache.spark.sql.DataFrame, theta: Double,
+      cents: Seq[Seq[Double]],
       idCol: String = "vec_id", vecCol: String = "embedding"): org.apache.spark.sql.DataFrame = {
+    require(cents.nonEmpty, "semDedup requires a trained coarse quantizer " +
+      "(size it with semDedupCellCount(n) ~ sqrt(n), train with trainCentroids)")
     val scoreArr = array(cents.map(c => graft_dot(typedLit(c), col("v"))): _*)
     val assigned = prep(corpus, idCol, vecCol)
       .withColumn("sc", scoreArr)
@@ -736,6 +905,14 @@ object SimilarityOps {
         not(coalesce(col("dup"), lit(false))).as("kept"))
       .orderBy(col("vec_id"))
   }
+
+  /** The C ≈ √n quantizer sizing rule for [[semDedup]] (and IVF generally):
+    * with C = ⌈√n⌉ cells the expected intra-cell pair count is ~n^1.5/2 —
+    * the sub-quadratic bound the whole method depends on. Floor of 2 keeps
+    * degenerate corpora trainable.
+    */
+  def semDedupCellCount(n: Long): Int =
+    math.max(2, math.ceil(math.sqrt(n.toDouble)).toInt)
 
   private val SemTheta = 0.4
 
@@ -763,5 +940,5 @@ object SimilarityOps {
     Some(semDedupSql))
 
   val queries: Seq[GraftQuery] = Seq(qBrute, qAnnLsh, qAnnIvf, qAnnIvfTrained,
-    qRecall, qSq, qCentroids, qKmeans, qOutliers, qSemDedup, qPq)
+    qRecall, qSq, qCentroids, qKmeans, qOutliers, qSemDedup, qPq, qIvfPq)
 }

@@ -535,11 +535,35 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, v(10, 0.0)), (4L, v(10, 0.02)), // cosine ~1 -> 4 dropped
       (5L, v(30, 0.0))                      // alone in its cell
     ).toDF("vid", "vec")
+    // quantizer sized by the C ~ sqrt(n) rule the API now requires
     val out = SimilarityOps.semDedup(emb, theta = 0.9,
+        cents = SimilarityOps.seedCentroids(SimilarityOps.semDedupCellCount(5)),
         idCol = "vid", vecCol = "vec")
       .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     assert(out == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false, 5L -> true),
       s"got $out")
+  }
+
+  test("semDedupCellCount sizing keeps intra-cell pair fan-out sub-quadratic") {
+    import spark.implicits._
+    // pseudo-random corpus (hash-derived, deterministic), n large enough
+    // that quadratic vs sqrt(n)-sized behavior separates clearly
+    val n = 600
+    val emb = (0 until n).map { i =>
+      (i.toLong, (0 until 64).map(d => ((i * 2654435761L + d * 40503L) % 2001 - 1000) / 1000.0))
+    }.toDF("vec_id", "embedding")
+    val c = SimilarityOps.semDedupCellCount(n)
+    assert(c >= math.floor(math.sqrt(n.toDouble)).toInt, s"C = $c undersized")
+    val cents = SimilarityOps.trainCentroids(emb, SimilarityOps.seedCentroids(c))
+    // theta > 1 drops nothing; we only need the cell assignment histogram
+    val occ = SimilarityOps.semDedup(emb, theta = 1.5, cents)
+      .groupBy("cell").count().collect().map(_.getLong(1))
+    assert(occ.sum == n)
+    val pairs = occ.map(o => o * (o - 1) / 2).sum
+    val quadratic = n.toLong * (n - 1) / 2
+    val bound = 4L * n * c // ~8x the ideal n^1.5/2, far under quadratic
+    assert(pairs <= bound && bound < quadratic,
+      s"intra-cell fan-out $pairs exceeds sub-quadratic bound $bound (all-pairs = $quadratic)")
   }
 
   test("dsirWeights scores target-like docs above off-target docs") {
