@@ -126,6 +126,87 @@ object CurationOps {
           paraSep).as("clean_text"))
   }
 
+  /** Gopher's document-level stopword set (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", §A1.1 — public method): a doc must
+    * contain at least `minStopwords` distinct members to pass.
+    */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The FULL Gopher document-quality rule set (Rae et al. 2021, §A1.1),
+    * complementing [[c4LineFilter]]'s line-level rules with document-level
+    * ones — every threshold a parameter with the paper's defaults:
+    *
+    *  - word count within [minWords, maxWords] (paper: 50..100,000)
+    *  - mean word length within [minMeanWordLen, maxMeanWordLen] (3..10)
+    *  - symbol-to-word ratio (`#` and ellipsis) ≤ maxSymbolRatio (0.1)
+    *  - ≤ maxBulletRatio of lines starting with a bullet (0.9)
+    *  - ≤ maxEllipsisRatio of lines ending with an ellipsis (0.3)
+    *  - ≥ minAlphaRatio of words containing a letter (0.8)
+    *  - ≥ minStopwords distinct [[GopherStopwords]] present (2)
+    *
+    * Map-only (regex + array lambdas, no shuffle — composes with
+    * `readStream` like the other filters). Every ratio is one exact IEEE
+    * division of integer counts, so the whole scorecard is
+    * oracle-checkable bit-for-bit. Output: (doc_id, n_words,
+    * mean_word_len, symbol_ratio, bullet_line_ratio, ellipsis_line_ratio,
+    * alpha_word_ratio, n_stopwords, kept).
+    */
+  def gopherFilter(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", lineSep: String = "\n",
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, maxBulletRatio: Double = 0.9,
+      maxEllipsisRatio: Double = 0.3, minAlphaRatio: Double = 0.8,
+      minStopwords: Int = 2,
+      stopwords: Seq[String] = GopherStopwords): DataFrame = {
+    require(stopwords.forall(_.forall(ch => ch >= 'a' && ch <= 'z')),
+      "stopwords must be lowercase a-z words")
+    val stopArr = stopwords.map(w => s"'$w'").mkString("array(", ", ", ")")
+    norm(docs, idCol, textCol)
+      .withColumn("toks", expr(toksExpr))
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn("lines",
+        filter(split(col("text"), java.util.regex.Pattern.quote(lineSep)),
+          x => x =!= ""))
+      .withColumn("mean_word_len", when(col("n_words") === 0, lit(0.0))
+        .otherwise(expr(
+          "cast(aggregate(toks, cast(0 as bigint), (a, x) -> a + length(x)) as double)")
+          / col("n_words")))
+      // symbol occurrences by length delta; '...' counts non-overlapping
+      // runs left-to-right, identically in both engines
+      .withColumn("n_symbols", expr(
+        """length(text) - length(replace(text, '#', ''))
+          + cast((length(text) - length(replace(text, '...', ''))) / 3 as bigint)
+          + length(text) - length(replace(text, '…', ''))"""))
+      .withColumn("symbol_ratio", when(col("n_words") === 0, lit(0.0))
+        .otherwise(col("n_symbols").cast("double") / col("n_words")))
+      .withColumn("bullet_line_ratio", when(size(col("lines")) === 0, lit(0.0))
+        .otherwise(expr(
+          "cast(size(filter(lines, x -> x like '- %' or x like '* %' or x like '• %')) as double)")
+          / size(col("lines"))))
+      .withColumn("ellipsis_line_ratio", when(size(col("lines")) === 0, lit(0.0))
+        .otherwise(expr(
+          "cast(size(filter(lines, x -> x like '%...' or x like '%…')) as double)")
+          / size(col("lines"))))
+      .withColumn("alpha_word_ratio", when(col("n_words") === 0, lit(0.0))
+        .otherwise(expr(
+          "cast(size(filter(toks, w -> w rlike '[a-zA-Z]')) as double)")
+          / col("n_words")))
+      .withColumn("n_stopwords", expr(
+        s"cast(size(filter($stopArr, sw -> array_contains(transform(toks, t -> lower(t)), sw))) as bigint)"))
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("symbol_ratio"), col("bullet_line_ratio"),
+        col("ellipsis_line_ratio"), col("alpha_word_ratio"), col("n_stopwords"),
+        (col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(minMeanWordLen, maxMeanWordLen) &&
+          col("symbol_ratio") <= maxSymbolRatio &&
+          col("bullet_line_ratio") <= maxBulletRatio &&
+          col("ellipsis_line_ratio") <= maxEllipsisRatio &&
+          col("alpha_word_ratio") >= minAlphaRatio &&
+          col("n_stopwords") >= minStopwords).as("kept"))
+  }
+
   /** The full Dolma/C4-style curation recipe as ONE composed call — the
     * user-story entry point proving the tier composes: PII redaction →
     * within-doc line dedup → C4 line filtering → Unicode/case/whitespace
@@ -300,5 +381,71 @@ object CurationOps {
         AS clean_text
     FROM r GROUP BY doc_id ORDER BY doc_id"""))
 
-  val queries: Seq[GraftQuery] = Seq(qPii, qC4, qParaDedup)
+  // ---- Gopher fixture: 6-token lines with a bullet prefix every 4th
+  // line, an ellipsis suffix every 5th, and a symbol-only '# # #' line on
+  // every 7th doc — so the symbol, bullet, ellipsis, and alpha-word rules
+  // all bite. minStopwords=1 in the binding: the synthetic vocabulary
+  // carries only 'the' from the Gopher set, so the paper's >=2 would zero
+  // every doc (the threshold is a parameter; the rule still varies).
+  private def gopherViewDf(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.documents(s, dir)
+      .withColumn("toks", expr(toksExpr))
+      .withColumn("lines0", expr(
+        "CASE WHEN size(toks) = 0 THEN cast(array() as array<string>) ELSE " +
+          "transform(sequence(1, cast(ceil(size(toks) / 6.0) as int)), " +
+          "i -> concat(CASE WHEN (doc_id + i) % 4 = 0 THEN '- ' ELSE '' END, " +
+          "array_join(slice(toks, (i - 1) * 6 + 1, 6), ' '), " +
+          "CASE WHEN (doc_id + i) % 5 = 0 THEN ' ...' ELSE '' END)) END"))
+      .select(col("doc_id"),
+        concat(array_join(col("lines0"), "\n"),
+          when(col("doc_id") % 7 === 0, lit("\n# # #")).otherwise(lit("")))
+          .as("text"))
+
+  private val gopherViewSql = s"""SELECT doc_id, array_to_string(
+      CASE WHEN len(toks) = 0 THEN []
+        ELSE list_transform(generate_series(1, CAST(ceil(len(toks) / 6.0) AS BIGINT)),
+          i -> (CASE WHEN (doc_id + i) % 4 = 0 THEN '- ' ELSE '' END)
+            || array_to_string(toks[(i-1)*6+1:i*6], ' ')
+            || CASE WHEN (doc_id + i) % 5 = 0 THEN ' ...' ELSE '' END) END,
+      chr(10)) || CASE WHEN doc_id % 7 = 0 THEN chr(10) || '# # #' ELSE '' END AS text
+    FROM (SELECT doc_id, $toksSql AS toks FROM documents)"""
+
+  private val qGopher = GraftQuery(
+    "qt_gopher_filter",
+    (s, dir) => gopherFilter(gopherViewDf(s, dir), minStopwords = 1)
+      .orderBy(col("doc_id")),
+    Some(s"""WITH gv AS ($gopherViewSql),
+    t AS (SELECT doc_id, text, $toksSql AS toks,
+      list_filter(regexp_split_to_array(text, '\\n'), x -> x != '') AS lines FROM gv),
+    m AS (SELECT doc_id,
+      CAST(len(toks) AS BIGINT) AS n_words,
+      CASE WHEN len(toks) = 0 THEN 0.0
+        ELSE CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE) / len(toks) END
+        AS mean_word_len,
+      length(text) - length(replace(text, '#', ''))
+        + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT)
+        + length(text) - length(replace(text, '…', '')) AS n_symbols,
+      CAST(len(list_filter(lines, x -> x LIKE '- %' OR x LIKE '* %' OR x LIKE '• %')) AS DOUBLE)
+        AS n_bullets,
+      CAST(len(list_filter(lines, x -> x LIKE '%...' OR x LIKE '%…')) AS DOUBLE) AS n_ellip,
+      CAST(len(lines) AS BIGINT) AS n_lines,
+      CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE) AS n_alpha,
+      CAST(len(list_filter(${GopherStopwords.map(w => s"'$w'").mkString("[", ", ", "]")},
+        sw -> list_contains(list_transform(toks, t -> lower(t)), sw))) AS BIGINT) AS n_stopwords
+      FROM t),
+    r AS (SELECT doc_id, n_words, mean_word_len,
+      CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_symbols AS DOUBLE) / n_words END AS symbol_ratio,
+      CASE WHEN n_lines = 0 THEN 0.0 ELSE n_bullets / n_lines END AS bullet_line_ratio,
+      CASE WHEN n_lines = 0 THEN 0.0 ELSE n_ellip / n_lines END AS ellipsis_line_ratio,
+      CASE WHEN n_words = 0 THEN 0.0 ELSE n_alpha / n_words END AS alpha_word_ratio,
+      n_stopwords FROM m)
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_line_ratio,
+      ellipsis_line_ratio, alpha_word_ratio, n_stopwords,
+      (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+        AND symbol_ratio <= 0.1 AND bullet_line_ratio <= 0.9
+        AND ellipsis_line_ratio <= 0.3 AND alpha_word_ratio >= 0.8
+        AND n_stopwords >= 1) AS kept
+    FROM r ORDER BY doc_id"""))
+
+  val queries: Seq[GraftQuery] = Seq(qPii, qC4, qParaDedup, qGopher)
 }

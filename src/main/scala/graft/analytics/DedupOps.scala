@@ -546,6 +546,84 @@ object DedupOps {
     SELECT inc.doc_id, inc.fp NOT IN (SELECT fp FROM ex) AS is_new
     FROM inc ORDER BY inc.doc_id"""))
 
+  // ------------------------------------------------------ URL/domain dedup
+  /** URL-aware dedup — keep-one per NORMALIZED URL and per registered
+    * domain, the most common first pass of a web-crawl pipeline (CCNet /
+    * RefinedWeb / Dolma all dedup on normalized URL before touching text).
+    *
+    * Normalization (each step a standard crawl-pipeline rule): lowercase;
+    * strip the scheme (`http://` ≡ `https://`); strip one leading `www.`;
+    * drop the query string and fragment (`?…`/`#…` — tracking params);
+    * strip trailing slashes. The registered domain is the host's last two
+    * labels (a public-suffix-list-free approximation, documented — swap in
+    * a PSL table via a broadcast join when one is available).
+    *
+    * Scale shape: normalization is map-only regex; each keep-one is a min
+    * window over a uniform key (norm_url / domain) — the same one-shuffle
+    * shape as [[exactDedup]]. No joins, no skew beyond genuinely hot
+    * domains (which a salted two-level min handles if ever needed).
+    * Output: (doc_id, norm_url, domain, kept_url, kept_domain).
+    */
+  def urlDedup(docs: DataFrame, idCol: String = "doc_id",
+      urlCol: String = "url"): DataFrame = {
+    val wUrl = Window.partitionBy(col("norm_url"))
+    val wDom = Window.partitionBy(col("domain"))
+    docs.select(col(idCol).as("doc_id"), col(urlCol).as("url"))
+      .withColumn("norm_url",
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          lower(col("url")),
+          "^[a-z][a-z0-9+.-]*://", ""), "^www\\.", ""), "[?#].*$", ""), "/+$", ""))
+      .withColumn("host", regexp_extract(col("norm_url"), "^([^/]+)", 1))
+      .withColumn("domain",
+        when(instr(col("host"), ".") > 0,
+          regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1))
+          .otherwise(col("host")))
+      .withColumn("kept_url", col("doc_id") === min(col("doc_id")).over(wUrl))
+      .withColumn("kept_domain", col("doc_id") === min(col("doc_id")).over(wDom))
+      .select(col("doc_id"), col("norm_url"), col("domain"),
+        col("kept_url"), col("kept_domain"))
+      .orderBy(col("doc_id"))
+  }
+
+  // URL fixture: documents carries no URL column, so both engines build the
+  // identical deterministic one — three variants (scheme/case/www/query/
+  // fragment/trailing-slash noise) that normalize to the same
+  // `<source>.com/item/<doc_id % 40>`, plus a unique cdn.<source>.com asset
+  // URL whose registered domain still collapses with the site's.
+  private def urlViewDf(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.documents(s, dir).select(col("doc_id"), expr(
+      """CASE CAST(doc_id % 4 AS INT)
+      WHEN 0 THEN concat('https://www.', source, '.com/item/', CAST(doc_id % 40 AS STRING), '?utm_source=feed')
+      WHEN 1 THEN concat('http://', source, '.com/item/', CAST(doc_id % 40 AS STRING), '/')
+      WHEN 2 THEN concat('HTTPS://WWW.', upper(source), '.COM/item/', CAST(doc_id % 40 AS STRING), '#top')
+      ELSE concat('https://cdn.', source, '.com/asset/', CAST(doc_id AS STRING))
+      END""").as("url"))
+
+  private val urlViewSql = """SELECT doc_id, CASE CAST(doc_id % 4 AS INT)
+      WHEN 0 THEN 'https://www.' || source || '.com/item/' || CAST(doc_id % 40 AS VARCHAR) || '?utm_source=feed'
+      WHEN 1 THEN 'http://' || source || '.com/item/' || CAST(doc_id % 40 AS VARCHAR) || '/'
+      WHEN 2 THEN 'HTTPS://WWW.' || upper(source) || '.COM/item/' || CAST(doc_id % 40 AS VARCHAR) || '#top'
+      ELSE 'https://cdn.' || source || '.com/asset/' || CAST(doc_id AS VARCHAR)
+      END AS url FROM documents"""
+
+  private val qUrlDedup = GraftQuery(
+    "qd_url_dedup",
+    (s, dir) => urlDedup(urlViewDf(s, dir)),
+    Some(s"""WITH uv AS ($urlViewSql),
+    n AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        lower(url),
+        '^[a-z][a-z0-9+.-]*://', ''), '^www\\.', ''), '[?#].*$$', ''), '/+$$', '') AS norm_url
+      FROM uv),
+    h AS (SELECT doc_id, norm_url, regexp_extract(norm_url, '^([^/]+)', 1) AS host FROM n),
+    d AS (SELECT doc_id, norm_url,
+      CASE WHEN instr(host, '.') > 0 THEN regexp_extract(host, '([^.]+\\.[^.]+)$$', 1)
+        ELSE host END AS domain FROM h)
+    SELECT doc_id, norm_url, domain,
+      doc_id = MIN(doc_id) OVER (PARTITION BY norm_url) AS kept_url,
+      doc_id = MIN(doc_id) OVER (PARTITION BY domain) AS kept_domain
+    FROM d ORDER BY doc_id"""))
+
   val queries: Seq[GraftQuery] =
-    Seq(qExact, qNgram, qMinhash, qSimhash, qEmbed, qClusters, qSpans, qBloom)
+    Seq(qExact, qNgram, qMinhash, qSimhash, qEmbed, qClusters, qSpans, qBloom,
+      qUrlDedup)
 }

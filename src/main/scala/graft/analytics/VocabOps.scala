@@ -130,6 +130,98 @@ object VocabOps {
       .limit(topK)
   }
 
+  // ---------------------------------------------------------- BPE trainer
+
+  /** A learned BPE merge: at `round`, symbols (`lhs`, `rhs`) — the corpus's
+    * most frequent adjacent pair — fused into one symbol `lhs+rhs`, with the
+    * pair's total occurrence count.
+    */
+  final case class BpeMerge(round: Int, lhs: String, rhs: String, pairCount: Long)
+
+  /** Word-frequency table with each word's symbol sequence in WRAPPED form:
+    * "low" → "&lt;l&gt;&lt;o&gt;&lt;w&gt;". The wrapping makes a BPE merge a plain
+    * left-to-right string `replace` ('&lt;l&gt;&lt;o&gt;' → '&lt;lo&gt;') whose
+    * non-overlapping greedy semantics are identical in Spark and DuckDB,
+    * with no false matches across symbol boundaries (words are [a-z]+, so
+    * the wrap chars never occur inside a symbol).
+    */
+  private def bpeWordFreq(docs: DataFrame, idCol: String, textCol: String) =
+    norm(docs, idCol, textCol)
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(regexp_replace(col("w"), "(.)", "<$1>").as("seq"), col("cnt"))
+
+  /** Byte-pair-encoding vocabulary TRAINER (the public method of Sennrich,
+    * Haddow & Birch, "Neural Machine Translation of Rare Words with Subword
+    * Units", ACL 2016, Algorithm 1; end-of-word marker omitted): `rounds`
+    * iterations of [merge the corpus-wide most frequent adjacent symbol
+    * pair], starting from characters. Ties break by (lhs, rhs) — fully
+    * deterministic, so the whole training loop is oracle-checkable.
+    *
+    * Scale shape (this is why BPE training is feasible at 100 TB): the
+    * corpus is scanned ONCE, collapsing to the word-frequency table — one
+    * explode + one uniform-key hash agg, partial-agg friendly. Every
+    * training round then runs over the VOCAB table (|distinct words| rows,
+    * ≪ corpus): one pair explode + uniform-key agg, argmax via
+    * orderBy().limit(1) = TakeOrdered (parallel per-partition top-1, one
+    * row to the driver per round — the same sanctioned driver-loop shape
+    * as PageRank / trainCentroids), merge applied map-only. The corpus
+    * itself is never touched again.
+    */
+  def bpeTrain(docs: DataFrame, rounds: Int, idCol: String = "doc_id",
+      textCol: String = "text"): Seq[BpeMerge] = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val vocab0 = bpeWordFreq(docs, idCol, textCol).persist()
+    try {
+      var vocab = vocab0
+      val merges = scala.collection.mutable.ListBuffer.empty[BpeMerge]
+      var exhausted = false
+      for (t <- 1 to rounds if !exhausted) {
+        val best = vocab
+          .withColumn("s", split(expr("substring(seq, 2, length(seq) - 2)"), "><"))
+          .select(explode(expr(
+            "zip_with(slice(s, 1, size(s) - 1), slice(s, 2, size(s) - 1), " +
+              "(x, y) -> named_struct('l', x, 'r', y))")).as("pr"), col("cnt"))
+          .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+          .agg(sum(col("cnt")).as("c"))
+          .orderBy(col("c").desc, col("l"), col("r"))
+          .limit(1).collect()
+        if (best.isEmpty) exhausted = true // every word fused to one symbol
+        else {
+          val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+          merges += BpeMerge(t, l, r, c)
+          vocab = vocab.withColumn("seq",
+            expr(s"replace(seq, '<$l><$r>', '<$l$r>')"))
+        }
+      }
+      merges.toList
+    } finally vocab0.unpersist()
+  }
+
+  /** Tokenize with a LEARNED merge table (the apply half of BPE): each
+    * word starts as characters and replays the merges in training order —
+    * map-only per word (the merge table is a driver-held literal chain,
+    * broadcast with the plan), then one per-doc count agg.
+    * Output: (doc_id, n_words, n_bpe_tokens).
+    */
+  def bpeTokenize(docs: DataFrame, merges: Seq[BpeMerge],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(merges.forall(m => (m.lhs + m.rhs).forall(ch => ch >= 'a' && ch <= 'z')),
+      "BPE merge symbols must be [a-z]+ (the trainer's token alphabet)")
+    val applied = merges.sortBy(_.round)
+      .foldLeft("regexp_replace(w, '(.)', '<$1>')") { (acc, m) =>
+        s"replace($acc, '<${m.lhs}><${m.rhs}>', '<${m.lhs}${m.rhs}>')"
+      }
+    norm(docs, idCol, textCol)
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+      .withColumn("seq", expr(applied))
+      .withColumn("n", expr(
+        "cast(size(split(substring(seq, 2, length(seq) - 2), '><')) as bigint)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n")).as("n_bpe_tokens"))
+  }
+
   // ==================== driver-checked bindings ======================
 
   private val VocabK = 50
@@ -198,5 +290,70 @@ object VocabOps {
       FROM sc GROUP BY doc_id)
     SELECT doc_id, n_terms, score FROM ag ORDER BY score DESC, doc_id LIMIT 10"""))
 
-  def queries: Seq[GraftQuery] = Seq(qVocab, qKeywords, qEditDist, qBm25)
+  private val BpeRounds = 8
+
+  /** One training round as DuckDB CTEs: split w{t-1}'s wrapped seqs into
+    * symbol lists, count adjacent pairs weighted by word frequency, argmax
+    * with the (c DESC, l, r) tie-break, then the same greedy replace.
+    */
+  private def bpePairCte(t: Int): String =
+    s"""s$t AS (SELECT string_split(substr(seq, 2, length(seq) - 2), '><') AS s, cnt FROM w${t - 1}),
+    p$t AS (SELECT unnest(generate_series(1, len(s) - 1)) AS i, s, cnt FROM s$t),
+    b$t AS (SELECT s[i] AS l, s[i + 1] AS r, CAST(SUM(cnt) AS BIGINT) AS c
+      FROM p$t GROUP BY 1, 2 ORDER BY c DESC, l, r LIMIT 1),
+    w$t AS (SELECT replace(seq, '<' || b.l || '><' || b.r || '>', '<' || b.l || b.r || '>') AS seq, cnt
+      FROM w${t - 1}, b$t b)"""
+
+  private val bpeW0 =
+    """w0 AS (SELECT regexp_replace(w, '(.)', '<\1>', 'g') AS seq,
+      CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents)
+      GROUP BY w)"""
+
+  private val bpeTrainSql = {
+    val union = (1 to BpeRounds)
+      .map(t => s"SELECT $t AS round, l AS lhs, r AS rhs, c AS pair_count FROM b$t")
+      .mkString(" UNION ALL ")
+    s"""WITH $bpeW0,
+    ${(1 to BpeRounds).map(bpePairCte).mkString(",\n    ")}
+    SELECT CAST(round AS INT) AS round, lhs, rhs, pair_count
+    FROM ($union) ORDER BY round"""
+  }
+
+  private val qBpeTrain = GraftQuery(
+    "qt_bpe_train",
+    (s, dir) => {
+      import s.implicits._
+      bpeTrain(Tables.documents(s, dir), BpeRounds)
+        .toDF("round", "lhs", "rhs", "pair_count")
+        .orderBy(col("round"))
+    },
+    Some(bpeTrainSql))
+
+  private val bpeTokenizeSql = {
+    val applied = (1 to BpeRounds).foldLeft("regexp_replace(w, '(.)', '<\\1>', 'g')") {
+      (acc, t) =>
+        s"replace($acc, '<' || b$t.l || '><' || b$t.r || '>', '<' || b$t.l || b$t.r || '>')"
+    }
+    s"""WITH $bpeW0,
+    ${(1 to BpeRounds).map(bpePairCte).mkString(",\n    ")},
+    dw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents),
+    ap AS (SELECT doc_id, $applied AS seq
+      FROM dw, ${(1 to BpeRounds).map("b" + _).mkString(", ")}),
+    ct AS (SELECT doc_id,
+      CAST(len(string_split(substr(seq, 2, length(seq) - 2), '><')) AS BIGINT) AS n FROM ap)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words, CAST(SUM(n) AS BIGINT) AS n_bpe_tokens
+    FROM ct GROUP BY doc_id ORDER BY doc_id"""
+  }
+
+  private val qBpeTokenize = GraftQuery(
+    "qt_bpe_tokenize",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      bpeTokenize(docs, bpeTrain(docs, BpeRounds)).orderBy(col("doc_id"))
+    },
+    Some(bpeTokenizeSql))
+
+  def queries: Seq[GraftQuery] =
+    Seq(qVocab, qKeywords, qEditDist, qBm25, qBpeTrain, qBpeTokenize)
 }

@@ -566,6 +566,25 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"intra-cell fan-out $pairs exceeds sub-quadratic bound $bound (all-pairs = $quadratic)")
   }
 
+  test("bpeTrain learns the textbook merges; bpeTokenize replays them") {
+    import spark.implicits._
+    val docs = Seq((1L, "low lower lowest")).toDF("post_id", "body")
+    val ms = VocabOps.bpeTrain(docs, rounds = 4, idCol = "post_id", textCol = "body")
+    // hand-computed: (l,o)x3 ties (o,w)x3 -> lex tie-break picks (l,o);
+    // then (lo,w)x3; then (low,e)x2; then 1-count ties -> (lowe,r)
+    assert(ms.map(m => (m.round, m.lhs, m.rhs, m.pairCount)) == Seq(
+      (1, "l", "o", 3L), (2, "lo", "w", 3L), (3, "low", "e", 2L),
+      (4, "lowe", "r", 1L)), s"got $ms")
+    // after 4 merges: low -> [low], lower -> [lower], lowest -> [lowe,s,t]
+    val tok = VocabOps.bpeTokenize(docs, ms, idCol = "post_id", textCol = "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(tok.toSeq == Seq((1L, 3L, 5L)), s"got ${tok.toSeq}")
+    // training stops early once every word is a single symbol
+    val tiny = Seq((1L, "ab ab")).toDF("post_id", "body")
+    val m2 = VocabOps.bpeTrain(tiny, rounds = 5, idCol = "post_id", textCol = "body")
+    assert(m2.map(m => (m.lhs, m.rhs)) == Seq(("a", "b")), s"got $m2")
+  }
+
   test("dsirWeights scores target-like docs above off-target docs") {
     import spark.implicits._
     val corpus = Seq(
