@@ -121,6 +121,25 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       "corpus-by-corpus cartesian is never acceptable")
   }
 
+  test("qj_asof_native plans exactly one exchange + one sort per child") {
+    // the operator declares requiredChildDistribution/Ordering; this pins
+    // that EnsureRequirements satisfies them with ONE hash exchange and
+    // ONE sort per side (no double-sort under AQE, no extra shuffle) so
+    // the sort-merge scale shape survives Spark upgrades
+    val plan = graft.SparkEntry.queries("qj_asof_native")(spark, sf)
+      .queryExecution.executedPlan.toString
+    def count(p: String, needle: String): Int =
+      p.sliding(needle.length).count(_ == needle)
+    assert(plan.contains("AsofJoin"), s"native as-of operator missing:\n$plan")
+    val exchanges = count(plan, "Exchange hashpartitioning")
+    assert(exchanges == 2,
+      s"expected exactly 2 child hash exchanges, got $exchanges:\n$plan")
+    // 2 child sorts + at most the binding's final output orderBy
+    val sorts = count(plan, "Sort [")
+    assert(sorts == 2 || sorts == 3,
+      s"expected 2 child sorts (+1 optional output sort), got $sorts:\n$plan")
+  }
+
   test("qt_stratified_sample pre-prunes per-partition via WindowGroupLimit") {
     // the rank<=k filter must rewrite to WindowGroupLimit so a giant
     // stratum never funnels through one task's full sort

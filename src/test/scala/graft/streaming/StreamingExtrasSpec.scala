@@ -83,6 +83,38 @@ class StreamingExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
     restartScenario(useTws = true, key = "rk2")
   }
 
+  test("streaming near-dup: a later-batch near-duplicate is flagged") {
+    import spark.implicits._
+    // transformWithState needs the RocksDB state store
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val input = MemoryStream[(Long, String)](spark)
+    val out = graft.analytics.DedupOps.nearDupStream(
+      input.toDS().toDF("doc_id", "text"))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("neardup_out")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-neardup").toString)
+      .start()
+    // batch 1: the original + an unrelated doc
+    input.addData((1L, base), (2L, "the quick brown fox jumps over a dog"))
+    q.processAllAvailable()
+    val afterB1 = spark.table("neardup_out").count()
+    // batch 2: a near-dup of doc 1 (one word appended: jaccard = 18/19)
+    input.addData((3L, base + " chi"))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("neardup_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(afterB1 == 0, s"false positives in batch 1: $afterB1")
+    assert(pairs.exists(p => p._1 == 3L && p._2 == 1L && p._3 >= 0.8),
+      s"later-batch near-dup not flagged against stored state: $pairs")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L),
+      s"unrelated doc flagged: $pairs")
+  }
+
   test("event-time tumbling windows with watermark drop late data") {
     import spark.implicits._
     val input = MemoryStream[(Timestamp, String, Double)](spark)
