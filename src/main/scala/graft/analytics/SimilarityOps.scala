@@ -541,6 +541,7 @@ object SimilarityOps {
       rerank: Int = IvfPqRerank,
       cents: Seq[Seq[Double]] = centroids,
       books: Seq[Seq[Seq[Double]]] = pqCodebooks,
+      residual: Boolean = false,
       idCol: String = "vec_id", vecCol: String = "embedding"): org.apache.spark.sql.DataFrame = {
     require(rerank >= k, s"rerank depth $rerank must be >= k = $k")
     require(books.nonEmpty && books.forall(_.nonEmpty), "empty PQ codebook")
@@ -551,24 +552,41 @@ object SimilarityOps {
     def withCell(df: org.apache.spark.sql.DataFrame) =
       df.withColumn("sc", scoreArr)
         .withColumn("cell", expr("array_position(sc, array_max(sc))"))
+    // residual=true is FAISS's default IVFPQ encoding: PQ quantizes
+    // (v − centroid[cell]) instead of v, at identical join/shuffle shape
+    // (the subtraction is one extra map-only zip_with per side). On
+    // CLUSTERED corpora residuals are much smaller than raw vectors, so
+    // the same codebook budget spends on a tighter cloud and recall
+    // rises; on the near-uniform synthetic test corpus residuals don't
+    // shrink and the two variants measure the same (recall rows ivfpq
+    // 0.21 vs ivfpq_res 0.20 at sf0.01) — the variant is here for
+    // real-data fidelity, not for the gate corpus.
+    def withEv(df: org.apache.spark.sql.DataFrame) =
+      if (residual)
+        df.withColumn("ev", zip_with(col("v"),
+          element_at(typedLit(cents), col("cell").cast("int")), (x, y) => x - y))
+      else df.withColumn("ev", col("v"))
     def subScores(m: Int) = array(books(m).map(cw =>
-      graft_dot(typedLit(cw), expr(s"slice(v, ${m * subDim + 1}, $subDim)"))): _*)
+      graft_dot(typedLit(cw), expr(s"slice(ev, ${m * subDim + 1}, $subDim)"))): _*)
     val base = prep(corpus, idCol, vecCol)
     // corpus side of the ADC join: (cand_id, cell, codes) — map-only
-    val enc = books.indices.foldLeft(withCell(base)) { (df, m) =>
+    val enc = books.indices.foldLeft(withEv(withCell(base))) { (df, m) =>
       df.withColumn(s"sq_$m", subScores(m))
         .withColumn(s"code_$m",
           expr(s"cast(array_position(sq_$m, array_max(sq_$m)) as int)"))
     }.select(col("vec_id").as("cand_id") +: col("cell") +:
       books.indices.map(m => col(s"code_$m")): _*)
-    // query side: 2 probed cells + the ADC LUTs (tiny → broadcast)
+    // query side: 2 probed cells + the ADC LUTs (tiny → broadcast). LUTs
+    // are computed per (query, probed cell) row: under residual encoding
+    // the query's residual — hence its LUT — differs per probed cell.
     val q0 = withCell(prep(queries, idCol, vecCol))
       .withColumn("p2",
         expr("array_position(sc, array_max(filter(sc, x -> x != array_max(sc))))"))
-    val q = books.indices.foldLeft(q0) { (df, m) =>
+      .select(col("vec_id").as("query_id"), col("v"),
+        explode(array(col("cell"), col("p2"))).as("cell"))
+    val q = books.indices.foldLeft(withEv(q0)) { (df, m) =>
       df.withColumn(s"lut_$m", subScores(m))
-    }.select(col("vec_id").as("query_id") +:
-      explode(array(col("cell"), col("p2"))).as("cell") +:
+    }.select(col("query_id") +: col("cell") +:
       books.indices.map(m => col(s"lut_$m")): _*)
     val adc = books.indices.map(m =>
       element_at(col(s"lut_$m"), col(s"code_$m"))).reduce(_ + _)
@@ -643,6 +661,71 @@ object SimilarityOps {
     },
     Some(ivfpqSql))
 
+  /** Oracle mirror of [[ivfPqTopK]] with `residual = true`: identical CTE
+    * chain except encode/LUT operate on rv = v − w[cell] (the per-row
+    * residual against the trained centroid; the query side computes one
+    * residual/LUT per probed cell).
+    */
+  private val ivfpqResSql =
+    s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ${lloydSql(IvfIters)},
+    scs AS (SELECT vec_id, v,
+      list_transform(generate_series(1, $Cents), c ->
+        list_reduce(list_transform(generate_series(1, 64), i -> w[c][i] * v[i]), (a, b) -> a + b)) AS sc
+      FROM e0, cw$IvfIters),
+    e AS (SELECT vec_id, v, sc, list_position(sc, list_max(sc)) AS cell FROM scs),
+    q AS (SELECT vec_id, cell AS p1,
+        list_position(sc, list_max(list_filter(sc, x -> x <> list_max(sc)))) AS p2
+      FROM e WHERE vec_id < $NQ),
+    qp AS (SELECT vec_id, unnest([p1, p2]) AS cell FROM q),
+    bw AS (SELECT $pqBooksSql AS b),
+    er AS (SELECT vec_id, cell,
+      list_transform(generate_series(1, 64), i -> v[i] - w[cell][i]) AS rv
+      FROM e, cw$IvfIters),
+    enc AS (SELECT vec_id, list_transform(
+        list_transform(generate_series(1, $SubM), m ->
+          list_transform(generate_series(1, $PqK), c ->
+            list_reduce(list_transform(generate_series(1, $SubDim),
+              i -> b[m][c][i] * rv[(m - 1) * $SubDim + i]), (x, y) -> x + y))),
+        s -> list_position(s, list_max(s))) AS code
+      FROM er, bw),
+    qr AS (SELECT qp.vec_id, qp.cell,
+      list_transform(generate_series(1, 64), i -> e.v[i] - w.w[qp.cell][i]) AS rv
+      FROM qp JOIN e ON e.vec_id = qp.vec_id, cw$IvfIters w),
+    ql AS (SELECT vec_id, cell,
+      list_transform(generate_series(1, $SubM), m ->
+        list_transform(generate_series(1, $PqK), c ->
+          list_reduce(list_transform(generate_series(1, $SubDim),
+            i -> b[m][c][i] * rv[(m - 1) * $SubDim + i]), (x, y) -> x + y))) AS lut
+      FROM qr, bw),
+    pr AS (SELECT ql.vec_id AS query_id, c.vec_id AS cand_id, ql.lut AS lut, n.code AS code
+      FROM ql JOIN e c ON ql.cell = c.cell AND ql.vec_id <> c.vec_id
+      JOIN enc n ON n.vec_id = c.vec_id),
+    a AS (SELECT query_id, cand_id,
+      ${(1 to SubM).map(m => s"lut[$m][code[$m]]").mkString(" + ")} AS adc FROM pr),
+    ar AS (SELECT query_id, cand_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc DESC, cand_id) AS arank
+      FROM a),
+    cnd AS (SELECT query_id, cand_id FROM ar WHERE arank <= $IvfPqRerank),
+    px AS (SELECT cnd.query_id, cnd.cand_id, qv.v AS va, cv.v AS vb
+      FROM cnd JOIN e0 qv ON qv.vec_id = cnd.query_id
+      JOIN e0 cv ON cv.vec_id = cnd.cand_id),
+    sc3 AS (SELECT query_id, cand_id, $cosineSql AS cosine FROM px),
+    rk AS (SELECT query_id, cand_id, cosine,
+      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+      FROM sc3)
+    SELECT query_id, rank, cand_id, cosine FROM rk WHERE rank <= $K
+    ORDER BY query_id, rank"""
+
+  private val qIvfPqRes = GraftQuery(
+    "qs_ivfpq_residual",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      ivfPqTopK(emb, emb.filter(col("vec_id") < NQ), K,
+        cents = trainCentroids(emb), residual = true)
+    },
+    Some(ivfpqResSql))
+
   /** recall@k of each approximate tier vs the exact top-k, as a
     * deterministic oracled query: both approximations are seeded by
     * literals, so recall is a fixed number both engines compute.
@@ -660,13 +743,19 @@ object SimilarityOps {
       val corpus = Tables.embeddings(s, dir)
       val q = corpus.filter(col("vec_id") < NQ)
       val exact = cosineTopK(corpus, q, K)
+      // one shared training run: the ivf_trained and ivfpq branches use the
+      // identical quantizer, so Lloyd runs once, not twice
+      val trained = trainCentroids(corpus)
       annRecall(exact, annIvf(corpus, q, K)).withColumn("method", lit("ivf"))
         .unionByName(
-          annRecall(exact, annIvfTrained(corpus, q, K))
+          annRecall(exact, annIvf(corpus, q, K, trained))
             .withColumn("method", lit("ivf_trained")))
         .unionByName(
-          annRecall(exact, ivfPqTopK(corpus, q, K, cents = trainCentroids(corpus)))
+          annRecall(exact, ivfPqTopK(corpus, q, K, cents = trained))
             .withColumn("method", lit("ivfpq")))
+        .unionByName(
+          annRecall(exact, ivfPqTopK(corpus, q, K, cents = trained, residual = true))
+            .withColumn("method", lit("ivfpq_res")))
         .unionByName(
           annRecall(exact, annLsh(corpus, q, K)).withColumn("method", lit("lsh")))
         .unionByName(
@@ -677,6 +766,7 @@ object SimilarityOps {
     Some(s"""${recallBranchSql("ivf", ivfSql)}
       UNION ALL ${recallBranchSql("ivf_trained", ivfTrainedSql)}
       UNION ALL ${recallBranchSql("ivfpq", ivfpqSql)}
+      UNION ALL ${recallBranchSql("ivfpq_res", ivfpqResSql)}
       UNION ALL ${recallBranchSql("lsh", lshSql)}
       UNION ALL ${recallBranchSql("pq", pqSql)} ORDER BY method"""))
 
@@ -940,5 +1030,6 @@ object SimilarityOps {
     Some(semDedupSql))
 
   val queries: Seq[GraftQuery] = Seq(qBrute, qAnnLsh, qAnnIvf, qAnnIvfTrained,
-    qRecall, qSq, qCentroids, qKmeans, qOutliers, qSemDedup, qPq, qIvfPq)
+    qRecall, qSq, qCentroids, qKmeans, qOutliers, qSemDedup, qPq, qIvfPq,
+    qIvfPqRes)
 }

@@ -186,6 +186,32 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"raw vectors crossed the scoring join: $crossing")
   }
 
+  test("qs_ivfpq_topk's ADC join is a cell hash join carrying codes only") {
+    val df = graft.SparkEntry.queries("qs_ivfpq_topk")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the whole point of IVF over PQ: the scoring join is a HASH join on
+    // the pruned cell, never a corpus-wide nested loop
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"IVF-PQ regressed to an unpruned scan:\n$plan")
+    val exec = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.inputPlan
+      case p => p
+    }
+    // the ADC join is the one whose output carries PQ codes; its inputs
+    // must not carry any raw vector column (the rerank joins downstream
+    // legitimately fetch vectors by id)
+    val adcJoins = exec.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if j.output.map(_.name).exists(_.startsWith("code_")) => j
+    }
+    assert(adcJoins.nonEmpty, s"no cell hash join with PQ codes found:\n$plan")
+    val crossing = adcJoins.flatMap(_.children.flatMap(_.output.map(_.name)))
+    assert(!crossing.exists(Set("v", "va", "vb")),
+      s"raw vectors crossed the ADC join: $crossing")
+  }
+
   test("qd_semdedup and qd_bloom_incremental never scan all-pairs") {
     Seq("qd_semdedup", "qd_bloom_incremental").foreach { name =>
       val plan = graft.SparkEntry.queries(name)(spark, sf)
