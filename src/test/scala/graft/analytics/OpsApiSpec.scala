@@ -566,6 +566,45 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"intra-cell fan-out $pairs exceeds sub-quadratic bound $bound (all-pairs = $quadratic)")
   }
 
+  test("triangleCount: exact triangles + clustering coefficient, any edge orientation") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles) + pendant 5, with messy input:
+    // duplicate edges, reversed orientation, and a self-loop to ignore
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (4L, 2L), (3L, 4L), (4L, 5L), (5L, 5L)).toDF("u", "v")
+    val out = GraphOps.triangleCount(edges, srcCol = "u", dstCol = "v")
+      .collect().head
+    // degrees: 1,2,3 -> 3; 4 -> 4; 5 -> 1  => wedges = 3*3 + 6 + 0 = 15
+    assert(out.getLong(0) == 15, s"wedges: $out")
+    assert(out.getLong(1) == 4, s"triangles: $out")
+    assert(math.abs(out.getDouble(2) - 12.0 / 15.0) < 1e-15, s"gcc: $out")
+    // triangle-free bipartite graph -> zero
+    val bip = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L)).toDF("u", "v")
+    val z = GraphOps.triangleCount(bip, srcCol = "u", dstCol = "v").collect().head
+    assert(z.getLong(1) == 0 && z.getDouble(2) == 0.0, s"bipartite: $z")
+  }
+
+  test("urlDedup normalization: scheme/case/www/query/fragment/slash noise collapses") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "https://www.Example.com/a/b?utm=1"),
+      (2L, "HTTP://EXAMPLE.COM/a/b#frag"),
+      (3L, "example.com/a/b/"),            // scheme-less input
+      (4L, "https://cdn.example.com/a/b"), // same registered domain, different host
+      (5L, "https://example.org/a/b"))     // different domain
+      .toDF("id", "link")
+    val out = DedupOps.urlDedup(docs, idCol = "id", urlCol = "link")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getBoolean(3), r.getBoolean(4))).toMap
+    // 1,2,3 normalize identically; only the first survives the URL level
+    assert(out(1L)._1 == "example.com/a/b" && out(1L)._3, s"got $out")
+    assert(!out(2L)._3 && !out(3L)._3, s"got $out")
+    // 4 is a distinct URL but shares the registered domain with 1..3
+    assert(out(4L)._1 == "cdn.example.com/a/b" && out(4L)._2 == "example.com", s"got $out")
+    assert(out(4L)._3 && !out(4L)._4, s"got $out")
+    assert(out(5L)._2 == "example.org" && out(5L)._3 && out(5L)._4, s"got $out")
+  }
+
   test("bpeTrain learns the textbook merges; bpeTokenize replays them") {
     import spark.implicits._
     val docs = Seq((1L, "low lower lowest")).toDF("post_id", "body")
