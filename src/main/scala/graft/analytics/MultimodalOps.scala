@@ -190,5 +190,98 @@ object MultimodalOps {
       CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height
     FROM documents ORDER BY doc_id"""))
 
-  val queries: Seq[GraftQuery] = Seq(qBinaryMeta, qFrames, qFeatures)
+  /** A 60-bit perceptual (average) hash of a media payload. */
+  final case class PHashRow(doc_id: Long, phash: Long)
+
+  /** Perceptual AVERAGE-HASH over the decoder's fixed-size grid — the
+    * public aHash recipe every image-dedup pipeline uses (pHash/dHash are
+    * drop-in variants): grid cell above the grid mean → bit 1. The STUB
+    * grid is 60 byte-sum cells (payload position mod 60) standing in for
+    * a real decoder's 8×8 resized luminance grid — same boundary as
+    * [[StubMediaDecoder]]; the hash rule itself (mean threshold, done as
+    * the exact integer comparison cell·60 > total — no division) and
+    * everything downstream are the real pipeline. Locality: a small
+    * payload edit perturbs few cells → few bits, which is what makes
+    * hamming-bucketing meaningful.
+    */
+  def perceptualHashes(assets: Dataset[(Long, Array[Byte])]): Dataset[PHashRow] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val cells = new Array[Long](60)
+        var i = 0
+        while (i < bytes.length) { cells(i % 60) += (bytes(i) & 0xff).toLong; i += 1 }
+        var total = 0L
+        var c = 0
+        while (c < 60) { total += cells(c); c += 1 }
+        var h = 0L
+        c = 0
+        while (c < 60) { if (cells(c) * 60L > total) h |= 1L << c; c += 1 }
+        PHashRow(id, h)
+      }
+    }
+  }
+
+  /** Media near-dup pairs within `maxHamming` of each other's perceptual
+    * hash — the image-dedup pass. Pair generation is the same EXACT
+    * pigeonhole chunk join as `DedupOps.simhashPairs` (hamming ≤ h ⇒ at
+    * least one of h+1 chunks identical; hash join on (chunk, value),
+    * popcount verify) — recall 1.0, no pair scan, 8 bytes per asset
+    * through the join. Output: (d1, d2, hamming), d1 < d2.
+    */
+  def phashPairs(hashes: DataFrame, maxHamming: Int = 5): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 60, s"maxHamming in [0, 60): $maxHamming")
+    val chunks = maxHamming + 1
+    val bitsPer = 60 / chunks
+    val mask = (1L << bitsPer) - 1
+    val banded = hashes.select(col("doc_id"), col("phash"),
+        explode(expr(s"sequence(0, ${chunks - 1})")).as("c"))
+      .withColumn("v", expr(s"shiftright(phash, cast(c * $bitsPer as int)) & $mask"))
+    banded.as("a").join(banded.as("b"),
+        col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.phash").as("p1"), col("b.phash").as("p2"))
+      .distinct()
+      .withColumn("hamming", expr("cast(bit_count(p1 ^ p2) as int)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("d1"), col("d2"), col("hamming"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  // Fixture: the binary corpus plus a near-variant of every 10th payload
+  // (3 bytes appended → few grid cells move → hamming-near hash), so the
+  // bucket join provably recovers planted near-dups. ASCII assumption as
+  // qm_frame_sample documents.
+  private def phashAssets(s: SparkSession, dir: String): Dataset[(Long, Array[Byte])] = {
+    import s.implicits._
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    base.unionByName(base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" v2")).as("text")))
+      .select(col("doc_id"), col("text").cast("binary"))
+      .as[(Long, Array[Byte])]
+  }
+
+  private val qPhash = GraftQuery(
+    "qm_phash_neardup",
+    (s, dir) => phashPairs(perceptualHashes(phashAssets(s, dir)).toDF()),
+    Some("""WITH t0 AS (SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id + 1000000, text || ' v2' FROM documents WHERE doc_id % 10 = 0),
+    cells AS (SELECT doc_id, list_transform(generate_series(0, 59), i ->
+      coalesce(list_sum(list_transform(
+        list_filter(generate_series(1, length(text)), p -> (p - 1) % 60 = i),
+        p -> ascii(text[p]))), 0)) AS cs FROM t0),
+    tot AS (SELECT doc_id, cs, list_sum(cs) AS total FROM cells),
+    ph AS (SELECT doc_id, CAST(list_sum(list_transform(generate_series(1, 60),
+      i -> CASE WHEN cs[i] * 60 > total THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END)) AS BIGINT) AS phash
+      FROM tot),
+    bd AS (SELECT doc_id, phash, unnest(generate_series(0, 5)) AS c FROM ph),
+    b2 AS (SELECT doc_id, phash, c, (phash >> CAST(c * 10 AS INT)) & 1023 AS v FROM bd),
+    cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.phash AS p1, b.phash AS p2
+      FROM b2 a JOIN b2 b ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id)
+    SELECT d1, d2, CAST(bit_count(xor(p1, p2)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(p1, p2)) <= 5 ORDER BY d1, d2"""))
+
+  val queries: Seq[GraftQuery] = Seq(qBinaryMeta, qFrames, qFeatures, qPhash)
 }

@@ -98,5 +98,67 @@ object ProfileOps {
     SELECT col_name, non_null, nulls, n_distinct, min_s, max_s
     FROM p ORDER BY col_name"""))
 
-  val queries: Seq[GraftQuery] = Seq(qProfile, qProfileEvents)
+  // ------------------------------------------------- histogram quantiles
+  /** Histogram-sketch quantiles — the deterministic, mergeable stand-in
+    * for approx_percentile/t-digest at corpus scale: values bin into
+    * `bins` fixed-width buckets over [lo, hi] (map-only), ONE uniform-key
+    * aggregation counts them, and each requested quantile reads off the
+    * first bin whose cumulative count reaches ⌈q·n⌉. Error is bounded by
+    * the bin width, every step is exact integer arithmetic (the bin pick
+    * compares cum ≥ ceil(q·n) — no division), and unlike t-digest the
+    * sketch is order-insensitive, so results are bit-identical across
+    * engines, partitionings, and retries — the property approx_percentile
+    * explicitly does NOT guarantee.
+    *
+    * Output: (group, q, bin, est_upper) — est_upper is the bin's upper
+    * edge, a conservative quantile upper bound lo + (bin+1)·width.
+    */
+  def histogramQuantiles(df: DataFrame, valueCol: String, groupCol: String,
+      qs: Seq[Double], lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins > 0 && hi > lo, "need bins > 0 and hi > lo")
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), "quantiles in (0, 1]")
+    val width = (hi - lo) / bins
+    val binned = df.select(col(groupCol).as("grp"),
+      least(lit(bins - 1), greatest(lit(0),
+        floor((col(valueCol) - lo) / (hi - lo) * bins))).cast("int").as("bin"))
+    val counts = binned.groupBy(col("grp"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("bin"))
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
+    counts
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(wn))
+      .crossJoin(broadcast(
+        df.sparkSession.range(1).select(explode(typedLit(qs)).as("q"))))
+      .filter(col("cum") >= expr("cast(ceil(q * n) as bigint)"))
+      .groupBy(col("grp"), col("q"))
+      .agg(min(col("bin")).as("bin"))
+      .select(col("grp"), col("q"), col("bin"),
+        (lit(lo) + (col("bin") + 1) * lit(width)).as("est_upper"))
+  }
+
+  private val HistQs = Seq(0.5, 0.9, 0.99)
+
+  private val qHistQuantile = GraftQuery(
+    "qstat_hist_quantile",
+    (s, dir) => histogramQuantiles(Tables.events(s, dir), "value", "event_type",
+        HistQs, lo = 0.0, hi = 500.0, bins = 50)
+      .withColumnRenamed("grp", "event_type")
+      .orderBy(col("event_type"), col("q")),
+    Some(s"""WITH b AS (SELECT event_type,
+      CAST(LEAST(49, GREATEST(0, floor((value - 0.0) / (500.0 - 0.0) * 50))) AS INT) AS bin
+      FROM events),
+    c AS (SELECT event_type, bin, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+    w AS (SELECT event_type, bin,
+      CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT) AS cum,
+      CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n FROM c),
+    qx AS (SELECT unnest([${HistQs.map(q => s"CAST($q AS DOUBLE)").mkString(", ")}]) AS q),
+    s AS (SELECT event_type, q, MIN(bin) AS bin FROM w, qx
+      WHERE cum >= CAST(ceil(q * n) AS BIGINT) GROUP BY 1, 2)
+    SELECT event_type, q, bin,
+      CAST(0.0 + (bin + 1) * ${(500.0 - 0.0) / 50} AS DOUBLE) AS est_upper
+    FROM s ORDER BY event_type, q"""))
+
+  val queries: Seq[GraftQuery] = Seq(qProfile, qProfileEvents, qHistQuantile)
 }
