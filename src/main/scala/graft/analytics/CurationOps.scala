@@ -261,6 +261,49 @@ object CurationOps {
           col("quality") >= minQuality).as("kept"))
   }
 
+  /** The WEB-crawl curation recipe as one composed call — the CCNet /
+    * RefinedWeb front half that precedes [[curationPipeline]]'s text
+    * half: URL-level dedup first (cheapest key, kills whole fetches
+    * before any text work), then the Gopher document scorecard, then
+    * exact content dedup of what survives. Every stage is the
+    * already-oracle-checked operator; this wires columns and the
+    * keep-reason so a pipeline can audit WHY each doc dropped.
+    *
+    * Scale: urlDedup shuffles on the normalized URL (uniform); gopher is
+    * map-only and only scores URL-survivors; exact dedup's fingerprint
+    * shuffle sees only gopher-survivors — the funnel ordering that makes
+    * web curation affordable (each stage's input is the previous stage's
+    * keep set). Output: (doc_id, kept, drop_reason ∈
+    * {null, 'url_dup', 'quality', 'content_dup'}).
+    */
+  def webPipeline(docs: DataFrame, idCol: String = "doc_id",
+      urlCol: String = "url", textCol: String = "text",
+      minStopwords: Int = 2): DataFrame = {
+    val ids = docs.select(col(idCol).as("doc_id"), col(urlCol).as("url"),
+      col(textCol).as("text"))
+    val u = DedupOps.urlDedup(ids, idCol = "doc_id", urlCol = "url")
+      .select(col("doc_id"), col("kept_url"))
+    val urlKept = ids.join(u, "doc_id").filter(col("kept_url"))
+    val g = gopherFilter(urlKept, idCol = "doc_id", textCol = "text",
+        minStopwords = minStopwords)
+      .select(col("doc_id"), col("kept").as("kept_quality"))
+    val qualKept = urlKept.join(g, "doc_id").filter(col("kept_quality"))
+    val e = DedupOps.exactDedup(qualKept, idCol = "doc_id", textCol = "text")
+      .select(col("doc_id"), col("is_dup"))
+    ids.select(col("doc_id"))
+      .join(u, Seq("doc_id"), "left")
+      .join(g, Seq("doc_id"), "left")
+      .join(e, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("kept_url"), lit(false)) &&
+          coalesce(col("kept_quality"), lit(false)) &&
+          !coalesce(col("is_dup"), lit(true)),
+        when(!col("kept_url"), lit("url_dup"))
+          .when(!col("kept_quality"), lit("quality"))
+          .when(col("is_dup"), lit("content_dup")))
+      .toDF("doc_id", "kept", "drop_reason")
+  }
+
   // ==================== driver-checked query bindings ====================
 
   // ---- PII fixture: splice synthetic PII into the (PII-free) corpus by
@@ -447,5 +490,69 @@ object CurationOps {
         AND n_stopwords >= 1) AS kept
     FROM r ORDER BY doc_id"""))
 
-  val queries: Seq[GraftQuery] = Seq(qPii, qC4, qParaDedup, qGopher)
+  // ---- web pipeline binding: the urlDedup fixture URLs + the raw corpus
+  // text, end-to-end through url-dedup → Gopher (minStopwords=1, same
+  // rationale as qt_gopher_filter) → exact content dedup, hash-checked as
+  // ONE composed query.
+  private val qWebPipeline = GraftQuery(
+    "qt_web_pipeline",
+    (s, dir) => {
+      val dv = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .join(DedupOps.urlViewDf(s, dir), "doc_id")
+      webPipeline(dv, minStopwords = 1).orderBy(col("doc_id"))
+    },
+    Some(s"""WITH uv AS (${DedupOps.urlViewSql}),
+    dv AS (SELECT uv.doc_id, uv.url, d.text FROM uv JOIN documents d USING (doc_id)),
+    n AS (SELECT doc_id, text, regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        lower(url),
+        '^[a-z][a-z0-9+.-]*://', ''), '^www\\.', ''), '[?#].*$$', ''), '/+$$', '') AS norm_url
+      FROM dv),
+    ku AS (SELECT doc_id, text,
+      doc_id = MIN(doc_id) OVER (PARTITION BY norm_url) AS kept_url FROM n),
+    gt AS (SELECT doc_id, text, $toksSql AS toks,
+      list_filter(regexp_split_to_array(text, '\\n'), x -> x != '') AS lines
+      FROM ku WHERE kept_url),
+    gm AS (SELECT doc_id,
+      CAST(len(toks) AS BIGINT) AS n_words,
+      CASE WHEN len(toks) = 0 THEN 0.0
+        ELSE CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE) / len(toks) END
+        AS mean_word_len,
+      length(text) - length(replace(text, '#', ''))
+        + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT)
+        + length(text) - length(replace(text, '…', '')) AS n_symbols,
+      CAST(len(list_filter(lines, x -> x LIKE '- %' OR x LIKE '* %' OR x LIKE '• %')) AS DOUBLE)
+        AS n_bullets,
+      CAST(len(list_filter(lines, x -> x LIKE '%...' OR x LIKE '%…')) AS DOUBLE) AS n_ellip,
+      CAST(len(lines) AS BIGINT) AS n_lines,
+      CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE) AS n_alpha,
+      CAST(len(list_filter(${GopherStopwords.map(w => s"'$w'").mkString("[", ", ", "]")},
+        sw -> list_contains(list_transform(toks, t -> lower(t)), sw))) AS BIGINT) AS n_stopwords
+      FROM gt),
+    gr AS (SELECT doc_id,
+      (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+        AND (CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_symbols AS DOUBLE) / n_words END) <= 0.1
+        AND (CASE WHEN n_lines = 0 THEN 0.0 ELSE n_bullets / n_lines END) <= 0.9
+        AND (CASE WHEN n_lines = 0 THEN 0.0 ELSE n_ellip / n_lines END) <= 0.3
+        AND (CASE WHEN n_words = 0 THEN 0.0 ELSE n_alpha / n_words END) >= 0.8
+        AND n_stopwords >= 1) AS kept_quality
+      FROM gm),
+    qk AS (SELECT ku.doc_id, ku.text FROM ku JOIN gr ON ku.doc_id = gr.doc_id
+      WHERE gr.kept_quality),
+    f AS (SELECT doc_id,
+      md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM qk),
+    ed AS (SELECT doc_id,
+      doc_id <> MIN(doc_id) OVER (PARTITION BY fp) AS is_dup FROM f)
+    SELECT d.doc_id,
+      coalesce(ku.kept_url, false) AND coalesce(gr.kept_quality, false)
+        AND NOT coalesce(ed.is_dup, true) AS kept,
+      CASE WHEN NOT ku.kept_url THEN 'url_dup'
+        WHEN NOT gr.kept_quality THEN 'quality'
+        WHEN ed.is_dup THEN 'content_dup' END AS drop_reason
+    FROM documents d
+    LEFT JOIN ku ON d.doc_id = ku.doc_id
+    LEFT JOIN gr ON d.doc_id = gr.doc_id
+    LEFT JOIN ed ON d.doc_id = ed.doc_id
+    ORDER BY d.doc_id"""))
+
+  val queries: Seq[GraftQuery] = Seq(qPii, qC4, qParaDedup, qGopher, qWebPipeline)
 }

@@ -640,7 +640,7 @@ object DedupOps {
   // fragment/trailing-slash noise) that normalize to the same
   // `<source>.com/item/<doc_id % 40>`, plus a unique cdn.<source>.com asset
   // URL whose registered domain still collapses with the site's.
-  private def urlViewDf(s: org.apache.spark.sql.SparkSession, dir: String) =
+  private[analytics] def urlViewDf(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.documents(s, dir).select(col("doc_id"), expr(
       """CASE CAST(doc_id % 4 AS INT)
       WHEN 0 THEN concat('https://www.', source, '.com/item/', CAST(doc_id % 40 AS STRING), '?utm_source=feed')
@@ -649,7 +649,7 @@ object DedupOps {
       ELSE concat('https://cdn.', source, '.com/asset/', CAST(doc_id AS STRING))
       END""").as("url"))
 
-  private val urlViewSql = """SELECT doc_id, CASE CAST(doc_id % 4 AS INT)
+  private[analytics] val urlViewSql = """SELECT doc_id, CASE CAST(doc_id % 4 AS INT)
       WHEN 0 THEN 'https://www.' || source || '.com/item/' || CAST(doc_id % 40 AS VARCHAR) || '?utm_source=feed'
       WHEN 1 THEN 'http://' || source || '.com/item/' || CAST(doc_id % 40 AS VARCHAR) || '/'
       WHEN 2 THEN 'HTTPS://WWW.' || upper(source) || '.COM/item/' || CAST(doc_id % 40 AS VARCHAR) || '#top'

@@ -605,6 +605,26 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(5L)._2 == "example.org" && out(5L)._3 && out(5L)._4, s"got $out")
   }
 
+  test("webPipeline funnels url-dup -> quality -> content-dup with reasons") {
+    import spark.implicits._
+    val good = "the of " + Seq.fill(12)("data table query value stream").mkString(" ")
+    val rows = Seq(
+      (1L, "https://site.com/a", good),                 // survives everything
+      (2L, "HTTP://WWW.Site.com/a?utm=x", good + " x"), // same normalized URL as 1
+      (3L, "https://site.com/b", "tiny doc"),           // fails Gopher word count
+      (4L, "https://site.com/c", good))                 // exact content dup of 1
+      .toDF("id", "link", "body")
+    val out = CurationOps.webPipeline(rows, idCol = "id", urlCol = "link",
+        textCol = "body")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), Option(r.getString(2)))).toMap
+    assert(out == Map(
+      1L -> (true, None),
+      2L -> (false, Some("url_dup")),
+      3L -> (false, Some("quality")),
+      4L -> (false, Some("content_dup"))), s"got $out")
+  }
+
   test("bpeTrain learns the textbook merges; bpeTokenize replays them") {
     import spark.implicits._
     val docs = Seq((1L, "low lower lowest")).toDF("post_id", "body")
