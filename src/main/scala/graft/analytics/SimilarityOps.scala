@@ -1029,7 +1029,70 @@ object SimilarityOps {
     },
     Some(semDedupSql))
 
+  // ------------------------------------------------------------ kNN graph
+  /** k-nearest-neighbor GRAPH construction — the input artifact of
+    * graph-based clustering / agglomerative dedup (SemDeDup's sibling
+    * output: instead of keep/drop flags, every vector's top-k in-cell
+    * neighbors): trained-cell assignment (map-only), intra-cell pairs
+    * only (the same C ≈ √n occupancy bound as [[semDedup]] — this is an
+    * all-SOURCES ANN, so cell-bucketing is what keeps it off the n²
+    * cliff), exact cosine, top-k per source via a rank window partitioned
+    * by the uniform source id. nprobe is 1 by construction (a vector's
+    * own cell); boundary-crossing true neighbors are the standard recall
+    * trade, tunable by raising C iterations or unioning a second probe.
+    * Output: (src, rank, nbr, cosine).
+    */
+  def knnGraph(corpus: org.apache.spark.sql.DataFrame, k: Int,
+      cents: Seq[Seq[Double]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(cents.nonEmpty, "knnGraph requires a trained coarse quantizer " +
+      "(size it with semDedupCellCount(n), train with trainCentroids)")
+    val scoreArr = array(cents.map(c => graft_dot(typedLit(c), col("v"))): _*)
+    val assigned = prep(corpus, idCol, vecCol)
+      .withColumn("sc", scoreArr)
+      .withColumn("cell", expr("array_position(sc, array_max(sc))"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    val lo = assigned.select(col("cell"), col("vec_id").as("src"),
+      col("v").as("va"), col("nrm").as("na"))
+    val hi = assigned.select(col("cell"), col("vec_id").as("nbr"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val w = Window.partitionBy(col("src")).orderBy(col("cosine").desc, col("nbr"))
+    withCosine(lo.join(hi, Seq("cell")).filter(col("src") =!= col("nbr")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("src"), col("rank"), col("nbr"), col("cosine"))
+      .orderBy(col("src"), col("rank"))
+  }
+
+  private val KnnK = 3
+
+  private val knnSql =
+    s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ${lloydSql(IvfIters)},
+    scs AS (SELECT vec_id, v,
+      list_transform(generate_series(1, $Cents), c ->
+        list_reduce(list_transform(generate_series(1, 64), i -> w[c][i] * v[i]), (a, b) -> a + b)) AS sc
+      FROM e0, cw$IvfIters),
+    e AS (SELECT vec_id, v, list_position(sc, list_max(sc)) AS cell FROM scs),
+    pr AS (SELECT a.vec_id AS src, b.vec_id AS nbr, a.v AS va, b.v AS vb
+      FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+    sc2 AS (SELECT src, nbr, $cosineSql AS cosine FROM pr),
+    rk AS (SELECT src, nbr, cosine,
+      ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosine DESC, nbr) AS rank
+      FROM sc2)
+    SELECT src, rank, nbr, cosine FROM rk WHERE rank <= $KnnK
+    ORDER BY src, rank"""
+
+  private val qKnn = GraftQuery(
+    "qs_knn_graph",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      knnGraph(emb, KnnK, trainCentroids(emb))
+    },
+    Some(knnSql))
+
   val queries: Seq[GraftQuery] = Seq(qBrute, qAnnLsh, qAnnIvf, qAnnIvfTrained,
     qRecall, qSq, qCentroids, qKmeans, qOutliers, qSemDedup, qPq, qIvfPq,
-    qIvfPqRes)
+    qIvfPqRes, qKnn)
 }
