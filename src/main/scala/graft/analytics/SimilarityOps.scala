@@ -742,7 +742,10 @@ object SimilarityOps {
     (s, dir) => {
       val corpus = Tables.embeddings(s, dir)
       val q = corpus.filter(col("vec_id") < NQ)
-      val exact = cosineTopK(corpus, q, K)
+      // barrier the exact baseline: all six recall branches join against
+      // it, and without materialization each branch re-runs the
+      // brute-force corpus scan (6× the dominant cost of this query)
+      val exact = cosineTopK(corpus, q, K).localCheckpoint()
       // one shared training run: the ivf_trained and ivfpq branches use the
       // identical quantizer, so Lloyd runs once, not twice
       val trained = trainCentroids(corpus)

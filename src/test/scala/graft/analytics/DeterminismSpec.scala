@@ -1,0 +1,52 @@
+package graft.analytics
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-partitioning determinism pin — the property the whole oracle gate
+  * rests on: every emitted double is either an exact integer-arithmetic
+  * result (quantized-BIGINT sums, fixed-point PageRank) or a fixed-order
+  * fold, so results are BIT-IDENTICAL under different shuffle partition
+  * counts (different partition counts ⇒ different merge orders ⇒ any
+  * order-sensitive float accumulation would drift). A plain sum(double)
+  * would not survive this spec; these queries must.
+  */
+class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // representative of each exactness technique: quantized-BIGINT means,
+  // integer fixed-point iteration, sorted-fold scoring, hash ranking
+  private val pinned = Seq(
+    "qs_label_centroids", // ×2^24 BIGINT quantized sums
+    "qg_pagerank",        // integer fixed-point power iteration
+    "qt_bm25",            // sorted-token float fold
+    "qt_dsir_weights",    // exact-BIGINT likelihood ratios
+    "qs_kmeans_step")     // quantized Lloyd step
+
+  test("pinned queries are bit-identical under different shuffle partitionings") {
+    pinned.foreach { name =>
+      def run(parts: String): Seq[String] = {
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        graft.SparkEntry.queries(name)(spark, sf)
+          .collect().map(_.toString).toSeq
+      }
+      val a = run("3")
+      val b = run("7")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      assert(a == b,
+        s"$name drifted across shuffle partitionings (3 vs 7 partitions): " +
+          s"first diff = ${a.zip(b).find { case (x, y) => x != y }}")
+    }
+  }
+}
