@@ -115,6 +115,38 @@ class StreamingExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"unrelated doc flagged: $pairs")
   }
 
+  test("streaming near-dup: band state survives a checkpoint restart") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val ckpt = Files.createTempDirectory("graft-neardup-restart").toString
+    val input = MemoryStream[(Long, String)](spark)
+    val pairs = mutable.Set.empty[(Long, Long)]
+    def startQuery() = graft.analytics.DedupOps
+      .nearDupStream(input.toDS().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val got = batch.collect().map(r => (r.getLong(0), r.getLong(1)))
+        pairs.synchronized { pairs ++= got }
+        ()
+      }
+      .start()
+    val q1 = startQuery()
+    input.addData((1L, base))
+    q1.processAllAvailable()
+    q1.stop()
+    // the original doc lives only in restored ListState now
+    val q2 = startQuery()
+    input.addData((2L, base + " chi"))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(pairs.synchronized(pairs.contains((2L, 1L))),
+      s"band ListState lost across restart: $pairs")
+  }
+
   test("event-time tumbling windows with watermark drop late data") {
     import spark.implicits._
     val input = MemoryStream[(Timestamp, String, Double)](spark)
