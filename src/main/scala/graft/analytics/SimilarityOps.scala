@@ -295,6 +295,21 @@ object SimilarityOps {
     cs
   }
 
+  /** First-C-by-id data seeds — the standard "init from data points"
+    * k-means seeding, sized by [[semDedupCellCount]] (C ≈ √n). One
+    * C·dim-doubles driver fetch (the same sanctioned traffic class as
+    * [[trainCentroids]]' per-round means); the oracle mirrors it as
+    * `ORDER BY vec_id LIMIT C`. At 100 TB pass a pre-counted n to the
+    * sizing rule rather than re-scanning for COUNT(*).
+    */
+  def dataSeeds(vecs: org.apache.spark.sql.DataFrame, c: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Double]] = {
+    require(c >= 1, s"seed count must be >= 1, got $c")
+    vecs.orderBy(col(idCol)).limit(c)
+      .select(expr(s"cast($vecCol as array<double>)"))
+      .collect().map(_.getSeq[Double](0).toIndexedSeq: Seq[Double]).toIndexedSeq
+  }
+
   /** [[annIvf]] against a data-trained codebook: the composition real IVF
     * indexes use (train the coarse quantizer with k-means, then assign +
     * probe). Identical query plan to [[annIvf]] once trained — the
@@ -311,16 +326,35 @@ object SimilarityOps {
 
   /** CTE chain mirroring [[trainCentroids]]: cw0 = the seed literals,
     * cw<t> = the exact quantized means of the assignment against
-    * cw<t-1>, with the empty-cell coalesce fallback. Requires an `e0`
+    * cw<t-1>, with the empty-cluster coalesce fallback. Requires an `e0`
     * CTE (vec_id, v) in scope.
     */
-  private def lloydSql(iters: Int): String = {
-    val init =
-      s"cw0 AS (SELECT ${centroids.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")} AS w)"
+  private def lloydSql(iters: Int): String = lloydChain(iters,
+    s"cw0 AS (SELECT ${centroids.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")} AS w)")
+
+  /** Dynamic-C Lloyd chain: C = ⌈√n⌉ is derived from the corpus INSIDE the
+    * SQL ([[semDedupCellCount]]'s rule) and the seeds are the first C
+    * vectors by id (standard data init) — so the oracle itself enforces
+    * the sub-quadratic quantizer sizing rather than trusting a fixed
+    * literal C. Mirrored by [[dataSeeds]] + [[trainCentroids]] on the
+    * Spark side.
+    */
+  private def lloydSqlDyn(iters: Int): String = lloydChain(iters,
+    """nc AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS c FROM e0),
+    cw0 AS (SELECT list(v ORDER BY vec_id) AS w FROM
+      (SELECT vec_id, v FROM e0 ORDER BY vec_id LIMIT (SELECT c FROM nc)))""")
+
+  /** Shared Lloyd body: every cell-count reference is `len(w)` (never a
+    * literal), so the same chain serves the fixed-seed and dynamic-C
+    * oracles. `cells` is the scalar-unnest form because DuckDB's
+    * table-function `generate_series` cannot take a lateral column bound.
+    */
+  private def lloydChain(iters: Int, init: String): String = {
+    val cells = "cells AS (SELECT unnest(generate_series(1, len(w))) AS c FROM cw0)"
     val steps = (1 to iters).map { t =>
       val prev = s"cw${t - 1}"
       s"""ts$t AS (SELECT vec_id, v,
-      list_transform(generate_series(1, $Cents), c ->
+      list_transform(generate_series(1, len(w)), c ->
         list_reduce(list_transform(generate_series(1, 64), i -> w[c][i] * v[i]), (a, b) -> a + b)) AS sc
       FROM e0, $prev),
     ta$t AS (SELECT list_position(sc, list_max(sc)) AS cell, v FROM ts$t),
@@ -330,9 +364,9 @@ object SimilarityOps {
       CAST(SUM(q) AS DOUBLE) / (COUNT(*) * $Quant) AS mean_val FROM tq$t GROUP BY cell, dim1),
     tm$t AS (SELECT cell, list(mean_val ORDER BY dim1) AS m FROM tg$t GROUP BY cell),
     cw$t AS (SELECT list(coalesce(m.m, w0.w[g.c]) ORDER BY g.c) AS w
-      FROM $prev w0, generate_series(1, $Cents) g(c) LEFT JOIN tm$t m ON m.cell = g.c)"""
+      FROM $prev w0, cells g LEFT JOIN tm$t m ON m.cell = g.c)"""
     }
-    (init +: steps).mkString(",\n    ")
+    (Seq(init, cells) ++ steps).mkString(",\n    ")
   }
 
   /** The assign/probe/rerank tail of [[ivfSql]], parameterized on the
@@ -1011,9 +1045,9 @@ object SimilarityOps {
 
   private val semDedupSql =
     s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    ${lloydSql(IvfIters)},
+    ${lloydSqlDyn(IvfIters)},
     scs AS (SELECT vec_id, v,
-      list_transform(generate_series(1, $Cents), c ->
+      list_transform(generate_series(1, len(w)), c ->
         list_reduce(list_transform(generate_series(1, 64), i -> w[c][i] * v[i]), (a, b) -> a + b)) AS sc
       FROM e0, cw$IvfIters),
     e AS (SELECT vec_id, v, CAST(list_position(sc, list_max(sc)) AS BIGINT) AS cell FROM scs),
@@ -1028,7 +1062,8 @@ object SimilarityOps {
     "qd_semdedup",
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      semDedup(emb, SemTheta, trainCentroids(emb))
+      val c = semDedupCellCount(emb.count())
+      semDedup(emb, SemTheta, trainCentroids(emb, dataSeeds(emb, c)))
     },
     Some(semDedupSql))
 
@@ -1072,9 +1107,9 @@ object SimilarityOps {
 
   private val knnSql =
     s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    ${lloydSql(IvfIters)},
+    ${lloydSqlDyn(IvfIters)},
     scs AS (SELECT vec_id, v,
-      list_transform(generate_series(1, $Cents), c ->
+      list_transform(generate_series(1, len(w)), c ->
         list_reduce(list_transform(generate_series(1, 64), i -> w[c][i] * v[i]), (a, b) -> a + b)) AS sc
       FROM e0, cw$IvfIters),
     e AS (SELECT vec_id, v, list_position(sc, list_max(sc)) AS cell FROM scs),
@@ -1091,7 +1126,8 @@ object SimilarityOps {
     "qs_knn_graph",
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      knnGraph(emb, KnnK, trainCentroids(emb))
+      val c = semDedupCellCount(emb.count())
+      knnGraph(emb, KnnK, trainCentroids(emb, dataSeeds(emb, c)))
     },
     Some(knnSql))
 
