@@ -151,6 +151,22 @@ object SimilarityOps {
     topK(withCosine(pairs), k)
   }
 
+  /** Filtered (pre-filter) vector search: a metadata predicate prunes the
+    * corpus BEFORE cell assignment and the inverted-list join. Spark-first
+    * this is plain composition — `annIvf(corpus.filter(pred), …)` — and
+    * Catalyst pushes the predicate into the parquet scan (PushedFilters),
+    * so at 100 TB the inverted lists are built only over qualifying rows.
+    * Pre-filtering keeps the top-k exact w.r.t. the filtered subset;
+    * post-filtering an unfiltered top-k can silently return fewer than k
+    * rows when survivors are scarce.
+    */
+  def annIvfFiltered(corpus: org.apache.spark.sql.DataFrame,
+      pred: org.apache.spark.sql.Column,
+      queries: org.apache.spark.sql.DataFrame, k: Int = 5,
+      cents: Seq[Seq[Double]] = centroids,
+      idCol: String = "vec_id", vecCol: String = "embedding"): org.apache.spark.sql.DataFrame =
+    annIvf(corpus.filter(pred), queries, k, cents, idCol, vecCol)
+
   // ==================== driver-checked query bindings ====================
 
   /** Recall of an approximate top-k against the exact top-k: the fraction
@@ -264,6 +280,37 @@ object SimilarityOps {
     (s, dir) => annIvf(Tables.embeddings(s, dir),
       Tables.embeddings(s, dir).filter(col("vec_id") < NQ), K),
     Some(ivfSql))
+
+  /** Labels the filtered search admits as candidates. */
+  private val FilterLabels = Seq(1, 3, 5)
+
+  private val ivfFilteredSql = s"""WITH e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    cw AS (SELECT ${centroids.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")} AS w),
+    scs AS (SELECT vec_id, label, v,
+      list_transform(generate_series(1, $Cents), c ->
+        list_reduce(list_transform(generate_series(1, 64), i -> w[c][i] * v[i]), (a, b) -> a + b)) AS sc
+      FROM e0, cw),
+    e AS (SELECT vec_id, label, v, sc, list_position(sc, list_max(sc)) AS cell FROM scs),
+    ef AS (SELECT vec_id, v, cell FROM e WHERE label IN (${FilterLabels.mkString(", ")})),
+    q AS (SELECT vec_id, v, cell AS p1,
+        list_position(sc, list_max(list_filter(sc, x -> x <> list_max(sc)))) AS p2
+      FROM e WHERE vec_id < $NQ),
+    qp AS (SELECT vec_id, v, unnest([p1, p2]) AS cell FROM q),
+    p AS (SELECT q2.vec_id AS query_id, c.vec_id AS cand_id, q2.v AS va, c.v AS vb
+      FROM qp q2 JOIN ef c ON q2.cell = c.cell AND q2.vec_id <> c.vec_id),
+    sc2 AS (SELECT query_id, cand_id, $cosineSql AS cosine FROM p),
+    rk AS (SELECT query_id, cand_id, cosine,
+      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+      FROM sc2)
+    SELECT query_id, rank, cand_id, cosine FROM rk WHERE rank <= $K
+    ORDER BY query_id, rank"""
+
+  private val qAnnFiltered = GraftQuery(
+    "qs_ann_filtered",
+    (s, dir) => annIvfFiltered(Tables.embeddings(s, dir),
+      col("label").isin(FilterLabels: _*),
+      Tables.embeddings(s, dir).filter(col("vec_id") < NQ), K),
+    Some(ivfFilteredSql))
 
   // --------------------------------------------------- trained IVF ANN
   /** Lloyd-train the IVF coarse quantizer: `iters` rounds of
@@ -1132,6 +1179,6 @@ object SimilarityOps {
     Some(knnSql))
 
   val queries: Seq[GraftQuery] = Seq(qBrute, qAnnLsh, qAnnIvf, qAnnIvfTrained,
-    qRecall, qSq, qCentroids, qKmeans, qOutliers, qSemDedup, qPq, qIvfPq,
-    qIvfPqRes, qKnn)
+    qAnnFiltered, qRecall, qSq, qCentroids, qKmeans, qOutliers, qSemDedup,
+    qPq, qIvfPq, qIvfPqRes, qKnn)
 }
