@@ -127,4 +127,33 @@ class StorageLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(rows == Set((10L, "en"), (2L, "fr")), s"got $rows")
     } finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
   }
+
+  test("z-order layout bounds BOTH key columns' span per output file") {
+    val dir = Files.createTempDirectory("graft-z").toString
+    val li = Tables.lineitem(spark, sf).select(col("l_partkey"), col("l_suppkey"))
+    LayoutOps.zorderLayout(li, "l_partkey", "l_suppkey", numFiles = 16)
+      .write.mode("overwrite").parquet(dir)
+    val global = li.agg(
+      (max("l_partkey") - min("l_partkey")).as("ra"),
+      (max("l_suppkey") - min("l_suppkey")).as("rb")).head()
+    val (ra, rb) = (global.getLong(0).toDouble, global.getLong(1).toDouble)
+    // Per-file min/max — what a parquet footer records and a reader prunes
+    // on. A Z-laid-out file covers a bounded rectangle in BOTH dimensions,
+    // where a single-column sort leaves the other dimension at ~full span.
+    // The bound is statistical, not universal: a file straddling one of
+    // the curve's diagonal jumps (e.g. Morton block 0111 → 1000) spans
+    // nearly a full dimension, so assert that at least 3/4 of the files
+    // are quarter-ish rectangles (≤ 0.6 of range after boundary-sampling
+    // slack) on BOTH columns.
+    val spans = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg((max("l_partkey") - min("l_partkey")).as("sa"),
+        (max("l_suppkey") - min("l_suppkey")).as("sb"))
+      .collect()
+    assert(spans.length > 4, s"expected many files, got ${spans.length}")
+    val bounded = spans.count(r => r.getLong(1) <= 0.6 * ra && r.getLong(2) <= 0.6 * rb)
+    assert(bounded >= spans.length * 3 / 4,
+      s"only $bounded/${spans.length} files are span-bounded: " +
+        spans.map(r => (r.getLong(1), r.getLong(2))).mkString(", "))
+  }
 }
