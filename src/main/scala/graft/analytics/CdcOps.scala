@@ -1,0 +1,79 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.api.GraftQuery
+
+/** Change-data-capture / warehouse-maintenance operators: turning an
+  * append-only change log into the queryable history tables downstream
+  * pipelines join against.
+  *
+  * Scale shape: everything here is per-entity window work — one shuffle
+  * on the (uniform) entity key, LAG/LEAD inside each partition, no joins
+  * and no global sort. At 100 TB the change log shuffles once by entity
+  * and each history is built in-partition; there is no driver state and
+  * no iteration.
+  */
+object CdcOps {
+
+  /** Slowly-changing-dimension type-2 history from a change log: collapse
+    * consecutive duplicate attribute values per entity (LAG), then stamp
+    * each surviving version with its validity interval (`valid_from` =
+    * its own change time, `valid_to` = the NEXT change's time via LEAD,
+    * NULL while current). The standard warehouse dimension-history build,
+    * expressed as two window passes over one entity-key shuffle.
+    *
+    * `tie` must be a per-entity-unique column (an event/sequence id) so
+    * same-timestamp changes order deterministically — without it the
+    * collapse step itself is nondeterministic under shuffle, not just the
+    * output order.
+    *
+    * Output: (key, attr, valid_from, valid_to, is_current), one row per
+    * retained version.
+    */
+  def scd2(log: DataFrame, key: String, attr: String, ts: String,
+      tie: String): DataFrame = {
+    val ord = Window.partitionBy(col(key)).orderBy(col(ts), col(tie))
+    val changes = log
+      .withColumn("_prev", lag(col(attr), 1).over(ord))
+      .filter(col("_prev").isNull || col("_prev") =!= col(attr))
+      .select(col(key), col(attr), col(ts).as("valid_from"), col(tie))
+    val vord = Window.partitionBy(col(key)).orderBy(col("valid_from"), col(tie))
+    changes
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(vord))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  // ==================== driver-checked query bindings ====================
+
+  /** Per-user event_type version history over the events log; validity
+    * bounds emitted as epoch-µs BIGINTs (the events tier's cross-engine
+    * timestamp convention).
+    */
+  private val scd2Sql = """WITH s AS (SELECT user_id, event_type, ts, event_id,
+      LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM events),
+    c AS (SELECT user_id, event_type, ts AS valid_from, event_id FROM s
+      WHERE prev IS NULL OR prev <> event_type),
+    v AS (SELECT user_id, event_type, valid_from, event_id,
+      LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to
+    FROM c)
+    SELECT user_id, event_type, epoch_us(valid_from) AS from_us,
+      epoch_us(valid_to) AS to_us, valid_to IS NULL AS is_current
+    FROM v ORDER BY user_id, from_us, event_id"""
+
+  private val qScd2 = GraftQuery(
+    "qcdc_scd2",
+    (s, dir) => scd2(Tables.events(s, dir), "user_id", "event_type", "ts", "event_id")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("valid_from")).as("from_us"),
+        unix_micros(col("valid_to")).as("to_us"), col("is_current"),
+        col("event_id"))
+      .orderBy(col("user_id"), col("from_us"), col("event_id"))
+      .drop("event_id"),
+    Some(scd2Sql))
+
+  val queries: Seq[GraftQuery] = Seq(qScd2)
+}
