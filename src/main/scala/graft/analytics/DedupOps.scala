@@ -222,6 +222,58 @@ object DedupOps {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** Cross-corpus MinHash containment — the scalable twin of the exact
+    * window-hash [[graft.analytics.TextOps.contaminationCheck]]: find
+    * TRAIN documents that contain a BENCHMARK document's content, where
+    * train is corpus-scale and the benchmark suite is small. Candidates
+    * come from a MinHash band join with the bench side BROADCAST (the
+    * train corpus is never shuffled for candidate generation — one
+    * map-side band hash probe per train doc); verification scores exact
+    * shingle CONTAINMENT |train ∩ bench| / |bench|, not symmetric
+    * Jaccard — a short benchmark question pasted into a long train doc
+    * has near-zero Jaccard but containment ~1, and containment is what
+    * decontamination decisions key on.
+    *
+    * MinHash banding approximates Jaccard, not containment, so recall
+    * for tiny-bench-in-huge-train pairs degrades with the length ratio —
+    * the standard trade; shrink band rows or shingle the train side in
+    * windows (as `contaminationCheck` does) when that matters. The
+    * oracle mirrors the same bands, so the gate is exact.
+    *
+    * Output: (d_train, bench_id, containment ≥ threshold).
+    */
+  def crossContain(train: DataFrame, bench: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 16, bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    require(k % bands == 0, "k must be a multiple of bands")
+    val rows = k / bands
+    def sigs(docs: DataFrame) = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .select(col("doc_id"),
+        GraftFunctions.graft_minhash_affine(
+          GraftFunctions.graft_shingle_hashes(col("text"), 3), k).as("sig"))
+    def banded(s: DataFrame) = s.select(col("doc_id"),
+        explode(expr(s"transform(sequence(0, ${bands - 1}), b -> struct(b as band, " +
+          s"concat_ws(',', transform(slice(sig, b * $rows + 1, $rows), x -> cast(x as string))) as bv))"))
+          .as("bd"))
+      .select(col("doc_id"), col("bd.band"), col("bd.bv"))
+    val tb = banded(sigs(train))
+    val bb = banded(sigs(bench))
+      .select(col("doc_id").as("bench_id"), col("band"), col("bv"))
+    val cand = tb.join(broadcast(bb), Seq("band", "bv"))
+      .select(col("doc_id").as("d_train"), col("bench_id")).distinct()
+    val tsh = shingleTable(train, idCol, textCol)
+      .select(col("doc_id").as("d_train"), col("sh").as("sht"))
+    val bsh = shingleTable(bench, idCol, textCol)
+      .select(col("doc_id").as("bench_id"), col("sh").as("shb"))
+    cand.join(tsh, Seq("d_train")).join(broadcast(bsh), Seq("bench_id"))
+      .withColumn("containment", expr(
+        "cast(size(array_intersect(sht, shb)) as double) / greatest(size(shb), 1)"))
+      .filter(col("containment") >= threshold)
+      .select(col("d_train"), col("bench_id"), col("containment"))
+      .orderBy(col("d_train"), col("bench_id"))
+  }
+
   /** SimHash near-dup: 60-bit token-hash majority-vote signature (native
     * codegen'd [[graft.functions.SimHash60]]), pairs within hamming ≤
     * maxHamming.
@@ -467,6 +519,42 @@ object DedupOps {
       FROM cand JOIN shl x ON x.doc_id = d1 JOIN shl y ON y.doc_id = d2)
     SELECT d1, d2, jaccard FROM verified WHERE jaccard >= 0.8 ORDER BY d1, d2"""))
 
+  // Benchmark subset = doc_id % 17 (same slice as qt_contamination, so the
+  // exact window-hash flags and the MinHash containment scores are directly
+  // comparable on the same corpus). Docs with <3 tokens have no signature
+  // rows in the oracle but a degenerate signature in Spark; any such
+  // candidate pair scores containment 0 and is filtered on BOTH sides, so
+  // the outputs agree.
+  private val qCrossContain = GraftQuery(
+    "qd_cross_contain",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      crossContain(docs, docs.filter(col("doc_id") % 17 === 0))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+    shl AS (SELECT doc_id, ${shinglesSql("toks")} AS sh FROM t),
+    sh AS (SELECT doc_id, unnest(sh) AS shingle FROM shl),
+    hs AS (SELECT doc_id, ${h60Sql("shingle")} AS h FROM sh),
+    hashes AS (
+      SELECT doc_id, i,
+        MIN((${MinHashAffine.sqlListA(16)}[i + 1] * (h & ${MinHashAffine.Mask})
+          + ${MinHashAffine.sqlListB(16)}[i + 1]) % ${MinHashAffine.P}) AS m
+      FROM hs CROSS JOIN generate_series(0, 15) t2(i) GROUP BY doc_id, i),
+    bands AS (
+      SELECT doc_id, i // 4 AS band, string_agg(m::VARCHAR, ',' ORDER BY i) AS bv
+      FROM hashes GROUP BY doc_id, i // 4),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d_train, b.doc_id AS bench_id
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+      WHERE b.doc_id % 17 = 0),
+    verified AS (
+      SELECT d_train, bench_id,
+        CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+          / greatest(len(y.sh), 1) AS containment
+      FROM cand JOIN shl x ON x.doc_id = d_train JOIN shl y ON y.doc_id = bench_id)
+    SELECT d_train, bench_id, containment FROM verified
+    WHERE containment >= 0.5 ORDER BY d_train, bench_id"""))
+
   private val qSimhash = GraftQuery(
     "qd_simhash",
     (s, dir) => simhashPairs(Tables.documents(s, dir)),
@@ -674,6 +762,6 @@ object DedupOps {
     FROM d ORDER BY doc_id"""))
 
   val queries: Seq[GraftQuery] =
-    Seq(qExact, qNgram, qMinhash, qSimhash, qEmbed, qClusters, qSpans, qBloom,
-      qUrlDedup)
+    Seq(qExact, qNgram, qMinhash, qCrossContain, qSimhash, qEmbed, qClusters,
+      qSpans, qBloom, qUrlDedup)
 }
