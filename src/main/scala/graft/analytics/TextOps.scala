@@ -516,7 +516,53 @@ object TextOps {
     SELECT doc_id, stratum, CAST(rk AS INTEGER) AS rk FROM r
     WHERE rk <= $StratK ORDER BY stratum, rk"""))
 
+  /** Deterministic weighted sampling WITHOUT replacement (the
+    * priority-sampling family — Duffield/Lund/Thorup 2007: give row i
+    * priority u_i/w_i and keep the k smallest). The uniform u is 30
+    * salted hash bits of the row id and the sort key is the EXACT
+    * integer quotient (u·10⁹) DIV w — no ln, no pow, no RNG state — so
+    * the chosen sample is bit-reproducible across engines, runs, and
+    * partitionings (the same log-free-determinism stance as the DSIR
+    * weights). Doubling a row's weight halves its expected key, so
+    * inclusion probability scales with w; zero/negative-weight rows are
+    * excluded by definition.
+    *
+    * Scale shape: map-only key projection + global k-smallest, which
+    * Spark plans as TakeOrderedAndProject (per-partition top-k, one
+    * k·parts merge — never a global sort).
+    *
+    * Output: (doc_id, w, skey) ascending by (skey, doc_id).
+    */
+  def weightedSample(docs: org.apache.spark.sql.DataFrame, k: Int,
+      weight: org.apache.spark.sql.Column, idCol: String = "doc_id",
+      salt: String = "wsample"): org.apache.spark.sql.DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    docs.select(col(idCol).as("doc_id"), weight.cast("long").as("w"))
+      .filter(col("w") >= 1)
+      .withColumn("u30",
+        expr(s"${h60(s"concat('$salt', cast(doc_id as string))")} & 1073741823"))
+      .withColumn("skey", expr("(u30 * 1000000000) DIV w"))
+      .orderBy(col("skey"), col("doc_id")).limit(k)
+      .select(col("doc_id"), col("w"), col("skey"))
+  }
+
+  private val WeightedK = 50
+
+  // Weight = token count: length-proportional document sampling, the
+  // common corpus-subsample shape (sampling documents ∝ tokens samples
+  // TOKENS uniformly).
+  private val qWeighted = GraftQuery(
+    "qt_weighted_sample",
+    (s, dir) => weightedSample(Tables.documents(s, dir), WeightedK,
+      size(expr(toksExpr))),
+    Some(s"""WITH t AS (SELECT doc_id, len($toksSql) AS w FROM documents),
+    h AS (SELECT doc_id, w,
+      ${h60Sql("'wsample' || CAST(doc_id AS VARCHAR)")} & 1073741823 AS u30
+      FROM t WHERE w >= 1),
+    sk AS (SELECT doc_id, w, (u30 * 1000000000) // w AS skey FROM h)
+    SELECT doc_id, w, skey FROM sk ORDER BY skey, doc_id LIMIT $WeightedK"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qTokens, qBpeTokens, qLangId, qQuality, qFingerprint, qSplit, qRebalance,
-      qRepetition, qLineDedup, qContamination, qStratified)
+      qRepetition, qLineDedup, qContamination, qStratified, qWeighted)
 }
