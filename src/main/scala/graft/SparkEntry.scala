@@ -21,7 +21,7 @@ object SparkEntry {
       DedupOps.queries ++
       SimilarityOps.queries ++ MultimodalOps.queries ++ ProfileOps.queries ++
       SkewOps.queries ++ GraphOps.queries ++ LayoutOps.queries ++
-      CdcOps.queries ++ RoutingQueries.queries
+      CdcOps.queries ++ LearnOps.queries ++ RoutingQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

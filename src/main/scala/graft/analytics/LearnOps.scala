@@ -1,0 +1,112 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.api.GraftQuery
+import Nlp.{h60, h60Sql, toksExprOn, toksSql}
+
+/** Learned-model operators: train a classifier ON the corpus, with the
+  * training itself a distributed aggregation — the "distill a heuristic
+  * into a model" step real curation pipelines run (label a corpus with
+  * hand rules, fit a cheap linear model on hashed features, apply the
+  * model where the rules don't reach).
+  *
+  * Everything is exact integer arithmetic (counts, DIV-quantized class
+  * means, integer score comparisons) — no exp/ln/float accumulation — so
+  * training and scoring are bit-deterministic across engines and
+  * partitionings, and the whole train+score pipeline is oracle-checkable.
+  */
+object LearnOps {
+
+  /** Train-and-score a nearest-centroid (Rocchio) classifier over hashed
+    * token-count features, distilling a boolean `label` (any Column —
+    * typically a hand-written quality rule) into a linear model:
+    *
+    *  - features: x_b = count of tokens hashing into bucket b (feature
+    *    hashing, `buckets` dims; counts, not tf-idf, to stay integer);
+    *  - model: per-class mean count vectors, DIV-quantized to a `q` grid
+    *    (cp_b = ⌊Σ_pos x_b · q / n_pos⌋, likewise cn_b) — closed-form, one
+    *    aggregation pass, no iterative driver loop to babysit;
+    *  - decision: nearest centroid ⟺ 2q·Σ_b x_b(cp_b−cn_b) > Σ_b(cp_b²−cn_b²),
+    *    kept in integers on both sides of the inequality.
+    *
+    * Scale shape: one explode + (doc,bucket) count agg builds the feature
+    * table (cached — three consumers); the model is a `buckets`-row
+    * aggregate joined back BROADCAST; class sizes and the threshold are
+    * 1-row broadcast aggregates. No driver-side training state, no
+    * all-pairs anything; the corpus is shuffled once by (doc_id, b).
+    *
+    * Output: (doc_id, score, pred, label) for every doc with ≥1 token,
+    * ascending by doc_id. Fidelity of `pred` vs `label` is the
+    * distillation quality — OpsApiSpec pins it ≥ 0.9 on the test corpus.
+    */
+  def distillFilter(docs: DataFrame, label: Column, buckets: Int = 1024,
+      q: Int = 1 << 12, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    require(q >= 2, s"quantization grid must be >= 2, got $q")
+    val bf = docs
+      .select(col(idCol).as("doc_id"), label.cast("int").as("y"),
+        explode(expr(toksExprOn(textCol))).as("tok"))
+      .withColumn("b", expr(s"${h60("tok")} % $buckets"))
+      .groupBy(col("doc_id"), col("y"), col("b")).agg(count(lit(1)).as("x"))
+      .cache()
+    val cnt = bf.agg(
+      countDistinct(when(col("y") === 1, col("doc_id"))).as("npos"),
+      countDistinct(when(col("y") === 0, col("doc_id"))).as("nneg"))
+    val rates = bf.groupBy(col("b")).agg(
+        sum(when(col("y") === 1, col("x")).otherwise(0L)).as("sp"),
+        sum(when(col("y") === 0, col("x")).otherwise(0L)).as("sn"))
+      .crossJoin(broadcast(cnt))
+      .select(col("b"), expr(s"(sp * $q) DIV npos").as("cp"),
+        expr(s"(sn * $q) DIV nneg").as("cn"))
+    val theta = rates.agg(
+      sum(col("cp") * col("cp") - col("cn") * col("cn")).as("th"))
+    bf.join(broadcast(rates), Seq("b"))
+      .groupBy(col("doc_id"), col("y"))
+      .agg(sum(col("x") * (col("cp") - col("cn"))).as("score"))
+      .crossJoin(broadcast(theta))
+      .select(col("doc_id"), col("score"),
+        (lit(2L * q) * col("score") > col("th")).as("pred"),
+        (col("y") === 1).as("label"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ==================== driver-checked query bindings ====================
+
+  private val LB = 1024
+  private val LQ = 1 << 12
+  /** The distilled rule: Gopher's lower word-count bound (keep ≥ 50
+    * words) — a label the hashed-count features genuinely carry.
+    */
+  private val MinWords = 50
+
+  private val distillSql = s"""WITH t0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
+    t1 AS (SELECT doc_id, CASE WHEN len(toks) >= $MinWords THEN 1 ELSE 0 END AS y, toks FROM t0),
+    bf AS (SELECT doc_id, y, ${h60Sql("tok")} % $LB AS b, COUNT(*) AS x
+      FROM (SELECT doc_id, y, unnest(toks) AS tok FROM t1) GROUP BY doc_id, y, b),
+    cnt AS (SELECT COUNT(DISTINCT CASE WHEN y = 1 THEN doc_id END) AS npos,
+                   COUNT(DISTINCT CASE WHEN y = 0 THEN doc_id END) AS nneg FROM bf),
+    rates AS (SELECT b,
+        (SUM(CASE WHEN y = 1 THEN x ELSE 0 END) * $LQ) // (SELECT npos FROM cnt) AS cp,
+        (SUM(CASE WHEN y = 0 THEN x ELSE 0 END) * $LQ) // (SELECT nneg FROM cnt) AS cn
+      FROM bf GROUP BY b),
+    theta AS (SELECT SUM(cp * cp - cn * cn) AS th FROM rates),
+    sc AS (SELECT bf.doc_id, bf.y, SUM(bf.x * (r.cp - r.cn)) AS s
+      FROM bf JOIN rates r ON r.b = bf.b GROUP BY bf.doc_id, bf.y)
+    SELECT doc_id, CAST(s AS BIGINT) AS score,
+      2 * $LQ * s > (SELECT th FROM theta) AS pred, y = 1 AS label
+    FROM sc ORDER BY doc_id"""
+
+  private val qDistill = GraftQuery(
+    "qt_learned_filter",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      distillFilter(docs, size(expr(toksExprOn("text"))) >= MinWords,
+        LB, LQ)
+    },
+    Some(distillSql))
+
+  val queries: Seq[GraftQuery] = Seq(qDistill)
+}

@@ -708,4 +708,20 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       math.abs(trained(0)(1)(0) + 1.0) < 1e-6,
       s"Lloyd round missed the subspace clusters: ${trained(0)}")
   }
+
+  test("distillFilter learns its labeling rule with >= 0.9 fidelity on custom columns") {
+    import org.apache.spark.sql.functions.{expr, size}
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumnRenamed("doc_id", "post_id").withColumnRenamed("text", "body")
+    val out = LearnOps.distillFilter(d,
+        size(expr(Nlp.toksExprOn("body"))) >= 50,
+        idCol = "post_id", textCol = "body")
+      .collect()
+    assert(out.nonEmpty)
+    val acc = out.count(r => r.getBoolean(2) == r.getBoolean(3)).toDouble / out.length
+    assert(acc >= 0.9, s"distillation fidelity $acc below 0.9 (n=${out.length})")
+    // scores must discriminate, not defer to a constant prediction
+    assert(out.exists(_.getBoolean(2)) && out.exists(!_.getBoolean(2)),
+      "classifier collapsed to a constant prediction")
+  }
 }
