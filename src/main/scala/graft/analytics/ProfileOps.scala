@@ -160,5 +160,100 @@ object ProfileOps {
       CAST(0.0 + (bin + 1) * ${(500.0 - 0.0) / 50} AS DOUBLE) AS est_upper
     FROM s ORDER BY event_type, q"""))
 
-  val queries: Seq[GraftQuery] = Seq(qProfile, qProfileEvents, qHistQuantile)
+  // ------------------------------------------------------ expectations
+  /** One row-level data-quality expectation: a name plus a boolean
+    * predicate. A NULL predicate result counts as a FAILURE (the
+    * convention validation suites use — an unknown is not a pass).
+    */
+  final case class Expectation(name: String, pred: org.apache.spark.sql.Column)
+
+  /** Evaluate row-level expectations in ONE aggregation pass regardless
+    * of how many checks there are (each check is a conditional-sum
+    * column; the single result row is unpivoted with `stack`) — never a
+    * scan per check. Output: (check, n_rows, n_fail, pass).
+    */
+  def validate(df: DataFrame, checks: Seq[Expectation]): DataFrame = {
+    require(checks.nonEmpty, "need at least one expectation")
+    require(checks.map(_.name).distinct.size == checks.size,
+      "expectation names must be unique")
+    val aggs = checks.map(e =>
+      sum(when(e.pred, 0L).otherwise(1L)).as(s"${e.name}__f")) :+
+      count(lit(1)).as("__total")
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = checks.map(e => s"'${e.name}', `${e.name}__f`").mkString(", ")
+    row.selectExpr(
+        s"stack(${checks.size}, $stackArgs) AS (check, n_fail)", "__total AS n_rows")
+      .select(col("check"), col("n_rows"), col("n_fail"),
+        (col("n_fail") === 0L).as("pass"))
+  }
+
+  /** Table-level uniqueness expectation: rows beyond one per distinct
+    * non-null key tuple are failures. Same output row shape as
+    * [[validate]].
+    */
+  def uniqueExpectation(df: DataFrame, name: String,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "need at least one key column")
+    df.agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(keys.head), keys.tail.map(col): _*).as("_nd"))
+      .select(lit(name).as("check"), col("n_rows"),
+        (col("n_rows") - col("_nd")).as("n_fail"),
+        (col("n_rows") === col("_nd")).as("pass"))
+  }
+
+  /** Referential-integrity expectation: child rows whose key has no match
+    * in the parent are failures (orphans). Plan is a left-anti join on
+    * the key — Catalyst/AQE picks broadcast when the parent's distinct
+    * keys fit, sort-merge otherwise; no hint is forced because a generic
+    * integrity check cannot assume the parent is a dimension.
+    */
+  def refExpectation(child: DataFrame, childKey: String, parent: DataFrame,
+      parentKey: String, name: String): DataFrame = {
+    val orphans = child.join(
+        parent.select(col(parentKey)).distinct(),
+        col(childKey) === col(parentKey), "left_anti")
+      .agg(count(lit(1)).as("n_fail"))
+    child.agg(count(lit(1)).as("n_rows"))
+      .crossJoin(orphans)
+      .select(lit(name).as("check"), col("n_rows"), col("n_fail"),
+        (col("n_fail") === 0L).as("pass"))
+  }
+
+  // Orders-table validation suite: the shape every ingest gate runs —
+  // row-level domain/nullability/format checks in one pass, plus
+  // key-uniqueness and referential integrity to customer.
+  private val qExpectations = GraftQuery(
+    "qprof_expectations",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      validate(o, Seq(
+          Expectation("custkey_not_null", col("o_custkey").isNotNull),
+          Expectation("priority_format", col("o_orderpriority").rlike("^[1-5]-")),
+          Expectation("status_in_domain", col("o_orderstatus").isin("O", "F", "P")),
+          Expectation("totalprice_positive", col("o_totalprice") > 0)))
+        .unionAll(uniqueExpectation(o, "orderkey_unique", Seq("o_orderkey")))
+        .unionAll(refExpectation(o, "o_custkey",
+          Tables.customer(s, dir), "c_custkey", "custkey_in_customer"))
+        .orderBy(col("check"))
+    },
+    Some("""WITH rc AS (SELECT COUNT(*) AS n,
+      SUM(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END) AS f1,
+      SUM(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-') THEN 0 ELSE 1 END) AS f2,
+      SUM(CASE WHEN o_orderstatus IN ('O', 'F', 'P') THEN 0 ELSE 1 END) AS f3,
+      SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS f4,
+      COUNT(DISTINCT o_orderkey) AS nd FROM orders),
+    orph AS (SELECT COUNT(*) AS orphans FROM orders
+      WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+    u AS (
+      SELECT 'custkey_not_null' AS check_name, n, CAST(f1 AS BIGINT) AS n_fail FROM rc
+      UNION ALL SELECT 'priority_format', n, CAST(f2 AS BIGINT) FROM rc
+      UNION ALL SELECT 'status_in_domain', n, CAST(f3 AS BIGINT) FROM rc
+      UNION ALL SELECT 'totalprice_positive', n, CAST(f4 AS BIGINT) FROM rc
+      UNION ALL SELECT 'orderkey_unique', n, n - nd FROM rc
+      UNION ALL SELECT 'custkey_in_customer', n, orphans FROM rc, orph)
+    SELECT check_name AS "check", n AS n_rows, n_fail, n_fail = 0 AS pass
+    FROM u ORDER BY check_name"""))
+
+  val queries: Seq[GraftQuery] =
+    Seq(qProfile, qProfileEvents, qHistQuantile, qExpectations)
 }
