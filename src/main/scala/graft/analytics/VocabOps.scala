@@ -354,6 +354,59 @@ object VocabOps {
     },
     Some(bpeTokenizeSql))
 
+  // ------------------------------------------------- count-min sketch
+  /** Count-min sketch heavy hitters: estimate token frequencies through a
+    * d×w counter grid instead of a full per-token aggregation — THE
+    * sketch for frequency estimation over streams/shards, because the
+    * grid is mergeable by plain addition (union of shards = sum of
+    * sketches) and its size is fixed regardless of vocabulary.
+    *
+    * Scale shape: the build explodes each occurrence into its d row
+    * hashes, but the groupBy has only d·w distinct keys, so map-side
+    * partial aggregation collapses the shuffle to ~d·w rows per input
+    * partition — the corpus never shuffles by token. Estimates probe the
+    * (broadcast) grid: est(tok) = min over rows of its cell, an upper
+    * bound on the true count (collisions only inflate).
+    *
+    * The query emits (token, exact, est) for the top `topK` tokens so
+    * the one-sided error is visible next to ground truth; the exact side
+    * exists for the comparison, not as part of the sketch.
+    */
+  def countMinHeavyHitters(docs: DataFrame, topK: Int = 10, d: Int = 4,
+      w: Int = 32, textCol: String = "text"): DataFrame = {
+    require(topK >= 1 && d >= 1 && w >= 2, s"bad CMS geometry topK=$topK d=$d w=$w")
+    val toks = docs.select(explode(expr(toksExprOn(textCol))).as("tok"))
+    def bucketed(df: DataFrame) = df
+      .select(df.columns.map(col) :+ explode(expr(s"sequence(0, ${d - 1})")).as("r"): _*)
+      .withColumn("bucket",
+        expr(s"${h60("concat('cms', cast(r as string), tok)")} % $w"))
+    val sketch = bucketed(toks).groupBy(col("r"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact"))
+    bucketed(exact).join(broadcast(sketch), Seq("r", "bucket"))
+      .groupBy(col("tok"), col("exact")).agg(min(col("cnt")).as("est"))
+      .orderBy(col("exact").desc, col("tok")).limit(topK)
+      .select(col("tok").as("token"), col("exact"), col("est"))
+  }
+
+  private val qCountMin = GraftQuery(
+    "qagg_countmin",
+    (s, dir) => countMinHeavyHitters(Tables.documents(s, dir)),
+    Some(s"""WITH tk AS (SELECT unnest($toksSql) AS tok FROM documents),
+    hashed AS (SELECT tok, r,
+      ${h60Sql("'cms' || CAST(r AS VARCHAR) || tok")} % 32 AS bucket
+      FROM tk CROSS JOIN generate_series(0, 3) t(r)),
+    sketch AS (SELECT r, bucket, COUNT(*) AS cnt FROM hashed GROUP BY r, bucket),
+    ex AS (SELECT tok, COUNT(*) AS exact FROM tk GROUP BY tok),
+    probes AS (SELECT ex.tok, ex.exact, r,
+      ${h60Sql("'cms' || CAST(r AS VARCHAR) || ex.tok")} % 32 AS bucket
+      FROM ex CROSS JOIN generate_series(0, 3) t(r)),
+    est AS (SELECT p.tok, p.exact, MIN(s.cnt) AS est
+      FROM probes p JOIN sketch s ON s.r = p.r AND s.bucket = p.bucket
+      GROUP BY p.tok, p.exact)
+    SELECT tok AS token, CAST(exact AS BIGINT) AS exact, CAST(est AS BIGINT) AS est
+    FROM est ORDER BY exact DESC, token LIMIT 10"""))
+
   def queries: Seq[GraftQuery] =
-    Seq(qVocab, qKeywords, qEditDist, qBm25, qBpeTrain, qBpeTokenize)
+    Seq(qVocab, qKeywords, qEditDist, qBm25, qBpeTrain, qBpeTokenize, qCountMin)
 }
