@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.api.GraftQuery
-import graft.functions.GraftFunctions.{graft_dot, graft_idot}
+import graft.functions.GraftFunctions.{graft_dot, graft_dot_scores, graft_idot}
 import DedupOps.{dotFoldSql, normFoldSql}
 import Nlp.h60Sql
 
@@ -134,7 +134,10 @@ object SimilarityOps {
       queries: org.apache.spark.sql.DataFrame, k: Int = 5,
       cents: Seq[Seq[Double]] = centroids,
       idCol: String = "vec_id", vecCol: String = "embedding"): org.apache.spark.sql.DataFrame = {
-    val scoreArr = array(cents.map(c => graft_dot(typedLit(c), col("v"))): _*)
+    // Fused native kernel: ONE matrix literal + one expression, O(1) plan
+    // size in C — C separate graft_dot(lit, v) columns blow the codegen
+    // method budget once C reaches sqrt(n) scale (see DotScores scaladoc).
+    val scoreArr = graft_dot_scores(typedLit(cents), col("v"))
     def withCell(df: org.apache.spark.sql.DataFrame) =
       df.withColumn("sc", scoreArr)
         .withColumn("cell", expr("array_position(sc, array_max(sc))"))
@@ -629,7 +632,10 @@ object SimilarityOps {
     val subDim = books.head.head.size
     require(books.forall(_.forall(_.size == subDim)),
       s"PQ codebooks must share one subspace width (head = $subDim)")
-    val scoreArr = array(cents.map(c => graft_dot(typedLit(c), col("v"))): _*)
+    // Fused native kernel: ONE matrix literal + one expression, O(1) plan
+    // size in C — C separate graft_dot(lit, v) columns blow the codegen
+    // method budget once C reaches sqrt(n) scale (see DotScores scaladoc).
+    val scoreArr = graft_dot_scores(typedLit(cents), col("v"))
     def withCell(df: org.apache.spark.sql.DataFrame) =
       df.withColumn("sc", scoreArr)
         .withColumn("cell", expr("array_position(sc, array_max(sc))"))
@@ -959,7 +965,10 @@ object SimilarityOps {
   def kmeansStep(vecs: org.apache.spark.sql.DataFrame,
       cents: Seq[Seq[Double]] = centroids,
       idCol: String = "vec_id", vecCol: String = "embedding"): org.apache.spark.sql.DataFrame = {
-    val scoreArr = array(cents.map(c => graft_dot(typedLit(c), col("v"))): _*)
+    // Fused native kernel: ONE matrix literal + one expression, O(1) plan
+    // size in C — C separate graft_dot(lit, v) columns blow the codegen
+    // method budget once C reaches sqrt(n) scale (see DotScores scaladoc).
+    val scoreArr = graft_dot_scores(typedLit(cents), col("v"))
     val assigned = prep(vecs, idCol, vecCol)
       .withColumn("sc", scoreArr)
       .withColumn("cell", expr("array_position(sc, array_max(sc))"))
@@ -1060,7 +1069,10 @@ object SimilarityOps {
       idCol: String = "vec_id", vecCol: String = "embedding"): org.apache.spark.sql.DataFrame = {
     require(cents.nonEmpty, "semDedup requires a trained coarse quantizer " +
       "(size it with semDedupCellCount(n) ~ sqrt(n), train with trainCentroids)")
-    val scoreArr = array(cents.map(c => graft_dot(typedLit(c), col("v"))): _*)
+    // Fused native kernel: ONE matrix literal + one expression, O(1) plan
+    // size in C — C separate graft_dot(lit, v) columns blow the codegen
+    // method budget once C reaches sqrt(n) scale (see DotScores scaladoc).
+    val scoreArr = graft_dot_scores(typedLit(cents), col("v"))
     val assigned = prep(corpus, idCol, vecCol)
       .withColumn("sc", scoreArr)
       .withColumn("cell", expr("array_position(sc, array_max(sc))"))
@@ -1133,7 +1145,10 @@ object SimilarityOps {
     require(k >= 1, s"k must be >= 1, got $k")
     require(cents.nonEmpty, "knnGraph requires a trained coarse quantizer " +
       "(size it with semDedupCellCount(n), train with trainCentroids)")
-    val scoreArr = array(cents.map(c => graft_dot(typedLit(c), col("v"))): _*)
+    // Fused native kernel: ONE matrix literal + one expression, O(1) plan
+    // size in C — C separate graft_dot(lit, v) columns blow the codegen
+    // method budget once C reaches sqrt(n) scale (see DotScores scaladoc).
+    val scoreArr = graft_dot_scores(typedLit(cents), col("v"))
     val assigned = prep(corpus, idCol, vecCol)
       .withColumn("sc", scoreArr)
       .withColumn("cell", expr("array_position(sc, array_max(sc))"))

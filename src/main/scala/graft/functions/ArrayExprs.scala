@@ -110,6 +110,83 @@ case class IntDot(left: Expression, right: Expression) extends BinaryExpression 
     copy(left = l, right = r)
 }
 
+/** All C dot products of one vector against a centroid MATRIX
+  * (ARRAY<ARRAY<DOUBLE>> × ARRAY<DOUBLE> → ARRAY<DOUBLE>) in a single
+  * fused loop — the IVF/k-means cell-scoring kernel.
+  *
+  * Why this exists: building the score array as C separate
+  * `graft_dot(lit(row), v)` columns embeds C independent 64-literal fold
+  * expressions in the plan; past C ≈ 10–20 the generated code blows the
+  * JIT/codegen method budget and whole-stage codegen degrades — measured
+  * 9–10 s for the √n-sized quantizer at sf0.1 vs ~2 s with this kernel.
+  * One matrix literal + one expression keeps the plan O(1) in C and the
+  * inner loop compiled.
+  *
+  * Per-element contract matches [[DotProduct]]: truncate to the shorter
+  * side, NULL elements contribute 0, sequential accumulation in array
+  * order (bit-identical to the per-row fold the oracles mirror).
+  */
+case class DotScores(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_dot_scores"
+
+  override def nullSafeEval(m: Any, v: Any): Any = {
+    val mat = m.asInstanceOf[ArrayData]
+    val vec = v.asInstanceOf[ArrayData]
+    val c = mat.numElements()
+    val out = new Array[Double](c)
+    var k = 0
+    while (k < c) {
+      if (!mat.isNullAt(k)) {
+        val row = mat.getArray(k)
+        val n = math.min(row.numElements(), vec.numElements())
+        var acc = 0.0
+        var i = 0
+        while (i < n) {
+          if (!row.isNullAt(i) && !vec.isNullAt(i)) acc += row.getDouble(i) * vec.getDouble(i)
+          i += 1
+        }
+        out(k) = acc
+      }
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (m, v) => {
+      val c = ctx.freshName("c")
+      val k = ctx.freshName("k")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val row = ctx.freshName("row")
+      val out = ctx.freshName("out")
+      s"""
+        int $c = $m.numElements();
+        double[] $out = new double[$c];
+        for (int $k = 0; $k < $c; $k++) {
+          if (!$m.isNullAt($k)) {
+            org.apache.spark.sql.catalyst.util.ArrayData $row = $m.getArray($k);
+            int $n = java.lang.Math.min($row.numElements(), $v.numElements());
+            double $acc = 0.0;
+            for (int $i = 0; $i < $n; $i++) {
+              if (!$row.isNullAt($i) && !$v.isNullAt($i)) {
+                $acc += $row.getDouble($i) * $v.getDouble($i);
+              }
+            }
+            $out[$k] = $acc;
+          }
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** 60-bit SimHash over an ARRAY<BIGINT> of token hashes: per-bit majority
   * vote (strict `2·ones > n`), bits 0..59.
   */
@@ -296,6 +373,9 @@ object GraftFunctions {
   def graft_idot(a: Column, b: Column): Column =
     GraftColumnBridge.column(IntDot(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  def graft_dot_scores(m: Column, v: Column): Column =
+    GraftColumnBridge.column(DotScores(
+      GraftColumnBridge.expression(m), GraftColumnBridge.expression(v)))
   def graft_shingle_hashes(text: Column, n: Int): Column =
     GraftColumnBridge.column(ShingleHashes(GraftColumnBridge.expression(text), n))
   def graft_prefix_explode(hs: Column, threshold: Double): Column =
@@ -315,6 +395,8 @@ object GraftFunctions {
       es(1).eval().asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction("graft_nfc", es => NfcNormalize(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_idot", es => IntDot(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_dot_scores",
+      es => DotScores(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_shingle_hashes", es => ShingleHashes(es.head,
       es(1).eval().asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction("graft_prefix_explode", es => ShinglePrefixGen(es.head,

@@ -30,6 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_idot"),
       new ExpressionInfo(classOf[IntDot].getName, "graft_idot"),
       (es: Seq[Expression]) => IntDot(es.head, es(1))))
+    ext.injectFunction((FunctionIdentifier("graft_dot_scores"),
+      new ExpressionInfo(classOf[DotScores].getName, "graft_dot_scores"),
+      (es: Seq[Expression]) => DotScores(es.head, es(1))))
     ext.injectFunction((FunctionIdentifier("graft_shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
       (es: Seq[Expression]) => ShingleHashes(es.head,

@@ -36,6 +36,33 @@ class ArrayExprsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("DotScores == per-row DotProduct columns, bit-exact, any C") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val cents = Seq.fill(45)(Seq.fill(64)(rnd.nextDouble() * 2 - 1))
+    val df = (1 to 100).map(_ => Tuple1(Seq.fill(64)(rnd.nextDouble() * 2 - 1)))
+      .toDF("v")
+    val got = df.select(
+      GraftFunctions.graft_dot_scores(typedLit(cents), col("v")).as("fast"),
+      array(cents.map(c => GraftFunctions.graft_dot(typedLit(c), col("v"))): _*)
+        .as("slow")).collect()
+    got.foreach { r =>
+      val f = r.getSeq[Double](0); val s = r.getSeq[Double](1)
+      assert(f.size == 45 && s.size == 45)
+      f.zip(s).foreach { case (a, b) =>
+        assert(java.lang.Double.doubleToLongBits(a) ==
+          java.lang.Double.doubleToLongBits(b))
+      }
+    }
+    // ragged row truncates to the shorter side, like DotProduct
+    val ragged = df.limit(1).select(
+      GraftFunctions.graft_dot_scores(
+        typedLit(Seq(Seq(1.0, 1.0), Seq(2.0))), col("v")).as("sc"),
+      col("v")).head()
+    val v = ragged.getSeq[Double](1)
+    assert(ragged.getSeq[Double](0) == Seq(v(0) + v(1), 2.0 * v(0)))
+  }
+
   test("SimHash60 == per-bit majority vote composed form") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
