@@ -240,11 +240,14 @@ object SimilarityOps {
 
   /** `c` deterministic md5-seeded unit vectors — the k-means/IVF seed
     * codebook at any cell count (Lloyd training then fits them to data).
+    * `prefix` salts the hash stream so independent constructions (IVF
+    * seeds vs random-projection planes) decorrelate.
     */
-  private[analytics] def seedCentroids(c: Int, dim: Int = 64): Seq[Seq[Double]] =
+  private[analytics] def seedCentroids(c: Int, dim: Int = 64,
+      prefix: String = "cent"): Seq[Seq[Double]] =
     (0 until c).map { k =>
       val raw = (0 until dim).map(i =>
-        (h60Local(s"cent${k}_$i") % 2001 - 1000).toDouble / 1000.0)
+        (h60Local(s"$prefix${k}_$i") % 2001 - 1000).toDouble / 1000.0)
       val n = math.sqrt(raw.map(x => x * x).sum)
       raw.map(_ / n)
     }
@@ -813,6 +816,95 @@ object SimilarityOps {
     },
     Some(ivfpqResSql))
 
+  // --------------------------------------- random projection (JL) search
+  /** Compressed-space search dimensionality and the exact-rerank width. */
+  private[analytics] val RpDim = 16
+  private val RpRerank = 20
+
+  /** The Johnson–Lindenstrauss projection matrix: RpDim deterministic
+    * md5-seeded unit planes (salt "rp" decorrelates them from the IVF
+    * seed codebook and the LSH sign planes).
+    */
+  private[analytics] def rpPlanes: Seq[Seq[Double]] = seedCentroids(RpDim, 64, "rp")
+
+  /** Random-projection (JL) compressed top-k: project every vector onto
+    * the RpDim plane matrix (ONE fused [[graft.functions.DotScores]]
+    * against a single matrix literal — map-only), rank candidates by
+    * cosine in the compressed space, then exact-rerank the top `rerank`
+    * survivors in full dimension — the same two-phase shape as PQ-ADC.
+    *
+    * What JL buys at scale: the compare phase still touches every
+    * (query, candidate) pair, but on 16-dim vectors instead of 64 — a 4×
+    * cut of the dominant cost (scan + compare bandwidth), and the
+    * projected column is what ships through the broadcast. Use it when
+    * the corpus side can't be cell-bucketed (e.g. a one-off scan);
+    * compose with [[annIvf]] cells when it can.
+    *
+    * Output: (query_id, rank, cand_id, cosine) — cosine is the FULL-dim
+    * exact value of the reranked survivors.
+    */
+  def rpTopK(corpus: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame, k: Int = 5,
+      planes: Seq[Seq[Double]] = rpPlanes, rerank: Int = RpRerank,
+      idCol: String = "vec_id", vecCol: String = "embedding"): org.apache.spark.sql.DataFrame = {
+    require(rerank >= k, s"rerank width $rerank must be >= k = $k")
+    require(planes.nonEmpty, "need at least one projection plane")
+    val pl = typedLit(planes)
+    def proj(df: org.apache.spark.sql.DataFrame) = prep(df, idCol, vecCol)
+      .withColumn("p", graft_dot_scores(pl, col("v")))
+      .withColumn("np", sqrt(graft_dot(col("p"), col("p"))))
+    val cands = proj(corpus).select(col("vec_id").as("cand_id"),
+      col("p").as("pb"), col("np").as("npb"))
+    val qs = proj(queries).select(col("vec_id").as("query_id"),
+      col("p").as("pa"), col("np").as("npa"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("pcos").desc, col("cand_id"))
+    val survivors = cands.crossJoin(broadcast(qs))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("pcos",
+        graft_dot(col("pa"), col("pb")) / (col("npa") * col("npb")))
+      .withColumn("prank", row_number().over(w))
+      .filter(col("prank") <= rerank)
+      .select(col("query_id"), col("cand_id"))
+    val fullC = prep(corpus, idCol, vecCol).select(col("vec_id").as("cand_id"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val fullQ = prep(queries, idCol, vecCol).select(col("vec_id").as("query_id"),
+      col("v").as("va"), col("nrm").as("na"))
+    topK(withCosine(broadcast(survivors).join(fullC, Seq("cand_id"))
+      .join(broadcast(fullQ), Seq("query_id"))), k)
+  }
+
+  private val rpSql = s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pl AS (SELECT ${rpPlanes.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")} AS w),
+    pj AS (SELECT vec_id, v,
+      list_transform(generate_series(1, $RpDim), c ->
+        list_reduce(list_transform(generate_series(1, 64), i -> w[c][i] * v[i]), (a, b) -> a + b)) AS p
+      FROM e0, pl),
+    q AS (SELECT vec_id AS query_id, p AS pa FROM pj WHERE vec_id < $NQ),
+    c AS (SELECT vec_id AS cand_id, p AS pb FROM pj),
+    pr AS (SELECT query_id, cand_id,
+      list_reduce(list_transform(generate_series(1, $RpDim), i -> pa[i] * pb[i]), (a, b) -> a + b)
+        / (sqrt(${normFoldSql("pa")}) * sqrt(${normFoldSql("pb")})) AS pcos
+      FROM q, c WHERE query_id <> cand_id),
+    rk1 AS (SELECT query_id, cand_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY pcos DESC, cand_id) AS prank FROM pr),
+    sv AS (SELECT query_id, cand_id FROM rk1 WHERE prank <= $RpRerank),
+    px AS (SELECT sv.query_id, sv.cand_id, qv.v AS va, cv.v AS vb
+      FROM sv JOIN e0 qv ON qv.vec_id = sv.query_id
+      JOIN e0 cv ON cv.vec_id = sv.cand_id),
+    sc3 AS (SELECT query_id, cand_id, $cosineSql AS cosine FROM px),
+    rk AS (SELECT query_id, cand_id, cosine,
+      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+      FROM sc3)
+    SELECT query_id, rank, cand_id, cosine FROM rk WHERE rank <= $K
+    ORDER BY query_id, rank"""
+
+  private val qRp = GraftQuery(
+    "qs_rp_topk",
+    (s, dir) => rpTopK(Tables.embeddings(s, dir),
+      Tables.embeddings(s, dir).filter(col("vec_id") < NQ), K),
+    Some(rpSql))
+
   /** recall@k of each approximate tier vs the exact top-k, as a
     * deterministic oracled query: both approximations are seeded by
     * literals, so recall is a fixed number both engines compute.
@@ -850,6 +942,8 @@ object SimilarityOps {
           annRecall(exact, annLsh(corpus, q, K)).withColumn("method", lit("lsh")))
         .unionByName(
           annRecall(exact, pqTopK(corpus, q, K)).withColumn("method", lit("pq")))
+        .unionByName(
+          annRecall(exact, rpTopK(corpus, q, K)).withColumn("method", lit("rp")))
         .select(col("method"), col("recall"))
         .orderBy(col("method"))
     },
@@ -858,7 +952,8 @@ object SimilarityOps {
       UNION ALL ${recallBranchSql("ivfpq", ivfpqSql)}
       UNION ALL ${recallBranchSql("ivfpq_res", ivfpqResSql)}
       UNION ALL ${recallBranchSql("lsh", lshSql)}
-      UNION ALL ${recallBranchSql("pq", pqSql)} ORDER BY method"""))
+      UNION ALL ${recallBranchSql("pq", pqSql)}
+      UNION ALL ${recallBranchSql("rp", rpSql)} ORDER BY method"""))
 
   /** int8 scalar-quantized top-k — the memory-bandwidth scale path real
     * vector stores use (FAISS `SQ8`): each vector is quantized once,
@@ -1195,5 +1290,5 @@ object SimilarityOps {
 
   val queries: Seq[GraftQuery] = Seq(qBrute, qAnnLsh, qAnnIvf, qAnnIvfTrained,
     qAnnFiltered, qRecall, qSq, qCentroids, qKmeans, qOutliers, qSemDedup,
-    qPq, qIvfPq, qIvfPqRes, qKnn)
+    qPq, qIvfPq, qIvfPqRes, qKnn, qRp)
 }
