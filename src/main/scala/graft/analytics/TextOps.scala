@@ -533,17 +533,51 @@ object TextOps {
     *
     * Output: (doc_id, w, skey) ascending by (skey, doc_id).
     */
+  /** The priority-sampling sort key, shared by the batch and streaming
+    * samplers so their chosen sets are identical on identical input:
+    * (30 salted hash bits of the id) · 10⁹ DIV w, exact integers only.
+    */
+  private[analytics] def prioritySkey(idCol: String, wCol: String,
+      salt: String): org.apache.spark.sql.Column =
+    expr(s"((${h60(s"concat('$salt', cast($idCol as string))")} & 1073741823)" +
+      s" * 1000000000) DIV $wCol")
+
   def weightedSample(docs: org.apache.spark.sql.DataFrame, k: Int,
       weight: org.apache.spark.sql.Column, idCol: String = "doc_id",
       salt: String = "wsample"): org.apache.spark.sql.DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     docs.select(col(idCol).as("doc_id"), weight.cast("long").as("w"))
       .filter(col("w") >= 1)
-      .withColumn("u30",
-        expr(s"${h60(s"concat('$salt', cast(doc_id as string))")} & 1073741823"))
-      .withColumn("skey", expr("(u30 * 1000000000) DIV w"))
+      .withColumn("skey", prioritySkey("doc_id", "w", salt))
       .orderBy(col("skey"), col("doc_id")).limit(k)
       .select(col("doc_id"), col("w"), col("skey"))
+  }
+
+  /** Streaming per-stratum weighted reservoir — the incremental twin of
+    * [[weightedSample]]: each stratum keeps the k smallest priority keys
+    * across micro-batches in `transformWithState` ListState (O(k) state
+    * per stratum, uniform stratum keys). Because the priority key is the
+    * same deterministic [[prioritySkey]], the maintained reservoir is
+    * IDENTICAL to running the batch sampler over everything seen so far —
+    * pinned by StreamingExtrasSpec. Re-deliveries (at-least-once sources)
+    * dedupe inside the merge. Emits the full post-batch reservoir
+    * snapshot per stratum: (stratum, doc_id, w, skey).
+    */
+  def weightedReservoirStream(docs: org.apache.spark.sql.DataFrame, k: Int,
+      stratumCol: String = "stratum", idCol: String = "doc_id",
+      wCol: String = "w", salt: String = "wsample"): org.apache.spark.sql.DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    docs.select(col(stratumCol).cast("string").as("stratum"),
+        col(idCol).cast("long").as("doc_id"), col(wCol).cast("long").as("w"))
+      .filter(col("w") >= 1)
+      .withColumn("skey", prioritySkey("doc_id", "w", salt))
+      .as[(String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new graft.streaming.WeightedReservoirProcessor(k),
+        TimeMode.None(), OutputMode.Append())
+      .toDF("stratum", "doc_id", "w", "skey")
   }
 
   private val WeightedK = 50

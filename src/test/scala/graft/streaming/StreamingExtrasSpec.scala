@@ -115,6 +115,45 @@ class StreamingExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"unrelated doc flagged: $pairs")
   }
 
+  test("streaming weighted reservoir equals the batch sampler on everything seen") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(String, Long, Long)](spark)
+    val out = graft.analytics.TextOps.weightedReservoirStream(
+      input.toDS().toDF("stratum", "doc_id", "w"), k = 3)
+    @volatile var last: Map[String, Set[(Long, Long, Long)]] = Map.empty
+    val q = out.writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val grouped = df.collect().groupBy(_.getString(0)).map { case (s, rs) =>
+          s -> rs.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        }
+        last = last ++ grouped // post-batch snapshot replaces prior per stratum
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-reservoir").toString)
+      .start()
+    val b1 = Seq(("a", 1L, 10L), ("a", 2L, 1L), ("a", 3L, 500L), ("a", 4L, 2L),
+      ("b", 11L, 7L), ("b", 12L, 7L))
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    // batch 2 brings heavier weights that must displace batch-1 picks,
+    // plus a re-delivery of a row already sampled (must not double-fill)
+    val b2 = Seq(("a", 5L, 1000L), ("a", 6L, 3L), ("a", 3L, 500L),
+      ("b", 13L, 7000L), ("b", 14L, 1L))
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val all = (b1 ++ b2).distinct.toDF("stratum", "doc_id", "w")
+    val expected = Seq("a", "b").map { s =>
+      s -> graft.analytics.TextOps.weightedSample(
+          all.filter(col("stratum") === s), 3, col("w"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }.toMap
+    assert(last == expected, s"stream $last vs batch $expected")
+  }
+
   test("streaming near-dup: band state survives a checkpoint restart") {
     import spark.implicits._
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
