@@ -221,4 +221,40 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"$name regressed to an all-pairs scan:\n$plan")
     }
   }
+
+  test("qs_ann_filtered pushes the metadata predicate into the parquet scan") {
+    val plan = graft.SparkEntry.queries("qs_ann_filtered")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(label, [1,3,5])"),
+      s"label predicate not pushed to the scan:\n${plan.take(2000)}")
+  }
+
+  test("qt_weighted_sample plans as TakeOrderedAndProject, never a global sort") {
+    val plan = graft.SparkEntry.queries("qt_weighted_sample")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"weighted sample lost its parallel top-k plan:\n$plan")
+  }
+
+  test("qd_cross_contain broadcasts the bench side; the train corpus is never BNL-joined") {
+    val plan = graft.SparkEntry.queries("qd_cross_contain")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"cross-contain regressed to an all-pairs scan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bench side no longer broadcast:\n$plan")
+  }
+
+  test("qcdc_scd2 builds the history on ONE entity-key exchange, no joins") {
+    val plan = graft.SparkEntry.queries("qcdc_scd2")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val exchanges = "hashpartitioning\\(user_id".r.findAllIn(plan).size
+    assert(exchanges >= 1, s"expected an entity-key exchange:\n$plan")
+    assert(!plan.contains("Join"), s"SCD2 must be join-free:\n$plan")
+    // both window passes must share the single user_id shuffle
+    val allExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(allExchanges == 1,
+      s"expected exactly one hash exchange (shared by LAG and LEAD), got $allExchanges:\n$plan")
+  }
 }
