@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.api.GraftQuery
-import graft.functions.GraftFunctions.{graft_dot, graft_dot_scores, graft_idot}
+import graft.functions.GraftFunctions.{graft_dot, graft_dot_scores, graft_idot, graft_idot_packed, graft_int8_pack}
 import DedupOps.{dotFoldSql, normFoldSql}
 import Nlp.h60Sql
 
@@ -1007,6 +1007,47 @@ object SimilarityOps {
     SELECT query_id, rank, cand_id, qscore FROM rk WHERE rank <= $K
     ORDER BY query_id, rank"""
 
+  /** [[sqTopK]] on the 1-byte wire format: quantized vectors PACK to
+    * BINARY (native [[graft.functions.Int8Pack]]) before the broadcast,
+    * and candidates score with [[graft.functions.Int8DotPacked]] without
+    * ever unpacking — what ships through scan/broadcast/shuffle is 1
+    * byte/element, 4× less than the int-array form and 4–8× less than
+    * the float vectors. Clamp-free here because round(x·127/maxabs) is
+    * already in [-127, 127], so results are BIT-IDENTICAL to [[sqTopK]]
+    * — the binding reuses qs_sq_topk's oracle verbatim, which is the
+    * end-to-end proof the codec is lossless.
+    */
+  def sqTopKPacked(corpus: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame, k: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): org.apache.spark.sql.DataFrame = {
+    def quant(df: org.apache.spark.sql.DataFrame) =
+      df.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
+        .withColumn("m", expr("array_max(transform(v, x -> abs(x)))"))
+        .withColumn("qv", expr(
+          "CASE WHEN m = 0D THEN transform(v, x -> 0) " +
+            "ELSE transform(v, x -> cast(round(x * 127.0 / m) as int)) END"))
+        .withColumn("pk", graft_int8_pack(col("qv")))
+    val q = quant(queries)
+      .select(col("vec_id").as("query_id"), col("pk").as("pa"))
+    val pairs = quant(corpus)
+      .select(col("vec_id").as("cand_id"), col("pk").as("pb"))
+      .crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("qscore", graft_idot_packed(col("pa"), col("pb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qscore").desc, col("cand_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("qscore"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val qSqPacked = GraftQuery(
+    "qs_sq_packed",
+    (s, dir) => sqTopKPacked(Tables.embeddings(s, dir),
+      Tables.embeddings(s, dir).filter(col("vec_id") < NQ), K),
+    Some(sqSql))
+
   private val qSq = GraftQuery(
     "qs_sq_topk",
     (s, dir) => sqTopK(Tables.embeddings(s, dir),
@@ -1289,6 +1330,6 @@ object SimilarityOps {
     Some(knnSql))
 
   val queries: Seq[GraftQuery] = Seq(qBrute, qAnnLsh, qAnnIvf, qAnnIvfTrained,
-    qAnnFiltered, qRecall, qSq, qCentroids, qKmeans, qOutliers, qSemDedup,
-    qPq, qIvfPq, qIvfPqRes, qKnn, qRp)
+    qAnnFiltered, qRecall, qSq, qSqPacked, qCentroids, qKmeans, qOutliers,
+    qSemDedup, qPq, qIvfPq, qIvfPqRes, qKnn, qRp)
 }

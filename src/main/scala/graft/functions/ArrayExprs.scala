@@ -110,6 +110,95 @@ case class IntDot(left: Expression, right: Expression) extends BinaryExpression 
     copy(left = l, right = r)
 }
 
+/** Pack an int8-quantized ARRAY<INT> to BINARY — 1 byte per element, the
+  * storage/shuffle format [[graft.analytics.SimilarityOps.sqTopK]]'s
+  * scaladoc promises: 4× less than the int-array form through scans,
+  * broadcasts, and shuffles. Values clamp to [-127, 127] (the SQ8 range;
+  * quantizers already emit it), NULL elements pack as 0.
+  */
+case class Int8Pack(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def prettyName: String = "graft_int8_pack"
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val v = arr.getInt(i)
+        out(i) = math.max(-127, math.min(127, v)).toByte
+      }
+      i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val v = ctx.freshName("v")
+      val out = ctx.freshName("out")
+      s"""
+        int $n = $a.numElements();
+        byte[] $out = new byte[$n];
+        for (int $i = 0; $i < $n; $i++) {
+          if (!$a.isNullAt($i)) {
+            int $v = $a.getInt($i);
+            $out[$i] = (byte) java.lang.Math.max(-127, java.lang.Math.min(127, $v));
+          }
+        }
+        ${ev.value} = $out;
+      """
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Σ aᵢ·bᵢ over two packed int8 BINARY columns (signed bytes), exact
+  * BIGINT — [[IntDot]]'s twin on the 1-byte wire format, so the packed
+  * path scores without ever unpacking. Mismatched lengths truncate to the
+  * shorter side, same contract as the array kernels.
+  */
+case class Int8DotPacked(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_idot_packed"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    val n = math.min(x.length, y.length)
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += x(i).toLong * y(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+        int $n = java.lang.Math.min($a.length, $b.length);
+        long $acc = 0L;
+        for (int $i = 0; $i < $n; $i++) {
+          $acc += (long) $a[$i] * (long) $b[$i];
+        }
+        ${ev.value} = $acc;
+      """
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** All C dot products of one vector against a centroid MATRIX
   * (ARRAY<ARRAY<DOUBLE>> × ARRAY<DOUBLE> → ARRAY<DOUBLE>) in a single
   * fused loop — the IVF/k-means cell-scoring kernel.
@@ -376,6 +465,11 @@ object GraftFunctions {
   def graft_dot_scores(m: Column, v: Column): Column =
     GraftColumnBridge.column(DotScores(
       GraftColumnBridge.expression(m), GraftColumnBridge.expression(v)))
+  def graft_int8_pack(a: Column): Column =
+    GraftColumnBridge.column(Int8Pack(GraftColumnBridge.expression(a)))
+  def graft_idot_packed(a: Column, b: Column): Column =
+    GraftColumnBridge.column(Int8DotPacked(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
   def graft_shingle_hashes(text: Column, n: Int): Column =
     GraftColumnBridge.column(ShingleHashes(GraftColumnBridge.expression(text), n))
   def graft_prefix_explode(hs: Column, threshold: Double): Column =
@@ -397,6 +491,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_idot", es => IntDot(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_dot_scores",
       es => DotScores(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_int8_pack",
+      es => Int8Pack(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_idot_packed",
+      es => Int8DotPacked(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_shingle_hashes", es => ShingleHashes(es.head,
       es(1).eval().asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction("graft_prefix_explode", es => ShinglePrefixGen(es.head,

@@ -33,6 +33,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_dot_scores"),
       new ExpressionInfo(classOf[DotScores].getName, "graft_dot_scores"),
       (es: Seq[Expression]) => DotScores(es.head, es(1))))
+    ext.injectFunction((FunctionIdentifier("graft_int8_pack"),
+      new ExpressionInfo(classOf[Int8Pack].getName, "graft_int8_pack"),
+      (es: Seq[Expression]) => Int8Pack(es.head)))
+    ext.injectFunction((FunctionIdentifier("graft_idot_packed"),
+      new ExpressionInfo(classOf[Int8DotPacked].getName, "graft_idot_packed"),
+      (es: Seq[Expression]) => Int8DotPacked(es.head, es(1))))
     ext.injectFunction((FunctionIdentifier("graft_shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
       (es: Seq[Expression]) => ShingleHashes(es.head,

@@ -63,6 +63,26 @@ class ArrayExprsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ragged.getSeq[Double](0) == Seq(v(0) + v(1), 2.0 * v(0)))
   }
 
+  test("Int8Pack + Int8DotPacked == IntDot on the unpacked arrays; clamps out-of-range") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 100).map(_ =>
+      (Seq.fill(64)(rnd.nextInt(255) - 127), Seq.fill(64)(rnd.nextInt(255) - 127)))
+      .toDF("a", "b")
+    val got = df.select(
+      GraftFunctions.graft_idot_packed(
+        GraftFunctions.graft_int8_pack(col("a")),
+        GraftFunctions.graft_int8_pack(col("b"))).as("packed"),
+      GraftFunctions.graft_idot(col("a"), col("b")).as("unpacked")).collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // out-of-range values clamp to ±127; ragged lengths truncate
+    val edge = Seq((Seq(1000, -1000, 5), Seq(127, 127, 2, 99))).toDF("a", "b")
+      .select(GraftFunctions.graft_idot_packed(
+        GraftFunctions.graft_int8_pack(col("a")),
+        GraftFunctions.graft_int8_pack(col("b"))).as("d")).head()
+    assert(edge.getLong(0) == 127L * 127 - 127L * 127 + 5L * 2)
+  }
+
   test("SimHash60 == per-bit majority vote composed form") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
