@@ -46,6 +46,28 @@ object CdcOps {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
+  /** Streaming change capture — the incremental LAG-collapse half of
+    * [[scd2]]: one ValueState (the last attribute) per entity, a row
+    * emitted only on change. The emitted set is IDENTICAL to the batch
+    * collapse over everything seen so far (StreamingExtrasSpec pins it);
+    * interval closing stays a query-time LEAD, as in the batch build.
+    * State is O(1) per entity and the entity key is uniform — the same
+    * scale shape as the batch operator's single entity-key shuffle.
+    * Output: (entity, attr, from_us).
+    */
+  def scd2Stream(log: DataFrame, key: String, attr: String, ts: String,
+      tie: String): DataFrame = {
+    import log.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    log.select(col(key).cast("long").as("entity"), col(attr).cast("string").as("attr"),
+        unix_micros(col(ts)).as("ts_us"), col(tie).cast("long").as("tie"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new graft.streaming.Scd2ChangeProcessor,
+        TimeMode.None(), OutputMode.Append())
+      .toDF("entity", "attr", "from_us")
+  }
+
   // ==================== driver-checked query bindings ====================
 
   /** Per-user event_type version history over the events log; validity

@@ -154,6 +154,40 @@ class StreamingExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(last == expected, s"stream $last vs batch $expected")
   }
 
+  test("streaming SCD2 change capture equals the batch LAG collapse") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(Long, String, java.sql.Timestamp, Long)](spark)
+    val out = graft.analytics.CdcOps.scd2Stream(
+      input.toDS().toDF("user_id", "event_type", "ts", "event_id"),
+      "user_id", "event_type", "ts", "event_id")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("scd2_stream")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-scd2").toString)
+      .start()
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    // user 1: A, A (collapse), B; user 2: X — split across two batches so
+    // the cross-batch collapse exercises the stored last-attr state
+    val b1 = Seq((1L, "A", t(10), 1L), (1L, "A", t(20), 2L), (2L, "X", t(15), 3L))
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    val b2 = Seq((1L, "B", t(30), 4L), (1L, "B", t(40), 5L), (2L, "X", t(50), 6L))
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("scd2_stream").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val all = (b1 ++ b2).toDF("user_id", "event_type", "ts", "event_id")
+    val batch = graft.analytics.CdcOps
+      .scd2(all, "user_id", "event_type", "ts", "event_id")
+      .select(col("user_id"), col("event_type"), unix_micros(col("valid_from")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+  }
+
   test("streaming near-dup: band state survives a checkpoint restart") {
     import spark.implicits._
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
