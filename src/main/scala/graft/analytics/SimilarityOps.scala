@@ -229,6 +229,57 @@ object SimilarityOps {
       Tables.embeddings(s, dir).filter(col("vec_id") < NQ), K),
     Some(lshSql))
 
+  /** Multi-probe LSH (Lv et al., VLDB 2007): each query probes its own
+    * bucket PLUS every 1-bit-flip neighbor — the buckets a near neighbor
+    * most likely fell into when one hyperplane split the pair. Recall
+    * rises from one bucket's worth to P+1 buckets' worth WITHOUT adding
+    * planes or a second table: probe fan-out is per-QUERY (the broadcast
+    * side), so the corpus-side cost is unchanged — the standard way LSH
+    * recall is tuned at corpus scale. A candidate has exactly one bucket,
+    * so a (query, candidate) pair can match at most one probe — no
+    * dedup needed.
+    */
+  def annLshMultiProbe(corpus: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame, k: Int = 5,
+      planes: Seq[Seq[Double]] = planeWeights,
+      idCol: String = "vec_id", vecCol: String = "embedding"): org.apache.spark.sql.DataFrame = {
+    val bucketCol = planes.zipWithIndex.map { case (w, p) =>
+      when(graft_dot(typedLit(w), col("v")) >= 0.0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val probes = col("bucket0") +:
+      planes.indices.map(p => col("bucket0").bitwiseXOR(lit(1 << p)))
+    val q = prep(queries, idCol, vecCol).withColumn("bucket0", bucketCol)
+      .select(col("vec_id").as("query_id"), col("v").as("va"),
+        col("nrm").as("na"), explode(array(probes: _*)).as("bucket"))
+    val cands = prep(corpus, idCol, vecCol).withColumn("bucket", bucketCol)
+      .select(col("vec_id").as("cand_id"), col("v").as("vb"),
+        col("nrm").as("nb"), col("bucket"))
+    val pairs = cands.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+    topK(withCosine(pairs), k)
+  }
+
+  private val lshMpSql = s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pw AS (SELECT $planeWSql AS w),
+    e AS (SELECT vec_id, v, $bucketSql AS bucket FROM e0, pw),
+    qp AS (SELECT vec_id, v, unnest([bucket] || list_transform(
+        generate_series(1, $Planes), p -> CAST(xor(bucket, 1 << (p - 1)) AS INTEGER))) AS bucket
+      FROM e WHERE vec_id < $NQ),
+    p AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.v AS va, c.v AS vb
+      FROM qp q JOIN e c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
+    sc AS (SELECT query_id, cand_id, $cosineSql AS cosine FROM p),
+    rk AS (SELECT query_id, cand_id, cosine,
+      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+      FROM sc)
+    SELECT query_id, rank, cand_id, cosine FROM rk WHERE rank <= $K
+    ORDER BY query_id, rank"""
+
+  private val qAnnLshMp = GraftQuery(
+    "qs_ann_lsh_mp",
+    (s, dir) => annLshMultiProbe(Tables.embeddings(s, dir),
+      Tables.embeddings(s, dir).filter(col("vec_id") < NQ), K),
+    Some(lshMpSql))
+
   // ------------------------------------------------------------- IVF ANN
   /** Coarse-quantizer cell count and probe width. At corpus scale C grows
     * ~√n (classic IVF sizing) and cells come from k-means; here the
@@ -941,6 +992,9 @@ object SimilarityOps {
         .unionByName(
           annRecall(exact, annLsh(corpus, q, K)).withColumn("method", lit("lsh")))
         .unionByName(
+          annRecall(exact, annLshMultiProbe(corpus, q, K))
+            .withColumn("method", lit("lsh_mp")))
+        .unionByName(
           annRecall(exact, pqTopK(corpus, q, K)).withColumn("method", lit("pq")))
         .unionByName(
           annRecall(exact, rpTopK(corpus, q, K)).withColumn("method", lit("rp")))
@@ -952,6 +1006,7 @@ object SimilarityOps {
       UNION ALL ${recallBranchSql("ivfpq", ivfpqSql)}
       UNION ALL ${recallBranchSql("ivfpq_res", ivfpqResSql)}
       UNION ALL ${recallBranchSql("lsh", lshSql)}
+      UNION ALL ${recallBranchSql("lsh_mp", lshMpSql)}
       UNION ALL ${recallBranchSql("pq", pqSql)}
       UNION ALL ${recallBranchSql("rp", rpSql)} ORDER BY method"""))
 
@@ -1330,6 +1385,6 @@ object SimilarityOps {
     Some(knnSql))
 
   val queries: Seq[GraftQuery] = Seq(qBrute, qAnnLsh, qAnnIvf, qAnnIvfTrained,
-    qAnnFiltered, qRecall, qSq, qSqPacked, qCentroids, qKmeans, qOutliers,
-    qSemDedup, qPq, qIvfPq, qIvfPqRes, qKnn, qRp)
+    qAnnLshMp, qAnnFiltered, qRecall, qSq, qSqPacked, qCentroids, qKmeans,
+    qOutliers, qSemDedup, qPq, qIvfPq, qIvfPqRes, qKnn, qRp)
 }
