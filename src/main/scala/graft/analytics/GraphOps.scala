@@ -235,5 +235,73 @@ object GraphOps {
     (s, dir) => triangleCount(coSupplierEdges(s, dir)),
     Some(triSql))
 
-  def queries: Seq[GraftQuery] = Seq(qPageRank, qTriangles)
+  // ------------------------------------------- label propagation (LPA)
+  /** Synchronous label-propagation communities (Raghavan et al. 2007):
+    * every node starts as its own label; each round it adopts the MOST
+    * FREQUENT label among its neighbors, ties broken by the smallest
+    * label — a deterministic variant of the usual randomized sweep, so
+    * the result is oracle-checkable. Distinct from connected components
+    * ([[DedupOps.nearDupClusters]]' min-label fixpoint): LPA splits a
+    * connected graph along dense regions instead of collapsing it.
+    *
+    * Scale shape per round: one edge⋈label hash join (uniform node keys)
+    * + one (node, label) count aggregation + a per-node argmax window —
+    * WindowGroupLimit-prunable, label state is 16 bytes/node, lineage
+    * truncated per round like [[pageRank]]. Fixed `iters` rounds (LPA's
+    * usual stop rule is label stability; a fixed horizon keeps the gate
+    * deterministic and is how production LPA bounds oscillation anyway).
+    *
+    * Input contract: symmetrized edge list (every node appears as a src).
+    * Output: (node, label) after `iters` rounds.
+    */
+  def labelPropagation(edgesIn: DataFrame, iters: Int = 3,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val edges = edgesIn.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint()
+    val nodes = edges.select(col("src").as("node")).distinct().localCheckpoint()
+    var labels = nodes.withColumn("label", col("node"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("node2")).orderBy(col("cnt").desc, col("label"))
+    for (_ <- 1 to iters) {
+      labels = edges.join(labels, edges("src") === labels("node"))
+        .select(col("dst").as("node2"), col("label"))
+        .groupBy(col("node2"), col("label")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("node2").as("node"), col("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
+  private val LpaIters = 3
+
+  private def lpaItSql(prev: String, out: String) =
+    s"""v$out AS (SELECT e.dst AS node, l.label, COUNT(*) AS cnt
+      FROM e JOIN $prev l ON e.src = l.node GROUP BY e.dst, l.label),
+    $out AS (SELECT node, label FROM (SELECT node, label,
+      ROW_NUMBER() OVER (PARTITION BY node ORDER BY cnt DESC, label) AS rk
+      FROM v$out) WHERE rk = 1)"""
+
+  private val lpaSql = s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src,
+      l_suppkey * 2 + 1 AS dst FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    nodes AS (SELECT DISTINCT src AS node FROM e),
+    l0 AS (SELECT node, node AS label FROM nodes),
+    ${lpaItSql("l0", "l1")},
+    ${lpaItSql("l1", "l2")},
+    ${lpaItSql("l2", "l3")}
+    SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM l3 GROUP BY label ORDER BY n_members DESC, community LIMIT 20"""
+
+  private val qLpa = GraftQuery(
+    "qg_label_prop",
+    (s, dir) => labelPropagation(tradeEdges(s, dir), LpaIters)
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("n_members").desc, col("community"))
+      .limit(20),
+    Some(lpaSql))
+
+  def queries: Seq[GraftQuery] = Seq(qPageRank, qTriangles, qLpa)
 }
