@@ -709,6 +709,52 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"Lloyd round missed the subspace clusters: ${trained(0)}")
   }
 
+  test("scd2 collapses duplicate versions and stamps validity on custom columns") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val log = Seq(
+      (7L, "bronze", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L),
+      (7L, "bronze", java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), 2L), // collapse
+      (7L, "gold", java.sql.Timestamp.valueOf("2024-01-03 00:00:00"), 3L),
+      (9L, "silver", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 4L))
+      .toDF("acct", "tier", "seen", "seq")
+    val out = CdcOps.scd2(log, "acct", "tier", "seen", "seq")
+      .orderBy(col("acct"), col("valid_from"))
+      .select(col("acct"), col("tier"), col("is_current")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    assert(out.toSeq == Seq((7L, "bronze", false), (7L, "gold", true),
+      (9L, "silver", true)), s"got ${out.toSeq}")
+  }
+
+  test("zorder emits bounded Morton codes on custom columns") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq((0L, 0L), (255L, 255L), (0L, 255L), (128L, 7L))
+      .toDF("x", "y")
+    val out = LayoutOps.zorder(df, "x", "y", bits = 8)
+      .select(col("x"), col("y"), col("zval")).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // min maps to code 0, max to 255 on both axes; z in [0, 65536)
+    assert(out((0L, 0L)) == 0L)
+    assert(out((255L, 255L)) == 65535L)
+    assert(out.values.forall(z => z >= 0 && z < 65536))
+    // interleave property: (0, 255) has all odd bits set = 0b10...10
+    assert(out((0L, 255L)) == (0 until 8).map(i => 1L << (2 * i + 1)).sum)
+  }
+
+  test("validate counts NULL predicate results as failures; uniqueness on keys") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, String)]((1L, "a"), (null, "b"), (1L, "c"))
+      .toDF("k", "s")
+    val checks = ProfileOps.validate(df,
+        Seq(ProfileOps.Expectation("k_positive", org.apache.spark.sql.functions.col("k") > 0)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(checks == Set(("k_positive", 3L, 1L)), s"got $checks") // null k fails
+    val uniq = ProfileOps.uniqueExpectation(df, "k_unique", Seq("k")).head()
+    // 3 rows, 1 distinct non-null key -> 2 failures by the documented rule
+    assert(uniq.getLong(1) == 3L && uniq.getLong(2) == 2L && !uniq.getBoolean(3))
+  }
+
   test("distillFilter learns its labeling rule with >= 0.9 fidelity on custom columns") {
     import org.apache.spark.sql.functions.{expr, size}
     val d = Tables.documents(spark, "/root/testdata/sf0.001")
