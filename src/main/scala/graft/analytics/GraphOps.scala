@@ -245,9 +245,13 @@ object GraphOps {
     * connected graph along dense regions instead of collapsing it.
     *
     * Scale shape per round: one edge⋈label hash join (uniform node keys)
-    * + one (node, label) count aggregation + a per-node argmax window —
-    * WindowGroupLimit-prunable, label state is 16 bytes/node, lineage
-    * truncated per round like [[pageRank]]. Fixed `iters` rounds (LPA's
+    * + one (node, label) count aggregation + a per-node `max(struct)`
+    * argmax — a plain hash aggregate with map-side partials, no sort
+    * (a `row_number` window would shuffle AND sort every round); label
+    * state is 16 bytes/node, lineage truncated per round like
+    * [[pageRank]]. The struct trick needs a totally ordered tiebreak:
+    * labels are node ids (non-negative), so `max((cnt, -label))` is
+    * exactly "most frequent, ties to smallest". Fixed `iters` rounds (LPA's
     * usual stop rule is label stability; a fixed horizon keeps the gate
     * deterministic and is how production LPA bounds oscillation anyway).
     *
@@ -261,14 +265,13 @@ object GraphOps {
       .distinct().localCheckpoint()
     val nodes = edges.select(col("src").as("node")).distinct().localCheckpoint()
     var labels = nodes.withColumn("label", col("node"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("node2")).orderBy(col("cnt").desc, col("label"))
     for (_ <- 1 to iters) {
       labels = edges.join(labels, edges("src") === labels("node"))
         .select(col("dst").as("node2"), col("label"))
         .groupBy(col("node2"), col("label")).agg(count(lit(1)).as("cnt"))
-        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-        .select(col("node2").as("node"), col("label"))
+        .groupBy(col("node2"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("node2").as("node"), (-col("m.nl")).as("label"))
         .localCheckpoint()
     }
     labels

@@ -501,6 +501,29 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"1 (fed by 2 and 3) > 2 (fed by 1) > 3 (teleport only): $out")
   }
 
+  test("labelPropagation breaks frequency ties by smallest label") {
+    import spark.implicits._
+    // symmetrized star: round 1, hub 0 sees labels {1,2,3,4} all once ->
+    // tie -> smallest (1); each spoke's only neighbor is 0 -> label 0
+    val e = (1L to 4L).flatMap(i => Seq((0L, i), (i, 0L))).toDF("src", "dst")
+    val out = GraphOps.labelPropagation(e, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(0L) == 1L, s"tie must go to smallest label: $out")
+    assert((1L to 4L).forall(out(_) == 0L), s"spokes adopt hub: $out")
+  }
+
+  test("labelPropagation majority label beats a smaller minority label") {
+    import spark.implicits._
+    // round 1: 10,11 (neighbors {3, 100}) -> 3; 12 (neighbors {1, 100}) -> 1
+    // round 2: 100 sees {3:2, 1:1} -> majority 3 must beat smaller label 1
+    val base = Seq((100L, 10L), (100L, 11L), (100L, 12L),
+      (10L, 3L), (11L, 3L), (12L, 1L))
+    val e = base.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val out = GraphOps.labelPropagation(e, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(100L) == 3L, s"majority (3 x2) must beat minority (1 x1): $out")
+  }
+
   test("text ops on custom column names") {
     val stats = TextOps.tokenStats(docs, idCol = "post_id", textCol = "body")
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
