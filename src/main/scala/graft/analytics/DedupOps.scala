@@ -168,7 +168,10 @@ object DedupOps {
     cand
       .join(shl.select(col("doc_id").as("d1"), col("hs").as("h1")), "d1")
       .join(shl.select(col("doc_id").as("d2"), col("hs").as("h2")), "d2")
-      .withColumn("inter", expr("size(array_intersect(h1, h2))"))
+      // hs is sorted-distinct by ShingleHashes construction, so the
+      // primitive merge-scan kernel applies (≡ size(array_intersect))
+      .withColumn("inter",
+        GraftFunctions.graft_sorted_intersect_count(col("h1"), col("h2")))
       .withColumn("jaccard",
         col("inter").cast("double") / (size(col("h1")) + size(col("h2")) - col("inter")))
       .filter(col("jaccard") >= threshold)

@@ -370,7 +370,12 @@ object VocabOps {
     *
     * The query emits (token, exact, est) for the top `topK` tokens so
     * the one-sided error is visible next to ground truth; the exact side
-    * exists for the comparison, not as part of the sketch.
+    * exists for the comparison, not as part of the sketch. Because this
+    * diagnostic needs the exact per-token counts anyway, the grid is
+    * built FROM them (cells are additive in counts, so summing `exact`
+    * per cell ≡ hashing every raw occurrence) — one corpus tokenize
+    * instead of two. A production sketch-only build hashes occurrences
+    * directly and still collapses map-side to d·w cells per partition.
     */
   def countMinHeavyHitters(docs: DataFrame, topK: Int = 10, d: Int = 4,
       w: Int = 32, textCol: String = "text"): DataFrame = {
@@ -380,9 +385,10 @@ object VocabOps {
       .select(df.columns.map(col) :+ explode(expr(s"sequence(0, ${d - 1})")).as("r"): _*)
       .withColumn("bucket",
         expr(s"${h60("concat('cms', cast(r as string), tok)")} % $w"))
-    val sketch = bucketed(toks).groupBy(col("r"), col("bucket"))
-      .agg(count(lit(1)).as("cnt"))
     val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact"))
+      .localCheckpoint()
+    val sketch = bucketed(exact).groupBy(col("r"), col("bucket"))
+      .agg(sum(col("exact")).as("cnt"))
     bucketed(exact).join(broadcast(sketch), Seq("r", "bucket"))
       .groupBy(col("tok"), col("exact")).agg(min(col("cnt")).as("est"))
       .orderBy(col("exact").desc, col("tok")).limit(topK)

@@ -479,6 +479,9 @@ object GraftFunctions {
   def graft_intersect_count(a: Column, b: Column): Column =
     GraftColumnBridge.column(IntersectCount(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  def graft_sorted_intersect_count(a: Column, b: Column): Column =
+    GraftColumnBridge.column(SortedIntersectCount(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
   /** SQL surface: `SELECT graft_dot(a, b)` after registration. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -503,6 +506,8 @@ object GraftFunctions {
       es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction("graft_intersect_count",
       es => IntersectCount(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_sorted_intersect_count",
+      es => SortedIntersectCount(es.head, es(1)), "built-in")
   }
 
   /** Fold a foldable numeric argument expression to Double (SQL surface

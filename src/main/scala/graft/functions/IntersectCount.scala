@@ -83,6 +83,66 @@ object IntersectCount {
   }
 }
 
+/** Intersection cardinality of two SORTED-DISTINCT ARRAY<BIGINT> columns by
+  * primitive merge-scan: no hash set, no boxing, no allocation per pair —
+  * the hot verify kernel for every shingle-hash dedup join, whose inputs
+  * ([[ShingleHashes]] / `shingleTable`) are sorted distinct by
+  * construction.
+  *
+  * PRECONDITION (caller-guaranteed, like [[DotProduct]]'s equal-dims
+  * contract): both arrays ascending-sorted with distinct non-null
+  * elements. Under that contract the result is IDENTICAL to
+  * `size(array_intersect(a, b))`; on unsorted input the merge undercounts,
+  * so this is an explicit library call site kernel, never installed by the
+  * [[RewriteIntersectCount]] rule (the rule can't prove sortedness).
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_sorted_intersect_count"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<BIGINT> inputs, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectCount.count(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SortedIntersectCount.count($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object SortedIntersectCount {
+  /** Linear merge over primitive longs; called from generated code. */
+  def count(l: ArrayData, r: ArrayData): Int = {
+    val nl = l.numElements()
+    val nr = r.numElements()
+    var i = 0
+    var j = 0
+    var cnt = 0
+    while (i < nl && j < nr) {
+      val a = l.getLong(i)
+      val b = r.getLong(j)
+      if (a == b) { cnt += 1; i += 1; j += 1 }
+      else if (a < b) i += 1
+      else j += 1
+    }
+    cnt
+  }
+}
+
 /** Optimizer rule: `Size(ArrayIntersect(a, b), legacySizeOfNull = false)` →
   * [[IntersectCount]] for int/long/string element arrays. Strictly
   * semantics-preserving (same distinct/null contract, same null-out

@@ -65,6 +65,20 @@ class IntersectCountSpec extends AnyFunSuite with BeforeAndAfterAll {
     got.foreach(r => assert(r.getInt(0) == r.getInt(1), r))
   }
 
+  test("SortedIntersectCount == size(array_intersect) on sorted-distinct long arrays") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 300).map { _ =>
+      (Seq.fill(rnd.nextInt(40))(rnd.nextInt(60).toLong).distinct.sorted,
+        Seq.fill(rnd.nextInt(40))(rnd.nextInt(60).toLong).distinct.sorted)
+    } :+ ((Seq.empty[Long], Seq(1L, 2L))) :+ ((Seq(5L), Seq(5L)))
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+      GraftFunctions.graft_sorted_intersect_count(col("a"), col("b")).as("fast"),
+      size(array_intersect(col("a"), col("b"))).as("slow")).collect()
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1), r))
+  }
+
   test("optimizer rule rewrites composed size(array_intersect(...)) to the native count") {
     // parquet-backed input so constant folding can't collapse the plan
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
