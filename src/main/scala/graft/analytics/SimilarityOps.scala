@@ -1384,7 +1384,154 @@ object SimilarityOps {
     },
     Some(knnSql))
 
+  // ------------------------------------------- MMR diversified re-rank
+  private val MmrPoolK = 20
+  private val MmrK = 5
+  private val MmrLambda = 0.5
+
+  /** Greedy Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    * 1998) — the standard RAG-serving diversification pass: from a
+    * retrieval pool, pick `k` results that trade relevance against
+    * redundancy, `score(c) = λ·rel(c) − (1−λ)·max_{s∈S} cos(c, s)`,
+    * selecting the argmax each step (ties → smallest cand_id; the first
+    * step has no selected set, so its penalty term is 0).
+    *
+    * Scale shape: the corpus appears ONLY in the retrieval pool build
+    * ([[cosineTopK]] here — any ANN tier composes the same way) and in one
+    * broadcast-pool hash join that attaches candidate vectors (one corpus
+    * scan, zero corpus shuffle). The greedy selection itself runs on the
+    * pool — |Q|·poolK rows, proportional to query load, not corpus size —
+    * via `groupByKey(query_id).flatMapGroups`: MMR's step-t choice depends
+    * on steps 1..t−1, so it is inherently sequential per query; a
+    * relational unroll would be k self-joins over the same tiny frame.
+    * Per-group cost is O(k·poolK·dim) with the running-max-similarity
+    * cache (max is order-independent, so the cache is bit-identical to
+    * re-maxing over the selected set, which is what the oracle computes).
+    *
+    * Determinism: rel comes from the oracle-matched [[cosineTopK]] plan;
+    * pairwise cosines accumulate in ascending index order (the same
+    * sequential fold as the DuckDB `list_reduce` twin) → bit-identical
+    * doubles cross-engine.
+    *
+    * Output: (query_id, step, cand_id, score), steps 1..k per query.
+    */
+  def mmrRerank(corpus: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame, k: Int = MmrK,
+      poolK: Int = MmrPoolK, lambda: Double = MmrLambda,
+      idCol: String = "vec_id", vecCol: String = "embedding"): org.apache.spark.sql.DataFrame = {
+    require(k >= 1 && poolK >= k, s"need poolK >= k >= 1, got k=$k poolK=$poolK")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val pool = cosineTopK(corpus, queries, poolK, idCol, vecCol)
+      .select(col("query_id"), col("cand_id"), col("cosine").as("rel"))
+    val pv = corpus
+      .select(col(idCol).as("cand_id"), col(vecCol).cast("array<double>").as("v"))
+      .join(broadcast(pool), "cand_id")
+      .select(col("query_id"), col("cand_id"), col("rel"), col("v"))
+      .as[(Long, Long, Double, Seq[Double])]
+    pv.groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        // ascending cand_id so a strict > keeps the smallest id on ties
+        val cs = it.toArray.sortBy(_._2)
+        val vs = cs.map(_._4.toArray)
+        val nrm = vs.map { v =>
+          var acc = 0.0; var i = 0
+          while (i < v.length) { acc += v(i) * v(i); i += 1 }
+          math.sqrt(acc)
+        }
+        def cosAt(a: Int, b: Int): Double = {
+          val va = vs(a); val vb = vs(b)
+          var acc = 0.0; var i = 0
+          val n = math.min(va.length, vb.length)
+          while (i < n) { acc += va(i) * vb(i); i += 1 }
+          acc / (nrm(a) * nrm(b))
+        }
+        val n = cs.length
+        val taken = new Array[Boolean](n)
+        // running max-similarity to the selected set; max is
+        // order-independent so this equals re-maxing per step
+        val maxSim = Array.fill(n)(Double.NegativeInfinity)
+        val out = Array.newBuilder[(Long, Int, Long, Double)]
+        var step = 1
+        val kk = math.min(k, n)
+        while (step <= kk) {
+          var bi = -1; var bs = 0.0
+          var i = 0
+          while (i < n) {
+            if (!taken(i)) {
+              val ms = if (step == 1) 0.0 else maxSim(i)
+              val sc = lambda * cs(i)._3 - (1 - lambda) * ms
+              if (bi == -1 || sc > bs) { bi = i; bs = sc }
+            }
+            i += 1
+          }
+          taken(bi) = true
+          out += ((qid, step, cs(bi)._2, bs))
+          i = 0
+          while (i < n) {
+            if (!taken(i)) maxSim(i) = math.max(maxSim(i), cosAt(i, bi))
+            i += 1
+          }
+          step += 1
+        }
+        out.result().iterator
+      }
+      .toDF("query_id", "step", "cand_id", "score")
+      .orderBy(col("query_id"), col("step"))
+  }
+
+  /** One pairwise-cosine DuckDB expression between pool aliases `a.v`
+    * and `b.v` — same sequential fold order as the Scala kernel above.
+    */
+  private def mmrCosSql(a: String, b: String) =
+    s"list_reduce(list_transform(generate_series(1, 64), i -> $a.v[i] * $b.v[i]), (x, y) -> x + y)" +
+      s" / (sqrt(list_reduce(list_transform($a.v, x -> x * x), (x, y) -> x + y))" +
+      s" * sqrt(list_reduce(list_transform($b.v, x -> x * x), (x, y) -> x + y)))"
+
+  /** Greedy step t as CTEs: m{t} scores the not-yet-selected pool rows
+    * against the cumulative selection s{t-1}, p{t} is the per-query
+    * argmax (ties → smallest cand_id), s{t} appends the pick.
+    */
+  private def mmrStepSql(t: Int): String =
+    s"""m$t AS (SELECT c.query_id, c.cand_id, c.rel, MAX(${mmrCosSql("c", "p")}) AS ms
+      FROM pv c JOIN s${t - 1} s ON s.query_id = c.query_id
+      JOIN pv p ON p.query_id = s.query_id AND p.cand_id = s.cand_id
+      WHERE NOT EXISTS (SELECT 1 FROM s${t - 1} x
+        WHERE x.query_id = c.query_id AND x.cand_id = c.cand_id)
+      GROUP BY c.query_id, c.cand_id, c.rel),
+    t$t AS (SELECT query_id, cand_id, $MmrLambda * rel - ${1 - MmrLambda} * ms AS score FROM m$t),
+    p$t AS (SELECT query_id, cand_id, score FROM (SELECT query_id, cand_id, score,
+      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rk
+      FROM t$t) WHERE rk = 1),
+    s$t AS (SELECT * FROM s${t - 1}
+      UNION ALL SELECT query_id, CAST($t AS INT) AS step, cand_id, score FROM p$t)"""
+
+  private val mmrSql = s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pr AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.v AS va, c.v AS vb
+      FROM e q JOIN e c ON q.vec_id < $NQ AND q.vec_id <> c.vec_id),
+    sc0 AS (SELECT query_id, cand_id, $cosineSql AS cosine FROM pr),
+    rk0 AS (SELECT query_id, cand_id, cosine,
+      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+      FROM sc0),
+    pool AS (SELECT query_id, cand_id, cosine AS rel FROM rk0 WHERE rank <= $MmrPoolK),
+    pv AS (SELECT pool.query_id, pool.cand_id, pool.rel, e.v
+      FROM pool JOIN e ON e.vec_id = pool.cand_id),
+    t1 AS (SELECT query_id, cand_id, $MmrLambda * rel - ${1 - MmrLambda} * 0.0 AS score FROM pv),
+    p1 AS (SELECT query_id, cand_id, score FROM (SELECT query_id, cand_id, score,
+      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rk
+      FROM t1) WHERE rk = 1),
+    s1 AS (SELECT query_id, CAST(1 AS INT) AS step, cand_id, score FROM p1),
+    ${(2 to MmrK).map(mmrStepSql).mkString(",\n    ")}
+    SELECT query_id, step, cand_id, score FROM s$MmrK ORDER BY query_id, step"""
+
+  private val qMmr = GraftQuery(
+    "qs_mmr_rerank",
+    (s, dir) => mmrRerank(Tables.embeddings(s, dir),
+      Tables.embeddings(s, dir).filter(col("vec_id") < NQ)),
+    Some(mmrSql))
+
   val queries: Seq[GraftQuery] = Seq(qBrute, qAnnLsh, qAnnIvf, qAnnIvfTrained,
     qAnnLshMp, qAnnFiltered, qRecall, qSq, qSqPacked, qCentroids, qKmeans,
-    qOutliers, qSemDedup, qPq, qIvfPq, qIvfPqRes, qKnn, qRp)
+    qOutliers, qSemDedup, qPq, qIvfPq, qIvfPqRes, qKnn, qRp, qMmr)
 }

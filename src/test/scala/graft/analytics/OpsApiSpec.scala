@@ -524,6 +524,28 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(100L) == 3L, s"majority (3 x2) must beat minority (1 x1): $out")
   }
 
+  test("mmrRerank displaces a near-duplicate of the top hit; lambda=1 is pure top-k") {
+    import spark.implicits._
+    // 1 and 2 are near-identical high-relevance vectors; 3 is moderately
+    // relevant but diverse. Pure top-2 = (1, 2); MMR's redundancy penalty
+    // must displace 2 with 3 at the second step.
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0)),
+      (1L, Seq(10.0, 0.1)),
+      (2L, Seq(10.0, 0.100001)),
+      (3L, Seq(0.7, -0.7))
+    ).toDF("vec_id", "embedding")
+    val qs = vecs.filter($"vec_id" === 0)
+    val mmr = SimilarityOps.mmrRerank(vecs, qs, k = 2, poolK = 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
+    assert(mmr == Seq((1, 1L), (2, 3L)), s"diversity pick expected: $mmr")
+    val pure = SimilarityOps.mmrRerank(vecs, qs, k = 2, poolK = 3, lambda = 1.0)
+      .collect().map(r => r.getLong(2)).toSeq
+    val top = SimilarityOps.cosineTopK(vecs, qs, 2)
+      .collect().map(r => r.getLong(2)).toSeq
+    assert(pure == top, s"lambda=1 must equal relevance order: $pure vs $top")
+  }
+
   test("text ops on custom column names") {
     val stats = TextOps.tokenStats(docs, idCol = "post_id", textCol = "body")
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
