@@ -193,8 +193,11 @@ object CurationOps {
         .otherwise(expr(
           "cast(size(filter(toks, w -> w rlike '[a-zA-Z]')) as double)")
           / col("n_words")))
+      // ltoks hoisted: a lambda body gets no CSE, so inlining the
+      // transform would re-lowercase every token once PER STOPWORD
+      .withColumn("ltoks", expr("transform(toks, t -> lower(t))"))
       .withColumn("n_stopwords", expr(
-        s"cast(size(filter($stopArr, sw -> array_contains(transform(toks, t -> lower(t)), sw))) as bigint)"))
+        s"cast(size(filter($stopArr, sw -> array_contains(ltoks, sw))) as bigint)"))
       .select(col("doc_id"), col("n_words"), col("mean_word_len"),
         col("symbol_ratio"), col("bullet_line_ratio"),
         col("ellipsis_line_ratio"), col("alpha_word_ratio"), col("n_stopwords"),

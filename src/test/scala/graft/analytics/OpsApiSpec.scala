@@ -546,6 +546,28 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pure == top, s"lambda=1 must equal relevance order: $pure vs $top")
   }
 
+  test("applyChangelog: incremental merge == from-scratch state; deletes tombstone; ties by tie-col") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, "a", 1L, 1L, "upsert"),
+      (1L, "b", 2L, 2L, "upsert"),
+      (2L, "x", 1L, 3L, "upsert"),
+      (2L, "y", 3L, 4L, "delete"),  // key 2 tombstoned after the cutoff
+      (3L, "q", 3L, 5L, "upsert"),  // key born after the cutoff
+      (1L, "c", 4L, 6L, "upsert"),
+      (4L, "t1", 5L, 7L, "upsert"), // same-ts pair: higher tie wins
+      (4L, "t2", 5L, 8L, "upsert")
+    ).toDF("k", "v", "t", "seq", "op")
+    val full = CdcOps.changelogState(log, "k", "t", "seq").orderBy("k")
+    val base = CdcOps.changelogState(log.filter($"t" <= 2), "k", "t", "seq")
+    val inc = CdcOps.applyChangelog(base, log.filter($"t" > 2), "k", "t", "seq")
+      .orderBy("k")
+    assert(inc.collect().toSeq == full.collect().toSeq,
+      "incremental apply must equal the from-scratch state")
+    val m = full.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m == Map(1L -> "c", 3L -> "q", 4L -> "t2"), s"got $m")
+  }
+
   test("text ops on custom column names") {
     val stats = TextOps.tokenStats(docs, idCol = "post_id", textCol = "body")
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
