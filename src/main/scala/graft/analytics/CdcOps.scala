@@ -103,6 +103,34 @@ object CdcOps {
         .unionByName(changes.select(base.columns.map(col) :+ col(opCol): _*)),
       key, ts, tie, opCol)
 
+  /** Streaming changelog MERGE — the incremental twin of
+    * [[changelogState]]/[[applyChangelog]]: per entity, keep only the
+    * newest (ts, tie) stamp in a ValueState and emit each row that
+    * advances it (stale out-of-order updates are suppressed). The last
+    * emitted row per key, deletes dropped, is IDENTICAL to the batch
+    * [[changelogState]] over everything seen so far, regardless of how
+    * the log is split into micro-batches — StreamingExtrasSpec pins it.
+    * Same single-entity-key-shuffle scale shape as the batch build;
+    * state is O(1) per entity.
+    * Input cols: (key, etype, value, ts µs, tie, op).
+    * Output: (entity, etype, value, ts_us, op).
+    */
+  def mergeStream(log: DataFrame, key: String, etype: String, value: String,
+      ts: String, tie: String, opCol: String = "op"): DataFrame = {
+    import log.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    log.select(col(key).cast("long").as("entity"),
+        col(etype).cast("string").as("etype"),
+        col(value).cast("double").as("value"),
+        col(ts).cast("long").as("ts_us"), col(tie).cast("long").as("tie"),
+        col(opCol).cast("string").as("op"))
+      .as[(Long, String, Double, Long, Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new graft.streaming.MergeStateProcessor,
+        TimeMode.None(), OutputMode.Append())
+      .toDF("entity", "etype", "value", "ts_us", "op")
+  }
+
   // ==================== driver-checked query bindings ====================
 
   /** Per-user event_type version history over the events log; validity

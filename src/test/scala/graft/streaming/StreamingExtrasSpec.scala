@@ -188,6 +188,46 @@ class StreamingExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch, s"stream $streamed vs batch $batch")
   }
 
+  test("streaming changelog merge equals the batch latest-wins state; stale updates suppressed") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(Long, String, Double, Long, Long, String)](spark)
+    val out = graft.analytics.CdcOps.mergeStream(
+      input.toDS().toDF("k", "et", "v", "ts_us", "tie", "op"),
+      "k", "et", "v", "ts_us", "tie")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("merge_stream")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-merge").toString)
+      .start()
+    // batch 1: keys 1, 2 born; batch 2: key 1 updated, key 2 tombstoned,
+    // key 3 born, plus a STALE out-of-order update for key 1 (ts 5 < 20)
+    // that must be suppressed by the stored stamp
+    val b1 = Seq((1L, "a", 1.0, 10L, 1L, "upsert"), (1L, "b", 2.0, 20L, 2L, "upsert"),
+      (2L, "x", 3.0, 15L, 3L, "upsert"))
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    val b2 = Seq((1L, "z", 9.0, 5L, 4L, "upsert"), (1L, "c", 4.0, 30L, 5L, "upsert"),
+      (2L, "y", 0.0, 40L, 6L, "delete"), (3L, "q", 7.0, 35L, 7L, "upsert"))
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.table("merge_stream").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3), r.getString(4)))
+    assert(!emitted.exists(e => e._1 == 1L && e._2 == "z"),
+      s"stale out-of-order update must be suppressed: ${emitted.toSeq}")
+    // reduce the emitted changelog to its per-key last row, drop deletes
+    val fin = emitted.groupBy(_._1).map { case (k, rs) => rs.maxBy(_._4) }
+      .filter(_._5 != "delete").map(r => (r._1, r._2, r._3, r._4)).toSet
+    val all = (b1 ++ b2).toDF("k", "et", "v", "ts_us", "tie", "op")
+    val batch = graft.analytics.CdcOps.changelogState(all, "k", "ts_us", "tie")
+      .select(col("k"), col("et"), col("v"), col("ts_us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(fin == batch, s"stream-final $fin vs batch $batch")
+  }
+
   test("streaming near-dup: band state survives a checkpoint restart") {
     import spark.implicits._
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
