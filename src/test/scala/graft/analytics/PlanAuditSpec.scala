@@ -39,6 +39,30 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("runtime Bloom-filter prunes the big side of a selective shuffle join") {
+    import org.apache.spark.sql.functions.col
+    // the 100 TB lever: a selective dimension filter is turned into a bloom
+    // probe on the fact side BEFORE its shuffle, so most of the big table
+    // never leaves the scan stage. Thresholds here only unlock the rule at
+    // test scale (the fact side must normally scan >10 GB to qualify).
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    try {
+      val orders = Tables.orders(spark, sf).filter(col("o_orderpriority") === "1-URGENT")
+      val li = Tables.lineitem(spark, sf)
+      val j = li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+      val opt = j.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain") && opt.contains("bloom_filter_agg"),
+        s"runtime bloom filter not injected on the fact side:\n$opt")
+      assert(j.count() > 0)
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    }
+  }
+
   test("q21 correlated EXISTS/NOT-EXISTS plans as semi+anti hash joins") {
     val plan = graft.SparkEntry.queries("q21_waiting_suppliers")(spark, sf)
       .queryExecution.executedPlan.toString
