@@ -618,6 +618,72 @@ object DedupOps {
     SELECT x AS doc_id, least(x, MIN(y)) AS cluster_id
     FROM reach GROUP BY x ORDER BY doc_id"""))
 
+  /** The dedup END PRODUCT: which documents survive near-dup clustering.
+    * Each cluster keeps its best-scoring member (`scoreCol` is any
+    * caller-supplied quality signal — token count, a learned score;
+    * ties → smallest id so the choice is deterministic) and every
+    * unclustered document survives untouched — [[nearDupClusters]] emits
+    * only docs that appear in a pair, so survivors = singletons ∪ winners.
+    *
+    * Scale shape: two uniform-key hash joins (id) + one per-cluster
+    * `max(struct)` aggregate with map-side partials — no windows, no
+    * sorts, linear in the corpus. Ids must be non-negative (the negation
+    * tie-break trick, as in LPA's argmax).
+    *
+    * Output: (id, cluster_id ∥ NULL, kept).
+    */
+  def clusterCanonical(ids: DataFrame, clusters: DataFrame, scores: DataFrame,
+      idCol: String = "doc_id", clusterCol: String = "cluster_id",
+      scoreCol: String = "score"): DataFrame = {
+    val c = clusters.select(col(idCol), col(clusterCol))
+    val winners = c.join(scores.select(col(idCol), col(scoreCol)), idCol)
+      .groupBy(col(clusterCol))
+      .agg(max(struct(col(scoreCol), (-col(idCol)).as("nid"))).as("w"))
+      .select((-col("w.nid")).as(idCol), lit(true).as("_win"))
+    ids.select(col(idCol))
+      .join(c, Seq(idCol), "left")
+      .join(winners, Seq(idCol), "left")
+      .select(col(idCol), col(clusterCol),
+        (col(clusterCol).isNull || coalesce(col("_win"), lit(false))).as("kept"))
+      .orderBy(col(idCol))
+  }
+
+  private val qCanonical = GraftQuery(
+    "qd_cluster_canonical",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      clusterCanonical(
+        docs.select(col("doc_id")),
+        nearDupClusters(simhashPairs(docs)),
+        docs.select(col("doc_id"),
+          expr(s"cast(size($toksExpr) as bigint)").as("score")))
+    },
+    Some(s"""WITH RECURSIVE t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+    hs AS (SELECT doc_id, list_transform(toks, t -> ${h60Sql("t")}) AS h FROM t),
+    sig AS (SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 59), b ->
+        CASE WHEN 2 * len(list_filter(h, x -> ((x >> b) & 1) = 1)) > len(h)
+        THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
+      FROM hs),
+    pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
+    edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+    reach(x, y) AS (
+      SELECT a AS x, b AS y FROM edges
+      UNION
+      SELECT r.x, e.b FROM reach r JOIN edges e ON r.y = e.a)
+    , cl AS (SELECT x AS doc_id, least(x, MIN(y)) AS cluster_id FROM reach GROUP BY x),
+    sc AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS score FROM t),
+    w AS (SELECT cluster_id, doc_id AS win_id FROM (
+      SELECT cl.cluster_id, cl.doc_id,
+        ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+          ORDER BY sc.score DESC, cl.doc_id) AS rk
+      FROM cl JOIN sc USING (doc_id)) WHERE rk = 1)
+    SELECT t.doc_id, cl.cluster_id,
+      cl.cluster_id IS NULL OR t.doc_id = w.win_id AS kept
+    FROM t LEFT JOIN cl USING (doc_id) LEFT JOIN w ON w.cluster_id = cl.cluster_id
+    ORDER BY t.doc_id"""))
+
   private val qSpans = GraftQuery(
     "qd_span_dedup",
     (s, dir) => duplicateSpans(Tables.documents(s, dir)),
@@ -766,5 +832,5 @@ object DedupOps {
 
   val queries: Seq[GraftQuery] =
     Seq(qExact, qNgram, qMinhash, qCrossContain, qSimhash, qEmbed, qClusters,
-      qSpans, qBloom, qUrlDedup)
+      qCanonical, qSpans, qBloom, qUrlDedup)
 }

@@ -568,6 +568,19 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m == Map(1L -> "c", 3L -> "q", 4L -> "t2"), s"got $m")
   }
 
+  test("clusterCanonical keeps singletons and the best-scoring member per cluster") {
+    import spark.implicits._
+    val ids = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val clusters = Seq((1L, 1L), (2L, 1L), (4L, 4L), (5L, 4L)).toDF("doc_id", "cluster_id")
+    val scores = Seq((1L, 10L), (2L, 20L), (3L, 1L), (4L, 7L), (5L, 7L)).toDF("doc_id", "score")
+    val out = DedupOps.clusterCanonical(ids, clusters, scores).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    // cluster 1: higher score (doc 2) wins; cluster 4: score tie -> smallest
+    // id (doc 4); doc 3 is unclustered and survives
+    assert(out == Map(1L -> false, 2L -> true, 3L -> true, 4L -> true, 5L -> false),
+      s"got $out")
+  }
+
   test("text ops on custom column names") {
     val stats = TextOps.tokenStats(docs, idCol = "post_id", textCol = "body")
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
