@@ -20,7 +20,8 @@ object SparkEntry {
       VocabOps.queries ++
       DedupOps.queries ++
       SimilarityOps.queries ++ MultimodalOps.queries ++ ProfileOps.queries ++
-      SkewOps.queries ++ GraphOps.queries ++ LayoutOps.queries ++
+      SkewOps.queries ++ GraphOps.queries ++ MatchOps.queries ++
+      LayoutOps.queries ++
       CdcOps.queries ++ LearnOps.queries ++ RoutingQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

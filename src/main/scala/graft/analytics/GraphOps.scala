@@ -306,5 +306,72 @@ object GraphOps {
       .limit(20),
     Some(lpaSql))
 
-  def queries: Seq[GraftQuery] = Seq(qPageRank, qTriangles, qLpa)
+  // ------------------------------------------------------------ k-core
+  /** k-core peel: repeatedly delete nodes of degree < k until the
+    * survivors all have degree ≥ k inside the surviving subgraph — the
+    * standard density filter for graph cleanup (drop barely-connected
+    * entities before community detection / embedding).
+    *
+    * Runs a FIXED `rounds` peels rather than testing a fixpoint: extra
+    * rounds past convergence are identity (nothing left under k to
+    * delete), and a fixed horizon keeps the oracle a finite CTE chain
+    * and the job a static plan. Scale shape per round: one uniform-key
+    * degree aggregation + two left-semi hash joins of the edge list
+    * against the survivor set (both keyed on node id), edge set shrinks
+    * monotonically; lineage truncated per round like [[pageRank]].
+    *
+    * `k` defaults to density-derived 3·m/(5·n) (exact integer arithmetic
+    * on the symmetrized edge count m and node count n) so one binding
+    * stays meaningful across scale factors — fetched as ONE scalar row,
+    * the same sanctioned driver fetch as pageRank's node count.
+    *
+    * Input contract: symmetrized edge list. Output: (node, core_degree)
+    * for every surviving node — its degree within the k-core.
+    */
+  def kCore(edgesIn: DataFrame, rounds: Int = 3, k: Option[Long] = None,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var edges = edgesIn.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint()
+    val kk = k.getOrElse {
+      val row = edges.agg(count(lit(1)).as("m"),
+        countDistinct(col("src")).as("n")).head()
+      (3L * row.getLong(0)) / (5L * row.getLong(1))
+    }
+    for (_ <- 1 to rounds) {
+      val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= kk).select(col("src"))
+      edges = edges
+        .join(keep, "src", "left_semi")
+        .join(keep.select(col("src").as("dst")), "dst", "left_semi")
+        .localCheckpoint()
+    }
+    edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_degree"))
+      .orderBy(col("node"))
+  }
+
+  private val KcoreRounds = 3
+
+  private def kcoreItSql(prev: String, out: String) =
+    s"""k$out AS (SELECT src FROM (SELECT src, COUNT(*) AS d FROM $prev
+      GROUP BY src) CROSS JOIN kp WHERE d >= kk),
+    $out AS (SELECT t.src, t.dst FROM $prev t
+      JOIN k$out a ON t.src = a.src JOIN k$out b ON t.dst = b.src)"""
+
+  private val kcoreSql = s"""WITH e0x AS (SELECT DISTINCT o_custkey * 2 AS src,
+      l_suppkey * 2 + 1 AS dst FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    e0 AS (SELECT src, dst FROM e0x UNION ALL SELECT dst, src FROM e0x),
+    kp AS (SELECT (3 * COUNT(*)) // (5 * COUNT(DISTINCT src)) AS kk FROM e0),
+    ${kcoreItSql("e0", "e1")},
+    ${kcoreItSql("e1", "e2")},
+    ${kcoreItSql("e2", "e3")}
+    SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM e3 GROUP BY src ORDER BY node"""
+
+  private val qKcore = GraftQuery(
+    "qg_kcore",
+    (s, dir) => kCore(tradeEdges(s, dir), KcoreRounds),
+    Some(kcoreSql))
+
+  def queries: Seq[GraftQuery] = Seq(qPageRank, qTriangles, qLpa, qKcore)
 }

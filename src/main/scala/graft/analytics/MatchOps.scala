@@ -1,0 +1,95 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.api.GraftQuery
+
+/** Entity-resolution operators: approximate string matching over the
+  * DISTINCT value domain of a column, the canonical "merge name variants
+  * before joining two catalogs" pass.
+  *
+  * The scale stance is the classic blocking+verify split from the record-
+  * linkage literature (token blocking, as in Papadakis et al.'s blocking
+  * surveys): never compare all value pairs — generate candidates that
+  * share at least one blocking key, then verify only those with the exact
+  * (and per-pair expensive) edit-distance predicate. Everything runs on
+  * the distinct-name domain, which is orders of magnitude smaller than
+  * the row count at corpus scale (names repeat; 100 TB of rows over a
+  * bounded entity vocabulary), so the quadratic danger is confined to
+  * within-block fan-out — bounded by the `maxTokenDf` skew cap exactly
+  * like the df-cap in [[DedupOps.ngramJaccardPairs]].
+  */
+object MatchOps {
+
+  /** Fuzzy-match the distinct values of `nameCol`: emit every pair of
+    * distinct names that (a) share ≥ 1 whitespace token whose name-level
+    * document frequency is ≤ `maxTokenDf` (the blocking step — a hash
+    * join keyed on token, skew-capped) and (b) verify with
+    * `levenshtein ≤ maxDist` (exact integer, codegen'd builtin).
+    *
+    * Recall contract: a pair sharing NO token (or only capped tokens) is
+    * not considered — the standard token-blocking tradeoff, stated
+    * honestly (same family as the LSH tiers' probabilistic recall).
+    * The `|len(a) − len(b)| ≤ maxDist` prefilter is a pure pruning of
+    * the verify (levenshtein is bounded below by the length gap), so it
+    * never changes the result, only skips guaranteed-fail pairs.
+    *
+    * Output: (name_a, name_b, dist, rows_a, rows_b) with name_a < name_b,
+    * ordered by (dist, name_a, name_b); rows_* are the source row counts
+    * behind each variant (the "which spelling is canonical" signal).
+    */
+  def fuzzyNameMatch(df: DataFrame, nameCol: String = "name",
+      maxDist: Int = 3, maxTokenDf: Int = 1000): DataFrame = {
+    require(maxDist >= 0 && maxTokenDf >= 1)
+    // distinct-name domain + how many rows each variant backs
+    val names = df.groupBy(col(nameCol).as("name"))
+      .agg(count(lit(1)).as("n_rows"))
+    val toks = names
+      .select(col("name"), explode(split(col("name"), " ")).as("tok"))
+      .distinct()
+    // skew cap: a token shared by more than maxTokenDf distinct names is
+    // too common to block on (it would create a quadratic bucket)
+    val rare = toks.groupBy(col("tok")).agg(count(lit(1)).as("tdf"))
+      .filter(col("tdf") <= maxTokenDf).select(col("tok"))
+    val blocked = toks.join(rare, "tok")
+    val cand = blocked.as("a")
+      .join(blocked.as("b"),
+        col("a.tok") === col("b.tok") && col("a.name") < col("b.name"))
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+      .distinct()
+      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+    cand
+      .join(names.select(col("name").as("name_a"), col("n_rows").as("rows_a")), "name_a")
+      .join(names.select(col("name").as("name_b"), col("n_rows").as("rows_b")), "name_b")
+      .select(col("name_a"), col("name_b"), col("dist"),
+        col("rows_a"), col("rows_b"))
+      .orderBy(col("dist"), col("name_a"), col("name_b"))
+  }
+
+  private val FuzzyMaxDist = 3
+  private val FuzzyTokenDf = 1000
+
+  private val qFuzzy = GraftQuery(
+    "qj_fuzzy_name",
+    (s, dir) => fuzzyNameMatch(Tables.part(s, dir), nameCol = "p_name",
+      maxDist = FuzzyMaxDist, maxTokenDf = FuzzyTokenDf),
+    Some(s"""WITH n AS (SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM part GROUP BY p_name),
+    t AS (SELECT DISTINCT name, tok FROM
+      (SELECT name, unnest(string_split(name, ' ')) AS tok FROM n)),
+    rare AS (SELECT tok FROM t GROUP BY tok HAVING COUNT(*) <= $FuzzyTokenDf),
+    bl AS (SELECT t.name, t.tok FROM t JOIN rare USING (tok)),
+    c AS (SELECT DISTINCT a.name AS name_a, b.name AS name_b
+      FROM bl a JOIN bl b ON a.tok = b.tok AND a.name < b.name)
+    SELECT c.name_a, c.name_b,
+      CAST(levenshtein(c.name_a, c.name_b) AS INT) AS dist,
+      na.n_rows AS rows_a, nb.n_rows AS rows_b
+    FROM c JOIN n na ON na.name = c.name_a JOIN n nb ON nb.name = c.name_b
+    WHERE levenshtein(c.name_a, c.name_b) <= $FuzzyMaxDist
+    ORDER BY dist, name_a, name_b"""))
+
+  val queries: Seq[GraftQuery] = Seq(qFuzzy)
+}

@@ -568,6 +568,34 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m == Map(1L -> "c", 3L -> "q", 4L -> "t2"), s"got $m")
   }
 
+  test("kCore peels below-threshold nodes; cascade removals propagate") {
+    import spark.implicits._
+    // path 1-2-3-4 hanging off a triangle 4-5-6: k=2 keeps only the
+    // triangle, and the peel must CASCADE (3 only drops under k after 2
+    // does, then 4's degree falls to 2 and stays)
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (4L, 6L), (5L, 6L))
+    val edges = (und ++ und.map(e => (e._2, e._1))).toDF("a", "b")
+    val out = GraphOps.kCore(edges, rounds = 3, k = Some(2L),
+      srcCol = "a", dstCol = "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(4L -> 2L, 5L -> 2L, 6L -> 2L), s"got $out")
+  }
+
+  test("fuzzyNameMatch blocks on shared tokens and verifies edit distance") {
+    import spark.implicits._
+    val df = Seq("cold anvil", "cold anvil", "old anvil", "red bolt",
+      "zinc plate").toDF("label")
+    val out = MatchOps.fuzzyNameMatch(df, nameCol = "label", maxDist = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(("cold anvil", "old anvil", 1, 2L, 1L)), s"got ${out.toSeq}")
+    // skew cap: with maxTokenDf = 1 the shared token "anvil" (df 2) is
+    // dropped as a blocking key, so no candidate pair survives
+    val capped = MatchOps.fuzzyNameMatch(df, nameCol = "label",
+      maxDist = 3, maxTokenDf = 1)
+    assert(capped.count() == 0)
+  }
+
   test("clusterCanonical keeps singletons and the best-scoring member per cluster") {
     import spark.implicits._
     val ids = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
