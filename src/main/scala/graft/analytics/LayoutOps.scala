@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.api.GraftQuery
@@ -99,6 +100,70 @@ object LayoutOps {
       MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp
     FROM z GROUP BY bucket ORDER BY bucket"""
 
+  /** Compaction planner for the small-files problem: assign every input
+    * file to an output bin of ≈ `targetBytes`, deterministically. The
+    * packing rule is next-fit over the (bytes DESC, id) total order: a
+    * file's bin is `floor(prefix_bytes / targetBytes)` where
+    * `prefix_bytes` is the byte total of all files strictly before it —
+    * large files first (so each gets a dedicated bin when over target),
+    * then decreasing fill.
+    *
+    * The prefix sum is DISTRIBUTED — no single-partition window over the
+    * inventory. Textbook two-level scan: range-partition the inventory on
+    * the total order, per-partition byte totals (one tiny aggregate, ≤ P
+    * rows) get exclusive prefix offsets via a window over P rows, then
+    * each partition computes its local running sum in parallel
+    * (`partitionBy(_pid)` window) and adds its broadcast offset. Range
+    * boundaries from Spark's sampling can land anywhere without changing
+    * the answer: the total order is strict (id is unique), so global
+    * prefix sums are partition-placement-independent. A 100 TB corpus at
+    * 128 MB/file is only ~800 k inventory rows, but the same plan holds
+    * even for billions.
+    *
+    * Output: (file_id, bytes, bin).
+    */
+  def compactionPlan(files: DataFrame, idCol: String, sizeCol: String,
+      targetBytes: Long, parts: Int = 0): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be > 0, got $targetBytes")
+    val spark = files.sparkSession
+    val p = if (parts > 0) parts
+      else spark.sessionState.conf.numShufflePartitions
+    val inv = files
+      .select(col(idCol).as("file_id"), col(sizeCol).cast("long").as("bytes"))
+      .repartitionByRange(p, col("bytes").desc, col("file_id"))
+      .withColumn("_pid", spark_partition_id())
+    val offsets = inv.groupBy(col("_pid")).agg(sum(col("bytes")).as("_psum"))
+      .withColumn("_off", coalesce(sum(col("_psum")).over(
+        Window.orderBy(col("_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("_psum")
+    val wLoc = Window.partitionBy(col("_pid"))
+      .orderBy(col("bytes").desc, col("file_id"))
+    inv.join(broadcast(offsets), "_pid")
+      .withColumn("_cum",
+        col("_off") + sum(col("bytes")).over(wLoc) - col("bytes"))
+      .select(col("file_id"), col("bytes"),
+        expr(s"_cum div ${targetBytes}L").as("bin"))
+  }
+
+  private val CompactTarget = 65536L
+
+  private val qCompaction = GraftQuery(
+    "qlayout_compaction",
+    (s, dir) => compactionPlan(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), length(col("text")).as("sz")),
+        "doc_id", "sz", CompactTarget)
+      .orderBy(col("bin"), col("file_id")),
+    Some(s"""WITH f AS (SELECT doc_id AS file_id, CAST(length(text) AS BIGINT) AS bytes
+      FROM documents),
+    c AS (SELECT file_id, bytes,
+      COALESCE(SUM(bytes) OVER (ORDER BY bytes DESC, file_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      FROM f)
+    SELECT file_id, bytes, CAST(cum // $CompactTarget AS BIGINT) AS bin
+    FROM c ORDER BY bin, file_id"""))
+
   private val qZorder = GraftQuery(
     "qlayout_zorder",
     (s, dir) => {
@@ -113,5 +178,5 @@ object LayoutOps {
     },
     Some(zorderSql))
 
-  val queries: Seq[GraftQuery] = Seq(qZorder)
+  val queries: Seq[GraftQuery] = Seq(qZorder, qCompaction)
 }

@@ -387,7 +387,39 @@ object Relational3 {
       FROM nation, LATERAL (SELECT unnest(generate_series(1, (n_nationkey % 3) + 1)) AS i) t
       ORDER BY n_name, i"""))
 
+  // Unpivot (melt): the inverse of qagg_pivot_event_types — wide metric
+  // columns to (metric, value) rows via the Dataset unpivot API (Spark
+  // plans it as a single Expand, one pass over the input, map-only before
+  // the aggregate). Values go through DECIMAL(12,2) first so the per-
+  // metric sums are exact and engine-deterministic (Exact conventions).
+  private val qUnpivot = GraftQuery(
+    "qf_unpivot",
+    (s, dir) => {
+      val d = Tables.lineitem(s, dir).select(
+        col("l_returnflag"),
+        Exact.d2(col("l_quantity")).as("quantity"),
+        Exact.d2(col("l_extendedprice")).as("extendedprice"),
+        Exact.d2(col("l_discount")).as("discount"),
+        Exact.d2(col("l_tax")).as("tax"))
+      d.unpivot(
+          Array(col("l_returnflag")),
+          Array(col("discount"), col("extendedprice"), col("quantity"), col("tax")),
+          "metric", "v")
+        .groupBy(col("l_returnflag"), col("metric"))
+        .agg(count(lit(1)).as("n_rows"), Exact.sumD(col("v")).as("total"))
+        .orderBy(col("l_returnflag"), col("metric"))
+    },
+    Some(s"""WITH m AS (
+      SELECT l_returnflag, 'discount' AS metric, ${OracleFragments.d2("l_discount")} AS v FROM lineitem
+      UNION ALL SELECT l_returnflag, 'extendedprice', ${OracleFragments.d2("l_extendedprice")} FROM lineitem
+      UNION ALL SELECT l_returnflag, 'quantity', ${OracleFragments.d2("l_quantity")} FROM lineitem
+      UNION ALL SELECT l_returnflag, 'tax', ${OracleFragments.d2("l_tax")} FROM lineitem)
+    SELECT l_returnflag, metric, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      ${OracleFragments.sumD("v")} AS total
+    FROM m GROUP BY l_returnflag, metric ORDER BY l_returnflag, metric"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qSessionWindow, qArrayFns, qMapFns, qPosexplode, qPivot, qAsof,
-      qAsofNative, qRangeJoin, qMath, qBitwise, qUdf, qQ02, qQ15, qLateral)
+      qAsofNative, qRangeJoin, qMath, qBitwise, qUdf, qQ02, qQ15, qLateral,
+      qUnpivot)
 }

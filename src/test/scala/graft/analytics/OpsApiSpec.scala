@@ -568,6 +568,20 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m == Map(1L -> "c", 3L -> "q", 4L -> "t2"), s"got $m")
   }
 
+  test("compactionPlan packs next-fit by size desc; invariant to partition count") {
+    import spark.implicits._
+    val files = Seq((1L, 70L), (2L, 50L), (3L, 40L), (4L, 30L), (5L, 10L))
+      .toDF("fid", "sz")
+    def plan(parts: Int) =
+      LayoutOps.compactionPlan(files, "fid", "sz", targetBytes = 100L,
+        parts = parts).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val expected = Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 1L)
+    assert(plan(1) == expected, s"got ${plan(1)}")
+    // distributed prefix sum must not depend on where range boundaries fall
+    assert(plan(3) == expected)
+    assert(plan(5) == expected)
+  }
+
   test("kCore peels below-threshold nodes; cascade removals propagate") {
     import spark.implicits._
     // path 1-2-3-4 hanging off a triangle 4-5-6: k=2 keeps only the
