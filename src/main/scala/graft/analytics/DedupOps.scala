@@ -830,7 +830,87 @@ object DedupOps {
       doc_id = MIN(doc_id) OVER (PARTITION BY domain) AS kept_domain
     FROM d ORDER BY doc_id"""))
 
+  // ------------------------------------------------- LSH recall harness
+  /** Pair-level recall of MinHash-LSH against the exact Jaccard ground
+    * truth — the dedup tier's analogue of the ANN tier's
+    * [[graft.analytics.SimilarityOps.annRecall]]: how many of the true
+    * near-dup pairs (exact n-gram Jaccard ≥ t, from the prefix-filtered
+    * [[ngramJaccard]]) does the banded [[minhashLsh]] recover? The gap is
+    * exactly the pairs whose signatures collide in NO band — the quantity
+    * the (k, bands) trade-off tunes — so this one-row readout is the
+    * scale-tuning instrument: rerun it when changing band geometry before
+    * committing a 100 TB dedup pass to it.
+    *
+    * Both inputs are the already-bucketed production operators (prefix
+    * index / band join) — the harness adds two pair-keyed semi-join-sized
+    * aggregates on top, no all-pairs work anywhere. Recall is emitted in
+    * basis points via integer division (cross-engine exact; no float
+    * ratio). Output: one row (n_exact, n_lsh, n_common, recall_bp).
+    */
+  def lshRecall(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", threshold: Double = 0.8,
+      k: Int = 16, bands: Int = 4): DataFrame = {
+    val exact = ngramJaccard(docs, idCol, textCol, threshold)
+      .select(col("d1"), col("d2"))
+    val lsh = minhashLsh(docs, idCol, textCol, k, bands, threshold)
+      .select(col("d1"), col("d2"))
+    val common = exact.join(lsh, Seq("d1", "d2"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+      .crossJoin(common.agg(count(lit(1)).as("n_common")))
+      .withColumn("recall_bp",
+        expr("CASE WHEN n_exact = 0 THEN 0L ELSE (10000 * n_common) div n_exact END"))
+  }
+
+  // One WITH chain running both pipelines: t/shl are shared verbatim, the
+  // minhash CTEs are suffixed m where names would clash with the ngram ones.
+  private val lshRecallSql = s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+    shl AS (SELECT doc_id, ${shinglesSql("toks")} AS sh FROM t),
+    hl AS (SELECT doc_id, list_sort(list_distinct(list_transform(sh, s -> ${h60Sql("s")}))) AS hs FROM shl),
+    px AS (SELECT doc_id,
+      unnest(list_slice(hs, 1, len(hs) - CAST(floor(0.8 * len(hs)) AS INTEGER) + 1)) AS ph FROM hl),
+    hot AS (SELECT ph FROM px GROUP BY ph HAVING COUNT(*) > $ShingleDfCap),
+    kept AS (SELECT * FROM px WHERE ph NOT IN (SELECT ph FROM hot)),
+    cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM kept a JOIN kept b ON a.ph = b.ph AND a.doc_id < b.doc_id),
+    v AS (SELECT d1, d2,
+      CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+        / (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))) AS jaccard
+      FROM cand JOIN hl x ON x.doc_id = d1 JOIN hl y ON y.doc_id = d2),
+    ex AS (SELECT d1, d2 FROM v WHERE jaccard >= 0.8),
+    shm AS (SELECT doc_id, unnest(sh) AS shingle FROM shl),
+    hsm AS (SELECT doc_id, ${h60Sql("shingle")} AS h FROM shm),
+    hashes AS (
+      SELECT doc_id, i,
+        MIN((${graft.functions.MinHashAffine.sqlListA(16)}[i + 1] * (h & ${graft.functions.MinHashAffine.Mask})
+          + ${graft.functions.MinHashAffine.sqlListB(16)}[i + 1]) % ${graft.functions.MinHashAffine.P}) AS m
+      FROM hsm CROSS JOIN generate_series(0, 15) t2(i) GROUP BY doc_id, i),
+    bands AS (
+      SELECT doc_id, i // 4 AS band, string_agg(m::VARCHAR, ',' ORDER BY i) AS bv
+      FROM hashes GROUP BY doc_id, i // 4),
+    candm AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+    verified AS (
+      SELECT d1, d2,
+        CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+          / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jaccard
+      FROM candm JOIN shl x ON x.doc_id = d1 JOIN shl y ON y.doc_id = d2),
+    lp AS (SELECT d1, d2 FROM verified WHERE jaccard >= 0.8),
+    cm AS (SELECT d1, d2 FROM ex INTERSECT SELECT d1, d2 FROM lp)
+    SELECT CAST((SELECT COUNT(*) FROM ex) AS BIGINT) AS n_exact,
+      CAST((SELECT COUNT(*) FROM lp) AS BIGINT) AS n_lsh,
+      CAST((SELECT COUNT(*) FROM cm) AS BIGINT) AS n_common,
+      CAST(CASE WHEN (SELECT COUNT(*) FROM ex) = 0 THEN 0
+        ELSE (10000 * (SELECT COUNT(*) FROM cm)) // (SELECT COUNT(*) FROM ex)
+      END AS BIGINT) AS recall_bp"""
+
+  private val qLshRecall = GraftQuery(
+    "qd_lsh_recall",
+    (s, dir) => lshRecall(Tables.documents(s, dir)),
+    Some(lshRecallSql))
+
   val queries: Seq[GraftQuery] =
     Seq(qExact, qNgram, qMinhash, qCrossContain, qSimhash, qEmbed, qClusters,
-      qCanonical, qSpans, qBloom, qUrlDedup)
+      qCanonical, qSpans, qBloom, qUrlDedup, qLshRecall)
 }

@@ -281,7 +281,58 @@ object EventsQueries {
       ${oSumD(od2("value"))} AS sum_value
     FROM events GROUP BY 1 ORDER BY bin"""))
 
+  /** Sequence-pattern match with a NEGATIVE condition — MATCH_RECOGNIZE's
+    * `A ... B` with no `C` between, per user: a 'view' that converts
+    * straight to a 'purchase' with no intervening 'error'. The forward
+    * scan is two conditional-min windows over the FOLLOWING frame (next
+    * purchase µs, next error µs after each event); a view matches iff the
+    * next purchase exists and precedes any next error. Negative
+    * conditions are exactly what the plain funnel join ([[qFunnel]])
+    * cannot express — min-join funnels see only earliest times, not
+    * intervening events.
+    *
+    * Scale shape: one user-key shuffle + in-partition sorted windows (the
+    * sessionize/SCD2 shape) — no self-joins, no per-pattern passes.
+    * (user_id, ts) is unique in the events data, so µs comparison is
+    * deterministic; event_id tie-breaks the frame order anyway.
+    */
+  private val qPattern = GraftQuery(
+    "qe_pattern_noerror",
+    (s, dir) => {
+      val wFwd = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(1, Window.unboundedFollowing)
+      Tables.events(s, dir)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("next_purchase_us",
+          min(when(col("event_type") === "purchase", col("us"))).over(wFwd))
+        .withColumn("next_error_us",
+          min(when(col("event_type") === "error", col("us"))).over(wFwd))
+        .filter(col("event_type") === "view" &&
+          col("next_purchase_us").isNotNull &&
+          (col("next_error_us").isNull ||
+            col("next_purchase_us") < col("next_error_us")))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_clean_conversions"),
+          min(col("us")).as("first_view_us"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH w AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+      MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+        OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_purchase_us,
+      MIN(CASE WHEN event_type = 'error' THEN epoch_us(ts) END)
+        OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_error_us
+    FROM events)
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_clean_conversions,
+      MIN(us) AS first_view_us
+    FROM w
+    WHERE event_type = 'view' AND next_purchase_us IS NOT NULL
+      AND (next_error_us IS NULL OR next_purchase_us < next_error_us)
+    GROUP BY user_id ORDER BY user_id"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qTumbling, qSliding, qSessions, qJson, qTopUsers, qDeltas, qZscore,
-      qFunnel, qRetention, qResample, qHistogram)
+      qFunnel, qRetention, qResample, qHistogram, qPattern)
 }

@@ -373,5 +373,73 @@ object GraphOps {
     (s, dir) => kCore(tradeEdges(s, dir), KcoreRounds),
     Some(kcoreSql))
 
-  def queries: Seq[GraftQuery] = Seq(qPageRank, qTriangles, qLpa, qKcore)
+  // ------------------------------------------------------ BFS reachability
+  /** Min-hop BFS labels from a seed set: every node reachable within
+    * `maxHops` gets its true hop distance (the frontier expansion visits a
+    * node first at its minimum distance, so no min-aggregation pass is
+    * needed afterwards).
+    *
+    * The Pregel-style shape: per hop, ONE hash join of the edge list with
+    * the current frontier (both keyed on node id) + one left-anti join
+    * against the visited set, lineage truncated per hop like [[pageRank]].
+    * The frontier is the only growing state and it's keyed uniformly; no
+    * driver-side loop over data, no per-hop count (a fixed horizon keeps
+    * the plan static — an exhausted frontier makes later hops cheap
+    * no-ops). This is the standard distributed BFS: at 1000 executors the
+    * per-hop cost is one shuffle of the frontier-matched edges, bounded by
+    * the edge partition sizes, never by the accumulated visited set (which
+    * only serves the anti-join, also keyed on node).
+    *
+    * Input contract: directed edge list (symmetrize for undirected
+    * semantics). Output: (node, hops) with hops = min #edges from any seed,
+    * 0 for the seeds themselves; unreachable nodes are absent.
+    */
+  def reachability(edgesIn: DataFrame, seeds: DataFrame, maxHops: Int = 3,
+      srcCol: String = "src", dstCol: String = "dst",
+      seedCol: String = "node"): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val edges = edgesIn.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint()
+    var visited = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("hops", lit(0L)).localCheckpoint()
+    var frontier = visited.select(col("node"))
+    for (h <- 1 to maxHops) {
+      val next = edges.join(frontier, edges("src") === frontier("node"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .withColumn("hops", lit(h.toLong))
+        .localCheckpoint()
+      visited = visited.unionByName(next).localCheckpoint()
+      frontier = next.select(col("node"))
+    }
+    visited
+  }
+
+  private val ReachHops = 3
+
+  // Oracle: bounded-depth recursive CTE. UNION (not UNION ALL) dedups
+  // (node, hops) pairs per level so the recursion can't blow up on the
+  // dense trade graph; MIN(hops) per node then equals the BFS label.
+  private val reachSql = s"""WITH RECURSIVE e0 AS (SELECT DISTINCT o_custkey * 2 AS src,
+      l_suppkey * 2 + 1 AS dst FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    r AS (
+      SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS hops FROM e WHERE src <= 8
+      UNION
+      SELECT e.dst AS node, r.hops + 1 AS hops
+      FROM r JOIN e ON e.src = r.node WHERE r.hops < $ReachHops)
+    SELECT node, MIN(hops) AS hops FROM r GROUP BY node ORDER BY hops, node"""
+
+  private val qReach = GraftQuery(
+    "qg_reachability",
+    (s, dir) => {
+      val e = tradeEdges(s, dir)
+      reachability(e, e.filter(col("src") <= 8).select(col("src").as("node")),
+          ReachHops)
+        .orderBy(col("hops"), col("node"))
+    },
+    Some(reachSql))
+
+  def queries: Seq[GraftQuery] =
+    Seq(qPageRank, qTriangles, qLpa, qKcore, qReach)
 }

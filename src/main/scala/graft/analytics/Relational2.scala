@@ -1,5 +1,6 @@
 package graft.analytics
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -550,8 +551,72 @@ object Relational2 {
       COUNT(*) AS n
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  // ------------------------------------------------------- 2-D skyline
+  /** Pareto frontier (skyline) of a 2-D min/max trade-off: the rows not
+    * dominated by any other (dominated = someone is ≤ on the minimized
+    * axis, ≥ on the maximized one, strict on at least one). The classic
+    * multi-objective shortlist query ("cheapest-for-its-size" parts).
+    *
+    * Distributed via the same two-level prefix-scan as
+    * [[LayoutOps.compactionPlan]], with MAX as the scan monoid instead of
+    * SUM: on the DISTINCT (minCol, maxCol) points ordered by (minCol ASC,
+    * maxCol DESC), a point survives iff the running max of maxCol over the
+    * strict prefix is below its own maxCol (an earlier equal-max point has
+    * strictly smaller minCol, an earlier larger-max point has ≤ minCol —
+    * both dominate; an earlier smaller-max point never does). The prefix
+    * max is computed distributed: range-partition on the total order,
+    * per-partition maxes (≤ P rows) get exclusive prefix maxes via a tiny
+    * window, each partition scans locally in parallel. No single-partition
+    * window over the data, no all-pairs dominance join — O(n log n)
+    * total work where the textbook NOT EXISTS formulation (the oracle,
+    * deliberately an independent formulation) is O(n²).
+    *
+    * Survivor points then re-join the input (broadcast — a skyline is
+    * small by nature) so tying rows all surface. Output: every input row
+    * on the frontier.
+    */
+  def skyline2d(rows: DataFrame, minCol: String, maxCol: String,
+      parts: Int = 0): DataFrame = {
+    val spark = rows.sparkSession
+    val p = if (parts > 0) parts
+      else spark.sessionState.conf.numShufflePartitions
+    val pts = rows.select(col(minCol).as("_mn"), col(maxCol).as("_mx"))
+      .distinct()
+      .repartitionByRange(p, col("_mn").asc, col("_mx").desc)
+      .withColumn("_pid", spark_partition_id())
+    val offsets = pts.groupBy(col("_pid")).agg(max(col("_mx")).as("_pmax"))
+      .withColumn("_off", max(col("_pmax")).over(
+        Window.orderBy(col("_pid")).rowsBetween(Window.unboundedPreceding, -1)))
+      .drop("_pmax")
+    val wLoc = Window.partitionBy(col("_pid"))
+      .orderBy(col("_mn").asc, col("_mx").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val survivors = pts.join(broadcast(offsets), "_pid")
+      .withColumn("_pref", greatest(max(col("_mx")).over(wLoc), col("_off")))
+      .filter(col("_pref").isNull || col("_pref") < col("_mx"))
+      .select(col("_mn"), col("_mx"))
+    rows.join(broadcast(survivors),
+      col(minCol) === col("_mn") && col(maxCol) === col("_mx"), "left_semi")
+  }
+
+  // greatest(null, x) = x and max().over(empty prefix) = null, so the very
+  // first point (no prefix anywhere) survives by the isNull arm — mirrored
+  // by the oracle's NOT EXISTS, which is vacuously true for it.
+  private val qSkyline = GraftQuery(
+    "qstat_skyline",
+    (s, dir) =>
+      skyline2d(Tables.part(s, dir), "p_retailprice", "p_size")
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+        .orderBy(col("p_retailprice"), col("p_partkey")),
+    Some("""SELECT p_partkey, p_retailprice, p_size FROM part p
+      WHERE NOT EXISTS (SELECT 1 FROM part q
+        WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+          AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+      ORDER BY p_retailprice, p_partkey"""))
+
   val queries: Seq[GraftQuery] = Seq(
     qVariance, qPercentileDisc, qPercentileCont, qCorr, qArgMax, qStrings, qStrings2,
     qDates, qDates2, qCollect, qRegexp, qBoolAgg,
-    qGroupingSets, qApproxDistinct, qQ11, qQ12, qQ20, qQ21, qNulls, qTopKAgg, qTypedAgg)
+    qGroupingSets, qApproxDistinct, qQ11, qQ12, qQ20, qQ21, qNulls, qTopKAgg, qTypedAgg,
+    qSkyline)
 }

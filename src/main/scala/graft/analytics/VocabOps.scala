@@ -413,6 +413,69 @@ object VocabOps {
     SELECT tok AS token, CAST(exact AS BIGINT) AS exact, CAST(est AS BIGINT) AS est
     FROM est ORDER BY exact DESC, token LIMIT 10"""))
 
+  // ---------------------------------------------------- phrase search
+  /** Exact phrase search over a positional inverted index — the
+    * "consecutive tokens" query a full-text scan can't answer without
+    * reading every document. One pass builds (doc, position, token)
+    * postings; postings matching ANY phrase slot are anchored by
+    * subtracting the slot index (an occurrence of the full phrase makes
+    * all its slots agree on one anchor position), and one uniform-key
+    * aggregation per (doc, anchor) counts distinct slots — full coverage
+    * = a match.
+    *
+    * Scale shape: the slot table (a few words) broadcasts, so the join is
+    * a map-side probe that PRUNES the postings stream to the phrase's
+    * tokens before anything shuffles — the shuffled volume is the posting
+    * lists of the queried words, not the corpus (the inverted-index
+    * selectivity argument; with a pre-materialized postings table the scan
+    * itself would also prune by token). One groupBy on (doc_id, anchor)
+    * — uniform key, map-side partials — then a per-doc rollup. Handles
+    * repeated words in the phrase naturally (a token can carry several
+    * slots; distinct-slot counting keeps coverage honest).
+    *
+    * Output: (doc_id, n_matches) for documents containing the phrase at
+    * least once, n_matches = number of distinct start positions.
+    */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val slots = phrase.zipWithIndex.toDF("token", "slot")
+    norm(docs, idCol, textCol)
+      .select(col("doc_id"), posexplode(expr(toksExpr)).as(Seq("pos", "token")))
+      .join(broadcast(slots), "token")
+      .select(col("doc_id"), (col("pos") - col("slot")).as("anchor"), col("slot"))
+      .groupBy(col("doc_id"), col("anchor"))
+      .agg(countDistinct(col("slot")).as("ns"))
+      .filter(col("ns") === phrase.length)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val PhraseWords = Seq("table", "hash")
+
+  private val phraseSql = {
+    val slotRows = PhraseWords.zipWithIndex
+      .map { case (w, i) => s"('$w', $i)" }.mkString(", ")
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+    p AS (SELECT doc_id, unnest(toks) AS token, generate_subscripts(toks, 1) - 1 AS pos FROM t),
+    sl (token, slot) AS (VALUES $slotRows),
+    m AS (SELECT doc_id, p.pos - sl.slot AS anchor, sl.slot
+      FROM p JOIN sl ON p.token = sl.token),
+    a AS (SELECT doc_id, anchor FROM m GROUP BY doc_id, anchor
+      HAVING COUNT(DISTINCT slot) = ${PhraseWords.length})
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+    FROM a GROUP BY doc_id ORDER BY doc_id"""
+  }
+
+  private val qPhrase = GraftQuery(
+    "qt_phrase_search",
+    (s, dir) => phraseSearch(Tables.documents(s, dir), PhraseWords),
+    Some(phraseSql))
+
   def queries: Seq[GraftQuery] =
-    Seq(qVocab, qKeywords, qEditDist, qBm25, qBpeTrain, qBpeTokenize, qCountMin)
+    Seq(qVocab, qKeywords, qEditDist, qBm25, qBpeTrain, qBpeTokenize, qCountMin,
+      qPhrase)
 }

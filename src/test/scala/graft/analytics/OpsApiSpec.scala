@@ -877,6 +877,72 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(uniq.getLong(1) == 3L && uniq.getLong(2) == 2L && !uniq.getBoolean(3))
   }
 
+  test("reachability labels min hops; unreachable nodes absent") {
+    import spark.implicits._
+    // 1→2→3→4 chain plus shortcut 1→3; 9→10 disconnected from the seed
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (9L, 10L))
+      .toDF("from", "to")
+    val seeds = Seq(1L).toDF("start")
+    val out = GraphOps.reachability(edges, seeds, maxHops = 2,
+        srcCol = "from", dstCol = "to", seedCol = "start")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 3 is reached at hop 1 via the shortcut, NOT hop 2; 4 at hop 2 via it
+    assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L), s"got $out")
+  }
+
+  test("incrementalAgg merge equals recompute; zero-count keys drop") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = Seq((1L, 2L, BigDecimal("10.00")), (2L, 1L, BigDecimal("5.00")))
+      .toDF("k", "n_rows", "total")
+    val changes = Seq(
+      (1L, BigDecimal("3.00"), "insert"),
+      (2L, BigDecimal("5.00"), "delete"),          // retracts key 2 entirely
+      (3L, BigDecimal("7.00"), "insert"))
+      .toDF("k", "value", "op")
+    val out = CdcOps.incrementalAgg(base, changes, "k")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDecimal(2).doubleValue)).toSet
+    assert(out == Set((1L, 3L, 13.0), (3L, 1L, 7.0)), s"got $out")
+  }
+
+  test("phraseSearch counts consecutive occurrences incl. repeated words") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b a b a"),      // "a b a" at anchors 0 and 2
+      (2L, "b a b"),          // "a b a" nowhere (needs a _ a spacing)
+      (3L, "x y z"))
+      .toDF("post_id", "body")
+    val out = VocabOps.phraseSearch(d, Seq("a", "b", "a"),
+        idCol = "post_id", textCol = "body")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L), s"got $out")
+  }
+
+  test("skyline2d keeps exactly the non-dominated rows; partition-invariant") {
+    import spark.implicits._
+    // (price, size): (1,5) and (2,7) frontier; (2,5) dominated by both;
+    // (3,7) dominated by (2,7); duplicate of a frontier point survives too
+    val rows = Seq((100L, 1.0, 5), (101L, 2.0, 7), (102L, 2.0, 5),
+      (103L, 3.0, 7), (104L, 1.0, 5)).toDF("id", "price", "sz")
+    def run(parts: Int) = Relational2.skyline2d(rows, "price", "sz", parts)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val expected = Set(100L, 101L, 104L)
+    assert(run(1) == expected, s"got ${run(1)}")
+    assert(run(3) == expected)
+    assert(run(7) == expected)
+  }
+
+  test("lshRecall emits consistent pair counts on a custom-named frame") {
+    val out = DedupOps.lshRecall(docs, idCol = "post_id", textCol = "body")
+      .head()
+    val (nExact, nLsh, nCommon, bp) =
+      (out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3))
+    // 10/11 are exact dups -> at least that pair is a true near-dup
+    assert(nExact >= 1 && nCommon <= math.min(nExact, nLsh))
+    assert(bp == (if (nExact == 0) 0L else 10000L * nCommon / nExact))
+  }
+
   test("distillFilter learns its labeling rule with >= 0.9 fidelity on custom columns") {
     import org.apache.spark.sql.functions.{expr, size}
     val d = Tables.documents(spark, "/root/testdata/sf0.001")
