@@ -332,7 +332,42 @@ object EventsQueries {
       AND (next_error_us IS NULL OR next_purchase_us < next_error_us)
     GROUP BY user_id ORDER BY user_id"""))
 
+  /** First-order Markov transition matrix of event types: per user, each
+    * event's successor (LEAD over the time order), then global
+    * (from, to) counts and row-normalized transition probabilities in
+    * basis points (integer division — cross-engine exact, no float
+    * ratios). The behavioral-model summary (what follows what) that
+    * sequence-aware sampling and anomaly scoring start from.
+    *
+    * Scale shape: one user-key shuffle + in-partition LEAD (the
+    * sessionize shape), one uniform-key (from, to) aggregation; the
+    * normalizing row-total window runs over the |types|² aggregated
+    * matrix, not the events.
+    */
+  private val qTransitions = GraftQuery(
+    "qe_transition_matrix",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val m = Tables.events(s, dir)
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      m.withColumn("p_bp",
+          expr("(10000 * n) div sum(n) over (partition by from_type)"))
+        .orderBy(col("from_type"), col("to_type"))
+    },
+    Some("""WITH s AS (SELECT user_id, event_type,
+      LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+    FROM events),
+    m AS (SELECT event_type AS from_type, to_type, COUNT(*) AS n
+      FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2)
+    SELECT from_type, to_type, n,
+      CAST((10000 * n) // SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_bp
+    FROM m ORDER BY from_type, to_type"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qTumbling, qSliding, qSessions, qJson, qTopUsers, qDeltas, qZscore,
-      qFunnel, qRetention, qResample, qHistogram, qPattern)
+      qFunnel, qRetention, qResample, qHistogram, qPattern, qTransitions)
 }

@@ -178,5 +178,73 @@ object LayoutOps {
     },
     Some(zorderSql))
 
-  val queries: Seq[GraftQuery] = Seq(qZorder, qCompaction)
+  /** Zonemap (file min/max) skipping readout: for each candidate layout
+    * (a "file id" expression simulating how rows would be grouped into
+    * files), compute every file's min/max zonemap on `valueCol` and
+    * report how many files — and how many rows — a range predicate
+    * `[lo, hi)` would have to read. The planning-time answer to "is this
+    * layout worth writing": a value-clustered layout reads only the
+    * overlapping files, a hash layout reads ~all of them, and the
+    * `n_rows_match` column (identical across layouts) shows the true
+    * selectivity the best possible layout would approach.
+    *
+    * Scale shape: one pass per layout — a map-only projection to
+    * (file_id, value) and an aggregation on the (uniform) file key, then
+    * a 1-row rollup; zonemaps are metadata-sized (one row per file).
+    * This is exactly the pruning arithmetic engines run against parquet
+    * footers / Iceberg manifests, surfaced as a query so layouts can be
+    * compared BEFORE paying for the rewrite ([[zorderLayout]],
+    * [[compactionPlan]] are the write side).
+    */
+  def zonemapSkipping(df: DataFrame, valueCol: String,
+      layouts: Seq[(String, Column)], lo: Column, hi: Column): DataFrame = {
+    require(layouts.nonEmpty, "at least one layout required")
+    layouts.map { case (name, fileExpr) =>
+      df.select(fileExpr.as("file_id"), col(valueCol).as("_v"))
+        .groupBy(col("file_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("_v") >= lo && col("_v") < hi, 1L).otherwise(0L)).as("n_match"),
+          min(col("_v")).as("_mn"), max(col("_v")).as("_mx"))
+        .withColumn("_read", col("_mx") >= lo && col("_mn") < hi)
+        .groupBy()
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(col("_read"), 1L).otherwise(0L)).as("n_files_read"),
+          sum(col("n_rows")).as("n_rows_total"),
+          sum(when(col("_read"), col("n_rows")).otherwise(0L)).as("n_rows_scanned"),
+          sum(col("n_match")).as("n_rows_match"))
+        .select(lit(name).as("layout"), col("n_files"), col("n_files_read"),
+          col("n_rows_total"), col("n_rows_scanned"), col("n_rows_match"))
+    }.reduce(_ unionByName _).orderBy(col("layout"))
+  }
+
+  // Shipdate-month clustering vs orderkey hashing, probed with a one-
+  // quarter shipdate predicate: the clustered layout reads 3-4 files of
+  // ~84, the hash layout reads all 64 — the numeric case for time-
+  // partitioning fact tables.
+  private val ZmLo = "1999-01-01 00:00:00"
+  private val ZmHi = "1999-04-01 00:00:00"
+
+  private def zmLayoutSql(name: String, fileExpr: String) =
+    s"""SELECT '$name' AS layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+      CAST(SUM(CASE WHEN mx >= TIMESTAMP '$ZmLo' AND mn < TIMESTAMP '$ZmHi' THEN 1 ELSE 0 END) AS BIGINT) AS n_files_read,
+      CAST(SUM(n_rows) AS BIGINT) AS n_rows_total,
+      CAST(SUM(CASE WHEN mx >= TIMESTAMP '$ZmLo' AND mn < TIMESTAMP '$ZmHi' THEN n_rows ELSE 0 END) AS BIGINT) AS n_rows_scanned,
+      CAST(SUM(n_match) AS BIGINT) AS n_rows_match
+    FROM (SELECT $fileExpr AS file_id, COUNT(*) AS n_rows,
+        SUM(CASE WHEN l_shipdate >= TIMESTAMP '$ZmLo' AND l_shipdate < TIMESTAMP '$ZmHi' THEN 1 ELSE 0 END) AS n_match,
+        MIN(l_shipdate) AS mn, MAX(l_shipdate) AS mx
+      FROM lineitem GROUP BY 1)"""
+
+  private val qZonemap = GraftQuery(
+    "qlayout_zonemap",
+    (s, dir) => zonemapSkipping(Tables.lineitem(s, dir), "l_shipdate",
+      Seq("clustered_by_month" -> date_trunc("month", col("l_shipdate")),
+        "hashed_by_orderkey" -> (col("l_orderkey") % 64)),
+      lit(ZmLo).cast("timestamp"), lit(ZmHi).cast("timestamp")),
+    Some(s"""${zmLayoutSql("clustered_by_month", "date_trunc('month', l_shipdate)")}
+      UNION ALL
+      ${zmLayoutSql("hashed_by_orderkey", "l_orderkey % 64")}
+      ORDER BY layout"""))
+
+  val queries: Seq[GraftQuery] = Seq(qZorder, qCompaction, qZonemap)
 }

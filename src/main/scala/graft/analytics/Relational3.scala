@@ -1,5 +1,7 @@
 package graft.analytics
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.api.GraftQuery
@@ -418,8 +420,54 @@ object Relational3 {
       ${OracleFragments.sumD("v")} AS total
     FROM m GROUP BY l_returnflag, metric ORDER BY l_returnflag, metric"""))
 
+  // ------------------------------------------- market-basket co-occurrence
+  /** Top-k co-occurring items per item ("bought together"): distinct
+    * (basket, item) pairs self-joined on the basket key, pair counts, then
+    * a per-item top-k. The workhorse of co-visitation / co-purchase
+    * recommendation candidate generation.
+    *
+    * Scale shape: the self-join is keyed on the basket id and fans out
+    * s·(s−1) pairs per basket — bounded by the square of the LARGEST
+    * basket, not the corpus (the same bounded-fan-out argument as the
+    * SimHash chunk join; cap or sample oversized baskets upstream if the
+    * domain allows them). Pair counting is a uniform-key aggregation with
+    * map-side partials; the per-item top-k is a window that rewrites to
+    * WindowGroupLimit (per-partition partial top-k before the item
+    * exchange), never a global sort.
+    *
+    * Output: (item, co_item, n_groups, rk) with rk ∈ [1, k], ties broken
+    * by co_item for cross-engine determinism.
+    */
+  def coOccurrenceTopK(rows: DataFrame, groupCol: String, itemCol: String,
+      k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val b = rows.select(col(groupCol).as("g"), col(itemCol).as("item")).distinct()
+    val pairs = b.as("a")
+      .join(b.as("b"), col("a.g") === col("b.g") && col("a.item") =!= col("b.item"))
+      .groupBy(col("a.item").as("item"), col("b.item").as("co_item"))
+      .agg(count(lit(1)).as("n_groups"))
+    val w = Window.partitionBy(col("item"))
+      .orderBy(col("n_groups").desc, col("co_item"))
+    pairs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .orderBy(col("item"), col("rk"))
+  }
+
+  private val qCoPurchase = GraftQuery(
+    "qj_copurchase_topk",
+    (s, dir) => coOccurrenceTopK(Tables.lineitem(s, dir),
+      "l_orderkey", "l_partkey"),
+    Some("""WITH b AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem),
+      p AS (SELECT x.item AS item, y.item AS co_item, COUNT(*) AS n_groups
+        FROM b x JOIN b y ON x.g = y.g AND x.item <> y.item GROUP BY 1, 2),
+      r AS (SELECT item, co_item, n_groups,
+        ROW_NUMBER() OVER (PARTITION BY item ORDER BY n_groups DESC, co_item) AS rk
+        FROM p)
+      SELECT item, co_item, n_groups, CAST(rk AS BIGINT) AS rk
+      FROM r WHERE rk <= 3 ORDER BY item, rk"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qSessionWindow, qArrayFns, qMapFns, qPosexplode, qPivot, qAsof,
       qAsofNative, qRangeJoin, qMath, qBitwise, qUdf, qQ02, qQ15, qLateral,
-      qUnpivot)
+      qUnpivot, qCoPurchase)
 }

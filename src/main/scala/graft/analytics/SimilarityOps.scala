@@ -1010,6 +1010,55 @@ object SimilarityOps {
       UNION ALL ${recallBranchSql("pq", pqSql)}
       UNION ALL ${recallBranchSql("rp", rpSql)} ORDER BY method"""))
 
+  /** Mean reciprocal rank of the TRUE nearest neighbor inside an
+    * approximate top-k list — the ranking-quality complement of
+    * [[annRecall]] (recall counts set overlap anywhere in the list; MRR
+    * asks "and was the right answer near the top?"). Emitted in integer
+    * micro-units (1e6/rank, integer division, then the mean as one more
+    * integer division) so the metric is cross-engine exact — no float
+    * ratio chains. Same scale shape as annRecall: a join of two
+    * |Q|-row / k·|Q|-row frames, never the corpus.
+    *
+    * Output: one row (n_queries, n_hit, mrr_micro); mrr_micro ≈
+    * MRR·1e6, truncated.
+    */
+  def retrievalMrr(exact: org.apache.spark.sql.DataFrame,
+      approx: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    exact.filter(col("rank") === 1)
+      .select(col("query_id"), col("cand_id"))
+      .join(approx.select(col("query_id"), col("cand_id"),
+        col("rank").as("arank")), Seq("query_id", "cand_id"), "left")
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("arank").isNotNull, 1L).otherwise(0L)).as("n_hit"),
+        sum(coalesce(expr("1000000L div arank"), lit(0L))).as("_rr"))
+      .select(col("n_queries"), col("n_hit"),
+        expr("_rr div n_queries").as("mrr_micro"))
+
+  private def mrrBranchSql(method: String, approxSql: String) =
+    s"""SELECT '$method' AS method,
+      CAST(COUNT(*) AS BIGINT) AS n_queries,
+      CAST(SUM(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+      CAST(SUM(COALESCE(1000000 // a.rank, 0)) // COUNT(*) AS BIGINT) AS mrr_micro
+      FROM (SELECT query_id, cand_id FROM ($bruteSql) WHERE rank = 1) e
+      LEFT JOIN ($approxSql) a
+      ON e.query_id = a.query_id AND e.cand_id = a.cand_id"""
+
+  private val qMrr = GraftQuery(
+    "qs_retrieval_mrr",
+    (s, dir) => {
+      val corpus = Tables.embeddings(s, dir)
+      val q = corpus.filter(col("vec_id") < NQ)
+      // the exact top-1 is shared by both method branches — barrier it
+      val exact = cosineTopK(corpus, q, K).localCheckpoint()
+      retrievalMrr(exact, annLsh(corpus, q, K)).withColumn("method", lit("lsh"))
+        .unionByName(
+          retrievalMrr(exact, annIvf(corpus, q, K)).withColumn("method", lit("ivf")))
+        .select(col("method"), col("n_queries"), col("n_hit"), col("mrr_micro"))
+        .orderBy(col("method"))
+    },
+    Some(s"""${mrrBranchSql("lsh", lshSql)}
+      UNION ALL ${mrrBranchSql("ivf", ivfSql)} ORDER BY method"""))
+
   /** int8 scalar-quantized top-k — the memory-bandwidth scale path real
     * vector stores use (FAISS `SQ8`): each vector is quantized once,
     * map-only, to `round(x·127/maxabs)` ∈ [-127, 127]; candidates are
@@ -1532,6 +1581,6 @@ object SimilarityOps {
     Some(mmrSql))
 
   val queries: Seq[GraftQuery] = Seq(qBrute, qAnnLsh, qAnnIvf, qAnnIvfTrained,
-    qAnnLshMp, qAnnFiltered, qRecall, qSq, qSqPacked, qCentroids, qKmeans,
+    qAnnLshMp, qAnnFiltered, qRecall, qMrr, qSq, qSqPacked, qCentroids, qKmeans,
     qOutliers, qSemDedup, qPq, qIvfPq, qIvfPqRes, qKnn, qRp, qMmr)
 }

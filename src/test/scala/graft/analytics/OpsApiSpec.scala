@@ -943,6 +943,32 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bp == (if (nExact == 0) 0L else 10000L * nCommon / nExact))
   }
 
+  test("coOccurrenceTopK ranks by count then item; excludes self-pairs") {
+    import spark.implicits._
+    // baskets: {1,2,3}, {1,2}, {1,3} -> for item 1: 2 co-occurs 2x, 3 co-occurs 2x
+    val b = Seq((10L, 1L), (10L, 2L), (10L, 3L), (11L, 1L), (11L, 2L),
+      (12L, 1L), (12L, 3L)).toDF("basket", "sku")
+    val out = Relational3.coOccurrenceTopK(b, "basket", "sku", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val item1 = out.filter(_._1 == 1L).toList
+    assert(item1 == List((1L, 2L, 2L, 1), (1L, 3L, 2L, 2)), s"got $item1")
+    assert(!out.exists(r => r._1 == r._2), "self-pair leaked")
+  }
+
+  test("zonemapSkipping: clustered layout prunes, scattered layout reads all") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = (0L until 100L).map(i => (i, i / 10)).toDF("v", "tens")
+    val out = LayoutOps.zonemapSkipping(rows, "v",
+        Seq("clustered" -> col("tens"), "scattered" -> (col("v") % 10)),
+        lit(20L), lit(40L))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5))).toMap
+    // clustered: files 2 and 3 only; scattered: every file spans [0,99]
+    assert(out("clustered") == ((10L, 2L, 20L, 20L)), s"got ${out("clustered")}")
+    assert(out("scattered") == ((10L, 10L, 100L, 20L)), s"got ${out("scattered")}")
+  }
+
   test("distillFilter learns its labeling rule with >= 0.9 fidelity on custom columns") {
     import org.apache.spark.sql.functions.{expr, size}
     val d = Tables.documents(spark, "/root/testdata/sf0.001")
