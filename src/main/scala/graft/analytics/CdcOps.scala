@@ -270,5 +270,80 @@ object CdcOps {
     },
     Some(incrSql))
 
-  val queries: Seq[GraftQuery] = Seq(qScd2, qMerge, qIncrAgg)
+  /** Snapshot diff — the audit view of two keyed table versions: per key,
+    * `added` (only in `after`), `removed` (only in `before`), or
+    * `changed` (present in both, any non-key column differs, null-safe).
+    * The "what did this merge/backfill actually do" query every
+    * lakehouse exposes as table_changes/DESCRIBE HISTORY, computed here
+    * from the two states directly.
+    *
+    * One full-outer hash join on the (uniform) key; column comparison is
+    * a null-safe conjunction evaluated in the join's projection — no
+    * second pass, no hashing of rows into strings. Unchanged keys are
+    * dropped. Output: (key, change_type) plus the before/after values of
+    * `carryCols` for human consumption.
+    */
+  def snapshotDiff(before: DataFrame, after: DataFrame, key: String,
+      carryCols: Seq[String] = Nil): DataFrame = {
+    val cols = before.columns.filterNot(_ == key).toSeq
+    require(cols == after.columns.filterNot(_ == key).toSeq,
+      s"schemas differ: ${before.columns.toSeq} vs ${after.columns.toSeq}")
+    val b = before.select(col(key).as("_bk") +: cols.map(c => col(c).as(s"_b_$c")): _*)
+    val a = after.select(col(key).as("_ak") +: cols.map(c => col(c).as(s"_a_$c")): _*)
+    val anyDiff = cols.map(c => !(col(s"_b_$c") <=> col(s"_a_$c")))
+      .reduce(_ || _)
+    b.join(a, col("_bk") === col("_ak"), "full_outer")
+      .withColumn("change_type",
+        when(col("_bk").isNull, lit("added"))
+          .when(col("_ak").isNull, lit("removed"))
+          .when(anyDiff, lit("changed")))
+      .filter(col("change_type").isNotNull)
+      .select(coalesce(col("_bk"), col("_ak")).as(key) +: col("change_type") +:
+        carryCols.flatMap(c =>
+          Seq(col(s"_b_$c").as(s"old_$c"), col(s"_a_$c").as(s"new_$c"))): _*)
+  }
+
+  /** Profile-state diff across the merge cutoff: what the post-cutoff
+    * changelog increment did to each user's latest-wins row.
+    */
+  private val diffSql = s"""WITH ch AS (SELECT user_id, event_type, value, ts, event_id,
+      CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op
+    FROM events),
+    b AS (SELECT user_id, event_type, value, ts FROM (
+      SELECT user_id, event_type, value, ts, op,
+        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM ch WHERE ts < TIMESTAMP '$MergeCutoff') t WHERE rn = 1 AND op <> 'delete'),
+    a AS (SELECT user_id, event_type, value, ts FROM (
+      SELECT user_id, event_type, value, ts, op,
+        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM ch) t WHERE rn = 1 AND op <> 'delete')
+    SELECT COALESCE(b.user_id, a.user_id) AS user_id,
+      CASE WHEN b.user_id IS NULL THEN 'added'
+        WHEN a.user_id IS NULL THEN 'removed' ELSE 'changed' END AS change_type,
+      b.event_type AS old_event_type, a.event_type AS new_event_type
+    FROM b FULL JOIN a ON b.user_id = a.user_id
+    WHERE b.user_id IS NULL OR a.user_id IS NULL
+      OR b.event_type IS DISTINCT FROM a.event_type
+      OR b.value IS DISTINCT FROM a.value
+      OR b.ts IS DISTINCT FROM a.ts
+    ORDER BY user_id"""
+
+  private val qDiff = GraftQuery(
+    "qcdc_snapshot_diff",
+    (s, dir) => {
+      val log = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("value"), col("ts"),
+          col("event_id"),
+          when(col("event_type") === "error", lit("delete"))
+            .otherwise(lit("upsert")).as("op"))
+      val cut = lit(MergeCutoff).cast("timestamp")
+      def state(df: DataFrame) =
+        changelogState(df, "user_id", "ts", "event_id").drop("event_id")
+      snapshotDiff(state(log.filter(col("ts") < cut)), state(log),
+          "user_id", carryCols = Seq("event_type"))
+        .orderBy(col("user_id"))
+    },
+    Some(diffSql))
+
+  val queries: Seq[GraftQuery] = Seq(qScd2, qMerge, qIncrAgg, qDiff)
 }

@@ -367,7 +367,55 @@ object EventsQueries {
       CAST((10000 * n) // SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_bp
     FROM m ORDER BY from_type, to_type"""))
 
+  /** Exponentially-decayed moving average over each user's last 8 values
+    * — EWMA with α = 0.9 decay, EXACT: the float recurrence
+    * Σ value·αʲ is not cross-engine reproducible, so the horizon is
+    * truncated at 8 lags and every term is integer — value in cents,
+    * weight αʲ·10⁷ = 9ʲ·10⁷⁻ʲ (exactly representable as BIGINT). The
+    * result is a deterministic fixed-point number (scale = cents·10⁷,
+    * normalizer emitted alongside), the same exact-arithmetic convention
+    * as PageRank's fixed-point ranks. An 8-step horizon retains ≥ 57% of
+    * the infinite-sum mass at α = 0.9 and 100% reproducibility.
+    *
+    * Scale shape: one user-key shuffle, one in-partition window with 8
+    * LAGs evaluated in a single Window operator — the sessionize shape.
+    */
+  private val qDecayWma = GraftQuery(
+    "qe_decay_wma",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val cents = round(col("value") * 100).cast("bigint")
+      val terms = (0 until 8).map { j =>
+        val wj = math.pow(9, j).toLong * math.pow(10, 7 - j).toLong
+        (coalesce(lag(cents, j).over(w), lit(0L)) * wj,
+          when(lag(cents, j).over(w).isNotNull, wj).otherwise(lit(0L)))
+      }
+      Tables.events(s, dir)
+        .withColumn("wma_scaled", terms.map(_._1).reduce(_ + _))
+        .withColumn("weight_sum", terms.map(_._2).reduce(_ + _))
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("wma_scaled"), col("weight_sum"))
+        .orderBy(col("user_id"), col("us"))
+    },
+    Some {
+      val lagTerms = (0 until 8).map { j =>
+        val wj = math.pow(9, j).toLong * math.pow(10, 7 - j).toLong
+        (s"COALESCE(LAG(cents, $j) OVER w, 0) * $wj",
+          s"CASE WHEN LAG(cents, $j) OVER w IS NOT NULL THEN $wj ELSE 0 END")
+      }
+      s"""WITH c AS (SELECT user_id, ts, event_id,
+        CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+      SELECT user_id, epoch_us(ts) AS us,
+        ${lagTerms.map(_._1).mkString(" + ")} AS wma_scaled,
+        ${lagTerms.map(_._2).mkString(" + ")} AS weight_sum
+      FROM c
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, us"""
+    })
+
   val queries: Seq[GraftQuery] =
     Seq(qTumbling, qSliding, qSessions, qJson, qTopUsers, qDeltas, qZscore,
-      qFunnel, qRetention, qResample, qHistogram, qPattern, qTransitions)
+      qFunnel, qRetention, qResample, qHistogram, qPattern, qTransitions,
+      qDecayWma)
 }

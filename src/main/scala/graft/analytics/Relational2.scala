@@ -614,9 +614,46 @@ object Relational2 {
           AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
       ORDER BY p_retailprice, p_partkey"""))
 
+  /** HLL sketches as FIRST-CLASS columns (Datasketches `hll_sketch_agg` /
+    * `hll_union_agg` / `hll_sketch_estimate`): per-group sketches built
+    * once, then MERGED — not recomputed — for the rollup row. This is the
+    * warehouse pattern for pre-aggregated distinct counts at 100 TB:
+    * store a sketch per (day, dimension) partition, answer any
+    * coarser-grain distinct-count query by unioning sketches (mergeable,
+    * unlike exact distinct counts), never rescanning the facts. The union
+    * of same-lgK HLL sketches is lossless, so the merged estimate equals
+    * the directly-built global sketch's — OpsApiSpec pins that identity;
+    * exact counts ride along here to expose the approximation error.
+    *
+    * No DuckDB oracle: the sketch estimate is engine-specific by nature
+    * (driver records the weaker rows-only check); the ScalaTest pin
+    * carries the correctness argument (merge identity + error bound).
+    */
+  private val qHllSketch = GraftQuery(
+    "qagg_hll_sketch",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val perType = e.groupBy(col("event_type"))
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"),
+          countDistinct(col("user_id")).as("exact_users"))
+      val rollup = perType
+        .agg(expr("hll_union_agg(sk, false)").as("sk"))
+        .crossJoin(e.agg(countDistinct(col("user_id")).as("exact_users")))
+        .select(lit("ALL (merged sketches)").as("event_type"),
+          expr("hll_sketch_estimate(sk)").as("approx_users"),
+          col("exact_users"))
+      perType
+        .select(col("event_type"),
+          expr("hll_sketch_estimate(sk)").as("approx_users"),
+          col("exact_users"))
+        .unionByName(rollup)
+        .orderBy(col("event_type"))
+    },
+    None)
+
   val queries: Seq[GraftQuery] = Seq(
     qVariance, qPercentileDisc, qPercentileCont, qCorr, qArgMax, qStrings, qStrings2,
     qDates, qDates2, qCollect, qRegexp, qBoolAgg,
     qGroupingSets, qApproxDistinct, qQ11, qQ12, qQ20, qQ21, qNulls, qTopKAgg, qTypedAgg,
-    qSkyline)
+    qSkyline, qHllSketch)
 }

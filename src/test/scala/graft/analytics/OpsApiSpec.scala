@@ -969,6 +969,34 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("scattered") == ((10L, 10L, 100L, 20L)), s"got ${out("scattered")}")
   }
 
+  test("snapshotDiff classifies added/removed/changed; unchanged dropped") {
+    import spark.implicits._
+    val before = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("k", "s", "v")
+    val after = Seq((2L, "b", 2.0), (3L, "cc", 3.0), (4L, "d", 4.0))
+      .toDF("k", "s", "v")
+    val out = CdcOps.snapshotDiff(before, after, "k", carryCols = Seq("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set((1L, "removed"), (3L, "changed"), (4L, "added")),
+      s"got $out")
+  }
+
+  test("HLL sketch union of per-group sketches equals the global sketch estimate") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 10k distinct ids across 4 groups — large enough that HLL actually
+    // approximates (estimate != exact), so the merge identity is a real pin
+    val df = (0L until 10000L).map(i => (i, i % 4)).toDF("id", "g")
+    val merged = df.groupBy(col("g")).agg(expr("hll_sketch_agg(id, 12)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est"))
+      .head().getLong(0)
+    val direct = df.agg(expr("hll_sketch_estimate(hll_sketch_agg(id, 12))"))
+      .head().getLong(0)
+    assert(merged == direct, s"union-merged $merged != direct $direct")
+    // lgK=12 keeps relative error ~1.6%; allow 5%
+    assert(math.abs(merged - 10000L) <= 500, s"estimate $merged off by >5%")
+  }
+
   test("distillFilter learns its labeling rule with >= 0.9 fidelity on custom columns") {
     import org.apache.spark.sql.functions.{expr, size}
     val d = Tables.documents(spark, "/root/testdata/sf0.001")
