@@ -651,9 +651,32 @@ object Relational2 {
     },
     None)
 
+  // Deterministic per-group mode: Spark's mode() picks an ARBITRARY value
+  // on frequency ties, so the selection goes through the max(struct(cnt,
+  // -value)) idiom (the LPA tie-break) — highest count, then smallest
+  // value, engine-independent. Two uniform-key aggregations, the second
+  // over |groups|·|distinct values| rows.
+  private val qMode = GraftQuery(
+    "qstat_mode",
+    (s, dir) => Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_quantity").cast("bigint").as("q"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("l_returnflag"))
+      .agg(max(struct(col("cnt"), (-col("q")).as("nq"))).as("m"))
+      .select(col("l_returnflag"), (-col("m.nq")).as("mode_qty"),
+        col("m.cnt").as("n"))
+      .orderBy(col("l_returnflag")),
+    Some("""WITH c AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+        COUNT(*) AS cnt FROM lineitem GROUP BY 1, 2),
+      r AS (SELECT l_returnflag, q, cnt,
+        ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY cnt DESC, q) AS rk
+        FROM c)
+      SELECT l_returnflag, q AS mode_qty, cnt AS n
+      FROM r WHERE rk = 1 ORDER BY l_returnflag"""))
+
   val queries: Seq[GraftQuery] = Seq(
     qVariance, qPercentileDisc, qPercentileCont, qCorr, qArgMax, qStrings, qStrings2,
     qDates, qDates2, qCollect, qRegexp, qBoolAgg,
     qGroupingSets, qApproxDistinct, qQ11, qQ12, qQ20, qQ21, qNulls, qTopKAgg, qTypedAgg,
-    qSkyline, qHllSketch)
+    qSkyline, qHllSketch, qMode)
 }

@@ -466,8 +466,95 @@ object Relational3 {
       SELECT item, co_item, n_groups, CAST(rk AS BIGINT) AS rk
       FROM r WHERE rk <= 3 ORDER BY item, rk"""))
 
+  // ---------------------------------------------- interval overlap join
+  /** Generic interval-overlap join via BUCKET DECOMPOSITION — the
+    * scalable plan for `l.start ≤ r.end AND r.start ≤ l.end` when
+    * neither side is small enough to broadcast (where a band join like
+    * [[qRangeJoin]]'s or a BNLJ would be quadratic): each interval
+    * explodes to the fixed-width time buckets it covers, the two sides
+    * HASH-join on the bucket key, duplicate pairs from multi-bucket
+    * overlaps collapse with one distinct, and the exact overlap
+    * predicate verifies survivors. Fan-out per row = interval length /
+    * `bucketUs` — pick the bucket near the median interval length so
+    * fan-out is O(1) and the join stays a uniform-key hash join at any
+    * corpus size (the standard spatial-grid / temporal-binning join).
+    *
+    * Bounds are epoch-µs BIGINTs; every non-bound column of both inputs
+    * is carried through (keep a unique id per interval on each side — the
+    * pair-level distinct relies on it). Output: one row per overlapping
+    * (left, right) pair.
+    */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, s"bucketUs must be > 0, got $bucketUs")
+    def explodeBuckets(df: DataFrame, s: String, e: String) =
+      df.withColumn("_bk",
+        explode(expr(s"sequence($s div ${bucketUs}L, $e div ${bucketUs}L)")))
+    explodeBuckets(left, lStart, lEnd)
+      .join(explodeBuckets(right, rStart, rEnd), "_bk")
+      .drop("_bk")
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .distinct()
+  }
+
+  // Session intervals (30-min-gap sessionize) joined to error-burst
+  // incident windows (hours with ≥ 8 error events, spanning first..last
+  // error in the hour): "which sessions were exposed to an incident".
+  // Overlap length emitted in exact µs.
+  private val qIntervalOverlap = GraftQuery(
+    "qj_interval_overlap",
+    (s, dir) => {
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sessions = Tables.events(s, dir)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev_us", lag(col("us"), 1).over(wOrd))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_sess")).over(wRun))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("us")).as("s_start_us"), max(col("us")).as("s_end_us"))
+      val incidents = Tables.events(s, dir)
+        .filter(col("event_type") === "error")
+        .withColumn("us", unix_micros(col("ts")))
+        .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("inc_hour_us"))
+        .agg(count(lit(1)).as("n_errors"),
+          min(col("us")).as("i_start_us"), max(col("us")).as("i_end_us"))
+        .filter(col("n_errors") >= 8)
+        .drop("n_errors")
+      intervalOverlapJoin(sessions, incidents,
+          "s_start_us", "s_end_us", "i_start_us", "i_end_us", 3600000000L)
+        .select(col("user_id"), col("session_id"), col("inc_hour_us"),
+          (least(col("s_end_us"), col("i_end_us"))
+            - greatest(col("s_start_us"), col("i_start_us"))).as("overlap_us"))
+        .orderBy(col("user_id"), col("session_id"), col("inc_hour_us"))
+    },
+    Some("""WITH g AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+        LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events),
+    m AS (SELECT user_id, event_id, us,
+      CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
+      FROM g),
+    sess AS (SELECT user_id, us,
+      CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM m),
+    sIv AS (SELECT user_id, session_id, MIN(us) AS s_start_us, MAX(us) AS s_end_us
+      FROM sess GROUP BY user_id, session_id),
+    inc AS (SELECT epoch_us(date_trunc('hour', ts)) AS inc_hour_us,
+        COUNT(*) AS n_errors, MIN(epoch_us(ts)) AS i_start_us, MAX(epoch_us(ts)) AS i_end_us
+      FROM events WHERE event_type = 'error' GROUP BY 1 HAVING COUNT(*) >= 8)
+    SELECT s.user_id, s.session_id, i.inc_hour_us,
+      LEAST(s.s_end_us, i.i_end_us) - GREATEST(s.s_start_us, i.i_start_us) AS overlap_us
+    FROM sIv s JOIN inc i
+      ON s.s_start_us <= i.i_end_us AND i.i_start_us <= s.s_end_us
+    ORDER BY s.user_id, s.session_id, i.inc_hour_us"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qSessionWindow, qArrayFns, qMapFns, qPosexplode, qPivot, qAsof,
       qAsofNative, qRangeJoin, qMath, qBitwise, qUdf, qQ02, qQ15, qLateral,
-      qUnpivot, qCoPurchase)
+      qUnpivot, qCoPurchase, qIntervalOverlap)
 }

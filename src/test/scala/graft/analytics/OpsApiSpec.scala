@@ -997,6 +997,21 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(merged - 10000L) <= 500, s"estimate $merged off by >5%")
   }
 
+  test("intervalOverlapJoin finds cross-bucket overlaps exactly once; no false pairs") {
+    import spark.implicits._
+    // bucket = 100: L1 spans buckets 0-2, R1 overlaps it in bucket 2 only
+    // (pair must appear ONCE despite L1's 3 buckets); R2 touches no interval;
+    // L2/R3 overlap at a single shared point (closed-interval semantics)
+    val left = Seq((1L, 50L, 250L), (2L, 400L, 500L)).toDF("lid", "ls", "le")
+    val right = Seq((10L, 240L, 260L), (20L, 300L, 310L), (30L, 500L, 600L))
+      .toDF("rid", "rs", "re")
+    val out = Relational3.intervalOverlapJoin(left, right,
+        "ls", "le", "rs", "re", bucketUs = 100L)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.sorted.toList == List((1L, 10L), (2L, 30L)), s"got ${out.toList}")
+    assert(out.length == out.distinct.length, "duplicate pair leaked")
+  }
+
   test("distillFilter learns its labeling rule with >= 0.9 fidelity on custom columns") {
     import org.apache.spark.sql.functions.{expr, size}
     val d = Tables.documents(spark, "/root/testdata/sf0.001")

@@ -281,4 +281,40 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(allExchanges == 1,
       s"expected exactly one hash exchange (shared by LAG and LEAD), got $allExchanges:\n$plan")
   }
+
+  test("qt_phrase_search prunes postings with a broadcast slot join before any exchange") {
+    val plan = graft.SparkEntry.queries("qt_phrase_search")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"slot table no longer broadcast:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"phrase search regressed to a nested loop:\n$plan")
+    // the broadcast probe must sit BELOW the first shuffle: only phrase-
+    // token postings may ever leave the scan stage
+    val firstExchange = plan.indexOf("Exchange hashpartitioning")
+    val bhj = plan.indexOf("BroadcastHashJoin")
+    assert(firstExchange == -1 || bhj > firstExchange,
+      "broadcast slot join must be upstream (printed deeper) of the first exchange")
+  }
+
+  test("qj_copurchase_topk's per-item top-k pre-prunes via WindowGroupLimit") {
+    val plan = graft.SparkEntry.queries("qj_copurchase_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-item top-k no longer pre-prunes partial groups:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"basket self-join regressed to an all-pairs scan:\n$plan")
+  }
+
+  test("qstat_skyline never joins all-pairs; dominance is a prefix scan") {
+    val plan = graft.SparkEntry.queries("qstat_skyline")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"skyline regressed to the O(n^2) dominance join:\n$plan")
+    assert(plan.contains("rangepartitioning"),
+      s"expected the dominance-order range partition:\n$plan")
+  }
 }
