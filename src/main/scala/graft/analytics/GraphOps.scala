@@ -400,6 +400,10 @@ object GraphOps {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
     val edges = edgesIn.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().localCheckpoint()
+    // Only each hop's FRONTIER is checkpointed: the visited set is a
+    // union of already-materialized frontiers, so its lineage stays
+    // k-frames shallow for free — re-checkpointing it each hop would
+    // rewrite the whole accumulated set per round (O(V) extra IO/hop).
     var visited = seeds.select(col(seedCol).as("node")).distinct()
       .withColumn("hops", lit(0L)).localCheckpoint()
     var frontier = visited.select(col("node"))
@@ -409,7 +413,7 @@ object GraphOps {
         .join(visited.select(col("node")), Seq("node"), "left_anti")
         .withColumn("hops", lit(h.toLong))
         .localCheckpoint()
-      visited = visited.unionByName(next).localCheckpoint()
+      visited = visited.unionByName(next)
       frontier = next.select(col("node"))
     }
     visited
