@@ -270,6 +270,28 @@ object CdcOps {
     },
     Some(incrSql))
 
+  /** Streaming twin of [[incrementalAgg]]: the aggregate view maintained
+    * continuously from a changelog stream. Input columns: (key, op ∈
+    * insert|delete, units — exact integer measure, e.g. cents); each
+    * micro-batch applies its signed deltas to per-key ValueState and
+    * emits the updated (key, cnt, units) row. Last-emitted per key
+    * (cnt > 0) ≡ the batch operator over everything seen — pinned in
+    * StreamingExtrasSpec. Output: (key, cnt, units).
+    */
+  def incrementalAggStream(changes: DataFrame, key: String,
+      unitsCol: String, opCol: String = "op"): DataFrame = {
+    import changes.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val sign = when(col(opCol) === "delete", lit(-1L)).otherwise(lit(1L))
+    changes.select(col(key).cast("long").as("k"), sign.as("dc"),
+        (sign * col(unitsCol).cast("long")).as("ds"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new graft.streaming.IncrAggProcessor,
+        TimeMode.None(), OutputMode.Append())
+      .toDF("k", "cnt", "units")
+  }
+
   /** Snapshot diff — the audit view of two keyed table versions: per key,
     * `added` (only in `after`), `removed` (only in `before`), or
     * `changed` (present in both, any non-key column differs, null-safe).

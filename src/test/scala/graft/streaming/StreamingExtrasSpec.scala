@@ -317,6 +317,44 @@ class StreamingExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids.toSeq == Seq("a", "b", "c"))
   }
 
+  test("streaming incremental aggregate equals the batch view over all deltas") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(Long, String, Long)](spark) // (key, op, cents)
+    val out = graft.analytics.CdcOps.incrementalAggStream(
+      input.toDS().toDF("k", "op", "cents"), "k", "cents")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("incr_agg_stream")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-incr").toString)
+      .start()
+    val b1 = Seq((1L, "insert", 100L), (1L, "insert", 250L), (2L, "insert", 40L))
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    // batch 2 retracts key 2 entirely and grows keys 1 and 3
+    val b2 = Seq((2L, "delete", 40L), (1L, "delete", 100L), (3L, "insert", 7L))
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.table("incr_agg_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // per-key LAST emission, live keys only
+    val fin = emitted.zipWithIndex.groupBy(_._1._1)
+      .map { case (_, rs) => rs.maxBy(_._2)._1 }
+      .filter(_._2 > 0).toSet
+    assert(fin == Set((1L, 1L, 250L), (3L, 1L, 7L)), s"got $fin")
+    // batch equivalence: same deltas through the batch operator (empty base)
+    val all = (b1 ++ b2).toDF("k", "op", "cents")
+      .select(col("k"), col("cents").cast("long").as("value"), col("op"))
+    val base = Seq.empty[(Long, Long, Long)].toDF("k", "n_rows", "total")
+    val batch = graft.analytics.CdcOps.incrementalAgg(base, all, "k",
+        valueCol = "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fin == batch, s"stream-final $fin vs batch $batch")
+  }
+
   test("streaming running aggregate with flatMapGroupsWithState") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
