@@ -414,8 +414,69 @@ object EventsQueries {
       ORDER BY user_id, us"""
     })
 
+  /** Multi-touch attribution with an EXACT integer budget split: each
+    * purchase's value (cents) is divided equally across the user's
+    * view/click touchpoints in the 24 h before it — integer division,
+    * with the remainder going to the most recent touchpoint, so every
+    * purchase's attributed total equals its value to the cent (no float
+    * leakage, cross-engine exact). Last-touch/first-touch are the rk = 1
+    * special cases of the same machinery.
+    *
+    * Scale shape: one user-key hash join (touch × purchase per user,
+    * fan-out bounded by per-user activity in the window, the same
+    * per-entity bound as sessionization), one window per purchase key
+    * (uniform — a purchase has bounded touches), one final (user, type)
+    * aggregation. No global windows, no cross-user work.
+    */
+  private val qAttribution = GraftQuery(
+    "qe_attribution",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("us", unix_micros(col("ts")))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          col("us").as("p_us"),
+          round(col("value") * 100).cast("bigint").as("cents"))
+      val touches = e.filter(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("event_id").as("t_id"),
+          col("us").as("t_us"), col("event_type").as("t_type"))
+      val paired = purchases.join(touches, Seq("user_id"))
+        .filter(col("t_us") < col("p_us") &&
+          col("t_us") >= col("p_us") - lit(86400000000L))
+      val w = Window.partitionBy(col("p_id"))
+      val wRk = w.orderBy(col("t_us").desc, col("t_id"))
+      paired
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("rk", row_number().over(wRk))
+        .withColumn("share",
+          expr("cents div n") +
+            when(col("rk") === 1, expr("cents % n")).otherwise(lit(0L)))
+        .groupBy(col("user_id"), col("t_type"))
+        .agg(sum(col("share")).as("attributed_cents"),
+          countDistinct(col("p_id")).as("n_purchases"))
+        .orderBy(col("user_id"), col("t_type"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      p AS (SELECT user_id, event_id AS p_id, us AS p_us, cents FROM e
+        WHERE event_type = 'purchase'),
+      t AS (SELECT user_id, event_id AS t_id, us AS t_us, event_type AS t_type
+        FROM e WHERE event_type IN ('view', 'click')),
+      j AS (SELECT p.user_id, p.p_id, p.cents, t.t_id, t.t_us, t.t_type
+        FROM p JOIN t ON p.user_id = t.user_id
+        WHERE t.t_us < p.p_us AND t.t_us >= p.p_us - 86400000000),
+      sh AS (SELECT user_id, p_id, t_type,
+        cents // COUNT(*) OVER (PARTITION BY p_id)
+          + CASE WHEN ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY t_us DESC, t_id) = 1
+              THEN cents % COUNT(*) OVER (PARTITION BY p_id) ELSE 0 END AS share
+        FROM j)
+      SELECT user_id, t_type,
+        CAST(SUM(share) AS BIGINT) AS attributed_cents,
+        CAST(COUNT(DISTINCT p_id) AS BIGINT) AS n_purchases
+      FROM sh GROUP BY user_id, t_type ORDER BY user_id, t_type"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qTumbling, qSliding, qSessions, qJson, qTopUsers, qDeltas, qZscore,
       qFunnel, qRetention, qResample, qHistogram, qPattern, qTransitions,
-      qDecayWma)
+      qDecayWma, qAttribution)
 }
