@@ -475,8 +475,55 @@ object EventsQueries {
         CAST(COUNT(DISTINCT p_id) AS BIGINT) AS n_purchases
       FROM sh GROUP BY user_id, t_type ORDER BY user_id, t_type"""))
 
+  /** CUSUM drift alerts — the clamped running recurrence s ←
+    * max(0, s + x − k), alert while s > h. The clamp makes this the one
+    * sequence pattern Spark's DECLARATIVE surface cannot express (no
+    * window/agg computes a reset-on-floor prefix recurrence), so it uses
+    * the typed per-key scan: `groupByKey(user).flatMapGroups` sorts one
+    * user's events and folds the recurrence imperatively — distributed
+    * on the (uniform) entity key, linear in each user's events, memory
+    * bounded by per-entity activity (the sessionize bound). The
+    * streaming twin of this shape is `transformWithState` with s in
+    * ValueState. All arithmetic in exact integer cents; the oracle
+    * mirrors the recurrence with a per-user recursive CTE — an
+    * independent formulation of the same fold.
+    */
+  private val CusumK = 6000L   // per-event allowance (cents)
+  private val CusumH = 30000L  // alert threshold (cents)
+
+  private val qCusum = GraftQuery(
+    "qe_cusum_alerts",
+    (s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"), round(col("value") * 100).cast("bigint").as("cents"))
+        .as[(Long, Long, Long, Long)]
+        .groupByKey(_._1)
+        .flatMapGroups { (u: Long, it: Iterator[(Long, Long, Long, Long)]) =>
+          var acc = 0L
+          it.toVector.sortBy(r => (r._2, r._3)).flatMap { case (_, us, _, c) =>
+            acc = math.max(0L, acc + c - CusumK)
+            if (acc > CusumH) Some((u, us, acc)) else None
+          }.iterator
+        }
+        .toDF("user_id", "us", "s")
+        .orderBy(col("user_id"), col("us"))
+    },
+    Some(s"""WITH RECURSIVE e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        CAST(round(value * 100) AS BIGINT) AS cents,
+        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+    c AS (
+      SELECT user_id, us, rn, GREATEST(0, cents - $CusumK) AS s
+      FROM e WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.us, e.rn, GREATEST(0, c.s + e.cents - $CusumK)
+      FROM c JOIN e ON e.user_id = c.user_id AND e.rn = c.rn + 1)
+    SELECT user_id, us, s FROM c WHERE s > $CusumH ORDER BY user_id, us"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qTumbling, qSliding, qSessions, qJson, qTopUsers, qDeltas, qZscore,
       qFunnel, qRetention, qResample, qHistogram, qPattern, qTransitions,
-      qDecayWma, qAttribution)
+      qDecayWma, qAttribution, qCusum)
 }

@@ -444,6 +444,75 @@ object GraphOps {
     },
     Some(reachSql))
 
+  // ------------------------------------------------- subtree rollup
+  /** Hierarchical (subtree) aggregation over a FOREST: every node gets
+    * the count and value-sum of its whole subtree (descendants + self) —
+    * the BOM / org-chart / category-tree rollup.
+    *
+    * The ancestor closure is built by POINTER DOUBLING (the pointer-
+    * jumping trick from [[graft.analytics.DedupOps.nearDupClusters]]):
+    * A₀ = parent edges; Aᵣ₊₁ = Aᵣ ∪ (Aᵣ ∘ Aᵣ), so `rounds` rounds cover
+    * depth 2^rounds with O(log depth) self-joins instead of O(depth)
+    * sequential ones — at 100 TB the depth-proportional chain is the
+    * latency killer, doubling is the textbook fix. On a tree the closure
+    * has exactly n·depth(avg) rows, so intermediate frames stay linear
+    * in the input (no quadratic blowup possible — every node has ONE
+    * ancestor per level). Then one join of (descendant, ancestor) pairs
+    * with the value table and one uniform-key aggregation on the
+    * ancestor.
+    *
+    * Output: (node, n_desc, subtree_total) — n_desc includes the node
+    * itself. Nodes deeper than 2^rounds below an ancestor roll into it
+    * only if `rounds` covers the tree depth; size `rounds` ≥
+    * ⌈log₂ depth⌉ (require-d cheaply by the caller, who knows the key
+    * domain).
+    */
+  def subtreeRollup(edges: DataFrame, values: DataFrame, rounds: Int = 5,
+      childCol: String = "child", parentCol: String = "parent",
+      nodeCol: String = "node", valCol: String = "value"): DataFrame = {
+    require(rounds >= 1 && rounds <= 10, s"rounds must be in [1,10], got $rounds")
+    var pairs = edges
+      .select(col(childCol).as("d"), col(parentCol).as("a"))
+      .distinct().localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val comp = pairs.as("x").join(pairs.as("y"), col("x.a") === col("y.d"))
+        .select(col("x.d").as("d"), col("y.a").as("a"))
+      pairs = pairs.unionByName(comp).distinct().localCheckpoint()
+    }
+    val vals = values.select(col(nodeCol).as("d"), col(valCol).as("v"))
+    pairs
+      .unionByName(vals.select(col("d"), col("d").as("a")))  // self pairs
+      .join(vals, "d")
+      .groupBy(col("a").as("node"))
+      .agg(count(lit(1)).as("n_desc"), sum(col("v")).as("subtree_total"))
+  }
+
+  // Part hierarchy: parent(p) = p div 2 — a binary forest rooted at 1
+  // (depth ≤ 15 at sf0.1's 20k parts; rounds = 5 covers depth 32).
+  // Values = retail price in exact cents.
+  private val qSubtree = GraftQuery(
+    "qg_subtree_rollup",
+    (s, dir) => {
+      val p = Tables.part(s, dir)
+        .select(col("p_partkey").as("node"),
+          round(col("p_retailprice") * 100).cast("bigint").as("cents"))
+      val edges = p.filter(col("node") >= 2)
+        .select(col("node").as("child"), expr("node div 2").as("parent"))
+      subtreeRollup(edges, p, rounds = 5, valCol = "cents")
+        .select(col("node"), col("n_desc"), col("subtree_total"))
+        .orderBy(col("node"))
+    },
+    Some("""WITH RECURSIVE p AS (SELECT p_partkey AS node,
+        CAST(round(p_retailprice * 100) AS BIGINT) AS cents FROM part),
+      anc AS (
+        SELECT node AS d, node AS a FROM p
+        UNION
+        SELECT d, a // 2 AS a FROM anc WHERE a >= 2)
+      SELECT anc.a AS node, CAST(COUNT(*) AS BIGINT) AS n_desc,
+        CAST(SUM(p.cents) AS BIGINT) AS subtree_total
+      FROM anc JOIN p ON p.node = anc.d
+      GROUP BY anc.a ORDER BY node"""))
+
   def queries: Seq[GraftQuery] =
-    Seq(qPageRank, qTriangles, qLpa, qKcore, qReach)
+    Seq(qPageRank, qTriangles, qLpa, qKcore, qReach, qSubtree)
 }

@@ -1012,6 +1012,21 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.length == out.distinct.length, "duplicate pair leaked")
   }
 
+  test("subtreeRollup sums whole subtrees; doubling covers deep chains") {
+    import spark.implicits._
+    // chain 1<-2<-3<-4<-5 (depth 4 needs 2 doubling rounds) + branch 1<-6
+    val edges = Seq((2L, 1L), (3L, 2L), (4L, 3L), (5L, 4L), (6L, 1L))
+      .toDF("kid", "par")
+    val vals = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L), (5L, 50L),
+      (6L, 60L)).toDF("n", "w")
+    val out = GraphOps.subtreeRollup(edges, vals, rounds = 2,
+        childCol = "kid", parentCol = "par", nodeCol = "n", valCol = "w")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == ((6L, 210L)), s"root got ${out(1L)}")
+    assert(out(2L) == ((4L, 140L)) && out(4L) == ((2L, 90L))
+      && out(5L) == ((1L, 50L)) && out(6L) == ((1L, 60L)), s"got $out")
+  }
+
   test("distillFilter learns its labeling rule with >= 0.9 fidelity on custom columns") {
     import org.apache.spark.sql.functions.{expr, size}
     val d = Tables.documents(spark, "/root/testdata/sf0.001")
