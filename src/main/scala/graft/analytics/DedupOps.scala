@@ -910,7 +910,99 @@ object DedupOps {
     (s, dir) => lshRecall(Tables.documents(s, dir)),
     Some(lshRecallSql))
 
+  // ---------------------------------------------------- winnowing
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    * 2003 — the MOSS algorithm): hash every word 3-gram, slide a window
+    * of `w` consecutive hashes over each document, and keep each window's
+    * minimum (leftmost on ties). The guarantee that makes this the
+    * standard copy-detection sampler: any shared run of w+2 tokens
+    * between two documents contributes at least one IDENTICAL selected
+    * fingerprint to both — unlike fixed-stride sampling, detection is
+    * offset-independent — while storing only ~2/(w+1) of the k-gram
+    * hashes.
+    *
+    * Distributed shape: everything before the pair join is per-document
+    * map work — tokenize, hash, and a bounded ≤w fan-out of (hash,
+    * window) memberships — followed by ONE uniform-key aggregation on
+    * (doc, window) to select minima (map-side partials absorb the w×
+    * fan-out before it shuffles). The min-hash-then-leftmost-position
+    * rule is packed into a single BIGINT key (hash·2²⁰ + pos) so the
+    * argmin is a plain `min`, exact in both engines, no struct-ordering
+    * or float anywhere. The cross-doc join then runs on the winnowed
+    * fingerprints — a corpus-volume reduction of ~(w+1)/2 before the
+    * first pair is formed — with the same df-cap skew guard as
+    * [[ngramJaccard]]: a fingerprint shared by > `maxDf` docs (boilerplate)
+    * is dropped rather than allowed to form a quadratic bucket.
+    *
+    * Positions are capped at 2²⁰−1 k-grams per document (the BIGINT pack
+    * budget); chunk longer documents first ([[MixOps.chunkDocs]]) — at
+    * corpus scale they always are.
+    *
+    * Output: (d1, d2, shared) — document pairs sharing ≥ `minShared`
+    * winnowed fingerprints, ordered by (d1, d2).
+    */
+  def winnowPairs(docs: DataFrame, w: Int = 4, minShared: Int = 2,
+      maxDf: Int = 50, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(w >= 1, s"window must be >= 1, got $w")
+    val grams = // ordered (non-distinct) word 3-grams, '' for <3-token docs
+      s"CASE WHEN size(toks) >= 3 THEN zip_with(zip_with(slice(toks, 1, size(toks) - 2), " +
+        "slice(toks, 2, size(toks) - 2), (x, y) -> concat(x, ' ', y)), " +
+        "slice(toks, 3, size(toks) - 2), (xy, z) -> concat(xy, ' ', z)) " +
+        "ELSE array('') END"
+    val fp = docs
+      .select(col(idCol).as("doc_id"), expr(toksExprOn(textCol)).as("toks"))
+      .select(col("doc_id"), posexplode(expr(grams)).as(Seq("p0", "g")),
+        expr(s"size($grams)").as("nh"))
+      .filter(col("p0") < (1 << 20) - 1)
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("nh"),
+        expr(s"${h60("g")} % ${1L << 43}").as("h"))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(greatest(1, pos - ${w - 1}), " +
+          s"least(pos, greatest(nh - ${w - 1}, 1)))")).as("ws"),
+        (col("h") * (1L << 20) + col("pos")).as("key"))
+      .groupBy(col("doc_id"), col("ws")).agg(min(col("key")).as("k"))
+      .select(col("doc_id"), expr(s"k div ${1L << 20}").as("h")).distinct()
+    val kept = fp.join(
+      fp.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, maxDf)).select(col("h")), Seq("h"))
+    kept.alias("a").join(kept.alias("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  private val WinnowW = 4
+  private val WinnowMinShared = 2
+  private val WinnowMaxDf = 50
+
+  private val winnowSql = s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+    g AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN list_transform(generate_series(1, len(toks) - 2),
+        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) ELSE [''] END AS gs FROM t),
+    hr0 AS (SELECT doc_id, len(gs) AS nh, unnest(gs) AS gtok, generate_subscripts(gs, 1) AS pos FROM g),
+    hr AS (SELECT doc_id, nh, pos, ${h60Sql("gtok")} % ${1L << 43} AS h
+      FROM hr0 WHERE pos < ${(1 << 20) - 1} + 1),
+    wins AS (SELECT doc_id, unnest(generate_series(GREATEST(1, pos - ${WinnowW - 1}),
+        LEAST(pos, GREATEST(nh - ${WinnowW - 1}, 1)))) AS ws,
+      h * ${1L << 20} + pos AS key FROM hr),
+    sel AS (SELECT doc_id, ws, MIN(key) AS k FROM wins GROUP BY doc_id, ws),
+    fp AS (SELECT DISTINCT doc_id, k // ${1L << 20} AS h FROM sel),
+    df AS (SELECT h FROM fp GROUP BY h HAVING COUNT(*) BETWEEN 2 AND $WinnowMaxDf),
+    fpd AS (SELECT fp.doc_id, fp.h FROM fp JOIN df ON fp.h = df.h)
+    SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS shared
+    FROM fpd a JOIN fpd b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY d1, d2 HAVING COUNT(*) >= $WinnowMinShared ORDER BY d1, d2"""
+
+  private val qWinnow = GraftQuery(
+    "qd_winnow",
+    (s, dir) => winnowPairs(Tables.documents(s, dir), WinnowW,
+      WinnowMinShared, WinnowMaxDf),
+    Some(winnowSql))
+
   val queries: Seq[GraftQuery] =
     Seq(qExact, qNgram, qMinhash, qCrossContain, qSimhash, qEmbed, qClusters,
-      qCanonical, qSpans, qBloom, qUrlDedup, qLshRecall)
+      qCanonical, qSpans, qBloom, qUrlDedup, qLshRecall, qWinnow)
 }

@@ -522,8 +522,90 @@ object EventsQueries {
       FROM c JOIN e ON e.user_id = c.user_id AND e.rn = c.rn + 1)
     SELECT user_id, us, s FROM c WHERE s > $CusumH ORDER BY user_id, us"""))
 
+  /** Robust per-user anomaly detection via median absolute deviation —
+    * the outlier rule that survives the outliers themselves (a mean/σ
+    * z-score lets one huge spike inflate σ until nothing flags; the
+    * median and MAD have a 50% breakdown point). An event is anomalous
+    * when |value − median| > 3·MAD, the standard robust cutoff.
+    *
+    * Both medians use percentile_disc semantics (first actual value with
+    * cume_dist ≥ 0.5 — no interpolation, engine-exact like
+    * [[Relational2]]'s qstat_percentile_disc), and every derived number
+    * (deviation, 3·MAD, the comparison) is a single IEEE operation on
+    * identically-computed doubles, so the gate hash-matches.
+    *
+    * Scale shape: two ordered-set aggregations and two joins, ALL keyed
+    * on user_id — one uniform key end-to-end, so AQE coalesces the whole
+    * thing onto one exchange; output is bounded by the anomaly count,
+    * not the event count. The sort each percentile_disc needs is
+    * per-group inside the keyed aggregation, never global.
+    */
+  private val qMadAnomaly = GraftQuery(
+    "qe_mad_anomaly",
+    (s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events_mad")
+      s.sql("""WITH m AS (SELECT user_id,
+          percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS med
+        FROM events_mad GROUP BY user_id),
+      d AS (SELECT e.user_id, e.event_id, e.value, m.med,
+          abs(e.value - m.med) AS dev
+        FROM events_mad e JOIN m ON e.user_id = m.user_id),
+      md AS (SELECT user_id,
+          percentile_disc(0.5) WITHIN GROUP (ORDER BY dev) AS mad
+        FROM d GROUP BY user_id)
+      SELECT d.user_id, d.event_id, d.value, d.med, md.mad
+      FROM d JOIN md ON d.user_id = md.user_id
+      WHERE d.dev > 3 * md.mad
+      ORDER BY d.user_id, d.event_id""")
+    },
+    Some("""WITH m AS (SELECT user_id, quantile_disc(value, 0.5) AS med
+        FROM events GROUP BY user_id),
+      d AS (SELECT e.user_id, e.event_id, e.value, m.med,
+          abs(e.value - m.med) AS dev
+        FROM events e JOIN m ON e.user_id = m.user_id),
+      md AS (SELECT user_id, quantile_disc(dev, 0.5) AS mad
+        FROM d GROUP BY user_id)
+      SELECT d.user_id, d.event_id, d.value, d.med, md.mad
+      FROM d JOIN md ON d.user_id = md.user_id
+      WHERE d.dev > 3 * md.mad
+      ORDER BY d.user_id, d.event_id"""))
+
+  /** Top-k most common 3-step event-type paths — the navigation-path
+    * mining complement of [[qTransitions]]' first-order Markov matrix
+    * (a transition matrix can't distinguish A→B→C from A→B→D dominance;
+    * path counting can). Per-user LEAD windows build consecutive
+    * triples (uniform user_id partitions — never a global window), one
+    * uniform-key aggregation counts them, and the global top-k is
+    * `orderBy().limit()` = TakeOrderedAndProject, per-partition top-k
+    * with no global sort. Ties break lexicographically on the path.
+    */
+  private val qTopPaths = GraftQuery(
+    "qe_top_paths",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type").as("e1"),
+          lead(col("event_type"), 1).over(w).as("e2"),
+          lead(col("event_type"), 2).over(w).as("e3"))
+        .filter(col("e2").isNotNull && col("e3").isNotNull)
+        .groupBy(col("e1"), col("e2"), col("e3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+        .limit(10)
+    },
+    Some("""WITH t AS (SELECT user_id, event_type AS e1,
+        LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+        LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+      FROM events)
+      SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n
+      FROM t WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+      GROUP BY e1, e2, e3
+      ORDER BY n DESC, e1, e2, e3 LIMIT 10"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qTumbling, qSliding, qSessions, qJson, qTopUsers, qDeltas, qZscore,
       qFunnel, qRetention, qResample, qHistogram, qPattern, qTransitions,
-      qDecayWma, qAttribution, qCusum)
+      qDecayWma, qAttribution, qCusum, qMadAnomaly, qTopPaths)
 }

@@ -513,6 +513,194 @@ object GraphOps {
       FROM anc JOIN p ON p.node = anc.d
       GROUP BY anc.a ORDER BY node"""))
 
+  // ------------------------------------------------- weighted SSSP
+  /** Weighted single-source(-set) shortest paths — frontier Bellman-Ford,
+    * the weighted upgrade of [[reachability]]: after round k every node
+    * carries the minimum total edge weight over any path of ≤ k edges
+    * from the seed set. Only nodes whose label IMPROVED last round are
+    * re-relaxed (the frontier), which provably computes the same ≤k-edge
+    * labels as textbook full relaxation (a node's last improvement is
+    * propagated to its neighbors the following round) while touching
+    * only the active part of the graph each round — the delta-stepping
+    * family's core trick, and the difference between O(E) and
+    * O(E_active) per round at 1000 executors.
+    *
+    * Per round: ONE edge⋈frontier hash join (both keyed on node id) +
+    * one uniform-key min aggregation to pre-combine candidate labels +
+    * one left join against the current labels to keep true improvements,
+    * lineage cut per round like [[pageRank]]. Distances are exact
+    * BIGINTs — no float accumulation, order-independent mins.
+    *
+    * Input contract: directed weighted edge list (symmetrize for
+    * undirected). Output: (node, dist), seeds at 0; nodes unreachable
+    * within `rounds` edges are absent.
+    */
+  def shortestPaths(edgesIn: org.apache.spark.sql.DataFrame,
+      seeds: org.apache.spark.sql.DataFrame, rounds: Int = 3,
+      srcCol: String = "src", dstCol: String = "dst", wCol: String = "w",
+      seedCol: String = "node"): org.apache.spark.sql.DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val edges = edgesIn.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(wCol).as("w")).localCheckpoint()
+    var dist = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    var frontier = dist
+    for (_ <- 1 to rounds) {
+      val cand = edges
+        .join(frontier.select(col("node").as("fn"), col("dist").as("fd")),
+          col("src") === col("fn"))
+        .select(col("dst").as("node"), (col("fd") + col("w")).as("nd"))
+        .groupBy(col("node")).agg(min(col("nd")).as("nd"))
+      val improved = cand
+        .join(dist.select(col("node"), col("dist").as("od")), Seq("node"), "left")
+        .filter(col("od").isNull || col("nd") < col("od"))
+        .select(col("node"), col("nd").as("dist"))
+        .localCheckpoint()
+      dist = dist.unionByName(improved)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+      frontier = improved
+    }
+    dist
+  }
+
+  /** Trade graph with exact integer weights: min lineitem quantity ever
+    * shipped across each (customer, supplier) pair — one keyed
+    * aggregation over the same orders⋈lineitem join as [[tradeEdges]].
+    */
+  private def weightedTradeEdges(s: org.apache.spark.sql.SparkSession,
+      dir: String) = {
+    val e0 = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .agg(min(col("l_quantity")).cast("bigint").as("w"))
+    e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+  }
+
+  private val SsspRounds = 3
+
+  // Oracle: K explicit relaxation rounds as a CTE chain (full relaxation
+  // — provably the same ≤k-edge labels the frontier version computes),
+  // each one MIN-combined per node so intermediates stay linear in the
+  // node set, never in the path count.
+  private def ssspRoundSql(prev: String, out: String) =
+    s"""$out AS (SELECT node, MIN(dist) AS dist FROM (
+      SELECT node, dist FROM $prev
+      UNION ALL
+      SELECT e.dst AS node, $prev.dist + e.w AS dist
+      FROM $prev JOIN e ON e.src = $prev.node) GROUP BY node)"""
+
+  private val ssspSql = s"""WITH e0 AS (SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+      CAST(MIN(l_quantity) AS BIGINT) AS w
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2),
+    e AS (SELECT src, dst, w FROM e0 UNION ALL SELECT dst, src, w FROM e0),
+    d0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist FROM e WHERE src <= 8),
+    ${(1 to SsspRounds).map(i => ssspRoundSql(s"d${i - 1}", s"d$i")).mkString(",\n    ")}
+    SELECT node, dist FROM d$SsspRounds ORDER BY node"""
+
+  private val qSssp = GraftQuery(
+    "qg_sssp",
+    (s, dir) => {
+      val e = weightedTradeEdges(s, dir)
+      shortestPaths(e, e.filter(col("src") <= 8).select(col("src").as("node")),
+          SsspRounds)
+        .orderBy(col("node"))
+    },
+    Some(ssspSql))
+
+  // ------------------------------------------- personalized PageRank
+  /** Personalized PageRank (random walk with restart): identical exact
+    * integer power iteration to [[pageRank]], but ALL teleport mass
+    * returns to the `seeds` set instead of spreading uniformly — the
+    * rank becomes "probability of being here on a walk that keeps
+    * restarting at the seeds", i.e. relevance TO the seeds. This is the
+    * standard graph-proximity ranking behind who-to-follow /
+    * related-item features (public reference: Gupta et al., "WTF: The
+    * Who to Follow Service at Twitter", WWW 2013).
+    *
+    * Identical per-round scale shape to [[pageRank]] (one edge⋈rank
+    * join + one uniform-key agg; the per-node teleport table is built
+    * ONCE and checkpointed); identical determinism argument (BIGINT
+    * fixed-point, order-independent integer sums). Non-seed nodes start
+    * and teleport at 0 — mass enters only through the walk.
+    *
+    * Output: (node, rank_int), every node with out-degree ≥ 1.
+    */
+  def personalizedPageRank(edgesIn: org.apache.spark.sql.DataFrame,
+      seeds: org.apache.spark.sql.DataFrame, iters: Int = 3,
+      srcCol: String = "src", dstCol: String = "dst",
+      seedCol: String = "node",
+      scale: Long = 1000000000000L): org.apache.spark.sql.DataFrame = {
+    require(iters >= 1 && scale > 0)
+    val edges = edgesIn.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .localCheckpoint()
+    val nodes = deg.select(col("src").as("node"))
+    val s = seeds.select(col(seedCol).as("node")).distinct()
+    val ns = s.count()
+    require(ns > 0, "empty seed set")
+    val r0 = scale / ns
+    val base = (15L * r0) / 100L
+    // per-node teleport/init table, built once: seeds carry r0 and the
+    // restart mass, everything else zero
+    val bt = nodes.join(s.withColumn("hit", lit(1)), Seq("node"), "left")
+      .select(col("node"),
+        when(col("hit").isNotNull, lit(r0)).otherwise(lit(0L)).as("r0x"),
+        when(col("hit").isNotNull, lit(base)).otherwise(lit(0L)).as("bs"))
+      .localCheckpoint()
+    var ranks = bt.select(col("node"), col("r0x").as("r"))
+    for (_ <- 1 to iters) {
+      val contribs = edges
+        .join(ranks, edges("src") === ranks("node"))
+        .join(deg, "src")
+        .select(col("dst"), expr("r div d").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("s"))
+      ranks = bt
+        .join(contribs, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (col("bs") + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node"), col("r").as("rank_int"))
+  }
+
+  private def pprRoundSql(prev: String, out: String) =
+    s"""$out AS (SELECT bt.node,
+      CAST(bt.bs + (85 * COALESCE(t.s, 0)) // 100 AS BIGINT) AS r
+      FROM bt LEFT JOIN (
+        SELECT e.dst AS node, SUM($prev.r // deg.d) AS s FROM e
+          JOIN $prev ON e.src = $prev.node JOIN deg ON e.src = deg.src
+        GROUP BY e.dst) t ON bt.node = t.node)"""
+
+  private val pprSql = s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src,
+      l_suppkey * 2 + 1 AS dst FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+    nodes AS (SELECT src AS node FROM deg),
+    s AS (SELECT node FROM nodes WHERE node <= 8),
+    c AS (SELECT $Scale // COUNT(*) AS r0v FROM s),
+    bt AS (SELECT nodes.node,
+      CASE WHEN s.node IS NOT NULL THEN (SELECT r0v FROM c) ELSE 0 END AS r0x,
+      CASE WHEN s.node IS NOT NULL THEN (15 * (SELECT r0v FROM c)) // 100 ELSE 0 END AS bs
+      FROM nodes LEFT JOIN s ON nodes.node = s.node),
+    d0 AS (SELECT node, CAST(r0x AS BIGINT) AS r FROM bt),
+    ${(1 to Iters).map(i => pprRoundSql(s"d${i - 1}", s"d$i")).mkString(",\n    ")}
+    SELECT node, r AS rank_int FROM d$Iters
+    ORDER BY rank_int DESC, node LIMIT 20"""
+
+  private val qPpr = GraftQuery(
+    "qg_ppr",
+    (s, dir) => {
+      val e = tradeEdges(s, dir)
+      personalizedPageRank(e,
+          e.filter(col("src") <= 8).select(col("src").as("node")), Iters)
+        .orderBy(col("rank_int").desc, col("node"))
+        .limit(20)
+    },
+    Some(pprSql))
+
   def queries: Seq[GraftQuery] =
-    Seq(qPageRank, qTriangles, qLpa, qKcore, qReach, qSubtree)
+    Seq(qPageRank, qTriangles, qLpa, qKcore, qReach, qSubtree, qSssp, qPpr)
 }

@@ -108,5 +108,72 @@ object LearnOps {
     },
     Some(distillSql))
 
-  val queries: Seq[GraftQuery] = Seq(qDistill)
+  // ------------------------------------------- target encoding (LOO)
+  /** Smoothed leave-one-out target encoding — the standard high-
+    * cardinality categorical feature for tabular models: each row gets
+    * its category's target mean, (a) shrunk toward the global prior by
+    * pseudo-count `m` (small categories don't memorize noise) and (b)
+    * with the row's OWN target removed from the numerator/denominator
+    * (leave-one-out — otherwise the feature leaks the label it exists
+    * to predict, the classic target-leakage bug).
+    *
+    * Exact integers throughout (micro-units, integer division):
+    * prior_micro = 10⁶·Σy ÷ n over the corpus (one 1-row broadcast
+    * aggregate), per-category (n, Σy) one uniform-key aggregation, then
+    * enc = (10⁶·(Σy − y) + m·prior) ÷ (n − 1 + m) as a map — no float
+    * means, hash-exact. Scale: the category stats table is category-
+    * cardinality-sized — broadcast when small, shuffle-join on the
+    * category key when not; rows never pairwise interact. Singleton
+    * categories (n = 1) fall back to the pure prior (the LOO numerator
+    * is empty), not a divide-by-zero: denominator n−1+m = m ≥ 1.
+    *
+    * Output: one row per input row — (row id cols..., category, y,
+    * enc_micro).
+    */
+  def looTargetEncode(rows: DataFrame, catCol: String, yCol: Column,
+      m: Int = 20, keep: Seq[String] = Nil): DataFrame = {
+    require(m >= 1, s"smoothing pseudo-count must be >= 1, got $m")
+    val base = rows.select((keep.map(col) :+ col(catCol).as("cat") :+
+      yCol.cast("long").as("y")): _*)
+    val prior = base.agg(count(lit(1)).as("n_all"), sum(col("y")).as("y_all"))
+      .select(expr("1000000L * y_all div n_all").as("prior_micro"))
+    val stats = base.groupBy(col("cat"))
+      .agg(count(lit(1)).as("n_cat"), sum(col("y")).as("y_cat"))
+    base.join(stats, Seq("cat"))
+      .crossJoin(broadcast(prior))
+      .select((keep.map(col) :+ col("cat") :+ col("y") :+
+        expr(s"(1000000L * (y_cat - y) + $m * prior_micro) div (n_cat - 1 + $m)")
+          .as("enc_micro")): _*)
+  }
+
+  private val TeM = 20
+
+  // category = l_suppkey: the HIGH-cardinality case target encoding
+  // exists for (one-hot would explode; the mean-encoding table stays
+  // |suppliers|-sized)
+  private val teSql = s"""WITH b AS (SELECT l_orderkey, l_linenumber, l_suppkey AS cat,
+      CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y FROM lineitem),
+    pr AS (SELECT 1000000 * SUM(y) // COUNT(*) AS prior_micro FROM b),
+    st AS (SELECT cat, COUNT(*) AS n_cat, SUM(y) AS y_cat FROM b GROUP BY cat)
+    SELECT b.l_orderkey, b.l_linenumber, b.cat, CAST(b.y AS BIGINT) AS y,
+      CAST((1000000 * (st.y_cat - b.y) + $TeM * (SELECT prior_micro FROM pr))
+        // (st.n_cat - 1 + $TeM) AS BIGINT) AS enc_micro
+    FROM b JOIN st ON b.cat = st.cat
+    WHERE b.l_orderkey < 200
+    ORDER BY b.l_orderkey, b.l_linenumber, b.cat, y, enc_micro"""
+
+  private val qTargetEncode = GraftQuery(
+    "qml_target_encode",
+    (s, dir) => Tables.lineitem(s, dir)
+      .transform(li => looTargetEncode(li, "l_suppkey",
+        (col("l_returnflag") === "R"), TeM,
+        keep = Seq("l_orderkey", "l_linenumber")))
+      .filter(col("l_orderkey") < 200)
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+      // the tie-break chain must cover every output column
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("cat"), col("y"),
+        col("enc_micro")),
+    Some(teSql))
+
+  val queries: Seq[GraftQuery] = Seq(qDistill, qTargetEncode)
 }

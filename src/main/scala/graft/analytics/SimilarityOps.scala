@@ -1580,7 +1580,65 @@ object SimilarityOps {
       Tables.embeddings(s, dir).filter(col("vec_id") < NQ)),
     Some(mmrSql))
 
+  // ---------------------------------------------- reciprocal-rank fusion
+  /** Reciprocal-rank fusion (Cormack, Clarke, Büttcher, SIGIR 2009) — the
+    * standard hybrid-retrieval combiner: each input ranking contributes
+    * 1/(c+rank) per (query, candidate); candidates are re-ranked by the
+    * sum. Rank-based (not score-based), so heterogeneous retrievers —
+    * dense ANN, sparse BM25, different score scales — fuse without any
+    * calibration, which is why every production RAG stack runs RRF
+    * between its dense and lexical legs. Scores are integer micro-units
+    * (10⁶ DIV (c+rank), summed, like [[retrievalMrr]]) — cross-engine
+    * exact, no float ratio chains.
+    *
+    * Scale shape: inputs are already top-k lists (k·|Q| rows each — the
+    * retrievers did the corpus-scale work); fusion is a union + one
+    * uniform-key aggregation on (query, candidate) + a per-query top-k
+    * window, never touching the corpus. Ties break on candidate id.
+    *
+    * Output: (query_id, rank, cand_id, rrf_micro), top `k` per query.
+    */
+  def rrfFuse(rankings: Seq[org.apache.spark.sql.DataFrame], k: Int = 5,
+      c: Int = 60): org.apache.spark.sql.DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val contrib = rankings.map(_.select(col("query_id"), col("cand_id"),
+      expr(s"1000000L div ($c + rank)").as("contrib")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("rrf_micro").desc, col("cand_id"))
+    contrib.reduce(_ unionByName _)
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(sum(col("contrib")).as("rrf_micro"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("rrf_micro"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val RrfC = 60
+
+  private val rrfSql = s"""WITH u AS (
+      SELECT query_id, cand_id, 1000000 // ($RrfC + rank) AS contrib FROM ($lshSql)
+      UNION ALL
+      SELECT query_id, cand_id, 1000000 // ($RrfC + rank) AS contrib FROM ($ivfSql)),
+    f AS (SELECT query_id, cand_id, CAST(SUM(contrib) AS BIGINT) AS rrf_micro
+      FROM u GROUP BY query_id, cand_id),
+    rk AS (SELECT query_id, cand_id, rrf_micro,
+      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf_micro DESC, cand_id) AS rank
+      FROM f)
+    SELECT query_id, CAST(rank AS INT) AS rank, cand_id, rrf_micro
+    FROM rk WHERE rank <= $K ORDER BY query_id, rank"""
+
+  private val qRrf = GraftQuery(
+    "qs_rrf_fusion",
+    (s, dir) => {
+      val corpus = Tables.embeddings(s, dir)
+      val q = corpus.filter(col("vec_id") < NQ)
+      rrfFuse(Seq(annLsh(corpus, q, K), annIvf(corpus, q, K)), K, RrfC)
+    },
+    Some(rrfSql))
+
   val queries: Seq[GraftQuery] = Seq(qBrute, qAnnLsh, qAnnIvf, qAnnIvfTrained,
     qAnnLshMp, qAnnFiltered, qRecall, qMrr, qSq, qSqPacked, qCentroids, qKmeans,
-    qOutliers, qSemDedup, qPq, qIvfPq, qIvfPqRes, qKnn, qRp, qMmr)
+    qOutliers, qSemDedup, qPq, qIvfPq, qIvfPqRes, qKnn, qRp, qMmr, qRrf)
 }

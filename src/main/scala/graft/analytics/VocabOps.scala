@@ -475,7 +475,65 @@ object VocabOps {
     (s, dir) => phraseSearch(Tables.documents(s, dir), PhraseWords),
     Some(phraseSql))
 
+  // ---------------------------------------------------- bigram-LM novelty
+  /** Corpus-LM novelty scoring — the count-based core of perplexity-style
+    * quality filtering (CCNet/KenLM family): train a bigram language
+    * model ON the corpus (one occurrence-count aggregation — counts ARE
+    * the MLE model), then score each document by the share of its bigram
+    * occurrences whose corpus frequency is ≤ `tau`. A high rare-bigram
+    * share is exactly what drives perplexity up under a count LM —
+    * gibberish, boilerplate mangling, OCR noise — but the rate form stays
+    * in exact integer arithmetic (basis points, integer division) where
+    * log-prob sums would drift across engines.
+    *
+    * Scale shape: one map-only bigram explode feeds BOTH the model agg
+    * and the scoring join, partitioned on the same bigram key (uniform —
+    * natural-language bigram skew tops out at "of the"-scale df, far
+    * below hot-key territory; the count table is a pure aggregate of the
+    * occurrence table, so the join is shuffle-on-one-key, no broadcast of
+    * anything corpus-sized), then one doc-key aggregation. Cost is linear
+    * in corpus tokens — the same budget as [[vocabulary]].
+    *
+    * Docs with < 2 tokens have no bigrams and are absent from the output.
+    * Output: (doc_id, n_bigrams, novelty_bp) ordered by doc_id.
+    */
+  def bigramNovelty(docs: DataFrame, tau: Int = 2, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val bigrams =
+      "CASE WHEN size(toks) >= 2 THEN zip_with(slice(toks, 1, size(toks) - 1), " +
+        "slice(toks, 2, size(toks) - 1), (x, y) -> concat(x, ' ', y)) " +
+        "ELSE array() END"
+    val occ = norm(docs, idCol, textCol)
+      .select(col("doc_id"), expr(toksExpr).as("toks"))
+      .select(col("doc_id"), explode(expr(bigrams)).as("bg"))
+    val cnt = occ.groupBy(col("bg")).agg(count(lit(1)).as("c"))
+    occ.join(cnt, Seq("bg"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c") <= tau, 1L).otherwise(0L)).as("rare"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("10000 * rare div n_bigrams").as("novelty_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val RareTau = 2
+
+  private val bigramNoveltySql = s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+    b0 AS (SELECT doc_id, CASE WHEN len(toks) >= 2 THEN list_transform(generate_series(1, len(toks) - 1),
+        i -> toks[i] || ' ' || toks[i+1]) ELSE [] END AS bgs FROM t),
+    occ AS (SELECT doc_id, unnest(bgs) AS bg FROM b0),
+    cnt AS (SELECT bg, COUNT(*) AS c FROM occ GROUP BY bg),
+    j AS (SELECT occ.doc_id, cnt.c FROM occ JOIN cnt ON occ.bg = cnt.bg)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      CAST(10000 * SUM(CASE WHEN c <= $RareTau THEN 1 ELSE 0 END) // COUNT(*) AS BIGINT) AS novelty_bp
+    FROM j GROUP BY doc_id ORDER BY doc_id"""
+
+  private val qBigramNovelty = GraftQuery(
+    "qt_bigram_novelty",
+    (s, dir) => bigramNovelty(Tables.documents(s, dir), RareTau),
+    Some(bigramNoveltySql))
+
   def queries: Seq[GraftQuery] =
     Seq(qVocab, qKeywords, qEditDist, qBm25, qBpeTrain, qBpeTokenize, qCountMin,
-      qPhrase)
+      qPhrase, qBigramNovelty)
 }

@@ -1042,4 +1042,107 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.exists(_.getBoolean(2)) && out.exists(!_.getBoolean(2)),
       "classifier collapsed to a constant prediction")
   }
+
+  test("winnowPairs: shared token runs pair, offset-independently; disjoint docs do not") {
+    import spark.implicits._
+    // 20 and 21 share a long run at DIFFERENT offsets (the winnowing
+    // guarantee: any shared run of w+2 tokens yields a shared selected
+    // fingerprint regardless of alignment); 22 is disjoint.
+    val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val d = Seq(
+      (20L, s"intro words here $run"),
+      (21L, s"$run trailing content entirely other"),
+      (22L, "unrelated material about storage engines and buffer pools wholly distinct"))
+      .toDF("post_id", "body")
+    val pairs = DedupOps.winnowPairs(d, idCol = "post_id", textCol = "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((20L, 21L)), s"expected exactly (20,21): $pairs")
+  }
+
+  test("rrfFuse: cross-retriever consensus outranks single-list placement; ties on id") {
+    import spark.implicits._
+    // cand 100 is mid-list in BOTH rankings; 200/300 top exactly one each.
+    // RRF: 100 → 2/(60+2) beats 200/300 → 1/61 + 0.
+    val r1 = Seq((1L, 1, 200L), (1L, 2, 100L)).toDF("query_id", "rank", "cand_id")
+    val r2 = Seq((1L, 1, 300L), (1L, 2, 100L)).toDF("query_id", "rank", "cand_id")
+    val out = SimilarityOps.rrfFuse(Seq(r1, r2), k = 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(out.head == ((1, 100L, 2 * (1000000 / 62))),
+      s"consensus candidate not first: ${out.toSeq}")
+    // 200 and 300 have identical scores — the id breaks the tie
+    assert(out.map(_._2).toSeq == Seq(100L, 200L, 300L), s"order: ${out.toSeq}")
+  }
+
+  test("bigramNovelty: all-rare doc scores 10000 bp, all-common doc 0 bp") {
+    import spark.implicits._
+    val common = "the cat sat on the mat"
+    val d = Seq(
+      (30L, common), (31L, common), (32L, common),        // every bigram df=3
+      (33L, "zebra quark nebula fjord glyph"))            // every bigram df=1
+      .toDF("post_id", "body")
+    val out = TestHelp.collectMap2(
+      VocabOps.bigramNovelty(d, tau = 2, idCol = "post_id", textCol = "body"))
+    assert(out(30L) == 0L && out(31L) == 0L && out(32L) == 0L,
+      s"common docs must score 0: $out")
+    assert(out(33L) == 10000L, s"all-rare doc must score 10000: $out")
+  }
+
+  test("shortestPaths: multi-hop cheaper path beats the direct edge; rounds bound hops") {
+    import spark.implicits._
+    // 1→3 direct costs 10; 1→2→3 costs 2. A 3rd hop reaches 4.
+    val e = Seq((1L, 3L, 10L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("node")
+    def dists(rounds: Int) =
+      GraphOps.shortestPaths(e, seeds, rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val d3 = dists(3)
+    assert(d3 == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L),
+      s"3-round labels wrong: $d3")
+    // after 1 round only direct edges are relaxed: 3 still carries 10
+    val d1 = dists(1)
+    assert(d1(3L) == 10L && !d1.contains(4L), s"1-round labels wrong: $d1")
+  }
+
+  test("personalizedPageRank: restart mass stays near the seeds; disconnected component ranks 0") {
+    import spark.implicits._
+    // two symmetric 2-cliques; seeds only in the first
+    val e = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L)).toDF("src", "dst")
+    val out = GraphOps.personalizedPageRank(e, Seq(1L).toDF("node"), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(3L) == 0L && out(4L) == 0L,
+      s"mass leaked to a component the walk cannot reach: $out")
+    assert(out(1L) > 0L && out(2L) > 0L, s"seed component unranked: $out")
+    // all mass stays in the seed component (up to integer-division dust);
+    // NOTE a 2-cycle is bipartite, so seed-vs-neighbor ORDER oscillates
+    // with iteration parity — only the component split is invariant
+    assert(out(1L) + out(2L) > 999L * 1000000000L,
+      s"seed-component mass not conserved: $out")
+  }
+
+  test("looTargetEncode: own label excluded; singleton category falls back to the prior") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Seq((1L, "a", true), (2L, "a", false), (3L, "a", false),
+      (4L, "b", true)).toDF("rid", "cat", "label")
+    val out = LearnOps.looTargetEncode(rows, "cat", col("label"), m = 2,
+        keep = Seq("rid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // prior = 10^6·2 div 4 = 500000
+    // row 1 (y=1, cat a): (10^6·(1−1) + 2·500000) div (3−1+2) = 250000
+    // row 2 (y=0, cat a): (10^6·(1−0) + 2·500000) div 4       = 500000
+    assert(out(1L) == 250000L && out(2L) == 500000L && out(3L) == 500000L,
+      s"LOO arithmetic wrong: $out")
+    // singleton: numerator y_cat−y = 0 → pure prior, never divide-by-zero
+    assert(out(4L) == 500000L, s"singleton must encode to the prior: $out")
+    // leakage check: same category, different own-label → different encodings
+    assert(out(1L) != out(2L), "own label not excluded (target leakage)")
+  }
+}
+
+/** Row-collect helpers shared by the API tests. */
+private object TestHelp {
+  /** (col0 -> col2) map of a 3+-column frame keyed by its first column. */
+  def collectMap2(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
 }
