@@ -367,5 +367,65 @@ object CdcOps {
     },
     Some(diffSql))
 
-  val queries: Seq[GraftQuery] = Seq(qScd2, qMerge, qIncrAgg, qDiff)
+  // --------------------------------------------- point-in-time join
+  /** Point-in-time (PIT) join — facts against an [[scd2]] dimension AS OF
+    * each fact's own timestamp: the feature-store correctness operator
+    * (training rows must see the feature value that was current WHEN the
+    * fact happened; joining today's dimension row into last year's facts
+    * is the classic label-leakage bug, the temporal twin of
+    * [[LearnOps.looTargetEncode]]'s LOO guard).
+    *
+    * A PIT join IS an as-of join on (entity, validity start), so this
+    * composes the native [[graft.plans.AsofJoinExec]] operator: each side
+    * shuffles once on the entity key, sorts on (entity, time), one
+    * forward merge — sort-merge scale shape, no interval explode, no
+    * window-over-union. Same-instant dimension changes are collapsed to
+    * the last one (by the tie column) BEFORE the join so the as-of probe
+    * is unambiguous in both engines.
+    *
+    * Output: every fact row + `profile_state` (the dimension attribute in
+    * force at fact time; null when the fact precedes any dimension row).
+    */
+  def pitJoin(facts: DataFrame, dimLog: DataFrame, key: String, attr: String,
+      ts: String, tie: String, factTs: String): DataFrame = {
+    val dim0 = scd2(dimLog, key, attr, ts, tie)
+      .select(col(key).as("d_user"), col(attr).as("profile_state"),
+        col("valid_from").as("d_from"), col(tie).as("d_tie"))
+    // collapse same-instant changes: one row per (entity, valid_from)
+    val w = Window.partitionBy(col("d_user"), col("d_from"))
+      .orderBy(col("d_tie").desc)
+    val dim = dim0.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn", "d_tie")
+    graft.plans.AsofOps.asofJoin(facts, dim,
+      Seq(key), Seq("d_user"), factTs, "d_from")
+  }
+
+  private val pitSql = """WITH s AS (SELECT user_id, event_type, ts, event_id,
+      LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM events WHERE event_type <> 'purchase'),
+    c AS (SELECT user_id, event_type, ts AS valid_from, event_id FROM s
+      WHERE prev IS NULL OR prev <> event_type),
+    dim AS (SELECT user_id AS d_user, event_type AS profile_state, valid_from
+      FROM (SELECT user_id, event_type, valid_from,
+        ROW_NUMBER() OVER (PARTITION BY user_id, valid_from ORDER BY event_id DESC) AS rn
+        FROM c) WHERE rn = 1)
+    SELECT p.user_id, p.event_id, p.ts, dim.profile_state
+    FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN dim ON p.user_id = dim.d_user AND p.ts >= dim.valid_from
+    ORDER BY p.user_id, p.ts, p.event_id"""
+
+  private val qPit = GraftQuery(
+    "qcdc_pit_join",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      pitJoin(facts, ev.filter(col("event_type") =!= "purchase"),
+          "user_id", "event_type", "ts", "event_id", "ts")
+        .select(col("user_id"), col("event_id"), col("ts"), col("profile_state"))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    },
+    Some(pitSql))
+
+  val queries: Seq[GraftQuery] = Seq(qScd2, qMerge, qIncrAgg, qDiff, qPit)
 }

@@ -604,8 +604,36 @@ object EventsQueries {
       GROUP BY e1, e2, e3
       ORDER BY n DESC, e1, e2, e3 LIMIT 10"""))
 
+  /** Rolling active users: EXACT distinct users per sliding 3-hour
+    * window (1-hour slide) — the DAU/WAU-family metric, and the distinct-
+    * count upgrade of [[qSliding]]'s sums (distinct does not decompose
+    * over overlapping windows, so each event is assigned to its 3
+    * covering windows explicitly — a fixed ×3 map-only fan-out — and
+    * each window runs one countDistinct). The shuffle key is the window
+    * start (uniform); Spark's two-phase distinct aggregation keeps
+    * partials map-side. For wider windows at corpus scale the mergeable
+    * [[graft.functions]] HLL sketch variant (qagg_hll_sketch) replaces
+    * exact distinct — this operator is the exact-answer member of that
+    * pair.
+    */
+  private val qSlidingDistinct = GraftQuery(
+    "qe_sliding_distinct",
+    (s, dir) => Tables.events(s, dir)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
+      .select(col("user_id"),
+        explode(expr("sequence(hr - interval 2 hours, hr, interval 1 hour)"))
+          .as("win_start"))
+      .groupBy(col("win_start"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("win_start")),
+    Some("""WITH t AS (SELECT user_id, date_trunc('hour', ts) AS hr FROM events),
+      w AS (SELECT user_id, unnest(generate_series(hr - INTERVAL 2 HOUR, hr,
+        INTERVAL 1 HOUR)) AS win_start FROM t)
+      SELECT win_start, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM w GROUP BY win_start ORDER BY win_start"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qTumbling, qSliding, qSessions, qJson, qTopUsers, qDeltas, qZscore,
       qFunnel, qRetention, qResample, qHistogram, qPattern, qTransitions,
-      qDecayWma, qAttribution, qCusum, qMadAnomaly, qTopPaths)
+      qDecayWma, qAttribution, qCusum, qMadAnomaly, qTopPaths, qSlidingDistinct)
 }

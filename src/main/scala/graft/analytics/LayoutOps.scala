@@ -246,5 +246,111 @@ object LayoutOps {
       ${zmLayoutSql("hashed_by_orderkey", "l_orderkey % 64")}
       ORDER BY layout"""))
 
-  val queries: Seq[GraftQuery] = Seq(qZorder, qCompaction, qZonemap)
+  // ------------------------------------------------ disk-backed IVF
+  /** Disk-backed IVF: write the corpus PARTITIONED BY its coarse-
+    * quantizer cell, so a vector query's probe set (best + second-best
+    * cell, [[SimilarityOps.annIvf]]'s probe rule) maps to partition
+    * DIRECTORIES and Spark's partition pruning skips every other file
+    * at the metadata level — the `PartitionFilters` twin of
+    * [[zorderLayout]]'s footer-stats pruning, and what FAISS's on-disk
+    * inverted lists look like expressed as a lakehouse layout. At
+    * 100 TB the probe set reads probes/C of the corpus; everything else
+    * is never opened. StorageLayoutSpec proves the pruning on real
+    * written files; [[ivfScanArithmetic]] is the oracle-checkable
+    * arithmetic readout of the same effect.
+    */
+  def ivfLayout(corpus: DataFrame, outPath: String,
+      cents: Seq[Seq[Double]] = SimilarityOps.centroids,
+      vecCol: String = "embedding"): Unit = {
+    import graft.functions.GraftFunctions.graft_dot_scores
+    require(!corpus.columns.contains("cell"), "input already has a cell column")
+    corpus
+      .withColumn("__sc",
+        graft_dot_scores(typedLit(cents), col(vecCol).cast("array<double>")))
+      .withColumn("cell", expr("array_position(__sc, array_max(__sc))"))
+      .drop("__sc")
+      .write.mode("overwrite").partitionBy("cell").parquet(outPath)
+  }
+
+  /** Scan-volume arithmetic for a probed vector query batch under
+    * different file layouts — [[zonemapSkipping]]'s form applied to IVF:
+    * a file must be read iff it contains ANY row of a cell some query
+    * probes. Cell-partitioned files make the probe set ≈ 2/C of rows
+    * per query; a hash layout stripes every cell across every file, so
+    * every probe reads everything. Exact integer counts end-to-end.
+    *
+    * Output per layout: (layout, n_files, n_files_read, n_rows_total,
+    * n_rows_scanned), n_rows_scanned summed over the query batch.
+    */
+  def ivfScanArithmetic(corpus: DataFrame, queries: DataFrame,
+      layouts: Seq[(String, Column)],
+      cents: Seq[Seq[Double]] = SimilarityOps.centroids): DataFrame = {
+    require(layouts.nonEmpty, "at least one layout required")
+    val cells = SimilarityOps.corpusCells(corpus, cents).localCheckpoint()
+    val probes = SimilarityOps.queryProbes(queries, cents).localCheckpoint()
+    layouts.map { case (name, fileExpr) =>
+      val fc = cells.select(fileExpr.as("file_id"), col("cell"))
+        .groupBy(col("file_id"), col("cell")).agg(count(lit(1)).as("nr"))
+      val fr = fc.groupBy(col("file_id")).agg(sum(col("nr")).as("n_rows"))
+      val qf = probes.join(fc.select(col("file_id"), col("cell")), Seq("cell"))
+        .select(col("query_id"), col("file_id")).distinct()
+      fr.agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("n_rows_total"))
+        .crossJoin(qf.agg(countDistinct(col("file_id")).as("n_files_read")))
+        .crossJoin(qf.join(fr, Seq("file_id"))
+          .agg(sum(col("n_rows")).as("n_rows_scanned")))
+        .select(lit(name).as("layout"), col("n_files"), col("n_files_read"),
+          col("n_rows_total"), col("n_rows_scanned"))
+    }.reduce(_ unionByName _).orderBy(col("layout"))
+  }
+
+  private val IvfNq = 20
+
+  private def ivfLayoutSql(name: String, fileExpr: String, n: Int) =
+    s"""SELECT '$name' AS layout,
+      CAST((SELECT COUNT(*) FROM fr_$n) AS BIGINT) AS n_files,
+      CAST((SELECT COUNT(DISTINCT file_id) FROM qf_$n) AS BIGINT) AS n_files_read,
+      CAST((SELECT SUM(n_rows) FROM fr_$n) AS BIGINT) AS n_rows_total,
+      CAST((SELECT SUM(fr.n_rows) FROM qf_$n qf JOIN fr_$n fr ON qf.file_id = fr.file_id)
+        AS BIGINT) AS n_rows_scanned"""
+
+  private def ivfLayoutCtes(fileExpr: String, n: Int) =
+    s"""fc_$n AS (SELECT $fileExpr AS file_id, cell, COUNT(*) AS nr FROM e GROUP BY 1, 2),
+    fr_$n AS (SELECT file_id, SUM(nr) AS n_rows FROM fc_$n GROUP BY 1),
+    qf_$n AS (SELECT DISTINCT pr.query_id, fc.file_id
+      FROM pr JOIN fc_$n fc ON pr.cell = fc.cell)"""
+
+  private val ivfArithSql = {
+    val cw = SimilarityOps.centroids.map(_.mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")
+    val c = SimilarityOps.centroids.length
+    s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cw AS (SELECT $cw AS w),
+    scs AS (SELECT vec_id, list_transform(generate_series(1, $c), c ->
+        list_reduce(list_transform(generate_series(1, 64), i -> w[c][i] * v[i]), (a, b) -> a + b)) AS sc
+      FROM e0, cw),
+    e AS (SELECT vec_id, list_position(sc, list_max(sc)) AS cell, sc FROM scs),
+    q AS (SELECT vec_id, cell AS p1,
+        list_position(sc, list_max(list_filter(sc, x -> x <> list_max(sc)))) AS p2
+      FROM e WHERE vec_id < $IvfNq),
+    pr AS (SELECT DISTINCT query_id, cell FROM
+      (SELECT vec_id AS query_id, unnest([p1, p2]) AS cell FROM q)),
+    ${ivfLayoutCtes("cell", 1)},
+    ${ivfLayoutCtes("vec_id % 64", 2)}
+    ${ivfLayoutSql("cell_partitioned", "cell", 1)}
+    UNION ALL
+    ${ivfLayoutSql("hashed_by_vecid", "vec_id % 64", 2)}
+    ORDER BY layout"""
+  }
+
+  private val qIvfLayout = GraftQuery(
+    "qlayout_ivf",
+    (s, dir) => {
+      val corpus = Tables.embeddings(s, dir)
+      ivfScanArithmetic(corpus, corpus.filter(col("vec_id") < IvfNq),
+        Seq("cell_partitioned" -> col("cell"),
+          "hashed_by_vecid" -> (col("vec_id") % 64)))
+    },
+    Some(ivfArithSql))
+
+  val queries: Seq[GraftQuery] = Seq(qZorder, qCompaction, qZonemap, qIvfLayout)
 }

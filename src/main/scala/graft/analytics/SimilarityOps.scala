@@ -960,6 +960,83 @@ object SimilarityOps {
     * deterministic oracled query: both approximations are seeded by
     * literals, so recall is a fixed number both engines compute.
     */
+  /** (id, cell) coarse-quantizer assignment for every row — the shared
+    * primitive behind [[annIvf]]'s inverted lists and
+    * [[LayoutOps]]'s disk-backed IVF partitioning.
+    */
+  private[analytics] def corpusCells(df: org.apache.spark.sql.DataFrame,
+      cents: Seq[Seq[Double]] = centroids, idCol: String = "vec_id",
+      vecCol: String = "embedding"): org.apache.spark.sql.DataFrame =
+    prep(df, idCol, vecCol)
+      .withColumn("sc", graft_dot_scores(typedLit(cents), col("v")))
+      .withColumn("cell", expr("array_position(sc, array_max(sc))"))
+      .select(col("vec_id"), col("cell"))
+
+  /** (query id, probed cell) pairs — each query's best + second-best
+    * cell, the probe set [[annIvf]] reranks inside (distinct guards the
+    * tie case where both argmaxes land on one cell).
+    */
+  private[analytics] def queryProbes(df: org.apache.spark.sql.DataFrame,
+      cents: Seq[Seq[Double]] = centroids, idCol: String = "vec_id",
+      vecCol: String = "embedding"): org.apache.spark.sql.DataFrame =
+    prep(df, idCol, vecCol)
+      .withColumn("sc", graft_dot_scores(typedLit(cents), col("v")))
+      .withColumn("p1", expr("array_position(sc, array_max(sc))"))
+      .withColumn("p2",
+        expr("array_position(sc, array_max(filter(sc, x -> x != array_max(sc))))"))
+      .select(col("vec_id").as("query_id"),
+        explode(array(col("p1"), col("p2"))).as("cell"))
+      .distinct()
+
+  // ---------------------------------------------- reciprocal-rank fusion
+  /** Reciprocal-rank fusion (Cormack, Clarke, Büttcher, SIGIR 2009) — the
+    * standard hybrid-retrieval combiner: each input ranking contributes
+    * 1/(c+rank) per (query, candidate); candidates are re-ranked by the
+    * sum. Rank-based (not score-based), so heterogeneous retrievers —
+    * dense ANN, sparse BM25, different score scales — fuse without any
+    * calibration, which is why every production RAG stack runs RRF
+    * between its dense and lexical legs. Scores are integer micro-units
+    * (10⁶ DIV (c+rank), summed, like [[retrievalMrr]]) — cross-engine
+    * exact, no float ratio chains.
+    *
+    * Scale shape: inputs are already top-k lists (k·|Q| rows each — the
+    * retrievers did the corpus-scale work); fusion is a union + one
+    * uniform-key aggregation on (query, candidate) + a per-query top-k
+    * window, never touching the corpus. Ties break on candidate id.
+    *
+    * Output: (query_id, rank, cand_id, rrf_micro), top `k` per query.
+    */
+  def rrfFuse(rankings: Seq[org.apache.spark.sql.DataFrame], k: Int = 5,
+      c: Int = 60): org.apache.spark.sql.DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val contrib = rankings.map(_.select(col("query_id"), col("cand_id"),
+      expr(s"1000000L div ($c + rank)").as("contrib")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("rrf_micro").desc, col("cand_id"))
+    contrib.reduce(_ unionByName _)
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(sum(col("contrib")).as("rrf_micro"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("rrf_micro"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val RrfC = 60
+
+  private val rrfSql = s"""WITH u AS (
+      SELECT query_id, cand_id, 1000000 // ($RrfC + rank) AS contrib FROM ($lshSql)
+      UNION ALL
+      SELECT query_id, cand_id, 1000000 // ($RrfC + rank) AS contrib FROM ($ivfSql)),
+    f AS (SELECT query_id, cand_id, CAST(SUM(contrib) AS BIGINT) AS rrf_micro
+      FROM u GROUP BY query_id, cand_id),
+    rk AS (SELECT query_id, cand_id, rrf_micro,
+      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf_micro DESC, cand_id) AS rank
+      FROM f)
+    SELECT query_id, CAST(rank AS INT) AS rank, cand_id, rrf_micro
+    FROM rk WHERE rank <= $K ORDER BY query_id, rank"""
+
   private def recallBranchSql(method: String, approxSql: String) =
     s"""SELECT '$method' AS method,
       CAST(SUM(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
@@ -998,6 +1075,10 @@ object SimilarityOps {
           annRecall(exact, pqTopK(corpus, q, K)).withColumn("method", lit("pq")))
         .unionByName(
           annRecall(exact, rpTopK(corpus, q, K)).withColumn("method", lit("rp")))
+        .unionByName(
+          annRecall(exact, rrfFuse(Seq(annLsh(corpus, q, K), annIvf(corpus, q, K)),
+              K, RrfC))
+            .withColumn("method", lit("rrf")))
         .select(col("method"), col("recall"))
         .orderBy(col("method"))
     },
@@ -1008,7 +1089,8 @@ object SimilarityOps {
       UNION ALL ${recallBranchSql("lsh", lshSql)}
       UNION ALL ${recallBranchSql("lsh_mp", lshMpSql)}
       UNION ALL ${recallBranchSql("pq", pqSql)}
-      UNION ALL ${recallBranchSql("rp", rpSql)} ORDER BY method"""))
+      UNION ALL ${recallBranchSql("rp", rpSql)}
+      UNION ALL ${recallBranchSql("rrf", rrfSql)} ORDER BY method"""))
 
   /** Mean reciprocal rank of the TRUE nearest neighbor inside an
     * approximate top-k list — the ranking-quality complement of
@@ -1579,55 +1661,6 @@ object SimilarityOps {
     (s, dir) => mmrRerank(Tables.embeddings(s, dir),
       Tables.embeddings(s, dir).filter(col("vec_id") < NQ)),
     Some(mmrSql))
-
-  // ---------------------------------------------- reciprocal-rank fusion
-  /** Reciprocal-rank fusion (Cormack, Clarke, Büttcher, SIGIR 2009) — the
-    * standard hybrid-retrieval combiner: each input ranking contributes
-    * 1/(c+rank) per (query, candidate); candidates are re-ranked by the
-    * sum. Rank-based (not score-based), so heterogeneous retrievers —
-    * dense ANN, sparse BM25, different score scales — fuse without any
-    * calibration, which is why every production RAG stack runs RRF
-    * between its dense and lexical legs. Scores are integer micro-units
-    * (10⁶ DIV (c+rank), summed, like [[retrievalMrr]]) — cross-engine
-    * exact, no float ratio chains.
-    *
-    * Scale shape: inputs are already top-k lists (k·|Q| rows each — the
-    * retrievers did the corpus-scale work); fusion is a union + one
-    * uniform-key aggregation on (query, candidate) + a per-query top-k
-    * window, never touching the corpus. Ties break on candidate id.
-    *
-    * Output: (query_id, rank, cand_id, rrf_micro), top `k` per query.
-    */
-  def rrfFuse(rankings: Seq[org.apache.spark.sql.DataFrame], k: Int = 5,
-      c: Int = 60): org.apache.spark.sql.DataFrame = {
-    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
-    val contrib = rankings.map(_.select(col("query_id"), col("cand_id"),
-      expr(s"1000000L div ($c + rank)").as("contrib")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("rrf_micro").desc, col("cand_id"))
-    contrib.reduce(_ unionByName _)
-      .groupBy(col("query_id"), col("cand_id"))
-      .agg(sum(col("contrib")).as("rrf_micro"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("cand_id"), col("rrf_micro"))
-      .orderBy(col("query_id"), col("rank"))
-  }
-
-  private val RrfC = 60
-
-  private val rrfSql = s"""WITH u AS (
-      SELECT query_id, cand_id, 1000000 // ($RrfC + rank) AS contrib FROM ($lshSql)
-      UNION ALL
-      SELECT query_id, cand_id, 1000000 // ($RrfC + rank) AS contrib FROM ($ivfSql)),
-    f AS (SELECT query_id, cand_id, CAST(SUM(contrib) AS BIGINT) AS rrf_micro
-      FROM u GROUP BY query_id, cand_id),
-    rk AS (SELECT query_id, cand_id, rrf_micro,
-      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf_micro DESC, cand_id) AS rank
-      FROM f)
-    SELECT query_id, CAST(rank AS INT) AS rank, cand_id, rrf_micro
-    FROM rk WHERE rank <= $K ORDER BY query_id, rank"""
 
   private val qRrf = GraftQuery(
     "qs_rrf_fusion",

@@ -317,4 +317,38 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("rangepartitioning"),
       s"expected the dominance-order range partition:\n$plan")
   }
+
+  test("qd_winnow pairs only on winnowed fingerprints; no all-pairs fallback") {
+    val plan = graft.SparkEntry.queries("qd_winnow")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"winnowing regressed to an all-pairs scan:\n$plan")
+  }
+
+  test("qe_top_paths global top-k plans as TakeOrderedAndProject, not a global sort") {
+    val plan = graft.SparkEntry.queries("qe_top_paths")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"path top-k lost its per-partition top-k shape:\n$plan")
+  }
+
+  test("qcdc_pit_join runs on the native as-of merge: one exchange+sort per side") {
+    val plan = graft.SparkEntry.queries("qcdc_pit_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"),
+      s"PIT join no longer uses the native as-of operator:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"PIT join regressed to an interval nested-loop:\n$plan")
+  }
+
+  test("qml_target_encode broadcasts the 1-row prior, never the fact table") {
+    val plan = graft.SparkEntry.queries("qml_target_encode")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the only nested-loop allowed is the 1-row prior crossJoin (it prints
+    // as BroadcastNestedLoopJoin with a single-row build side)
+    assert(!plan.contains("CartesianProduct"),
+      s"target encoding planned a cartesian product:\n$plan")
+  }
 }

@@ -156,4 +156,23 @@ class StorageLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"only $bounded/${spans.length} files are span-bounded: " +
         spans.map(r => (r.getLong(1), r.getLong(2))).mkString(", "))
   }
+
+  test("ivfLayout: probe-set reads only the probed cells' partition files") {
+    val dir = Files.createTempDirectory("graft-ivf").toString
+    LayoutOps.ivfLayout(Tables.embeddings(spark, sf), dir)
+    val back = spark.read.parquet(dir)
+    val nCells = back.select("cell").distinct().count()
+    assert(nCells > 2, s"expected several cells, got $nCells")
+    val probed = back.filter(col("cell").isin(1, 2))
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"cell filter not pushed as a partition filter:\n$plan")
+    // the probe physically opens only the probed cells' files
+    val filesRead = probed.select(input_file_name()).distinct().count()
+    val filesTotal = back.select(input_file_name()).distinct().count()
+    assert(filesRead < filesTotal,
+      s"probe read all $filesTotal files — partition pruning inert")
+    // and rows survive the round-trip: cell-partition sum equals corpus
+    assert(back.count() == Tables.embeddings(spark, sf).count())
+  }
 }
