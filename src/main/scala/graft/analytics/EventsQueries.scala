@@ -1,5 +1,6 @@
 package graft.analytics
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -631,6 +632,27 @@ object EventsQueries {
         INTERVAL 1 HOUR)) AS win_start FROM t)
       SELECT win_start, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
       FROM w GROUP BY win_start ORDER BY win_start"""))
+
+  /** Streaming twin of [[qSlidingDistinct]]: exact rolling distinct
+    * users over sliding event-time windows, incrementally. Two chained
+    * stateful operators (Spark supports stateful-op chaining under one
+    * aligned watermark): dropDuplicates on (window, user) holds one
+    * state row per distinct membership — the exact-distinct state any
+    * engine needs — then the windowed count aggregates survivors; each
+    * window emits once, when the watermark passes its end. State is
+    * bounded by the watermark delay × distinct users, keyed uniformly —
+    * the same scale story as the batch ×3 fan-out, held incrementally.
+    * StreamingExtrasSpec pins stream ≡ batch on closed windows.
+    */
+  def slidingDistinctStream(events: DataFrame, tsCol: String = "ts",
+      userCol: String = "user_id", watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .select(window(col(tsCol), "3 hours", "1 hour"), col(userCol).as("user_id"))
+      .dropDuplicates("window", "user_id")
+      .groupBy(col("window"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("window.start").as("win_start"), col("n_users"))
 
   val queries: Seq[GraftQuery] =
     Seq(qTumbling, qSliding, qSessions, qJson, qTopUsers, qDeltas, qZscore,

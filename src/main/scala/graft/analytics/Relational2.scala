@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -674,9 +674,114 @@ object Relational2 {
       SELECT l_returnflag, q AS mode_qty, cnt AS n
       FROM r WHERE rk = 1 ORDER BY l_returnflag"""))
 
+  // Winsorized robust mean: clip each value at its group's disc
+  // percentiles [p05, p95] before averaging — the standard outlier-
+  // tolerant mean for metrics pipelines (one spike can't drag the
+  // average; unlike trimming, the sample size is preserved). Exact
+  // end-to-end: values go through the shared cents quantization, the
+  // cut points are percentile_disc (actual data values, no
+  // interpolation), and the mean is an integer DIV — deterministic
+  // under any partitioning. Two group-keyed aggregations + one
+  // group-keyed join; nothing windows globally.
+  private val qWinsorize = GraftQuery(
+    "qstat_winsorize",
+    (s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events_wz")
+      s.sql("""WITH c AS (SELECT event_type,
+          CAST(round(value * 100) AS BIGINT) AS cents FROM events_wz),
+        p AS (SELECT event_type,
+            CAST(percentile_disc(0.05) WITHIN GROUP (ORDER BY cents) AS BIGINT) AS lo,
+            CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY cents) AS BIGINT) AS hi
+          FROM c GROUP BY event_type)
+        SELECT c.event_type, p.lo, p.hi, COUNT(*) AS n,
+          SUM(CASE WHEN c.cents < p.lo THEN p.lo
+                   WHEN c.cents > p.hi THEN p.hi ELSE c.cents END)
+            DIV COUNT(*) AS win_mean_cents,
+          SUM(c.cents) DIV COUNT(*) AS raw_mean_cents
+        FROM c JOIN p ON c.event_type = p.event_type
+        GROUP BY c.event_type, p.lo, p.hi
+        ORDER BY c.event_type""")
+    },
+    Some("""WITH c AS (SELECT event_type,
+        CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      p AS (SELECT event_type, quantile_disc(cents, 0.05) AS lo,
+          quantile_disc(cents, 0.95) AS hi
+        FROM c GROUP BY event_type)
+      SELECT c.event_type, p.lo, p.hi, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CASE WHEN c.cents < p.lo THEN p.lo
+                 WHEN c.cents > p.hi THEN p.hi ELSE c.cents END)
+          // COUNT(*) AS BIGINT) AS win_mean_cents,
+        CAST(SUM(c.cents) // COUNT(*) AS BIGINT) AS raw_mean_cents
+      FROM c JOIN p ON c.event_type = p.event_type
+      GROUP BY c.event_type, p.lo, p.hi
+      ORDER BY c.event_type"""))
+
+  // ------------------------------------------ bottom-k quantile sketch
+  /** Mergeable per-group quantile sketch — the third sketch class beside
+    * the HLL distinct sketch (qagg_hll_sketch) and the count-min
+    * frequency sketch (qagg_countmin): a BOTTOM-K sketch keyed by a
+    * deterministic row hash. Per group, keep the k rows whose
+    * md5-derived key is smallest; that is a uniform k-sample of the
+    * group that is (a) DETERMINISTIC — no RNG, so the oracle matches
+    * exactly — and (b) MERGEABLE: bottom-k of a union is the bottom-k
+    * of the per-part bottom-ks (min-monoid), so shard sketches combine
+    * associatively, the property that lets 1000 executors sketch
+    * independently and a coordinator fold the results (OpsApiSpec pins
+    * merge ≡ direct). The quantile readout is disc-style selection from
+    * the sorted sample (index ⌈p·m⌉) — no interpolation, engine-exact.
+    *
+    * Scale: the rank-≤-k filter plans as WindowGroupLimit (per-partition
+    * top-k pre-prune before the group exchange, like qt_weighted_sample)
+    * and the k-bounded collect_list is O(k) state per group. Error is
+    * the standard uniform-sampling quantile bound (±O(1/√k) in rank).
+    *
+    * Output: (group, n_rows, n_sample, q_est) ordered by group.
+    */
+  def bottomKQuantile(df: DataFrame, groupCol: String, valCol: Column,
+      idCol: String, k: Int = 64, p: Double = 0.5): DataFrame = {
+    require(k >= 1 && p > 0.0 && p <= 1.0)
+    val hk = s"cast(conv(substring(md5(cast($idCol as string)), 1, 15), 16, 10) as bigint)"
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(expr(hk), col(idCol))
+    df.select(col(groupCol), valCol.as("_v"), col(idCol))
+      .withColumn("_rk", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+      .filter(col("_rk") <= k)
+      .groupBy(col(groupCol))
+      .agg(max(col("_n")).as("n_rows"), count(lit(1)).as("n_sample"),
+        sort_array(collect_list(col("_v"))).as("_s"))
+      .select(col(groupCol), col("n_rows"), col("n_sample"),
+        expr(s"element_at(_s, cast(ceil($p * size(_s)) as int))").as("q_est"))
+      .orderBy(col(groupCol))
+  }
+
+  private val BkK = 64
+
+  private val bottomKSql = s"""WITH c AS (SELECT event_type, event_id,
+      CAST(round(value * 100) AS BIGINT) AS cents,
+      CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) AS hk
+    FROM events),
+    r AS (SELECT event_type, cents,
+        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hk, event_id) AS rk,
+        COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM c),
+    s AS (SELECT event_type, MAX(n) AS n_rows, COUNT(*) AS n_sample,
+        list_sort(list(cents)) AS sm
+      FROM r WHERE rk <= $BkK GROUP BY event_type)
+    SELECT event_type, CAST(n_rows AS BIGINT) AS n_rows,
+      CAST(n_sample AS BIGINT) AS n_sample,
+      sm[CAST(ceil(0.5 * len(sm)) AS INT)] AS q_est
+    FROM s ORDER BY event_type"""
+
+  private val qBottomK = GraftQuery(
+    "qagg_bottomk_quantile",
+    (s, dir) => bottomKQuantile(Tables.events(s, dir), "event_type",
+      round(col("value") * 100).cast("bigint"), "event_id", BkK),
+    Some(bottomKSql))
+
   val queries: Seq[GraftQuery] = Seq(
     qVariance, qPercentileDisc, qPercentileCont, qCorr, qArgMax, qStrings, qStrings2,
     qDates, qDates2, qCollect, qRegexp, qBoolAgg,
     qGroupingSets, qApproxDistinct, qQ11, qQ12, qQ20, qQ21, qNulls, qTopKAgg, qTypedAgg,
-    qSkyline, qHllSketch, qMode)
+    qSkyline, qHllSketch, qMode, qWinsorize, qBottomK)
 }

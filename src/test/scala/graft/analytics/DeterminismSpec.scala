@@ -32,7 +32,12 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     "qg_pagerank",        // integer fixed-point power iteration
     "qt_bm25",            // sorted-token float fold
     "qt_dsir_weights",    // exact-BIGINT likelihood ratios
-    "qs_kmeans_step")     // quantized Lloyd step
+    "qs_kmeans_step",     // quantized Lloyd step
+    "qd_winnow",          // packed-BIGINT window argmin
+    "qg_sssp",            // frontier relaxation, BIGINT min-distances
+    "qg_ppr",             // per-seed teleport fixed-point
+    "qml_target_encode",  // LOO micro-unit integer division
+    "qs_rrf_fusion")      // integer micro-unit rank fusion
 
   test("pinned queries are bit-identical under different shuffle partitionings") {
     pinned.foreach { name =>

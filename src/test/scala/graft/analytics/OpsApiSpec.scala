@@ -1138,6 +1138,33 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     // leakage check: same category, different own-label → different encodings
     assert(out(1L) != out(2L), "own label not excluded (target leakage)")
   }
+
+  test("bottomKQuantile: merge of shard sketches equals the direct sketch") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, expr, round, row_number}
+    val k = 16
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_type"), col("event_id"), col("value"))
+    // shard sketches: bottom-k rows per group by the SAME deterministic
+    // hash order the operator uses
+    def sketchRows(df: org.apache.spark.sql.DataFrame) = {
+      val hk = "cast(conv(substring(md5(cast(event_id as string)), 1, 15), 16, 10) as bigint)"
+      val w = Window.partitionBy(col("event_type")).orderBy(expr(hk), col("event_id"))
+      df.withColumn("_rk", row_number().over(w)).filter(col("_rk") <= k)
+        .select(col("event_type"), col("event_id"), col("value"))
+    }
+    val shards = sketchRows(ev.filter(col("event_id") % 2 === 0))
+      .unionByName(sketchRows(ev.filter(col("event_id") % 2 === 1)))
+    def readout(df: org.apache.spark.sql.DataFrame) =
+      Relational2.bottomKQuantile(df, "event_type",
+          round(col("value") * 100).cast("bigint"), "event_id", k)
+        .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val direct = readout(ev)
+    val merged = readout(shards)
+    // bottom-k is a min-monoid: re-sketching the union of shard sketches
+    // gives the same sample, hence the same n_sample and quantile
+    assert(direct == merged, s"direct $direct vs merged $merged")
+  }
 }
 
 /** Row-collect helpers shared by the API tests. */

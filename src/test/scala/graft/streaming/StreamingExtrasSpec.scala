@@ -780,6 +780,42 @@ class StreamingExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(h.clientReplies.count(_.eventId == "dup1") == 2)
     } finally h.stop()
   }
+
+  test("streaming sliding distinct equals the batch rolling-distinct on closed windows") {
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, Long)](spark)
+    val out = graft.analytics.EventsQueries.slidingDistinctStream(
+      input.toDS().toDF("ts", "user_id"))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sliding_distinct")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sdist").toString)
+      .start()
+    def t(h: Long, m: Long = 0) = new Timestamp((h * 3600 + m * 60) * 1000)
+    // users 1/2 in hour 100; user 1 AGAIN in hour 101 (must not double-
+    // count in the 3h windows covering both); user 3 in hour 102
+    val data = Seq((t(100), 1L), (t(100, 30), 2L), (t(101), 1L), (t(102), 3L))
+    input.addData(data: _*)
+    q.processAllAvailable()
+    // watermark advancer: closes every window ending <= 300h - 1h
+    input.addData((t(300), 99L))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sliding_distinct").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toMap
+    val batch = data.toDF("ts", "user_id")
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
+      .select(col("user_id"),
+        explode(expr("sequence(hr - interval 2 hours, hr, interval 1 hour)"))
+          .as("win_start"))
+      .groupBy(col("win_start"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toMap
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    // the cross-window dedup really deduped: hour-101 window counts user 1 once
+    assert(streamed(t(101).getTime) == 2L,
+      s"user seen in two hours double-counted: $streamed")
+  }
 }
 
 /** Event-time sessionization on raw transformWithState timers: per-key
