@@ -333,5 +333,66 @@ object MixOps {
       coalesce(CAST(sc.qsum AS DOUBLE) / (sc.n_feats * $DsirQuant.0), 0.0) AS score
     FROM documents dd LEFT JOIN sc ON dd.doc_id = sc.doc_id ORDER BY dd.doc_id"""))
 
-  def queries: Seq[GraftQuery] = Seq(qNormalize, qDomainMix, qSeqPack, qChunk, qDsir)
+  // ------------------------------------------------ export shard plan
+  /** Deterministic training-export sharding — the LAST step of dataset
+    * assembly: give every document a position in a deterministic GLOBAL
+    * shuffle (ordered by a row hash — "shuffled" for training locality,
+    * yet reproducible run-to-run and engine-to-engine, no RNG) and cut
+    * that order into shards of ≤ `budget` total tokens, so every writer
+    * task emits balanced shard files and a re-run of the pipeline
+    * produces byte-identical shard membership (the property data audits
+    * need).
+    *
+    * Scale shape: the same TWO-LEVEL PREFIX SUM as
+    * [[LayoutOps.compactionPlan]] — range-partition by the hash order,
+    * per-partition running sums (partition-local windows), one P-row
+    * offsets frame broadcast back. No global single-task window at any
+    * size; the global order exists only as arithmetic.
+    *
+    * Output: (doc_id, n_tokens, shard) — contiguous shard ids in hash
+    * order, each shard ≤ budget tokens past its first document.
+    */
+  def shardPlan(docs: DataFrame, budget: Long, idCol: String = "doc_id",
+      textCol: String = "text", parts: Int = 0): DataFrame = {
+    require(budget > 0, s"token budget must be > 0, got $budget")
+    val spark = docs.sparkSession
+    val p = if (parts > 0) parts
+      else spark.sessionState.conf.numShufflePartitions
+    val inv = Nlp.normDocs(docs, idCol, textCol)
+      .select(col("doc_id"), expr(s"cast(size($toksExpr) as bigint)").as("w"),
+        expr(h60(s"cast(doc_id as string)")).as("hk"))
+      .repartitionByRange(p, col("hk"), col("doc_id"))
+      .withColumn("_pid", spark_partition_id())
+    val offsets = inv.groupBy(col("_pid")).agg(sum(col("w")).as("_psum"))
+      .withColumn("_off", coalesce(sum(col("_psum")).over(
+        Window.orderBy(col("_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("_psum")
+    val wLoc = Window.partitionBy(col("_pid")).orderBy(col("hk"), col("doc_id"))
+    inv.join(broadcast(offsets), "_pid")
+      .withColumn("_cum", col("_off") + sum(col("w")).over(wLoc) - col("w"))
+      .select(col("doc_id"), col("w").as("n_tokens"),
+        expr(s"_cum div ${budget}L").as("shard"))
+  }
+
+  private val ShardBudget = 4096L
+
+  private val shardSql = s"""WITH f AS (SELECT doc_id,
+      CAST(len($toksSql) AS BIGINT) AS w,
+      ${h60Sql("CAST(doc_id AS VARCHAR)")} AS hk FROM documents),
+    c AS (SELECT doc_id, w,
+      COALESCE(SUM(w) OVER (ORDER BY hk, doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      FROM f)
+    SELECT doc_id, w AS n_tokens, CAST(cum // $ShardBudget AS BIGINT) AS shard
+    FROM c ORDER BY shard, doc_id"""
+
+  private val qShardPlan = GraftQuery(
+    "qt_shard_plan",
+    (s, dir) => shardPlan(Tables.documents(s, dir), ShardBudget)
+      .orderBy(col("shard"), col("doc_id")),
+    Some(shardSql))
+
+  def queries: Seq[GraftQuery] = Seq(qNormalize, qDomainMix, qSeqPack, qChunk,
+    qDsir, qShardPlan)
 }

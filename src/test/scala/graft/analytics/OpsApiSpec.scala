@@ -1165,6 +1165,25 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     // gives the same sample, hence the same n_sample and quantile
     assert(direct == merged, s"direct $direct vs merged $merged")
   }
+
+  test("shardPlan: partition-count invariant, contiguous shards, budget-bounded") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    def plan(parts: Int) =
+      MixOps.shardPlan(d, 4096, parts = parts)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val a = plan(3)
+    val b = plan(7)
+    // the global hash order exists only as arithmetic — the physical
+    // partitioning must not leak into shard membership
+    assert(a.sameElements(b), "shard assignment depends on partition count")
+    val byShard = a.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
+    assert(byShard.size > 3, s"expected several shards, got ${byShard.size}")
+    // each shard starts before its budget line: total minus its last doc
+    // stays under budget (next-fit semantics)
+    val maxDoc = a.map(_._2).max
+    assert(byShard.values.forall(_ <= 4096 + maxDoc),
+      s"a shard exceeds budget + one document: $byShard")
+  }
 }
 
 /** Row-collect helpers shared by the API tests. */

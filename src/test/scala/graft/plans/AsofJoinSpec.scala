@@ -116,6 +116,13 @@ class AsofJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("Exchange hashpartitioning"),
       "expected hash exchanges from the declared ClusteredDistribution")
     assert(plan.contains("Sort ["), "expected (key, time) sorts on both sides")
+    // EXACTLY one exchange + one sort per child: the declared
+    // requiredChildDistribution/Ordering must not double-plan under AQE
+    // or future Spark upgrades — the operator's scale shape IS this count
+    val nEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    val nSort = "Sort \\[".r.findAllIn(plan).size
+    assert(nEx == 2, s"expected exactly 2 exchanges (one per side), got $nEx:\n$plan")
+    assert(nSort == 2, s"expected exactly 2 sorts (one per side), got $nSort:\n$plan")
   }
 
   test("disjoint-name and key-arity contracts are enforced") {
