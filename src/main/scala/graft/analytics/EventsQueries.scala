@@ -654,8 +654,49 @@ object EventsQueries {
       .agg(count(lit(1)).as("n_users"))
       .select(col("window.start").as("win_start"), col("n_users"))
 
+  /** Seasonality-aware anomaly detection: learn the hour-of-week
+    * profile (the dominant cycle in product/event data — Monday 9am is
+    * not Sunday 3am), then rank events by their residual against that
+    * baseline. The complement of [[qMadAnomaly]] (which is
+    * per-entity but season-blind): a value normal for peak hours is
+    * anomalous at 3am, and only the seasonal baseline sees that.
+    * Exact integers: cents quantization, DIV means, integer residuals.
+    * One 168-key aggregation (uniform, map-side partials collapse the
+    * corpus to 168 rows), broadcast back over one map pass, top-k via
+    * TakeOrderedAndProject. Day-of-week convention: Spark's dayofweek
+    * is 1-based Sunday, DuckDB's dow is 0-based Sunday — the Spark side
+    * subtracts 1.
+    */
+  private val qSeasonal = GraftQuery(
+    "qe_seasonal_residuals",
+    (s, dir) => {
+      val c = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          ((dayofweek(col("ts")) - 1) * 24 + hour(col("ts"))).as("how"),
+          round(col("value") * 100).cast("bigint").as("cents"))
+      val profile = c.groupBy(col("how"))
+        .agg(expr("sum(cents) div count(1)").as("seasonal_cents"))
+      c.join(broadcast(profile), Seq("how"))
+        .select(col("event_id"), col("user_id"), col("how"), col("cents"),
+          col("seasonal_cents"),
+          (col("cents") - col("seasonal_cents")).as("resid"))
+        .orderBy(abs(col("resid")).desc, col("event_id"))
+        .limit(20)
+    },
+    Some("""WITH c AS (SELECT event_id, user_id,
+        date_part('dow', ts) * 24 + date_part('hour', ts) AS how,
+        CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      p AS (SELECT how, SUM(cents) // COUNT(*) AS seasonal_cents
+        FROM c GROUP BY how)
+      SELECT c.event_id, c.user_id, CAST(c.how AS INT) AS how, c.cents,
+        CAST(p.seasonal_cents AS BIGINT) AS seasonal_cents,
+        CAST(c.cents - p.seasonal_cents AS BIGINT) AS resid
+      FROM c JOIN p ON c.how = p.how
+      ORDER BY abs(c.cents - p.seasonal_cents) DESC, c.event_id LIMIT 20"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qTumbling, qSliding, qSessions, qJson, qTopUsers, qDeltas, qZscore,
       qFunnel, qRetention, qResample, qHistogram, qPattern, qTransitions,
-      qDecayWma, qAttribution, qCusum, qMadAnomaly, qTopPaths, qSlidingDistinct)
+      qDecayWma, qAttribution, qCusum, qMadAnomaly, qTopPaths, qSlidingDistinct,
+      qSeasonal)
 }

@@ -343,6 +343,41 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"PIT join regressed to an interval nested-loop:\n$plan")
   }
 
+  test("AQE splits a skewed sort-merge-join partition at runtime") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    // the OTHER skew lever beside the salted operators (SkewOps): leave
+    // the plan alone and let adaptive execution split the hot partition
+    // when runtime sizes reveal it. Thresholds lowered only to make the
+    // 1.6 MB test partition qualify as "skewed".
+    val conf = spark.conf
+    val saved = Seq("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "20KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "20KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // 90% of the fact rows share key 0 — one hot shuffle partition
+      val fact = spark.range(0, 200000)
+        .select(when(col("id") < 180000, lit(0L)).otherwise(col("id")).as("k"),
+          col("id").as("v"))
+      val dim = spark.range(0, 200000).select(col("id").as("k"), lit(1L).as("d"))
+      val joined = fact.join(dim, "k")
+      // execute THIS DataFrame (count() would execute a different plan
+      // and leave joined's adaptive plan unfinalized)
+      assert(joined.collect().length == 200000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not mark the hot partition as skewed:\n$finalPlan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("qml_target_encode broadcasts the 1-row prior, never the fact table") {
     val plan = graft.SparkEntry.queries("qml_target_encode")(spark, sf)
       .queryExecution.executedPlan.toString
