@@ -427,5 +427,33 @@ object CdcOps {
     },
     Some(pitSql))
 
+  /** Streaming twin of [[pitJoin]]: facts and dimension changes as ONE
+    * keyed stream, each fact emitted with the attribute in force at its
+    * own event time ([[graft.streaming.PitJoinProcessor]] holds the
+    * collapsed per-entity change history). The event-time-correct
+    * feature-enrichment join a streaming feature store needs — the
+    * processing-time "join against current dimension" alternative is
+    * exactly the leakage [[pitJoin]]'s scaladoc warns about.
+    * StreamingExtrasSpec pins stream ≡ batch under the ordered-feed
+    * contract. Output: (entity, fact_id, ts_us, attr_at_ts).
+    */
+  def pitJoinStream(facts: DataFrame, dimLog: DataFrame, key: String,
+      attr: String, ts: String, tie: String, factId: String): DataFrame = {
+    import facts.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val d = dimLog.select(col(key).cast("long").as("entity"), lit(0).as("kind"),
+      unix_micros(col(ts)).as("ts_us"), col(tie).cast("long").as("tie"),
+      col(attr).cast("string").as("attr"), lit(-1L).as("fact_id"))
+    val f = facts.select(col(key).cast("long").as("entity"), lit(1).as("kind"),
+      unix_micros(col(ts)).as("ts_us"), col(tie).cast("long").as("tie"),
+      lit(null).cast("string").as("attr"), col(factId).cast("long").as("fact_id"))
+    d.unionByName(f)
+      .as[(Long, Int, Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new graft.streaming.PitJoinProcessor,
+        TimeMode.None(), OutputMode.Append())
+      .toDF("entity", "fact_id", "ts_us", "attr_at_ts")
+  }
+
   val queries: Seq[GraftQuery] = Seq(qScd2, qMerge, qIncrAgg, qDiff, qPit)
 }

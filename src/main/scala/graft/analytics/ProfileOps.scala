@@ -254,6 +254,79 @@ object ProfileOps {
     SELECT check_name AS "check", n AS n_rows, n_fail, n_fail = 0 AS pass
     FROM u ORDER BY check_name"""))
 
+  // --------------------------------------------- distribution drift
+  /** Distribution-drift monitor — the PSI-family check ML-ops pipelines
+    * run between a reference window and current data before trusting a
+    * model or a data feed: bucket both sides on FIXED edges (data-
+    * independent, so the readout is comparable across runs and
+    * streamable), compare per-bucket population shares. The shares and
+    * their deltas are exact integer basis points (10⁴·n DIV total) —
+    * the log-ratio PSI statistic is deliberately replaced by the L∞/L1-
+    * style share deltas so the gate stays engine-exact; any bucket's
+    * drift_bp over a threshold is the alert.
+    *
+    * Scale shape: two map-only bucket projections, two ≤`buckets`-row
+    * aggregations (uniform keys, map-side partials), one full-outer
+    * join of bucket-count frames + two 1-row broadcast totals. The
+    * corpus is scanned once per side; everything downstream is
+    * bucket-cardinality-sized.
+    *
+    * Output: (bucket, n_ref, n_cur, ref_bp, cur_bp, drift_bp) for every
+    * bucket populated on either side, ordered by bucket.
+    */
+  def distributionDrift(ref: DataFrame, cur: DataFrame,
+      valCents: org.apache.spark.sql.Column, buckets: Int = 10,
+      widthCents: Long = 5000L): DataFrame = {
+    require(buckets >= 2 && widthCents > 0)
+    def counts(df: DataFrame, side: String) = df
+      .select(least(lit(buckets - 1),
+        (valCents.cast("bigint") / lit(widthCents)).cast("bigint")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as(s"n_$side"))
+    val r = counts(ref, "ref")
+    val c = counts(cur, "cur")
+    val totals = r.agg(sum(col("n_ref")).as("t_ref"))
+      .crossJoin(c.agg(sum(col("n_cur")).as("t_cur")))
+    r.join(c, Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        expr("10000 * n_ref div t_ref").as("ref_bp"),
+        expr("10000 * n_cur div t_cur").as("cur_bp"),
+        abs(expr("10000 * n_ref div t_ref") - expr("10000 * n_cur div t_cur"))
+          .as("drift_bp"))
+      .orderBy(col("bucket"))
+  }
+
+  private val DriftCutoff = "2024-01-16 00:00:00"
+
+  private val driftSql = s"""WITH c AS (SELECT ts,
+      CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+    r AS (SELECT LEAST(9, cents // 5000) AS bucket, COUNT(*) AS n_ref
+      FROM c WHERE ts < TIMESTAMP '$DriftCutoff' GROUP BY 1),
+    u AS (SELECT LEAST(9, cents // 5000) AS bucket, COUNT(*) AS n_cur
+      FROM c WHERE ts >= TIMESTAMP '$DriftCutoff' GROUP BY 1),
+    t AS (SELECT (SELECT SUM(n_ref) FROM r) AS t_ref, (SELECT SUM(n_cur) FROM u) AS t_cur)
+    SELECT COALESCE(r.bucket, u.bucket) AS bucket,
+      CAST(COALESCE(r.n_ref, 0) AS BIGINT) AS n_ref,
+      CAST(COALESCE(u.n_cur, 0) AS BIGINT) AS n_cur,
+      CAST(10000 * COALESCE(r.n_ref, 0) // t.t_ref AS BIGINT) AS ref_bp,
+      CAST(10000 * COALESCE(u.n_cur, 0) // t.t_cur AS BIGINT) AS cur_bp,
+      CAST(abs(10000 * COALESCE(r.n_ref, 0) // t.t_ref
+        - 10000 * COALESCE(u.n_cur, 0) // t.t_cur) AS BIGINT) AS drift_bp
+    FROM r FULL OUTER JOIN u ON r.bucket = u.bucket CROSS JOIN t
+    ORDER BY bucket"""
+
+  private val qDrift = GraftQuery(
+    "qprof_drift",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("ts"), round(col("value") * 100).cast("bigint").as("cents"))
+      val cut = lit(DriftCutoff).cast("timestamp")
+      distributionDrift(ev.filter(col("ts") < cut), ev.filter(col("ts") >= cut),
+        col("cents"))
+    },
+    Some(driftSql))
+
   val queries: Seq[GraftQuery] =
-    Seq(qProfile, qProfileEvents, qHistQuantile, qExpectations)
+    Seq(qProfile, qProfileEvents, qHistQuantile, qExpectations, qDrift)
 }

@@ -781,6 +781,60 @@ class StreamingExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally h.stop()
   }
 
+  test("streaming PIT join equals the batch pitJoin under the ordered-feed contract") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // (entity, kind 0=dim / 1=fact, ts-seconds, tie, attr, fact_id)
+    val input = MemoryStream[(Long, Int, Long, Long, String, Long)](spark)
+    val all = input.toDS()
+      .toDF("user_id", "kind", "secs", "event_id", "attr", "fact_id")
+      .withColumn("ts", col("secs").cast("timestamp"))
+    val out = graft.analytics.CdcOps.pitJoinStream(
+      all.filter(col("kind") === 1).select("user_id", "ts", "event_id", "fact_id"),
+      all.filter(col("kind") === 0).select("user_id", "ts", "event_id", "attr"),
+      "user_id", "attr", "ts", "event_id", "fact_id")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("pit_stream")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-pit").toString)
+      .start()
+    val b1 = Seq(
+      (1L, 0, 10L, 1L, "A", -1L),          // user 1 becomes A at t=10
+      (1L, 1, 15L, 2L, null: String, 100L), // fact at 15 -> A
+      (2L, 1, 5L, 3L, null: String, 200L))  // fact before any dim -> null
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    val b2 = Seq(
+      (1L, 0, 20L, 4L, "B", -1L),           // change to B at t=20
+      (1L, 1, 20L, 5L, null: String, 101L), // same-instant fact -> B (inclusive)
+      (1L, 1, 25L, 6L, null: String, 102L), // later fact -> B (cross-batch state)
+      (2L, 0, 30L, 7L, "X", -1L),
+      (2L, 1, 35L, 8L, null: String, 201L))
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("pit_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    // batch twin over the same rows
+    val rows = (b1 ++ b2)
+      .toDF("user_id", "kind", "secs", "event_id", "attr", "fact_id")
+      .withColumn("ts", col("secs").cast("timestamp"))
+    val batch = graft.analytics.CdcOps.pitJoin(
+        rows.filter(col("kind") === 1).select("user_id", "ts", "fact_id"),
+        rows.filter(col("kind") === 0).select("user_id", "ts", "event_id", "attr"),
+        "user_id", "attr", "ts", "event_id", "ts")
+      .select(col("user_id"), col("fact_id"), unix_micros(col("ts")),
+        col("profile_state"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    assert(streamed.exists(r => r._2 == 101L && r._4 == "B"),
+      "same-instant dimension change must be visible to the fact (inclusive as-of)")
+    assert(streamed.exists(r => r._2 == 200L && r._4 == null),
+      "fact before any dimension row must null-pad")
+  }
+
   test("streaming sliding distinct equals the batch rolling-distinct on closed windows") {
     import spark.implicits._
     val input = MemoryStream[(Timestamp, Long)](spark)
