@@ -694,9 +694,59 @@ object EventsQueries {
       FROM c JOIN p ON c.how = p.how
       ORDER BY abs(c.cents - p.seasonal_cents) DESC, c.event_id LIMIT 20"""))
 
+  /** Funnel TIME-to-convert: [[qFunnel]] counts who advances; this
+    * measures how long each advance takes — per transition, the count
+    * and the disc-percentile gap (p50/p90 seconds, integer epoch
+    * arithmetic, percentile_disc both engines). Same conditional-min
+    * CTE chain as the funnel (user-keyed aggregations and joins), one
+    * extra 2-group ordered-set aggregate at the end — the conversion-
+    * latency readout product analytics pairs with every funnel.
+    */
+  private val qFunnelTime = GraftQuery(
+    "qe_funnel_time",
+    (s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events_ft")
+      s.sql("""WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events_ft
+          WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events_ft e
+          JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+        p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events_ft e
+          JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id),
+        g AS (SELECT 1 AS step, 'view->click' AS transition,
+            (unix_micros(c.t2) - unix_micros(v.t1)) div 1000000 AS gap_s
+          FROM c JOIN v ON c.user_id = v.user_id
+          UNION ALL SELECT 2, 'click->purchase',
+            (unix_micros(p.t3) - unix_micros(c.t2)) div 1000000
+          FROM p JOIN c ON p.user_id = c.user_id)
+        SELECT step, transition, COUNT(*) AS n,
+          CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_s) AS BIGINT) AS p50_s,
+          CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY gap_s) AS BIGINT) AS p90_s
+        FROM g GROUP BY step, transition ORDER BY step""")
+    },
+    Some("""WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+      c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+      p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id),
+      g AS (SELECT 1 AS step, 'view->click' AS transition,
+          (epoch_us(c.t2) - epoch_us(v.t1)) // 1000000 AS gap_s
+        FROM c JOIN v ON c.user_id = v.user_id
+        UNION ALL SELECT 2, 'click->purchase',
+          (epoch_us(p.t3) - epoch_us(c.t2)) // 1000000
+        FROM p JOIN c ON p.user_id = c.user_id)
+      SELECT step, transition, CAST(COUNT(*) AS BIGINT) AS n,
+        quantile_disc(gap_s, 0.5) AS p50_s,
+        quantile_disc(gap_s, 0.9) AS p90_s
+      FROM g GROUP BY step, transition ORDER BY step"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qTumbling, qSliding, qSessions, qJson, qTopUsers, qDeltas, qZscore,
       qFunnel, qRetention, qResample, qHistogram, qPattern, qTransitions,
       qDecayWma, qAttribution, qCusum, qMadAnomaly, qTopPaths, qSlidingDistinct,
-      qSeasonal)
+      qSeasonal, qFunnelTime)
 }

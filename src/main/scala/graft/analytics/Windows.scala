@@ -192,6 +192,39 @@ object Windows {
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
     FROM events WHERE user_id < 20 ORDER BY user_id, event_id"""))
 
+  // Running DISTINCT count — the window class plain running sums can't
+  // express (distinct doesn't decompose over a frame): flag each row
+  // that is its user's FIRST sighting of the event type (row_number = 1
+  // over (user, type)), then running-sum the flags over time. Two
+  // windows, both partitioned on uniform keys, no self-joins — the
+  // unique-feature-adoption curve every product dashboard draws.
+  private val qRunningDistinct = GraftQuery(
+    "qw_running_distinct",
+    (s, dir) => {
+      val first = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val cum = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .filter(col("user_id") < 20)
+        .withColumn("_new",
+          when(row_number().over(first) === 1, 1L).otherwise(0L))
+        .withColumn("n_types_seen", sum(col("_new")).over(cum))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("n_types_seen"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""WITH f AS (SELECT user_id, event_id, event_type, ts,
+        CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+          ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS nw
+      FROM events WHERE user_id < 20)
+      SELECT user_id, event_id, event_type,
+        CAST(SUM(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_types_seen
+      FROM f ORDER BY user_id, event_id"""))
+
   val queries: Seq[GraftQuery] =
-    Seq(qRank, qRunning, qTopSupplier, qDistribution, qRangeFrame, qValueFns, qLocf)
+    Seq(qRank, qRunning, qTopSupplier, qDistribution, qRangeFrame, qValueFns,
+      qLocf, qRunningDistinct)
 }
