@@ -20,15 +20,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects.
-    * Read nanos as raw longs and rebuild a µs timestamp (the data carries no
-    * sub-µs precision, so this is lossless and matches DuckDB's µs read).
+  /** `events.ts` has shipped in two physical layouts across driver rounds:
+    * parquet TIMESTAMP(NANOS) (which Spark's reader rejects — read nanos as
+    * raw longs via the legacy conf and rebuild a µs timestamp) and plain
+    * TIMESTAMP(MICROS) (isAdjustedToUTC=false → Spark reads TIMESTAMP_NTZ).
+    * Adapt on the observed schema so both load to the same session-zone
+    * TimestampType column; the session zone is pinned to UTC everywhere, so
+    * the NTZ→LTZ cast preserves the wall clock DuckDB sees.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = load(s, d, "events")
+    val tsCol = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000"))
+      case _ =>
+        org.apache.spark.sql.functions.col("ts").cast("timestamp")
+    }
+    raw.withColumn("ts", tsCol)
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
