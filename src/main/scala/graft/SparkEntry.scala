@@ -21,6 +21,7 @@ object SparkEntry {
       DedupOps.queries ++
       SimilarityOps.queries ++ MultimodalOps.queries ++ ProfileOps.queries ++
       SkewOps.queries ++ GraphOps.queries ++ MatchOps.queries ++
+      StatTests.queries ++
       LayoutOps.queries ++
       CdcOps.queries ++ LearnOps.queries ++ RoutingQueries.queries
 
