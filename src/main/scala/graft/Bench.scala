@@ -14,6 +14,8 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // wide-row codegen headroom (see Verify)
+      .config("spark.sql.codegen.maxFields", "200")
       // same deployment hook as Verify: functions + optimizer rule
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
@@ -42,6 +44,7 @@ object Bench {
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val samples = scala.collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
     val passLoads = (1 to reps).map { pass =>
+      graft.analytics.Memo.clear() // each pass pays shared-intermediate builds once
       val la0 = loadavg()
       names.foreach { case (name, fn) =>
         val t0 = System.nanoTime()

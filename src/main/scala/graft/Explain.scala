@@ -14,17 +14,21 @@ object Explain {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.maxFields", "200")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { name =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
       if (showPlan) {
         println(s"===== $name plan =====")
-        df.explain("formatted")
+        SparkEntry.queries(name)(spark, sfDir).explain("formatted")
       }
+      // Time construction + execution, like Bench: iterative queries do
+      // eager work (localCheckpoint, convergence counts) during
+      // construction, so timing only the final write undercounts them.
       val t0 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
       println(f"===== $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()

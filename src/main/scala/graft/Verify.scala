@@ -15,6 +15,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // wide-row codegen: the 2·reps-column bootstrap aggregate (130 fields)
+      // would fall off whole-stage codegen at the default maxFields=100
+      .config("spark.sql.codegen.maxFields", "200")
       // library deployment hook: graft_* SQL functions + the
       // RewriteIntersectCount optimizer rule
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")

@@ -597,10 +597,19 @@ object DedupOps {
 
   // Transitive clustering over the simhash pairs, oracled with a DuckDB
   // recursive-CTE reachability closure.
+  // The CC fixpoint over simhash pairs is the shared prefix of
+  // qd_neardup_clusters and qd_cluster_canonical; nearDupClusters already
+  // returns a localCheckpoint-materialized frame, so memoize the reference
+  // (checkpoint = false) rather than re-running the whole fixpoint per
+  // binding.
+  private def simhashClusters(s: org.apache.spark.sql.SparkSession,
+      dir: String) =
+    Memo.cached(s, s"simhashClusters:$dir", checkpoint = false)(
+      nearDupClusters(simhashPairs(Tables.documents(s, dir))))
+
   private val qClusters = GraftQuery(
     "qd_neardup_clusters",
-    (s, dir) => nearDupClusters(simhashPairs(Tables.documents(s, dir)))
-      .orderBy(col("doc_id")),
+    (s, dir) => simhashClusters(s, dir).orderBy(col("doc_id")),
     Some(s"""WITH RECURSIVE t AS (SELECT doc_id, $toksSql AS toks FROM documents),
     hs AS (SELECT doc_id, list_transform(toks, t -> ${h60Sql("t")}) AS h FROM t),
     sig AS (SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 59), b ->
@@ -654,7 +663,7 @@ object DedupOps {
       val docs = Tables.documents(s, dir)
       clusterCanonical(
         docs.select(col("doc_id")),
-        nearDupClusters(simhashPairs(docs)),
+        simhashClusters(s, dir),
         docs.select(col("doc_id"),
           expr(s"cast(size($toksExpr) as bigint)").as("score")))
     },

@@ -1,0 +1,46 @@
+package graft.analytics
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-scoped memoization of deterministic shared intermediates —
+  * the "materialize the shared dimension once" pattern. Several query
+  * bindings derive the same frame (the customer↔supplier trade graph,
+  * the simhash near-dup clustering) before diverging; without sharing,
+  * a suite run re-executes that common prefix once per binding. The
+  * memo materializes it once per (session, key) via an eager
+  * `localCheckpoint`, so every consumer reads the same blocks and the
+  * plan downstream of the checkpoint stays flat.
+  *
+  * Correctness: only DETERMINISTIC builds may be memoized (all graft
+  * intermediates are — the determinism discipline is engine-wide), so
+  * reuse is observationally identical to recomputation. Keys embed the
+  * data directory, so different SFs never collide.
+  *
+  * Scale: the memoized frames are reduced intermediates (edge lists,
+  * label frames, centroid tables), not raw corpora; on a cluster this
+  * is exactly the "stage table reused across downstream jobs" shape —
+  * localCheckpoint keeps blocks on executors, sized by the intermediate,
+  * not the input.
+  */
+object Memo {
+  private val frames = TrieMap.empty[(Int, String), DataFrame]
+
+  /** Memoize `build` under `key` for the lifetime of `spark`. The result
+    * is eagerly materialized with `localCheckpoint()` unless the builder
+    * already returns a checkpointed frame (`checkpoint = false`).
+    */
+  def cached(spark: SparkSession, key: String, checkpoint: Boolean = true)(
+      build: => DataFrame): DataFrame =
+    frames.getOrElseUpdate((System.identityHashCode(spark), key),
+      if (checkpoint) build.localCheckpoint() else build)
+
+  /** Drop all memoized frames. Bench calls this between interleaved
+    * passes: within a pass the sharing is real suite economics (the first
+    * consumer pays the build), but letting a memo survive into the next
+    * pass would let min-over-passes report a query as cheaper than any
+    * cold suite run can be.
+    */
+  def clear(): Unit = frames.clear()
+}

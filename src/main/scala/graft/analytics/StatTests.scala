@@ -5,7 +5,6 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.api.GraftQuery
-import Nlp.{h60, h60Sql}
 
 /** Distributed statistical hypothesis tests + resampling — the experiment-
   * analysis tier (A/B testing, distribution comparison, uncertainty
@@ -33,10 +32,23 @@ object StatTests {
     *
     *   χ² = N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d))
     *
-    * — the closed form that keeps every intermediate integral (DECIMAL(38,0)
-    * carries the 128-bit intermediates; the final integer division lands in
-    * micro-units). `significant` compares against χ²₍₀.₀₅,1₎ = 3.841459
-    * pre-scaled, so the α=0.05 decision is itself exact.
+    * `significant` compares against χ²₍₀.₀₅,1₎ = 3.841459 pre-scaled, so
+    * the α=0.05 decision is itself exact.
+    *
+    * Overflow discipline: the naive N·(ad−bc)²·10⁶ numerator needs
+    * ~5·log₁₀N+6 digits and silently nulls out of DECIMAL(38,0) around
+    * N≈10⁷ trials. Instead split den = d1·d2 with d1=(a+b)(c+d),
+    * d2=(a+c)(b+d) and use two exact identities: for t=(ad−bc)² and
+    * m=10⁶·N,
+    *
+    *   ⌊m·t/d1⌋ = m·(t div d1) + ⌊m·(t mod d1)/d1⌋      (remainder split)
+    *   ⌊⌊m·t/d1⌋ / d2⌋ = ⌊m·t/(d1·d2)⌋                   (nested floor)
+    *
+    * Every intermediate is ≤ 10⁶·N³/4 (t div d1 ≤ d2 because
+    * (ad−bc)² ≤ d1·d2 — Cauchy–Schwarz on the margins), so DECIMAL(38,0)
+    * — and HUGEINT on the DuckDB side — is exact out to N ≈ 5·10¹⁰ trials.
+    * The result is bit-identical to the naive formula where both are
+    * defined.
     *
     * One aggregation pass over the trials frame → 1 row; nothing but the
     * four cell counts ever leaves the executors.
@@ -49,16 +61,19 @@ object StatTests {
       sum(when(variant === 1 && !hit, 1L).otherwise(0L)).as("d"))
     val ad_bc = dec(col("a")) * dec(col("d")) - dec(col("b")) * dec(col("c"))
     val n = dec(col("a") + col("b") + col("c") + col("d"))
-    val den = dec(col("a") + col("b")) * dec(col("c") + col("d")) *
-      dec(col("a") + col("c")) * dec(col("b") + col("d"))
     cells.select(
         col("a"), col("b"), col("c"), col("d"),
         expr("10000 * a div (a + b)").as("rate0_bp"),
         expr("10000 * c div (c + d)").as("rate1_bp"),
-        (n * ad_bc * ad_bc * lit(1000000L)).as("num"), den.as("den"))
+        (ad_bc * ad_bc).as("t"),
+        (dec(col("a") + col("b")) * dec(col("c") + col("d"))).as("d1"),
+        (dec(col("a") + col("c")) * dec(col("b") + col("d"))).as("d2"),
+        (n * dec(lit(1000000L))).as("m"))
       .select(col("a"), col("b"), col("c"), col("d"),
         col("rate0_bp"), col("rate1_bp"),
-        expr("CAST(num div den AS BIGINT)").as("chi2_micro"))
+        expr("""CAST((m * CAST(t div d1 AS DECIMAL(38,0))
+                 + CAST((m * (t % d1)) div d1 AS DECIMAL(38,0))) div d2
+                AS BIGINT)""").as("chi2_micro"))
       .withColumn("significant", col("chi2_micro") > lit(3841459L))
   }
 
@@ -75,8 +90,16 @@ object StatTests {
     * anything.
     */
   def ksTest(vals: DataFrame, valueCol: String, isFirst: Column): DataFrame = {
+    // NULL values are excluded identically on both engines (Spark would
+    // sort them NULLS FIRST, DuckDB NULLS LAST — the ECDFs would diverge).
+    // The cumulative cross-products c·n and the d_bp division run in
+    // DECIMAL(38,0): as 64-bit longs they silently wrap once n1·n2
+    // approaches 9.2e18, while DuckDB's HUGEINT keeps 128 bits — the
+    // decimal routing keeps both engines in 128-bit arithmetic (exact for
+    // the reject test out to n1·n2 ≈ 1.3e16, loudly null/error beyond).
     val g = vals
       .select(col(valueCol).as("v"), isFirst.cast("int").as("one"))
+      .filter(col("v").isNotNull)
       .groupBy(col("v"))
       .agg(sum(col("one")).as("k1"), sum(lit(1) - col("one")).as("k2"))
     val w = Window.orderBy(col("v"))
@@ -86,11 +109,14 @@ object StatTests {
     val tot = g.agg(sum(col("k1")).as("n1"), sum(col("k2")).as("n2"))
     cum.crossJoin(broadcast(tot))
       .select(col("v"), col("n1"), col("n2"),
-        abs(col("c1") * col("n2") - col("c2") * col("n1")).as("d_num"))
+        abs(dec(col("c1")) * dec(col("n2")) - dec(col("c2")) * dec(col("n1")))
+          .as("d_num"))
       .orderBy(col("d_num").desc, col("v").asc)
       .limit(1)
       .select(col("n1"), col("n2"), col("v").as("at_value"),
-        expr("CAST(10000 * d_num div (n1 * n2) AS BIGINT)").as("d_bp"),
+        expr("CAST((CAST(10000 AS DECIMAL(38,0)) * d_num) div" +
+          " (CAST(n1 AS DECIMAL(38,0)) * CAST(n2 AS DECIMAL(38,0))) AS BIGINT)")
+          .as("d_bp"),
         (dec(col("d_num")) * dec(col("d_num")) * lit(1000000L) >
           lit(1844164L) * dec(col("n1") + col("n2")) * dec(col("n1")) * dec(col("n2")))
           .as("reject_05"))
@@ -100,8 +126,11 @@ object StatTests {
     * `reps` resamples draws every row with a Poisson(1) multiplicity — the
     * standard distributed bootstrap (no global n needed, weights are i.i.d.
     * per row) — but the draw is DERANDOMIZED: the multiplicity is the
-    * inverse-CDF of Poisson(1) evaluated at u = h60(id:b)/10⁶, so both
-    * engines and every partitioning materialize the identical resample.
+    * inverse-CDF of Poisson(1) evaluated at a uniform u derived from
+    * md5(id:⌈b/4⌉) — one digest per FOUR resamples, each yielding four
+    * independent 32-bit chunks, u = chunk % 10⁶ (chunk bias 2³² mod 10⁶
+    * ≈ 0.02 % — immaterial against the CDF cut points). Both engines and
+    * every partitioning materialize the identical resample.
     * CDF thresholds in micro-units: P(≤k) for k=0..5 =
     * 367879, 735759, 919699, 981012, 996340, 999406 (then 6).
     *
@@ -109,36 +138,63 @@ object StatTests {
     * `reps` resample means (cume_dist formulation — no interpolation, so
     * the bounds are actual resample means, exact in integer cents).
     *
-    * Scale: one corpus scan, map-side explode ×reps, partial-agg collapse
-    * to `reps` rows per partition before the single tiny shuffle.
+    * Scale: resamples are COLUMNS, not rows — ONE corpus scan computing
+    * 2·reps aggregate pairs (Σw_b·cents, Σw_b) plus the point estimate in
+    * a single partial-agg pass; nothing but one `2·reps+2`-column row
+    * crosses the wire, then the `reps` means are unpivoted driver-side-
+    * cheap (1 row → `reps` rows) for the percentile window. The earlier
+    * shape (explode ×reps then groupBy b) materialized `reps×` the corpus
+    * row count for the same arithmetic.
+    *
+    * The narrow (id, cents) projection is repartition()ed before the
+    * weight computation: the map stage costs `reps` hash evaluations per
+    * row (~1.7 µs each measured), so redistributing a 16-byte/row payload
+    * is negligible against it at any scale — and it decouples compute
+    * parallelism from input-split granularity (a corpus packed into few
+    * large row groups would otherwise serialize the whole resample onto
+    * the scan's partitions).
     */
   def bootstrapMeanCi(rows: DataFrame, idCol: String, cents: Column,
       reps: Int = 64): DataFrame = {
     require(reps >= 4, s"reps must be >= 4, got $reps")
-    val rep = rows
-      .select(col(idCol).cast("string").as("id"), cents.as("cents"))
-      .select(col("id"), col("cents"),
-        explode(sequence(lit(0), lit(reps - 1))).as("b"))
-      .withColumn("u",
-        expr(s"${h60("concat(id, ':', cast(b as string))")} % 1000000"))
-      .withColumn("w",
-        when(col("u") < 367879L, 0L).when(col("u") < 735759L, 1L)
-          .when(col("u") < 919699L, 2L).when(col("u") < 981012L, 3L)
-          .when(col("u") < 996340L, 4L).when(col("u") < 999406L, 5L)
-          .otherwise(6L))
-    val means = rep.groupBy(col("b"))
-      .agg(sum(col("w") * col("cents")).as("sw"), sum(col("w")).as("ww"))
-      .select(col("b"), expr("sw div ww").as("m"))
-    val cd = means
-      .select(col("m"), cume_dist().over(Window.orderBy(col("m"))).as("cd"))
-    val ci = cd.agg(
-      min(when(col("cd") >= 0.025, col("m"))).as("lo_cents"),
-      min(when(col("cd") >= 0.5, col("m"))).as("med_cents"),
-      min(when(col("cd") >= 0.975, col("m"))).as("hi_cents"))
-    val point = rows.agg(
-      (sum(cents).cast("long")).as("sc"), count(lit(1)).as("n"))
-      .select(expr("sc div n").as("point_cents"))
-    point.crossJoin(broadcast(ci))
+    def wOfU(u: Column): Column =
+      when(u < 367879L, 0L).when(u < 735759L, 1L)
+        .when(u < 919699L, 2L).when(u < 981012L, 3L)
+        .when(u < 996340L, 4L).when(u < 999406L, 5L)
+        .otherwise(6L)
+    val base = rows.select(col(idCol).cast("string").as("id"), cents.as("cents"))
+      .repartition(rows.sparkSession.sessionState.conf.numShufflePartitions)
+    // digests and u staged in their own projections: each is referenced
+    // multiple times downstream (4 chunks per digest; 6 when-branches per
+    // u), so staging pins one evaluation per row even when an operator
+    // falls off codegen (CollapseProject keeps a non-cheap
+    // multi-referenced alias un-inlined)
+    val nDig = (reps + 3) / 4
+    val withH = base.select(col("cents") +: (0 until nDig).map(g =>
+      md5(concat(col("id"), lit(s":$g"))).as(s"h$g")): _*)
+    val withU = withH.select(col("cents") +: (0 until reps).map { b =>
+      val (g, j) = (b / 4, b % 4)
+      expr(s"cast(conv(substring(h$g, ${1 + 8 * j}, 8), 16, 10) as bigint)" +
+        " % 1000000").as(s"u$b")
+    }: _*)
+    val withW = withU.select(
+      col("cents") +: (0 until reps).map(b => wOfU(col(s"u$b")).as(s"w$b")): _*)
+    val aggs =
+      (0 until reps).flatMap { b =>
+        Seq(sum(col(s"w$b") * col("cents")).as(s"sw$b"),
+            sum(col(s"w$b")).as(s"ww$b"))
+      } ++ Seq(sum(col("cents")).cast("long").as("sc"), count(lit(1)).as("n"))
+    val one = withW.agg(aggs.head, aggs.tail: _*)
+    val means = one.select(
+      expr("sc div n").as("point_cents"),
+      explode(array((0 until reps).map(b => expr(s"sw$b div ww$b")): _*)).as("m"))
+    val cd = means.select(col("point_cents"), col("m"),
+      cume_dist().over(Window.orderBy(col("m"))).as("cd"))
+    cd.agg(
+        first(col("point_cents")).as("point_cents"),
+        min(when(col("cd") >= 0.025, col("m"))).as("lo_cents"),
+        min(when(col("cd") >= 0.5, col("m"))).as("med_cents"),
+        min(when(col("cd") >= 0.975, col("m"))).as("hi_cents"))
       .select(lit(reps).cast("long").as("n_boot"), col("point_cents"),
         col("lo_cents"), col("med_cents"), col("hi_cents"))
   }
@@ -185,7 +241,8 @@ object StatTests {
     Some("""WITH g AS (SELECT value AS v,
         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS k1,
         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS k2
-      FROM events WHERE event_type IN ('purchase', 'click') GROUP BY value),
+      FROM events WHERE event_type IN ('purchase', 'click')
+        AND value IS NOT NULL GROUP BY value),
       cum AS (SELECT v,
         SUM(k1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
         SUM(k2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2
@@ -211,7 +268,8 @@ object StatTests {
         CAST(round(value * 100) AS BIGINT) AS cents FROM events),
       rep AS (SELECT id, cents, UNNEST(generate_series(0, 63)) AS b FROM base),
       uw AS (SELECT cents, b,
-        ${h60Sql("id || ':' || CAST(b AS VARCHAR)")} % 1000000 AS u
+        CAST('0x' || substr(md5(id || ':' || CAST(b // 4 AS VARCHAR)),
+                            1 + 8 * (b % 4), 8) AS BIGINT) % 1000000 AS u
       FROM rep),
       wt AS (SELECT cents, b,
         CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1 WHEN u < 919699 THEN 2
@@ -219,9 +277,10 @@ object StatTests {
              ELSE 6 END AS w
       FROM uw),
       means AS (SELECT b, SUM(w * cents) // SUM(w) AS m FROM wt GROUP BY b),
-      ci AS (SELECT quantile_disc(m, 0.025) AS lo_cents,
-                    quantile_disc(m, 0.5) AS med_cents,
-                    quantile_disc(m, 0.975) AS hi_cents FROM means),
+      cd AS (SELECT m, cume_dist() OVER (ORDER BY m) AS cd FROM means),
+      ci AS (SELECT MIN(CASE WHEN cd >= 0.025 THEN m END) AS lo_cents,
+                    MIN(CASE WHEN cd >= 0.5 THEN m END) AS med_cents,
+                    MIN(CASE WHEN cd >= 0.975 THEN m END) AS hi_cents FROM cd),
       pt AS (SELECT SUM(cents) // COUNT(*) AS point_cents FROM base)
       SELECT CAST(64 AS BIGINT) AS n_boot, CAST(point_cents AS BIGINT) AS point_cents,
         CAST(lo_cents AS BIGINT) AS lo_cents, CAST(med_cents AS BIGINT) AS med_cents,

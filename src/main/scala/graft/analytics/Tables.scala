@@ -30,6 +30,10 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The NTZ→LTZ ts cast below is wall-clock-preserving ONLY in UTC;
+    // Verify/Bench/Explain pin it, but pin here too so every entry point
+    // (tests, user code) reads the same instants DuckDB sees.
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = load(s, d, "events")
     val tsCol = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
