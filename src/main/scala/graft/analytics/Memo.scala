@@ -26,6 +26,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Memo {
   private val frames = TrieMap.empty[(Int, String), DataFrame]
+  private val values = TrieMap.empty[(Int, String), Any]
+
+  /** Memoize a non-DataFrame deterministic artifact (trained centroid
+    * literals, fitted thresholds) under `key` for the lifetime of
+    * `spark`. Same determinism contract as [[cached]].
+    */
+  def value[T](spark: SparkSession, key: String)(build: => T): T =
+    values.getOrElseUpdate((System.identityHashCode(spark), key), build)
+      .asInstanceOf[T]
 
   /** Memoize `build` under `key` for the lifetime of `spark`. The result
     * is eagerly materialized with `localCheckpoint()` unless the builder
@@ -42,5 +51,5 @@ object Memo {
     * pass would let min-over-passes report a query as cheaper than any
     * cold suite run can be.
     */
-  def clear(): Unit = frames.clear()
+  def clear(): Unit = { frames.clear(); values.clear() }
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.api.GraftQuery
 import graft.functions.GraftFunctions.{graft_dot, graft_dot_scores, graft_idot, graft_idot_packed, graft_int8_pack}
 import DedupOps.{dotFoldSql, normFoldSql}
-import Nlp.h60Sql
+import Nlp.{h60, h60Sql}
 
 /** Nearest-neighbor search — exact top-k plus LSH and IVF approximate
   * tiers — exposed as a column-parameterized public API (corpus + queries
@@ -125,15 +125,24 @@ object SimilarityOps {
   }
 
   /** IVF (inverted-file) ANN: map-only cell assignment (argmax of native
-    * dot against the centroid literals), queries probe their `nprobe`=2
+    * dot against the centroid literals), queries probe their `nprobe`
     * best cells, exact cosine rerank inside the probed cells. The cell
     * join replaces the O(n·q) scan; per-cell candidate lists are the
-    * "inverted file".
+    * "inverted file". Probe fan-out is per-QUERY (the broadcast side), so
+    * raising nprobe trades broadcast-side rows for recall with unchanged
+    * corpus-side cost — the standard IVF recall knob.
+    *
+    * nprobe = 2 keeps the original best-plus-second-best formulation its
+    * oracles pin; nprobe > 2 probes every cell scoring ≥ the nprobe-th
+    * best (ties included — a deterministic superset, mirrored by the
+    * list_reverse_sort threshold in SQL).
     */
   def annIvf(corpus: org.apache.spark.sql.DataFrame,
       queries: org.apache.spark.sql.DataFrame, k: Int = 5,
       cents: Seq[Seq[Double]] = centroids,
-      idCol: String = "vec_id", vecCol: String = "embedding"): org.apache.spark.sql.DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nprobe: Int = 2): org.apache.spark.sql.DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     // Fused native kernel: ONE matrix literal + one expression, O(1) plan
     // size in C — C separate graft_dot(lit, v) columns blow the codegen
     // method budget once C reaches sqrt(n) scale (see DotScores scaladoc).
@@ -144,11 +153,19 @@ object SimilarityOps {
     val corpusCells = withCell(prep(corpus, idCol, vecCol))
       .select(col("vec_id").as("cand_id"), col("v").as("vb"),
         col("nrm").as("nb"), col("cell"))
-    val q = withCell(prep(queries, idCol, vecCol))
-      .withColumn("p2",
-        expr("array_position(sc, array_max(filter(sc, x -> x != array_max(sc))))"))
-      .select(col("vec_id").as("query_id"), col("v").as("va"), col("nrm").as("na"),
-        explode(array(col("cell"), col("p2"))).as("cell"))
+    val q0 = withCell(prep(queries, idCol, vecCol))
+    val q =
+      if (nprobe == 2)
+        q0.withColumn("p2",
+            expr("array_position(sc, array_max(filter(sc, x -> x != array_max(sc))))"))
+          .select(col("vec_id").as("query_id"), col("v").as("va"), col("nrm").as("na"),
+            explode(array(col("cell"), col("p2"))).as("cell"))
+      else
+        q0.withColumn("thr",
+            expr(s"element_at(sort_array(sc, false), least($nprobe, size(sc)))"))
+          .select(col("vec_id").as("query_id"), col("v").as("va"), col("nrm").as("na"),
+            explode(expr("transform(filter(sequence(1, size(sc))," +
+              " i -> element_at(sc, i) >= thr), i -> cast(i as bigint))")).as("cell"))
     val pairs = corpusCells.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
     topK(withCosine(pairs), k)
@@ -399,6 +416,34 @@ object SimilarityOps {
     cs
   }
 
+  /** Deterministic content-hash training sample: rows whose
+    * h60(id) mod `den` < `num` — the 100 TB discipline for Lloyd
+    * training. [[trainCentroids]] scans its input once per round and
+    * fetches C·dim doubles; at C = ⌈√n⌉ both costs grow with the corpus,
+    * so a real run trains the quantizer on a fixed-rate hash sample
+    * (deterministic → both engines and every partitioning see the same
+    * sample; no sampling seed to disagree on) while C is still sized
+    * from the FULL pre-counted n. Contract: choose num/den so the sample
+    * comfortably exceeds C (at scale sample ≈ n·num/den ≫ √n); a sample
+    * smaller than C simply yields fewer seeds (both engines LIMIT the
+    * same way). OpsApiSpec pins rate-1 ≡ full-corpus training and the
+    * sample-rule mirror.
+    */
+  def trainSample(vecs: org.apache.spark.sql.DataFrame, num: Int, den: Int,
+      idCol: String = "vec_id"): org.apache.spark.sql.DataFrame = {
+    require(den >= 1 && num >= 1 && num <= den,
+      s"sample rate must satisfy 1 <= num <= den, got $num/$den")
+    vecs.filter(expr(s"${h60(s"cast($idCol as string)")} % $den < $num"))
+  }
+
+  /** Training-sample rate for the dynamic-C bindings (qd_semdedup,
+    * qs_knn_graph): half the corpus — large enough that the trained
+    * quantizer is indistinguishable in quality, and it exercises the
+    * sampled path in the oracle gate.
+    */
+  private val TrainSampleNum = 1
+  private val TrainSampleDen = 2
+
   /** First-C-by-id data seeds — the standard "init from data points"
     * k-means seeding, sized by [[semDedupCellCount]] (C ≈ √n). One
     * C·dim-doubles driver fetch (the same sanctioned traffic class as
@@ -436,31 +481,38 @@ object SimilarityOps {
   private def lloydSql(iters: Int): String = lloydChain(iters,
     s"cw0 AS (SELECT ${centroids.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")} AS w)")
 
-  /** Dynamic-C Lloyd chain: C = ⌈√n⌉ is derived from the corpus INSIDE the
-    * SQL ([[semDedupCellCount]]'s rule) and the seeds are the first C
-    * vectors by id (standard data init) — so the oracle itself enforces
-    * the sub-quadratic quantizer sizing rather than trusting a fixed
-    * literal C. Mirrored by [[dataSeeds]] + [[trainCentroids]] on the
-    * Spark side.
+  /** Dynamic-C Lloyd chain, SAMPLED: C = ⌈√n⌉ is derived from the FULL
+    * corpus inside the SQL ([[semDedupCellCount]]'s rule — the analogue
+    * of a pre-counted n at scale), while the per-round training scans and
+    * the data seeds touch only the deterministic hash sample `e0s`
+    * (h60(vec_id) mod [[TrainSampleDen]] < [[TrainSampleNum]]) — so the
+    * oracle itself enforces both the sub-quadratic quantizer sizing AND
+    * the bounded-training-cost discipline rather than trusting literals.
+    * Mirrored by [[trainSample]] + [[dataSeeds]] + [[trainCentroids]] on
+    * the Spark side.
     */
   private def lloydSqlDyn(iters: Int): String = lloydChain(iters,
-    """nc AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS c FROM e0),
+    s"""nc AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS c FROM e0),
+    e0s AS (SELECT vec_id, v FROM e0
+      WHERE ${h60Sql("CAST(vec_id AS VARCHAR)")} % $TrainSampleDen < $TrainSampleNum),
     cw0 AS (SELECT list(v ORDER BY vec_id) AS w FROM
-      (SELECT vec_id, v FROM e0 ORDER BY vec_id LIMIT (SELECT c FROM nc)))""")
+      (SELECT vec_id, v FROM e0s ORDER BY vec_id LIMIT (SELECT c FROM nc)))""",
+    rel = "e0s")
 
   /** Shared Lloyd body: every cell-count reference is `len(w)` (never a
     * literal), so the same chain serves the fixed-seed and dynamic-C
-    * oracles. `cells` is the scalar-unnest form because DuckDB's
+    * oracles; `rel` is the training relation (the full `e0` or the hash
+    * sample `e0s`). `cells` is the scalar-unnest form because DuckDB's
     * table-function `generate_series` cannot take a lateral column bound.
     */
-  private def lloydChain(iters: Int, init: String): String = {
+  private def lloydChain(iters: Int, init: String, rel: String = "e0"): String = {
     val cells = "cells AS (SELECT unnest(generate_series(1, len(w))) AS c FROM cw0)"
     val steps = (1 to iters).map { t =>
       val prev = s"cw${t - 1}"
       s"""ts$t AS (SELECT vec_id, v,
       list_transform(generate_series(1, len(w)), c ->
         list_reduce(list_transform(generate_series(1, 64), i -> w[c][i] * v[i]), (a, b) -> a + b)) AS sc
-      FROM e0, $prev),
+      FROM $rel, $prev),
     ta$t AS (SELECT list_position(sc, list_max(sc)) AS cell, v FROM ts$t),
     tu$t AS (SELECT cell, unnest(generate_series(1, len(v))) AS i, v FROM ta$t),
     tq$t AS (SELECT cell, i AS dim1, CAST(round(v[i] * ${Quant}.0) AS BIGINT) AS q FROM tu$t),
@@ -498,6 +550,35 @@ object SimilarityOps {
     s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     ${lloydSql(IvfIters)},
     ${ivfTailSql(s"cw$IvfIters")}"""
+
+  /** [[ivfTailSql]] at a general probe width: probe every cell scoring ≥
+    * the nprobe-th best (the tie-inclusive threshold rule annIvf uses for
+    * nprobe > 2).
+    */
+  private def ivfTailSqlNp(cwName: String, nprobe: Int): String = s"""scs AS (SELECT vec_id, v,
+      list_transform(generate_series(1, $Cents), c ->
+        list_reduce(list_transform(generate_series(1, 64), i -> w[c][i] * v[i]), (a, b) -> a + b)) AS sc
+      FROM e0, $cwName),
+    e AS (SELECT vec_id, v, sc, list_position(sc, list_max(sc)) AS cell FROM scs),
+    q AS (SELECT vec_id, v, sc,
+        list_reverse_sort(sc)[least($nprobe, len(sc))] AS thr
+      FROM e WHERE vec_id < $NQ),
+    qp AS (SELECT vec_id, v,
+        unnest(list_filter(generate_series(1, len(sc)), i -> sc[i] >= thr)) AS cell
+      FROM q),
+    p AS (SELECT q2.vec_id AS query_id, c.vec_id AS cand_id, q2.v AS va, c.v AS vb
+      FROM qp q2 JOIN e c ON q2.cell = c.cell AND q2.vec_id <> c.vec_id),
+    sc2 AS (SELECT query_id, cand_id, $cosineSql AS cosine FROM p),
+    rk AS (SELECT query_id, cand_id, cosine,
+      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+      FROM sc2)
+    SELECT query_id, rank, cand_id, cosine FROM rk WHERE rank <= $K
+    ORDER BY query_id, rank"""
+
+  private val ivfTrained4Sql =
+    s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ${lloydSql(IvfIters)},
+    ${ivfTailSqlNp(s"cw$IvfIters", 4)}"""
 
   private val qAnnIvfTrained = GraftQuery(
     "qs_ann_ivf_trained",
@@ -1037,6 +1118,21 @@ object SimilarityOps {
     SELECT query_id, CAST(rank AS INT) AS rank, cand_id, rrf_micro
     FROM rk WHERE rank <= $K ORDER BY query_id, rank"""
 
+  /** RRF over the tuned strong legs (multi-probe LSH + trained IVF at
+    * nprobe 4) — the recall harness's fusion branch.
+    */
+  private val rrf2Sql = s"""WITH u AS (
+      SELECT query_id, cand_id, 1000000 // ($RrfC + rank) AS contrib FROM ($lshMpSql)
+      UNION ALL
+      SELECT query_id, cand_id, 1000000 // ($RrfC + rank) AS contrib FROM ($ivfTrained4Sql)),
+    f AS (SELECT query_id, cand_id, CAST(SUM(contrib) AS BIGINT) AS rrf_micro
+      FROM u GROUP BY query_id, cand_id),
+    rk AS (SELECT query_id, cand_id, rrf_micro,
+      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf_micro DESC, cand_id) AS rank
+      FROM f)
+    SELECT query_id, CAST(rank AS INT) AS rank, cand_id, rrf_micro
+    FROM rk WHERE rank <= $K ORDER BY query_id, rank"""
+
   private def recallBranchSql(method: String, approxSql: String) =
     s"""SELECT '$method' AS method,
       CAST(SUM(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
@@ -1061,6 +1157,9 @@ object SimilarityOps {
           annRecall(exact, annIvf(corpus, q, K, trained))
             .withColumn("method", lit("ivf_trained")))
         .unionByName(
+          annRecall(exact, annIvf(corpus, q, K, trained, nprobe = 4))
+            .withColumn("method", lit("ivf_t4")))
+        .unionByName(
           annRecall(exact, ivfPqTopK(corpus, q, K, cents = trained))
             .withColumn("method", lit("ivfpq")))
         .unionByName(
@@ -1076,21 +1175,25 @@ object SimilarityOps {
         .unionByName(
           annRecall(exact, rpTopK(corpus, q, K)).withColumn("method", lit("rp")))
         .unionByName(
-          annRecall(exact, rrfFuse(Seq(annLsh(corpus, q, K), annIvf(corpus, q, K)),
-              K, RrfC))
+          // fuse the two strongest tuned legs (multi-probe LSH + trained
+          // IVF at nprobe 4) — RRF should beat both, not average in a
+          // weak leg
+          annRecall(exact, rrfFuse(Seq(annLshMultiProbe(corpus, q, K),
+              annIvf(corpus, q, K, trained, nprobe = 4)), K, RrfC))
             .withColumn("method", lit("rrf")))
         .select(col("method"), col("recall"))
         .orderBy(col("method"))
     },
     Some(s"""${recallBranchSql("ivf", ivfSql)}
       UNION ALL ${recallBranchSql("ivf_trained", ivfTrainedSql)}
+      UNION ALL ${recallBranchSql("ivf_t4", ivfTrained4Sql)}
       UNION ALL ${recallBranchSql("ivfpq", ivfpqSql)}
       UNION ALL ${recallBranchSql("ivfpq_res", ivfpqResSql)}
       UNION ALL ${recallBranchSql("lsh", lshSql)}
       UNION ALL ${recallBranchSql("lsh_mp", lshMpSql)}
       UNION ALL ${recallBranchSql("pq", pqSql)}
       UNION ALL ${recallBranchSql("rp", rpSql)}
-      UNION ALL ${recallBranchSql("rrf", rrfSql)} ORDER BY method"""))
+      UNION ALL ${recallBranchSql("rrf", rrf2Sql)} ORDER BY method"""))
 
   /** Mean reciprocal rank of the TRUE nearest neighbor inside an
     * approximate top-k list — the ranking-quality complement of
@@ -1439,13 +1542,24 @@ object SimilarityOps {
     SELECT e.vec_id, e.cell, dp.cand_id IS NULL AS kept
     FROM e LEFT JOIN dp ON e.vec_id = dp.cand_id ORDER BY e.vec_id"""
 
-  private val qSemDedup = GraftQuery(
-    "qd_semdedup",
-    (s, dir) => {
+  /** Shared trained quantizer for the dynamic-C bindings: C from the full
+    * pre-counted n, Lloyd rounds on the hash sample ([[trainSample]]),
+    * memoized per session — qd_semdedup and qs_knn_graph run the same
+    * training, so a suite pass pays it once.
+    */
+  private def dynTrained(s: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[Seq[Double]] =
+    Memo.value(s, s"dynTrainedCents:$dir") {
       val emb = Tables.embeddings(s, dir)
       val c = semDedupCellCount(emb.count())
-      semDedup(emb, SemTheta, trainCentroids(emb, dataSeeds(emb, c)))
-    },
+      val smp = trainSample(emb, TrainSampleNum, TrainSampleDen)
+      trainCentroids(smp, dataSeeds(smp, c))
+    }
+
+  private val qSemDedup = GraftQuery(
+    "qd_semdedup",
+    (s, dir) =>
+      semDedup(Tables.embeddings(s, dir), SemTheta, dynTrained(s, dir)),
     Some(semDedupSql))
 
   // ------------------------------------------------------------ kNN graph
@@ -1508,11 +1622,8 @@ object SimilarityOps {
 
   private val qKnn = GraftQuery(
     "qs_knn_graph",
-    (s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val c = semDedupCellCount(emb.count())
-      knnGraph(emb, KnnK, trainCentroids(emb, dataSeeds(emb, c)))
-    },
+    (s, dir) =>
+      knnGraph(Tables.embeddings(s, dir), KnnK, dynTrained(s, dir)),
     Some(knnSql))
 
   // ------------------------------------------- MMR diversified re-rank

@@ -194,6 +194,37 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       idCol = "item", vecCol = "emb") == init)
   }
 
+  test("trainSample is the deterministic hash-sample rule; rate 1 is identity") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    val vecs = (0 until 40).map(i => (i.toLong,
+        Seq(1.0 + 0.01 * (i % 3), 0.02 * (i % 2), 0.0, 0.0).map(_.toFloat)))
+      .toDF("item", "emb")
+    // rate den/den keeps everything → sampled training ≡ full training
+    assert(SimilarityOps.trainSample(vecs, 3, 3, idCol = "item").count() == 40)
+    val init = Seq(Seq(0.9, 0.0, 0.1, 0.0), Seq(0.0, 0.0, 0.0, 1.0))
+    val full = SimilarityOps.trainCentroids(vecs, init, iters = 2,
+      idCol = "item", vecCol = "emb")
+    val rateOne = SimilarityOps.trainCentroids(
+      SimilarityOps.trainSample(vecs, 3, 3, idCol = "item"), init, iters = 2,
+      idCol = "item", vecCol = "emb")
+    assert(rateOne == full)
+    // a proper sub-sample is the exact mod-rule subset (mirrorable in SQL),
+    // and training on it is training on that explicit subset
+    val smp = SimilarityOps.trainSample(vecs, 1, 2, idCol = "item")
+    val ids = smp.select("item").collect().map(_.getLong(0)).toSet
+    assert(ids.nonEmpty && ids.size < 40, s"degenerate sample: ${ids.size}")
+    val manual = vecs.filter(
+      expr("cast(conv(substring(md5(cast(item as string)), 1, 15), 16, 10) " +
+        "as bigint) % 2 < 1"))
+    assert(manual.select("item").collect().map(_.getLong(0)).toSet == ids)
+    val sampled = SimilarityOps.trainCentroids(smp, init, iters = 2,
+      idCol = "item", vecCol = "emb")
+    val explicit = SimilarityOps.trainCentroids(manual, init, iters = 2,
+      idCol = "item", vecCol = "emb")
+    assert(sampled == explicit)
+  }
+
   test("dropNearDups keeps the lower id of each pair") {
     val pairs = DedupOps.ngramJaccard(docs, idCol = "post_id", textCol = "body",
       threshold = 0.5)
