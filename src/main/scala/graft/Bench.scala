@@ -43,9 +43,25 @@ object Bench {
       catch { case _: Throwable => "" }
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val samples = scala.collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
-    val passLoads = (1 to reps).map { pass =>
+    // Contention guard (r7): min-of-2 cannot shave a stall that covers
+    // both samples, and this host idles at loadavg ~2. If any pass STARTS
+    // under ambient load > 1.5, grant ONE extra pass so every query gets
+    // at least one sample from a calmer window; queries whose samples
+    // still disagree > 2x are flagged `noisy` in the artifact so a reader
+    // knows the min may not be reproducible under load.
+    val passLoads = scala.collection.mutable.ListBuffer.empty[String]
+    var target = reps
+    var pass = 0
+    while (pass < target) {
+      pass += 1
       graft.analytics.Memo.clear() // each pass pays shared-intermediate builds once
       val la0 = loadavg()
+      val la0n = la0.split(" ").headOption
+        .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(0.0)
+      if (la0n > 1.5 && target == reps && reps > 1) {
+        System.err.println(f"[bench] pass $pass starts at loadavg $la0n%.2f > 1.5 — adding one extra pass")
+        target = reps + 1
+      }
       names.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try {
@@ -55,17 +71,21 @@ object Bench {
           case e: Throwable => System.err.println(s"[bench] $name failed (pass $pass): $e")
         }
       }
-      s"$la0 -> ${loadavg()}"
+      passLoads += s"$la0 -> ${loadavg()}"
     }
     // a query that failed every pass reports 0.0 (its stderr line is the flag)
     val results = names.map { case (name, _) =>
       name -> (samples(name) match { case Nil => 0.0; case ts => ts.min })
     }
+    val noisy = names.collect { case (name, _)
+      if samples(name).size >= 2 && samples(name).max > 2 * samples(name).min =>
+      "\"" + name + "\""
+    }.mkString("[", ",", "]")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val loads = passLoads.map(s => "\"" + s + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"policy":"min-over-$reps-interleaved-passes","loadavg_per_pass":$loads,"queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$pass,"policy":"min-over-$pass-interleaved-passes","loadavg_per_pass":$loads,"noisy":$noisy,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // Also persist the full JSON in-repo: the driver captures only the tail
     // of stdout, which truncated BENCH_r02.json mid-line. A committed file
