@@ -1013,7 +1013,51 @@ object DedupOps {
       WinnowMinShared, WinnowMaxDf),
     Some(winnowSql))
 
+  // --------------------------------------------- cluster QA metrics
+  /** Cluster-size distribution of a near-dup clustering — the dedup QA
+    * readout (a giant component means the pairing threshold collapsed
+    * the corpus; a flat histogram of 2s means it found only exact-ish
+    * twins). Two uniform-key aggregations over the CLUSTER frame (rows =
+    * clustered docs, not the corpus) — linear, no joins.
+    *
+    * Output: (cluster_size, n_clusters, n_docs) ascending by size.
+    */
+  def clusterSizeProfile(clusters: DataFrame,
+      clusterCol: String = "cluster_id"): DataFrame =
+    clusters.groupBy(col(clusterCol))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+      .orderBy(col("cluster_size"))
+
+  private val qClusterStats = GraftQuery(
+    "qd_cluster_stats",
+    (s, dir) => clusterSizeProfile(simhashClusters(s, dir)),
+    Some(s"""WITH RECURSIVE t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+    hs AS (SELECT doc_id, list_transform(toks, t -> ${h60Sql("t")}) AS h FROM t),
+    sig AS (SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 59), b ->
+        CASE WHEN 2 * len(list_filter(h, x -> ((x >> b) & 1) = 1)) > len(h)
+        THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
+      FROM hs),
+    pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
+    edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+    reach(x, y) AS (
+      SELECT a AS x, b AS y FROM edges
+      UNION
+      SELECT r.x, e.b FROM reach r JOIN edges e ON r.y = e.a),
+    cl AS (SELECT x AS doc_id, least(x, MIN(y)) AS cluster_id FROM reach GROUP BY x),
+    sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cl GROUP BY cluster_id)
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+      CAST(COUNT(*) AS BIGINT) AS n_clusters,
+      CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+    FROM sz GROUP BY cluster_size ORDER BY cluster_size"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qExact, qNgram, qMinhash, qCrossContain, qSimhash, qEmbed, qClusters,
-      qCanonical, qSpans, qBloom, qUrlDedup, qLshRecall, qWinnow)
+      qCanonical, qSpans, qBloom, qUrlDedup, qLshRecall, qWinnow,
+      qClusterStats)
 }

@@ -393,6 +393,128 @@ object MixOps {
       .orderBy(col("shard"), col("doc_id")),
     Some(shardSql))
 
+  // ---------------------------------------- token-budget allocation
+  /** Exact waterfilling of a global token budget across domains — the
+    * "how many tokens do I actually take from each source" step of mix
+    * planning (the DoReMi/Pile-style static allocation): each domain i
+    * gets budget share ∝ weight w_i, capped at its available tokens,
+    * with capped domains' unused share redistributed over the rest.
+    * This is the classic waterfilling solution, computed EXACTLY in
+    * integers: domains sort by avail/w (the saturation order — the
+    * double ratio is used only for ORDERING, deterministic IEEE both
+    * engines; ties → domain), and domain i saturates iff
+    *
+    *   avail_i · (W − W_prev) ≤ (B − A_prev) · w_i
+    *
+    * evaluated in DECIMAL(38,0)/HUGEINT cross-multiplication (no
+    * division), where A_prev/W_prev are prefix sums over the
+    * saturation order and saturation is the running-AND of the
+    * condition (a later failure ends the saturated prefix).
+    * Unsaturated domains get ⌊(B − A_sat)·w_i/(W − W_sat)⌋.
+    *
+    * Scale: the corpus appears only in whatever aggregation BUILT the
+    * per-domain frame; this op runs on the DOMAIN SUMMARY (bounded by
+    * #sources/#languages), so its unpartitioned prefix windows are over
+    * a deliberately tiny frame. Σ alloc ≤ B exactly; epochs_bp =
+    * ⌊10⁴·alloc/avail⌋ reads as "how much of this domain one epoch of
+    * the mix consumes".
+    *
+    * Contract: weights ≥ 1, avail ≥ 1 (filter empty domains upstream).
+    * Output: (domain, avail_tokens, weight, alloc_tokens, saturated,
+    * epochs_bp).
+    */
+  def tokenBudgetAllocate(domains: DataFrame, budget: Long,
+      domainCol: String = "domain", availCol: String = "avail_tokens",
+      wCol: String = "weight"): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val d = domains.select(col(domainCol).as("domain"),
+      col(availCol).cast("long").as("avail"), col(wCol).cast("long").as("w"))
+    val tot = d.agg(sum(col("w")).as("tot_w"))
+    val ord = Window.orderBy(col("ratio"), col("domain"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val r = d
+      .withColumn("ratio", col("avail").cast("double") / col("w"))
+      .crossJoin(broadcast(tot))
+      .withColumn("a_prev", coalesce(sum(col("avail")).over(ord), lit(0L)))
+      .withColumn("w_prev", coalesce(sum(col("w")).over(ord), lit(0L)))
+      .withColumn("cond",
+        dec(col("avail")) * dec(col("tot_w") - col("w_prev")) <=
+          dec(lit(budget) - col("a_prev")) * dec(col("w")))
+      .withColumn("bad_prev",
+        coalesce(sum(when(col("cond"), 0L).otherwise(1L)).over(ord), lit(0L)))
+      .withColumn("saturated", col("cond") && col("bad_prev") === 0L)
+    val sat = r.agg(
+      coalesce(sum(when(col("saturated"), col("avail"))), lit(0L)).as("a_sat"),
+      coalesce(sum(when(col("saturated"), col("w"))), lit(0L)).as("w_sat"))
+    r.crossJoin(broadcast(sat))
+      .withColumn("alloc_tokens",
+        when(col("saturated"), col("avail")).otherwise(expr(
+          s"CAST((CAST($budget - a_sat AS DECIMAL(38,0)) * w) div (tot_w - w_sat) AS BIGINT)")))
+      .select(col("domain"), col("avail").as("avail_tokens"),
+        col("w").as("weight"), col("alloc_tokens"), col("saturated"),
+        expr("10000 * alloc_tokens div avail").as("epochs_bp"))
+      .orderBy(col("domain"))
+  }
+
+  /** Binding: per-language token counts from documents, temperature-2
+    * weights (w = ⌊√avail⌋ — the same T=2 rule as [[domainMix]]), budget
+    * = 90 % of the corpus tokens — high enough that the down-weighted
+    * small domains cap out at their full supply while the big one is
+    * waterfilled, so the gate exercises BOTH arms. The budget scalar is
+    * ONE driver fetch (the kCore-style sanctioned scalar); the oracle
+    * derives the same number inside SQL.
+    */
+  private val qTokenBudget = GraftQuery(
+    "qt_token_budget",
+    (s, dir) => {
+      val dom = Tables.documents(s, dir)
+        .select(col("lang").as("domain"),
+          expr(s"cast(size($toksExpr) as bigint)").as("tk"))
+        .groupBy(col("domain"))
+        .agg(sum(col("tk")).as("avail_tokens"))
+        .filter(col("avail_tokens") >= 1)
+        .withColumn("weight",
+          expr("cast(floor(sqrt(cast(avail_tokens as double))) as bigint)"))
+      val budget = dom.agg(expr("(sum(avail_tokens) * 9) div 10").as("b"))
+        .head().getLong(0)
+      tokenBudgetAllocate(dom, budget)
+    },
+    Some(s"""WITH t AS (SELECT lang AS domain,
+        CAST(len($toksSql) AS BIGINT) AS tk FROM documents),
+      d AS (SELECT domain, CAST(SUM(tk) AS BIGINT) AS avail,
+          CAST(floor(sqrt(CAST(SUM(tk) AS DOUBLE))) AS BIGINT) AS w
+        FROM t GROUP BY domain HAVING SUM(tk) >= 1),
+      b AS (SELECT CAST((SUM(avail) * 9) // 10 AS BIGINT) AS budget FROM d),
+      tw AS (SELECT CAST(SUM(w) AS BIGINT) AS tot_w FROM d),
+      r AS (SELECT d.*, CAST(avail AS DOUBLE) / w AS ratio,
+        CAST(COALESCE(SUM(avail) OVER (ORDER BY CAST(avail AS DOUBLE) / w, domain
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS a_prev,
+        CAST(COALESCE(SUM(w) OVER (ORDER BY CAST(avail AS DOUBLE) / w, domain
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS w_prev
+        FROM d),
+      c AS (SELECT r.*, tot_w, budget,
+        CAST(avail AS HUGEINT) * (tot_w - w_prev)
+          <= CAST(budget - a_prev AS HUGEINT) * w AS cond
+        FROM r CROSS JOIN tw CROSS JOIN b),
+      c2 AS (SELECT c.*,
+        CAST(COALESCE(SUM(CASE WHEN cond THEN 0 ELSE 1 END) OVER (
+          ORDER BY ratio, domain
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bad_prev
+        FROM c),
+      c3 AS (SELECT *, cond AND bad_prev = 0 AS saturated FROM c2),
+      st AS (SELECT CAST(COALESCE(SUM(CASE WHEN saturated THEN avail END), 0) AS BIGINT) AS a_sat,
+          CAST(COALESCE(SUM(CASE WHEN saturated THEN w END), 0) AS BIGINT) AS w_sat
+        FROM c3),
+      al AS (SELECT c3.*, a_sat, w_sat,
+        CAST(CASE WHEN saturated THEN avail
+          ELSE (CAST(budget - a_sat AS HUGEINT) * w) // (tot_w - w_sat)
+        END AS BIGINT) AS alloc_tokens
+        FROM c3 CROSS JOIN st)
+      SELECT domain, avail AS avail_tokens, w AS weight, alloc_tokens,
+        saturated, CAST(10000 * alloc_tokens // avail AS BIGINT) AS epochs_bp
+      FROM al ORDER BY domain"""))
+
   def queries: Seq[GraftQuery] = Seq(qNormalize, qDomainMix, qSeqPack, qChunk,
-    qDsir, qShardPlan)
+    qDsir, qShardPlan, qTokenBudget)
 }

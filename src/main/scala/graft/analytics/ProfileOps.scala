@@ -327,6 +327,61 @@ object ProfileOps {
     },
     Some(driftSql))
 
+  // ------------------------------------------- embedding dim profile
+  /** Per-DIMENSION embedding statistics — the vector-column QA pass
+    * (dead dimensions, scale drift, un-normalized batches) run before
+    * any ANN/clustering tier trusts the column. One posexplode (×dim
+    * map-side fan-out that collapses immediately into a `dim`-key
+    * partial aggregate — at most `dim` rows per partition cross the
+    * wire) + one tiny agg.
+    *
+    * Exactness: sums accumulate as ×2²⁴-quantized BIGINTs in
+    * DECIMAL(38,0) (Spark) / HUGEINT (DuckDB SUM), so mean and std are
+    * ONE fixed-form IEEE expression over exact integers — bit-identical
+    * cross-engine; min/max compare raw doubles exactly.
+    *
+    * Output: (dim, n, mean_val, std_val, min_val, max_val), dim 1-based.
+    */
+  def embeddingDimProfile(vecs: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = 1L << 24
+    val q2 = (1L << 24).toDouble * (1L << 24)   // 2^48, exact as double
+    vecs
+      .select(posexplode(expr(s"cast($vecCol as array<double>)")).as(Seq("pos", "val")))
+      .select((col("pos") + 1).cast("bigint").as("dim"), col("val"),
+        expr(s"cast(round(val * $q) as bigint)").as("qv"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("qv").cast("decimal(38,0)")).as("qs"),
+        sum((col("qv") * col("qv")).cast("decimal(38,0)")).as("q2s"),
+        min(col("val")).as("min_val"), max(col("val")).as("max_val"))
+      .select(col("dim"), col("n"),
+        expr(s"cast(qs as double) / (cast(n as double) * $q)").as("mean_val"),
+        expr(s"sqrt(greatest(cast(q2s as double) / (cast(n as double) * $q2)" +
+          s" - (cast(qs as double) / (cast(n as double) * $q))" +
+          s" * (cast(qs as double) / (cast(n as double) * $q)), 0.0))").as("std_val"),
+        col("min_val"), col("max_val"))
+      .orderBy(col("dim"))
+  }
+
+  private val qDimProfile = GraftQuery(
+    "qprof_embedding_dims",
+    (s, dir) => embeddingDimProfile(Tables.embeddings(s, dir)),
+    Some("""WITH x AS (SELECT CAST(i AS BIGINT) AS dim, v[i] AS val,
+        CAST(round(v[i] * 16777216) AS BIGINT) AS qv
+      FROM (SELECT embedding::DOUBLE[] AS v FROM embeddings) e,
+        LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) g),
+      a AS (SELECT dim, COUNT(*) AS n, SUM(qv) AS qs, SUM(qv * qv) AS q2s,
+        MIN(val) AS min_val, MAX(val) AS max_val FROM x GROUP BY dim)
+      SELECT dim, CAST(n AS BIGINT) AS n,
+        CAST(qs AS DOUBLE) / (CAST(n AS DOUBLE) * 16777216) AS mean_val,
+        sqrt(greatest(CAST(q2s AS DOUBLE) / (CAST(n AS DOUBLE) * 281474976710656.0)
+          - (CAST(qs AS DOUBLE) / (CAST(n AS DOUBLE) * 16777216))
+          * (CAST(qs AS DOUBLE) / (CAST(n AS DOUBLE) * 16777216)), 0.0) ) AS std_val,
+        min_val, max_val
+      FROM a ORDER BY dim"""))
+
   val queries: Seq[GraftQuery] =
-    Seq(qProfile, qProfileEvents, qHistQuantile, qExpectations, qDrift)
+    Seq(qProfile, qProfileEvents, qHistQuantile, qExpectations, qDrift,
+      qDimProfile)
 }

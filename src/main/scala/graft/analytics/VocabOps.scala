@@ -533,7 +533,53 @@ object VocabOps {
     (s, dir) => bigramNovelty(Tables.documents(s, dir), RareTau),
     Some(bigramNoveltySql))
 
+  // ---------------------------------------------- vocabulary coverage
+  /** Per-document vocabulary coverage / OOV rate against a vocab frame
+    * (any (token) frame — a [[vocabulary]] top-k, a learned BPE vocab):
+    * the tokenizer-QA readout ("what fraction of this corpus does my
+    * vocab actually cover?") run before committing to a tokenizer.
+    * Coverage in exact basis points. One corpus token scan + one
+    * BROADCAST join against the vocab (vocabs are ≤ a few hundred
+    * thousand rows by construction — never corpus-sized), one doc-key
+    * aggregation. Docs with zero tokens are absent (no denominator).
+    *
+    * Output: (doc_id, n_tokens, n_in_vocab, coverage_bp).
+    */
+  def vocabCoverage(docs: DataFrame, vocab: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      tokenCol: String = "token"): DataFrame =
+    norm(docs, idCol, textCol)
+      .select(col("doc_id"), explode(expr(toksExpr)).as("token"))
+      .join(broadcast(vocab.select(col(tokenCol).as("token"))
+        .distinct().withColumn("_in_v", lit(true))), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_in_v"), 1L).otherwise(0L)).as("n_in_vocab"))
+      .select(col("doc_id"), col("n_tokens"), col("n_in_vocab"),
+        expr("10000 * n_in_vocab div n_tokens").as("coverage_bp"))
+      .orderBy(col("doc_id"))
+
+  private val CoverageK = 20
+
+  private val qVocabCoverage = GraftQuery(
+    "qt_vocab_coverage",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      vocabCoverage(docs, vocabulary(docs, k = CoverageK))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+      v AS (SELECT token FROM (
+        SELECT token, COUNT(*) AS n FROM t GROUP BY token
+        ORDER BY n DESC, token LIMIT $CoverageK)),
+      c AS (SELECT doc_id, COUNT(*) AS n_tokens,
+        SUM(CASE WHEN token IN (SELECT token FROM v) THEN 1 ELSE 0 END) AS n_in_vocab
+      FROM t GROUP BY doc_id)
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        CAST(n_in_vocab AS BIGINT) AS n_in_vocab,
+        CAST(10000 * n_in_vocab // n_tokens AS BIGINT) AS coverage_bp
+      FROM c ORDER BY doc_id"""))
+
   def queries: Seq[GraftQuery] =
     Seq(qVocab, qKeywords, qEditDist, qBm25, qBpeTrain, qBpeTokenize, qCountMin,
-      qPhrase, qBigramNovelty)
+      qPhrase, qBigramNovelty, qVocabCoverage)
 }

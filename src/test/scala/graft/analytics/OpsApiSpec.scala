@@ -225,6 +225,57 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sampled == explicit)
   }
 
+  test("tokenBudgetAllocate waterfills exactly: caps, redistribution, conservation") {
+    import spark.implicits._
+    val dom = Seq(("a", 10L, 1L), ("b", 100L, 1L), ("c", 1000L, 1L))
+      .toDF("src", "toks", "wt")
+    val out = MixOps.tokenBudgetAllocate(dom, 500L,
+        domainCol = "src", availCol = "toks", wCol = "wt")
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getBoolean(4))).toList
+    // a and b cap at their supply; c absorbs exactly the remainder
+    assert(out == List(("a", 10L, true), ("b", 100L, true), ("c", 390L, false)))
+    // zero budget → zero allocation everywhere
+    val z = MixOps.tokenBudgetAllocate(dom, 0L, "src", "toks", "wt")
+      .collect().map(_.getLong(3)).sum
+    assert(z == 0L)
+    // running-AND prefix: a low-ratio heavy-weight domain saturating must
+    // not let later domains claim more than the remainder
+    val dom2 = Seq(("a", 1L, 100L), ("b", 100L, 1L)).toDF("src", "toks", "wt")
+    val out2 = MixOps.tokenBudgetAllocate(dom2, 50L, "src", "toks", "wt")
+      .collect().map(r => (r.getString(0), r.getLong(3))).toList
+    assert(out2 == List(("a", 1L), ("b", 49L)))
+  }
+
+  test("embeddingDimProfile: exact per-dimension stats") {
+    import spark.implicits._
+    val vecs = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val rows = ProfileOps.embeddingDimProfile(vecs).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toList
+    assert(rows == List((1L, 2.0, 1.0, 1.0, 3.0), (2L, 2.0, 2.0, 0.0, 4.0)))
+  }
+
+  test("vocabCoverage counts in-vocab tokens per doc in basis points") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c"), (2L, "a a d")).toDF("post_id", "body")
+    val vocab = Seq("a", "b").toDF("tok")
+    val out = VocabOps.vocabCoverage(d, vocab,
+        idCol = "post_id", textCol = "body", tokenCol = "tok")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toList
+    assert(out == List((1L, 3L, 2L, 6666L), (2L, 3L, 2L, 6666L)))
+  }
+
+  test("clusterSizeProfile histograms cluster sizes") {
+    import spark.implicits._
+    val cl = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L), (5L, 3L))
+      .toDF("doc_id", "cluster_id")
+    val out = DedupOps.clusterSizeProfile(cl)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(out == List((2L, 1L, 2L), (3L, 1L, 3L)))
+  }
+
   test("dropNearDups keeps the lower id of each pair") {
     val pairs = DedupOps.ngramJaccard(docs, idCol = "post_id", textCol = "body",
       threshold = 0.5)
