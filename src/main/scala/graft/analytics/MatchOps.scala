@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.api.GraftQuery
@@ -91,5 +92,87 @@ object MatchOps {
     WHERE levenshtein(c.name_a, c.name_b) <= $FuzzyMaxDist
     ORDER BY dist, name_a, name_b"""))
 
-  val queries: Seq[GraftQuery] = Seq(qFuzzy)
+  /** Sorted-neighborhood blocking (Hernandez & Stolfo, SIGMOD 1995) —
+    * the OTHER classic ER candidate generator: instead of hashing on a
+    * shared token, sort the distinct-name domain by a normalized key and
+    * compare only names within a sliding window of `window` positions.
+    * Catches transposition-style variants that token blocking misses
+    * (no token survives intact) and is the standard second pass in
+    * multi-pass blocking systems.
+    *
+    * Scale shape: the global sort rank is computed WITHOUT a global
+    * single-partition window — a two-level scheme ranks within first-
+    * character buckets (per-bucket `row_number`, shuffle keyed by
+    * bucket) and adds broadcast per-bucket offsets (the bucket-count
+    * frame is alphabet-sized, so its cumulative window is a few dozen
+    * rows on one partition — the same sanctioned tiny-frame window as
+    * the bench loaders). Pair generation is an equi-join on the window
+    * BLOCK id (each left row also probes the next block, so a window
+    * spanning a block boundary is never missed; a pair lands in exactly
+    * one of the two probes) — hash joins only, fan-out bounded by
+    * `window`, never O(n²).
+    *
+    * Output: (name_a, name_b, rank_a, rank_b, dist, rows_a, rows_b) for
+    * pairs within the window at `levenshtein <= maxDist`, ordered by
+    * (rank_a, rank_b).
+    */
+  def sortedNeighborhoodPairs(df: DataFrame, nameCol: String = "name",
+      window: Int = 4, maxDist: Int = 5): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val names = df.groupBy(col(nameCol).as("name"))
+      .agg(count(lit(1)).as("n_rows"))
+    val keyed = names.withColumn("key",
+        trim(regexp_replace(lower(col("name")), "[^a-z0-9]+", " ")))
+      .withColumn("bkt", substring(col("key"), 1, 1))
+    // first-char buckets order-align with the key sort, so
+    // rank = (rows in earlier buckets) + (rank within own bucket)
+    val offs = keyed.groupBy(col("bkt")).agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(sum(col("bn")).over(
+        Window.orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bkt"), col("off"))
+    val ranked = keyed.join(broadcast(offs), "bkt")
+      .withColumn("rank", col("off") + row_number().over(
+        Window.partitionBy(col("bkt")).orderBy(col("key"), col("name"))))
+      .withColumn("blk", floor((col("rank") - 1) / window))
+    val a = ranked.select(col("name").as("name_a"), col("rank").as("rank_a"),
+      col("n_rows").as("rows_a"),
+      explode(array(col("blk"), col("blk") + 1)).as("jblk"))
+    val b = ranked.select(col("name").as("name_b"), col("rank").as("rank_b"),
+      col("n_rows").as("rows_b"), col("blk").as("jblk"))
+    a.join(b, "jblk")
+      .filter(col("rank_b") > col("rank_a") &&
+        col("rank_b") - col("rank_a") < window)
+      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("name_a"), col("name_b"), col("rank_a"), col("rank_b"),
+        col("dist"), col("rows_a"), col("rows_b"))
+      .orderBy(col("rank_a"), col("rank_b"))
+  }
+
+  private val SnWindow = 4
+  private val SnMaxDist = 5
+
+  private val qSortedNb = GraftQuery(
+    "qj_sorted_neighborhood",
+    (s, dir) => sortedNeighborhoodPairs(Tables.part(s, dir),
+      nameCol = "p_name", window = SnWindow, maxDist = SnMaxDist),
+    Some(s"""WITH n AS (SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM part GROUP BY p_name),
+    k AS (SELECT name, n_rows,
+      trim(regexp_replace(lower(name), '[^a-z0-9]+', ' ', 'g')) AS key FROM n),
+    r AS (SELECT name, n_rows,
+      ROW_NUMBER() OVER (ORDER BY key, name) AS rank FROM k),
+    p AS (SELECT a.name AS name_a, b.name AS name_b,
+        a.rank AS rank_a, b.rank AS rank_b,
+        a.n_rows AS rows_a, b.n_rows AS rows_b
+      FROM r a JOIN r b ON b.rank > a.rank AND b.rank - a.rank < $SnWindow)
+    SELECT name_a, name_b, rank_a, rank_b,
+      CAST(levenshtein(name_a, name_b) AS INT) AS dist, rows_a, rows_b
+    FROM p WHERE levenshtein(name_a, name_b) <= $SnMaxDist
+    ORDER BY rank_a, rank_b"""))
+
+  val queries: Seq[GraftQuery] = Seq(qFuzzy, qSortedNb)
 }

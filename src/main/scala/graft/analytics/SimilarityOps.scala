@@ -1603,8 +1603,13 @@ object SimilarityOps {
 
   private val KnnK = 3
 
-  private val knnSql =
-    s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  /** CTE chain producing the kNN-graph edge list as `edg (src, nbr)`
+    * (+ the ranked form `rkk`); shared by the qs_knn_graph oracle and
+    * the graph-ANN search oracle, which walks these edges. Requires
+    * nothing in scope; defines `e0` (the corpus) itself.
+    */
+  private val knnEdgeCtes =
+    s"""e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     ${lloydSqlDyn(IvfIters)},
     scs AS (SELECT vec_id, v,
       list_transform(generate_series(1, len(w)), c ->
@@ -1614,17 +1619,135 @@ object SimilarityOps {
     pr AS (SELECT a.vec_id AS src, b.vec_id AS nbr, a.v AS va, b.v AS vb
       FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
     sc2 AS (SELECT src, nbr, $cosineSql AS cosine FROM pr),
-    rk AS (SELECT src, nbr, cosine,
+    rkk AS (SELECT src, nbr, cosine,
       ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosine DESC, nbr) AS rank
-      FROM sc2)
-    SELECT src, rank, nbr, cosine FROM rk WHERE rank <= $KnnK
+      FROM sc2),
+    edg AS (SELECT src, nbr FROM rkk WHERE rank <= $KnnK)"""
+
+  private val knnSql =
+    s"""WITH $knnEdgeCtes
+    SELECT src, rank, nbr, cosine FROM rkk WHERE rank <= $KnnK
     ORDER BY src, rank"""
+
+  /** Session-memoized kNN graph — built once, read by qs_knn_graph and
+    * walked by qs_graph_ann (the same "index built once, queried many
+    * times" economics a real deployment has).
+    */
+  private def knnEdgesMemo(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Memo.cached(s, s"knnEdges:$dir")(
+      knnGraph(Tables.embeddings(s, dir), KnnK, dynTrained(s, dir)))
 
   private val qKnn = GraftQuery(
     "qs_knn_graph",
-    (s, dir) =>
-      knnGraph(Tables.embeddings(s, dir), KnnK, dynTrained(s, dir)),
+    (s, dir) => knnEdgesMemo(s, dir),
     Some(knnSql))
+
+  // ------------------------------ graph-based ANN (beam search on kNN)
+  /** Graph-based ANN search — beam search over a prebuilt kNN graph, the
+    * batch analogue of the NSW/HNSW/DiskANN search layer (Malkov &
+    * Yashunin 2018): every query starts from a fixed entry set, and each
+    * round expands the current beam through the graph's out-edges,
+    * rescores, and keeps the best `beam` candidates; after `rounds` hops
+    * the top `k` survive. Complementary recall path to cell probing
+    * (IVF): edges cross cell boundaries wherever a vector's true
+    * neighbors straddle the quantizer partition.
+    *
+    * Scale shape: the frontier is (queries × beam) rows — broadcast-
+    * sized by construction. Per round: one hash join frontier⋈edges
+    * (edge list is n·k, shuffled by src), then candidate vectors are
+    * fetched by a BROADCAST of the candidate-id frame against one corpus
+    * scan (never a corpus shuffle), and the rescore + beam cut is a
+    * window over the per-query candidates. Rounds are few and fixed —
+    * total corpus scans = rounds, like IVF's two.
+    *
+    * Output: (query_id, rank, cand_id, cosine), rank <= k.
+    */
+  def graphAnnSearch(corpus: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame,
+      entries: org.apache.spark.sql.DataFrame,
+      edges: org.apache.spark.sql.DataFrame,
+      k: Int, beam: Int, rounds: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): org.apache.spark.sql.DataFrame = {
+    require(beam >= k, s"beam ($beam) must be >= k ($k)")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val q = prep(queries, idCol, vecCol)
+      .select(col("vec_id").as("query_id"), col("v").as("va"), col("nrm").as("na"))
+    val corp = prep(corpus, idCol, vecCol)
+      .select(col("vec_id").as("cand_id"), col("v").as("vb"), col("nrm").as("nb"))
+    val wB = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    def topBeam(scored: org.apache.spark.sql.DataFrame) =
+      scored.withColumn("rk", row_number().over(wB))
+        .filter(col("rk") <= beam)
+        .select(col("query_id"), col("cand_id"), col("cosine"))
+    val ent = prep(entries, idCol, vecCol)
+      .select(col("vec_id").as("cand_id"), col("v").as("vb"), col("nrm").as("nb"))
+    var beamDf = topBeam(withCosine(ent.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("cand_id"))))
+    for (_ <- 1 to rounds) {
+      val expanded = beamDf.select(col("query_id"), col("cand_id"))
+        .join(edges.select(col("src").as("cand_id"), col("nbr")), Seq("cand_id"))
+        .select(col("query_id"), col("nbr").as("cand_id"))
+        .union(beamDf.select(col("query_id"), col("cand_id")))
+        .filter(col("query_id") =!= col("cand_id"))
+        .distinct()
+      beamDf = topBeam(withCosine(
+        corp.join(broadcast(expanded), Seq("cand_id"))
+          .join(broadcast(q.select(col("query_id"), col("va"), col("na"))),
+            Seq("query_id"))))
+    }
+    topK(beamDf, k)
+  }
+
+  private val GBeam = 8
+  private val GRounds = 2
+  private val GEntryMod = 50
+
+  private val graphAnnSql = {
+    val cv = "cv AS (SELECT vec_id AS cand_id, v AS vb FROM e0)"
+    val roundCtes = (1 to GRounds).map { r =>
+      s"""c$r AS (SELECT DISTINCT query_id, cand_id FROM (
+        SELECT query_id, cand_id FROM b${r - 1}
+        UNION ALL
+        SELECT b.query_id, g.nbr AS cand_id FROM b${r - 1} b JOIN edg g ON g.src = b.cand_id)
+      WHERE query_id <> cand_id),
+    sc_$r AS (SELECT c.query_id, c.cand_id, $cosineSql AS cosine
+      FROM c$r c JOIN qv ON qv.query_id = c.query_id
+      JOIN cv ON cv.cand_id = c.cand_id),
+    b$r AS (SELECT query_id, cand_id, cosine FROM (
+        SELECT query_id, cand_id, cosine,
+          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rk
+        FROM sc_$r) WHERE rk <= $GBeam)"""
+    }
+    s"""WITH $knnEdgeCtes,
+    qv AS (SELECT vec_id AS query_id, v AS va FROM e0 WHERE vec_id < $NQ),
+    $cv,
+    ev AS (SELECT vec_id AS cand_id, v AS vb FROM e0 WHERE vec_id % $GEntryMod = 0),
+    sc_0 AS (SELECT query_id, cand_id, $cosineSql AS cosine
+      FROM qv, ev WHERE query_id <> cand_id),
+    b0 AS (SELECT query_id, cand_id, cosine FROM (
+        SELECT query_id, cand_id, cosine,
+          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rk
+        FROM sc_0) WHERE rk <= $GBeam),
+    ${roundCtes.mkString(",\n    ")}
+    SELECT query_id, rank, cand_id, cosine FROM (
+      SELECT query_id, cand_id, cosine,
+        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+      FROM b$GRounds) WHERE rank <= $K
+    ORDER BY query_id, rank"""
+  }
+
+  private val qGraphAnn = GraftQuery(
+    "qs_graph_ann",
+    (s, dir) => {
+      val corpus = Tables.embeddings(s, dir)
+      graphAnnSearch(corpus,
+        corpus.filter(col("vec_id") < NQ),
+        corpus.filter(col("vec_id") % GEntryMod === 0),
+        knnEdgesMemo(s, dir), K, GBeam, GRounds)
+    },
+    Some(graphAnnSql))
 
   // ------------------------------------------- MMR diversified re-rank
   private val MmrPoolK = 20
@@ -1773,6 +1896,101 @@ object SimilarityOps {
       Tables.embeddings(s, dir).filter(col("vec_id") < NQ)),
     Some(mmrSql))
 
+  // ---------------------------- k-center greedy coreset selection
+  /** Greedy k-center selection (farthest-point-first, Gonzalez 1985) —
+    * the coreset / diversity data-pruning pass (Sener & Savarese, ICLR
+    * 2018 use exactly this rule for training-set selection): pick the
+    * point farthest from the corpus mean, then repeatedly the point
+    * maximizing its minimum squared-L2 distance to everything selected
+    * so far. The selected set is a 2-approximation of the optimal
+    * k-center cover — the standard "most diverse k examples" subset.
+    *
+    * Scale shape: one exact-quantized mean pass ([[trainCentroids]] with
+    * a single zero seed — BIGINT sums, shuffle-order independent), then
+    * one corpus scan per selection round: distances against the ≤ k
+    * selected vectors ride the fused [[graft_dot_scores]] kernel
+    * (d²(x,s) = x·x − 2 x·s + s·s), argmax = `orderBy().limit(1)` =
+    * TakeOrdered (per-partition top-1, ONE row to the driver per round —
+    * the sanctioned driver-loop traffic class of [[trainCentroids]] /
+    * BPE). k scans total, no joins, no shuffles beyond the top-1.
+    *
+    * Determinism: every distance is the same ascending-index fold in
+    * both engines; ties broken by smallest vec_id.
+    * Returns (sel_rank, vec_id, gap_d2) — gap_d2 is the covering radius
+    * the pick closed (its min-d² at selection time).
+    */
+  def kCenterSelect(corpus: org.apache.spark.sql.DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[(Int, Long, Double)] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val base = prep(corpus, idCol, vecCol)
+      .select(col("vec_id"), col("v"))
+      .withColumn("xx", graft_dot(col("v"), col("v")))
+    val mean: Seq[Double] =
+      trainCentroids(corpus, Seq(Seq.fill(64)(0.0)), 1, idCol, vecCol).head
+    val picked = scala.collection.mutable.ListBuffer.empty[(Int, Long, Double, Seq[Double])]
+    for (r <- 1 to k) {
+      val refs: Seq[Seq[Double]] =
+        if (r == 1) Seq(mean) else picked.map(_._4).toSeq
+      // driver-side self-dots use the same ascending fold as the oracle
+      val ss: Seq[Double] = refs.map { s =>
+        var a = 0.0; s.foreach(x => a += x * x); a
+      }
+      val row = base
+        .withColumn("dots", graft_dot_scores(typedLit(refs), col("v")))
+        .withColumn("ssl", typedLit(ss))
+        .withColumn("md",
+          expr("array_min(zip_with(dots, ssl, (d, q) -> xx - 2 * d + q))"))
+        .orderBy(col("md").desc, col("vec_id"))
+        .limit(1).select(col("vec_id"), col("v"), col("md")).collect()(0)
+      picked += ((r, row.getLong(0), row.getDouble(2),
+        row.getSeq[Double](1).toIndexedSeq))
+    }
+    picked.map(p => (p._1, p._2, p._3)).toList
+  }
+
+  private val KCenterK = 5
+
+  private def kcDot(a: String, b: String) =
+    s"list_reduce(list_transform(generate_series(1, 64), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+
+  private val kcenterSql = {
+    val zeroInit =
+      "cw0 AS (SELECT [[" + Seq.fill(64)("0.0").mkString(", ") + "]] AS w)"
+    val rounds = (2 to KCenterK).map { r =>
+      val selu = (1 until r).map(j => s"SELECT v FROM s$j").mkString(" UNION ALL ")
+      s"""d$r AS (SELECT e.vec_id,
+      MIN(e.xx - 2 * ${kcDot("e.v", "s.v")} + ${kcDot("s.v", "s.v")}) AS md
+      FROM ex e CROSS JOIN ($selu) s GROUP BY e.vec_id),
+    s$r AS (SELECT $r AS sel_rank, d.vec_id, e.v, d.md
+      FROM d$r d JOIN ex e ON e.vec_id = d.vec_id
+      ORDER BY d.md DESC, d.vec_id LIMIT 1)"""
+    }
+    val allSel = (1 to KCenterK)
+      .map(j => s"SELECT sel_rank, vec_id, md FROM s$j").mkString(" UNION ALL ")
+    s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ${lloydChain(1, zeroInit)},
+    m AS (SELECT w[1] AS mv FROM cw1),
+    ex AS (SELECT vec_id, v, ${kcDot("v", "v")} AS xx FROM e0),
+    d1 AS (SELECT e.vec_id, e.v,
+      e.xx - 2 * ${kcDot("e.v", "m.mv")} + ${kcDot("m.mv", "m.mv")} AS md
+      FROM ex e, m),
+    s1 AS (SELECT 1 AS sel_rank, vec_id, v, md FROM d1
+      ORDER BY md DESC, vec_id LIMIT 1),
+    ${rounds.mkString(",\n    ")}
+    SELECT CAST(sel_rank AS INT) AS sel_rank, vec_id, md AS gap_d2
+    FROM ($allSel) ORDER BY sel_rank"""
+  }
+
+  private val qKCenter = GraftQuery(
+    "qs_kcenter_select",
+    (s, dir) => {
+      import s.implicits._
+      kCenterSelect(Tables.embeddings(s, dir), KCenterK)
+        .toDF("sel_rank", "vec_id", "gap_d2")
+        .orderBy(col("sel_rank"))
+    },
+    Some(kcenterSql))
+
   private val qRrf = GraftQuery(
     "qs_rrf_fusion",
     (s, dir) => {
@@ -1784,5 +2002,6 @@ object SimilarityOps {
 
   val queries: Seq[GraftQuery] = Seq(qBrute, qAnnLsh, qAnnIvf, qAnnIvfTrained,
     qAnnLshMp, qAnnFiltered, qRecall, qMrr, qSq, qSqPacked, qCentroids, qKmeans,
-    qOutliers, qSemDedup, qPq, qIvfPq, qIvfPqRes, qKnn, qRp, qMmr, qRrf)
+    qOutliers, qSemDedup, qPq, qIvfPq, qIvfPqRes, qKnn, qRp, qMmr, qRrf,
+    qKCenter, qGraphAnn)
 }

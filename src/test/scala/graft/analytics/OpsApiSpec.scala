@@ -1266,6 +1266,64 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byShard.values.forall(_ <= 4096 + maxDoc),
       s"a shard exceeds budget + one document: $byShard")
   }
+
+  test("sortedNeighborhoodPairs: window-complete across block boundaries, nothing outside") {
+    import spark.implicits._
+    // 10 distinct names; raw forms exercise the key normalization
+    val names = Seq("Alpha-One", "alpha two", "ALPHA_three", "beta one",
+      "Beta-Two", "gamma one", "Gamma Two", "gamma-three", "delta one", "epsilon")
+    val rows = names.flatMap(n => Seq.fill(1 + (n.length % 3))(n))
+    val df = rows.toDF("label")
+    val w = 3
+    // maxDist large -> pure blocking semantics: pair set must equal ALL
+    // pairs within w positions of the normalized-key sort order,
+    // regardless of where the internal block boundaries fall
+    val out = MatchOps.sortedNeighborhoodPairs(df, nameCol = "label",
+        window = w, maxDist = 99)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    def key(n: String) = n.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+    val sorted = names.sortBy(n => (key(n), n))
+    val expected = (for {
+      i <- sorted.indices; j <- (i + 1) until math.min(i + w, sorted.length)
+    } yield (sorted(i), sorted(j))).toSet
+    assert(out == expected, s"got $out\nexpected $expected")
+  }
+
+  test("kCenterSelect: distinct picks, non-increasing coverage gaps, custom columns") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .withColumnRenamed("vec_id", "eid").withColumnRenamed("embedding", "emb")
+    val sel = SimilarityOps.kCenterSelect(emb, 5, idCol = "eid", vecCol = "emb")
+    assert(sel.map(_._1) == Seq(1, 2, 3, 4, 5))
+    assert(sel.map(_._2).distinct.size == 5, s"repeated pick: $sel")
+    // rounds >= 2 maximize min-distance to the growing selected set, so
+    // the chosen gap can only shrink (round 1 measures to the mean —
+    // a different reference — and is excluded)
+    val gaps = sel.drop(1).map(_._3)
+    assert(gaps.zip(gaps.tail).forall { case (a, b) => a >= b },
+      s"gaps not non-increasing: $gaps")
+  }
+
+  test("graphAnnSearch: k ranked rows per query; beam result dominates entry-only scoring") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = SimilarityOps.trainCentroids(emb)
+    val edges = SimilarityOps.knnGraph(emb, 3, cents)
+    val queries = emb.filter(col("vec_id") < 5)
+    val entries = emb.filter(col("vec_id") % 50 === 0)
+    val out = SimilarityOps.graphAnnSearch(emb, queries, entries, edges,
+      k = 5, beam = 8, rounds = 2).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.size == 5 && byQ.values.forall(_.map(_.getInt(1)).sorted.sameElements(1 to 5)),
+      "each query must emit ranks 1..k")
+    // the final beam is drawn from a superset of the entry candidates, so
+    // its best hit is at least as good as scoring the entry set alone
+    val entryBest = SimilarityOps.cosineTopK(entries, queries, 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val beamBest = out.filter(_.getInt(1) == 1)
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(entryBest.keySet.forall(q => beamBest(q) >= entryBest(q) - 1e-12),
+      s"beam search lost to its own entry round: $beamBest vs $entryBest")
+  }
 }
 
 /** Row-collect helpers shared by the API tests. */
