@@ -155,11 +155,12 @@ object MatchOps {
   private val SnWindow = 4
   private val SnMaxDist = 5
 
-  private val qSortedNb = GraftQuery(
-    "qj_sorted_neighborhood",
-    (s, dir) => sortedNeighborhoodPairs(Tables.part(s, dir),
-      nameCol = "p_name", window = SnWindow, maxDist = SnMaxDist),
-    Some(s"""WITH n AS (SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n_rows
+  /** CTE chain ending in `snp` — the sorted-neighborhood verified pairs
+    * over part names; shared by the qj_sorted_neighborhood oracle and
+    * the mutual-best matching oracle built on those pairs.
+    */
+  private val snPairsCtes =
+    s"""n AS (SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n_rows
       FROM part GROUP BY p_name),
     k AS (SELECT name, n_rows,
       trim(regexp_replace(lower(name), '[^a-z0-9]+', ' ', 'g')) AS key FROM n),
@@ -168,11 +169,95 @@ object MatchOps {
     p AS (SELECT a.name AS name_a, b.name AS name_b,
         a.rank AS rank_a, b.rank AS rank_b,
         a.n_rows AS rows_a, b.n_rows AS rows_b
-      FROM r a JOIN r b ON b.rank > a.rank AND b.rank - a.rank < $SnWindow)
-    SELECT name_a, name_b, rank_a, rank_b,
+      FROM r a JOIN r b ON b.rank > a.rank AND b.rank - a.rank < $SnWindow),
+    snp AS (SELECT name_a, name_b, rank_a, rank_b,
       CAST(levenshtein(name_a, name_b) AS INT) AS dist, rows_a, rows_b
-    FROM p WHERE levenshtein(name_a, name_b) <= $SnMaxDist
-    ORDER BY rank_a, rank_b"""))
+    FROM p WHERE levenshtein(name_a, name_b) <= $SnMaxDist)"""
 
-  val queries: Seq[GraftQuery] = Seq(qFuzzy, qSortedNb)
+  private val qSortedNb = GraftQuery(
+    "qj_sorted_neighborhood",
+    (s, dir) => sortedNeighborhoodPairs(Tables.part(s, dir),
+      nameCol = "p_name", window = SnWindow, maxDist = SnMaxDist),
+    Some(s"""WITH $snPairsCtes
+    SELECT name_a, name_b, rank_a, rank_b, dist, rows_a, rows_b
+    FROM snp ORDER BY rank_a, rank_b"""))
+
+  /** One-to-one entity linkage from scored candidate pairs by iterated
+    * MUTUAL-best matching — the distributed greedy matching of Preis /
+    * "local max" edge matching (also the coarsening matcher in multilevel
+    * graph partitioners): each round, every unmatched name points at its
+    * best-scoring available partner (lowest `scoreCol`, ties to the
+    * lexicographically smaller partner), and a pair is matched when both
+    * point at each other; matched names leave the pool. Each round is 2
+    * windows + 1 self-join + 2 anti-joins — fully parallel, no
+    * sequential greedy scan — and the classic result is that local-max
+    * matching reaches a maximal matching in few rounds with at least
+    * half the optimal weight.
+    *
+    * Output: (name_a, name_b, dist, round) with name_a < name_b, one row
+    * per matched pair, each name in at most one row, ordered by name_a.
+    */
+  def mutualBestMatch(pairs: DataFrame, aCol: String = "name_a",
+      bCol: String = "name_b", scoreCol: String = "dist",
+      rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"),
+        col(scoreCol).as("sc"))
+      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v"),
+        col(scoreCol).as("sc")))
+    val wU = Window.partitionBy(col("u")).orderBy(col("sc"), col("v"))
+    val matched = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val best = edges.withColumn("rk", row_number().over(wU))
+        .filter(col("rk") === 1).select(col("u"), col("v"), col("sc"))
+      val m = best.as("x").join(best.as("y"),
+          col("x.u") === col("y.v") && col("x.v") === col("y.u"))
+        .filter(col("x.u") < col("x.v"))
+        .select(col("x.u").as("name_a"), col("x.v").as("name_b"),
+          col("x.sc").as("dist"), lit(r).as("round"))
+        .localCheckpoint() // tiny; keeps later rounds' lineage flat
+      matched += m
+      val nodes = m.select(col("name_a").as("nm"))
+        .union(m.select(col("name_b").as("nm")))
+      edges = edges
+        .join(nodes.select(col("nm").as("u")), Seq("u"), "left_anti")
+        .join(nodes.select(col("nm").as("v")), Seq("v"), "left_anti")
+        .select(col("u"), col("v"), col("sc"))
+    }
+    matched.reduce(_ union _).orderBy(col("name_a"))
+  }
+
+  private val MbmRounds = 3
+
+  private val mbmSql = {
+    val roundCtes = (1 to MbmRounds).map { r =>
+      s"""b$r AS (SELECT u, v, sc FROM (
+        SELECT u, v, sc, ROW_NUMBER() OVER (PARTITION BY u ORDER BY sc, v) AS rk
+        FROM eg${r - 1}) WHERE rk = 1),
+    m$r AS (SELECT x.u AS name_a, x.v AS name_b, x.sc AS dist, $r AS round
+      FROM b$r x JOIN b$r y ON x.u = y.v AND x.v = y.u WHERE x.u < x.v),
+    mn$r AS (SELECT name_a AS nm FROM m$r UNION ALL SELECT name_b FROM m$r),
+    eg$r AS (SELECT * FROM eg${r - 1}
+      WHERE u NOT IN (SELECT nm FROM mn$r) AND v NOT IN (SELECT nm FROM mn$r))"""
+    }
+    val allM = (1 to MbmRounds)
+      .map(r => s"SELECT name_a, name_b, dist, round FROM m$r")
+      .mkString(" UNION ALL ")
+    s"""WITH $snPairsCtes,
+    eg0 AS (SELECT name_a AS u, name_b AS v, dist AS sc FROM snp
+      UNION ALL SELECT name_b, name_a, dist FROM snp),
+    ${roundCtes.mkString(",\n    ")}
+    SELECT name_a, name_b, dist, CAST(round AS INT) AS round
+    FROM ($allM) ORDER BY name_a"""
+  }
+
+  private val qMutualBest = GraftQuery(
+    "qj_mutual_best_match",
+    (s, dir) => mutualBestMatch(
+      sortedNeighborhoodPairs(Tables.part(s, dir), nameCol = "p_name",
+        window = SnWindow, maxDist = SnMaxDist),
+      rounds = MbmRounds),
+    Some(mbmSql))
+
+  val queries: Seq[GraftQuery] = Seq(qFuzzy, qSortedNb, qMutualBest)
 }

@@ -1749,6 +1749,140 @@ object SimilarityOps {
     },
     Some(graphAnnSql))
 
+  // ------------------------------------- hard-negative mining
+  /** Hard-negative mining for contrastive / embedding training data
+    * (the ANCE / DPR-style negative sampler): from a scored candidate
+    * pool, drop each query's positives and everything so similar it is
+    * probably a paraphrase of the positive (cosine >= `capRatio` x the
+    * query's best positive score — the "false negative" guard), then
+    * keep the top `k` HARDEST remaining candidates (highest cosine).
+    *
+    * Takes the scored pool as input — any retrieval tier (exact, IVF,
+    * graph) produces it — so the mining itself is one broadcast
+    * anti-join + one per-query threshold join + a rank window. Output:
+    * (query_id, rank, cand_id, cosine).
+    */
+  def hardNegatives(scored: org.apache.spark.sql.DataFrame,
+      positives: org.apache.spark.sql.DataFrame,
+      k: Int, capRatio: Double): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(capRatio > 0.0 && capRatio <= 1.0,
+      s"capRatio must be in (0, 1], got $capRatio")
+    val pos = positives.select(col("query_id"), col("cand_id"))
+    val posBest = scored.join(broadcast(pos), Seq("query_id", "cand_id"))
+      .groupBy(col("query_id")).agg(max(col("cosine")).as("pos_cos"))
+    val negs = scored
+      .join(broadcast(pos).withColumn("is_pos", lit(1)),
+        Seq("query_id", "cand_id"), "left_anti")
+      .join(broadcast(posBest), Seq("query_id"))
+      .filter(col("cosine") < col("pos_cos") * capRatio)
+    topK(negs, k)
+  }
+
+  private val HnPoolK = 20
+  private val HnK = 5
+  private val HnRatio = 0.9
+
+  private val hardNegSql =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.v AS va, c.v AS vb
+      FROM e q JOIN e c ON q.vec_id < $NQ AND q.vec_id <> c.vec_id),
+    sc AS (SELECT query_id, cand_id, $cosineSql AS cosine FROM p),
+    rk AS (SELECT query_id, cand_id, cosine,
+      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+      FROM sc),
+    pool AS (SELECT query_id, cand_id, cosine FROM rk WHERE rank <= $HnPoolK),
+    pos AS (SELECT query_id, cand_id FROM rk WHERE rank = 1),
+    pb AS (SELECT p2.query_id, MAX(p2.cosine) AS pos_cos FROM pool p2
+      JOIN pos ON pos.query_id = p2.query_id AND pos.cand_id = p2.cand_id
+      GROUP BY p2.query_id),
+    ng AS (SELECT p2.query_id, p2.cand_id, p2.cosine FROM pool p2
+      JOIN pb ON pb.query_id = p2.query_id
+      WHERE NOT EXISTS (SELECT 1 FROM pos
+        WHERE pos.query_id = p2.query_id AND pos.cand_id = p2.cand_id)
+        AND p2.cosine < pb.pos_cos * $HnRatio),
+    rk2 AS (SELECT query_id, cand_id, cosine,
+      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+      FROM ng)
+    SELECT query_id, rank, cand_id, cosine FROM rk2 WHERE rank <= $HnK
+    ORDER BY query_id, rank"""
+
+  private val qHardNeg = GraftQuery(
+    "qs_hard_negatives",
+    (s, dir) => {
+      val corpus = Tables.embeddings(s, dir)
+      val q = corpus.filter(col("vec_id") < NQ)
+      val pool = cosineTopK(corpus, q, HnPoolK)
+      hardNegatives(pool, pool.filter(col("rank") === 1), HnK, HnRatio)
+    },
+    Some(hardNegSql))
+
+  // ------------------------- dimension-truncation (matryoshka) recall
+  /** Truncated-dimension retrieval recall — the Matryoshka evaluation
+    * (Kusupati et al. 2022): search with only the first `dims` vector
+    * components and measure recall@k against the full-dimension exact
+    * top-k. The operational question it answers is the standard
+    * index-sizing one: how many leading dimensions does the corpus need
+    * at query time before recall plateaus (prefix search is `dims`/D of
+    * the bandwidth and index size). One corpus scan per tested width,
+    * query side broadcast throughout. Output: (dims, recall).
+    */
+  def dimTruncationRecall(corpus: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame, k: Int, dimsList: Seq[Int],
+      idCol: String = "vec_id", vecCol: String = "embedding"): org.apache.spark.sql.DataFrame = {
+    require(dimsList.nonEmpty && dimsList.forall(_ >= 1),
+      s"dimsList must be non-empty positive, got $dimsList")
+    val exact = cosineTopK(corpus, queries, k, idCol, vecCol).localCheckpoint()
+    def trunc(df: org.apache.spark.sql.DataFrame, d: Int) =
+      df.select(col(idCol),
+        slice(col(vecCol).cast("array<double>"), 1, d).as(vecCol))
+    dimsList.map { d =>
+      annRecall(exact, cosineTopK(trunc(corpus, d), trunc(queries, d), k, idCol, vecCol))
+        .withColumn("dims", lit(d))
+        .select(col("dims"), col("recall"))
+    }.reduce(_ union _).orderBy(col("dims"))
+  }
+
+  private val MrlDims = Seq(16, 32)
+
+  private val mrlSql = {
+    def cosD(d: Int) =
+      s"list_reduce(list_transform(generate_series(1, $d), i -> va[i] * vb[i]), (x, y) -> x + y)" +
+        s" / (sqrt(list_reduce(list_transform(generate_series(1, $d), i -> va[i] * va[i]), (x, y) -> x + y))" +
+        s" * sqrt(list_reduce(list_transform(generate_series(1, $d), i -> vb[i] * vb[i]), (x, y) -> x + y)))"
+    val perD = MrlDims.map { d =>
+      s"""sc$d AS (SELECT query_id, cand_id, ${cosD(d)} AS cosine FROM p),
+    ap$d AS (SELECT query_id, cand_id FROM (
+        SELECT query_id, cand_id,
+          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+        FROM sc$d) WHERE rank <= $K),
+    r$d AS (SELECT $d AS dims,
+      CAST(SUM(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        / COUNT(*) AS recall
+      FROM ex LEFT JOIN ap$d a
+        ON a.query_id = ex.query_id AND a.cand_id = ex.cand_id)"""
+    }
+    val allR = MrlDims.map(d => s"SELECT dims, recall FROM r$d").mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.v AS va, c.v AS vb
+      FROM e q JOIN e c ON q.vec_id < $NQ AND q.vec_id <> c.vec_id),
+    scf AS (SELECT query_id, cand_id, $cosineSql AS cosine FROM p),
+    ex AS (SELECT query_id, cand_id FROM (
+        SELECT query_id, cand_id,
+          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+        FROM scf) WHERE rank <= $K),
+    ${perD.mkString(",\n    ")}
+    SELECT CAST(dims AS INT) AS dims, recall FROM ($allR) ORDER BY dims"""
+  }
+
+  private val qMrl = GraftQuery(
+    "qs_mrl_recall",
+    (s, dir) => {
+      val corpus = Tables.embeddings(s, dir)
+      dimTruncationRecall(corpus, corpus.filter(col("vec_id") < NQ), K, MrlDims)
+    },
+    Some(mrlSql))
+
   // ------------------------------------------- MMR diversified re-rank
   private val MmrPoolK = 20
   private val MmrK = 5
@@ -2003,5 +2137,5 @@ object SimilarityOps {
   val queries: Seq[GraftQuery] = Seq(qBrute, qAnnLsh, qAnnIvf, qAnnIvfTrained,
     qAnnLshMp, qAnnFiltered, qRecall, qMrr, qSq, qSqPacked, qCentroids, qKmeans,
     qOutliers, qSemDedup, qPq, qIvfPq, qIvfPqRes, qKnn, qRp, qMmr, qRrf,
-    qKCenter, qGraphAnn)
+    qKCenter, qGraphAnn, qHardNeg, qMrl)
 }

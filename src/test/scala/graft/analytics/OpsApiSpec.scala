@@ -1303,6 +1303,47 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"gaps not non-increasing: $gaps")
   }
 
+  test("hardNegatives: positives and paraphrase-cap excluded, hardest-first ranks") {
+    import spark.implicits._
+    // query 1: positive is c10 at cosine 0.98; cap 0.9 * 0.98 = 0.882
+    // -> c11 (0.9) excluded by the cap, c12/c13 kept hardest-first
+    val pool = Seq(
+      (1L, 10L, 0.98), (1L, 11L, 0.90), (1L, 12L, 0.70), (1L, 13L, 0.80),
+      (2L, 20L, 0.50), (2L, 21L, 0.40))
+      .toDF("query_id", "cand_id", "cosine")
+    val pos = Seq((1L, 10L), (2L, 20L)).toDF("query_id", "cand_id")
+    val out = SimilarityOps.hardNegatives(pool, pos, k = 2, capRatio = 0.9)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 1, 13L), (1L, 2, 12L), (2L, 1, 21L)),
+      out.mkString(", "))
+  }
+
+  test("dimTruncationRecall: full-width truncation recalls 1.0; curve is per-dims rows") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = SimilarityOps.dimTruncationRecall(
+        emb, emb.filter(col("vec_id") < 5), k = 3, dimsList = Seq(16, 64))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(out.keySet == Set(16, 64), s"dims rows: $out")
+    assert(out(64) == 1.0, s"full-width search must equal the exact baseline: $out")
+    assert(out(16) >= 0.0 && out(16) <= 1.0)
+  }
+
+  test("mutualBestMatch: one-to-one, mutual-only, later rounds match what round 1 blocked") {
+    import spark.implicits._
+    // chain a-b-c-d with scores: b's best is a, a's best is b (mutual, r1);
+    // c's best is b (taken) -> c pairs with d only after b leaves the pool
+    val pairs = Seq(
+      ("a", "b", 1), ("b", "c", 2), ("c", "d", 3)).toDF("l", "r", "s")
+    val out = MatchOps.mutualBestMatch(pairs, aCol = "l", bCol = "r",
+        scoreCol = "s", rounds = 3)
+      .collect().map(x => (x.getString(0), x.getString(1), x.getInt(2), x.getInt(3)))
+    assert(out.toSet == Set(("a", "b", 1, 1), ("c", "d", 3, 2)), out.mkString(", "))
+    // every name appears at most once across all rounds
+    val names = out.flatMap(x => Seq(x._1, x._2))
+    assert(names.distinct.length == names.length, s"name matched twice: ${names.toSeq}")
+  }
+
   test("graphAnnSearch: k ranked rows per query; beam result dominates entry-only scoring") {
     import org.apache.spark.sql.functions.col
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")

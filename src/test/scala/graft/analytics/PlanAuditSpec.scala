@@ -39,6 +39,25 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("qj_sorted_neighborhood pairs via the block-id hash join, no cartesian/BNL") {
+    val plan = graft.SparkEntry.queries("qj_sorted_neighborhood")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"sorted-neighborhood pair generation regressed to all-pairs:\n$plan")
+  }
+
+  test("qs_graph_ann fetches candidate vectors by broadcast, never shuffles the corpus") {
+    val plan = graft.SparkEntry.queries("qs_graph_ann")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"graph-ANN regressed to a cartesian product:\n$plan")
+    // every corpus-touching join must be a broadcast of the small side
+    // (frontier ids / query vectors); corpus rows stay in their scan
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast candidate fetch in graph-ANN plan:\n$plan")
+  }
+
   test("runtime Bloom-filter prunes the big side of a selective shuffle join") {
     import org.apache.spark.sql.functions.col
     // the 100 TB lever: a selective dimension filter is turned into a bloom
