@@ -744,9 +744,94 @@ object EventsQueries {
         quantile_disc(gap_s, 0.9) AS p90_s
       FROM g GROUP BY step, transition ORDER BY step"""))
 
+  // ------------------------- CEP chain-pattern matching (Flink-CEP shape)
+  /** Complex-event-processing chain patterns `s1+ s2+ ... s(n-1)+ sn`
+    * with STRICT contiguity over each entity's event stream — the
+    * canonical Flink CEP pattern (begin.oneOrMore.next...next), which is
+    * the one streaming capability family of the reference's runtime this
+    * library had not yet mirrored. Counts leftmost non-overlapping
+    * matches per entity.
+    *
+    * Mechanics: each event encodes to one char (stage i → letter i,
+    * everything else → 'x'); the per-entity sequence assembles with one
+    * uniform-key aggregation (`array_sort` of (ts, id, char) structs —
+    * per-entity state, never a global sort), and the pattern becomes one
+    * codegen'd `regexp_count`. Entity sequences are bounded by per-entity
+    * activity, the same premise as sessionization; the streaming twin
+    * ([[cepStream]]) needs only TWO ints of state per entity — the open
+    * stage and the match count — because chain patterns are
+    * backtracking-free.
+    *
+    * Output: (user, n_matches) for entities with >= 1 match.
+    */
+  def cepPatternCount(events: DataFrame, stages: Seq[String],
+      userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type", idCol: String = "event_id"): DataFrame = {
+    require(stages.nonEmpty && stages.size <= 26, "1..26 pattern stages")
+    require(stages.distinct.size == stages.size, "pattern stages must be distinct")
+    val enc = stages.zipWithIndex.foldLeft(lit("x")) { case (acc, (st, i)) =>
+      when(col(typeCol) === st, lit(('a' + i).toChar.toString)).otherwise(acc)
+    }
+    val regex = stages.indices.map(i => ('a' + i).toChar.toString)
+      .zipWithIndex.map { case (ch, i) => if (i < stages.size - 1) s"$ch+" else ch }
+      .mkString
+    events
+      .select(col(userCol).as("user"),
+        struct(col(tsCol).as("t"), col(idCol).as("i"), enc.as("ch")).as("e"))
+      .groupBy(col("user"))
+      .agg(concat_ws("", expr("transform(array_sort(collect_list(e)), x -> x.ch)"))
+        .as("sq"))
+      .select(col("user"), regexp_count(col("sq"), lit(regex)).as("n_matches"))
+      .filter(col("n_matches") > 0)
+      .orderBy(col("user"))
+  }
+
+  /** Streaming twin of [[cepPatternCount]]: the same chain pattern run
+    * continuously per entity on `transformWithState` with the
+    * [[graft.streaming.CepProcessor]] DFA (open stage + count — two ints
+    * per entity, O(entities) state). Emits (user, cumulative matches)
+    * per batch; last emission per user ≡ the batch operator over
+    * everything seen, pinned in StreamingExtrasSpec with a match split
+    * across micro-batches. Input frame needs (userCol, tsCol, idCol,
+    * typeCol); event time must arrive per-entity in append order, as
+    * with every streaming twin.
+    */
+  def cepStream(events: DataFrame, stages: Seq[String],
+      userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type", idCol: String = "event_id"): DataFrame = {
+    require(stages.nonEmpty && stages.distinct.size == stages.size)
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val stageIdx = stages.zipWithIndex.foldLeft(lit(-1)) { case (acc, (st, i)) =>
+      when(col(typeCol) === st, lit(i + 1)).otherwise(acc)
+    }
+    events.select(col(userCol).cast("long").as("user"),
+        unix_micros(col(tsCol).cast("timestamp")).as("tus"),
+        col(idCol).cast("long").as("eid"), stageIdx.as("stage"))
+      .as[(Long, Long, Long, Int)]
+      .groupByKey(_._1)
+      .transformWithState(new graft.streaming.CepProcessor(stages.size),
+        TimeMode.None(), OutputMode.Append())
+      .toDF("user", "n_matches")
+  }
+
+  private val CepStages = Seq("view", "click", "purchase")
+
+  private val qCep = GraftQuery(
+    "qe_cep_pattern",
+    (s, dir) => cepPatternCount(Tables.events(s, dir), CepStages),
+    Some("""WITH s AS (SELECT user_id AS user, string_agg(
+        CASE event_type WHEN 'view' THEN 'a' WHEN 'click' THEN 'b'
+          WHEN 'purchase' THEN 'c' ELSE 'x' END,
+        '' ORDER BY ts, event_id) AS sq
+      FROM events GROUP BY user_id)
+      SELECT "user", CAST(len(regexp_extract_all(sq, 'a+b+c')) AS INT) AS n_matches
+      FROM s WHERE len(regexp_extract_all(sq, 'a+b+c')) > 0
+      ORDER BY "user""""))
+
   val queries: Seq[GraftQuery] =
     Seq(qTumbling, qSliding, qSessions, qJson, qTopUsers, qDeltas, qZscore,
       qFunnel, qRetention, qResample, qHistogram, qPattern, qTransitions,
       qDecayWma, qAttribution, qCusum, qMadAnomaly, qTopPaths, qSlidingDistinct,
-      qSeasonal, qFunnelTime)
+      qSeasonal, qFunnelTime, qCep)
 }

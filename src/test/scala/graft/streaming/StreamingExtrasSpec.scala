@@ -870,6 +870,44 @@ class StreamingExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed(t(101).getTime) == 2L,
       s"user seen in two hours double-counted: $streamed")
   }
+
+  test("streaming CEP chain pattern equals batch; a match spanning micro-batches still counts") {
+    import spark.implicits._
+    val stages = Seq("view", "click", "purchase")
+    val input = MemoryStream[(Long, Timestamp, Long, String)](spark)
+    val out = graft.analytics.EventsQueries.cepStream(
+      input.toDS().toDF("user_id", "ts", "event_id", "event_type"), stages)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("cep_stream")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-cep").toString)
+      .start()
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // user 1 opens a match in batch 1 (view view) and closes it in batch 2
+    // (click purchase) — the state the streaming twin exists to carry;
+    // user 2 breaks contiguity (view purchase) and must never match
+    val b1 = Seq((1L, ts(0), 1L, "view"), (1L, ts(1), 2L, "view"),
+      (2L, ts(0), 10L, "view"), (2L, ts(1), 11L, "purchase"))
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    // batch 2 completes user 1's first match and adds a full second one
+    val b2 = Seq((1L, ts(2), 3L, "click"), (1L, ts(3), 4L, "purchase"),
+      (2L, ts(2), 12L, "click"),
+      (1L, ts(4), 5L, "view"), (1L, ts(5), 6L, "click"), (1L, ts(6), 7L, "purchase"))
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.table("cep_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val streamFinal = emitted.zipWithIndex.groupBy(_._1._1)
+      .map { case (_, rs) => rs.maxBy(_._2)._1 }
+      .filter(_._2 > 0).toMap
+    val batch = graft.analytics.EventsQueries.cepPatternCount(
+        (b1 ++ b2).toDF("user_id", "ts", "event_id", "event_type"), stages)
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong)).toMap
+    assert(streamFinal == Map(1L -> 2L), s"stream final: $streamFinal")
+    assert(streamFinal == batch, s"stream $streamFinal vs batch $batch")
+  }
 }
 
 /** Event-time sessionization on raw transformWithState timers: per-key
