@@ -201,10 +201,14 @@ object MatchOps {
       bCol: String = "name_b", scoreCol: String = "dist",
       rounds: Int = 3): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    // the candidate-pair frame is blocking-bounded (|names|·window rows);
+    // checkpoint it once, and re-checkpoint the survivors each round, so
+    // round r never re-derives the upstream pair pipeline r times
     var edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"),
         col(scoreCol).as("sc"))
       .union(pairs.select(col(bCol).as("u"), col(aCol).as("v"),
         col(scoreCol).as("sc")))
+      .localCheckpoint()
     val wU = Window.partitionBy(col("u")).orderBy(col("sc"), col("v"))
     val matched = scala.collection.mutable.ListBuffer.empty[DataFrame]
     for (r <- 1 to rounds) {
@@ -223,6 +227,7 @@ object MatchOps {
         .join(nodes.select(col("nm").as("u")), Seq("u"), "left_anti")
         .join(nodes.select(col("nm").as("v")), Seq("v"), "left_anti")
         .select(col("u"), col("v"), col("sc"))
+        .localCheckpoint()
     }
     matched.reduce(_ union _).orderBy(col("name_a"))
   }

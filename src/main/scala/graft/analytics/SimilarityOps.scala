@@ -1683,11 +1683,16 @@ object SimilarityOps {
         .select(col("query_id"), col("cand_id"), col("cosine"))
     val ent = prep(entries, idCol, vecCol)
       .select(col("vec_id").as("cand_id"), col("v").as("vb"), col("nrm").as("nb"))
+    // each round's beam is (queries x beam) rows — checkpoint it so round
+    // r+1's plan starts from the materialized frontier instead of
+    // re-deriving (and re-executing) every earlier round inside both
+    // branches of the expansion union
     var beamDf = topBeam(withCosine(ent.crossJoin(broadcast(q))
-      .filter(col("query_id") =!= col("cand_id"))))
+      .filter(col("query_id") =!= col("cand_id")))).localCheckpoint()
     for (_ <- 1 to rounds) {
-      val expanded = beamDf.select(col("query_id"), col("cand_id"))
-        .join(edges.select(col("src").as("cand_id"), col("nbr")), Seq("cand_id"))
+      val expanded = edges.select(col("src").as("cand_id"), col("nbr"))
+        .join(broadcast(beamDf.select(col("query_id"), col("cand_id"))),
+          Seq("cand_id"))
         .select(col("query_id"), col("nbr").as("cand_id"))
         .union(beamDf.select(col("query_id"), col("cand_id")))
         .filter(col("query_id") =!= col("cand_id"))
@@ -1695,7 +1700,7 @@ object SimilarityOps {
       beamDf = topBeam(withCosine(
         corp.join(broadcast(expanded), Seq("cand_id"))
           .join(broadcast(q.select(col("query_id"), col("va"), col("na"))),
-            Seq("query_id"))))
+            Seq("query_id")))).localCheckpoint()
     }
     topK(beamDf, k)
   }

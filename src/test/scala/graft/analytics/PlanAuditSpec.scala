@@ -47,15 +47,19 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"sorted-neighborhood pair generation regressed to all-pairs:\n$plan")
   }
 
-  test("qs_graph_ann fetches candidate vectors by broadcast, never shuffles the corpus") {
+  test("qs_graph_ann's final cut reads the checkpointed beam; no cartesian anywhere") {
     val plan = graft.SparkEntry.queries("qs_graph_ann")(spark, sf)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct"),
-      s"graph-ANN regressed to a cartesian product:\n$plan")
-    // every corpus-touching join must be a broadcast of the small side
-    // (frontier ids / query vectors); corpus rows stay in their scan
-    assert(plan.contains("BroadcastHashJoin"),
-      s"expected broadcast candidate fetch in graph-ANN plan:\n$plan")
+    // per-round expansion joins (frontier broadcast into edges, candidate
+    // ids broadcast into the corpus scan) run eagerly at construction and
+    // land in the per-round checkpoints; the final plan must be just the
+    // top-k window over the materialized beam — never a cartesian and
+    // never a re-derivation of earlier rounds
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"graph-ANN regressed to all-pairs:\n$plan")
+    assert(plan.contains("ExistingRDD"),
+      s"beam rounds should be checkpoint-materialized:\n$plan")
   }
 
   test("runtime Bloom-filter prunes the big side of a selective shuffle join") {
