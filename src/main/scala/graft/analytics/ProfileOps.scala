@@ -381,7 +381,55 @@ object ProfileOps {
         min_val, max_val
       FROM a ORDER BY dim"""))
 
+  // --------------------------- privacy QA: k-anonymity / l-diversity
+  /** Privacy audit of a release candidate — the re-identification QA
+    * pass run before any row-level data leaves a pipeline (Sweeney's
+    * k-anonymity; Machanavajjhala et al.'s l-diversity): group rows by
+    * the quasi-identifier columns and flag every group that is either
+    * smaller than `k` (an attacker joining on the QI pins a person to
+    * < k candidates) or carries fewer than `l` distinct values of the
+    * sensitive column (the whole group shares an attribute, so
+    * membership alone discloses it). Generalization (banding a numeric
+    * QI) is the caller's `withColumn` — the audit works on any frame.
+    *
+    * One uniform-QI-key aggregation (count + count distinct), map-only
+    * otherwise; output is bounded by the violating-group count.
+    * Output: (quasi..., n_rows, n_sensitive, k_violation, l_violation)
+    * for violating groups only, ordered by the quasi columns.
+    */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, k: Int, l: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 1 && l >= 1, s"k and l must be >= 1, got k=$k l=$l")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .withColumn("k_violation", col("n_rows") < k)
+      .withColumn("l_violation", col("n_sensitive") < l)
+      .filter(col("k_violation") || col("l_violation"))
+      .orderBy(quasiCols.map(col): _*)
+  }
+
+  private val AnonK = 4
+  private val AnonL = 3
+
+  private val qKAnon = GraftQuery(
+    "qpriv_k_anon",
+    (s, dir) => kAnonymityAudit(
+      Tables.customer(s, dir)
+        .withColumn("acct_band", floor(col("c_acctbal") / 2000).cast("long")),
+      Seq("c_nationkey", "acct_band"), "c_mktsegment", AnonK, AnonL),
+    Some(s"""WITH g AS (SELECT c_nationkey,
+        CAST(floor(c_acctbal / 2000) AS BIGINT) AS acct_band,
+        CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_sensitive
+      FROM customer GROUP BY 1, 2)
+      SELECT c_nationkey, acct_band, n_rows, n_sensitive,
+        n_rows < $AnonK AS k_violation, n_sensitive < $AnonL AS l_violation
+      FROM g WHERE n_rows < $AnonK OR n_sensitive < $AnonL
+      ORDER BY c_nationkey, acct_band"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qProfile, qProfileEvents, qHistQuantile, qExpectations, qDrift,
-      qDimProfile)
+      qDimProfile, qKAnon)
 }

@@ -43,17 +43,35 @@ final class CepProcessor(finalStage: Int, stateTtl: TTLConfig = TTLConfig.NONE)
 
   override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long, Int)],
       timerValues: TimerValues): Iterator[(Long, Long)] = {
-    var (p, count) = Option(st.get()).getOrElse((0, 0L))
-    rows.toVector.sortBy(r => (r._2, r._3)).foreach { case (_, _, _, q) =>
-      p =
-        if (q >= 1 && q == p + 1) {          // advance (incl. stage 1 from idle)
-          if (q == finalStage) { count += 1; 0 } else q
-        }
-        else if (q == 1) 1                   // restart at an opening event
-        else if (q == p && p >= 1) p         // absorb a repeat of the open stage
-        else 0                               // contiguity broken
+    var state = Option(st.get()).getOrElse((0, 0L))
+    rows.toVector.sortBy(r => (r._2, r._3)).foreach { r =>
+      state = CepDfa.step(finalStage, state, r._4)
     }
-    st.update((p, count))
-    Iterator.single((key, count))
+    st.update(state)
+    Iterator.single((key, state._2))
   }
+}
+
+/** The pure transition function of [[CepProcessor]], factored out so the
+  * DFA ≡ regexp_count equivalence is property-testable without a Spark
+  * session (CepDfaSpec runs it against java.util.regex on random event
+  * strings).
+  */
+object CepDfa {
+  /** One event: `(p, count)` -> next state. `q` is the event's 1-based
+    * pattern stage, or any value < 1 for a non-pattern event.
+    */
+  def step(finalStage: Int, state: (Int, Long), q: Int): (Int, Long) = {
+    val (p, count) = state
+    if (q >= 1 && q == p + 1) {          // advance (incl. stage 1 from idle)
+      if (q == finalStage) (0, count + 1) else (q, count)
+    }
+    else if (q == 1) (1, count)          // restart at an opening event
+    else if (q == p && p >= 1) (p, count) // absorb a repeat of the open stage
+    else (0, count)                      // contiguity broken
+  }
+
+  /** Fold a whole event sequence from the empty state. */
+  def count(finalStage: Int, stages: Iterator[Int]): Long =
+    stages.foldLeft((0, 0L))((s, q) => step(finalStage, s, q))._2
 }

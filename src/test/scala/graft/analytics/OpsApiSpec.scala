@@ -1303,6 +1303,23 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"gaps not non-increasing: $gaps")
   }
 
+  test("kAnonymityAudit: k-only and l-only violations flagged, compliant group dropped") {
+    import spark.implicits._
+    // zip A: 2 rows (< k=3) but diverse -> k-violation only
+    // zip B: 4 rows all same diagnosis -> l-violation (l=2) only
+    // zip C: 3 rows, 2 diagnoses -> compliant, must not appear
+    val rows = Seq(
+      ("A", "flu"), ("A", "cold"),
+      ("B", "flu"), ("B", "flu"), ("B", "flu"), ("B", "flu"),
+      ("C", "flu"), ("C", "cold"), ("C", "flu"))
+      .toDF("zip", "diagnosis")
+    val out = ProfileOps.kAnonymityAudit(rows, Seq("zip"), "diagnosis", k = 3, l = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getBoolean(4)))
+    assert(out.toSeq == Seq(("A", 2L, 2L, true, false), ("B", 4L, 1L, false, true)),
+      out.mkString(", "))
+  }
+
   test("hardNegatives: positives and paraphrase-cap excluded, hardest-first ranks") {
     import spark.implicits._
     // query 1: positive is c10 at cosine 0.98; cap 0.9 * 0.98 = 0.882
