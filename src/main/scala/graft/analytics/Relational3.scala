@@ -553,8 +553,41 @@ object Relational3 {
       ON s.s_start_us <= i.i_end_us AND i.i_start_us <= s.s_end_us
     ORDER BY s.user_id, s.session_id, i.inc_hour_us"""))
 
+  // Follow-up orders inside a 14-day window after any other order of the
+  // same customer, through the NATIVE whole-operator path
+  // (graft.plans.IntervalJoinExec: custom LogicalPlan + Strategy +
+  // SparkPlan — the point-in-interval sibling of qAsofNative). Each side
+  // shuffles once on o_custkey, sorts on (custkey, date) / (custkey,
+  // window start), and one merge pass with an active-interval buffer
+  // emits every containment — the hash-join+filter plan this replaces
+  // materializes every co-keyed order pair first. Oracled against
+  // DuckDB's range join (IEJoin).
+  private val qIntervalNative = GraftQuery(
+    "qj_interval_native",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val pts = o.select(col("o_custkey").as("p_cust"),
+        col("o_orderkey").as("p_order"), col("o_orderdate").as("p_date"))
+      val wins = o.select(col("o_custkey").as("w_cust"),
+        col("o_orderkey").as("w_order"), col("o_orderdate").as("w_start"),
+        (col("o_orderdate") + expr("INTERVAL 14 DAYS")).as("w_end"))
+      graft.plans.IntervalOps.intervalJoin(pts, wins,
+          Seq("p_cust"), Seq("w_cust"), "p_date", "w_start", "w_end")
+        .filter(col("p_order") =!= col("w_order"))
+        .select(col("w_order"), col("p_order"), col("p_cust").as("custkey"),
+          col("w_start"), col("p_date"))
+        .orderBy(col("w_order"), col("p_order"))
+    },
+    Some("""SELECT a.o_orderkey AS w_order, b.o_orderkey AS p_order,
+      a.o_custkey AS custkey, a.o_orderdate AS w_start, b.o_orderdate AS p_date
+    FROM orders a JOIN orders b ON a.o_custkey = b.o_custkey
+      AND b.o_orderdate >= a.o_orderdate
+      AND b.o_orderdate <= a.o_orderdate + INTERVAL 14 DAY
+      AND a.o_orderkey <> b.o_orderkey
+    ORDER BY w_order, p_order"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qSessionWindow, qArrayFns, qMapFns, qPosexplode, qPivot, qAsof,
       qAsofNative, qRangeJoin, qMath, qBitwise, qUdf, qQ02, qQ15, qLateral,
-      qUnpivot, qCoPurchase, qIntervalOverlap)
+      qUnpivot, qCoPurchase, qIntervalOverlap, qIntervalNative)
 }

@@ -58,7 +58,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // allocation-free native count wherever result-identical
     ext.injectOptimizerRule(_ => RewriteIntersectCount)
     // whole-operator tier: plans the AsofJoinPlan logical node onto the
-    // native sort-merge AsofJoinExec
+    // native sort-merge AsofJoinExec, and IntervalJoinPlan onto the
+    // active-set merge IntervalJoinExec
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    ext.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)
   }
 }
