@@ -1244,6 +1244,53 @@ object SimilarityOps {
     Some(s"""${mrrBranchSql("lsh", lshSql)}
       UNION ALL ${mrrBranchSql("ivf", ivfSql)} ORDER BY method"""))
 
+  /** Rank-biased precision at the persistence parameter p = 1/2 (Moffat
+    * & Zobel, TOIS 2008) — the top-weighted retrieval metric that, unlike
+    * MRR, credits EVERY relevant hit, geometrically discounted by rank:
+    * RBP = (1−p)·Σ p^(rank−1)·rel(rank). At p = 1/2 each hit at rank i
+    * contributes exactly 2^−i, a dyadic rational — so the whole metric is
+    * computed in EXACT integer units (hit at rank i → 2^(20−i) micro-
+    * units; sums and the final per-query mean are BIGINT floor division),
+    * the same engine-exactness discipline as [[retrievalMrr]]'s
+    * micro-units, with no transcendental log2 anywhere (what makes nDCG
+    * a cross-engine hazard). Relevance = membership in the exact top-k.
+    * Output: (n_queries, n_hits, rbp_micro = mean per-query units).
+    */
+  def rbpScore(exact: org.apache.spark.sql.DataFrame,
+      approx: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    exact.select(col("query_id"), col("cand_id"))
+      .join(approx.select(col("query_id"), col("cand_id"),
+        col("rank").as("arank")), Seq("query_id", "cand_id"), "left")
+      .agg(countDistinct(col("query_id")).as("n_queries"),
+        sum(when(col("arank").isNotNull, 1L).otherwise(0L)).as("n_hits"),
+        sum(coalesce(expr("shiftright(1048576L, arank)"), lit(0L))).as("_u"))
+      .select(col("n_queries"), col("n_hits"),
+        expr("_u div n_queries").as("rbp_micro"))
+
+  private def rbpBranchSql(method: String, approxSql: String) =
+    s"""SELECT '$method' AS method,
+      CAST(COUNT(DISTINCT e.query_id) AS BIGINT) AS n_queries,
+      CAST(SUM(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+      CAST(SUM(COALESCE(1048576 >> a.rank, 0)) // COUNT(DISTINCT e.query_id) AS BIGINT) AS rbp_micro
+      FROM (SELECT query_id, cand_id FROM ($bruteSql)) e
+      LEFT JOIN ($approxSql) a
+      ON e.query_id = a.query_id AND e.cand_id = a.cand_id"""
+
+  private val qRbp = GraftQuery(
+    "qs_rbp",
+    (s, dir) => {
+      val corpus = Tables.embeddings(s, dir)
+      val q = corpus.filter(col("vec_id") < NQ)
+      val exact = cosineTopK(corpus, q, K).localCheckpoint()
+      rbpScore(exact, annLsh(corpus, q, K)).withColumn("method", lit("lsh"))
+        .unionByName(
+          rbpScore(exact, annIvf(corpus, q, K)).withColumn("method", lit("ivf")))
+        .select(col("method"), col("n_queries"), col("n_hits"), col("rbp_micro"))
+        .orderBy(col("method"))
+    },
+    Some(s"""${rbpBranchSql("lsh", lshSql)}
+      UNION ALL ${rbpBranchSql("ivf", ivfSql)} ORDER BY method"""))
+
   /** int8 scalar-quantized top-k — the memory-bandwidth scale path real
     * vector stores use (FAISS `SQ8`): each vector is quantized once,
     * map-only, to `round(x·127/maxabs)` ∈ [-127, 127]; candidates are
@@ -2142,5 +2189,5 @@ object SimilarityOps {
   val queries: Seq[GraftQuery] = Seq(qBrute, qAnnLsh, qAnnIvf, qAnnIvfTrained,
     qAnnLshMp, qAnnFiltered, qRecall, qMrr, qSq, qSqPacked, qCentroids, qKmeans,
     qOutliers, qSemDedup, qPq, qIvfPq, qIvfPqRes, qKnn, qRp, qMmr, qRrf,
-    qKCenter, qGraphAnn, qHardNeg, qMrl)
+    qKCenter, qGraphAnn, qHardNeg, qMrl, qRbp)
 }

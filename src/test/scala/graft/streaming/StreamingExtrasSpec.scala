@@ -871,6 +871,46 @@ class StreamingExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"user seen in two hours double-counted: $streamed")
   }
 
+  test("stream-stream time-range join equals the native batch interval join") {
+    import spark.implicits._
+    // fixed-width validity windows (start .. start+10s): the form Spark's
+    // stream-stream join supports with state cleanup (both sides
+    // watermarked, event times bounded relative to each other) — the
+    // streaming twin of graft.plans.IntervalOps.intervalJoin
+    val pts = MemoryStream[(String, Timestamp, Long)](spark)
+    val ivs = MemoryStream[(String, Timestamp, Long)](spark)
+    val p = pts.toDS().toDF("k", "t", "pid").withWatermark("t", "1 minute")
+    val w = ivs.toDS().toDF("wk", "ws", "wid").withWatermark("ws", "1 minute")
+    val joined = p.join(w,
+      expr("k = wk AND t >= ws AND t <= ws + interval 10 seconds"))
+    val q = joined.select(col("pid"), col("wid"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ivj_stream")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ivj").toString)
+      .start()
+    def t(s: Int) = Timestamp.valueOf(f"2024-01-01 10:00:$s%02d")
+    val ptRows = Seq(("A", t(0), 1L), ("A", t(5), 2L), ("A", t(11), 3L),
+      ("B", t(5), 4L), ("A", t(20), 5L))
+    val ivRows = Seq(("A", t(0), 10L), ("A", t(4), 20L), ("B", t(30), 30L))
+    pts.addData(ptRows: _*)
+    ivs.addData(ivRows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ivj_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.plans.IntervalOps.intervalJoin(
+        ptRows.toDF("k", "t", "pid"),
+        ivRows.toDF("wk", "ws", "wid")
+          .withColumn("we", expr("ws + interval 10 seconds")),
+        Seq("k"), Seq("wk"), "t", "ws", "we")
+      .select(col("pid"), col("wid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    assert(batch == Set((1L, 10L), (2L, 10L), (2L, 20L), (3L, 20L)),
+      s"fixture drifted: $batch")
+  }
+
   test("streaming CEP chain pattern equals batch; a match spanning micro-batches still counts") {
     import spark.implicits._
     val stages = Seq("view", "click", "purchase")
