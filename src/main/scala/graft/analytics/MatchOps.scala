@@ -73,23 +73,35 @@ object MatchOps {
   private val FuzzyMaxDist = 3
   private val FuzzyTokenDf = 1000
 
-  private val qFuzzy = GraftQuery(
-    "qj_fuzzy_name",
-    (s, dir) => fuzzyNameMatch(Tables.part(s, dir), nameCol = "p_name",
-      maxDist = FuzzyMaxDist, maxTokenDf = FuzzyTokenDf),
-    Some(s"""WITH n AS (SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n_rows
-      FROM part GROUP BY p_name),
-    t AS (SELECT DISTINCT name, tok FROM
+  /** The shared distinct-name-domain CTE (`n`). */
+  private val nameDomainCte =
+    """n AS (SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM part GROUP BY p_name)"""
+
+  /** CTE chain ending in `fzp` — the token-blocked lev-verified pairs;
+    * shared by the qj_fuzzy_name oracle and the multi-pass blocking
+    * oracle.
+    */
+  private val fuzzyPairsCtes =
+    s"""t AS (SELECT DISTINCT name, tok FROM
       (SELECT name, unnest(string_split(name, ' ')) AS tok FROM n)),
     rare AS (SELECT tok FROM t GROUP BY tok HAVING COUNT(*) <= $FuzzyTokenDf),
     bl AS (SELECT t.name, t.tok FROM t JOIN rare USING (tok)),
     c AS (SELECT DISTINCT a.name AS name_a, b.name AS name_b
-      FROM bl a JOIN bl b ON a.tok = b.tok AND a.name < b.name)
-    SELECT c.name_a, c.name_b,
+      FROM bl a JOIN bl b ON a.tok = b.tok AND a.name < b.name),
+    fzp AS (SELECT c.name_a, c.name_b,
       CAST(levenshtein(c.name_a, c.name_b) AS INT) AS dist,
       na.n_rows AS rows_a, nb.n_rows AS rows_b
     FROM c JOIN n na ON na.name = c.name_a JOIN n nb ON nb.name = c.name_b
-    WHERE levenshtein(c.name_a, c.name_b) <= $FuzzyMaxDist
+    WHERE levenshtein(c.name_a, c.name_b) <= $FuzzyMaxDist)"""
+
+  private val qFuzzy = GraftQuery(
+    "qj_fuzzy_name",
+    (s, dir) => fuzzyNameMatch(Tables.part(s, dir), nameCol = "p_name",
+      maxDist = FuzzyMaxDist, maxTokenDf = FuzzyTokenDf),
+    Some(s"""WITH $nameDomainCte,
+    $fuzzyPairsCtes
+    SELECT name_a, name_b, dist, rows_a, rows_b FROM fzp
     ORDER BY dist, name_a, name_b"""))
 
   /** Sorted-neighborhood blocking (Hernandez & Stolfo, SIGMOD 1995) —
@@ -156,13 +168,11 @@ object MatchOps {
   private val SnMaxDist = 5
 
   /** CTE chain ending in `snp` — the sorted-neighborhood verified pairs
-    * over part names; shared by the qj_sorted_neighborhood oracle and
-    * the mutual-best matching oracle built on those pairs.
+    * over part names; requires [[nameDomainCte]] in scope. Shared by the
+    * qj_sorted_neighborhood, mutual-best, and multi-pass oracles.
     */
-  private val snPairsCtes =
-    s"""n AS (SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n_rows
-      FROM part GROUP BY p_name),
-    k AS (SELECT name, n_rows,
+  private val snTailCtes =
+    s"""k AS (SELECT name, n_rows,
       trim(regexp_replace(lower(name), '[^a-z0-9]+', ' ', 'g')) AS key FROM n),
     r AS (SELECT name, n_rows,
       ROW_NUMBER() OVER (ORDER BY key, name) AS rank FROM k),
@@ -178,7 +188,8 @@ object MatchOps {
     "qj_sorted_neighborhood",
     (s, dir) => sortedNeighborhoodPairs(Tables.part(s, dir),
       nameCol = "p_name", window = SnWindow, maxDist = SnMaxDist),
-    Some(s"""WITH $snPairsCtes
+    Some(s"""WITH $nameDomainCte,
+    $snTailCtes
     SELECT name_a, name_b, rank_a, rank_b, dist, rows_a, rows_b
     FROM snp ORDER BY rank_a, rank_b"""))
 
@@ -248,7 +259,8 @@ object MatchOps {
     val allM = (1 to MbmRounds)
       .map(r => s"SELECT name_a, name_b, dist, round FROM m$r")
       .mkString(" UNION ALL ")
-    s"""WITH $snPairsCtes,
+    s"""WITH $nameDomainCte,
+    $snTailCtes,
     eg0 AS (SELECT name_a AS u, name_b AS v, dist AS sc FROM snp
       UNION ALL SELECT name_b, name_a, dist FROM snp),
     ${roundCtes.mkString(",\n    ")}
@@ -264,5 +276,59 @@ object MatchOps {
       rounds = MbmRounds),
     Some(mbmSql))
 
-  val queries: Seq[GraftQuery] = Seq(qFuzzy, qSortedNb, qMutualBest)
+  /** Multi-pass blocking — the standard ER methodology (run SEVERAL
+    * cheap candidate generators and union them, since each blocking
+    * scheme has a known blind spot): token blocking misses pairs where
+    * no token survives intact, sorted-neighborhood misses pairs whose
+    * normalized keys sort far apart. Emits the union of verified pairs
+    * with per-pass provenance flags — the instrument for judging whether
+    * another pass is still adding recall. Pairs are orientation-
+    * normalized (name_a < name_b) before the full-outer merge so the
+    * two generators' different emission orders can't split a pair.
+    *
+    * Output: (name_a, name_b, dist, in_token_block, in_sorted_nb),
+    * ordered by (name_a, name_b).
+    */
+  def multiPassBlocking(df: DataFrame, nameCol: String = "name",
+      window: Int = 4, snMaxDist: Int = 5,
+      tokenMaxDist: Int = 3, maxTokenDf: Int = 1000): DataFrame = {
+    def normalized(pairs: DataFrame) = pairs.select(
+      least(col("name_a"), col("name_b")).as("name_a"),
+      greatest(col("name_a"), col("name_b")).as("name_b"),
+      col("dist"))
+    val tok = normalized(fuzzyNameMatch(df, nameCol, tokenMaxDist, maxTokenDf))
+      .withColumn("in_token_block", lit(true))
+    val sn = normalized(sortedNeighborhoodPairs(df, nameCol, window, snMaxDist))
+      .withColumn("in_sorted_nb", lit(true))
+    tok.join(sn.withColumnRenamed("dist", "sn_dist"),
+        Seq("name_a", "name_b"), "full_outer")
+      .select(col("name_a"), col("name_b"),
+        coalesce(col("dist"), col("sn_dist")).as("dist"),
+        coalesce(col("in_token_block"), lit(false)).as("in_token_block"),
+        coalesce(col("in_sorted_nb"), lit(false)).as("in_sorted_nb"))
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
+  private val qMultiPass = GraftQuery(
+    "qj_multipass_blocking",
+    (s, dir) => multiPassBlocking(Tables.part(s, dir), nameCol = "p_name",
+      window = SnWindow, snMaxDist = SnMaxDist,
+      tokenMaxDist = FuzzyMaxDist, maxTokenDf = FuzzyTokenDf),
+    Some(s"""WITH $nameDomainCte,
+    $fuzzyPairsCtes,
+    $snTailCtes,
+    tkn AS (SELECT LEAST(name_a, name_b) AS name_a,
+        GREATEST(name_a, name_b) AS name_b, dist FROM fzp),
+    snn AS (SELECT LEAST(name_a, name_b) AS name_a,
+        GREATEST(name_a, name_b) AS name_b, dist AS sn_dist FROM snp)
+    SELECT COALESCE(t.name_a, s2.name_a) AS name_a,
+      COALESCE(t.name_b, s2.name_b) AS name_b,
+      COALESCE(t.dist, s2.sn_dist) AS dist,
+      t.name_a IS NOT NULL AS in_token_block,
+      s2.name_a IS NOT NULL AS in_sorted_nb
+    FROM tkn t FULL OUTER JOIN snn s2
+      ON t.name_a = s2.name_a AND t.name_b = s2.name_b
+    ORDER BY name_a, name_b"""))
+
+  val queries: Seq[GraftQuery] = Seq(qFuzzy, qSortedNb, qMutualBest, qMultiPass)
 }

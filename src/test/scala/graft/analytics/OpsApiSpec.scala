@@ -1303,6 +1303,25 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"gaps not non-increasing: $gaps")
   }
 
+  test("multiPassBlocking: each pass contributes pairs the other's blind spot misses") {
+    import spark.implicits._
+    // "abcdone"/"abcdtwo": single tokens, share NO token -> token blocking
+    // blind; adjacent in sort order with lev 3 -> sorted-neighborhood finds.
+    // "red hat"/"zed hat": share a token, lev 1 -> token blocking finds;
+    // first chars differ and the s* fillers sort between them, pushing the
+    // pair > window apart -> SN blind.
+    val names = Seq("abcdone", "abcdtwo", "red hat", "zed hat",
+      "s1 hat", "s2 hat", "s3 hat", "s4 hat", "s5 hat", "s6 hat")
+    val out = MatchOps.multiPassBlocking(names.toDF("nm"), nameCol = "nm",
+        window = 2, snMaxDist = 3, tokenMaxDist = 3, maxTokenDf = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getBoolean(3), r.getBoolean(4)))).toMap
+    assert(out(("abcdone", "abcdtwo")) == ((false, true)),
+      s"SN-only pair mis-attributed: $out")
+    assert(out(("red hat", "zed hat")) == ((true, false)),
+      s"token-only pair mis-attributed: $out")
+  }
+
   test("kAnonymityAudit: k-only and l-only violations flagged, compliant group dropped") {
     import spark.implicits._
     // zip A: 2 rows (< k=3) but diverse -> k-violation only
