@@ -1669,7 +1669,8 @@ object SimilarityOps {
     rkk AS (SELECT src, nbr, cosine,
       ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosine DESC, nbr) AS rank
       FROM sc2),
-    edg AS (SELECT src, nbr FROM rkk WHERE rank <= $KnnK)"""
+    edg1 AS (SELECT src, nbr FROM rkk WHERE rank <= $KnnK),
+    edg AS (SELECT src, nbr FROM edg1 UNION ALL SELECT nbr, src FROM edg1)"""
 
   private val knnSql =
     s"""WITH $knnEdgeCtes
@@ -1752,9 +1753,9 @@ object SimilarityOps {
     topK(beamDf, k)
   }
 
-  private val GBeam = 8
-  private val GRounds = 2
-  private val GEntryMod = 50
+  private val GBeam = 10
+  private val GRounds = 3
+  private val GEntryMod = 10
 
   private val graphAnnSql = {
     val cv = "cv AS (SELECT vec_id AS cand_id, v AS vb FROM e0)"
@@ -1794,10 +1795,15 @@ object SimilarityOps {
     "qs_graph_ann",
     (s, dir) => {
       val corpus = Tables.embeddings(s, dir)
+      val e = knnEdgesMemo(s, dir)
+      // search on the SYMMETRIZED graph (HNSW keeps links bidirectional):
+      // reverse edges double routing connectivity at zero build cost
+      val sym = e.select(col("src"), col("nbr"))
+        .union(e.select(col("nbr").as("src"), col("src").as("nbr")))
       graphAnnSearch(corpus,
         corpus.filter(col("vec_id") < NQ),
         corpus.filter(col("vec_id") % GEntryMod === 0),
-        knnEdgesMemo(s, dir), K, GBeam, GRounds)
+        sym, K, GBeam, GRounds)
     },
     Some(graphAnnSql))
 
