@@ -455,5 +455,53 @@ object CdcOps {
       .toDF("entity", "fact_id", "ts_us", "attr_at_ts")
   }
 
-  val queries: Seq[GraftQuery] = Seq(qScd2, qMerge, qIncrAgg, qDiff, qPit)
+  // -------------------- incremental JOIN view maintenance (delta join)
+  /** Incremental maintenance of a JOIN materialized view under
+    * insert-only deltas — the warehouse IVM identity
+    * Δ(A⋈B) = dA⋈B ∪ A⋈dB ∪ dA⋈dB, computed as
+    * dA⋈(B∪dB) ∪ A⋈dB (the first term folds in dA⋈dB). The view's
+    * refresh cost is proportional to the DELTAS times their join
+    * partners, never to |A⋈B|: both terms are ordinary hash joins whose
+    * probe side is a delta, so a daily increment against a year of
+    * base data touches one day's rows. Multiset-correct (no distinct
+    * anywhere): appending the output to the stored view equals a full
+    * recompute, pinned in OpsApiSpec on duplicate-key data and
+    * cross-checked in the oracle by the equivalent "at least one side
+    * is new" predicate over the full join — two independent
+    * formulations of the same delta.
+    * Output: A's columns ++ B's columns, one row per new view row.
+    */
+  def joinDeltaMaintenance(aBase: DataFrame, aDelta: DataFrame,
+      bBase: DataFrame, bDelta: DataFrame,
+      aKey: String, bKey: String): DataFrame = {
+    val bAll = bBase.union(bDelta)
+    aDelta.join(bAll, col(aKey) === col(bKey))
+      .union(aBase.join(bDelta, col(aKey) === col(bKey)))
+  }
+
+  private val IvmCut = "1998-01-01"
+
+  private val qIvmJoin = GraftQuery(
+    "qcdc_ivm_join",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val cut = lit(IvmCut).cast("timestamp")
+      joinDeltaMaintenance(
+        o.filter(col("o_orderdate") < cut), o.filter(col("o_orderdate") >= cut),
+        c.filter(col("c_custkey") % 50 =!= 0), c.filter(col("c_custkey") % 50 === 0),
+        "o_custkey", "c_custkey")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("c_mktsegment"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some(s"""SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, c.c_mktsegment
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE o.o_orderdate >= TIMESTAMP '$IvmCut' OR c.c_custkey % 50 = 0
+      ORDER BY o_orderkey"""))
+
+  val queries: Seq[GraftQuery] = Seq(qScd2, qMerge, qIncrAgg, qDiff, qPit,
+    qIvmJoin)
 }

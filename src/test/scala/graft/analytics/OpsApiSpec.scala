@@ -1303,6 +1303,25 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"gaps not non-increasing: $gaps")
   }
 
+  test("joinDeltaMaintenance: stored view + delta equals full recompute, multiset-exact") {
+    import spark.implicits._
+    // duplicate keys on BOTH sides so any accidental distinct would show
+    val aBase = Seq((1L, "a1"), (1L, "a2"), (2L, "a3")).toDF("ak", "av")
+    val aDelta = Seq((1L, "a4"), (3L, "a5")).toDF("ak", "av")
+    val bBase = Seq((1L, "b1"), (1L, "b2"), (3L, "b3")).toDF("bk", "bv")
+    val bDelta = Seq((1L, "b4"), (2L, "b5")).toDF("bk", "bv")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .groupBy(identity).view.mapValues(_.length).toMap // multiset
+    val stored = rows(aBase.join(bBase, $"ak" === $"bk"))
+    val delta = rows(CdcOps.joinDeltaMaintenance(
+      aBase, aDelta, bBase, bDelta, "ak", "bk"))
+    val full = rows(aBase.union(aDelta).join(bBase.union(bDelta), $"ak" === $"bk"))
+    val merged = (stored.keySet ++ delta.keySet).map(k =>
+      k -> (stored.getOrElse(k, 0) + delta.getOrElse(k, 0))).toMap
+    assert(merged == full, s"view+delta $merged vs recompute $full")
+  }
+
   test("multiPassBlocking: each pass contributes pairs the other's blind spot misses") {
     import spark.implicits._
     // "abcdone"/"abcdtwo": single tokens, share NO token -> token blocking
