@@ -287,5 +287,68 @@ object StatTests {
         CAST(hi_cents AS BIGINT) AS hi_cents
       FROM pt CROSS JOIN ci"""))
 
-  val queries: Seq[GraftQuery] = Seq(qChisq, qKs, qBoot)
+  // ------------------------------------- Gini concentration index
+  /** Gini coefficient per group, in EXACT integer basis points — the
+    * standard concentration/inequality readout for "is this segment's
+    * revenue carried by a few whales" (and, in a training-data pipeline,
+    * "is this domain's token mass concentrated in a few documents").
+    * Uses the sorted-rank identity G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx)
+    * on integer cents: one rank window per group (uniform group key) +
+    * one aggregation; the final division runs in DECIMAL(38,0) /
+    * HUGEINT (Σ i·xᵢ is bounded by n²·max_x, which outgrows BIGINT long
+    * before it outgrows 38 digits), mirroring the chi-square overflow
+    * discipline. Tie order can't change the result (equal values
+    * contribute the same Σ i·xᵢ under any permutation of their ranks),
+    * but ranks still break ties on the id column for a fully
+    * deterministic plan. Output: (group, n, total_cents, gini_bp).
+    */
+  def giniBp(df: DataFrame, groupCol: String, centsCol: String,
+      idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(centsCol), col(idCol))
+    df.withColumn("_rk", row_number().over(w))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col(centsCol)).as("total_cents"),
+        sum((col("_rk") * col(centsCol)).cast("decimal(38,0)")).as("_t"))
+      .withColumn("gini_bp", expr(
+        """CAST((CAST(10000 AS DECIMAL(38,0)) *
+          (2 * _t - CAST(n + 1 AS DECIMAL(38,0)) * CAST(total_cents AS DECIMAL(38,0))))
+          div (CAST(n AS DECIMAL(38,0)) * CAST(total_cents AS DECIMAL(38,0))) AS BIGINT)"""))
+      .select(col(groupCol), col("n"), col("total_cents"), col("gini_bp"))
+      .orderBy(col(groupCol))
+  }
+
+  /** Revenue concentration per market segment: how unequally customer
+    * lifetime spend is distributed inside each segment.
+    */
+  private val qGini = GraftQuery(
+    "qstat_gini",
+    (s, dir) => {
+      val spend = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+      val seg = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      giniBp(spend.join(seg, col("o_custkey") === col("c_custkey")),
+        "c_mktsegment", "cents", "o_custkey")
+    },
+    Some("""WITH spend AS (SELECT o_custkey,
+        SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_custkey),
+    j AS (SELECT c.c_mktsegment, s.o_custkey, s.cents
+      FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey),
+    r AS (SELECT c_mktsegment, cents,
+      ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY cents, o_custkey) AS rk
+      FROM j),
+    a AS (SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(cents) AS BIGINT) AS total_cents,
+      SUM(CAST(rk AS HUGEINT) * cents) AS t
+      FROM r GROUP BY c_mktsegment)
+    SELECT c_mktsegment, n, total_cents,
+      CAST((10000 * (2 * t - CAST(n + 1 AS HUGEINT) * total_cents))
+        // (CAST(n AS HUGEINT) * total_cents) AS BIGINT) AS gini_bp
+    FROM a ORDER BY c_mktsegment"""))
+
+  val queries: Seq[GraftQuery] = Seq(qChisq, qKs, qBoot, qGini)
 }

@@ -1303,6 +1303,19 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"gaps not non-increasing: $gaps")
   }
 
+  test("giniBp: perfect equality scores 0, maximal concentration (n-1)/n, exact bp") {
+    import spark.implicits._
+    val rows = Seq(
+      ("eq", 1L, 100L), ("eq", 2L, 100L), ("eq", 3L, 100L), ("eq", 4L, 100L),
+      ("one", 5L, 0L), ("one", 6L, 0L), ("one", 7L, 0L), ("one", 8L, 100L))
+      .toDF("seg", "cid", "cents")
+    val out = StatTests.giniBp(rows, "seg", "cents", "cid")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    // all-equal -> 0; single holder of everything -> (2*4*100 - 5*100)/(4*100)
+    // = 0.75 exactly = (n-1)/n
+    assert(out == Map("eq" -> 0L, "one" -> 7500L), out.toString)
+  }
+
   test("joinDeltaMaintenance: stored view + delta equals full recompute, multiset-exact") {
     import spark.implicits._
     // duplicate keys on BOTH sides so any accidental distinct would show
