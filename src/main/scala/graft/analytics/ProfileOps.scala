@@ -429,7 +429,154 @@ object ProfileOps {
       FROM g WHERE n_rows < $AnonK OR n_sensitive < $AnonL
       ORDER BY c_nationkey, acct_band"""))
 
+  // ------------------------------------- functional-dependency discovery
+  /** Approximate functional-dependency profiling over candidate column
+    * pairs — the schema-discovery / data-quality readout ("does A
+    * determine B, and if not, how far off is it"). For each (det, dep)
+    * candidate the violation measure is the standard g3 error (Kivinen &
+    * Mannila; TANE): the minimum number of rows to delete so det → dep
+    * holds exactly, = Σ over det-groups of (group rows − rows of the
+    * group's most common dep value). Reported exactly, in rows and in
+    * basis points of the table.
+    *
+    * NULL discipline: a NULL dep value counts as one dependent value (the
+    * two-level count construction below — NOT count(distinct), which
+    * would silently ignore NULLs and declare a column with NULL leaks
+    * FD-clean on both engines only by accident).
+    *
+    * Plan per pair: project 2 columns (pruned at the scan) → (det, dep)
+    * partial-agg count → det-level agg → 1 row. Two uniform-key
+    * aggregations whose partial agg collapses each partition to its
+    * distinct (det, dep) pairs before any shuffle; low-cardinality det
+    * columns are an agg, not a join, so no skew guard is needed. The
+    * per-pair frames are tiny unions — candidate pair count (not table
+    * size) bounds the result.
+    */
+  def fdProfile(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "need at least one (determinant, dependent) pair")
+    val frames = pairs.map { case (a, b) =>
+      df.select(col(a).cast("string").as("_det"), col(b).cast("string").as("_dep"))
+        .groupBy(col("_det"), col("_dep")).agg(count(lit(1)).as("_n"))
+        .groupBy(col("_det"))
+        .agg(sum(col("_n")).as("_rows"), max(col("_n")).as("_keep"),
+          count(lit(1)).as("_ndep"))
+        .agg(sum(col("_rows")).cast("long").as("n_rows"),
+          count(lit(1)).as("n_groups"),
+          sum(when(col("_ndep") > 1, 1L).otherwise(0L)).as("violating_groups"),
+          sum(col("_rows") - col("_keep")).cast("long").as("g3_remove_rows"))
+        .select(lit(a).as("determinant"), lit(b).as("dependent"),
+          col("n_rows"), col("n_groups"), col("violating_groups"),
+          col("g3_remove_rows"),
+          expr("10000 * g3_remove_rows div n_rows").as("g3_bp"),
+          (col("violating_groups") === 0L).as("holds"))
+    }
+    frames.reduce(_ unionByName _).orderBy(col("determinant"), col("dependent"))
+  }
+
+  private def fdOracleLeg(table: String, a: String, b: String): String =
+    s"""SELECT '$a' AS determinant, '$b' AS dependent,
+        CAST(SUM(rows_) AS BIGINT) AS n_rows,
+        CAST(COUNT(*) AS BIGINT) AS n_groups,
+        CAST(SUM(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) AS BIGINT) AS violating_groups,
+        CAST(SUM(rows_ - keep_) AS BIGINT) AS g3_remove_rows,
+        CAST(10000 * SUM(rows_ - keep_) // SUM(rows_) AS BIGINT) AS g3_bp,
+        SUM(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) = 0 AS holds
+      FROM (SELECT det, SUM(n) AS rows_, MAX(n) AS keep_, COUNT(*) AS ndep
+        FROM (SELECT CAST($a AS VARCHAR) AS det, CAST($b AS VARCHAR) AS dep,
+                COUNT(*) AS n FROM $table GROUP BY 1, 2) GROUP BY det)"""
+
+  /** Candidate FDs on orders: the PK trivially determines everything, a
+    * constant column is determined by anything, and the interesting
+    * middle (customer → priority, date → priority) quantifies HOW
+    * non-functional the dependency is.
+    */
+  private val qFd = GraftQuery(
+    "qprof_fd_violations",
+    (s, dir) => fdProfile(Tables.orders(s, dir), Seq(
+      ("o_orderkey", "o_custkey"),
+      ("o_custkey", "o_orderpriority"),
+      ("o_orderstatus", "o_orderpriority"),
+      ("o_orderdate", "o_orderpriority"))),
+    Some(Seq(
+      fdOracleLeg("orders", "o_orderkey", "o_custkey"),
+      fdOracleLeg("orders", "o_custkey", "o_orderpriority"),
+      fdOracleLeg("orders", "o_orderstatus", "o_orderpriority"),
+      fdOracleLeg("orders", "o_orderdate", "o_orderpriority"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY determinant, dependent")))
+
+  // ------------------------------------- join-cardinality estimation
+  /** Equi-join output-cardinality estimate from a deterministic key-domain
+    * sample — the optimizer-statistics instrument ("how big would A ⋈ B
+    * be") for join planning at 100 TB, where |A ⋈ B| = Σ_k cntA(k)·cntB(k)
+    * over the key domain and computing it exactly costs a full join.
+    *
+    * The sample is END-BIASED-style uniform over the KEY DOMAIN, not the
+    * rows: key k is in the sample iff the first 8 hex digits of md5(k)
+    * mod `rate` = 0 — the SAME keys on both sides and both engines, so
+    * the per-key count products are exact on the sampled domain and the
+    * estimate is rate · Σ_{sampled k} cntA·cntB. Sampling the key domain
+    * (not rows) keeps the estimator unbiased for skewed joins: a hot
+    * key's full cntA·cntB product is either in or out, never thinned
+    * quadratically like a row sample would.
+    *
+    * The exact cardinality is also computed (per-key count frames joined
+    * on the uniform key — counts, never payload rows) so the query doubles
+    * as its own error harness, like qd_lsh_recall. Output: one row
+    * (rate, n_keys_sampled, est_card, exact_card, err_bp).
+    *
+    * Plan: the sample filter sits BEFORE the per-key aggs (hash on the
+    * key prunes at scan time); both aggs collapse map-side; the exact leg
+    * joins two count frames on the uniform key. No join of row payloads
+    * anywhere.
+    */
+  def joinCardEstimate(left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String, rate: Int = 16): DataFrame = {
+    require(rate >= 1, s"rate must be >= 1, got $rate")
+    def keyCounts(df: DataFrame, k: String, as: String) = df
+      .select(col(k).cast("string").as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as(as))
+    def sampled(df: DataFrame) = df.filter(
+      expr(s"cast(conv(substring(md5(k), 1, 8), 16, 10) as bigint) % $rate = 0"))
+    val la = keyCounts(left, leftKey, "na")
+    val ra = keyCounts(right, rightKey, "nb")
+    val est = sampled(la).join(sampled(ra), "k")
+      .agg(count(lit(1)).as("n_keys_sampled"),
+        (sum(col("na") * col("nb")).cast("long") * rate).as("est_card"))
+      .select(lit(rate).cast("long").as("rate"), col("n_keys_sampled"),
+        col("est_card"))
+    val exactCard = la.join(ra, "k")
+      .agg(sum(col("na") * col("nb")).cast("long").as("exact_card"))
+    est.crossJoin(broadcast(exactCard))
+      .select(col("rate"), col("n_keys_sampled"), col("est_card"),
+        col("exact_card"),
+        expr("10000 * abs(est_card - exact_card) div exact_card").as("err_bp"))
+  }
+
+  /** Self-join of lineitem on part key — the classic skew-sensitive
+    * cardinality the uniform-independence assumption gets wrong; the
+    * domain sample gets it right to within a few percent.
+    */
+  private val qJoinCard = GraftQuery(
+    "qprof_join_card",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      joinCardEstimate(li, "l_partkey", li, "l_partkey", rate = 16)
+    },
+    Some("""WITH kc AS (SELECT CAST(l_partkey AS VARCHAR) AS k, COUNT(*) AS n
+        FROM lineitem GROUP BY 1),
+      samp AS (SELECT k, n FROM kc
+        WHERE CAST('0x' || substr(md5(k), 1, 8) AS BIGINT) % 16 = 0),
+      est AS (SELECT CAST(16 AS BIGINT) AS rate,
+        CAST(COUNT(*) AS BIGINT) AS n_keys_sampled,
+        CAST(SUM(a.n * b.n) * 16 AS BIGINT) AS est_card
+        FROM samp a JOIN samp b USING (k)),
+      ex AS (SELECT CAST(SUM(a.n * b.n) AS BIGINT) AS exact_card
+        FROM kc a JOIN kc b USING (k))
+      SELECT rate, n_keys_sampled, est_card, exact_card,
+        CAST(10000 * abs(est_card - exact_card) // exact_card AS BIGINT) AS err_bp
+      FROM est CROSS JOIN ex"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qProfile, qProfileEvents, qHistQuantile, qExpectations, qDrift,
-      qDimProfile, qKAnon)
+      qDimProfile, qKAnon, qFd, qJoinCard)
 }

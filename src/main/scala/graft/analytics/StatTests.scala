@@ -319,6 +319,92 @@ object StatTests {
       .orderBy(col(groupCol))
   }
 
+  // ------------------------------------- per-group OLS trend
+  /** Per-group simple linear regression (OLS) in EXACT fixed-point — the
+    * trend-detection readout ("is this segment's daily revenue growing,
+    * and how linearly"). Closed-form over the five power sums, all in
+    * DECIMAL(38,0) / HUGEINT:
+    *
+    *   slope_micro     = ⌊10⁶·(n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)⌋
+    *   intercept       = ⌊(Σy·Σx² − Σx·Σxy) / (n·Σx² − (Σx)²)⌋
+    *   r2_bp           = ⌊10⁴·(n·Σxy − Σx·Σy)² / ((n·Σx²−(Σx)²)(n·Σy²−(Σy)²))⌋
+    *
+    * The r² numerator uses the chi-square remainder-split identity
+    * (⌊m·t/d1⌋ = m·(t div d1) + ⌊m·(t mod d1)/d1⌋, then nested floor by
+    * d2); t div d1 ≤ d2 by Cauchy–Schwarz, so every intermediate stays
+    * within 38 digits whenever (n·Σxy)² does. Exactness contract: callers
+    * keep x SMALL (e.g. days since a fixed epoch date, not epoch millis) —
+    * exact while (n·max|x|·max|y|·n)² < 10³⁸, i.e. n·|x|·|y| < 10¹⁹.
+    * Degenerate groups (zero x-variance or y-variance) yield NULL via
+    * NULLIF — never a divide-by-zero (DuckDB `//0` errors; Spark `div`
+    * nulls; NULLIF makes both NULL).
+    *
+    * Plan: one scan → per-group partial-agg power sums (uniform group
+    * key, map-side combine) → scalar projection. Nothing but 6 numbers
+    * per group crosses the wire; the shape is scale-free.
+    */
+  def linRegBp(df: DataFrame, groupCol: String, x: Column, y: Column): DataFrame = {
+    val g = df
+      .select(col(groupCol).as("g"), dec(x).as("x"), dec(y).as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+    g.select(col("g"), col("n"), col("sx"), col("sy"), col("sxx"), col("syy"),
+        col("sxy"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("t1"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("d1"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("d2"))
+      .select(col("g").as(groupCol), col("n").cast("bigint").as("n"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * t1) div NULLIF(d1, 0) AS BIGINT)")
+          .as("slope_micro"),
+        expr("CAST((sy * sxx - sx * sxy) div NULLIF(d1, 0) AS BIGINT)")
+          .as("intercept"),
+        expr("""CAST((CAST(10000 AS DECIMAL(38,0)) * CAST((t1 * t1) div NULLIF(d1, 0) AS DECIMAL(38,0))
+                 + (CAST(10000 AS DECIMAL(38,0)) * ((t1 * t1) % NULLIF(d1, 0))) div NULLIF(d1, 0))
+                div NULLIF(d2, 0) AS BIGINT)""").as("r2_bp"))
+      .orderBy(col(groupCol))
+  }
+
+  /** Daily-revenue trend per order priority: slope in micro-cents/day,
+    * intercept in cents at the 1995-01-01 origin, fit quality in basis
+    * points. x = days since 1995-01-01 (small by construction — the
+    * exactness contract above).
+    */
+  private val qLinReg = GraftQuery(
+    "qstat_linreg",
+    (s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"), col("o_orderdate"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+      linRegBp(daily, "o_orderpriority",
+        datediff(col("o_orderdate"), lit("1995-01-01")), col("cents"))
+    },
+    Some("""WITH daily AS (SELECT o_orderpriority,
+        date_diff('day', DATE '1995-01-01', o_orderdate) AS x,
+        SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS y
+      FROM orders GROUP BY o_orderpriority, o_orderdate),
+    a AS (SELECT o_orderpriority, CAST(COUNT(*) AS HUGEINT) AS n,
+        SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+        SUM(CAST(x AS HUGEINT) * x) AS sxx, SUM(CAST(y AS HUGEINT) * y) AS syy,
+        SUM(CAST(x AS HUGEINT) * y) AS sxy
+      FROM daily GROUP BY o_orderpriority),
+    b AS (SELECT o_orderpriority, n, sx, sy, sxx, syy, sxy,
+        n * sxy - sx * sy AS t1,
+        n * sxx - sx * sx AS d1,
+        n * syy - sy * sy AS d2
+      FROM a)
+    SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+      CAST((1000000 * t1) // NULLIF(d1, 0) AS BIGINT) AS slope_micro,
+      CAST((sy * sxx - sx * sxy) // NULLIF(d1, 0) AS BIGINT) AS intercept,
+      CAST((10000 * ((t1 * t1) // NULLIF(d1, 0))
+            + (10000 * ((t1 * t1) % NULLIF(d1, 0))) // NULLIF(d1, 0))
+           // NULLIF(d2, 0) AS BIGINT) AS r2_bp
+    FROM b ORDER BY o_orderpriority"""))
+
   /** Revenue concentration per market segment: how unequally customer
     * lifetime spend is distributed inside each segment.
     */
@@ -350,5 +436,5 @@ object StatTests {
         // (CAST(n AS HUGEINT) * total_cents) AS BIGINT) AS gini_bp
     FROM a ORDER BY c_mktsegment"""))
 
-  val queries: Seq[GraftQuery] = Seq(qChisq, qKs, qBoot, qGini)
+  val queries: Seq[GraftQuery] = Seq(qChisq, qKs, qBoot, qGini, qLinReg)
 }

@@ -1316,6 +1316,52 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Map("eq" -> 0L, "one" -> 7500L), out.toString)
   }
 
+  test("linRegBp: exact fit recovers slope/intercept, r2=1; degenerate groups NULL") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val pts = Seq(
+      // y = 2x + 5 exactly
+      ("fit", 0L, 5L), ("fit", 1L, 7L), ("fit", 2L, 9L), ("fit", 3L, 11L),
+      // constant y: slope 0, r2 0/0 -> NULL
+      ("flat", 0L, 4L), ("flat", 1L, 4L),
+      // constant x: zero x-variance -> all NULL
+      ("vert", 2L, 1L), ("vert", 2L, 9L))
+      .toDF("g", "x", "y")
+    val out = StatTests.linRegBp(pts, "g", col("x"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        ((Option(r.get(2)), Option(r.get(3)), Option(r.get(4))))).toMap
+    assert(out("fit") == ((Some(2000000L), Some(5L), Some(10000L))), out.toString)
+    assert(out("flat") == ((Some(0L), Some(4L), None)), out.toString)
+    assert(out("vert") == ((None, None, None)), out.toString)
+  }
+
+  test("fdProfile: exact FD holds, violated FD counts g3 rows, NULL dep is a value") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "x", "p"), (2L, "x", "p"), (3L, "x", "q"),   // x -> {p,p,q}: remove 1
+      (4L, "y", "r"), (5L, "y", "r"),                    // y -> r: clean
+      (6L, "z", null))                                   // z -> NULL: one value, clean
+      .toDF("id", "det", "dep")
+    val out = ProfileOps.fdProfile(rows,
+        Seq(("id", "dep"), ("det", "dep")))
+      .collect().map(r => (r.getString(0), r.getLong(4), r.getLong(5), r.getBoolean(7)))
+    // id is a key: holds. det: one violating group, g3 = 1 row.
+    assert(out.toSet == Set(("det", 1L, 1L, false), ("id", 0L, 0L, true)),
+      out.mkString(", "))
+  }
+
+  test("joinCardEstimate: exact card is sum of count products; rate=1 estimate is exact") {
+    import spark.implicits._
+    val l = Seq(1L, 1L, 2L, 3L).toDF("k1")
+    val r = Seq(1L, 2L, 2L, 4L).toDF("k2")
+    val row = ProfileOps.joinCardEstimate(l, "k1", r, "k2", rate = 1)
+      .collect().head
+    // products: k=1 -> 2*1, k=2 -> 1*2 => exact 4; rate 1 samples every key
+    assert(row.getLong(3) == 4L, row.toString)
+    assert(row.getLong(2) == 4L && row.getLong(4) == 0L, row.toString)
+  }
+
   test("joinDeltaMaintenance: stored view + delta equals full recompute, multiset-exact") {
     import spark.implicits._
     // duplicate keys on BOTH sides so any accidental distinct would show
