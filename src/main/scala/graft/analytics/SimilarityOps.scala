@@ -2192,8 +2192,121 @@ object SimilarityOps {
     },
     Some(rrfSql))
 
+  // ------------------------------------- margin-based bitext mining
+  /** Margin-based parallel-pair mining (Artetxe & Schwenk 2019, the
+    * LASER/CCMatrix miner): for each source vector, retrieve its best
+    * target by the RATIO margin — cos(x,y) normalized by the average
+    * cosine of both endpoints' k-nearest neighborhoods — which cancels
+    * the "hubness" that makes raw cosine thresholds useless for mining
+    * (a hub y scores high against everything, but its neighborhood
+    * average is high too, so its margin collapses).
+    *
+    *   margin(x,y) = cos(x,y) / ( (Σ_{z∈NNk(x,T)} cos(x,z)
+    *                             + Σ_{z∈NNk(y,S)} cos(y,z)) / 2k )
+    *
+    * reported in EXACT basis points: cosines are floored to integer
+    * micro-units first (identical doubles on both engines ⇒ identical
+    * floors), so the neighborhood sums are order-independent BIGINTs and
+    * the margin is one integer division — no float accumulation anywhere.
+    * Pairs whose pooled neighborhood sum is ≤ 0 are dropped (margin
+    * undefined; cannot happen for genuinely aligned corpora). `mutual`
+    * flags pairs that are also in the target's backward top-k — the
+    * "mutual best" confidence tier.
+    *
+    * Plan shape (the 100 TB contract): the SOURCE side is the bounded
+    * query set; both directional kNN legs broadcast it — forward
+    * retrieves over a target scan, backward ranks each target row
+    * against the broadcast sources — so the target corpus is scanned,
+    * never reshuffled. The two n·k candidate frames are checkpointed
+    * once and every downstream join either broadcasts a frame bounded
+    * by |S|·k or shuffles only (src,tgt) id pairs on a uniform composite
+    * key. At mining scale (both sides huge) swap the exact legs for any
+    * ANN tier — the margin/mutual assembly is tier-agnostic.
+    * Output: (src_id, tgt_id, cosine, margin_bp, mutual), one row per
+    * source, ordered by src_id.
+    */
+  def marginMine(src: org.apache.spark.sql.DataFrame,
+      tgt: org.apache.spark.sql.DataFrame, k: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val s = prep(src, idCol, vecCol)
+      .select(col("vec_id").as("src_id"), col("v").as("va"), col("nrm").as("na"))
+    val t = prep(tgt, idCol, vecCol)
+      .select(col("vec_id").as("tgt_id"), col("v").as("vb"), col("nrm").as("nb"))
+    val pairs = t.crossJoin(broadcast(s))
+      .withColumn("cosine", graft_dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .withColumn("c_micro", floor(col("cosine") * lit(1000000d)).cast("long"))
+      .select(col("src_id"), col("tgt_id"), col("cosine"), col("c_micro"))
+    val wF = Window.partitionBy(col("src_id")).orderBy(col("cosine").desc, col("tgt_id"))
+    val fwd = pairs.withColumn("r", row_number().over(wF))
+      .filter(col("r") <= k).drop("r").localCheckpoint()
+    val wB = Window.partitionBy(col("tgt_id")).orderBy(col("cosine").desc, col("src_id"))
+    val bwd = pairs.withColumn("r", row_number().over(wB))
+      .filter(col("r") <= k).drop("r").localCheckpoint()
+    val sf = fwd.groupBy(col("src_id")).agg(sum(col("c_micro")).as("sf_micro"))
+    val sb = bwd.groupBy(col("tgt_id")).agg(sum(col("c_micro")).as("sb_micro"))
+    val scored = sb.join(broadcast(fwd.join(broadcast(sf), "src_id")), "tgt_id")
+    val mutual = bwd.select(col("src_id"), col("tgt_id"), lit(true).as("mutual"))
+    val wBest = Window.partitionBy(col("src_id"))
+      .orderBy(col("margin_bp").desc, col("tgt_id"))
+    scored
+      .join(mutual, Seq("src_id", "tgt_id"), "left")
+      .withColumn("mutual", coalesce(col("mutual"), lit(false)))
+      .filter(col("sf_micro") + col("sb_micro") > 0)
+      .withColumn("margin_bp",
+        expr(s"(10000 * ${2 * k} * c_micro) div (sf_micro + sb_micro)"))
+      .withColumn("r", row_number().over(wBest)).filter(col("r") === 1)
+      .select(col("src_id"), col("tgt_id"), col("cosine"), col("margin_bp"),
+        col("mutual"))
+      .orderBy(col("src_id"))
+  }
+
+  private val BtK = 4
+  private val BtSrcBound = 100
+
+  private val bitextSql = s"""WITH s AS (SELECT vec_id AS src_id,
+      embedding::DOUBLE[] AS va FROM embeddings
+      WHERE label % 2 = 0 AND vec_id < $BtSrcBound),
+    t AS (SELECT vec_id AS tgt_id, embedding::DOUBLE[] AS vb FROM embeddings
+      WHERE label % 2 = 1),
+    p AS (SELECT src_id, tgt_id, $cosineSql AS cosine FROM t, s),
+    pc AS (SELECT src_id, tgt_id, cosine,
+      CAST(floor(cosine * 1000000) AS BIGINT) AS c_micro FROM p),
+    fwd AS (SELECT src_id, tgt_id, cosine, c_micro FROM (SELECT *,
+      ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY cosine DESC, tgt_id) AS r
+      FROM pc) WHERE r <= $BtK),
+    bwd AS (SELECT src_id, tgt_id, c_micro FROM (SELECT *,
+      ROW_NUMBER() OVER (PARTITION BY tgt_id ORDER BY cosine DESC, src_id) AS r
+      FROM pc) WHERE r <= $BtK),
+    sf AS (SELECT src_id, SUM(c_micro) AS sf_micro FROM fwd GROUP BY src_id),
+    sb AS (SELECT tgt_id, SUM(c_micro) AS sb_micro FROM bwd GROUP BY tgt_id),
+    sc AS (SELECT f.src_id, f.tgt_id, f.cosine, f.c_micro, sf.sf_micro,
+        sb.sb_micro, COALESCE(m.mutual, FALSE) AS mutual
+      FROM fwd f JOIN sf USING (src_id) JOIN sb ON f.tgt_id = sb.tgt_id
+      LEFT JOIN (SELECT src_id, tgt_id, TRUE AS mutual FROM bwd) m
+        ON f.src_id = m.src_id AND f.tgt_id = m.tgt_id
+      WHERE sf.sf_micro + sb.sb_micro > 0),
+    mg AS (SELECT src_id, tgt_id, cosine,
+      (10000 * ${2 * BtK} * c_micro) // (sf_micro + sb_micro) AS margin_bp,
+      mutual FROM sc)
+    SELECT src_id, tgt_id, cosine, CAST(margin_bp AS BIGINT) AS margin_bp, mutual
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+      ORDER BY margin_bp DESC, tgt_id) AS r FROM mg)
+    WHERE r = 1 ORDER BY src_id"""
+
+  /** Even labels play "source language", odd labels "target language":
+    * mine each source vector's best margin-scored target. */
+  private val qBitext = GraftQuery(
+    "qs_bitext_margin",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      marginMine(e.filter(col("label") % 2 === 0 && col("vec_id") < BtSrcBound),
+        e.filter(col("label") % 2 === 1), BtK)
+    },
+    Some(bitextSql))
+
   val queries: Seq[GraftQuery] = Seq(qBrute, qAnnLsh, qAnnIvf, qAnnIvfTrained,
     qAnnLshMp, qAnnFiltered, qRecall, qMrr, qSq, qSqPacked, qCentroids, qKmeans,
     qOutliers, qSemDedup, qPq, qIvfPq, qIvfPqRes, qKnn, qRp, qMmr, qRrf,
-    qKCenter, qGraphAnn, qHardNeg, qMrl, qRbp)
+    qKCenter, qGraphAnn, qHardNeg, qMrl, qRbp, qBitext)
 }

@@ -1362,6 +1362,23 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getLong(2) == 4L && row.getLong(4) == 0L, row.toString)
   }
 
+  test("marginMine: aligned pairs mine mutually with exact margin; hub is demoted") {
+    import spark.implicits._
+    // src basis vectors; tgt has exact copies plus a diagonal "hub" that is
+    // fairly close to BOTH sources — raw cosine would rank it near the top
+    // for both, but its own dense neighborhood deflates its margin.
+    val src = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f))).toDF("vec_id", "embedding")
+    val tgt = Seq((10L, Seq(1f, 0f)), (11L, Seq(0f, 1f)),
+      (12L, Seq(1f, 1f))).toDF("vec_id", "embedding")
+    val out = SimilarityOps.marginMine(src, tgt, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getBoolean(4)))
+    // k=1: each source's neighborhood sum is its exact copy (cos 1), each
+    // copy's backward neighborhood is its source => margin = 2k*1e6/(2e6)
+    // in bp = 10000, mutual both ways; the hub never wins a source.
+    assert(out.toSeq == Seq((1L, 10L, 10000L, true), (2L, 11L, 10000L, true)),
+      out.mkString(", "))
+  }
+
   test("joinDeltaMaintenance: stored view + delta equals full recompute, multiset-exact") {
     import spark.implicits._
     // duplicate keys on BOTH sides so any accidental distinct would show
