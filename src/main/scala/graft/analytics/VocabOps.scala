@@ -324,7 +324,7 @@ object VocabOps {
     "qt_bpe_train",
     (s, dir) => {
       import s.implicits._
-      bpeTrain(Tables.documents(s, dir), BpeRounds)
+      Memo.value(s, s"bpe_merges:$dir")(bpeTrain(Tables.documents(s, dir), BpeRounds))
         .toDF("round", "lhs", "rhs", "pair_count")
         .orderBy(col("round"))
     },
@@ -350,9 +350,97 @@ object VocabOps {
     "qt_bpe_tokenize",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      bpeTokenize(docs, bpeTrain(docs, BpeRounds)).orderBy(col("doc_id"))
+      bpeTokenize(docs,
+        Memo.value(s, s"bpe_merges:$dir")(bpeTrain(docs, BpeRounds)))
+        .orderBy(col("doc_id"))
     },
     Some(bpeTokenizeSql))
+
+  // ------------------------------------------------- WordPiece tokenizer
+  /** WordPiece-style GREEDY LONGEST-MATCH tokenizer (Wu et al. 2016, the
+    * BERT tokenizer's matching rule; continuation markers omitted like the
+    * BPE family above): from each position take the longest vocabulary
+    * piece that matches, advance past it; a position matching no piece
+    * emits one UNK and advances a single character. This is the other
+    * half of the subword-tokenizer design space next to `bpeTokenize`'s
+    * merge replay — same piece inventory, different segmentation rule —
+    * and the greedy match is what production tokenizers actually run at
+    * inference.
+    *
+    * The whole left-to-right scan is ONE codegen-friendly fold
+    * (`aggregate` over character positions with (pos, n_tokens, n_unk)
+    * state) against the piece inventory shipped as an array literal —
+    * map-only per word occurrence, no UDF, no driver loop, no join. The
+    * corpus is scanned once and collapses to per-doc counts; linear at
+    * any scale, like the rest of the tokenizer tier.
+    * Output: (doc_id, n_words, n_wp_tokens, n_unk) ordered by doc_id.
+    */
+  def wordpieceTokenize(docs: DataFrame, pieces: Seq[String],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(pieces.nonEmpty &&
+        pieces.forall(p => p.nonEmpty && p.forall(c => c >= 'a' && c <= 'z')),
+      "pieces must be non-empty [a-z]+ strings (the tokenizer alphabet)")
+    val pLit = pieces.map(p => s"'$p'").mkString("array(", ", ", ")")
+    def mlExpr = s"""array_max(transform(filter($pLit,
+        p -> substring(w, acc.pos, length(p)) = p), p -> length(p)))"""
+    val foldExpr =
+      s"""aggregate(sequence(1, length(w)),
+          named_struct('pos', 1, 'n', 0, 'u', 0),
+          (acc, i) -> IF(i = acc.pos,
+            named_struct(
+              'pos', acc.pos + coalesce($mlExpr, 1),
+              'n', acc.n + 1,
+              'u', acc.u + IF($mlExpr IS NULL, 1, 0)),
+            acc),
+          acc -> named_struct('n', acc.n, 'u', acc.u))"""
+    norm(docs, idCol, textCol)
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+      .withColumn("t", expr(foldExpr))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("t.n")).cast("long").as("n_wp_tokens"),
+        sum(col("t.u")).cast("long").as("n_unk"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Greedy WordPiece over the BPE-trained piece inventory (alphabet ∪
+    * learned merge symbols) — the standard "train BPE, serve greedy"
+    * deployment. The DuckDB oracle re-derives the same pieces through the
+    * training CTE chain, then segments each DISTINCT word by a recursive
+    * CTE implementing the identical longest-match rule (depth = word
+    * length) and joins counts back to occurrences — corpus-scale work
+    * stays in plain aggregation on both engines.
+    */
+  private val wordpieceSql = s"""WITH RECURSIVE $bpeW0,
+    ${(1 to BpeRounds).map(bpePairCte).mkString(",\n    ")},
+    pieces AS (SELECT chr(CAST(96 + i AS INTEGER)) AS piece
+        FROM (SELECT unnest(generate_series(1, 26)) AS i)
+      ${(1 to BpeRounds).map(t => s"UNION ALL SELECT l || r FROM b$t").mkString(" ")}),
+    dw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents),
+    words AS (SELECT DISTINCT w FROM dw),
+    seg AS (SELECT w, 1 AS pos, 0 AS n, 0 AS u FROM words
+      UNION ALL
+      SELECT w, pos + COALESCE(ml, 1), n + 1,
+        u + CASE WHEN ml IS NULL THEN 1 ELSE 0 END
+      FROM (SELECT w, pos, n, u,
+          (SELECT MAX(length(piece)) FROM pieces
+           WHERE piece = substr(w, pos, length(piece))) AS ml
+        FROM seg WHERE pos <= length(w))),
+    done AS (SELECT w, n, u FROM seg WHERE pos = length(w) + 1)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+      CAST(SUM(n) AS BIGINT) AS n_wp_tokens, CAST(SUM(u) AS BIGINT) AS n_unk
+    FROM dw JOIN done USING (w) GROUP BY doc_id ORDER BY doc_id"""
+
+  private val qWordpiece = GraftQuery(
+    "qt_wordpiece",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = Memo.value(s, s"bpe_merges:$dir")(bpeTrain(docs, BpeRounds))
+      wordpieceTokenize(docs,
+        ('a' to 'z').map(_.toString) ++ merges.map(m => m.lhs + m.rhs))
+    },
+    Some(wordpieceSql))
 
   // ------------------------------------------------- count-min sketch
   /** Count-min sketch heavy hitters: estimate token frequencies through a
@@ -581,5 +669,5 @@ object VocabOps {
 
   def queries: Seq[GraftQuery] =
     Seq(qVocab, qKeywords, qEditDist, qBm25, qBpeTrain, qBpeTokenize, qCountMin,
-      qPhrase, qBigramNovelty, qVocabCoverage)
+      qPhrase, qBigramNovelty, qVocabCoverage, qWordpiece)
 }

@@ -1379,6 +1379,17 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       out.mkString(", "))
   }
 
+  test("wordpieceTokenize: greedy longest match wins; uncovered char emits UNK") {
+    import spark.implicits._
+    val docs = Seq((1L, "quick the"), (2L, "aaab")).toDF("doc_id", "text")
+    // no 'e' piece: 'the' = th + UNK(e); 'aaab' = aa + aa? no — greedy at
+    // pos 3 matches 'ab' over 'a': aa + ab = 2 pieces.
+    val pieces = Seq("q", "u", "i", "c", "k", "qu", "ick", "th", "a", "aa", "ab", "b")
+    val out = VocabOps.wordpieceTokenize(docs, pieces)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 2L, 4L, 1L), (2L, 1L, 2L, 0L)), out.mkString(", "))
+  }
+
   test("joinDeltaMaintenance: stored view + delta equals full recompute, multiset-exact") {
     import spark.implicits._
     // duplicate keys on BOTH sides so any accidental distinct would show
