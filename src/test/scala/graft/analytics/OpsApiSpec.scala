@@ -1390,6 +1390,27 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq == Seq((1L, 2L, 4L, 1L), (2L, 1L, 2L, 0L)), out.mkString(", "))
   }
 
+  test("hilbertIndex: matches the canonical 4x4 curve; every step is unit distance") {
+    import org.apache.spark.sql.functions.{col, expr}
+    import spark.implicits._
+    val grid = (for (x <- 0 to 3; y <- 0 to 3) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val got = grid.withColumn("d", LayoutOps.hilbertIndex(col("x"), col("y"), 2))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val canonical = Map(
+      (0L, 0L) -> 0L, (1L, 0L) -> 1L, (2L, 0L) -> 14L, (3L, 0L) -> 15L,
+      (0L, 1L) -> 3L, (1L, 1L) -> 2L, (2L, 1L) -> 13L, (3L, 1L) -> 12L,
+      (0L, 2L) -> 4L, (1L, 2L) -> 7L, (2L, 2L) -> 8L, (3L, 2L) -> 11L,
+      (0L, 3L) -> 5L, (1L, 3L) -> 6L, (2L, 3L) -> 9L, (3L, 3L) -> 10L)
+    assert(got == canonical, got.toString)
+    // unit-distance walk (the property Z-order lacks)
+    val walk = got.toSeq.sortBy(_._2).map(_._1)
+    walk.zip(walk.tail).foreach { case ((x1, y1), (x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"non-unit step ($x1,$y1)->($x2,$y2)")
+    }
+  }
+
   test("joinDeltaMaintenance: stored view + delta equals full recompute, multiset-exact") {
     import spark.implicits._
     // duplicate keys on BOTH sides so any accidental distinct would show
