@@ -657,6 +657,98 @@ object DedupOps {
       .orderBy(col(idCol))
   }
 
+  // ------------------------------------- DBSCAN density clustering
+  /** DBSCAN (Ester et al. 1996) over the cosine ε-neighbor graph — the
+    * density clustering that, unlike k-means, needs no cluster count,
+    * finds non-convex clusters, and LABELS NOISE — the right tool for
+    * "carve a web-scale embedding space into topical islands and a junk
+    * tier". Semantics on the graph view of DBSCAN:
+    *
+    *  - core: ≥ `minPts` neighbors at cosine ≥ `threshold` (self
+    *    excluded — document the off-by-one when comparing to minPts
+    *    conventions that count the point itself);
+    *  - cluster: connected component of the core-core subgraph (min
+    *    reachable core id, via [[nearDupClusters]]'s pointer-jump
+    *    fixpoint); an isolated core keeps its own id;
+    *  - border: non-core adjacent to ≥1 core, assigned the SMALLEST
+    *    adjacent core's cluster id (the deterministic tie policy —
+    *    classic DBSCAN's border assignment is scan-order-dependent);
+    *  - noise: everything else (cluster NULL).
+    *
+    * Scale shape: pair generation is the caller's choice of ε-graph
+    * tier — here [[embeddingNearDup]]'s triangle-blocked exact join
+    * (see its scaladoc for why exact low-θ is inherently Ω(n²) compute;
+    * swap in the LSH/IVF tiers for banded candidates at corpus scale).
+    * Everything after the pair list is uniform-key degree aggs,
+    * semi-joins, the O(log d)-round CC fixpoint, and one min-agg for
+    * borders — all linear in edges.
+    * Output: (vec_id, role ∈ core|border|noise, cluster_id ∥ NULL).
+    */
+  def dbscan(vecs: DataFrame, threshold: Double = 0.3, minPts: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      blocks: Int = 16): DataFrame = {
+    require(minPts >= 1, s"minPts must be >= 1, got $minPts")
+    val pairs = embeddingNearDup(vecs, idCol, vecCol, threshold, blocks)
+      .select(col("v1"), col("v2")).localCheckpoint()
+    val ed = pairs.select(col("v1").as("a"), col("v2").as("b"))
+      .union(pairs.select(col("v2").as("a"), col("v1").as("b")))
+    val core = ed.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= minPts).select(col("a").as("id"))
+      .localCheckpoint()
+    val coreEdges = pairs.select(col("v1").as("d1"), col("v2").as("d2"))
+      .join(core.select(col("id").as("d1")), Seq("d1"), "left_semi")
+      .join(core.select(col("id").as("d2")), Seq("d2"), "left_semi")
+    val cc = nearDupClusters(coreEdges)
+    val coreLbl = core.join(cc, core("id") === cc("doc_id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+    val borderLbl = ed
+      .join(coreLbl.select(col("id").as("b"), col("cluster_id")), "b")
+      .join(core.select(col("id").as("a")), Seq("a"), "left_anti")
+      .groupBy(col("a")).agg(min(col("cluster_id")).as("cluster_id"))
+    val roles = coreLbl
+      .select(col("id").as("vec_id"), lit("core").as("role"), col("cluster_id"))
+      .unionByName(borderLbl.select(col("a").as("vec_id"),
+        lit("border").as("role"), col("cluster_id")))
+    vecs.select(col(idCol).as("vec_id"))
+      .join(roles, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("role"), lit("noise")).as("role"),
+        col("cluster_id"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val DbTheta = 0.3
+  private val DbMinPts = 4
+
+  private val qDbscan = GraftQuery(
+    "qd_dbscan",
+    (s, dir) => dbscan(Tables.embeddings(s, dir), DbTheta, DbMinPts),
+    Some(s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (SELECT a.vec_id AS v1, b.vec_id AS v2, a.v AS va, b.v AS vb
+      FROM e a JOIN e b ON a.vec_id < b.vec_id),
+    pr AS (SELECT v1, v2 FROM (SELECT v1, v2,
+      $dotFoldSql / (sqrt(${normFoldSql("va")}) * sqrt(${normFoldSql("vb")})) AS cosine
+      FROM p) WHERE cosine >= $DbTheta),
+    ed AS (SELECT v1 AS a, v2 AS b FROM pr UNION ALL SELECT v2, v1 FROM pr),
+    core AS (SELECT a AS id FROM ed GROUP BY a HAVING COUNT(*) >= $DbMinPts),
+    ce AS (SELECT a, b FROM ed
+      WHERE a IN (SELECT id FROM core) AND b IN (SELECT id FROM core)),
+    reach(x, y) AS (SELECT a, b FROM ce
+      UNION SELECT r.x, e2.b FROM reach r JOIN ce e2 ON r.y = e2.a),
+    lbl AS (SELECT x AS id, least(x, MIN(y)) AS cluster_id FROM reach GROUP BY x),
+    corelbl AS (SELECT c.id, COALESCE(l.cluster_id, c.id) AS cluster_id
+      FROM core c LEFT JOIN lbl l ON c.id = l.id),
+    borderlbl AS (SELECT ed.a AS id, MIN(cl.cluster_id) AS cluster_id
+      FROM ed JOIN corelbl cl ON ed.b = cl.id
+      WHERE ed.a NOT IN (SELECT id FROM core) GROUP BY ed.a)
+    SELECT v.vec_id,
+      CASE WHEN c.id IS NOT NULL THEN 'core'
+           WHEN b2.id IS NOT NULL THEN 'border' ELSE 'noise' END AS role,
+      COALESCE(c.cluster_id, b2.cluster_id) AS cluster_id
+    FROM (SELECT vec_id FROM embeddings) v
+    LEFT JOIN corelbl c ON v.vec_id = c.id
+    LEFT JOIN borderlbl b2 ON v.vec_id = b2.id
+    ORDER BY v.vec_id"""))
+
   private val qCanonical = GraftQuery(
     "qd_cluster_canonical",
     (s, dir) => {
@@ -1058,6 +1150,6 @@ object DedupOps {
 
   val queries: Seq[GraftQuery] =
     Seq(qExact, qNgram, qMinhash, qCrossContain, qSimhash, qEmbed, qClusters,
-      qCanonical, qSpans, qBloom, qUrlDedup, qLshRecall, qWinnow,
+      qCanonical, qDbscan, qSpans, qBloom, qUrlDedup, qLshRecall, qWinnow,
       qClusterStats)
 }

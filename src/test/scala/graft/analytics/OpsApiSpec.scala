@@ -1411,6 +1411,26 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("dbscan: dense run is core, edge point is border, isolate is noise") {
+    import spark.implicits._
+    def at(deg: Double) = {
+      val r = math.toRadians(deg); Seq(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    // 0,1,2 within 10 degrees (pairwise cos >= cos10 > 0.95): each has >= 2
+    // neighbors -> core. 3 at 25 degrees: only its cos15-neighbor (id 2)
+    // qualifies -> 1 neighbor -> border, inherits cluster min id 0.
+    // 4 at 90 degrees: no neighbors -> noise.
+    val vecs = Seq((0L, at(0)), (1L, at(5)), (2L, at(10)), (3L, at(25)),
+      (4L, at(90))).toDF("vec_id", "embedding")
+    val out = DedupOps.dbscan(vecs, threshold = 0.95, minPts = 2, blocks = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(out.toSeq == Seq((0L, "core", 0L), (1L, "core", 0L),
+      (2L, "core", 0L), (3L, "border", 0L), (4L, "noise", -1L)),
+      out.mkString(", "))
+  }
+
   test("joinDeltaMaintenance: stored view + delta equals full recompute, multiset-exact") {
     import spark.implicits._
     // duplicate keys on BOTH sides so any accidental distinct would show
