@@ -99,14 +99,83 @@ object LearnOps {
       2 * $LQ * s > (SELECT th FROM theta) AS pred, y = 1 AS label
     FROM sc ORDER BY doc_id"""
 
+  /** The distilled-score frame is the shared prefix of qt_learned_filter
+    * and qml_calibration — materialize once per (session, sf).
+    */
+  private def scoredDocs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Memo.cached(s, s"distillScores:$dir")(
+      distillFilter(Tables.documents(s, dir),
+        size(expr(toksExprOn("text"))) >= MinWords, LB, LQ))
+
   private val qDistill = GraftQuery(
     "qt_learned_filter",
-    (s, dir) => {
-      val docs = Tables.documents(s, dir)
-      distillFilter(docs, size(expr(toksExprOn("text"))) >= MinWords,
-        LB, LQ)
-    },
+    (s, dir) => scoredDocs(s, dir).orderBy(col("doc_id")),
     Some(distillSql))
+
+  // ------------------------------------------- calibration curve
+  /** Reliability diagram for any scored binary classifier: equal-width
+    * score bins (exact integer binning against a 1-row broadcast
+    * min/max, the [[LayoutOps.zorder]] scaling trick — no global sort,
+    * no ntile single-partition window), and per bin the observed
+    * positive rate next to the predicted-positive rate, in basis
+    * points. A calibrated model's pos_bp rises monotonically through
+    * the bins; a miscalibrated one is flat inside bins the decision
+    * threshold splits. One scan for min/max + one uniform-key agg —
+    * scale-free.
+    * Output: (bin, n, n_pos, n_pred_pos, min_score, max_score, pos_bp,
+    * pred_bp) ordered by bin.
+    */
+  def calibrationBins(scored: DataFrame, scoreCol: String, labelCol: String,
+      predCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val st = scored.agg(min(col(scoreCol)).as("_mn"), max(col(scoreCol)).as("_mx"))
+    scored.crossJoin(broadcast(st))
+      .withColumn("bin", expr(s"(($scoreCol - _mn) * ${bins}L) DIV (_mx - _mn + 1)"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(labelCol).cast("long")).as("n_pos"),
+        sum(col(predCol).cast("long")).as("n_pred_pos"),
+        min(col(scoreCol)).as("min_score"),
+        max(col(scoreCol)).as("max_score"))
+      .withColumn("pos_bp", expr("10000 * n_pos div n"))
+      .withColumn("pred_bp", expr("10000 * n_pred_pos div n"))
+      .orderBy(col("bin"))
+  }
+
+  private val CalBins = 10
+
+  private val calibrationSql = s"""WITH t0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
+    t1 AS (SELECT doc_id, CASE WHEN len(toks) >= $MinWords THEN 1 ELSE 0 END AS y, toks FROM t0),
+    bf AS (SELECT doc_id, y, ${h60Sql("tok")} % $LB AS b, COUNT(*) AS x
+      FROM (SELECT doc_id, y, unnest(toks) AS tok FROM t1) GROUP BY doc_id, y, b),
+    cnt AS (SELECT COUNT(DISTINCT CASE WHEN y = 1 THEN doc_id END) AS npos,
+                   COUNT(DISTINCT CASE WHEN y = 0 THEN doc_id END) AS nneg FROM bf),
+    rates AS (SELECT b,
+        (SUM(CASE WHEN y = 1 THEN x ELSE 0 END) * $LQ) // (SELECT npos FROM cnt) AS cp,
+        (SUM(CASE WHEN y = 0 THEN x ELSE 0 END) * $LQ) // (SELECT nneg FROM cnt) AS cn
+      FROM bf GROUP BY b),
+    theta AS (SELECT SUM(cp * cp - cn * cn) AS th FROM rates),
+    sc AS (SELECT bf.doc_id, bf.y, SUM(bf.x * (r.cp - r.cn)) AS s
+      FROM bf JOIN rates r ON r.b = bf.b GROUP BY bf.doc_id, bf.y),
+    cal AS (SELECT CAST(s AS BIGINT) AS score,
+        CASE WHEN 2 * $LQ * s > (SELECT th FROM theta) THEN 1 ELSE 0 END AS predi,
+        y AS lab FROM sc),
+    st2 AS (SELECT MIN(score) AS mn, MAX(score) AS mx FROM cal),
+    bi AS (SELECT ((score - mn) * $CalBins) // (mx - mn + 1) AS bin,
+        score, predi, lab FROM cal, st2)
+    SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(lab) AS BIGINT) AS n_pos,
+      CAST(SUM(predi) AS BIGINT) AS n_pred_pos,
+      MIN(score) AS min_score, MAX(score) AS max_score,
+      CAST(10000 * SUM(lab) // COUNT(*) AS BIGINT) AS pos_bp,
+      CAST(10000 * SUM(predi) // COUNT(*) AS BIGINT) AS pred_bp
+    FROM bi GROUP BY bin ORDER BY bin"""
+
+  private val qCalibration = GraftQuery(
+    "qml_calibration",
+    (s, dir) => calibrationBins(scoredDocs(s, dir), "score", "label", "pred",
+      CalBins),
+    Some(calibrationSql))
 
   // ------------------------------------------- target encoding (LOO)
   /** Smoothed leave-one-out target encoding — the standard high-
@@ -175,5 +244,5 @@ object LearnOps {
         col("enc_micro")),
     Some(teSql))
 
-  val queries: Seq[GraftQuery] = Seq(qDistill, qTargetEncode)
+  val queries: Seq[GraftQuery] = Seq(qDistill, qTargetEncode, qCalibration)
 }

@@ -1431,6 +1431,20 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       out.mkString(", "))
   }
 
+  test("calibrationBins: equal-width bins, exact rates, extremes in end bins") {
+    import spark.implicits._
+    val scored = Seq(
+      (1L, 0L, false, false), (2L, 10L, false, false), (3L, 20L, false, true),
+      (4L, 80L, true, true), (5L, 99L, true, true))
+      .toDF("doc_id", "score", "pred", "label")
+    val out = LearnOps.calibrationBins(scored, "score", "label", "pred", bins = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(6), r.getLong(7)))
+    // bin 0: scores 0,10,20 -> 1/3 positive = 3333 bp, 0 predicted
+    // bin 1: scores 80,99 -> all positive and predicted
+    assert(out.toSeq == Seq((0L, 3L, 3333L, 0L), (1L, 2L, 10000L, 10000L)),
+      out.mkString(", "))
+  }
+
   test("joinDeltaMaintenance: stored view + delta equals full recompute, multiset-exact") {
     import spark.implicits._
     // duplicate keys on BOTH sides so any accidental distinct would show
