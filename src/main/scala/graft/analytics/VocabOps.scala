@@ -621,6 +621,94 @@ object VocabOps {
     (s, dir) => bigramNovelty(Tables.documents(s, dir), RareTau),
     Some(bigramNoveltySql))
 
+  // ---------------------------------------------- stupid-backoff LM
+  /** Stupid-backoff bigram LM scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation") — the web-scale LM quality
+    * filter: score every document's bigrams against an LM trained on a
+    * designated TRAIN slice, backing off to the unigram distribution
+    * with α = 0.4 when the bigram is unseen. The CCNet-style
+    * "perplexity filter" in the family's integer discipline: no logs —
+    * each bigram's probability is exact micro-units
+    * (10⁶·c(w₁w₂) DIV c(w₁), backoff (2·10⁶·c(w₂)) DIV (5·N) — α = 0.4
+    * as the exact rational 2/5), and a document's score is the mean
+    * probability, an integer division. Backoff RATE doubles as the
+    * out-of-domain signal.
+    *
+    * Scale shape: the train slice collapses to bigram + unigram count
+    * tables and a 1-row total (uniform token keys, partial aggs — the
+    * bigramNovelty precedent covers the "of the" df skew argument);
+    * scoring is two count-table joins on the occurrence stream + one
+    * doc-key agg. Linear in corpus tokens, no broadcast of anything
+    * corpus-sized.
+    * Output: (doc_id, n_bigrams, n_backoff, avg_p_micro), docs with ≥1
+    * bigram, ordered by doc_id.
+    */
+  def stupidBackoffScore(docs: DataFrame, isTrain: org.apache.spark.sql.Column,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val bigrams =
+      "CASE WHEN size(toks) >= 2 THEN zip_with(slice(toks, 1, size(toks) - 1), " +
+        "slice(toks, 2, size(toks) - 1), (x, y) -> named_struct('w1', x, 'w2', y)) " +
+        "ELSE array() END"
+    val base = norm(docs, idCol, textCol)
+      .select(col("doc_id"), isTrain.as("_tr"), expr(toksExpr).as("toks"))
+    val toks = base.select(col("doc_id"), col("_tr"), explode(col("toks")).as("w"))
+    val occ = base
+      .select(col("doc_id"), col("_tr"), explode(expr(bigrams)).as("bg"))
+      .select(col("doc_id"), col("_tr"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val uni = toks.filter(col("_tr")).groupBy(col("w"))
+      .agg(count(lit(1)).as("cu"))
+    val tot = uni.agg(sum(col("cu")).as("n_tot"))
+    val bi = occ.filter(col("_tr")).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cb"))
+    occ
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(uni.select(col("w").as("w1"), col("cu").as("c1")), Seq("w1"), "left")
+      .join(uni.select(col("w").as("w2"), col("cu").as("c2")), Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        when(col("cb").isNotNull, expr("1000000L * cb div c1"))
+          .otherwise(expr("(2000000L * coalesce(c2, 0L)) div (5L * n_tot)"))
+          .as("p_micro"),
+        col("cb").isNull.cast("long").as("backoff"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("backoff")).as("n_backoff"),
+        expr("sum(p_micro) div count(1)").as("avg_p_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val backoffSql = s"""WITH t AS (SELECT doc_id, doc_id % 2 = 0 AS tr,
+      $toksSql AS toks FROM documents),
+    tk AS (SELECT doc_id, tr, unnest(toks) AS w FROM t),
+    occ AS (SELECT doc_id, tr, toks[i] AS w1, toks[i + 1] AS w2
+      FROM (SELECT doc_id, tr, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+            FROM t WHERE len(toks) >= 2)),
+    uni AS (SELECT w, COUNT(*) AS cu FROM tk WHERE tr GROUP BY w),
+    tot AS (SELECT SUM(cu) AS n_tot FROM uni),
+    bi AS (SELECT w1, w2, COUNT(*) AS cb FROM occ WHERE tr GROUP BY w1, w2),
+    sc AS (SELECT occ.doc_id,
+        CASE WHEN bi.cb IS NOT NULL THEN 1000000 * bi.cb // u1.cu
+             ELSE (2000000 * COALESCE(u2.cu, 0)) // (5 * (SELECT n_tot FROM tot))
+        END AS p_micro,
+        CASE WHEN bi.cb IS NULL THEN 1 ELSE 0 END AS backoff
+      FROM occ
+      LEFT JOIN bi ON occ.w1 = bi.w1 AND occ.w2 = bi.w2
+      LEFT JOIN uni u1 ON occ.w1 = u1.w
+      LEFT JOIN uni u2 ON occ.w2 = u2.w)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      CAST(SUM(backoff) AS BIGINT) AS n_backoff,
+      CAST(SUM(p_micro) // COUNT(*) AS BIGINT) AS avg_p_micro
+    FROM sc GROUP BY doc_id ORDER BY doc_id"""
+
+  /** LM trained on even doc_ids, scored over everything: held-out docs
+    * exercise the backoff path, and a doc's backoff share next to its
+    * mean probability is the in-domain/out-of-domain readout.
+    */
+  private val qBackoff = GraftQuery(
+    "qt_stupid_backoff",
+    (s, dir) => stupidBackoffScore(Tables.documents(s, dir),
+      col("doc_id") % 2 === 0),
+    Some(backoffSql))
+
   // ---------------------------------------------- vocabulary coverage
   /** Per-document vocabulary coverage / OOV rate against a vocab frame
     * (any (token) frame — a [[vocabulary]] top-k, a learned BPE vocab):
@@ -669,5 +757,5 @@ object VocabOps {
 
   def queries: Seq[GraftQuery] =
     Seq(qVocab, qKeywords, qEditDist, qBm25, qBpeTrain, qBpeTokenize, qCountMin,
-      qPhrase, qBigramNovelty, qVocabCoverage, qWordpiece)
+      qPhrase, qBigramNovelty, qVocabCoverage, qWordpiece, qBackoff)
 }

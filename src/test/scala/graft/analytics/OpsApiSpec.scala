@@ -1445,6 +1445,19 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       out.mkString(", "))
   }
 
+  test("stupidBackoffScore: seen bigrams score c/c1, unseen back off at 0.4") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val docs = Seq((2L, "a b a b"), (3L, "a b c")).toDF("doc_id", "text")
+    val out = VocabOps.stupidBackoffScore(docs, col("doc_id") % 2 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // train = doc 2: bi (a,b)=2 (b,a)=1; uni a=2 b=2; N=4.
+    // doc 2: 1e6, 5e5, 1e6 -> avg 833333. doc 3: (a,b)=1e6; (b,c) unseen,
+    // c('c')=0 -> 0 with backoff -> avg 500000, 1 backoff.
+    assert(out.toSeq == Seq((2L, 3L, 0L, 833333L), (3L, 2L, 1L, 500000L)),
+      out.mkString(", "))
+  }
+
   test("joinDeltaMaintenance: stored view + delta equals full recompute, multiset-exact") {
     import spark.implicits._
     // duplicate keys on BOTH sides so any accidental distinct would show
