@@ -621,6 +621,92 @@ object VocabOps {
     (s, dir) => bigramNovelty(Tables.documents(s, dir), RareTau),
     Some(bigramNoveltySql))
 
+  // ------------------------------------- tokenizer fertility bake-off
+  /** Per-language tokenizer FERTILITY comparison — chars-per-token of the
+    * BPE merge replay vs the greedy WordPiece matcher over the SAME
+    * learned piece inventory. Fertility (how many characters one token
+    * carries, µ-units) is the number that decides tokenizer budgets per
+    * language: a language whose fertility collapses under one scheme is
+    * paying more sequence length for the same text. Composes three
+    * existing linear ops ([[bpeTokenize]], [[wordpieceTokenize]], the
+    * memoized [[bpeTrain]]) with two uniform doc-key joins + one
+    * language-key agg — nothing new touches the corpus beyond the two
+    * tokenize scans.
+    * Output: (lang, n_docs, n_chars, n_bpe_tokens, n_wp_tokens,
+    * bpe_cpt_micro, wp_cpt_micro) ordered by lang; docs with no [a-z]+
+    * word are absent from both tokenizers and excluded identically.
+    */
+  def tokenizerFertility(docs: DataFrame, merges: Seq[BpeMerge],
+      idCol: String = "doc_id", textCol: String = "text",
+      langCol: String = "lang", charsCol: String = "n_chars"): DataFrame = {
+    val pieces = ('a' to 'z').map(_.toString) ++ merges.map(m => m.lhs + m.rhs)
+    val bpe = bpeTokenize(docs, merges, idCol, textCol)
+      .select(col("doc_id"), col("n_bpe_tokens"))
+    val wp = wordpieceTokenize(docs, pieces, idCol, textCol)
+      .select(col("doc_id"), col("n_wp_tokens"))
+    docs.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
+        col(charsCol).cast("long").as("chars"))
+      .join(bpe, "doc_id").join(wp, "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("chars")).as("n_chars"),
+        sum(col("n_bpe_tokens")).as("n_bpe_tokens"),
+        sum(col("n_wp_tokens")).as("n_wp_tokens"))
+      .select(col("lang"), col("n_docs"), col("n_chars"),
+        col("n_bpe_tokens"), col("n_wp_tokens"),
+        expr("1000000L * n_chars div n_bpe_tokens").as("bpe_cpt_micro"),
+        expr("1000000L * n_chars div n_wp_tokens").as("wp_cpt_micro"))
+      .orderBy(col("lang"))
+  }
+
+  private val fertilitySql = {
+    val applied = (1 to BpeRounds).foldLeft("regexp_replace(w, '(.)', '<\\1>', 'g')") {
+      (acc, t) =>
+        s"replace($acc, '<' || b$t.l || '><' || b$t.r || '>', '<' || b$t.l || b$t.r || '>')"
+    }
+    s"""WITH RECURSIVE $bpeW0,
+    ${(1 to BpeRounds).map(bpePairCte).mkString(",\n    ")},
+    dw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents),
+    ap AS (SELECT doc_id, $applied AS seq
+      FROM dw, ${(1 to BpeRounds).map("b" + _).mkString(", ")}),
+    bt AS (SELECT doc_id,
+      SUM(CAST(len(string_split(substr(seq, 2, length(seq) - 2), '><')) AS BIGINT)) AS nbpe
+      FROM ap GROUP BY doc_id),
+    pieces AS (SELECT chr(CAST(96 + i AS INTEGER)) AS piece
+        FROM (SELECT unnest(generate_series(1, 26)) AS i)
+      ${(1 to BpeRounds).map(t => s"UNION ALL SELECT l || r FROM b$t").mkString(" ")}),
+    words AS (SELECT DISTINCT w FROM dw),
+    seg AS (SELECT w, 1 AS pos, 0 AS n, 0 AS u FROM words
+      UNION ALL
+      SELECT w, pos + COALESCE(ml, 1), n + 1,
+        u + CASE WHEN ml IS NULL THEN 1 ELSE 0 END
+      FROM (SELECT w, pos, n, u,
+          (SELECT MAX(length(piece)) FROM pieces
+           WHERE piece = substr(w, pos, length(piece))) AS ml
+        FROM seg WHERE pos <= length(w))),
+    done AS (SELECT w, n FROM seg WHERE pos = length(w) + 1),
+    wt AS (SELECT doc_id, SUM(CAST(n AS BIGINT)) AS nwp
+      FROM dw JOIN done USING (w) GROUP BY doc_id),
+    j AS (SELECT d.lang, d.n_chars, bt.nbpe, wt.nwp
+      FROM documents d JOIN bt ON d.doc_id = bt.doc_id
+      JOIN wt ON d.doc_id = wt.doc_id)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+      CAST(SUM(nbpe) AS BIGINT) AS n_bpe_tokens,
+      CAST(SUM(nwp) AS BIGINT) AS n_wp_tokens,
+      CAST(1000000 * SUM(n_chars) // SUM(nbpe) AS BIGINT) AS bpe_cpt_micro,
+      CAST(1000000 * SUM(n_chars) // SUM(nwp) AS BIGINT) AS wp_cpt_micro
+    FROM j GROUP BY lang ORDER BY lang"""
+  }
+
+  private val qFertility = GraftQuery(
+    "qt_tokenizer_fertility",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      tokenizerFertility(docs,
+        Memo.value(s, s"bpe_merges:$dir")(bpeTrain(docs, BpeRounds)))
+    },
+    Some(fertilitySql))
+
   // ---------------------------------------------- stupid-backoff LM
   /** Stupid-backoff bigram LM scoring (Brants et al. 2007, "Large
     * Language Models in Machine Translation") — the web-scale LM quality
@@ -757,5 +843,6 @@ object VocabOps {
 
   def queries: Seq[GraftQuery] =
     Seq(qVocab, qKeywords, qEditDist, qBm25, qBpeTrain, qBpeTokenize, qCountMin,
-      qPhrase, qBigramNovelty, qVocabCoverage, qWordpiece, qBackoff)
+      qPhrase, qBigramNovelty, qVocabCoverage, qWordpiece, qBackoff,
+      qFertility)
 }
