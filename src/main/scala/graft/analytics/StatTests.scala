@@ -405,6 +405,89 @@ object StatTests {
            // NULLIF(d2, 0) AS BIGINT) AS r2_bp
     FROM b ORDER BY o_orderpriority"""))
 
+  // ------------------------------------- Pettitt change-point test
+  /** Pettitt (1979) nonparametric single change-point detection per
+    * group — "did this metric's distribution shift, and WHEN" without
+    * assuming normality. Uses the rank identity
+    *
+    *   U_t = 2·Σ_{i≤t} R_i − t·(n+1)
+    *
+    * (R_i = global in-group rank of the i-th value in TIME order), so the
+    * whole U series is one rank window + one cumulative-sum window —
+    * never the O(n²) pairwise sign sum of the textbook definition. The
+    * change point is argmax |U_t| (earliest t on ties — deterministic),
+    * reported with K = max|U_t| and the exact pre-squared α=0.05
+    * decision: reject homogeneity ⟺ K² > (ln 20)·(n³+n²)/6, kept
+    * integral as 6·10⁶·K² > 2995732·(n³+n²) (ln 20 = 2.995732… rounded
+    * DOWN, so the exact-integer test is conservative by < 1 ppm).
+    * Ties take time-order ranks (row_number, not average ranks) — both
+    * engines identically; the statistic differs from average-rank
+    * Pettitt only at tied values (documented trade for bit-exactness).
+    *
+    * Plan: per-group rank window + running-sum window + TakeOrdered-style
+    * argmax agg — all on the uniform group key; series length per group
+    * bounds window memory.
+    * Output: (group, n, change_idx, change_at, k_stat, reject_05).
+    */
+  def pettittTest(df: DataFrame, groupCol: String, timeCol: String,
+      valueCol: String): DataFrame = {
+    val wTime = Window.partitionBy(col("g")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val u = df
+      .select(col(groupCol).as("g"), col(timeCol).as("t"), col(valueCol).as("v"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("v"), col("t"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .withColumn("i", row_number().over(Window.partitionBy(col("g")).orderBy(col("t"))))
+      .withColumn("u", lit(2L) * sum(col("r").cast("long")).over(wTime)
+        - col("i").cast("long") * (col("n") + 1L))
+    u.groupBy(col("g"))
+      .agg(max(col("n")).cast("long").as("n"),
+        max(struct(abs(col("u")).as("k"), (-col("i")).cast("long").as("ni"),
+          col("t").as("at"))).as("w"))
+      .select(col("g").as(groupCol), col("n"),
+        (-col("w.ni")).as("change_idx"), col("w.at").as("change_at"),
+        col("w.k").as("k_stat"),
+        (lit(6000000L).cast("decimal(38,0)") * col("w.k") * col("w.k") >
+          lit(2995732L).cast("decimal(38,0)") * (col("n") * col("n") * col("n") + col("n") * col("n")))
+          .as("reject_05"))
+      .orderBy(col(groupCol))
+  }
+
+  /** Did each order priority's daily revenue level shift, and on what
+    * day — the nonparametric regime-change readout next to qstat_linreg's
+    * linear trend.
+    */
+  private val qPettitt = GraftQuery(
+    "qstat_pettitt",
+    (s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"), col("o_orderdate"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+      pettittTest(daily, "o_orderpriority", "o_orderdate", "cents")
+    },
+    Some("""WITH daily AS (SELECT o_orderpriority AS g, o_orderdate AS t,
+        SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS v
+      FROM orders GROUP BY 1, 2),
+    rk AS (SELECT g, t,
+        ROW_NUMBER() OVER (PARTITION BY g ORDER BY v, t) AS r,
+        ROW_NUMBER() OVER (PARTITION BY g ORDER BY t) AS i,
+        COUNT(*) OVER (PARTITION BY g) AS n
+      FROM daily),
+    u AS (SELECT g, t, i, n,
+        2 * SUM(r) OVER (PARTITION BY g ORDER BY i
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - i * (n + 1) AS u
+      FROM rk),
+    best AS (SELECT g, CAST(n AS BIGINT) AS n, i AS change_idx, t AS change_at,
+        CAST(abs(u) AS BIGINT) AS k_stat,
+        ROW_NUMBER() OVER (PARTITION BY g ORDER BY abs(u) DESC, i) AS rnk
+      FROM u)
+    SELECT g AS o_orderpriority, n, CAST(change_idx AS BIGINT) AS change_idx,
+      change_at, k_stat,
+      CAST(6000000 AS HUGEINT) * k_stat * k_stat >
+        CAST(2995732 AS HUGEINT) * (n * n * n + n * n) AS reject_05
+    FROM best WHERE rnk = 1 ORDER BY o_orderpriority"""))
+
   /** Revenue concentration per market segment: how unequally customer
     * lifetime spend is distributed inside each segment.
     */
@@ -436,5 +519,6 @@ object StatTests {
         // (CAST(n AS HUGEINT) * total_cents) AS BIGINT) AS gini_bp
     FROM a ORDER BY c_mktsegment"""))
 
-  val queries: Seq[GraftQuery] = Seq(qChisq, qKs, qBoot, qGini, qLinReg)
+  val queries: Seq[GraftQuery] =
+    Seq(qChisq, qKs, qBoot, qGini, qLinReg, qPettitt)
 }

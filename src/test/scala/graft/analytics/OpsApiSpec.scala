@@ -1458,6 +1458,16 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       out.mkString(", "))
   }
 
+  test("pettittTest: level shift found at the last pre-shift index, exact K") {
+    import spark.implicits._
+    val rows = Seq(("s", 1L, 1L), ("s", 2L, 1L), ("s", 3L, 1L),
+      ("s", 4L, 10L), ("s", 5L, 10L), ("s", 6L, 10L)).toDF("g", "t", "v")
+    val r = StatTests.pettittTest(rows, "g", "t", "v").collect().head
+    // U = (-5,-8,-9,-8,-5,0): K=9 at i=3; n=6 too small for alpha=.05
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getBoolean(5)) == ((6L, 3L, 3L, 9L, false)), r.toString)
+  }
+
   test("joinDeltaMaintenance: stored view + delta equals full recompute, multiset-exact") {
     import spark.implicits._
     // duplicate keys on BOTH sides so any accidental distinct would show
