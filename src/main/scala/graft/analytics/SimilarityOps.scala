@@ -1291,6 +1291,74 @@ object SimilarityOps {
     Some(s"""${rbpBranchSql("lsh", lshSql)}
       UNION ALL ${rbpBranchSql("ivf", ivfSql)} ORDER BY method"""))
 
+  /** nDCG@k rank weights in integer micro-units: w(i) = ⌊10⁶ / log₂(i+1)⌋,
+    * computed ONCE on the driver and inlined as literals in both engines —
+    * the determinism lives in the literal table, so the transcendental
+    * log₂ (the hazard [[rbpScore]]'s scaladoc flags) never runs inside
+    * either engine.
+    */
+  private val NdcgW: Seq[Long] =
+    (1 to K).map(i => (1e6 * math.log(2) / math.log(i + 1)).toLong)
+
+  /** nDCG@k against the exact top-k as binary relevance — the third leg
+    * of the retrieval-metric triad ([[retrievalMrr]]: first hit only;
+    * [[rbpScore]]: geometric persistence; nDCG: the logarithmic discount
+    * leaderboards actually report). DCG_q = Σ_hits w(rank); the ideal
+    * DCG is the CONSTANT Σᵢ w(i) (every query has exactly k relevant
+    * results by construction), so mean nDCG = 10⁴·ΣDCG DIV (n_q·IDCG) is
+    * one integer division. Same single count-frame join as the other
+    * metrics — never touches the corpus.
+    * Output: (n_queries, n_hits, ndcg_bp).
+    */
+  def ndcgScore(exact: org.apache.spark.sql.DataFrame,
+      approx: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // explicit CASE on the rank, NOT element_at(arr, cast(arank AS int)):
+    // after an outer join Spark's codegen for element_at mis-handles the
+    // null index from the unmatched side (observed returning the last
+    // array element) — the branch form is null-safe on both engines
+    val wCase = NdcgW.zipWithIndex
+      .map { case (w, i) => s"WHEN arank = ${i + 1} THEN ${w}L" }
+      .mkString("CASE ", " ", " ELSE 0L END")
+    val idcg = NdcgW.sum
+    exact.select(col("query_id"), col("cand_id"))
+      .join(approx.select(col("query_id"), col("cand_id"),
+        col("rank").as("arank")), Seq("query_id", "cand_id"), "left")
+      .agg(countDistinct(col("query_id")).as("n_queries"),
+        sum(when(col("arank").isNotNull, 1L).otherwise(0L)).as("n_hits"),
+        sum(expr(wCase)).as("_dcg"))
+      .select(col("n_queries"), col("n_hits"),
+        expr(s"10000L * _dcg div (n_queries * ${idcg}L)").as("ndcg_bp"))
+  }
+
+  private def ndcgBranchSql(method: String, approxSql: String) = {
+    val wCase = NdcgW.zipWithIndex
+      .map { case (w, i) => s"WHEN a.rank = ${i + 1} THEN $w" }
+      .mkString("CASE ", " ", " ELSE 0 END")
+    s"""SELECT '$method' AS method,
+      CAST(COUNT(DISTINCT e.query_id) AS BIGINT) AS n_queries,
+      CAST(SUM(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+      CAST(10000 * SUM($wCase)
+        // (COUNT(DISTINCT e.query_id) * ${NdcgW.sum}) AS BIGINT) AS ndcg_bp
+      FROM (SELECT query_id, cand_id FROM ($bruteSql)) e
+      LEFT JOIN ($approxSql) a
+      ON e.query_id = a.query_id AND e.cand_id = a.cand_id"""
+  }
+
+  private val qNdcg = GraftQuery(
+    "qs_ndcg",
+    (s, dir) => {
+      val corpus = Tables.embeddings(s, dir)
+      val q = corpus.filter(col("vec_id") < NQ)
+      val exact = cosineTopK(corpus, q, K).localCheckpoint()
+      ndcgScore(exact, annLsh(corpus, q, K)).withColumn("method", lit("lsh"))
+        .unionByName(
+          ndcgScore(exact, annIvf(corpus, q, K)).withColumn("method", lit("ivf")))
+        .select(col("method"), col("n_queries"), col("n_hits"), col("ndcg_bp"))
+        .orderBy(col("method"))
+    },
+    Some(s"""${ndcgBranchSql("lsh", lshSql)}
+      UNION ALL ${ndcgBranchSql("ivf", ivfSql)} ORDER BY method"""))
+
   /** int8 scalar-quantized top-k — the memory-bandwidth scale path real
     * vector stores use (FAISS `SQ8`): each vector is quantized once,
     * map-only, to `round(x·127/maxabs)` ∈ [-127, 127]; candidates are
@@ -2308,5 +2376,5 @@ object SimilarityOps {
   val queries: Seq[GraftQuery] = Seq(qBrute, qAnnLsh, qAnnIvf, qAnnIvfTrained,
     qAnnLshMp, qAnnFiltered, qRecall, qMrr, qSq, qSqPacked, qCentroids, qKmeans,
     qOutliers, qSemDedup, qPq, qIvfPq, qIvfPqRes, qKnn, qRp, qMmr, qRrf,
-    qKCenter, qGraphAnn, qHardNeg, qMrl, qRbp, qBitext)
+    qKCenter, qGraphAnn, qHardNeg, qMrl, qRbp, qBitext, qNdcg)
 }

@@ -1468,6 +1468,19 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       r.getBoolean(5)) == ((6L, 3L, 3L, 9L, false)), r.toString)
   }
 
+  test("ndcgScore: rank-1 hit scores full weight; misses contribute zero") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val exact = Seq((1L, 1, 10L), (1L, 2, 11L), (2L, 1, 10L))
+      .toDF("query_id", "rank", "cand_id")
+    val approx = Seq((1L, 1, 10L), (2L, 1, 99L))
+      .toDF("query_id", "rank", "cand_id")
+    val r = SimilarityOps.ndcgScore(exact, approx).collect().head
+    // one hit at rank 1 (w=1e6), idcg = 2948457 over 2 queries
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
+      ((2L, 1L, 10000L * 1000000L / (2L * 2948457L))), r.toString)
+  }
+
   test("joinDeltaMaintenance: stored view + delta equals full recompute, multiset-exact") {
     import spark.implicits._
     // duplicate keys on BOTH sides so any accidental distinct would show
