@@ -1581,6 +1581,83 @@ object SimilarityOps {
     (s, dir) => centroidOutliers(Tables.embeddings(s, dir)),
     Some(outliersSql))
 
+  // ----------------------------------------------------- silhouette
+  /** Simplified silhouette coefficient per label (Hruschka et al.'s
+    * centroid variant of Rousseeuw 1987) — the cluster-quality readout
+    * for any labeling (k-means cells, a classifier's partition, the
+    * `label` column): per point a = d²(x, own centroid),
+    * b = min d²(x, other centroids), s = (b−a)/max(a,b) ∈ [−1, 1];
+    * negative s marks points parked nearer a FOREIGN centroid. The
+    * centroid variant replaces full silhouette's O(n²) pairwise
+    * distances with L centroid distances per point — the only version
+    * that exists at corpus scale.
+    *
+    * Determinism: centroids are [[labelCentroids]]' exact quantized
+    * means; d² is the same sequential fold both engines run; s is one
+    * fixed-form IEEE expression floored to basis points per point, so
+    * per-label means are exact integer division.
+    *
+    * Plan: one L-row broadcast (labels × dim means) crossed into one
+    * corpus scan, per-(point, label) distance collapses immediately to
+    * per-point (a, b) via a 2-branch min agg, then one label-key agg.
+    * Output: (label, n, mean_sil_bp, n_negative) ordered by label.
+    */
+  def silhouetteByLabel(vecs: org.apache.spark.sql.DataFrame,
+      labelCol: String = "label",
+      vecCol: String = "embedding"): org.apache.spark.sql.DataFrame = {
+    val cents = labelCentroids(vecs, labelCol, vecCol)
+      .groupBy(col("label"))
+      .agg(expr("transform(sort_array(collect_list(struct(dim, mean_val))), s -> s.mean_val)")
+        .as("m"))
+      .select(col("label").as("clabel"), col("m"))
+    vecs.select(col(labelCol).as("label"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("_rid", monotonically_increasing_id())
+      .crossJoin(broadcast(cents))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(v, m, (x, y) -> (x - y) * (x - y)), " +
+          "cast(0 as double), (a, b) -> a + b)"))
+      .groupBy(col("_rid"), col("label"))
+      .agg(min(when(col("clabel") === col("label"), col("d2"))).as("a"),
+        min(when(col("clabel") =!= col("label"), col("d2"))).as("b"))
+      .withColumn("sil_bp",
+        when(greatest(col("a"), col("b")) === 0d, 0L).otherwise(
+          floor(lit(10000d) * (col("b") - col("a")) / greatest(col("a"), col("b")))))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        expr("sum(sil_bp) div count(1)").as("mean_sil_bp"),
+        sum(when(col("sil_bp") < 0, 1L).otherwise(0L)).as("n_negative"))
+      .orderBy(col("label"))
+  }
+
+  private val silhouetteSql = s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    u AS (SELECT label, unnest(generate_series(1, len(v))) AS i, v FROM e),
+    qz AS (SELECT label, i AS dim1, CAST(round(v[i] * ${Quant}.0) AS BIGINT) AS q FROM u),
+    a0 AS (SELECT label, dim1,
+      CAST(SUM(q) AS DOUBLE) / (COUNT(*) * $Quant) AS mean_val FROM qz GROUP BY label, dim1),
+    m AS (SELECT label AS clabel, list(mean_val ORDER BY dim1) AS m FROM a0 GROUP BY label),
+    d AS (SELECT e.vec_id, e.label, m.clabel,
+      list_reduce(list_transform(generate_series(1, 64),
+        i -> (e.v[i] - m.m[i]) * (e.v[i] - m.m[i])), (x, y) -> x + y) AS d2
+      FROM e, m),
+    ab AS (SELECT vec_id, label,
+        MIN(CASE WHEN clabel = label THEN d2 END) AS a,
+        MIN(CASE WHEN clabel <> label THEN d2 END) AS b
+      FROM d GROUP BY vec_id, label),
+    sil AS (SELECT label,
+        CASE WHEN GREATEST(a, b) = 0 THEN 0
+             ELSE CAST(floor(10000 * (b - a) / GREATEST(a, b)) AS BIGINT)
+        END AS sil_bp
+      FROM ab)
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(sil_bp) // COUNT(*) AS BIGINT) AS mean_sil_bp,
+      CAST(SUM(CASE WHEN sil_bp < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative
+    FROM sil GROUP BY label ORDER BY label"""
+
+  private val qSilhouette = GraftQuery(
+    "qs_silhouette",
+    (s, dir) => silhouetteByLabel(Tables.embeddings(s, dir)),
+    Some(silhouetteSql))
+
   // ----------------------------------------------------------- SemDeDup
   /** Semantic deduplication via clustering (the SemDeDup recipe, Abbas et
     * al. 2023, arXiv:2303.09540 — public method): k-means-cluster the
@@ -2376,5 +2453,5 @@ object SimilarityOps {
   val queries: Seq[GraftQuery] = Seq(qBrute, qAnnLsh, qAnnIvf, qAnnIvfTrained,
     qAnnLshMp, qAnnFiltered, qRecall, qMrr, qSq, qSqPacked, qCentroids, qKmeans,
     qOutliers, qSemDedup, qPq, qIvfPq, qIvfPqRes, qKnn, qRp, qMmr, qRrf,
-    qKCenter, qGraphAnn, qHardNeg, qMrl, qRbp, qBitext, qNdcg)
+    qKCenter, qGraphAnn, qHardNeg, qMrl, qRbp, qBitext, qNdcg, qSilhouette)
 }

@@ -1481,6 +1481,17 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       ((2L, 1L, 10000L * 1000000L / (2L * 2948457L))), r.toString)
   }
 
+  test("silhouetteByLabel: points on own centroid score 10000; none negative") {
+    import spark.implicits._
+    val vecs = Seq((1L, 0, Seq(0f, 0f)), (2L, 0, Seq(0f, 0f)),
+      (3L, 1, Seq(10f, 0f)), (4L, 1, Seq(10f, 0f)))
+      .toDF("vec_id", "label", "embedding")
+    val out = SimilarityOps.silhouetteByLabel(vecs)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((0, 2L, 10000L, 0L), (1, 2L, 10000L, 0L)),
+      out.mkString(", "))
+  }
+
   test("joinDeltaMaintenance: stored view + delta equals full recompute, multiset-exact") {
     import spark.implicits._
     // duplicate keys on BOTH sides so any accidental distinct would show
