@@ -330,5 +330,85 @@ object MatchOps {
       ON t.name_a = s2.name_a AND t.name_b = s2.name_b
     ORDER BY name_a, name_b"""))
 
-  val queries: Seq[GraftQuery] = Seq(qFuzzy, qSortedNb, qMutualBest, qMultiPass)
+  // ------------------------------------- phonetic blocking
+  /** Phonetic-class blocking key — the third classic ER candidate
+    * generator next to token blocking and sorted-neighborhood: names that
+    * SOUND alike land in one bucket even when no token survives intact
+    * and the sort order separates them (e.g. leading-vowel typos).
+    * Deliberately a SIMPLIFIED soundex-family key, not Knuth's soundex:
+    * first letter + first 3 consonant-class digits (b f p v→1,
+    * c g j k q s x z→2, d t→3, l→4, m n→5, r→6; vowels and h w y
+    * dropped BEFORE run-collapse) — Knuth's h/w-bridging and
+    * vowel-separation rules are exactly the edge cases engines implement
+    * differently, and a blocking key only needs consistency, not
+    * dictionary fidelity. Run-collapse is per-digit replaces (RE2 in the
+    * oracle has no backreferences). The key expression is generated from
+    * ONE Scala builder for both engines.
+    *
+    * Same scale/skew contract as [[fuzzyNameMatch]]: distinct-name
+    * domain, keys backing more than `maxKeyDf` names are dropped (the
+    * quadratic-bucket guard, mirrored in-oracle), one equi-join on the
+    * key, length-gap prefilter, exact levenshtein verify.
+    * Output: (key, name_a, name_b, dist, rows_a, rows_b).
+    */
+  def phoneticBlocking(df: DataFrame, nameCol: String = "name",
+      maxDist: Int = 4, maxKeyDf: Int = 500): DataFrame = {
+    require(maxDist >= 0 && maxKeyDf >= 1)
+    val names = df.groupBy(col(nameCol).as("name"))
+      .agg(count(lit(1)).as("n_rows"))
+    val keyed = names.withColumn("key", expr(phoneticKeyExpr("name", spark = true)))
+    val keep = keyed.groupBy(col("key")).agg(count(lit(1)).as("kdf"))
+      .filter(col("kdf") <= maxKeyDf).select(col("key"))
+    val blocked = keyed.join(keep, "key")
+    blocked.as("a")
+      .join(blocked.as("b"),
+        col("a.key") === col("b.key") && col("a.name") < col("b.name"))
+      .select(col("a.key").as("key"), col("a.name").as("name_a"),
+        col("b.name").as("name_b"),
+        col("a.n_rows").as("rows_a"), col("b.n_rows").as("rows_b"))
+      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("key"), col("name_a"), col("name_b"), col("dist"),
+        col("rows_a"), col("rows_b"))
+      .orderBy(col("key"), col("name_a"), col("name_b"))
+  }
+
+  /** One builder, two dialects: Spark's regexp_replace is global by
+    * default, DuckDB needs the 'g' flag; everything else is shared text.
+    */
+  private def phoneticKeyExpr(c: String, spark: Boolean): String = {
+    val g = if (spark) "" else ", 'g'"
+    def rr(s: String, re: String, to: String) =
+      s"regexp_replace($s, '$re', '$to'$g)"
+    val letters = rr(s"lower($c)", "[^a-z]", "")
+    val mapped = rr(
+      s"translate(substring($letters, 2), 'bfpvcgjkqsxzdtlmnr', '111122222222334556')",
+      "[aeiouhwy]", "")
+    val collapsed = (1 to 6).foldLeft(mapped)((acc, d) => rr(acc, s"$d{2,}", s"$d"))
+    s"concat(substring($letters, 1, 1), substring($collapsed, 1, 3))"
+  }
+
+  private val PhMaxDist = 4
+  private val PhKeyDf = 500
+
+  private val qPhonetic = GraftQuery(
+    "qj_phonetic_blocking",
+    (s, dir) => phoneticBlocking(Tables.part(s, dir), nameCol = "p_name",
+      maxDist = PhMaxDist, maxKeyDf = PhKeyDf),
+    Some(s"""WITH $nameDomainCte,
+    k AS (SELECT name, n_rows, ${phoneticKeyExpr("name", spark = false)} AS key FROM n),
+    keep AS (SELECT key FROM k GROUP BY key HAVING COUNT(*) <= $PhKeyDf),
+    bl AS (SELECT k.* FROM k JOIN keep USING (key)),
+    c AS (SELECT a.key, a.name AS name_a, b.name AS name_b,
+        a.n_rows AS rows_a, b.n_rows AS rows_b
+      FROM bl a JOIN bl b ON a.key = b.key AND a.name < b.name
+      WHERE abs(length(a.name) - length(b.name)) <= $PhMaxDist)
+    SELECT key, name_a, name_b,
+      CAST(levenshtein(name_a, name_b) AS INT) AS dist, rows_a, rows_b
+    FROM c WHERE levenshtein(name_a, name_b) <= $PhMaxDist
+    ORDER BY key, name_a, name_b"""))
+
+  val queries: Seq[GraftQuery] =
+    Seq(qFuzzy, qSortedNb, qMutualBest, qMultiPass, qPhonetic)
 }

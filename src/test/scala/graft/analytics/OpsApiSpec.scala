@@ -1492,6 +1492,17 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       out.mkString(", "))
   }
 
+  test("phoneticBlocking: sound-alike spellings pair; different consonants do not") {
+    import spark.implicits._
+    // smith/smyth: same consonant classes (s,5,3) with y dropped -> one
+    // bucket; "baker" maps b->..126 vs "maker" m->..26 with different
+    // first letter -> never candidates even at dist 1.
+    val rows = Seq("smith", "smyth", "baker", "maker").map(Tuple1(_)).toDF("name")
+    val pairs = MatchOps.phoneticBlocking(rows, maxDist = 2)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getInt(3)))
+    assert(pairs.toSeq == Seq(("smith", "smyth", 1)), pairs.mkString(", "))
+  }
+
   test("joinDeltaMaintenance: stored view + delta equals full recompute, multiset-exact") {
     import spark.implicits._
     // duplicate keys on BOTH sides so any accidental distinct would show
