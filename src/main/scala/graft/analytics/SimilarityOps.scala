@@ -1658,6 +1658,123 @@ object SimilarityOps {
     (s, dir) => silhouetteByLabel(Tables.embeddings(s, dir)),
     Some(silhouetteSql))
 
+  // ----------------------------------------------- KNN-Shapley valuation
+  /** Exact KNN-Shapley data valuation (Jia et al., VLDB 2019): each
+    * training point's Shapley value for a K-NN classifier over a test
+    * set, via the closed-form recursion — the tractable instance of Data
+    * Shapley ("which training rows helped, which ones actively hurt").
+    * With training points sorted per test point by similarity (rank 1 =
+    * nearest, N = corpus size):
+    *
+    *   s(N)  = 1[y_N = y_test] / N
+    *   s(i)  = s(i+1) + (1[y_i = y_test] − 1[y_{i+1} = y_test]) / max(i, K)
+    *
+    * i.e. a SUFFIX SUM over rank order — two window functions (lead +
+    * backward running sum), no recursion at runtime. Kept exact: each
+    * rational term is floored to micro-units with the ±1·10⁶ DIV max(i,K)
+    * integer division (truncation toward zero on both engines), so sums
+    * are order-independent BIGINTs; per-train values average over test
+    * points with one final integer division.
+    *
+    * Plan: broadcast the bounded test set into one corpus scan (the
+    * cosineTopK shape), per-test ranking windows keyed by test id, one
+    * train-key aggregation, TakeOrdered head/tail. Ranking the FULL
+    * corpus per test point is exact KNN-Shapley's definition; at 100 TB
+    * truncate candidates with any ANN tier first (the standard practice —
+    * beyond the truncation rank all terms telescope to ~0 anyway).
+    * Output: the `topK` highest-value and `topK` lowest-value training
+    * points, (train_id, label, n_test, shapley_micro), ordered by
+    * (shapley_micro DESC, train_id).
+    */
+  def knnShapley(train: org.apache.spark.sql.DataFrame,
+      test: org.apache.spark.sql.DataFrame, k: Int = 3, topK: Int = 10,
+      idCol: String = "vec_id", labelCol: String = "label",
+      vecCol: String = "embedding"): org.apache.spark.sql.DataFrame = {
+    require(k >= 1 && topK >= 1, s"k and topK must be >= 1, got k=$k topK=$topK")
+    val tr = prep(train, idCol, vecCol)
+      .join(train.select(col(idCol).as("vec_id"), col(labelCol).as("y")), "vec_id")
+      .select(col("vec_id").as("train_id"), col("v").as("vb"),
+        col("nrm").as("nb"), col("y"))
+    val te = prep(test, idCol, vecCol)
+      .join(test.select(col(idCol).as("vec_id"), col(labelCol).as("yt")), "vec_id")
+      .select(col("vec_id").as("test_id"), col("v").as("va"),
+        col("nrm").as("na"), col("yt"))
+    val wRank = Window.partitionBy(col("test_id"))
+      .orderBy(col("cosine").desc, col("train_id"))
+    val wPart = Window.partitionBy(col("test_id"))
+    val wSuffix = Window.partitionBy(col("test_id")).orderBy(col("rnk"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val scored = withCosine(tr.crossJoin(broadcast(te)))
+      .withColumn("u", (col("y") === col("yt")).cast("long"))
+      .withColumn("rnk", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wPart))
+      .withColumn("u_last", last(col("u")).over(
+        wPart.orderBy(col("rnk")).rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .withColumn("u_next", lead(col("u"), 1).over(
+        Window.partitionBy(col("test_id")).orderBy(col("rnk"))))
+      .withColumn("term", when(col("u_next").isNull, 0L).otherwise(
+        expr(s"((u - u_next) * 1000000L) div greatest(rnk, $k)")))
+      .withColumn("s_micro",
+        expr("(u_last * 1000000L) div n") + sum(col("term")).over(wSuffix))
+    val values = scored.groupBy(col("train_id"), col("y"))
+      .agg(count(lit(1)).as("n_test"),
+        expr("sum(s_micro) div count(1)").as("shapley_micro"))
+      .select(col("train_id"), col("y").as("label"), col("n_test"),
+        col("shapley_micro"))
+      .localCheckpoint()   // train-corpus-sized value frame, read twice below
+    values.orderBy(col("shapley_micro").desc, col("train_id")).limit(topK)
+      .unionByName(
+        values.orderBy(col("shapley_micro").asc, col("train_id").desc).limit(topK))
+      .orderBy(col("shapley_micro").desc, col("train_id"))
+  }
+
+  private val ShK = 3
+  private val ShTop = 10
+
+  private val shapleySql = s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    tr AS (SELECT vec_id AS train_id, label AS y, v AS vb FROM e WHERE vec_id >= $NQ),
+    te AS (SELECT vec_id AS test_id, label AS yt, v AS va FROM e WHERE vec_id < $NQ),
+    p AS (SELECT train_id, y, test_id, yt, $cosineSql AS cosine FROM tr, te),
+    r AS (SELECT test_id, train_id, y,
+        CASE WHEN y = yt THEN 1 ELSE 0 END AS u,
+        ROW_NUMBER() OVER (PARTITION BY test_id ORDER BY cosine DESC, train_id) AS rnk,
+        COUNT(*) OVER (PARTITION BY test_id) AS n
+      FROM p),
+    t AS (SELECT test_id, train_id, y, rnk, n, u,
+        LAST_VALUE(u) OVER (PARTITION BY test_id ORDER BY rnk
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS u_last,
+        LEAD(u, 1) OVER (PARTITION BY test_id ORDER BY rnk) AS u_next
+      FROM r),
+    s AS (SELECT test_id, train_id, y,
+        (u_last * 1000000) // n +
+        SUM(CASE WHEN u_next IS NULL THEN 0
+                 ELSE ((u - u_next) * 1000000) // GREATEST(rnk, $ShK) END)
+          OVER (PARTITION BY test_id ORDER BY rnk
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS s_micro
+      FROM t),
+    v AS (SELECT train_id, y AS label, CAST(COUNT(*) AS BIGINT) AS n_test,
+        CAST(SUM(s_micro) // COUNT(*) AS BIGINT) AS shapley_micro
+      FROM s GROUP BY train_id, y),
+    hd AS (SELECT * FROM v ORDER BY shapley_micro DESC, train_id LIMIT $ShTop),
+    tl AS (SELECT * FROM v ORDER BY shapley_micro ASC, train_id DESC LIMIT $ShTop)
+    SELECT train_id, label, n_test, shapley_micro
+    FROM (SELECT * FROM hd UNION ALL SELECT * FROM tl)
+    ORDER BY shapley_micro DESC, train_id"""
+
+  /** Test points = the NQ query vectors, training corpus = the rest;
+    * K-NN on the label column — the "which corpus rows help the
+    * classifier" valuation readout.
+    */
+  private val qShapley = GraftQuery(
+    "qs_knn_shapley",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      knnShapley(e.filter(col("vec_id") >= NQ), e.filter(col("vec_id") < NQ),
+        ShK, ShTop)
+    },
+    Some(shapleySql))
+
   // ----------------------------------------------------------- SemDeDup
   /** Semantic deduplication via clustering (the SemDeDup recipe, Abbas et
     * al. 2023, arXiv:2303.09540 — public method): k-means-cluster the
@@ -2453,5 +2570,6 @@ object SimilarityOps {
   val queries: Seq[GraftQuery] = Seq(qBrute, qAnnLsh, qAnnIvf, qAnnIvfTrained,
     qAnnLshMp, qAnnFiltered, qRecall, qMrr, qSq, qSqPacked, qCentroids, qKmeans,
     qOutliers, qSemDedup, qPq, qIvfPq, qIvfPqRes, qKnn, qRp, qMmr, qRrf,
-    qKCenter, qGraphAnn, qHardNeg, qMrl, qRbp, qBitext, qNdcg, qSilhouette)
+    qKCenter, qGraphAnn, qHardNeg, qMrl, qRbp, qBitext, qNdcg, qSilhouette,
+    qShapley)
 }

@@ -1503,6 +1503,18 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.toSeq == Seq(("smith", "smyth", 1)), pairs.mkString(", "))
   }
 
+  test("knnShapley: nearest correct neighbor valued highest, wrong label negative") {
+    import spark.implicits._
+    val train = Seq((100L, 0, Seq(1f, 0f)), (101L, 1, Seq(0f, 1f)),
+      (102L, 0, Seq(-1f, 0f))).toDF("vec_id", "label", "embedding")
+    val test = Seq((1L, 0, Seq(1f, 0f))).toDF("vec_id", "label", "embedding")
+    val out = SimilarityOps.knnShapley(train, test, k = 1, topK = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    // hand recursion: s = (833333, -166667, 333333) for ranks (1,2,3)
+    assert(out.toSeq == Seq((100L, 833333L), (101L, -166667L)),
+      out.mkString(", "))
+  }
+
   test("joinDeltaMaintenance: stored view + delta equals full recompute, multiset-exact") {
     import spark.implicits._
     // duplicate keys on BOTH sides so any accidental distinct would show
