@@ -409,4 +409,31 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("CartesianProduct"),
       s"target encoding planned a cartesian product:\n$plan")
   }
+
+  test("scan+agg-only newcomers plan no join at all") {
+    Seq("qstat_linreg", "qstat_pettitt", "qprof_fd_violations", "qt_wordpiece")
+      .foreach { name =>
+        val plan = graft.SparkEntry.queries(name)(spark, sf)
+          .queryExecution.executedPlan.toString
+        assert(!plan.contains("Join"), s"$name grew a join:\n$plan")
+      }
+  }
+
+  test("qj_phonetic_blocking pairs via a key hash join, no cartesian/BNL") {
+    val plan = graft.SparkEntry.queries("qj_phonetic_blocking")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"phonetic blocking regressed to an unbounded pair scan:\n$plan")
+  }
+
+  test("bitext/shapley broadcast the bounded side; no cartesian ever") {
+    Seq("qs_bitext_margin", "qs_knn_shapley", "qd_dbscan", "qml_calibration")
+      .foreach { name =>
+        val plan = graft.SparkEntry.queries(name)(spark, sf)
+          .queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct"),
+          s"$name planned a cartesian product:\n$plan")
+      }
+  }
 }
