@@ -405,6 +405,67 @@ object StatTests {
            // NULLIF(d2, 0) AS BIGINT) AS r2_bp
     FROM b ORDER BY o_orderpriority"""))
 
+  // ------------------------------------- weighted median
+  /** Exact weighted median per group — the robust center for weighted
+    * populations (median price weighted by units sold, median doc score
+    * weighted by token count). Definition: the smallest value v whose
+    * cumulative weight reaches half the total (2·cumw ≥ W) — the
+    * lower weighted median, deterministic under ties because weights
+    * collapse per distinct value BEFORE the cumulative window.
+    *
+    * Plan: one (group, value) partial agg → per-group ordered cumsum
+    * window → one min-agg. All integer arithmetic; the window's state is
+    * one running sum over the distinct value domain per group.
+    * Output: (group, n_rows, total_weight, wmedian).
+    */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
+      weightCol: String): DataFrame = {
+    val byVal = df
+      .select(col(groupCol).as("g"), col(valueCol).as("v"),
+        col(weightCol).cast("long").as("wt"))
+      .groupBy(col("g"), col("v"))
+      .agg(sum(col("wt")).as("w"), count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("g"))
+    byVal
+      .withColumn("cw", sum(col("w")).over(wCum))
+      .withColumn("tw", sum(col("w")).over(wAll))
+      .withColumn("tn", sum(col("c")).over(wAll))
+      .groupBy(col("g"))
+      .agg(max(col("tn")).as("n_rows"), max(col("tw")).as("total_weight"),
+        min(when(col("cw") * 2 >= col("tw"), col("v"))).as("wmedian"))
+      .select(col("g").as(groupCol), col("n_rows"), col("total_weight"),
+        col("wmedian"))
+      .orderBy(col(groupCol))
+  }
+
+  /** Median line-item price in cents, weighted by quantity, per return
+    * flag — "what price point does the typical UNIT ship at" (the
+    * unweighted median answers a different question: the typical LINE).
+    */
+  private val qWMedian = GraftQuery(
+    "qstat_weighted_median",
+    (s, dir) => weightedMedian(
+      Tables.lineitem(s, dir)
+        .withColumn("cents", expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+        .withColumn("qty", expr("CAST(l_quantity AS BIGINT)")),
+      "l_returnflag", "cents", "qty"),
+    Some("""WITH b AS (SELECT l_returnflag AS g,
+        CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+        CAST(l_quantity AS BIGINT) AS wt FROM lineitem),
+    bv AS (SELECT g, v, SUM(wt) AS w, COUNT(*) AS c FROM b GROUP BY g, v),
+    cw AS (SELECT g, v, w, c,
+        SUM(w) OVER (PARTITION BY g ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        SUM(w) OVER (PARTITION BY g) AS tw,
+        SUM(c) OVER (PARTITION BY g) AS tn
+      FROM bv)
+    SELECT g AS l_returnflag, CAST(MAX(tn) AS BIGINT) AS n_rows,
+      CAST(MAX(tw) AS BIGINT) AS total_weight,
+      CAST(MIN(CASE WHEN cw * 2 >= tw THEN v END) AS BIGINT) AS wmedian
+    FROM cw GROUP BY g ORDER BY g"""))
+
   // ------------------------------------- Pettitt change-point test
   /** Pettitt (1979) nonparametric single change-point detection per
     * group — "did this metric's distribution shift, and WHEN" without
@@ -520,5 +581,5 @@ object StatTests {
     FROM a ORDER BY c_mktsegment"""))
 
   val queries: Seq[GraftQuery] =
-    Seq(qChisq, qKs, qBoot, qGini, qLinReg, qPettitt)
+    Seq(qChisq, qKs, qBoot, qGini, qLinReg, qPettitt, qWMedian)
 }

@@ -1515,6 +1515,17 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       out.mkString(", "))
   }
 
+  test("weightedMedian: heavy weight pulls the median; lower median under even split") {
+    import spark.implicits._
+    val rows = Seq(("a", 1L, 1L), ("a", 2L, 1L), ("a", 100L, 10L),
+      ("b", 5L, 1L), ("b", 7L, 1L)).toDF("g", "v", "wt")
+    val out = StatTests.weightedMedian(rows, "g", "v", "wt")
+      .collect().map(r => (r.getString(0), r.getLong(3))).toMap
+    // a: W=12, first v with 2cw>=12 is 100 (cw 1,2,12). b: even split ->
+    // lower median 5 (2*1 >= 2).
+    assert(out == Map("a" -> 100L, "b" -> 5L), out.toString)
+  }
+
   test("joinDeltaMaintenance: stored view + delta equals full recompute, multiset-exact") {
     import spark.implicits._
     // duplicate keys on BOTH sides so any accidental distinct would show
