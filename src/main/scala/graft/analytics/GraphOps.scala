@@ -239,6 +239,80 @@ object GraphOps {
     (s, dir) => triangleCount(coSupplierEdges(s, dir)),
     Some(triSql))
 
+  // ------------------------------------------- link prediction
+  /** Neighborhood-overlap link prediction (Liben-Nowell & Kleinberg
+    * 2003): score NON-adjacent node pairs by common-neighbor count and
+    * neighborhood Jaccard — "which edge appears next" for recommenders
+    * and graph-completion QA. Jaccard in exact basis points
+    * (10⁴·|Γu∩Γv| DIV (du+dv−|Γu∩Γv|)); Adamic-Adar's 1/log(d) weights
+    * are deliberately NOT offered (transcendental per-degree weights —
+    * the cross-engine hazard the nDCG literal table avoids — would here
+    * need a literal per distinct degree).
+    *
+    * Scale shape: candidate pairs come from the wedge join through each
+    * common neighbor, whose fan-out is d(x)²/2 — so hubs above
+    * `hubCap` are EXCLUDED as pivots (the ShingleDfCap pattern,
+    * mirrored in-oracle; a hub's wedge set is quadratic and its
+    * predictions are the least informative). One wedge self-join on the
+    * pivot key + a (u,v) count agg + an anti-join against the edge list
+    * + two degree joins — all uniform keys.
+    * Output: top `topK` (u, v, common, du, dv, jaccard_bp) by
+    * (common DESC, jaccard_bp DESC, u, v).
+    */
+  def linkPredict(edgesIn: DataFrame, topK: Int = 20, hubCap: Int = 100,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(topK >= 1 && hubCap >= 2)
+    val e = edgesIn
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    val adj = e.select(col("a").as("n"), col("b").as("x"))
+      .union(e.select(col("b").as("n"), col("a").as("x")))
+    val deg = adj.groupBy(col("n")).agg(count(lit(1)).as("d")).localCheckpoint()
+    val pivots = deg.filter(col("d") <= hubCap).select(col("n").as("x"))
+    val byPivot = adj.select(col("x"), col("n")).join(pivots, "x")
+    val cand = byPivot.select(col("x"), col("n").as("u"))
+      .join(byPivot.select(col("x"), col("n").as("v")), "x")
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("common"))
+      .join(e.select(col("a").as("u"), col("b").as("v")), Seq("u", "v"),
+        "left_anti")
+    cand
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+      .withColumn("jaccard_bp",
+        expr("10000 * common div (du + dv - common)"))
+      .orderBy(col("common").desc, col("jaccard_bp").desc, col("u"), col("v"))
+      .limit(topK)
+  }
+
+  private val LpTopK = 20
+  private val LpHubCap = 100
+
+  private val linkPredictSql = s"""WITH ls AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'),
+    e0 AS (SELECT DISTINCT a.sk AS a, b.sk AS b
+      FROM ls a JOIN ls b ON a.ok = b.ok AND a.sk < b.sk),
+    adj AS (SELECT a AS n, b AS x FROM e0 UNION ALL SELECT b, a FROM e0),
+    deg AS (SELECT n, COUNT(*) AS d FROM adj GROUP BY n),
+    pv AS (SELECT n AS x FROM deg WHERE d <= $LpHubCap),
+    bp AS (SELECT adj.x, adj.n FROM adj JOIN pv USING (x)),
+    cand AS (SELECT p1.n AS u, p2.n AS v, COUNT(*) AS common
+      FROM bp p1 JOIN bp p2 ON p1.x = p2.x AND p1.n < p2.n
+      GROUP BY p1.n, p2.n),
+    ne AS (SELECT c.* FROM cand c
+      WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.a = c.u AND e0.b = c.v))
+    SELECT u, v, CAST(common AS BIGINT) AS common,
+      CAST(du.d AS BIGINT) AS du, CAST(dv.d AS BIGINT) AS dv,
+      CAST(10000 * common // (du.d + dv.d - common) AS BIGINT) AS jaccard_bp
+    FROM ne JOIN deg du ON ne.u = du.n JOIN deg dv ON ne.v = dv.n
+    ORDER BY common DESC, jaccard_bp DESC, u, v LIMIT $LpTopK"""
+
+  private val qLinkPredict = GraftQuery(
+    "qg_link_predict",
+    (s, dir) => linkPredict(coSupplierEdges(s, dir), LpTopK, LpHubCap),
+    Some(linkPredictSql))
+
   // ------------------------------------------- label propagation (LPA)
   /** Synchronous label-propagation communities (Raghavan et al. 2007):
     * every node starts as its own label; each round it adopts the MOST
@@ -706,5 +780,6 @@ object GraphOps {
     Some(pprSql))
 
   def queries: Seq[GraftQuery] =
-    Seq(qPageRank, qTriangles, qLpa, qKcore, qReach, qSubtree, qSssp, qPpr)
+    Seq(qPageRank, qTriangles, qLpa, qKcore, qReach, qSubtree, qSssp, qPpr,
+      qLinkPredict)
 }

@@ -1526,6 +1526,16 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Map("a" -> 100L, "b" -> 5L), out.toString)
   }
 
+  test("linkPredict: 4-cycle predicts both diagonals, never existing edges") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val out = GraphOps.linkPredict(edges, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+    // diagonals share BOTH neighbors: common=2, jaccard = 2/(2+2-2) = 1
+    assert(out.toSeq == Seq((1L, 3L, 2L, 10000L), (2L, 4L, 2L, 10000L)),
+      out.mkString(", "))
+  }
+
   test("joinDeltaMaintenance: stored view + delta equals full recompute, multiset-exact") {
     import spark.implicits._
     // duplicate keys on BOTH sides so any accidental distinct would show
