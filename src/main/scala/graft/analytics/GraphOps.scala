@@ -282,6 +282,8 @@ object GraphOps {
       .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
       .withColumn("jaccard_bp",
         expr("10000 * common div (du + dv - common)"))
+      .select(col("u"), col("v"), col("common"), col("du"), col("dv"),
+        col("jaccard_bp"))
       .orderBy(col("common").desc, col("jaccard_bp").desc, col("u"), col("v"))
       .limit(topK)
   }
