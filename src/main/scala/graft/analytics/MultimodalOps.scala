@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.api.GraftQuery
@@ -283,5 +284,93 @@ object MultimodalOps {
     SELECT d1, d2, CAST(bit_count(xor(p1, p2)) AS INT) AS hamming
     FROM cand WHERE bit_count(xor(p1, p2)) <= 5 ORDER BY d1, d2"""))
 
-  val queries: Seq[GraftQuery] = Seq(qBinaryMeta, qFrames, qFeatures, qPhash)
+  /** Per-frame signature for temporal analysis: the frame's byte-class
+    * histogram (the [[extractFeatures]] stub at frame granularity, exact
+    * integer counts — a real build swaps a luminance histogram or
+    * embedding behind the same partition-local contract).
+    */
+  final case class MediaFrameHist(doc_id: Long, frame_idx: Int, flen: Int,
+      hist: Seq[Long])
+
+  def frameHistograms(assets: Dataset[(Long, Array[Byte])],
+      stride: Int): Dataset[MediaFrameHist] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        (0 until (bytes.length + stride - 1) / stride).map { i =>
+          val from = i * stride
+          val to = math.min(bytes.length, from + stride)
+          val counts = new Array[Long](8)
+          var p = from
+          while (p < to) { counts((bytes(p) & 0xff) >>> 5) += 1; p += 1 }
+          MediaFrameHist(id, i, to - from, counts.toSeq)
+        }
+      }
+    }
+  }
+
+  /** Scene-cut detection — the shot-boundary pass every video pipeline
+    * runs before sampling "one frame per scene": a cut between
+    * consecutive frames when more than half their byte mass changes
+    * class, i.e. 2·L1(hist, prev_hist) > flen + prev_flen — exact
+    * integers, no thresholds to tune per corpus size. The histogram-
+    * delta rule is the classic Zhang/Kankanhalli/Smoliar shot-boundary
+    * detector; the stub histogram stands in for luminance exactly as in
+    * [[extractFeatures]].
+    *
+    * Plan: the frame stream (mapPartitions 1-in/N-out) → one per-asset
+    * ordered LAG window (uniform doc key; frames-per-asset bounds window
+    * memory) → one doc-key agg. Linear in total frames at any scale.
+    * Output: (doc_id, n_frames, n_cuts, first_cut) ordered by doc_id.
+    */
+  def sceneCuts(frames: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    frames
+      .withColumn("phist", lag(col("hist"), 1).over(w))
+      .withColumn("pflen", lag(col("flen"), 1).over(w))
+      .withColumn("l1", expr(
+        "aggregate(zip_with(hist, phist, (x, y) -> abs(x - y)), 0L, (a, b) -> a + b)"))
+      .withColumn("cut", col("phist").isNotNull &&
+        col("l1") * 2 > col("flen") + col("pflen"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("cut"), 1L).otherwise(0L)).as("n_cuts"),
+        min(when(col("cut"), col("frame_idx"))).as("first_cut"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val SceneStride = 64
+
+  private val qSceneCuts = GraftQuery(
+    "qm_scene_cuts",
+    (s, dir) => sceneCuts(
+      frameHistograms(binaryAssets(s, dir), SceneStride).toDF()),
+    // ASCII assumption as qm_frame_sample documents.
+    Some(s"""WITH f AS (SELECT doc_id, octet_length(encode(text)) AS len, text FROM documents),
+    idx AS (SELECT doc_id, text,
+      unnest(generate_series(0, CAST(ceil(len / $SceneStride.0) AS INTEGER) - 1)) AS frame_idx
+      FROM f),
+    sl AS (SELECT doc_id, frame_idx,
+      substr(text, frame_idx * $SceneStride + 1, $SceneStride) AS sl FROM idx),
+    h AS (SELECT doc_id, frame_idx, octet_length(encode(sl)) AS flen,
+      list_transform(generate_series(0, 7), k ->
+        CAST(len(list_filter(generate_series(1, length(sl)),
+          p -> ascii(substr(sl, p, 1)) // 32 = k)) AS BIGINT)) AS cs
+      FROM sl),
+    d AS (SELECT doc_id, frame_idx, flen, cs,
+        LAG(cs) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS pcs,
+        LAG(flen) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS pflen
+      FROM h),
+    c AS (SELECT doc_id, frame_idx, flen, pflen,
+        CASE WHEN pcs IS NULL THEN NULL
+          ELSE list_sum(list_transform(generate_series(1, 8),
+            i -> abs(cs[i] - pcs[i]))) END AS l1
+      FROM d)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+      CAST(SUM(CASE WHEN l1 * 2 > flen + pflen THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+      CAST(MIN(CASE WHEN l1 * 2 > flen + pflen THEN frame_idx END) AS INTEGER) AS first_cut
+    FROM c GROUP BY doc_id ORDER BY doc_id"""))
+
+  val queries: Seq[GraftQuery] =
+    Seq(qBinaryMeta, qFrames, qFeatures, qPhash, qSceneCuts)
 }

@@ -1536,6 +1536,17 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       out.mkString(", "))
   }
 
+  test("sceneCuts: full byte-class flip is a cut, repeated frame is not") {
+    import spark.implicits._
+    // stride 4: frames "aaaa" (class 3), "aaaa", "0000" (class 1):
+    // frame 1 identical -> no cut; frame 2 flips every byte's class -> cut.
+    val assets = Seq((7L, "aaaaaaaa0000".getBytes("UTF-8"))).toDS()
+    val out = MultimodalOps.sceneCuts(
+        MultimodalOps.frameHistograms(assets, 4).toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(out.toSeq == Seq((7L, 3L, 1L, 2)), out.mkString(", "))
+  }
+
   test("joinDeltaMaintenance: stored view + delta equals full recompute, multiset-exact") {
     import spark.implicits._
     // duplicate keys on BOTH sides so any accidental distinct would show
