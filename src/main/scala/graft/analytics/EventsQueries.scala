@@ -829,9 +829,52 @@ object EventsQueries {
       FROM s WHERE len(regexp_extract_all(sq, 'a+b+c')) > 0
       ORDER BY "user""""))
 
+  // Gaps-and-islands: longest run of CONSECUTIVE active days per user —
+  // the engagement-streak readout, via the classic island-id identity
+  // (day_number − row_number is constant exactly within a consecutive
+  // run). One distinct-day agg → per-user rank window → island agg →
+  // per-user argmax; all uniform user keys, no self-joins.
+  private val qStreak = GraftQuery(
+    "qe_longest_streak",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      val days = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      val islands = days
+        .withColumn("grp",
+          expr("datediff(d, DATE '1970-01-01')") - row_number().over(w))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("len"), min(col("d")).as("start"))
+      islands.groupBy(col("user_id"))
+        .agg(sum(col("len")).as("n_days"),
+          max(struct(col("len"),
+            (lit(0L) - expr("datediff(start, DATE '1970-01-01')")).as("ns"))).as("w"))
+        .select(col("user_id"), col("n_days"),
+          col("w.len").as("longest_streak"),
+          expr("date_add(DATE '1970-01-01', cast(-w.ns as int))").as("streak_start"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+      FROM events WHERE event_type = 'purchase'),
+    isl AS (SELECT user_id, d,
+        (d - DATE '1970-01-01') -
+        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS grp
+      FROM days),
+    runs AS (SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len,
+        MIN(d) AS start FROM isl GROUP BY user_id, grp),
+    best AS (SELECT user_id, len, start,
+        ROW_NUMBER() OVER (PARTITION BY user_id
+          ORDER BY len DESC, start) AS rk,
+        SUM(len) OVER (PARTITION BY user_id) AS n_days
+      FROM runs)
+    SELECT user_id, CAST(n_days AS BIGINT) AS n_days,
+      len AS longest_streak, start AS streak_start
+    FROM best WHERE rk = 1 ORDER BY user_id"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qTumbling, qSliding, qSessions, qJson, qTopUsers, qDeltas, qZscore,
       qFunnel, qRetention, qResample, qHistogram, qPattern, qTransitions,
       qDecayWma, qAttribution, qCusum, qMadAnomaly, qTopPaths, qSlidingDistinct,
-      qSeasonal, qFunnelTime, qCep)
+      qSeasonal, qFunnelTime, qCep, qStreak)
 }
