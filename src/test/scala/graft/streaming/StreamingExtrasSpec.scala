@@ -154,6 +154,39 @@ class StreamingExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(last == expected, s"stream $last vs batch $expected")
   }
 
+  test("streaming scene cuts equal the batch detector across a batch-split cut") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(Long, Int, Int, Seq[Long])](spark)
+    val out = graft.analytics.MultimodalOps.sceneCutStream(
+      input.toDS().toDF("doc_id", "frame_idx", "flen", "hist"))
+    @volatile var last: Map[Long, (Long, Long, Any)] = Map.empty
+    val q = out.writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        last = last ++ df.collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.get(3)))).toMap
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-scene").toString)
+      .start()
+    val h1 = Seq(4L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)   // all bytes class 0
+    val h2 = Seq(0L, 0L, 0L, 4L, 0L, 0L, 0L, 0L)   // all bytes class 3
+    // batch 1: two identical frames; batch 2 opens with the flipped frame
+    // -> the cut straddles the batch boundary
+    input.addData((9L, 0, 4, h1), (9L, 1, 4, h1))
+    q.processAllAvailable()
+    input.addData((9L, 2, 4, h2), (9L, 3, 4, h2))
+    q.processAllAvailable()
+    q.stop()
+    val batch = graft.analytics.MultimodalOps.sceneCuts(
+      Seq((9L, 0, 4, h1), (9L, 1, 4, h1), (9L, 2, 4, h2), (9L, 3, 4, h2))
+        .toDF("doc_id", "frame_idx", "flen", "hist"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.get(3)))).toMap
+    assert(last == batch, s"stream $last vs batch $batch")
+    assert(last(9L)._2 == 1L && last(9L)._3 == 2)
+  }
+
   test("streaming SCD2 change capture equals the batch LAG collapse") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, unix_micros}
