@@ -586,8 +586,69 @@ object Relational3 {
       AND a.o_orderkey <> b.o_orderkey
     ORDER BY w_order, p_order"""))
 
+  // ---------------------------------------------- association rules
+  /** Market-basket association rules (Agrawal & Srikant) with the three
+    * classic metrics in exact fixed point: support (pair share of all
+    * baskets, bp), confidence (directional P(B|A), bp), and lift
+    * (10⁶·nAB·N DIV (nA·nB) — >10⁶ means positively associated). The
+    * metrics layer over the same bounded per-basket pair fan-out as
+    * [[coOccurrenceTopK]] (basket size caps the join; a corpus with
+    * unbounded baskets needs a per-basket cap first), plus two item-key
+    * count joins and one 1-row broadcast total. `minPairs` prunes the
+    * rule tail before the metric joins — the standard min-support pass.
+    * Output: top `topK` rules by (lift DESC, confidence DESC, a, b);
+    * both directions of a pair appear as separate rules (confidence is
+    * directional; lift/support are symmetric).
+    */
+  def assocRules(df: DataFrame, groupCol: String, itemCol: String,
+      minPairs: Long = 3, topK: Int = 20): DataFrame = {
+    require(minPairs >= 1 && topK >= 1)
+    val b = df.select(col(groupCol).as("g"), col(itemCol).as("item"))
+      .distinct().localCheckpoint()
+    val n = b.agg(countDistinct(col("g")).as("n_baskets"))
+    val itemCnt = b.groupBy(col("item")).agg(count(lit(1)).as("ni"))
+    val pairs = b.as("x").join(b.as("y"),
+        col("x.g") === col("y.g") && col("x.item") =!= col("y.item"))
+      .groupBy(col("x.item").as("ante"), col("y.item").as("cons"))
+      .agg(count(lit(1)).as("nab"))
+      .filter(col("nab") >= minPairs)
+    pairs
+      .join(itemCnt.select(col("item").as("ante"), col("ni").as("na")), "ante")
+      .join(itemCnt.select(col("item").as("cons"), col("ni").as("nb")), "cons")
+      .crossJoin(broadcast(n))
+      .select(col("ante"), col("cons"), col("nab"), col("na"), col("nb"),
+        expr("10000 * nab div n_baskets").as("support_bp"),
+        expr("10000 * nab div na").as("confidence_bp"),
+        expr("(1000000 * nab * n_baskets) div (na * nb)").as("lift_micro"))
+      .orderBy(col("lift_micro").desc, col("confidence_bp").desc,
+        col("ante"), col("cons"))
+      .limit(topK)
+  }
+
+  private val ArMinPairs = 3
+  private val ArTopK = 20
+
+  private val qAssocRules = GraftQuery(
+    "qj_assoc_rules",
+    (s, dir) => assocRules(Tables.lineitem(s, dir), "l_orderkey", "l_partkey",
+      ArMinPairs, ArTopK),
+    Some(s"""WITH b AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem),
+      n AS (SELECT COUNT(DISTINCT g) AS n_baskets FROM b),
+      ic AS (SELECT item, COUNT(*) AS ni FROM b GROUP BY item),
+      p AS (SELECT x.item AS ante, y.item AS cons, COUNT(*) AS nab
+        FROM b x JOIN b y ON x.g = y.g AND x.item <> y.item
+        GROUP BY 1, 2 HAVING COUNT(*) >= $ArMinPairs)
+      SELECT ante, cons, CAST(nab AS BIGINT) AS nab,
+        CAST(ia.ni AS BIGINT) AS na, CAST(ib.ni AS BIGINT) AS nb,
+        CAST(10000 * nab // n.n_baskets AS BIGINT) AS support_bp,
+        CAST(10000 * nab // ia.ni AS BIGINT) AS confidence_bp,
+        CAST((1000000 * nab * n.n_baskets) // (ia.ni * ib.ni) AS BIGINT) AS lift_micro
+      FROM p JOIN ic ia ON p.ante = ia.item JOIN ic ib ON p.cons = ib.item
+      CROSS JOIN n
+      ORDER BY lift_micro DESC, confidence_bp DESC, ante, cons LIMIT $ArTopK"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qSessionWindow, qArrayFns, qMapFns, qPosexplode, qPivot, qAsof,
       qAsofNative, qRangeJoin, qMath, qBitwise, qUdf, qQ02, qQ15, qLateral,
-      qUnpivot, qCoPurchase, qIntervalOverlap, qIntervalNative)
+      qUnpivot, qCoPurchase, qIntervalOverlap, qIntervalNative, qAssocRules)
 }

@@ -1547,6 +1547,20 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq == Seq((7L, 3L, 1L, 2)), out.mkString(", "))
   }
 
+  test("assocRules: exact support/confidence/lift; confidence is directional") {
+    import spark.implicits._
+    val baskets = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (3L, "a"))
+      .toDF("g", "item")
+    val rules = Relational3.assocRules(baskets, "g", "item", minPairs = 1,
+        topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    // a->b: support 2/3, conf 2/3, lift (2*3)/(3*2) = 1.0
+    assert(rules(("a", "b")) == ((6666L, 6666L, 1000000L)), rules.toString)
+    // b->a: same pair, confidence 2/2 = 1
+    assert(rules(("b", "a")) == ((6666L, 10000L, 1000000L)), rules.toString)
+  }
+
   test("joinDeltaMaintenance: stored view + delta equals full recompute, multiset-exact") {
     import spark.implicits._
     // duplicate keys on BOTH sides so any accidental distinct would show
