@@ -75,6 +75,54 @@ object TextOps {
       .select(col("doc_id"), col("n_tokens"), col("uniq_tokens"), col("uniq_ratio"),
         col("stop_ratio"), col("quality"))
 
+  /** Flesch–Kincaid grade level in exact micro-units — the classic
+    * readability signal curation stacks run next to the Gopher rules
+    * (too-low grade ≈ boilerplate/listicles, absurdly high ≈ OCR junk).
+    * Syllables are the standard vowel-group heuristic ([aeiouy]+ runs
+    * per word, min 1); sentences are [.!?]+ runs (min 1). The grade's
+    * rational constants (0.39, 11.8, 15.59) stay exact:
+    *
+    *   fk_micro = ⌊390000·words/sentences⌋ + ⌊11800000·syllables/words⌋
+    *              − 15590000
+    *
+    * (each term floored independently — documented determinism trade,
+    * error < 2 µ-grades). Map-only regexp counting, one scan; docs with
+    * zero words are excluded (no denominator). Output: (doc_id,
+    * n_sentences, n_words, n_syllables, fk_grade_micro).
+    */
+  def readability(docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame =
+    norm(docs, idCol, textCol)
+      .withColumn("toks", expr(toksExpr))
+      .withColumn("n_words", expr("cast(size(toks) as bigint)"))
+      .filter(col("n_words") >= 1)
+      .withColumn("n_sentences", expr(
+        "greatest(1L, cast(size(regexp_extract_all(text, '[.!?]+', 0)) as bigint))"))
+      .withColumn("n_syllables", expr(
+        """aggregate(transform(toks, t ->
+             greatest(1L, cast(size(regexp_extract_all(lower(t), '[aeiouy]+', 0)) as bigint))),
+           0L, (a, b) -> a + b)"""))
+      .select(col("doc_id"), col("n_sentences"), col("n_words"), col("n_syllables"),
+        expr("""390000L * n_words div n_sentences
+                + 11800000L * n_syllables div n_words - 15590000L""")
+          .as("fk_grade_micro"))
+      .orderBy(col("doc_id"))
+
+  private val qReadability = GraftQuery(
+    "qt_readability",
+    (s, dir) => readability(Tables.documents(s, dir)),
+    Some(s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+    m AS (SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_words,
+        GREATEST(1, CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS n_sentences,
+        CAST(list_sum(list_transform(toks, t ->
+          GREATEST(1, len(regexp_extract_all(lower(t), '[aeiouy]+'))))) AS BIGINT) AS n_syllables
+      FROM t WHERE len(toks) >= 1)
+    SELECT doc_id, n_sentences, n_words, n_syllables,
+      CAST(390000 * n_words // n_sentences
+        + 11800000 * n_syllables // n_words - 15590000 AS BIGINT) AS fk_grade_micro
+    FROM m ORDER BY doc_id"""))
+
   /** md5 + 60-bit numeric fingerprint of the normalized text. */
   def fingerprint(docs: org.apache.spark.sql.DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame =
@@ -598,5 +646,6 @@ object TextOps {
 
   val queries: Seq[GraftQuery] =
     Seq(qTokens, qBpeTokens, qLangId, qQuality, qFingerprint, qSplit, qRebalance,
-      qRepetition, qLineDedup, qContamination, qStratified, qWeighted)
+      qRepetition, qLineDedup, qContamination, qStratified, qWeighted,
+      qReadability)
 }

@@ -1561,6 +1561,17 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rules(("b", "a")) == ((6666L, 10000L, 1000000L)), rules.toString)
   }
 
+  test("readability: counts and FK grade exact on a hand-counted sentence") {
+    import spark.implicits._
+    // "the cat sat. it ran!" -> 5 words, 2 sentences, 5 one-syllable words
+    // fk = 390000*5/2 + 11800000*5/5 - 15590000 = 975000 + 11800000 - 15590000
+    val out = TextOps.readability(
+        Seq((1L, "the cat sat. it ran!")).toDF("doc_id", "text"))
+      .collect().head
+    assert((out.getLong(1), out.getLong(2), out.getLong(3), out.getLong(4)) ==
+      ((2L, 5L, 5L, 975000L + 11800000L - 15590000L)), out.toString)
+  }
+
   test("joinDeltaMaintenance: stored view + delta equals full recompute, multiset-exact") {
     import spark.implicits._
     // duplicate keys on BOTH sides so any accidental distinct would show
