@@ -392,6 +392,70 @@ object MultimodalOps {
       CAST(MIN(CASE WHEN l1 * 2 > flen + pflen THEN frame_idx END) AS INTEGER) AS first_cut
     FROM c GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Silence/static-segment detection — the VAD (voice-activity) /
+    * dead-air analogue on the frame stub: a frame is "silent" when one
+    * byte class carries ≥ 90 % of its mass (10·max(hist) ≥ 9·flen,
+    * exact integers — a real build thresholds RMS energy behind the
+    * same contract), and runs of consecutive silent frames collapse via
+    * the gaps-and-islands identity. The trim-the-dead-air pass every
+    * audio/video ingestion pipeline runs before paying for transcription.
+    *
+    * Plan: frame stream → map-only silent flag → per-asset rank window
+    * on the silent subset → island agg → per-asset rollup. Linear in
+    * frames; windows keyed by the uniform asset id.
+    * Output: (doc_id, n_frames, n_silent, n_runs, longest_run).
+    */
+  def silenceRuns(frames: DataFrame): DataFrame = {
+    val silent = frames
+      .withColumn("mx", expr("array_max(hist)"))
+      .filter(col("mx") * 10 >= col("flen") * 9)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    val runs = silent
+      .withColumn("grp", col("frame_idx") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("len")).as("n_silent"), count(lit(1)).as("n_runs"),
+        max(col("len")).as("longest_run"))
+    frames.groupBy(col("doc_id")).agg(count(lit(1)).as("n_frames"))
+      .join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_frames"),
+        coalesce(col("n_silent"), lit(0L)).as("n_silent"),
+        coalesce(col("n_runs"), lit(0L)).as("n_runs"),
+        coalesce(col("longest_run"), lit(0L)).as("longest_run"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qSilence = GraftQuery(
+    "qm_silence_runs",
+    (s, dir) => silenceRuns(
+      frameHistograms(binaryAssets(s, dir), SceneStride).toDF()),
+    Some(s"""WITH f AS (SELECT doc_id, octet_length(encode(text)) AS len, text FROM documents),
+    idx AS (SELECT doc_id, text,
+      unnest(generate_series(0, CAST(ceil(len / $SceneStride.0) AS INTEGER) - 1)) AS frame_idx
+      FROM f),
+    sl AS (SELECT doc_id, frame_idx,
+      substr(text, frame_idx * $SceneStride + 1, $SceneStride) AS sl FROM idx),
+    h AS (SELECT doc_id, frame_idx, octet_length(encode(sl)) AS flen,
+      list_transform(generate_series(0, 7), k ->
+        CAST(len(list_filter(generate_series(1, length(sl)),
+          p -> ascii(substr(sl, p, 1)) // 32 = k)) AS BIGINT)) AS cs
+      FROM sl),
+    sil AS (SELECT doc_id, frame_idx FROM h WHERE list_max(cs) * 10 >= flen * 9),
+    isl AS (SELECT doc_id, frame_idx,
+        frame_idx - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY frame_idx) AS grp
+      FROM sil),
+    runs AS (SELECT doc_id, grp, COUNT(*) AS len FROM isl GROUP BY doc_id, grp),
+    agg AS (SELECT doc_id, SUM(len) AS n_silent, COUNT(*) AS n_runs,
+        MAX(len) AS longest_run FROM runs GROUP BY doc_id),
+    tot AS (SELECT doc_id, COUNT(*) AS n_frames FROM h GROUP BY doc_id)
+    SELECT t.doc_id, CAST(t.n_frames AS BIGINT) AS n_frames,
+      CAST(COALESCE(a.n_silent, 0) AS BIGINT) AS n_silent,
+      CAST(COALESCE(a.n_runs, 0) AS BIGINT) AS n_runs,
+      CAST(COALESCE(a.longest_run, 0) AS BIGINT) AS longest_run
+    FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
+    ORDER BY t.doc_id"""))
+
   val queries: Seq[GraftQuery] =
-    Seq(qBinaryMeta, qFrames, qFeatures, qPhash, qSceneCuts)
+    Seq(qBinaryMeta, qFrames, qFeatures, qPhash, qSceneCuts, qSilence)
 }

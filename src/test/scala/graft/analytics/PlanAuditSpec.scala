@@ -411,12 +411,20 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("scan+agg-only newcomers plan no join at all") {
-    Seq("qstat_linreg", "qstat_pettitt", "qprof_fd_violations", "qt_wordpiece")
+    Seq("qstat_linreg", "qstat_pettitt", "qprof_fd_violations")
       .foreach { name =>
         val plan = graft.SparkEntry.queries(name)(spark, sf)
           .queryExecution.executedPlan.toString
         assert(!plan.contains("Join"), s"$name grew a join:\n$plan")
       }
+  }
+
+  test("qt_wordpiece joins the distinct-word fold back on the word hash key only") {
+    val plan = graft.SparkEntry.queries("qt_wordpiece")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"wordpiece count join regressed to a pair scan:\n$plan")
   }
 
   test("qj_phonetic_blocking pairs via a key hash join, no cartesian/BNL") {
