@@ -130,6 +130,92 @@ object VocabOps {
       .limit(topK)
   }
 
+  // Declared before prfSql interpolates it (object init order).
+  private val Bm25Terms = Seq("spark", "query", "dup")
+
+  // ------------------------------------- pseudo-relevance feedback
+  /** Pseudo-relevance-feedback query expansion (Rocchio/RM3 family, the
+    * two-pass form): rank with the seed terms, harvest the `expandK`
+    * most frequent terms from the top `fbDocs` documents (excluding the
+    * seeds and ratio-capped stopwords: global df·5 ≤ n_docs·2, i.e.
+    * ≤ 40 % of docs), and re-rank with the expanded bag — the classic
+    * recall lever when seed queries are short.
+    *
+    * The harvested terms are the one driver fetch (≤ expandK strings
+    * from an ordered-limit plan — the sanctioned BPE-argmax shape);
+    * both BM25 passes are [[bm25Rank]]'s zero-corpus-shuffle plan, and
+    * the harvest itself is one broadcast semi-join of the fbDocs ids
+    * into a token scan plus a token-key agg. The oracle replays both
+    * passes with the expansion selected by subquery membership instead
+    * of a literal — same values by construction.
+    * Output: the expanded-query ranking, (doc_id, n_terms, score) top
+    * `topK`.
+    */
+  def prfExpand(docs: DataFrame, seedTerms: Seq[String], fbDocs: Int = 5,
+      expandK: Int = 3, idCol: String = "doc_id", textCol: String = "text",
+      topK: Int = 10): DataFrame = {
+    require(seedTerms.nonEmpty && fbDocs >= 1 && expandK >= 1)
+    val fb = bm25Rank(docs, seedTerms, idCol, textCol, topK = fbDocs)
+      .select(col("doc_id"))
+    val toks = norm(docs, idCol, textCol)
+      .select(col("doc_id"), explode(expr(toksExpr)).as("token"))
+    val nDocs = norm(docs, idCol, textCol).agg(count(lit(1)).as("n_docs"))
+    val gdf = toks.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("gdf"))
+    val expansion = toks.join(broadcast(fb), "doc_id")
+      .groupBy(col("token")).agg(count(lit(1)).as("tf_sum"))
+      .join(gdf, "token")
+      .crossJoin(broadcast(nDocs))
+      .filter(!col("token").isin(seedTerms: _*) &&
+        col("gdf") * 5 <= col("n_docs") * 2)
+      .orderBy(col("tf_sum").desc, col("token")).limit(expandK)
+      .select(col("token")).collect().map(_.getString(0)).toSeq
+    bm25Rank(docs, (seedTerms ++ expansion).distinct, idCol, textCol,
+      topK = topK)
+  }
+
+  private val PrfFb = 5
+  private val PrfK = 3
+
+  private val prfSql = {
+    val seeds = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+    dlt AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS dl FROM documents),
+    st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dlt),
+    qt1 AS (SELECT doc_id, token, COUNT(*) AS tf FROM t
+      WHERE token IN ($seeds) GROUP BY doc_id, token),
+    dfx1 AS (SELECT token, COUNT(*) AS df FROM qt1 GROUP BY token),
+    sc1 AS (SELECT qt1.doc_id, qt1.token, ${bm25TermExpr(1.2, 0.75)} AS ts
+      FROM qt1 JOIN dfx1 USING (token) JOIN dlt USING (doc_id) CROSS JOIN st),
+    ag1 AS (SELECT doc_id,
+      list_reduce(list_prepend(CAST(0 AS DOUBLE), list(ts ORDER BY token)),
+        (a, b) -> a + b) AS score
+      FROM sc1 GROUP BY doc_id),
+    fb AS (SELECT doc_id FROM ag1 ORDER BY score DESC, doc_id LIMIT $PrfFb),
+    gdf AS (SELECT token, COUNT(DISTINCT doc_id) AS gdf FROM t GROUP BY token),
+    cand AS (SELECT t.token, COUNT(*) AS tf_sum FROM t JOIN fb USING (doc_id)
+      GROUP BY t.token),
+    ex AS (SELECT cand.token FROM cand JOIN gdf USING (token) CROSS JOIN st
+      WHERE cand.token NOT IN ($seeds) AND gdf.gdf * 5 <= st.n_docs * 2
+      ORDER BY tf_sum DESC, cand.token LIMIT $PrfK),
+    terms2 AS (SELECT token FROM ex UNION SELECT unnest([$seeds]) AS token),
+    qt2 AS (SELECT doc_id, token, COUNT(*) AS tf FROM t
+      WHERE token IN (SELECT token FROM terms2) GROUP BY doc_id, token),
+    dfx2 AS (SELECT token, COUNT(*) AS df FROM qt2 GROUP BY token),
+    sc2 AS (SELECT qt2.doc_id, qt2.token, ${bm25TermExpr(1.2, 0.75)} AS ts
+      FROM qt2 JOIN dfx2 USING (token) JOIN dlt USING (doc_id) CROSS JOIN st),
+    ag2 AS (SELECT doc_id, COUNT(*) AS n_terms,
+      list_reduce(list_prepend(CAST(0 AS DOUBLE), list(ts ORDER BY token)),
+        (a, b) -> a + b) AS score
+      FROM sc2 GROUP BY doc_id)
+    SELECT doc_id, n_terms, score FROM ag2 ORDER BY score DESC, doc_id LIMIT 10"""
+  }
+
+  private val qPrf = GraftQuery(
+    "qt_prf_expansion",
+    (s, dir) => prfExpand(Tables.documents(s, dir), Bm25Terms, PrfFb, PrfK),
+    Some(prfSql))
+
   // ---------------------------------------------------------- BPE trainer
 
   /** A learned BPE merge: at `round`, symbols (`lhs`, `rhs`) — the corpus's
@@ -269,8 +355,6 @@ object VocabOps {
       levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS lev_prefix40
     FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
     ORDER BY a.doc_id"""))
-
-  private val Bm25Terms = Seq("spark", "query", "dup")
 
   private val qBm25 = GraftQuery(
     "qt_bm25",
@@ -853,5 +937,5 @@ object VocabOps {
   def queries: Seq[GraftQuery] =
     Seq(qVocab, qKeywords, qEditDist, qBm25, qBpeTrain, qBpeTokenize, qCountMin,
       qPhrase, qBigramNovelty, qVocabCoverage, qWordpiece, qBackoff,
-      qFertility)
+      qFertility, qPrf)
 }

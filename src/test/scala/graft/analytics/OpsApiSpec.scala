@@ -1572,6 +1572,22 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       ((2L, 5L, 5L, 975000L + 11800000L - 15590000L)), out.toString)
   }
 
+  test("prfExpand: feedback term from the top doc rescues an unseeded match") {
+    import spark.implicits._
+    // seed 'alpha' ranks docs 1,2; their shared co-term 'beta' expands the
+    // query, so doc 3 (beta-only) enters the final ranking. 'the' appears
+    // in every doc -> stopword ratio cap excludes it.
+    val docs = Seq(
+      (1L, "the alpha beta gamma"), (2L, "the alpha beta delta"),
+      (3L, "the beta beta epsilon"), (4L, "the zeta eta theta"))
+      .toDF("doc_id", "text")
+    val ranked = VocabOps.prfExpand(docs, Seq("alpha"), fbDocs = 2,
+        expandK = 1, topK = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(ranked.contains(3L), s"expansion missed the beta-only doc: $ranked")
+    assert(!ranked.contains(4L), s"unrelated doc ranked: $ranked")
+  }
+
   test("joinDeltaMaintenance: stored view + delta equals full recompute, multiset-exact") {
     import spark.implicits._
     // duplicate keys on BOTH sides so any accidental distinct would show
