@@ -1577,9 +1577,12 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     // seed 'alpha' ranks docs 1,2; their shared co-term 'beta' expands the
     // query, so doc 3 (beta-only) enters the final ranking. 'the' appears
     // in every doc -> stopword ratio cap excludes it.
+    // beta must stay under the 40% df stopword cap: 3 of 8 docs.
     val docs = Seq(
       (1L, "the alpha beta gamma"), (2L, "the alpha beta delta"),
-      (3L, "the beta beta epsilon"), (4L, "the zeta eta theta"))
+      (3L, "the beta beta epsilon"), (4L, "the zeta eta theta"),
+      (5L, "the kappa lambda mu"), (6L, "the nu xi omicron"),
+      (7L, "the pi rho sigma"), (8L, "the tau upsilon phi"))
       .toDF("doc_id", "text")
     val ranked = VocabOps.prfExpand(docs, Seq("alpha"), fbDocs = 2,
         expandK = 1, topK = 4)
