@@ -405,6 +405,93 @@ object StatTests {
            // NULLIF(d2, 0) AS BIGINT) AS r2_bp
     FROM b ORDER BY o_orderpriority"""))
 
+  // ------------------------------------- Mann–Whitney U test
+  /** Two-sample Mann–Whitney U (Wilcoxon rank-sum) — the nonparametric
+    * "did the distribution shift" companion to [[ksTest]]: KS is
+    * sensitive to any ECDF gap, U specifically to stochastic dominance
+    * (one side tending larger). Exact integer formulation with AVERAGE
+    * ranks for ties, kept integral in DOUBLE-RANK units (a tie group of
+    * k rows after c predecessors has average rank c + (k+1)/2, i.e.
+    * 2c + k + 1 double-units — never a .5):
+    *
+    *   R1×2 = Σ_groups k1·(2c + k + 1),  U1×2 = R1×2 − n1(n1+1)
+    *
+    * (U1 = R1 − n1(n1+1)/2, the "pairs where sample 1 wins" convention;
+    * U1 + U2 = n1n2).
+    *
+    * Decision at α = 0.05 two-sided via the large-sample normal
+    * approximation, pre-squared and denominator-cleared to ONE integer
+    * comparison in DECIMAL(38,0)/HUGEINT. With D = U1×2 − n1n2
+    * (= 2(U1 − μ), μ = n1n2/2) and σ² = n1n2(n1+n2+1)/12:
+    *
+    *   z² > 1.96² = 3.8416  ⟺  D²/4 > 3.8416·σ²
+    *                        ⟺  30000·D² > 38416·n1·n2·(n1+n2+1)
+    *
+    * (multiply both sides by 12·10⁴/4 — exact, no floats). No
+    * tie-variance correction (documented; slightly conservative when
+    * ties are heavy).
+    * Rank-biserial effect size in bp: r_bp = 10⁴·U1×2 DIV (n1n2) − 10⁴.
+    *
+    * Plan: identical to [[ksTest]] — value-group collapse, one ordered
+    * cumsum window over the distinct value domain, one aggregate.
+    */
+  def mannWhitney(vals: DataFrame, valueCol: String, isFirst: Column): DataFrame = {
+    val g = vals
+      .select(col(valueCol).as("v"), isFirst.cast("int").as("one"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("v"))
+      .agg(sum(col("one")).as("k1"), sum(lit(1) - col("one")).as("k2"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("c", coalesce(sum(col("k1") + col("k2")).over(w), lit(0L)))
+      .agg(sum(col("k1")).as("n1"), sum(col("k2")).as("n2"),
+        sum(dec(col("k1")) * (lit(2).cast("decimal(38,0)") * col("c")
+          + col("k1") + col("k2") + 1)).as("r1x2"))
+      .select(col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+        (col("r1x2") - dec(col("n1")) * (col("n1") + 1)).as("u1x2d"), col("r1x2"))
+      .select(col("n1"), col("n2"),
+        col("u1x2d").cast("long").as("u1_x2"),
+        (dec(lit(2)) * col("n1") * col("n2") - col("u1x2d")).cast("long").as("u2_x2"),
+        expr("CAST((CAST(10000 AS DECIMAL(38,0)) * u1x2d) div (CAST(n1 AS DECIMAL(38,0)) * n2) - 10000 AS BIGINT)")
+          .as("rank_biserial_bp"),
+        (dec(lit(30000)) * (col("u1x2d") - dec(col("n1")) * col("n2"))
+          * (col("u1x2d") - dec(col("n1")) * col("n2")) >
+          dec(lit(38416)) * col("n1") * col("n2") * (col("n1") + col("n2") + 1))
+          .as("reject_05"))
+  }
+
+  /** Purchase vs click values again (the qstat_ks_test pairing) — U asks
+    * the directional question KS can't: does one event type's value
+    * distribution stochastically dominate the other's.
+    */
+  private val qMwu = GraftQuery(
+    "qstat_mann_whitney",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type").isin("purchase", "click"))
+      mannWhitney(ev, "value", col("event_type") === "purchase")
+    },
+    Some("""WITH g AS (SELECT value AS v,
+        SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS k1,
+        SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS k2
+      FROM events WHERE event_type IN ('purchase', 'click')
+        AND value IS NOT NULL GROUP BY value),
+    cum AS (SELECT k1, k2,
+        COALESCE(SUM(k1 + k2) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+      FROM g),
+    a AS (SELECT CAST(SUM(k1) AS HUGEINT) AS n1, CAST(SUM(k2) AS HUGEINT) AS n2,
+        SUM(CAST(k1 AS HUGEINT) * (2 * c + k1 + k2 + 1)) AS r1x2
+      FROM cum),
+    b AS (SELECT n1, n2, r1x2 - n1 * (n1 + 1) AS u1x2 FROM a)
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      CAST(u1x2 AS BIGINT) AS u1_x2,
+      CAST(2 * n1 * n2 - u1x2 AS BIGINT) AS u2_x2,
+      CAST((10000 * u1x2) // (n1 * n2) - 10000 AS BIGINT) AS rank_biserial_bp,
+      30000 * (u1x2 - n1 * n2) * (u1x2 - n1 * n2) >
+        38416 * n1 * n2 * (n1 + n2 + 1) AS reject_05
+    FROM b"""))
+
   // ------------------------------------- weighted median
   /** Exact weighted median per group — the robust center for weighted
     * populations (median price weighted by units sold, median doc score
@@ -581,5 +668,5 @@ object StatTests {
     FROM a ORDER BY c_mktsegment"""))
 
   val queries: Seq[GraftQuery] =
-    Seq(qChisq, qKs, qBoot, qGini, qLinReg, qPettitt, qWMedian)
+    Seq(qChisq, qKs, qBoot, qGini, qLinReg, qPettitt, qWMedian, qMwu)
 }

@@ -1591,6 +1591,20 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!ranked.contains(4L), s"unrelated doc ranked: $ranked")
   }
 
+  test("mannWhitney: dominated sample scores U1=0; ties take half-wins exactly") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val a = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L)).toDF("s", "v")
+    val r1 = StatTests.mannWhitney(a, "v", col("s") === "a").collect().head
+    // sample a always loses: U1x2 = 0, U2x2 = 8, r = -1
+    assert((r1.getLong(2), r1.getLong(3), r1.getLong(4), r1.getBoolean(5)) ==
+      ((0L, 8L, -10000L, false)), r1.toString)
+    val t = Seq(("a", 1L), ("a", 1L), ("b", 1L), ("b", 2L)).toDF("s", "v")
+    val r2 = StatTests.mannWhitney(t, "v", col("s") === "a").collect().head
+    // two (1,1) ties at half a win each: U1 = 1 -> x2 units = 2
+    assert(r2.getLong(2) == 2L && r2.getLong(3) == 6L, r2.toString)
+  }
+
   test("joinDeltaMaintenance: stored view + delta equals full recompute, multiset-exact") {
     import spark.implicits._
     // duplicate keys on BOTH sides so any accidental distinct would show
