@@ -872,9 +872,57 @@ object EventsQueries {
       len AS longest_streak, start AS streak_start
     FROM best WHERE rk = 1 ORDER BY user_id"""))
 
+  // Interval-union coverage: total ACTIVE time per user when every event
+  // opens a fixed attention window [ts, ts+5min) — overlaps must merge,
+  // or a burst of events triple-counts the same minutes. The classic
+  // merge-overlapping-intervals problem via the running-max-end island
+  // identity: a new island starts exactly when this interval's start
+  // exceeds the max end seen so far. Two per-user windows (running max,
+  // island cumsum) + two aggs — uniform user keys, no self-joins.
+  private val qCoverage = GraftQuery(
+    "qe_covered_time",
+    (s, dir) => {
+      val winUs = 300000000L // 5 min
+      val wOrd = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+      val iv = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("e", col("us") + winUs)
+        .withColumn("pmax", max(col("e")).over(wPrev))
+        .withColumn("new_isl",
+          when(col("pmax").isNull || col("us") > col("pmax"), 1L).otherwise(0L))
+        .withColumn("isl", sum(col("new_isl")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      iv.groupBy(col("user_id"), col("isl"))
+        .agg(min(col("us")).as("s0"), max(col("e")).as("e0"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("e0") - col("s0")).as("covered_us"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        epoch_us(ts) + 300000000 AS e FROM events),
+    mx AS (SELECT user_id, us, e,
+        MAX(e) OVER (PARTITION BY user_id ORDER BY us, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      FROM iv),
+    fl AS (SELECT user_id, us, e,
+        CASE WHEN pmax IS NULL OR us > pmax THEN 1 ELSE 0 END AS new_isl,
+        us AS ord_us FROM mx),
+    isl AS (SELECT user_id, us, e,
+        SUM(new_isl) OVER (PARTITION BY user_id ORDER BY us, e
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+      FROM fl),
+    runs AS (SELECT user_id, isl, MIN(us) AS s0, MAX(e) AS e0
+      FROM isl GROUP BY user_id, isl)
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+      CAST(SUM(e0 - s0) AS BIGINT) AS covered_us
+    FROM runs GROUP BY user_id ORDER BY user_id"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qTumbling, qSliding, qSessions, qJson, qTopUsers, qDeltas, qZscore,
       qFunnel, qRetention, qResample, qHistogram, qPattern, qTransitions,
       qDecayWma, qAttribution, qCusum, qMadAnomaly, qTopPaths, qSlidingDistinct,
-      qSeasonal, qFunnelTime, qCep, qStreak)
+      qSeasonal, qFunnelTime, qCep, qStreak, qCoverage)
 }

@@ -1605,6 +1605,27 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r2.getLong(2) == 2L && r2.getLong(3) == 6L, r2.toString)
   }
 
+  test("interval union: overlapping windows merge, disjoint bursts add") {
+    // covered-time semantics pinned through the qe_covered_time binding's
+    // exact oracle at the gate; here pin the island identity on raw data:
+    // 3 events at 0s, 60s, 1000s with 300s windows -> 2 islands,
+    // covered = (60+300) + 300 seconds.
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions._
+    val winUs = 300000000L
+    val wOrd = W.partitionBy(col("u")).orderBy(col("us"))
+    val iv = Seq((1L, 0L), (1L, 60000000L), (1L, 1000000000L)).toDF("u", "us")
+      .withColumn("e", col("us") + winUs)
+      .withColumn("pmax", max(col("e")).over(wOrd.rowsBetween(W.unboundedPreceding, -1)))
+      .withColumn("ni", when(col("pmax").isNull || col("us") > col("pmax"), 1L).otherwise(0L))
+      .withColumn("isl", sum(col("ni")).over(wOrd.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .groupBy(col("u"), col("isl")).agg(min(col("us")).as("s0"), max(col("e")).as("e0"))
+      .groupBy(col("u")).agg(count(lit(1)).as("n"), sum(col("e0") - col("s0")).as("cov"))
+      .collect().head
+    assert((iv.getLong(1), iv.getLong(2)) == ((2L, 360000000L + 300000000L)), iv.toString)
+  }
+
   test("joinDeltaMaintenance: stored view + delta equals full recompute, multiset-exact") {
     import spark.implicits._
     // duplicate keys on BOTH sides so any accidental distinct would show
