@@ -535,6 +535,87 @@ object VocabOps {
     },
     Some(wordpieceSql))
 
+  // ------------------------------------------------- piece utilization
+  /** Tokenizer-vocabulary UTILIZATION: how often each piece is actually
+    * emitted by greedy segmentation over the corpus — the "which vocab
+    * slots earn their keep" readout that drives piece pruning
+    * (SentencePiece's EM prune step uses exactly these usage counts).
+    * Reuses the [[wordpieceTokenize]] fold but accumulates the matched
+    * piece SEQUENCE per distinct word (array-append in the fold state),
+    * explodes it, and weights by word frequency; an uncovered character
+    * surfaces as the literal piece `?` (the UNK slot). Distinct-word
+    * evaluation + one uniform word-key join + piece-key agg — same
+    * scale shape as the tokenizer itself.
+    * Output: top `topK` (piece, n_words, usage) by usage.
+    */
+  def pieceUsage(docs: DataFrame, pieces: Seq[String], topK: Int = 30,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(pieces.nonEmpty &&
+      pieces.forall(p => p.nonEmpty && p.forall(c => c >= 'a' && c <= 'z')),
+      "pieces must be non-empty [a-z]+ strings")
+    val pLit = pieces.map(p => s"'$p'").mkString("array(", ", ", ")")
+    def mlExpr = s"""array_max(transform(filter($pLit,
+        p -> substring(w, acc.pos, length(p)) = p), p -> length(p)))"""
+    val foldExpr =
+      s"""aggregate(sequence(1, length(w)),
+          named_struct('pos', 1, 'ps', cast(array() as array<string>)),
+          (acc, i) -> IF(i = acc.pos,
+            named_struct(
+              'pos', acc.pos + coalesce($mlExpr, 1),
+              'ps', concat(acc.ps, array(
+                IF($mlExpr IS NULL, '?', substring(w, acc.pos, $mlExpr))))),
+            acc),
+          acc -> acc.ps)"""
+    val wf = norm(docs, idCol, textCol)
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    wf.withColumn("piece", explode(expr(foldExpr)))
+      .groupBy(col("piece"))
+      // countDistinct, not count: a word can emit the same piece twice
+      // ('aa' twice in 'aaaa') and must tally once in n_words
+      .agg(countDistinct(col("w")).as("n_words"), sum(col("cnt")).as("usage"))
+      .orderBy(col("usage").desc, col("piece"))
+      .limit(topK)
+  }
+
+  private val PuTopK = 30
+
+  /** Usage over the BPE-trained inventory; the oracle re-derives pieces
+    * through the training CTEs and re-segments with the recursive
+    * longest-match CTE, emitting each step's matched piece.
+    */
+  private val pieceUsageSql = s"""WITH RECURSIVE $bpeW0,
+    ${(1 to BpeRounds).map(bpePairCte).mkString(",\n    ")},
+    pieces AS (SELECT chr(CAST(96 + i AS INTEGER)) AS piece
+        FROM (SELECT unnest(generate_series(1, 26)) AS i)
+      ${(1 to BpeRounds).map(t => s"UNION ALL SELECT l || r FROM b$t").mkString(" ")}),
+    wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM
+      (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents)
+      GROUP BY w),
+    seg AS (SELECT w, 1 AS pos, CAST(NULL AS VARCHAR) AS pc FROM wf
+      UNION ALL
+      SELECT w, pos + COALESCE(ml, 1),
+        CASE WHEN ml IS NULL THEN '?' ELSE substr(w, pos, ml) END
+      FROM (SELECT w, pos,
+          (SELECT MAX(length(piece)) FROM pieces
+           WHERE piece = substr(w, pos, length(piece))) AS ml
+        FROM seg WHERE pos <= length(w))),
+    st AS (SELECT w, pc FROM seg WHERE pc IS NOT NULL)
+    SELECT pc AS piece, CAST(COUNT(DISTINCT w) AS BIGINT) AS n_words,
+      CAST(SUM(cnt) AS BIGINT) AS usage
+    FROM st JOIN wf USING (w)
+    GROUP BY pc ORDER BY usage DESC, piece LIMIT $PuTopK"""
+
+  private val qPieceUsage = GraftQuery(
+    "qt_piece_usage",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = Memo.value(s, s"bpe_merges:$dir")(bpeTrain(docs, BpeRounds))
+      pieceUsage(docs,
+        ('a' to 'z').map(_.toString) ++ merges.map(m => m.lhs + m.rhs), PuTopK)
+    },
+    Some(pieceUsageSql))
+
   // ------------------------------------------------- count-min sketch
   /** Count-min sketch heavy hitters: estimate token frequencies through a
     * d×w counter grid instead of a full per-token aggregation — THE
@@ -937,5 +1018,5 @@ object VocabOps {
   def queries: Seq[GraftQuery] =
     Seq(qVocab, qKeywords, qEditDist, qBm25, qBpeTrain, qBpeTokenize, qCountMin,
       qPhrase, qBigramNovelty, qVocabCoverage, qWordpiece, qBackoff,
-      qFertility, qPrf)
+      qFertility, qPrf, qPieceUsage)
 }
