@@ -716,6 +716,31 @@ object DedupOps {
       .orderBy(col("vec_id"))
   }
 
+  // Pipeline observability: exact-dup rate SLICED by source — the first
+  // question after any dedup pass ("which feed is flooding us with
+  // copies"). One join of the dedup verdicts to the source column + a
+  // source-key agg; rates in exact bp.
+  private val qDupBySource = GraftQuery(
+    "qd_dup_rate_by_source",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      exactDedup(docs)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dups"))
+        .withColumn("dup_bp", expr("10000 * n_dups div n_docs"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH f AS (SELECT doc_id, source,
+        md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp FROM documents),
+      d AS (SELECT source,
+        doc_id <> MIN(doc_id) OVER (PARTITION BY fp) AS is_dup FROM f)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+        CAST(10000 * SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) // COUNT(*) AS BIGINT) AS dup_bp
+      FROM d GROUP BY source ORDER BY source"""))
+
   private val DbTheta = 0.3
   private val DbMinPts = 4
 
@@ -1150,6 +1175,6 @@ object DedupOps {
 
   val queries: Seq[GraftQuery] =
     Seq(qExact, qNgram, qMinhash, qCrossContain, qSimhash, qEmbed, qClusters,
-      qCanonical, qDbscan, qSpans, qBloom, qUrlDedup, qLshRecall, qWinnow,
+      qCanonical, qDbscan, qDupBySource, qSpans, qBloom, qUrlDedup, qLshRecall, qWinnow,
       qClusterStats)
 }

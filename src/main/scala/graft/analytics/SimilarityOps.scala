@@ -586,6 +586,58 @@ object SimilarityOps {
       Tables.embeddings(s, dir).filter(col("vec_id") < NQ), K),
     Some(ivfTrainedSql))
 
+  // ------------------------------------------- IVF probe curve
+  /** Recall-vs-nprobe curve over the TRAINED quantizer — the tuning
+    * instrument that turns "pick nprobe" from folklore into a table:
+    * each row is the recall of [[annIvfTrained]] at one probe width
+    * against the exact top-k. The exact baseline is checkpointed once,
+    * training runs once (memoized — shared with qs_ann_recall's trained
+    * legs), and each curve point is one corpus scan + cell join. The
+    * cost model is linear in Σnprobe; the curve's knee is where to stop
+    * paying.
+    * Output: (nprobe, recall) for nprobe ∈ {1, 2, 4, 8}.
+    */
+  private def trainedCents(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Memo.value(s, s"ivfTrainedCents:$dir")(
+      trainCentroids(Tables.embeddings(s, dir)))
+
+  private val ProbeWidths = Seq(1, 2, 4, 8)
+
+  private def probeBranchSql(np: Int, approxSql: String) =
+    s"""SELECT $np AS nprobe,
+      CAST(SUM(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        / COUNT(*) AS recall
+      FROM ($bruteSql) e LEFT JOIN ($approxSql) a
+      ON e.query_id = a.query_id AND e.cand_id = a.cand_id"""
+
+  private def ivfTrainedNpSql(np: Int) =
+    s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ${lloydSql(IvfIters)},
+    ${ivfTailSqlNp(s"cw$IvfIters", np)}"""
+
+  private val qProbeCurve = GraftQuery(
+    "qs_ivf_probe_curve",
+    (s, dir) => {
+      val corpus = Tables.embeddings(s, dir)
+      val q = corpus.filter(col("vec_id") < NQ)
+      val exact = cosineTopK(corpus, q, K).localCheckpoint()
+      val trained = trainedCents(s, dir)
+      ProbeWidths.map { np =>
+        annRecall(exact, annIvf(corpus, q, K, trained, nprobe = np))
+          .withColumn("nprobe", lit(np))
+      }.reduce(_ unionByName _)
+        .select(col("nprobe"), col("recall"))
+        .orderBy(col("nprobe"))
+    },
+    // nprobe = 2 takes the best+second-best formulation exactly like the
+    // Spark branch; the other widths take the threshold formulation
+    Some(Seq(
+      probeBranchSql(1, ivfTrainedNpSql(1)),
+      probeBranchSql(2, ivfTrainedSql),
+      probeBranchSql(4, ivfTrainedNpSql(4)),
+      probeBranchSql(8, ivfTrainedNpSql(8)))
+      .mkString("", "\nUNION ALL ", "\nORDER BY nprobe")))
+
   // ------------------------------------------- product quantization (ADC)
   /** PQ geometry: 64 dims split into `SubM`=4 subspaces of `SubDim`=16,
     * `PqK`=8 codewords per subspace → each corpus vector compresses to 4
@@ -1150,8 +1202,9 @@ object SimilarityOps {
       // brute-force corpus scan (6× the dominant cost of this query)
       val exact = cosineTopK(corpus, q, K).localCheckpoint()
       // one shared training run: the ivf_trained and ivfpq branches use the
-      // identical quantizer, so Lloyd runs once, not twice
-      val trained = trainCentroids(corpus)
+      // identical quantizer, so Lloyd runs once, not twice (memoized —
+      // qs_ivf_probe_curve reads the same centroids)
+      val trained = trainedCents(s, dir)
       annRecall(exact, annIvf(corpus, q, K)).withColumn("method", lit("ivf"))
         .unionByName(
           annRecall(exact, annIvf(corpus, q, K, trained))
@@ -2571,5 +2624,5 @@ object SimilarityOps {
     qAnnLshMp, qAnnFiltered, qRecall, qMrr, qSq, qSqPacked, qCentroids, qKmeans,
     qOutliers, qSemDedup, qPq, qIvfPq, qIvfPqRes, qKnn, qRp, qMmr, qRrf,
     qKCenter, qGraphAnn, qHardNeg, qMrl, qRbp, qBitext, qNdcg, qSilhouette,
-    qShapley)
+    qShapley, qProbeCurve)
 }

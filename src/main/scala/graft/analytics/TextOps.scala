@@ -123,6 +123,47 @@ object TextOps {
         + 11800000 * n_syllables // n_words - 15590000 AS BIGINT) AS fk_grade_micro
     FROM m ORDER BY doc_id"""))
 
+  /** Classifier-vs-label confusion matrix with per-cell share — the
+    * evaluation rollup run after ANY per-row classifier (here the langId
+    * heuristic vs the corpus's `lang` label): one (label, pred) uniform-
+    * key aggregation plus a per-label window for the row-normalized
+    * share in bp. The inputs are whole columns, so any predictor slots
+    * in; cell counts are the precision/recall raw material.
+    * Output: (labeled, predicted, n, row_share_bp) ordered by cell.
+    */
+  def confusionMatrix(rows: org.apache.spark.sql.DataFrame,
+      labelCol: String, predCol: String): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("labeled"))
+    rows.select(col(labelCol).as("labeled"), col(predCol).as("predicted"))
+      .groupBy(col("labeled"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("_tot", sum(col("n")).over(w))
+      .withColumn("row_share_bp", expr("10000 * n div _tot"))
+      .drop("_tot")
+      .orderBy(col("labeled"), col("predicted"))
+  }
+
+  private val qLangConfusion = GraftQuery(
+    "qt_lang_confusion",
+    (s, dir) => confusionMatrix(
+      langId(Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("text")))
+        .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")), "doc_id"),
+      "lang", "pred_lang"),
+    Some(s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+    h AS (SELECT doc_id, lang,
+      len(list_filter(toks, x -> x IN $stopEn)) AS en_hits,
+      len(list_filter(toks, x -> x IN $stopData)) AS data_hits
+    FROM t),
+    p AS (SELECT lang AS labeled,
+      CASE WHEN en_hits * 3 >= data_hits THEN 'en' ELSE 'data' END AS predicted
+    FROM h),
+    c AS (SELECT labeled, predicted, CAST(COUNT(*) AS BIGINT) AS n
+      FROM p GROUP BY labeled, predicted)
+    SELECT labeled, predicted, n,
+      CAST(10000 * n // SUM(n) OVER (PARTITION BY labeled) AS BIGINT) AS row_share_bp
+    FROM c ORDER BY labeled, predicted"""))
+
   /** md5 + 60-bit numeric fingerprint of the normalized text. */
   def fingerprint(docs: org.apache.spark.sql.DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame =
@@ -647,5 +688,5 @@ object TextOps {
   val queries: Seq[GraftQuery] =
     Seq(qTokens, qBpeTokens, qLangId, qQuality, qFingerprint, qSplit, qRebalance,
       qRepetition, qLineDedup, qContamination, qStratified, qWeighted,
-      qReadability)
+      qReadability, qLangConfusion)
 }
