@@ -920,9 +920,47 @@ object EventsQueries {
       CAST(SUM(e0 - s0) AS BIGINT) AS covered_us
     FROM runs GROUP BY user_id ORDER BY user_id"""))
 
+  // OHLC (open/high/low/close) daily bars per event type — the candle
+  // aggregation time-series stores ship natively, here one hash agg:
+  // open/close are min/max over the (us, event_id, cents) struct order
+  // (event_id breaks timestamp ties deterministically), high/low plain
+  // min/max. Uniform (type, day) keys, map-side partials.
+  private val qOhlc = GraftQuery(
+    "qe_ohlc",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          unix_micros(col("ts")).as("us"), col("event_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"),
+          min(struct(col("us"), col("event_id"), col("cents"))).as("_o"),
+          max(col("cents")).as("high_cents"),
+          min(col("cents")).as("low_cents"),
+          max(struct(col("us"), col("event_id"), col("cents"))).as("_c"))
+        .select(col("event_type"), col("day"), col("n"),
+          col("_o.cents").as("open_cents"), col("high_cents"),
+          col("low_cents"), col("_c.cents").as("close_cents"))
+        .orderBy(col("event_type"), col("day"))
+    },
+    Some("""WITH b AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        epoch_us(ts) AS us, event_id,
+        CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      r AS (SELECT *,
+        ROW_NUMBER() OVER (PARTITION BY event_type, day
+          ORDER BY us, event_id) AS rn,
+        ROW_NUMBER() OVER (PARTITION BY event_type, day
+          ORDER BY us DESC, event_id DESC) AS rrn
+      FROM b)
+      SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n,
+        MIN(CASE WHEN rn = 1 THEN cents END) AS open_cents,
+        MAX(cents) AS high_cents, MIN(cents) AS low_cents,
+        MIN(CASE WHEN rrn = 1 THEN cents END) AS close_cents
+      FROM r GROUP BY event_type, day ORDER BY event_type, day"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qTumbling, qSliding, qSessions, qJson, qTopUsers, qDeltas, qZscore,
       qFunnel, qRetention, qResample, qHistogram, qPattern, qTransitions,
       qDecayWma, qAttribution, qCusum, qMadAnomaly, qTopPaths, qSlidingDistinct,
-      qSeasonal, qFunnelTime, qCep, qStreak, qCoverage)
+      qSeasonal, qFunnelTime, qCep, qStreak, qCoverage, qOhlc)
 }

@@ -310,6 +310,41 @@ object GraphOps {
     FROM ne JOIN deg du ON ne.u = du.n JOIN deg dv ON ne.v = dv.n
     ORDER BY common DESC, jaccard_bp DESC, u, v LIMIT $LpTopK"""
 
+  /** Degree distribution — the first graph-QA readout (hub detection,
+    * power-law sanity, skew-guard sizing for every wedge/projection op):
+    * one degree agg + one degree-key recount, plus each degree's share
+    * of nodes in bp. Output: (degree, n_nodes, share_bp) ascending.
+    */
+  def degreeDistribution(edgesIn: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val e = edgesIn
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = e.select(explode(array(col("a"), col("b"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("degree"))
+    val tot = deg.agg(count(lit(1)).as("n_total"))
+    deg.groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(broadcast(tot))
+      .withColumn("share_bp", expr("10000 * n_nodes div n_total"))
+      .select(col("degree"), col("n_nodes"), col("share_bp"))
+      .orderBy(col("degree"))
+  }
+
+  private val qDegreeDist = GraftQuery(
+    "qg_degree_dist",
+    (s, dir) => degreeDistribution(coSupplierEdges(s, dir)),
+    Some("""WITH ls AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'),
+    e0 AS (SELECT DISTINCT a.sk AS a, b.sk AS b
+      FROM ls a JOIN ls b ON a.ok = b.ok AND a.sk < b.sk),
+    deg AS (SELECT n, COUNT(*) AS degree FROM
+      (SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0) GROUP BY n),
+    t AS (SELECT COUNT(*) AS n_total FROM deg)
+    SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+      CAST(10000 * COUNT(*) // t.n_total AS BIGINT) AS share_bp
+    FROM deg CROSS JOIN t GROUP BY degree, t.n_total ORDER BY degree"""))
+
   private val qLinkPredict = GraftQuery(
     "qg_link_predict",
     (s, dir) => linkPredict(coSupplierEdges(s, dir), LpTopK, LpHubCap),
@@ -783,5 +818,5 @@ object GraphOps {
 
   def queries: Seq[GraftQuery] =
     Seq(qPageRank, qTriangles, qLpa, qKcore, qReach, qSubtree, qSssp, qPpr,
-      qLinkPredict)
+      qLinkPredict, qDegreeDist)
 }
