@@ -1626,6 +1626,27 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((iv.getLong(1), iv.getLong(2)) == ((2L, 360000000L + 300000000L)), iv.toString)
   }
 
+  test("pieceUsage: repeated piece in one word tallies usage twice, n_words once") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaaa aaaa b")).toDF("doc_id", "text")
+    val out = VocabOps.pieceUsage(docs, Seq("a", "aa", "b"), topK = 10)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // 'aaaa' (freq 2) segments greedily as aa+aa: usage 2 occurrences x
+    // freq 2 = 4, from ONE distinct word; 'b' once.
+    assert(out == Map("aa" -> ((1L, 4L)), "b" -> ((1L, 1L))), out.toString)
+  }
+
+  test("silenceRuns: dominant-class frames form runs; mixed frames break them") {
+    import spark.implicits._
+    // stride 4: "aaaa"(silent) "aaaa"(silent) "a0b1"(mixed) "bbbb"(silent)
+    val assets = Seq((3L, "aaaaaaaaa0b1bbbb".getBytes("UTF-8"))).toDS()
+    val out = MultimodalOps.silenceRuns(
+        MultimodalOps.frameHistograms(assets, 4).toDF())
+      .collect().head
+    assert((out.getLong(1), out.getLong(2), out.getLong(3), out.getLong(4)) ==
+      ((4L, 3L, 2L, 2L)), out.toString)
+  }
+
   test("joinDeltaMaintenance: stored view + delta equals full recompute, multiset-exact") {
     import spark.implicits._
     // duplicate keys on BOTH sides so any accidental distinct would show
