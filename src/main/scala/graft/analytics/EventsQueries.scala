@@ -958,6 +958,26 @@ object EventsQueries {
         MIN(CASE WHEN rrn = 1 THEN cents END) AS close_cents
       FROM r GROUP BY event_type, day ORDER BY event_type, day"""))
 
+  /** Streaming twin of qe_ohlc: running OHLC bars on `transformWithState`
+    * keyed by a caller-encoded (series, bucket) string. Open/close carry
+    * their (us, event_id) coordinates in state, so min/max-by-order
+    * semantics survive ANY micro-batch split — including late data — and
+    * the last emitted bar per key equals the batch aggregation over
+    * everything seen (StreamingExtrasSpec pins it).
+    * Input columns: (key, us, event_id, cents).
+    */
+  def ohlcStream(rows: DataFrame): DataFrame = {
+    import rows.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    rows.select(col("key").cast("string"), col("us").cast("long"),
+        col("event_id").cast("long"), col("cents").cast("long"))
+      .as[(String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new graft.streaming.OhlcProcessor,
+        TimeMode.None(), OutputMode.Append())
+      .toDF("key", "n", "open_cents", "high_cents", "low_cents", "close_cents")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(qTumbling, qSliding, qSessions, qJson, qTopUsers, qDeltas, qZscore,
       qFunnel, qRetention, qResample, qHistogram, qPattern, qTransitions,

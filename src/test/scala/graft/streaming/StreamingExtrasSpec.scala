@@ -187,6 +187,33 @@ class StreamingExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(last(9L)._2 == 1L && last(9L)._3 == 2)
   }
 
+  test("streaming OHLC equals the batch struct-order aggregation with late data") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(String, Long, Long, Long)](spark)
+    val out = graft.analytics.EventsQueries.ohlcStream(
+      input.toDS().toDF("key", "us", "event_id", "cents"))
+    @volatile var last: Map[String, (Long, Long, Long, Long, Long)] = Map.empty
+    val q = out.writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        last = last ++ df.collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ohlc").toString)
+      .start()
+    input.addData(("k", 100L, 1L, 50L), ("k", 200L, 2L, 80L))
+    q.processAllAvailable()
+    // batch 2: a LATE row before the current open (us 50) must take over
+    // open; a later row moves close; low drops
+    input.addData(("k", 50L, 3L, 70L), ("k", 300L, 4L, 20L))
+    q.processAllAvailable()
+    q.stop()
+    // batch semantics: open = cents at min (us,id) = 70, close at max = 20
+    assert(last("k") == ((4L, 70L, 80L, 20L, 20L)), last.toString)
+  }
+
   test("streaming SCD2 change capture equals the batch LAG collapse") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, unix_micros}
