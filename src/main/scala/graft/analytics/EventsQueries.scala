@@ -920,6 +920,42 @@ object EventsQueries {
       CAST(SUM(e0 - s0) AS BIGINT) AS covered_us
     FROM runs GROUP BY user_id ORDER BY user_id"""))
 
+  // Latency SLO report: p50/p95/p99 of per-user inter-event gaps per
+  // event type, via the cume_dist + MIN CASE exact-percentile form the
+  // bootstrap oracle standardized (no interpolation — reported
+  // percentiles are actual observed gaps). One lag window (user key) +
+  // one per-type percentile window over gap values.
+  private val qLatencySlo = GraftQuery(
+    "qe_latency_slo",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gaps = Tables.events(s, dir)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+        .filter(col("gap_us").isNotNull)
+        .select(col("event_type"), col("gap_us"))
+      val wc = Window.partitionBy(col("event_type")).orderBy(col("gap_us"))
+      gaps.withColumn("cd", cume_dist().over(wc))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_gaps"),
+          min(when(col("cd") >= 0.5, col("gap_us"))).as("p50_us"),
+          min(when(col("cd") >= 0.95, col("gap_us"))).as("p95_us"),
+          min(when(col("cd") >= 0.99, col("gap_us"))).as("p99_us"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH d AS (SELECT event_type,
+        epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id) AS gap_us
+      FROM events),
+    g AS (SELECT event_type, gap_us,
+        cume_dist() OVER (PARTITION BY event_type ORDER BY gap_us) AS cd
+      FROM d WHERE gap_us IS NOT NULL)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+      MIN(CASE WHEN cd >= 0.5 THEN gap_us END) AS p50_us,
+      MIN(CASE WHEN cd >= 0.95 THEN gap_us END) AS p95_us,
+      MIN(CASE WHEN cd >= 0.99 THEN gap_us END) AS p99_us
+    FROM g GROUP BY event_type ORDER BY event_type"""))
+
   // OHLC (open/high/low/close) daily bars per event type — the candle
   // aggregation time-series stores ship natively, here one hash agg:
   // open/close are min/max over the (us, event_id, cents) struct order
@@ -982,5 +1018,5 @@ object EventsQueries {
     Seq(qTumbling, qSliding, qSessions, qJson, qTopUsers, qDeltas, qZscore,
       qFunnel, qRetention, qResample, qHistogram, qPattern, qTransitions,
       qDecayWma, qAttribution, qCusum, qMadAnomaly, qTopPaths, qSlidingDistinct,
-      qSeasonal, qFunnelTime, qCep, qStreak, qCoverage, qOhlc)
+      qSeasonal, qFunnelTime, qCep, qStreak, qCoverage, qOhlc, qLatencySlo)
 }

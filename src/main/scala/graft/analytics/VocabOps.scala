@@ -535,6 +535,46 @@ object VocabOps {
     },
     Some(wordpieceSql))
 
+  // ------------------------------------------------- Heaps-law curve
+  /** Vocabulary-growth (Heaps' law) curve: how many NEW distinct tokens
+    * each corpus decile introduces — the instrument behind every "will
+    * my vocab keep exploding at 10× the data" sizing call (and the
+    * justification the BPE scaladocs lean on). A token belongs to the
+    * decile of its FIRST document, so the whole curve is one
+    * min-per-token aggregation + a 10-row rollup — never ten distinct
+    * counts over prefixes. The cumulative window runs over ≤10 rows
+    * (the sanctioned tiny-frame window).
+    * Output: (decile, new_tokens, cum_tokens), decile 0-9 by doc order.
+    */
+  private val qHeaps = GraftQuery(
+    "qt_heaps_curve",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val firstOcc = norm(docs, "doc_id", "text")
+        .select(col("doc_id"), explode(expr(toksExpr)).as("token"))
+        .groupBy(col("token")).agg(min(col("doc_id")).as("first_doc"))
+      val wCum = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      firstOcc.crossJoin(broadcast(n))
+        .withColumn("decile",
+          expr("least(9L, greatest(0L, (first_doc - 1) * 10 div n_docs))"))
+        .groupBy(col("decile")).agg(count(lit(1)).as("new_tokens"))
+        .withColumn("cum_tokens", sum(col("new_tokens")).over(wCum))
+        .orderBy(col("decile"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    fo AS (SELECT token, MIN(doc_id) AS first_doc FROM t GROUP BY token),
+    d AS (SELECT LEAST(9, GREATEST(0, (first_doc - 1) * 10 // n.n_docs)) AS decile
+      FROM fo CROSS JOIN n),
+    g AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS new_tokens
+      FROM d GROUP BY decile)
+    SELECT CAST(decile AS BIGINT) AS decile, new_tokens,
+      CAST(SUM(new_tokens) OVER (ORDER BY decile
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+    FROM g ORDER BY decile"""))
+
   // ------------------------------------------------- piece utilization
   /** Tokenizer-vocabulary UTILIZATION: how often each piece is actually
     * emitted by greedy segmentation over the corpus — the "which vocab
@@ -1018,5 +1058,5 @@ object VocabOps {
   def queries: Seq[GraftQuery] =
     Seq(qVocab, qKeywords, qEditDist, qBm25, qBpeTrain, qBpeTokenize, qCountMin,
       qPhrase, qBigramNovelty, qVocabCoverage, qWordpiece, qBackoff,
-      qFertility, qPrf, qPieceUsage)
+      qFertility, qPrf, qPieceUsage, qHeaps)
 }
