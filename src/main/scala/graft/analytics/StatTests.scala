@@ -492,6 +492,68 @@ object StatTests {
         38416 * n1 * n2 * (n1 + n2 + 1) AS reject_05
     FROM b"""))
 
+  // ------------------------------------- Benford first-digit profile
+  /** Benford's-law first-digit profile — the fraud/data-fabrication
+    * screen auditors run on any naturally-generated positive measure:
+    * observed share of each leading digit vs the Benford expectation
+    * log₁₀(1+1/d), with the expectations inlined as integer bp literals
+    * (3010, 1761, … — summing to exactly 10⁴; computed once driver-side,
+    * the nDCG literal-table discipline, so no log runs in-engine). The
+    * leading digit of a positive integer is its decimal string's first
+    * character — no float log10 anywhere. A full 1–9 spine keeps absent
+    * digits visible as zeros. One scan + a 9-key agg.
+    * Output: (digit, n, obs_bp, exp_bp, dev_bp) for digits 1..9.
+    */
+  def benfordProfile(df: DataFrame, positiveInt: Column): DataFrame = {
+    val exp = Seq(3010L, 1761L, 1249L, 969L, 792L, 669L, 580L, 512L, 458L)
+    val expCase = exp.zipWithIndex
+      .map { case (e, i) => s"WHEN digit = ${i + 1} THEN ${e}L" }
+      .mkString("CASE ", " ", " ELSE 0L END")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val obs = df.select(positiveInt.cast("long").as("v"))
+      .filter(col("v") > 0)
+      .select(expr("cast(substring(cast(v as string), 1, 1) as bigint)").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val spine = (1L to 9L).toDF("digit")
+    val tot = obs.agg(sum(col("n")).as("total"))
+    spine.join(obs, Seq("digit"), "left")
+      .na.fill(0L, Seq("n"))
+      .crossJoin(broadcast(tot))
+      .withColumn("obs_bp", expr("10000 * n div total"))
+      .withColumn("exp_bp", expr(expCase))
+      .withColumn("dev_bp", abs(col("obs_bp") - col("exp_bp")))
+      .select(col("digit"), col("n"), col("obs_bp"), col("exp_bp"), col("dev_bp"))
+      .orderBy(col("digit"))
+  }
+
+  /** Order totals in cents — synthetic TPC-H prices are uniform-ish, so
+    * the profile SHOWS the deviation a fabricated ledger has (flat-ish
+    * leading digits, large dev_bp on 1 and 9) — the instrument
+    * demonstrating its own alarm.
+    */
+  private val qBenford = GraftQuery(
+    "qstat_benford",
+    (s, dir) => benfordProfile(Tables.orders(s, dir),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)")),
+    Some("""WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        FROM orders WHERE round(o_totalprice * 100) > 0),
+      o AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+          CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY 1),
+      sp AS (SELECT unnest(generate_series(1, 9)) AS digit),
+      t AS (SELECT SUM(n) AS total FROM o)
+      SELECT CAST(sp.digit AS BIGINT) AS digit, COALESCE(o.n, 0) AS n,
+        CAST(10000 * COALESCE(o.n, 0) // t.total AS BIGINT) AS obs_bp,
+        CASE sp.digit WHEN 1 THEN 3010 WHEN 2 THEN 1761 WHEN 3 THEN 1249
+          WHEN 4 THEN 969 WHEN 5 THEN 792 WHEN 6 THEN 669 WHEN 7 THEN 580
+          WHEN 8 THEN 512 ELSE 458 END AS exp_bp,
+        abs(CAST(10000 * COALESCE(o.n, 0) // t.total AS BIGINT) -
+          CASE sp.digit WHEN 1 THEN 3010 WHEN 2 THEN 1761 WHEN 3 THEN 1249
+            WHEN 4 THEN 969 WHEN 5 THEN 792 WHEN 6 THEN 669 WHEN 7 THEN 580
+            WHEN 8 THEN 512 ELSE 458 END) AS dev_bp
+      FROM sp LEFT JOIN o ON sp.digit = o.digit CROSS JOIN t
+      ORDER BY digit"""))
+
   // ------------------------------------- weighted median
   /** Exact weighted median per group — the robust center for weighted
     * populations (median price weighted by units sold, median doc score
@@ -668,5 +730,5 @@ object StatTests {
     FROM a ORDER BY c_mktsegment"""))
 
   val queries: Seq[GraftQuery] =
-    Seq(qChisq, qKs, qBoot, qGini, qLinReg, qPettitt, qWMedian, qMwu)
+    Seq(qChisq, qKs, qBoot, qGini, qLinReg, qPettitt, qWMedian, qMwu, qBenford)
 }
