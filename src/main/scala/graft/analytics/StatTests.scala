@@ -492,6 +492,148 @@ object StatTests {
         38416 * n1 * n2 * (n1 + n2 + 1) AS reject_05
     FROM b"""))
 
+  // ------------------------------------- Pareto concentration
+  /** Pareto (80/20) concentration readout per group: how many of the
+    * group's members carry 80 % / 50 % of the total measure, plus the
+    * top-10 members' share in bp — the business-facing companion to
+    * [[giniBp]]'s single coefficient. One member-level aggregation, one
+    * per-group descending cumulative window, one rollup; exact integer
+    * cents and bp (membership thresholds via 5·cum ≥ 4·total and
+    * 2·cum ≥ total — no floats).
+    * Output: (group, n_members, total_cents, n_top80, n_top50,
+    * top10_share_bp).
+    */
+  def paretoConcentration(df: DataFrame, groupCol: String, memberCol: String,
+      centsCol: String): DataFrame = {
+    val m = df.groupBy(col(groupCol).as("g"), col(memberCol).as("mid"))
+      .agg(sum(col(centsCol)).as("cents"))
+    val ord = Window.partitionBy(col("g")).orderBy(col("cents").desc, col("mid"))
+    val wCum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("g"))
+    m.withColumn("cum", sum(col("cents")).over(wCum))
+      .withColumn("rk", row_number().over(ord))
+      .withColumn("tot", sum(col("cents")).over(wAll))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_members"),
+        max(col("tot")).as("total_cents"),
+        min(when(col("cum") * 5 >= col("tot") * 4, col("rk"))).as("n_top80"),
+        min(when(col("cum") * 2 >= col("tot"), col("rk"))).as("n_top50"),
+        expr("CAST(10000 * sum(CASE WHEN rk <= 10 THEN cents ELSE 0 END) div max(tot) AS BIGINT)")
+          .as("top10_share_bp"))
+      .select(col("g").as(groupCol), col("n_members"), col("total_cents"),
+        col("n_top80").cast("long").as("n_top80"),
+        col("n_top50").cast("long").as("n_top50"), col("top10_share_bp"))
+      .orderBy(col(groupCol))
+  }
+
+  /** Revenue concentration per market segment, member = customer — the
+    * "how many whales carry this segment" readout next to qstat_gini.
+    */
+  private val qPareto = GraftQuery(
+    "qstat_pareto",
+    (s, dir) => {
+      val spend = Tables.orders(s, dir)
+        .withColumn("cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      val seg = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      paretoConcentration(
+        spend.join(seg, col("o_custkey") === col("c_custkey")),
+        "c_mktsegment", "o_custkey", "cents")
+    },
+    Some("""WITH m AS (SELECT c.c_mktsegment AS g, o.o_custkey AS mid,
+        SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2),
+    w AS (SELECT g, mid, cents,
+        SUM(cents) OVER (PARTITION BY g ORDER BY cents DESC, mid
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        ROW_NUMBER() OVER (PARTITION BY g ORDER BY cents DESC, mid) AS rk,
+        SUM(cents) OVER (PARTITION BY g) AS tot
+      FROM m)
+    SELECT g AS c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_members,
+      CAST(MAX(tot) AS BIGINT) AS total_cents,
+      CAST(MIN(CASE WHEN cum * 5 >= tot * 4 THEN rk END) AS BIGINT) AS n_top80,
+      CAST(MIN(CASE WHEN cum * 2 >= tot THEN rk END) AS BIGINT) AS n_top50,
+      CAST(10000 * SUM(CASE WHEN rk <= 10 THEN cents ELSE 0 END) // MAX(tot) AS BIGINT) AS top10_share_bp
+    FROM w GROUP BY g ORDER BY c_mktsegment"""))
+
+  // ------------------------------------- Wald–Wolfowitz runs test
+  /** Runs test for randomness per group: is the sequence of
+    * above/below-mean days a random shuffle, or does it trend/oscillate
+    * (too FEW runs = momentum/regimes, too MANY = mean-reverting
+    * alternation)? The above-mean flag is exact (v·n > Σv — no float
+    * mean), runs count is one lag window, and the α=0.05 two-sided
+    * decision clears every denominator of z² = (R−μ)²/σ² with
+    * μ = 2n₁n₂/N + 1, σ² = 2n₁n₂(2n₁n₂−N)/(N²(N−1)):
+    *
+    *   D = N·R − 2n₁n₂ − N;  reject ⟺ 10⁴·D²·(N−1) > 38416·2n₁n₂·(2n₁n₂−N)
+    *
+    * in DECIMAL(38,0)/HUGEINT (D² ~ N⁴ outgrows BIGINT by sf0.1's day
+    * counts). Degenerate groups (one-sided, or 2n₁n₂ ≤ N where σ² ≤ 0)
+    * report reject=false. Complements [[pettittTest]] (location of ONE
+    * shift) with a global randomness verdict.
+    * Output: (group, n, n_above, n_runs, reject_05).
+    */
+  def runsTest(df: DataFrame, groupCol: String, timeCol: String,
+      valueCol: String): DataFrame = {
+    val wAll = Window.partitionBy(col("g"))
+    val wOrd = Window.partitionBy(col("g")).orderBy(col("t"))
+    df.select(col(groupCol).as("g"), col(timeCol).as("t"),
+        col(valueCol).cast("long").as("v"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("tot", sum(col("v")).over(wAll))
+      .withColumn("ab", col("v") * col("n") > col("tot"))
+      .withColumn("prev", lag(col("ab"), 1).over(wOrd))
+      .withColumn("chg",
+        when(col("prev").isNull || col("ab") =!= col("prev"), 1L).otherwise(0L))
+      .groupBy(col("g"))
+      .agg(max(col("n")).as("n"),
+        sum(col("ab").cast("long")).as("n_above"),
+        sum(col("chg")).as("n_runs"))
+      .withColumn("n2", col("n") - col("n_above"))
+      .withColumn("tw", lit(2).cast("decimal(38,0)") * col("n_above") * col("n2"))
+      .withColumn("d", dec(col("n")) * col("n_runs") - col("tw") - col("n"))
+      .select(col("g").as(groupCol), col("n"), col("n_above"), col("n_runs"),
+        when(col("n_above") === 0 || col("n2") === 0 ||
+            col("tw") <= dec(col("n")), lit(false))
+          .otherwise(dec(lit(10000)) * col("d") * col("d") * (col("n") - 1) >
+            dec(lit(38416)) * col("tw") * (col("tw") - col("n")))
+          .as("reject_05"))
+      .orderBy(col(groupCol))
+  }
+
+  /** Is each priority's daily-revenue above/below-mean sequence random? */
+  private val qRuns = GraftQuery(
+    "qstat_runs_test",
+    (s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"), col("o_orderdate"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+      runsTest(daily, "o_orderpriority", "o_orderdate", "cents")
+    },
+    Some("""WITH daily AS (SELECT o_orderpriority AS g, o_orderdate AS t,
+        SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS v
+      FROM orders GROUP BY 1, 2),
+    f AS (SELECT g, t, v,
+        COUNT(*) OVER (PARTITION BY g) AS n,
+        SUM(v) OVER (PARTITION BY g) AS tot
+      FROM daily),
+    r AS (SELECT g, n, v * n > tot AS ab,
+        LAG(v * n > tot, 1) OVER (PARTITION BY g ORDER BY t) AS prev
+      FROM f),
+    a AS (SELECT g, CAST(MAX(n) AS BIGINT) AS n,
+        CAST(SUM(CASE WHEN ab THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+        CAST(SUM(CASE WHEN prev IS NULL OR ab <> prev THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+      FROM r GROUP BY g),
+    b AS (SELECT g, n, n_above, n_runs, n - n_above AS n2,
+        CAST(2 AS HUGEINT) * n_above * (n - n_above) AS tw,
+        CAST(n AS HUGEINT) * n_runs - CAST(2 AS HUGEINT) * n_above * (n - n_above) - n AS d
+      FROM a)
+    SELECT g AS o_orderpriority, n, n_above, n_runs,
+      CASE WHEN n_above = 0 OR n2 = 0 OR tw <= n THEN FALSE
+        ELSE 10000 * d * d * (n - 1) > 38416 * tw * (tw - n) END AS reject_05
+    FROM b ORDER BY o_orderpriority"""))
+
   // ------------------------------------- Benford first-digit profile
   /** Benford's-law first-digit profile — the fraud/data-fabrication
     * screen auditors run on any naturally-generated positive measure:
@@ -730,5 +872,5 @@ object StatTests {
     FROM a ORDER BY c_mktsegment"""))
 
   val queries: Seq[GraftQuery] =
-    Seq(qChisq, qKs, qBoot, qGini, qLinReg, qPettitt, qWMedian, qMwu, qBenford)
+    Seq(qChisq, qKs, qBoot, qGini, qLinReg, qPettitt, qWMedian, qMwu, qBenford, qPareto, qRuns)
 }
