@@ -586,6 +586,74 @@ object SimilarityOps {
       Tables.embeddings(s, dir).filter(col("vec_id") < NQ), K),
     Some(ivfTrainedSql))
 
+  // ------------------------------------------- binary (1-bit) quantization
+  /** Binary-quantized search — the 1-bit end of the compression ladder
+    * (float32 → int8 SQ → PQ codes → SIGN BITS): each 64-dim vector
+    * packs to ONE BIGINT of sign bits (64× smaller than int8 SQ, 256×
+    * smaller than float), candidates rank by Hamming distance (one XOR +
+    * popcount per pair — the modern "binary embeddings" serving trick),
+    * and the Hamming top-`rerank` candidates get the exact cosine
+    * rerank (two-phase, exactly the IVF-PQ pattern). Map-only packing,
+    * broadcast query side, 8 bytes/vector through the scan.
+    * Output: (query_id, rank, cand_id, cosine) — exact cosines on the
+    * reranked survivors.
+    */
+  def binaryTopK(corpus: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame, k: Int = 5, rerank: Int = 20,
+      idCol: String = "vec_id", vecCol: String = "embedding"): org.apache.spark.sql.DataFrame = {
+    require(rerank >= k, s"rerank budget must be >= k, got $rerank < $k")
+    val packExpr = expr(
+      """aggregate(sequence(1, size(v)), 0L,
+         (acc, i) -> acc + IF(element_at(v, i) > cast(0 as double),
+           shiftleft(1L, i - 1), 0L))""")
+    def prepB(df: org.apache.spark.sql.DataFrame) =
+      prep(df, idCol, vecCol).withColumn("b", packExpr)
+    val q = prepB(queries)
+      .select(col("vec_id").as("query_id"), col("v").as("va"),
+        col("nrm").as("na"), col("b").as("qb"))
+    val cands = prepB(corpus)
+      .select(col("vec_id").as("cand_id"), col("v").as("vb"),
+        col("nrm").as("nb"), col("b").as("cb"))
+      .crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("hamming", expr("cast(bit_count(qb ^ cb) as int)"))
+    val wH = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("cand_id"))
+    topK(withCosine(
+      cands.withColumn("hr", row_number().over(wH)).filter(col("hr") <= rerank)), k)
+  }
+
+  private val BqRerank = 20
+
+  // bit 63 via the explicit two's-complement literal: DuckDB range-checks
+  // 1 << 63 (Spark's shiftleft silently wraps to Long.MinValue — the same
+  // value this spells out)
+  private val binaryPackSql =
+    """CAST(list_sum(list_transform(generate_series(1, len(v)),
+       i -> CASE WHEN v[i] <= 0 THEN CAST(0 AS BIGINT)
+                 WHEN i = 64 THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+                 ELSE (CAST(1 AS BIGINT) << (i - 1)) END)) AS BIGINT)"""
+
+  private val binarySql = s"""WITH e AS (SELECT vec_id, v,
+      $binaryPackSql AS b FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)),
+    p AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.v AS va, c.v AS vb,
+        CAST(bit_count(xor(q.b, c.b)) AS INT) AS hamming
+      FROM e q JOIN e c ON q.vec_id < $NQ AND q.vec_id <> c.vec_id),
+    hr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY hamming, cand_id) AS hrk FROM p),
+    sc AS (SELECT query_id, cand_id, $cosineSql AS cosine FROM hr WHERE hrk <= $BqRerank),
+    rk AS (SELECT query_id, cand_id, cosine,
+      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+      FROM sc)
+    SELECT query_id, rank, cand_id, cosine FROM rk WHERE rank <= $K
+    ORDER BY query_id, rank"""
+
+  private val qBinary = GraftQuery(
+    "qs_binary_topk",
+    (s, dir) => binaryTopK(Tables.embeddings(s, dir),
+      Tables.embeddings(s, dir).filter(col("vec_id") < NQ), K, BqRerank),
+    Some(binarySql))
+
   // ------------------------------------------- IVF probe curve
   /** Recall-vs-nprobe curve over the TRAINED quantizer — the tuning
     * instrument that turns "pick nprobe" from folklore into a table:
@@ -2624,5 +2692,5 @@ object SimilarityOps {
     qAnnLshMp, qAnnFiltered, qRecall, qMrr, qSq, qSqPacked, qCentroids, qKmeans,
     qOutliers, qSemDedup, qPq, qIvfPq, qIvfPqRes, qKnn, qRp, qMmr, qRrf,
     qKCenter, qGraphAnn, qHardNeg, qMrl, qRbp, qBitext, qNdcg, qSilhouette,
-    qShapley, qProbeCurve)
+    qShapley, qProbeCurve, qBinary)
 }

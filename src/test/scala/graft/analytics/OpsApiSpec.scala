@@ -1647,6 +1647,21 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       ((4L, 3L, 2L, 2L)), out.toString)
   }
 
+  test("binaryTopK: sign-identical vector survives hamming phase and reranks first") {
+    import spark.implicits._
+    // query 0: signs (+,+,-,-). cand 10 same signs (hamming 0), cand 11
+    // differs in every sign (hamming 4), cand 12 differs in one.
+    val corpus = Seq(
+      (10L, Seq(0.9f, 0.8f, -0.7f, -0.6f)),
+      (11L, Seq(-0.9f, -0.8f, 0.7f, 0.6f)),
+      (12L, Seq(0.9f, 0.8f, -0.7f, 0.6f))).toDF("vec_id", "embedding")
+    val q = Seq((0L, Seq(1f, 1f, -1f, -1f))).toDF("vec_id", "embedding")
+    val out = SimilarityOps.binaryTopK(corpus, q, k = 2, rerank = 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    // rerank pool = hamming top-2 = {10, 12}; exact cosine orders 10 first
+    assert(out.toSeq == Seq((1, 10L), (2, 12L)), out.mkString(", "))
+  }
+
   test("joinDeltaMaintenance: stored view + delta equals full recompute, multiset-exact") {
     import spark.implicits._
     // duplicate keys on BOTH sides so any accidental distinct would show
