@@ -1014,9 +1014,68 @@ object EventsQueries {
       .toDF("key", "n", "open_cents", "high_cents", "low_cents", "close_cents")
   }
 
+  /** RFM (recency / frequency / monetary) quintile segmentation — the
+    * classic user-value featurization. Per user: days since last event
+    * (vs the corpus max day), event count, value mass in cents; each
+    * dimension scored 1–5 by NTILE(5) with a deterministic user_id
+    * tie-break (both engines share the SQL-standard ntile: first n mod 5
+    * buckets get the extra row). Orderings are chosen so 5 = best
+    * (most recent / most frequent / highest spend). Output is the
+    * 125-cell segment rollup — user count and exact average cents.
+    *
+    * Scale: one scan → per-user agg (uniform key), then three rank
+    * windows over the USER frame (row count = user domain, not event
+    * count). The windows are unpartitioned by construction (global
+    * quintiles); for an unbounded user base, partition by a coarse hash
+    * and quantile within partitions, or score against fixed thresholds.
+    */
+  private val qRfm = GraftQuery(
+    "qe_rfm",
+    (s, dir) => {
+      val perUser = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(max(to_date(col("ts"))).as("last_day"),
+          count(lit(1)).as("f"),
+          sum(expr("CAST(round(value * 100) AS BIGINT)")).as("m"))
+      val maxd = perUser.agg(max(col("last_day")).as("maxd"))
+      val scored = perUser.crossJoin(broadcast(maxd))
+        .withColumn("rec_days", datediff(col("maxd"), col("last_day")).cast("long"))
+        .withColumn("r_q",
+          ntile(5).over(Window.orderBy(col("last_day").asc, col("user_id").asc)))
+        .withColumn("f_q",
+          ntile(5).over(Window.orderBy(col("f").asc, col("user_id").asc)))
+        .withColumn("m_q",
+          ntile(5).over(Window.orderBy(col("m").asc, col("user_id").asc)))
+      scored.groupBy(col("r_q"), col("f_q"), col("m_q"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("m")).as("tot_cents"),
+          min(col("rec_days")).as("min_rec_days"))
+        .withColumn("avg_cents", expr("tot_cents div n_users"))
+        .select(col("r_q").cast("long").as("r_q"),
+          col("f_q").cast("long").as("f_q"),
+          col("m_q").cast("long").as("m_q"),
+          col("n_users"), col("tot_cents"), col("min_rec_days"), col("avg_cents"))
+        .orderBy(col("r_q"), col("f_q"), col("m_q"))
+    },
+    Some("""WITH pu AS (SELECT user_id, CAST(MAX(ts) AS DATE) AS last_day,
+        COUNT(*) AS f, SUM(CAST(round(value * 100) AS BIGINT)) AS m
+      FROM events GROUP BY user_id),
+    mx AS (SELECT MAX(last_day) AS maxd FROM pu),
+    sc AS (SELECT pu.*, date_diff('day', last_day, maxd) AS rec_days,
+        NTILE(5) OVER (ORDER BY last_day ASC, user_id ASC) AS r_q,
+        NTILE(5) OVER (ORDER BY f ASC, user_id ASC) AS f_q,
+        NTILE(5) OVER (ORDER BY m ASC, user_id ASC) AS m_q
+      FROM pu CROSS JOIN mx)
+    SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+      CAST(m_q AS BIGINT) AS m_q, COUNT(*) AS n_users,
+      CAST(SUM(m) AS BIGINT) AS tot_cents,
+      CAST(MIN(rec_days) AS BIGINT) AS min_rec_days,
+      CAST(CAST(SUM(m) AS HUGEINT) // COUNT(*) AS BIGINT) AS avg_cents
+    FROM sc GROUP BY r_q, f_q, m_q ORDER BY r_q, f_q, m_q"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qTumbling, qSliding, qSessions, qJson, qTopUsers, qDeltas, qZscore,
       qFunnel, qRetention, qResample, qHistogram, qPattern, qTransitions,
       qDecayWma, qAttribution, qCusum, qMadAnomaly, qTopPaths, qSlidingDistinct,
-      qSeasonal, qFunnelTime, qCep, qStreak, qCoverage, qOhlc, qLatencySlo)
+      qSeasonal, qFunnelTime, qCep, qStreak, qCoverage, qOhlc, qLatencySlo, qRfm)
 }

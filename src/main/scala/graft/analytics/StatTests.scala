@@ -871,6 +871,533 @@ object StatTests {
         // (CAST(n AS HUGEINT) * total_cents) AS BIGINT) AS gini_bp
     FROM a ORDER BY c_mktsegment"""))
 
+  // ------------------------------------- Spearman rank correlation
+  /** Per-group Spearman rank correlation between two numeric columns,
+    * exact fixed-point. Ranks use the AVERAGE-rank tie convention kept
+    * integral in DOUBLE-RANK units (same device as [[mannWhitney]]): a
+    * value with min-rank r in a tie group of k rows has average double-
+    * rank 2r + k − 1. Double-ranks are centered by their exact mean
+    * (n + 1) — Σc = 0 — so the Pearson pieces over centered ranks are
+    *
+    *   t1 = Σ cx·cy,  d1 = Σ cx²,  d2 = Σ cy²,  ρ = t1/√(d1·d2)
+    *
+    * No sqrt is ever taken: we report the SIGNED SQUARE in basis points,
+    * rho2s_bp = sign(t1)·⌊10⁴·t1²/(d1·d2)⌋ (the [[qLinReg]] r2_bp device,
+    * sign split so both engines truncate positive operands). |cx| ≤ 2n ⇒
+    * t1² ≤ 16n⁶: DECIMAL(38,0)/HUGEINT is exact to n ≈ 2·10⁵ rows per
+    * group and loudly nulls beyond — per-SEGMENT grouping keeps n domain-
+    * bounded; for unbounded groups rank on a deterministic hash sample.
+    *
+    * Plan: two partitioned rank windows + one partitioned count window
+    * pass, then a per-group aggregate — one shuffle on the group key, no
+    * global window, no pairs.
+    */
+  def spearmanBp(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val g = col(groupCol)
+    def dr(c: String) = {
+      val wRank = Window.partitionBy(g).orderBy(col(c))
+      val wTie = Window.partitionBy(g, col(c))
+      lit(2) * rank().over(wRank) + count(lit(1)).over(wTie) - 1
+    }
+    val wN = Window.partitionBy(g)
+    val ranked = df.select(g,
+        dr(xCol).cast("long").as("rx2"), dr(yCol).cast("long").as("ry2"))
+      .withColumn("n", count(lit(1)).over(wN))
+      .select(g, col("n"),
+        (col("rx2") - (col("n") + 1)).as("cx"),
+        (col("ry2") - (col("n") + 1)).as("cy"))
+    ranked.groupBy(g)
+      .agg(max(col("n")).cast("long").as("n"),
+        sum(dec(col("cx")) * dec(col("cy"))).as("t1"),
+        sum(dec(col("cx")) * dec(col("cx"))).as("d1"),
+        sum(dec(col("cy")) * dec(col("cy"))).as("d2"))
+      .select(g, col("n"),
+        expr("""CAST(CASE WHEN d1 = 0 OR d2 = 0 THEN NULL
+            WHEN t1 >= 0 THEN
+              (CAST(10000 AS DECIMAL(38,0)) * t1 * t1 div d1) div d2
+            ELSE -((CAST(10000 AS DECIMAL(38,0)) * t1 * t1 div d1) div d2)
+            END AS BIGINT)""").as("rho2s_bp"))
+      .orderBy(g)
+  }
+
+  /** Does a customer's order FREQUENCY track their total SPEND rank —
+    * per market segment (the segment bound keeps n ≤ |customers|/5,
+    * inside the exactness contract above).
+    */
+  private val qSpearman = GraftQuery(
+    "qstat_spearman",
+    (s, dir) => {
+      val perCust = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("f"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("m"))
+      val seg = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      spearmanBp(perCust.join(seg, col("o_custkey") === col("c_custkey")),
+        "c_mktsegment", "f", "m")
+    },
+    Some("""WITH pc AS (SELECT o_custkey, COUNT(*) AS f,
+        SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS m
+      FROM orders GROUP BY o_custkey),
+    j AS (SELECT c.c_mktsegment AS g, pc.f, pc.m
+      FROM pc JOIN customer c ON pc.o_custkey = c.c_custkey),
+    rk AS (SELECT g,
+        2 * RANK() OVER (PARTITION BY g ORDER BY f)
+          + COUNT(*) OVER (PARTITION BY g, f) - 1 AS rx2,
+        2 * RANK() OVER (PARTITION BY g ORDER BY m)
+          + COUNT(*) OVER (PARTITION BY g, m) - 1 AS ry2,
+        COUNT(*) OVER (PARTITION BY g) AS n
+      FROM j),
+    c AS (SELECT g, n, rx2 - (n + 1) AS cx, ry2 - (n + 1) AS cy FROM rk),
+    a AS (SELECT g, CAST(MAX(n) AS BIGINT) AS n,
+        SUM(CAST(cx AS HUGEINT) * cy) AS t1,
+        SUM(CAST(cx AS HUGEINT) * cx) AS d1,
+        SUM(CAST(cy AS HUGEINT) * cy) AS d2
+      FROM c GROUP BY g)
+    SELECT g AS c_mktsegment, n,
+      CAST(CASE WHEN d1 = 0 OR d2 = 0 THEN NULL
+        WHEN t1 >= 0 THEN ((CAST(10000 AS HUGEINT) * t1 * t1) // d1) // d2
+        ELSE -(((CAST(10000 AS HUGEINT) * t1 * t1) // d1) // d2)
+        END AS BIGINT) AS rho2s_bp
+    FROM a ORDER BY g"""))
+
+  // ------------------------------------- Kendall rank correlation
+  /** Kendall rank correlation between daily order COUNT and daily
+    * revenue, by exhaustive concordant/discordant pair counting over the
+    * DAILY aggregate — the pair table is (calendar days)², a domain bound
+    * (~2.5k days for this dataset regardless of corpus size), so the
+    * deliberate broadcast nested-loop self-join is O(domain²), never
+    * O(rows²). Exact integers throughout:
+    *
+    *   τ_a·10⁴  = ⌊10⁴(nc − nd)/n0⌋,  n0 = n(n−1)/2
+    *   τ_b² signed, bp = sign(nc−nd)·⌊10⁴(nc−nd)²/((n0−tx_p)(n0−ty_p))⌋
+    *
+    * with tx_p/ty_p = pairs tied on x / on y (each includes both-tied
+    * pairs, matching τ-b's Σt(t−1)/2 terms). Sign split keeps both
+    * engines in positive-operand truncating division.
+    */
+  private val qKendall = GraftQuery(
+    "qstat_kendall",
+    (s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderdate"))
+        .agg(count(lit(1)).as("x"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("y"))
+      val a = daily.select(col("o_orderdate").as("da"), col("x").as("xa"), col("y").as("ya"))
+      val b = daily.select(col("o_orderdate").as("db"), col("x").as("xb"), col("y").as("yb"))
+      val pairs = a.join(broadcast(b), col("da") < col("db"))
+      val counted = pairs.agg(
+        count(lit(1)).as("n0"),
+        sum(when((col("xa") < col("xb") && col("ya") < col("yb")) ||
+                 (col("xa") > col("xb") && col("ya") > col("yb")), 1L)
+          .otherwise(0L)).as("nc"),
+        sum(when((col("xa") < col("xb") && col("ya") > col("yb")) ||
+                 (col("xa") > col("xb") && col("ya") < col("yb")), 1L)
+          .otherwise(0L)).as("nd"),
+        sum(when(col("xa") === col("xb"), 1L).otherwise(0L)).as("tx_p"),
+        sum(when(col("ya") === col("yb"), 1L).otherwise(0L)).as("ty_p"))
+      counted.select(col("n0"), col("nc"), col("nd"), col("tx_p"), col("ty_p"),
+        expr("""CAST(CASE WHEN nc >= nd
+            THEN (10000 * CAST(nc - nd AS DECIMAL(38,0))) div n0
+            ELSE -((10000 * CAST(nd - nc AS DECIMAL(38,0))) div n0)
+            END AS BIGINT)""").as("tau_a_bp"),
+        expr("""CAST(CASE WHEN n0 = tx_p OR n0 = ty_p THEN NULL
+            WHEN nc >= nd THEN
+              (10000 * CAST(nc - nd AS DECIMAL(38,0)) * (nc - nd))
+                div (CAST(n0 - tx_p AS DECIMAL(38,0)) * (n0 - ty_p))
+            ELSE -((10000 * CAST(nc - nd AS DECIMAL(38,0)) * (nc - nd))
+                div (CAST(n0 - tx_p AS DECIMAL(38,0)) * (n0 - ty_p)))
+            END AS BIGINT)""").as("tau_b2s_bp"))
+    },
+    Some("""WITH daily AS (SELECT o_orderdate AS d, COUNT(*) AS x,
+        SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS y
+      FROM orders GROUP BY o_orderdate),
+    p AS (SELECT a.x AS xa, a.y AS ya, b.x AS xb, b.y AS yb
+      FROM daily a JOIN daily b ON a.d < b.d),
+    c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+        CAST(SUM(CASE WHEN (xa < xb AND ya < yb) OR (xa > xb AND ya > yb)
+          THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+        CAST(SUM(CASE WHEN (xa < xb AND ya > yb) OR (xa > xb AND ya < yb)
+          THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+        CAST(SUM(CASE WHEN xa = xb THEN 1 ELSE 0 END) AS BIGINT) AS tx_p,
+        CAST(SUM(CASE WHEN ya = yb THEN 1 ELSE 0 END) AS BIGINT) AS ty_p
+      FROM p)
+    SELECT n0, nc, nd, tx_p, ty_p,
+      CAST(CASE WHEN nc >= nd THEN (10000 * CAST(nc - nd AS HUGEINT)) // n0
+        ELSE -((10000 * CAST(nd - nc AS HUGEINT)) // n0) END AS BIGINT)
+        AS tau_a_bp,
+      CAST(CASE WHEN n0 = tx_p OR n0 = ty_p THEN NULL
+        WHEN nc >= nd THEN (10000 * CAST(nc - nd AS HUGEINT) * (nc - nd))
+          // (CAST(n0 - tx_p AS HUGEINT) * (n0 - ty_p))
+        ELSE -((10000 * CAST(nc - nd AS HUGEINT) * (nc - nd))
+          // (CAST(n0 - tx_p AS HUGEINT) * (n0 - ty_p))) END AS BIGINT)
+        AS tau_b2s_bp
+    FROM c"""))
+
+  // ------------------------------------- Theil–Sen robust slope
+  /** Theil–Sen estimator of the daily-revenue trend: the MEDIAN of all
+    * pairwise slopes (y2−y1)/(x2−x1) over the daily series — robust to
+    * ~29 % outlier contamination where OLS ([[qLinReg]]) is robust to
+    * none. Slopes are floored to integer micro-cents/day with an
+    * explicit pmod floor division (Spark `div` truncates toward zero,
+    * DuckDB `//` floors — pmod-normalizing the numerator makes both
+    * compute ⌊·⌋ exactly). Quantiles over the slope multiset are
+    * "smallest slope with 40·cum ≥ q·np" for q = 1 (2.5 %), 20 (median),
+    * 39 (97.5 %) — integer threshold comparisons, no interpolation, the
+    * reported bounds are actual pair slopes.
+    *
+    * Pair volume is (calendar-day domain)² — same bound as
+    * [[qKendall]]; the slope multiset collapses by value before the one
+    * ordered cumsum window (KS-style: the sorted set is the distinct
+    * slope domain, not the pair count).
+    */
+  private val qTheilSen = GraftQuery(
+    "qstat_theil_sen",
+    (s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderdate"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("y"))
+        .select(datediff(col("o_orderdate"), lit("1995-01-01")).cast("long").as("x"),
+          col("y"))
+      val a = daily.select(col("x").as("xa"), col("y").as("ya"))
+      val b = daily.select(col("x").as("xb"), col("y").as("yb"))
+      val slopes = a.join(broadcast(b), col("xa") < col("xb"))
+        .select(expr("""(1000000 * (yb - ya)
+            - pmod(1000000 * (yb - ya), xb - xa)) div (xb - xa)""")
+          .as("slope_micro"))
+      val grouped = slopes.groupBy(col("slope_micro")).agg(count(lit(1)).as("k"))
+      val w = Window.orderBy(col("slope_micro"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = grouped.select(col("slope_micro"),
+        sum(col("k")).over(w).as("cum"))
+      val tot = grouped.agg(sum(col("k")).as("np"))
+      cum.crossJoin(broadcast(tot))
+        .agg(max(col("np")).as("n_pairs"),
+          min(when(col("cum") * 40 >= col("np"), col("slope_micro"))).as("lo_micro"),
+          min(when(col("cum") * 2 >= col("np"), col("slope_micro"))).as("med_micro"),
+          min(when(col("cum") * 40 >= col("np") * 39, col("slope_micro"))).as("hi_micro"))
+    },
+    Some("""WITH daily AS (SELECT
+        date_diff('day', DATE '1995-01-01', o_orderdate) AS x,
+        SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS y
+      FROM orders GROUP BY o_orderdate),
+    s AS (SELECT (1000000 * (b.y - a.y)
+          - ((1000000 * (b.y - a.y)) % (b.x - a.x) + (b.x - a.x)) % (b.x - a.x))
+          // (b.x - a.x) AS slope_micro
+      FROM daily a JOIN daily b ON a.x < b.x),
+    g AS (SELECT slope_micro, COUNT(*) AS k FROM s GROUP BY slope_micro),
+    c AS (SELECT slope_micro, SUM(k) OVER (ORDER BY slope_micro
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        SUM(k) OVER () AS np
+      FROM g)
+    SELECT CAST(MAX(np) AS BIGINT) AS n_pairs,
+      CAST(MIN(CASE WHEN cum * 40 >= np THEN slope_micro END) AS BIGINT) AS lo_micro,
+      CAST(MIN(CASE WHEN cum * 2 >= np THEN slope_micro END) AS BIGINT) AS med_micro,
+      CAST(MIN(CASE WHEN cum * 40 >= np * 39 THEN slope_micro END) AS BIGINT) AS hi_micro
+    FROM c"""))
+
+  // ------------------------------------- Cramér's V (r×c association)
+  /** Association strength between two categorical columns as a general
+    * r×c chi-square + Cramér's V². Uses the margin identity
+    * χ² = N·(Σ_ij n_ij²/(r_i·c_j) − 1) with the per-cell fraction floored
+    * at NANO precision — both engines floor the identical positive
+    * operands, so the statistic (a ⌊·⌋-per-cell variant of χ², within
+    * r·c nano-units of the real value) is bit-identical:
+    *
+    *   chi2_nano = max(0, Σ_ij ⌊10⁹·n_ij²·N/(r_i·c_j)⌋ − 10⁹·N)
+    *   v2_bp = ⌊chi2_nano/(10⁵·N·min(r−1, c−1))⌋   (V² = χ²/(N·min dim))
+    *
+    * 10⁹·n_ij²·N ≤ 10⁹·N³ keeps DECIMAL(38,0)/HUGEINT exact to
+    * N ≈ 4·10⁹ rows; beyond that, compute on a deterministic hash
+    * sample. Plan: one groupBy to the r·c cell frame (domain-bounded),
+    * then margins via two tiny re-aggregations joined back — nothing
+    * row-scale survives the first agg.
+    */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("av"), col(bCol).as("bv"))
+      .agg(count(lit(1)).as("nij"))
+    val rowm = cells.groupBy(col("av")).agg(sum(col("nij")).as("ri"),
+      count(lit(1)).as("rc_a"))
+    val colm = cells.groupBy(col("bv")).agg(sum(col("nij")).as("cj"),
+      count(lit(1)).as("rc_b"))
+    val tot = cells.agg(sum(col("nij")).as("n"),
+      countDistinct(col("av")).as("r"), countDistinct(col("bv")).as("c"))
+    cells.join(broadcast(rowm.drop("rc_a")), "av")
+      .join(broadcast(colm.drop("rc_b")), "bv")
+      .crossJoin(broadcast(tot))
+      .agg(max(col("n")).cast("long").as("n"),
+        max(col("r")).cast("long").as("r"),
+        max(col("c")).cast("long").as("c"),
+        sum(expr("""(CAST(1000000000 AS DECIMAL(38,0)) * nij * nij * n)
+            div (CAST(ri AS DECIMAL(38,0)) * cj)""")).as("s"))
+      .select(col("n"), col("r"), col("c"),
+        expr("""CAST(greatest(s - CAST(1000000000 AS DECIMAL(38,0)) * n, 0)
+            AS DECIMAL(38,0))""").as("chi2n"))
+      .select(col("n"), col("r"), col("c"),
+        col("chi2n").cast("long").as("chi2_nano"),
+        expr("""CAST(chi2n div (CAST(100000 AS DECIMAL(38,0)) * n
+            * least(r - 1, c - 1)) AS BIGINT)""").as("v2_bp"))
+  }
+
+  /** Is a document's SOURCE associated with its LANGUAGE — the corpus-
+    * composition question behind per-source language rebalancing.
+    */
+  private val qCramersV = GraftQuery(
+    "qstat_cramers_v",
+    (s, dir) => cramersV(Tables.documents(s, dir), "source", "lang"),
+    Some("""WITH cells AS (SELECT source AS av, lang AS bv, COUNT(*) AS nij
+        FROM documents GROUP BY source, lang),
+    rm AS (SELECT av, SUM(nij) AS ri FROM cells GROUP BY av),
+    cm AS (SELECT bv, SUM(nij) AS cj FROM cells GROUP BY bv),
+    t AS (SELECT SUM(nij) AS n, COUNT(DISTINCT av) AS r,
+        COUNT(DISTINCT bv) AS c FROM cells),
+    a AS (SELECT CAST(MAX(t.n) AS BIGINT) AS n, CAST(MAX(t.r) AS BIGINT) AS r,
+        CAST(MAX(t.c) AS BIGINT) AS c,
+        SUM((CAST(1000000000 AS HUGEINT) * nij * nij * t.n)
+          // (CAST(ri AS HUGEINT) * cj)) AS s
+      FROM cells JOIN rm USING (av) JOIN cm USING (bv) CROSS JOIN t),
+    b AS (SELECT n, r, c,
+        greatest(s - CAST(1000000000 AS HUGEINT) * n, 0) AS chi2n FROM a)
+    SELECT n, r, c, CAST(chi2n AS BIGINT) AS chi2_nano,
+      CAST(chi2n // (CAST(100000 AS HUGEINT) * n * least(r - 1, c - 1))
+        AS BIGINT) AS v2_bp
+    FROM b"""))
+
+  // ------------------------------------- Autocorrelation (calendar lag)
+  /** Sample autocorrelation of the daily-revenue series at calendar lags
+    * 1 and 7 (day-over-day persistence and weekly seasonality). CALENDAR
+    * lag: pair (d, d+k) only when both days exist — gaps drop pairs
+    * rather than shifting the series (documented variant). Exact
+    * integers: with n days, S = Σx, SS = Σx², and per-lag matched sums
+    * m, P = Σ x_t·x_{t+k}, A, B over matched pairs, multiply the
+    * mean-centered formula through by n²:
+    *
+    *   acf_bp = ⌊10⁴·(n²P − nS(A+B) + mS²) / (n²SS − nS²)⌋, sign split.
+    *
+    * 10⁴n²P needs ~38 digits at ~10¹² cents/day over 10⁴ days — inside
+    * DECIMAL(38,0)/HUGEINT for any per-day total under ~10¹² cents;
+    * beyond, drop to milli-precision. One scan to the daily frame; lags
+    * are two self-joins on the tiny day-domain frame.
+    */
+  private val qAutocorr = GraftQuery(
+    "qstat_autocorr",
+    (s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderdate").as("d"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("v"))
+      val tot = daily.agg(count(lit(1)).as("n"),
+        sum(dec(col("v"))).as("s"), sum(dec(col("v")) * col("v")).as("ss"))
+      val lagged = Seq(1, 7).map { k =>
+        val l = daily.select(col("d").as("dl"), col("v").as("vl"))
+        daily.join(l, col("dl") === date_add(col("d"), k))
+          .agg(count(lit(1)).as("m"),
+            sum(dec(col("v")) * col("vl")).as("p"),
+            sum(dec(col("v"))).as("a"), sum(dec(col("vl"))).as("b"))
+          .select(lit(k.toLong).as("lag"), col("m"), col("p"), col("a"), col("b"))
+      }.reduce(_ unionAll _)
+      lagged.crossJoin(broadcast(tot))
+        .select(col("lag"), col("m"),
+          (dec(col("n")) * col("n") * col("p")
+            - dec(col("n")) * col("s") * (col("a") + col("b"))
+            + dec(col("m")) * col("s") * col("s")).as("num"),
+          (dec(col("n")) * col("n") * col("ss")
+            - dec(col("n")) * col("s") * col("s")).as("den"))
+        .select(col("lag"), col("m"),
+          expr("""CAST(CASE WHEN den = 0 THEN NULL
+              WHEN num >= 0 THEN (10000 * num) div den
+              ELSE -((10000 * (-num)) div den) END AS BIGINT)""").as("acf_bp"))
+        .orderBy(col("lag"))
+    },
+    Some("""WITH daily AS (SELECT o_orderdate AS d,
+        SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS v
+      FROM orders GROUP BY o_orderdate),
+    t AS (SELECT COUNT(*) AS n, SUM(CAST(v AS HUGEINT)) AS s,
+        SUM(CAST(v AS HUGEINT) * v) AS ss FROM daily),
+    lg AS (
+      SELECT 1 AS lag, COUNT(*) AS m, SUM(CAST(x.v AS HUGEINT) * l.v) AS p,
+        SUM(CAST(x.v AS HUGEINT)) AS a, SUM(CAST(l.v AS HUGEINT)) AS b
+      FROM daily x JOIN daily l ON l.d = x.d + INTERVAL 1 DAY
+      UNION ALL
+      SELECT 7 AS lag, COUNT(*) AS m, SUM(CAST(x.v AS HUGEINT) * l.v) AS p,
+        SUM(CAST(x.v AS HUGEINT)) AS a, SUM(CAST(l.v AS HUGEINT)) AS b
+      FROM daily x JOIN daily l ON l.d = x.d + INTERVAL 7 DAY),
+    f AS (SELECT lag, m,
+        CAST(n AS HUGEINT) * n * p - CAST(n AS HUGEINT) * s * (a + b)
+          + CAST(m AS HUGEINT) * s * s AS num,
+        CAST(n AS HUGEINT) * n * ss - CAST(n AS HUGEINT) * s * s AS den
+      FROM lg CROSS JOIN t)
+    SELECT CAST(lag AS BIGINT) AS lag, CAST(m AS BIGINT) AS m,
+      CAST(CASE WHEN den = 0 THEN NULL
+        WHEN num >= 0 THEN (10000 * num) // den
+        ELSE -((10000 * (-num)) // den) END AS BIGINT) AS acf_bp
+    FROM f ORDER BY lag"""))
+
+  // ------------------------------------- Cohen's d (effect size)
+  /** Pooled-variance effect size for the KS/MWU sample pairing — the
+    * "is the shift LARGE, not just significant" companion (KS/U reject
+    * any shift at big n; d measures it in pooled-sd units). Signed
+    * square in micro-units, fully integer: with per-sample (n, S=Σx,
+    * SS=Σx²), mean difference ×n1n2 is diff = S1n2 − S2n1, and
+    *
+    *   d² = (μ1−μ2)²/s_p²,  s_p² = W/(n1·n2·(n1+n2−2)),
+    *   W = n2(n1·SS1 − S1²) + n1(n2·SS2 − S2²)
+    *
+    * computed as a TWO-STAGE fixed point (the single-fraction form
+    * ⌊10⁶·diff²·nf/den⌋ needs ~42 digits at 10⁶-row × 10⁴-cent inputs —
+    * past DECIMAL(38,0)):
+    *
+    *   dm  = ⌊10³·|S1n2 − S2n1| / (n1n2)⌋     (|μ1−μ2| in milli-cents)
+    *   vp  = ⌊W / (n1n2·(n1+n2−2))⌋           (s_p² in cents²)
+    *   d2s_micro = sign(S1n2−S2n1)·⌊dm²/vp⌋    (= 10⁶·d², both floors
+    *                                            engine-identical)
+    *
+    * Every intermediate stays under ~10²⁵; floors cost ≤0.1 % on dm and
+    * ≤1 ulp on vp — a documented fixed-point statistic, bit-identical
+    * across engines. |d| = √(|d2s_micro|/10⁶) driver-side if a linear
+    * readout is wanted.
+    *
+    * Plan: ONE full-scan aggregate to a 1-row moment summary — the
+    * [[chiSquareAb]] shape; nothing but six numbers leaves the
+    * executors.
+    */
+  def cohensD(vals: DataFrame, valueCol: String, isFirst: Column): DataFrame = {
+    val m = vals.select(col(valueCol).as("v"), isFirst.as("one"))
+      .filter(col("v").isNotNull)
+      .agg(
+        sum(when(col("one"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("one"), col("v")).otherwise(0L)).as("s1"),
+        sum(when(col("one"), dec(col("v")) * col("v")).otherwise(lit(0).cast("decimal(38,0)"))).as("ss1"),
+        sum(when(!col("one"), 1L).otherwise(0L)).as("n2"),
+        sum(when(!col("one"), col("v")).otherwise(0L)).as("s2"),
+        sum(when(!col("one"), dec(col("v")) * col("v")).otherwise(lit(0).cast("decimal(38,0)"))).as("ss2"))
+    m.select(col("n1"), col("n2"),
+        (dec(col("s1")) * col("n2") - dec(col("s2")) * col("n1")).as("diff"),
+        (dec(col("n2")) * (dec(col("n1")) * col("ss1") - dec(col("s1")) * col("s1"))
+          + dec(col("n1")) * (dec(col("n2")) * col("ss2") - dec(col("s2")) * col("s2")))
+          .as("w"),
+        (dec(col("n1")) * col("n2")).as("nn"),
+        (dec(col("n1")) + col("n2") - 2).as("nf"))
+      .select(col("n1"), col("n2"), col("diff"),
+        expr("(1000 * abs(diff)) div nn").as("dm"),
+        expr("CASE WHEN nf > 0 THEN w div (nn * nf) ELSE NULL END").as("vp"))
+      .select(col("n1"), col("n2"),
+        expr("""CAST(CASE WHEN vp IS NULL OR vp = 0 THEN NULL
+            WHEN diff >= 0 THEN (dm * dm) div vp
+            ELSE -((dm * dm) div vp) END AS BIGINT)""").as("d2s_micro"))
+  }
+
+  /** Purchase vs click value distributions (the KS/MWU pairing) — the
+    * effect-size readout completing the triple: KS "is there a shift",
+    * U "which direction", d "how large".
+    */
+  private val qCohensD = GraftQuery(
+    "qstat_cohens_d",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+          col("event_type"))
+      cohensD(ev, "cents", col("event_type") === "purchase")
+    },
+    Some("""WITH v AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+        event_type = 'purchase' AS one
+      FROM events WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL),
+    m AS (SELECT
+        CAST(SUM(CASE WHEN one THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        SUM(CASE WHEN one THEN cents ELSE 0 END) AS s1,
+        SUM(CASE WHEN one THEN CAST(cents AS HUGEINT) * cents ELSE 0 END) AS ss1,
+        CAST(SUM(CASE WHEN NOT one THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        SUM(CASE WHEN NOT one THEN cents ELSE 0 END) AS s2,
+        SUM(CASE WHEN NOT one THEN CAST(cents AS HUGEINT) * cents ELSE 0 END) AS ss2
+      FROM v),
+    t AS (SELECT n1, n2,
+        CAST(s1 AS HUGEINT) * n2 - CAST(s2 AS HUGEINT) * n1 AS diff,
+        CAST(n1 AS HUGEINT) * n2
+          * (CAST(n2 AS HUGEINT) * (CAST(n1 AS HUGEINT) * ss1 - CAST(s1 AS HUGEINT) * s1)
+            + CAST(n1 AS HUGEINT) * (CAST(n2 AS HUGEINT) * ss2 - CAST(s2 AS HUGEINT) * s2))
+          AS den,
+        CAST(n1 AS HUGEINT) + n2 - 2 AS nf
+      FROM m)
+    SELECT n1, n2,
+      CAST(CASE WHEN den = 0 THEN NULL
+        WHEN diff >= 0 THEN (1000000 * diff * diff * nf) // den
+        ELSE -((1000000 * diff * diff * nf) // den) END AS BIGINT) AS d2s_micro
+    FROM t"""))
+
+  // ------------------------------------- IQR / Tukey-fence outliers
+  /** Per-group Tukey-fence outlier profile: Q1/Q3 as "smallest value
+    * with 4·cum ≥ q·n" over the value-count frame (no interpolation —
+    * the quartiles are actual data values, exact in integer cents), and
+    * outlier counts beyond the 1.5·IQR fences with the fence comparison
+    * ×2 so the 1.5 multiplier stays integral:
+    *
+    *   low:  2v < 5·q1 − 3·q3       high:  2v > 5·q3 − 3·q1
+    *
+    * Plan: value-domain collapse (groupBy (g, v)) → one partitioned
+    * cumsum window → per-group quartile agg → broadcast fence join back
+    * to the VALUE-COUNT frame (outliers counted as Σk, raw rows never
+    * rescanned). Sorted set is the per-group distinct value domain —
+    * the KS contract.
+    */
+  def iqrOutliers(vals: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val g = vals.select(col(groupCol).as("g"), col(valueCol).as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("k"))
+    val wc = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.partitionBy(col("g"))
+    val cum = g.select(col("g"), col("v"), col("k"),
+      sum(col("k")).over(wc).as("cum"), sum(col("k")).over(wn).as("n"))
+    val q = cum.groupBy(col("g")).agg(max(col("n")).as("n"),
+      min(when(col("cum") * 4 >= col("n"), col("v"))).as("q1"),
+      min(when(col("cum") * 4 >= col("n") * 3, col("v"))).as("q3"))
+    g.join(q, "g")
+      .groupBy(col("g"))
+      .agg(max(col("n")).as("n"), max(col("q1")).as("q1"), max(col("q3")).as("q3"),
+        sum(when(col("v") * 2 < col("q1") * 5 - col("q3") * 3, col("k"))
+          .otherwise(0L)).as("n_out_low"),
+        sum(when(col("v") * 2 > col("q3") * 5 - col("q1") * 3, col("k"))
+          .otherwise(0L)).as("n_out_high"))
+      .orderBy(col("g"))
+  }
+
+  /** Per-event-type value outlier profile — the data-quality screen
+    * before the value-based aggs (a fat tail of mis-scaled values shows
+    * up as a large high-fence count).
+    */
+  private val qIqr = GraftQuery(
+    "qstat_iqr_outliers",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      iqrOutliers(ev, "event_type", "cents")
+        .withColumnRenamed("g", "event_type")
+    },
+    Some("""WITH v AS (SELECT event_type AS g,
+        CAST(round(value * 100) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL),
+    gc AS (SELECT g, v, COUNT(*) AS k FROM v GROUP BY g, v),
+    c AS (SELECT g, v, k,
+        SUM(k) OVER (PARTITION BY g ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        SUM(k) OVER (PARTITION BY g) AS n
+      FROM gc),
+    q AS (SELECT g, CAST(MAX(n) AS BIGINT) AS n,
+        MIN(CASE WHEN cum * 4 >= n THEN v END) AS q1,
+        MIN(CASE WHEN cum * 4 >= n * 3 THEN v END) AS q3
+      FROM c GROUP BY g)
+    SELECT gc.g AS event_type, MAX(q.n) AS n,
+      CAST(MAX(q.q1) AS BIGINT) AS q1, CAST(MAX(q.q3) AS BIGINT) AS q3,
+      CAST(SUM(CASE WHEN gc.v * 2 < q.q1 * 5 - q.q3 * 3 THEN gc.k ELSE 0 END)
+        AS BIGINT) AS n_out_low,
+      CAST(SUM(CASE WHEN gc.v * 2 > q.q3 * 5 - q.q1 * 3 THEN gc.k ELSE 0 END)
+        AS BIGINT) AS n_out_high
+    FROM gc JOIN q ON gc.g = q.g GROUP BY gc.g ORDER BY gc.g"""))
+
   val queries: Seq[GraftQuery] =
-    Seq(qChisq, qKs, qBoot, qGini, qLinReg, qPettitt, qWMedian, qMwu, qBenford, qPareto, qRuns)
+    Seq(qChisq, qKs, qBoot, qGini, qLinReg, qPettitt, qWMedian, qMwu,
+      qBenford, qPareto, qRuns, qSpearman, qKendall, qTheilSen, qCramersV,
+      qAutocorr, qCohensD, qIqr)
 }

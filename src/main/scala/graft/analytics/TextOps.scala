@@ -685,8 +685,57 @@ object TextOps {
     sk AS (SELECT doc_id, w, (u30 * 1000000000) // w AS skey FROM h)
     SELECT doc_id, w, skey FROM sk ORDER BY skey, doc_id LIMIT $WeightedK"""))
 
+  /** Per-group duplicate-n-gram rate: the share of a group's (doc,
+    * 3-gram) occurrences whose 3-gram appears in MORE THAN ONE document
+    * corpus-wide — the memorization-risk readout behind "dedup before
+    * training" (near-verbatim text that survives doc-level dedup shows
+    * up here as a high rate). Shingles are per-doc DISTINCT, so the
+    * cross-doc count of a shingle = its document frequency; occurrences
+    * travel as 60-bit hashes (16 bytes/row through the shuffle, not the
+    * shingle string).
+    *
+    * Plan: shingle explode (map-side Generate) → df count on the uniform
+    * hash key → one hash join back → per-group agg. Two shuffles, both
+    * on uniform keys; linear in total shingle volume.
+    */
+  def dupNgramRate(docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      groupCol: String = "source"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, explode}
+    val occ = docs
+      .select(col(idCol).as("doc_id"), col(groupCol).as("grp"),
+        expr(toksExprOn(textCol)).as("toks"))
+      .select(col("doc_id"), col("grp"),
+        explode(expr(Nlp.shingles("toks"))).as("sh"))
+      .filter(col("sh") =!= "")
+      .select(col("doc_id"), col("grp"), expr(h60("sh")).as("h"))
+    val df60 = occ.groupBy(col("h")).agg(count(lit(1)).as("ndocs"))
+    occ.join(df60, "h")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("dup_grams"))
+      .select(col("grp").as("source"), col("n_grams"), col("dup_grams"),
+        expr("(10000 * dup_grams) div n_grams").as("dup_rate_bp"))
+      .orderBy(col("source"))
+  }
+
+  private val qDupNgram = GraftQuery(
+    "qt_dup_ngram_rate",
+    (s, dir) => dupNgramRate(Tables.documents(s, dir)),
+    Some(s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+    shl AS (SELECT doc_id, source, ${shinglesSql("toks")} AS sh FROM t),
+    sx AS (SELECT doc_id, source, unnest(sh) AS shingle FROM shl),
+    f AS (SELECT doc_id, source, ${h60Sql("shingle")} AS h
+      FROM sx WHERE shingle != ''),
+    c AS (SELECT h, COUNT(*) AS ndocs FROM f GROUP BY h)
+    SELECT f.source, COUNT(*) AS n_grams,
+      CAST(SUM(CASE WHEN c.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams,
+      CAST((10000 * SUM(CASE WHEN c.ndocs >= 2 THEN 1 ELSE 0 END))
+        // COUNT(*) AS BIGINT) AS dup_rate_bp
+    FROM f JOIN c USING (h) GROUP BY f.source ORDER BY f.source"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qTokens, qBpeTokens, qLangId, qQuality, qFingerprint, qSplit, qRebalance,
       qRepetition, qLineDedup, qContamination, qStratified, qWeighted,
-      qReadability, qLangConfusion)
+      qReadability, qLangConfusion, qDupNgram)
 }

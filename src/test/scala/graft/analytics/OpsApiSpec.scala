@@ -1779,6 +1779,47 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(entryBest.keySet.forall(q => beamBest(q) >= entryBest(q) - 1e-12),
       s"beam search lost to its own entry round: $beamBest vs $entryBest")
   }
+
+  test("spearmanBp: monotone ±1 exactly, tie-averaged double-ranks exact") {
+    import spark.implicits._
+    val rows = Seq(
+      ("up", 1L, 10L), ("up", 2L, 20L), ("up", 3L, 30L),
+      ("down", 1L, 30L), ("down", 2L, 20L), ("down", 3L, 10L),
+      // ties in both columns: double-ranks (3,3,6), still a perfect
+      // monotone relation -> rho^2 = 1
+      ("tie", 1L, 5L), ("tie", 1L, 5L), ("tie", 2L, 9L))
+      .toDF("g", "x", "y")
+    val out = StatTests.spearmanBp(rows, "g", "x", "y")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out == Map("up" -> 10000L, "down" -> -10000L, "tie" -> 10000L),
+      out.toString)
+  }
+
+  test("cramersV: perfect association v2=1, independence v2=0, exact nano") {
+    import spark.implicits._
+    val assoc = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y"))
+      .toDF("u", "v")
+    val r1 = StatTests.cramersV(assoc, "u", "v").collect().head
+    // chi2 = N for a perfect 2x2 -> nano = 1e9 * 4; V^2 = 1
+    assert(r1.getLong(3) == 4000000000L && r1.getLong(4) == 10000L, r1.toString)
+    val indep = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+      .toDF("u", "v")
+    val r2 = StatTests.cramersV(indep, "u", "v").collect().head
+    assert(r2.getLong(3) == 0L && r2.getLong(4) == 0L, r2.toString)
+  }
+
+  test("dupNgramRate: cross-doc shingles count as dup, unique corpus scores 0") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "A", "a b c d"), (2L, "A", "a b c d"),  // both shingles shared
+      (3L, "B", "x y z"))                          // lone shingle, unique
+      .toDF("id", "src", "body")
+    val out = TextOps.dupNgramRate(d, idCol = "id", textCol = "body",
+        groupCol = "src")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toList.sortBy(_._1)
+    assert(out == List(("A", 4L, 4L, 10000L), ("B", 1L, 0L, 0L)), out.toString)
+  }
 }
 
 /** Row-collect helpers shared by the API tests. */
