@@ -1073,6 +1073,27 @@ object EventsQueries {
       CAST(CAST(SUM(m) AS HUGEINT) // COUNT(*) AS BIGINT) AS avg_cents
     FROM sc GROUP BY r_q, f_q, m_q ORDER BY r_q, f_q, m_q"""))
 
+  /** Streaming twin of qe_rfm's per-user FEATURE stage: maintain each
+    * user's (last event time, frequency, monetary cents) incrementally
+    * via transformWithState ([[graft.streaming.RfmFeatureProcessor]]).
+    * Last emission per user ≡ the batch per-user aggregate over all
+    * input so far (StreamingExtrasSpec pins it). Quintile scoring
+    * (NTILE) remains a periodic batch readout over this feature frame.
+    */
+  def rfmFeaturesStream(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.select(col(userCol).cast("long").as("u"),
+        unix_micros(col(tsCol)).as("tm"),
+        expr(s"CAST(round($valueCol * 100) AS BIGINT)").as("cents"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new graft.streaming.RfmFeatureProcessor,
+        TimeMode.None(), OutputMode.Append())
+      .toDF("user_id", "last_micros", "f", "m")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(qTumbling, qSliding, qSessions, qJson, qTopUsers, qDeltas, qZscore,
       qFunnel, qRetention, qResample, qHistogram, qPattern, qTransitions,

@@ -904,7 +904,96 @@ object GraphOps {
     },
     Some(pprSql))
 
+  // ------------------------------------------------------------- HITS
+  /** HITS hubs & authorities on the DIRECTED customer→supplier trade
+    * graph — the natural algorithm for a bipartite graph (where
+    * [[qModularity]] shows LPA degenerates): hubs = buyers whose
+    * purchases concentrate on authoritative suppliers, authorities =
+    * suppliers bought by strong hubs. Exact-integer fixed point in the
+    * [[pageRank]] style: each half-round is one hash join + one
+    * uniform-key agg, then SUM-normalization back to the ×10¹² grid by
+    * integer floor division (Kleinberg's L2 norm needs a sqrt; sum
+    * normalization is the standard integer-safe variant and rescales
+    * ranks identically for ordering). The Scale·score product runs in
+    * DECIMAL(38,0)/HUGEINT (≤ ~10²⁷), result floored back to BIGINT.
+    * Per-round lineage truncation as in every iterative op here.
+    */
+  def hits(edgesDirected: DataFrame, iters: Int = 2,
+      srcCol: String = "src", dstCol: String = "dst"): (DataFrame, DataFrame) = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edgesDirected.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint()
+    val nh = e.select(col("src")).distinct().count()
+    var h = e.select(col("src").as("node")).distinct()
+      .withColumn("r", lit(Scale / nh))
+      .localCheckpoint()
+    var a: DataFrame = null
+    def normalize(raw: DataFrame): DataFrame = {
+      val tot = raw.agg(sum(col("s")).as("t"))
+      raw.crossJoin(broadcast(tot))
+        .select(col("node"),
+          expr(s"CAST((CAST($Scale AS DECIMAL(38,0)) * s) div t AS BIGINT)")
+            .as("r"))
+        .localCheckpoint()
+    }
+    for (_ <- 1 to iters) {
+      a = normalize(e.join(h, e("src") === h("node"))
+        .groupBy(e("dst").as("node2")).agg(sum(col("r")).as("s"))
+        .select(col("node2").as("node"), col("s")))
+      h = normalize(e.join(a, e("dst") === a("node"))
+        .groupBy(e("src").as("node2")).agg(sum(col("r")).as("s"))
+        .select(col("node2").as("node"), col("s")))
+    }
+    (h, a)
+  }
+
+  private val HitsIters = 2
+
+  private def hitsAsql(prevH: String, out: String) =
+    s"""${out}r AS (SELECT e.dst AS node, SUM($prevH.r) AS s FROM e
+      JOIN $prevH ON e.src = $prevH.node GROUP BY e.dst),
+    ${out}t AS (SELECT SUM(s) AS t FROM ${out}r),
+    $out AS (SELECT node, CAST((CAST($Scale AS HUGEINT) * s) // t AS BIGINT) AS r
+      FROM ${out}r, ${out}t)"""
+
+  private def hitsHsql(prevA: String, out: String) =
+    s"""${out}r AS (SELECT e.src AS node, SUM($prevA.r) AS s FROM e
+      JOIN $prevA ON e.dst = $prevA.node GROUP BY e.src),
+    ${out}t AS (SELECT SUM(s) AS t FROM ${out}r),
+    $out AS (SELECT node, CAST((CAST($Scale AS HUGEINT) * s) // t AS BIGINT) AS r
+      FROM ${out}r, ${out}t)"""
+
+  private val hitsSql = s"""WITH e AS (SELECT DISTINCT o_custkey * 2 AS src,
+      l_suppkey * 2 + 1 AS dst FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    hn AS (SELECT COUNT(DISTINCT src) AS nh FROM e),
+    h0 AS (SELECT DISTINCT src AS node, CAST($Scale // nh AS BIGINT) AS r
+      FROM e, hn),
+    ${hitsAsql("h0", "a1")},
+    ${hitsHsql("a1", "h1")},
+    ${hitsAsql("h1", "a2")},
+    ${hitsHsql("a2", "h2")}
+    SELECT * FROM (
+      (SELECT 'authority' AS role, node, r AS score_int FROM a2
+        ORDER BY r DESC, node LIMIT 10)
+      UNION ALL
+      (SELECT 'hub' AS role, node, r AS score_int FROM h2
+        ORDER BY r DESC, node LIMIT 10))
+    ORDER BY role, score_int DESC, node"""
+
+  private val qHits = GraftQuery(
+    "qg_hits",
+    (s, dir) => {
+      val directed = tradeEdges(s, dir).filter(col("src") % 2 === 0)
+      val (h, a) = hits(directed, HitsIters)
+      val top = (df: DataFrame, role: String) =>
+        df.orderBy(col("r").desc, col("node")).limit(10)
+          .select(lit(role).as("role"), col("node"), col("r").as("score_int"))
+      top(a, "authority").unionByName(top(h, "hub"))
+        .orderBy(col("role"), col("score_int").desc, col("node"))
+    },
+    Some(hitsSql))
+
   def queries: Seq[GraftQuery] =
     Seq(qPageRank, qTriangles, qLpa, qKcore, qReach, qSubtree, qSssp, qPpr,
-      qLinkPredict, qDegreeDist, qModularity)
+      qLinkPredict, qDegreeDist, qModularity, qHits)
 }

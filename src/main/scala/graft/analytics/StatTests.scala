@@ -1261,8 +1261,13 @@ object StatTests {
     * [[chiSquareAb]] shape; nothing but six numbers leaves the
     * executors.
     */
-  def cohensD(vals: DataFrame, valueCol: String, isFirst: Column): DataFrame = {
-    val m = vals.select(col(valueCol).as("v"), isFirst.as("one"))
+  /** Shared two-sample moment summary: one full-scan agg to
+    * (n1,S1,SS1,n2,S2,SS2) — the common prefix of [[cohensD]] and
+    * [[qPowerN]].
+    */
+  private def twoSampleMoments(vals: DataFrame, valueCol: String,
+      isFirst: Column): DataFrame =
+    vals.select(col(valueCol).as("v"), isFirst.as("one"))
       .filter(col("v").isNotNull)
       .agg(
         sum(when(col("one"), 1L).otherwise(0L)).as("n1"),
@@ -1271,6 +1276,9 @@ object StatTests {
         sum(when(!col("one"), 1L).otherwise(0L)).as("n2"),
         sum(when(!col("one"), col("v")).otherwise(0L)).as("s2"),
         sum(when(!col("one"), dec(col("v")) * col("v")).otherwise(lit(0).cast("decimal(38,0)"))).as("ss2"))
+
+  def cohensD(vals: DataFrame, valueCol: String, isFirst: Column): DataFrame = {
+    val m = twoSampleMoments(vals, valueCol, isFirst)
     m.select(col("n1"), col("n2"),
         (dec(col("s1")) * col("n2") - dec(col("s2")) * col("n1")).as("diff"),
         (dec(col("n2")) * (dec(col("n1")) * col("ss1") - dec(col("s1")) * col("s1"))
@@ -1396,8 +1404,122 @@ object StatTests {
         AS BIGINT) AS n_out_high
     FROM gc JOIN q ON gc.g = q.g GROUP BY gc.g ORDER BY gc.g"""))
 
+  // ------------------------------------- A/B sample-size planner
+  /** Required per-arm sample size to detect the OBSERVED two-sample
+    * mean difference at α = 0.05 two-sided with power 0.80 — the
+    * planning readout that turns [[cohensD]]'s effect size into "how
+    * long must the next experiment run". Textbook normal-approximation
+    * formula n = 2(z₀.₉₇₅+z₀.₈)²·σ²/δ² with the z-sum pre-squared
+    * driver-side ((1.96 + 0.8416)² = 7.8490, inlined ×10³ — no
+    * transcendental runs in-engine), δ and σ² the fixed-point dm/vp of
+    * [[cohensD]] (milli-cents / cents²):
+    *
+    *   n_req = ⌈15698·10³·vp / dm²⌉   (= ⌈2·7.849·σ²/δ²⌉, ceil via
+    *                                    (num + dm² − 1) div dm²)
+    *
+    * Same 1-row moment-summary plan as [[chiSquareAb]]; the moment agg
+    * is shared code with [[cohensD]] ([[twoSampleMoments]]).
+    */
+  private val qPowerN = GraftQuery(
+    "qstat_power_n",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+          col("event_type"))
+      val m = twoSampleMoments(ev, "cents", col("event_type") === "purchase")
+      m.select(col("n1"), col("n2"),
+          (dec(col("s1")) * col("n2") - dec(col("s2")) * col("n1")).as("diff"),
+          (dec(col("n2")) * (dec(col("n1")) * col("ss1") - dec(col("s1")) * col("s1"))
+            + dec(col("n1")) * (dec(col("n2")) * col("ss2") - dec(col("s2")) * col("s2")))
+            .as("w"),
+          (dec(col("n1")) * col("n2")).as("nn"),
+          (dec(col("n1")) + col("n2") - 2).as("nf"))
+        .select(col("n1"), col("n2"),
+          expr("(1000 * abs(diff)) div nn").as("dm"),
+          expr("CASE WHEN nf > 0 THEN w div (nn * nf) ELSE NULL END").as("vp"))
+        .select(col("n1"), col("n2"),
+          col("dm").cast("long").as("dm_milli"),
+          col("vp").cast("long").as("vp_cents2"),
+          expr("""CAST(CASE WHEN dm = 0 OR vp IS NULL THEN NULL
+              ELSE (15698000 * vp + dm * dm - 1) div (dm * dm)
+              END AS BIGINT)""").as("n_req_per_arm"))
+    },
+    Some("""WITH v AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+        event_type = 'purchase' AS one
+      FROM events WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL),
+    m AS (SELECT
+        CAST(SUM(CASE WHEN one THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        SUM(CASE WHEN one THEN cents ELSE 0 END) AS s1,
+        SUM(CASE WHEN one THEN CAST(cents AS HUGEINT) * cents ELSE 0 END) AS ss1,
+        CAST(SUM(CASE WHEN NOT one THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        SUM(CASE WHEN NOT one THEN cents ELSE 0 END) AS s2,
+        SUM(CASE WHEN NOT one THEN CAST(cents AS HUGEINT) * cents ELSE 0 END) AS ss2
+      FROM v),
+    t AS (SELECT n1, n2,
+        CAST(s1 AS HUGEINT) * n2 - CAST(s2 AS HUGEINT) * n1 AS diff,
+        CAST(n2 AS HUGEINT) * (CAST(n1 AS HUGEINT) * ss1 - CAST(s1 AS HUGEINT) * s1)
+          + CAST(n1 AS HUGEINT) * (CAST(n2 AS HUGEINT) * ss2 - CAST(s2 AS HUGEINT) * s2)
+          AS w,
+        CAST(n1 AS HUGEINT) * n2 AS nn,
+        CAST(n1 AS HUGEINT) + n2 - 2 AS nf
+      FROM m),
+    f AS (SELECT n1, n2, (1000 * abs(diff)) // nn AS dm,
+        CASE WHEN nf > 0 THEN w // (nn * nf) ELSE NULL END AS vp
+      FROM t)
+    SELECT n1, n2, CAST(dm AS BIGINT) AS dm_milli, CAST(vp AS BIGINT) AS vp_cents2,
+      CAST(CASE WHEN dm = 0 OR vp IS NULL THEN NULL
+        ELSE (15698000 * vp + dm * dm - 1) // (dm * dm)
+        END AS BIGINT) AS n_req_per_arm
+    FROM f"""))
+
+  // ------------------------------------- Simpson diversity
+  /** Per-group Gini–Simpson diversity of a categorical column, exact
+    * basis points — the log-free diversity index (entropy needs ln,
+    * whose last-ulp behavior differs across engines; Simpson is a pure
+    * rational in the counts):
+    *
+    *   div_bp = 10⁴ − ⌊10⁴·Σᵢ nᵢ(nᵢ−1) / (N(N−1))⌋
+    *
+    * (the probability two draws WITHOUT replacement differ). One
+    * groupBy to (group, category) counts, one group agg — everything
+    * after the first agg is category-domain-sized.
+    */
+  def simpsonDiversity(df: DataFrame, groupCol: String,
+      catCol: String): DataFrame = {
+    val cells = df.groupBy(col(groupCol).as("g"), col(catCol).as("cat"))
+      .agg(count(lit(1)).as("k"))
+    cells.groupBy(col("g"))
+      .agg(sum(col("k")).as("n"), count(lit(1)).as("n_cats"),
+        sum(dec(col("k")) * (col("k") - 1)).as("same"))
+      .select(col("g"), col("n"), col("n_cats"),
+        expr("""CAST(CASE WHEN n < 2 THEN NULL
+            ELSE 10000 - (10000 * same) div (CAST(n AS DECIMAL(38,0)) * (n - 1))
+            END AS BIGINT)""").as("simpson_bp"))
+      .orderBy(col("g"))
+  }
+
+  /** Language diversity per source — the corpus-mix readout behind
+    * [[qCramersV]]'s association test (V says "source determines
+    * language"; Simpson says HOW concentrated each source is).
+    */
+  private val qSimpson = GraftQuery(
+    "qstat_simpson_diversity",
+    (s, dir) => simpsonDiversity(Tables.documents(s, dir), "source", "lang")
+      .withColumnRenamed("g", "source"),
+    Some("""WITH cells AS (SELECT source AS g, lang AS cat, COUNT(*) AS k
+        FROM documents GROUP BY source, lang),
+    a AS (SELECT g, SUM(k) AS n, COUNT(*) AS n_cats,
+        SUM(CAST(k AS HUGEINT) * (k - 1)) AS same
+      FROM cells GROUP BY g)
+    SELECT g AS source, CAST(n AS BIGINT) AS n, CAST(n_cats AS BIGINT) AS n_cats,
+      CAST(CASE WHEN n < 2 THEN NULL
+        ELSE 10000 - (10000 * same) // (CAST(n AS HUGEINT) * (n - 1))
+        END AS BIGINT) AS simpson_bp
+    FROM a ORDER BY g"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qChisq, qKs, qBoot, qGini, qLinReg, qPettitt, qWMedian, qMwu,
       qBenford, qPareto, qRuns, qSpearman, qKendall, qTheilSen, qCramersV,
-      qAutocorr, qCohensD, qIqr)
+      qAutocorr, qCohensD, qIqr, qPowerN, qSimpson)
 }

@@ -377,6 +377,42 @@ class StreamingExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids.toSeq == Seq("a", "b", "c"))
   }
 
+  test("streaming RFM features: last emission per user equals the batch aggregate") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(Long, Timestamp, Double)](spark) // (user, ts, value)
+    val out = graft.analytics.EventsQueries.rfmFeaturesStream(
+      input.toDS().toDF("user_id", "ts", "value"))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("rfm_stream")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-rfm").toString)
+      .start()
+    def t(s: String) = Timestamp.valueOf(s)
+    val b1 = Seq((1L, t("2024-01-02 09:00:00"), 1.5),
+      (1L, t("2024-01-01 12:00:00"), 2.0), (2L, t("2024-01-03 08:00:00"), 10.0))
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    // batch 2: user 1's late event must NOT move last ts backward; user 3 new
+    val b2 = Seq((1L, t("2024-01-01 06:00:00"), 0.25),
+      (3L, t("2024-01-04 10:00:00"), 4.0))
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.table("rfm_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val fin = emitted.zipWithIndex.groupBy(_._1._1)
+      .map { case (_, rs) => rs.maxBy(_._2)._1 }.toSet
+    val batch = (b1 ++ b2).toDF("user_id", "ts", "value")
+      .groupBy(col("user_id"))
+      .agg(max(unix_micros(col("ts"))).as("lm"), count(lit(1)).as("f"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(fin == batch, s"stream-final $fin vs batch $batch")
+  }
+
   test("streaming incremental aggregate equals the batch view over all deltas") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
