@@ -1073,6 +1073,58 @@ object EventsQueries {
       CAST(CAST(SUM(m) AS HUGEINT) // COUNT(*) AS BIGINT) AS avg_cents
     FROM sc GROUP BY r_q, f_q, m_q ORDER BY r_q, f_q, m_q"""))
 
+  /** Cohort lifetime-value curves — the revenue companion to
+    * [[qRetention]] (same weekly day-cohort keys, so the two compose
+    * into the classic retention × LTV dashboard): per (cohort_day,
+    * week_offset), the week's revenue, the running cumulative, and
+    * cumulative LTV per cohort member in exact cents (floor division by
+    * the FIXED cohort size — denominators never shift as weeks accrue).
+    *
+    * Plan: per-user min-date agg (uniform key) → cohort sizes as a
+    * re-agg of the USER frame → uniform join back → (cohort, week) agg
+    * → one cumsum window partitioned by cohort (cohort-domain-sized).
+    */
+  private val qLtv = GraftQuery(
+    "qe_ltv_curve",
+    (s, dir) => {
+      val e = Tables.events(s, dir).select(col("user_id"), col("ts"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val first = e.groupBy(col("user_id"))
+        .agg(to_date(min(col("ts"))).as("cohort_day"))
+      val sizes = first.groupBy(col("cohort_day")).agg(count(lit(1)).as("c_size"))
+      val wk = e.join(first, "user_id")
+        .withColumn("week_offset", expr("datediff(to_date(ts), cohort_day) div 7"))
+        .groupBy(col("cohort_day"), col("week_offset"))
+        .agg(sum(col("cents")).as("wk_cents"))
+      val w = Window.partitionBy(col("cohort_day")).orderBy(col("week_offset"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      wk.withColumn("cum_cents", sum(col("wk_cents")).over(w))
+        .join(sizes, "cohort_day")
+        .select(col("cohort_day"), col("week_offset"), col("c_size"),
+          col("wk_cents"), col("cum_cents"),
+          expr("cum_cents div c_size").as("ltv_cents"))
+        .orderBy(col("cohort_day"), col("week_offset"))
+    },
+    Some("""WITH e AS (SELECT user_id, ts,
+        CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+    f AS (SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day
+      FROM e GROUP BY user_id),
+    sz AS (SELECT cohort_day, COUNT(*) AS c_size FROM f GROUP BY cohort_day),
+    wk AS (SELECT f.cohort_day,
+        (CAST(e.ts AS DATE) - f.cohort_day) // 7 AS week_offset,
+        SUM(e.cents) AS wk_cents
+      FROM e JOIN f ON e.user_id = f.user_id GROUP BY 1, 2),
+    c AS (SELECT cohort_day, week_offset, wk_cents,
+        SUM(wk_cents) OVER (PARTITION BY cohort_day ORDER BY week_offset
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+      FROM wk)
+    SELECT c.cohort_day, c.week_offset, CAST(sz.c_size AS BIGINT) AS c_size,
+      CAST(c.wk_cents AS BIGINT) AS wk_cents,
+      CAST(c.cum_cents AS BIGINT) AS cum_cents,
+      CAST(CAST(c.cum_cents AS HUGEINT) // sz.c_size AS BIGINT) AS ltv_cents
+    FROM c JOIN sz ON c.cohort_day = sz.cohort_day
+    ORDER BY c.cohort_day, c.week_offset"""))
+
   /** Streaming twin of qe_rfm's per-user FEATURE stage: maintain each
     * user's (last event time, frequency, monetary cents) incrementally
     * via transformWithState ([[graft.streaming.RfmFeatureProcessor]]).
@@ -1098,5 +1150,6 @@ object EventsQueries {
     Seq(qTumbling, qSliding, qSessions, qJson, qTopUsers, qDeltas, qZscore,
       qFunnel, qRetention, qResample, qHistogram, qPattern, qTransitions,
       qDecayWma, qAttribution, qCusum, qMadAnomaly, qTopPaths, qSlidingDistinct,
-      qSeasonal, qFunnelTime, qCep, qStreak, qCoverage, qOhlc, qLatencySlo, qRfm)
+      qSeasonal, qFunnelTime, qCep, qStreak, qCoverage, qOhlc, qLatencySlo, qRfm,
+      qLtv)
 }

@@ -2688,9 +2688,71 @@ object SimilarityOps {
     },
     Some(bitextSql))
 
+  /** Pairwise label-centroid cosine — the embedding-drift / class-
+    * separation readout over [[labelCentroids]]' geometry: how close are
+    * the per-label mean vectors to each other (near-parallel centroids =
+    * labels the embedding can't separate; in a time- or source-keyed
+    * corpus the same op reads as drift between slices). Exact and
+    * sqrt-free: per (label, dim) the quantized sum ÷ count floors to a
+    * ×2²⁴-grid centroid coordinate (pmod floor — engine-identical on
+    * negative sums), and each pair reports the SIGNED SQUARED cosine in
+    * basis points, cos2s_bp = sign(D)·⌊10⁴·D²/(Na·Nb)⌋ with
+    * D = Σ ca·cb, N = Σ c². |c| ≤ 2²⁴ keeps 10⁴·D² under ~10³⁷ at
+    * dim 64.
+    *
+    * Plan: one corpus scan → (label, dim) agg (label-domain-sized) →
+    * broadcast self-join on dim with la < lb → per-pair agg. Everything
+    * after the first agg is |labels|²·dim.
+    */
+  private val centroidPairsSql = s"""WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+    u AS (SELECT label, unnest(generate_series(1, len(v))) AS i, v FROM e),
+    q AS (SELECT label, i - 1 AS dim, CAST(round(v[i] * ${Quant}.0) AS BIGINT) AS q FROM u),
+    a AS (SELECT label, dim, SUM(q) AS sq, COUNT(*) AS n FROM q GROUP BY label, dim),
+    c AS (SELECT label, dim,
+        (sq - ((sq % n) + n) % n) // n AS c FROM a),
+    p AS (SELECT x.label AS label_a, y.label AS label_b,
+        SUM(CAST(x.c AS HUGEINT) * y.c) AS d,
+        SUM(CAST(x.c AS HUGEINT) * x.c) AS na,
+        SUM(CAST(y.c AS HUGEINT) * y.c) AS nb
+      FROM c x JOIN c y ON x.dim = y.dim AND x.label < y.label
+      GROUP BY 1, 2)
+    SELECT CAST(label_a AS BIGINT) AS label_a, CAST(label_b AS BIGINT) AS label_b,
+      CAST(CASE WHEN na = 0 OR nb = 0 THEN NULL
+        WHEN d >= 0 THEN ((10000 * d * d) // na) // nb
+        ELSE -(((10000 * d * d) // na) // nb) END AS BIGINT) AS cos2s_bp
+    FROM p ORDER BY label_a, label_b"""
+
+  private val qCentroidPairs = GraftQuery(
+    "qs_centroid_pairs",
+    (s, dir) => {
+      val a = Tables.embeddings(s, dir)
+        .select(col("label"), col("embedding").cast("array<double>").as("v"))
+        .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+        .withColumn("q", expr(s"cast(round(x * ${Quant}.0) as bigint)"))
+        .groupBy(col("label"), col("dim"))
+        .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+        .select(col("label"), col("dim"),
+          expr("(sq - pmod(sq, n)) div n").as("c"))
+      val x = a.select(col("label").as("la"), col("dim"), col("c").as("ca"))
+      val y = a.select(col("label").as("lb"), col("dim").as("dimb"), col("c").as("cb"))
+      x.join(broadcast(y), col("dim") === col("dimb") && col("la") < col("lb"))
+        .groupBy(col("la"), col("lb"))
+        .agg(sum(expr("CAST(ca AS DECIMAL(38,0)) * cb")).as("d"),
+          sum(expr("CAST(ca AS DECIMAL(38,0)) * ca")).as("na"),
+          sum(expr("CAST(cb AS DECIMAL(38,0)) * cb")).as("nb"))
+        .select(col("la").cast("long").as("label_a"),
+          col("lb").cast("long").as("label_b"),
+          expr("""CAST(CASE WHEN na = 0 OR nb = 0 THEN NULL
+              WHEN d >= 0 THEN ((10000 * d * d) div na) div nb
+              ELSE -(((10000 * d * d) div na) div nb) END AS BIGINT)""")
+            .as("cos2s_bp"))
+        .orderBy(col("label_a"), col("label_b"))
+    },
+    Some(centroidPairsSql))
+
   val queries: Seq[GraftQuery] = Seq(qBrute, qAnnLsh, qAnnIvf, qAnnIvfTrained,
     qAnnLshMp, qAnnFiltered, qRecall, qMrr, qSq, qSqPacked, qCentroids, qKmeans,
     qOutliers, qSemDedup, qPq, qIvfPq, qIvfPqRes, qKnn, qRp, qMmr, qRrf,
     qKCenter, qGraphAnn, qHardNeg, qMrl, qRbp, qBitext, qNdcg, qSilhouette,
-    qShapley, qProbeCurve, qBinary)
+    qShapley, qProbeCurve, qBinary, qCentroidPairs)
 }

@@ -224,7 +224,55 @@ object Windows {
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_types_seen
       FROM f ORDER BY user_id, event_id"""))
 
+  /** Month-over-month / year-over-year revenue growth — the BI staple.
+    * Monthly revenue in cents; growth in SIGN-SPLIT basis points against
+    * LAG(1) and LAG(12) over the month-ordered series (ROWS-lag
+    * semantics, documented: a missing calendar month shifts both
+    * engines' lags identically, so determinism is unconditional; the
+    * order-date domain here is gap-free anyway). Null growth on the
+    * warm-up rows.
+    *
+    * Plan: one scan → month-domain agg (≤ a few hundred rows at any
+    * corpus size) → two lags in ONE window pass.
+    */
+  private val qMomYoy = GraftQuery(
+    "qw_mom_yoy",
+    (s, dir) => {
+      val monthly = Tables.orders(s, dir)
+        .groupBy(to_date(date_trunc("month", col("o_orderdate"))).as("mon"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("rev_cents"))
+      val w = Window.orderBy(col("mon"))
+      monthly
+        .withColumn("_p", lag(col("rev_cents"), 1).over(w))
+        .withColumn("_py", lag(col("rev_cents"), 12).over(w))
+        .withColumn("mom_bp", when(col("_p").isNull, lit(null))
+          .otherwise(expr("""CASE
+            WHEN rev_cents >= _p THEN (10000 * (rev_cents - _p)) div _p
+            ELSE -((10000 * (_p - rev_cents)) div _p) END""")).cast("long"))
+        .withColumn("yoy_bp", when(col("_py").isNull, lit(null))
+          .otherwise(expr("""CASE
+            WHEN rev_cents >= _py THEN (10000 * (rev_cents - _py)) div _py
+            ELSE -((10000 * (_py - rev_cents)) div _py) END""")).cast("long"))
+        .select(col("mon"), col("rev_cents"), col("mom_bp"), col("yoy_bp"))
+        .orderBy(col("mon"))
+    },
+    Some("""WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+        SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents
+      FROM orders GROUP BY 1),
+    l AS (SELECT mon, rev_cents,
+        LAG(rev_cents, 1) OVER (ORDER BY mon) AS p,
+        LAG(rev_cents, 12) OVER (ORDER BY mon) AS py
+      FROM m)
+    SELECT mon, CAST(rev_cents AS BIGINT) AS rev_cents,
+      CAST(CASE WHEN p IS NULL THEN NULL
+        WHEN rev_cents >= p THEN (10000 * (rev_cents - p)) // p
+        ELSE -((10000 * (p - rev_cents)) // p) END AS BIGINT) AS mom_bp,
+      CAST(CASE WHEN py IS NULL THEN NULL
+        WHEN rev_cents >= py THEN (10000 * (rev_cents - py)) // py
+        ELSE -((10000 * (py - rev_cents)) // py) END AS BIGINT) AS yoy_bp
+    FROM l ORDER BY mon"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qRank, qRunning, qTopSupplier, qDistribution, qRangeFrame, qValueFns,
-      qLocf, qRunningDistinct)
+      qLocf, qRunningDistinct, qMomYoy)
 }
