@@ -2750,9 +2750,144 @@ object SimilarityOps {
     },
     Some(centroidPairsSql))
 
+  // --------------------------------------------- PCA (power iteration)
+  /** Top principal direction of the corpus embedding cloud by DISTRIBUTED
+    * power iteration on the (uncentered) second-moment matrix — the
+    * dominant-variance axis every embedding-debug workflow wants
+    * (anisotropy check, "rogue dimension" detection, whitening prep).
+    * Never materializes a dim×dim matrix: each round is the two
+    * matrix-free products
+    *
+    *   t_i = ⟨x_i, v⟩  (corpus join on dim, agg per row id)
+    *   w_d = Σ_i q_id·t_i  (join back on id, agg per dim)
+    *
+    * then L∞ re-normalization to the ×10⁶ grid by sign-split floor
+    * division — no sqrt, every intermediate an exact integer (x
+    * quantized ×2²⁴; |w| ≤ 2⁴⁶·n stays inside DECIMAL(38,0)/HUGEINT to
+    * n ≈ 10¹¹ rows). Uncentered on purpose (documented): the moment
+    * matrix is PSD so iteration signs are stable, and centering is one
+    * subtraction the caller can fold into the embedding column.
+    * Fixed `iters` rounds (the engine-wide fixed-horizon discipline);
+    * per-round lineage truncation.
+    *
+    * Scale: rounds × (2 uniform-key hash joins + 2 aggs) over the long
+    * (id, dim, q) frame — n·dim rows, the same frame every *TopK kernel
+    * scans; the v frame is dim-sized and broadcasts.
+    */
+  def pcaPowerTop(vecs: org.apache.spark.sql.DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      iters: Int = 3): org.apache.spark.sql.DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val VScale = 1000000L
+    val q = vecs
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .select(col("id"), posexplode(col("v")).as(Seq("dim", "x")))
+      .select(col("id"), col("dim").cast("long").as("dim"),
+        expr(s"cast(round(x * ${Quant}.0) as bigint)").as("q"))
+      .localCheckpoint()
+    var v = q.select(col("dim")).distinct()
+      .withColumn("vv", lit(VScale)).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val t = q.join(v, "dim").groupBy(col("id"))
+        .agg(sum(col("q") * col("vv")).as("t"))
+      val w = q.join(t, "id").groupBy(col("dim"))
+        .agg(sum(expr("CAST(q AS DECIMAL(38,0)) * t")).as("w"))
+      val m = w.agg(max(abs(col("w"))).as("m"))
+      v = w.crossJoin(broadcast(m))
+        .select(col("dim"),
+          expr(s"""CAST(CASE WHEN w >= 0 THEN ($VScale * w) div m
+              ELSE -(($VScale * (-w)) div m) END AS BIGINT)""").as("vv"))
+        .localCheckpoint()
+    }
+    v.select(col("dim"), col("vv").as("v_int")).orderBy(col("dim"))
+  }
+
+  private def pcaRoundSql(prevV: String, r: Int): String =
+    s"""t$r AS (SELECT q.id, SUM(q.q * $prevV.vv) AS t
+      FROM q JOIN $prevV ON q.dim = $prevV.dim GROUP BY q.id),
+    w$r AS (SELECT q.dim, SUM(CAST(q.q AS HUGEINT) * t$r.t) AS w
+      FROM q JOIN t$r ON q.id = t$r.id GROUP BY q.dim),
+    m$r AS (SELECT MAX(abs(w)) AS m FROM w$r),
+    v$r AS (SELECT dim, CAST(CASE WHEN w >= 0 THEN (1000000 * w) // m
+        ELSE -((1000000 * (-w)) // m) END AS BIGINT) AS vv
+      FROM w$r, m$r)"""
+
+  // The WITH-chain through v3, shared by qs_pca_power (which SELECTs the
+  // direction) and qs_anisotropy (which extends the chain).
+  private val pcaSql0 = s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    u AS (SELECT id, unnest(generate_series(1, len(v))) AS i, v FROM e),
+    q AS (SELECT id, CAST(i - 1 AS BIGINT) AS dim,
+      CAST(round(v[i] * ${Quant}.0) AS BIGINT) AS q FROM u),
+    v0 AS (SELECT DISTINCT dim, CAST(1000000 AS BIGINT) AS vv FROM q),
+    ${pcaRoundSql("v0", 1)},
+    ${pcaRoundSql("v1", 2)},
+    ${pcaRoundSql("v2", 3)}"""
+
+  private val pcaSql = s"""$pcaSql0
+    SELECT dim, vv AS v_int FROM v3 ORDER BY dim"""
+
+  // Top principal direction shared across qs_pca_power / qs_anisotropy.
+  private def pcaTop(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Memo.cached(s, s"pcaTop:$dir") {
+      pcaPowerTop(Tables.embeddings(s, dir))
+    }
+
+  private val qPcaPower = GraftQuery(
+    "qs_pca_power",
+    (s, dir) => pcaTop(s, dir).orderBy(col("dim")),
+    Some(pcaSql))
+
+  /** Anisotropy: the share of total (uncentered) second-moment mass
+    * captured by the top principal direction, exact basis points — the
+    * standard "is this embedding space degenerate" readout (a near-10⁴
+    * share means every vector leans on one axis and cosine similarities
+    * collapse; Ethayarajh 2019 is the public reference). With v the
+    * [[pcaPowerTop]] direction, t_i = ⟨q_i, v⟩:
+    *
+    *   share_bp = ⌊10⁴·Σt²/(Σv²·Σq²)⌋   (Rayleigh quotient ÷ trace)
+    *
+    * computed with one remainder split (10⁴·(num mod den) needs
+    * num, den ≲ 10³⁴ — holds to ~10⁸ vectors at dim 64; beyond, split
+    * 10⁴ = 10²·10² as in [[chiSquareAb]]'s nested identity). One extra
+    * corpus join pass over the memoized direction — the PCA rounds are
+    * shared with qs_pca_power, not re-run.
+    */
+  private val qAnisotropy = GraftQuery(
+    "qs_anisotropy",
+    (s, dir) => {
+      val v = pcaTop(s, dir).select(col("dim"), col("v_int").as("vv"))
+      val q = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("v"))
+        .select(col("id"), posexplode(col("v")).as(Seq("dim", "x")))
+        .select(col("id"), col("dim").cast("long").as("dim"),
+          expr(s"cast(round(x * ${Quant}.0) as bigint)").as("q"))
+      val t = q.join(broadcast(v), "dim").groupBy(col("id"))
+        .agg(sum(col("q") * col("vv")).as("t"))
+      val num = t.agg(count(lit(1)).as("n_vecs"),
+        sum(expr("CAST(t AS DECIMAL(38,0)) * t")).as("num"))
+      val den = q.agg(sum(expr("CAST(q AS DECIMAL(38,0)) * q")).as("qq"))
+        .crossJoin(broadcast(v.agg(sum(expr("CAST(vv AS DECIMAL(38,0)) * vv")).as("vv2"))))
+        .select((col("qq") * col("vv2")).as("den"))
+      num.crossJoin(broadcast(den))
+        .select(col("n_vecs"),
+          expr("""CAST(10000 * CAST(num div den AS DECIMAL(38,0))
+              + (10000 * (num % den)) div den AS BIGINT)""").as("share_bp"))
+    },
+    Some(s"""$pcaSql0,
+    ta AS (SELECT q.id, SUM(q.q * v3.vv) AS t
+      FROM q JOIN v3 ON q.dim = v3.dim GROUP BY q.id),
+    na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      SUM(CAST(t AS HUGEINT) * t) AS num FROM ta),
+    da AS (SELECT (SELECT SUM(CAST(q AS HUGEINT) * q) FROM q)
+        * (SELECT SUM(CAST(vv AS HUGEINT) * vv) FROM v3) AS den)
+    SELECT n_vecs, CAST(10000 * (num // den) + (10000 * (num % den)) // den
+      AS BIGINT) AS share_bp
+    FROM na, da"""))
+
   val queries: Seq[GraftQuery] = Seq(qBrute, qAnnLsh, qAnnIvf, qAnnIvfTrained,
     qAnnLshMp, qAnnFiltered, qRecall, qMrr, qSq, qSqPacked, qCentroids, qKmeans,
     qOutliers, qSemDedup, qPq, qIvfPq, qIvfPqRes, qKnn, qRp, qMmr, qRrf,
     qKCenter, qGraphAnn, qHardNeg, qMrl, qRbp, qBitext, qNdcg, qSilhouette,
-    qShapley, qProbeCurve, qBinary, qCentroidPairs)
+    qShapley, qProbeCurve, qBinary, qCentroidPairs, qPcaPower, qAnisotropy)
 }

@@ -1780,6 +1780,20 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"beam search lost to its own entry round: $beamBest vs $entryBest")
   }
 
+  test("pcaPowerTop: recovers the dominant axis of a rank-1 cloud exactly") {
+    import spark.implicits._
+    // every vector is a multiple of (1, 0.25, 0): the second-moment matrix
+    // is rank 1 and power iteration must land on that axis in one round —
+    // v_int = (1e6, 25e4, 0) on the L-infinity grid
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.25f, 0.0f)), (2L, Seq(-2.0f, -0.5f, 0.0f)),
+      (3L, Seq(0.5f, 0.125f, 0.0f)))
+      .toDF("vid", "emb")
+    val out = SimilarityOps.pcaPowerTop(vecs, idCol = "vid", vecCol = "emb")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 1000000L, 1L -> 250000L, 2L -> 0L), out.toString)
+  }
+
   test("spearmanBp: monotone ±1 exactly, tie-averaged double-ranks exact") {
     import spark.implicits._
     val rows = Seq(
