@@ -1125,6 +1125,53 @@ object EventsQueries {
     FROM c JOIN sz ON c.cohort_day = sz.cohort_day
     ORDER BY c.cohort_day, c.week_offset"""))
 
+  /** DAU / WAU / MAU active-user series + the DAU/MAU stickiness ratio —
+    * the canonical engagement dashboard. Trailing-window distinct counts
+    * are computed by SUPPORT EXPLOSION, not a range self-join: each
+    * distinct (user, day) row supports the 7 (resp. 30) trailing windows
+    * ending on day..day+6 (day..day+29), so one bounded ×7/×30 Generate
+    * over the (user, day) DISTINCT frame followed by a per-day
+    * COUNT(DISTINCT user) yields every window exactly. Emitted days are
+    * restricted to days with ≥1 event (join against the day spine), so
+    * warm-up rows carry the partial trailing window by definition.
+    *
+    * Scale: the exploded frame is (active user-days)×30 — a bounded
+    * multiplier on an already user-domain-sized frame, shuffled once on
+    * the uniform day key; nothing row-scale after the first distinct.
+    */
+  private val qDauMau = GraftQuery(
+    "qe_dau_mau",
+    (s, dir) => {
+      val ud = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct().localCheckpoint()
+      val spine = ud.select(col("day")).distinct()
+      def trailing(span: Int, out: String) = ud
+        .select(col("user_id"),
+          explode(expr(s"sequence(day, date_add(day, ${span - 1}))")).as("day"))
+        .join(spine, "day")
+        .groupBy(col("day")).agg(countDistinct(col("user_id")).as(out))
+      val dau = ud.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
+      dau.join(trailing(7, "wau"), "day").join(trailing(30, "mau"), "day")
+        .select(col("day"), col("dau"), col("wau"), col("mau"),
+          expr("(10000 * dau) div mau").as("stickiness_bp"))
+        .orderBy(col("day"))
+    },
+    Some("""WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+      FROM events),
+    spine AS (SELECT DISTINCT day FROM ud),
+    dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM ud GROUP BY day),
+    w7 AS (SELECT d.day, COUNT(DISTINCT e.user_id) AS wau
+      FROM (SELECT user_id, day + CAST(unnest(generate_series(0, 6)) AS INTEGER) AS day
+            FROM ud) e JOIN spine d ON e.day = d.day GROUP BY d.day),
+    w30 AS (SELECT d.day, COUNT(DISTINCT e.user_id) AS mau
+      FROM (SELECT user_id, day + CAST(unnest(generate_series(0, 29)) AS INTEGER) AS day
+            FROM ud) e JOIN spine d ON e.day = d.day GROUP BY d.day)
+    SELECT dau.day, dau.dau, w7.wau, w30.mau,
+      CAST((10000 * dau.dau) // w30.mau AS BIGINT) AS stickiness_bp
+    FROM dau JOIN w7 ON dau.day = w7.day JOIN w30 ON dau.day = w30.day
+    ORDER BY dau.day"""))
+
   /** Streaming twin of qe_rfm's per-user FEATURE stage: maintain each
     * user's (last event time, frequency, monetary cents) incrementally
     * via transformWithState ([[graft.streaming.RfmFeatureProcessor]]).
@@ -1151,5 +1198,5 @@ object EventsQueries {
       qFunnel, qRetention, qResample, qHistogram, qPattern, qTransitions,
       qDecayWma, qAttribution, qCusum, qMadAnomaly, qTopPaths, qSlidingDistinct,
       qSeasonal, qFunnelTime, qCep, qStreak, qCoverage, qOhlc, qLatencySlo, qRfm,
-      qLtv)
+      qLtv, qDauMau)
 }

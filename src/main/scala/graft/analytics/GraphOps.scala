@@ -993,7 +993,81 @@ object GraphOps {
     },
     Some(hitsSql))
 
+  // ------------------------------------------------- assortativity
+  /** Degree assortativity — Pearson correlation of endpoint degrees over
+    * the symmetrized edge list (Newman's r: do hubs link to hubs?).
+    * Reported as the SIGNED SQUARED correlation in basis points (the
+    * engine-wide sqrt-free convention): with n = |directed edges| and
+    * per-edge (dx, dy) endpoint degrees,
+    *
+    *   t1 = n·Σdxdy − Σdx·Σdy,  d1 = n·Σdx² − (Σdx)²,  d2 = …y²
+    *   r2s_bp = sign(t1)·⌊10⁴·t1²/(d1·d2)⌋
+    *
+    * t1² ≤ (n·Σdxdy)² needs n·d_max² ≲ 10¹⁸ for DECIMAL(38,0)/HUGEINT
+    * — holds to ~10⁹ edges at 10³-degree hubs; beyond, sample edges by
+    * deterministic hash. On the symmetrized list both edge directions
+    * contribute, which IS the undirected definition.
+    *
+    * Plan: two uniform-key joins of the edge list against the degree
+    * frame + one 1-row moment agg — no window, no pairs beyond the
+    * edges themselves.
+    */
+  private val qAssortativity = GraftQuery(
+    "qg_assortativity",
+    (s, dir) => {
+      val e = tradeEdges(s, dir)
+      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      val pairs = e
+        .join(deg.select(col("src"), col("d").as("dx")), "src")
+        .join(deg.select(col("src").as("dst"), col("d").as("dy")), "dst")
+      pairs.agg(count(lit(1)).as("n"),
+          sum(dec(col("dx")) * col("dy")).as("sxy"),
+          sum(dec(col("dx"))).as("sx"), sum(dec(col("dy"))).as("sy"),
+          sum(dec(col("dx")) * col("dx")).as("sxx"),
+          sum(dec(col("dy")) * col("dy")).as("syy"))
+        .select(col("n"),
+          (dec(col("n")) * col("sxy") - col("sx") * col("sy")).as("t1"),
+          (dec(col("n")) * col("sxx") - col("sx") * col("sx")).as("d1"),
+          (dec(col("n")) * col("syy") - col("sy") * col("sy")).as("d2"))
+        .select(col("n").as("n_edges"),
+          // remainder split (the qLinReg r2_bp device): 10⁴·t1² overflows
+          // where t1² alone does not
+          expr("""CAST(CASE WHEN d1 = 0 OR d2 = 0 THEN NULL
+              WHEN t1 >= 0 THEN
+                (10000 * CAST((t1 * t1) div d1 AS DECIMAL(38,0))
+                 + (10000 * ((t1 * t1) % d1)) div d1) div d2
+              ELSE -((10000 * CAST((t1 * t1) div d1 AS DECIMAL(38,0))
+                 + (10000 * ((t1 * t1) % d1)) div d1) div d2)
+              END AS BIGINT)""")
+            .as("r2s_bp"))
+    },
+    Some("""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src,
+      l_suppkey * 2 + 1 AS dst FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+    p AS (SELECT dx.d AS dx, dy.d AS dy
+      FROM e JOIN deg dx ON e.src = dx.src JOIN deg dy ON e.dst = dy.src),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        SUM(CAST(dx AS HUGEINT) * dy) AS sxy,
+        SUM(CAST(dx AS HUGEINT)) AS sx, SUM(CAST(dy AS HUGEINT)) AS sy,
+        SUM(CAST(dx AS HUGEINT) * dx) AS sxx,
+        SUM(CAST(dy AS HUGEINT) * dy) AS syy
+      FROM p),
+    t AS (SELECT n, CAST(n AS HUGEINT) * sxy - sx * sy AS t1,
+        CAST(n AS HUGEINT) * sxx - sx * sx AS d1,
+        CAST(n AS HUGEINT) * syy - sy * sy AS d2
+      FROM m)
+    SELECT n AS n_edges,
+      CAST(CASE WHEN d1 = 0 OR d2 = 0 THEN NULL
+        WHEN t1 >= 0 THEN
+          (10000 * ((t1 * t1) // d1) + (10000 * ((t1 * t1) % d1)) // d1) // d2
+        ELSE -((10000 * ((t1 * t1) // d1) + (10000 * ((t1 * t1) % d1)) // d1) // d2)
+        END AS BIGINT) AS r2s_bp
+    FROM t"""))
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+
   def queries: Seq[GraftQuery] =
     Seq(qPageRank, qTriangles, qLpa, qKcore, qReach, qSubtree, qSssp, qPpr,
-      qLinkPredict, qDegreeDist, qModularity, qHits)
+      qLinkPredict, qDegreeDist, qModularity, qHits, qAssortativity)
 }

@@ -38,6 +38,19 @@ object Nlp {
       s"zip_with(zip_with(slice($toks, 1, size($toks) - 2), slice($toks, 2, size($toks) - 2), " +
       s"(x, y) -> concat(x, ' ', y)), slice($toks, 3, size($toks) - 2), " +
       s"(xy, z) -> concat(xy, ' ', z))) ELSE array('') END"
+  /** Adjacent word bigrams, occurrences KEPT (collocation counting needs
+    * multiplicity, unlike the distinct dedup shingles). Same zip_with-
+    * over-slices discipline as [[shingles]] — no indexed lambda.
+    */
+  def bigrams(toks: String): String =
+    s"CASE WHEN size($toks) >= 2 THEN " +
+      s"zip_with(slice($toks, 1, size($toks) - 1), slice($toks, 2, size($toks) - 1), " +
+      s"(x, y) -> concat(x, ' ', y)) ELSE CAST(array() AS array<string>) END"
+
+  def bigramsSql(toks: String): String =
+    s"CASE WHEN len($toks) >= 2 THEN list_transform(generate_series(1, len($toks) - 1), " +
+      s"i -> $toks[i] || ' ' || $toks[i+1]) ELSE []::VARCHAR[] END"
+
   def shinglesSql(toks: String): String =
     s"CASE WHEN len($toks) >= 3 THEN list_distinct(list_transform(generate_series(1, len($toks) - 2), " +
       s"i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2])) ELSE [''] END"

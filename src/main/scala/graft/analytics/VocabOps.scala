@@ -1055,8 +1055,68 @@ object VocabOps {
         CAST(10000 * n_in_vocab // n_tokens AS BIGINT) AS coverage_bp
       FROM c ORDER BY doc_id"""))
 
+  // ------------------------------------------------- collocations (lift)
+  /** Statistically-bound word pairs by LIFT — the log-free PMI twin
+    * (PMI = log lift; ranking by lift ≡ ranking by PMI, and lift is a
+    * pure rational in the counts, so it stays exact):
+    *
+    *   lift_micro = ⌊10⁶·N_ab·T² / (B·N_a·N_b)⌋
+    *
+    * with N_ab bigram occurrences (multiplicity kept — collocation
+    * strength is occurrence-weighted), N_a/N_b unigram occurrences, T
+    * total tokens, B total bigrams. Min-support N_ab ≥ 5 kills the
+    * rare-pair lift explosion (the standard PMI pathology); top 20 by
+    * (lift, bigram) is a TakeOrdered.
+    *
+    * Plan: one tokenize pass feeds BOTH the unigram and bigram Generate
+    * → two uniform-key count aggs → two hash joins of the (domain-
+    * sized) bigram count frame against unigram counts → scalar lift.
+    * Nothing pairwise, nothing corpus-broadcast.
+    */
+  private val qColloc = GraftQuery(
+    "qt_collocations",
+    (s, dir) => {
+      val t = Tables.documents(s, dir)
+        .select(expr(Nlp.toksExpr).as("toks"))
+        .localCheckpoint()
+      val uni = t.select(explode(col("toks")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("nw"))
+      val bi = t.select(explode(expr(Nlp.bigrams("toks"))).as("ab"))
+        .groupBy(col("ab")).agg(count(lit(1)).as("nab"))
+        .filter(col("nab") >= 5)
+      val tot = t.agg(
+        sum(size(col("toks"))).as("tt"),
+        sum(greatest(size(col("toks")) - 1, lit(0))).as("bb"))
+      bi.withColumn("a", expr("split_part(ab, ' ', 1)"))
+        .withColumn("b", expr("split_part(ab, ' ', 2)"))
+        .join(uni.select(col("w").as("a"), col("nw").as("na")), "a")
+        .join(uni.select(col("w").as("b"), col("nw").as("nb")), "b")
+        .crossJoin(broadcast(tot))
+        .select(col("ab").as("bigram"), col("nab"),
+          expr("""CAST((1000000 * CAST(nab AS DECIMAL(38,0)) * tt * tt)
+              div (CAST(bb AS DECIMAL(38,0)) * na * nb) AS BIGINT)""")
+            .as("lift_micro"))
+        .orderBy(col("lift_micro").desc, col("bigram"))
+        .limit(20)
+    },
+    Some(s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+    uni AS (SELECT unnest(toks) AS w FROM t),
+    un AS (SELECT w, COUNT(*) AS nw FROM uni GROUP BY w),
+    big AS (SELECT unnest(${Nlp.bigramsSql("toks")}) AS ab FROM t),
+    bn AS (SELECT ab, COUNT(*) AS nab FROM big GROUP BY ab HAVING COUNT(*) >= 5),
+    tot AS (SELECT SUM(len(toks)) AS tt,
+      SUM(greatest(len(toks) - 1, 0)) AS bb FROM t),
+    j AS (SELECT bn.ab, bn.nab,
+        split_part(bn.ab, ' ', 1) AS a, split_part(bn.ab, ' ', 2) AS b
+      FROM bn)
+    SELECT j.ab AS bigram, CAST(j.nab AS BIGINT) AS nab,
+      CAST((1000000 * CAST(j.nab AS HUGEINT) * tot.tt * tot.tt)
+        // (CAST(tot.bb AS HUGEINT) * ua.nw * ub.nw) AS BIGINT) AS lift_micro
+    FROM j JOIN un ua ON j.a = ua.w JOIN un ub ON j.b = ub.w CROSS JOIN tot
+    ORDER BY lift_micro DESC, bigram LIMIT 20"""))
+
   def queries: Seq[GraftQuery] =
     Seq(qVocab, qKeywords, qEditDist, qBm25, qBpeTrain, qBpeTokenize, qCountMin,
       qPhrase, qBigramNovelty, qVocabCoverage, qWordpiece, qBackoff,
-      qFertility, qPrf, qPieceUsage, qHeaps)
+      qFertility, qPrf, qPieceUsage, qHeaps, qColloc)
 }
