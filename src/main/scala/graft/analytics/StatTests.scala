@@ -1518,8 +1518,63 @@ object StatTests {
         END AS BIGINT) AS simpson_bp
     FROM a ORDER BY g"""))
 
+  // ------------------------------------- forecast error metrics
+  /** Seasonal-naive forecast scorecard over the daily revenue series —
+    * the standard "is my fancy model better than copying last week"
+    * benchmark triple, all exact integer ratios:
+    *
+    *   MAE    = ⌊Σ|a−f|/m⌋                      (cents; f_t = a_{t−7})
+    *   sMAPE  = ⌊2·10⁴·Σ|a−f|/Σ(a+f)⌋           (aggregate form, bp)
+    *   MASE   = ⌊10⁴·Σ|a−f|·m₁/(m·Σ|a_t−a_{t−1}|)⌋  (vs naive-1, bp)
+    *
+    * Calendar lags (join on d−7 / d−1, both days present) — the
+    * [[qAutocorr]] convention. One scan to the day frame; two tiny
+    * self-equi-joins; a 1-row metric summary.
+    */
+  private val qForecastErr = GraftQuery(
+    "qstat_forecast_err",
+    (s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderdate").as("d"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("v"))
+      val l7 = daily.select(col("d").as("d7"), col("v").as("f"))
+      val s7 = daily.join(l7, col("d") === date_add(col("d7"), 7))
+        .agg(count(lit(1)).as("m"),
+          sum(abs(col("v") - col("f"))).as("sae"),
+          sum(col("v") + col("f")).as("saf"))
+      val l1 = daily.select(col("d").as("d1"), col("v").as("p"))
+      val s1 = daily.join(l1, col("d") === date_add(col("d1"), 1))
+        .agg(count(lit(1)).as("m1"), sum(abs(col("v") - col("p"))).as("sd1"))
+      s7.crossJoin(broadcast(s1))
+        .select(col("m"), col("m1"),
+          expr("sae div m").as("mae_cents"),
+          expr("""CAST(CASE WHEN saf = 0 THEN NULL
+              ELSE (20000 * CAST(sae AS DECIMAL(38,0))) div saf
+              END AS BIGINT)""").as("smape_bp"),
+          expr("""CAST(CASE WHEN sd1 = 0 THEN NULL
+              ELSE (10000 * CAST(sae AS DECIMAL(38,0)) * m1)
+                div (CAST(m AS DECIMAL(38,0)) * sd1)
+              END AS BIGINT)""").as("mase_bp"))
+    },
+    Some("""WITH daily AS (SELECT o_orderdate AS d,
+        SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS v
+      FROM orders GROUP BY o_orderdate),
+    s7 AS (SELECT COUNT(*) AS m, SUM(abs(a.v - f.v)) AS sae,
+        SUM(a.v + f.v) AS saf
+      FROM daily a JOIN daily f ON a.d = f.d + INTERVAL 7 DAY),
+    s1 AS (SELECT COUNT(*) AS m1, SUM(abs(a.v - p.v)) AS sd1
+      FROM daily a JOIN daily p ON a.d = p.d + INTERVAL 1 DAY)
+    SELECT CAST(m AS BIGINT) AS m, CAST(m1 AS BIGINT) AS m1,
+      CAST(sae // m AS BIGINT) AS mae_cents,
+      CAST(CASE WHEN saf = 0 THEN NULL
+        ELSE (20000 * CAST(sae AS HUGEINT)) // saf END AS BIGINT) AS smape_bp,
+      CAST(CASE WHEN sd1 = 0 THEN NULL
+        ELSE (10000 * CAST(sae AS HUGEINT) * m1)
+          // (CAST(m AS HUGEINT) * sd1) END AS BIGINT) AS mase_bp
+    FROM s7 CROSS JOIN s1"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qChisq, qKs, qBoot, qGini, qLinReg, qPettitt, qWMedian, qMwu,
       qBenford, qPareto, qRuns, qSpearman, qKendall, qTheilSen, qCramersV,
-      qAutocorr, qCohensD, qIqr, qPowerN, qSimpson)
+      qAutocorr, qCohensD, qIqr, qPowerN, qSimpson, qForecastErr)
 }

@@ -1115,8 +1115,43 @@ object VocabOps {
     FROM j JOIN un ua ON j.a = ua.w JOIN un ub ON j.b = ub.w CROSS JOIN tot
     ORDER BY lift_micro DESC, bigram LIMIT 20"""))
 
+  // ------------------------------------------------- Chao1 estimator
+  /** Bias-corrected Chao1 unseen-species estimate of the TRUE vocabulary
+    * size — the capture–recapture answer to "how many word types exist
+    * beyond this corpus sample" (the asymptote [[qHeaps]]' growth curve
+    * is climbing toward). Pure integer arithmetic on the frequency-of-
+    * frequency counts:
+    *
+    *   chao1 = V + ⌊F₁(F₁−1) / (2(F₂+1))⌋
+    *
+    * (the bias-corrected form — defined even when no word occurs exactly
+    * twice). Plan: token Generate → word counts (uniform keys) → a
+    * 1-row frequency-of-frequency agg; nothing survives the second agg.
+    */
+  private val qChao1 = GraftQuery(
+    "qt_chao1",
+    (s, dir) => {
+      val wc = Tables.documents(s, dir)
+        .select(explode(expr(Nlp.toksExpr)).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      wc.agg(count(lit(1)).as("v"),
+          sum(when(col("n") === 1, 1L).otherwise(0L)).as("f1"),
+          sum(when(col("n") === 2, 1L).otherwise(0L)).as("f2"))
+        .select(col("v"), col("f1"), col("f2"),
+          expr("v + (f1 * (f1 - 1)) div (2 * (f2 + 1))").as("chao1_est"))
+    },
+    Some(s"""WITH t AS (SELECT unnest($toksSql) AS w FROM documents),
+    wc AS (SELECT w, COUNT(*) AS n FROM t GROUP BY w),
+    f AS (SELECT CAST(COUNT(*) AS BIGINT) AS v,
+        CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+      FROM wc)
+    SELECT v, f1, f2,
+      CAST(v + (f1 * (f1 - 1)) // (2 * (f2 + 1)) AS BIGINT) AS chao1_est
+    FROM f"""))
+
   def queries: Seq[GraftQuery] =
     Seq(qVocab, qKeywords, qEditDist, qBm25, qBpeTrain, qBpeTokenize, qCountMin,
       qPhrase, qBigramNovelty, qVocabCoverage, qWordpiece, qBackoff,
-      qFertility, qPrf, qPieceUsage, qHeaps, qColloc)
+      qFertility, qPrf, qPieceUsage, qHeaps, qColloc, qChao1)
 }
