@@ -244,5 +244,51 @@ object LearnOps {
         col("enc_micro")),
     Some(teSql))
 
-  val queries: Seq[GraftQuery] = Seq(qDistill, qTargetEncode, qCalibration)
+  // ------------------------------------------- active-learning batch
+  /** Uncertainty-sampling batch selection: the 20 docs whose distilled
+    * score sits closest to the decision boundary — the rows a human (or
+    * teacher model) should label next, because the filter is most
+    * unsure about them. The boundary is located IN-FRAME as the
+    * smallest predicted-positive score m* (no need to export the
+    * internal threshold: every score ≥ m* is positive by construction,
+    * so |score − m*| is a faithful margin up to one grid step).
+    * Margins are exact score-unit integers; selection is a
+    * TakeOrdered(20) with doc_id tie-break.
+    *
+    * Plan: the memoized [[scoredDocs]] frame (shared with
+    * qt_learned_filter and qml_calibration — distillation runs once per
+    * suite) + a 1-row boundary broadcast + TakeOrderedAndProject.
+    */
+  private val qActiveLearn = GraftQuery(
+    "qml_active_learning",
+    (s, dir) => {
+      val sc = scoredDocs(s, dir)
+      val boundary = sc.filter(col("pred")).agg(min(col("score")).as("mstar"))
+      sc.crossJoin(broadcast(boundary))
+        .select(col("doc_id"), col("score"), col("pred"),
+          abs(col("score") - col("mstar")).as("margin"))
+        .orderBy(col("margin"), col("doc_id"))
+        .limit(20)
+    },
+    Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
+    t1 AS (SELECT doc_id, CASE WHEN len(toks) >= $MinWords THEN 1 ELSE 0 END AS y, toks FROM t0),
+    bf AS (SELECT doc_id, y, ${h60Sql("tok")} % $LB AS b, COUNT(*) AS x
+      FROM (SELECT doc_id, y, unnest(toks) AS tok FROM t1) GROUP BY doc_id, y, b),
+    cnt AS (SELECT COUNT(DISTINCT CASE WHEN y = 1 THEN doc_id END) AS npos,
+                   COUNT(DISTINCT CASE WHEN y = 0 THEN doc_id END) AS nneg FROM bf),
+    rates AS (SELECT b,
+        (SUM(CASE WHEN y = 1 THEN x ELSE 0 END) * $LQ) // (SELECT npos FROM cnt) AS cp,
+        (SUM(CASE WHEN y = 0 THEN x ELSE 0 END) * $LQ) // (SELECT nneg FROM cnt) AS cn
+      FROM bf GROUP BY b),
+    theta AS (SELECT SUM(cp * cp - cn * cn) AS th FROM rates),
+    sc AS (SELECT bf.doc_id, SUM(bf.x * (r.cp - r.cn)) AS s
+      FROM bf JOIN rates r ON r.b = bf.b GROUP BY bf.doc_id),
+    p AS (SELECT doc_id, CAST(s AS BIGINT) AS score,
+        2 * $LQ * s > (SELECT th FROM theta) AS pred FROM sc),
+    b AS (SELECT MIN(score) AS mstar FROM p WHERE pred)
+    SELECT doc_id, score, pred, CAST(abs(score - b.mstar) AS BIGINT) AS margin
+    FROM p, b ORDER BY margin, doc_id LIMIT 20"""))
+
+  val queries: Seq[GraftQuery] = Seq(qDistill, qTargetEncode, qCalibration,
+    qActiveLearn)
 }

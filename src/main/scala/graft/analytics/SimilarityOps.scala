@@ -2885,9 +2885,92 @@ object SimilarityOps {
       AS BIGINT) AS share_bp
     FROM na, da"""))
 
+  // ------------------------------------------- adjusted Rand index
+  /** Adjusted Rand Index between the TRAINED k-means cells and the
+    * ground-truth labels — the external clustering-validity score, and
+    * (unlike NMI) a pure RATIONAL in the contingency pair counts, so it
+    * stays exact-integer end to end:
+    *
+    *   ARI = 2(S·C₂ − A·B) / (C₂(A+B) − 2AB)
+    *
+    * with S = Σᵢⱼ C(nᵢⱼ,2), A = Σᵢ C(aᵢ,2), B = Σⱼ C(bⱼ,2),
+    * C₂ = C(n,2); reported sign-split in micro-units. ARI ≈ 0 means the
+    * clustering is no better than chance AGAINST the label marginals —
+    * the honest follow-up to [[qSilhouette]]'s internal geometry.
+    * 2·10⁶·S·C₂ caps DECIMAL(38,0)/HUGEINT exactness at n ≈ 10⁸ rows;
+    * beyond, compute on a deterministic hash sample (ARI is a
+    * per-pair-rate statistic — subsampling estimates it unbiasedly).
+    *
+    * Plan: one corpus scan assigns cells against the memoized trained
+    * centroids (shared with qs_ann_recall / qs_ivf_probe_curve — no new
+    * training); contingency, margins, and moments are all aggs of the
+    * (cells × labels)-sized frame.
+    */
+  private val ariSql = s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ${lloydSql(IvfIters)},
+    scs AS (SELECT vec_id, v,
+      list_transform(generate_series(1, len(w)), c ->
+        list_reduce(list_transform(generate_series(1, 64), i -> w[c][i] * v[i]), (a, b) -> a + b)) AS sc
+      FROM e0, cw$IvfIters),
+    asg AS (SELECT vec_id, list_position(sc, list_max(sc)) AS cell FROM scs),
+    lab AS (SELECT a.cell, emb.label FROM asg a
+      JOIN embeddings emb ON a.vec_id = emb.vec_id),
+    cont AS (SELECT cell, label, COUNT(*) AS nij FROM lab GROUP BY 1, 2),
+    sS AS (SELECT SUM(CAST(nij AS HUGEINT) * (nij - 1) // 2) AS s,
+        CAST(SUM(nij) AS HUGEINT) AS n,
+        CAST(COUNT(DISTINCT cell) AS BIGINT) AS n_cells,
+        CAST(COUNT(DISTINCT label) AS BIGINT) AS n_labels
+      FROM cont),
+    am AS (SELECT SUM(CAST(ai AS HUGEINT) * (ai - 1) // 2) AS a FROM
+      (SELECT cell, SUM(nij) AS ai FROM cont GROUP BY cell)),
+    bm AS (SELECT SUM(CAST(bj AS HUGEINT) * (bj - 1) // 2) AS b FROM
+      (SELECT label, SUM(nij) AS bj FROM cont GROUP BY label)),
+    f AS (SELECT n, n_cells, n_labels, s, a, b, n * (n - 1) // 2 AS c2
+      FROM sS, am, bm)
+    SELECT CAST(n AS BIGINT) AS n, n_cells, n_labels,
+      CAST(CASE WHEN c2 * (a + b) - 2 * a * b = 0 THEN NULL
+        WHEN s * c2 - a * b >= 0 THEN
+          (2000000 * (s * c2 - a * b)) // (c2 * (a + b) - 2 * a * b)
+        ELSE -((2000000 * (a * b - s * c2)) // (c2 * (a + b) - 2 * a * b))
+        END AS BIGINT) AS ari_micro
+    FROM f"""
+
+  private val qAri = GraftQuery(
+    "qs_cluster_ari",
+    (s, dir) => {
+      val cents = trainedCents(s, dir)
+      val cont = Tables.embeddings(s, dir)
+        .select(col("label"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("sc", graft_dot_scores(typedLit(cents), col("v")))
+        .withColumn("cell", expr("array_position(sc, array_max(sc))"))
+        .groupBy(col("cell"), col("label")).agg(count(lit(1)).as("nij"))
+        .localCheckpoint()
+      val sS = cont.agg(
+        sum(expr("CAST(nij AS DECIMAL(38,0)) * (nij - 1) div 2")).as("s"),
+        sum(col("nij")).cast("decimal(38,0)").as("n"),
+        countDistinct(col("cell")).as("n_cells"),
+        countDistinct(col("label")).as("n_labels"))
+      val am = cont.groupBy(col("cell")).agg(sum(col("nij")).as("ai"))
+        .agg(sum(expr("CAST(ai AS DECIMAL(38,0)) * (ai - 1) div 2")).as("a"))
+      val bm = cont.groupBy(col("label")).agg(sum(col("nij")).as("bj"))
+        .agg(sum(expr("CAST(bj AS DECIMAL(38,0)) * (bj - 1) div 2")).as("b"))
+      sS.crossJoin(broadcast(am)).crossJoin(broadcast(bm))
+        .select(col("n"), col("n_cells"), col("n_labels"),
+          col("s"), col("a"), col("b"),
+          expr("n * (n - 1) div 2").as("c2"))
+        .select(col("n").cast("long").as("n"), col("n_cells"), col("n_labels"),
+          expr("""CAST(CASE WHEN c2 * (a + b) - 2 * a * b = 0 THEN NULL
+              WHEN s * c2 - a * b >= 0 THEN
+                (2000000 * (s * c2 - a * b)) div (c2 * (a + b) - 2 * a * b)
+              ELSE -((2000000 * (a * b - s * c2)) div (c2 * (a + b) - 2 * a * b))
+              END AS BIGINT)""").as("ari_micro"))
+    },
+    Some(ariSql))
+
   val queries: Seq[GraftQuery] = Seq(qBrute, qAnnLsh, qAnnIvf, qAnnIvfTrained,
     qAnnLshMp, qAnnFiltered, qRecall, qMrr, qSq, qSqPacked, qCentroids, qKmeans,
     qOutliers, qSemDedup, qPq, qIvfPq, qIvfPqRes, qKnn, qRp, qMmr, qRrf,
     qKCenter, qGraphAnn, qHardNeg, qMrl, qRbp, qBitext, qNdcg, qSilhouette,
-    qShapley, qProbeCurve, qBinary, qCentroidPairs, qPcaPower, qAnisotropy)
+    qShapley, qProbeCurve, qBinary, qCentroidPairs, qPcaPower, qAnisotropy,
+    qAri)
 }

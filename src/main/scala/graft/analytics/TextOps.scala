@@ -734,8 +734,82 @@ object TextOps {
         // COUNT(*) AS BIGINT) AS dup_rate_bp
     FROM f JOIN c USING (h) GROUP BY f.source ORDER BY f.source"""))
 
+  /** Corpus percentile rank of any per-row integer feature — the
+    * quantile-normalization every threshold-free curation rule wants
+    * ("drop the worst 5 %" instead of hand-picked cutoffs, stable under
+    * any monotone rescale of the raw feature). pct_bp is the inclusive
+    * ECDF in basis points, ⌊10⁴·cum/n⌋.
+    *
+    * Plan: value-DOMAIN collapse (groupBy value) → one ordered cumsum
+    * window over the distinct-value domain (the KS contract: the sorted
+    * set is |distinct values|, not rows) → one hash join back on the
+    * value key. No per-row rank window ever runs.
+    */
+  def percentileRank(rows: org.apache.spark.sql.DataFrame, idCol: String,
+      valueCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = rows.select(col(idCol).as("_id"), col(valueCol).as("_v"))
+      .filter(col("_v").isNotNull)
+    val g = base.groupBy(col("_v")).agg(count(lit(1)).as("k"))
+    val w = Window.orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = g.select(col("_v"), sum(col("k")).over(w).as("cum"))
+    val tot = g.agg(sum(col("k")).as("n"))
+    base.join(cum, "_v").crossJoin(broadcast(tot))
+      .select(col("_id").as(idCol), col("_v").as(valueCol),
+        expr("CAST((10000 * cum) div n AS BIGINT)").as("pct_bp"))
+  }
+
+  /** Each doc's corpus percentile of Flesch–Kincaid grade — readability
+    * quantile-normalized for threshold-free band filters.
+    */
+  private val qReadPct = GraftQuery(
+    "qt_readability_percentile",
+    (s, dir) => percentileRank(
+        readability(Tables.documents(s, dir))
+          .select(col("doc_id"), col("fk_grade_micro")),
+        "doc_id", "fk_grade_micro")
+      .orderBy(col("doc_id")),
+    Some(s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+    m AS (SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_words,
+        GREATEST(1, CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS n_sentences,
+        CAST(list_sum(list_transform(toks, t ->
+          GREATEST(1, len(regexp_extract_all(lower(t), '[aeiouy]+'))))) AS BIGINT) AS n_syllables
+      FROM t WHERE len(toks) >= 1),
+    fk AS (SELECT doc_id,
+        CAST(390000 * n_words // n_sentences
+          + 11800000 * n_syllables // n_words - 15590000 AS BIGINT) AS fk_grade_micro
+      FROM m),
+    g AS (SELECT fk_grade_micro, COUNT(*) AS k FROM fk GROUP BY fk_grade_micro),
+    c AS (SELECT fk_grade_micro, SUM(k) OVER (ORDER BY fk_grade_micro
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        SUM(k) OVER () AS n
+      FROM g)
+    SELECT fk.doc_id, fk.fk_grade_micro,
+      CAST((10000 * c.cum) // c.n AS BIGINT) AS pct_bp
+    FROM fk JOIN c ON fk.fk_grade_micro = c.fk_grade_micro ORDER BY fk.doc_id"""))
+
+  /** Per-source doc-length histogram on the power-of-two grid: the
+    * bucket is bit-length (length of the binary representation — an
+    * exact integer ⌊log₂⌋+1 with no float log in either engine). The
+    * "is this source all tweets or all books" scan-level readout.
+    */
+  private val qLengthHist = GraftQuery(
+    "qprof_length_hist",
+    (s, dir) => Tables.documents(s, dir)
+      .filter(col("n_chars") >= 1)
+      .groupBy(col("source"), length(bin(col("n_chars"))).cast("long").as("bits"))
+      .agg(count(lit(1)).as("n"),
+        min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+      .orderBy(col("source"), col("bits")),
+    Some("""SELECT source, CAST(length(bin(n_chars)) AS BIGINT) AS bits,
+      COUNT(*) AS n, MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM documents WHERE n_chars >= 1
+    GROUP BY source, bits ORDER BY source, bits"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qTokens, qBpeTokens, qLangId, qQuality, qFingerprint, qSplit, qRebalance,
       qRepetition, qLineDedup, qContamination, qStratified, qWeighted,
-      qReadability, qLangConfusion, qDupNgram)
+      qReadability, qLangConfusion, qDupNgram, qReadPct, qLengthHist)
 }
