@@ -1573,8 +1573,130 @@ object StatTests {
           // (CAST(m AS HUGEINT) * sd1) END AS BIGINT) AS mase_bp
     FROM s7 CROSS JOIN s1"""))
 
+  // ------------------------------------- one-way ANOVA F
+  /** One-way ANOVA F statistic over k groups, fixed-point exact: with
+    * per-group (n_g, S_g) and global (n, S, SS),
+    *
+    *   ssb_milli = Σ_g ⌊10³·S_g²/n_g⌋ − ⌊10³·S²/n⌋
+    *   ssw_milli = 10³·SS − Σ_g ⌊10³·S_g²/n_g⌋
+    *   f_milli   = ⌊10³·ssb·(n−k) / (ssw·(k−1))⌋
+    *
+    * (milli floors: Spark's integral `div` lands in BIGINT, so the
+    * per-group quotients must fit a long — 10³ scaling holds to
+    * ~10¹⁷ cents²-mass; the F ratio itself runs in DECIMAL(38,0)/
+    * HUGEINT; sums of squares are EMITTED ÷10³ back in cents²)
+    *
+    * (per-group floors are engine-identical — the [[cramersV]]
+    * discipline; error ≤ k micro-units on sums of magnitude ≥ 10⁶).
+    * `reject_05` compares against a CALLER-SUPPLIED pre-scaled critical
+    * value (F depends on both dfs; the binding inlines its own df₁
+    * literal with df₂ → ∞ — no distribution function runs in-engine).
+    *
+    * Plan: one scan → per-group moment agg (k rows) → 1-row summary.
+    */
+  def anovaF(vals: DataFrame, groupCol: String, valueCol: String,
+      critMilli: Long): DataFrame = {
+    val g = vals.select(col(groupCol).as("g"), col(valueCol).as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("ng"), sum(col("v")).as("sg"),
+        sum(dec(col("v")) * col("v")).as("ssg"))
+    g.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+        sum(dec(col("sg"))).as("s"), sum(col("ssg")).as("ss"),
+        sum(expr("(1000 * CAST(sg AS DECIMAL(38,0)) * sg) div ng")).as("sb"))
+      .select(col("k"), col("n"),
+        (col("sb") - expr("(1000 * s * s) div n")).as("ssbm"),
+        (expr("CAST(1000 AS DECIMAL(38,0)) * ss") - col("sb")).as("sswm"))
+      .select(col("k").cast("long").as("k"), col("n").cast("long").as("n"),
+        expr("CAST(ssbm div 1000 AS BIGINT)").as("ssb_cents2"),
+        expr("CAST(sswm div 1000 AS BIGINT)").as("ssw_cents2"),
+        expr("""CAST(CASE WHEN sswm <= 0 OR k < 2 THEN NULL
+            ELSE (1000 * CAST(greatest(ssbm, 0) AS DECIMAL(38,0)) * (n - k))
+              div (CAST(sswm AS DECIMAL(38,0)) * (k - 1))
+            END AS BIGINT)""").as("f_milli"))
+      .withColumn("reject_05", col("f_milli") > critMilli)
+  }
+
+  private def anovaSql(src: String, critMilli: Long) = s"""WITH v AS ($src),
+    g AS (SELECT g, COUNT(*) AS ng, SUM(v) AS sg,
+        SUM(CAST(v AS HUGEINT) * v) AS ssg
+      FROM v GROUP BY g),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        CAST(SUM(ng) AS HUGEINT) AS n, SUM(CAST(sg AS HUGEINT)) AS s,
+        SUM(ssg) AS ss,
+        SUM((1000 * CAST(sg AS HUGEINT) * sg) // ng) AS sb
+      FROM g),
+    t AS (SELECT k, n, sb - (1000 * s * s) // n AS ssbm,
+        1000 * ss - sb AS sswm
+      FROM m)
+    SELECT k, CAST(n AS BIGINT) AS n,
+      CAST(ssbm // 1000 AS BIGINT) AS ssb_cents2,
+      CAST(sswm // 1000 AS BIGINT) AS ssw_cents2,
+      CAST(CASE WHEN sswm <= 0 OR k < 2 THEN NULL
+        ELSE (1000 * greatest(ssbm, 0) * (n - k)) // (sswm * (k - 1))
+        END AS BIGINT) AS f_milli,
+      CASE WHEN sswm <= 0 OR k < 2 THEN NULL
+        ELSE (1000 * greatest(ssbm, 0) * (n - k)) // (sswm * (k - 1))
+          > $critMilli END AS reject_05
+    FROM t"""
+
+  /** Do the event types differ in MEAN value — the k-group extension of
+    * the A/B pair (df₁ = k−1 = 4, critical F(4,∞) = 2.372 inlined).
+    */
+  private val qAnova = GraftQuery(
+    "qstat_anova_f",
+    (s, dir) => anovaF(
+      Tables.events(s, dir)
+        .select(col("event_type").as("g"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents")),
+      "g", "cents", critMilli = 2372L),
+    Some(anovaSql(
+      """SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v
+        FROM events WHERE value IS NOT NULL""", 2372L)))
+
+  /** Brown–Forsythe (median-based Levene): the same F machinery over
+    * |x − median_g| — "do the event types differ in SPREAD", robust to
+    * the non-normality that invalidates the raw-variance test. Group
+    * medians are exact "smallest value with 2·cum ≥ n_g" over the
+    * per-group value domain ([[iqrOutliers]]' quartile device).
+    */
+  private val qLevene = GraftQuery(
+    "qstat_levene_bf",
+    (s, dir) => {
+      val v = Tables.events(s, dir)
+        .select(col("event_type").as("g"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+        .filter(col("v").isNotNull)
+      val gc = v.groupBy(col("g"), col("v")).agg(count(lit(1)).as("k"))
+      val wc = Window.partitionBy(col("g")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wn = Window.partitionBy(col("g"))
+      val med = gc
+        .select(col("g"), col("v"), sum(col("k")).over(wc).as("cum"),
+          sum(col("k")).over(wn).as("n"))
+        .groupBy(col("g"))
+        .agg(min(when(col("cum") * 2 >= col("n"), col("v"))).as("medv"))
+      anovaF(v.join(med, "g").select(col("g"),
+          abs(col("v") - col("medv")).as("d")),
+        "g", "d", critMilli = 2372L)
+    },
+    Some(anovaSql(
+      """WITH raw AS (SELECT event_type AS g,
+          CAST(round(value * 100) AS BIGINT) AS v
+        FROM events WHERE value IS NOT NULL),
+      gc AS (SELECT g, v, COUNT(*) AS k FROM raw GROUP BY g, v),
+      c AS (SELECT g, v, SUM(k) OVER (PARTITION BY g ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          SUM(k) OVER (PARTITION BY g) AS n
+        FROM gc),
+      med AS (SELECT g, MIN(CASE WHEN cum * 2 >= n THEN v END) AS medv
+        FROM c GROUP BY g)
+      SELECT raw.g, abs(raw.v - med.medv) AS v
+      FROM raw JOIN med ON raw.g = med.g""", 2372L)))
+
   val queries: Seq[GraftQuery] =
     Seq(qChisq, qKs, qBoot, qGini, qLinReg, qPettitt, qWMedian, qMwu,
       qBenford, qPareto, qRuns, qSpearman, qKendall, qTheilSen, qCramersV,
-      qAutocorr, qCohensD, qIqr, qPowerN, qSimpson, qForecastErr)
+      qAutocorr, qCohensD, qIqr, qPowerN, qSimpson, qForecastErr, qAnova,
+      qLevene)
 }
