@@ -1073,6 +1073,31 @@ object EventsQueries {
       CAST(CAST(SUM(m) AS HUGEINT) // COUNT(*) AS BIGINT) AS avg_cents
     FROM sc GROUP BY r_q, f_q, m_q ORDER BY r_q, f_q, m_q"""))
 
+  /** Weekday × hour activity heatmap — the load-pattern readout behind
+    * capacity planning and anomaly baselines. Weekday is Monday = 0
+    * (Spark `weekday` ≡ DuckDB `isodow − 1` — the one dow convention
+    * both engines express exactly); share is basis points of total.
+    * One scan → 168-cell agg; domain-bounded forever.
+    */
+  private val qHeatmap = GraftQuery(
+    "qe_activity_heatmap",
+    (s, dir) => {
+      val cells = Tables.events(s, dir)
+        .groupBy(weekday(col("ts")).cast("long").as("dow"),
+          hour(col("ts")).cast("long").as("hr"))
+        .agg(count(lit(1)).as("n"))
+      cells.crossJoin(broadcast(cells.agg(sum(col("n")).as("tot"))))
+        .select(col("dow"), col("hr"), col("n"),
+          expr("(10000 * n) div tot").as("share_bp"))
+        .orderBy(col("dow"), col("hr"))
+    },
+    Some("""WITH c AS (SELECT CAST(isodow(ts) - 1 AS BIGINT) AS dow,
+        CAST(hour(ts) AS BIGINT) AS hr, COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    t AS (SELECT SUM(n) AS tot FROM c)
+    SELECT dow, hr, n, CAST((10000 * n) // tot AS BIGINT) AS share_bp
+    FROM c, t ORDER BY dow, hr"""))
+
   /** Cohort lifetime-value curves — the revenue companion to
     * [[qRetention]] (same weekly day-cohort keys, so the two compose
     * into the classic retention × LTV dashboard): per (cohort_day,
@@ -1198,5 +1223,5 @@ object EventsQueries {
       qFunnel, qRetention, qResample, qHistogram, qPattern, qTransitions,
       qDecayWma, qAttribution, qCusum, qMadAnomaly, qTopPaths, qSlidingDistinct,
       qSeasonal, qFunnelTime, qCep, qStreak, qCoverage, qOhlc, qLatencySlo, qRfm,
-      qLtv, qDauMau)
+      qLtv, qDauMau, qHeatmap)
 }

@@ -1067,7 +1067,80 @@ object GraphOps {
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
 
+  // ------------------------------------------------- random walks
+  /** Deterministic random-walk corpus from seed nodes — the walk
+    * generator behind DeepWalk/node2vec-style graph embeddings, made
+    * reproducible: at step t from node u, the walker takes the
+    * h60(seed:u:t) mod deg(u)-th neighbor in (src, dst-rank) order.
+    * Hash-indexed choice ⇒ both engines and every partitioning emit
+    * the IDENTICAL walk corpus (the [[StatTests.bootstrapMeanCi]]
+    * derandomization discipline applied to graph sampling).
+    *
+    * Plan: neighbor ranking is one row_number window over the edge
+    * list (per-src partitions, uniform); each step is ONE hash join of
+    * the (seeds-sized) frontier against the ranked edges on
+    * (node, rank) — T joins for T steps, frontier never grows.
+    */
+  def randomWalks(edges: DataFrame, seeds: DataFrame, steps: Int = 4,
+      srcCol: String = "src", dstCol: String = "dst",
+      seedCol: String = "node"): DataFrame = {
+    require(steps >= 1, s"steps must be >= 1, got $steps")
+    import org.apache.spark.sql.expressions.Window
+    val ranked = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("dst"))))
+      .withColumn("d", count(lit(1)).over(Window.partitionBy(col("src"))))
+      .localCheckpoint()
+    var cur = seeds.select(col(seedCol).as("seed"))
+      .distinct().withColumn("node", col("seed"))
+    var out = cur.withColumn("step", lit(0))
+    for (t <- 1 to steps) {
+      val pick = expr(
+        s"${Nlp.h60(s"concat(seed, ':', node, ':', $t)")} % d + 1")
+      cur = cur
+        .join(ranked, cur("node") === ranked("src"))
+        .filter(col("r") === pick)
+        .select(col("seed"), col("dst").as("node"))
+      out = out.unionByName(cur.withColumn("step", lit(t)))
+    }
+    out.select(col("seed"), col("step").cast("long").as("step"), col("node"))
+      .orderBy(col("seed"), col("step"))
+  }
+
+  private val WalkSteps = 4
+
+  private def walkStepSql(prev: String, t: Int) =
+    s"""w$t AS (SELECT p.seed, e.dst AS node FROM $prev p
+      JOIN re e ON p.node = e.src
+      AND e.r = ${Nlp.h60Sql(s"p.seed || ':' || p.node || ':' || $t")} % e.d + 1)"""
+
+  private val walkSql = s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src,
+      l_suppkey * 2 + 1 AS dst FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    ed AS (SELECT DISTINCT src, dst FROM e),
+    re AS (SELECT src, dst,
+        ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS r,
+        COUNT(*) OVER (PARTITION BY src) AS d
+      FROM ed),
+    w0 AS (SELECT DISTINCT src AS seed, src AS node FROM ed WHERE src <= 200 AND src % 2 = 0),
+    ${(1 to WalkSteps).map(t => walkStepSql(s"w${t - 1}", t)).mkString(",\n    ")}
+    SELECT seed, step, node FROM (
+      ${(0 to WalkSteps).map(t => s"SELECT seed, CAST($t AS BIGINT) AS step, node FROM w$t").mkString("\n      UNION ALL ")})
+    ORDER BY seed, step"""
+
+  private val qWalks = GraftQuery(
+    "qg_random_walks",
+    (s, dir) => {
+      val e = tradeEdges(s, dir)
+      randomWalks(e,
+        e.filter(col("src") <= 200 && col("src") % 2 === 0)
+          .select(col("src").as("node")),
+        WalkSteps)
+    },
+    Some(walkSql))
+
   def queries: Seq[GraftQuery] =
     Seq(qPageRank, qTriangles, qLpa, qKcore, qReach, qSubtree, qSssp, qPpr,
-      qLinkPredict, qDegreeDist, qModularity, qHits, qAssortativity)
+      qLinkPredict, qDegreeDist, qModularity, qHits, qAssortativity, qWalks)
 }
