@@ -1173,8 +1173,54 @@ object DedupOps {
       CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
     FROM sz GROUP BY cluster_size ORDER BY cluster_size"""))
 
+  // -------------------------------------------- dedup token savings
+  /** What exact dedup is WORTH, in training tokens: per source, total
+    * whitespace tokens vs tokens surviving keep-first exact dedup, and
+    * the savings in basis points — the readout that turns "we deduped"
+    * into a compute-budget number (duplicate tokens are the ones a
+    * training run would pay for twice). Composes [[exactDedup]]'s keep
+    * rule with the token counter; near-dup tiers report their own keep
+    * sets (qd_cluster_canonical) and slot into the same rollup.
+    *
+    * Plan: one scan computes (fp, tokens, source); the keep flag is the
+    * same fp-window min-id rule as qd_exact_dedup; per-source agg.
+    */
+  private val qDedupSavings = GraftQuery(
+    "qd_dedup_savings",
+    (s, dir) => {
+      val w = Window.partitionBy(col("fp"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          expr(s"size(${Nlp.toksExpr})").cast("long").as("tok"),
+          md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))
+            .cast("binary")).as("fp"))
+        .withColumn("keep", col("doc_id") === min(col("doc_id")).over(w))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tok")).as("tokens_total"),
+          sum(when(col("keep"), col("tok")).otherwise(0L)).as("tokens_kept"))
+        .select(col("source"), col("n_docs"), col("tokens_total"),
+          col("tokens_kept"),
+          expr("""CAST(CASE WHEN tokens_total = 0 THEN 0
+              ELSE (10000 * (tokens_total - tokens_kept)) div tokens_total
+              END AS BIGINT)""").as("savings_bp"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH f AS (SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS tok,
+        md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents),
+    k AS (SELECT source, tok,
+        doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS keep FROM f)
+    SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(tok) AS BIGINT) AS tokens_total,
+      CAST(SUM(CASE WHEN keep THEN tok ELSE 0 END) AS BIGINT) AS tokens_kept,
+      CAST(CASE WHEN SUM(tok) = 0 THEN 0
+        ELSE (10000 * (SUM(tok) - SUM(CASE WHEN keep THEN tok ELSE 0 END)))
+          // SUM(tok) END AS BIGINT) AS savings_bp
+    FROM k GROUP BY source ORDER BY source"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qExact, qNgram, qMinhash, qCrossContain, qSimhash, qEmbed, qClusters,
       qCanonical, qDbscan, qDupBySource, qSpans, qBloom, qUrlDedup, qLshRecall, qWinnow,
-      qClusterStats)
+      qClusterStats, qDedupSavings)
 }

@@ -1073,6 +1073,65 @@ object EventsQueries {
       CAST(CAST(SUM(m) AS HUGEINT) // COUNT(*) AS BIGINT) AS avg_cents
     FROM sc GROUP BY r_q, f_q, m_q ORDER BY r_q, f_q, m_q"""))
 
+  /** Stationary distribution of the event-type Markov chain — where the
+    * user process spends its long-run time, the summary readout over
+    * [[qTransitions]]' matrix. Power iteration on the EXACT rational
+    * chain: π'_j = Σ_i ⌊π_i·c_ij / r_i⌋ on the ×10¹² grid (per-term
+    * floors engine-identical; no renormalization needed — row counts
+    * make P stochastic so mass is conserved up to floor dust). Three
+    * fixed rounds, matrix-free: each round is one join of the π frame
+    * (event-type domain) against the count matrix + one agg — all
+    * domain-sized after the one corpus pass that builds counts.
+    */
+  private val qStationary = GraftQuery(
+    "qe_markov_stationary",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val m = Tables.events(s, dir)
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("ft"), col("to_type").as("tt"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val rows = m.groupBy(col("ft")).agg(sum(col("c")).as("r"))
+      val mm = m.join(rows, "ft").localCheckpoint()
+      val states = mm.select(col("ft").as("st")).distinct()
+      val n0 = states.count()
+      var pi = states.withColumn("p", lit(1000000000000L / n0))
+      for (_ <- 1 to 3) {
+        pi = mm.join(pi, mm("ft") === pi("st"))
+          .select(col("tt"), expr("(p * c) div r").as("m1"))
+          .join(states, col("tt") === col("st"), "right")
+          .groupBy(col("st"))
+          .agg(coalesce(sum(col("m1")), lit(0L)).as("p"))
+          .localCheckpoint()
+      }
+      pi.select(col("st").as("event_type"), col("p").as("pi_pico"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH s AS (SELECT user_id, event_type,
+      LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+    FROM events),
+    m0 AS (SELECT event_type AS ft, to_type AS tt, COUNT(*) AS c
+      FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2),
+    r AS (SELECT ft, SUM(c) AS r FROM m0 GROUP BY ft),
+    m AS (SELECT m0.ft, m0.tt, m0.c, r.r FROM m0 JOIN r USING (ft)),
+    st AS (SELECT DISTINCT ft AS st FROM m0),
+    nn AS (SELECT COUNT(*) AS n FROM st),
+    p0 AS (SELECT st, 1000000000000 // n AS p FROM st, nn),
+    p1 AS (SELECT st.st, COALESCE(SUM((p0.p * m.c) // m.r), 0) AS p
+      FROM st LEFT JOIN m ON m.tt = st.st
+      LEFT JOIN p0 ON m.ft = p0.st GROUP BY st.st),
+    p2 AS (SELECT st.st, COALESCE(SUM((p1.p * m.c) // m.r), 0) AS p
+      FROM st LEFT JOIN m ON m.tt = st.st
+      LEFT JOIN p1 ON m.ft = p1.st GROUP BY st.st),
+    p3 AS (SELECT st.st, COALESCE(SUM((p2.p * m.c) // m.r), 0) AS p
+      FROM st LEFT JOIN m ON m.tt = st.st
+      LEFT JOIN p2 ON m.ft = p2.st GROUP BY st.st)
+    SELECT st AS event_type, CAST(p AS BIGINT) AS pi_pico
+    FROM p3 ORDER BY event_type"""))
+
   /** Weekday × hour activity heatmap — the load-pattern readout behind
     * capacity planning and anomaly baselines. Weekday is Monday = 0
     * (Spark `weekday` ≡ DuckDB `isodow − 1` — the one dow convention
@@ -1223,5 +1282,5 @@ object EventsQueries {
       qFunnel, qRetention, qResample, qHistogram, qPattern, qTransitions,
       qDecayWma, qAttribution, qCusum, qMadAnomaly, qTopPaths, qSlidingDistinct,
       qSeasonal, qFunnelTime, qCep, qStreak, qCoverage, qOhlc, qLatencySlo, qRfm,
-      qLtv, qDauMau, qHeatmap)
+      qLtv, qDauMau, qHeatmap, qStationary)
 }
