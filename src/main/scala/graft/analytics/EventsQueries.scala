@@ -1212,16 +1212,17 @@ object EventsQueries {
   /** DAU / WAU / MAU active-user series + the DAU/MAU stickiness ratio —
     * the canonical engagement dashboard. Trailing-window distinct counts
     * are computed by SUPPORT EXPLOSION, not a range self-join: each
-    * distinct (user, day) row supports the 7 (resp. 30) trailing windows
-    * ending on day..day+6 (day..day+29), so one bounded ×7/×30 Generate
-    * over the (user, day) DISTINCT frame followed by a per-day
-    * COUNT(DISTINCT user) yields every window exactly. Emitted days are
-    * restricted to days with ≥1 event (join against the day spine), so
-    * warm-up rows carry the partial trailing window by definition.
+    * distinct (user, day) row supports the 30 trailing windows ending on
+    * day..day+29, so ONE bounded ×30 Generate covers every window, and
+    * one (window-day, user) MIN(offset) aggregation replaces all three
+    * distinct counts — a user is in the day's DAU iff min_off = 0, WAU
+    * iff min_off ≤ 6, MAU always (min_off ≤ 29 by construction). Days
+    * are restricted to the observed day spine, so warm-up rows carry
+    * the partial trailing window by definition.
     *
     * Scale: the exploded frame is (active user-days)×30 — a bounded
-    * multiplier on an already user-domain-sized frame, shuffled once on
-    * the uniform day key; nothing row-scale after the first distinct.
+    * multiplier on an already user-domain-sized frame; ONE uniform
+    * (day, user)-key agg + one day agg, no COUNT(DISTINCT) anywhere.
     */
   private val qDauMau = GraftQuery(
     "qe_dau_mau",
@@ -1230,13 +1231,17 @@ object EventsQueries {
         .select(col("user_id"), to_date(col("ts")).as("day"))
         .distinct().localCheckpoint()
       val spine = ud.select(col("day")).distinct()
-      def trailing(span: Int, out: String) = ud
-        .select(col("user_id"),
-          explode(expr(s"sequence(day, date_add(day, ${span - 1}))")).as("day"))
+      val sup = ud
+        .select(col("user_id"), col("day"),
+          explode(expr("sequence(0, 29)")).as("off"))
+        .select(col("user_id"), expr("date_add(day, off)").as("day"),
+          col("off"))
         .join(spine, "day")
-        .groupBy(col("day")).agg(countDistinct(col("user_id")).as(out))
-      val dau = ud.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
-      dau.join(trailing(7, "wau"), "day").join(trailing(30, "mau"), "day")
+        .groupBy(col("day"), col("user_id")).agg(min(col("off")).as("mo"))
+      sup.groupBy(col("day"))
+        .agg(sum(when(col("mo") === 0, 1L).otherwise(0L)).as("dau"),
+          sum(when(col("mo") <= 6, 1L).otherwise(0L)).as("wau"),
+          count(lit(1)).as("mau"))
         .select(col("day"), col("dau"), col("wau"), col("mau"),
           expr("(10000 * dau) div mau").as("stickiness_bp"))
         .orderBy(col("day"))
@@ -1244,17 +1249,18 @@ object EventsQueries {
     Some("""WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
       FROM events),
     spine AS (SELECT DISTINCT day FROM ud),
-    dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM ud GROUP BY day),
-    w7 AS (SELECT d.day, COUNT(DISTINCT e.user_id) AS wau
-      FROM (SELECT user_id, day + CAST(unnest(generate_series(0, 6)) AS INTEGER) AS day
-            FROM ud) e JOIN spine d ON e.day = d.day GROUP BY d.day),
-    w30 AS (SELECT d.day, COUNT(DISTINCT e.user_id) AS mau
-      FROM (SELECT user_id, day + CAST(unnest(generate_series(0, 29)) AS INTEGER) AS day
-            FROM ud) e JOIN spine d ON e.day = d.day GROUP BY d.day)
-    SELECT dau.day, dau.dau, w7.wau, w30.mau,
-      CAST((10000 * dau.dau) // w30.mau AS BIGINT) AS stickiness_bp
-    FROM dau JOIN w7 ON dau.day = w7.day JOIN w30 ON dau.day = w30.day
-    ORDER BY dau.day"""))
+    sup AS (SELECT e.day, e.user_id, MIN(e.off) AS mo
+      FROM (SELECT user_id, day + CAST(off AS INTEGER) AS day, off
+            FROM ud, unnest(generate_series(0, 29)) u(off)) e
+      JOIN spine d ON e.day = d.day GROUP BY e.day, e.user_id),
+    agg AS (SELECT day,
+        CAST(SUM(CASE WHEN mo = 0 THEN 1 ELSE 0 END) AS BIGINT) AS dau,
+        CAST(SUM(CASE WHEN mo <= 6 THEN 1 ELSE 0 END) AS BIGINT) AS wau,
+        COUNT(*) AS mau
+      FROM sup GROUP BY day)
+    SELECT day, dau, wau, mau,
+      CAST((10000 * dau) // mau AS BIGINT) AS stickiness_bp
+    FROM agg ORDER BY day"""))
 
   /** Streaming twin of qe_rfm's per-user FEATURE stage: maintain each
     * user's (last event time, frequency, monetary cents) incrementally
