@@ -808,8 +808,59 @@ object TextOps {
     FROM documents WHERE n_chars >= 1
     GROUP BY source, bits ORDER BY source, bits"""))
 
+  /** T5-style span corruption — the TRAINING-PAIR GENERATOR stage:
+    * tokens are grouped into 3-token spans, ~15 % of spans (hash-chosen:
+    * h60(doc:span) mod 20 < 3 — the bootstrap derandomization, so both
+    * engines corrupt the identical spans) are replaced by a sentinel in
+    * the input and concatenated into the target. Output is the actual
+    * (input, target) example pair per doc plus mask accounting.
+    *
+    * Plan: token Generate → (doc, span) agg rebuilding span text with an
+    * ORDER-PINNED aggregation (struct-sorted collect on the Spark side,
+    * ORDER BY inside string_agg on DuckDB — collect_list alone has no
+    * order contract) → per-doc agg assembling the pair the same way.
+    * Two uniform-key shuffles, linear in tokens.
+    */
+  private val qSpanCorrupt = GraftQuery(
+    "qt_span_corruption",
+    (s, dir) => {
+      val e = Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(expr(toksExpr)).as(Seq("pos", "tok")))
+        .withColumn("span", expr("pos div 3"))
+      val sp = e.groupBy(col("doc_id"), col("span"))
+        .agg(expr("concat_ws(' ', transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok))")
+          .as("txt"))
+        .withColumn("masked", expr(s"${h60("concat(doc_id, ':', span)")} % 20 < 3"))
+      sp.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("masked"), 1L).otherwise(0L)).as("n_masked"),
+          expr("""concat_ws(' ', transform(array_sort(collect_list(
+              struct(span, CASE WHEN masked THEN '<extra>' ELSE txt END AS piece))),
+              x -> x.piece))""").as("input"),
+          expr("""concat_ws(' ', transform(filter(array_sort(collect_list(
+              struct(span, masked, txt))), x -> x.masked), x -> x.txt))""")
+            .as("target"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+    e AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS tok
+      FROM t, unnest(generate_series(1, len(toks))) g(i)),
+    sp AS (SELECT doc_id, pos // 3 AS span,
+        string_agg(tok, ' ' ORDER BY pos) AS txt
+      FROM e GROUP BY doc_id, pos // 3),
+    m AS (SELECT doc_id, span, txt,
+        ${h60Sql("doc_id || ':' || span")} % 20 < 3 AS masked FROM sp)
+    SELECT doc_id, COUNT(*) AS n_spans,
+      CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+      string_agg(CASE WHEN masked THEN '<extra>' ELSE txt END, ' '
+        ORDER BY span) AS input,
+      COALESCE(string_agg(CASE WHEN masked THEN txt END, ' '
+        ORDER BY span), '') AS target
+    FROM m GROUP BY doc_id ORDER BY doc_id"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qTokens, qBpeTokens, qLangId, qQuality, qFingerprint, qSplit, qRebalance,
       qRepetition, qLineDedup, qContamination, qStratified, qWeighted,
-      qReadability, qLangConfusion, qDupNgram, qReadPct, qLengthHist)
+      qReadability, qLangConfusion, qDupNgram, qReadPct, qLengthHist,
+      qSpanCorrupt)
 }
