@@ -1694,9 +1694,62 @@ object StatTests {
       SELECT raw.g, abs(raw.v - med.medv) AS v
       FROM raw JOIN med ON raw.g = med.g""", 2372L)))
 
+  // ------------------------------------- Mann–Kendall trend test
+  /** Mann–Kendall monotone-trend SIGNIFICANCE over the daily revenue
+    * series — closing the trend triple: [[qLinReg]] fits the slope,
+    * [[qTheilSen]] estimates it robustly, MK says whether ANY monotone
+    * trend is real. S = Σ_{i<j} sign(y_j − y_i) over the (calendar-
+    * domain-bounded) pair table; the normal-approximation decision is
+    * pre-squared and denominator-cleared to one integer comparison with
+    * the tie-corrected variance and the standard |S|−1 continuity
+    * correction:
+    *
+    *   var·18 = n(n−1)(2n+5) − Σ_ties t(t−1)(2t+5)
+    *   reject ⟺ 18·10⁴·(|S|−1)² > 38416·var·18
+    *
+    * All exact integers; ties come from the daily-value count frame.
+    */
+  private val qMannKendall = GraftQuery(
+    "qstat_mann_kendall",
+    (s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderdate").as("d"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("y"))
+        .localCheckpoint()
+      val a = daily.select(col("d").as("da"), col("y").as("ya"))
+      val b = daily.select(col("d").as("db"), col("y").as("yb"))
+      val sStat = a.join(broadcast(b), col("da") < col("db"))
+        .agg((sum(when(col("yb") > col("ya"), 1L).otherwise(0L))
+          - sum(when(col("yb") < col("ya"), 1L).otherwise(0L))).as("s_stat"))
+      val ties = daily.groupBy(col("y")).agg(count(lit(1)).as("t"))
+        .agg(sum(dec(col("t")) * (col("t") - 1) * (col("t") * 2 + 5)).as("tt"),
+          sum(col("t")).as("n"))
+      sStat.crossJoin(broadcast(ties))
+        .select(col("n").cast("long").as("n"), col("s_stat"),
+          (dec(col("n")) * (col("n") - 1) * (col("n") * 2 + 5) - col("tt"))
+            .as("var18"))
+        .select(col("n"), col("s_stat"),
+          (dec(lit(180000L)) * (abs(col("s_stat")) - 1) * (abs(col("s_stat")) - 1) >
+            dec(lit(38416L)) * col("var18")).as("reject_05"))
+    },
+    Some("""WITH daily AS (SELECT o_orderdate AS d,
+        SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS y
+      FROM orders GROUP BY o_orderdate),
+    p AS (SELECT CAST(SUM(CASE WHEN b.y > a.y THEN 1 ELSE 0 END)
+          - SUM(CASE WHEN b.y < a.y THEN 1 ELSE 0 END) AS BIGINT) AS s_stat
+      FROM daily a JOIN daily b ON a.d < b.d),
+    tg AS (SELECT y, COUNT(*) AS t FROM daily GROUP BY y),
+    tt AS (SELECT SUM(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)) AS tt,
+        CAST(SUM(t) AS BIGINT) AS n FROM tg)
+    SELECT n, s_stat,
+      CAST(180000 AS HUGEINT) * (abs(s_stat) - 1) * (abs(s_stat) - 1) >
+        CAST(38416 AS HUGEINT)
+          * (CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5) - tt) AS reject_05
+    FROM p CROSS JOIN tt"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qChisq, qKs, qBoot, qGini, qLinReg, qPettitt, qWMedian, qMwu,
       qBenford, qPareto, qRuns, qSpearman, qKendall, qTheilSen, qCramersV,
       qAutocorr, qCohensD, qIqr, qPowerN, qSimpson, qForecastErr, qAnova,
-      qLevene)
+      qLevene, qMannKendall)
 }
