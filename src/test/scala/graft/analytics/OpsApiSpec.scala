@@ -1780,6 +1780,76 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"beam search lost to its own entry round: $beamBest vs $entryBest")
   }
 
+  test("cohensD: equal means score 0; known two-point samples exact") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val eq = Seq((10L, true), (20L, true), (10L, false), (20L, false))
+      .toDF("v", "one")
+    val r0 = StatTests.cohensD(eq, "v", col("one")).collect().head
+    assert(r0.getLong(2) == 0L, r0.toString)
+    // samples {0,2} vs {10,12}: dm = 10000 milli-cents, s_p^2 = 2 cents^2
+    // -> d^2 = 50 exactly -> -50e6 signed (first sample is the smaller)
+    val kn = Seq((0L, true), (2L, true), (10L, false), (12L, false))
+      .toDF("v", "one")
+    val r1 = StatTests.cohensD(kn, "v", col("one")).collect().head
+    assert(r1.getLong(2) == -50000000L, r1.toString)
+  }
+
+  test("anovaF: identical groups score F=0; separated groups reject") {
+    import spark.implicits._
+    val same = Seq(("a", 5L), ("a", 7L), ("b", 5L), ("b", 7L))
+      .toDF("g", "v")
+    val r0 = StatTests.anovaF(same, "g", "v", critMilli = 2372L).collect().head
+    assert(r0.getLong(4) == 0L && !r0.getBoolean(5), r0.toString)
+    val sep = Seq.tabulate(40)(i =>
+      (if (i % 2 == 0) "a" else "b", if (i % 2 == 0) 100L + i % 4 else 200L + i % 4))
+      .toDF("g", "v")
+    val r1 = StatTests.anovaF(sep, "g", "v", critMilli = 2372L).collect().head
+    assert(r1.getBoolean(5), r1.toString)
+  }
+
+  test("simpsonDiversity: single category 0 bp, uniform k categories exact") {
+    import spark.implicits._
+    val rows = Seq(("one", "x"), ("one", "x"), ("one", "x"),
+      ("uni", "x"), ("uni", "y"), ("uni", "z"))
+      .toDF("g", "c")
+    val out = StatTests.simpsonDiversity(rows, "g", "c")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    // uniform over 3 with n=3: 1 - 0 = 1 (no same-pair draws) -> 10000
+    assert(out == Map("one" -> 0L, "uni" -> 10000L), out.toString)
+  }
+
+  test("percentileRank: inclusive ECDF exact, ties share the upper rank") {
+    import spark.implicits._
+    val rows = Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 30L))
+      .toDF("id", "v")
+    val out = TextOps.percentileRank(rows, "id", "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 5000L, 2L -> 5000L, 3L -> 7500L, 4L -> 10000L),
+      out.toString)
+  }
+
+  test("randomWalks: deterministic, correct length, every hop is an edge") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L), (3L, 1L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L, 2L).toDF("node")
+    val w1 = GraphOps.randomWalks(edges, seeds, steps = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val w2 = GraphOps.randomWalks(edges, seeds, steps = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(w1.sameElements(w2), "walks must be deterministic")
+    assert(w1.length == 2 * 4, s"2 seeds x 4 positions: ${w1.length}")
+    val edgeSet = Set((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L), (3L, 1L))
+    val bySeed = w1.groupBy(_._1).values
+    bySeed.foreach { walk =>
+      val path = walk.sortBy(_._2).map(_._3)
+      path.zip(path.tail).foreach { hop =>
+        assert(edgeSet.contains(hop), s"non-edge hop $hop in $path")
+      }
+    }
+  }
+
   test("pcaPowerTop: recovers the dominant axis of a rank-1 cloud exactly") {
     import spark.implicits._
     // every vector is a multiple of (1, 0.25, 0): the second-moment matrix
