@@ -39,6 +39,38 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("third-phase ops stay bucketed: no cartesian/BNL in the corpus-scale tier") {
+    // (qt_collocations and qe_rfm are excluded on purpose: their only BNL
+    // is the sanctioned 1-row total/max broadcast cross — same shape as
+    // the KS/bootstrap bindings.)
+    Seq("qt_dup_ngram_rate", "qe_dau_mau", "qs_pca_power",
+      "qd_dedup_savings", "qt_span_corruption", "qe_ltv_curve",
+      "qstat_spearman").foreach { name =>
+      val plan = graft.SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name regressed to a cartesian product")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name regressed to a nested-loop join")
+    }
+  }
+
+  test("calendar-domain pair tests use a BROADCAST nested loop (the sanctioned shape)") {
+    // Kendall / Theil–Sen / Mann–Kendall deliberately pair the daily
+    // aggregate: the build side is a broadcast of a calendar-bounded frame
+    // (≤ a few thousand rows at any corpus size). Pin that the plan is the
+    // broadcast BNL — and NOT a shuffle cartesian, which would mean the
+    // domain bound was lost.
+    Seq("qstat_kendall", "qstat_theil_sen", "qstat_mann_kendall").foreach { name =>
+      val plan = graft.SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastNestedLoopJoin"),
+        s"$name should pair via a broadcast nested loop over the day domain")
+      assert(!plan.contains("CartesianProduct"),
+        s"$name lost the broadcast bound — shuffle cartesian:\n$plan")
+    }
+  }
+
   test("qj_sorted_neighborhood pairs via the block-id hash join, no cartesian/BNL") {
     val plan = graft.SparkEntry.queries("qj_sorted_neighborhood")(spark, sf)
       .queryExecution.executedPlan.toString
