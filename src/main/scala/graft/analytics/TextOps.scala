@@ -858,9 +858,51 @@ object TextOps {
         ORDER BY span), '') AS target
     FROM m GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Fill-in-the-middle (PSM) transform — the second training-pair
+    * generator: each doc's token stream is split at two hash-derived
+    * points (p1 = h mod ⌈n/2⌉, p2 = p1 + 1 + h' mod (n−p1−1), both
+    * derandomized per doc), and re-emitted in prefix–suffix–middle
+    * order with sentinels — the causal-LM infilling format. Docs with
+    * < 3 tokens pass through unsplit (fim_applied = false, psm = text).
+    *
+    * Map-only: slice/concat on the token array per row, no shuffle at
+    * all — composes with readStream like every other map-only text op.
+    */
+  private val qFim = GraftQuery(
+    "qt_fim_transform",
+    (s, dir) => Tables.documents(s, dir)
+      .select(col("doc_id"), expr(toksExpr).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n"), col("toks"))
+      .withColumn("p1", expr(
+        s"CASE WHEN n >= 3 THEN ${h60("concat('fim1:', doc_id)")} % ((n + 1) div 2) END"))
+      .withColumn("p2", expr(
+        s"CASE WHEN n >= 3 THEN p1 + 1 + ${h60("concat('fim2:', doc_id)")} % (n - p1 - 1) END"))
+      .select(col("doc_id"), col("n"), (col("n") >= 3).as("fim_applied"),
+        expr("""CASE WHEN n >= 3 THEN concat(
+            '<pre> ', concat_ws(' ', slice(toks, 1, cast(p1 as int))),
+            ' <suf> ', concat_ws(' ', slice(toks, cast(p2 + 1 as int), cast(n - p2 as int))),
+            ' <mid> ', concat_ws(' ', slice(toks, cast(p1 + 1 as int), cast(p2 - p1 as int))))
+          ELSE concat_ws(' ', toks) END""").as("psm"))
+      .orderBy(col("doc_id")),
+    Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+    b AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n, toks FROM t),
+    p AS (SELECT doc_id, n, toks,
+        CASE WHEN n >= 3 THEN ${h60Sql("'fim1:' || doc_id")} % ((n + 1) // 2) END AS p1
+      FROM b),
+    q AS (SELECT doc_id, n, toks, p1,
+        CASE WHEN n >= 3 THEN p1 + 1 + ${h60Sql("'fim2:' || doc_id")} % (n - p1 - 1) END AS p2
+      FROM p)
+    SELECT doc_id, n, n >= 3 AS fim_applied,
+      CASE WHEN n >= 3 THEN
+        '<pre> ' || COALESCE(array_to_string(list_slice(toks, 1, p1), ' '), '')
+        || ' <suf> ' || COALESCE(array_to_string(list_slice(toks, p2 + 1, n), ' '), '')
+        || ' <mid> ' || COALESCE(array_to_string(list_slice(toks, p1 + 1, p2), ' '), '')
+      ELSE COALESCE(array_to_string(toks, ' '), '') END AS psm
+    FROM q ORDER BY doc_id"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qTokens, qBpeTokens, qLangId, qQuality, qFingerprint, qSplit, qRebalance,
       qRepetition, qLineDedup, qContamination, qStratified, qWeighted,
       qReadability, qLangConfusion, qDupNgram, qReadPct, qLengthHist,
-      qSpanCorrupt)
+      qSpanCorrupt, qFim)
 }
