@@ -1132,6 +1132,73 @@ object EventsQueries {
     SELECT st AS event_type, CAST(p AS BIGINT) AS pi_pico
     FROM p3 ORDER BY event_type"""))
 
+  /** Growth-accounting lifecycle states per ISO week: every active
+    * (user, week) is `new` (first-ever week), `retained` (also active
+    * the prior week) or `resurrected` (returning after a gap); a
+    * `churned` row is attributed to the week AFTER each activity spell
+    * ends (bounded to the observed week spine). The four series sum to
+    * the classic growth-accounting identity actives_w = new + retained
+    * + resurrected, churned_w = actives_{w−1} − retained_w.
+    *
+    * Plan: distinct (user, week) frame → per-user lag/lead windows
+    * (uniform user key) → week-domain agg; churn rows are generated by
+    * the SAME frame's lead, no second scan. Both engines truncate weeks
+    * to ISO Monday (date_trunc('week')).
+    */
+  private val qLifecycle = GraftQuery(
+    "qe_lifecycle",
+    (s, dir) => {
+      val uw = Tables.events(s, dir)
+        .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
+        .distinct().localCheckpoint()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("wk"))
+      val st = uw
+        .withColumn("prev", lag(col("wk"), 1).over(w))
+        .withColumn("nxt", lead(col("wk"), 1).over(w))
+        .withColumn("state",
+          when(col("prev").isNull, "new")
+            .when(expr("prev = date_sub(wk, 7)"), "retained")
+            .otherwise("resurrected"))
+      val active = st.groupBy(col("wk"))
+        .agg(sum(when(col("state") === "new", 1L).otherwise(0L)).as("new_users"),
+          sum(when(col("state") === "retained", 1L).otherwise(0L)).as("retained"),
+          sum(when(col("state") === "resurrected", 1L).otherwise(0L)).as("resurrected"))
+      val spine = uw.select(col("wk")).distinct()
+      val churn = st
+        .filter(col("nxt").isNull || expr("nxt > date_add(wk, 7)"))
+        .select(expr("date_add(wk, 7)").as("wk"))
+        .join(spine, "wk")
+        .groupBy(col("wk")).agg(count(lit(1)).as("churned"))
+      active.join(churn, Seq("wk"), "left")
+        .select(col("wk"), col("new_users"), col("retained"), col("resurrected"),
+          coalesce(col("churned"), lit(0L)).as("churned"))
+        .orderBy(col("wk"))
+    },
+    Some("""WITH uw AS (SELECT DISTINCT user_id,
+        CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+    st AS (SELECT user_id, wk,
+        LAG(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev,
+        LEAD(wk) OVER (PARTITION BY user_id ORDER BY wk) AS nxt
+      FROM uw),
+    lab AS (SELECT wk,
+        CASE WHEN prev IS NULL THEN 'new'
+          WHEN prev = wk - 7 THEN 'retained'
+          ELSE 'resurrected' END AS state, nxt
+      FROM st),
+    act AS (SELECT wk,
+        CAST(SUM(CASE WHEN state = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+        CAST(SUM(CASE WHEN state = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+        CAST(SUM(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS resurrected
+      FROM lab GROUP BY wk),
+    spine AS (SELECT DISTINCT wk FROM uw),
+    ch AS (SELECT c.wk, COUNT(*) AS churned
+      FROM (SELECT wk + 7 AS wk FROM lab WHERE nxt IS NULL OR nxt > wk + 7) c
+      JOIN spine s ON c.wk = s.wk GROUP BY c.wk)
+    SELECT act.wk, act.new_users, act.retained, act.resurrected,
+      CAST(COALESCE(ch.churned, 0) AS BIGINT) AS churned
+    FROM act LEFT JOIN ch ON act.wk = ch.wk
+    ORDER BY act.wk"""))
+
   /** Weekday × hour activity heatmap — the load-pattern readout behind
     * capacity planning and anomaly baselines. Weekday is Monday = 0
     * (Spark `weekday` ≡ DuckDB `isodow − 1` — the one dow convention
@@ -1288,5 +1355,5 @@ object EventsQueries {
       qFunnel, qRetention, qResample, qHistogram, qPattern, qTransitions,
       qDecayWma, qAttribution, qCusum, qMadAnomaly, qTopPaths, qSlidingDistinct,
       qSeasonal, qFunnelTime, qCep, qStreak, qCoverage, qOhlc, qLatencySlo, qRfm,
-      qLtv, qDauMau, qHeatmap, qStationary)
+      qLtv, qDauMau, qHeatmap, qStationary, qLifecycle)
 }
