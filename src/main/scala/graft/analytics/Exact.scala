@@ -1,6 +1,7 @@
 package graft.analytics
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -35,6 +36,40 @@ object Exact {
 
   /** Deterministic average: exact decimal sum / count, one IEEE division. */
   def avgD(c: Column): Column = sum(c).cast("double") / count(lit(1))
+}
+
+/** Distributed scan primitives shared across operators. */
+object Scans {
+
+  /** Inclusive running sum of `weight` over `orderCol` ascending, as a new
+    * column `cumCol` — DISTRIBUTED, never a single-partition global window.
+    *
+    * The two-level scheme used throughout the engine (compaction planner
+    * `LayoutOps.compactionPlan`, sequence packer, supplier running totals):
+    * range-partition on the order key, per-partition weight totals (≤ P
+    * rows) get exclusive prefix offsets via one tiny window, then every
+    * partition computes its local running sum in parallel and adds its
+    * broadcast offset. Requires `orderCol` to be UNIQUE per row (a strict
+    * total order) so global prefix sums are partition-placement-independent
+    * — callers pass a groupBy key or an id-tiebroken key.
+    */
+  def rangedCumSum(df: DataFrame, orderCol: String, weight: Column,
+      cumCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val p = spark.sessionState.conf.numShufflePartitions
+    val ranged = df.withColumn("_w", weight)
+      .repartitionByRange(p, col(orderCol))
+      .withColumn("_pid", spark_partition_id())
+    val offsets = ranged.groupBy(col("_pid")).agg(sum(col("_w")).as("_psum"))
+      .withColumn("_off", coalesce(sum(col("_psum")).over(
+        Window.orderBy(col("_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("_psum")
+    val wLoc = Window.partitionBy(col("_pid")).orderBy(col(orderCol))
+    ranged.join(broadcast(offsets), "_pid")
+      .withColumn(cumCol, col("_off") + sum(col("_w")).over(wLoc))
+      .drop("_pid", "_w")
+  }
 }
 
 /** DuckDB-side fragments mirroring [[Exact]]. Keep in lock-step. */

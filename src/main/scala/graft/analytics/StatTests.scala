@@ -1048,9 +1048,14 @@ object StatTests {
     * reported bounds are actual pair slopes.
     *
     * Pair volume is (calendar-day domain)² — same bound as
-    * [[qKendall]]; the slope multiset collapses by value before the one
-    * ordered cumsum window (KS-style: the sorted set is the distinct
-    * slope domain, not the pair count).
+    * [[qKendall]] — but unlike the KS/MWU value domains the slope
+    * multiset barely collapses (daily sums are near-unique, so the
+    * distinct-slope domain is ≈ the pair count). The running count
+    * therefore goes through [[Scans.rangedCumSum]] — the two-level
+    * range-partitioned prefix scan — instead of a single-partition
+    * global window, and the pair total np = C(n_days, 2) is computed
+    * from the daily row count rather than a second pass over the pair
+    * join.
     */
   private val qTheilSen = GraftQuery(
     "qstat_theil_sen",
@@ -1067,11 +1072,11 @@ object StatTests {
             - pmod(1000000 * (yb - ya), xb - xa)) div (xb - xa)""")
           .as("slope_micro"))
       val grouped = slopes.groupBy(col("slope_micro")).agg(count(lit(1)).as("k"))
-      val w = Window.orderBy(col("slope_micro"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = grouped.select(col("slope_micro"),
-        sum(col("k")).over(w).as("cum"))
-      val tot = grouped.agg(sum(col("k")).as("np"))
+      val cum = Scans.rangedCumSum(grouped, "slope_micro", col("k"), "cum")
+        .select(col("slope_micro"), col("cum"))
+      // np = C(n_days, 2) exactly — no second pass over the pair join.
+      val tot = daily.agg(
+        expr("(count(1) * (count(1) - 1)) div 2").as("np"))
       cum.crossJoin(broadcast(tot))
         .agg(max(col("np")).as("n_pairs"),
           min(when(col("cum") * 40 >= col("np"), col("slope_micro"))).as("lo_micro"),
