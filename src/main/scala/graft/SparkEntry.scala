@@ -23,7 +23,8 @@ object SparkEntry {
       SkewOps.queries ++ GraphOps.queries ++ MatchOps.queries ++
       StatTests.queries ++
       LayoutOps.queries ++
-      CdcOps.queries ++ LearnOps.queries ++ RoutingQueries.queries
+      CdcOps.queries ++ LearnOps.queries ++ EvalOps.queries ++
+      PairOps.queries ++ RoutingQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

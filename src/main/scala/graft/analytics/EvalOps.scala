@@ -1,0 +1,354 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.api.GraftQuery
+
+/** Classifier/ranker EVALUATION metrics — the measurement half of the
+  * learned-curation loop (LearnOps trains the filter; this file scores
+  * it): exact ROC-AUC, a precision/recall/F1 operating curve, chance-
+  * corrected inter-annotator agreement (Cohen's κ), and arena-style
+  * pairwise-preference ranking (Bradley–Terry). These are the numbers a
+  * training-data pipeline actually gates releases on ("did the new
+  * quality filter beat the old one?"), so they get the same treatment as
+  * every other operator: exact integer/decimal arithmetic end-to-end (no
+  * float accumulation — bit-identical across engines and partitionings)
+  * and a DuckDB oracle per query.
+  *
+  * Scale shapes: AUC is the Mann–Whitney rank statistic over the
+  * distinct-SCORE domain (value-collapse then a distributed two-level
+  * prefix scan — [[Scans.rangedCumSum]], never a single-partition global
+  * window); the PR curve and κ are one aggregation each; Bradley–Terry
+  * pairs inside an order-key equi-join (basket-bounded fan-out, the
+  * [[EventsQueries]] copurchase shape) and then iterates MM on an
+  * items×items frame that is vocabulary-sized, not corpus-sized.
+  */
+object EvalOps {
+
+  private def dec(c: Column): Column = c.cast("decimal(38,0)")
+
+  // ------------------------------------------------------- exact ROC-AUC
+  /** Exact ROC-AUC of a scored binary classifier, via the rank-statistic
+    * identity AUC = U₁/(n₁·n₂) with the standard ½ credit for ties:
+    *
+    *   2·U₁ = Σ_v k₁(v) · (2·c₂(<v) + k₂(v))
+    *
+    * where k₁/k₂ count positives/negatives AT score v and c₂(<v) is the
+    * running negative count strictly below v. Everything collapses to the
+    * distinct-score domain first (KS/MWU-style); the running count is the
+    * two-level range-partitioned scan ([[Scans.rangedCumSum]]) so no
+    * global-order window ever runs, and the cross-products ride in
+    * DECIMAL(38,0) (128-bit, like DuckDB's HUGEINT) so n₁·n₂ can pass
+    * 9.2e18 without wrapping.
+    *
+    * Output (1 row): (n1, n2, auc_bp, gini_bp) — AUC in basis points and
+    * the Gini/accuracy-ratio 2·AUC−1 (⌊·⌋ of the same numerator, so the
+    * two columns are consistent under truncation).
+    */
+  def aucRoc(scored: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val g = scored
+      .select(col(scoreCol).as("v"), col(labelCol).cast("int").as("one"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("v"))
+      .agg(sum(col("one")).as("k1"), sum(lit(1) - col("one")).as("k2"))
+    val cum = Scans.rangedCumSum(g, "v", col("k2"), "c2i")
+      .withColumn("c2", col("c2i") - col("k2"))
+    cum.agg(sum(col("k1")).as("n1"), sum(col("k2")).as("n2"),
+        sum(dec(col("k1")) * (lit(2).cast("decimal(38,0)") * col("c2")
+          + col("k2"))).as("num2"))
+      .select(col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+        expr("""CAST((10000 * num2)
+            div (2 * CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)""").as("auc_bp"),
+        expr("""CAST((10000 * num2)
+            div (CAST(n1 AS DECIMAL(38,0)) * n2) - 10000 AS BIGINT)""").as("gini_bp"))
+  }
+
+  // ------------------------------------------- precision/recall operating curve
+  /** Precision/recall/F1 at a sweep of score thresholds — the operating
+    * curve behind "where do we set the keep-cutoff?". Thresholds are the
+    * lower edges of `bins` equal-width score bins (the integer binning
+    * trick from [[LearnOps.calibrationBins]] — a 1-row min/max broadcast,
+    * no ntile global sort); predicting positive at bin b means keeping
+    * every row in bins ≥ b, so TP/PP are SUFFIX sums over the bins-row
+    * frame (a window over ≤ `bins` rows — constant-sized, not
+    * corpus-sized). F1 needs no float: F1 = 2·TP/(PP+P) exactly.
+    *
+    * Output: one row per non-empty bin, ascending —
+    * (bin, thresh = min score in bin, tp, pp, prec_bp, rec_bp, f1_bp).
+    */
+  def prCurve(scored: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val st = scored.agg(min(col(scoreCol)).as("_mn"), max(col(scoreCol)).as("_mx"))
+    val binned = scored.crossJoin(broadcast(st))
+      .withColumn("bin", expr(s"(($scoreCol - _mn) * ${bins}L) DIV (_mx - _mn + 1)"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col(labelCol).cast("long")).as("n_pos"),
+        min(col(scoreCol)).as("thresh"))
+    val wSuf = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = binned.agg(sum(col("n_pos")).as("p"))
+    binned
+      .withColumn("tp", sum(col("n_pos")).over(wSuf))
+      .withColumn("pp", sum(col("n")).over(wSuf))
+      .crossJoin(broadcast(tot))
+      .select(col("bin"), col("thresh"), col("tp"), col("pp"),
+        expr("10000 * tp div pp").as("prec_bp"),
+        expr("10000 * tp div p").as("rec_bp"),
+        expr("20000 * tp div (pp + p)").as("f1_bp"))
+      .orderBy(col("bin"))
+  }
+
+  // ------------------------------------------- Cohen's kappa (agreement)
+  /** Chance-corrected agreement between two binary annotators (Cohen's
+    * κ) — the standard check that a distilled filter actually tracks its
+    * teacher rule (or that two labelers/judge-models agree) beyond what
+    * base rates alone would produce:
+    *
+    *   κ = (p_o − p_e)/(1 − p_e)
+    *     = (N·A − r₁c₁ − r₀c₀) / (N² − r₁c₁ − r₀c₀)
+    *
+    * with A = agreements, r/c the annotators' positive/negative margins.
+    * One corpus aggregation builds the 2×2 table; the κ division is the
+    * signed-⌊·⌋ pattern (Spark `div` truncates toward zero, DuckDB `//`
+    * floors — negating after dividing the |numerator| makes both floor
+    * toward zero identically), with margins in DECIMAL(38,0) so N² can't
+    * wrap. Output (1 row): (n, agree, ra, rb, po_bp, pe_bp, kappa_bp);
+    * kappa_bp is NULL when p_e = 1 (degenerate single-cell margins).
+    */
+  def cohenKappa(rows: DataFrame, a: Column, b: Column): DataFrame = {
+    rows.select(a.cast("int").as("a"), b.cast("int").as("b"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("agree"),
+        sum(col("a").cast("long")).as("ra"),
+        sum(col("b").cast("long")).as("rb"))
+      .select(col("n"), col("agree"), col("ra"), col("rb"),
+        expr("10000 * agree div n").as("po_bp"),
+        expr("""CAST((10000 * (CAST(ra AS DECIMAL(38,0)) * rb
+            + CAST(n - ra AS DECIMAL(38,0)) * (n - rb)))
+            div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)""").as("pe_bp"),
+        expr("""CAST(CASE
+            WHEN CAST(n AS DECIMAL(38,0)) * n
+               = CAST(ra AS DECIMAL(38,0)) * rb
+               + CAST(n - ra AS DECIMAL(38,0)) * (n - rb) THEN NULL
+            WHEN CAST(n AS DECIMAL(38,0)) * agree
+               >= CAST(ra AS DECIMAL(38,0)) * rb
+               + CAST(n - ra AS DECIMAL(38,0)) * (n - rb)
+            THEN (10000 * (CAST(n AS DECIMAL(38,0)) * agree
+                - CAST(ra AS DECIMAL(38,0)) * rb
+                - CAST(n - ra AS DECIMAL(38,0)) * (n - rb)))
+              div (CAST(n AS DECIMAL(38,0)) * n
+                - CAST(ra AS DECIMAL(38,0)) * rb
+                - CAST(n - ra AS DECIMAL(38,0)) * (n - rb))
+            ELSE -((10000 * (CAST(ra AS DECIMAL(38,0)) * rb
+                + CAST(n - ra AS DECIMAL(38,0)) * (n - rb)
+                - CAST(n AS DECIMAL(38,0)) * agree))
+              div (CAST(n AS DECIMAL(38,0)) * n
+                - CAST(ra AS DECIMAL(38,0)) * rb
+                - CAST(n - ra AS DECIMAL(38,0)) * (n - rb)))
+            END AS BIGINT)""").as("kappa_bp"))
+  }
+
+  // ------------------------------------------- Bradley–Terry MM ranking
+  /** Arena-style strength ranking from pairwise outcomes (Bradley–Terry,
+    * two minorization-maximization steps) — the model behind chatbot-
+    * arena leaderboards, run here on a deterministic battle corpus:
+    * within each order, every pair of distinct part brands "battles" and
+    * the brand with the larger in-order revenue wins (revenue ties are
+    * discarded — no outcome). The MM update from Hunter (2004):
+    *
+    *   π'_i = W_i / Σ_{j≠i} n_ij/(π_i + π_j)
+    *
+    * is run twice from the uniform start in exact micro-unit integers:
+    * with ratings m = ⌊10⁶π⌋, s_i = Σ_j ⌊10¹²·n_ij/(m_i+m_j)⌋ and
+    * m'_i = ⌊10¹²·W_i/s_i⌋ — every division an explicit ⌊·⌋ both engines
+    * compute identically (operands nonnegative), products in
+    * DECIMAL(38,0).
+    *
+    * Scale: battles pair inside an ORDER-KEY equi-join (hash join,
+    * basket-bounded fan-out — never a cartesian); the win/comparison
+    * matrix and both MM steps live on an items×items frame bounded by the
+    * brand vocabulary (≤ |brands|² rows), independent of corpus size.
+    * Pairs where both ratings are 0 contribute no term (NULL div), which
+    * both engines agree on via an explicit CASE.
+    *
+    * Output: (item, wins, n_comp, rating1_micro, rating2_micro) ordered
+    * by final rating descending, item ascending.
+    */
+  def bradleyTerry2(battles: DataFrame, winnerCol: String,
+      loserCol: String): DataFrame = {
+    val w1 = battles
+      .groupBy(col(winnerCol).as("i"), col(loserCol).as("j"))
+      .agg(count(lit(1)).as("w"))
+    // directed comparison counts: n(i,j) = w(i→j) + w(j→i), materialized
+    // in both orientations so each MM term reads one row
+    val d = w1.select(col("i"), col("j"), col("w"))
+      .unionByName(w1.select(col("j").as("i"), col("i").as("j"), col("w")))
+      .groupBy(col("i"), col("j")).agg(sum(col("w")).as("n"))
+    val wins = d.join(w1.groupBy(col("i")).agg(sum(col("w")).as("wins")),
+        Seq("i"), "left")
+      .groupBy(col("i")).agg(max(coalesce(col("wins"), lit(0L))).as("wins"),
+        sum(col("n")).as("n_comp"))
+    def mmStep(r: DataFrame): DataFrame = {
+      val s = d
+        .join(r.select(col("i"), col("m").as("mi")), Seq("i"))
+        .join(r.select(col("i").as("j"), col("m").as("mj")), Seq("j"))
+        .groupBy(col("i"))
+        .agg(sum(expr("""CASE WHEN mi + mj = 0 THEN NULL
+          ELSE (1000000000000 * CAST(n AS DECIMAL(38,0))) div (mi + mj)
+          END""")).as("s"))
+      wins.join(s, Seq("i"))
+        .select(col("i"),
+          expr("""CAST(CASE WHEN s IS NULL OR s = 0 THEN 0
+            ELSE (1000000000000 * CAST(wins AS DECIMAL(38,0))) div s
+            END AS BIGINT)""").as("m"))
+    }
+    val r0 = wins.select(col("i"), lit(1000000L).as("m"))
+    val r1 = mmStep(r0)
+    val r2 = mmStep(r1)
+    wins
+      .join(r1.select(col("i"), col("m").as("rating1_micro")), Seq("i"))
+      .join(r2.select(col("i"), col("m").as("rating2_micro")), Seq("i"))
+      .select(col("i").as("item"), col("wins"), col("n_comp"),
+        col("rating1_micro"), col("rating2_micro"))
+      .orderBy(col("rating2_micro").desc, col("item"))
+  }
+
+  // ==================== driver-checked query bindings ====================
+
+  private val qAuc = GraftQuery(
+    "qml_auc_roc",
+    (s, dir) => aucRoc(LearnOps.scoredDocs(s, dir), "score", "label"),
+    Some(s"""WITH ${LearnOps.scoredCte},
+    g AS (SELECT score AS v, SUM(lab) AS k1, SUM(1 - lab) AS k2
+      FROM cal GROUP BY score),
+    c AS (SELECT v, k1, k2, COALESCE(SUM(k2) OVER (ORDER BY v
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c2
+      FROM g),
+    t AS (SELECT SUM(k1) AS n1, SUM(k2) AS n2,
+        SUM(CAST(k1 AS HUGEINT) * (2 * c2 + k2)) AS num2 FROM c)
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      CAST((10000 * num2) // (2 * CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS auc_bp,
+      CAST((10000 * num2) // (CAST(n1 AS HUGEINT) * n2) - 10000 AS BIGINT) AS gini_bp
+    FROM t"""))
+
+  private val PrBins = 10
+
+  private val qPrCurve = GraftQuery(
+    "qml_pr_curve",
+    (s, dir) => prCurve(LearnOps.scoredDocs(s, dir), "score", "label", PrBins),
+    Some(s"""WITH ${LearnOps.scoredCte},
+    st2 AS (SELECT MIN(score) AS mn, MAX(score) AS mx FROM cal),
+    bi AS (SELECT ((score - mn) * $PrBins) // (mx - mn + 1) AS bin, score, lab
+      FROM cal, st2),
+    g AS (SELECT bin, COUNT(*) AS n, SUM(lab) AS n_pos, MIN(score) AS thresh
+      FROM bi GROUP BY bin),
+    c AS (SELECT bin, thresh,
+        SUM(n_pos) OVER (ORDER BY bin DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+        SUM(n) OVER (ORDER BY bin DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp,
+        (SELECT SUM(n_pos) FROM g) AS p
+      FROM g)
+    SELECT CAST(bin AS BIGINT) AS bin, thresh, CAST(tp AS BIGINT) AS tp,
+      CAST(pp AS BIGINT) AS pp,
+      CAST(10000 * tp // pp AS BIGINT) AS prec_bp,
+      CAST(10000 * tp // p AS BIGINT) AS rec_bp,
+      CAST(20000 * tp // (pp + p) AS BIGINT) AS f1_bp
+    FROM c ORDER BY bin"""))
+
+  private val qKappa = GraftQuery(
+    "qml_kappa",
+    (s, dir) => cohenKappa(LearnOps.scoredDocs(s, dir),
+      col("label"), col("pred")),
+    Some(s"""WITH ${LearnOps.scoredCte},
+    t AS (SELECT COUNT(*) AS n,
+        SUM(CASE WHEN lab = predi THEN 1 ELSE 0 END) AS agree,
+        SUM(lab) AS ra, SUM(predi) AS rb
+      FROM cal)
+    SELECT CAST(n AS BIGINT) AS n, CAST(agree AS BIGINT) AS agree,
+      CAST(ra AS BIGINT) AS ra, CAST(rb AS BIGINT) AS rb,
+      CAST(10000 * agree // n AS BIGINT) AS po_bp,
+      CAST((10000 * (CAST(ra AS HUGEINT) * rb + CAST(n - ra AS HUGEINT) * (n - rb)))
+        // (CAST(n AS HUGEINT) * n) AS BIGINT) AS pe_bp,
+      CAST(CASE
+        WHEN CAST(n AS HUGEINT) * n
+           = CAST(ra AS HUGEINT) * rb + CAST(n - ra AS HUGEINT) * (n - rb) THEN NULL
+        WHEN CAST(n AS HUGEINT) * agree
+          >= CAST(ra AS HUGEINT) * rb + CAST(n - ra AS HUGEINT) * (n - rb)
+        THEN (10000 * (CAST(n AS HUGEINT) * agree
+            - CAST(ra AS HUGEINT) * rb - CAST(n - ra AS HUGEINT) * (n - rb)))
+          // (CAST(n AS HUGEINT) * n
+            - CAST(ra AS HUGEINT) * rb - CAST(n - ra AS HUGEINT) * (n - rb))
+        ELSE -((10000 * (CAST(ra AS HUGEINT) * rb
+            + CAST(n - ra AS HUGEINT) * (n - rb) - CAST(n AS HUGEINT) * agree))
+          // (CAST(n AS HUGEINT) * n
+            - CAST(ra AS HUGEINT) * rb - CAST(n - ra AS HUGEINT) * (n - rb)))
+        END AS BIGINT) AS kappa_bp
+    FROM t"""))
+
+  /** Battle corpus: per-order brand revenues; larger revenue wins. */
+  private def brandBattles(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val obr = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_orderkey"), col("p_brand"))
+      .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("r"))
+    val a = obr.select(col("l_orderkey"), col("p_brand").as("ba"), col("r").as("ra"))
+    val b = obr.select(col("l_orderkey"), col("p_brand").as("bb"), col("r").as("rb"))
+    a.join(b, Seq("l_orderkey")).filter(col("ba") < col("bb"))
+      .filter(col("ra") =!= col("rb"))
+      .select(when(col("ra") > col("rb"), col("ba")).otherwise(col("bb")).as("winner"),
+        when(col("ra") > col("rb"), col("bb")).otherwise(col("ba")).as("loser"))
+  }
+
+  private val btBattlesSql = """obr AS (SELECT l_orderkey, p_brand,
+      SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS r
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY l_orderkey, p_brand),
+  bt AS (SELECT CASE WHEN a.r > b.r THEN a.p_brand ELSE b.p_brand END AS winner,
+      CASE WHEN a.r > b.r THEN b.p_brand ELSE a.p_brand END AS loser
+    FROM obr a JOIN obr b
+      ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+    WHERE a.r <> b.r),
+  w1 AS (SELECT winner AS i, loser AS j, COUNT(*) AS w FROM bt GROUP BY 1, 2),
+  d AS (SELECT i, j, SUM(w) AS n FROM (
+      SELECT i, j, w FROM w1 UNION ALL SELECT j AS i, i AS j, w FROM w1)
+    GROUP BY i, j),
+  wins AS (SELECT d.i, MAX(COALESCE(t.wins, 0)) AS wins, SUM(d.n) AS n_comp
+    FROM d LEFT JOIN (SELECT i, SUM(w) AS wins FROM w1 GROUP BY i) t
+      ON d.i = t.i
+    GROUP BY d.i),
+  r1 AS (SELECT wins.i,
+      CAST(CASE WHEN s.s IS NULL OR s.s = 0 THEN 0
+        ELSE (1000000000000 * CAST(wins.wins AS HUGEINT)) // s.s
+        END AS BIGINT) AS m
+    FROM wins JOIN (SELECT i, SUM((1000000000000 * CAST(n AS HUGEINT))
+        // (1000000 + 1000000)) AS s
+      FROM d GROUP BY i) s ON wins.i = s.i),
+  r2 AS (SELECT wins.i,
+      CAST(CASE WHEN s.s IS NULL OR s.s = 0 THEN 0
+        ELSE (1000000000000 * CAST(wins.wins AS HUGEINT)) // s.s
+        END AS BIGINT) AS m
+    FROM wins JOIN (SELECT d.i,
+        SUM(CASE WHEN ri.m + rj.m = 0 THEN NULL
+          ELSE (1000000000000 * CAST(d.n AS HUGEINT)) // (ri.m + rj.m) END) AS s
+      FROM d JOIN r1 ri ON d.i = ri.i JOIN r1 rj ON d.j = rj.i
+      GROUP BY d.i) s ON wins.i = s.i)"""
+
+  private val qBradleyTerry = GraftQuery(
+    "qml_bradley_terry",
+    (s, dir) => bradleyTerry2(brandBattles(s, dir), "winner", "loser"),
+    Some(s"""WITH $btBattlesSql
+    SELECT wins.i AS item, CAST(wins.wins AS BIGINT) AS wins,
+      CAST(wins.n_comp AS BIGINT) AS n_comp,
+      r1.m AS rating1_micro, r2.m AS rating2_micro
+    FROM wins JOIN r1 ON wins.i = r1.i JOIN r2 ON wins.i = r2.i
+    ORDER BY rating2_micro DESC, item"""))
+
+  val queries: Seq[GraftQuery] = Seq(qAuc, qPrCurve, qKappa, qBradleyTerry)
+}

@@ -99,10 +99,11 @@ object LearnOps {
       2 * $LQ * s > (SELECT th FROM theta) AS pred, y = 1 AS label
     FROM sc ORDER BY doc_id"""
 
-  /** The distilled-score frame is the shared prefix of qt_learned_filter
-    * and qml_calibration — materialize once per (session, sf).
+  /** The distilled-score frame is the shared prefix of qt_learned_filter,
+    * qml_calibration, and the EvalOps metric queries — materialize once
+    * per (session, sf).
     */
-  private def scoredDocs(s: org.apache.spark.sql.SparkSession, dir: String) =
+  private[analytics] def scoredDocs(s: org.apache.spark.sql.SparkSession, dir: String) =
     Memo.cached(s, s"distillScores:$dir")(
       distillFilter(Tables.documents(s, dir),
         size(expr(toksExprOn("text"))) >= MinWords, LB, LQ))
@@ -144,7 +145,12 @@ object LearnOps {
 
   private val CalBins = 10
 
-  private val calibrationSql = s"""WITH t0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
+  /** Shared oracle prefix: the full distill chain ending in
+    * `cal(doc_id, score, predi, lab)` — one copy consumed by
+    * qml_calibration here and the EvalOps metric oracles (AUC, PR curve,
+    * kappa). Keep in lock-step with [[distillFilter]].
+    */
+  private[analytics] val scoredCte: String = s"""t0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
     t1 AS (SELECT doc_id, CASE WHEN len(toks) >= $MinWords THEN 1 ELSE 0 END AS y, toks FROM t0),
     bf AS (SELECT doc_id, y, ${h60Sql("tok")} % $LB AS b, COUNT(*) AS x
       FROM (SELECT doc_id, y, unnest(toks) AS tok FROM t1) GROUP BY doc_id, y, b),
@@ -157,9 +163,11 @@ object LearnOps {
     theta AS (SELECT SUM(cp * cp - cn * cn) AS th FROM rates),
     sc AS (SELECT bf.doc_id, bf.y, SUM(bf.x * (r.cp - r.cn)) AS s
       FROM bf JOIN rates r ON r.b = bf.b GROUP BY bf.doc_id, bf.y),
-    cal AS (SELECT CAST(s AS BIGINT) AS score,
+    cal AS (SELECT doc_id, CAST(s AS BIGINT) AS score,
         CASE WHEN 2 * $LQ * s > (SELECT th FROM theta) THEN 1 ELSE 0 END AS predi,
-        y AS lab FROM sc),
+        y AS lab FROM sc)"""
+
+  private val calibrationSql = s"""WITH $scoredCte,
     st2 AS (SELECT MIN(score) AS mn, MAX(score) AS mx FROM cal),
     bi AS (SELECT ((score - mn) * $CalBins) // (mx - mn + 1) AS bin,
         score, predi, lab FROM cal, st2)

@@ -1904,6 +1904,98 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
         r.getLong(3))).toList.sortBy(_._1)
     assert(out == List(("A", 4L, 4L, 10000L), ("B", 1L, 0L, 0L)), out.toString)
   }
+
+  test("aucRoc: perfect separation scores 10000 bp; ties earn half credit") {
+    import spark.implicits._
+    val perfect = Seq((1L, false), (2L, false), (3L, true), (4L, true))
+      .toDF("sc", "lab")
+    val r1 = EvalOps.aucRoc(perfect, "sc", "lab").collect().head
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2), r1.getLong(3))
+      == ((2L, 2L, 10000L, 10000L)), r1.toString)
+    // positives {2,3} vs negatives {1,2}: U1 = 1 + 0.5 + 1 + 1 = 3.5 of 4
+    val tied = Seq((1L, false), (2L, true), (2L, false), (3L, true))
+      .toDF("sc", "lab")
+    val r2 = EvalOps.aucRoc(tied, "sc", "lab").collect().head
+    assert(r2.getLong(2) == 8750L && r2.getLong(3) == 7500L, r2.toString)
+  }
+
+  test("prCurve: keep-all bin has full recall, boundary bin full precision") {
+    import spark.implicits._
+    val d = (0L to 9L).map(s => (s, s >= 5L)).toDF("sc", "lab")
+    val rows = EvalOps.prCurve(d, "sc", "lab", bins = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // threshold at bin 0 keeps everything: precision 50%, recall 100%
+    assert(rows(0L) == ((5L, 10L, 5000L, 10000L, 6666L)), rows(0L).toString)
+    // threshold at bin 5 keeps exactly the positives: both 100%
+    assert(rows(5L) == ((5L, 5L, 10000L, 10000L, 10000L)), rows(5L).toString)
+  }
+
+  test("cohenKappa: perfect agreement is 10000 bp; 8/10 with even margins is 6000") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val same = Seq((true, true), (false, false), (true, true))
+      .toDF("a", "b")
+    val r1 = EvalOps.cohenKappa(same, col("a"), col("b")).collect().head
+    assert(r1.getLong(6) == 10000L, r1.toString)
+    val mixed = Seq(
+      (1, 1), (1, 1), (1, 1), (1, 1), (1, 0),
+      (0, 1), (0, 0), (0, 0), (0, 0), (0, 0))
+      .toDF("a", "b")
+    val r2 = EvalOps.cohenKappa(mixed, col("a") === 1, col("b") === 1)
+      .collect().head
+    // po = 0.8, pe = 0.5 -> kappa = 0.6
+    assert(r2.getLong(4) == 8000L && r2.getLong(5) == 5000L
+      && r2.getLong(6) == 6000L, r2.toString)
+  }
+
+  test("bradleyTerry2: transitive 3-item tournament ranks A > B > C with exact MM ratings") {
+    import spark.implicits._
+    val battles = Seq.fill(3)(("A", "B")) ++ Seq.fill(3)(("B", "C")) ++
+      Seq.fill(3)(("A", "C"))
+    val out = EvalOps.bradleyTerry2(battles.toDF("w", "l"), "w", "l")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toList
+    // step 1 from uniform: m = 2e6 / 1e6 / 0; step 2 refines A up, B down
+    assert(out == List(
+      ("A", 6L, 6L, 2000000L, 2400000L),
+      ("B", 3L, 6L, 1000000L, 750000L),
+      ("C", 0L, 6L, 0L, 0L)), out.toString)
+  }
+
+  test("sourceTvd: identical sources at 0, disjoint vocabularies at 1e6") {
+    import spark.implicits._
+    val d = Seq(
+      ("s1", "a a b b"), ("s2", "a a b b"),   // identical distributions
+      ("s3", "c d"))                          // disjoint from both
+      .toDF("src", "body")
+    val out = PairOps.sourceTvd(d, groupCol = "src", textCol = "body")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toList
+    assert(out == List(("s1", "s2", 0L), ("s1", "s3", 1000000L),
+      ("s2", "s3", 1000000L)), out.toString)
+  }
+
+  test("preferencePairs: best pairs with worst, sub-gap mirror pair dropped") {
+    import spark.implicits._
+    val scored = Seq(
+      (1L, 40L, "en"), (2L, 30L, "en"), (3L, 20L, "en"), (4L, 10L, "en"))
+      .toDF("id", "s", "blk")
+    val out = PairOps.preferencePairs(scored, Seq("blk"), "id", "s", minGap = 15L)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(5))).toList
+    // mirror pairs are (1↔4, gap 30) and (2↔3, gap 10 < 15 → dropped)
+    assert(out == List((1L, 4L, 30L)), out.toString)
+  }
+
+  test("kneserNey: continuation mass flows through the interpolation exactly") {
+    import spark.implicits._
+    val d = Seq((1L, "a b"), (2L, "c b")).toDF("post_id", "body")
+    val out = VocabOps.kneserNey(d, topK = 2, idCol = "post_id", textCol = "body")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toList
+    // P_KN(b|a) = (1-¾)/1 + ¾·1·P_cont(b) with P_cont(b) = 2/2 = 1 → exactly 1.0
+    assert(out == List(("a", "b", 1L, 1L, 1000000L),
+      ("c", "b", 1L, 1L, 1000000L)), out.toString)
+  }
 }
 
 /** Row-collect helpers shared by the API tests. */
