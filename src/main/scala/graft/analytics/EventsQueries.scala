@@ -1350,10 +1350,65 @@ object EventsQueries {
       .toDF("user_id", "last_micros", "f", "m")
   }
 
+  /** Frequent sequential 2-patterns (GSP/PrefixSpan's length-2 core):
+    * for every ordered pair of distinct event types (a → b), the number
+    * of users who performed SOME a strictly before SOME b ("eventually
+    * follows" — not merely adjacent, which [[qTransitions]] counts), and
+    * the confidence support(a→b)/users(a) in basis points.
+    *
+    * The trick that keeps it linear: "∃ a-event before a b-event" ⟺
+    * min_ts(user, a) < max_ts(user, b), so the corpus collapses to the
+    * per-(user, type) min/max frame FIRST (one user-key aggregation,
+    * |users|·|types| rows) and the pattern join pairs types WITHIN each
+    * user — a |types|²-bounded fan-out on the user equi-key, never a
+    * corpus self-join on raw events. Support counting is then a tiny
+    * |types|² aggregation. At 100 TB the only corpus-sized operation is
+    * the first groupBy.
+    *
+    * Output: (from_type, to_type, support, n_from, conf_bp) for every
+    * observed pattern, ordered by (from_type, to_type).
+    */
+  private val qSeqPatterns = GraftQuery(
+    "qe_seq_patterns",
+    (s, dir) => {
+      val ut = Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(col("ts")).as("mn"), max(col("ts")).as("mx"))
+      val a = ut.select(col("user_id"), col("event_type").as("from_type"),
+        col("mn"))
+      val b = ut.select(col("user_id"), col("event_type").as("to_type"),
+        col("mx"))
+      val pairs = a.join(b, Seq("user_id"))
+        .filter(col("from_type") =!= col("to_type") && col("mn") < col("mx"))
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("support"))
+      val fromTot = ut.groupBy(col("event_type").as("from_type"))
+        .agg(count(lit(1)).as("n_from"))
+      pairs.join(broadcast(fromTot), Seq("from_type"))
+        .select(col("from_type"), col("to_type"), col("support"), col("n_from"),
+          expr("(10000 * support) div n_from").as("conf_bp"))
+        .orderBy(col("from_type"), col("to_type"))
+    },
+    Some("""WITH ut AS (SELECT user_id, event_type, MIN(ts) AS mn, MAX(ts) AS mx
+      FROM events GROUP BY 1, 2),
+    p AS (SELECT a.event_type AS from_type, b.event_type AS to_type
+      FROM ut a JOIN ut b ON a.user_id = b.user_id
+        AND a.event_type <> b.event_type
+      WHERE a.mn < b.mx),
+    sup AS (SELECT from_type, to_type, COUNT(*) AS support
+      FROM p GROUP BY 1, 2),
+    t AS (SELECT event_type AS from_type, COUNT(*) AS n_from
+      FROM ut GROUP BY 1)
+    SELECT sup.from_type, sup.to_type, CAST(sup.support AS BIGINT) AS support,
+      CAST(t.n_from AS BIGINT) AS n_from,
+      CAST((10000 * sup.support) // t.n_from AS BIGINT) AS conf_bp
+    FROM sup JOIN t USING (from_type)
+    ORDER BY from_type, to_type"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qTumbling, qSliding, qSessions, qJson, qTopUsers, qDeltas, qZscore,
       qFunnel, qRetention, qResample, qHistogram, qPattern, qTransitions,
       qDecayWma, qAttribution, qCusum, qMadAnomaly, qTopPaths, qSlidingDistinct,
       qSeasonal, qFunnelTime, qCep, qStreak, qCoverage, qOhlc, qLatencySlo, qRfm,
-      qLtv, qDauMau, qHeatmap, qStationary, qLifecycle)
+      qLtv, qDauMau, qHeatmap, qStationary, qLifecycle, qSeqPatterns)
 }

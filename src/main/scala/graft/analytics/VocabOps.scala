@@ -1150,8 +1150,85 @@ object VocabOps {
       CAST(v + (f1 * (f1 - 1)) // (2 * (f2 + 1)) AS BIGINT) AS chao1_est
     FROM f"""))
 
+  // ------------------------------------------- Kneser–Ney bigram LM
+  /** Interpolated Kneser–Ney bigram probabilities (Chen & Goodman 1998)
+    * with absolute discount D = 3/4, for the `topK` most frequent
+    * bigrams:
+    *
+    *   P_KN(w2|w1) = (c(w1w2) − D)⁺/c(w1) + λ(w1)·P_cont(w2)
+    *   λ(w1)  = D·N₁₊(w1·)/c(w1)
+    *   P_cont(w2) = N₁₊(·w2)/N₁₊(··)
+    *
+    * The CONTINUATION count N₁₊(·w2) — how many distinct contexts w2
+    * follows — is what separates KN from count-backoff ([[qBackoff]]):
+    * a token that is frequent but only ever follows one context
+    * ("francisco" after "san") gets a tiny continuation probability
+    * instead of inheriting its raw frequency. D = 3/4 keeps every term
+    * an exact integer: (c−¾)/c1 = (4c−3)/(4·c1) and λ = 3·N₁₊(w1·)/(4·c1),
+    * all floored to micro-units — bit-identical across engines, no
+    * float log-probs.
+    *
+    * Scale: the corpus collapses to the bigram count table in one agg
+    * (vocab²-bounded, localCheckpointed — four consumers, one build);
+    * fwd/bwd continuation tables are vocab-bounded aggregations of IT,
+    * not the corpus; top-k is a TakeOrdered; the final arithmetic joins
+    * the k-row frame broadcast. Output: (w1, w2, c12, c1, pkn_micro)
+    * ordered by c12 desc, w1, w2.
+    */
+  def kneserNey(docs: DataFrame, topK: Int = 50, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val bigrams =
+      "CASE WHEN size(toks) >= 2 THEN zip_with(slice(toks, 1, size(toks) - 1), " +
+        "slice(toks, 2, size(toks) - 1), (x, y) -> concat(x, ' ', y)) " +
+        "ELSE array() END"
+    val c12 = norm(docs, idCol, textCol)
+      .select(col("doc_id"), expr(toksExpr).as("toks"))
+      .select(explode(expr(bigrams)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+      .select(split(col("bg"), " ").getItem(0).as("w1"),
+        split(col("bg"), " ").getItem(1).as("w2"), col("c12"))
+      .localCheckpoint()
+    val fwd = c12.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("nf"))
+    val bwd = c12.groupBy(col("w2")).agg(count(lit(1)).as("nb"))
+    val tt = c12.agg(count(lit(1)).as("t"))
+    val top = c12.orderBy(col("c12").desc, col("w1"), col("w2")).limit(topK)
+    broadcast(top)
+      .join(fwd, Seq("w1")).join(bwd, Seq("w2"))
+      .crossJoin(broadcast(tt))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        expr("""(1000000 * (4 * c12 - 3)) div (4 * c1)
+          + (((1000000 * 3 * nf) div (4 * c1))
+             * ((1000000 * nb) div t)) div 1000000""").as("pkn_micro"))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+  }
+
+  private val KnTopK = 50
+
+  private val qKneserNey = GraftQuery(
+    "qt_kneser_ney",
+    (s, dir) => kneserNey(Tables.documents(s, dir), KnTopK),
+    Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+    b0 AS (SELECT doc_id, CASE WHEN len(toks) >= 2 THEN list_transform(generate_series(1, len(toks) - 1),
+        i -> toks[i] || ' ' || toks[i+1]) ELSE [] END AS bgs FROM t),
+    occ AS (SELECT unnest(bgs) AS bg FROM b0),
+    cg AS (SELECT bg, COUNT(*) AS c12 FROM occ GROUP BY bg),
+    c AS (SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2, c12 FROM cg),
+    fwd AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS nf FROM c GROUP BY w1),
+    bwd AS (SELECT w2, COUNT(*) AS nb FROM c GROUP BY w2),
+    tt AS (SELECT COUNT(*) AS t FROM c),
+    top AS (SELECT w1, w2, c12 FROM c ORDER BY c12 DESC, w1, w2 LIMIT $KnTopK)
+    SELECT top.w1, top.w2, CAST(top.c12 AS BIGINT) AS c12,
+      CAST(fwd.c1 AS BIGINT) AS c1,
+      CAST((1000000 * (4 * top.c12 - 3)) // (4 * fwd.c1)
+        + (((1000000 * 3 * fwd.nf) // (4 * fwd.c1))
+           * ((1000000 * bwd.nb) // tt.t)) // 1000000 AS BIGINT) AS pkn_micro
+    FROM top JOIN fwd USING (w1) JOIN bwd USING (w2), tt
+    ORDER BY c12 DESC, w1, w2"""))
+
   def queries: Seq[GraftQuery] =
     Seq(qVocab, qKeywords, qEditDist, qBm25, qBpeTrain, qBpeTokenize, qCountMin,
       qPhrase, qBigramNovelty, qVocabCoverage, qWordpiece, qBackoff,
-      qFertility, qPrf, qPieceUsage, qHeaps, qColloc, qChao1)
+      qFertility, qPrf, qPieceUsage, qHeaps, qColloc, qChao1, qKneserNey)
 }
