@@ -55,6 +55,29 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("fourth-phase ops stay bucketed: eval/pairing tier pairs via equi-joins") {
+    // strict tier: corpus-scale pair generation must be equi-keyed
+    Seq("qml_bradley_terry", "qt_preference_pairs", "qe_seq_patterns",
+      "qml_auc_roc", "qml_kappa").foreach { name =>
+      val plan = graft.SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name regressed to a cartesian product")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name regressed to a nested-loop join")
+    }
+    // these carry a sanctioned 1-row/`|sources|`-row broadcast cross
+    // (threshold totals, source-totals pair domain) — pin only that the
+    // corpus never cartesians
+    Seq("qt_source_tvd", "qt_kneser_ney", "qt_curriculum",
+      "qml_pr_curve").foreach { name =>
+      val plan = graft.SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name regressed to a cartesian product")
+    }
+  }
+
   test("calendar-domain pair tests use a BROADCAST nested loop (the sanctioned shape)") {
     // Kendall / Theil–Sen / Mann–Kendall deliberately pair the daily
     // aggregate: the build side is a broadcast of a calendar-bounded frame
