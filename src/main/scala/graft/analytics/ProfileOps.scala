@@ -429,6 +429,85 @@ object ProfileOps {
       FROM g WHERE n_rows < $AnonK OR n_sensitive < $AnonL
       ORDER BY c_nationkey, acct_band"""))
 
+  // ---------------------------------------------- privacy QA: t-closeness
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007, the variational-
+    * distance instantiation for categorical sensitive attributes):
+    * k-anonymity and l-diversity ([[kAnonymityAudit]]) don't catch a group
+    * whose sensitive-value DISTRIBUTION is skewed far from the corpus (an
+    * attacker learns "this group is 90% segment X" even with l distinct
+    * values present). For each quasi-identifier group, the total-variation
+    * distance between the group's sensitive distribution and the global
+    * one, flagged when it exceeds `tMicro`:
+    *
+    *   TVD_g = ½ (Σp_g + Σp_glob − 2 Σ_matched min(p_g, p_glob))
+    *
+    * — the same min-form as [[PairOps.sourceTvd]] (absent sensitive values
+    * contribute only their global mass), probabilities micro-floored so
+    * both engines agree bit-exactly. Plan: one (QI, sensitive) agg, one QI
+    * agg, the |sensitive|-sized global table joined BROADCAST, one final
+    * QI-key agg — all uniform keys, nothing corpus-pairing.
+    *
+    * Output: violating groups only — (quasi..., n_rows, tvd_micro),
+    * ordered by the quasi columns.
+    */
+  def tClosenessAudit(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, tMicro: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(tMicro >= 0, s"tMicro must be >= 0, got $tMicro")
+    val qc = quasiCols.map(col)
+    val gsv = df.groupBy((qc :+ col(sensitiveCol).as("_sv")): _*)
+      .agg(count(lit(1)).as("_ngs"))
+    val gtot = gsv.groupBy(qc: _*).agg(sum(col("_ngs")).as("_ng"))
+    val glob = gsv.groupBy(col("_sv")).agg(sum(col("_ngs")).as("_ns"))
+      .crossJoin(broadcast(gsv.agg(sum(col("_ngs")).as("_nn"))))
+      .select(col("_sv"), expr("(1000000 * _ns) div _nn").as("_pglob"))
+    val globTot = glob.agg(sum(col("_pglob")).as("_ptg"))
+    gsv.join(gtot, quasiCols)
+      .select((qc :+ col("_sv") :+ expr("(1000000 * _ngs) div _ng").as("_pg")
+        :+ col("_ng")): _*)
+      .join(broadcast(glob), Seq("_sv"))
+      .groupBy(qc: _*)
+      .agg(max(col("_ng")).as("n_rows"), sum(col("_pg")).as("_spg"),
+        sum(least(col("_pg"), col("_pglob"))).as("_m"))
+      .crossJoin(broadcast(globTot))
+      .select((qc :+ col("n_rows") :+
+        expr("(_spg + _ptg - 2 * _m) div 2").as("tvd_micro")): _*)
+      .filter(col("tvd_micro") > tMicro)
+      .orderBy(qc: _*)
+  }
+
+  private val CloseT = 400000L
+
+  private val qTClose = GraftQuery(
+    "qpriv_t_closeness",
+    (s, dir) => tClosenessAudit(
+      Tables.customer(s, dir)
+        .withColumn("acct_band", floor(col("c_acctbal") / 2000).cast("long")),
+      Seq("c_nationkey", "acct_band"), "c_mktsegment", CloseT),
+    Some(s"""WITH b AS (SELECT c_nationkey,
+        CAST(floor(c_acctbal / 2000) AS BIGINT) AS acct_band,
+        c_mktsegment AS sv FROM customer),
+    gsv AS (SELECT c_nationkey, acct_band, sv, COUNT(*) AS ngs
+      FROM b GROUP BY 1, 2, 3),
+    gtot AS (SELECT c_nationkey, acct_band, SUM(ngs) AS ng
+      FROM gsv GROUP BY 1, 2),
+    gl AS (SELECT sv, (1000000 * SUM(ngs)) // (SELECT SUM(ngs) FROM gsv) AS pglob
+      FROM gsv GROUP BY sv),
+    ptg AS (SELECT SUM(pglob) AS ptg FROM gl),
+    g AS (SELECT gsv.c_nationkey, gsv.acct_band, MAX(gtot.ng) AS n_rows,
+        SUM((1000000 * gsv.ngs) // gtot.ng) AS spg,
+        SUM(LEAST((1000000 * gsv.ngs) // gtot.ng, gl.pglob)) AS m
+      FROM gsv
+      JOIN gtot ON gsv.c_nationkey = gtot.c_nationkey
+        AND gsv.acct_band = gtot.acct_band
+      JOIN gl ON gsv.sv = gl.sv
+      GROUP BY gsv.c_nationkey, gsv.acct_band)
+    SELECT c_nationkey, acct_band, CAST(n_rows AS BIGINT) AS n_rows,
+      CAST((spg + ptg.ptg - 2 * m) // 2 AS BIGINT) AS tvd_micro
+    FROM g, ptg
+    WHERE (spg + ptg.ptg - 2 * m) // 2 > $CloseT
+    ORDER BY c_nationkey, acct_band"""))
+
   // ------------------------------------- functional-dependency discovery
   /** Approximate functional-dependency profiling over candidate column
     * pairs — the schema-discovery / data-quality readout ("does A
@@ -578,5 +657,5 @@ object ProfileOps {
 
   val queries: Seq[GraftQuery] =
     Seq(qProfile, qProfileEvents, qHistQuantile, qExpectations, qDrift,
-      qDimProfile, qKAnon, qFd, qJoinCard)
+      qDimProfile, qKAnon, qTClose, qFd, qJoinCard)
 }
