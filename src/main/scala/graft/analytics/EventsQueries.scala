@@ -1405,10 +1405,64 @@ object EventsQueries {
     FROM sup JOIN t USING (from_type)
     ORDER BY from_type, to_type"""))
 
+  /** Trailing-7-day distinct users from MERGED per-day HLL sketches — the
+    * sliding-window face of [[Relational2]]'s qagg_hll_sketch rollup and
+    * the reason sketches are stored per partition at 100 TB: any trailing
+    * window's distinct count is a union of 7 pre-built day sketches
+    * (lossless for same-lgK HLLs), never a rescan of the raw events. The
+    * window assembly is shuffle-friendly: each day's sketch row explodes
+    * into the ≤ 7 window-ends it covers (map-side sequence explode,
+    * uniform keys — no range join, no BNL), semi-joined to the observed
+    * day domain so partial leading windows don't fabricate rows.
+    *
+    * Gate contract (same device as qagg_hll_sketch): the row carries the
+    * EXACT trailing count — computed from the (day, user) collapse with
+    * the same explode, which is the 7× rescan the sketch path exists to
+    * avoid — plus `within_10pct` of the merged estimate. 10 % ≈ 6σ at
+    * lgK = 12 over ~365 window rows (5 % ≈ 3.2σ would let an expected
+    * ~½ row per year drift red by chance); DuckDB mirrors the exact count
+    * and asserts TRUE.
+    */
+  private val qHllSliding = GraftQuery(
+    "qagg_hll_sliding",
+    (s, dir) => {
+      val du = Tables.events(s, dir)
+        .select(to_date(col("ts")).as("d"), col("user_id"))
+        .distinct().localCheckpoint()
+      val days = du.select(col("d")).distinct()
+      val exact = du
+        .select(explode(expr("sequence(d, date_add(d, 6))")).as("we"),
+          col("user_id"))
+        .join(days.select(col("d").as("we")), Seq("we"), "left_semi")
+        .groupBy(col("we"))
+        .agg(countDistinct(col("user_id")).as("exact_users_7d"))
+      val merged = du.groupBy(col("d"))
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+        .select(explode(expr("sequence(d, date_add(d, 6))")).as("we"), col("sk"))
+        .join(days.select(col("d").as("we")), Seq("we"), "left_semi")
+        .groupBy(col("we"))
+        .agg(expr("hll_union_agg(sk, false)").as("sk"))
+        .select(col("we"), expr("hll_sketch_estimate(sk)").as("approx"))
+      exact.join(merged, Seq("we"))
+        .select(col("we").as("window_end"), col("exact_users_7d"),
+          (abs(col("approx") - col("exact_users_7d")) * lit(10L)
+            <= col("exact_users_7d")).as("within_10pct"))
+        .orderBy(col("window_end"))
+    },
+    Some("""WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+    days AS (SELECT DISTINCT d FROM du),
+    ex AS (SELECT we, COUNT(DISTINCT user_id) AS exact_users_7d
+      FROM (SELECT CAST(unnest(generate_series(d, d + 6, INTERVAL 1 DAY)) AS DATE) AS we,
+          user_id FROM du)
+      WHERE we IN (SELECT d FROM days) GROUP BY we)
+    SELECT we AS window_end, CAST(exact_users_7d AS BIGINT) AS exact_users_7d,
+      TRUE AS within_10pct
+    FROM ex ORDER BY window_end"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qTumbling, qSliding, qSessions, qJson, qTopUsers, qDeltas, qZscore,
       qFunnel, qRetention, qResample, qHistogram, qPattern, qTransitions,
       qDecayWma, qAttribution, qCusum, qMadAnomaly, qTopPaths, qSlidingDistinct,
       qSeasonal, qFunnelTime, qCep, qStreak, qCoverage, qOhlc, qLatencySlo, qRfm,
-      qLtv, qDauMau, qHeatmap, qStationary, qLifecycle, qSeqPatterns)
+      qLtv, qDauMau, qHeatmap, qStationary, qLifecycle, qSeqPatterns, qHllSliding)
 }
