@@ -1140,7 +1140,82 @@ object GraphOps {
     },
     Some(walkSql))
 
+  // ------------------------------------- harmonic centrality (sampled)
+  /** Harmonic centrality from a SAMPLED source set (Boldi & Vigna 2014,
+    * the centrality that stays well-defined on disconnected graphs):
+    * H(v) = Σ_s 1/d(s, v) over sources s ≠ v that reach v, here in exact
+    * micro-floors ⌊10⁶/d⌋. Exact closeness/harmonic needs all-pairs BFS;
+    * the standard scale treatment fixes a deterministic landmark sample
+    * S and sums over it — error bounds are Hoeffding-style in |S|, and
+    * the work is |S| simultaneous BFS frontiers, NOT all-pairs.
+    *
+    * The per-source labels ride the [[reachability]] loop with a
+    * composite (root, node) key: per hop one frontier⋈edges hash join +
+    * distinct + anti-join against visited, frontier checkpointed, visited
+    * a union of materialized frontiers. Frontier size is bounded by
+    * |S|·|nodes| in the worst case and in practice by |S|·(hop
+    * neighborhood); everything is equi-keyed on node ids.
+    *
+    * Output: (node, h_micro, n_reached) for the `topK` most central
+    * nodes, h desc / node asc.
+    */
+  def harmonicCentrality(edgesIn: DataFrame, seeds: DataFrame,
+      maxHops: Int = 4, srcCol: String = "src", dstCol: String = "dst",
+      seedCol: String = "node"): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val edges = edgesIn.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint()
+    var visited = seeds.select(col(seedCol).as("root")).distinct()
+      .select(col("root"), col("root").as("node"), lit(0L).as("d"))
+      .localCheckpoint()
+    var frontier = visited.select(col("root"), col("node"))
+    for (h <- 1 to maxHops) {
+      val next = edges.join(frontier, edges("src") === frontier("node"))
+        .select(col("root"), col("dst").as("node")).distinct()
+        .join(visited.select(col("root"), col("node")),
+          Seq("root", "node"), "left_anti")
+        .withColumn("d", lit(h.toLong))
+        .localCheckpoint()
+      visited = visited.unionByName(next)
+      frontier = next.select(col("root"), col("node"))
+    }
+    visited.groupBy(col("node"))
+      .agg(sum(when(col("d") > 0, expr("1000000L div d")).otherwise(0L))
+          .as("h_micro"),
+        sum(when(col("d") > 0, 1L).otherwise(0L)).as("n_reached"))
+  }
+
+  private val HarmHops = 4
+  private val HarmTopK = 100
+
+  private val harmonicSql = s"""WITH RECURSIVE e0 AS (SELECT DISTINCT o_custkey * 2 AS src,
+      l_suppkey * 2 + 1 AS dst FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    r AS (
+      SELECT DISTINCT src AS root, src AS node, CAST(0 AS BIGINT) AS hops
+      FROM e WHERE src <= 8
+      UNION
+      SELECT r.root, e.dst AS node, r.hops + 1 AS hops
+      FROM r JOIN e ON e.src = r.node WHERE r.hops < $HarmHops)
+    SELECT node,
+      CAST(SUM(CASE WHEN d > 0 THEN 1000000 // d ELSE 0 END) AS BIGINT) AS h_micro,
+      CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_reached
+    FROM (SELECT root, node, MIN(hops) AS d FROM r GROUP BY root, node)
+    GROUP BY node ORDER BY h_micro DESC, node LIMIT $HarmTopK"""
+
+  private val qHarmonic = GraftQuery(
+    "qg_harmonic",
+    (s, dir) => {
+      val e = tradeEdges(s, dir)
+      harmonicCentrality(e,
+          e.filter(col("src") <= 8).select(col("src").as("node")), HarmHops)
+        .orderBy(col("h_micro").desc, col("node"))
+        .limit(HarmTopK)
+    },
+    Some(harmonicSql))
+
   def queries: Seq[GraftQuery] =
     Seq(qPageRank, qTriangles, qLpa, qKcore, qReach, qSubtree, qSssp, qPpr,
-      qLinkPredict, qDegreeDist, qModularity, qHits, qAssortativity, qWalks)
+      qLinkPredict, qDegreeDist, qModularity, qHits, qAssortativity, qWalks,
+      qHarmonic)
 }
