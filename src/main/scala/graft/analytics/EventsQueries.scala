@@ -654,6 +654,31 @@ object EventsQueries {
       .agg(count(lit(1)).as("n_users"))
       .select(col("window.start").as("win_start"), col("n_users"))
 
+  /** Streaming sketch twin of the HLL family (qagg_hll_sketch /
+    * qagg_hll_sliding): per-day distinct users maintained as ONE HLL
+    * sketch of state per day on `transformWithState` — constant bytes
+    * per key where [[slidingDistinctStream]]'s exact state is a row per
+    * membership. Emits (epoch_day, estimate) per touched day per batch;
+    * the final estimate per day is bit-identical to batch
+    * `hll_sketch_estimate(hll_sketch_agg(user_id, 12))` however the
+    * stream was micro-batched (register max is commutative —
+    * StreamingExtrasSpec pins it).
+    */
+  def hllDailyDistinctStream(events: DataFrame, tsCol: String = "ts",
+      userCol: String = "user_id"): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .select(datediff(to_date(col(tsCol)), lit("1970-01-01")).cast("long")
+          .as("day"),
+        col(userCol).cast("long").as("u"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new graft.streaming.HllStateProcessor(12),
+        TimeMode.None(), OutputMode.Append())
+      .toDF("day", "approx_users")
+  }
+
   /** Seasonality-aware anomaly detection: learn the hour-of-week
     * profile (the dominant cycle in product/event data — Monday 9am is
     * not Sunday 3am), then rank events by their residual against that

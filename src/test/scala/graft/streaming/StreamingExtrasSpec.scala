@@ -1044,6 +1044,63 @@ class StreamingExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamFinal == Map(1L -> 2L), s"stream final: $streamFinal")
     assert(streamFinal == batch, s"stream $streamFinal vs batch $batch")
   }
+
+  test("streaming HLL sketch state equals batch hll_sketch_agg across micro-batches") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def t(s: String) = Timestamp.valueOf(s)
+    val input = MemoryStream[(Long, Timestamp)](spark) // (user, ts)
+    val out = graft.analytics.EventsQueries.hllDailyDistinctStream(
+      input.toDS().toDF("user_id", "ts"))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("hll_stream")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-hll").toString)
+      .start()
+    // two days, users split across micro-batches with cross-batch repeats
+    val b1 = (1L to 400L).map(u => (u, t("2024-03-01 10:00:00"))) ++
+      (1L to 50L).map(u => (u, t("2024-03-02 09:00:00")))
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    val b2 = (200L to 700L).map(u => (u, t("2024-03-01 18:00:00"))) ++
+      (40L to 90L).map(u => (u, t("2024-03-02 23:00:00")))
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.table("hll_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val streamFinal = emitted.zipWithIndex.groupBy(_._1._1)
+      .map { case (_, rs) => rs.maxBy(_._2)._1 }.toMap
+    // golden twin: a sequential single-sketch build over the same rows.
+    // Composite estimates are a pure function of the (max-commutative)
+    // register state, so stream ≡ golden must be BIT-identical however
+    // the stream was micro-batched — the determinism pin getEstimate's
+    // insertion-history-dependent HIP estimator cannot give.
+    import org.apache.datasketches.hll.{HllSketch, TgtHllType}
+    val golden = (b1 ++ b2).groupBy(p =>
+        p._2.toLocalDateTime.toLocalDate.toEpochDay)
+      .map { case (day, rows) =>
+        val s = new HllSketch(12, TgtHllType.HLL_8)
+        rows.foreach(r => s.update(r._1))
+        day -> Math.round(s.getCompositeEstimate)
+      }
+    assert(streamFinal == golden, s"stream $streamFinal vs golden $golden")
+    // and within sketch tolerance of hll_sketch_agg (whose HIP estimate
+    // is partitioning-dependent — equality is deliberately NOT asserted)
+    val batch = (b1 ++ b2).toDF("user_id", "ts")
+      .groupBy(expr("cast(datediff(to_date(ts), date '1970-01-01') as bigint)")
+        .as("day"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))")
+        .as("approx_users"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    batch.foreach { case (d, est) =>
+      assert(math.abs(streamFinal(d) - est) * 20 <= est,
+        s"day $d: stream ${streamFinal(d)} vs agg $est")
+    }
+    // and the sketch is actually estimating: day 1 near its exact count
+    assert(math.abs(streamFinal(19783L) - 700L) * 10 <= 700L, streamFinal.toString)
+  }
 }
 
 /** Event-time sessionization on raw transformWithState timers: per-key
