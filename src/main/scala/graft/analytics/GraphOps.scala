@@ -1159,7 +1159,12 @@ object GraphOps {
     * Output: (node, h_micro, n_reached) for the `topK` most central
     * nodes, h desc / node asc.
     */
-  def harmonicCentrality(edgesIn: DataFrame, seeds: DataFrame,
+  /** Per-(landmark, node) BFS hop distances — the shared substrate of
+    * [[harmonicCentrality]] and the eccentricity readout. Same loop as
+    * [[reachability]] with a composite (root, node) key.
+    * Output: (root, node, d), d = 0 for the landmark itself.
+    */
+  def landmarkDistances(edgesIn: DataFrame, seeds: DataFrame,
       maxHops: Int = 4, srcCol: String = "src", dstCol: String = "dst",
       seedCol: String = "node"): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
@@ -1179,11 +1184,17 @@ object GraphOps {
       visited = visited.unionByName(next)
       frontier = next.select(col("root"), col("node"))
     }
-    visited.groupBy(col("node"))
+    visited
+  }
+
+  def harmonicCentrality(edgesIn: DataFrame, seeds: DataFrame,
+      maxHops: Int = 4, srcCol: String = "src", dstCol: String = "dst",
+      seedCol: String = "node"): DataFrame =
+    landmarkDistances(edgesIn, seeds, maxHops, srcCol, dstCol, seedCol)
+      .groupBy(col("node"))
       .agg(sum(when(col("d") > 0, expr("1000000L div d")).otherwise(0L))
           .as("h_micro"),
         sum(when(col("d") > 0, 1L).otherwise(0L)).as("n_reached"))
-  }
 
   private val HarmHops = 4
   private val HarmTopK = 100
@@ -1203,19 +1214,65 @@ object GraphOps {
     FROM (SELECT root, node, MIN(hops) AS d FROM r GROUP BY root, node)
     GROUP BY node ORDER BY h_micro DESC, node LIMIT $HarmTopK"""
 
+  // The landmark BFS label frame is shared by qg_harmonic and qg_ecc —
+  // materialize once per (session, sf).
+  private def landmarkBfs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Memo.cached(s, s"landmarkBfs:$dir") {
+      val e = tradeEdges(s, dir)
+      landmarkDistances(e,
+        e.filter(col("src") <= 8).select(col("src").as("node")), HarmHops)
+    }
+
   private val qHarmonic = GraftQuery(
     "qg_harmonic",
-    (s, dir) => {
-      val e = tradeEdges(s, dir)
-      harmonicCentrality(e,
-          e.filter(col("src") <= 8).select(col("src").as("node")), HarmHops)
-        .orderBy(col("h_micro").desc, col("node"))
-        .limit(HarmTopK)
-    },
+    (s, dir) => landmarkBfs(s, dir)
+      .groupBy(col("node"))
+      .agg(sum(when(col("d") > 0, expr("1000000L div d")).otherwise(0L))
+          .as("h_micro"),
+        sum(when(col("d") > 0, 1L).otherwise(0L)).as("n_reached"))
+      .orderBy(col("h_micro").desc, col("node"))
+      .limit(HarmTopK),
     Some(harmonicSql))
+
+  /** Per-landmark eccentricity (within the hop budget) + the diameter
+    * LOWER bound max ecc — the "how wide is this graph" readout landmark
+    * BFS gives for free (Magnien et al.'s bound technique: any observed
+    * distance lower-bounds the diameter). Reads the memoized
+    * [[landmarkBfs]] frame — zero new graph traversals on a warm suite.
+    * Bounded-hop caveat: ecc is itself truncated at maxHops, so the
+    * bound is conservative on both axes; the trade graph's observed
+    * diameter (≤ 4 hops at every test SF) sits inside the budget.
+    */
+  private val qEcc = GraftQuery(
+    "qg_ecc",
+    (s, dir) => {
+      val ecc = landmarkBfs(s, dir)
+        .groupBy(col("root"))
+        .agg(max(col("d")).as("ecc_lb"), count(lit(1)).as("n_reached"))
+      ecc.crossJoin(broadcast(ecc.agg(max(col("ecc_lb")).as("diameter_lb"))))
+        .select(col("root"), col("ecc_lb"), col("n_reached"),
+          col("diameter_lb"))
+        .orderBy(col("root"))
+    },
+    Some(s"""WITH RECURSIVE e0 AS (SELECT DISTINCT o_custkey * 2 AS src,
+      l_suppkey * 2 + 1 AS dst FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    r AS (
+      SELECT DISTINCT src AS root, src AS node, CAST(0 AS BIGINT) AS hops
+      FROM e WHERE src <= 8
+      UNION
+      SELECT r.root, e.dst AS node, r.hops + 1 AS hops
+      FROM r JOIN e ON e.src = r.node WHERE r.hops < $HarmHops),
+    d AS (SELECT root, node, MIN(hops) AS d FROM r GROUP BY root, node),
+    ecc AS (SELECT root, MAX(d) AS ecc_lb, COUNT(*) AS n_reached
+      FROM d GROUP BY root)
+    SELECT root, CAST(ecc_lb AS BIGINT) AS ecc_lb,
+      CAST(n_reached AS BIGINT) AS n_reached,
+      CAST((SELECT MAX(ecc_lb) FROM ecc) AS BIGINT) AS diameter_lb
+    FROM ecc ORDER BY root"""))
 
   def queries: Seq[GraftQuery] =
     Seq(qPageRank, qTriangles, qLpa, qKcore, qReach, qSubtree, qSssp, qPpr,
       qLinkPredict, qDegreeDist, qModularity, qHits, qAssortativity, qWalks,
-      qHarmonic)
+      qHarmonic, qEcc)
 }

@@ -1051,11 +1051,12 @@ object StatTests {
     * [[qKendall]] — but unlike the KS/MWU value domains the slope
     * multiset barely collapses (daily sums are near-unique, so the
     * distinct-slope domain is ≈ the pair count). The running count
-    * therefore goes through [[Scans.rangedCumSum]] — the two-level
-    * range-partitioned prefix scan — instead of a single-partition
-    * global window, and the pair total np = C(n_days, 2) is computed
-    * from the daily row count rather than a second pass over the pair
-    * join.
+    * therefore uses the two-level range-partitioned prefix scan
+    * ([[Scans.rangedCumSum]]'s scheme inlined at weight 1, skipping the
+    * pointless groupBy collapse — ONE shuffle of the pair frame instead
+    * of three) rather than a single-partition global window, and the
+    * pair total np = C(n_days, 2) is computed from the daily row count
+    * rather than a second pass over the pair join.
     */
   private val qTheilSen = GraftQuery(
     "qstat_theil_sen",
@@ -1071,9 +1072,27 @@ object StatTests {
         .select(expr("""(1000000 * (yb - ya)
             - pmod(1000000 * (yb - ya), xb - xa)) div (xb - xa)""")
           .as("slope_micro"))
-      val grouped = slopes.groupBy(col("slope_micro")).agg(count(lit(1)).as("k"))
-      val cum = Scans.rangedCumSum(grouped, "slope_micro", col("k"), "cum")
-        .select(col("slope_micro"), col("cum"))
+      // The slope multiset is near-unique, so a groupBy collapse buys
+      // nothing and costs a full 2.9M-row shuffle; instead ONE range
+      // partition on the slope + per-row inclusive cumsum (the
+      // Scans.rangedCumSum two-level scheme inlined at weight 1). Equal
+      // slopes land in one partition (RangePartitioner is a pure
+      // function of the key), and the threshold rule "smallest slope
+      // with cum ≥ t" is insensitive to whether the cum is per-distinct
+      // or per-row inclusive: the first row reaching t inside a tie run
+      // carries the same slope value.
+      val p = s.sessionState.conf.numShufflePartitions
+      val ranged = slopes.repartitionByRange(p, col("slope_micro"))
+        .withColumn("_pid", spark_partition_id())
+      val offsets = ranged.groupBy(col("_pid")).agg(count(lit(1)).as("_pn"))
+        .withColumn("_off", coalesce(sum(col("_pn")).over(
+          Window.orderBy(col("_pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .drop("_pn")
+      val wLoc = Window.partitionBy(col("_pid")).orderBy(col("slope_micro"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = ranged.join(broadcast(offsets), "_pid")
+        .select(col("slope_micro"), (col("_off") + count(lit(1)).over(wLoc)).as("cum"))
       // np = C(n_days, 2) exactly — no second pass over the pair join.
       val tot = daily.agg(
         expr("(count(1) * (count(1) - 1)) div 2").as("np"))
