@@ -54,21 +54,44 @@ object Scans {
     * — callers pass a groupBy key or an id-tiebroken key.
     */
   def rangedCumSum(df: DataFrame, orderCol: String, weight: Column,
-      cumCol: String): DataFrame = {
+      cumCol: String): DataFrame =
+    rangedCumSums(df, orderCol, Seq(weight -> cumCol))
+
+  /** [[rangedCumSum]] for SEVERAL weights in one pass — one range
+    * exchange, one offsets broadcast, one local Window operator carrying
+    * all the running sums (KS needs two, the quartile scan three).
+    */
+  def rangedCumSums(df: DataFrame, orderCol: String,
+      weights: Seq[(Column, String)]): DataFrame = {
+    require(weights.nonEmpty, "need at least one (weight, cumCol) pair")
     val spark = df.sparkSession
     val p = spark.sessionState.conf.numShufflePartitions
-    val ranged = df.withColumn("_w", weight)
+    val wcols = weights.zipWithIndex.map { case ((w, _), i) => (s"_w$i", w) }
+    // MATERIALIZE the ranged frame: repartitionByRange samples its
+    // boundaries and spark_partition_id() is nondeterministic, so the two
+    // consumers below (offsets branch + join branch) are only guaranteed
+    // the SAME partitioning if they read the same materialized blocks —
+    // without this, exchange reuse is best-effort and a re-evaluated
+    // branch can see different pids (observed as off-by-a-partition cums).
+    val ranged = wcols.foldLeft(df) { case (d, (n, w)) => d.withColumn(n, w) }
       .repartitionByRange(p, col(orderCol))
       .withColumn("_pid", spark_partition_id())
-    val offsets = ranged.groupBy(col("_pid")).agg(sum(col("_w")).as("_psum"))
-      .withColumn("_off", coalesce(sum(col("_psum")).over(
+      .localCheckpoint()
+    val offsets = ranged.groupBy(col("_pid"))
+      .agg(sum(col(wcols.head._1)).as("_ps0"),
+        wcols.tail.zipWithIndex.map { case ((n, _), i) =>
+          sum(col(n)).as(s"_ps${i + 1}") }: _*)
+    val offs = wcols.indices.foldLeft(offsets) { (d, i) =>
+      d.withColumn(s"_off$i", coalesce(sum(col(s"_ps$i")).over(
         Window.orderBy(col("_pid"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .drop("_psum")
+    }.drop(wcols.indices.map(i => s"_ps$i"): _*)
     val wLoc = Window.partitionBy(col("_pid")).orderBy(col(orderCol))
-    ranged.join(broadcast(offsets), "_pid")
-      .withColumn(cumCol, col("_off") + sum(col("_w")).over(wLoc))
-      .drop("_pid", "_w")
+    val joined = ranged.join(broadcast(offs), "_pid")
+    weights.zipWithIndex.foldLeft(joined) { case (d, ((_, cumCol), i)) =>
+      d.withColumn(cumCol, col(s"_off$i") + sum(col(s"_w$i")).over(wLoc))
+    }.drop("_pid").drop(wcols.map(_._1): _*)
+      .drop(wcols.indices.map(i => s"_off$i"): _*)
   }
 }
 

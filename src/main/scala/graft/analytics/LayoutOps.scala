@@ -131,7 +131,10 @@ object LayoutOps {
     val inv = files
       .select(col(idCol).as("file_id"), col(sizeCol).cast("long").as("bytes"))
       .repartitionByRange(p, col("bytes").desc, col("file_id"))
+      // materialized: both consumers must read ONE sampled partitioning
+      // (see Scans.rangedCumSums)
       .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
     val offsets = inv.groupBy(col("_pid")).agg(sum(col("bytes")).as("_psum"))
       .withColumn("_off", coalesce(sum(col("_psum")).over(
         Window.orderBy(col("_pid"))

@@ -362,7 +362,10 @@ object MixOps {
       .select(col("doc_id"), expr(s"cast(size($toksExpr) as bigint)").as("w"),
         expr(h60(s"cast(doc_id as string)")).as("hk"))
       .repartitionByRange(p, col("hk"), col("doc_id"))
+      // materialized: both consumers must read ONE sampled partitioning
+      // (see Scans.rangedCumSums)
       .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
     val offsets = inv.groupBy(col("_pid")).agg(sum(col("w")).as("_psum"))
       .withColumn("_off", coalesce(sum(col("_psum")).over(
         Window.orderBy(col("_pid"))

@@ -588,7 +588,10 @@ object Relational2 {
     val pts = rows.select(col(minCol).as("_mn"), col(maxCol).as("_mx"))
       .distinct()
       .repartitionByRange(p, col("_mn").asc, col("_mx").desc)
+      // materialized: both consumers must read ONE sampled partitioning
+      // (see Scans.rangedCumSums)
       .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
     val offsets = pts.groupBy(col("_pid")).agg(max(col("_mx")).as("_pmax"))
       .withColumn("_off", max(col("_pmax")).over(
         Window.orderBy(col("_pid")).rowsBetween(Window.unboundedPreceding, -1)))

@@ -86,8 +86,10 @@ object StatTests {
     * c(0.05)² = 1.358² = 1.844164:  reject ⟺ d_num²·10⁶ > 1844164·(n₁+n₂)·n₁·n₂.
     *
     * Plan: group by value (collapses the sort input to the distinct domain),
-    * one global ordered cumsum window, TopK(1) for the argmax — no pairwise
-    * anything.
+    * both running counts in one distributed two-level scan
+    * ([[Scans.rangedCumSums]] — no single-partition window even when the
+    * value domain scales with the corpus), TopK(1) for the argmax — no
+    * pairwise anything.
     */
   def ksTest(vals: DataFrame, valueCol: String, isFirst: Column): DataFrame = {
     // NULL values are excluded identically on both engines (Spark would
@@ -102,10 +104,9 @@ object StatTests {
       .filter(col("v").isNotNull)
       .groupBy(col("v"))
       .agg(sum(col("one")).as("k1"), sum(lit(1) - col("one")).as("k2"))
-    val w = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = g.select(col("v"),
-      sum(col("k1")).over(w).as("c1"), sum(col("k2")).over(w).as("c2"))
+    val cum = Scans.rangedCumSums(g, "v",
+        Seq((col("k1"): Column) -> "c1", (col("k2"): Column) -> "c2"))
+      .select(col("v"), col("c1"), col("c2"))
     val tot = g.agg(sum(col("k1")).as("n1"), sum(col("k2")).as("n2"))
     cum.crossJoin(broadcast(tot))
       .select(col("v"), col("n1"), col("n2"),
@@ -432,8 +433,9 @@ object StatTests {
     * ties are heavy).
     * Rank-biserial effect size in bp: r_bp = 10⁴·U1×2 DIV (n1n2) − 10⁴.
     *
-    * Plan: identical to [[ksTest]] — value-group collapse, one ordered
-    * cumsum window over the distinct value domain, one aggregate.
+    * Plan: identical to [[ksTest]] — value-group collapse, the running
+    * pooled count through the distributed two-level scan (exclusive form
+    * = inclusive − own group), one aggregate.
     */
   def mannWhitney(vals: DataFrame, valueCol: String, isFirst: Column): DataFrame = {
     val g = vals
@@ -441,9 +443,8 @@ object StatTests {
       .filter(col("v").isNotNull)
       .groupBy(col("v"))
       .agg(sum(col("one")).as("k1"), sum(lit(1) - col("one")).as("k2"))
-    val w = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    g.withColumn("c", coalesce(sum(col("k1") + col("k2")).over(w), lit(0L)))
+    Scans.rangedCumSum(g, "v", col("k1") + col("k2"), "ci")
+      .withColumn("c", col("ci") - col("k1") - col("k2"))
       .agg(sum(col("k1")).as("n1"), sum(col("k2")).as("n2"),
         sum(dec(col("k1")) * (lit(2).cast("decimal(38,0)") * col("c")
           + col("k1") + col("k2") + 1)).as("r1x2"))
@@ -1083,7 +1084,10 @@ object StatTests {
       // carries the same slope value.
       val p = s.sessionState.conf.numShufflePartitions
       val ranged = slopes.repartitionByRange(p, col("slope_micro"))
+        // materialized: both consumers must read ONE sampled partitioning
+        // (see Scans.rangedCumSums)
         .withColumn("_pid", spark_partition_id())
+        .localCheckpoint()
       val offsets = ranged.groupBy(col("_pid")).agg(count(lit(1)).as("_pn"))
         .withColumn("_off", coalesce(sum(col("_pn")).over(
           Window.orderBy(col("_pid"))

@@ -740,20 +740,19 @@ object TextOps {
     * any monotone rescale of the raw feature). pct_bp is the inclusive
     * ECDF in basis points, ⌊10⁴·cum/n⌋.
     *
-    * Plan: value-DOMAIN collapse (groupBy value) → one ordered cumsum
-    * window over the distinct-value domain (the KS contract: the sorted
-    * set is |distinct values|, not rows) → one hash join back on the
-    * value key. No per-row rank window ever runs.
+    * Plan: value-DOMAIN collapse (groupBy value) → the distributed
+    * two-level cumsum ([[Scans.rangedCumSum]] — no single-partition
+    * window even when the distinct-value domain scales with the corpus)
+    * → one hash join back on the value key. No per-row rank window ever
+    * runs.
     */
   def percentileRank(rows: org.apache.spark.sql.DataFrame, idCol: String,
       valueCol: String): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val base = rows.select(col(idCol).as("_id"), col(valueCol).as("_v"))
       .filter(col("_v").isNotNull)
     val g = base.groupBy(col("_v")).agg(count(lit(1)).as("k"))
-    val w = Window.orderBy(col("_v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = g.select(col("_v"), sum(col("k")).over(w).as("cum"))
+    val cum = Scans.rangedCumSum(g, "_v", col("k"), "cum")
+      .select(col("_v"), col("cum"))
     val tot = g.agg(sum(col("k")).as("n"))
     base.join(cum, "_v").crossJoin(broadcast(tot))
       .select(col("_id").as(idCol), col("_v").as(valueCol),
