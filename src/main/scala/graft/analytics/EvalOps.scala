@@ -297,12 +297,15 @@ object EvalOps {
   /** Battle corpus: per-order brand revenues; larger revenue wins. */
   private def brandBattles(s: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
+    // materialized: the a/b pair sides would otherwise each recompute the
+    // lineitem⋈part aggregation (exchange reuse is best-effort)
     val obr = Tables.lineitem(s, dir)
       .join(broadcast(Tables.part(s, dir)
         .select(col("p_partkey"), col("p_brand"))),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_orderkey"), col("p_brand"))
       .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("r"))
+      .localCheckpoint()
     val a = obr.select(col("l_orderkey"), col("p_brand").as("ba"), col("r").as("ra"))
     val b = obr.select(col("l_orderkey"), col("p_brand").as("bb"), col("r").as("rb"))
     a.join(b, Seq("l_orderkey")).filter(col("ba") < col("bb"))

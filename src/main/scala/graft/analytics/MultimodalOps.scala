@@ -456,6 +456,73 @@ object MultimodalOps {
     FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
     ORDER BY t.doc_id"""))
 
+  /** VIDEO-level near-duplicate detection by temporally-ALIGNED frame
+    * signatures — the re-upload/re-mux detector ([[phashPairs]] is the
+    * single-image pass; this is its sequence-level sibling): two assets
+    * are near-dups when ≥ half of the shorter one's frames carry the SAME
+    * checksum at the SAME frame index. Pair generation is an equi-join on
+    * (frame_idx, checksum) — frame signatures are effectively unique, so
+    * candidates ≈ genuinely shared frames, never an asset-pair scan — with
+    * an [[DedupOps.ngramJaccard]]-style df-cap dropping degenerate hot
+    * frames (black frames, silence padding) before the join; the cap is
+    * mirrored in the oracle. Match counting and the ≥½ rule are one
+    * aggregation + two count joins.
+    *
+    * A real build swaps the byte-slice checksum for a per-frame
+    * perceptual hash behind the same [[sampleFrames]] decoder contract —
+    * the join geometry (aligned index + signature equality) is the
+    * pipeline part, and is what's oracled.
+    * Output: (d1, d2, n_match, nf1, nf2), d1 < d2, ordered.
+    */
+  def videoNearDup(assets: Dataset[(Long, Array[Byte])], stride: Int = 64,
+      dfCap: Int = 64): DataFrame = {
+    require(stride >= 1 && dfCap >= 1, s"stride/dfCap must be >= 1")
+    val frames = sampleFrames(assets, stride).toDF()
+      .select(col("doc_id"), col("frame_idx"), col("frame_checksum"))
+    val nf = frames.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+    val keep = frames.groupBy(col("frame_idx"), col("frame_checksum"))
+      .agg(count(lit(1)).as("dfk")).filter(col("dfk") <= dfCap)
+      .select(col("frame_idx"), col("frame_checksum"))
+    val occ = frames.join(keep, Seq("frame_idx", "frame_checksum"), "left_semi")
+    occ.select(col("frame_idx"), col("frame_checksum"), col("doc_id").as("d1"))
+      .join(occ.select(col("frame_idx"), col("frame_checksum"),
+        col("doc_id").as("d2")), Seq("frame_idx", "frame_checksum"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_match"))
+      .join(nf.select(col("doc_id").as("d1"), col("nf").as("nf1")), Seq("d1"))
+      .join(nf.select(col("doc_id").as("d2"), col("nf").as("nf2")), Seq("d2"))
+      .filter(col("n_match") * 2 >= least(col("nf1"), col("nf2")))
+      .select(col("d1"), col("d2"), col("n_match"), col("nf1"), col("nf2"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  // Same planted-variant fixture as qm_phash_neardup: every 10th payload
+  // gets a 3-byte-appended twin, so only its final frame (and possibly one
+  // extra frame) differs — the aligned-match rule must recover the pairs.
+  private val qVideoNearDup = GraftQuery(
+    "qm_video_neardup",
+    (s, dir) => videoNearDup(phashAssets(s, dir), stride = 64),
+    Some("""WITH t0 AS (SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id + 1000000, text || ' v2' FROM documents WHERE doc_id % 10 = 0),
+    f0 AS (SELECT doc_id, octet_length(encode(text)) AS len, text FROM t0),
+    idx AS (SELECT doc_id, len, text,
+      unnest(generate_series(0, CAST(ceil(len / 64.0) AS INTEGER) - 1)) AS fi
+      FROM f0),
+    fr AS (SELECT doc_id, fi, md5(substr(text, fi * 64 + 1, 64)) AS cs FROM idx),
+    nf AS (SELECT doc_id, COUNT(*) AS nf FROM fr GROUP BY doc_id),
+    dfk AS (SELECT fi, cs FROM fr GROUP BY fi, cs HAVING COUNT(*) <= 64),
+    occ AS (SELECT fr.doc_id, fr.fi, fr.cs FROM fr JOIN dfk USING (fi, cs)),
+    p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_match
+      FROM occ a JOIN occ b ON a.fi = b.fi AND a.cs = b.cs
+        AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT p.d1, p.d2, CAST(p.n_match AS BIGINT) AS n_match,
+      CAST(na.nf AS BIGINT) AS nf1, CAST(nb.nf AS BIGINT) AS nf2
+    FROM p JOIN nf na ON p.d1 = na.doc_id JOIN nf nb ON p.d2 = nb.doc_id
+    WHERE 2 * p.n_match >= LEAST(na.nf, nb.nf)
+    ORDER BY d1, d2"""))
+
   val queries: Seq[GraftQuery] =
-    Seq(qBinaryMeta, qFrames, qFeatures, qPhash, qSceneCuts, qSilence)
+    Seq(qBinaryMeta, qFrames, qFeatures, qPhash, qSceneCuts, qSilence,
+      qVideoNearDup)
 }

@@ -80,10 +80,19 @@ object PairOps {
     */
   def curriculumBatches(docs: DataFrame, nBatches: Int = 8,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(nBatches >= 2, s"nBatches must be >= 2, got $nBatches")
     val diff = TextOps.readability(docs, idCol, textCol)
       .select(col("doc_id"), col("fk_grade_micro"))
-    TextOps.percentileRank(diff, "doc_id", "fk_grade_micro")
+    curriculumFromRanked(
+      TextOps.percentileRank(diff, "doc_id", "fk_grade_micro"), nBatches)
+  }
+
+  /** [[curriculumBatches]] from an already-ranked (value, pct_bp) frame —
+    * lets the binding reuse the memoized readability percentiles the
+    * qt_readability_percentile binding builds.
+    */
+  def curriculumFromRanked(ranked: DataFrame, nBatches: Int): DataFrame = {
+    require(nBatches >= 2, s"nBatches must be >= 2, got $nBatches")
+    ranked
       .withColumn("batch", expr(s"((pct_bp - 1) * $nBatches) div 10000"))
       .groupBy(col("batch"))
       .agg(count(lit(1)).as("n_docs"),
@@ -156,7 +165,7 @@ object PairOps {
 
   private val qCurriculum = GraftQuery(
     "qt_curriculum",
-    (s, dir) => curriculumBatches(Tables.documents(s, dir), CurB),
+    (s, dir) => curriculumFromRanked(TextOps.fkPercentiles(s, dir), CurB),
     Some(s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
     m AS (SELECT doc_id,
         CAST(len(toks) AS BIGINT) AS n_words,

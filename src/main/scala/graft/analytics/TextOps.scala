@@ -762,13 +762,21 @@ object TextOps {
   /** Each doc's corpus percentile of Flesch–Kincaid grade — readability
     * quantile-normalized for threshold-free band filters.
     */
-  private val qReadPct = GraftQuery(
-    "qt_readability_percentile",
-    (s, dir) => percentileRank(
+  /** Readability percentiles are the shared prefix of
+    * qt_readability_percentile and qt_curriculum — ranked once per
+    * (session, sf).
+    */
+  private[analytics] def fkPercentiles(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Memo.cached(s, s"fkPercentiles:$dir")(
+      percentileRank(
         readability(Tables.documents(s, dir))
           .select(col("doc_id"), col("fk_grade_micro")),
-        "doc_id", "fk_grade_micro")
-      .orderBy(col("doc_id")),
+        "doc_id", "fk_grade_micro"))
+
+  private val qReadPct = GraftQuery(
+    "qt_readability_percentile",
+    (s, dir) => fkPercentiles(s, dir).orderBy(col("doc_id")),
     Some(s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
     m AS (SELECT doc_id,
         CAST(len(toks) AS BIGINT) AS n_words,
