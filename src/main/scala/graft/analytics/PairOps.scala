@@ -222,5 +222,78 @@ object PairOps {
     WHERE hi.chosen_score - lo.rejected_score >= $PrefGap
     ORDER BY hi.lang, hi.len_b, hi.chosen_id"""))
 
-  val queries: Seq[GraftQuery] = Seq(qSourceTvd, qCurriculum, qPrefPairs)
+  // -------------------------------------------- quality-signal ensemble
+  /** Rank-average ensemble of independent quality signals — the robust
+    * "combine the filters" rule when no calibration set exists to fit
+    * weights (percentile ranks are scale-free, so no one signal's units
+    * dominate): per doc the corpus percentile of the distilled model
+    * score, of Flesch–Kincaid grade, and of document length, averaged in
+    * integer basis points. Documents with no words (no FK grade) or no
+    * tokens (no distill score) are excluded by the inner joins — the
+    * same population every member signal is defined on.
+    *
+    * All three percentile frames ride [[TextOps.percentileRank]]'s
+    * distributed scan; two are memoized corpus-wide already (distill
+    * scores, FK percentiles), so the marginal plan is one length ranking
+    * plus two doc-key joins.
+    * Output: (doc_id, score_pct, fk_pct, len_pct, ens_bp) by doc_id.
+    */
+  private val qQualityEnsemble = GraftQuery(
+    "qt_quality_ensemble",
+    (s, dir) => {
+      val sc = TextOps.percentileRank(
+        LearnOps.scoredDocs(s, dir).select(col("doc_id"), col("score")),
+        "doc_id", "score")
+        .select(col("doc_id"), col("pct_bp").as("score_pct"))
+      val fk = TextOps.fkPercentiles(s, dir)
+        .select(col("doc_id"), col("pct_bp").as("fk_pct"))
+      val ln = TextOps.percentileRank(
+        Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars")
+        .select(col("doc_id"), col("pct_bp").as("len_pct"))
+      sc.join(fk, "doc_id").join(ln, "doc_id")
+        .select(col("doc_id"), col("score_pct"), col("fk_pct"), col("len_pct"),
+          expr("(score_pct + fk_pct + len_pct) div 3").as("ens_bp"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH ${LearnOps.scoredCte},
+    gs AS (SELECT score, COUNT(*) AS k FROM cal GROUP BY score),
+    cs AS (SELECT score, SUM(k) OVER (ORDER BY score
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        SUM(k) OVER () AS n FROM gs),
+    ps AS (SELECT cal.doc_id, (10000 * cs.cum) // cs.n AS score_pct
+      FROM cal JOIN cs ON cal.score = cs.score),
+    m2 AS (SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_words,
+        GREATEST(1, CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS n_sentences,
+        CAST(list_sum(list_transform(toks, t ->
+          GREATEST(1, len(regexp_extract_all(lower(t), '[aeiouy]+'))))) AS BIGINT) AS n_syllables
+      FROM (SELECT doc_id, text, $toksSql AS toks FROM documents)
+      WHERE len(toks) >= 1),
+    fk2 AS (SELECT doc_id,
+        CAST(390000 * n_words // n_sentences
+          + 11800000 * n_syllables // n_words - 15590000 AS BIGINT) AS v
+      FROM m2),
+    gf AS (SELECT v, COUNT(*) AS k FROM fk2 GROUP BY v),
+    cf AS (SELECT v, SUM(k) OVER (ORDER BY v
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        SUM(k) OVER () AS n FROM gf),
+    pf AS (SELECT fk2.doc_id, (10000 * cf.cum) // cf.n AS fk_pct
+      FROM fk2 JOIN cf ON fk2.v = cf.v),
+    gl AS (SELECT n_chars AS v, COUNT(*) AS k FROM documents GROUP BY n_chars),
+    cl AS (SELECT v, SUM(k) OVER (ORDER BY v
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        SUM(k) OVER () AS n FROM gl),
+    pl AS (SELECT d.doc_id, (10000 * cl.cum) // cl.n AS len_pct
+      FROM documents d JOIN cl ON d.n_chars = cl.v)
+    SELECT ps.doc_id, CAST(ps.score_pct AS BIGINT) AS score_pct,
+      CAST(pf.fk_pct AS BIGINT) AS fk_pct,
+      CAST(pl.len_pct AS BIGINT) AS len_pct,
+      CAST((ps.score_pct + pf.fk_pct + pl.len_pct) // 3 AS BIGINT) AS ens_bp
+    FROM ps JOIN pf ON ps.doc_id = pf.doc_id
+    JOIN pl ON ps.doc_id = pl.doc_id
+    ORDER BY ps.doc_id"""))
+
+  val queries: Seq[GraftQuery] = Seq(qSourceTvd, qCurriculum, qPrefPairs,
+    qQualityEnsemble)
 }

@@ -907,9 +907,93 @@ object TextOps {
       ELSE COALESCE(array_to_string(toks, ' '), '') END AS psm
     FROM q ORDER BY doc_id"""))
 
+  // ------------------------------------------- semantic chunk boundaries
+  /** TextTiling-style topic-shift boundaries (Hearst 1997, the
+    * exact-integer core): cut a document where adjacent token blocks stop
+    * sharing vocabulary — the "semantic chunking" upgrade over
+    * fixed-window RAG chunking ([[graft.analytics.TextOps]] `chunk`),
+    * which splits mid-topic by construction. Blocks are `w` consecutive
+    * tokens; boundary similarity is the multiset vocabulary overlap
+    * Σ_t min(count_t(b), count_t(b+1)) — an integer, no cosine — and a
+    * boundary is a CUT when it is a strict local minimum of the
+    * similarity sequence AND its overlap is under ¼ block (4·sim < w).
+    *
+    * Plan: posexplode → (doc, block, token) counts (checkpointed — four
+    * consumers) → adjacent-block equi-join on (doc, token) → per-doc
+    * lag/lead windows (partitioned by doc, uniform) → filter. Everything
+    * linear in tokens; no global windows, no pair scans.
+    *
+    * Output: one row per cut — (doc_id, boundary, sim, prev_sim,
+    * next_sim), boundary b meaning "cut between blocks b and b+1",
+    * ordered by (doc_id, boundary).
+    */
+  def textTiling(docs: org.apache.spark.sql.DataFrame, w: Int = 20,
+      idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    require(w >= 2, s"block width must be >= 2, got $w")
+    import org.apache.spark.sql.expressions.Window
+    val c = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(expr(toksExprOn(textCol))).as(Seq("pos", "tok")))
+      .select(col("doc_id"), expr(s"pos div $w").as("blk"), col("tok"))
+      .groupBy(col("doc_id"), col("blk"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val mb = c.groupBy(col("doc_id")).agg(max(col("blk")).as("mx"))
+    val bnd = c.select(col("doc_id"), col("blk")).distinct()
+      .join(mb, "doc_id").filter(col("blk") < col("mx"))
+      .select(col("doc_id"), col("blk").as("bnd"))
+    val a = c.select(col("doc_id"), col("blk").as("bnd"), col("tok"),
+      col("n").as("na"))
+    val b = c.select(col("doc_id"), (col("blk") - 1).as("bnd"), col("tok"),
+      col("n").as("nb"))
+    val ov = a.join(b, Seq("doc_id", "bnd", "tok"))
+      .groupBy(col("doc_id"), col("bnd"))
+      .agg(sum(least(col("na"), col("nb"))).as("sim0"))
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("bnd"))
+    bnd.join(ov, Seq("doc_id", "bnd"), "left")
+      .withColumn("sim", coalesce(col("sim0"), lit(0L)))
+      .withColumn("ps", lag(col("sim"), 1).over(wd))
+      .withColumn("ns", lead(col("sim"), 1).over(wd))
+      .filter(col("ps").isNotNull && col("ns").isNotNull &&
+        col("sim") < col("ps") && col("sim") < col("ns") &&
+        col("sim") * 4 < w)
+      .select(col("doc_id"), col("bnd").as("boundary"), col("sim"),
+        col("ps").as("prev_sim"), col("ns").as("next_sim"))
+      .orderBy(col("doc_id"), col("boundary"))
+  }
+
+  private val TileW = 20
+
+  private val qTextTiling = GraftQuery(
+    "qt_text_tiling",
+    (s, dir) => textTiling(Tables.documents(s, dir), TileW),
+    Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+    tok AS (SELECT doc_id, (i - 1) // $TileW AS blk, toks[i] AS tok
+      FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) g),
+    c AS (SELECT doc_id, blk, tok, COUNT(*) AS n FROM tok GROUP BY 1, 2, 3),
+    mb AS (SELECT doc_id, MAX(blk) AS mx FROM c GROUP BY doc_id),
+    bnd AS (SELECT DISTINCT c.doc_id, c.blk AS bnd
+      FROM c JOIN mb ON c.doc_id = mb.doc_id WHERE c.blk < mb.mx),
+    ov AS (SELECT a.doc_id, a.blk AS bnd, SUM(LEAST(a.n, b.n)) AS sim
+      FROM c a JOIN c b ON a.doc_id = b.doc_id AND a.tok = b.tok
+        AND b.blk = a.blk + 1
+      GROUP BY 1, 2),
+    s AS (SELECT bnd.doc_id, bnd.bnd, COALESCE(ov.sim, 0) AS sim
+      FROM bnd LEFT JOIN ov ON bnd.doc_id = ov.doc_id AND bnd.bnd = ov.bnd),
+    w AS (SELECT doc_id, bnd, sim,
+        LAG(sim) OVER (PARTITION BY doc_id ORDER BY bnd) AS ps,
+        LEAD(sim) OVER (PARTITION BY doc_id ORDER BY bnd) AS ns
+      FROM s)
+    SELECT doc_id, CAST(bnd AS BIGINT) AS boundary, CAST(sim AS BIGINT) AS sim,
+      CAST(ps AS BIGINT) AS prev_sim, CAST(ns AS BIGINT) AS next_sim
+    FROM w
+    WHERE ps IS NOT NULL AND ns IS NOT NULL AND sim < ps AND sim < ns
+      AND 4 * sim < $TileW
+    ORDER BY doc_id, boundary"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qTokens, qBpeTokens, qLangId, qQuality, qFingerprint, qSplit, qRebalance,
       qRepetition, qLineDedup, qContamination, qStratified, qWeighted,
       qReadability, qLangConfusion, qDupNgram, qReadPct, qLengthHist,
-      qSpanCorrupt, qFim)
+      qSpanCorrupt, qFim, qTextTiling)
 }
