@@ -1271,8 +1271,138 @@ object GraphOps {
       CAST((SELECT MAX(ecc_lb) FROM ecc) AS BIGINT) AS diameter_lb
     FROM ecc ORDER BY root"""))
 
+  // --------------------------- bounded betweenness (sampled Brandes)
+  /** Bounded-distance betweenness centrality from a landmark sample —
+    * Brandes' dependency accumulation (2001) restricted to shortest
+    * paths from |S| deterministic sources within `maxHops` (Borgatti's
+    * bounded-distance variant; sampling sources is the standard
+    * estimator, Brandes & Pich 2007). Two phases, both level-synchronous
+    * joins:
+    *
+    *  - FORWARD: per level h, path counts σ(root, v) = Σ σ of the
+    *    level-(h−1) predecessors — one frontier⋈edges hash join + one
+    *    (root, node) agg + anti-join against visited, per level.
+    *  - BACKWARD: δ(v) = Σ_{w: succ} ⌊σ_v·(10⁶+δ_w)/σ_w⌋ walked from the
+    *    deepest level up — per level one join of the level frame into
+    *    edges into the (already-computed) level-below δ frame. The
+    *    product rides DECIMAL(38,0); every term ≤ 10⁶+δ_w because
+    *    σ_v ≤ σ_w along a DAG edge, so the emitted micro-units stay in
+    *    BIGINT.
+    *
+    * Exact integer floors both engines share; the oracle unrolls the
+    * same levels as fixed CTEs. Betweenness(v) = Σ over roots and levels
+    * ≥ 1 of δ (a root's own level-0 row is excluded, per the
+    * definition's s ≠ v). Work per level is frontier-sized; state is
+    * O(|S|·reached), all equi-keyed — the MapReduce-standard exact
+    * algorithm, never an all-pairs or per-path materialization.
+    *
+    * Output: (node, bc_micro) for the topK most-between nodes,
+    * bc desc / node asc.
+    */
+  def boundedBetweenness(edgesIn: DataFrame, seeds: DataFrame,
+      maxHops: Int = 4, srcCol: String = "src", dstCol: String = "dst",
+      seedCol: String = "node"): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val edges = edgesIn.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint()
+    // forward: levels(h) = (root, node, sigma) first reached at hop h
+    var levels = Vector.empty[DataFrame]
+    var lev = seeds.select(col(seedCol).as("root")).distinct()
+      .select(col("root"), col("root").as("node"), lit(1L).as("sigma"))
+      .localCheckpoint()
+    var visited = lev.select(col("root"), col("node"))
+    levels :+= lev
+    for (_ <- 1 to maxHops) {
+      val nxt = edges.join(lev, edges("src") === lev("node"))
+        .select(col("root"), col("dst").as("node"), col("sigma"))
+        .groupBy(col("root"), col("node")).agg(sum(col("sigma")).as("sigma"))
+        .join(visited, Seq("root", "node"), "left_anti")
+        .localCheckpoint()
+      visited = visited.unionByName(nxt.select(col("root"), col("node")))
+      levels :+= nxt
+      lev = nxt
+    }
+    // backward: delta per level, deepest first
+    var below = levels(maxHops)
+      .select(col("root"), col("node"), col("sigma"), lit(0L).as("delta"))
+    var acc = Vector(below)
+    for (h <- (maxHops - 1) to 1 by -1) {
+      val succ = below.select(col("root"), col("node").as("w"),
+        col("sigma").as("sw"), col("delta").as("dw"))
+      val terms = levels(h)
+        .join(edges, edges("src") === col("node"))
+        .select(col("root"), col("node"), col("sigma"), col("dst").as("w"))
+        .join(succ, Seq("root", "w"))
+        .groupBy(col("root"), col("node"), col("sigma"))
+        .agg(sum(expr(
+          "(CAST(sigma AS DECIMAL(38,0)) * (1000000 + dw)) div sw")).as("s"))
+        .select(col("root"), col("node"), col("s"))
+      below = levels(h)
+        .join(terms, Seq("root", "node"), "left")
+        .select(col("root"), col("node"), col("sigma"),
+          coalesce(col("s"), lit(0L)).as("delta"))
+        .localCheckpoint()
+      acc :+= below
+    }
+    acc.reduce(_ unionByName _)
+      .groupBy(col("node")).agg(sum(col("delta")).as("bc_micro"))
+  }
+
+  private val BcTopK = 100
+
+  private def bcLevelCtes(maxHops: Int): String = {
+    val fwd = (1 to maxHops).map { h =>
+      val prior = (0 until h).map(i => s"SELECT root, node FROM l$i")
+        .mkString(" UNION ALL ")
+      s"""c$h AS (SELECT l.root, e.dst AS node, SUM(l.sigma) AS sigma
+        FROM l${h - 1} l JOIN e ON e.src = l.node GROUP BY 1, 2),
+      l$h AS (SELECT c$h.root, c$h.node, c$h.sigma FROM c$h
+        WHERE NOT EXISTS (SELECT 1 FROM ($prior) p
+          WHERE p.root = c$h.root AND p.node = c$h.node))"""
+    }.mkString(",\n    ")
+    val bwd = ((maxHops - 1) to 1 by -1).map { h =>
+      s"""t$h AS (SELECT v.root, v.node,
+        SUM((CAST(v.sigma AS HUGEINT) * (1000000 + w.delta)) // w.sigma) AS s
+        FROM l$h v JOIN e ON e.src = v.node
+        JOIN d${h + 1} w ON w.root = v.root AND w.node = e.dst
+        GROUP BY 1, 2),
+      d$h AS (SELECT l.root, l.node, l.sigma, COALESCE(t$h.s, 0) AS delta
+        FROM l$h l LEFT JOIN t$h
+          ON t$h.root = l.root AND t$h.node = l.node)"""
+    }.mkString(",\n    ")
+    s"""$fwd,
+    d$maxHops AS (SELECT root, node, sigma, CAST(0 AS HUGEINT) AS delta FROM l$maxHops),
+    $bwd"""
+  }
+
+  private val betweennessSql = {
+    val h = HarmHops
+    val allD = (1 to h).map(i => s"SELECT node, delta FROM d$i")
+      .mkString(" UNION ALL ")
+    s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src,
+      l_suppkey * 2 + 1 AS dst FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    l0 AS (SELECT DISTINCT src AS root, src AS node, CAST(1 AS HUGEINT) AS sigma
+      FROM e WHERE src <= 8),
+    ${bcLevelCtes(h)}
+    SELECT node, CAST(SUM(delta) AS BIGINT) AS bc_micro
+    FROM ($allD) GROUP BY node
+    ORDER BY bc_micro DESC, node LIMIT $BcTopK"""
+  }
+
+  private val qBetweenness = GraftQuery(
+    "qg_betweenness",
+    (s, dir) => {
+      val e = tradeEdges(s, dir)
+      boundedBetweenness(e,
+          e.filter(col("src") <= 8).select(col("src").as("node")), HarmHops)
+        .orderBy(col("bc_micro").desc, col("node"))
+        .limit(BcTopK)
+    },
+    Some(betweennessSql))
+
   def queries: Seq[GraftQuery] =
     Seq(qPageRank, qTriangles, qLpa, qKcore, qReach, qSubtree, qSssp, qPpr,
       qLinkPredict, qDegreeDist, qModularity, qHits, qAssortativity, qWalks,
-      qHarmonic, qEcc)
+      qHarmonic, qEcc, qBetweenness)
 }

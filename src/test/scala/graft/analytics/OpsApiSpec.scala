@@ -1996,6 +1996,18 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == List(("a", "b", 1L, 1L, 1000000L),
       ("c", "b", 1L, 1L, 1000000L)), out.toString)
   }
+
+  test("boundedBetweenness: the middle of a path carries exactly 2.0, endpoints 0") {
+    import spark.implicits._
+    // path 1 - 2 - 3, symmetrized; landmarks = all three nodes
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("s", "d")
+    val seeds = Seq(1L, 2L, 3L).toDF("n")
+    val out = GraphOps.boundedBetweenness(edges, seeds, maxHops = 2,
+        srcCol = "s", dstCol = "d", seedCol = "n")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // node 2 sits on the 1→3 and 3→1 shortest paths: δ = 10⁶ from each root
+    assert(out == Map(1L -> 0L, 2L -> 2000000L, 3L -> 0L), out.toString)
+  }
 }
 
 /** Row-collect helpers shared by the API tests. */
