@@ -1159,10 +1159,13 @@ object GraphOps {
     * Output: (node, h_micro, n_reached) for the `topK` most central
     * nodes, h desc / node asc.
     */
-  /** Per-(landmark, node) BFS hop distances — the shared substrate of
-    * [[harmonicCentrality]] and the eccentricity readout. Same loop as
-    * [[reachability]] with a composite (root, node) key.
-    * Output: (root, node, d), d = 0 for the landmark itself.
+  /** Per-(landmark, node) BFS hop distances AND shortest-path counts —
+    * the shared substrate of [[harmonicCentrality]], the eccentricity
+    * readout, and [[boundedBetweenness]]'s forward phase (one traversal
+    * serves all three; the binding memoizes it). Same loop as
+    * [[reachability]] with a composite (root, node) key; σ(root, v) =
+    * Σ σ of the level-(h−1) predecessors (Brandes' forward counting).
+    * Output: (root, node, d, sigma), d = 0 / σ = 1 for the landmark.
     */
   def landmarkDistances(edgesIn: DataFrame, seeds: DataFrame,
       maxHops: Int = 4, srcCol: String = "src", dstCol: String = "dst",
@@ -1170,21 +1173,25 @@ object GraphOps {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
     val edges = edgesIn.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().localCheckpoint()
-    var visited = seeds.select(col(seedCol).as("root")).distinct()
-      .select(col("root"), col("root").as("node"), lit(0L).as("d"))
+    var lev = seeds.select(col(seedCol).as("root")).distinct()
+      .select(col("root"), col("root").as("node"), lit(0L).as("d"),
+        lit(1L).as("sigma"))
       .localCheckpoint()
-    var frontier = visited.select(col("root"), col("node"))
+    var visited = lev.select(col("root"), col("node"))
+    var out = lev
     for (h <- 1 to maxHops) {
-      val next = edges.join(frontier, edges("src") === frontier("node"))
-        .select(col("root"), col("dst").as("node")).distinct()
-        .join(visited.select(col("root"), col("node")),
-          Seq("root", "node"), "left_anti")
+      val next = edges.join(lev, edges("src") === lev("node"))
+        .select(col("root"), col("dst").as("node"), col("sigma"))
+        .groupBy(col("root"), col("node")).agg(sum(col("sigma")).as("sigma"))
+        .join(visited, Seq("root", "node"), "left_anti")
         .withColumn("d", lit(h.toLong))
+        .select(col("root"), col("node"), col("d"), col("sigma"))
         .localCheckpoint()
-      visited = visited.unionByName(next)
-      frontier = next.select(col("root"), col("node"))
+      visited = visited.unionByName(next.select(col("root"), col("node")))
+      out = out.unionByName(next)
+      lev = next
     }
-    visited
+    out
   }
 
   def harmonicCentrality(edgesIn: DataFrame, seeds: DataFrame,
@@ -1305,24 +1312,19 @@ object GraphOps {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
     val edges = edgesIn.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().localCheckpoint()
-    // forward: levels(h) = (root, node, sigma) first reached at hop h
-    var levels = Vector.empty[DataFrame]
-    var lev = seeds.select(col(seedCol).as("root")).distinct()
-      .select(col("root"), col("root").as("node"), lit(1L).as("sigma"))
-      .localCheckpoint()
-    var visited = lev.select(col("root"), col("node"))
-    levels :+= lev
-    for (_ <- 1 to maxHops) {
-      val nxt = edges.join(lev, edges("src") === lev("node"))
-        .select(col("root"), col("dst").as("node"), col("sigma"))
-        .groupBy(col("root"), col("node")).agg(sum(col("sigma")).as("sigma"))
-        .join(visited, Seq("root", "node"), "left_anti")
-        .localCheckpoint()
-      visited = visited.unionByName(nxt.select(col("root"), col("node")))
-      levels :+= nxt
-      lev = nxt
-    }
-    // backward: delta per level, deepest first
+    betweennessFromBfs(
+      landmarkDistances(edgesIn, seeds, maxHops, srcCol, dstCol, seedCol),
+      edges, maxHops)
+  }
+
+  /** Backward (dependency-accumulation) phase over an already-built
+    * [[landmarkDistances]] frame — lets the binding reuse the memoized
+    * BFS shared with qg_harmonic/qg_ecc. `edges` must carry (src, dst).
+    */
+  def betweennessFromBfs(bfs: DataFrame, edges: DataFrame,
+      maxHops: Int): DataFrame = {
+    val levels = (0 to maxHops).map(h =>
+      bfs.filter(col("d") === h).select(col("root"), col("node"), col("sigma")))
     var below = levels(maxHops)
       .select(col("root"), col("node"), col("sigma"), lit(0L).as("delta"))
     var acc = Vector(below)
@@ -1392,13 +1394,10 @@ object GraphOps {
 
   private val qBetweenness = GraftQuery(
     "qg_betweenness",
-    (s, dir) => {
-      val e = tradeEdges(s, dir)
-      boundedBetweenness(e,
-          e.filter(col("src") <= 8).select(col("src").as("node")), HarmHops)
-        .orderBy(col("bc_micro").desc, col("node"))
-        .limit(BcTopK)
-    },
+    (s, dir) => betweennessFromBfs(landmarkBfs(s, dir), tradeEdges(s, dir),
+        HarmHops)
+      .orderBy(col("bc_micro").desc, col("node"))
+      .limit(BcTopK),
     Some(betweennessSql))
 
   def queries: Seq[GraftQuery] =
