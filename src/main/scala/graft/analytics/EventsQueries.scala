@@ -679,6 +679,134 @@ object EventsQueries {
       .toDF("day", "approx_users")
   }
 
+  /** Exact Shapley-value channel attribution (the cooperative-game
+    * upgrade over last-touch / [[qAttribution]]'s next-conversion rule,
+    * Shapley 1953 as applied to marketing credit): each user's
+    * pre-first-conversion touched-channel SET becomes a coalition, v(S)
+    * is the observed OUTCOME rate of users with exactly that set, and
+    * channel i's credit is
+    *
+    *   φ_i = Σ_{S ⊆ C∖{i}} |S|!·(k−1−|S|)!/k! · (v(S∪{i}) − v(S))
+    *
+    * computed EXACTLY: v in micro-floors, the k!·weights as integer
+    * literals (weights ×k! stay integral), φ reported both ×k! and
+    * sign-split-floored to micro. The subset lattice is enumerated
+    * DRIVER-SIDE into a 2^(k−1)·k-row literal table (k ≤ 12 required —
+    * attribution channels are few by nature); the corpus-sized work is
+    * ONE (user, mask) aggregation via SUM(DISTINCT bit) plus a 2^k-row
+    * group-by. Unpopulated coalitions contribute v = 0 (documented
+    * estimator choice, mirrored in the oracle).
+    *
+    * The OUTCOME is "above-average customer": the user's total
+    * `convType` value in cents strictly exceeds the per-user corpus mean
+    * (the exact integer comparison n_users·cents_u > Σcents — no float
+    * rate). On the synthetic corpus plain did-convert is degenerate
+    * (everyone purchases), and a value outcome is what revenue teams
+    * attribute anyway.
+    *
+    * Output: (channel, phi_xkf_micro, phi_micro) ordered by channel —
+    * ×kf = ×k! (×24 for the k = 4 binding).
+    */
+  def shapleyAttribution(events: DataFrame, channels: Seq[String],
+      convType: String, userCol: String = "user_id",
+      typeCol: String = "event_type", tsCol: String = "ts"): DataFrame = {
+    require(channels.nonEmpty && channels.size <= 12,
+      s"need 1..12 channels, got ${channels.size}")
+    require(channels.distinct.size == channels.size, "duplicate channel")
+    val k = channels.size
+    val fact = (1 to k).foldLeft(1L)(_ * _)
+    val spark = events.sparkSession
+    import spark.implicits._
+    val bitOf = channels.zipWithIndex.map { case (c, i) => c -> (1L << i) }.toMap
+    val caseExpr = channels.map(c =>
+      s"WHEN '${c}' THEN ${bitOf(c)}L").mkString("CASE t ", " ", " ELSE 0L END")
+    val up = events.groupBy(col(userCol).as("u"))
+      .agg(min(when(col(typeCol) === convType, col(tsCol))).as("pts"),
+        coalesce(sum(when(col(typeCol) === convType,
+          expr("CAST(round(value * 100) AS BIGINT)"))), lit(0L)).as("cents"))
+    val tot = up.agg(count(lit(1)).as("nu"), sum(col("cents")).as("tc"))
+    val masks = events.select(col(userCol).as("u"), col(typeCol).as("t"),
+        col(tsCol).as("ets"))
+      .join(up.select(col("u"), col("pts")), "u")
+      .filter(col("t") =!= convType && (col("pts").isNull || col("ets") < col("pts")))
+      .select(col("u"), expr(caseExpr).as("b"))
+      .groupBy(col("u")).agg(sum_distinct(col("b")).as("m"))
+    val sets = up.join(masks, Seq("u"), "left")
+      .crossJoin(broadcast(tot))
+      .select(coalesce(col("m"), lit(0L)).as("m"),
+        (col("nu") * col("cents") > col("tc")).cast("long").as("conv"))
+    val vS = sets.groupBy(col("m"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("nc"))
+      .select(col("m"), expr("(1000000 * nc) div n").as("v"))
+    def factorial(n: Int) = (1 to n).foldLeft(1L)(_ * _)
+    val terms = for {
+      (c, i) <- channels.zipWithIndex
+      s <- 0 until (1 << k) if (s & (1 << i)) == 0
+    } yield (c, s.toLong,
+      (s.toLong | (1L << i)),
+      factorial(java.lang.Long.bitCount(s.toLong)) * factorial(k - 1 - java.lang.Long.bitCount(s.toLong)))
+    terms.toDF("channel", "ms", "msi", "w")
+      .join(vS.select(col("m").as("ms"), col("v").as("vs")), Seq("ms"), "left")
+      .join(vS.select(col("m").as("msi"), col("v").as("vsi")), Seq("msi"), "left")
+      .groupBy(col("channel"))
+      .agg(sum(col("w") * (coalesce(col("vsi"), lit(0L))
+        - coalesce(col("vs"), lit(0L)))).as("phi_xkf_micro"))
+      .select(col("channel"), col("phi_xkf_micro"),
+        expr(s"""CAST(CASE WHEN phi_xkf_micro >= 0
+          THEN phi_xkf_micro div $fact
+          ELSE -((-phi_xkf_micro) div $fact) END AS BIGINT)""").as("phi_micro"))
+      .orderBy(col("channel"))
+  }
+
+  private val ShapChannels = Seq("click", "error", "signup", "view")
+
+  private val shapleySql = {
+    val k = ShapChannels.size
+    def factorial(n: Int) = (1 to n).foldLeft(1L)(_ * _)
+    val fact = factorial(k)
+    val bitOf = ShapChannels.zipWithIndex.map { case (c, i) => c -> (1L << i) }.toMap
+    val caseSql = ShapChannels.map(c =>
+      s"WHEN '${c}' THEN ${bitOf(c)}").mkString("CASE e.event_type ", " ", " ELSE 0 END")
+    val termRows = (for {
+      (c, i) <- ShapChannels.zipWithIndex
+      s <- 0 until (1 << k) if (s & (1 << i)) == 0
+    } yield s"('$c', $s, ${s | (1 << i)}, " +
+      s"${factorial(java.lang.Long.bitCount(s.toLong)) * factorial(k - 1 - java.lang.Long.bitCount(s.toLong))})")
+      .mkString(", ")
+    s"""WITH up AS (SELECT user_id AS u,
+        MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS pts,
+        COALESCE(SUM(CASE WHEN event_type = 'purchase'
+          THEN CAST(round(value * 100) AS BIGINT) END), 0) AS cents
+      FROM events GROUP BY user_id),
+    tot AS (SELECT COUNT(*) AS nu, SUM(cents) AS tc FROM up),
+    mk AS (SELECT e.user_id AS u, SUM(DISTINCT $caseSql) AS m
+      FROM events e JOIN up ON e.user_id = up.u
+      WHERE e.event_type <> 'purchase' AND (up.pts IS NULL OR e.ts < up.pts)
+      GROUP BY e.user_id),
+    sets AS (SELECT COALESCE(mk.m, 0) AS m,
+        CASE WHEN tot.nu * up.cents > tot.tc THEN 1 ELSE 0 END AS conv
+      FROM up LEFT JOIN mk ON up.u = mk.u, tot),
+    vs AS (SELECT m, (1000000 * SUM(conv)) // COUNT(*) AS v
+      FROM sets GROUP BY m),
+    terms(channel, ms, msi, w) AS (VALUES $termRows),
+    phi AS (SELECT t.channel,
+        SUM(t.w * (COALESCE(vi.v, 0) - COALESCE(v0.v, 0))) AS pxf
+      FROM terms t
+      LEFT JOIN vs v0 ON v0.m = t.ms
+      LEFT JOIN vs vi ON vi.m = t.msi
+      GROUP BY t.channel)
+    SELECT channel, CAST(pxf AS BIGINT) AS phi_xkf_micro,
+      CAST(CASE WHEN pxf >= 0 THEN pxf // $fact
+        ELSE -((-pxf) // $fact) END AS BIGINT) AS phi_micro
+    FROM phi ORDER BY channel"""
+  }
+
+  private val qShapley = GraftQuery(
+    "qe_shapley_attribution",
+    (s, dir) => shapleyAttribution(Tables.events(s, dir), ShapChannels,
+      "purchase"),
+    Some(shapleySql))
+
   /** Seasonality-aware anomaly detection: learn the hour-of-week
     * profile (the dominant cycle in product/event data — Monday 9am is
     * not Sunday 3am), then rank events by their residual against that
@@ -1489,5 +1617,6 @@ object EventsQueries {
       qFunnel, qRetention, qResample, qHistogram, qPattern, qTransitions,
       qDecayWma, qAttribution, qCusum, qMadAnomaly, qTopPaths, qSlidingDistinct,
       qSeasonal, qFunnelTime, qCep, qStreak, qCoverage, qOhlc, qLatencySlo, qRfm,
-      qLtv, qDauMau, qHeatmap, qStationary, qLifecycle, qSeqPatterns, qHllSliding)
+      qLtv, qDauMau, qHeatmap, qStationary, qLifecycle, qSeqPatterns, qHllSliding,
+      qShapley)
 }
