@@ -2008,6 +2008,24 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     // node 2 sits on the 1→3 and 3→1 shortest paths: δ = 10⁶ from each root
     assert(out == Map(1L -> 0L, 2L -> 2000000L, 3L -> 0L), out.toString)
   }
+
+  test("shapleyAttribution: hand-built lattice matches the closed form and efficiency") {
+    import spark.implicits._
+    def t(s: Int) = new java.sql.Timestamp(s * 1000L)
+    // coalitions: u1 {a}→high, u2 {b}→low, u3 {a,b}→high, u4 {}→no conv
+    val ev = Seq(
+      (1L, "a", t(1), 0.0), (1L, "conv", t(2), 10.0),
+      (2L, "b", t(1), 0.0), (2L, "conv", t(2), 1.0),
+      (3L, "a", t(1), 0.0), (3L, "b", t(2), 0.0), (3L, "conv", t(3), 10.0),
+      (4L, "x", t(1), 0.0))
+      .toDF("user_id", "event_type", "ts", "value")
+    val out = EventsQueries.shapleyAttribution(ev, Seq("a", "b"), "conv")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // v(∅)=0, v({a})=v({a,b})=10⁶, v({b})=0 → φ_a = 10⁶, φ_b = 0;
+    // efficiency: φ_a + φ_b = v(full) − v(∅)
+    assert(out == Map("a" -> ((2000000L, 1000000L)), "b" -> ((0L, 0L))),
+      out.toString)
+  }
 }
 
 /** Row-collect helpers shared by the API tests. */
