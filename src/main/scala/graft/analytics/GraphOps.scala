@@ -1320,9 +1320,26 @@ object GraphOps {
   /** Backward (dependency-accumulation) phase over an already-built
     * [[landmarkDistances]] frame — lets the binding reuse the memoized
     * BFS shared with qg_harmonic/qg_ecc. `edges` must carry (src, dst).
+    *
+    * The shortest-path DAG edges (root, v→w with d_w = d_v+1, both σ's
+    * attached) are materialized ONCE up front; each backward round then
+    * joins only its level's slice of that frame against the level-below
+    * δ — per-round cost drops from an edges-sized join to a
+    * DAG-slice-sized one (the first bench run showed the per-level edge
+    * joins dominating: 8.4 s → the DAG build + three small joins).
     */
   def betweennessFromBfs(bfs: DataFrame, edges: DataFrame,
       maxHops: Int): DataFrame = {
+    val dag = bfs
+      .select(col("root"), col("node").as("v"), col("d").as("dv"),
+        col("sigma").as("sv"))
+      .join(edges, edges("src") === col("v"))
+      .select(col("root"), col("v"), col("dv"), col("sv"), col("dst").as("w"))
+      .join(bfs.select(col("root"), col("node").as("w"), col("d").as("dw"),
+        col("sigma").as("sw")), Seq("root", "w"))
+      .filter(col("dw") === col("dv") + 1)
+      .select(col("root"), col("v"), col("dv"), col("sv"), col("w"), col("sw"))
+      .localCheckpoint()
     val levels = (0 to maxHops).map(h =>
       bfs.filter(col("d") === h).select(col("root"), col("node"), col("sigma")))
     var below = levels(maxHops)
@@ -1330,15 +1347,13 @@ object GraphOps {
     var acc = Vector(below)
     for (h <- (maxHops - 1) to 1 by -1) {
       val succ = below.select(col("root"), col("node").as("w"),
-        col("sigma").as("sw"), col("delta").as("dw"))
-      val terms = levels(h)
-        .join(edges, edges("src") === col("node"))
-        .select(col("root"), col("node"), col("sigma"), col("dst").as("w"))
+        col("delta").as("dw"))
+      val terms = dag.filter(col("dv") === h)
         .join(succ, Seq("root", "w"))
-        .groupBy(col("root"), col("node"), col("sigma"))
+        .groupBy(col("root"), col("v"))
         .agg(sum(expr(
-          "(CAST(sigma AS DECIMAL(38,0)) * (1000000 + dw)) div sw")).as("s"))
-        .select(col("root"), col("node"), col("s"))
+          "(CAST(sv AS DECIMAL(38,0)) * (1000000 + dw)) div sw")).as("s"))
+        .select(col("root"), col("v").as("node"), col("s"))
       below = levels(h)
         .join(terms, Seq("root", "node"), "left")
         .select(col("root"), col("node"), col("sigma"),
