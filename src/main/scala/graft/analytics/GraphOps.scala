@@ -1400,17 +1400,24 @@ object GraphOps {
       l_suppkey * 2 + 1 AS dst FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
     e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
     l0 AS (SELECT DISTINCT src AS root, src AS node, CAST(1 AS HUGEINT) AS sigma
-      FROM e WHERE src <= 8),
+      FROM e WHERE src <= 4),
     ${bcLevelCtes(h)}
     SELECT node, CAST(SUM(delta) AS BIGINT) AS bc_micro
     FROM ($allD) GROUP BY node
     ORDER BY bc_micro DESC, node LIMIT $BcTopK"""
   }
 
+  // Betweenness's dependency sweep materializes the per-root
+  // shortest-path DAG (~|S|·m rows) — the expensive phase — so its
+  // landmark budget is tighter than harmonic/ecc's: the 5-root
+  // SUB-SAMPLE of the same memoized BFS (a filter, zero extra traversal).
+  private val BcSeedMax = 4
+
   private val qBetweenness = GraftQuery(
     "qg_betweenness",
-    (s, dir) => betweennessFromBfs(landmarkBfs(s, dir), tradeEdges(s, dir),
-        HarmHops)
+    (s, dir) => betweennessFromBfs(
+        landmarkBfs(s, dir).filter(col("root") <= BcSeedMax),
+        tradeEdges(s, dir), HarmHops)
       .orderBy(col("bc_micro").desc, col("node"))
       .limit(BcTopK),
     Some(betweennessSql))
