@@ -1329,17 +1329,27 @@ object GraphOps {
     * joins dominating: 8.4 s → the DAG build + three small joins).
     */
   def betweennessFromBfs(bfs: DataFrame, edges: DataFrame,
+      maxHops: Int): DataFrame =
+    betweennessFromDag(pathDag(bfs, edges), bfs, maxHops)
+
+  /** The per-root shortest-path DAG (root, v → w with d_w = d_v + 1,
+    * both σ's attached) — the frame the backward sweep iterates; built
+    * once and checkpointed (the binding memoizes it per session).
+    */
+  def pathDag(bfs: DataFrame, edges: DataFrame): DataFrame = bfs
+    .select(col("root"), col("node").as("v"), col("d").as("dv"),
+      col("sigma").as("sv"))
+    .join(edges, edges("src") === col("v"))
+    .select(col("root"), col("v"), col("dv"), col("sv"), col("dst").as("w"))
+    .join(bfs.select(col("root"), col("node").as("w"), col("d").as("dw"),
+      col("sigma").as("sw")), Seq("root", "w"))
+    .filter(col("dw") === col("dv") + 1)
+    .select(col("root"), col("v"), col("dv"), col("sv"), col("w"), col("sw"))
+    .localCheckpoint()
+
+  /** Backward sweep over a prebuilt [[pathDag]]. */
+  def betweennessFromDag(dag: DataFrame, bfs: DataFrame,
       maxHops: Int): DataFrame = {
-    val dag = bfs
-      .select(col("root"), col("node").as("v"), col("d").as("dv"),
-        col("sigma").as("sv"))
-      .join(edges, edges("src") === col("v"))
-      .select(col("root"), col("v"), col("dv"), col("sv"), col("dst").as("w"))
-      .join(bfs.select(col("root"), col("node").as("w"), col("d").as("dw"),
-        col("sigma").as("sw")), Seq("root", "w"))
-      .filter(col("dw") === col("dv") + 1)
-      .select(col("root"), col("v"), col("dv"), col("sv"), col("w"), col("sw"))
-      .localCheckpoint()
     val levels = (0 to maxHops).map(h =>
       bfs.filter(col("d") === h).select(col("root"), col("node"), col("sigma")))
     var below = levels(maxHops)
@@ -1415,11 +1425,14 @@ object GraphOps {
 
   private val qBetweenness = GraftQuery(
     "qg_betweenness",
-    (s, dir) => betweennessFromBfs(
-        landmarkBfs(s, dir).filter(col("root") <= BcSeedMax),
-        tradeEdges(s, dir), HarmHops)
-      .orderBy(col("bc_micro").desc, col("node"))
-      .limit(BcTopK),
+    (s, dir) => {
+      val bfs = landmarkBfs(s, dir).filter(col("root") <= BcSeedMax)
+      val dag = Memo.cached(s, s"bcDag:$dir", checkpoint = false)(
+        pathDag(bfs, tradeEdges(s, dir)))
+      betweennessFromDag(dag, bfs, HarmHops)
+        .orderBy(col("bc_micro").desc, col("node"))
+        .limit(BcTopK)
+    },
     Some(betweennessSql))
 
   def queries: Seq[GraftQuery] =
