@@ -627,6 +627,29 @@ object DedupOps {
     SELECT x AS doc_id, least(x, MIN(y)) AS cluster_id
     FROM reach GROUP BY x ORDER BY doc_id"""))
 
+  /** SOFT dedup: duplicate-aware TRAINING WEIGHTS instead of hard drops —
+    * every member of an n-doc near-dup cluster gets weight ⌊10⁶/n⌋ so the
+    * cluster contributes one document's worth of gradient mass in total
+    * (the down-weighting alternative data-constrained scaling studies
+    * reach for when dropping repeats wastes signal; cf. Muennighoff et
+    * al. 2023 on repeated-data value). Unclustered documents keep weight
+    * 10⁶. One cluster-key count + two id-key left joins over the memoized
+    * clustering — linear, no new pair work.
+    * Output: (id, cluster_id ∥ NULL, csize, weight_micro) for EVERY doc.
+    */
+  def clusterWeights(ids: DataFrame, clusters: DataFrame,
+      idCol: String = "doc_id", clusterCol: String = "cluster_id"): DataFrame = {
+    val c = clusters.select(col(idCol), col(clusterCol))
+    val sizes = c.groupBy(col(clusterCol)).agg(count(lit(1)).as("_n"))
+    ids.select(col(idCol))
+      .join(c, Seq(idCol), "left")
+      .join(sizes, Seq(clusterCol), "left")
+      .select(col(idCol), col(clusterCol),
+        coalesce(col("_n"), lit(1L)).as("csize"),
+        expr("1000000 div coalesce(_n, 1L)").as("weight_micro"))
+      .orderBy(col(idCol))
+  }
+
   /** The dedup END PRODUCT: which documents survive near-dup clustering.
     * Each cluster keeps its best-scoring member (`scoreCol` is any
     * caller-supplied quality signal — token count, a learned score;
@@ -1219,8 +1242,38 @@ object DedupOps {
           // SUM(tok) END AS BIGINT) AS savings_bp
     FROM k GROUP BY source ORDER BY source"""))
 
+  private val qClusterWeights = GraftQuery(
+    "qd_cluster_weights",
+    (s, dir) => clusterWeights(
+      Tables.documents(s, dir).select(col("doc_id")),
+      simhashClusters(s, dir)),
+    Some(s"""WITH RECURSIVE t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+    hs AS (SELECT doc_id, list_transform(toks, t -> ${h60Sql("t")}) AS h FROM t),
+    sig AS (SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 59), b ->
+        CASE WHEN 2 * len(list_filter(h, x -> ((x >> b) & 1) = 1)) > len(h)
+        THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
+      FROM hs),
+    pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
+    edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+    reach(x, y) AS (
+      SELECT a AS x, b AS y FROM edges
+      UNION
+      SELECT r.x, e.b FROM reach r JOIN edges e ON r.y = e.a),
+    cl AS (SELECT x AS doc_id, least(x, MIN(y)) AS cluster_id
+      FROM reach GROUP BY x),
+    sz AS (SELECT cluster_id, COUNT(*) AS n FROM cl GROUP BY cluster_id)
+    SELECT d.doc_id, cl.cluster_id,
+      CAST(COALESCE(sz.n, 1) AS BIGINT) AS csize,
+      CAST(1000000 // COALESCE(sz.n, 1) AS BIGINT) AS weight_micro
+    FROM documents d
+    LEFT JOIN cl ON d.doc_id = cl.doc_id
+    LEFT JOIN sz ON cl.cluster_id = sz.cluster_id
+    ORDER BY d.doc_id"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qExact, qNgram, qMinhash, qCrossContain, qSimhash, qEmbed, qClusters,
       qCanonical, qDbscan, qDupBySource, qSpans, qBloom, qUrlDedup, qLshRecall, qWinnow,
-      qClusterStats, qDedupSavings)
+      qClusterStats, qDedupSavings, qClusterWeights)
 }
