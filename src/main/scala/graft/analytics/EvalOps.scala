@@ -111,11 +111,12 @@ object EvalOps {
     *     = (N·A − r₁c₁ − r₀c₀) / (N² − r₁c₁ − r₀c₀)
     *
     * with A = agreements, r/c the annotators' positive/negative margins.
-    * One corpus aggregation builds the 2×2 table; the κ division is the
-    * signed-⌊·⌋ pattern (Spark `div` truncates toward zero, DuckDB `//`
-    * floors — negating after dividing the |numerator| makes both floor
-    * toward zero identically), with margins in DECIMAL(38,0) so N² can't
-    * wrap. Output (1 row): (n, agree, ra, rb, po_bp, pe_bp, kappa_bp);
+    * One corpus aggregation builds the 2×2 table; the κ division uses
+    * the sign-split pattern (divide |numerator|, negate after). Both
+    * Spark `div` and DuckDB `//` truncate integer division toward zero,
+    * so the split is a no-op here — kept only as a defensive convention
+    * against engines that floor — with margins in DECIMAL(38,0) so N²
+    * can't wrap. Output (1 row): (n, agree, ra, rb, po_bp, pe_bp, kappa_bp);
     * kappa_bp is NULL when p_e = 1 (degenerate single-cell margins).
     */
   def cohenKappa(rows: DataFrame, a: Column, b: Column): DataFrame = {

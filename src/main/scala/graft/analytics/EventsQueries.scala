@@ -659,10 +659,12 @@ object EventsQueries {
     * sketch of state per day on `transformWithState` — constant bytes
     * per key where [[slidingDistinctStream]]'s exact state is a row per
     * membership. Emits (epoch_day, estimate) per touched day per batch;
-    * the final estimate per day is bit-identical to batch
-    * `hll_sketch_estimate(hll_sketch_agg(user_id, 12))` however the
-    * stream was micro-batched (register max is commutative —
-    * StreamingExtrasSpec pins it).
+    * the final estimate per day is bit-identical to a composite-estimate
+    * build over the same register state however the stream was
+    * micro-batched (register max is commutative — StreamingExtrasSpec
+    * pins it), and within sketch tolerance of batch
+    * `hll_sketch_estimate(hll_sketch_agg(user_id, 12))`, whose HIP-based
+    * estimate is insertion-history-dependent.
     */
   def hllDailyDistinctStream(events: DataFrame, tsCol: String = "ts",
       userCol: String = "user_id"): DataFrame = {
