@@ -45,6 +45,26 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.forall(_.contains(q._1)))
+    // Shared-memo warm-ups (r8): heavy memoized prefixes are built ONCE per
+    // pass on their own timed line, so their cost stops landing on whichever
+    // consumer binding runs first (the "first-consumer lottery" — r7 verdict).
+    // The build still counts toward the suite total; it is attribution, not
+    // hiding. A warm-up runs only when at least one of its consumers is in
+    // the query set.
+    val warmups: Seq[(String, String => Boolean, (SparkSession, String) => Unit)] =
+      Seq(
+        ("memo_build:neardup_clusters",
+          Set("qd_neardup_clusters", "qd_cluster_canonical",
+            "qd_cluster_weights", "qd_cluster_stats"),
+          (s, d) => graft.analytics.DedupOps.warmNearDupClusters(s, d)),
+        ("memo_build:trade_graph",
+          (n: String) => n.startsWith("qg_"),
+          (s, d) => graft.analytics.GraphOps.warmTradeGraph(s, d)),
+        ("memo_build:landmark_bfs",
+          Set("qg_betweenness", "qg_harmonic", "qg_ecc"),
+          (s, d) => graft.analytics.GraphOps.warmLandmarkBfs(s, d)))
+    val activeWarmups = warmups.filter { case (_, consumes, _) =>
+      names.exists(q => consumes(q._1)) }
     val samples = scala.collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
     // Contention guard (r7): min-of-2 cannot shave a stall that covers
     // both samples, and this host idles at loadavg ~2. If any pass STARTS
@@ -65,6 +85,15 @@ object Bench {
         System.err.println(f"[bench] pass $pass starts at loadavg $la0n%.2f > 1.5 — adding one extra pass")
         target = reps + 1
       }
+      activeWarmups.foreach { case (wname, _, build) =>
+        val t0 = System.nanoTime()
+        try {
+          build(spark, sfDir)
+          samples(wname) = ((System.nanoTime() - t0) / 1e9) :: samples(wname)
+        } catch {
+          case e: Throwable => System.err.println(s"[bench] $wname failed (pass $pass): $e")
+        }
+      }
       names.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try {
@@ -77,32 +106,60 @@ object Bench {
       passLoads += s"$la0 -> ${loadavg()}"
     }
     // a query that failed every pass reports 0.0 (its stderr line is the flag)
-    val results = names.map { case (name, _) =>
+    val allNames = activeWarmups.map(_._1) ++ names.map(_._1)
+    val results = allNames.map { name =>
       name -> (samples(name) match { case Nil => 0.0; case ts => ts.min })
     }
-    val noisy = names.collect { case (name, _)
-      if samples(name).size >= 2 && samples(name).max > 2 * samples(name).min =>
-      "\"" + name + "\""
-    }.mkString("[", ",", "]")
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def p50(ts: List[Double]): Double = ts match {
+      case Nil => 0.0
+      case _ => ts.sorted.apply((ts.size - 1) / 2) // lower median
+    }
+    val resultsP50 = allNames.map(name => name -> p50(samples(name)))
+    val noisyNames = allNames.filter(name =>
+      samples(name).size >= 2 && samples(name).max > 2 * samples(name).min)
+    val noisy = noisyNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def obj(rs: Seq[(String, Double)]) =
+      rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val totalP50 = resultsP50.map(_._2).sum
     val loads = passLoads.map(s => "\"" + s + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$pass,"policy":"min-over-$pass-interleaved-passes","loadavg_per_pass":$loads,"noisy":$noisy,"queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","value_p50":$totalP50,"reps":$pass,"policy":"min-over-$pass-interleaved-passes; p50 alongside; memo_build:* rows are shared-prefix warm-ups charged once per pass; refresh refuses to overwrite a less-noisy artifact (SPARK_GRAFT_BENCH_FORCE=1 overrides)","loadavg_per_pass":$loads,"noisy":$noisy,"queries":${obj(results)},"queries_p50":${obj(resultsP50)},"sf":"$sfDir"}"""
     println(line)
     // Also persist the full JSON in-repo: the driver captures only the tail
     // of stdout, which truncated BENCH_r02.json mid-line. A committed file
     // keeps every per-query number auditable regardless of stdout capture.
     // Default is cwd-relative (the sbt project root), not an absolute path.
+    //
+    // Refresh gate (r8): a noisier rerun must not clobber a cleaner
+    // committed artifact (r7 shipped a 96-noisy-flag refresh over a
+    // 9-flag one). If the existing artifact has FEWER noisy flags than
+    // this run, keep it and write the new run to <out>.rejected instead;
+    // SPARK_GRAFT_BENCH_FORCE=1 overrides.
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")).toAbsolutePath
-    System.err.println(s"[bench] writing full results to $out")
+    val force = sys.env.get("SPARK_GRAFT_BENCH_FORCE").contains("1")
+    val existingNoisy: Option[Int] =
+      if (java.nio.file.Files.exists(out)) scala.util.Try {
+        val txt = new String(java.nio.file.Files.readAllBytes(out),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val m = """"noisy":\[([^\]]*)\]""".r.findFirstMatchIn(txt)
+        m.map(g => if (g.group(1).trim.isEmpty) 0
+          else g.group(1).count(_ == ',') + 1)
+      }.toOption.flatten
+      else None
+    val target0 = existingNoisy match {
+      case Some(old) if !force && noisyNames.size > old =>
+        System.err.println(s"[bench] REFUSING refresh: this run has ${noisyNames.size} noisy flags vs the existing artifact's $old — keeping $out, writing ${out}.rejected")
+        java.nio.file.Paths.get(out.toString + ".rejected")
+      case _ => out
+    }
+    System.err.println(s"[bench] writing full results to $target0")
     try {
-      java.nio.file.Files.write(out,
+      java.nio.file.Files.write(target0,
         line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch {
       case e: Throwable =>
-        System.err.println(s"[bench] FAILED to write $out: $e")
+        System.err.println(s"[bench] FAILED to write $target0: $e")
         e.printStackTrace()
     }
     spark.stop()

@@ -599,10 +599,14 @@ object GraphOps {
     */
   def reachability(edgesIn: DataFrame, seeds: DataFrame, maxHops: Int = 3,
       srcCol: String = "src", dstCol: String = "dst",
-      seedCol: String = "node"): DataFrame = {
+      seedCol: String = "node", prepared: Boolean = false): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
-    val edges = edgesIn.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().localCheckpoint()
+    // prepared = true: edgesIn is already distinct + materialized (the
+    // memoized trade graph) — skip the redundant shuffle + checkpoint job
+    val edges =
+      if (prepared) edgesIn.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      else edgesIn.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .distinct().localCheckpoint()
     // Only each hop's FRONTIER is checkpointed: the visited set is a
     // union of already-materialized frontiers, so its lineage stays
     // k-frames shallow for free — re-checkpointing it each hop would
@@ -611,11 +615,12 @@ object GraphOps {
       .withColumn("hops", lit(0L)).localCheckpoint()
     var frontier = visited.select(col("node"))
     for (h <- 1 to maxHops) {
-      val next = edges.join(frontier, edges("src") === frontier("node"))
+      val nextPlan = edges.join(frontier, edges("src") === frontier("node"))
         .select(col("dst").as("node")).distinct()
         .join(visited.select(col("node")), Seq("node"), "left_anti")
         .withColumn("hops", lit(h.toLong))
-        .localCheckpoint()
+      // last hop feeds only the returned union — no materialization job
+      val next = if (h < maxHops) nextPlan.localCheckpoint() else nextPlan
       visited = visited.unionByName(next)
       frontier = next.select(col("node"))
     }
@@ -642,7 +647,7 @@ object GraphOps {
     (s, dir) => {
       val e = tradeEdges(s, dir)
       reachability(e, e.filter(col("src") <= 8).select(col("src").as("node")),
-          ReachHops)
+          ReachHops, prepared = true)
         .orderBy(col("hops"), col("node"))
     },
     Some(reachSql))
@@ -677,10 +682,14 @@ object GraphOps {
     var pairs = edges
       .select(col(childCol).as("d"), col(parentCol).as("a"))
       .distinct().localCheckpoint()
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       val comp = pairs.as("x").join(pairs.as("y"), col("x.a") === col("y.d"))
         .select(col("x.d").as("d"), col("y.a").as("a"))
-      pairs = pairs.unionByName(comp).distinct().localCheckpoint()
+      val grown = pairs.unionByName(comp).distinct()
+      // interior rounds MUST materialize (the self-join squares the plan
+      // otherwise); the last round's closure is consumed once, by the
+      // rollup below, so its materialization job is skipped (r8)
+      pairs = if (r < rounds) grown.localCheckpoint() else grown
     }
     val vals = values.select(col(nodeCol).as("d"), col(valCol).as("v"))
     pairs
@@ -748,7 +757,14 @@ object GraphOps {
     var dist = seeds.select(col(seedCol).as("node")).distinct()
       .withColumn("dist", lit(0L)).localCheckpoint()
     var frontier = dist
-    for (_ <- 1 to rounds) {
+    // The frontier is checkpointed every round: it feeds BOTH the merge
+    // and the next round's edges-sized relaxation join, and recomputing
+    // it means repeating a full-edge join (measured 4.3 → 7.0 s when
+    // tried without — this loop is data-dominated, unlike the
+    // DAG-slice-sized betweenness sweep). The LAST round's merge is
+    // consumed once, by the caller's action, so only that
+    // materialization job is skipped.
+    for (r <- 1 to rounds) {
       val cand = edges
         .join(frontier.select(col("node").as("fn"), col("dist").as("fd")),
           col("src") === col("fn"))
@@ -759,9 +775,9 @@ object GraphOps {
         .filter(col("od").isNull || col("nd") < col("od"))
         .select(col("node"), col("nd").as("dist"))
         .localCheckpoint()
-      dist = dist.unionByName(improved)
+      val merged = dist.unionByName(improved)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint()
+      dist = if (r < rounds) merged.localCheckpoint() else merged
       frontier = improved
     }
     dist
@@ -1169,24 +1185,34 @@ object GraphOps {
     */
   def landmarkDistances(edgesIn: DataFrame, seeds: DataFrame,
       maxHops: Int = 4, srcCol: String = "src", dstCol: String = "dst",
-      seedCol: String = "node"): DataFrame = {
+      seedCol: String = "node", prepared: Boolean = false): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
-    val edges = edgesIn.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().localCheckpoint()
+    // `prepared = true`: caller vouches edgesIn is already distinct AND
+    // materialized (the memoized trade graph) — skipping the re-distinct
+    // saves a full edge shuffle + checkpoint job per build (r8: the
+    // per-round JOB constant, not data volume, dominates these loops at
+    // bench scale, so every shaved materialization is wall-clock).
+    val edges =
+      if (prepared) edgesIn.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      else edgesIn.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .distinct().localCheckpoint()
+    // seed frame: |S| rows — not worth a checkpoint job of its own
     var lev = seeds.select(col(seedCol).as("root")).distinct()
       .select(col("root"), col("root").as("node"), lit(0L).as("d"),
         lit(1L).as("sigma"))
-      .localCheckpoint()
     var visited = lev.select(col("root"), col("node"))
     var out = lev
     for (h <- 1 to maxHops) {
-      val next = edges.join(lev, edges("src") === lev("node"))
+      val nextPlan = edges.join(lev, edges("src") === lev("node"))
         .select(col("root"), col("dst").as("node"), col("sigma"))
         .groupBy(col("root"), col("node")).agg(sum(col("sigma")).as("sigma"))
         .join(visited, Seq("root", "node"), "left_anti")
         .withColumn("d", lit(h.toLong))
         .select(col("root"), col("node"), col("d"), col("sigma"))
-        .localCheckpoint()
+      // the last level is consumed exactly once (the returned union) —
+      // materializing it would be a pure extra job; interior levels are
+      // consumed 3x (next frontier, visited, out) and stay checkpointed
+      val next = if (h < maxHops) nextPlan.localCheckpoint() else nextPlan
       visited = visited.unionByName(next.select(col("root"), col("node")))
       out = out.unionByName(next)
       lev = next
@@ -1225,10 +1251,21 @@ object GraphOps {
   // materialize once per (session, sf).
   private def landmarkBfs(s: org.apache.spark.sql.SparkSession, dir: String) =
     Memo.cached(s, s"landmarkBfs:$dir") {
-      val e = tradeEdges(s, dir)
+      val e = tradeEdges(s, dir) // memoized: already distinct + materialized
       landmarkDistances(e,
-        e.filter(col("src") <= 8).select(col("src").as("node")), HarmHops)
+        e.filter(col("src") <= 8).select(col("src").as("node")), HarmHops,
+        prepared = true)
     }
+
+  /** Bench warm-up hooks: force the shared graph memos onto their own
+    * timed lines (trade graph feeds every qg_* binding; the landmark BFS
+    * feeds harmonic/ecc/betweenness) instead of charging the build to
+    * whichever binding runs first.
+    */
+  def warmTradeGraph(s: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = tradeEdges(s, dir).count(): Unit
+  def warmLandmarkBfs(s: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = landmarkBfs(s, dir).count(): Unit
 
   private val qHarmonic = GraftQuery(
     "qg_harmonic",
@@ -1350,28 +1387,47 @@ object GraphOps {
   /** Backward sweep over a prebuilt [[pathDag]]. */
   def betweennessFromDag(dag: DataFrame, bfs: DataFrame,
       maxHops: Int): DataFrame = {
-    val levels = (0 to maxHops).map(h =>
-      bfs.filter(col("d") === h).select(col("root"), col("node"), col("sigma")))
-    var below = levels(maxHops)
-      .select(col("root"), col("node"), col("sigma"), lit(0L).as("delta"))
-    var acc = Vector(below)
-    for (h <- (maxHops - 1) to 1 by -1) {
-      val succ = below.select(col("root"), col("node").as("w"),
-        col("delta").as("dw"))
-      val terms = dag.filter(col("dv") === h)
-        .join(succ, Seq("root", "w"))
+    // δ recurrence over the DAG ONLY (r8 rework): both σ's ride each DAG
+    // edge (sv, sw), so the original per-level join back into the BFS
+    // level frame — whose sole job was carrying zero-δ nodes forward —
+    // is unnecessary: a MISSING δ row is exactly δ = 0 (coalesce at the
+    // join), and the zero universe is restored once at the end from the
+    // already-materialized BFS frame, so the output (every reached node,
+    // bc possibly 0) is bit-identical to the two-join formulation. Cuts
+    // the sweep from 2 joins + 1 agg per level to 1 join + 1 agg, and
+    // the δ frames shrink to nodes with DAG out-edges. The deepest
+    // level's δ needs no join at all (all successors have δ = 0).
+    val zeros = bfs.filter(col("d") >= 1)
+      .select(col("root"), col("node"), lit(0L).as("delta"))
+    if (maxHops == 1)
+      return zeros.groupBy(col("node")).agg(sum(col("delta")).as("bc_micro"))
+    var delta = dag.filter(col("dv") === maxHops - 1)
+      .groupBy(col("root"), col("v"))
+      .agg(sum(expr(
+        "(CAST(sv AS DECIMAL(38,0)) * 1000000) div sw")).as("delta"))
+      .select(col("root"), col("v").as("node"), col("delta"))
+    var acc = Vector(delta)
+    // linear recurrence (δ_h reads only δ_{h+1}) over checkpointed
+    // dag/bfs: a checkpoint every other level bounds lineage for large
+    // maxHops without paying a materialization job per level
+    var sinceCkpt = 0
+    for (h <- (maxHops - 2) to 1 by -1) {
+      delta = dag.filter(col("dv") === h)
+        .join(delta.select(col("root"), col("node").as("w"),
+          col("delta").as("dw")), Seq("root", "w"), "left")
         .groupBy(col("root"), col("v"))
         .agg(sum(expr(
-          "(CAST(sv AS DECIMAL(38,0)) * (1000000 + dw)) div sw")).as("s"))
-        .select(col("root"), col("v").as("node"), col("s"))
-      below = levels(h)
-        .join(terms, Seq("root", "node"), "left")
-        .select(col("root"), col("node"), col("sigma"),
-          coalesce(col("s"), lit(0L)).as("delta"))
-        .localCheckpoint()
-      acc :+= below
+          "(CAST(sv AS DECIMAL(38,0)) * (1000000 + coalesce(dw, 0))) div sw"))
+          .as("delta"))
+        .select(col("root"), col("v").as("node"), col("delta"))
+      sinceCkpt += 1
+      if (sinceCkpt >= 2 && h > 1) {
+        delta = delta.localCheckpoint()
+        sinceCkpt = 0
+      }
+      acc :+= delta
     }
-    acc.reduce(_ unionByName _)
+    (acc :+ zeros).reduce(_ unionByName _)
       .groupBy(col("node")).agg(sum(col("delta")).as("bc_micro"))
   }
 

@@ -222,6 +222,12 @@ object MatchOps {
       .localCheckpoint()
     val wU = Window.partitionBy(col("u")).orderBy(col("sc"), col("v"))
     val matched = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    // One materialization per round — the survivor pool. Each round's
+    // match frame is re-derivable from the PREVIOUS round's checkpointed
+    // pool by one window + one self-join, so materializing it too would
+    // double the per-round job count for no lineage benefit (r8: the job
+    // constant, not data volume, dominated this loop at bench scale).
+    // The final round's pool is dead after the loop and never built.
     for (r <- 1 to rounds) {
       val best = edges.withColumn("rk", row_number().over(wU))
         .filter(col("rk") === 1).select(col("u"), col("v"), col("sc"))
@@ -230,15 +236,16 @@ object MatchOps {
         .filter(col("x.u") < col("x.v"))
         .select(col("x.u").as("name_a"), col("x.v").as("name_b"),
           col("x.sc").as("dist"), lit(r).as("round"))
-        .localCheckpoint() // tiny; keeps later rounds' lineage flat
       matched += m
-      val nodes = m.select(col("name_a").as("nm"))
-        .union(m.select(col("name_b").as("nm")))
-      edges = edges
-        .join(nodes.select(col("nm").as("u")), Seq("u"), "left_anti")
-        .join(nodes.select(col("nm").as("v")), Seq("v"), "left_anti")
-        .select(col("u"), col("v"), col("sc"))
-        .localCheckpoint()
+      if (r < rounds) {
+        val nodes = m.select(col("name_a").as("nm"))
+          .union(m.select(col("name_b").as("nm")))
+        edges = edges
+          .join(nodes.select(col("nm").as("u")), Seq("u"), "left_anti")
+          .join(nodes.select(col("nm").as("v")), Seq("v"), "left_anti")
+          .select(col("u"), col("v"), col("sc"))
+          .localCheckpoint()
+      }
     }
     matched.reduce(_ union _).orderBy(col("name_a"))
   }
