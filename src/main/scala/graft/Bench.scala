@@ -62,7 +62,10 @@ object Bench {
           (s, d) => graft.analytics.GraphOps.warmTradeGraph(s, d)),
         ("memo_build:landmark_bfs",
           Set("qg_betweenness", "qg_harmonic", "qg_ecc"),
-          (s, d) => graft.analytics.GraphOps.warmLandmarkBfs(s, d)))
+          (s, d) => graft.analytics.GraphOps.warmLandmarkBfs(s, d)),
+        ("memo_build:graph_ann_index",
+          Set("qs_knn_graph", "qs_graph_ann", "qs_ann_recall"),
+          (s, d) => graft.analytics.SimilarityOps.warmGraphAnnIndex(s, d)))
     val activeWarmups = warmups.filter { case (_, consumes, _) =>
       names.exists(q => consumes(q._1)) }
     val samples = scala.collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
