@@ -342,6 +342,15 @@ object DedupOps {
     * (For true near-dup thresholds θ ≥ ~0.8, the hyperplane buckets in
     * [[SimilarityOps]] are the sub-quadratic path; B scales with cluster
     * size.)
+    *
+    * B SIZING RULE: pick B ≥ n·rowBytes / taskBudget, where rowBytes ≈
+    * 8·dim + ~48 overhead and taskBudget is the per-task execution-memory
+    * share (executor memory × memoryFraction / cores) — that bounds one
+    * task's build side (n/B vectors) under its budget; then check
+    * B·(B+1)/2 ≥ desired parallelism (it usually is by a wide margin).
+    * Larger B only splits tasks further — results are invariant in B and
+    * the join machinery spills if a block still exceeds budget
+    * (BlockJoinMemorySpec pins both under a constrained-memory context).
     */
   def embeddingNearDup(vecs: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", threshold: Double = 0.4,

@@ -214,6 +214,48 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val out2 = ex.invoke(EventRequestReply(ok, Array.emptyByteArray, "global/Account"))
     assert(out2.event.current.exists(n => n.currentFun.key == "" && n.currentNodeType == "INVOKE"))
   }
+
+  test("EventFlow soak: four interleaved 52-hop flows keep per-key FIFO and state isolation") {
+    // The reference's core loop at depth (r8 soak): each flow walks 52
+    // hops through the Kafka-loop analogue — one micro-batch + feedback
+    // re-entry per hop — with all four flows IN FLIGHT AT ONCE over the
+    // SAME four entities, rotated so every batch interleaves different
+    // keys. Counters are non-idempotent (+1 per visit), so the exact
+    // final counts prove (a) no hop was lost or duplicated across ≥ 52
+    // feedback micro-batches, (b) per-key serialization held while four
+    // flows hammered each entity concurrently, and (c) state namespaces
+    // stayed isolated (each key's count is exactly its visit total).
+    withHarness(useTws = false) { h =>
+      val keys = Vector("soak-a", "soak-b", "soak-c", "soak-d")
+      val Hops = 52
+      for (i <- keys.indices) {
+        // flow i starts at keys(i) and round-robins: 52 hops → 13 visits
+        // per key per flow
+        val rest = (1 until Hops)
+          .map(j => s"global/Account/${keys((i + j) % keys.size)}")
+          .mkString("|")
+        h.send(Event.request(s"soak$i",
+          FunctionAddress(acct, ""), Request.EventFlow,
+          rest.getBytes("UTF-8"),
+          Some(EventFlowNode(FunctionAddress(acct, keys(i)), "INVOKE"))))
+      }
+      h.drain()
+      val done = keys.indices.map(i => h.clientReplies.find(_.eventId == s"soak$i"))
+      assert(done.forall(_.exists(_.reply.contains(Reply.SuccessfulInvocation))),
+        s"not all flows returned: ${h.clientReplies.map(_.eventId)}")
+      keys.foreach { k =>
+        h.send(Event.request(s"g-$k", FunctionAddress(acct, k), Request.GetState))
+      }
+      h.drain()
+      keys.foreach { k =>
+        val got = h.clientReplies.find(_.eventId == s"g-$k")
+        assert(got.isDefined, s"no GetState reply for $k")
+        // 4 flows × 13 visits each
+        assert(asLong(got.get.payload) == Hops.toLong,
+          s"$k counter ${asLong(got.get.payload)}, want $Hops")
+      }
+    }
+  }
 }
 
 /** Delegates to LocalCounterExecutor but stalls one event id — used to prove

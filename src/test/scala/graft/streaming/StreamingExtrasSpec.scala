@@ -1101,6 +1101,56 @@ class StreamingExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
     // and the sketch is actually estimating: day 1 near its exact count
     assert(math.abs(streamFinal(19783L) - 700L) * 10 <= 700L, streamFinal.toString)
   }
+
+  test("exactDedupStream holds 10^6 fingerprints in RocksDB across a restart") {
+    // State-SCALE evidence (r8): the streaming twins are pinned
+    // stream ≡ batch on small frames elsewhere; this case drives the
+    // dedup state store to one MILLION distinct fingerprints — far more
+    // rows than would fit as driver-side or per-batch structures — and
+    // asserts (a) exact dedup counts, (b) the state lives in the RocksDB
+    // provider (off-JVM-heap by construction; its memory/SST metrics are
+    // reported and asserted non-trivial), (c) the full state survives a
+    // stop + restart from the checkpoint: a post-restart wave of 200k
+    // values that all repeat run-1 fingerprints emits ZERO rows.
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = Files.createTempDirectory("graft-dedup-1m").toString
+    val input = MemoryStream[Long](spark)
+    val emitted = new java.util.concurrent.atomic.AtomicLong
+    def start() = graft.analytics.DedupOps.exactDedupStream(
+        input.toDS().toDF("v")
+          .withColumn("text", concat(lit("document number "), col("v") % 1000000L)))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        emitted.addAndGet(b.count()); ()
+      }
+      .start()
+    val q1 = start()
+    // 1.2M rows in 4 batches; values mod 1e6 → exactly 1,000,000 distinct
+    (0 until 4).foreach { i =>
+      input.addData((i * 300000L) until ((i + 1) * 300000L))
+      q1.processAllAvailable()
+    }
+    assert(emitted.get() == 1000000L,
+      s"run 1 emitted ${emitted.get()}, want 1e6 distinct")
+    val sop = q1.recentProgress.flatMap(_.stateOperators).maxBy(_.numRowsTotal)
+    assert(sop.numRowsTotal == 1000000L,
+      s"state store holds ${sop.numRowsTotal} fingerprints, want 1e6")
+    val custom = sop.customMetrics
+    val rocksKeys = custom.keySet().toArray.map(_.toString).filter(_.startsWith("rocksdb"))
+    assert(rocksKeys.nonEmpty, s"no RocksDB metrics — wrong provider? $custom")
+    assert(rocksKeys.exists(k => custom.get(k).longValue() > 0L),
+      s"RocksDB metrics all zero: $custom")
+    q1.stop()
+    val q2 = start()
+    input.addData(1200000L until 1400000L) // mod 1e6 → all run-1 repeats
+    q2.processAllAvailable()
+    q2.stop()
+    assert(emitted.get() == 1000000L,
+      s"duplicates leaked after restart: ${emitted.get() - 1000000L}")
+  }
 }
 
 /** Event-time sessionization on raw transformWithState timers: per-key
