@@ -53,7 +53,7 @@ object GraphOps {
     val base = (15L * r0) / 100L
     val nodes = deg.select(col("src").as("node")).localCheckpoint()
     var ranks = nodes.withColumn("r", lit(r0))
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       val contribs = edges
         .join(ranks, edges("src") === ranks("node"))
         .join(deg, "src")
@@ -64,11 +64,13 @@ object GraphOps {
       // the base (teleport) mass and keeps contributing — dropping it
       // (an inner shape) would silently delete its rank AND its outgoing
       // mass from iteration 2 on
-      ranks = nodes
+      val next = nodes
         .join(contribs, col("node") === col("dst"), "left")
         .select(col("node"),
           (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
-        .localCheckpoint()
+      // last round's frame is consumed exactly once, by the caller's
+      // action — its materialization job would be pure overhead (r8)
+      ranks = if (it < iters) next.localCheckpoint() else next
     }
     ranks.select(col("node"), col("r").as("rank_int"))
   }
@@ -380,14 +382,16 @@ object GraphOps {
       .distinct().localCheckpoint()
     val nodes = edges.select(col("src").as("node")).distinct().localCheckpoint()
     var labels = nodes.withColumn("label", col("node"))
-    for (_ <- 1 to iters) {
-      labels = edges.join(labels, edges("src") === labels("node"))
+    for (it <- 1 to iters) {
+      val next = edges.join(labels, edges("src") === labels("node"))
         .select(col("dst").as("node2"), col("label"))
         .groupBy(col("node2"), col("label")).agg(count(lit(1)).as("cnt"))
         .groupBy(col("node2"))
         .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
         .select(col("node2").as("node"), (-col("m.nl")).as("label"))
-        .localCheckpoint()
+      // final round: consumed once by the caller (or re-materialized by
+      // the lpaLabels memo) — skip the redundant checkpoint job (r8)
+      labels = if (it < iters) next.localCheckpoint() else next
     }
     labels
   }
@@ -541,13 +545,14 @@ object GraphOps {
         countDistinct(col("src")).as("n")).head()
       (3L * row.getLong(0)) / (5L * row.getLong(1))
     }
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= kk).select(col("src"))
-      edges = edges
+      val next = edges
         .join(keep, "src", "left_semi")
         .join(keep.select(col("src").as("dst")), "dst", "left_semi")
-        .localCheckpoint()
+      // last round's survivor set feeds only the degree readout below
+      edges = if (r < rounds) next.localCheckpoint() else next
     }
     edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_degree"))
       .orderBy(col("node"))
@@ -869,18 +874,19 @@ object GraphOps {
         when(col("hit").isNotNull, lit(base)).otherwise(lit(0L)).as("bs"))
       .localCheckpoint()
     var ranks = bt.select(col("node"), col("r0x").as("r"))
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       val contribs = edges
         .join(ranks, edges("src") === ranks("node"))
         .join(deg, "src")
         .select(col("dst"), expr("r div d").as("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("s"))
-      ranks = bt
+      val next = bt
         .join(contribs, col("node") === col("dst"), "left")
         .select(col("node"),
           (col("bs") + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
-        .localCheckpoint()
+      // last round consumed once by the caller's action — no checkpoint
+      ranks = if (it < iters) next.localCheckpoint() else next
     }
     ranks.select(col("node"), col("r").as("rank_int"))
   }
@@ -944,21 +950,24 @@ object GraphOps {
       .withColumn("r", lit(Scale / nh))
       .localCheckpoint()
     var a: DataFrame = null
-    def normalize(raw: DataFrame): DataFrame = {
+    def normalize(raw: DataFrame, ckpt: Boolean = true): DataFrame = {
       val tot = raw.agg(sum(col("s")).as("t"))
-      raw.crossJoin(broadcast(tot))
+      val out = raw.crossJoin(broadcast(tot))
         .select(col("node"),
           expr(s"CAST((CAST($Scale AS DECIMAL(38,0)) * s) div t AS BIGINT)")
             .as("r"))
-        .localCheckpoint()
+      if (ckpt) out.localCheckpoint() else out
     }
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       a = normalize(e.join(h, e("src") === h("node"))
         .groupBy(e("dst").as("node2")).agg(sum(col("r")).as("s"))
         .select(col("node2").as("node"), col("s")))
+      // the final hub frame feeds only the caller's readout (the final
+      // authority frame is consumed twice: by this half-round AND the
+      // readout, so it stays materialized)
       h = normalize(e.join(a, e("dst") === a("node"))
         .groupBy(e("src").as("node2")).agg(sum(col("r")).as("s"))
-        .select(col("node2").as("node"), col("s")))
+        .select(col("node2").as("node"), col("s")), ckpt = it < iters)
     }
     (h, a)
   }
