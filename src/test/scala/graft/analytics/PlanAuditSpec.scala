@@ -499,4 +499,34 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
           s"$name planned a cartesian product:\n$plan")
       }
   }
+
+  test("betweenness sweep rides the memoized DAG/BFS only: no base-table scan, no cartesian") {
+    // r8 sweep form: δ levels are DAG-slice joins + aggregates over the
+    // session-memoized path DAG and landmark BFS (ExistingRDD scans);
+    // re-touching a parquet base table from inside the sweep would mean
+    // the shared-prefix architecture regressed
+    val plan = graft.SparkEntry.queries("qg_betweenness")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"betweenness regressed to all-pairs:\n$plan")
+    assert(plan.contains("ExistingRDD"),
+      s"sweep should read the memoized DAG/BFS:\n$plan")
+    assert(!plan.contains("Scan parquet"),
+      s"sweep re-derived a base table instead of the memos:\n$plan")
+  }
+
+  test("binaryTopK pre-prunes the Hamming phase per partition (WindowGroupLimit)") {
+    // the 1-bit tier shuffles (query, candidate, hamming) rows into the
+    // per-query rerank window — the scale guard is Spark's
+    // WindowGroupLimit pushdown cutting each partition to the rerank
+    // budget BEFORE the exchange; losing it would ship the full
+    // corpus×queries row set into one window per query
+    val plan = graft.SparkEntry.queries("qs_binary_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"hamming rerank window lost its per-partition pre-prune:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"binary tier planned a cartesian product:\n$plan")
+  }
 }
