@@ -55,7 +55,7 @@ object Bench {
       Seq(
         ("memo_build:neardup_clusters",
           Set("qd_neardup_clusters", "qd_cluster_canonical",
-            "qd_cluster_weights", "qd_cluster_stats"),
+            "qd_cluster_weights", "qd_cluster_stats", "qd_cc_stars"),
           (s, d) => graft.analytics.DedupOps.warmNearDupClusters(s, d)),
         ("memo_build:trade_graph",
           (n: String) => n.startsWith("qg_"),

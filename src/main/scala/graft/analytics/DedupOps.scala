@@ -477,6 +477,82 @@ object DedupOps {
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
+  /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) — the extreme-scale alternative to
+    * [[nearDupClusters]]'s min-label + pointer-jump fixpoint that
+    * [[nearDupClusters]]'s own scaladoc points at. Same contract and
+    * IDENTICAL output (every node in the pair list labeled with its
+    * component's minimum id; OpsApiSpec pins the equivalence):
+    *
+    *  - large-star(u): with m = min(N(u) ∪ {u}), every STRICTLY LARGER
+    *    neighbor of u re-links to m — one symmetrized per-u min + one
+    *    edge⋈min join;
+    *  - small-star(u): every smaller neighbor of u (and u itself)
+    *    re-links to the minimum of u's smaller neighborhood — the same
+    *    two operators on the (hi, lo) orientation.
+    *
+    * Why it exists next to the pointer-jump version: pointer jumping
+    * concentrates JOIN KEYS on component minima as convergence nears
+    * (every label row hits the giant component's min), while the star
+    * rounds only ever group a node with its CURRENT neighbors — hub load
+    * is bounded by the evolving star structure, the property the paper
+    * proves keeps rounds O(log n) with balanced reducers at web scale.
+    * Edges live canonically as (lo < hi) distinct pairs; every round is
+    * two aggregate+join passes over the edge frame, each materialized;
+    * convergence = edge-set fixpoint (counts equal + except empty), and
+    * non-convergence throws rather than returning truncated labels.
+    * Output: (doc_id, cluster_id) ordered by doc_id.
+    */
+  def ccStars(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    var edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("lo"),
+        greatest(col("a"), col("b")).as("hi"))
+      .distinct()
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // large-star over the symmetrized view
+      val sym = edges.select(col("lo").as("u"), col("hi").as("v"))
+        .unionByName(edges.select(col("hi").as("u"), col("lo").as("v")))
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val afterLarge = sym.filter(col("v") > col("u"))
+        .join(mins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("m").as("lo"), col("v").as("hi")) // m < u < v
+        .distinct()
+        .localCheckpoint()
+      // small-star on the (hi → its smaller neighbors) orientation:
+      // m = min of hi's smaller neighborhood; every other small neighbor
+      // and hi itself re-link to m
+      val minsS = afterLarge.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+      val next = afterLarge.join(minsS, "hi")
+        .filter(col("lo") =!= col("m"))
+        .select(col("m").as("lo"), col("lo").as("hi")) // m < lo
+        .unionByName(minsS.select(col("m").as("lo"), col("hi")))
+        .distinct()
+        .localCheckpoint()
+      // set equality in ONE action: both frames are distinct, so the
+      // symmetric difference is exactly the union rows seen once
+      converged = next.unionByName(edges)
+        .groupBy(col("lo"), col("hi")).agg(count(lit(1)).as("c"))
+        .filter(col("c") === 1).isEmpty
+      edges = next
+      i += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"ccStars did not converge in $maxIter rounds")
+    // fixpoint = disjoint stars centered at component minima
+    edges.select(col("hi").as("doc_id"), col("lo").as("cluster_id"))
+      .unionByName(
+        edges.select(col("lo").as("doc_id"), col("lo").as("cluster_id")))
+      .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   // ==================== driver-checked query bindings ====================
 
   private val qExact = GraftQuery(
@@ -611,10 +687,17 @@ object DedupOps {
   // returns a localCheckpoint-materialized frame, so memoize the reference
   // (checkpoint = false) rather than re-running the whole fixpoint per
   // binding.
+  // the simhash pair list is itself a shared prefix (the CC fixpoint AND
+  // the large/small-star variant both consume it) — memoized separately
+  private def simhashPairsMemo(s: org.apache.spark.sql.SparkSession,
+      dir: String) =
+    Memo.cached(s, s"simhashPairs:$dir")(
+      simhashPairs(Tables.documents(s, dir)))
+
   private def simhashClusters(s: org.apache.spark.sql.SparkSession,
       dir: String) =
     Memo.cached(s, s"simhashClusters:$dir", checkpoint = false)(
-      nearDupClusters(simhashPairs(Tables.documents(s, dir))))
+      nearDupClusters(simhashPairsMemo(s, dir)))
 
   /** Forces the shared near-dup clustering memo (the common prefix of
     * qd_neardup_clusters / qd_cluster_canonical / qd_cluster_weights /
@@ -625,10 +708,11 @@ object DedupOps {
   def warmNearDupClusters(s: org.apache.spark.sql.SparkSession,
       dir: String): Unit = simhashClusters(s, dir).count(): Unit
 
-  private val qClusters = GraftQuery(
-    "qd_neardup_clusters",
-    (s, dir) => simhashClusters(s, dir).orderBy(col("doc_id")),
-    Some(s"""WITH RECURSIVE t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+  // recursive-CTE reachability closure over the simhash pairs — the
+  // shared oracle of BOTH CC implementations (the algorithms differ, the
+  // semantics — component-minimum labels — must not)
+  private val ccClosureSql =
+    s"""WITH RECURSIVE t AS (SELECT doc_id, $toksSql AS toks FROM documents),
     hs AS (SELECT doc_id, list_transform(toks, t -> ${h60Sql("t")}) AS h FROM t),
     sig AS (SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 59), b ->
         CASE WHEN 2 * len(list_filter(h, x -> ((x >> b) & 1) = 1)) > len(h)
@@ -643,7 +727,17 @@ object DedupOps {
       UNION
       SELECT r.x, e.b FROM reach r JOIN edges e ON r.y = e.a)
     SELECT x AS doc_id, least(x, MIN(y)) AS cluster_id
-    FROM reach GROUP BY x ORDER BY doc_id"""))
+    FROM reach GROUP BY x ORDER BY doc_id"""
+
+  private val qClusters = GraftQuery(
+    "qd_neardup_clusters",
+    (s, dir) => simhashClusters(s, dir).orderBy(col("doc_id")),
+    Some(ccClosureSql))
+
+  private val qCcStars = GraftQuery(
+    "qd_cc_stars",
+    (s, dir) => ccStars(simhashPairsMemo(s, dir)),
+    Some(ccClosureSql))
 
   /** SOFT dedup: duplicate-aware TRAINING WEIGHTS instead of hard drops —
     * every member of an n-doc near-dup cluster gets weight ⌊10⁶/n⌋ so the
@@ -1292,6 +1386,6 @@ object DedupOps {
 
   val queries: Seq[GraftQuery] =
     Seq(qExact, qNgram, qMinhash, qCrossContain, qSimhash, qEmbed, qClusters,
-      qCanonical, qDbscan, qDupBySource, qSpans, qBloom, qUrlDedup, qLshRecall, qWinnow,
-      qClusterStats, qDedupSavings, qClusterWeights)
+      qCcStars, qCanonical, qDbscan, qDupBySource, qSpans, qBloom, qUrlDedup,
+      qLshRecall, qWinnow, qClusterStats, qDedupSavings, qClusterWeights)
 }

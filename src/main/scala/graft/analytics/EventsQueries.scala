@@ -1254,13 +1254,14 @@ object EventsQueries {
       val states = mm.select(col("ft").as("st")).distinct()
       val n0 = states.count()
       var pi = states.withColumn("p", lit(1000000000000L / n0))
-      for (_ <- 1 to 3) {
-        pi = mm.join(pi, mm("ft") === pi("st"))
+      for (it <- 1 to 3) {
+        val next = mm.join(pi, mm("ft") === pi("st"))
           .select(col("tt"), expr("(p * c) div r").as("m1"))
           .join(states, col("tt") === col("st"), "right")
           .groupBy(col("st"))
           .agg(coalesce(sum(col("m1")), lit(0L)).as("p"))
-          .localCheckpoint()
+        // last power round feeds only the final readout — no checkpoint
+        pi = if (it < 3) next.localCheckpoint() else next
       }
       pi.select(col("st").as("event_type"), col("p").as("pi_pico"))
         .orderBy(col("event_type"))

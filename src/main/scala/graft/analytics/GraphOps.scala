@@ -1108,11 +1108,11 @@ object GraphOps {
     */
   def randomWalks(edges: DataFrame, seeds: DataFrame, steps: Int = 4,
       srcCol: String = "src", dstCol: String = "dst",
-      seedCol: String = "node"): DataFrame = {
+      seedCol: String = "node", prepared: Boolean = false): DataFrame = {
     require(steps >= 1, s"steps must be >= 1, got $steps")
     import org.apache.spark.sql.expressions.Window
-    val ranked = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct()
+    val base = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val ranked = (if (prepared) base else base.distinct())
       .withColumn("r", row_number().over(
         Window.partitionBy(col("src")).orderBy(col("dst"))))
       .withColumn("d", count(lit(1)).over(Window.partitionBy(col("src"))))
@@ -1161,7 +1161,7 @@ object GraphOps {
       randomWalks(e,
         e.filter(col("src") <= 200 && col("src") % 2 === 0)
           .select(col("src").as("node")),
-        WalkSteps)
+        WalkSteps, prepared = true)
     },
     Some(walkSql))
 

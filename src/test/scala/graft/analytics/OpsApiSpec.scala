@@ -157,6 +157,33 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("did not converge"), e.getMessage)
   }
 
+  test("ccStars ≡ nearDupClusters: chain, star, multi-component, hash graph") {
+    import spark.implicits._
+    def labelsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def both(pairs: org.apache.spark.sql.DataFrame) =
+      (labelsOf(DedupOps.ccStars(pairs)),
+        labelsOf(DedupOps.nearDupClusters(pairs)))
+    // diameter-120 chain: star rounds must converge in O(log n), and the
+    // labels must match the pointer-jump implementation exactly
+    val chain = (0L until 120L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val (sc, pc) = both(chain)
+    assert(sc == pc && sc.values.forall(_ == 0L), s"chain: $sc")
+    // hub star with reversed pair orientation + a disjoint component +
+    // a singleton-pair component
+    val star = ((1L to 40L).map(i => (100L + i, 100L)) ++
+      Seq((500L, 600L), (600L, 550L), (7L, 8L))).toDF("d1", "d2")
+    val (ss, ps) = both(star)
+    assert(ss == ps, s"star: $ss vs $ps")
+    assert(ss(140L) == 100L && ss(600L) == 500L && ss(8L) == 7L)
+    // deterministic pseudo-random graph on 300 nodes (~450 edges)
+    val rnd = (0L until 450L)
+      .map(i => ((i * 131) % 300, (i * i * 7 + i) % 300))
+      .filter(p => p._1 != p._2).toDF("d1", "d2")
+    val (sr, pr) = both(rnd)
+    assert(sr == pr, "random graph labels diverge between implementations")
+  }
+
   test("annRecall is the fraction of exact pairs the approximation recovered") {
     import spark.implicits._
     val exact = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L))
