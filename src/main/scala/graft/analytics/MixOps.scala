@@ -518,6 +518,106 @@ object MixOps {
         saturated, CAST(10000 * alloc_tokens // avail AS BIGINT) AS epochs_bp
       FROM al ORDER BY domain"""))
 
+  // ------------------------ multiplicative-weights domain reweighting
+  /** DoReMi-flavored domain reweighting by MULTIPLICATIVE WEIGHTS over
+    * any per-document integer signal (Xie et al. 2023 reweight domains
+    * by excess loss; here the update is the textbook LINEAR hedge form
+    * w ← w·(1 + η·m) — exact rational arithmetic, no exp, so both
+    * engines agree bit-for-bit). Domains whose mean signal exceeds the
+    * corpus mean gain weight round over round, bounded per round to
+    * [×0.25, ×4]; the caller picks the signal (excess loss proxy,
+    * difficulty, quality — any integer column) and η.
+    *
+    * Everything after ONE corpus aggregation is domain-sized: per-domain
+    * (n, Σsignal), a 1-row corpus-mean broadcast, then `rounds` unrolled
+    * integer hedge updates as column arithmetic and a 1-row total for
+    * shares. Signal sums ride DECIMAL(38,0) so 10¹²-doc corpora cannot
+    * wrap. Relative excess is normalized by |corpus mean| (dimensionless
+    * bp), making η signal-unit-free. Both engines truncate integer
+    * division toward zero, so negative excess needs no sign-split.
+    *
+    * Output: (source, n_docs, mean_sig, excess, weight_micro, share_bp)
+    * ordered by source.
+    */
+  def mwDomainReweight(rows: DataFrame, sourceCol: String,
+      signal: org.apache.spark.sql.Column, rounds: Int = 3,
+      etaBp: Int = 2500): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, s"rounds must be in [1,8], got $rounds")
+    require(etaBp >= 1 && etaBp <= 10000, s"etaBp must be in [1,10000], got $etaBp")
+    val dom = rows.select(col(sourceCol).as("source"),
+        signal.cast("long").as("_s"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_s").cast("decimal(38,0)")).as("_ss"))
+    val g = dom.agg(sum(col("_ss")).as("_gs"), sum(col("n_docs")).as("_gn"))
+      .select(expr("CAST(_gs div _gn AS BIGINT)").as("_cm"))
+    val seeded = dom.crossJoin(broadcast(g))
+      .withColumn("mean_sig", expr("CAST(_ss div n_docs AS BIGINT)"))
+      .withColumn("excess", col("mean_sig") - col("_cm"))
+      .withColumn("_f", expr(s"""least(greatest(
+        1000000L + ($etaBp * ((10000 * excess) div greatest(abs(_cm), 1L)))
+          div 10000, 250000L), 4000000L)"""))
+      .withColumn("weight_micro", lit(1000000L))
+    val hedged = (1 to rounds).foldLeft(seeded)((d, _) =>
+      d.withColumn("weight_micro", expr("(weight_micro * _f) div 1000000")))
+    val tw = hedged.agg(sum(col("weight_micro")).as("_tw"))
+    hedged.crossJoin(broadcast(tw))
+      .select(col("source"), col("n_docs"), col("mean_sig"), col("excess"),
+        col("weight_micro"),
+        expr("(10000 * weight_micro) div _tw").as("share_bp"))
+      .orderBy(col("source"))
+  }
+
+  private val MwRounds = 3
+  private val MwEtaBp = 2500
+
+  // signal: Flesch–Kincaid grade micro (TextOps.readability) — "harder
+  // prose gains sampling weight", the difficulty-targeting instantiation
+  private val mwFkSql = {
+    val hedge = (1 to MwRounds).foldLeft("1000000")((e, _) =>
+      s"(($e * f) // 1000000)")
+    s"""WITH t AS (SELECT doc_id, source, text, $toksSql AS toks FROM documents),
+    m AS (SELECT doc_id, source,
+        CAST(len(toks) AS BIGINT) AS n_words,
+        GREATEST(1, CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS n_sentences,
+        CAST(list_sum(list_transform(toks, t ->
+          GREATEST(1, len(regexp_extract_all(lower(t), '[aeiouy]+'))))) AS BIGINT) AS n_syllables
+      FROM t WHERE len(toks) >= 1),
+    fk AS (SELECT source,
+        CAST(390000 * n_words // n_sentences
+          + 11800000 * n_syllables // n_words - 15590000 AS BIGINT) AS s
+      FROM m),
+    dom AS (SELECT source, COUNT(*) AS n_docs, SUM(CAST(s AS HUGEINT)) AS ss
+      FROM fk GROUP BY source),
+    g AS (SELECT CAST(SUM(ss) // SUM(n_docs) AS BIGINT) AS cm FROM dom),
+    d1 AS (SELECT source, n_docs, CAST(ss // n_docs AS BIGINT) AS mean_sig,
+        CAST(ss // n_docs AS BIGINT) - cm AS excess, cm FROM dom, g),
+    d2 AS (SELECT source, n_docs, mean_sig, excess,
+        LEAST(GREATEST(1000000 + ($MwEtaBp * ((10000 * excess)
+          // GREATEST(ABS(cm), 1))) // 10000, 250000), 4000000) AS f
+      FROM d1),
+    d3 AS (SELECT source, n_docs, mean_sig, excess,
+        CAST($hedge AS BIGINT) AS weight_micro FROM d2),
+    w AS (SELECT SUM(weight_micro) AS tw FROM d3)
+    SELECT source, n_docs, CAST(mean_sig AS BIGINT) AS mean_sig,
+      CAST(excess AS BIGINT) AS excess,
+      CAST(weight_micro AS BIGINT) AS weight_micro,
+      CAST((10000 * weight_micro) // tw AS BIGINT) AS share_bp
+    FROM d3, w ORDER BY source"""
+  }
+
+  private val qMwReweight = GraftQuery(
+    "qt_mw_reweight",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      mwDomainReweight(
+        docs.select(col("doc_id"), col("source"))
+          .join(TextOps.readability(docs)
+            .select(col("doc_id"), col("fk_grade_micro")), "doc_id"),
+        "source", col("fk_grade_micro"), MwRounds, MwEtaBp)
+    },
+    Some(mwFkSql))
+
   def queries: Seq[GraftQuery] = Seq(qNormalize, qDomainMix, qSeqPack, qChunk,
-    qDsir, qShardPlan, qTokenBudget)
+    qDsir, qShardPlan, qTokenBudget, qMwReweight)
 }

@@ -157,6 +157,30 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("did not converge"), e.getMessage)
   }
 
+  test("mwDomainReweight: excess domains gain share, hedge exact, per-round clamp holds") {
+    import spark.implicits._
+    val rows = (Seq.fill(50)(("a", 1000L)) ++ Seq.fill(50)(("b", 3000L)) ++
+      Seq.fill(50)(("c", 2000L))).toDF("src", "sig")
+    val out = MixOps.mwDomainReweight(rows, "src",
+        org.apache.spark.sql.functions.col("sig"),
+        rounds = 3, etaBp = 2500)
+      .collect().map(r => r.getString(0) -> ((r.getLong(4), r.getLong(5)))).toMap
+    // corpus mean 2000: c sits exactly on it (weight unchanged), b above
+    // gains, a below loses; shares floor-sum to ≤ 10000 bp
+    assert(out("c")._1 == 1000000L, s"zero-excess weight moved: $out")
+    assert(out("b")._1 > out("c")._1 && out("c")._1 > out("a")._1, s"$out")
+    val bpSum = out.values.map(_._2).sum
+    assert(bpSum <= 10000 && bpSum >= 9997, s"shares don't sum to ~1: $out")
+    // an extreme negative-excess domain clamps at x0.25 per round exactly
+    val rows2 = (Seq.fill(99)(("hi", 1000000L)) ++ Seq(("lo", -100000000L)))
+      .toDF("src", "sig")
+    val w2 = MixOps.mwDomainReweight(rows2, "src",
+        org.apache.spark.sql.functions.col("sig"),
+        rounds = 2, etaBp = 10000)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(w2("lo") == 62500L, s"clamped hedge should be 1e6/16: $w2")
+  }
+
   test("ccStars ≡ nearDupClusters: chain, star, multi-component, hash graph") {
     import spark.implicits._
     def labelsOf(df: org.apache.spark.sql.DataFrame) =
