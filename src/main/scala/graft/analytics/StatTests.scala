@@ -1041,9 +1041,10 @@ object StatTests {
     * pairwise slopes (y2−y1)/(x2−x1) over the daily series — robust to
     * ~29 % outlier contamination where OLS ([[qLinReg]]) is robust to
     * none. Slopes are floored to integer micro-cents/day with an
-    * explicit pmod floor division (Spark `div` truncates toward zero,
-    * DuckDB `//` floors — pmod-normalizing the numerator makes both
-    * compute ⌊·⌋ exactly). Quantiles over the slope multiset are
+    * explicit pmod floor division (both engines' integer division
+    * truncates toward ZERO, which is not ⌊·⌋ for negative slopes —
+    * pmod-normalizing the numerator down to an exact multiple of the
+    * divisor makes the division exact, i.e. a true floor, in both). Quantiles over the slope multiset are
     * "smallest slope with 40·cum ≥ q·np" for q = 1 (2.5 %), 20 (median),
     * 39 (97.5 %) — integer threshold comparisons, no interpolation, the
     * reported bounds are actual pair slopes.

@@ -37,11 +37,18 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     "qg_sssp",            // frontier relaxation, BIGINT min-distances
     "qg_ppr",             // per-seed teleport fixed-point
     "qml_target_encode",  // LOO micro-unit integer division
-    "qs_rrf_fusion")      // integer micro-unit rank fusion
+    "qs_rrf_fusion",      // integer micro-unit rank fusion
+    "qd_cc_stars",        // large/small-star edge-set fixpoint (r8)
+    "qt_mw_reweight")     // exact-rational hedge update (r8)
 
   test("pinned queries are bit-identical under different shuffle partitionings") {
     pinned.foreach { name =>
       def run(parts: String): Seq[String] = {
+        // drop session memos so BOTH runs rebuild every shared prefix
+        // under their own partitioning — otherwise the second run would
+        // trivially reuse the first run's materialized frames and the
+        // pin would only cover the post-memo stages
+        graft.analytics.Memo.clear()
         spark.conf.set("spark.sql.shuffle.partitions", parts)
         graft.SparkEntry.queries(name)(spark, sf)
           .collect().map(_.toString).toSeq
