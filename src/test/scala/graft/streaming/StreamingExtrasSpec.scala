@@ -1102,6 +1102,43 @@ class StreamingExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(streamFinal(19783L) - 700L) * 10 <= 700L, streamFinal.toString)
   }
 
+  test("HLL state twin: 10^6 users collapse to ONE sketch row per day") {
+    // The constant-state counterpart of the 10^6-fingerprint case below:
+    // where exact streaming distinct carries a state row PER MEMBERSHIP,
+    // the sketch twin's state is one serialized HLL per key however many
+    // users stream through — numRowsTotal must equal the number of DAYS,
+    // not users, and the per-day estimate must stay inside the lgK=12
+    // error envelope at 250k users/day.
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def day(d: Int) = Timestamp.valueOf(f"2024-03-0$d%d 12:00:00")
+    val input = MemoryStream[(Long, Timestamp)](spark)
+    val out = graft.analytics.EventsQueries.hllDailyDistinctStream(
+      input.toDS().toDF("user_id", "ts"))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("hll_scale")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-hll-1m").toString)
+      .start()
+    for (d <- 1 to 4) {
+      input.addData((0L until 250000L).map(u => (d * 1000000L + u, day(d))))
+      q.processAllAvailable()
+    }
+    val sop = q.recentProgress.flatMap(_.stateOperators).maxBy(_.numRowsTotal)
+    q.stop()
+    assert(sop.numRowsTotal == 4L,
+      s"sketch state should be one row per day, got ${sop.numRowsTotal}")
+    val est = spark.table("hll_scale").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (d, rs) => d -> rs.last._2 }
+    assert(est.size == 4, s"days: $est")
+    est.foreach { case (d, e) =>
+      assert(math.abs(e - 250000L) * 20 <= 250000L,
+        s"day $d estimate $e outside 5% of 250000")
+    }
+  }
+
   test("exactDedupStream holds 10^6 fingerprints in RocksDB across a restart") {
     // State-SCALE evidence (r8): the streaming twins are pinned
     // stream ≡ batch on small frames elsewhere; this case drives the
