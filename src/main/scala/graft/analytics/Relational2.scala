@@ -672,6 +672,77 @@ object Relational2 {
       UNION ALL SELECT event_type, exact_users, TRUE FROM al
       ORDER BY event_type"""))
 
+  /** Theta sketches for distinct-count SET ALGEBRA (Datasketches
+    * `theta_sketch_agg` + `theta_union` / `theta_intersection` /
+    * `theta_difference`) — the capability HLL structurally lacks: HLL
+    * registers merge only by max (union), so "distinct users who clicked
+    * AND purchased" or "clicked but NEVER purchased" cannot come from
+    * HLL sketches, while theta sketches keep a hash SAMPLE and support
+    * all three set operations. This is the audience-overlap / exclusive-
+    * reach warehouse primitive: one sketch per cohort partition, any
+    * intersection/difference answered sketch-side, facts never
+    * rescanned. Below the nominal-entries threshold the sketch is in
+    * exact mode; beyond it the estimates are sampled — the gate row
+    * therefore carries exact counts plus accuracy-bound flags (the
+    * [[qHllSketch]] contract pattern): 5 % for the cohorts and union,
+    * 10 % for intersection/difference, whose theta-sketch error is
+    * relative to the UNION's sampling, not their own smaller
+    * cardinality. Cohort flags come from one per-user aggregation; the
+    * sketches ride a separate branch of the same scan.
+    */
+  private val qThetaSetops = GraftQuery(
+    "qagg_theta_setops",
+    (s, dir) => {
+      // cohort predicates chosen to PARTIALLY overlap at every test SF
+      // (high-value clickers vs high-value purchasers) so the
+      // intersection/difference legs are exercised on non-trivial sets
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("value"))
+      val isA = col("event_type") === "click" && col("value") > 120
+      val isB = col("event_type") === "purchase" && col("value") > 120
+      val flags = e.groupBy(col("user_id"))
+        .agg(max(when(isA, 1L).otherwise(0L)).as("ha"),
+          max(when(isB, 1L).otherwise(0L)).as("hb"))
+      val exact = flags.agg(
+        sum(col("ha")).as("exact_a"), sum(col("hb")).as("exact_b"),
+        sum(col("ha") * col("hb")).as("exact_and"),
+        sum(greatest(col("ha"), col("hb"))).as("exact_or"),
+        sum(col("ha") * (lit(1L) - col("hb"))).as("exact_diff"))
+      val est = e.agg(
+          expr("""theta_sketch_agg(CASE WHEN event_type = 'click'
+              AND value > 120 THEN user_id END)""").as("ska"),
+          expr("""theta_sketch_agg(CASE WHEN event_type = 'purchase'
+              AND value > 120 THEN user_id END)""").as("skb"))
+        .select(
+          expr("theta_sketch_estimate(ska)").as("est_a"),
+          expr("theta_sketch_estimate(skb)").as("est_b"),
+          expr("theta_sketch_estimate(theta_union(ska, skb))").as("est_or"),
+          expr("theta_sketch_estimate(theta_intersection(ska, skb))").as("est_and"),
+          expr("theta_sketch_estimate(theta_difference(ska, skb))").as("est_diff"))
+      def ok(estC: String, exC: String, pct: Int) =
+        (abs(col(estC) - col(exC)) * lit(100L) <= lit(pct.toLong) * col(exC))
+      exact.crossJoin(broadcast(est))
+        .select(col("exact_a"), col("exact_b"), col("exact_or"),
+          col("exact_and"), col("exact_diff"),
+          ok("est_a", "exact_a", 5).as("a_ok"),
+          ok("est_b", "exact_b", 5).as("b_ok"),
+          ok("est_or", "exact_or", 5).as("or_ok"),
+          ok("est_and", "exact_and", 10).as("and_ok"),
+          ok("est_diff", "exact_diff", 10).as("diff_ok"))
+    },
+    Some("""WITH f AS (SELECT user_id,
+        MAX(CASE WHEN event_type = 'click' AND value > 120 THEN 1 ELSE 0 END) AS ha,
+        MAX(CASE WHEN event_type = 'purchase' AND value > 120 THEN 1 ELSE 0 END) AS hb
+      FROM events GROUP BY user_id)
+      SELECT CAST(SUM(ha) AS BIGINT) AS exact_a,
+        CAST(SUM(hb) AS BIGINT) AS exact_b,
+        CAST(SUM(GREATEST(ha, hb)) AS BIGINT) AS exact_or,
+        CAST(SUM(ha * hb) AS BIGINT) AS exact_and,
+        CAST(SUM(ha * (1 - hb)) AS BIGINT) AS exact_diff,
+        TRUE AS a_ok, TRUE AS b_ok, TRUE AS or_ok,
+        TRUE AS and_ok, TRUE AS diff_ok
+      FROM f"""))
+
   // Deterministic per-group mode: Spark's mode() picks an ARBITRARY value
   // on frequency ties, so the selection goes through the max(struct(cnt,
   // -value)) idiom (the LPA tie-break) — highest count, then smallest
@@ -804,5 +875,5 @@ object Relational2 {
     qVariance, qPercentileDisc, qPercentileCont, qCorr, qArgMax, qStrings, qStrings2,
     qDates, qDates2, qCollect, qRegexp, qBoolAgg,
     qGroupingSets, qApproxDistinct, qQ11, qQ12, qQ20, qQ21, qNulls, qTopKAgg, qTypedAgg,
-    qSkyline, qHllSketch, qMode, qWinsorize, qBottomK)
+    qSkyline, qHllSketch, qThetaSetops, qMode, qWinsorize, qBottomK)
 }
