@@ -416,6 +416,75 @@ object MatchOps {
     FROM c WHERE levenshtein(name_a, name_b) <= $PhMaxDist
     ORDER BY key, name_a, name_b"""))
 
+  // ------------------------------------- Damerau verify (typo metric)
+  /** Token-blocked pairs verified with UNRESTRICTED Damerau–Levenshtein
+    * (the [[graft.functions.DamerauLevenshtein]] native expression) next
+    * to plain levenshtein — the typo-aware verify step: a transposition
+    * ("the" → "teh") costs 1 under DL but 2 under levenshtein, so a DL
+    * threshold admits transposition-heavy variants a levenshtein
+    * threshold at the same budget rejects. `gain = lev − dl ≥ 0` is the
+    * per-pair evidence (how much of the distance was transpositions).
+    *
+    * Same blocking/skew contract as [[fuzzyNameMatch]] (shared rare-token
+    * equi-join, length-gap prefilter — valid for DL too: every DL edit
+    * changes length by ≤ 1 and transpositions by 0). The verify is the
+    * admission predicate `dl <= maxDist`, so pairs whose levenshtein
+    * EXCEEDS maxDist still surface when transpositions close the gap.
+    * Output: (name_a, name_b, dl, lev, gain, rows_a, rows_b) ordered by
+    * (dl, name_a, name_b). Oracle twin: DuckDB `damerau_levenshtein`
+    * (also the full Lowrance–Wagner variant — semantics pinned against
+    * each other in StringExprsSpec).
+    */
+  def damerauNameMatch(df: DataFrame, nameCol: String = "name",
+      maxDist: Int = 3, maxTokenDf: Int = 1000): DataFrame = {
+    require(maxDist >= 0 && maxTokenDf >= 1)
+    val names = df.groupBy(col(nameCol).as("name"))
+      .agg(count(lit(1)).as("n_rows"))
+    val toks = names
+      .select(col("name"), explode(split(col("name"), " ")).as("tok"))
+      .distinct()
+    val rare = toks.groupBy(col("tok")).agg(count(lit(1)).as("tdf"))
+      .filter(col("tdf") <= maxTokenDf).select(col("tok"))
+    val blocked = toks.join(rare, "tok")
+    blocked.as("a")
+      .join(blocked.as("b"),
+        col("a.tok") === col("b.tok") && col("a.name") < col("b.name"))
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+      .distinct()
+      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
+      .withColumn("dl", graft.functions.GraftFunctions.graft_damerau(
+        col("name_a"), col("name_b")))
+      .filter(col("dl") <= maxDist)
+      .withColumn("lev", levenshtein(col("name_a"), col("name_b")))
+      .withColumn("gain", col("lev") - col("dl"))
+      .join(names.select(col("name").as("name_a"), col("n_rows").as("rows_a")), "name_a")
+      .join(names.select(col("name").as("name_b"), col("n_rows").as("rows_b")), "name_b")
+      .select(col("name_a"), col("name_b"), col("dl"), col("lev"),
+        col("gain"), col("rows_a"), col("rows_b"))
+      .orderBy(col("dl"), col("name_a"), col("name_b"))
+  }
+
+  private val qDamerau = GraftQuery(
+    "qj_damerau_typo",
+    (s, dir) => damerauNameMatch(Tables.part(s, dir), nameCol = "p_name",
+      maxDist = FuzzyMaxDist, maxTokenDf = FuzzyTokenDf),
+    Some(s"""WITH $nameDomainCte,
+    t AS (SELECT DISTINCT name, tok FROM
+      (SELECT name, unnest(string_split(name, ' ')) AS tok FROM n)),
+    rare AS (SELECT tok FROM t GROUP BY tok HAVING COUNT(*) <= $FuzzyTokenDf),
+    bl AS (SELECT t.name, t.tok FROM t JOIN rare USING (tok)),
+    c AS (SELECT DISTINCT a.name AS name_a, b.name AS name_b
+      FROM bl a JOIN bl b ON a.tok = b.tok AND a.name < b.name
+      WHERE abs(length(a.name) - length(b.name)) <= $FuzzyMaxDist),
+    v AS (SELECT name_a, name_b,
+        CAST(damerau_levenshtein(name_a, name_b) AS INT) AS dl,
+        CAST(levenshtein(name_a, name_b) AS INT) AS lev
+      FROM c WHERE damerau_levenshtein(name_a, name_b) <= $FuzzyMaxDist)
+    SELECT v.name_a, v.name_b, v.dl, v.lev, v.lev - v.dl AS gain,
+      na.n_rows AS rows_a, nb.n_rows AS rows_b
+    FROM v JOIN n na ON na.name = v.name_a JOIN n nb ON nb.name = v.name_b
+    ORDER BY v.dl, v.name_a, v.name_b"""))
+
   val queries: Seq[GraftQuery] =
-    Seq(qFuzzy, qSortedNb, qMutualBest, qMultiPass, qPhonetic)
+    Seq(qFuzzy, qSortedNb, qMutualBest, qMultiPass, qPhonetic, qDamerau)
 }

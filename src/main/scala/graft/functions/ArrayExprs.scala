@@ -482,6 +482,9 @@ object GraftFunctions {
   def graft_sorted_intersect_count(a: Column, b: Column): Column =
     GraftColumnBridge.column(SortedIntersectCount(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  def graft_damerau(a: Column, b: Column): Column =
+    GraftColumnBridge.column(DamerauLevenshtein(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
   /** SQL surface: `SELECT graft_dot(a, b)` after registration. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

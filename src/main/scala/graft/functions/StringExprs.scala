@@ -55,3 +55,108 @@ object NfcNormalize {
     else UTF8String.fromString(Normalizer.normalize(str, Normalizer.Form.NFC))
   }
 }
+
+/** Unrestricted Damerau–Levenshtein distance (Lowrance & Wagner 1975) as a
+  * native codegen'd Catalyst expression — edit distance where an adjacent
+  * transposition costs 1 instead of levenshtein's 2, the metric the record-
+  * linkage literature prefers for human-typed keys (~80% of typos are
+  * single insert/delete/substitute/TRANSPOSE; Damerau 1964). Spark ships
+  * only `levenshtein`; a Scala UDF would leave whole-stage codegen and box
+  * both strings per pair inside the blocking join's verify step — hence
+  * the custom-Expression tier, same rationale as [[NfcNormalize]].
+  *
+  * This is the FULL (unrestricted) variant with the last-occurrence
+  * alphabet table, not the restricted OSA recurrence: DL("CA","ABC") = 2
+  * (CA → AC → ABC), where OSA gives 3 — pinned in StringExprsSpec because
+  * the two are routinely confused. Matches DuckDB's `damerau_levenshtein`
+  * (verified on the discriminating cases), which is the oracle twin.
+  *
+  * Cost: O(|a|·|b|) time and space per pair, computed on code points
+  * (supplementary planes count as one edit unit). Intended use is the
+  * verify step AFTER blocking — bounded fan-in, short keys — never a
+  * corpus cross join.
+  */
+case class DamerauLevenshtein(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_damerau"
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_damerau needs two STRING arguments, got " +
+          s"(${left.dataType.sql}, ${right.dataType.sql})")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DamerauLevenshtein.distance(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.DamerauLevenshtein.distance($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
+object DamerauLevenshtein {
+  private def codePoints(s: UTF8String): Array[Int] = {
+    val str = s.toString
+    val out = new Array[Int](str.codePointCount(0, str.length))
+    var i = 0
+    var j = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      out(j) = cp
+      j += 1
+      i += Character.charCount(cp)
+    }
+    out
+  }
+
+  /** Static entry shared by interpreted eval and generated code. */
+  def distance(a: UTF8String, b: UTF8String): Int = {
+    val s = codePoints(a)
+    val t = codePoints(b)
+    val n = s.length
+    val m = t.length
+    if (n == 0) return m
+    if (m == 0) return n
+    val inf = n + m
+    // (n+2) x (m+2) DP table with the Lowrance–Wagner "infinite" border,
+    // flattened row-major; h(i)(j) = d[(i) * (m + 2) + (j)]
+    val w = m + 2
+    val d = new Array[Int]((n + 2) * w)
+    d(0) = inf
+    var i = 0
+    while (i <= n) { d((i + 1) * w) = inf; d((i + 1) * w + 1) = i; i += 1 }
+    var j = 0
+    while (j <= m) { d(j + 1) = inf; d(w + j + 1) = j; j += 1 }
+    // last row index (1-based) where each code point occurred in `s`
+    val last = new java.util.HashMap[Integer, Integer]()
+    i = 1
+    while (i <= n) {
+      var db = 0
+      j = 1
+      while (j <= m) {
+        val k = { val v = last.get(Integer.valueOf(t(j - 1))); if (v == null) 0 else v.intValue() }
+        val l = db
+        val cost = if (s(i - 1) == t(j - 1)) { db = j; 0 } else 1
+        var best = d(i * w + j) + cost                     // substitute / match
+        val ins = d((i + 1) * w + j) + 1                   // insert into s
+        if (ins < best) best = ins
+        val del = d(i * w + j + 1) + 1                     // delete from s
+        if (del < best) best = del
+        val tr = d(k * w + l) + (i - k - 1) + 1 + (j - l - 1) // transpose block
+        if (tr < best) best = tr
+        d((i + 1) * w + j + 1) = best
+        j += 1
+      }
+      last.put(Integer.valueOf(s(i - 1)), Integer.valueOf(i))
+      i += 1
+    }
+    d((n + 1) * w + m + 1)
+  }
+}
