@@ -1227,8 +1227,105 @@ object VocabOps {
     FROM top JOIN fwd USING (w1) JOIN bwd USING (w2), tt
     ORDER BY c12 DESC, w1, w2"""))
 
+  // ------------------------------------------- Zipf-code surprisal
+  /** MDL document-complexity scoring with CCNet-style head/middle/tail
+    * buckets, in EXACT integer arithmetic: each token's "surprisal" is
+    * the length in bits of its Elias-gamma code under the corpus
+    * frequency ranking — bits(r) = 2·⌊log₂ r⌋ + 1 for frequency rank r —
+    * which is within 2× of the true −log₂ P cost of any Zipf-ish source
+    * (universal-code guarantee, Elias 1975) while needing only integer
+    * bit-lengths (`length(bin(r)) − 1`; no float `ln`, so the score is
+    * bit-deterministic across engines — the same reason [[tfidfKeywords]]
+    * avoids log). Documents of frequent tokens code short (CCNet's
+    * "head"); rare-token documents code long ("tail"). This is the
+    * perplexity-filter analogue (Wenzek et al., CCNet 2020) under a
+    * rank-structured model instead of a trained LM — the bucketing
+    * semantics (sort by per-token cost, cut into thirds) are CCNet's.
+    *
+    * Frequency ranks are assigned WITHOUT a global single-partition
+    * window (the [[MatchOps.sortedNeighborhoodPairs]] two-level scheme):
+    * per-COUNT partitioned row_number + broadcast per-count offsets, the
+    * offsets frame being distinct-count-sized (≪ vocab; its cumulative
+    * window is the sanctioned tiny-frame kind). Tercile thresholds come
+    * from the milli-bits-per-token DISTRIBUTION frame, whose key domain
+    * is bounded by construction (mbpt ≤ 1000·(2·63+1)), never from a
+    * corpus-sized sort. One token-keyed join charges each occurrence its
+    * code length (broadcast when the vocab fits; stopword keys are the
+    * usual df-cap candidates at web scale, see [[tfidfKeywords]]).
+    *
+    * Output: (doc_id, n_toks, bits, mbpt, bucket) for every doc with ≥ 1
+    * token, ordered by doc_id; `bucket` ∈ head|middle|tail by mbpt
+    * terciles (head = cheapest-to-code third, boundary docs to the
+    * cheaper bucket).
+    */
+  def zipfSurprisal(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t = norm(docs, idCol, textCol)
+      .select(col("doc_id"), explode(expr(toksExpr)).as("token"))
+    val cnt = t.groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val offs = cnt.groupBy(col("n")).agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(sum(col("bn")).over(
+        Window.orderBy(col("n").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("n"), col("off"))
+    val ranked = cnt.join(broadcast(offs), "n")
+      .withColumn("rank", col("off") + row_number().over(
+        Window.partitionBy(col("n")).orderBy(col("token"))))
+      .withColumn("bits", lit(2) * (length(bin(col("rank"))) - 1) + 1)
+      .select(col("token"), col("bits"))
+    val perDoc = t.join(ranked, "token")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("bits")).as("bits"))
+      .withColumn("mbpt", expr("(1000 * bits) div n_toks"))
+    val nt = perDoc.agg(count(lit(1)).as("ndocs"))
+    val th = perDoc.groupBy(col("mbpt")).agg(count(lit(1)).as("dn"))
+      .withColumn("cum", sum(col("dn")).over(
+        Window.orderBy(col("mbpt"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(nt))
+      .agg(min(when(col("cum") * 3 >= col("ndocs"), col("mbpt"))).as("t1"),
+        min(when(col("cum") * 3 >= col("ndocs") * 2, col("mbpt"))).as("t2"))
+    perDoc.crossJoin(broadcast(th))
+      .select(col("doc_id"), col("n_toks"), col("bits"), col("mbpt"),
+        when(col("mbpt") <= col("t1"), lit("head"))
+          .when(col("mbpt") <= col("t2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qZipfSurprisal = GraftQuery(
+    "qt_zipf_surprisal",
+    (s, dir) => zipfSurprisal(Tables.documents(s, dir)),
+    Some(s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+    c AS (SELECT token, COUNT(*) AS n FROM t GROUP BY token),
+    o AS (SELECT n, COALESCE(SUM(COUNT(*)) OVER (ORDER BY n DESC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM c GROUP BY n),
+    r AS (SELECT c.token, o.off + ROW_NUMBER() OVER (PARTITION BY c.n
+        ORDER BY c.token) AS rank FROM c JOIN o USING (n)),
+    rb AS (SELECT token, 2 * (length(bin(rank)) - 1) + 1 AS bits FROM r),
+    d AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+        CAST(SUM(rb.bits) AS BIGINT) AS bits
+      FROM t JOIN rb USING (token) GROUP BY t.doc_id),
+    dd AS (SELECT doc_id, n_toks, bits,
+        CAST((1000 * bits) // n_toks AS BIGINT) AS mbpt FROM d),
+    nt AS (SELECT COUNT(*) AS ndocs FROM dd),
+    cum AS (SELECT mbpt, SUM(COUNT(*)) OVER (ORDER BY mbpt
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM dd GROUP BY mbpt),
+    th AS (SELECT MIN(CASE WHEN cum * 3 >= (SELECT ndocs FROM nt)
+          THEN mbpt END) AS t1,
+        MIN(CASE WHEN cum * 3 >= (SELECT ndocs FROM nt) * 2
+          THEN mbpt END) AS t2 FROM cum)
+    SELECT dd.doc_id, dd.n_toks, dd.bits, dd.mbpt,
+      CASE WHEN dd.mbpt <= th.t1 THEN 'head'
+           WHEN dd.mbpt <= th.t2 THEN 'middle'
+           ELSE 'tail' END AS bucket
+    FROM dd, th ORDER BY dd.doc_id"""))
+
   def queries: Seq[GraftQuery] =
     Seq(qVocab, qKeywords, qEditDist, qBm25, qBpeTrain, qBpeTokenize, qCountMin,
       qPhrase, qBigramNovelty, qVocabCoverage, qWordpiece, qBackoff,
-      qFertility, qPrf, qPieceUsage, qHeaps, qColloc, qChao1, qKneserNey)
+      qFertility, qPrf, qPieceUsage, qHeaps, qColloc, qChao1, qKneserNey,
+      qZipfSurprisal)
 }

@@ -2077,6 +2077,24 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Map("a" -> ((2000000L, 1000000L)), "b" -> ((0L, 0L))),
       out.toString)
   }
+
+  test("zipfSurprisal: gamma bits follow corpus ranks; terciles split head/tail") {
+    import spark.implicits._
+    // counts: a=4 (rank 1, 1 bit), b=2 (rank 2, 3 bits), c=1 (rank 3, 3
+    // bits), d=1 (rank 4, 5 bits) — count ties broken by token asc
+    val d = Seq(
+      (1L, "a a a a"),      // bits 4,  mbpt 1000  -> head
+      (2L, "a b b"),        // bits 7,  mbpt 2333  -> middle (t1=1000, t2=2333)
+      (3L, "c d"))          // bits 8,  mbpt 4000  -> tail
+      .toDF("post_id", "body")
+    val out = VocabOps.zipfSurprisal(d, idCol = "post_id", textCol = "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toList
+    assert(out == List(
+      (1L, 4L, 4L, 1000L, "head"),
+      (2L, 3L, 7L, 2333L, "middle"),
+      (3L, 2L, 8L, 4000L, "tail")), out.toString)
+  }
 }
 
 /** Row-collect helpers shared by the API tests. */
