@@ -185,6 +185,82 @@ object LearnOps {
       CalBins),
     Some(calibrationSql))
 
+  // ------------------------------------------- isotonic calibration (PAV)
+  /** Isotonic-regression calibration over score bins — the monotone
+    * calibrator (Zadrozny & Elkan 2002) next to [[calibrationBins]]'s
+    * raw reliability diagram: fit the best NONDECREASING positive-rate
+    * curve to the binned observations, in L2 the pool-adjacent-violators
+    * solution. Computed by the exact minimax characterization instead of
+    * the sequential PAV sweep:
+    *
+    *   iso(i) = max_{j ≤ i} min_{k ≥ i} A(j,k),
+    *   A(j,k) = Σ_{t∈[j,k]} n_pos(t) / Σ_{t∈[j,k]} n(t)
+    *
+    * (Robertson, Wright & Dykstra 1988, Thm 1.4.4) — which is pure
+    * joins+aggregates over the BIN frame, so the corpus is touched once
+    * (the binning aggregate); everything after runs on ≤ bins rows, and
+    * the O(bins³) pair work is constant-bounded (10³ here), never
+    * corpus-scaled. Interval averages are floor-quantized to ppm
+    * (`(10⁶·pos) div n`, identical in both engines), so the fit is the
+    * exact PAV solution of the ppm-quantized rates — bit-deterministic,
+    * no float division. The bin→interval joins are bounded-side cross
+    * joins on the `bins`-row frame (the documented-bounded-side tier,
+    * same as the KNN-Shapley test set).
+    *
+    * Output: (bin, n, n_pos, rate_ppm, iso_ppm) ordered by bin, with
+    * iso_ppm nondecreasing (pinned in OpsApiSpec) and equal to rate_ppm
+    * wherever the raw curve is already monotone.
+    */
+  def isotonicCalibration(scored: DataFrame, scoreCol: String,
+      labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val st = scored.agg(min(col(scoreCol)).as("_mn"), max(col(scoreCol)).as("_mx"))
+    val b = scored.crossJoin(broadcast(st))
+      .withColumn("bin", expr(s"(($scoreCol - _mn) * ${bins}L) DIV (_mx - _mn + 1)"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col(labelCol).cast("long")).as("n_pos"))
+    val ids = b.select(col("bin"))
+    val iv = ids.select(col("bin").as("j"))
+      .crossJoin(broadcast(ids.select(col("bin").as("k"))))
+      .filter(col("j") <= col("k"))
+    val a = iv.join(broadcast(b),
+        col("bin") >= col("j") && col("bin") <= col("k"))
+      .groupBy(col("j"), col("k"))
+      .agg(expr("(1000000 * sum(n_pos)) div sum(n)").as("appm"))
+    val iso = ids.join(broadcast(a),
+        col("j") <= col("bin") && col("k") >= col("bin"))
+      .groupBy(col("bin"), col("j")).agg(min(col("appm")).as("mji"))
+      .groupBy(col("bin")).agg(max(col("mji")).as("iso_ppm"))
+    b.join(broadcast(iso), "bin")
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("(1000000 * n_pos) div n").as("rate_ppm"), col("iso_ppm"))
+      .orderBy(col("bin"))
+  }
+
+  private val isotonicSql = s"""WITH $scoredCte,
+    st2 AS (SELECT MIN(score) AS mn, MAX(score) AS mx FROM cal),
+    b AS (SELECT ((score - mn) * $CalBins) // (mx - mn + 1) AS bin,
+        COUNT(*) AS n, SUM(lab) AS n_pos
+      FROM cal, st2 GROUP BY 1),
+    iv AS (SELECT j.bin AS j, k.bin AS k FROM b j, b k WHERE j.bin <= k.bin),
+    a AS (SELECT iv.j, iv.k,
+        (1000000 * SUM(b.n_pos)) // SUM(b.n) AS appm
+      FROM iv JOIN b ON b.bin >= iv.j AND b.bin <= iv.k GROUP BY iv.j, iv.k),
+    mji AS (SELECT b.bin, a.j, MIN(a.appm) AS mji
+      FROM b JOIN a ON a.j <= b.bin AND a.k >= b.bin GROUP BY b.bin, a.j),
+    iso AS (SELECT bin, MAX(mji) AS iso_ppm FROM mji GROUP BY bin)
+    SELECT CAST(b.bin AS BIGINT) AS bin, CAST(b.n AS BIGINT) AS n,
+      CAST(b.n_pos AS BIGINT) AS n_pos,
+      CAST((1000000 * b.n_pos) // b.n AS BIGINT) AS rate_ppm,
+      CAST(iso.iso_ppm AS BIGINT) AS iso_ppm
+    FROM b JOIN iso ON iso.bin = b.bin ORDER BY b.bin"""
+
+  private val qIsotonic = GraftQuery(
+    "qml_isotonic",
+    (s, dir) => isotonicCalibration(scoredDocs(s, dir), "score", "label",
+      CalBins),
+    Some(isotonicSql))
+
   // ------------------------------------------- target encoding (LOO)
   /** Smoothed leave-one-out target encoding — the standard high-
     * cardinality categorical feature for tabular models: each row gets
@@ -297,6 +373,6 @@ object LearnOps {
     SELECT doc_id, score, pred, CAST(abs(score - b.mstar) AS BIGINT) AS margin
     FROM p, b ORDER BY margin, doc_id LIMIT 20"""))
 
-  val queries: Seq[GraftQuery] = Seq(qDistill, qTargetEncode, qCalibration,
+  val queries: Seq[GraftQuery] = Seq(qDistill, qTargetEncode, qCalibration, qIsotonic,
     qActiveLearn)
 }

@@ -2078,6 +2078,28 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       out.toString)
   }
 
+  test("isotonicCalibration: adjacent violators pool to their weighted mean") {
+    import spark.implicits._
+    // scores land in 4 equal-width bins (0..3); rates 0%, 60%, 40%, 100%
+    // — bins 1 and 2 violate monotonicity and must pool to
+    // (3+2)/(5+5) = 50%; bins 0 and 3 stay at their raw rates.
+    val rows =
+      (1 to 5).map(i => (0, 0)) ++                  // bin 0: 0/5
+      (1 to 5).map(i => (10, if (i <= 3) 1 else 0)) ++ // bin 1: 3/5
+      (1 to 5).map(i => (20, if (i <= 2) 1 else 0)) ++ // bin 2: 2/5
+      (1 to 5).map(i => (30, 1))                    // bin 3: 5/5
+    val df = rows.toDF("score", "label")
+    val out = LearnOps.isotonicCalibration(df, "score", "label", bins = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toList
+    assert(out == List(
+      (0L, 0L, 0L),
+      (1L, 600000L, 500000L),
+      (2L, 400000L, 500000L),
+      (3L, 1000000L, 1000000L)), out.toString)
+    // monotone by construction
+    assert(out.map(_._3) == out.map(_._3).sorted)
+  }
+
   test("zipfSurprisal: gamma bits follow corpus ranks; terciles split head/tail") {
     import spark.implicits._
     // counts: a=4 (rank 1, 1 bit), b=2 (rank 2, 3 bits), c=1 (rank 3, 3
