@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -485,6 +485,155 @@ object MatchOps {
     FROM v JOIN n na ON na.name = v.name_a JOIN n nb ON nb.name = v.name_b
     ORDER BY v.dl, v.name_a, v.name_b"""))
 
+  // ------------------------------------- Fellegi–Sunter weights
+  /** Fellegi–Sunter probabilistic record linkage (JASA 1969) — the
+    * statistical scoring layer ABOVE the candidate generators: for each
+    * blocked record pair, compare a vector of fields, and score the pair
+    * by the likelihood ratio Π_f m_f/u_f (agreeing fields) ×
+    * (1−m_f)/(1−u_f) (disagreeing), where m_f = P(agree | same entity)
+    * is a per-field parameter and u_f = P(agree | random pair) is
+    * ESTIMATED FROM THE DATA by the random-pairing identity
+    * u_f = Σ_v c_v(c_v−1) / N(N−1) over the field's value frequencies
+    * (plus the adjacent-value term for the ±1 size band) — exact integer
+    * counts, the frequency-based u of Winkler's practice papers.
+    *
+    * Everything stays exact: m_f are fixed rationals (brand 19/20,
+    * size 9/10, type 9/10), u_f exact count ratios, and the composite
+    * ratio is accumulated in ppm by one floor-div per field with a 10⁹
+    * saturation clamp after each step (ratio range [10⁻⁶, 10³] — beyond
+    * the clamp every decision is already forced, so saturation never
+    * changes a decision; the per-step clamp also keeps every product
+    * within BIGINT in both engines). Decisions are the classic
+    * three-way threshold rule: ratio ≥ 100 ⇒ match, ≥ 1 ⇒ possible,
+    * else non-match.
+    *
+    * Output is the GAMMA-PATTERN TABLE, not the pair list — one row per
+    * agreement pattern (2³ here), with the pair count, the pattern's
+    * composite weight, and its decision: the object an FS clerical-review
+    * pipeline actually consumes, and constant-sized however large the
+    * corpus. Scale shape: u-estimation is three value-frequency
+    * aggregates over the record table; pair generation is an equi-join
+    * on the block key (value-frequency capped at `maxBlockDf` — the
+    * quadratic-bucket guard, mirrored in-oracle); the pattern aggregate
+    * collapses pairs before any weight arithmetic, which then runs on
+    * ≤ 8 broadcast-joined rows.
+    *
+    * Output: (pattern, n_pairs, agree_brand, agree_size, agree_type,
+    * r_ppm, decision) ordered by pattern desc (best evidence first).
+    */
+  def fellegiSunter(df: DataFrame, idCol: String, blockCol: String,
+      brandCol: String, sizeCol: String, typeCol: String,
+      maxBlockDf: Int = 5000): DataFrame = {
+    require(maxBlockDf >= 1, s"maxBlockDf must be >= 1, got $maxBlockDf")
+    val p = df.select(col(idCol).as("_rid"),
+      col(blockCol).as("blk"), col(brandCol).as("brand"),
+      col(sizeCol).as("size"), col(typeCol).as("ptype"))
+    // u-probability numerators: agreeing ordered pairs over the FULL table
+    val q1 = p.agg(count(lit(1)).as("n"))
+      .select(col("n"), (col("n") * (col("n") - 1)).as("q"))
+    val uB = p.groupBy(col("brand")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * (col("c") - 1)).as("pb"))
+    val uT = p.groupBy(col("ptype")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * (col("c") - 1)).as("pt"))
+    val sc = p.groupBy(col("size")).agg(count(lit(1)).as("c"))
+    val uS = sc.as("x").join(sc.as("y"),
+        col("x.size") === col("y.size") + 1, "left")
+      .agg((sum(col("x.c") * (col("x.c") - 1)) +
+        lit(2) * sum(col("x.c") * coalesce(col("y.c"), lit(0L)))).as("ps"))
+    // per-field agree/disagree weights in ppm, saturated at 10^9:
+    //   agree:    m/u       = (m_num·q) / (m_den·p_f)
+    //   disagree: (1−m)/(1−u) = ((m_den−m_num)·q) / (m_den·(q−p_f))
+    def w(num: Long, den: Long, pf: String, agree: Boolean): Column = {
+      val (a, b) =
+        if (agree) (s"${num}L * q", s"${den}L * greatest($pf, 1L)")
+        else (s"${den - num}L * q", s"${den}L * greatest(q - $pf, 1L)")
+      expr(s"least((1000000L * $a) div ($b), 1000000000L)")
+    }
+    val weights = q1.crossJoin(broadcast(uB)).crossJoin(broadcast(uT))
+      .crossJoin(broadcast(uS))
+      .select(
+        w(19, 20, "pb", agree = true).as("wb1"),
+        w(19, 20, "pb", agree = false).as("wb0"),
+        w(9, 10, "ps", agree = true).as("ws1"),
+        w(9, 10, "ps", agree = false).as("ws0"),
+        w(9, 10, "pt", agree = true).as("wt1"),
+        w(9, 10, "pt", agree = false).as("wt0"))
+    // candidate pairs: equi-join on the block key, frequency-capped
+    val keep = p.groupBy(col("blk")).agg(count(lit(1)).as("bdf"))
+      .filter(col("bdf") <= maxBlockDf).select(col("blk"))
+    val blocked = p.join(keep, "blk")
+    val patterns = blocked.as("a")
+      .join(blocked.as("b"),
+        col("a.blk") === col("b.blk") && col("a._rid") < col("b._rid"))
+      .select(
+        (col("a.brand") === col("b.brand")).cast("int").as("gb"),
+        (abs(col("a.size") - col("b.size")) <= 1).cast("int").as("gs"),
+        (col("a.ptype") === col("b.ptype")).cast("int").as("gt"))
+      .groupBy(col("gb"), col("gs"), col("gt"))
+      .agg(count(lit(1)).as("n_pairs"))
+    patterns.crossJoin(broadcast(weights))
+      .withColumn("r1", expr("least(CASE WHEN gb = 1 THEN wb1 ELSE wb0 END, 1000000000L)"))
+      .withColumn("r2", expr("least((r1 * CASE WHEN gs = 1 THEN ws1 ELSE ws0 END) div 1000000, 1000000000L)"))
+      .withColumn("r_ppm", expr("least((r2 * CASE WHEN gt = 1 THEN wt1 ELSE wt0 END) div 1000000, 1000000000L)"))
+      .select((col("gb") * 4 + col("gs") * 2 + col("gt")).cast("long").as("pattern"),
+        col("n_pairs"), col("gb").cast("long").as("agree_brand"),
+        col("gs").cast("long").as("agree_size"),
+        col("gt").cast("long").as("agree_type"), col("r_ppm"),
+        when(col("r_ppm") >= 100000000L, lit("match"))
+          .when(col("r_ppm") >= 1000000L, lit("possible"))
+          .otherwise(lit("non_match")).as("decision"))
+      .orderBy(col("pattern").desc)
+  }
+
+  private val FsBlockDf = 5000
+
+  private val qFellegiSunter = GraftQuery(
+    "qj_fellegi_sunter",
+    (s, dir) => fellegiSunter(Tables.part(s, dir), idCol = "p_partkey",
+      blockCol = "p_name", brandCol = "p_brand", sizeCol = "p_size",
+      typeCol = "p_type", maxBlockDf = FsBlockDf),
+    Some(s"""WITH p AS (SELECT p_partkey AS rid, p_name AS blk, p_brand AS brand,
+        p_size AS psize, p_type AS ptype FROM part),
+    q1 AS (SELECT COUNT(*) AS n, COUNT(*) * (COUNT(*) - 1) AS q FROM p),
+    ub AS (SELECT SUM(c * (c - 1)) AS pb FROM
+      (SELECT COUNT(*) AS c FROM p GROUP BY brand)),
+    ut AS (SELECT SUM(c * (c - 1)) AS pt FROM
+      (SELECT COUNT(*) AS c FROM p GROUP BY ptype)),
+    sc AS (SELECT psize, COUNT(*) AS c FROM p GROUP BY psize),
+    us AS (SELECT SUM(x.c * (x.c - 1)) + 2 * SUM(x.c * COALESCE(y.c, 0)) AS ps
+      FROM sc x LEFT JOIN sc y ON x.psize = y.psize + 1),
+    wt AS (SELECT
+        LEAST((1000000 * 19 * q) // (20 * GREATEST(pb, 1)), 1000000000) AS wb1,
+        LEAST((1000000 * 1 * q) // (20 * GREATEST(q - pb, 1)), 1000000000) AS wb0,
+        LEAST((1000000 * 9 * q) // (10 * GREATEST(ps, 1)), 1000000000) AS ws1,
+        LEAST((1000000 * 1 * q) // (10 * GREATEST(q - ps, 1)), 1000000000) AS ws0,
+        LEAST((1000000 * 9 * q) // (10 * GREATEST(pt, 1)), 1000000000) AS wt1,
+        LEAST((1000000 * 1 * q) // (10 * GREATEST(q - pt, 1)), 1000000000) AS wt0
+      FROM q1, ub, ut, us),
+    keep AS (SELECT blk FROM p GROUP BY blk HAVING COUNT(*) <= $FsBlockDf),
+    bl AS (SELECT p.* FROM p JOIN keep USING (blk)),
+    pat AS (SELECT
+        CASE WHEN a.brand = b.brand THEN 1 ELSE 0 END AS gb,
+        CASE WHEN abs(a.psize - b.psize) <= 1 THEN 1 ELSE 0 END AS gs,
+        CASE WHEN a.ptype = b.ptype THEN 1 ELSE 0 END AS gt,
+        COUNT(*) AS n_pairs
+      FROM bl a JOIN bl b ON a.blk = b.blk AND a.rid < b.rid
+      GROUP BY 1, 2, 3),
+    r AS (SELECT gb, gs, gt, n_pairs,
+        LEAST((LEAST((LEAST(CASE WHEN gb = 1 THEN wb1 ELSE wb0 END, 1000000000)
+          * CASE WHEN gs = 1 THEN ws1 ELSE ws0 END) // 1000000, 1000000000)
+          * CASE WHEN gt = 1 THEN wt1 ELSE wt0 END) // 1000000, 1000000000) AS r_ppm
+      FROM pat, wt)
+    SELECT CAST(gb * 4 + gs * 2 + gt AS BIGINT) AS pattern,
+      CAST(n_pairs AS BIGINT) AS n_pairs,
+      CAST(gb AS BIGINT) AS agree_brand, CAST(gs AS BIGINT) AS agree_size,
+      CAST(gt AS BIGINT) AS agree_type, CAST(r_ppm AS BIGINT) AS r_ppm,
+      CASE WHEN r_ppm >= 100000000 THEN 'match'
+           WHEN r_ppm >= 1000000 THEN 'possible'
+           ELSE 'non_match' END AS decision
+    FROM r ORDER BY pattern DESC"""))
+
   val queries: Seq[GraftQuery] =
-    Seq(qFuzzy, qSortedNb, qMutualBest, qMultiPass, qPhonetic, qDamerau)
+    Seq(qFuzzy, qSortedNb, qMutualBest, qMultiPass, qPhonetic, qDamerau,
+      qFellegiSunter)
 }

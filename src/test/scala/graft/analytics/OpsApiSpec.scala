@@ -2078,6 +2078,27 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       out.toString)
   }
 
+  test("fellegiSunter: hand-computed u-probabilities and ratio chain") {
+    import spark.implicits._
+    // N=4, q=12; u_brand = 4/12, u_type = 6/12, u_size = 2/12 (no
+    // adjacent sizes) → wb1 = 1e6·19·12/(20·4) = 2_850_000, wb0 = 75_000,
+    // ws1 = 5_400_000, ws0 = 120_000, wt1 = 1_800_000, wt0 = 200_000.
+    val recs = Seq(
+      (1L, "x", "A", 1, "T"), (2L, "x", "A", 1, "T"),
+      (3L, "x", "B", 5, "U"), (4L, "x", "B", 9, "T"))
+      .toDF("rid", "blk", "brand", "sz", "typ")
+    val out = MatchOps.fellegiSunter(recs, idCol = "rid", blockCol = "blk",
+        brandCol = "brand", sizeCol = "sz", typeCol = "typ")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(5), r.getString(6)))).toMap
+    assert(out == Map(
+      7L -> ((1L, 27702000L, "possible")),   // (1,2): 2.85e6→15.39e6→27.702e6
+      4L -> ((1L, 68400L, "non_match")),     // (3,4): brand only
+      1L -> ((2L, 16200L, "non_match")),     // (1,4),(2,4): type only
+      0L -> ((2L, 1800L, "non_match"))),     // (1,3),(2,3): all disagree
+      out.toString)
+  }
+
   test("isotonicCalibration: adjacent violators pool to their weighted mean") {
     import spark.implicits._
     // scores land in 4 equal-width bins (0..3); rates 0%, 60%, 40%, 100%
