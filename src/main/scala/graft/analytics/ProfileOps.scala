@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -655,7 +655,64 @@ object ProfileOps {
         CAST(10000 * abs(est_card - exact_card) // exact_card AS BIGINT) AS err_bp
       FROM est CROSS JOIN ex"""))
 
+  // ------------------------------------- privacy: randomized response
+  /** Randomized response (Warner 1965) — the oldest local-DP mechanism,
+    * the audit side here: each row reports its sensitive bit TRUTHFULLY
+    * with probability 3/4 and FLIPPED with probability 1/4 (ε = ln 3
+    * local differential privacy: P[report|yes]/P[report|no] ≤ 3 for
+    * either report), then per-group counts are debiased by the closed
+    * form ŷ = (obs − n/4)/(1 − 2/4) = 2·obs − n/2. The query emits the
+    * true count next to the estimate — the utility audit a pipeline runs
+    * before committing to a privatized collection.
+    *
+    * The "coin" is the deterministic md5-derived 60-bit hash of the row
+    * id ([[Nlp.h60]], the one hash both engines compute identically) mod
+    * 4 — so the mechanism is reproducible across engines and
+    * partitionings (a pinned-seed simulation of the mechanism, exactly
+    * like the hash-sampled k-means training contract). Debiased counts
+    * stay integer by reporting ×2 units (`est_x2 = 4·obs − n`). One
+    * map-only flip + one uniform-key aggregate — scale-free.
+    *
+    * Output: (group, n, true_pos, obs_pos, est_x2, err_x2) ordered by
+    * group, where err_x2 = est_x2 − 2·true_pos is the realized
+    * debiasing error in ×2 units.
+    */
+  def randomizedResponse(df: DataFrame, idCol: String, groupCol: String,
+      sensitive: Column): DataFrame = {
+    val flips = df.select(col(groupCol).as("grp"),
+        sensitive.cast("int").as("y"),
+        (expr(Nlp.h60(s"concat('rr', CAST($idCol AS STRING))")) % 4 === 0)
+          .cast("int").as("flip"))
+      .withColumn("rep", expr("CASE WHEN flip = 1 THEN 1 - y ELSE y END"))
+    flips.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("true_pos"),
+        sum(col("rep")).as("obs_pos"))
+      .select(col("grp"), col("n"), col("true_pos"), col("obs_pos"),
+        (lit(4) * col("obs_pos") - col("n")).as("est_x2"),
+        (lit(4) * col("obs_pos") - col("n") - lit(2) * col("true_pos"))
+          .as("err_x2"))
+      .orderBy(col("grp"))
+  }
+
+  private val qRandResponse = GraftQuery(
+    "qpriv_rand_response",
+    (s, dir) => randomizedResponse(Tables.customer(s, dir),
+      idCol = "c_custkey", groupCol = "c_nationkey",
+      sensitive = col("c_mktsegment") === "BUILDING"),
+    Some(s"""WITH f AS (SELECT c_nationkey AS grp,
+        CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS y,
+        CASE WHEN ${Nlp.h60Sql("('rr' || CAST(c_custkey AS VARCHAR))")} % 4 = 0
+          THEN 1 ELSE 0 END AS flip
+      FROM customer),
+    r AS (SELECT grp, y, CASE WHEN flip = 1 THEN 1 - y ELSE y END AS rep FROM f)
+    SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(y) AS BIGINT) AS true_pos,
+      CAST(SUM(rep) AS BIGINT) AS obs_pos,
+      CAST(4 * SUM(rep) - COUNT(*) AS BIGINT) AS est_x2,
+      CAST(4 * SUM(rep) - COUNT(*) - 2 * SUM(y) AS BIGINT) AS err_x2
+    FROM r GROUP BY grp ORDER BY grp"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qProfile, qProfileEvents, qHistQuantile, qExpectations, qDrift,
-      qDimProfile, qKAnon, qTClose, qFd, qJoinCard)
+      qDimProfile, qKAnon, qTClose, qFd, qJoinCard, qRandResponse)
 }

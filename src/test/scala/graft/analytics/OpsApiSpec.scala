@@ -2078,6 +2078,25 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       out.toString)
   }
 
+  test("randomizedResponse: debias identities hold and mechanism is deterministic") {
+    import spark.implicits._
+    val rows = (1L to 40L).map(i => (i, if (i % 2 == 0) "a" else "b", i % 3 == 0))
+    val df = rows.toDF("rid", "grp", "bit")
+    def run() = ProfileOps.randomizedResponse(df, "rid", "grp",
+        org.apache.spark.sql.functions.col("bit"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toList
+    val out = run()
+    assert(out.map(_._1) == List("a", "b"))
+    out.foreach { case (_, n, truePos, obs, est, err) =>
+      assert(est == 4 * obs - n)            // debias closed form, x2 units
+      assert(err == est - 2 * truePos)      // realized error definition
+      assert(obs >= 0 && obs <= n)
+    }
+    // flips come from the row-id hash, not from runtime randomness
+    assert(out == run())
+  }
+
   test("fellegiSunter: hand-computed u-probabilities and ratio chain") {
     import spark.implicits._
     // N=4, q=12; u_brand = 4/12, u_type = 6/12, u_size = 2/12 (no
