@@ -1776,9 +1776,96 @@ object StatTests {
           * (CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5) - tt) AS reject_05
     FROM p CROSS JOIN tt"""))
 
+  // ------------------------------------- Kruskal–Wallis H test
+  /** Kruskal–Wallis H (1952) — the k-group extension of [[mannWhitney]]:
+    * "do any of the k groups' distributions differ", nonparametric
+    * one-way-ANOVA-on-ranks companion to [[anovaF]]'s mean test. Same
+    * exact-integer rank machinery as MWU: average ranks for ties kept
+    * integral in DOUBLE-RANK units (tie group of k rows after c pooled
+    * predecessors → 2c + k + 1 per member), so per-group rank sums
+    * R_j×2 = Σ_v k_jv·(2c_v + k_v + 1) are exact. Then
+    *
+    *   H = 3·(4·Σ_j R_j²/n_j − N(N+1)²) / (N(N+1)),
+    *   H' = H · (N³−N) / (N³−N−ΣT),  T = Σ_ties (k³−k)
+    *
+    * in micro-units with one floor-div per group (Σ (10⁶·R_j×2²) div
+    * (4·n_j) — identical floors in both engines) and DECIMAL(38,0)/
+    * HUGEINT products. Decision: H' > the caller-pinned χ²_{k−1, α}
+    * critical value in micro (the df is a property of the BINDING's
+    * group count, so the constant lives with the binding — 9.487729 for
+    * df = 4 at α = 0.05). All-tied input (ΣT = N³−N) yields null H'.
+    *
+    * Plan: (value, group) collapse, pooled per-value tie frame through
+    * the distributed [[Scans.rangedCumSum]] (no single-partition corpus
+    * window), one value-keyed join back, one group aggregate, one final
+    * 1-row combine — the [[ksTest]]/[[mannWhitney]] envelope with a
+    * group dimension.
+    *
+    * Output: one row (n, n_groups, sum_ties, h_micro, h_tie_micro,
+    * reject_05).
+    */
+  def kruskalWallis(vals: DataFrame, valueCol: String, groupCol: String,
+      criticalMicro: Long = 9487729L): DataFrame = {
+    val gv = vals.select(col(valueCol).as("v"), col(groupCol).as("grp"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("v"), col("grp")).agg(count(lit(1)).as("kj"))
+    val cum = Scans.rangedCumSum(
+        gv.groupBy(col("v")).agg(sum(col("kj")).as("k")), "v", col("k"), "ci")
+      .withColumn("c", col("ci") - col("k"))
+    val pg = gv.join(cum, "v")
+      .groupBy(col("grp"))
+      .agg(sum(col("kj")).as("nj"),
+        sum(dec(col("kj")) * (dec(lit(2)) * col("c") + col("k") + 1)).as("rjx2"))
+    val ties = cum.agg(
+      sum(dec(col("k")) * col("k") * col("k") - col("k")).as("st"))
+    pg.agg(sum(col("nj")).cast("decimal(38,0)").as("nd"),
+        count(lit(1)).as("ng"),
+        sum(expr("(CAST(1000000 AS DECIMAL(38,0)) * rjx2 * rjx2) div (CAST(4 AS DECIMAL(38,0)) * nj)"))
+          .cast("decimal(38,0)").as("s4"))
+      .crossJoin(broadcast(ties))
+      .withColumn("h_micro", expr(
+        """CAST((3 * (4 * s4 - CAST(1000000 AS DECIMAL(38,0)) * nd * (nd + 1) * (nd + 1)))
+           div (nd * (nd + 1)) AS BIGINT)"""))
+      .withColumn("h_tie_micro", expr(
+        """CAST((CAST(h_micro AS DECIMAL(38,0)) * (nd * nd * nd - nd))
+           div nullif(nd * nd * nd - nd - st, CAST(0 AS DECIMAL(38,0))) AS BIGINT)"""))
+      .select(col("nd").cast("long").as("n"), col("ng").cast("long").as("n_groups"),
+        col("st").cast("long").as("sum_ties"), col("h_micro"),
+        col("h_tie_micro"),
+        (col("h_tie_micro") > criticalMicro).as("reject_05"))
+  }
+
+  /** All five event types' value distributions at once — the k-group
+    * question the pairwise MWU/KS bindings can't ask. df = 4 →
+    * χ²_{4, 0.05} = 9.487729 pinned in micro.
+    */
+  private val qKruskal = GraftQuery(
+    "qstat_kruskal_wallis",
+    (s, dir) => kruskalWallis(Tables.events(s, dir), "value", "event_type"),
+    Some("""WITH gv AS (SELECT value AS v, event_type AS grp, COUNT(*) AS kj
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    tot AS (SELECT v, SUM(kj) AS k FROM gv GROUP BY v),
+    cum AS (SELECT v, k, COALESCE(SUM(k) OVER (ORDER BY v
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c FROM tot),
+    pg AS (SELECT grp, CAST(SUM(kj) AS HUGEINT) AS nj,
+        SUM(CAST(kj AS HUGEINT) * (2 * cum.c + cum.k + 1)) AS rjx2
+      FROM gv JOIN cum USING (v) GROUP BY grp),
+    t AS (SELECT SUM(CAST(k AS HUGEINT) * k * k - k) AS st FROM cum),
+    s AS (SELECT CAST(SUM(nj) AS HUGEINT) AS n, COUNT(*) AS ng,
+        SUM((1000000 * rjx2 * rjx2) // (4 * nj)) AS s4 FROM pg),
+    h AS (SELECT n, ng, st,
+        (3 * (4 * s4 - 1000000 * n * (n + 1) * (n + 1))) // (n * (n + 1)) AS hm
+      FROM s, t),
+    h2 AS (SELECT n, ng, st, hm,
+        (hm * (n * n * n - n)) // NULLIF(n * n * n - n - st, 0) AS hm2 FROM h)
+    SELECT CAST(n AS BIGINT) AS n, CAST(ng AS BIGINT) AS n_groups,
+      CAST(st AS BIGINT) AS sum_ties, CAST(hm AS BIGINT) AS h_micro,
+      CAST(hm2 AS BIGINT) AS h_tie_micro, hm2 > 9487729 AS reject_05
+    FROM h2"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qChisq, qKs, qBoot, qGini, qLinReg, qPettitt, qWMedian, qMwu,
       qBenford, qPareto, qRuns, qSpearman, qKendall, qTheilSen, qCramersV,
       qAutocorr, qCohensD, qIqr, qPowerN, qSimpson, qForecastErr, qAnova,
-      qLevene, qMannKendall)
+      qLevene, qMannKendall, qKruskal)
 }

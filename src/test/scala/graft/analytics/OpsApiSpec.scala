@@ -2078,6 +2078,18 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       out.toString)
   }
 
+  test("kruskalWallis: tie-free hand case gives H = 2.4 exactly") {
+    import spark.implicits._
+    // groups {1,2} and {3,4}: ranks 1..4, R1 = 3, R2 = 7, S = 29,
+    // H = 12/(4·5)·29 − 3·5 = 2.4; no ties so H' = H
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0))
+      .toDF("g", "x")
+    val out = StatTests.kruskalWallis(df, "x", "g").collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3),
+      out.getLong(4), out.getBoolean(5)) ==
+      ((4L, 2L, 0L, 2400000L, 2400000L, false)), out.toString)
+  }
+
   test("randomizedResponse: debias identities hold and mechanism is deterministic") {
     import spark.implicits._
     val rows = (1L to 40L).map(i => (i, if (i % 2 == 0) "a" else "b", i % 3 == 0))
