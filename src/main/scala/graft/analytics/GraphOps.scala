@@ -1500,8 +1500,97 @@ object GraphOps {
     },
     Some(betweennessSql))
 
+  // ------------------------------------------- local clustering coefficients
+  /** Per-node local clustering coefficient distribution — Watts &
+    * Strogatz's cc(v) = 2·t(v)/(d(v)·(d(v)−1)), the node-level metric
+    * whose AVERAGE is a different number from [[triangleCount]]'s global
+    * transitivity (average weights every node equally; transitivity
+    * weights by wedge count, so hubs dominate it). Same degree-oriented
+    * wedge scheme as triangleCount (each triangle enumerated exactly
+    * once, from its by-(degree, id) smallest corner), except the closing
+    * join KEEPS the pivot so the triangle can credit all three corners
+    * via one explode — per-node triangle counts without touching the
+    * quadratic unoriented wedge space.
+    *
+    * Output is the constant-sized decile histogram of cc over nodes with
+    * degree ≥ 2 (degree-<2 nodes have no wedges — excluded, not zeroed):
+    * (bucket, n_nodes, min_cc_bp, max_cc_bp) for bucket = cc_bp div 1000
+    * ∈ [0, 10], ordered by bucket; cc in exact basis points
+    * (10⁴·2·t div (d·(d−1))), so bucket 10 is exactly-closed
+    * neighborhoods only.
+    */
+  def localClustering(edgesIn: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val e = edgesIn
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    val deg = e.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val withDeg = e
+      .join(deg.select(col("node").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("d").as("db")), "b")
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("src"),
+      when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+      when(aFirst, col("db")).otherwise(col("da")).as("dd"))
+      .localCheckpoint()
+    val wedges = oriented.select(col("src").as("p"), col("dst").as("x"),
+        col("dd").as("dx"))
+      .join(oriented.select(col("src").as("p"), col("dst").as("y"),
+        col("dd").as("dy")), "p")
+      .filter(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y")))
+    val tris = wedges
+      .join(oriented.select(col("src").as("x"), col("dst").as("y")),
+        Seq("x", "y"))
+      .select(explode(array(col("p"), col("x"), col("y"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("t"))
+    deg.filter(col("d") >= 2)
+      .join(tris, Seq("node"), "left")
+      .select(col("node"),
+        expr("(10000 * 2 * coalesce(t, 0)) div (d * (d - 1))").as("cc_bp"))
+      .groupBy(expr("cc_bp div 1000").as("bucket"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("cc_bp")).as("min_cc_bp"),
+        max(col("cc_bp")).as("max_cc_bp"))
+      .orderBy(col("bucket"))
+  }
+
+  private val qLocalClustering = GraftQuery(
+    "qg_local_clustering",
+    (s, dir) => localClustering(coSupplierEdges(s, dir)),
+    Some("""WITH ls AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'),
+    e0 AS (SELECT DISTINCT a.sk AS a, b.sk AS b
+      FROM ls a JOIN ls b ON a.ok = b.ok AND a.sk < b.sk),
+    deg AS (SELECT node, COUNT(*) AS d FROM
+      (SELECT a AS node FROM e0 UNION ALL SELECT b AS node FROM e0) GROUP BY node),
+    wd AS (SELECT e0.a, e0.b, dda.d AS da, ddb.d AS db
+      FROM e0 JOIN deg dda ON e0.a = dda.node JOIN deg ddb ON e0.b = ddb.node),
+    o AS (SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS src,
+      CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS dst,
+      CASE WHEN da < db OR (da = db AND a < b) THEN db ELSE da END AS dd
+      FROM wd),
+    w AS (SELECT o1.src AS p, o1.dst AS x, o2.dst AS y
+      FROM o o1 JOIN o o2 ON o1.src = o2.src
+      WHERE o1.dd < o2.dd OR (o1.dd = o2.dd AND o1.dst < o2.dst)),
+    tr AS (SELECT w.p, w.x, w.y FROM w JOIN o ON o.src = w.x AND o.dst = w.y),
+    tn AS (SELECT node, COUNT(*) AS t FROM
+      (SELECT p AS node FROM tr UNION ALL SELECT x FROM tr UNION ALL SELECT y FROM tr)
+      GROUP BY node),
+    cc AS (SELECT deg.node,
+        (10000 * 2 * COALESCE(tn.t, 0)) // (deg.d * (deg.d - 1)) AS cc_bp
+      FROM deg LEFT JOIN tn USING (node) WHERE deg.d >= 2)
+    SELECT CAST(cc_bp // 1000 AS BIGINT) AS bucket,
+      CAST(COUNT(*) AS BIGINT) AS n_nodes,
+      CAST(MIN(cc_bp) AS BIGINT) AS min_cc_bp,
+      CAST(MAX(cc_bp) AS BIGINT) AS max_cc_bp
+    FROM cc GROUP BY 1 ORDER BY bucket"""))
+
   def queries: Seq[GraftQuery] =
     Seq(qPageRank, qTriangles, qLpa, qKcore, qReach, qSubtree, qSssp, qPpr,
       qLinkPredict, qDegreeDist, qModularity, qHits, qAssortativity, qWalks,
-      qHarmonic, qEcc, qBetweenness)
+      qHarmonic, qEcc, qBetweenness, qLocalClustering)
 }

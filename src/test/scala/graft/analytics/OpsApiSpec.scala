@@ -2078,6 +2078,18 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       out.toString)
   }
 
+  test("localClustering: triangle with a pendant gives cc 1/3 and 1.0 buckets") {
+    import spark.implicits._
+    // triangle 1-2-3 plus pendant 4-1: cc(1) = 2/(3·2) = 1/3 → 3333 bp,
+    // cc(2) = cc(3) = 1 → 10000 bp, node 4 (d=1) excluded
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)).toDF("u", "v")
+    val out = GraphOps.localClustering(edges, srcCol = "u", dstCol = "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toList
+    assert(out == List((3L, 1L, 3333L, 3333L), (10L, 2L, 10000L, 10000L)),
+      out.toString)
+  }
+
   test("kruskalWallis: tie-free hand case gives H = 2.4 exactly") {
     import spark.implicits._
     // groups {1,2} and {3,4}: ranks 1..4, R1 = 3, R2 = 7, S = 29,
