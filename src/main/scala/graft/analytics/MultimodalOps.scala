@@ -522,7 +522,122 @@ object MultimodalOps {
     WHERE 2 * p.n_match >= LEAST(na.nf, nb.nf)
     ORDER BY d1, d2"""))
 
+  // ------------------------------------------- audio fingerprint matching
+  /** Constellation fingerprint matching (Wang 2003, the Shazam scheme) —
+    * the OFFSET-INVARIANT duplicate detector [[videoNearDup]] is not:
+    * that operator joins frames at IDENTICAL frame_idx, so a copy with
+    * leading content inserted (an ad before the clip, silence trimmed
+    * differently) matches zero frames. Here each asset emits landmark
+    * fingerprints — (frame hash at anchor i, frame hash at i+g, gap g)
+    * for g ≤ `fanout` — and candidate pairs VOTE on the anchor
+    * difference Δ = i_a − i_b through an inverted-index join on the
+    * fingerprint; a true shifted copy concentrates its votes on one Δ
+    * (the shift), while coincidental hash collisions scatter. The
+    * per-pair winning Δ with ≥ `minVotes` votes is a match.
+    *
+    * Scale shape: landmarks are a frame-keyed 1:g self-join per doc
+    * (fan-out ≤ fanout, never quadratic); the inverted index is an
+    * equi-join on the fingerprint key with the standard df-cap (a
+    * fingerprint occurring in more than `dfCap` frames is too common to
+    * be discriminative AND is the quadratic bucket — dropped, mirrored
+    * in-oracle); delta voting is one (pair, Δ) aggregate; the winning Δ
+    * is a max-struct aggregate per pair ((votes, −Δ) — largest vote
+    * count, smallest Δ on ties), not a window. Assets with < g+1 frames
+    * emit no landmarks — the honest minimum-signal bound of the scheme.
+    *
+    * The frame hash stands in for the spectrogram-peak pair a real audio
+    * build derives behind [[MediaDecoder]]; the constellation/voting
+    * layer above it — the Spark-side algorithm — is real and
+    * oracle-checked.
+    *
+    * Output: (d1, d2, delta, votes, n_lm1, n_lm2) for matched pairs,
+    * d1 < d2, ordered by (d1, d2); delta = d1's anchor minus d2's.
+    */
+  def audioFingerprint(assets: Dataset[(Long, Array[Byte])], stride: Int = 32,
+      fanout: Int = 2, dfCap: Int = 64, minVotes: Int = 3): DataFrame = {
+    require(stride >= 1 && fanout >= 1 && dfCap >= 1 && minVotes >= 1,
+      s"stride/fanout/dfCap/minVotes must be >= 1")
+    val fr = sampleFrames(assets, stride).toDF()
+      .select(col("doc_id"), col("frame_idx").as("i"),
+        col("frame_checksum").as("cs"))
+    val lm = fr
+      .select(col("doc_id"), col("i"), col("cs"),
+        explode(array((1 to fanout).map(lit): _*)).as("g"))
+      .withColumn("j", col("i") + col("g"))
+      .join(fr.select(col("doc_id"), col("i").as("j"), col("cs").as("cs2")),
+        Seq("doc_id", "j"))
+      .select(col("doc_id"), col("i"),
+        concat(col("cs"), lit(":"), col("cs2"), lit(":"), col("g")).as("fp"))
+    val nl = lm.groupBy(col("doc_id")).agg(count(lit(1)).as("n_lm"))
+    val keep = lm.groupBy(col("fp")).agg(count(lit(1)).as("fdf"))
+      .filter(col("fdf") <= dfCap).select(col("fp"))
+    val occ = lm.join(keep, Seq("fp"), "left_semi")
+    occ.select(col("fp"), col("doc_id").as("d1"), col("i").as("i1"))
+      .join(occ.select(col("fp"), col("doc_id").as("d2"), col("i").as("i2")),
+        Seq("fp"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2"), (col("i1") - col("i2")).as("delta"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(max(struct(col("votes"), (-col("delta")).as("nd"))).as("best"))
+      .select(col("d1"), col("d2"), (-col("best.nd")).as("delta"),
+        col("best.votes").as("votes"))
+      .filter(col("votes") >= minVotes)
+      .join(nl.select(col("doc_id").as("d1"), col("n_lm").as("n_lm1")), "d1")
+      .join(nl.select(col("doc_id").as("d2"), col("n_lm").as("n_lm2")), "d2")
+      .select(col("d1"), col("d2"), col("delta"), col("votes"),
+        col("n_lm1"), col("n_lm2"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  // Planted SHIFTED twins: every 13th payload gets a copy with a 64-byte
+  // prefix prepended — exactly 2 frame slots at stride 32, so every
+  // original landmark reappears at Δ = −2. The aligned-frame video rule
+  // matches NONE of these pairs; the constellation vote recovers them.
+  private def fpAssets(s: SparkSession, dir: String): Dataset[(Long, Array[Byte])] = {
+    import s.implicits._
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    base.unionByName(base.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(lit("x" * 64), col("text")).as("text")))
+      .select(col("doc_id"), col("text").cast("binary"))
+      .as[(Long, Array[Byte])]
+  }
+
+  private val qAudioFp = GraftQuery(
+    "qm_audio_fingerprint",
+    (s, dir) => audioFingerprint(fpAssets(s, dir)),
+    Some("""WITH t0 AS (SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id + 2000000, repeat('x', 64) || text
+        FROM documents WHERE doc_id % 13 = 0),
+    f0 AS (SELECT doc_id, octet_length(encode(text)) AS len, text FROM t0),
+    idx AS (SELECT doc_id, len, text,
+      unnest(generate_series(0, CAST(ceil(len / 32.0) AS INTEGER) - 1)) AS fi
+      FROM f0),
+    fr AS (SELECT doc_id, fi, md5(substr(text, fi * 32 + 1, 32)) AS cs FROM idx),
+    lm AS (SELECT a.doc_id, a.fi AS i,
+        a.cs || ':' || b.cs || ':' || g.g AS fp
+      FROM fr a JOIN (SELECT unnest([1, 2]) AS g) g ON TRUE
+      JOIN fr b ON b.doc_id = a.doc_id AND b.fi = a.fi + g.g),
+    nl AS (SELECT doc_id, COUNT(*) AS n_lm FROM lm GROUP BY doc_id),
+    keep AS (SELECT fp FROM lm GROUP BY fp HAVING COUNT(*) <= 64),
+    occ AS (SELECT lm.doc_id, lm.i, lm.fp FROM lm JOIN keep USING (fp)),
+    v AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.i - b.i AS delta,
+        COUNT(*) AS votes
+      FROM occ a JOIN occ b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3),
+    best AS (SELECT d1, d2, delta, votes,
+        ROW_NUMBER() OVER (PARTITION BY d1, d2
+          ORDER BY votes DESC, delta ASC) AS rk FROM v)
+    SELECT best.d1, best.d2, CAST(best.delta AS BIGINT) AS delta,
+      CAST(best.votes AS BIGINT) AS votes,
+      CAST(na.n_lm AS BIGINT) AS n_lm1, CAST(nb.n_lm AS BIGINT) AS n_lm2
+    FROM best JOIN nl na ON best.d1 = na.doc_id
+      JOIN nl nb ON best.d2 = nb.doc_id
+    WHERE best.rk = 1 AND best.votes >= 3
+    ORDER BY d1, d2"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qBinaryMeta, qFrames, qFeatures, qPhash, qSceneCuts, qSilence,
-      qVideoNearDup)
+      qVideoNearDup, qAudioFp)
 }

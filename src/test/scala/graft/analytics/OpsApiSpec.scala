@@ -2078,6 +2078,24 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       out.toString)
   }
 
+  test("audioFingerprint: shifted copy wins the delta vote; aligned join would miss it") {
+    import spark.implicits._
+    val payload = ("the quick brown fox jumps over the lazy dog " * 6).getBytes("UTF-8")
+    val shifted = (new String(Array.fill(64)('x')) + new String(payload, "UTF-8"))
+      .getBytes("UTF-8")
+    val assets = Seq((1L, payload), (2L, shifted)).toDS()
+    val out = MultimodalOps.audioFingerprint(assets, stride = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    // 64 bytes = exactly 2 frame slots at stride 32 → every landmark of
+    // doc 1 reappears in doc 2 at anchor + 2 → winning Δ = i1 − i2 = −2
+    assert(out.length == 1 && out.head._1 == 1L && out.head._2 == 2L &&
+      out.head._3 == -2, out.toList.toString)
+    // the aligned-frame rule (videoNearDup) sees no identical frame at
+    // any SAME index — zero matches on the same fixture
+    val aligned = MultimodalOps.videoNearDup(assets, stride = 32)
+    assert(aligned.count() == 0)
+  }
+
   test("localClustering: triangle with a pendant gives cc 1/3 and 1.0 buckets") {
     import spark.implicits._
     // triangle 1-2-3 plus pendant 4-1: cc(1) = 2/(3·2) = 1/3 → 3333 bp,
