@@ -1384,8 +1384,104 @@ object DedupOps {
     LEFT JOIN sz ON cl.cluster_id = sz.cluster_id
     ORDER BY d.doc_id"""))
 
+  // ------------------------------------- content-defined chunking
+  /** Content-defined chunking (the Rabin/LBFS/FastCDC family) — the
+    * storage-dedup primitive fixed-stride framing is not: a chunk
+    * boundary is declared wherever the HASH OF THE TRAILING w-BYTE
+    * WINDOW lands in a 1-in-2^bits bucket, so boundaries depend only on
+    * LOCAL content and every chunk after an insertion/prefix realigns
+    * (shift-invariance — spec-pinned; a fixed-stride chunker loses every
+    * block after the edit point). The window hash is md5 (the engine-
+    * shared hash, standing in for a gear/Rabin rolling hash — same
+    * contract, O(w) per position instead of O(1); a native rolling-hash
+    * Expression is the optimization tier if w grows). No min/max chunk
+    * bounds: FastCDC's length clamps make each boundary depend on the
+    * previous one (sequential), which would break the closed per-position
+    * form — documented tradeoff, boundary density is tuned by `bits`
+    * instead.
+    *
+    * Everything is map-only array arithmetic per document (positions →
+    * boundary list → chunk spans via zip_with over the 0-prepended /
+    * len-appended boundary arrays) followed by ONE source-keyed
+    * aggregate; the distinct-chunk side is a (source, hash) aggregate —
+    * no pair joins at all, dedup falls out of hash-equality.
+    *
+    * Output per source: (source, n_docs, n_chunks, n_distinct_chunks,
+    * total_bytes, dup_bytes) ordered by source — dup_bytes is the
+    * storage a chunk-store would save within that source.
+    */
+  def contentChunkStats(docs: DataFrame, sourceCol: String = "source",
+      idCol: String = "doc_id", textCol: String = "text", w: Int = 8,
+      hexDigits: Int = 2, buckets: Int = 4): DataFrame = {
+    require(w >= 1 && hexDigits >= 1 && buckets >= 1,
+      s"w/hexDigits/buckets must be >= 1")
+    // boundary ⟺ first hexDigits of md5(trailing window) < buckets,
+    // compared as zero-padded hex text (deterministic, engine-shared)
+    val hexCap = ("%0" + hexDigits + "x").format(buckets)
+    val chunks = docs.select(col(sourceCol).as("src"), col(idCol).as("doc_id"),
+        col(textCol).as("t"))
+      .withColumn("len", length(col("t")))
+      .withColumn("bnds", expr(
+        s"""CASE WHEN len >= $w THEN filter(sequence($w, len),
+            i -> substring(md5(substring(t, i - ${w - 1}, $w)), 1, $hexDigits) < '$hexCap')
+          ELSE CAST(array() AS array<int>) END"""))
+      .withColumn("spans", expr(
+        s"""filter(zip_with(concat(array(0), bnds), concat(bnds, array(len)),
+            (s, e) -> struct(s + 1 AS start, e - s AS clen)),
+          x -> x.clen > 0)"""))
+      .select(col("src"), col("doc_id"), col("t"),
+        explode(col("spans")).as("sp"))
+      .select(col("src"), col("doc_id"), col("sp.clen").as("clen"),
+        expr("md5(substring(t, sp.start, sp.clen))").as("chash"))
+    val perSrc = chunks.groupBy(col("src"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum(col("clen")).as("total_bytes"))
+    val distinctSrc = chunks.groupBy(col("src"), col("chash"))
+      .agg(max(col("clen")).as("clen"))
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n_distinct_chunks"),
+        sum(col("clen")).as("distinct_bytes"))
+    perSrc.join(distinctSrc, "src")
+      .select(col("src").as(sourceCol), col("n_docs"), col("n_chunks"),
+        col("n_distinct_chunks"), col("total_bytes"),
+        (col("total_bytes") - col("distinct_bytes")).as("dup_bytes"))
+      .orderBy(col(sourceCol))
+  }
+
+  private val qContentChunks = GraftQuery(
+    "qd_content_chunks",
+    (s, dir) => contentChunkStats(Tables.documents(s, dir)),
+    // ASCII assumption (char positions = byte positions) as qm_frame_sample
+    Some("""WITH d AS (SELECT source AS src, doc_id, text AS t,
+        length(text) AS len FROM documents),
+    b AS (SELECT src, doc_id, t, len,
+        CASE WHEN len >= 8 THEN list_filter(generate_series(8, len),
+          i -> substr(md5(substr(t, i - 7, 8)), 1, 2) < '04')
+        ELSE [] END AS bnds FROM d),
+    sp AS (SELECT src, doc_id, t,
+        unnest(list_filter(list_transform(generate_series(1, len(bnds) + 1),
+          k -> {'start': COALESCE(bnds[k - 1], 0) + 1,
+                'clen': COALESCE(bnds[k], len) - COALESCE(bnds[k - 1], 0)}),
+          x -> x.clen > 0)) AS s FROM b),
+    ch AS (SELECT src, doc_id, s.clen AS clen,
+        md5(substr(t, s.start, s.clen)) AS chash FROM sp),
+    ps AS (SELECT src, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_chunks,
+        SUM(clen) AS total_bytes FROM ch GROUP BY src),
+    dsb AS (SELECT src, COUNT(*) AS n_distinct_chunks,
+        SUM(clen) AS distinct_bytes FROM
+      (SELECT src, chash, MAX(clen) AS clen FROM ch GROUP BY src, chash)
+      GROUP BY src)
+    SELECT ps.src AS source, CAST(ps.n_docs AS BIGINT) AS n_docs,
+      CAST(ps.n_chunks AS BIGINT) AS n_chunks,
+      CAST(dsb.n_distinct_chunks AS BIGINT) AS n_distinct_chunks,
+      CAST(ps.total_bytes AS BIGINT) AS total_bytes,
+      CAST(ps.total_bytes - dsb.distinct_bytes AS BIGINT) AS dup_bytes
+    FROM ps JOIN dsb USING (src) ORDER BY source"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qExact, qNgram, qMinhash, qCrossContain, qSimhash, qEmbed, qClusters,
       qCcStars, qCanonical, qDbscan, qDupBySource, qSpans, qBloom, qUrlDedup,
-      qLshRecall, qWinnow, qClusterStats, qDedupSavings, qClusterWeights)
+      qLshRecall, qWinnow, qClusterStats, qDedupSavings, qClusterWeights,
+      qContentChunks)
 }

@@ -2078,6 +2078,27 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       out.toString)
   }
 
+  test("contentChunkStats: chunks realign after a prefix edit (shift invariance)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val a = (1 to 400).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val b = "zzzzz" + a // 5-byte prefix: misaligns every fixed-stride frame
+    val df = Seq((1L, "s", a), (2L, "s", b)).toDF("doc_id", "source", "text")
+    val out = DedupOps.contentChunkStats(df).collect().head
+    val (nChunks, nDistinct, totalBytes, dupBytes) =
+      (out.getLong(2), out.getLong(3), out.getLong(4), out.getLong(5))
+    assert(totalBytes == 805, out.toString)
+    // every chunk of `a` after its first content-defined boundary
+    // reappears bit-identically in `b` — the bulk of the bytes dedup
+    assert(dupBytes * 2 > totalBytes / 2,
+      s"shift invariance lost: dup=$dupBytes of $totalBytes")
+    assert(nDistinct < nChunks)
+    // degenerate input: shorter than the window → one whole-doc chunk
+    val tiny = Seq((1L, "s", "abc")).toDF("doc_id", "source", "text")
+    val t = DedupOps.contentChunkStats(tiny).collect().head
+    assert(t.getLong(2) == 1 && t.getLong(4) == 3, t.toString)
+  }
+
   test("audioFingerprint: shifted copy wins the delta vote; aligned join would miss it") {
     import spark.implicits._
     val payload = ("the quick brown fox jumps over the lazy dog " * 6).getBytes("UTF-8")
