@@ -1615,11 +1615,105 @@ object EventsQueries {
       TRUE AS within_10pct
     FROM ex ORDER BY window_end"""))
 
+  // ------------------------------------- Kaplan–Meier survival curve
+  /** Kaplan–Meier survival estimator (JASA 1958) with right censoring —
+    * the statistically correct churn/retention curve where
+    * [[qRetention]]'s cohort grid is the descriptive one: a user whose
+    * last activity falls within `censorDays` of the corpus end is
+    * CENSORED (still alive, lifetime only known to exceed its observed
+    * span), not counted as churned — the distinction naive retention
+    * rates get wrong. Ŝ(t) = Π_{s≤t} (1 − d_s/n_s) over observed
+    * lifetime days, censored users leaving the risk set without
+    * contributing an event.
+    *
+    * Exactness/scale: per-user (first, last) is one corpus aggregate;
+    * everything after lives on the LIFETIME-DAY frame, whose key domain
+    * is bounded by the observation window (days, not users — the
+    * sanctioned bounded-domain tier). The product fold runs as ONE
+    * `aggregate` expression over the sorted day array with
+    * (removed, s_ppm, rows) state — ppm floor per step, identical in
+    * both engines; the oracle unrolls the same recurrence as a recursive
+    * CTE. No corpus-sized window anywhere.
+    *
+    * Output: (day, n_risk, n_events, n_censored, s_ppm) for each
+    * observed lifetime day, ordered by day; s_ppm is nonincreasing.
+    */
+  def kaplanMeier(events: DataFrame, tsCol: String = "ts",
+      userCol: String = "user_id", censorDays: Int = 7): DataFrame = {
+    require(censorDays >= 0, s"censorDays must be >= 0, got $censorDays")
+    val u = events.groupBy(col(userCol).as("u"))
+      .agg(to_date(min(col(tsCol))).as("f"), to_date(max(col(tsCol))).as("l"))
+    val m = events.agg(to_date(max(col(tsCol))).as("mt"))
+    val days = u.crossJoin(broadcast(m))
+      .select(datediff(col("l"), col("f")).as("t"),
+        (datediff(col("mt"), col("l")) < censorDays).cast("int").as("cens"))
+      .groupBy(col("t"))
+      .agg(sum(lit(1) - col("cens")).as("d"), sum(col("cens")).as("c"))
+    days.agg(sort_array(collect_list(struct(col("t"), col("d"), col("c"))))
+        .as("ws"))
+      .withColumn("tot", expr(
+        "aggregate(ws, CAST(0 AS BIGINT), (a, x) -> a + x.d + x.c)"))
+      .withColumn("rows", expr(
+        """aggregate(ws,
+          struct(CAST(0 AS BIGINT) AS rem, CAST(1000000 AS BIGINT) AS sp,
+            CAST(array() AS array<struct<t:int,n:bigint,d:bigint,c:bigint,s:bigint>>) AS out),
+          (acc, x) -> struct(
+            acc.rem + x.d + x.c AS rem,
+            (acc.sp * (tot - acc.rem - x.d)) div (tot - acc.rem) AS sp,
+            concat(acc.out, array(struct(x.t AS t, tot - acc.rem AS n,
+              x.d AS d, x.c AS c,
+              (acc.sp * (tot - acc.rem - x.d)) div (tot - acc.rem) AS s))) AS out),
+          acc -> acc.out)"""))
+      .select(explode(col("rows")).as("r"))
+      .select(col("r.t").as("day"), col("r.n").as("n_risk"),
+        col("r.d").as("n_events"), col("r.c").as("n_censored"),
+        col("r.s").as("s_ppm"))
+      .orderBy(col("day"))
+  }
+
+  private val KmCensorDays = 2
+
+  /** Purchasing lifetime (first→last purchase), censor window 2 days —
+    * the binding where churn events actually occur (every user stays
+    * ACTIVE to the corpus end, so all-events lifetimes are 100 %
+    * censored — correct but vacuous; purchasing stops earlier).
+    */
+  private val qKaplanMeier = GraftQuery(
+    "qe_kaplan_meier",
+    (s, dir) => kaplanMeier(
+      Tables.events(s, dir).filter(col("event_type") === "purchase"),
+      censorDays = KmCensorDays),
+    Some(s"""WITH RECURSIVE ev AS (SELECT user_id, ts FROM events
+        WHERE event_type = 'purchase'),
+    u AS (SELECT user_id, CAST(MIN(ts) AS DATE) AS f,
+        CAST(MAX(ts) AS DATE) AS l FROM ev GROUP BY user_id),
+    m AS (SELECT CAST(MAX(ts) AS DATE) AS mt FROM ev),
+    uu AS (SELECT date_diff('day', f, l) AS t,
+        CASE WHEN date_diff('day', l, mt) < $KmCensorDays THEN 1 ELSE 0 END AS cens
+      FROM u, m),
+    wk AS (SELECT t, SUM(1 - cens) AS d, SUM(cens) AS c FROM uu GROUP BY t),
+    idx AS (SELECT t, d, c, ROW_NUMBER() OVER (ORDER BY t) AS i FROM wk),
+    tot AS (SELECT SUM(d + c) AS tot FROM wk),
+    km AS (
+      SELECT i.i, i.t, tot.tot AS n, i.d, i.c,
+          (1000000 * (tot.tot - i.d)) // tot.tot AS s,
+          tot.tot - i.d - i.c AS nrem
+        FROM idx i, tot WHERE i.i = 1
+      UNION ALL
+      SELECT i.i, i.t, km.nrem AS n, i.d, i.c,
+          (km.s * (km.nrem - i.d)) // km.nrem AS s,
+          km.nrem - i.d - i.c AS nrem
+        FROM idx i JOIN km ON i.i = km.i + 1)
+    SELECT CAST(t AS INT) AS day, CAST(n AS BIGINT) AS n_risk,
+      CAST(d AS BIGINT) AS n_events, CAST(c AS BIGINT) AS n_censored,
+      CAST(s AS BIGINT) AS s_ppm
+    FROM km ORDER BY day"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qTumbling, qSliding, qSessions, qJson, qTopUsers, qDeltas, qZscore,
       qFunnel, qRetention, qResample, qHistogram, qPattern, qTransitions,
       qDecayWma, qAttribution, qCusum, qMadAnomaly, qTopPaths, qSlidingDistinct,
       qSeasonal, qFunnelTime, qCep, qStreak, qCoverage, qOhlc, qLatencySlo, qRfm,
       qLtv, qDauMau, qHeatmap, qStationary, qLifecycle, qSeqPatterns, qHllSliding,
-      qShapley)
+      qShapley, qKaplanMeier)
 }

@@ -2078,6 +2078,25 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       out.toString)
   }
 
+  test("kaplanMeier: censored users leave the risk set without an event") {
+    import spark.implicits._
+    def t(day: Int) = new java.sql.Timestamp(day * 86400000L)
+    // lifetimes: a,b die at day 1; c dies at day 2; d (days 7→10) is
+    // censored (last within 2 days of the corpus max, day 10)
+    val ev = Seq(
+      (1L, t(0)), (1L, t(1)), (2L, t(0)), (2L, t(1)),
+      (3L, t(0)), (3L, t(2)), (4L, t(7)), (4L, t(10)))
+      .toDF("user_id", "ts")
+    val out = EventsQueries.kaplanMeier(ev, censorDays = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toList
+    assert(out == List(
+      (1, 4L, 2L, 0L, 500000L),    // S = 2/4
+      (2, 2L, 1L, 0L, 250000L),    // S = 1/2 · 1/2
+      (3, 1L, 0L, 1L, 250000L)),   // censoring alone never moves S
+      out.toString)
+  }
+
   test("contentChunkStats: chunks realign after a prefix edit (shift invariance)") {
     import spark.implicits._
     val rnd = new scala.util.Random(99)
