@@ -359,5 +359,63 @@ object EvalOps {
     FROM wins JOIN r1 ON wins.i = r1.i JOIN r2 ON wins.i = r2.i
     ORDER BY rating2_micro DESC, item"""))
 
-  val queries: Seq[GraftQuery] = Seq(qAuc, qPrCurve, qKappa, qBradleyTerry)
+  // ------------------------------------- McNemar's paired test
+  /** McNemar's test (1947) — "is classifier A actually better than B on
+    * the SAME rows", the paired comparison an unpaired accuracy delta
+    * gets wrong (shared-row correlation): only the DISCORDANT pairs
+    * matter — b = A right & B wrong, c = A wrong & B right — and under
+    * H₀ (equal error rates) b ~ Binomial(b+c, ½). The continuity-
+    * corrected statistic χ² = (max(|b−c|−1, 0))²/(b+c), df = 1, in
+    * exact micro-units (one floor-div), reject at χ²_{1,0.05} =
+    * 3.841459. b + c = 0 (never-discordant) yields null χ² and null
+    * decision. One map + one 1-row aggregate — scale-free.
+    *
+    * Output: one row (n, b, c, chi2_micro, reject_05).
+    */
+  def mcNemar(rows: DataFrame, label: Column, predA: Column,
+      predB: Column): DataFrame = {
+    rows.select((predA === label).cast("long").as("ra"),
+        (predB === label).cast("long").as("rb"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("ra") * (lit(1) - col("rb"))).as("b"),
+        sum((lit(1) - col("ra")) * col("rb")).as("c"))
+      .select(col("n"), col("b"), col("c"),
+        expr("""CASE WHEN b + c > 0 THEN
+            (1000000 * greatest(abs(b - c) - 1, 0L) * greatest(abs(b - c) - 1, 0L))
+              div (b + c) END""").as("chi2_micro"))
+      .withColumn("reject_05", col("chi2_micro") > 3841459L)
+  }
+
+  /** Distilled model vs the crude n_chars ≥ 250 length rule, on the
+    * distillation label — does hashed-feature training beat the one-line
+    * heuristic it could be replaced with.
+    */
+  private val qMcNemar = GraftQuery(
+    "qml_mcnemar",
+    (s, dir) => mcNemar(
+      LearnOps.scoredDocs(s, dir).join(
+        Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+        "doc_id"),
+      col("label").cast("int"), col("pred").cast("int"),
+      (col("n_chars") >= 250).cast("int")),
+    Some(s"""WITH ${LearnOps.scoredCte},
+    j AS (SELECT cal.lab, cal.predi,
+        CASE WHEN d.n_chars >= 250 THEN 1 ELSE 0 END AS predb
+      FROM cal JOIN documents d USING (doc_id)),
+    t AS (SELECT COUNT(*) AS n,
+        SUM(CASE WHEN predi = lab AND predb <> lab THEN 1 ELSE 0 END) AS b,
+        SUM(CASE WHEN predi <> lab AND predb = lab THEN 1 ELSE 0 END) AS c
+      FROM j)
+    SELECT CAST(n AS BIGINT) AS n, CAST(b AS BIGINT) AS b,
+      CAST(c AS BIGINT) AS c,
+      CAST(CASE WHEN b + c > 0 THEN
+          (1000000 * GREATEST(abs(b - c) - 1, 0) * GREATEST(abs(b - c) - 1, 0))
+            // (b + c) END AS BIGINT) AS chi2_micro,
+      CASE WHEN b + c > 0 THEN
+          (1000000 * GREATEST(abs(b - c) - 1, 0) * GREATEST(abs(b - c) - 1, 0))
+            // (b + c) > 3841459 END AS reject_05
+    FROM t"""))
+
+  val queries: Seq[GraftQuery] = Seq(qAuc, qPrCurve, qKappa, qBradleyTerry,
+    qMcNemar)
 }

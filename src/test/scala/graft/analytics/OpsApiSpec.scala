@@ -2078,6 +2078,26 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       out.toString)
   }
 
+  test("mcNemar: continuity-corrected chi-square on discordant pairs only") {
+    import spark.implicits._
+    // 6 discordant rows all favoring A (b=6, c=0): chi2 = 25/6 = 4.1666,
+    // over the df=1 critical 3.841459 → reject; concordant rows are inert
+    val rows = (1 to 6).map(_ => (1, 1, 0)) ++ (1 to 50).map(_ => (1, 1, 1))
+    val df = rows.toDF("y", "pa", "pb")
+    val out = EvalOps.mcNemar(df,
+      org.apache.spark.sql.functions.col("y"),
+      org.apache.spark.sql.functions.col("pa"),
+      org.apache.spark.sql.functions.col("pb")).collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3),
+      out.getBoolean(4)) == ((56L, 6L, 0L, 4166666L, true)), out.toString)
+    // zero discordance → null statistic, null decision
+    val t = EvalOps.mcNemar(Seq((1, 1, 1)).toDF("y", "pa", "pb"),
+      org.apache.spark.sql.functions.col("y"),
+      org.apache.spark.sql.functions.col("pa"),
+      org.apache.spark.sql.functions.col("pb")).collect().head
+    assert(t.isNullAt(3) && t.isNullAt(4), t.toString)
+  }
+
   test("kaplanMeier: censored users leave the risk set without an event") {
     import spark.implicits._
     def t(day: Int) = new java.sql.Timestamp(day * 86400000L)

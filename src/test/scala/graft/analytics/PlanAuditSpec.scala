@@ -529,4 +529,42 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("CartesianProduct"),
       s"binary tier planned a cartesian product:\n$plan")
   }
+
+  test("session-2 ops: blocked/inverted-index pair tiers never cartesian") {
+    // damerau pairs via the blocking-key equi-join; the audio
+    // constellation pairs via the fingerprint inverted index; local
+    // clustering via the oriented wedge equi-join
+    Seq("qj_damerau_typo", "qm_audio_fingerprint",
+      "qg_local_clustering").foreach { name =>
+      val plan = graft.SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name planned a cartesian product:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name planned a nested-loop join:\n$plan")
+    }
+    // fellegi-sunter's only BNL is the sanctioned pattern-table (≤ 8
+    // rows) × 1-row weight-frame broadcast cross — its PAIR generation
+    // is the blocked equi-join; pin only no-cartesian
+    val fsPlan = graft.SparkEntry.queries("qj_fellegi_sunter")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!fsPlan.contains("CartesianProduct"),
+      s"qj_fellegi_sunter planned a cartesian product:\n$fsPlan")
+  }
+
+  test("session-2 ops: map-only / bounded-frame tiers never shuffle pairs") {
+    // content chunking is per-document array arithmetic + uniform-key
+    // aggs (no join before the source rollup); zipf surprisal's only
+    // joins are the token-keyed charge-back and broadcast offsets;
+    // kruskal-wallis rides the distributed ranged scan (its 1-row
+    // combine is the sanctioned broadcast cross); isotonic's bin-frame
+    // pair joins are bins-bounded broadcasts
+    Seq("qd_content_chunks", "qt_zipf_surprisal",
+      "qstat_kruskal_wallis").foreach { name =>
+      val plan = graft.SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name planned a cartesian product:\n$plan")
+    }
+  }
 }
