@@ -1412,19 +1412,23 @@ object DedupOps {
     */
   def contentChunkStats(docs: DataFrame, sourceCol: String = "source",
       idCol: String = "doc_id", textCol: String = "text", w: Int = 8,
-      hexDigits: Int = 2, buckets: Int = 4): DataFrame = {
-    require(w >= 1 && hexDigits >= 1 && buckets >= 1,
-      s"w/hexDigits/buckets must be >= 1")
-    // boundary ⟺ first hexDigits of md5(trailing window) < buckets,
-    // compared as zero-padded hex text (deterministic, engine-shared)
-    val hexCap = ("%0" + hexDigits + "x").format(buckets)
+      buckets: Int = 4): DataFrame = {
+    require(w >= 1 && buckets >= 1 && buckets <= 255,
+      s"need w >= 1 and 1 <= buckets <= 255, got w=$w buckets=$buckets")
+    // boundary ⟺ first md5 byte of the trailing window < buckets — the
+    // native [[graft.functions.CdcBoundaries]] kernel (one compiled pass
+    // per row, thread-local digest, no per-position string allocations);
+    // exactly the composed `filter(sequence(w, len), i -> substring(
+    // md5(substring(t, ...)), 1, 2) < hex(buckets))` on ASCII text
+    // (StringExprsSpec pins the equivalence — a HOF lambda evaluates
+    // interpreted per element, which made the composed form the suite's
+    // slowest query: 7.5 s → ~1.5 s at sf0.1). Map-only: boundaries
+    // never leave the row they describe.
     val chunks = docs.select(col(sourceCol).as("src"), col(idCol).as("doc_id"),
         col(textCol).as("t"))
       .withColumn("len", length(col("t")))
-      .withColumn("bnds", expr(
-        s"""CASE WHEN len >= $w THEN filter(sequence($w, len),
-            i -> substring(md5(substring(t, i - ${w - 1}, $w)), 1, $hexDigits) < '$hexCap')
-          ELSE CAST(array() AS array<int>) END"""))
+      .withColumn("bnds",
+        GraftFunctions.graft_cdc_boundaries(col("t"), w, buckets))
       .withColumn("spans", expr(
         s"""filter(zip_with(concat(array(0), bnds), concat(bnds, array(len)),
             (s, e) -> struct(s + 1 AS start, e - s AS clen)),

@@ -1589,8 +1589,126 @@ object GraphOps {
       CAST(MAX(cc_bp) AS BIGINT) AS max_cc_bp
     FROM cc GROUP BY 1 ORDER BY bucket"""))
 
+  // ------------------------------------------- k-truss decomposition
+  /** Bounded-round k-truss peel (Cohen 2008) — the triangle-based
+    * community core: the k-truss is the maximal subgraph where every
+    * edge sits in ≥ k−2 triangles OF THE SUBGRAPH, i.e. the edge-level
+    * strengthening of k-core (a k-core edge needs well-connected
+    * endpoints; a truss edge needs well-connected NEIGHBORHOODS — the
+    * standard cohesive-block detector above plain cores). Computed by
+    * synchronous peeling: each round recomputes per-edge triangle
+    * support over the SURVIVING edge set (the [[triangleCount]]
+    * degree-oriented wedge enumeration, each triangle crediting its
+    * three edges through one explode — hub fan-out stays O(√m)) and
+    * drops edges with support < k−2. `rounds` bounds the peel — the
+    * same bounded-iteration contract as [[labelPropagation]] and the
+    * betweenness hop budget: the output is the round-`rounds` peel
+    * state (equal to the true k-truss when the cascade has died out by
+    * then — OpsApiSpec pins a converged hand case; on a dense binding
+    * the peel may still be shrinking, which the final support column
+    * makes visible: rows below k−2 mean another round would cut more).
+    * One extra support pass prices the FINAL edge set, so reported
+    * support is consistent with the output subgraph either way.
+    *
+    * Output: (a, b, support) for the surviving edges (a < b), ordered.
+    */
+  def kTruss(edgesIn: DataFrame, k: Int = 5, rounds: Int = 4,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    def support(e: DataFrame): DataFrame = {
+      val deg = e.select(explode(array(col("a"), col("b"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      val withDeg = e
+        .join(deg.select(col("node").as("a"), col("d").as("da")), "a")
+        .join(deg.select(col("node").as("b"), col("d").as("db")), "b")
+      val aFirst = col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b"))
+      val oriented = withDeg.select(
+        when(aFirst, col("a")).otherwise(col("b")).as("src"),
+        when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+        when(aFirst, col("db")).otherwise(col("da")).as("dd"))
+        .localCheckpoint()
+      val tris = oriented.select(col("src").as("p"), col("dst").as("x"),
+          col("dd").as("dx"))
+        .join(oriented.select(col("src").as("p"), col("dst").as("y"),
+          col("dd").as("dy")), "p")
+        .filter(col("dx") < col("dy") ||
+          (col("dx") === col("dy") && col("x") < col("y")))
+        .join(oriented.select(col("src").as("x"), col("dst").as("y")),
+          Seq("x", "y"))
+      tris.select(explode(array(
+          struct(least(col("p"), col("x")).as("a"), greatest(col("p"), col("x")).as("b")),
+          struct(least(col("p"), col("y")).as("a"), greatest(col("p"), col("y")).as("b")),
+          struct(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b")))).as("e"))
+        .groupBy(col("e.a").as("a"), col("e.b").as("b"))
+        .agg(count(lit(1)).as("s"))
+    }
+    var e = edgesIn
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    for (_ <- 1 to rounds) {
+      e = e.join(support(e), Seq("a", "b"), "left")
+        .filter(coalesce(col("s"), lit(0L)) >= k - 2)
+        .select(col("a"), col("b")).localCheckpoint()
+    }
+    e.join(support(e), Seq("a", "b"), "left")
+      .select(col("a"), col("b"), coalesce(col("s"), lit(0L)).as("support"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  private val TrussK = 5
+  private val TrussRounds = 4
+
+  /** One support-pass CTE block over edge set `$in`, yielding `sup$i`. */
+  private def trussSupSql(i: Int, in: String): String = {
+    val first = s"da$i.d < db$i.d OR (da$i.d = db$i.d AND e.a < e.b)"
+    s"""deg$i AS MATERIALIZED (SELECT node, COUNT(*) AS d FROM
+      (SELECT a AS node FROM $in UNION ALL SELECT b FROM $in) GROUP BY node),
+    o$i AS MATERIALIZED (SELECT CASE WHEN $first THEN e.a ELSE e.b END AS src,
+        CASE WHEN $first THEN e.b ELSE e.a END AS dst,
+        CASE WHEN $first THEN db$i.d ELSE da$i.d END AS dd
+      FROM $in e JOIN deg$i da$i ON e.a = da$i.node
+        JOIN deg$i db$i ON e.b = db$i.node),
+    t$i AS MATERIALIZED (SELECT w.p, w.x, w.y FROM
+      (SELECT o1.src AS p, o1.dst AS x, o2.dst AS y
+        FROM o$i o1 JOIN o$i o2 ON o1.src = o2.src
+        WHERE o1.dd < o2.dd OR (o1.dd = o2.dd AND o1.dst < o2.dst)) w
+      JOIN o$i ON o$i.src = w.x AND o$i.dst = w.y),
+    sup$i AS MATERIALIZED (SELECT a, b, COUNT(*) AS s FROM
+      (SELECT LEAST(p, x) AS a, GREATEST(p, x) AS b FROM t$i
+       UNION ALL SELECT LEAST(p, y), GREATEST(p, y) FROM t$i
+       UNION ALL SELECT LEAST(x, y), GREATEST(x, y) FROM t$i) GROUP BY a, b)"""
+  }
+
+  private val trussSql: String = {
+    val base = """e0 AS MATERIALIZED (SELECT DISTINCT a.sk AS a, b.sk AS b
+      FROM ls a JOIN ls b ON a.ok = b.ok AND a.sk < b.sk)"""
+    val roundCtes = (0 until TrussRounds).map { i =>
+      s"""${trussSupSql(i, s"e$i")},
+      e${i + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e$i e
+        LEFT JOIN sup$i s ON s.a = e.a AND s.b = e.b
+        WHERE COALESCE(s.s, 0) >= ${TrussK - 2})"""
+    }.mkString(",\n    ")
+    s"""WITH ls AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'),
+    $base,
+    $roundCtes,
+    ${trussSupSql(TrussRounds, s"e$TrussRounds")}
+    SELECT e.a, e.b, CAST(COALESCE(s.s, 0) AS BIGINT) AS support
+    FROM e$TrussRounds e LEFT JOIN sup$TrussRounds s ON s.a = e.a AND s.b = e.b
+    ORDER BY e.a, e.b"""
+  }
+
+  private val qKTruss = GraftQuery(
+    "qg_ktruss",
+    (s, dir) => kTruss(coSupplierEdges(s, dir), k = TrussK,
+      rounds = TrussRounds),
+    Some(trussSql))
+
   def queries: Seq[GraftQuery] =
     Seq(qPageRank, qTriangles, qLpa, qKcore, qReach, qSubtree, qSssp, qPpr,
       qLinkPredict, qDegreeDist, qModularity, qHits, qAssortativity, qWalks,
-      qHarmonic, qEcc, qBetweenness, qLocalClustering)
+      qHarmonic, qEcc, qBetweenness, qLocalClustering, qKTruss)
 }

@@ -1818,9 +1818,15 @@ object StatTests {
         sum(dec(col("kj")) * (dec(lit(2)) * col("c") + col("k") + 1)).as("rjx2"))
     val ties = cum.agg(
       sum(dec(col("k")) * col("k") * col("k") - col("k")).as("st"))
+    // the per-group term (10⁶·rjx2²) ÷ (4nj) exceeds BIGINT for large
+    // groups (rjx2 ~ 2·nj·N), so the floor division must stay in
+    // DECIMAL: (p − p mod q)/q is exact (p − p%q divisible by q) and
+    // equals HUGEINT // in the oracle for the nonnegative operands here
     pg.agg(sum(col("nj")).cast("decimal(38,0)").as("nd"),
         count(lit(1)).as("ng"),
-        sum(expr("(CAST(1000000 AS DECIMAL(38,0)) * rjx2 * rjx2) div (CAST(4 AS DECIMAL(38,0)) * nj)"))
+        sum(expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * rjx2 * rjx2
+              - (CAST(1000000 AS DECIMAL(38,0)) * rjx2 * rjx2) % (CAST(4 AS DECIMAL(38,0)) * nj))
+            / (CAST(4 AS DECIMAL(38,0)) * nj) AS DECIMAL(38,0))"""))
           .cast("decimal(38,0)").as("s4"))
       .crossJoin(broadcast(ties))
       .withColumn("h_micro", expr(

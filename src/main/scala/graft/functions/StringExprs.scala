@@ -56,6 +56,79 @@ object NfcNormalize {
   }
 }
 
+/** Content-defined chunk boundaries as a native codegen'd expression: the
+  * hot loop of [[graft.analytics.DedupOps.contentChunkStats]] — for every
+  * position i in [w, len], test whether md5 of the trailing w-byte window
+  * marks a boundary (first digest byte < `buckets`), and emit the boundary
+  * END positions (1-based, matching SQL `substring` indexing) as an
+  * ARRAY<INT>.
+  *
+  * Semantics contract: on ASCII text this is EXACTLY
+  * `filter(sequence(w, len), i -> substring(md5(substring(t, i-w+1, w)), 1, 2) < hex(buckets))`
+  * — the first two hex chars of an md5 are the hex of its first byte, and
+  * fixed-width lowercase hex ordering is numeric ordering (pinned in
+  * StringExprsSpec against the composed form). On non-ASCII input the
+  * native kernel windows BYTES where the composed form windows
+  * CHARACTERS — the same documented ASCII assumption as the frame-
+  * sampling oracle. The win over the composed form is ~5×: one compiled
+  * pass per row, a thread-local MessageDigest, and no per-position
+  * UTF8String/hex-string allocations (higher-order-function lambdas also
+  * evaluate interpreted, which is what made the composed form the
+  * suite's slowest query).
+  */
+case class CdcBoundaries(child: Expression, w: Int, buckets: Int)
+    extends UnaryExpression {
+  require(w >= 1 && buckets >= 1 && buckets <= 255,
+    s"need w >= 1 and 1 <= buckets <= 255, got w=$w buckets=$buckets")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "graft_cdc_boundaries"
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_cdc_boundaries needs a STRING argument, got ${child.dataType.sql}")
+
+  override def nullSafeEval(s: Any): Any =
+    CdcBoundaries.boundaries(s.asInstanceOf[UTF8String], w, buckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.CdcBoundaries.boundaries($c, $w, $buckets)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object CdcBoundaries {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Static entry shared by interpreted eval and generated code. */
+  def boundaries(s: UTF8String, w: Int, buckets: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val b = s.getBytes
+    val n = b.length
+    val out = new scala.collection.mutable.ArrayBuffer[Int]
+    if (n >= w) {
+      val digest = md.get()
+      var i = w
+      while (i <= n) {
+        digest.reset()
+        digest.update(b, i - w, w)
+        if ((digest.digest()(0) & 0xFF) < buckets) out += i
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out.toArray)
+  }
+}
+
 /** Unrestricted Damerau–Levenshtein distance (Lowrance & Wagner 1975) as a
   * native codegen'd Catalyst expression — edit distance where an adjacent
   * transposition costs 1 instead of levenshtein's 2, the metric the record-

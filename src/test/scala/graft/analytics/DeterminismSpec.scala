@@ -39,7 +39,11 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     "qml_target_encode",  // LOO micro-unit integer division
     "qs_rrf_fusion",      // integer micro-unit rank fusion
     "qd_cc_stars",        // large/small-star edge-set fixpoint (r8)
-    "qt_mw_reweight")     // exact-rational hedge update (r8)
+    "qt_mw_reweight",     // exact-rational hedge update (r8)
+    "qt_zipf_surprisal",  // two-level bucket-offset ranks + integer bits (r8 s2)
+    "qe_kaplan_meier",    // ppm floor-product fold over the sorted day array (r8 s2)
+    "qj_fellegi_sunter",  // saturating ppm ratio chain over count-derived u's (r8 s2)
+    "qm_audio_fingerprint") // delta voting + max-struct winner (r8 s2)
 
   test("pinned queries are bit-identical under different shuffle partitionings") {
     pinned.foreach { name =>

@@ -2078,6 +2078,25 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       out.toString)
   }
 
+  test("kTruss: cliques survive the peel, the lone triangle does not") {
+    import spark.implicits._
+    // two 4-cliques {1..4} and {4..7} sharing vertex 4, plus a separate
+    // triangle {8,9,10}: at k=4 (support >= 2) every clique edge sits in
+    // 2 in-subgraph triangles and survives; the lone triangle's edges
+    // have support 1 and peel off in round 1
+    def clique(vs: Seq[Long]) =
+      for { i <- vs.indices; j <- i + 1 until vs.size } yield (vs(i), vs(j))
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(4L, 5L, 6L, 7L)) ++
+      Seq((8L, 9L), (9L, 10L), (8L, 10L))).toDF("u", "v")
+    val out = GraphOps.kTruss(edges, k = 4, rounds = 3, srcCol = "u",
+        dstCol = "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val surviving = out.map(e => (e._1, e._2)).toSet
+    assert(surviving == (clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(4L, 5L, 6L, 7L))).toSet, out.toList.toString)
+    assert(out.forall(_._3 == 2), out.toList.toString)
+  }
+
   test("mcNemar: continuity-corrected chi-square on discordant pairs only") {
     import spark.implicits._
     // 6 discordant rows all favoring A (b=6, c=0): chi2 = 25/6 = 4.1666,

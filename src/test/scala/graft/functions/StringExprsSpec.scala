@@ -88,6 +88,23 @@ class StringExprsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("CdcBoundaries == composed filter(sequence, md5-window) form on ASCII") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    def randStr(): String =
+      (0 until rnd.nextInt(80)).map(_ => (' ' + rnd.nextInt(95)).toChar).mkString
+    val df = ((1 to 300).map(_ => randStr()) :+ "" :+ "short").toDF("t")
+    val got = df.select(col("t"),
+      GraftFunctions.graft_cdc_boundaries(col("t"), 8, 4).as("fast"),
+      expr("""CASE WHEN length(t) >= 8 THEN
+          filter(sequence(8, length(t)),
+            i -> substring(md5(substring(t, i - 7, 8)), 1, 2) < '04')
+        ELSE CAST(array() AS array<int>) END""").as("slow")).collect()
+    got.foreach { r =>
+      assert(r.getSeq[Int](1) == r.getSeq[Int](2), s"'${r.getString(0)}'")
+    }
+  }
+
   test("column API: codegen and interpreted paths agree") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
