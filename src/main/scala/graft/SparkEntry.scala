@@ -21,7 +21,7 @@ object SparkEntry {
       DedupOps.queries ++
       SimilarityOps.queries ++ MultimodalOps.queries ++ ProfileOps.queries ++
       SkewOps.queries ++ GraphOps.queries ++ MatchOps.queries ++
-      StatTests.queries ++
+      StatTests.queries ++ SketchOps.queries ++
       LayoutOps.queries ++
       CdcOps.queries ++ LearnOps.queries ++ EvalOps.queries ++
       PairOps.queries ++ RoutingQueries.queries
