@@ -416,6 +416,90 @@ object EvalOps {
             // (b + c) > 3841459 END AS reject_05
     FROM t"""))
 
+  /** Corpus-level BLEU-style modified n-gram precision (Papineni et al.,
+    * ACL 2002) over (candidate, reference) text pairs: for n ∈ {1, 2},
+    * clipped matches Σ_g min(cnt_cand(g), cnt_ref(g)) summed per pair,
+    * precision as exact basis points (truncating integer division, both
+    * engines), plus the length ratio the brevity penalty is a function of
+    * — everything up to the final transcendental exp, kept exact-integer
+    * so the gate hash-compares (the κ/McNemar convention).
+    *
+    * Plan shape: per-(pair, gram) counts via explode + one uniform-key
+    * aggregation per side and n, clipped by an equi-join on (pair, gram),
+    * then single-row global sums. No window, no driver loop; the pair
+    * domain shards the gram keys, so at 100 TB every shuffle key is
+    * (pair, gram) — fine-grained and skew-free (a gram's worldwide
+    * frequency never concentrates one key: the pair id is in the key).
+    * The three 1-row aggregates meet in broadcast cross joins.
+    */
+  def bleuNgramPrecision(pairs: DataFrame, pairCol: String = "pair",
+      candCol: String = "cand_text", refCol: String = "ref_text"): DataFrame = {
+    val base = pairs.select(col(pairCol).as("pair"),
+        expr(Nlp.toksExprOn(candCol)).as("ct"),
+        expr(Nlp.toksExprOn(refCol)).as("rt"))
+      .withColumn("cg2", expr(Nlp.bigrams("ct")))
+      .withColumn("rg2", expr(Nlp.bigrams("rt")))
+    def gramCounts(gramsCol: String, cntCol: String) = base
+      .select(col("pair"), explode(col(gramsCol)).as("gram"))
+      .groupBy(col("pair"), col("gram")).agg(count(lit(1)).as(cntCol))
+    def clippedSum(cGrams: String, rGrams: String, out: String) =
+      gramCounts(cGrams, "cc").join(gramCounts(rGrams, "rc"), Seq("pair", "gram"))
+        .agg(coalesce(sum(least(col("cc"), col("rc"))), lit(0L)).as(out))
+    val totals = base.agg(
+      sum(size(col("ct"))).as("cand_tokens"),
+      sum(size(col("rt"))).as("ref_tokens"),
+      sum(size(col("cg2"))).as("t2"))
+    totals
+      .crossJoin(broadcast(clippedSum("ct", "rt", "m1")))
+      .crossJoin(broadcast(clippedSum("cg2", "rg2", "m2")))
+      .select(col("cand_tokens"), col("ref_tokens"),
+        expr("10000 * cand_tokens div ref_tokens").as("len_ratio_bp"),
+        col("m1"), expr("10000 * m1 div cand_tokens").as("p1_bp"),
+        col("t2"), col("m2"), expr("10000 * m2 div t2").as("p2_bp"))
+  }
+
+  // Pairing is harness-side arithmetic, not a window: candidate = even
+  // doc_id, reference = the next odd doc_id — one equi-join, scalable.
+  private val qBleu = GraftQuery(
+    "qml_bleu",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val cand = d.filter(col("doc_id") % 2 === 0)
+        .select(expr("doc_id div 2").as("pair"), col("text").as("cand_text"))
+      val ref = d.filter(col("doc_id") % 2 === 1)
+        .select(expr("doc_id div 2").as("pair"), col("text").as("ref_text"))
+      bleuNgramPrecision(cand.join(ref, "pair"))
+    },
+    Some(s"""WITH cd AS (SELECT doc_id // 2 AS pair, ${Nlp.toksSql} AS toks
+        FROM documents WHERE doc_id % 2 = 0),
+      rd AS (SELECT doc_id // 2 AS pair, ${Nlp.toksSql} AS toks
+        FROM documents WHERE doc_id % 2 = 1),
+      cb AS (SELECT pair, toks, ${Nlp.bigramsSql("toks")} AS g2 FROM cd),
+      rb AS (SELECT pair, toks, ${Nlp.bigramsSql("toks")} AS g2 FROM rd),
+      tot AS (SELECT (SELECT SUM(len(toks)) FROM cd) AS cand_tokens,
+        (SELECT SUM(len(toks)) FROM rd) AS ref_tokens,
+        (SELECT SUM(len(g2)) FROM cb) AS t2),
+      c1 AS (SELECT pair, tok, COUNT(*) AS cc
+        FROM (SELECT pair, unnest(toks) AS tok FROM cd) GROUP BY pair, tok),
+      r1 AS (SELECT pair, tok, COUNT(*) AS rc
+        FROM (SELECT pair, unnest(toks) AS tok FROM rd) GROUP BY pair, tok),
+      m1t AS (SELECT COALESCE(SUM(LEAST(cc, rc)), 0) AS m1
+        FROM c1 JOIN r1 USING (pair, tok)),
+      c2 AS (SELECT pair, g, COUNT(*) AS cc
+        FROM (SELECT pair, unnest(g2) AS g FROM cb) GROUP BY pair, g),
+      r2 AS (SELECT pair, g, COUNT(*) AS rc
+        FROM (SELECT pair, unnest(g2) AS g FROM rb) GROUP BY pair, g),
+      m2t AS (SELECT COALESCE(SUM(LEAST(cc, rc)), 0) AS m2
+        FROM c2 JOIN r2 USING (pair, g))
+      SELECT CAST(cand_tokens AS BIGINT) AS cand_tokens,
+        CAST(ref_tokens AS BIGINT) AS ref_tokens,
+        CAST(10000 * cand_tokens // ref_tokens AS BIGINT) AS len_ratio_bp,
+        CAST(m1 AS BIGINT) AS m1,
+        CAST(10000 * m1 // cand_tokens AS BIGINT) AS p1_bp,
+        CAST(t2 AS BIGINT) AS t2, CAST(m2 AS BIGINT) AS m2,
+        CAST(10000 * m2 // t2 AS BIGINT) AS p2_bp
+      FROM tot, m1t, m2t"""))
+
   val queries: Seq[GraftQuery] = Seq(qAuc, qPrCurve, qKappa, qBradleyTerry,
-    qMcNemar)
+    qMcNemar, qBleu)
 }

@@ -1869,9 +1869,111 @@ object StatTests {
       CAST(hm2 AS BIGINT) AS h_tie_micro, hm2 > 9487729 AS reject_05
     FROM h2"""))
 
+  /** Kernel density estimate with the EPANECHNIKOV kernel K(u) ∝ 1−u² —
+    * chosen over Gaussian deliberately: the kernel is a polynomial, so the
+    * whole estimate is exact integer arithmetic (cents domain), engine-
+    * deterministic, and oracle-hashable where exp() would drift. Emits the
+    * unnormalized numerator Σ_{|x−g|<h}(h²−(x−g)²) per grid point plus the
+    * in-bandwidth count; the caller's density is `3/(4h³N)` times the
+    * numerator — a constant that carries no information for comparison.
+    *
+    * Plan: one broadcast cross join against the fixed grid (bounded side:
+    * |grid| rows), filter to the bandwidth window, one aggregation on the
+    * |grid|-key domain — map-side partials do virtually all the work, the
+    * exchange carries ≤ |grid|·partitions rows. Embarrassingly parallel at
+    * any scale; no window, no driver loop.
+    */
+  def epanechnikovKde(rows: DataFrame, value: Column, gridStart: Long,
+      gridEnd: Long, gridStep: Long, h: Long): DataFrame = {
+    require(h > 0 && gridStep > 0 && gridEnd >= gridStart, "bad kde params")
+    val spark = rows.sparkSession
+    val grid = spark.range(1).select(explode(
+      sequence(lit(gridStart), lit(gridEnd), lit(gridStep))).as("grid_pt"))
+    rows.select(value.cast("long").as("x"))
+      .crossJoin(broadcast(grid))
+      .filter(abs(col("x") - col("grid_pt")) < h)
+      .groupBy(col("grid_pt"))
+      .agg(count(lit(1)).as("n_in"),
+        sum(lit(h * h) - (col("x") - col("grid_pt")) * (col("x") - col("grid_pt")))
+          .as("kde_num"))
+      .orderBy(col("grid_pt"))
+  }
+
+  private val qKde = GraftQuery(
+    "qstat_kde",
+    (s, dir) =>
+      epanechnikovKde(Tables.events(s, dir),
+        expr("CAST(round(value * 100) AS BIGINT)"),
+        gridStart = 2500L, gridEnd = 47500L, gridStep = 2500L, h = 2500L),
+    Some("""WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events),
+      g AS (SELECT unnest(generate_series(2500, 47500, 2500)) AS grid_pt)
+      SELECT CAST(grid_pt AS BIGINT) AS grid_pt, COUNT(*) AS n_in,
+        CAST(SUM(2500 * 2500 - (cents - grid_pt) * (cents - grid_pt)) AS BIGINT)
+          AS kde_num
+      FROM c JOIN g ON abs(cents - grid_pt) < 2500
+      GROUP BY grid_pt ORDER BY grid_pt"""))
+
+  /** Games–Howell post-hoc pairwise comparison (the unequal-variance /
+    * unequal-n successor to Tukey's HSD, built on Welch's t): for every
+    * group pair, t² = (x̄ₐ−x̄ᵦ)² / (s²ₐ/nₐ + s²ᵦ/nᵦ), emitted as exact
+    * permille via one all-integer closed form over 128-bit decimals —
+    * t²·1000 = 1000·Δ²·(nₐ−1)(nᵦ−1) / [ (nₐQₐ−Sₐ²)nᵦ²(nᵦ−1)
+    * + (nᵦQᵦ−Sᵦ²)nₐ²(nₐ−1) ] with Δ = Sₐnᵦ−Sᵦnₐ, where S/Q are per-group
+    * cents sums / squared sums. Everything stays in DECIMAL(38,0) /
+    * HUGEINT (worst term ~4·10³⁷ at sf0.1 — headroom documented, permille
+    * not bp, precisely to keep the 10× SF inside 38 digits).
+    *
+    * One uniform-key aggregation builds the 5-row group-stats frame; the
+    * pair join is group-domain-sized (broadcast), never data-sized.
+    */
+  private val qGamesHowell = GraftQuery(
+    "qstat_games_howell",
+    (s, dir) => {
+      val c = Tables.events(s, dir).select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val g = c.groupBy(col("event_type")).agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("cents").cast("decimal(38,0)")).as("s"),
+        sum((col("cents") * col("cents")).cast("decimal(38,0)")).as("q"))
+      val a = g.select(col("event_type").as("type_a"), col("n").as("n_a"),
+        col("s").as("s_a"), col("q").as("q_a"))
+      val b = g.select(col("event_type").as("type_b"), col("n").as("n_b"),
+        col("s").as("s_b"), col("q").as("q_b"))
+      a.join(broadcast(b), col("type_a") < col("type_b"))
+        .select(col("type_a"), col("type_b"),
+          col("n_a").cast("long").as("n_a2"), col("n_b").cast("long").as("n_b2"),
+          expr("CAST(100 * s_a div n_a AS BIGINT)").as("mean_a_c100"),
+          expr("CAST(100 * s_b div n_b AS BIGINT)").as("mean_b_c100"),
+          expr("""CAST((1000 * (s_a * n_b - s_b * n_a) * (s_a * n_b - s_b * n_a)
+              * (n_a - 1) * (n_b - 1)) div
+              ((n_a * q_a - s_a * s_a) * n_b * n_b * (n_b - 1)
+               + (n_b * q_b - s_b * s_b) * n_a * n_a * (n_a - 1))
+            AS BIGINT)""").as("t2_permille"))
+        .withColumnRenamed("n_a2", "n_a").withColumnRenamed("n_b2", "n_b")
+        .orderBy(col("type_a"), col("type_b"))
+    },
+    Some("""WITH c AS (SELECT event_type,
+        CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      g AS (SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+          CAST(SUM(cents) AS HUGEINT) AS s,
+          CAST(SUM(cents * cents) AS HUGEINT) AS q
+        FROM c GROUP BY event_type)
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+        CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+        CAST(100 * a.s // a.n AS BIGINT) AS mean_a_c100,
+        CAST(100 * b.s // b.n AS BIGINT) AS mean_b_c100,
+        CAST((1000 * (a.s * b.n - b.s * a.n) * (a.s * b.n - b.s * a.n)
+            * (a.n - 1) * (b.n - 1)) //
+            ((a.n * a.q - a.s * a.s) * b.n * b.n * (b.n - 1)
+             + (b.n * b.q - b.s * b.s) * a.n * a.n * (a.n - 1))
+          AS BIGINT) AS t2_permille
+      FROM g a JOIN g b ON a.event_type < b.event_type
+      ORDER BY type_a, type_b"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qChisq, qKs, qBoot, qGini, qLinReg, qPettitt, qWMedian, qMwu,
       qBenford, qPareto, qRuns, qSpearman, qKendall, qTheilSen, qCramersV,
       qAutocorr, qCohensD, qIqr, qPowerN, qSimpson, qForecastErr, qAnova,
-      qLevene, qMannKendall, qKruskal)
+      qLevene, qMannKendall, qKruskal, qKde, qGamesHowell)
 }

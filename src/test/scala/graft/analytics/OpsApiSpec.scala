@@ -2278,6 +2278,34 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, 3L, 7L, 2333L, "middle"),
       (3L, 2L, 8L, 4000L, "tail")), out.toString)
   }
+
+  test("bleuNgramPrecision: hand-checked clipped counts on custom columns") {
+    import spark.implicits._
+    // pair 1: cand "the cat the cat" vs ref "the cat sat"
+    //   unigrams: the×2→clip 1, cat×2→clip 1          => m1 += 2 of t1 4
+    //   bigrams: "the cat"×2→clip 1, "cat the"×1→0    => m2 += 1 of t2 3
+    // pair 2: cand "a b" vs ref "a b"                  => m1 += 2, m2 += 1
+    val pairs = Seq(
+      (1L, "the cat the cat", "the cat sat"),
+      (2L, "a b", "a b")).toDF("pid", "hyp", "gold")
+    val r = EvalOps.bleuNgramPrecision(pairs, pairCol = "pid",
+      candCol = "hyp", refCol = "gold").collect()(0)
+    assert(r.getAs[Long]("cand_tokens") == 6L && r.getAs[Long]("ref_tokens") == 5L)
+    assert(r.getAs[Long]("m1") == 4L, r.toString)
+    assert(r.getAs[Long]("p1_bp") == 10000L * 4 / 6, r.toString)
+    assert(r.getAs[Long]("t2") == 4L && r.getAs[Long]("m2") == 2L, r.toString)
+    assert(r.getAs[Long]("p2_bp") == 5000L, r.toString)
+  }
+
+  test("epanechnikovKde: exact polynomial kernel mass at each grid point") {
+    import spark.implicits._
+    // points 5,10,15; grid {10}, h=10: contributions (10²-5²)=75, 100, 75
+    val d = Seq(5L, 10L, 15L).toDF("v")
+    val out = StatTests.epanechnikovKde(d, org.apache.spark.sql.functions.col("v"),
+        gridStart = 10L, gridEnd = 10L, gridStep = 10L, h = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(out == List((10L, 3L, 250L)), out.toString)
+  }
 }
 
 /** Row-collect helpers shared by the API tests. */

@@ -567,4 +567,27 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"$name planned a cartesian product:\n$plan")
     }
   }
+
+  test("session-3 ops: sketch gates and pair tiers never cartesian") {
+    // bleu pairs on (pair, gram) equi-keys; the sketch gates' only BNLs
+    // are the sanctioned bounded broadcasts (1-row totals, ≤k-row
+    // summaries, the 19-point kde grid, the group-domain games-howell
+    // pair frame); pin no-cartesian across all five
+    Seq("qml_bleu", "qagg_heavy_hitters", "qagg_tdigest", "qstat_kde",
+      "qstat_games_howell").foreach { name =>
+      val plan = graft.SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name planned a cartesian product:\n$plan")
+    }
+    // bleu's corpus-scale pair generation must additionally be BNL-free:
+    // its 1-row total combines are plain broadcast crosses of singleton
+    // aggregates, which plan as BNL — so pin the (pair, gram) tier by
+    // checking the clipped-count joins are hash joins on the gram keys
+    val bleuPlan = graft.SparkEntry.queries("qml_bleu")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(bleuPlan.contains("ShuffledHashJoin") || bleuPlan.contains("SortMergeJoin")
+        || bleuPlan.contains("BroadcastHashJoin"),
+      s"qml_bleu's gram joins are not hash joins:\n$bleuPlan")
+  }
 }
