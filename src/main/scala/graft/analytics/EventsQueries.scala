@@ -681,6 +681,31 @@ object EventsQueries {
       .toDF("day", "approx_users")
   }
 
+  /** Streaming per-day trending items: the Misra–Gries state twin of the
+    * batch `graft_freq_items` aggregate (qagg_heavy_hitters) — one
+    * ≤k-counter summary of state per day, O(k) bytes however many
+    * distinct items stream through, full summary re-emitted per touched
+    * day per batch. Same shared update/merge core and wire format as the
+    * batch aggregate ([[graft.functions.MGSummary]]), so the est ≤ true /
+    * deficit ≤ N/(k+1) / heavy-retained contract holds at every emission
+    * regardless of micro-batching (StreamingExtrasSpec pins contract +
+    * single-partition golden bit-equality).
+    */
+  def trendingItemsStream(events: DataFrame, k: Int = 16,
+      tsCol: String = "ts", itemCol: String = "item"): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .select(datediff(to_date(col(tsCol)), lit("1970-01-01")).cast("long")
+          .as("day"),
+        col(itemCol).cast("string").as("item"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new graft.streaming.FreqItemsProcessor(k),
+        TimeMode.None(), OutputMode.Append())
+      .toDF("day", "item", "est")
+  }
+
   /** Exact Shapley-value channel attribution (the cooperative-game
     * upgrade over last-touch / [[qAttribution]]'s next-conversion rule,
     * Shapley 1953 as applied to marketing credit): each user's

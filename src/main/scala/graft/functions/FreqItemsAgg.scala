@@ -62,48 +62,14 @@ case class FreqItemsMG(
       b: JHashMap[String, java.lang.Long],
       input: InternalRow): JHashMap[String, java.lang.Long] = {
     val v = child.eval(input)
-    if (v != null) {
-      val s = v.asInstanceOf[UTF8String].toString
-      val cur = b.get(s)
-      if (cur != null) b.put(s, cur + 1L)
-      else if (b.size < k) b.put(s, 1L)
-      else {
-        // full miss: decrement every counter by one, dropping zeros
-        val it = b.entrySet().iterator()
-        while (it.hasNext) {
-          val e = it.next()
-          if (e.getValue == 1L) it.remove() else e.setValue(e.getValue - 1L)
-        }
-      }
-    }
+    if (v != null) MGSummary.update(b, v.asInstanceOf[UTF8String].toString, k)
     b
   }
 
   override def merge(
       b: JHashMap[String, java.lang.Long],
-      o: JHashMap[String, java.lang.Long]): JHashMap[String, java.lang.Long] = {
-    val it = o.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      val cur = b.get(e.getKey)
-      b.put(e.getKey, if (cur == null) e.getValue else java.lang.Long.valueOf(cur + e.getValue))
-    }
-    if (b.size > k) {
-      // subtract the (k+1)-th largest counter from all; drop non-positive
-      val vals = new Array[Long](b.size)
-      var i = 0
-      val vit = b.values().iterator()
-      while (vit.hasNext) { vals(i) = vit.next(); i += 1 }
-      java.util.Arrays.sort(vals)
-      val sub = vals(vals.length - (k + 1)) // (k+1)-th largest
-      val eit = b.entrySet().iterator()
-      while (eit.hasNext) {
-        val e = eit.next()
-        if (e.getValue <= sub) eit.remove() else e.setValue(e.getValue - sub)
-      }
-    }
-    b
-  }
+      o: JHashMap[String, java.lang.Long]): JHashMap[String, java.lang.Long] =
+    MGSummary.mergeInto(b, o, k)
 
   override def eval(b: JHashMap[String, java.lang.Long]): Any = {
     val n = b.size
@@ -120,7 +86,71 @@ case class FreqItemsMG(
     ArrayBasedMapData(keys, vals)
   }
 
-  override def serialize(b: JHashMap[String, java.lang.Long]): Array[Byte] = {
+  override def serialize(b: JHashMap[String, java.lang.Long]): Array[Byte] =
+    MGSummary.serialize(b)
+
+  override def deserialize(bytes: Array[Byte]): JHashMap[String, java.lang.Long] =
+    MGSummary.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): FreqItemsMG =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): FreqItemsMG =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): FreqItemsMG =
+    copy(child = c)
+}
+
+/** The Misra–Gries core shared by the batch aggregate ([[FreqItemsMG]])
+  * and the streaming state twin (`graft.streaming.FreqItemsProcessor`):
+  * one update rule, one merge rule, one wire format — so the streaming
+  * per-key state IS a batch-compatible summary with the same
+  * est ≤ true / deficit ≤ N/(k+1) contract.
+  */
+object MGSummary {
+
+  /** Stream update: hit +1; room: insert at 1; full: decrement all. */
+  def update(b: JHashMap[String, java.lang.Long], s: String, k: Int): Unit = {
+    val cur = b.get(s)
+    if (cur != null) b.put(s, cur + 1L)
+    else if (b.size < k) b.put(s, 1L)
+    else {
+      val it = b.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue == 1L) it.remove() else e.setValue(e.getValue - 1L)
+      }
+    }
+  }
+
+  /** Mergeable-summaries merge: pointwise sum, then subtract the
+    * (k+1)-th largest counter and drop non-positive if over capacity.
+    */
+  def mergeInto(b: JHashMap[String, java.lang.Long],
+      o: JHashMap[String, java.lang.Long], k: Int): JHashMap[String, java.lang.Long] = {
+    val it = o.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val cur = b.get(e.getKey)
+      b.put(e.getKey,
+        if (cur == null) e.getValue else java.lang.Long.valueOf(cur + e.getValue))
+    }
+    if (b.size > k) {
+      val vals = new Array[Long](b.size)
+      var i = 0
+      val vit = b.values().iterator()
+      while (vit.hasNext) { vals(i) = vit.next(); i += 1 }
+      java.util.Arrays.sort(vals)
+      val sub = vals(vals.length - (k + 1)) // (k+1)-th largest
+      val eit = b.entrySet().iterator()
+      while (eit.hasNext) {
+        val e = eit.next()
+        if (e.getValue <= sub) eit.remove() else e.setValue(e.getValue - sub)
+      }
+    }
+    b
+  }
+
+  def serialize(b: JHashMap[String, java.lang.Long]): Array[Byte] = {
     var bytes = 4
     val entries = new Array[(Array[Byte], Long)](b.size)
     var i = 0
@@ -140,10 +170,10 @@ case class FreqItemsMG(
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): JHashMap[String, java.lang.Long] = {
+  def deserialize(bytes: Array[Byte]): JHashMap[String, java.lang.Long] = {
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt
-    val b = createAggregationBuffer()
+    val b = new JHashMap[String, java.lang.Long](math.max(16, n * 2))
     var i = 0
     while (i < n) {
       val len = bb.getInt
@@ -154,13 +184,6 @@ case class FreqItemsMG(
     }
     b
   }
-
-  override def withNewMutableAggBufferOffset(o: Int): FreqItemsMG =
-    copy(mutableAggBufferOffset = o)
-  override def withNewInputAggBufferOffset(o: Int): FreqItemsMG =
-    copy(inputAggBufferOffset = o)
-  override protected def withNewChildInternal(c: Expression): FreqItemsMG =
-    copy(child = c)
 }
 
 object FreqItemsAgg {

@@ -1139,6 +1139,54 @@ class StreamingExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("streaming Misra-Gries trending: golden bit-equality + contract per day") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def t(s: String) = Timestamp.valueOf(s)
+    val k = 5
+    val input = MemoryStream[(String, Timestamp)](spark) // (item, ts)
+    val out = graft.analytics.EventsQueries.trendingItemsStream(
+      input.toDS().toDF("item", "ts"), k = k)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("mg_stream")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-mg").toString)
+      .start()
+    // one skewed day: item_i ~ 600/(i+1) occurrences over 20 items,
+    // interleaved deterministically; split mid-stream across two batches
+    val day1 = (0 until 20).flatMap(i => Seq.fill(600 / (i + 1))(s"item_$i"))
+      .sortBy(s => (s.hashCode * 2654435761L) & 0xffffL)
+      .map(s => (s, t("2024-03-01 10:00:00")))
+    val (b1, b2) = day1.splitAt(day1.length / 2)
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    val rowsAfterB1 = spark.table("mg_stream").count()
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val finalSummary = spark.table("mg_stream").collect().drop(rowsAfterB1.toInt)
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    // golden: sequential MG build over the same rows in arrival order —
+    // single-partition source, so stream final must be bit-identical
+    val golden = new java.util.HashMap[String, java.lang.Long]()
+    day1.foreach(p => graft.functions.MGSummary.update(golden, p._1, k))
+    import scala.jdk.CollectionConverters._
+    val goldenMap = golden.asScala.map { case (i, c) => i -> c.longValue() }.toMap
+    assert(finalSummary == goldenMap, s"stream $finalSummary vs golden $goldenMap")
+    // order-independent Misra-Gries contract vs exact counts
+    val exact = day1.groupBy(_._1).map { case (i, rs) => i -> rs.size.toLong }
+    val n = day1.size.toLong
+    assert(finalSummary.size <= k)
+    finalSummary.foreach { case (item, est) =>
+      assert(est <= exact(item), s"$item overestimated")
+      assert(exact(item) - est <= n / (k + 1) + 1, s"$item deficit too large")
+    }
+    exact.filter(_._2 * (k + 1) > n).keys.foreach { hot =>
+      assert(finalSummary.contains(hot), s"heavy $hot missing: $finalSummary")
+    }
+  }
+
   test("exactDedupStream holds 10^6 fingerprints in RocksDB across a restart") {
     // State-SCALE evidence (r8): the streaming twins are pinned
     // stream ≡ batch on small frames elsewhere; this case drives the
