@@ -1971,9 +1971,56 @@ object StatTests {
       FROM g a JOIN g b ON a.event_type < b.event_type
       ORDER BY type_a, type_b"""))
 
+  /** Wilson score interval (the A/B-rate confidence interval that stays
+    * valid at small n and extreme p, unlike the Wald interval): per group,
+    * the 95 % CI of the success proportion as basis points.
+    *
+    * Determinism note: the half-width needs one sqrt, so this op uses the
+    * qstat_exact_variance convention — accumulate (n, s) exactly, then ONE
+    * fixed-form scalar double expression written op-for-op identically in
+    * both engines. Every IEEE step (÷, √, ×, floor) is correctly-rounded
+    * and deterministic on identical inputs, so the floored bp values
+    * hash-match; only SUM-of-double ORDER effects are banned, and there
+    * are none here. One uniform-key aggregation; map-only otherwise.
+    */
+  def wilsonCi(rows: DataFrame, group: Column, success: Column): DataFrame = {
+    val half = "10000.0 * 1.96 * sqrt((CAST(s AS DOUBLE) * " +
+      "(CAST(n AS DOUBLE) - CAST(s AS DOUBLE)) / CAST(n AS DOUBLE) + 0.9604)) " +
+      "/ (CAST(n AS DOUBLE) + 3.8416)"
+    val center = "10000.0 * (CAST(s AS DOUBLE) + 1.9208) / (CAST(n AS DOUBLE) + 3.8416)"
+    rows.select(group.as("grp"), success.cast("long").as("sc"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("sc")).as("s"))
+      .select(col("grp"), col("n"), col("s"),
+        expr("CAST(10000 * s div n AS BIGINT)").as("rate_bp"),
+        expr(s"CAST(floor($center - $half) AS BIGINT)").as("lo_bp"),
+        expr(s"CAST(floor($center + $half) AS BIGINT)").as("hi_bp"))
+      .orderBy(col("grp"))
+  }
+
+  private val qWilson = GraftQuery(
+    "qstat_wilson_ci",
+    (s, dir) =>
+      wilsonCi(Tables.events(s, dir), col("event_type"),
+        (col("value") > 100).cast("int"))
+        .withColumnRenamed("grp", "event_type"),
+    Some("""WITH c AS (SELECT event_type,
+        CASE WHEN value > 100 THEN 1 ELSE 0 END AS sc FROM events),
+      g AS (SELECT event_type, COUNT(*) AS n, CAST(SUM(sc) AS BIGINT) AS s
+        FROM c GROUP BY event_type)
+      SELECT event_type, n, s,
+        CAST(10000 * s // n AS BIGINT) AS rate_bp,
+        CAST(floor(10000.0 * (CAST(s AS DOUBLE) + 1.9208) / (CAST(n AS DOUBLE) + 3.8416)
+          - 10000.0 * 1.96 * sqrt((CAST(s AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(s AS DOUBLE)) / CAST(n AS DOUBLE) + 0.9604))
+            / (CAST(n AS DOUBLE) + 3.8416)) AS BIGINT) AS lo_bp,
+        CAST(floor(10000.0 * (CAST(s AS DOUBLE) + 1.9208) / (CAST(n AS DOUBLE) + 3.8416)
+          + 10000.0 * 1.96 * sqrt((CAST(s AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(s AS DOUBLE)) / CAST(n AS DOUBLE) + 0.9604))
+            / (CAST(n AS DOUBLE) + 3.8416)) AS BIGINT) AS hi_bp
+      FROM g ORDER BY event_type"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qChisq, qKs, qBoot, qGini, qLinReg, qPettitt, qWMedian, qMwu,
       qBenford, qPareto, qRuns, qSpearman, qKendall, qTheilSen, qCramersV,
       qAutocorr, qCohensD, qIqr, qPowerN, qSimpson, qForecastErr, qAnova,
-      qLevene, qMannKendall, qKruskal, qKde, qGamesHowell)
+      qLevene, qMannKendall, qKruskal, qKde, qGamesHowell, qWilson)
 }

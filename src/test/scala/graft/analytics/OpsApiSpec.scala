@@ -2297,6 +2297,28 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Long]("p2_bp") == 5000L, r.toString)
   }
 
+  test("wilsonCi: bounds bracket the rate and match the closed form") {
+    import spark.implicits._
+    val d = Seq(("a", 1), ("a", 0), ("a", 0), ("a", 0), ("b", 1), ("b", 1))
+      .toDF("grp", "ok")
+    val out = StatTests.wilsonCi(d, org.apache.spark.sql.functions.col("grp"),
+        org.apache.spark.sql.functions.col("ok"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    def golden(n: Long, s: Long): (Long, Long) = {
+      val c = 10000.0 * (s + 1.9208) / (n + 3.8416)
+      val h = 10000.0 * 1.96 * math.sqrt(s.toDouble * (n - s) / n + 0.9604) / (n + 3.8416)
+      (math.floor(c - h).toLong, math.floor(c + h).toLong)
+    }
+    out.foreach { case (g, n, s, rate, lo, hi) =>
+      val (glo, ghi) = golden(n, s)
+      assert((lo, hi) == ((glo, ghi)), s"$g: ($lo,$hi) vs golden ($glo,$ghi)")
+      assert(lo <= rate && rate <= hi, s"$g: rate $rate outside [$lo,$hi]")
+      assert(lo >= 0 && hi <= 10000, s"$g: Wilson bounds left [0,1]: $lo,$hi")
+    }
+    assert(out.map(_._1).toSeq == Seq("a", "b"))
+  }
+
   test("epanechnikovKde: exact polynomial kernel mass at each grid point") {
     import spark.implicits._
     // points 5,10,15; grid {10}, h=10: contributions (10²-5²)=75, 100, 75
