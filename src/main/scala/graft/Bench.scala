@@ -133,29 +133,46 @@ object Bench {
     // keeps every per-query number auditable regardless of stdout capture.
     // Default is cwd-relative (the sbt project root), not an absolute path.
     //
-    // Refresh gate (r8): a noisier rerun must not clobber a cleaner
-    // committed artifact (r7 shipped a 96-noisy-flag refresh over a
-    // 9-flag one). If the existing artifact has FEWER noisy flags than
-    // this run, keep it and write the new run to <out>.rejected instead;
+    // Refresh gate (r8): a noisier OR narrower rerun must not clobber a
+    // cleaner committed artifact (r7 shipped a 96-noisy-flag refresh over
+    // a 9-flag one; an r8 single-query filtered run clobbered a 313-row
+    // artifact because it had fewer noisy flags). Two checks, both
+    // required to pass before overwriting:
+    //   1. coverage: this run must have at least as many query rows;
+    //   2. noise: this run must not have more noisy flags.
+    // Otherwise keep the existing file and write to <out>.rejected;
     // SPARK_GRAFT_BENCH_FORCE=1 overrides.
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")).toAbsolutePath
     val force = sys.env.get("SPARK_GRAFT_BENCH_FORCE").contains("1")
-    val existingNoisy: Option[Int] =
+    val existingTxt: Option[String] =
       if (java.nio.file.Files.exists(out)) scala.util.Try {
-        val txt = new String(java.nio.file.Files.readAllBytes(out),
+        new String(java.nio.file.Files.readAllBytes(out),
           java.nio.charset.StandardCharsets.UTF_8)
-        val m = """"noisy":\[([^\]]*)\]""".r.findFirstMatchIn(txt)
-        m.map(g => if (g.group(1).trim.isEmpty) 0
-          else g.group(1).count(_ == ',') + 1)
-      }.toOption.flatten
+      }.toOption
       else None
-    val target0 = existingNoisy match {
-      case Some(old) if !force && noisyNames.size > old =>
-        System.err.println(s"[bench] REFUSING refresh: this run has ${noisyNames.size} noisy flags vs the existing artifact's $old — keeping $out, writing ${out}.rejected")
-        java.nio.file.Paths.get(out.toString + ".rejected")
-      case _ => out
+    val existingNoisy: Option[Int] = existingTxt.flatMap { txt =>
+      """"noisy":\[([^\]]*)\]""".r.findFirstMatchIn(txt)
+        .map(g => if (g.group(1).trim.isEmpty) 0
+          else g.group(1).count(_ == ',') + 1)
     }
+    // Count keys of the "queries" object by counting quoted names before
+    // colons inside it — artifact is single-line JSON we wrote ourselves.
+    val existingRows: Option[Int] = existingTxt.flatMap { txt =>
+      """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt)
+        .map(g => if (g.group(1).trim.isEmpty) 0
+          else g.group(1).count(_ == ':'))
+    }
+    val shrinks = existingRows.exists(old => results.size < old)
+    val noisier = existingNoisy.exists(old => noisyNames.size > old)
+    val target0 =
+      if (!force && shrinks) {
+        System.err.println(s"[bench] REFUSING refresh: this run covers ${results.size} queries vs the existing artifact's ${existingRows.get} — keeping $out, writing ${out}.rejected")
+        java.nio.file.Paths.get(out.toString + ".rejected")
+      } else if (!force && noisier) {
+        System.err.println(s"[bench] REFUSING refresh: this run has ${noisyNames.size} noisy flags vs the existing artifact's ${existingNoisy.get} — keeping $out, writing ${out}.rejected")
+        java.nio.file.Paths.get(out.toString + ".rejected")
+      } else out
     System.err.println(s"[bench] writing full results to $target0")
     try {
       java.nio.file.Files.write(target0,
