@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1734,11 +1734,237 @@ object EventsQueries {
       CAST(s AS BIGINT) AS s_ppm
     FROM km ORDER BY day"""))
 
+  // --------------------------------- Nelson–Aalen cumulative hazard
+  /** Nelson–Aalen cumulative-hazard estimator over the same
+    * right-censored lifetime frame as [[kaplanMeier]] — the additive
+    * dual of KM's multiplicative survival curve (Ĥ(t) = Σ_{s≤t} d_s/n_s,
+    * the canonical input to hazard-ratio eyeballing and to Breslow-type
+    * baselines), plus the Poisson-form variance Σ d_s/n_s².
+    *
+    * Same exactness/scale contract as KM: one corpus aggregate to
+    * per-user (first, last), then everything lives on the bounded
+    * LIFETIME-DAY frame folded in ONE `aggregate` expression — per-step
+    * ppm/ppb floors, identical integer arithmetic in both engines, no
+    * corpus-sized window. BIGINT suffices throughout: the worst term is
+    * 10⁹·d ≤ 10⁹·n ≤ 10¹⁸ at 10⁹ subjects.
+    *
+    * Output: (day, n_risk, n_events, n_censored, h_ppm, var_ppb),
+    * ordered by day; h_ppm is nondecreasing.
+    */
+  def nelsonAalen(events: DataFrame, tsCol: String = "ts",
+      userCol: String = "user_id", censorDays: Int = 7): DataFrame = {
+    require(censorDays >= 0, s"censorDays must be >= 0, got $censorDays")
+    val u = events.groupBy(col(userCol).as("u"))
+      .agg(to_date(min(col(tsCol))).as("f"), to_date(max(col(tsCol))).as("l"))
+    val m = events.agg(to_date(max(col(tsCol))).as("mt"))
+    val days = u.crossJoin(broadcast(m))
+      .select(datediff(col("l"), col("f")).as("t"),
+        (datediff(col("mt"), col("l")) < censorDays).cast("int").as("cens"))
+      .groupBy(col("t"))
+      .agg(sum(lit(1) - col("cens")).as("d"), sum(col("cens")).as("c"))
+    days.agg(sort_array(collect_list(struct(col("t"), col("d"), col("c"))))
+        .as("ws"))
+      .withColumn("tot", expr(
+        "aggregate(ws, CAST(0 AS BIGINT), (a, x) -> a + x.d + x.c)"))
+      .withColumn("rows", expr(
+        """aggregate(ws,
+          struct(CAST(0 AS BIGINT) AS rem, CAST(0 AS BIGINT) AS h,
+            CAST(0 AS BIGINT) AS v,
+            CAST(array() AS array<struct<t:int,n:bigint,d:bigint,c:bigint,h:bigint,v:bigint>>) AS out),
+          (acc, x) -> struct(
+            acc.rem + x.d + x.c AS rem,
+            acc.h + (1000000 * x.d) div (tot - acc.rem) AS h,
+            acc.v + (1000000000 * x.d)
+              div ((tot - acc.rem) * (tot - acc.rem)) AS v,
+            concat(acc.out, array(struct(x.t AS t, tot - acc.rem AS n,
+              x.d AS d, x.c AS c,
+              acc.h + (1000000 * x.d) div (tot - acc.rem) AS h,
+              acc.v + (1000000000 * x.d)
+                div ((tot - acc.rem) * (tot - acc.rem)) AS v))) AS out),
+          acc -> acc.out)"""))
+      .select(explode(col("rows")).as("r"))
+      .select(col("r.t").as("day"), col("r.n").as("n_risk"),
+        col("r.d").as("n_events"), col("r.c").as("n_censored"),
+        col("r.h").as("h_ppm"), col("r.v").as("var_ppb"))
+      .orderBy(col("day"))
+  }
+
+  /** Same binding as [[qKaplanMeier]]: purchasing lifetimes, censor 2d. */
+  private val qNelsonAalen = GraftQuery(
+    "qe_nelson_aalen",
+    (s, dir) => nelsonAalen(
+      Tables.events(s, dir).filter(col("event_type") === "purchase"),
+      censorDays = KmCensorDays),
+    Some(s"""WITH RECURSIVE ev AS (SELECT user_id, ts FROM events
+        WHERE event_type = 'purchase'),
+    u AS (SELECT user_id, CAST(MIN(ts) AS DATE) AS f,
+        CAST(MAX(ts) AS DATE) AS l FROM ev GROUP BY user_id),
+    m AS (SELECT CAST(MAX(ts) AS DATE) AS mt FROM ev),
+    uu AS (SELECT date_diff('day', f, l) AS t,
+        CASE WHEN date_diff('day', l, mt) < $KmCensorDays THEN 1 ELSE 0 END AS cens
+      FROM u, m),
+    wk AS (SELECT t, SUM(1 - cens) AS d, SUM(cens) AS c FROM uu GROUP BY t),
+    idx AS (SELECT t, d, c, ROW_NUMBER() OVER (ORDER BY t) AS i FROM wk),
+    tot AS (SELECT SUM(d + c) AS tot FROM wk),
+    na AS (
+      SELECT i.i, i.t, tot.tot AS n, i.d, i.c,
+          (1000000 * i.d) // tot.tot AS h,
+          (1000000000 * i.d) // (tot.tot * tot.tot) AS v,
+          tot.tot - i.d - i.c AS nrem
+        FROM idx i, tot WHERE i.i = 1
+      UNION ALL
+      SELECT i.i, i.t, na.nrem AS n, i.d, i.c,
+          na.h + (1000000 * i.d) // na.nrem AS h,
+          na.v + (1000000000 * i.d) // (na.nrem * na.nrem) AS v,
+          na.nrem - i.d - i.c AS nrem
+        FROM idx i JOIN na ON i.i = na.i + 1)
+    SELECT CAST(t AS INT) AS day, CAST(n AS BIGINT) AS n_risk,
+      CAST(d AS BIGINT) AS n_events, CAST(c AS BIGINT) AS n_censored,
+      CAST(h AS BIGINT) AS h_ppm, CAST(v AS BIGINT) AS var_ppb
+    FROM na ORDER BY day"""))
+
+  // ------------------------------------------- log-rank test (2 groups)
+  /** Two-sample log-rank test (Mantel–Cox) over right-censored
+    * lifetimes — "do the two cohorts' survival curves differ?", the
+    * hypothesis test that pairs with [[kaplanMeier]]'s estimate. At each
+    * distinct lifetime day t with d_t = d₁+d₂ events and n_t = n₁+n₂ at
+    * risk: E₁ += d·n₁/n and V += d·n₁·n₂·(n−d)/(n²(n−1)); the statistic
+    * is (O₁−E₁)²/V ~ χ²₁ under H₀.
+    *
+    * Exactness/scale: the group flag is one corpus aggregate (max-case
+    * per user), lifetimes a second; the test itself folds the bounded
+    * lifetime-day frame in ONE `aggregate` expression with per-step ppm
+    * floors. The V numerator is 10⁶·d·n₁·n₂·n ≤ 10⁶·n⁴ — past BIGINT at
+    * ~10⁴ subjects — so the fold state rides in DECIMAL(38,0) (good to
+    * n ≈ 10⁸ per group; the oracle's HUGEINT mirrors it).
+    *
+    * Output (1 row): (n1, n2, o1, o2, e1_ppm, v_ppm, chi2_milli,
+    * reject_05) with χ²₁ critical 3.841 pinned in milli.
+    */
+  def logRank(events: DataFrame, group1: Column, tsCol: String = "ts",
+      userCol: String = "user_id", censorDays: Int = 7,
+      criticalMilli: Long = 3841L): DataFrame = {
+    require(censorDays >= 0, s"censorDays must be >= 0, got $censorDays")
+    val u = events.groupBy(col(userCol).as("u"))
+      .agg(to_date(min(col(tsCol))).as("f"), to_date(max(col(tsCol))).as("l"),
+        max(group1.cast("int")).as("g1"))
+    val m = events.agg(to_date(max(col(tsCol))).as("mt"))
+    val days = u.crossJoin(broadcast(m))
+      .select(datediff(col("l"), col("f")).as("t"),
+        (datediff(col("mt"), col("l")) < censorDays).cast("int").as("cens"),
+        col("g1"))
+      .groupBy(col("t"))
+      .agg(sum(col("g1") * (lit(1) - col("cens"))).as("d1"),
+        sum(col("g1") * col("cens")).as("c1"),
+        sum((lit(1) - col("g1")) * (lit(1) - col("cens"))).as("d2"),
+        sum((lit(1) - col("g1")) * col("cens")).as("c2"))
+    days.agg(sort_array(collect_list(
+        struct(col("t"), col("d1"), col("c1"), col("d2"), col("c2")))).as("ws"))
+      .withColumn("tot1", expr(
+        "aggregate(ws, CAST(0 AS BIGINT), (a, x) -> a + x.d1 + x.c1)"))
+      .withColumn("tot2", expr(
+        "aggregate(ws, CAST(0 AS BIGINT), (a, x) -> a + x.d2 + x.c2)"))
+      .withColumn("st", expr(
+        """aggregate(ws,
+          struct(CAST(0 AS DECIMAL(38,0)) AS rem1, CAST(0 AS DECIMAL(38,0)) AS rem2,
+            CAST(0 AS DECIMAL(38,0)) AS o1, CAST(0 AS DECIMAL(38,0)) AS o2,
+            CAST(0 AS DECIMAL(38,0)) AS e1, CAST(0 AS DECIMAL(38,0)) AS v),
+          (acc, x) -> struct(
+            CAST(acc.rem1 + x.d1 + x.c1 AS DECIMAL(38,0)) AS rem1,
+            CAST(acc.rem2 + x.d2 + x.c2 AS DECIMAL(38,0)) AS rem2,
+            CAST(acc.o1 + x.d1 AS DECIMAL(38,0)) AS o1,
+            CAST(acc.o2 + x.d2 AS DECIMAL(38,0)) AS o2,
+            CAST(acc.e1 + (CAST(1000000 AS DECIMAL(38,0)) * (x.d1 + x.d2)
+                * (tot1 - acc.rem1))
+              div (tot1 - acc.rem1 + tot2 - acc.rem2) AS DECIMAL(38,0)) AS e1,
+            CAST(acc.v + IF(tot1 - acc.rem1 + tot2 - acc.rem2 > 1,
+              (CAST(1000000 AS DECIMAL(38,0)) * (x.d1 + x.d2)
+                  * (tot1 - acc.rem1) * (tot2 - acc.rem2)
+                  * (tot1 - acc.rem1 + tot2 - acc.rem2 - x.d1 - x.d2))
+                div ((tot1 - acc.rem1 + tot2 - acc.rem2)
+                  * (tot1 - acc.rem1 + tot2 - acc.rem2)
+                  * (tot1 - acc.rem1 + tot2 - acc.rem2 - 1)),
+              CAST(0 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS v),
+          acc -> acc)"""))
+      .select(col("tot1").as("n1"), col("tot2").as("n2"),
+        col("st.o1").cast("long").as("o1"), col("st.o2").cast("long").as("o2"),
+        col("st.e1").cast("long").as("e1_ppm"),
+        col("st.v").cast("long").as("v_ppm"),
+        expr("""CAST((1000 * (CAST(1000000 AS DECIMAL(38,0)) * st.o1 - st.e1)
+            * (CAST(1000000 AS DECIMAL(38,0)) * st.o1 - st.e1))
+          div nullif(CAST(1000000 AS DECIMAL(38,0)) * st.v,
+            CAST(0 AS DECIMAL(38,0))) AS BIGINT)""").as("chi2_milli"))
+      .withColumn("reject_05", col("chi2_milli") > criticalMilli)
+  }
+
+  /** Arms: experiment assignment by user-id parity (the randomized-
+    * assignment shape log-rank exists for — every event type here is
+    * uniform per user by construction, so a behavioral flag would put
+    * the whole population in one arm); lifetimes measured on purchase
+    * activity, censor 2d. Expected: no rejection — the arms are
+    * exchangeable.
+    */
+  private val qLogRank = GraftQuery(
+    "qe_logrank",
+    (s, dir) => logRank(
+      Tables.events(s, dir).filter(col("event_type") === "purchase"),
+      col("user_id") % 2 === 1, censorDays = KmCensorDays),
+    Some(s"""WITH RECURSIVE ev AS (SELECT user_id, ts,
+        CAST(user_id % 2 AS INT) AS g1
+      FROM events WHERE event_type = 'purchase'),
+    u AS (SELECT user_id, CAST(MIN(ts) AS DATE) AS f,
+        CAST(MAX(ts) AS DATE) AS l, MAX(g1) AS g1 FROM ev GROUP BY user_id),
+    m AS (SELECT CAST(MAX(ts) AS DATE) AS mt FROM ev),
+    uu AS (SELECT date_diff('day', f, l) AS t, g1,
+        CASE WHEN date_diff('day', l, mt) < $KmCensorDays THEN 1 ELSE 0 END AS cens
+      FROM u, m),
+    wk AS (SELECT t, SUM(g1 * (1 - cens)) AS d1, SUM(g1 * cens) AS c1,
+        SUM((1 - g1) * (1 - cens)) AS d2, SUM((1 - g1) * cens) AS c2
+      FROM uu GROUP BY t),
+    idx AS (SELECT t, d1, c1, d2, c2, ROW_NUMBER() OVER (ORDER BY t) AS i FROM wk),
+    tt AS (SELECT CAST(SUM(d1 + c1) AS HUGEINT) AS tot1,
+        CAST(SUM(d2 + c2) AS HUGEINT) AS tot2 FROM wk),
+    lr AS (
+      SELECT i.i, CAST(i.d1 + i.c1 AS HUGEINT) AS rem1,
+          CAST(i.d2 + i.c2 AS HUGEINT) AS rem2,
+          CAST(i.d1 AS HUGEINT) AS o1, CAST(i.d2 AS HUGEINT) AS o2,
+          (1000000 * (i.d1 + i.d2) * tt.tot1) // (tt.tot1 + tt.tot2) AS e1,
+          CASE WHEN tt.tot1 + tt.tot2 > 1 THEN
+            (1000000 * (i.d1 + i.d2) * tt.tot1 * tt.tot2
+                * (tt.tot1 + tt.tot2 - i.d1 - i.d2))
+              // ((tt.tot1 + tt.tot2) * (tt.tot1 + tt.tot2)
+                * (tt.tot1 + tt.tot2 - 1))
+            ELSE 0 END AS v
+        FROM idx i, tt WHERE i.i = 1
+      UNION ALL
+      SELECT i.i, lr.rem1 + i.d1 + i.c1 AS rem1, lr.rem2 + i.d2 + i.c2 AS rem2,
+          lr.o1 + i.d1 AS o1, lr.o2 + i.d2 AS o2,
+          lr.e1 + (1000000 * (i.d1 + i.d2) * (tt.tot1 - lr.rem1))
+            // (tt.tot1 - lr.rem1 + tt.tot2 - lr.rem2) AS e1,
+          lr.v + CASE WHEN tt.tot1 - lr.rem1 + tt.tot2 - lr.rem2 > 1 THEN
+            (1000000 * (i.d1 + i.d2) * (tt.tot1 - lr.rem1)
+                * (tt.tot2 - lr.rem2)
+                * (tt.tot1 - lr.rem1 + tt.tot2 - lr.rem2 - i.d1 - i.d2))
+              // ((tt.tot1 - lr.rem1 + tt.tot2 - lr.rem2)
+                * (tt.tot1 - lr.rem1 + tt.tot2 - lr.rem2)
+                * (tt.tot1 - lr.rem1 + tt.tot2 - lr.rem2 - 1))
+            ELSE 0 END AS v
+        FROM idx i, lr, tt WHERE i.i = lr.i + 1),
+    fin AS (SELECT * FROM lr ORDER BY i DESC LIMIT 1)
+    SELECT CAST(tt.tot1 AS BIGINT) AS n1, CAST(tt.tot2 AS BIGINT) AS n2,
+      CAST(f.o1 AS BIGINT) AS o1, CAST(f.o2 AS BIGINT) AS o2,
+      CAST(f.e1 AS BIGINT) AS e1_ppm, CAST(f.v AS BIGINT) AS v_ppm,
+      CAST((1000 * (1000000 * f.o1 - f.e1) * (1000000 * f.o1 - f.e1))
+        // NULLIF(1000000 * f.v, 0) AS BIGINT) AS chi2_milli,
+      ((1000 * (1000000 * f.o1 - f.e1) * (1000000 * f.o1 - f.e1))
+        // NULLIF(1000000 * f.v, 0)) > 3841 AS reject_05
+    FROM fin f, tt"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qTumbling, qSliding, qSessions, qJson, qTopUsers, qDeltas, qZscore,
       qFunnel, qRetention, qResample, qHistogram, qPattern, qTransitions,
       qDecayWma, qAttribution, qCusum, qMadAnomaly, qTopPaths, qSlidingDistinct,
       qSeasonal, qFunnelTime, qCep, qStreak, qCoverage, qOhlc, qLatencySlo, qRfm,
       qLtv, qDauMau, qHeatmap, qStationary, qLifecycle, qSeqPatterns, qHllSliding,
-      qShapley, qKaplanMeier)
+      qShapley, qKaplanMeier, qNelsonAalen, qLogRank)
 }

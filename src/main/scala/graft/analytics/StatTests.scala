@@ -2018,9 +2018,94 @@ object StatTests {
             / (CAST(n AS DOUBLE) + 3.8416)) AS BIGINT) AS hi_bp
       FROM g ORDER BY event_type"""))
 
+  /** Friedman rank test for k repeated measures over n blocks — the
+    * within-subject counterpart of [[kruskalWallis]] (each block ranks
+    * its OWN k treatment values, so between-block level differences
+    * cancel instead of inflating the between-group ranks). Tie-corrected
+    * form: Q = (k−1)·Σⱼ(Rⱼ − n(k+1)/2)² / (A − C) with A = Σ rᵢⱼ² and
+    * C = nk(k+1)²/4, which reduces to the textbook 12/(nk(k+1)) formula
+    * when ties are absent. All ranks ride DOUBLED (average rank of a tie
+    * group is a half-integer; 2r is always integral: 2·(#below) +
+    * (#tied) + 1), which scales A and C by 4 and leaves Q invariant —
+    * exact integer arithmetic end-to-end, DECIMAL(38,0) against n ≈ 10⁹
+    * blocks.
+    *
+    * Plan shape: one (block, treatment)-key aggregation; ranking windows
+    * partitioned BY BLOCK (k-row partitions, hash-distributed — never a
+    * global window); then treatment-domain-sized frames with broadcast
+    * 1-row joins. Blocks missing any treatment are dropped (complete-
+    * block design), k is measured from the data.
+    *
+    * Output (1 row): (n_blocks, k, q_micro, reject_05) — χ²_{k−1}
+    * critical pinned in micro by the caller (df = 4 → 9.487729).
+    */
+  def friedman(obs: DataFrame, blockCol: String, treatCol: String,
+      value: Column, criticalMicro: Long = 9487729L): DataFrame = {
+    val c = obs
+      .select(col(blockCol).as("blk"), col(treatCol).as("trt"), value.as("vv"))
+      .filter(col("vv").isNotNull)
+      .groupBy(col("blk"), col("trt")).agg(sum(col("vv")).as("v"))
+    val kk = c.agg(countDistinct(col("trt")).as("k"))
+    val fu = c.groupBy(col("blk")).agg(count(lit(1)).as("m"))
+      .crossJoin(broadcast(kk)).filter(col("m") === col("k"))
+      .select(col("blk"))
+    val wRank = Window.partitionBy(col("blk")).orderBy(col("v"))
+    val wTies = Window.partitionBy(col("blk"), col("v"))
+    val r = c.join(fu, "blk")
+      .withColumn("r2",
+        lit(2) * (rank().over(wRank) - 1) + count(lit(1)).over(wTies) + 1)
+    val rj = r.groupBy(col("trt"))
+      .agg(sum(col("r2")).cast("decimal(38,0)").as("r2j"),
+        count(lit(1)).cast("decimal(38,0)").as("n"))
+    val a2 = r.agg(sum(dec(col("r2")) * col("r2")).as("a2"))
+    rj.crossJoin(broadcast(kk))
+      .agg(max(col("n")).as("n"), count(lit(1)).cast("decimal(38,0)").as("kd"),
+        sum((col("r2j") - col("n") * (col("k") + 1))
+          * (col("r2j") - col("n") * (col("k") + 1))).as("num"))
+      .crossJoin(broadcast(a2))
+      .withColumn("c2", col("n") * col("kd") * (col("kd") + 1) * (col("kd") + 1))
+      .select(col("n").cast("long").as("n_blocks"), col("kd").cast("long").as("k"),
+        expr("""CAST((1000000 * (kd - 1) * num)
+          div nullif(a2 - c2, CAST(0 AS DECIMAL(38,0))) AS BIGINT)""").as("q_micro"))
+      .withColumn("reject_05", col("q_micro") > criticalMicro)
+  }
+
+  /** Do the five event types draw consistently different per-user spend?
+    * Blocks = users (complete blocks only), treatments = event types,
+    * measurement = per-(user, type) cents total. df = 4 → χ²
+    * critical 9.487729 pinned in micro, same constant as [[qKruskal]].
+    */
+  private val qFriedman = GraftQuery(
+    "qstat_friedman",
+    (s, dir) => friedman(Tables.events(s, dir), "user_id", "event_type",
+      expr("CAST(round(value * 100) AS BIGINT)")),
+    Some("""WITH c AS (SELECT user_id, event_type,
+        SUM(CAST(round(value * 100) AS BIGINT)) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    kk AS (SELECT COUNT(DISTINCT event_type) AS k FROM c),
+    fu AS (SELECT user_id FROM c, kk GROUP BY user_id, kk.k
+      HAVING COUNT(*) = kk.k),
+    b AS (SELECT c.* FROM c JOIN fu USING (user_id)),
+    r AS (SELECT user_id, event_type, v,
+        2 * (RANK() OVER (PARTITION BY user_id ORDER BY v) - 1)
+          + COUNT(*) OVER (PARTITION BY user_id, v) + 1 AS r2
+      FROM b),
+    rj AS (SELECT event_type, CAST(SUM(r2) AS HUGEINT) AS r2j,
+        CAST(COUNT(*) AS HUGEINT) AS n FROM r GROUP BY event_type),
+    a AS (SELECT SUM(CAST(r2 AS HUGEINT) * r2) AS a2 FROM r),
+    s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS kd, MAX(rj.n) AS n,
+        SUM((r2j - rj.n * (kk.k + 1)) * (r2j - rj.n * (kk.k + 1))) AS num
+      FROM rj, kk GROUP BY kk.k),
+    f AS (SELECT s.n, s.kd, a.a2, s.num,
+        s.n * s.kd * (s.kd + 1) * (s.kd + 1) AS c2 FROM s, a)
+    SELECT CAST(n AS BIGINT) AS n_blocks, CAST(kd AS BIGINT) AS k,
+      CAST((1000000 * (kd - 1) * num) // NULLIF(a2 - c2, 0) AS BIGINT) AS q_micro,
+      ((1000000 * (kd - 1) * num) // NULLIF(a2 - c2, 0)) > 9487729 AS reject_05
+    FROM f"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qChisq, qKs, qBoot, qGini, qLinReg, qPettitt, qWMedian, qMwu,
       qBenford, qPareto, qRuns, qSpearman, qKendall, qTheilSen, qCramersV,
       qAutocorr, qCohensD, qIqr, qPowerN, qSimpson, qForecastErr, qAnova,
-      qLevene, qMannKendall, qKruskal, qKde, qGamesHowell, qWilson)
+      qLevene, qMannKendall, qKruskal, qKde, qGamesHowell, qWilson, qFriedman)
 }

@@ -2328,6 +2328,67 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
     assert(out == List((10L, 3L, 250L)), out.toString)
   }
+
+  test("nelsonAalen: additive hazard accumulates d/n with per-step floors") {
+    import spark.implicits._
+    def t(day: Int) = new java.sql.Timestamp(day * 86400000L)
+    // same frame as the kaplanMeier case: 2 deaths day 1 of 4 at risk,
+    // 1 death day 2 of 2, day 3 is censoring only (hazard must not move)
+    val ev = Seq(
+      (1L, t(0)), (1L, t(1)), (2L, t(0)), (2L, t(1)),
+      (3L, t(0)), (3L, t(2)), (4L, t(7)), (4L, t(10)))
+      .toDF("user_id", "ts")
+    val out = EventsQueries.nelsonAalen(ev, censorDays = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toList
+    assert(out == List(
+      (1, 4L, 2L, 0L, 500000L, 125000000L),   // H = 2/4,       V = 2/16
+      (2, 2L, 1L, 0L, 1000000L, 375000000L),  // H += 1/2,      V += 1/4
+      (3, 1L, 0L, 1L, 1000000L, 375000000L)), // censoring alone: flat
+      out.toString)
+  }
+
+  test("logRank: hand case matches the Mantel-Cox expected/variance sums") {
+    import spark.implicits._
+    def t(day: Int) = new java.sql.Timestamp(day * 86400000L)
+    // group1 = {u1}: dies day 1; group2 = {u2 day 1, u3 day 2}; no censor.
+    // t=1: n1=1,n2=2,d=2 -> e1 += floor(2e6/3), v += floor(4e6/18)
+    // t=2: n1=0 -> e1 += 0, n=1 -> v += 0
+    val ev = Seq(
+      (1L, t(0)), (1L, t(1)), (2L, t(0)), (2L, t(1)),
+      (3L, t(0)), (3L, t(2)))
+      .toDF("user_id", "ts")
+    val out = EventsQueries.logRank(ev,
+      org.apache.spark.sql.functions.col("user_id") === 1, censorDays = 0)
+      .collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3))
+      == ((1L, 2L, 1L, 2L)), out.toString)
+    assert((out.getLong(4), out.getLong(5)) == ((666666L, 222222L)), out.toString)
+    // chi2 = (1e6*1 - 666666)^2 * 1000 div (1e6 * 222222) = 500 milli
+    assert(out.getLong(6) == 500L && !out.getBoolean(7), out.toString)
+  }
+
+  test("friedman: classic 3x3 case gives Q = 14/3; degenerate ties null out") {
+    import spark.implicits._
+    val d = Seq(
+      ("b1", "t1", 10L), ("b1", "t2", 20L), ("b1", "t3", 30L),
+      ("b2", "t1", 10L), ("b2", "t2", 20L), ("b2", "t3", 30L),
+      ("b3", "t1", 10L), ("b3", "t2", 30L), ("b3", "t3", 20L),
+      // incomplete block: must be dropped, not ranked
+      ("b4", "t1", 5L), ("b4", "t2", 6L))
+      .toDF("blk", "trt", "v")
+    val out = StatTests.friedman(d, "blk", "trt",
+      org.apache.spark.sql.functions.col("v")).collect().head
+    // R_j = 3,7,8 -> Q = 12/(3*3*4)*(9+49+64) - 3*3*4 = 14/3 = 4.666666
+    assert((out.getLong(0), out.getLong(1)) == ((3L, 3L)), out.toString)
+    assert(out.getLong(2) == 4666666L && !out.getBoolean(3), out.toString)
+    // every block ranks all-tied values -> A = C -> null statistic
+    val flat = Seq(("b1", "t1", 1L), ("b1", "t2", 1L),
+      ("b2", "t1", 2L), ("b2", "t2", 2L)).toDF("blk", "trt", "v")
+    val f = StatTests.friedman(flat, "blk", "trt",
+      org.apache.spark.sql.functions.col("v")).collect().head
+    assert(f.isNullAt(2), f.toString)
+  }
 }
 
 /** Row-collect helpers shared by the API tests. */
