@@ -513,6 +513,154 @@ object EvalOps {
         CAST(10000 * m2 // t2 AS BIGINT) AS p2_bp
       FROM tot, m1t, m2t"""))
 
+  // --------------------------------------- Cronbach's alpha (reliability)
+  /** Cronbach's α — internal-consistency reliability of k parallel
+    * measurements per subject (k judge scores per sample, k rubric
+    * items per annotation, k probe dimensions per embedding): α =
+    * k/(k−1) · (1 − Σᵢσ²ᵢ / σ²_T) where T is the per-subject item sum.
+    * α near 1 means the items measure one construct; near 0, noise.
+    *
+    * Exactness: items are ×2²⁴-quantized (the [[ProfileOps]] embedding
+    * convention — exact for float inputs), every variance numerator is
+    * the integer form n·ΣX² − (ΣX)² in DECIMAL(38,0), and α itself is
+    * one floored integer division — the quantization scale cancels in
+    * the ratio. Two narrow scans (one per-row for T, one exploded for
+    * per-item sums), each collapsing into ≤ k+1-row aggregates; no
+    * window, no driver loop.
+    *
+    * Output (1 row): (n_subjects, k_items, alpha_milli); NULL α when
+    * the total variance is 0.
+    */
+  def cronbachAlpha(vecs: DataFrame, vecCol: String = "embedding",
+      items: Int = 8): DataFrame = {
+    require(items >= 2, s"items must be >= 2, got $items")
+    val q = 1L << 24
+    val rows = vecs.select(expr(
+      s"transform(slice(cast($vecCol as array<double>), 1, $items), " +
+        s"x -> cast(round(x * $q) as bigint))").as("qvs"))
+      .filter(size(col("qvs")) === items)
+      .withColumn("t", expr(
+        "aggregate(qvs, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+    val tot = rows.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(dec(col("t"))).as("st"), sum(dec(col("t")) * col("t")).as("qt"))
+    val item = rows.select(posexplode(col("qvs")).as(Seq("i", "qv")))
+      .groupBy(col("i"))
+      .agg(sum(dec(col("qv"))).as("s"), sum(dec(col("qv")) * col("qv")).as("qq"))
+    item.crossJoin(broadcast(tot))
+      .agg(max(col("n")).as("n"), count(lit(1)).cast("decimal(38,0)").as("k"),
+        sum(col("n") * col("qq") - col("s") * col("s")).as("sv"),
+        max(col("n") * col("qt") - col("st") * col("st")).as("vt"))
+      .select(col("n").cast("long").as("n_subjects"),
+        col("k").cast("long").as("k_items"),
+        expr("""CAST((1000 * k * (vt - sv))
+          div nullif((k - 1) * vt, CAST(0 AS DECIMAL(38,0))) AS BIGINT)""")
+          .as("alpha_milli"))
+  }
+
+  /** Leading 8 embedding dimensions as the k items — the "do these
+    * probe dims move together" reliability read; the real pipeline
+    * binding is k judge scores per sample through the same API.
+    */
+  private val qCronbach = GraftQuery(
+    "qml_cronbach_alpha",
+    (s, dir) => cronbachAlpha(Tables.embeddings(s, dir)),
+    Some("""WITH r AS (SELECT list_transform((embedding::DOUBLE[])[1:8],
+        x -> CAST(round(x * 16777216) AS BIGINT)) AS qvs
+      FROM embeddings WHERE len(embedding) >= 8),
+    rt AS (SELECT qvs, list_aggregate(qvs, 'sum') AS t FROM r),
+    tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        CAST(SUM(t) AS HUGEINT) AS st,
+        CAST(SUM(CAST(t AS HUGEINT) * t) AS HUGEINT) AS qt FROM rt),
+    x AS (SELECT i, qvs[i] AS qv FROM rt,
+      LATERAL (SELECT unnest(generate_series(1, 8)) AS i) g),
+    it AS (SELECT i, CAST(SUM(qv) AS HUGEINT) AS s,
+        CAST(SUM(CAST(qv AS HUGEINT) * qv) AS HUGEINT) AS qq
+      FROM x GROUP BY i),
+    f AS (SELECT tot.n, CAST(COUNT(*) AS HUGEINT) AS k,
+        SUM(tot.n * it.qq - it.s * it.s) AS sv,
+        MAX(tot.n * tot.qt - tot.st * tot.st) AS vt
+      FROM it, tot GROUP BY tot.n)
+    SELECT CAST(n AS BIGINT) AS n_subjects, CAST(k AS BIGINT) AS k_items,
+      CAST((1000 * k * (vt - sv)) // NULLIF((k - 1) * vt, 0) AS BIGINT)
+        AS alpha_milli
+    FROM f"""))
+
+  // ------------------------------ Krippendorff's alpha (nominal data)
+  /** Krippendorff's α for NOMINAL data with ragged units — the
+    * inter-annotator agreement measure that, unlike Cohen's κ, handles
+    * any number of raters per unit and missing ratings: α = 1 − D_o/D_e
+    * over the coincidence matrix, which reduces to
+    *
+    *   α = 1 − (n−1)·Σᵤ[(m²ᵤ − Σ_c o²ᵤ_c)/(mᵤ−1)] / (n² − Σ_c n²_c)
+    *
+    * with mᵤ ratings in unit u, o counts per (unit, category), n the
+    * total pairable ratings (units with mᵤ ≥ 2 only).
+    *
+    * Exactness: the per-unit disagreement weight 1/(mᵤ−1) is the one
+    * non-integer — it rides as a per-unit ppm floor (identical in both
+    * engines); everything downstream is DECIMAL(38,0) (the α numerator
+    * is ~10⁶·n·m̄·n, past BIGINT at ~10⁵ ratings). Plan: one
+    * (unit, category) aggregation, one unit-key rollup, one
+    * category-domain rollup — two shuffles on the natural keys, no
+    * window, no pair explosion (the o²-identity counts pairs in place).
+    *
+    * Output (1 row): (n_ratings, n_units, n_cats, alpha_ppm); NULL α
+    * when every rating is one category (D_e = 0).
+    */
+  def krippendorffAlpha(ratings: DataFrame, unitCol: String,
+      categoryCol: String): DataFrame = {
+    val uc = ratings
+      .select(col(unitCol).as("u"), col(categoryCol).as("c"))
+      .filter(col("c").isNotNull)
+      .groupBy(col("u"), col("c")).agg(count(lit(1)).as("o"))
+    val um = uc.groupBy(col("u"))
+      .agg(sum(col("o")).as("m"), sum(col("o") * col("o")).as("so"))
+      .filter(col("m") >= 2)
+      .select(col("u"), col("m"),
+        expr("CAST((1000000 * (m * m - so)) div (m - 1) AS BIGINT)")
+          .as("t_ppm"))
+    val cats = uc.join(um.select(col("u")), "u")
+      .groupBy(col("c")).agg(sum(col("o")).as("nc"))
+    val ctot = cats.agg(count(lit(1)).as("n_cats"),
+      sum(dec(col("nc")) * col("nc")).as("snc2"))
+    um.agg(sum(dec(col("m"))).as("n"), count(lit(1)).as("n_units"),
+        sum(dec(col("t_ppm"))).as("s_ppm"))
+      .crossJoin(broadcast(ctot))
+      .select(col("n").cast("long").as("n_ratings"),
+        col("n_units").cast("long").as("n_units"),
+        col("n_cats").cast("long").as("n_cats"),
+        expr("""CAST(1000000 - (s_ppm * (n - 1))
+          div nullif(n * n - snc2, CAST(0 AS DECIMAL(38,0))) AS BIGINT)""")
+          .as("alpha_ppm"))
+  }
+
+  /** Units = orders, "raters" = their line items, category = return
+    * flag — do an order's lines agree on return status beyond chance?
+    */
+  private val qKrippendorff = GraftQuery(
+    "qml_krippendorff",
+    (s, dir) => krippendorffAlpha(Tables.lineitem(s, dir),
+      "l_orderkey", "l_returnflag"),
+    Some("""WITH uc AS (SELECT l_orderkey AS u, l_returnflag AS c,
+        COUNT(*) AS o FROM lineitem WHERE l_returnflag IS NOT NULL
+      GROUP BY 1, 2),
+    um AS (SELECT u, SUM(o) AS m, SUM(o * o) AS so FROM uc GROUP BY u
+      HAVING SUM(o) >= 2),
+    um2 AS (SELECT u, m,
+        CAST((1000000 * (m * m - so)) // (m - 1) AS BIGINT) AS t_ppm FROM um),
+    cats AS (SELECT c, SUM(o) AS nc FROM uc
+      WHERE u IN (SELECT u FROM um2) GROUP BY c),
+    ct AS (SELECT COUNT(*) AS n_cats,
+        SUM(CAST(nc AS HUGEINT) * nc) AS snc2 FROM cats),
+    ut AS (SELECT CAST(SUM(m) AS HUGEINT) AS n, COUNT(*) AS n_units,
+        CAST(SUM(t_ppm) AS HUGEINT) AS s_ppm FROM um2)
+    SELECT CAST(ut.n AS BIGINT) AS n_ratings,
+      CAST(ut.n_units AS BIGINT) AS n_units,
+      CAST(ct.n_cats AS BIGINT) AS n_cats,
+      CAST(1000000 - (ut.s_ppm * (ut.n - 1))
+        // NULLIF(ut.n * ut.n - ct.snc2, 0) AS BIGINT) AS alpha_ppm
+    FROM ut, ct"""))
+
   val queries: Seq[GraftQuery] = Seq(qAuc, qPrCurve, qKappa, qBradleyTerry,
-    qMcNemar, qBleu)
+    qMcNemar, qBleu, qCronbach, qKrippendorff)
 }

@@ -2329,6 +2329,42 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == List((10L, 3L, 250L)), out.toString)
   }
 
+  test("cronbachAlpha: hand case 24/25; zero total variance nulls out") {
+    import spark.implicits._
+    // items (1,3) and (2,5): var-nums 4, 9; totals (3,8): var-num 25
+    // alpha = k/(k-1) * (1 - 13/25) = 2 * 12/25 = 0.96
+    val d = Seq(Array(1.0f, 2.0f), Array(3.0f, 5.0f)).toDF("embedding")
+    val out = EvalOps.cronbachAlpha(d, items = 2).collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2))
+      == ((2L, 2L, 960L)), out.toString)
+    // identical subjects: total variance 0 -> NULL alpha, not a crash
+    val flat = Seq(Array(1.0f, 2.0f), Array(1.0f, 2.0f)).toDF("embedding")
+    val f = EvalOps.cronbachAlpha(flat, items = 2).collect().head
+    assert(f.isNullAt(2), f.toString)
+    // short vectors are dropped, not zero-padded
+    val short = Seq(Array(1.0f, 2.0f), Array(3.0f, 5.0f), Array(9.0f))
+      .toDF("embedding")
+    val s2 = EvalOps.cronbachAlpha(short, items = 2).collect().head
+    assert(s2.getLong(0) == 2L && s2.getLong(2) == 960L, s2.toString)
+  }
+
+  test("krippendorffAlpha: textbook chance level and perfect agreement") {
+    import spark.implicits._
+    // u1=[a,a] agrees, u2=[a,b] splits: Do = 0.5 = De -> alpha = 0
+    val d = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "b")).toDF("u", "c")
+    val out = EvalOps.krippendorffAlpha(d, "u", "c").collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3))
+      == ((4L, 2L, 2L, 0L)), out.toString)
+    // all units internally unanimous -> alpha = 1 even with 2 categories
+    val u = Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b")).toDF("u", "c")
+    val p = EvalOps.krippendorffAlpha(u, "u", "c").collect().head
+    assert(p.getLong(3) == 1000000L, p.toString)
+    // singleton units carry no pairable ratings and must be dropped
+    val s2 = Seq((1L, "a"), (1L, "b"), (2L, "a")).toDF("u", "c")
+    val r = EvalOps.krippendorffAlpha(s2, "u", "c").collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 1L, r.toString)
+  }
+
   test("nelsonAalen: additive hazard accumulates d/n with per-step floors") {
     import spark.implicits._
     def t(day: Int) = new java.sql.Timestamp(day * 86400000L)
