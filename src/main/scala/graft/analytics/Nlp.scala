@@ -47,6 +47,19 @@ object Nlp {
       s"zip_with(slice($toks, 1, size($toks) - 1), slice($toks, 2, size($toks) - 1), " +
       s"(x, y) -> concat(x, ' ', y)) ELSE CAST(array() AS array<string>) END"
 
+  /** Adjacent word trigrams, occurrences KEPT (frequency-spectrum ops
+    * need multiplicity where [[shingles]]' dedup fingerprints must not).
+    */
+  def trigrams(toks: String): String =
+    s"CASE WHEN size($toks) >= 3 THEN " +
+      s"zip_with(zip_with(slice($toks, 1, size($toks) - 2), slice($toks, 2, size($toks) - 2), " +
+      s"(x, y) -> concat(x, ' ', y)), slice($toks, 3, size($toks) - 2), " +
+      s"(xy, z) -> concat(xy, ' ', z)) ELSE CAST(array() AS array<string>) END"
+
+  def trigramsSql(toks: String): String =
+    s"CASE WHEN len($toks) >= 3 THEN list_transform(generate_series(1, len($toks) - 2), " +
+      s"i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2]) ELSE []::VARCHAR[] END"
+
   def bigramsSql(toks: String): String =
     s"CASE WHEN len($toks) >= 2 THEN list_transform(generate_series(1, len($toks) - 1), " +
       s"i -> $toks[i] || ' ' || $toks[i+1]) ELSE []::VARCHAR[] END"

@@ -1323,9 +1323,65 @@ object VocabOps {
            ELSE 'tail' END AS bucket
     FROM dd, th ORDER BY dd.doc_id"""))
 
+  // ------------------------------------------- Good–Turing frequencies
+  /** Good–Turing frequency re-estimation over the trigram count
+    * spectrum (Good 1953; the estimator under Katz backoff and the
+    * classical answer to "how much probability mass belongs to n-grams
+    * we have never seen"): with N_r = #species observed exactly r times,
+    * the adjusted count is r* = (r+1)·N_{r+1}/N_r and the unseen mass is
+    * p₀ = N₁/N. Exact rationals end-to-end — r* and p₀ are single
+    * floored ppm divisions over DECIMAL(38,0) counts; no log-log
+    * smoothing fit (ln() carries no cross-engine guarantee — the
+    * [[qKeywords]] convention), so r* is NULL where N_{r+1} = 0, exactly
+    * as raw Turing estimates behave.
+    *
+    * Plan: trigram Generate → species counts (uniform keys) → the
+    * frequency-of-frequency rollup is r-domain-sized (≤ max count rows);
+    * the N_{r+1} lookup is a broadcast self-join on that tiny frame.
+    *
+    * Output: (r, n_r, n_next, rstar_ppm, p0_ppm) ascending by r.
+    */
+  def goodTuring(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val nr = norm(docs, idCol, textCol)
+      .select(explode(expr(Nlp.trigrams(Nlp.toksExpr))).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("r"))
+      .groupBy(col("r")).agg(count(lit(1)).as("n_r"))
+    val tot = nr.agg(sum(dec(col("r")) * col("n_r")).as("nn"),
+      sum(when(col("r") === 1, col("n_r")).otherwise(0L)).as("f1"))
+    nr.join(broadcast(nr.select((col("r") - 1).as("r"),
+        col("n_r").as("n_next"))), Seq("r"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("r"), col("n_r"), col("n_next"),
+        expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * (r + 1) * n_next)
+          div CAST(n_r AS DECIMAL(38,0)) AS BIGINT)""").as("rstar_ppm"),
+        expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * f1) div nn AS BIGINT)""")
+          .as("p0_ppm"))
+      .orderBy(col("r"))
+  }
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+
+  private val qGoodTuring = GraftQuery(
+    "qt_good_turing",
+    (s, dir) => goodTuring(Tables.documents(s, dir)),
+    Some(s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+    g AS (SELECT unnest(${Nlp.trigramsSql("toks")}) AS s FROM t),
+    c AS (SELECT s, COUNT(*) AS r FROM g GROUP BY s),
+    nr AS (SELECT r, COUNT(*) AS n_r FROM c GROUP BY r),
+    tot AS (SELECT SUM(CAST(r AS HUGEINT) * n_r) AS nn,
+        SUM(CASE WHEN r = 1 THEN n_r ELSE 0 END) AS f1 FROM nr)
+    SELECT CAST(nr.r AS BIGINT) AS r, CAST(nr.n_r AS BIGINT) AS n_r,
+      CAST(nx.n_r AS BIGINT) AS n_next,
+      CAST((CAST(1000000 AS HUGEINT) * (nr.r + 1) * nx.n_r)
+        // CAST(nr.n_r AS HUGEINT) AS BIGINT) AS rstar_ppm,
+      CAST((CAST(1000000 AS HUGEINT) * tot.f1) // tot.nn AS BIGINT) AS p0_ppm
+    FROM nr LEFT JOIN nr nx ON nx.r = nr.r + 1 CROSS JOIN tot
+    ORDER BY r"""))
+
   def queries: Seq[GraftQuery] =
     Seq(qVocab, qKeywords, qEditDist, qBm25, qBpeTrain, qBpeTokenize, qCountMin,
       qPhrase, qBigramNovelty, qVocabCoverage, qWordpiece, qBackoff,
       qFertility, qPrf, qPieceUsage, qHeaps, qColloc, qChao1, qKneserNey,
-      qZipfSurprisal)
+      qZipfSurprisal, qGoodTuring)
 }

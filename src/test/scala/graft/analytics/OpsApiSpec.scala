@@ -2329,6 +2329,20 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == List((10L, 3L, 250L)), out.toString)
   }
 
+  test("goodTuring: adjusted counts follow (r+1)N_{r+1}/N_r; tail is NULL") {
+    import spark.implicits._
+    // trigrams: "a b c" seen twice, "x y z" once -> N1=1, N2=1, N=3
+    val d = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val out = VocabOps.goodTuring(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4))).toList
+    assert(out == List(
+      (1L, 1L, 2000000L, 333333L),  // r*=2*N2/N1=2; p0 = N1/N = 1/3
+      (2L, 1L, -1L, 333333L)),      // no N3 -> raw Turing undefined
+      out.toString)
+  }
+
   test("cronbachAlpha: hand case 24/25; zero total variance nulls out") {
     import spark.implicits._
     // items (1,3) and (2,5): var-nums 4, 9; totals (3,8): var-num 25
