@@ -633,7 +633,73 @@ object MatchOps {
            ELSE 'non_match' END AS decision
     FROM r ORDER BY pattern DESC"""))
 
+  // ------------------------------------- Jaro–Winkler verify (names)
+  /** Token-blocked pairs scored with Jaro–Winkler similarity (the
+    * [[graft.functions.JaroWinkler]] native expression) — the
+    * record-linkage field's standard name comparator, where the edit-
+    * distance verifies ([[damerauNameMatch]]) count whole operations:
+    * JW grades PARTIAL agreement (per-character matches, transposition
+    * rate, common prefix), so "almondblush" vs "almond blush" scores
+    * high where a lev-≤-k gate is all-or-nothing.
+    *
+    * Same blocking/skew contract as [[fuzzyNameMatch]] (shared rare-
+    * token equi-join). No length-gap prefilter — JW degrades smoothly
+    * with length difference instead of admitting a bound. The emitted
+    * similarity is a raw double: the expression is pinned bit-exact to
+    * DuckDB's `jaro_winkler_similarity` (StringExprsSpec: 30k-pair
+    * fuzz + classics), so the hash gate needs no rounding column.
+    *
+    * Output: (name_a, name_b, jw, rows_a, rows_b) with jw ≥ `minSim`,
+    * ordered by (jw desc, name_a, name_b).
+    */
+  def jaroWinklerNameMatch(df: DataFrame, nameCol: String = "name",
+      minSim: Double = 0.90, maxTokenDf: Int = 1000): DataFrame = {
+    require(minSim >= 0.0 && minSim <= 1.0 && maxTokenDf >= 1)
+    val names = df.groupBy(col(nameCol).as("name"))
+      .agg(count(lit(1)).as("n_rows"))
+    val toks = names
+      .select(col("name"), explode(split(col("name"), " ")).as("tok"))
+      .distinct()
+    val rare = toks.groupBy(col("tok")).agg(count(lit(1)).as("tdf"))
+      .filter(col("tdf") <= maxTokenDf).select(col("tok"))
+    val blocked = toks.join(rare, "tok")
+    blocked.as("a")
+      .join(blocked.as("b"),
+        col("a.tok") === col("b.tok") && col("a.name") < col("b.name"))
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+      .distinct()
+      .withColumn("jw", graft.functions.GraftFunctions.graft_jaro_winkler(
+        col("name_a"), col("name_b")))
+      .filter(col("jw") >= minSim)
+      .join(names.select(col("name").as("name_a"), col("n_rows").as("rows_a")), "name_a")
+      .join(names.select(col("name").as("name_b"), col("n_rows").as("rows_b")), "name_b")
+      .select(col("name_a"), col("name_b"), col("jw"),
+        col("rows_a"), col("rows_b"))
+      .orderBy(col("jw").desc, col("name_a"), col("name_b"))
+  }
+
+  private val JwMinSim = 0.90
+
+  private val qJaroWinkler = GraftQuery(
+    "qj_jaro_winkler",
+    (s, dir) => jaroWinklerNameMatch(Tables.part(s, dir), nameCol = "p_name",
+      minSim = JwMinSim, maxTokenDf = FuzzyTokenDf),
+    Some(s"""WITH $nameDomainCte,
+    t AS (SELECT DISTINCT name, tok FROM
+      (SELECT name, unnest(string_split(name, ' ')) AS tok FROM n)),
+    rare AS (SELECT tok FROM t GROUP BY tok HAVING COUNT(*) <= $FuzzyTokenDf),
+    bl AS (SELECT t.name, t.tok FROM t JOIN rare USING (tok)),
+    c AS (SELECT DISTINCT a.name AS name_a, b.name AS name_b
+      FROM bl a JOIN bl b ON a.tok = b.tok AND a.name < b.name),
+    v AS (SELECT name_a, name_b,
+        jaro_winkler_similarity(name_a, name_b) AS jw
+      FROM c WHERE jaro_winkler_similarity(name_a, name_b) >= $JwMinSim)
+    SELECT v.name_a, v.name_b, v.jw,
+      na.n_rows AS rows_a, nb.n_rows AS rows_b
+    FROM v JOIN n na ON na.name = v.name_a JOIN n nb ON nb.name = v.name_b
+    ORDER BY v.jw DESC, v.name_a, v.name_b"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qFuzzy, qSortedNb, qMutualBest, qMultiPass, qPhonetic, qDamerau,
-      qFellegiSunter)
+      qFellegiSunter, qJaroWinkler)
 }

@@ -485,6 +485,9 @@ object GraftFunctions {
   def graft_damerau(a: Column, b: Column): Column =
     GraftColumnBridge.column(DamerauLevenshtein(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  def graft_jaro_winkler(a: Column, b: Column): Column =
+    GraftColumnBridge.column(JaroWinkler(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
   def graft_cdc_boundaries(t: Column, w: Int, buckets: Int): Column =
     GraftColumnBridge.column(CdcBoundaries(
       GraftColumnBridge.expression(t), w, buckets))

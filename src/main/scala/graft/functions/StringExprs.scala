@@ -233,3 +233,117 @@ object DamerauLevenshtein {
     d((n + 1) * w + m + 1)
   }
 }
+
+/** Jaro–Winkler similarity as a native codegen'd Catalyst expression —
+  * the record-linkage community's standard name-comparison score (Jaro
+  * 1989; Winkler 1990: a common-prefix boost because human-keyed names
+  * corrupt the tail far more often than the head). Spark ships no Jaro
+  * variant at all; a Scala UDF would box both strings per blocked pair
+  * inside the match verify step — the same custom-Expression rationale
+  * as [[DamerauLevenshtein]].
+  *
+  * Semantics are pinned BIT-EXACTLY to DuckDB's
+  * `jaro_winkler_similarity` (the oracle twin), verified on 30k random
+  * pairs: either side empty → 0.0 (even both-empty, unlike some
+  * references); match window ⌊max(l₁,l₂)/2⌋−1 with greedy first-free
+  * matching; transpositions = ⌊mismatched aligned pairs / 2⌋;
+  * jaro = (m/l₁ + m/l₂ + (m−t)/m) / 3 evaluated in exactly that
+  * left-to-right IEEE order; prefix boost `sim + ℓ·0.1·(1−sim)` with
+  * ℓ ≤ 4 applied only when jaro > 0.7. Every step is a correctly-
+  * rounded IEEE-754 operation on integer-derived doubles, so equal
+  * inputs give bit-identical doubles in both engines — no rounding
+  * column needed for the hash gate.
+  *
+  * Cost: O(|a|·|b|) worst case on code points, O(window) typical.
+  * Intended AFTER blocking (bounded fan-in, short keys), never a
+  * corpus cross join.
+  */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "graft_jaro_winkler"
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_jaro_winkler needs two STRING arguments, got " +
+          s"(${left.dataType.sql}, ${right.dataType.sql})")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaroWinkler.similarity(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.JaroWinkler.similarity($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
+object JaroWinkler {
+  private def codePoints(s: UTF8String): Array[Int] = {
+    val str = s.toString
+    val out = new Array[Int](str.codePointCount(0, str.length))
+    var i = 0
+    var j = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      out(j) = cp
+      j += 1
+      i += Character.charCount(cp)
+    }
+    out
+  }
+
+  /** Static entry shared by interpreted eval and generated code. */
+  def similarity(a: UTF8String, b: UTF8String): Double = {
+    val s = codePoints(a)
+    val t = codePoints(b)
+    val l1 = s.length
+    val l2 = t.length
+    if (l1 == 0 || l2 == 0) return 0.0
+    var window = (if (l1 > l2) l1 else l2) / 2 - 1
+    if (window < 0) window = 0
+    val m1 = new Array[Boolean](l1)
+    val m2 = new Array[Boolean](l2)
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      val lo = if (i - window > 0) i - window else 0
+      val hi = if (i + window + 1 < l2) i + window + 1 else l2
+      var j = lo
+      var done = false
+      while (j < hi && !done) {
+        if (!m2(j) && s(i) == t(j)) {
+          m1(i) = true; m2(j) = true; m += 1; done = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var trans = 0
+    var k = 0
+    i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (s(i) != t(k)) trans += 1
+        k += 1
+      }
+      i += 1
+    }
+    trans /= 2
+    var sim = (m / l1.toDouble + m / l2.toDouble + (m - trans) / m.toDouble) / 3.0
+    if (sim > 0.7) {
+      var l = 0
+      val lim = { val x = if (l1 < l2) l1 else l2; if (x < 4) x else 4 }
+      while (l < lim && s(l) == t(l)) l += 1
+      sim += l * 0.1 * (1.0 - sim)
+    }
+    sim
+  }
+}

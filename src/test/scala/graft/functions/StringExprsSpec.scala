@@ -105,6 +105,57 @@ class StringExprsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  private def jw(a: String, b: String): Double =
+    JaroWinkler.similarity(UTF8String.fromString(a), UTF8String.fromString(b))
+
+  test("jaroWinkler: classics, empty rule, and boost threshold") {
+    // values verified against DuckDB jaro_winkler_similarity this round
+    assert(jw("martha", "marhta") === 0.9611111111111111)
+    assert(jw("DIXON", "DICKSONX") === 0.8133333333333332)
+    assert(jw("duane", "dwayne") === 0.8400000000000001)
+    assert(jw("abc", "abc") === 1.0)
+    // DuckDB pins empty -> 0.0 even for BOTH empty (some references say 1)
+    assert(jw("", "") === 0.0 && jw("a", "") === 0.0 && jw("", "a") === 0.0)
+    assert(jw("abc", "xyz") === 0.0)
+    // prefix boost applies only above jaro 0.7: DIXON/DICKSONX matches
+    // m=4 (D,I,O,N) with 0 transpositions -> jaro 0.7667, then the
+    // 2-char common prefix boosts it; disjoint strings never are
+    val jaroDixon = (4.0 / 5 + 4.0 / 8 + 4.0 / 4) / 3.0
+    assert(jw("DIXON", "DICKSONX") === jaroDixon + 2 * 0.1 * (1.0 - jaroDixon))
+  }
+
+  test("jaroWinkler: 2000-pair DuckDB golden file agrees BIT-exactly") {
+    // src/test/resources/jaro_winkler_duckdb_golden.tsv: random pairs over
+    // 'abcde ' with DuckDB jaro_winkler_similarity's doubles in hex float
+    // form (seed 123, generated this round) — the bit-exact cross-engine
+    // contract the qj_jaro_winkler oracle's raw-double hash depends on.
+    val in = getClass.getResourceAsStream("/jaro_winkler_duckdb_golden.tsv")
+    assert(in != null, "golden fixture missing")
+    val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSeq
+    assert(lines.size === 2000)
+    lines.foreach { line =>
+      val p = line.split("\t", -1)
+      val want = java.lang.Double.parseDouble(p(2))
+      assert(jw(p(0), p(1)) === want, s"('${p(0)}', '${p(1)}')")
+    }
+  }
+
+  test("jaroWinkler column API: codegen path agrees; nulls propagate") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    def randStr(): String =
+      (0 until rnd.nextInt(10)).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    val rows = (1 to 300).map(_ => (randStr(), randStr()))
+    val got = rows.toDF("a", "b").select(col("a"), col("b"),
+      GraftFunctions.graft_jaro_winkler(col("a"), col("b")).as("s")).collect()
+    got.foreach { r =>
+      assert(r.getDouble(2) === jw(r.getString(0), r.getString(1)))
+    }
+    val n = Seq((Option("x"), Option.empty[String])).toDF("a", "b")
+      .select(GraftFunctions.graft_jaro_winkler(col("a"), col("b"))).collect()
+    assert(n.head.isNullAt(0))
+  }
+
   test("column API: codegen and interpreted paths agree") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
