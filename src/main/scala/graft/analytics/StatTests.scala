@@ -2103,9 +2103,85 @@ object StatTests {
       ((1000000 * (kd - 1) * num) // NULLIF(a2 - c2, 0)) > 9487729 AS reject_05
     FROM f"""))
 
+  /** Cochran's Q — the k-treatment BINARY within-subject test that
+    * completes the family ([[EvalOps.mcNemar]] is its k = 2 case;
+    * [[friedman]] its ordinal generalization): for n subjects each
+    * giving a 0/1 outcome under all k treatments,
+    *
+    *   Q = (k−1)·(k·ΣⱼC²ⱼ − N²) / (k·N − ΣᵤR²ᵤ)
+    *
+    * with Cⱼ the treatment success totals, Rᵤ the subject totals,
+    * N = ΣCⱼ. Pure integer arithmetic — one floored micro division at
+    * the end, DECIMAL(38,0) throughout (N² passes BIGINT at ~3·10⁹
+    * successes). Plan: one (subject, treatment) agg, then a subject
+    * rollup and a treatment-domain rollup — two shuffles on natural
+    * keys, no window. Complete blocks only; all-0 and all-k subjects
+    * contribute to the denominator exactly as the textbook form wants
+    * (dropping them is the common implementation bug — pinned in the
+    * spec).
+    *
+    * Output (1 row): (n_subjects, k, n_success, q_micro, reject_05);
+    * NULL Q when every subject is all-0 or all-k (denominator 0).
+    */
+  def cochranQ(obs: DataFrame, blockCol: String, treatCol: String,
+      hit: Column, criticalMicro: Long = 9487729L): DataFrame = {
+    val c = obs
+      .select(col(blockCol).as("blk"), col(treatCol).as("trt"),
+        hit.cast("int").as("h"))
+      .filter(col("h").isNotNull)
+      .groupBy(col("blk"), col("trt")).agg(max(col("h")).as("x"))
+    val kk = c.agg(countDistinct(col("trt")).as("k"))
+    val ru = c.groupBy(col("blk"))
+      .agg(count(lit(1)).as("m"), sum(col("x")).as("r"))
+      .crossJoin(broadcast(kk)).filter(col("m") === col("k"))
+    val subj = ru.agg(count(lit(1)).as("n_subjects"),
+      sum(dec(col("r")) * col("r")).as("sr2"))
+    val cj = c.join(ru.select(col("blk")), "blk")
+      .groupBy(col("trt")).agg(sum(col("x")).as("cj"))
+    cj.crossJoin(broadcast(kk))
+      .agg(max(col("k")).cast("decimal(38,0)").as("kd"),
+        sum(dec(col("cj"))).as("n"), sum(dec(col("cj")) * col("cj")).as("sc2"))
+      .crossJoin(broadcast(subj))
+      .select(col("n_subjects"), col("kd").cast("long").as("k"),
+        col("n").cast("long").as("n_success"),
+        expr("""CAST((1000000 * (kd - 1) * (kd * sc2 - n * n))
+          div nullif(kd * n - sr2, CAST(0 AS DECIMAL(38,0))) AS BIGINT)""")
+          .as("q_micro"))
+      .withColumn("reject_05", col("q_micro") > criticalMicro)
+  }
+
+  /** Per user and event type: did any event exceed value 100? k = 5
+    * binary outcomes per subject; df = 4 → 9.487729 in micro, the
+    * [[qKruskal]] constant.
+    */
+  private val qCochran = GraftQuery(
+    "qstat_cochran_q",
+    (s, dir) => cochranQ(Tables.events(s, dir), "user_id", "event_type",
+      (col("value") > 100).cast("int")),
+    Some("""WITH c AS (SELECT user_id, event_type,
+        MAX(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS x
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    kk AS (SELECT COUNT(DISTINCT event_type) AS k FROM c),
+    ru AS (SELECT user_id, COUNT(*) AS m, SUM(x) AS r FROM c GROUP BY user_id),
+    rf AS (SELECT ru.* FROM ru, kk WHERE ru.m = kk.k),
+    subj AS (SELECT COUNT(*) AS n_subjects,
+        SUM(CAST(r AS HUGEINT) * r) AS sr2 FROM rf),
+    cj AS (SELECT event_type, CAST(SUM(x) AS HUGEINT) AS cj FROM c
+      WHERE user_id IN (SELECT user_id FROM rf) GROUP BY event_type),
+    tr AS (SELECT CAST(MAX(kk.k) AS HUGEINT) AS kd, SUM(cj.cj) AS n,
+        SUM(cj.cj * cj.cj) AS sc2 FROM cj, kk)
+    SELECT CAST(subj.n_subjects AS BIGINT) AS n_subjects,
+      CAST(tr.kd AS BIGINT) AS k, CAST(tr.n AS BIGINT) AS n_success,
+      CAST((1000000 * (tr.kd - 1) * (tr.kd * tr.sc2 - tr.n * tr.n))
+        // NULLIF(tr.kd * tr.n - subj.sr2, 0) AS BIGINT) AS q_micro,
+      ((1000000 * (tr.kd - 1) * (tr.kd * tr.sc2 - tr.n * tr.n))
+        // NULLIF(tr.kd * tr.n - subj.sr2, 0)) > 9487729 AS reject_05
+    FROM subj, tr"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qChisq, qKs, qBoot, qGini, qLinReg, qPettitt, qWMedian, qMwu,
       qBenford, qPareto, qRuns, qSpearman, qKendall, qTheilSen, qCramersV,
       qAutocorr, qCohensD, qIqr, qPowerN, qSimpson, qForecastErr, qAnova,
-      qLevene, qMannKendall, qKruskal, qKde, qGamesHowell, qWilson, qFriedman)
+      qLevene, qMannKendall, qKruskal, qKde, qGamesHowell, qWilson, qFriedman,
+      qCochran)
 }

@@ -1379,9 +1379,52 @@ object VocabOps {
     FROM nr LEFT JOIN nr nx ON nx.r = nr.r + 1 CROSS JOIN tot
     ORDER BY r"""))
 
+  // --------------------------------------------- Yule's K (richness)
+  /** Yule's characteristic K — the sample-size-invariant vocabulary-
+    * richness statistic (Yule 1944): K = 10⁴·(Σᵣ r²·N_r − N)/N², the
+    * (scaled) probability two random tokens are the same type. Low K =
+    * rich, varied vocabulary; high K = repetitive text. The classic
+    * corpus-comparison companion to [[qChao1]] (how many types exist)
+    * and [[qHeaps]] (how fast they accrue): K asks how CONCENTRATED the
+    * usage is, and unlike raw type/token ratio it does not drift with
+    * corpus size — which is what makes it usable as a repetitiveness
+    * gate across differently-sized shards.
+    *
+    * Pure integers: one token Generate → word counts → a 1-row
+    * frequency moment agg; 10⁷-scaled milli-K in DECIMAL(38,0) (the
+    * numerator passes BIGINT at ~10⁸ tokens of a hot type).
+    *
+    * Output (1 row): (n_tokens, v_types, s2, k_milli).
+    */
+  def yuleK(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val wc = norm(docs, idCol, textCol)
+      .select(explode(expr(toksExpr)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("r"))
+    wc.agg(sum(col("r")).as("n"), count(lit(1)).as("v"),
+        sum(dec(col("r")) * col("r")).as("s2"))
+      .select(col("n").cast("long").as("n_tokens"),
+        col("v").cast("long").as("v_types"),
+        col("s2").cast("long").as("s2"),
+        expr("""CAST((CAST(10000000 AS DECIMAL(38,0)) * (s2 - n))
+          div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)""").as("k_milli"))
+  }
+
+  private val qYuleK = GraftQuery(
+    "qt_yule_k",
+    (s, dir) => yuleK(Tables.documents(s, dir)),
+    Some(s"""WITH t AS (SELECT unnest($toksSql) AS w FROM documents),
+    wc AS (SELECT w, COUNT(*) AS r FROM t GROUP BY w),
+    f AS (SELECT CAST(SUM(r) AS HUGEINT) AS n, COUNT(*) AS v,
+        SUM(CAST(r AS HUGEINT) * r) AS s2 FROM wc)
+    SELECT CAST(n AS BIGINT) AS n_tokens, CAST(v AS BIGINT) AS v_types,
+      CAST(s2 AS BIGINT) AS s2,
+      CAST((10000000 * (s2 - n)) // (n * n) AS BIGINT) AS k_milli
+    FROM f"""))
+
   def queries: Seq[GraftQuery] =
     Seq(qVocab, qKeywords, qEditDist, qBm25, qBpeTrain, qBpeTokenize, qCountMin,
       qPhrase, qBigramNovelty, qVocabCoverage, qWordpiece, qBackoff,
       qFertility, qPrf, qPieceUsage, qHeaps, qColloc, qChao1, qKneserNey,
-      qZipfSurprisal, qGoodTuring)
+      qZipfSurprisal, qGoodTuring, qYuleK)
 }

@@ -2329,6 +2329,41 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == List((10L, 3L, 250L)), out.toString)
   }
 
+  test("cochranQ: textbook case; all-0/all-k subjects stay in the denominator") {
+    import spark.implicits._
+    // 4 subjects x 3 treatments; X = rows s1..s4: (1,1,0),(1,0,0),
+    // (1,1,1),(0,0,0). C = (3,2,1), N = 6, R = (2,1,3,0).
+    // Q = (k-1)(k*SC2 - N^2)/(kN - SR2) = 2*(3*14-36)/(18-14) = 3
+    val d = Seq(
+      ("s1", "a", 1), ("s1", "b", 1), ("s1", "c", 0),
+      ("s2", "a", 1), ("s2", "b", 0), ("s2", "c", 0),
+      ("s3", "a", 1), ("s3", "b", 1), ("s3", "c", 1),
+      ("s4", "a", 0), ("s4", "b", 0), ("s4", "c", 0))
+      .toDF("u", "t", "x")
+    val out = StatTests.cochranQ(d, "u", "t",
+      org.apache.spark.sql.functions.col("x")).collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3),
+      out.getBoolean(4)) == ((4L, 3L, 6L, 3000000L, false)), out.toString)
+    // every subject saturated -> denominator 0 -> NULL, not a crash
+    val sat = Seq(("s1", "a", 1), ("s1", "b", 1),
+      ("s2", "a", 0), ("s2", "b", 0)).toDF("u", "t", "x")
+    val f = StatTests.cochranQ(sat, "u", "t",
+      org.apache.spark.sql.functions.col("x")).collect().head
+    assert(f.isNullAt(3), f.toString)
+  }
+
+  test("yuleK: repetition raises K; counts are exact frequency moments") {
+    import spark.implicits._
+    // "a a a b": N=4, V=2, S2 = 9+1 = 10 -> K = 1e4*(10-4)/16 = 3750
+    val d = Seq((1L, "a a a b")).toDF("doc_id", "text")
+    val out = VocabOps.yuleK(d).collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3))
+      == ((4L, 2L, 10L, 3750000L)), out.toString)
+    // all-distinct tokens: S2 = N -> K = 0 exactly
+    val u = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    assert(VocabOps.yuleK(u).collect().head.getLong(3) == 0L)
+  }
+
   test("goodTuring: adjusted counts follow (r+1)N_{r+1}/N_r; tail is NULL") {
     import spark.implicits._
     // trigrams: "a b c" seen twice, "x y z" once -> N1=1, N2=1, N=3
