@@ -1429,6 +1429,77 @@ object SimilarityOps {
     Some(s"""${ndcgBranchSql("lsh", lshSql)}
       UNION ALL ${ndcgBranchSql("ivf", ivfSql)} ORDER BY method"""))
 
+  /** Truncated-RBO per-candidate contribution table at persistence p:
+    * a candidate matched with m = max(exact rank, approx rank)
+    * participates in every overlap depth d ≥ m, so its total weight is
+    * (1−p)·Σ_{d=m..K} p^(d−1)/d — computed ONCE on the driver and
+    * inlined as micro-unit literals in both engines (the [[NdcgW]]
+    * discipline: the determinism lives in the literal table, the
+    * floating p-powers never run inside either engine).
+    */
+  private val RboW: Seq[Long] = {
+    val p = 0.9
+    (1 to K).map(m => (1e6 * (1 - p) *
+      (m to K).map(d => math.pow(p, d - 1) / d).sum).toLong)
+  }
+
+  /** Rank-biased overlap truncated at k (Webber, Moffat & Zobel, TOIS
+    * 2010) — the ORDER-AWARE agreement between the approximate and the
+    * exact ranking, where recall ([[qs_ann_recall]]'s tiers) is order-
+    * blind and RBP/nDCG grade only membership: RBO@k = (1−p)·Σ_d
+    * p^(d−1)·|A_:d ∩ B_:d|/d rewards tiers that put the exact list's
+    * HEAD first. A candidate in both top-k lists joins the overlap at
+    * depth max(rank_exact, rank_approx) — one greatest() per matched
+    * row against the literal weight table; no per-depth slicing, no
+    * second corpus pass. Same single count-frame join as the other
+    * retrieval metrics.
+    *
+    * Output per method: (method, n_queries, n_hits, rbo_micro =
+    * floor-mean of per-query micro sums).
+    */
+  def rboScore(exact: org.apache.spark.sql.DataFrame,
+      approx: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val wCase = RboW.zipWithIndex
+      .map { case (w, i) => s"WHEN greatest(erank, arank) = ${i + 1} THEN ${w}L" }
+      .mkString("CASE ", " ", " ELSE 0L END")
+    exact.select(col("query_id"), col("cand_id"), col("rank").as("erank"))
+      .join(approx.select(col("query_id"), col("cand_id"),
+        col("rank").as("arank")), Seq("query_id", "cand_id"), "left")
+      .agg(countDistinct(col("query_id")).as("n_queries"),
+        sum(when(col("arank").isNotNull, 1L).otherwise(0L)).as("n_hits"),
+        sum(coalesce(expr(wCase), lit(0L))).as("_u"))
+      .select(col("n_queries"), col("n_hits"),
+        expr("_u div n_queries").as("rbo_micro"))
+  }
+
+  private def rboBranchSql(method: String, approxSql: String) = {
+    val wCase = RboW.zipWithIndex
+      .map { case (w, i) => s"WHEN greatest(e.rank, a.rank) = ${i + 1} THEN $w" }
+      .mkString("CASE ", " ", " ELSE 0 END")
+    s"""SELECT '$method' AS method,
+      CAST(COUNT(DISTINCT e.query_id) AS BIGINT) AS n_queries,
+      CAST(SUM(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+      CAST(SUM(COALESCE($wCase, 0)) // COUNT(DISTINCT e.query_id) AS BIGINT) AS rbo_micro
+      FROM (SELECT query_id, cand_id, rank FROM ($bruteSql)) e
+      LEFT JOIN ($approxSql) a
+      ON e.query_id = a.query_id AND e.cand_id = a.cand_id"""
+  }
+
+  private val qRbo = GraftQuery(
+    "qs_rbo",
+    (s, dir) => {
+      val corpus = Tables.embeddings(s, dir)
+      val q = corpus.filter(col("vec_id") < NQ)
+      val exact = cosineTopK(corpus, q, K).localCheckpoint()
+      rboScore(exact, annLsh(corpus, q, K)).withColumn("method", lit("lsh"))
+        .unionByName(
+          rboScore(exact, annIvf(corpus, q, K)).withColumn("method", lit("ivf")))
+        .select(col("method"), col("n_queries"), col("n_hits"), col("rbo_micro"))
+        .orderBy(col("method"))
+    },
+    Some(s"""${rboBranchSql("lsh", lshSql)}
+      UNION ALL ${rboBranchSql("ivf", ivfSql)} ORDER BY method"""))
+
   /** int8 scalar-quantized top-k — the memory-bandwidth scale path real
     * vector stores use (FAISS `SQ8`): each vector is quantized once,
     * map-only, to `round(x·127/maxabs)` ∈ [-127, 127]; candidates are
@@ -3018,7 +3089,7 @@ object SimilarityOps {
   val queries: Seq[GraftQuery] = Seq(qBrute, qAnnLsh, qAnnIvf, qAnnIvfTrained,
     qAnnLshMp, qAnnFiltered, qRecall, qMrr, qSq, qSqPacked, qCentroids, qKmeans,
     qOutliers, qSemDedup, qPq, qIvfPq, qIvfPqRes, qKnn, qRp, qMmr, qRrf,
-    qKCenter, qGraphAnn, qHardNeg, qMrl, qRbp, qBitext, qNdcg, qSilhouette,
+    qKCenter, qGraphAnn, qHardNeg, qMrl, qRbp, qRbo, qBitext, qNdcg, qSilhouette,
     qShapley, qProbeCurve, qBinary, qCentroidPairs, qPcaPower, qAnisotropy,
     qAri)
 }

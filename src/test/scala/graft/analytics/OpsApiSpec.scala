@@ -2329,6 +2329,22 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == List((10L, 3L, 250L)), out.toString)
   }
 
+  test("rboScore: identical ranking scores full weight; reversal scores less") {
+    import spark.implicits._
+    def w(m: Int): Long = (1e6 * (1 - 0.9) *
+      (m to 5).map(d => math.pow(0.9, d - 1) / d).sum).toLong
+    val exact = (1 to 5).map(i => (1L, i.toLong, i)).toDF("query_id", "cand_id", "rank")
+    val same = exact
+    val rev = (1 to 5).map(i => (1L, i.toLong, 6 - i)).toDF("query_id", "cand_id", "rank")
+    val a = SimilarityOps.rboScore(exact, same).collect().head
+    assert((a.getLong(0), a.getLong(1)) == ((1L, 5L)), a.toString)
+    assert(a.getLong(2) == (1 to 5).map(w).sum, a.toString)
+    val b = SimilarityOps.rboScore(exact, rev).collect().head
+    // overlap depth per candidate is max(rank, reversed rank)
+    assert(b.getLong(2) == Seq(5, 4, 3, 4, 5).map(w).sum, b.toString)
+    assert(b.getLong(2) < a.getLong(2), "RBO must reward head agreement")
+  }
+
   test("cochranQ: textbook case; all-0/all-k subjects stay in the denominator") {
     import spark.implicits._
     // 4 subjects x 3 treatments; X = rows s1..s4: (1,1,0),(1,0,0),
