@@ -590,4 +590,30 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
         || bleuPlan.contains("BroadcastHashJoin"),
       s"qml_bleu's gram joins are not hash joins:\n$bleuPlan")
   }
+
+  test("session-4 ops: pair tiers stay keyed; folds and rollups never cartesian") {
+    // jaro-winkler pairs on the rare-token blocking equi-join (the
+    // damerau contract); krippendorff/cochran/friedman are natural-key
+    // rollups (their only BNLs are sanctioned 1-row / k-row broadcast
+    // combines); the survival folds are single-aggregate day frames
+    Seq("qj_jaro_winkler", "qml_krippendorff", "qstat_cochran_q",
+      "qstat_friedman", "qe_nelson_aalen", "qe_logrank",
+      "qt_good_turing", "qt_yule_k", "qml_cronbach_alpha").foreach { name =>
+      val plan = graft.SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name planned a cartesian product:\n$plan")
+    }
+    // jaro-winkler's pair generation must additionally be BNL-free
+    val jwPlan = graft.SparkEntry.queries("qj_jaro_winkler")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!jwPlan.contains("BroadcastNestedLoopJoin"),
+      s"qj_jaro_winkler planned a nested-loop join:\n$jwPlan")
+    // rbo rides the same count-frame join as mrr/rbp/ndcg — the corpus
+    // appears only under the memoized exact/ann builds, never all-pairs
+    val rboPlan = graft.SparkEntry.queries("qs_rbo")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!rboPlan.contains("CartesianProduct"),
+      s"qs_rbo planned a cartesian product:\n$rboPlan")
+  }
 }
