@@ -2178,10 +2178,99 @@ object StatTests {
         // NULLIF(tr.kd * tr.n - subj.sr2, 0)) > 9487729 AS reject_05
     FROM subj, tr"""))
 
+  // --------------------------------------- Ljung–Box portmanteau test
+  /** Ljung–Box portmanteau whiteness test over lags 1..m —
+    * "is there ANY serial structure left?", the residual-diagnostics
+    * companion to [[qAutocorr]]'s two named lags:
+    * Q = n(n+2)·Σ_k ρ̂²_k/(n−k) ~ χ²_m under independence.
+    *
+    * Determinism contract: ρ̂_k is DEFINED as the emitted basis-point
+    * autocorrelation (the qstat_autocorr floor — the exact mean-centered
+    * rational times 10⁴, floored with the sign split), because squaring
+    * the exact numerator would need ~10⁵⁷ — past 128-bit — while bp²
+    * stays ≤ 10⁸. Q then composes from the bp values in pure integer
+    * steps: t_k = ⌊10⁶·bp²_k/(n−k)⌋, Q_milli = ⌊10³·n(n+2)·Σt_k/10¹⁴⌋
+    * — identical floors in both engines. Calendar-lag variant like
+    * qAutocorr (gap days drop pairs, never shift the series).
+    *
+    * Plan: one scan to the daily frame; ONE equi-join of the
+    * (lag × day) fan-out against the day frame (m·n rows, day-domain
+    * keys); lag-domain rollups after. No window, no per-lag rescan.
+    *
+    * Output (1 row): (n_days, m_lags, q_milli, reject_05) — χ²₁₀
+    * critical 18.307 pinned in milli.
+    */
+  private val LjungLags = 10
+  private val qLjungBox = GraftQuery(
+    "qstat_ljung_box",
+    (s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderdate").as("d"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("v"))
+        .localCheckpoint()
+      val tot = daily.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(dec(col("v"))).as("s"), sum(dec(col("v")) * col("v")).as("ss"))
+      val lg = daily
+        .select(explode(sequence(lit(1L), lit(LjungLags.toLong))).as("lag"),
+          col("d"), col("v"))
+        .withColumn("dl", expr("date_add(d, CAST(lag AS INT))"))
+        .join(daily.select(col("d").as("dl"), col("v").as("vl")), "dl")
+        .groupBy(col("lag"))
+        .agg(count(lit(1)).as("m"), sum(dec(col("v")) * col("vl")).as("p"),
+          sum(dec(col("v"))).as("a"), sum(dec(col("vl"))).as("b"))
+      lg.crossJoin(broadcast(tot))
+        .select(col("lag"), col("n"),
+          (col("n") * col("n") * col("p") - col("n") * col("s")
+            * (col("a") + col("b")) + dec(col("m")) * col("s") * col("s"))
+            .as("num"),
+          (col("n") * col("n") * col("ss") - col("n") * col("s") * col("s"))
+            .as("den"))
+        .select(col("lag"), col("n"),
+          expr("""CASE WHEN den = 0 THEN NULL
+              WHEN num >= 0 THEN (10000 * num) div den
+              ELSE -((10000 * (-num)) div den) END""").as("bp"))
+        .select(col("lag"), col("n"),
+          expr("(1000000 * bp * bp) div (n - lag)").as("t"))
+        .agg(max(col("n")).as("n"), count(lit(1)).as("m_lags"),
+          sum(dec(col("t"))).as("st"))
+        .select(col("n").cast("long").as("n_days"),
+          col("m_lags").cast("long").as("m_lags"),
+          expr("""CAST((1000 * n * (n + 2) * st)
+            div CAST(100000000000000 AS DECIMAL(38,0)) AS BIGINT)""")
+            .as("q_milli"))
+        .withColumn("reject_05", col("q_milli") > 18307L)
+    },
+    Some(s"""WITH daily AS (SELECT o_orderdate AS d,
+        SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS v
+      FROM orders GROUP BY o_orderdate),
+    t AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(CAST(v AS HUGEINT)) AS s,
+        SUM(CAST(v AS HUGEINT) * v) AS ss FROM daily),
+    lgs AS (SELECT unnest(generate_series(1, $LjungLags)) AS lag),
+    lg AS (
+      SELECT lgs.lag, COUNT(*) AS m, SUM(CAST(x.v AS HUGEINT) * l.v) AS p,
+        SUM(CAST(x.v AS HUGEINT)) AS a, SUM(CAST(l.v AS HUGEINT)) AS b
+      FROM lgs, daily x JOIN daily l ON l.d = x.d + INTERVAL 1 DAY * lgs.lag
+      GROUP BY lgs.lag),
+    f AS (SELECT lag, m,
+        t.n * t.n * p - t.n * s * (a + b) + CAST(m AS HUGEINT) * s * s AS num,
+        t.n * t.n * ss - t.n * s * s AS den, t.n AS n
+      FROM lg, t),
+    r AS (SELECT lag, n,
+        CASE WHEN den = 0 THEN NULL
+          WHEN num >= 0 THEN (10000 * num) // den
+          ELSE -((10000 * (-num)) // den) END AS bp
+      FROM f),
+    tk AS (SELECT lag, n, (1000000 * bp * bp) // (n - lag) AS t FROM r),
+    fin AS (SELECT MAX(n) AS n, COUNT(*) AS m_lags, SUM(t) AS st FROM tk)
+    SELECT CAST(n AS BIGINT) AS n_days, CAST(m_lags AS BIGINT) AS m_lags,
+      CAST((1000 * n * (n + 2) * st) // 100000000000000 AS BIGINT) AS q_milli,
+      ((1000 * n * (n + 2) * st) // 100000000000000) > 18307 AS reject_05
+    FROM fin"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qChisq, qKs, qBoot, qGini, qLinReg, qPettitt, qWMedian, qMwu,
       qBenford, qPareto, qRuns, qSpearman, qKendall, qTheilSen, qCramersV,
       qAutocorr, qCohensD, qIqr, qPowerN, qSimpson, qForecastErr, qAnova,
       qLevene, qMannKendall, qKruskal, qKde, qGamesHowell, qWilson, qFriedman,
-      qCochran)
+      qCochran, qLjungBox)
 }

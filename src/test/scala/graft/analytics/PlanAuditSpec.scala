@@ -597,7 +597,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // rollups (their only BNLs are sanctioned 1-row / k-row broadcast
     // combines); the survival folds are single-aggregate day frames
     Seq("qj_jaro_winkler", "qml_krippendorff", "qstat_cochran_q",
-      "qstat_friedman", "qe_nelson_aalen", "qe_logrank",
+      "qstat_friedman", "qe_nelson_aalen", "qe_logrank", "qstat_ljung_box",
       "qt_good_turing", "qt_yule_k", "qml_cronbach_alpha").foreach { name =>
       val plan = graft.SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
