@@ -373,6 +373,75 @@ object LearnOps {
     SELECT doc_id, score, pred, CAST(abs(score - b.mstar) AS BIGINT) AS margin
     FROM p, b ORDER BY margin, doc_id LIMIT 20"""))
 
+  // ------------------------------------------- Brier decomposition
+  /** Murphy (1973) decomposition of the Brier score for the BINNED
+    * predictor (each doc predicted its calibration bin's observed
+    * positive rate): Brier = uncertainty − resolution (+ reliability,
+    * which is 0 by construction for the bin-rate predictor) — the
+    * skill-vs-baseline read a reliability diagram alone doesn't give:
+    * `res_micro` is how much the binning's score actually separates the
+    * classes; `unc_micro` is the no-skill floor ȳ(1−ȳ).
+    *
+    * Determinism contract: every term is DEFINED on the emitted
+    * basis-point bin rates (the qstat_ljung_box convention) — r_b =
+    * ⌊10⁴·pos_b/n_b⌋, ȳ_bp likewise — so the decomposition composes in
+    * pure integer steps from the reliability-diagram frame itself, and
+    * brier = unc − res holds up to documented floor slack (pinned in
+    * the spec). Plan: consumes [[calibrationBins]]' ≤ bins-row frame;
+    * one bounded agg + 1-row broadcasts. The corpus is touched only by
+    * the shared memoized scored frame.
+    *
+    * Output (1 row): (n, n_bins, ybar_bp, unc_micro, res_micro,
+    * brier_micro).
+    */
+  def brierDecomposition(binned: DataFrame): DataFrame = {
+    val g = binned.select(col("bin"), col("n"), col("n_pos"),
+      expr("10000 * n_pos div n").as("r"))
+    val tot = g.agg(sum(col("n")).cast("decimal(38,0)").as("nn"),
+        sum(col("n_pos")).cast("decimal(38,0)").as("p"))
+      .withColumn("ybar", expr("CAST(10000 * p div nn AS DECIMAL(38,0))"))
+    g.crossJoin(broadcast(tot))
+      .agg(max(col("nn")).as("nn"), count(lit(1)).as("n_bins"),
+        max(col("p")).as("p"), max(col("ybar")).as("ybar"),
+        sum(col("n").cast("decimal(38,0)") * (col("r") - col("ybar"))
+          * (col("r") - col("ybar"))).as("rsum"),
+        sum(col("n").cast("decimal(38,0)") * col("r") * col("r")
+          - lit(20000).cast("decimal(38,0)") * col("r") * col("n_pos")
+          + lit(100000000).cast("decimal(38,0)") * col("n_pos")).as("bsum"))
+      .select(col("nn").cast("long").as("n"),
+        col("n_bins").cast("long").as("n_bins"),
+        col("ybar").cast("long").as("ybar_bp"),
+        expr("CAST((1000000 * p * (nn - p)) div (nn * nn) AS BIGINT)")
+          .as("unc_micro"),
+        expr("CAST(rsum div (100 * nn) AS BIGINT)").as("res_micro"),
+        expr("CAST(bsum div (100 * nn) AS BIGINT)").as("brier_micro"))
+  }
+
+  private val qBrier = GraftQuery(
+    "qml_brier",
+    (s, dir) => brierDecomposition(
+      calibrationBins(scoredDocs(s, dir), "score", "label", "pred", CalBins)),
+    Some(s"""WITH $scoredCte,
+    st2 AS (SELECT MIN(score) AS mn, MAX(score) AS mx FROM cal),
+    bi AS (SELECT ((score - mn) * $CalBins) // (mx - mn + 1) AS bin,
+        predi, lab FROM cal, st2),
+    g AS (SELECT bin, CAST(COUNT(*) AS HUGEINT) AS n,
+        CAST(SUM(lab) AS HUGEINT) AS np,
+        CAST(10000 * SUM(lab) // COUNT(*) AS HUGEINT) AS r
+      FROM bi GROUP BY bin),
+    t AS (SELECT CAST(SUM(n) AS HUGEINT) AS nn, CAST(SUM(np) AS HUGEINT) AS p
+      FROM g),
+    t2 AS (SELECT nn, p, 10000 * p // nn AS ybar FROM t)
+    SELECT CAST(t2.nn AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS n_bins,
+      CAST(t2.ybar AS BIGINT) AS ybar_bp,
+      CAST((1000000 * t2.p * (t2.nn - t2.p)) // (t2.nn * t2.nn) AS BIGINT)
+        AS unc_micro,
+      CAST(SUM(g.n * (g.r - t2.ybar) * (g.r - t2.ybar)) // (100 * t2.nn)
+        AS BIGINT) AS res_micro,
+      CAST(SUM(g.n * g.r * g.r - 20000 * g.r * g.np + 100000000 * g.np)
+        // (100 * t2.nn) AS BIGINT) AS brier_micro
+    FROM g, t2 GROUP BY t2.nn, t2.p, t2.ybar"""))
+
   val queries: Seq[GraftQuery] = Seq(qDistill, qTargetEncode, qCalibration, qIsotonic,
-    qActiveLearn)
+    qActiveLearn, qBrier)
 }

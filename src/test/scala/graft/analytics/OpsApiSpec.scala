@@ -2329,6 +2329,28 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == List((10L, 3L, 250L)), out.toString)
   }
 
+  test("brierDecomposition: Murphy identity holds; perfect bins maximize resolution") {
+    import spark.implicits._
+    // two pure bins (all-pos / all-neg), balanced: ybar = 5000bp,
+    // unc = 0.25, res = 0.25, brier = 0 (the binned predictor is perfect)
+    val pure = Seq((0L, 4L, 0L), (1L, 4L, 4L)).toDF("bin", "n", "n_pos")
+    val a = LearnOps.brierDecomposition(pure).collect().head
+    assert((a.getLong(0), a.getLong(1), a.getLong(2)) == ((8L, 2L, 5000L)), a.toString)
+    assert((a.getLong(3), a.getLong(4), a.getLong(5))
+      == ((250000L, 250000L, 0L)), a.toString)
+    // uninformative bins (same rate everywhere): res = 0, brier = unc
+    val flat = Seq((0L, 4L, 2L), (1L, 4L, 2L)).toDF("bin", "n", "n_pos")
+    val b = LearnOps.brierDecomposition(flat).collect().head
+    assert(b.getLong(4) == 0L && b.getLong(5) == b.getLong(3), b.toString)
+    // uneven case: brier = unc - res + reliability(floored vs true bin
+    // rates) - the residual is nonnegative and bounded by the bp
+    // quantization (< 1 bp of rate error -> < ~10 micro here)
+    val mix = Seq((0L, 3L, 1L), (1L, 5L, 4L)).toDF("bin", "n", "n_pos")
+    val c = LearnOps.brierDecomposition(mix).collect().head
+    val (u, r2, br) = (c.getLong(3), c.getLong(4), c.getLong(5))
+    assert(br - (u - r2) >= 0L && br - (u - r2) <= 10L, c.toString)
+  }
+
   test("rboScore: identical ranking scores full weight; reversal scores less") {
     import spark.implicits._
     def w(m: Int): Long = (1e6 * (1 - 0.9) *
