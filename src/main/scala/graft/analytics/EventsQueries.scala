@@ -523,6 +523,29 @@ object EventsQueries {
       FROM c JOIN e ON e.user_id = c.user_id AND e.rn = c.rn + 1)
     SELECT user_id, us, s FROM c WHERE s > $CusumH ORDER BY user_id, us"""))
 
+  /** Streaming twin of [[qCusum]]: the same clamped recurrence on
+    * `transformWithState` with ONE long of CUSUM state per entity
+    * ([[graft.streaming.CusumProcessor]]) — constant state however many
+    * events flow, alert rows identical to the batch fold for a
+    * batch-monotone per-key feed (StreamingExtrasSpec pins stream ≡
+    * batch across micro-batch splits).
+    */
+  def cusumAlertsStream(events: DataFrame, k: Long = CusumK,
+      h: Long = CusumH, tsCol: String = "ts", userCol: String = "user_id",
+      idCol: String = "event_id", valueCol: String = "value"): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .select(col(userCol).cast("long").as("u"),
+        unix_micros(col(tsCol)).as("us"), col(idCol).cast("long").as("eid"),
+        round(col(valueCol) * 100).cast("bigint").as("cents"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new graft.streaming.CusumProcessor(k, h),
+        TimeMode.None(), OutputMode.Append())
+      .toDF("user_id", "us", "s")
+  }
+
   /** Robust per-user anomaly detection via median absolute deviation —
     * the outlier rule that survives the outliers themselves (a mean/σ
     * z-score lets one huge spike inflate σ until nothing flags; the

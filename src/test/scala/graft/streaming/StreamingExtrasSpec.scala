@@ -1139,6 +1139,51 @@ class StreamingExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("streaming CUSUM: alert rows identical to the batch fold across batch splits") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def t(s: String) = Timestamp.valueOf(s)
+    val k = 100L; val h = 250L
+    // two interleaved users; values chosen so user 1 crosses h twice
+    // (with a clamp reset in between) and user 2 never does
+    val rows = Seq(
+      (1L, t("2024-03-01 10:00:00"), 1L, 3.0),   // +200  -> 200
+      (2L, t("2024-03-01 10:00:01"), 2L, 0.5),   // -50   -> 0 (clamped)
+      (1L, t("2024-03-01 10:01:00"), 3L, 2.0),   // +100  -> 300  ALERT
+      (1L, t("2024-03-01 10:02:00"), 4L, 0.1),   // -90   -> 210
+      (2L, t("2024-03-01 10:02:30"), 5L, 2.0),   // +100  -> 100
+      (1L, t("2024-03-01 10:03:00"), 6L, 2.5),   // +150  -> 360  ALERT
+      (2L, t("2024-03-01 10:04:00"), 7L, 1.0))   // +0    -> 100
+    val input = MemoryStream[(Long, Timestamp, Long, Double)](spark)
+    val out = graft.analytics.EventsQueries.cusumAlertsStream(
+      input.toDS().toDF("user_id", "ts", "event_id", "value"), k = k, h = h)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("cusum_stream")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-cusum").toString)
+      .start()
+    val (b1, b2) = rows.splitAt(4)   // split MID-run of user 1
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("cusum_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // golden: the batch recurrence per user in (ts, event_id) order
+    val golden = rows.groupBy(_._1).flatMap { case (u, rs) =>
+      var acc = 0L
+      rs.sortBy(r => (r._2.getTime, r._3)).flatMap { case (_, ts, _, v) =>
+        acc = math.max(0L, acc + math.round(v * 100) - k)
+        if (acc > h) Some((u, ts.getTime * 1000, acc)) else None
+      }
+    }.toSet
+    assert(got == golden, s"stream $got vs golden $golden")
+    assert(got.map(_._1) == Set(1L), "only user 1 should alert")
+    assert(got.size == 2)
+  }
+
   test("streaming Misra-Gries trending: golden bit-equality + contract per day") {
     import spark.implicits._
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
