@@ -546,6 +546,65 @@ object EventsQueries {
       .toDF("user_id", "us", "s")
   }
 
+  /** Inter-event burstiness per event type — Goh & Barabási's
+    * B = (σ−μ)/(σ+μ) over inter-arrival gaps: −1 = metronome-regular,
+    * 0 = Poisson, →1 = heavy-tailed bursts. The temporal-pattern
+    * summary behind rate-limiter and anomaly-baseline tuning. Gaps are
+    * PER-USER within each type (lag over hash-partitioned (user, type)
+    * windows — a per-type global window would put each type's whole
+    * history in one partition at scale), pooled per type.
+    *
+    * Exactness: gap moments (n, Σg, Σg²) accumulate exactly in
+    * DECIMAL(38,0); B needs one sqrt, so it follows the
+    * qstat_wilson_ci convention — ONE fixed-form scalar double
+    * expression written op-for-op identically in both engines over the
+    * exact integer moments (σ and μ share the n-cancelling form
+    * B = (√(nQ−S²) − S)/(√(nQ−S²) + S)).
+    *
+    * Output: (event_type, n_gaps, mean_us, b_milli) ordered by type.
+    */
+  def interEventBurstiness(events: DataFrame, tsCol: String = "ts",
+      userCol: String = "user_id", typeCol: String = "event_type",
+      idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(userCol), col(typeCol))
+      .orderBy(col(tsCol), col(idCol))
+    val b = "(sqrt(CAST(n AS DOUBLE) * CAST(q AS DOUBLE) " +
+      "- CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) - CAST(s AS DOUBLE)) " +
+      "/ (sqrt(CAST(n AS DOUBLE) * CAST(q AS DOUBLE) " +
+      "- CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) + CAST(s AS DOUBLE))"
+    events
+      .withColumn("g", unix_micros(col(tsCol))
+        - lag(unix_micros(col(tsCol)), 1).over(w))
+      .filter(col("g").isNotNull)
+      .groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("g").cast("decimal(38,0)")).as("s"),
+        sum(col("g").cast("decimal(38,0)") * col("g")).as("q"))
+      .select(col(typeCol), col("n").as("n_gaps"),
+        expr("CAST(s div n AS BIGINT)").as("mean_us"),
+        expr(s"CAST(floor(1000.0 * ($b)) AS BIGINT)").as("b_milli"))
+      .orderBy(col(typeCol))
+  }
+
+  private val qBurstiness = GraftQuery(
+    "qe_burstiness",
+    (s, dir) => interEventBurstiness(Tables.events(s, dir)),
+    Some("""WITH d AS (SELECT event_type, epoch_us(ts)
+        - LAG(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+            ORDER BY ts, event_id) AS g
+      FROM events),
+    s AS (SELECT event_type, COUNT(*) AS n, CAST(SUM(g) AS HUGEINT) AS s,
+        SUM(CAST(g AS HUGEINT) * g) AS q
+      FROM d WHERE g IS NOT NULL GROUP BY 1)
+    SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
+      CAST(s // n AS BIGINT) AS mean_us,
+      CAST(floor(1000.0 * ((sqrt(CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) - CAST(s AS DOUBLE))
+        / (sqrt(CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) + CAST(s AS DOUBLE))))
+        AS BIGINT) AS b_milli
+    FROM s ORDER BY event_type"""))
+
   /** Robust per-user anomaly detection via median absolute deviation —
     * the outlier rule that survives the outliers themselves (a mean/σ
     * z-score lets one huge spike inflate σ until nothing flags; the
@@ -1989,5 +2048,5 @@ object EventsQueries {
       qDecayWma, qAttribution, qCusum, qMadAnomaly, qTopPaths, qSlidingDistinct,
       qSeasonal, qFunnelTime, qCep, qStreak, qCoverage, qOhlc, qLatencySlo, qRfm,
       qLtv, qDauMau, qHeatmap, qStationary, qLifecycle, qSeqPatterns, qHllSliding,
-      qShapley, qKaplanMeier, qNelsonAalen, qLogRank)
+      qShapley, qKaplanMeier, qNelsonAalen, qLogRank, qBurstiness)
 }

@@ -1707,8 +1707,68 @@ object GraphOps {
       rounds = TrussRounds),
     Some(trussSql))
 
+  // ------------------------------------------- rich-club coefficient
+  /** Rich-club coefficient φ(k) = 2·E_k / (N_k·(N_k−1)) over a ladder
+    * of degree thresholds (Zhou & Mondragón 2004) — do the hubs form a
+    * densely wired club beyond what degree alone implies? The
+    * hub-interconnection read that [[degreeDistribution]] (how many
+    * hubs) and [[qAssortativity]] (one global mixing number) both miss.
+    *
+    * Plan: degree frame once; each edge joins its endpoints' degrees
+    * (two uniform-key hash joins — the triangle-orientation shape);
+    * the threshold ladder is a ≤|ks|-row Generate fanned over edges
+    * and nodes, collapsing into a k-key aggregate — one pass over
+    * edges regardless of how many thresholds. Exact bp integers.
+    *
+    * Output: (k, n_nodes, n_edges, phi_bp) ascending; NULL φ below two
+    * qualifying nodes.
+    */
+  def richClub(edges: DataFrame, ks: Seq[Int] = Seq(2, 4, 8, 16)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 0), "thresholds must be >= 0")
+    val ksArr = ks.sorted.mkString("array(", ", ", ")")
+    val deg = edges.select(col("src").as("n")).unionAll(
+        edges.select(col("dst").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val ek = edges
+      .join(deg.select(col("n").as("src"), col("d").as("da")), "src")
+      .join(deg.select(col("n").as("dst"), col("d").as("db")), "dst")
+      .select(explode(expr(ksArr)).as("k"), col("da"), col("db"))
+      .filter(col("da") > col("k") && col("db") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_edges"))
+    val nk = deg.select(explode(expr(ksArr)).as("k"), col("d"))
+      .filter(col("d") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_nodes"))
+    nk.join(ek, Seq("k"), "left")
+      .select(col("k"), col("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        expr("""CAST((20000 * coalesce(n_edges, 0L))
+          div nullif(n_nodes * (n_nodes - 1), 0L) AS BIGINT)""").as("phi_bp"))
+      .orderBy(col("k"))
+  }
+
+  private val qRichClub = GraftQuery(
+    "qg_rich_club",
+    (s, dir) => richClub(coSupplierEdges(s, dir)),
+    Some("""WITH ls AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'),
+    e0 AS (SELECT DISTINCT a.sk AS src, b.sk AS dst
+      FROM ls a JOIN ls b ON a.ok = b.ok AND a.sk < b.sk),
+    deg AS (SELECT n, COUNT(*) AS d FROM
+      (SELECT src AS n FROM e0 UNION ALL SELECT dst FROM e0) GROUP BY n),
+    ks AS (SELECT unnest([2, 4, 8, 16]) AS k),
+    ek AS (SELECT ks.k, COUNT(*) AS n_edges
+      FROM e0 JOIN deg a ON e0.src = a.n JOIN deg b ON e0.dst = b.n, ks
+      WHERE a.d > ks.k AND b.d > ks.k GROUP BY ks.k),
+    nk AS (SELECT ks.k, COUNT(*) AS n_nodes FROM deg, ks
+      WHERE deg.d > ks.k GROUP BY ks.k)
+    SELECT nk.k, CAST(nk.n_nodes AS BIGINT) AS n_nodes,
+      CAST(COALESCE(ek.n_edges, 0) AS BIGINT) AS n_edges,
+      CAST((20000 * COALESCE(ek.n_edges, 0))
+        // NULLIF(nk.n_nodes * (nk.n_nodes - 1), 0) AS BIGINT) AS phi_bp
+    FROM nk LEFT JOIN ek ON nk.k = ek.k ORDER BY nk.k"""))
+
   def queries: Seq[GraftQuery] =
     Seq(qPageRank, qTriangles, qLpa, qKcore, qReach, qSubtree, qSssp, qPpr,
       qLinkPredict, qDegreeDist, qModularity, qHits, qAssortativity, qWalks,
-      qHarmonic, qEcc, qBetweenness, qLocalClustering, qKTruss)
+      qHarmonic, qEcc, qBetweenness, qLocalClustering, qKTruss, qRichClub)
 }

@@ -1422,9 +1422,58 @@ object VocabOps {
       CAST((10000000 * (s2 - n)) // (n * n) AS BIGINT) AS k_milli
     FROM f"""))
 
+  // --------------------------------------- term burstiness (Fano factor)
+  /** Per-term burstiness as the Fano factor (dispersion index) of
+    * per-document occurrence counts, zeros included — Church & Gale's
+    * observation that CONTENT words clump (a doc that mentions a topic
+    * word mentions it repeatedly → variance ≫ mean) while FUNCTION
+    * words spread Poisson-like (Fano ≈ 1). The classic term-weighting /
+    * stopword-separation signal that raw document frequency misses.
+    *
+    * Zero-inflation without materializing zeros: with n total docs and
+    * per-term S = Σc, Q = Σc² over PRESENT docs only, the all-docs
+    * Fano = Var/Mean = (n·Q − S²)/(n·S) — absent docs contribute 0 to
+    * both moments, so only the 1-row doc count is needed. Exact milli
+    * integers in DECIMAL(38,0). One token Generate → (term, doc)
+    * counts → term rollup; top `k` terms by occurrence.
+    *
+    * Output: (w, n_occ, n_docs, fano_milli) by occurrences desc.
+    */
+  def termBurstiness(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 20): DataFrame = {
+    val nd = norm(docs, idCol, textCol)
+      .agg(countDistinct(col("doc_id")).cast("decimal(38,0)").as("n"))
+    val c = norm(docs, idCol, textCol)
+      .select(col("doc_id"), explode(expr(toksExpr)).as("w"))
+      .groupBy(col("w"), col("doc_id")).agg(count(lit(1)).as("c"))
+    c.groupBy(col("w"))
+      .agg(sum(dec(col("c"))).as("s"), sum(dec(col("c")) * col("c")).as("q"),
+        count(lit(1)).as("present"))
+      .crossJoin(broadcast(nd))
+      .select(col("w"), col("s").cast("long").as("n_occ"),
+        col("present").cast("long").as("n_docs"),
+        expr("""CAST((1000 * (n * q - s * s)) div (n * s) AS BIGINT)""")
+          .as("fano_milli"))
+      .orderBy(col("n_occ").desc, col("w"))
+      .limit(k)
+  }
+
+  private val qBurstiness = GraftQuery(
+    "qt_burstiness",
+    (s, dir) => termBurstiness(Tables.documents(s, dir)),
+    Some(s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+    nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS HUGEINT) AS n FROM documents),
+    c AS (SELECT w, doc_id, COUNT(*) AS c FROM t GROUP BY 1, 2),
+    s AS (SELECT w, CAST(SUM(c) AS HUGEINT) AS s,
+        SUM(CAST(c AS HUGEINT) * c) AS q, COUNT(*) AS present
+      FROM c GROUP BY w)
+    SELECT w, CAST(s AS BIGINT) AS n_occ, CAST(present AS BIGINT) AS n_docs,
+      CAST((1000 * (nd.n * q - s * s)) // (nd.n * s) AS BIGINT) AS fano_milli
+    FROM s, nd ORDER BY n_occ DESC, w LIMIT 20"""))
+
   def queries: Seq[GraftQuery] =
     Seq(qVocab, qKeywords, qEditDist, qBm25, qBpeTrain, qBpeTokenize, qCountMin,
       qPhrase, qBigramNovelty, qVocabCoverage, qWordpiece, qBackoff,
       qFertility, qPrf, qPieceUsage, qHeaps, qColloc, qChao1, qKneserNey,
-      qZipfSurprisal, qGoodTuring, qYuleK)
+      qZipfSurprisal, qGoodTuring, qYuleK, qBurstiness)
 }

@@ -2329,6 +2329,44 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == List((10L, 3L, 250L)), out.toString)
   }
 
+  test("termBurstiness: clumped term overdisperses, one-per-doc term hits 0") {
+    import spark.implicits._
+    val d = Seq((1L, "a a a b"), (2L, "b")).toDF("doc_id", "text")
+    val out = VocabOps.termBurstiness(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toList
+    // a: S=3,Q=9,n=2 -> (18-9)/6 = 1.5; b: S=2,Q=2 -> (4-4)/4 = 0
+    assert(out == List(("a", 3L, 1L, 1500L), ("b", 2L, 2L, 0L)), out.toString)
+  }
+
+  test("interEventBurstiness: fixed-form B matches the moment identity") {
+    import spark.implicits._
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    val ev = Seq((1L, t(0), 1L, "x"), (1L, t(1000), 2L, "x"),
+      (1L, t(3000), 3L, "x"), (1L, t(7000), 4L, "x"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = EventsQueries.interEventBurstiness(ev).collect().head
+    // gaps 1s,2s,4s in us: n=3, S=7e6, Q=21e12
+    assert((out.getString(0), out.getLong(1), out.getLong(2))
+      == (("x", 3L, 2333333L)), out.toString)
+    val n = 3.0; val s = 7e6; val q = 21e12
+    val sd = math.sqrt(n * q - s * s)
+    assert(out.getLong(3) == math.floor(1000.0 * ((sd - s) / (sd + s))).toLong,
+      out.toString)
+  }
+
+  test("richClub: triangle core saturates phi; sub-two-node clubs are NULL") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val out = GraphOps.richClub(e, ks = Seq(1, 2)).collect()
+    // k=1: club {1,2,3} keeps the 3 triangle edges -> phi = 1
+    val r1 = out(0)
+    assert((r1.getInt(0), r1.getLong(1), r1.getLong(2), r1.getLong(3))
+      == ((1, 3L, 3L, 10000L)), r1.toString)
+    // k=2: only node 1 qualifies -> no pair, NULL phi
+    val r2 = out(1)
+    assert(r2.getLong(1) == 1L && r2.isNullAt(3), r2.toString)
+  }
+
   test("brierDecomposition: Murphy identity holds; perfect bins maximize resolution") {
     import spark.implicits._
     // two pure bins (all-pos / all-neg), balanced: ybar = 5000bp,
