@@ -1,5 +1,6 @@
 package graft.analytics
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.api.GraftQuery
@@ -991,9 +992,121 @@ object TextOps {
       AND 4 * sim < $TileW
     ORDER BY doc_id, boundary"""))
 
+  // ------------------------------- temperature-scaled sampling weights
+  /** Temperature-scaled multilingual/domain sampling weights at τ = 1/2
+    * (the exponential-smoothing mix XLM-R/mT5 popularized): sampling
+    * probability pᵢ ∝ nᵢ^τ flattens the natural distribution so head
+    * languages stop drowning the tail — the WEIGHT computation
+    * companion to [[rebalanceByLang]]'s hard cap.
+    *
+    * τ = 1/2 keeps this exact: nᵢ^½ is the integer square root,
+    * computed as one fixed-form double sqrt + a two-sided integer
+    * correction (`r ± 1` so r² ≤ n < (r+1)² holds EXACTLY whatever the
+    * double rounding did) — so weights, shares, and boosts are pure
+    * integer arithmetic with no order-dependent double sums anywhere
+    * (a float Σnᵢ^τ over a group frame would be aggregation-order
+    * nondeterministic). One group-domain agg; 1-row broadcast totals.
+    *
+    * Output: (lang, n_docs, nat_bp, tau_bp, boost_milli) by lang —
+    * boost = pᵢ(τ)/pᵢ(natural), > 1000 for tail languages.
+    */
+  def temperatureWeights(docs: org.apache.spark.sql.DataFrame,
+      groupCol: String = "lang"): org.apache.spark.sql.DataFrame = {
+    val isq = "CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT)"
+    val g = docs.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("r0", expr(isq))
+      .withColumn("rt", expr(
+        "r0 - CAST(r0 * r0 > n AS BIGINT) " +
+          "+ CAST((r0 + 1) * (r0 + 1) <= n AS BIGINT)"))
+    val tot = g.agg(sum(col("n")).as("nn"), sum(col("rt")).as("s"))
+    g.crossJoin(broadcast(tot))
+      .select(col("grp").as("lang"), col("n").as("n_docs"),
+        expr("CAST(10000 * n div nn AS BIGINT)").as("nat_bp"),
+        expr("CAST(10000 * rt div s AS BIGINT)").as("tau_bp"),
+        expr("""CAST((1000 * rt * nn) div (s * n) AS BIGINT)""")
+          .as("boost_milli"))
+      .orderBy(col("lang"))
+  }
+
+  private val qTauWeights = GraftQuery(
+    "qt_tau_weights",
+    (s, dir) => temperatureWeights(Tables.documents(s, dir)),
+    Some("""WITH g AS (SELECT lang AS grp, COUNT(*) AS n FROM documents
+      GROUP BY lang),
+    r AS (SELECT grp, n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS r0
+      FROM g),
+    q AS (SELECT grp, n,
+        r0 - CAST(r0 * r0 > n AS BIGINT)
+          + CAST((r0 + 1) * (r0 + 1) <= n AS BIGINT) AS rt FROM r),
+    t AS (SELECT SUM(n) AS nn, SUM(rt) AS s FROM q)
+    SELECT grp AS lang, CAST(n AS BIGINT) AS n_docs,
+      CAST(10000 * n // t.nn AS BIGINT) AS nat_bp,
+      CAST(10000 * rt // t.s AS BIGINT) AS tau_bp,
+      CAST((1000 * rt * t.nn) // (t.s * n) AS BIGINT) AS boost_milli
+    FROM q, t ORDER BY lang"""))
+
+  // ----------------------------------------------- chi-square keyness
+  /** Keyness analysis — which terms are statistically OVER-represented
+    * in one subcorpus vs the rest (the corpus-linguistics comparison
+    * behind "what makes this source different", cf. Rayson & Garside):
+    * per term, the 2×2 chi-square over (occurrences in A, occurrences
+    * in B) against the token totals,
+    *
+    *   χ² = N·(a·d − b·c)² / ((a+b)(c+d)(a+c)(b+d)),
+    *
+    * exact integers in DECIMAL(38,0), milli-floored; `enriched` marks
+    * direction (a·NB > b·NA). Dunning's G² is the log-likelihood
+    * variant — ln() is not cross-engine-exact, χ² is, same ranking in
+    * practice. One token Generate → (term, side) counts → term-domain
+    * rollup; top k by χ².
+    *
+    * Output: (w, a, b, enriched, chi2_milli) by χ² desc, term asc.
+    */
+  def keyness(docs: org.apache.spark.sql.DataFrame, isA: Column,
+      idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 20): org.apache.spark.sql.DataFrame = {
+    val c = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"),
+        isA.cast("int").as("ia"))
+      .select(col("ia"), explode(expr(toksExpr)).as("w"))
+      .groupBy(col("w"))
+      .agg(sum(col("ia")).as("a"), sum(lit(1) - col("ia")).as("b"))
+    val tot = c.agg(sum(col("a")).cast("decimal(38,0)").as("na"),
+      sum(col("b")).cast("decimal(38,0)").as("nb"))
+    c.crossJoin(broadcast(tot))
+      .select(col("w"), col("a"), col("b"),
+        (dec(col("a")) * col("nb") > dec(col("b")) * col("na")).as("enriched"),
+        expr("""CAST((1000 * (na + nb)
+            * (CAST(a AS DECIMAL(38,0)) * (nb - b) - CAST(b AS DECIMAL(38,0)) * (na - a))
+            * (CAST(a AS DECIMAL(38,0)) * (nb - b) - CAST(b AS DECIMAL(38,0)) * (na - a)))
+          div nullif((CAST(a AS DECIMAL(38,0)) + b) * (na - a + nb - b) * na * nb,
+            CAST(0 AS DECIMAL(38,0))) AS BIGINT)""").as("chi2_milli"))
+      .orderBy(col("chi2_milli").desc, col("w"))
+      .limit(k)
+  }
+
+  private def dec(c: Column) = c.cast("decimal(38,0)")
+
+  private val qKeyness = GraftQuery(
+    "qt_keyness",
+    (s, dir) => keyness(Tables.documents(s, dir), col("source") === "src0"),
+    Some(s"""WITH t AS (SELECT CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS ia,
+        unnest($toksSql) AS w FROM documents),
+    c AS (SELECT w, CAST(SUM(ia) AS HUGEINT) AS a,
+        CAST(SUM(1 - ia) AS HUGEINT) AS b FROM t GROUP BY w),
+    tt AS (SELECT SUM(a) AS na, SUM(b) AS nb FROM c)
+    SELECT w, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+      a * tt.nb > b * tt.na AS enriched,
+      CAST((1000 * (tt.na + tt.nb)
+          * (a * (tt.nb - b) - b * (tt.na - a))
+          * (a * (tt.nb - b) - b * (tt.na - a)))
+        // NULLIF((a + b) * (tt.na - a + tt.nb - b) * tt.na * tt.nb, 0)
+        AS BIGINT) AS chi2_milli
+    FROM c, tt ORDER BY chi2_milli DESC, w LIMIT 20"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qTokens, qBpeTokens, qLangId, qQuality, qFingerprint, qSplit, qRebalance,
       qRepetition, qLineDedup, qContamination, qStratified, qWeighted,
       qReadability, qLangConfusion, qDupNgram, qReadPct, qLengthHist,
-      qSpanCorrupt, qFim, qTextTiling)
+      qSpanCorrupt, qFim, qTextTiling, qTauWeights, qKeyness)
 }

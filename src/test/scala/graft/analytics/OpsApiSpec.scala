@@ -2329,6 +2329,46 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == List((10L, 3L, 250L)), out.toString)
   }
 
+  test("temperatureWeights: exact isqrt flattens the mix; boosts favor the tail") {
+    import spark.implicits._
+    // head 100 docs, tail 4: isqrt = 10, 2 -> tau shares 10/12, 2/12
+    val d = ((1 to 100).map(i => (i.toLong, "hi", "en"))
+      ++ (1 to 4).map(i => (100L + i, "ho", "fi")))
+      .toDF("doc_id", "text", "lang")
+    val out = TextOps.temperatureWeights(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toList
+    assert(out == List(
+      ("en", 100L, 9615L, 8333L, 866L),   // boost < 1: head downweighted
+      ("fi", 4L, 384L, 1666L, 4333L)),    // tail upweighted 4.3x
+      out.toString)
+    // isqrt correction is exact at perfect squares and off-by-one inputs
+    val sq = Seq((1L, "x", "a"), (2L, "x", "a"), (3L, "x", "a"),
+      (4L, "x", "b")).toDF("doc_id", "text", "lang")
+    val o2 = TextOps.temperatureWeights(sq).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    // isqrt(3)=1, isqrt(1)=1 -> equal tau shares
+    assert(o2("a") == o2("b"), o2.toString)
+  }
+
+  test("keyness: the subcorpus-exclusive term tops the chi-square ranking") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "zebra zebra common", "src0"), (2L, "zebra common", "src0"),
+      (3L, "common common plain", "srcX"), (4L, "plain common", "srcX"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.keyness(d,
+      org.apache.spark.sql.functions.col("source") === "src0").collect()
+    val top = out.head
+    assert(top.getString(0) == "zebra" && top.getBoolean(3), top.toString)
+    // zebra: a=3,b=0; plain: a=0,b=2 -> zebra's chi2 strictly larger
+    val byW = out.map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(byW("zebra") > byW("plain") && byW("plain") > byW("common"),
+      byW.toString)
+    // direction flag flips for the B-side term
+    assert(!out.find(_.getString(0) == "plain").get.getBoolean(3))
+  }
+
   test("termBurstiness: clumped term overdisperses, one-per-doc term hits 0") {
     import spark.implicits._
     val d = Seq((1L, "a a a b"), (2L, "b")).toDF("doc_id", "text")
