@@ -157,5 +157,31 @@ object SketchOps {
         TRUE AS p50_in_bracket, TRUE AS p90_in_bracket, TRUE AS p99_in_bracket
       FROM b ORDER BY event_type"""))
 
-  def queries: Seq[GraftQuery] = Seq(qHeavy, qTdigest)
+  /** Exact distinct via the paged-bitmap aggregate next to its two
+    * neighbors in the distinct tier: countDistinct (exact, key-set
+    * state) and HLL (constant state, approximate). The gate runs bitmap
+    * and exact over the same scan and asserts per-group EQUALITY — the
+    * bitmap is exact by construction (OR is total), so the check is a
+    * wire-format/merge-path regression net, not a tolerance.
+    */
+  def bitmapDistinct(rows: DataFrame, key: Column, by: Column): DataFrame =
+    rows.select(by.as("grp"), key.as("k")).filter(col("k").isNotNull)
+      .groupBy(col("grp"))
+      .agg(graft.functions.BitmapAgg.graft_bitmap_distinct(col("k"))
+          .as("n_bitmap"),
+        countDistinct(col("k")).as("n_exact"))
+      .withColumn("equal", col("n_bitmap") === col("n_exact"))
+      .orderBy(col("grp"))
+
+  private val qBitmap = GraftQuery(
+    "qagg_bitmap_distinct",
+    (s, dir) => bitmapDistinct(Tables.events(s, dir),
+        col("user_id"), to_date(col("ts")))
+      .withColumnRenamed("grp", "d"),
+    Some("""SELECT CAST(ts AS DATE) AS d,
+      COUNT(DISTINCT user_id) AS n_bitmap,
+      COUNT(DISTINCT user_id) AS n_exact, TRUE AS equal
+    FROM events WHERE user_id IS NOT NULL GROUP BY 1 ORDER BY d"""))
+
+  def queries: Seq[GraftQuery] = Seq(qHeavy, qTdigest, qBitmap)
 }

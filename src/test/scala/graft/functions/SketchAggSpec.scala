@@ -88,4 +88,48 @@ class SketchAggSpec extends AnyFunSuite with BeforeAndAfterAll {
     val w = (0 until buf.n).map(buf.weights(_)).sum
     assert(w == 100000L, s"total weight drifted: $w")
   }
+
+  test("bitmap pages: exact card across boundaries, negatives, dup, any merge order") {
+    import scala.jdk.CollectionConverters._
+    // ids straddling page boundaries (4095/4096), negatives, duplicates
+    val ids = Seq(0L, 1L, 63L, 64L, 4095L, 4096L, 4097L, -1L, -4096L,
+      -4097L, 1L, 4095L, Long.MaxValue, Long.MinValue)
+    val b = new java.util.HashMap[java.lang.Long, Array[Long]]()
+    ids.foreach(BitmapPages.add(b, _))
+    assert(BitmapPages.cardinality(b) == ids.distinct.size.toLong)
+    // serialize round-trip is lossless (sparse pages stay sparse)
+    val rt = BitmapPages.deserialize(BitmapPages.serialize(b))
+    assert(BitmapPages.cardinality(rt) == ids.distinct.size.toLong)
+    assert(rt.keySet().asScala == b.keySet().asScala)
+    // merge = OR: idempotent, order-independent
+    val left = new java.util.HashMap[java.lang.Long, Array[Long]]()
+    val right = new java.util.HashMap[java.lang.Long, Array[Long]]()
+    ids.take(7).foreach(BitmapPages.add(left, _))
+    ids.drop(5).foreach(BitmapPages.add(right, _))
+    val m1 = BitmapPages.deserialize(BitmapPages.serialize(left))
+    BitmapPages.mergeInto(m1, right)
+    val m2 = BitmapPages.deserialize(BitmapPages.serialize(right))
+    BitmapPages.mergeInto(m2, left)
+    assert(BitmapPages.cardinality(m1) == ids.distinct.size.toLong)
+    assert(BitmapPages.cardinality(m2) == BitmapPages.cardinality(m1))
+    BitmapPages.mergeInto(m1, m2)   // self-ish merge: idempotent
+    assert(BitmapPages.cardinality(m1) == ids.distinct.size.toLong)
+  }
+
+  test("graft_bitmap_distinct == countDistinct through real shuffled merges") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // clustered ids (dense pages) + scattered outliers, with repeats
+    val ids = (1 to 20000).map(_ => rnd.nextInt(5000).toLong) ++
+      (1 to 500).map(_ => rnd.nextLong()) ++
+      (1 to 20000).map(_ => rnd.nextInt(5000).toLong)
+    val df = ids.zipWithIndex.map { case (id, i) => (i % 7, id) }
+      .toDF("g", "id").repartition(8)
+    val got = df.groupBy(col("g"))
+      .agg(BitmapAgg.graft_bitmap_distinct(col("id")).as("bm"),
+        org.apache.spark.sql.functions.countDistinct(col("id")).as("ex"))
+      .collect()
+    assert(got.length == 7)
+    got.foreach(r => assert(r.getLong(1) == r.getLong(2), r.toString))
+  }
 }
