@@ -598,7 +598,9 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // combines); the survival folds are single-aggregate day frames
     Seq("qj_jaro_winkler", "qml_krippendorff", "qstat_cochran_q",
       "qstat_friedman", "qe_nelson_aalen", "qe_logrank", "qstat_ljung_box",
-      "qt_good_turing", "qt_yule_k", "qml_cronbach_alpha").foreach { name =>
+      "qt_good_turing", "qt_yule_k", "qml_cronbach_alpha", "qt_burstiness",
+      "qe_burstiness", "qg_rich_club", "qt_tau_weights", "qt_keyness",
+      "qagg_bitmap_distinct").foreach { name =>
       val plan = graft.SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
