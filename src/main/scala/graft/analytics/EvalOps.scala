@@ -661,6 +661,58 @@ object EvalOps {
         // NULLIF(ut.n * ut.n - ct.snc2, 0) AS BIGINT) AS alpha_ppm
     FROM ut, ct"""))
 
+  // ------------------------------- Kendall's W (multi-judge concordance)
+  /** Kendall's coefficient of concordance W ∈ [0, 1] — "do the n judges
+    * rank the k items consistently at all?", the multi-rater upgrade
+    * over pairwise agreement ([[cohenKappa]]: two raters, nominal;
+    * [[krippendorffAlpha]]: ragged nominal; W: n complete rankings) and
+    * the standard agreement read for LLM judge panels. Computed through
+    * the tie-corrected identity W = Q/(n(k−1)) over
+    * [[StatTests.friedman]]'s exact doubled-rank machinery — one more
+    * floored integer division on the same 1-row frame, so the
+    * concordance and the significance test (Q ~ χ²_{k−1}) come from one
+    * plan.
+    *
+    * Output (1 row): (n_judges, k_items, q_micro, w_milli).
+    */
+  def kendallW(obs: DataFrame, judgeCol: String, itemCol: String,
+      score: Column): DataFrame =
+    StatTests.friedman(obs, judgeCol, itemCol, score)
+      .select(col("n_blocks").as("n_judges"), col("k").as("k_items"),
+        col("q_micro"),
+        expr("CAST(q_micro div (1000 * n_blocks * (k - 1)) AS BIGINT)")
+          .as("w_milli"))
+
+  private val qKendallW = GraftQuery(
+    "qml_kendall_w",
+    (s, dir) => kendallW(Tables.events(s, dir), "user_id", "event_type",
+      expr("CAST(round(value * 100) AS BIGINT)")),
+    Some("""WITH c AS (SELECT user_id, event_type,
+        SUM(CAST(round(value * 100) AS BIGINT)) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    kk AS (SELECT COUNT(DISTINCT event_type) AS k FROM c),
+    fu AS (SELECT user_id FROM c, kk GROUP BY user_id, kk.k
+      HAVING COUNT(*) = kk.k),
+    b AS (SELECT c.* FROM c JOIN fu USING (user_id)),
+    r AS (SELECT user_id, event_type, v,
+        2 * (RANK() OVER (PARTITION BY user_id ORDER BY v) - 1)
+          + COUNT(*) OVER (PARTITION BY user_id, v) + 1 AS r2
+      FROM b),
+    rj AS (SELECT event_type, CAST(SUM(r2) AS HUGEINT) AS r2j,
+        CAST(COUNT(*) AS HUGEINT) AS n FROM r GROUP BY event_type),
+    a AS (SELECT SUM(CAST(r2 AS HUGEINT) * r2) AS a2 FROM r),
+    s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS kd, MAX(rj.n) AS n,
+        SUM((r2j - rj.n * (kk.k + 1)) * (r2j - rj.n * (kk.k + 1))) AS num
+      FROM rj, kk GROUP BY kk.k),
+    f AS (SELECT s.n, s.kd, a.a2, s.num,
+        s.n * s.kd * (s.kd + 1) * (s.kd + 1) AS c2 FROM s, a),
+    q AS (SELECT n, kd,
+        (1000000 * (kd - 1) * num) // NULLIF(a2 - c2, 0) AS qm FROM f)
+    SELECT CAST(n AS BIGINT) AS n_judges, CAST(kd AS BIGINT) AS k_items,
+      CAST(qm AS BIGINT) AS q_micro,
+      CAST(qm // (1000 * n * (kd - 1)) AS BIGINT) AS w_milli
+    FROM q"""))
+
   val queries: Seq[GraftQuery] = Seq(qAuc, qPrCurve, qKappa, qBradleyTerry,
-    qMcNemar, qBleu, qCronbach, qKrippendorff)
+    qMcNemar, qBleu, qCronbach, qKrippendorff, qKendallW)
 }

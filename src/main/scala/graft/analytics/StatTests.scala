@@ -2267,10 +2267,201 @@ object StatTests {
       ((1000 * n * (n + 2) * st) // 100000000000000) > 18307 AS reject_05
     FROM fin"""))
 
+  // ----------------------------------- Jonckheere–Terpstra trend test
+  /** Jonckheere–Terpstra test for an ORDERED alternative across k
+    * groups — "does the response trend monotonically with the ordered
+    * factor?", strictly more powerful than [[kruskalWallis]] when the
+    * order is hypothesized in advance (the dose-response / priority-
+    * ladder question): JT = Σ_{i<j} U_ij summed over ordered group
+    * pairs, normal-approximated with the full Hollander–Wolfe TIE
+    * correction.
+    *
+    * Exactness/scale: JT rides DOUBLED (ties count 1 in 2·U — always
+    * integral); all pairwise U_ij come from ONE value-collapapsed frame
+    * with k running sums in one [[Scans.rangedCumSums]] pass (one range
+    * exchange total — not k(k−1)/2 pair joins, and never a global
+    * window). The variance combines its three rational terms by
+    * COMPOSED FLOORS (each term independently floored, the
+    * qstat_ljung_box convention) instead of the common-denominator
+    * form, whose N⁶ numerator would exit DECIMAL(38,0) at ~2·10⁶ rows;
+    * composed, the budget is set by 10³·dev² ~ 10³N⁴ (good to ~5·10⁸
+    * rows — the [[qGamesHowell]] documented-headroom convention).
+    *
+    * Output (1 row): (n, jt_x2, dev_x4, z2_milli, reject_05) with the
+    * two-sided χ²₁ critical pinned in milli.
+    */
+  def jonckheereTerpstra(vals: DataFrame, value: Column, groupIdx: Column,
+      k: Int, criticalMilli: Long = 3841L): DataFrame = {
+    require(k >= 2, s"need at least 2 ordered groups, got $k")
+    val b = vals.select(value.as("v"), groupIdx.cast("int").as("g"))
+      .filter(col("v").isNotNull && col("g").between(1, k))
+    val aggs = (1 to k).map(i =>
+      sum(when(col("g") === i, 1L).otherwise(0L)).as(s"k$i"))
+    val gv = b.groupBy(col("v")).agg(aggs.head, aggs.tail: _*)
+    val cum = Scans.rangedCumSums(gv, "v",
+      (1 until k).map(i => (col(s"k$i"), s"ci$i")))
+    val termSql = (2 to k).map { j =>
+      val pref = (1 until j).map(i => s"(2 * ci$i - 2 * k$i + k$i)")
+        .mkString(" + ")
+      s"CAST(k$j AS DECIMAL(38,0)) * ($pref)"
+    }.mkString(" + ")
+    val tSql = (1 to k).map(i => s"k$i").mkString("(", " + ", ")")
+    val jt = cum.agg(sum(expr(termSql)).as("jt2"),
+      sum(expr(s"CAST($tSql AS DECIMAL(38,0)) * ($tSql - 1) * (2 * $tSql + 5)"))
+        .as("t25"),
+      sum(expr(s"CAST($tSql AS DECIMAL(38,0)) * ($tSql - 1)")).as("t2"),
+      sum(expr(s"CAST($tSql AS DECIMAL(38,0)) * ($tSql - 1) * ($tSql - 2)"))
+        .as("t3"))
+    val gs = b.groupBy(col("g")).agg(count(lit(1)).as("ng"))
+      .agg(sum(dec(col("ng"))).as("n"),
+        sum(dec(col("ng")) * col("ng")).as("sn2"),
+        sum(dec(col("ng")) * (col("ng") - 1) * (lit(2) * col("ng") + 5))
+          .as("n25"),
+        sum(dec(col("ng")) * (col("ng") - 1)).as("p2g"),
+        sum(dec(col("ng")) * (col("ng") - 1) * (col("ng") - 2)).as("p3g"))
+    jt.crossJoin(broadcast(gs))
+      .withColumn("diff4", expr("2 * jt2 - (n * n - sn2)"))
+      // w16 = ⌊16·Var⌋ by composed floors; each big division uses the
+      // (p − p%q)/q DECIMAL form (the qstat_kruskal_wallis precedent —
+      // `div` returns LONG, which ⌊2N³/9⌋ exits at N ≈ 2·10⁶)
+      .withColumn("w16", expr(
+        """CAST((2 * (n * (n - 1) * (2 * n + 5) - n25 - t25)
+            - (2 * (n * (n - 1) * (2 * n + 5) - n25 - t25)) % 9) / 9
+          AS DECIMAL(38,0))
+          + CAST((4 * t3 * ((1000000 * p3g) div (n * (n - 1) * (n - 2)))
+            - (4 * t3 * ((1000000 * p3g) div (n * (n - 1) * (n - 2)))) % 9000000)
+            / 9000000 AS DECIMAL(38,0))
+          + CAST((2 * t2 * ((1000000 * p2g) div (n * (n - 1)))
+            - (2 * t2 * ((1000000 * p2g) div (n * (n - 1)))) % 1000000)
+            / 1000000 AS DECIMAL(38,0))"""))
+      .select(col("n").cast("long").as("n"),
+        col("jt2").cast("long").as("jt_x2"),
+        col("diff4").cast("long").as("dev_x4"),
+        expr("""CAST((1000 * diff4 * diff4)
+          div nullif(w16, CAST(0 AS DECIMAL(38,0))) AS BIGINT)""")
+          .as("z2_milli"))
+      .withColumn("reject_05", col("z2_milli") > criticalMilli)
+  }
+
+  /** Does order value trend with the TPC-H priority ladder (1-URGENT →
+    * 5-LOW)? df = 1 normal approximation, 3.841 pinned in milli.
+    */
+  private val qJonckheere = GraftQuery(
+    "qstat_jonckheere",
+    (s, dir) => jonckheereTerpstra(Tables.orders(s, dir),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)"),
+      expr("CAST(substr(o_orderpriority, 1, 1) AS INT)"), k = 5),
+    Some("""WITH b AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+        CAST(substr(o_orderpriority, 1, 1) AS INT) AS g FROM orders
+      WHERE o_totalprice IS NOT NULL),
+    gv AS (SELECT v,
+        SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS k1,
+        SUM(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS k2,
+        SUM(CASE WHEN g = 3 THEN 1 ELSE 0 END) AS k3,
+        SUM(CASE WHEN g = 4 THEN 1 ELSE 0 END) AS k4,
+        SUM(CASE WHEN g = 5 THEN 1 ELSE 0 END) AS k5
+      FROM b GROUP BY v),
+    cum AS (SELECT v, k1, k2, k3, k4, k5,
+        COALESCE(SUM(k1) OVER w, 0) AS ci1, COALESCE(SUM(k2) OVER w, 0) AS ci2,
+        COALESCE(SUM(k3) OVER w, 0) AS ci3, COALESCE(SUM(k4) OVER w, 0) AS ci4
+      FROM gv WINDOW w AS (ORDER BY v
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    jt AS (SELECT
+        SUM(CAST(k2 AS HUGEINT) * (2*ci1 - k1)
+          + CAST(k3 AS HUGEINT) * (2*ci1 - k1 + 2*ci2 - k2)
+          + CAST(k4 AS HUGEINT) * (2*ci1 - k1 + 2*ci2 - k2 + 2*ci3 - k3)
+          + CAST(k5 AS HUGEINT) * (2*ci1 - k1 + 2*ci2 - k2 + 2*ci3 - k3
+              + 2*ci4 - k4)) AS jt2,
+        SUM(CAST(k1+k2+k3+k4+k5 AS HUGEINT) * (k1+k2+k3+k4+k5 - 1)
+            * (2*(k1+k2+k3+k4+k5) + 5)) AS t25,
+        SUM(CAST(k1+k2+k3+k4+k5 AS HUGEINT) * (k1+k2+k3+k4+k5 - 1)) AS t2,
+        SUM(CAST(k1+k2+k3+k4+k5 AS HUGEINT) * (k1+k2+k3+k4+k5 - 1)
+            * (k1+k2+k3+k4+k5 - 2)) AS t3
+      FROM cum),
+    gn AS (SELECT g, CAST(COUNT(*) AS HUGEINT) AS ng FROM b GROUP BY g),
+    gs AS (SELECT SUM(ng) AS n, SUM(ng*ng) AS sn2,
+        SUM(ng*(ng-1)*(2*ng+5)) AS n25, SUM(ng*(ng-1)) AS p2g,
+        SUM(ng*(ng-1)*(ng-2)) AS p3g FROM gn),
+    f AS (SELECT gs.n, jt.jt2, 2*jt.jt2 - (gs.n*gs.n - gs.sn2) AS diff4,
+        (2 * (gs.n*(gs.n-1)*(2*gs.n+5) - gs.n25 - jt.t25)) // 9
+          + (4 * jt.t3 * ((1000000 * gs.p3g) // (gs.n*(gs.n-1)*(gs.n-2))))
+            // 9000000
+          + (2 * jt.t2 * ((1000000 * gs.p2g) // (gs.n*(gs.n-1)))) // 1000000
+          AS w16
+      FROM jt, gs)
+    SELECT CAST(n AS BIGINT) AS n, CAST(jt2 AS BIGINT) AS jt_x2,
+      CAST(diff4 AS BIGINT) AS dev_x4,
+      CAST((1000 * diff4 * diff4) // NULLIF(w16, 0) AS BIGINT) AS z2_milli,
+      ((1000 * diff4 * diff4) // NULLIF(w16, 0)) > 3841 AS reject_05
+    FROM f"""))
+
+  // ------------------------------------------- Cliff's delta (ordinal)
+  /** Cliff's δ — the ORDINAL effect size companion to
+    * [[mannWhitney]]'s test and [[cohensD]]'s parametric d:
+    * δ = (#(x>y) − #(x<y)) / (n₁·n₂) ∈ [−1, 1], assumption-free (no
+    * variance, no normality) and exactly the identity δ = 2U₁/(n₁n₂)−1.
+    * The standard |δ| reading: <0.147 negligible, <0.33 small, <0.474
+    * medium, else large — thresholds that don't inflate with n the way
+    * p-values do, which is why effect sizes gate A/B rollouts.
+    *
+    * Exact: value-collapse then ONE distributed ranged scan (the
+    * [[aucRoc]] shape — no global window); #(>) − #(<) = 2U₁ − n₁n₂
+    * exactly, with the ½-tie credits cancelling. Milli output with the
+    * sign-split floor convention.
+    *
+    * Output (1 row): (n1, n2, dom_diff = #(x>y) − #(x<y), delta_milli).
+    */
+  def cliffsDelta(vals: DataFrame, valueCol: String, isFirst: Column): DataFrame = {
+    val g = vals.select(col(valueCol).as("v"), isFirst.cast("int").as("one"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("v"))
+      .agg(sum(col("one")).as("k1"), sum(lit(1) - col("one")).as("k2"))
+    val cum = Scans.rangedCumSum(g, "v", col("k2"), "c2i")
+      .withColumn("c2", col("c2i") - col("k2"))
+    cum.agg(sum(col("k1")).as("n1"), sum(col("k2")).as("n2"),
+        sum(dec(col("k1")) * (dec(lit(2)) * col("c2") + col("k2"))).as("u2"))
+      .select(col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+        expr("CAST(u2 - CAST(n1 AS DECIMAL(38,0)) * n2 AS BIGINT)")
+          .as("dom_diff"),
+        expr("""CAST(CASE
+            WHEN u2 - CAST(n1 AS DECIMAL(38,0)) * n2 >= 0 THEN
+              (1000 * (u2 - CAST(n1 AS DECIMAL(38,0)) * n2))
+                div (CAST(n1 AS DECIMAL(38,0)) * n2)
+            ELSE -((1000 * (CAST(n1 AS DECIMAL(38,0)) * n2 - u2))
+                div (CAST(n1 AS DECIMAL(38,0)) * n2))
+          END AS BIGINT)""").as("delta_milli"))
+  }
+
+  /** Purchase vs view values — the effect-size read behind the
+    * qstat_mann_whitney test on the same pair.
+    */
+  private val qCliffs = GraftQuery(
+    "qstat_cliffs_delta",
+    (s, dir) => cliffsDelta(
+      Tables.events(s, dir).filter(col("event_type").isin("purchase", "view")),
+      "value", col("event_type") === "purchase"),
+    Some("""WITH gv AS (SELECT value AS v,
+        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS one
+      FROM events WHERE event_type IN ('purchase', 'view')
+        AND value IS NOT NULL),
+    g AS (SELECT v, SUM(one) AS k1, SUM(1 - one) AS k2 FROM gv GROUP BY v),
+    cum AS (SELECT v, k1, k2, COALESCE(SUM(k2) OVER (ORDER BY v
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c2 FROM g),
+    u AS (SELECT CAST(SUM(k1) AS HUGEINT) AS n1,
+        CAST(SUM(k2) AS HUGEINT) AS n2,
+        SUM(CAST(k1 AS HUGEINT) * (2*c2 + k2)) AS u2 FROM cum)
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      CAST(u2 - n1*n2 AS BIGINT) AS dom_diff,
+      CASE WHEN u2 - n1*n2 >= 0
+        THEN CAST((1000 * (u2 - n1*n2)) // (n1*n2) AS BIGINT)
+        ELSE -CAST((1000 * (n1*n2 - u2)) // (n1*n2) AS BIGINT)
+      END AS delta_milli
+    FROM u"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qChisq, qKs, qBoot, qGini, qLinReg, qPettitt, qWMedian, qMwu,
       qBenford, qPareto, qRuns, qSpearman, qKendall, qTheilSen, qCramersV,
       qAutocorr, qCohensD, qIqr, qPowerN, qSimpson, qForecastErr, qAnova,
       qLevene, qMannKendall, qKruskal, qKde, qGamesHowell, qWilson, qFriedman,
-      qCochran, qLjungBox)
+      qCochran, qLjungBox, qJonckheere, qCliffs)
 }

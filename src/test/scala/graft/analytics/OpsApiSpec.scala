@@ -2329,6 +2329,61 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == List((10L, 3L, 250L)), out.toString)
   }
 
+  test("cliffsDelta: dominance counts with tie cancellation") {
+    import spark.implicits._
+    // x=[3,5] vs y=[1,5]: #(x>y)=2, #(x<y)=1, tie cancels -> delta = 1/4
+    val d = Seq((3.0, 1), (5.0, 1), (1.0, 0), (5.0, 0)).toDF("v", "one")
+    val out = StatTests.cliffsDelta(d, "v",
+      org.apache.spark.sql.functions.col("one") === 1).collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3))
+      == ((2L, 2L, 1L, 250L)), out.toString)
+    // total dominance and total reversal hit the [-1000, 1000] ends
+    val hi = Seq((9.0, 1), (1.0, 0)).toDF("v", "one")
+    assert(StatTests.cliffsDelta(hi, "v",
+      org.apache.spark.sql.functions.col("one") === 1)
+      .collect().head.getLong(3) == 1000L)
+    val lo = Seq((1.0, 1), (9.0, 0)).toDF("v", "one")
+    assert(StatTests.cliffsDelta(lo, "v",
+      org.apache.spark.sql.functions.col("one") === 1)
+      .collect().head.getLong(3) == -1000L)
+  }
+
+  test("kendallW: perfect concordance hits 1000 milli; W = Q/(n(k-1))") {
+    import spark.implicits._
+    val perf = Seq(
+      ("j1", "a", 10L), ("j1", "b", 20L), ("j1", "c", 30L),
+      ("j2", "a", 1L), ("j2", "b", 2L), ("j2", "c", 3L),
+      ("j3", "a", 5L), ("j3", "b", 6L), ("j3", "c", 7L))
+      .toDF("j", "it", "v")
+    val out = EvalOps.kendallW(perf, "j", "it",
+      org.apache.spark.sql.functions.col("v")).collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3))
+      == ((3L, 3L, 6000000L, 1000L)), out.toString)
+  }
+
+  test("jonckheereTerpstra: brute-force hand case with ties, composed floors") {
+    import spark.implicits._
+    // groups (hypothesized ascending): g1=[1,3,3,5] g2=[2,3,6] g3=[4,6,8,8,9]
+    // brute-force reference: 2*JT = 79, dev_x4 = 2*79 - (144-50) = 64,
+    // w16 = 712 + 0 + 5 = 717 (composed floors; exact 16*Var = 717.94),
+    // z2_milli = 4096000 // 717 = 5712 (> 3841: the planted trend rejects)
+    val d = Seq((1L, 1), (3L, 1), (3L, 1), (5L, 1),
+      (2L, 2), (3L, 2), (6L, 2),
+      (4L, 3), (6L, 3), (8L, 3), (8L, 3), (9L, 3))
+      .toDF("v", "g")
+    val out = StatTests.jonckheereTerpstra(d,
+      org.apache.spark.sql.functions.col("v"),
+      org.apache.spark.sql.functions.col("g"), k = 3).collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3),
+      out.getBoolean(4)) == ((12L, 79L, 64L, 5712L, true)), out.toString)
+    // no-trend twin: identical distributions -> dev 0, z2 = 0
+    val flat = Seq((1L, 1), (2L, 1), (1L, 2), (2L, 2)).toDF("v", "g")
+    val f = StatTests.jonckheereTerpstra(flat,
+      org.apache.spark.sql.functions.col("v"),
+      org.apache.spark.sql.functions.col("g"), k = 2).collect().head
+    assert(f.getLong(2) == 0L && f.getLong(3) == 0L, f.toString)
+  }
+
   test("temperatureWeights: exact isqrt flattens the mix; boosts favor the tail") {
     import spark.implicits._
     // head 100 docs, tail 4: isqrt = 10, 2 -> tau shares 10/12, 2/12
