@@ -2458,10 +2458,358 @@ object StatTests {
       END AS delta_milli
     FROM u"""))
 
+  // -------------------------- Cochran–Armitage trend (proportions)
+  /** Cochran–Armitage test for a LINEAR TREND in proportions across k
+    * ordered groups — the binary-outcome companion to
+    * [[jonckheereTerpstra]] (continuous response, any monotone
+    * alternative) and the correct upgrade over [[chiSquareAb]] when the
+    * factor is a dose/priority ladder rather than two arms: with
+    * integer scores w_i = i,
+    *
+    *   T = Σ w_i (r_i − n_i R/N),  z² = T² / (p(1−p)(Σw²n − (Σwn)²/N))
+    *
+    * kept integral as T_N = N·Σw r − R·Σw n and
+    * z² = T_N²·N / (R(N−R)(N·Σw²n − (Σwn)²)) — every factor an exact
+    * integer from ONE k-row group frame (one full-scan aggregation →
+    * 1 row; only five k-row sums leave the executors).
+    *
+    * Overflow discipline: the [[chiSquareAb]] remainder-split/nested-
+    * floor pair with m = 10³N, t = T_N², d1 = R(N−R),
+    * d2 = N·Σw²n − (Σwn)²: z² ≤ N−1 bounds t div d1 < d2, so every
+    * intermediate stays ≤ 10³k²N³ — exact out to N ≈ 10¹¹ trials.
+    *
+    * Output (1 row): (n, r, trend_num = T_N, z2_milli, reject_05)
+    * against the two-sided χ²₁ critical pinned in milli; trend_num's
+    * sign is the trend direction.
+    */
+  def cochranArmitage(trials: DataFrame, doseIdx: Column, hit: Column,
+      k: Int, criticalMilli: Long = 3841L): DataFrame = {
+    require(k >= 2, s"need at least 2 ordered groups, got $k")
+    val b = trials.select(doseIdx.cast("int").as("g"),
+        when(hit, 1L).otherwise(0L).as("y"))
+      .filter(col("g").between(1, k))
+    b.groupBy(col("g"))
+      .agg(count(lit(1)).as("ng"), sum(col("y")).as("rg"))
+      .agg(sum(dec(col("ng"))).as("n"), sum(dec(col("rg"))).as("r"),
+        sum(dec(col("g")) * col("ng")).as("swn"),
+        sum(dec(col("g")) * col("g") * col("ng")).as("sw2n"),
+        sum(dec(col("g")) * col("rg")).as("swr"))
+      .withColumn("tn", expr("n * swr - r * swn"))
+      .withColumn("t", expr("tn * tn"))
+      .withColumn("d1", expr("nullif(r * (n - r), CAST(0 AS DECIMAL(38,0)))"))
+      .withColumn("d2", expr(
+        "nullif(n * sw2n - swn * swn, CAST(0 AS DECIMAL(38,0)))"))
+      // t div d1 ≤ d2 ≈ k²N² exits LONG at N ≈ 6·10⁸ — so the big
+      // quotient uses the (p − p%q)/q DECIMAL form (qstat_kruskal_wallis
+      // precedent); the two outer quotients are ≤ 10³N and keep `div`
+      .select(col("n").cast("long").as("n"), col("r").cast("long").as("r"),
+        col("tn").cast("long").as("trend_num"),
+        expr("""CAST((1000 * n * CAST((t - t % d1) / d1 AS DECIMAL(38,0))
+            + CAST((1000 * n * (t % d1)) div d1 AS DECIMAL(38,0))) div d2
+          AS BIGINT)""").as("z2_milli"))
+      .withColumn("reject_05", col("z2_milli") > criticalMilli)
+  }
+
+  /** Does the fulfilled-order rate trend with the TPC-H priority ladder
+    * (1-URGENT → 5-LOW)? The generator assigns status independently of
+    * priority, so the honest answer is "no trend".
+    */
+  private val qCochranArmitage = GraftQuery(
+    "qstat_cochran_armitage",
+    (s, dir) => cochranArmitage(Tables.orders(s, dir),
+      expr("CAST(substr(o_orderpriority, 1, 1) AS INT)"),
+      col("o_orderstatus") === "F", k = 5),
+    Some("""WITH b AS (SELECT CAST(substr(o_orderpriority, 1, 1) AS INT) AS g,
+        CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y FROM orders),
+    gs AS (SELECT g, CAST(COUNT(*) AS HUGEINT) AS ng,
+        CAST(SUM(y) AS HUGEINT) AS rg
+      FROM b WHERE g BETWEEN 1 AND 5 GROUP BY g),
+    s AS (SELECT SUM(ng) AS n, SUM(rg) AS r, SUM(g * ng) AS swn,
+        SUM(g * g * ng) AS sw2n, SUM(g * rg) AS swr FROM gs),
+    f AS (SELECT n, r, n * swr - r * swn AS tn,
+        NULLIF(r * (n - r), 0) AS d1,
+        NULLIF(n * sw2n - swn * swn, 0) AS d2 FROM s),
+    z AS (SELECT n, r, tn,
+        (1000 * n * ((tn * tn) // d1)
+          + (1000 * n * ((tn * tn) % d1)) // d1) // d2 AS zm FROM f)
+    SELECT CAST(n AS BIGINT) AS n, CAST(r AS BIGINT) AS r,
+      CAST(tn AS BIGINT) AS trend_num, CAST(zm AS BIGINT) AS z2_milli,
+      zm > 3841 AS reject_05
+    FROM z"""))
+
+  // ------------------------------------------- Mood's median test
+  /** Mood's median test — the maximally assumption-light k-group
+    * location test (only the above/below-pooled-median dichotomy is
+    * used, so single wild outliers cannot move it at all, where
+    * [[kruskalWallis]]'s ranks still shift): a 2×k chi-square of
+    * per-group above-median counts,
+    *
+    *   χ² = (1/(A·B)) Σ_i (N·a_i − n_i·A)² / n_i
+    *
+    * (A/B = pooled above/not-above totals), derived from the standard
+    * (O−E)²/E by clearing denominators — exact integers throughout.
+    *
+    * Plan: the pooled LOWER MEDIAN (smallest v with 2·cum ≥ N, so the
+    * cut point is an actual data value — no interpolation) comes from
+    * one value-collapsed [[Scans.rangedCumSum]]; then one group-by
+    * builds the 2×k table. Per-group terms use the remainder split
+    * ⌊10³t/n_i⌋ = 10³(t div n_i) + ⌊10³(t mod n_i)/n_i⌋ (t ≤ N²n_i²
+    * keeps every intermediate ≤ 10³N³), summed then floored once by
+    * A·B — the composed-floor convention, mirrored verbatim in the
+    * oracle.
+    *
+    * Tie caveat (documented, inherent to the test): rows EQUAL to the
+    * median count as "not above", so a heavy atom at the median skews
+    * the split — that is Mood's test, not an implementation choice.
+    *
+    * Output (1 row): (n, med_value, above, chi2_milli, reject_05).
+    */
+  def moodMedian(vals: DataFrame, valueCol: String, groupCol: String,
+      criticalMilli: Long): DataFrame = {
+    val b = vals.select(col(valueCol).as("v"), col(groupCol).as("g"))
+      .filter(col("v").isNotNull && col("g").isNotNull)
+    val gv = b.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+    val cum = Scans.rangedCumSum(gv, "v", col("cnt"), "cw")
+    val tot = b.agg(count(lit(1)).cast("decimal(38,0)").as("n"))
+    val med = cum.crossJoin(broadcast(tot))
+      .filter(dec(lit(2)) * col("cw") >= col("n"))
+      .agg(min(col("v")).as("med"))
+    // k-row 2×k table, checkpointed so the totals branch and the term
+    // branch don't each re-scan the corpus (2 full scans total: the
+    // median pass + the count pass — inherent to the test)
+    val gc = b.crossJoin(broadcast(med))
+      .groupBy(col("g"), col("med"))
+      .agg(count(lit(1)).as("ng"),
+        sum(when(col("v") > col("med"), 1L).otherwise(0L)).as("ag"))
+      .localCheckpoint()
+    val at = gc.agg(sum(dec(col("ng"))).as("n"), sum(dec(col("ag"))).as("a"))
+    gc.crossJoin(broadcast(at))
+      .withColumn("t", expr(
+        """(n * CAST(ag AS DECIMAL(38,0)) - CAST(ng AS DECIMAL(38,0)) * a)
+         * (n * CAST(ag AS DECIMAL(38,0)) - CAST(ng AS DECIMAL(38,0)) * a)"""))
+      // t div ng ≤ N²ng exits LONG at N ≈ 2·10⁶ → (p − p%q)/q form;
+      // the companion quotient is ≤ 10³ and keeps `div`
+      .withColumn("term", expr(
+        """1000 * CAST((t - t % CAST(ng AS DECIMAL(38,0)))
+              / CAST(ng AS DECIMAL(38,0)) AS DECIMAL(38,0))
+          + CAST((1000 * (t % CAST(ng AS DECIMAL(38,0))))
+              div CAST(ng AS DECIMAL(38,0)) AS DECIMAL(38,0))"""))
+      .groupBy(col("n"), col("a"), col("med"))
+      .agg(sum(col("term")).as("s"))
+      .select(col("n").cast("long").as("n"), col("med").as("med_value"),
+        col("a").cast("long").as("above"),
+        expr("""CAST(s div nullif(a * (n - a), CAST(0 AS DECIMAL(38,0)))
+          AS BIGINT)""").as("chi2_milli"))
+      .withColumn("reject_05", col("chi2_milli") > criticalMilli)
+  }
+
+  /** Do the five event types differ in median spend? df = 4 → χ²
+    * critical 9.488 pinned in milli (the [[qKruskal]] constant at milli
+    * scale). Values in exact cents.
+    */
+  private val qMoodMedian = GraftQuery(
+    "qstat_mood_median",
+    (s, dir) => moodMedian(
+      Tables.events(s, dir)
+        .select(expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+          col("event_type")),
+      "cents", "event_type", criticalMilli = 9488L),
+    Some("""WITH b AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+        event_type AS g FROM events WHERE value IS NOT NULL),
+    gv AS (SELECT v, COUNT(*) AS cnt FROM b GROUP BY v),
+    cum AS (SELECT v, SUM(cnt) OVER (ORDER BY v
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw FROM gv),
+    tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM b),
+    med AS (SELECT MIN(v) AS med FROM cum, tot WHERE 2 * cw >= tot.n),
+    gc AS (SELECT g, CAST(COUNT(*) AS HUGEINT) AS ng,
+        CAST(SUM(CASE WHEN v > med.med THEN 1 ELSE 0 END) AS HUGEINT) AS ag
+      FROM b, med GROUP BY g),
+    at AS (SELECT SUM(ng) AS n, SUM(ag) AS a FROM gc),
+    tm AS (SELECT gc.ng, (at.n * gc.ag - gc.ng * at.a)
+          * (at.n * gc.ag - gc.ng * at.a) AS t, at.n, at.a
+      FROM gc, at),
+    ss AS (SELECT MAX(n) AS n, MAX(a) AS a,
+        SUM(1000 * (t // ng) + (1000 * (t % ng)) // ng) AS s FROM tm)
+    SELECT CAST(n AS BIGINT) AS n, med.med AS med_value,
+      CAST(a AS BIGINT) AS above,
+      CAST(s // NULLIF(a * (n - a), 0) AS BIGINT) AS chi2_milli,
+      (s // NULLIF(a * (n - a), 0)) > 9488 AS reject_05
+    FROM ss, med"""))
+
+  // --------------------------------- Cramér–von Mises (two-sample)
+  /** Two-sample Cramér–von Mises criterion — the whole-curve companion
+    * to [[ksTest]] on the same value-collapsed scan: where KS reads
+    * only the single largest ECDF gap, CvM integrates the SQUARED gap
+    * over the pooled sample, so many moderate departures (dispersion,
+    * multi-modal shifts) that never produce one big gap still register.
+    * Pinned definition (ties included, each pooled point weighted by
+    * its multiplicity):
+    *
+    *   ω² = (n₁n₂/N²) Σ_v cnt_v (F₁(v) − F₂(v))²
+    *      = Σ_v cnt_v (n₂C₁ᵥ − n₁C₂ᵥ)² / (N²·n₁n₂)
+    *
+    * which reduces to the classical rank form in the untied case.
+    * reject_05 against the asymptotic α = 0.05 critical 0.461 in milli.
+    *
+    * Same plan as KS: ONE ranged-scan over the distinct value domain
+    * (both cumulative counts in one pass), one 1-row aggregate. The
+    * per-value ⌊10³cnt·u²/(n₁n₂)⌋ uses the remainder split (u² ≤
+    * (n₁n₂)² would put the naive product out of DECIMAL(38,0) at
+    * N ≈ 3·10⁷; split, every intermediate is ≤ 250·N³ — exact to
+    * N ≈ 7·10¹¹), then one final floor by N² — composed floors,
+    * oracle-mirrored.
+    *
+    * Output (1 row): (n1, n2, t_milli, reject_05).
+    */
+  def cramerVonMises(vals: DataFrame, valueCol: String, isFirst: Column,
+      criticalMilli: Long = 461L): DataFrame = {
+    val g = vals.select(col(valueCol).as("v"), isFirst.cast("int").as("one"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("v"))
+      .agg(sum(col("one")).as("k1"), sum(lit(1) - col("one")).as("k2"))
+    val cum = Scans.rangedCumSums(g, "v",
+      Seq((col("k1"): Column) -> "c1", (col("k2"): Column) -> "c2"))
+    val tot = g.agg(sum(dec(col("k1"))).as("n1"), sum(dec(col("k2"))).as("n2"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("u", expr(
+        "n2 * CAST(c1 AS DECIMAL(38,0)) - n1 * CAST(c2 AS DECIMAL(38,0))"))
+      // u² div (n₁n₂) ≤ n₁n₂ exits LONG at N ≈ 6·10⁹ → (p − p%q)/q
+      // form; the companion quotient is ≤ 10³N and keeps `div`
+      .withColumn("term", expr(
+        """1000 * CAST(k1 + k2 AS DECIMAL(38,0))
+              * CAST(((u * u) - (u * u) % (n1 * n2)) / (n1 * n2)
+                  AS DECIMAL(38,0))
+          + CAST((1000 * CAST(k1 + k2 AS DECIMAL(38,0))
+              * ((u * u) % (n1 * n2))) div (n1 * n2) AS DECIMAL(38,0))"""))
+      .groupBy(col("n1"), col("n2"))
+      .agg(sum(col("term")).as("s"))
+      .select(col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+        expr("CAST(s div ((n1 + n2) * (n1 + n2)) AS BIGINT)").as("t_milli"))
+      .withColumn("reject_05", col("t_milli") > criticalMilli)
+  }
+
+  /** Purchase vs view spend distributions, whole-curve read — the CvM
+    * companion to qstat_ks_test / qstat_mann_whitney /
+    * qstat_cliffs_delta on the same pair. Cents for an exact domain.
+    */
+  private val qCvm = GraftQuery(
+    "qstat_cvm",
+    (s, dir) => cramerVonMises(
+      Tables.events(s, dir).filter(col("event_type").isin("purchase", "view"))
+        .select(expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+          col("event_type")),
+      "cents", col("event_type") === "purchase"),
+    Some("""WITH gv AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS one
+      FROM events WHERE event_type IN ('purchase', 'view')
+        AND value IS NOT NULL),
+    g AS (SELECT v, SUM(one) AS k1, SUM(1 - one) AS k2 FROM gv GROUP BY v),
+    cum AS (SELECT v, k1, k2,
+        SUM(k1) OVER w AS c1, SUM(k2) OVER w AS c2
+      FROM g WINDOW w AS (ORDER BY v
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    tot AS (SELECT CAST(SUM(k1) AS HUGEINT) AS n1,
+        CAST(SUM(k2) AS HUGEINT) AS n2 FROM g),
+    tm AS (SELECT k1 + k2 AS cnt,
+        tot.n2 * c1 - tot.n1 * c2 AS u, tot.n1, tot.n2 FROM cum, tot),
+    ss AS (SELECT MAX(n1) AS n1, MAX(n2) AS n2,
+        SUM(1000 * cnt * ((u * u) // (n1 * n2))
+          + (1000 * cnt * ((u * u) % (n1 * n2))) // (n1 * n2)) AS s
+      FROM tm)
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      CAST(s // ((n1 + n2) * (n1 + n2)) AS BIGINT) AS t_milli,
+      (s // ((n1 + n2) * (n1 + n2))) > 461 AS reject_05
+    FROM ss"""))
+
+  // ------------------------------------ Page's L trend (within-block)
+  /** Page's L test for an ORDERED alternative WITHIN blocks — completes
+    * the trend family: [[jonckheereTerpstra]] orders independent
+    * groups, Page orders the k treatments each block ranks internally
+    * (the repeated-measures dose ladder; strictly more powerful than
+    * [[friedman]]'s any-difference alternative when the order is
+    * hypothesized in advance). L = Σ_j j·R_j on within-block midranks,
+    * standardized with the EXACT TIE-CORRECTED permutation variance
+    *
+    *   Var(L₂) = [k(k+1)/12] · Σ_b Σ_j (R₂ − (k+1))²
+    *
+    * from the finite-population identity Var(Σc a_π) =
+    * Σ(c−c̄)²Σ(a−ā)²/(k−1) per block — which reduces to the textbook
+    * n·k²(k+1)(k²−1)/144 in the untied case (on L = L₂/2). Everything
+    * integral: doubled midranks (the [[friedman]] frame — per-block
+    * sum k(k+1), mean exactly k+1), E[L₂] = n·k(k+1)²/2,
+    * z² = 12·dev²/Var-core by one floored division.
+    *
+    * Output (1 row): (n_blocks, k, l_x2, dev_x2, z2_milli, reject_05)
+    * with dev's sign the trend direction, two-sided χ²₁ critical in
+    * milli (the [[jonckheereTerpstra]] convention).
+    */
+  def pageTrend(obs: DataFrame, blockCol: String, treatIdx: Column,
+      value: Column, k: Int, criticalMilli: Long = 3841L): DataFrame = {
+    require(k >= 3, s"Page's test needs at least 3 ordered treatments, got $k")
+    val c = obs.select(col(blockCol).as("blk"), treatIdx.cast("int").as("j"),
+        value.as("vv"))
+      .filter(col("vv").isNotNull && col("j").between(1, k))
+      .groupBy(col("blk"), col("j")).agg(sum(col("vv")).as("v"))
+    val fu = c.groupBy(col("blk")).agg(count(lit(1)).as("m"))
+      .filter(col("m") === k).select(col("blk"))
+    val wRank = Window.partitionBy(col("blk")).orderBy(col("v"))
+    val wTies = Window.partitionBy(col("blk"), col("v"))
+    val r = c.join(fu, "blk")
+      .withColumn("r2",
+        lit(2) * (rank().over(wRank) - 1) + count(lit(1)).over(wTies) + 1)
+    r.agg(expr(s"count(1) div $k").as("nb"),
+        sum(dec(col("j")) * col("r2")).as("l2"),
+        sum((dec(col("r2")) - (k + 1)) * (dec(col("r2")) - (k + 1))).as("ss"))
+      .withColumn("dev", expr(
+        s"l2 - CAST(nb AS DECIMAL(38,0)) * ${k * (k + 1) * (k + 1)} div 2"))
+      .select(col("nb").cast("long").as("n_blocks"), lit(k).as("k"),
+        col("l2").cast("long").as("l_x2"),
+        col("dev").cast("long").as("dev_x2"),
+        expr(s"""CAST((12000 * dev * dev)
+          div nullif(${k * (k + 1)} * ss, CAST(0 AS DECIMAL(38,0)))
+          AS BIGINT)""").as("z2_milli"))
+      .withColumn("reject_05", col("z2_milli") > criticalMilli)
+  }
+
+  /** Does per-user spend rank with funnel depth view < click < signup <
+    * purchase? Blocks = users observed at all four stages, measurement
+    * = per-(user, type) cents total — the ordered-alternative upgrade
+    * of [[qFriedman]] on the engagement ladder (error events excluded:
+    * they carry no depth hypothesis).
+    */
+  private val qPageTrend = GraftQuery(
+    "qstat_page_trend",
+    (s, dir) => pageTrend(Tables.events(s, dir), "user_id",
+      expr("""CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+        WHEN 'signup' THEN 3 WHEN 'purchase' THEN 4 ELSE 0 END"""),
+      expr("CAST(round(value * 100) AS BIGINT)"), k = 4),
+    Some("""WITH c AS (SELECT user_id AS blk,
+        CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+          WHEN 'signup' THEN 3 WHEN 'purchase' THEN 4 ELSE 0 END AS j,
+        SUM(CAST(round(value * 100) AS BIGINT)) AS v
+      FROM events WHERE value IS NOT NULL
+        AND event_type IN ('view', 'click', 'signup', 'purchase')
+      GROUP BY 1, 2),
+    fu AS (SELECT blk FROM c GROUP BY blk HAVING COUNT(*) = 4),
+    r AS (SELECT c.blk, c.j,
+        2 * (RANK() OVER (PARTITION BY c.blk ORDER BY c.v) - 1)
+          + COUNT(*) OVER (PARTITION BY c.blk, c.v) + 1 AS r2
+      FROM c JOIN fu USING (blk)),
+    s AS (SELECT CAST(COUNT(*) / 4 AS HUGEINT) AS nb,
+        SUM(CAST(j AS HUGEINT) * r2) AS l2,
+        SUM(CAST(r2 - 5 AS HUGEINT) * (r2 - 5)) AS ss FROM r),
+    f AS (SELECT nb, l2, l2 - nb * 100 // 2 AS dev, ss FROM s)
+    SELECT CAST(nb AS BIGINT) AS n_blocks, 4 AS k,
+      CAST(l2 AS BIGINT) AS l_x2, CAST(dev AS BIGINT) AS dev_x2,
+      CAST((12000 * dev * dev) // NULLIF(20 * ss, 0) AS BIGINT) AS z2_milli,
+      ((12000 * dev * dev) // NULLIF(20 * ss, 0)) > 3841 AS reject_05
+    FROM f"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qChisq, qKs, qBoot, qGini, qLinReg, qPettitt, qWMedian, qMwu,
       qBenford, qPareto, qRuns, qSpearman, qKendall, qTheilSen, qCramersV,
       qAutocorr, qCohensD, qIqr, qPowerN, qSimpson, qForecastErr, qAnova,
       qLevene, qMannKendall, qKruskal, qKde, qGamesHowell, qWilson, qFriedman,
-      qCochran, qLjungBox, qJonckheere, qCliffs)
+      qCochran, qLjungBox, qJonckheere, qCliffs, qCochranArmitage,
+      qMoodMedian, qCvm, qPageTrend)
 }

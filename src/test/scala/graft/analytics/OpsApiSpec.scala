@@ -2384,6 +2384,73 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f.getLong(2) == 0L && f.getLong(3) == 0L, f.toString)
   }
 
+  test("cochranArmitage: linear dose-response hand case, z2 = T2N/(d1 d2)") {
+    import spark.implicits._
+    // doses 1,2,3 with (n,r) = (4,1),(4,2),(4,3): T_N = 24, d1 = 36,
+    // d2 = 96 -> z2 = 576*12/3456 = 2.000 exactly
+    val rows = Seq.tabulate(4)(_ => (1, true)).take(1) ++
+      Seq.fill(3)((1, false)) ++ Seq.fill(2)((2, true)) ++
+      Seq.fill(2)((2, false)) ++ Seq.fill(3)((3, true)) ++ Seq((3, false))
+    val d = rows.toDF("g", "y")
+    val out = StatTests.cochranArmitage(d,
+      org.apache.spark.sql.functions.col("g"),
+      org.apache.spark.sql.functions.col("y"), k = 3).collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3),
+      out.getBoolean(4)) == ((12L, 6L, 24L, 2000L, false)), out.toString)
+    // reversed dose order flips the trend sign, same z2
+    val rev = StatTests.cochranArmitage(d,
+      org.apache.spark.sql.functions.expr("4 - g"),
+      org.apache.spark.sql.functions.col("y"), k = 3).collect().head
+    assert(rev.getLong(2) == -24L && rev.getLong(3) == 2000L, rev.toString)
+  }
+
+  test("moodMedian: 2xk table at the pooled lower median, composed floors") {
+    import spark.implicits._
+    // A = [1,3,5], B = [2,4,6,7]: N = 7, lower median = 4; above: A 1/3,
+    // B 2/4 -> chi2 = (1/12)(4/3 + 4/4) = 0.1944 -> 194 milli
+    val d = Seq((1L, "A"), (3L, "A"), (5L, "A"),
+      (2L, "B"), (4L, "B"), (6L, "B"), (7L, "B")).toDF("v", "g")
+    val out = StatTests.moodMedian(d, "v", "g", criticalMilli = 3841L)
+      .collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3),
+      out.getBoolean(4)) == ((7L, 4L, 3L, 194L, false)), out.toString)
+  }
+
+  test("cramerVonMises: pooled squared-ECDF-gap integral, exact milli") {
+    import spark.implicits._
+    // x = [1,2], y = [2,3]: omega2 = (4 + 2*4 + 0)/(16*4) = 0.1875
+    val d = Seq((1L, 1), (2L, 1), (2L, 0), (3L, 0)).toDF("v", "one")
+    val out = StatTests.cramerVonMises(d, "v",
+      org.apache.spark.sql.functions.col("one") === 1).collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2), out.getBoolean(3))
+      == ((2L, 2L, 187L, false)), out.toString)
+    // identical samples -> zero statistic
+    val same = Seq((5L, 1), (9L, 1), (5L, 0), (9L, 0)).toDF("v", "one")
+    assert(StatTests.cramerVonMises(same, "v",
+      org.apache.spark.sql.functions.col("one") === 1)
+      .collect().head.getLong(2) == 0L)
+  }
+
+  test("pageTrend: tie-corrected permutation variance, doubled midranks") {
+    import spark.implicits._
+    // b1: 10<20<30 (r2 = 2,4,6), b2: 5=5<9 (r2 = 3,3,6): L2 = 55,
+    // E = 48, dev = 7, SS = 8+6 = 14, Var(L2) = 14 -> z2 = 3.5 exactly
+    val d = Seq(("b1", 1, 10L), ("b1", 2, 20L), ("b1", 3, 30L),
+      ("b2", 1, 5L), ("b2", 2, 5L), ("b2", 3, 9L)).toDF("blk", "j", "v")
+    val out = StatTests.pageTrend(d, "blk",
+      org.apache.spark.sql.functions.col("j"),
+      org.apache.spark.sql.functions.col("v"), k = 3).collect().head
+    assert((out.getLong(0), out.getInt(1), out.getLong(2), out.getLong(3),
+      out.getLong(4), out.getBoolean(5)) == ((2L, 3, 55L, 7L, 3500L, false)),
+      out.toString)
+    // incomplete blocks are dropped: adding a 2-treatment block changes nothing
+    val d2 = d.union(Seq(("b3", 1, 1L), ("b3", 2, 2L)).toDF("blk", "j", "v"))
+    val out2 = StatTests.pageTrend(d2, "blk",
+      org.apache.spark.sql.functions.col("j"),
+      org.apache.spark.sql.functions.col("v"), k = 3).collect().head
+    assert(out2.getLong(0) == 2L && out2.getLong(4) == 3500L, out2.toString)
+  }
+
   test("temperatureWeights: exact isqrt flattens the mix; boosts favor the tail") {
     import spark.implicits._
     // head 100 docs, tail 4: isqrt = 10, 2 -> tau shares 10/12, 2/12
