@@ -2805,11 +2805,140 @@ object StatTests {
       ((12000 * dev * dev) // NULLIF(20 * ss, 0)) > 3841 AS reject_05
     FROM f"""))
 
+  // --------------------- Hodges–Lehmann shift (distributed selection)
+  /** Hodges–Lehmann two-sample shift estimator — the median of ALL
+    * n₁·n₂ pairwise differences x−y: the effect-size companion in
+    * ORIGINAL UNITS to [[mannWhitney]]'s test and [[cliffsDelta]]'s
+    * unitless dominance (the estimator that inverts the MWU test).
+    * Robust (29 % breakdown) and, unlike the difference of medians,
+    * unbiased under a pure location shift.
+    *
+    * THE PAIRS ARE NEVER MATERIALIZED. The engine runs a batched
+    * binary-search SELECTION over the integer value domain:
+    * C(t) = #\{x−y ≤ t\} = Σ_v kx_v · #\{y < v−t\} is evaluated for
+    * `probesPerRound` thresholds AT ONCE by unioning the probe-shifted
+    * x domain (weight 0, kind-sorted BEFORE data rows at equal
+    * positions, so the inclusive running sum at a query row is exactly
+    * the strict y-count) with the probe-replicated y domain into ONE
+    * [[Scans.rangedCumSum]] keyed by (probe, position, kind). Each
+    * round is one domain-sized scan plus one ≤probes-row driver fetch
+    * (the sanctioned bounded-fetch contract), and the bracket shrinks
+    * (probes+1)× — ⌈log₁₆(range)⌉ rounds at the default 15 (a cents
+    * domain of width 10⁸ closes in 7). Value-collapsed inputs are
+    * localCheckpointed once and reused by every round; row count never
+    * enters the per-round cost, only the distinct domain (the
+    * [[ksTest]] bound). Throws loudly if the bracket stalls or
+    * maxRounds is hit.
+    *
+    * Output (1 row): (n1, n2, pairs, hl_shift) — hl_shift is the LOWER
+    * median (order statistic ⌈P/2⌉) of the differences, an actual
+    * realized difference, exact. Requires an integral value column.
+    */
+  def hodgesLehmannShift(vals: DataFrame, valueCol: String, isFirst: Column,
+      probesPerRound: Int = 15, maxRounds: Int = 24): DataFrame = {
+    require(probesPerRound >= 1, "need at least one probe per round")
+    val spark = vals.sparkSession
+    val b = vals.select(col(valueCol).cast("long").as("v"),
+        isFirst.cast("boolean").as("one"))
+      .filter(col("v").isNotNull && col("one").isNotNull)
+    val x = b.filter(col("one")).groupBy(col("v"))
+      .agg(count(lit(1)).as("kx")).localCheckpoint()
+    val y = b.filter(!col("one")).groupBy(col("v"))
+      .agg(count(lit(1)).as("ky")).localCheckpoint()
+    val xs = x.agg(min(col("v")), max(col("v")), sum(col("kx"))).collect().head
+    val ys = y.agg(min(col("v")), max(col("v")), sum(col("ky"))).collect().head
+    require(!xs.isNullAt(0) && !ys.isNullAt(0),
+      "hodgesLehmannShift: both samples must be non-empty")
+    val (minX, maxX, n1) = (xs.getLong(0), xs.getLong(1), xs.getLong(2))
+    val (minY, maxY, n2) = (ys.getLong(0), ys.getLong(1), ys.getLong(2))
+    val target = (BigInt(n1) * BigInt(n2) + 1) / 2
+    var lo = minX - maxY
+    var hi = maxX - minY
+    val gLo = math.min(minY, minX - hi)
+    val width = math.max(maxY, maxX - lo) - gLo + 2
+    require(width > 0 && width < Long.MaxValue / (2L * (probesPerRound + 1)),
+      s"hodgesLehmannShift: value domain too wide for the probe key ($width)")
+    var rounds = 0
+    while (lo < hi) {
+      require(rounds < maxRounds,
+        s"hodgesLehmannShift: bracket [$lo,$hi] open after $maxRounds rounds")
+      rounds += 1
+      val span = hi - lo
+      val ts: Seq[Long] =
+        if (span <= probesPerRound) (lo until hi).toSeq
+        else (1 to probesPerRound)
+          .map(i => lo + (BigInt(span) * i / (probesPerRound + 1)).toLong)
+          .distinct.filter(t => t >= lo && t < hi)
+      val tsArr = array(ts.map(lit(_)): _*)
+      val q = x.select(col("v"), col("kx"),
+          posexplode(tsArr).as(Seq("pi", "t")))
+        .select(col("pi"), (col("v") - col("t")).as("pos"),
+          col("kx"), lit(0L).as("w"), lit(0).as("flag"))
+      val d = y.select(col("v"), col("ky"),
+          posexplode(tsArr).as(Seq("pi", "t")))
+        .select(col("pi"), col("v").as("pos"),
+          lit(0L).as("kx"), col("ky").cast("long").as("w"), lit(1).as("flag"))
+      val u = q.unionByName(d)
+        .withColumn("key",
+          (col("pi").cast("long") * width + (col("pos") - gLo)) * 2
+            + col("flag"))
+      // ONE scan carries all probes, so the running sum at a probe-pi
+      // query row includes the pi earlier probes' full y replicas —
+      // exactly pi·n₂ — and the in-probe strict count is cw − pi·n₂
+      val counts = Scans.rangedCumSum(u, "key", col("w"), "cw")
+        .filter(col("flag") === 0)
+        .groupBy(col("pi"))
+        .agg(sum(dec(col("kx")) * (lit(n2) * (col("pi") + 1) - col("cw")))
+          .as("c"))
+        .collect()
+        .map(r => r.getInt(0) -> BigInt(r.getDecimal(1).toBigInteger))
+        .toMap
+      var newLo = lo; var newHi = hi
+      ts.zipWithIndex.foreach { case (t, i) =>
+        if (counts(i) >= target) newHi = math.min(newHi, t)
+        else newLo = math.max(newLo, t + 1)
+      }
+      require(newLo > lo || newHi < hi,
+        s"hodgesLehmannShift: no progress at bracket [$lo,$hi]")
+      lo = newLo; hi = newHi
+    }
+    spark.range(1).select(lit(n1).as("n1"), lit(n2).as("n2"),
+      lit(n1 * n2).as("pairs"), lit(lo).as("hl_shift"))
+  }
+
+  /** By how many cents does a typical purchase exceed a typical view?
+    * The original-units effect size behind qstat_mann_whitney /
+    * qstat_cliffs_delta on the same pair — ~3.9M implicit pairs at
+    * sf0.01 selected over without materializing any of them. The oracle
+    * (sf0.01-sized) cross-joins and sorts; the engine's answer must hit
+    * the identical order statistic.
+    */
+  private val qHodgesLehmann = GraftQuery(
+    "qstat_hodges_lehmann",
+    (s, dir) => hodgesLehmannShift(
+      Tables.events(s, dir).filter(col("event_type").isin("purchase", "view"))
+        .select(expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+          col("event_type")),
+      "cents", col("event_type") === "purchase"),
+    Some("""WITH x AS (SELECT CAST(round(value * 100) AS BIGINT) AS v
+        FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+    y AS (SELECT CAST(round(value * 100) AS BIGINT) AS v
+        FROM events WHERE event_type = 'view' AND value IS NOT NULL),
+    n AS (SELECT (SELECT CAST(COUNT(*) AS HUGEINT) FROM x) AS n1,
+        (SELECT CAST(COUNT(*) AS HUGEINT) FROM y) AS n2),
+    r AS (SELECT x.v - y.v AS dd,
+        row_number() OVER (ORDER BY x.v - y.v) AS rn FROM x, y)
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      CAST(n1 * n2 AS BIGINT) AS pairs,
+      (SELECT CAST(dd AS BIGINT) FROM r, n
+        WHERE rn = (n1 * n2 + 1) // 2) AS hl_shift
+    FROM n"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qChisq, qKs, qBoot, qGini, qLinReg, qPettitt, qWMedian, qMwu,
       qBenford, qPareto, qRuns, qSpearman, qKendall, qTheilSen, qCramersV,
       qAutocorr, qCohensD, qIqr, qPowerN, qSimpson, qForecastErr, qAnova,
       qLevene, qMannKendall, qKruskal, qKde, qGamesHowell, qWilson, qFriedman,
       qCochran, qLjungBox, qJonckheere, qCliffs, qCochranArmitage,
-      qMoodMedian, qCvm, qPageTrend)
+      qMoodMedian, qCvm, qPageTrend, qHodgesLehmann)
 }

@@ -2451,6 +2451,30 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out2.getLong(0) == 2L && out2.getLong(4) == 3500L, out2.toString)
   }
 
+  test("hodgesLehmannShift: exact order statistic over implicit pairs") {
+    import spark.implicits._
+    val one = org.apache.spark.sql.functions.col("one") === 1
+    // x = [1,5], y = [0,2]: diffs sorted = -1,1,3,5 -> lower median = 1
+    val d = Seq((1L, 1), (5L, 1), (0L, 0), (2L, 0)).toDF("v", "one")
+    val out = StatTests.hodgesLehmannShift(d, "v", one).collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3))
+      == ((2L, 2L, 4L, 1L)), out.toString)
+    // deterministic pseudo-random 60x45 sample (with ties) vs brute force,
+    // at 3 probes/round to force several bracket rounds
+    val xs = (1 to 60).map(i => ((i * 7919L) % 257) - 60)
+    val ys = (1 to 45).map(i => ((i * 104729L) % 311) - 40)
+    val df = (xs.map((_, 1)) ++ ys.map((_, 0))).toDF("v", "one")
+    val brute = (for (a <- xs; b <- ys) yield a - b)
+      .sorted.apply((xs.size * ys.size + 1) / 2 - 1)
+    val got = StatTests.hodgesLehmannShift(df, "v", one, probesPerRound = 3)
+      .collect().head
+    assert(got.getLong(3) == brute, s"got ${got.getLong(3)} want $brute")
+    // degenerate constant samples short-circuit (bracket starts closed)
+    val const = Seq((7L, 1), (7L, 1), (3L, 0)).toDF("v", "one")
+    assert(StatTests.hodgesLehmannShift(const, "v", one)
+      .collect().head.getLong(3) == 4L)
+  }
+
   test("temperatureWeights: exact isqrt flattens the mix; boosts favor the tail") {
     import spark.implicits._
     // head 100 docs, tail 4: isqrt = 10, 2 -> tau shares 10/12, 2/12
