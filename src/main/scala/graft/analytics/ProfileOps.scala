@@ -712,7 +712,63 @@ object ProfileOps {
       CAST(4 * SUM(rep) - COUNT(*) - 2 * SUM(y) AS BIGINT) AS err_x2
     FROM r GROUP BY grp ORDER BY grp"""))
 
+  // ------------------------------ privacy: DP counts (discrete Laplace)
+  /** Per-group count thresholds for the truncated discrete-Laplace
+    * (two-sided geometric) mechanism at ε = ln 2: α = e^(−ε) = 1/2
+    * makes EVERY CDF cut point an exact dyadic rational — P(K=0) = 1/3,
+    * P(K=±k) = 2^(−k)/3, so with u uniform on [0, 3·2¹⁶) the inverse
+    * CDF is a pure integer CASE ladder, identical in both engines (no
+    * floats, no exp). Truncated at ±16: the folded tail mass is
+    * 2·(1/3)·2⁻¹⁶ ≈ 10⁻⁵ (the δ of the resulting (ε, δ)-guarantee).
+    */
+  private def dlNoiseCase(u: String): String = {
+    val neg = (16 to 1 by -1).map(j => s"WHEN $u < ${1L << (17 - j)} THEN ${-j}")
+    val pos = (0 to 15).map(m =>
+      s"WHEN $u < ${196608L - (1L << (16 - m))} THEN $m")
+    (neg ++ pos).mkString("CASE ", " ", " ELSE 16 END")
+  }
+
+  /** Differentially private per-group counts — the release side of the
+    * privacy tier ([[randomizedResponse]] is the local-DP collection
+    * side; this is central DP on an aggregate): each group's count gets
+    * independent discrete-Laplace noise with ε = ln 2 per count
+    * (sensitivity 1 — one row moves one group's count by one), the
+    * geometric mechanism of Ghosh–Roughgarden–Sundararajan, which is
+    * UNIVERSALLY utility-optimal for counting queries.
+    *
+    * The noise draw is DERANDOMIZED through the engine's pinned-seed
+    * convention (the bootstrap / randomized-response contract): u =
+    * h60(tag ‖ group) mod 3·2¹⁶ — 60 hash bits against a 17.6-bit
+    * modulus, bias < 10⁻¹², and both engines materialize the identical
+    * release. True counts ride along for the utility audit. One
+    * uniform-key aggregate + a map-only integer CASE — scale-free.
+    *
+    * Output: (grp, true_count, noisy_count, noise) ordered by grp.
+    */
+  def dpNoisyCounts(df: DataFrame, groupCol: String,
+      tag: String = "dl"): DataFrame = {
+    val u = s"(${Nlp.h60(s"concat('$tag', grp)")} % 196608)"
+    df.select(col(groupCol).cast("string").as("grp"))
+      .groupBy(col("grp")).agg(count(lit(1)).as("true_count"))
+      .withColumn("noise", expr(dlNoiseCase(u)).cast("long"))
+      .select(col("grp"), col("true_count"),
+        (col("true_count") + col("noise")).as("noisy_count"), col("noise"))
+      .orderBy(col("grp"))
+  }
+
+  private val qDpCounts = GraftQuery(
+    "qpriv_dp_counts",
+    (s, dir) => dpNoisyCounts(Tables.events(s, dir), "event_type"),
+    Some(s"""WITH c AS (SELECT CAST(event_type AS VARCHAR) AS grp,
+        COUNT(*) AS true_count FROM events GROUP BY 1),
+    n AS (SELECT grp, true_count,
+        CAST(${dlNoiseCase(s"(${Nlp.h60Sql("('dl' || grp)")} % 196608)")}
+          AS BIGINT) AS noise FROM c)
+    SELECT grp, CAST(true_count AS BIGINT) AS true_count,
+      CAST(true_count + noise AS BIGINT) AS noisy_count, noise
+    FROM n ORDER BY grp"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qProfile, qProfileEvents, qHistQuantile, qExpectations, qDrift,
-      qDimProfile, qKAnon, qTClose, qFd, qJoinCard, qRandResponse)
+      qDimProfile, qKAnon, qTClose, qFd, qJoinCard, qRandResponse, qDpCounts)
 }

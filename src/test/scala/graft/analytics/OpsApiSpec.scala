@@ -2475,6 +2475,28 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().head.getLong(3) == 4L)
   }
 
+  test("dpNoisyCounts: derandomized discrete Laplace, eps = ln 2") {
+    import spark.implicits._
+    val d = (1 to 3000).flatMap(g => Seq.fill(1 + g % 3)(s"g$g")).toDF("grp")
+    val out = ProfileOps.dpNoisyCounts(d, "grp").collect()
+    assert(out.length == 3000)
+    // noise is bounded by the +-16 truncation and noisy = true + noise
+    assert(out.forall(r => math.abs(r.getLong(3)) <= 16L))
+    assert(out.forall(r => r.getLong(2) == r.getLong(1) + r.getLong(3)))
+    // P(noise = 0) = 1/3: empirical mass over 3000 groups within [0.29, 0.38]
+    val zeros = out.count(_.getLong(3) == 0L).toDouble / out.length
+    assert(zeros > 0.29 && zeros < 0.38, s"zero-noise mass $zeros")
+    // symmetric: mean noise near 0 (|mean| < 0.2 at n = 3000)
+    val mean = out.map(_.getLong(3)).sum.toDouble / out.length
+    assert(math.abs(mean) < 0.2, s"mean noise $mean")
+    // pinned-seed determinism: a second run is bit-identical
+    val again = ProfileOps.dpNoisyCounts(d, "grp").collect()
+    assert(out.map(_.toString).sameElements(again.map(_.toString)))
+    // a different tag draws different noise (seed actually enters)
+    val other = ProfileOps.dpNoisyCounts(d, "grp", tag = "dl2").collect()
+    assert(out.map(_.getLong(3)).toSeq != other.map(_.getLong(3)).toSeq)
+  }
+
   test("temperatureWeights: exact isqrt flattens the mix; boosts favor the tail") {
     import spark.implicits._
     // head 100 docs, tail 4: isqrt = 10, 2 -> tau shares 10/12, 2/12
