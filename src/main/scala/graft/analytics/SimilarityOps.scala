@@ -1429,6 +1429,67 @@ object SimilarityOps {
     Some(s"""${ndcgBranchSql("lsh", lshSql)}
       UNION ALL ${ndcgBranchSql("ivf", ivfSql)} ORDER BY method"""))
 
+  /** Mean average precision @ k — the recall-ORDER-sensitive average the
+    * triad still lacks: AP = (1/k)·Σ over hit ranks i of Precision@i,
+    * so it rewards packing the relevant results early without [[rbpScore]]'s
+    * fixed geometric horizon or nDCG's log table. Precision@i at a hit is
+    * h/i with h = the hit's index among the query's hits in approx-rank
+    * order (a row_number over the matched rows only); each term rides in
+    * exact lcm(1..k) units (k = 5 → 60·h div i is EXACT — every i ≤ k
+    * divides the lcm), so MAP needs no floats and no per-rank literal
+    * table. Same single count-frame join as the other metrics; the
+    * per-query window is k rows. Output: (n_queries, n_hits, map_micro).
+    */
+  def mapScore(exact: org.apache.spark.sql.DataFrame,
+      approx: org.apache.spark.sql.DataFrame, k: Int = K): org.apache.spark.sql.DataFrame = {
+    val lcm = (1 to k).foldLeft(1L)((a, b) => a * b / BigInt(a).gcd(BigInt(b)).toLong)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("arank"))
+    exact.select(col("query_id"), col("cand_id"))
+      .join(approx.select(col("query_id"), col("cand_id"),
+        col("rank").as("arank")), Seq("query_id", "cand_id"), "left")
+      // count(arank) ignores the unmatched rows' nulls, so h at a hit is
+      // its 1-based index among the query's hits whichever way the
+      // engine orders nulls
+      .withColumn("h", count(col("arank")).over(w))
+      .withColumn("u",
+        coalesce(expr(s"${lcm}L * h div arank"), lit(0L)))
+      .agg(countDistinct(col("query_id")).as("n_queries"),
+        sum(when(col("arank").isNotNull, 1L).otherwise(0L)).as("n_hits"),
+        sum(col("u")).as("_u"))
+      .select(col("n_queries"), col("n_hits"),
+        expr(s"1000000L * _u div (${lcm * k}L * n_queries)").as("map_micro"))
+  }
+
+  private def mapBranchSql(method: String, approxSql: String) = {
+    val lcm = 60L // lcm(1..5), K = 5
+    s"""SELECT '$method' AS method,
+      CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+      CAST(SUM(CASE WHEN arank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+      CAST(1000000 * SUM(COALESCE($lcm * h // arank, 0))
+        // (${lcm * K} * COUNT(DISTINCT query_id)) AS BIGINT) AS map_micro
+      FROM (SELECT e.query_id, a.rank AS arank,
+          COUNT(a.rank) OVER (PARTITION BY e.query_id ORDER BY a.rank
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS h
+        FROM (SELECT query_id, cand_id FROM ($bruteSql)) e
+        LEFT JOIN ($approxSql) a
+        ON e.query_id = a.query_id AND e.cand_id = a.cand_id) t"""
+  }
+
+  private val qMap = GraftQuery(
+    "qs_map",
+    (s, dir) => {
+      val corpus = Tables.embeddings(s, dir)
+      val q = corpus.filter(col("vec_id") < NQ)
+      val exact = cosineTopK(corpus, q, K).localCheckpoint()
+      mapScore(exact, annLsh(corpus, q, K)).withColumn("method", lit("lsh"))
+        .unionByName(
+          mapScore(exact, annIvf(corpus, q, K)).withColumn("method", lit("ivf")))
+        .select(col("method"), col("n_queries"), col("n_hits"), col("map_micro"))
+        .orderBy(col("method"))
+    },
+    Some(s"""${mapBranchSql("lsh", lshSql)}
+      UNION ALL ${mapBranchSql("ivf", ivfSql)} ORDER BY method"""))
+
   /** Truncated-RBO per-candidate contribution table at persistence p:
     * a candidate matched with m = max(exact rank, approx rank)
     * participates in every overlap depth d ≥ m, so its total weight is
@@ -3089,7 +3150,7 @@ object SimilarityOps {
   val queries: Seq[GraftQuery] = Seq(qBrute, qAnnLsh, qAnnIvf, qAnnIvfTrained,
     qAnnLshMp, qAnnFiltered, qRecall, qMrr, qSq, qSqPacked, qCentroids, qKmeans,
     qOutliers, qSemDedup, qPq, qIvfPq, qIvfPqRes, qKnn, qRp, qMmr, qRrf,
-    qKCenter, qGraphAnn, qHardNeg, qMrl, qRbp, qRbo, qBitext, qNdcg, qSilhouette,
+    qKCenter, qGraphAnn, qHardNeg, qMrl, qRbp, qRbo, qBitext, qNdcg, qMap, qSilhouette,
     qShapley, qProbeCurve, qBinary, qCentroidPairs, qPcaPower, qAnisotropy,
     qAri)
 }

@@ -2475,6 +2475,23 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().head.getLong(3) == 4L)
   }
 
+  test("mapScore: average precision in exact lcm units, zero-hit queries count") {
+    import spark.implicits._
+    // q1 exact {a,b,c}; approx a@1 (P=1), d@2, c@3 (P=2/3): AP = 5/9
+    val exact = Seq((1L, "a"), (1L, "b"), (1L, "c"),
+      (2L, "x"), (2L, "y"), (2L, "z")).toDF("query_id", "cand_id")
+    val approx = Seq((1L, "a", 1), (1L, "d", 2), (1L, "c", 3),
+      (2L, "p", 1), (2L, "q", 2), (2L, "r", 3)).toDF("query_id", "cand_id", "rank")
+    val one = SimilarityOps.mapScore(exact.filter($"query_id" === 1),
+      approx.filter($"query_id" === 1), k = 3).collect().head
+    assert((one.getLong(0), one.getLong(1), one.getLong(2))
+      == ((1L, 2L, 555555L)), one.toString) // 10^6 * 5/9 floored
+    // q2 contributes zero AP but stays in the denominator
+    val both = SimilarityOps.mapScore(exact, approx, k = 3).collect().head
+    assert((both.getLong(0), both.getLong(1), both.getLong(2))
+      == ((2L, 2L, 277777L)), both.toString)
+  }
+
   test("dpNoisyCounts: derandomized discrete Laplace, eps = ln 2") {
     import spark.implicits._
     val d = (1 to 3000).flatMap(g => Seq.fill(1 + g % 3)(s"g$g")).toDF("grp")
