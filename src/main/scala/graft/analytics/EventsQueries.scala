@@ -763,6 +763,32 @@ object EventsQueries {
       .toDF("day", "approx_users")
   }
 
+  /** Streaming per-day EXACT distinct users on paged-bitmap state — the
+    * state twin of the `graft_bitmap_distinct` native aggregate
+    * (qagg_bitmap_distinct), sharing its BitmapPages core and wire
+    * format. One serialized page map per day-key (~1 bit per dense id),
+    * and because bitwise OR is commutative/associative/IDEMPOTENT the
+    * final per-day count is pinned BIT-EXACT to batch
+    * `countDistinct(user_id)` under any micro-batching, ordering, or
+    * at-least-once replay — the exact-answer middle ground between
+    * [[slidingDistinctStream]]'s row-per-membership state and
+    * [[hllDailyDistinctStream]]'s constant-but-approximate sketch.
+    */
+  def bitmapDailyDistinctStream(events: DataFrame, tsCol: String = "ts",
+      userCol: String = "user_id"): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .select(datediff(to_date(col(tsCol)), lit("1970-01-01")).cast("long")
+          .as("day"),
+        col(userCol).cast("long").as("u"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new graft.streaming.BitmapStateProcessor(),
+        TimeMode.None(), OutputMode.Append())
+      .toDF("day", "n_users")
+  }
+
   /** Streaming per-day trending items: the Misra–Gries state twin of the
     * batch `graft_freq_items` aggregate (qagg_heavy_hitters) — one
     * ≤k-counter summary of state per day, O(k) bytes however many

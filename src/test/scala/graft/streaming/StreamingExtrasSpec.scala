@@ -1102,6 +1102,54 @@ class StreamingExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(streamFinal(19783L) - 700L) * 10 <= 700L, streamFinal.toString)
   }
 
+  test("streaming bitmap distinct equals batch countDistinct bit-exactly") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def t(s: String) = Timestamp.valueOf(s)
+    val input = MemoryStream[(Long, Timestamp)](spark)
+    val out = graft.analytics.EventsQueries.bitmapDailyDistinctStream(
+      input.toDS().toDF("user_id", "ts"))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("bitmap_stream")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-bitmap").toString)
+      .start()
+    // two days; heavy cross-batch overlap exercises OR idempotence, and
+    // ids straddling page boundaries (4095/4096) exercise the page map
+    val b1 = (1L to 400L).map(u => (u, t("2024-03-01 10:00:00"))) ++
+      (4090L to 4100L).map(u => (u, t("2024-03-02 09:00:00")))
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    val b2 = (200L to 700L).map(u => (u, t("2024-03-01 18:00:00"))) ++
+      (4095L to 4200L).map(u => (u, t("2024-03-02 23:00:00"))) ++
+      b1.take(100) // straight at-least-once replay of earlier rows
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    val sop = q.recentProgress.flatMap(_.stateOperators).maxBy(_.numRowsTotal)
+    q.stop()
+    val streamFinal = spark.table("bitmap_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).zipWithIndex
+      .groupBy(_._1._1).map { case (_, rs) => rs.maxBy(_._2)._1 }.toMap
+    // batch twin must match BIT-EXACTLY - no tolerance clause: OR-state
+    // is order/merge-tree/replay-invariant by construction
+    val batch = (b1 ++ b2).toDF("user_id", "ts")
+      .groupBy(expr("cast(datediff(to_date(ts), date '1970-01-01') as bigint)")
+        .as("day"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(streamFinal == batch, s"stream $streamFinal vs batch $batch")
+    // and the native batch aggregate agrees too (shared BitmapPages core)
+    val native = (b1 ++ b2).toDF("user_id", "ts")
+      .groupBy(expr("cast(datediff(to_date(ts), date '1970-01-01') as bigint)")
+        .as("day"))
+      .agg(graft.functions.BitmapAgg.graft_bitmap_distinct(col("user_id")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(streamFinal == native, s"stream $streamFinal vs native $native")
+    // one state row per day, not per user
+    assert(sop.numRowsTotal == 2L, s"state rows: ${sop.numRowsTotal}")
+  }
+
   test("HLL state twin: 10^6 users collapse to ONE sketch row per day") {
     // The constant-state counterpart of the 10^6-fingerprint case below:
     // where exact streaming distinct carries a state row PER MEMBERSHIP,
