@@ -1767,8 +1767,83 @@ object GraphOps {
         // NULLIF(nk.n_nodes * (nk.n_nodes - 1), 0) AS BIGINT) AS phi_bp
     FROM nk LEFT JOIN ek ON nk.k = ek.k ORDER BY nk.k"""))
 
+  // ------------------------------------------------- Katz centrality
+  /** Bounded-hop Katz centrality at attenuation β = 1/2 — the WALK-count
+    * centrality the family still lacks: where degree reads 1-hop volume
+    * and PageRank normalizes mass away from hubs, Katz credits a node
+    * for EVERY walk ending at it, geometrically damped by length
+    * (Katz 1953): C(v) = Σ_h β^h · walks_h(v). Truncating at `hops`
+    * makes the dyadic β EXACT — each h-hop walk contributes 2^(hops−h)
+    * integer units, so the whole centrality is one BIGINT per node, no
+    * floats, no convergence tolerance (and truncation lifts Katz's
+    * β < 1/λ_max restriction).
+    *
+    * Plan: walks_h comes from h successive (edges ⋈ walks_{h−1})
+    * aggregations — the node-frame-sized equi-join round the engine's
+    * iterative ops standardize on, per-round localCheckpoint to cut
+    * lineage; the final centrality is one union of the `hops` per-hop
+    * frames + a node-key sum, and top-k is TakeOrdered (no global
+    * sort). Walk counts ride DECIMAL(38,0): on the symmetrized trade
+    * graph walks_4 ≤ d_max⁴ — document the ~10⁹-degree headroom, loud
+    * null overflow beyond.
+    *
+    * Output: top `topK` rows (node, katz_units) by units desc, node asc.
+    */
+  def katzCentrality(edges: DataFrame, hops: Int = 4,
+      topK: Int = 20): DataFrame = {
+    require(hops >= 1 && hops <= 16, s"hops must be in [1, 16], got $hops")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    var w = e.groupBy(col("dst").as("node"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("w"))
+      .localCheckpoint()
+    var tiers = Seq(w.select(col("node"),
+      (col("w") * lit(1L << (hops - 1))).as("ku")))
+    for (h <- 2 to hops) {
+      w = e.join(w, e("src") === w("node"))
+        .groupBy(col("dst").as("node")).agg(sum(col("w")).as("w"))
+        .localCheckpoint()
+      tiers :+= w.select(col("node"),
+        (col("w") * lit(1L << (hops - h))).as("ku"))
+    }
+    tiers.reduce(_ unionByName _)
+      .groupBy(col("node"))
+      .agg(sum(col("ku")).cast("long").as("katz_units"))
+      .orderBy(col("katz_units").desc, col("node"))
+      .limit(topK)
+  }
+
+  /** Top-20 Katz hubs of the symmetrized trade graph at β = 1/2, 4 hops
+    * — walk-count read next to qg_pagerank's normalized-mass read and
+    * qg_hits' mutual-reinforcement read of the same graph. The oracle
+    * unrolls the four walk frames as fixed CTEs (every node of the
+    * symmetrized graph has degree ≥ 1, so inner joins are total).
+    */
+  private val qKatz = GraftQuery(
+    "qg_katz",
+    (s, dir) => katzCentrality(tradeEdges(s, dir)),
+    Some("""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src,
+        l_suppkey * 2 + 1 AS dst FROM orders
+      JOIN lineitem ON o_orderkey = l_orderkey),
+    e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    w1 AS (SELECT e.dst AS node, CAST(COUNT(*) AS HUGEINT) AS w
+      FROM e GROUP BY 1),
+    w2 AS (SELECT e.dst AS node, SUM(w1.w) AS w FROM e
+      JOIN w1 ON e.src = w1.node GROUP BY 1),
+    w3 AS (SELECT e.dst AS node, SUM(w2.w) AS w FROM e
+      JOIN w2 ON e.src = w2.node GROUP BY 1),
+    w4 AS (SELECT e.dst AS node, SUM(w3.w) AS w FROM e
+      JOIN w3 ON e.src = w3.node GROUP BY 1),
+    u AS (SELECT node, 8 * w AS ku FROM w1
+      UNION ALL SELECT node, 4 * w FROM w2
+      UNION ALL SELECT node, 2 * w FROM w3
+      UNION ALL SELECT node, w FROM w4),
+    k AS (SELECT node, SUM(ku) AS ku FROM u GROUP BY node)
+    SELECT CAST(node AS BIGINT) AS node, CAST(ku AS BIGINT) AS katz_units
+    FROM k ORDER BY katz_units DESC, node LIMIT 20"""))
+
   def queries: Seq[GraftQuery] =
     Seq(qPageRank, qTriangles, qLpa, qKcore, qReach, qSubtree, qSssp, qPpr,
       qLinkPredict, qDegreeDist, qModularity, qHits, qAssortativity, qWalks,
-      qHarmonic, qEcc, qBetweenness, qLocalClustering, qKTruss, qRichClub)
+      qHarmonic, qEcc, qBetweenness, qLocalClustering, qKTruss, qRichClub,
+      qKatz)
 }

@@ -2475,6 +2475,23 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().head.getLong(3) == 4L)
   }
 
+  test("katzCentrality: exact dyadic walk counts on a path graph") {
+    import spark.implicits._
+    // path 1-2-3 symmetrized; hops = 2: units = 2*deg + walks_2
+    // node2: 2*2 + 2 = 6; nodes 1,3: 2*1 + 2 = 4 (tie broken by node id)
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val out = GraphOps.katzCentrality(e, hops = 2, topK = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((2L, 6L), (1L, 4L), (3L, 4L)), out.toString)
+    // a 4-hop walk count on the triangle: every node symmetric, and the
+    // closed form for K3 walk counts w_h = 2^h per node pins the units:
+    // 8*2 + 4*4 + 2*8 + 16 = 64
+    val tri = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L), (3L, 1L))
+      .toDF("src", "dst")
+    val t = GraphOps.katzCentrality(tri, hops = 4, topK = 3).collect()
+    assert(t.forall(_.getLong(1) == 64L), t.mkString(","))
+  }
+
   test("mapScore: average precision in exact lcm units, zero-hit queries count") {
     import spark.implicits._
     // q1 exact {a,b,c}; approx a@1 (P=1), d@2, c@3 (P=2/3): AP = 5/9
