@@ -1104,9 +1104,101 @@ object TextOps {
         AS BIGINT) AS chi2_milli
     FROM c, tt ORDER BY chi2_milli DESC, w LIMIT 20"""))
 
+  // -------------------------------------------- Neyman allocation
+  /** Neyman-optimal stratified sample allocation with Hamilton
+    * largest-remainder rounding — the DESIGN step in front of
+    * qt_stratified_sample's execution step: minimum-variance allocation
+    * of a fixed budget puts n_h ∝ N_h·σ_h (Neyman 1934), sampling
+    * high-variance strata past their population share where
+    * proportional allocation wastes budget on homogeneous ones.
+    *
+    * Exactness: per-stratum variance is the integer floor of
+    * (N·Σx²−(Σx)²)/(N(N−1)); σ_h is the fixed-form-double isqrt with
+    * the two-sided integer correction (the [[temperatureWeights]]
+    * convention — exactness restored by integer comparisons). Rounding
+    * is Hamilton's: floor shares by one decimal division, then the
+    * budget−Σfloor leftover units go to the largest remainders
+    * (ties by stratum name) — so Σ alloc == budget EXACTLY, no float
+    * apportionment drift. One corpus scan to a strata-sized frame;
+    * everything after is k-row arithmetic (the remainder rank is an
+    * alphabet-sized window — benign by construction). Degenerate edge:
+    * an all-zero-variance corpus has no Neyman signal and falls back
+    * to lexicographic leftovers, documented not hidden.
+    *
+    * Output: (grp, n_docs, sigma, alloc) ordered by grp.
+    */
+  def neymanAllocation(docs: org.apache.spark.sql.DataFrame, strataCol: String,
+      measure: Column, budget: Long): org.apache.spark.sql.DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val g = docs.select(col(strataCol).as("grp"), measure.cast("long").as("x"))
+      .filter(col("x").isNotNull)
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("nh"), sum(dec(col("x"))).as("sx"),
+        sum(dec(col("x")) * col("x")).as("sx2"))
+      .withColumn("s2", coalesce(expr(
+        """CAST((nh * sx2 - sx * sx)
+          div nullif(CAST(nh AS DECIMAL(38,0)) * (nh - 1),
+            CAST(0 AS DECIMAL(38,0))) AS BIGINT)"""), lit(0L)))
+      .withColumn("r0", expr("CAST(floor(sqrt(CAST(s2 AS DOUBLE))) AS BIGINT)"))
+      .withColumn("sg", expr("r0 - CAST(r0 * r0 > s2 AS BIGINT)" +
+        " + CAST((r0 + 1) * (r0 + 1) <= s2 AS BIGINT)"))
+      .withColumn("wgt", expr("CAST(nh AS DECIMAL(38,0)) * sg"))
+    val tw = g.agg(sum(col("wgt")).as("sw"))
+    val shares = g.crossJoin(broadcast(tw))
+      .withColumn("share", coalesce(expr(
+        s"CAST(($budget * wgt) div nullif(sw, CAST(0 AS DECIMAL(38,0)))" +
+          " AS BIGINT)"), lit(0L)))
+      .withColumn("rem", coalesce(expr(
+        s"CAST(($budget * wgt) % nullif(sw, CAST(0 AS DECIMAL(38,0)))" +
+          " AS BIGINT)"), lit(0L)))
+      .localCheckpoint() // strata-sized; consumed by the total AND the rank
+    val ts = shares.agg(sum(col("share")).as("tot"))
+    val wr = Window.orderBy(col("rem").desc, col("grp"))
+    shares.crossJoin(broadcast(ts))
+      .withColumn("rk", row_number().over(wr))
+      .select(col("grp"), col("nh").as("n_docs"), col("sg").as("sigma"),
+        (col("share") +
+          when(col("rk") <= lit(budget) - col("tot"), 1L).otherwise(0L))
+          .as("alloc"))
+      .orderBy(col("grp"))
+  }
+
+  /** Allocate a 1000-doc inspection budget across languages by n_chars
+    * dispersion — the variance-aware upgrade of a proportional split.
+    */
+  private val qNeyman = GraftQuery(
+    "qt_neyman_alloc",
+    (s, dir) => neymanAllocation(Tables.documents(s, dir), "lang",
+      col("n_chars"), budget = 1000L),
+    Some("""WITH g AS (SELECT lang AS grp, CAST(COUNT(*) AS HUGEINT) AS nh,
+        CAST(SUM(n_chars) AS HUGEINT) AS sx,
+        SUM(CAST(n_chars AS HUGEINT) * n_chars) AS sx2
+      FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+    v AS (SELECT grp, nh,
+        COALESCE((nh * sx2 - sx * sx) // NULLIF(nh * (nh - 1), 0), 0) AS s2
+      FROM g),
+    r AS (SELECT grp, nh, s2,
+        CAST(floor(sqrt(CAST(s2 AS DOUBLE))) AS HUGEINT) AS r0 FROM v),
+    sg AS (SELECT grp, nh,
+        r0 - CAST(r0 * r0 > s2 AS INT) + CAST((r0+1) * (r0+1) <= s2 AS INT)
+          AS sg FROM r),
+    w AS (SELECT grp, nh, sg, nh * sg AS wgt FROM sg),
+    tw AS (SELECT SUM(wgt) AS sw FROM w),
+    sh AS (SELECT grp, nh, sg,
+        COALESCE((1000 * wgt) // NULLIF(sw, 0), 0) AS share,
+        COALESCE((1000 * wgt) % NULLIF(sw, 0), 0) AS rem FROM w, tw),
+    ts AS (SELECT SUM(share) AS tot FROM sh),
+    rk AS (SELECT sh.*, ts.tot,
+        row_number() OVER (ORDER BY rem DESC, grp) AS rk FROM sh, ts)
+    SELECT grp, CAST(nh AS BIGINT) AS n_docs, CAST(sg AS BIGINT) AS sigma,
+      CAST(share + CASE WHEN rk <= 1000 - tot THEN 1 ELSE 0 END AS BIGINT)
+        AS alloc
+    FROM rk ORDER BY grp"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qTokens, qBpeTokens, qLangId, qQuality, qFingerprint, qSplit, qRebalance,
       qRepetition, qLineDedup, qContamination, qStratified, qWeighted,
       qReadability, qLangConfusion, qDupNgram, qReadPct, qLengthHist,
-      qSpanCorrupt, qFim, qTextTiling, qTauWeights, qKeyness)
+      qSpanCorrupt, qFim, qTextTiling, qTauWeights, qKeyness, qNeyman)
 }

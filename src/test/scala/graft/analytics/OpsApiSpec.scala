@@ -2475,6 +2475,21 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().head.getLong(3) == 4L)
   }
 
+  test("neymanAllocation: variance-weighted shares, Hamilton rounding sums to budget") {
+    import spark.implicits._
+    // A=[0,2] s=1, B=[0,6] s=4, C=[5,5] s=0: W = 2,8,0; budget 7 ->
+    // floors 1,5,0 (rems 4,6,0), leftover 1 -> B: final 1,6,0
+    val d = Seq(("A", 0L), ("A", 2L), ("B", 0L), ("B", 6L), ("C", 5L),
+      ("C", 5L)).toDF("g", "x")
+    val out = TextOps.neymanAllocation(d, "g",
+      org.apache.spark.sql.functions.col("x"), budget = 7L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(out == Seq(("A", 2L, 1L, 1L), ("B", 2L, 4L, 6L),
+      ("C", 2L, 0L, 0L)), out.toString)
+    assert(out.map(_._4).sum == 7L)
+  }
+
   test("katzCentrality: exact dyadic walk counts on a path graph") {
     import spark.implicits._
     // path 1-2-3 symmetrized; hops = 2: units = 2*deg + walks_2
