@@ -618,4 +618,37 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!rboPlan.contains("CartesianProduct"),
       s"qs_rbo planned a cartesian product:\n$rboPlan")
   }
+
+  test("session-5 ops: ranged scans, k-row rollups, walk joins never cartesian") {
+    // the trend/location family is value-collapsed ranged scans + 1-row
+    // combines (sanctioned broadcast crosses only); katz is four
+    // node-key equi-join rounds; map rides the count-frame join;
+    // dp_counts and neyman are k-row rollups
+    Seq("qstat_jonckheere", "qstat_cliffs_delta", "qml_kendall_w",
+      "qstat_cochran_armitage", "qstat_mood_median", "qstat_cvm",
+      "qstat_page_trend", "qpriv_dp_counts", "qs_map", "qg_katz",
+      "qt_neyman_alloc").foreach { name =>
+      val plan = graft.SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name planned a cartesian product:\n$plan")
+    }
+    // katz's top-k must be TakeOrdered, never a global sort; its rounds
+    // are hash equi-joins, never BNL
+    val katz = graft.SparkEntry.queries("qg_katz")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(katz.contains("TakeOrderedAndProject"),
+      s"qg_katz lost its TakeOrdered top-k:\n$katz")
+    assert(!katz.contains("BroadcastNestedLoopJoin"),
+      s"qg_katz planned a nested-loop join:\n$katz")
+    // hodges-lehmann's probe loop runs at construction (bounded driver
+    // fetches); the frame it returns must be the 1-row literal result —
+    // if a pair materialization ever leaked into the returned plan, a
+    // scan/join would appear here
+    val hl = graft.SparkEntry.queries("qstat_hodges_lehmann")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!hl.contains("CartesianProduct") &&
+      !hl.contains("BroadcastNestedLoopJoin") && !hl.contains("FileScan"),
+      s"qstat_hodges_lehmann returned more than the literal row:\n$hl")
+  }
 }
