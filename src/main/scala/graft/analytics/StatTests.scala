@@ -2805,6 +2805,127 @@ object StatTests {
       ((12000 * dev * dev) // NULLIF(20 * ss, 0)) > 3841 AS reject_05
     FROM f"""))
 
+  // ------------------------------ Brunner–Munzel (rank Behrens–Fisher)
+  /** Brunner–Munzel test (2000) — the nonparametric Behrens–Fisher
+    * answer, the modern default over [[mannWhitney]] when the two
+    * samples may differ in VARIANCE or shape (MWU's null is "identical
+    * distributions"; BM tests only the stochastic-equality hypothesis
+    * p = P(X<Y) + ½P(X=Y) = ½ and stays calibrated under
+    * heteroscedasticity):
+    *
+    *   W² = (R̄₂−R̄₁)²·(n₁n₂)² / (N²·(n₁S₁² + n₂S₂²))
+    *
+    * with Sᵢ² the PLACEMENT variances (combined-rank − own-rank). On
+    * the value-collapsed frame the doubled placements are pure
+    * integers — P₂ˣ = 2c₂+k₂, P₂ʸ = 2c₁+k₁ (c = the other sample's
+    * exclusive running count) — so both placement moments come out of
+    * the SAME single [[Scans.rangedCumSums]] pass as the counts, ties
+    * handled exactly, no per-sample rank pass at all.
+    *
+    * Exactness ladder (all remainder-split floors, oracle-mirrored):
+    * the raw integer form N²·(U₁(n₂−1)+U₂(n₁−1)) scales like N⁷ and
+    * exits DECIMAL(38,0) at N ≈ 3·10⁵, so the engine normalizes first —
+    * placement-variance FRACTIONS w_i = ⌊10⁶·Uᵢ/(4nᵢ(nᵢ−1)n_j²)⌋ ∈
+    * [0, 2.5·10⁵] and the mean-difference fraction
+    * dm = ⌊10⁶·|D|/(2n₁n₂N)⌋ = 10⁶·|p̂−½| — leaving
+    * w2_milli = ⌊1000·dm²·n₁n₂ / (10⁶·(n₂w₁+n₁w₂))⌋ with every
+    * intermediate ≤ ~10³²  at N = 10⁹. Large-sample normal reference,
+    * two-sided χ²₁ critical pinned in milli (the [[jonckheereTerpstra]]
+    * convention; BM's small-sample t-df refinement needs no engine
+    * support — the gate data is large-sample).
+    *
+    * Output (1 row): (n1, n2, p_milli = 10³·p̂, w2_milli, reject_05).
+    */
+  def brunnerMunzel(vals: DataFrame, valueCol: String, isFirst: Column,
+      criticalMilli: Long = 3841L): DataFrame = {
+    val g = vals.select(col(valueCol).as("v"), isFirst.cast("int").as("one"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("v"))
+      .agg(sum(col("one")).as("k1"), sum(lit(1) - col("one")).as("k2"))
+    val cum = Scans.rangedCumSums(g, "v",
+        Seq((col("k1"): Column) -> "c1i", (col("k2"): Column) -> "c2i"))
+      .withColumn("c1", col("c1i") - col("k1"))
+      .withColumn("c2", col("c2i") - col("k2"))
+    cum.agg(sum(dec(col("k1"))).as("n1"), sum(dec(col("k2"))).as("n2"),
+        sum(dec(col("k1")) * (dec(lit(2)) * col("c2") + col("k2"))).as("a1"),
+        sum(dec(col("k1")) * (dec(lit(2)) * col("c2") + col("k2"))
+          * (dec(lit(2)) * col("c2") + col("k2"))).as("q1"),
+        sum(dec(col("k2")) * (dec(lit(2)) * col("c1") + col("k1"))).as("a2"),
+        sum(dec(col("k2")) * (dec(lit(2)) * col("c1") + col("k1"))
+          * (dec(lit(2)) * col("c1") + col("k1"))).as("q2"))
+      .withColumn("u1", expr("n1 * q1 - a1 * a1"))
+      .withColumn("u2", expr("n2 * q2 - a2 * a2"))
+      .withColumn("dn", expr("abs(a2 * n1 - a1 * n2 + n1 * n2 * (n2 - n1))"))
+      .withColumn("d1", expr(
+        "nullif(4 * n1 * (n1 - 1) * n2 * n2, CAST(0 AS DECIMAL(38,0)))"))
+      .withColumn("d2", expr(
+        "nullif(4 * n2 * (n2 - 1) * n1 * n1, CAST(0 AS DECIMAL(38,0)))"))
+      .withColumn("dd", expr("2 * n1 * n2 * (n1 + n2)"))
+      .withColumn("w1", expr(
+        """1000000 * CAST((u1 - u1 % d1) / d1 AS DECIMAL(38,0))
+          + CAST((1000000 * (u1 % d1)) div d1 AS DECIMAL(38,0))"""))
+      .withColumn("w2", expr(
+        """1000000 * CAST((u2 - u2 % d2) / d2 AS DECIMAL(38,0))
+          + CAST((1000000 * (u2 % d2)) div d2 AS DECIMAL(38,0))"""))
+      .withColumn("dm", expr(
+        """1000000 * CAST((dn - dn % dd) / dd AS DECIMAL(38,0))
+          + CAST((1000000 * (dn % dd)) div dd AS DECIMAL(38,0))"""))
+      .select(col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+        expr("CAST((1000 * a2) div (2 * n1 * n2) AS BIGINT)").as("p_milli"),
+        expr("""CAST((1000 * dm * dm * n1 * n2)
+          div nullif(1000000 * (n2 * w1 + n1 * w2),
+            CAST(0 AS DECIMAL(38,0))) AS BIGINT)""").as("w2_milli"))
+      .withColumn("reject_05", col("w2_milli") > criticalMilli)
+  }
+
+  /** Are purchases stochastically larger than views WITHOUT assuming
+    * equal spread? The heteroscedasticity-robust companion to
+    * qstat_mann_whitney on the same pair; p_milli is the
+    * common-language effect size P(view < purchase) + ½P(=) in milli.
+    */
+  private val qBrunnerMunzel = GraftQuery(
+    "qstat_brunner_munzel",
+    (s, dir) => brunnerMunzel(
+      Tables.events(s, dir).filter(col("event_type").isin("purchase", "view"))
+        .select(expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+          col("event_type")),
+      "cents", col("event_type") === "view"),
+    Some("""WITH gv AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+        CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS one
+      FROM events WHERE event_type IN ('purchase', 'view')
+        AND value IS NOT NULL),
+    g AS (SELECT v, CAST(SUM(one) AS HUGEINT) AS k1,
+        CAST(SUM(1 - one) AS HUGEINT) AS k2 FROM gv GROUP BY v),
+    cum AS (SELECT v, k1, k2,
+        SUM(k1) OVER w - k1 AS c1, SUM(k2) OVER w - k2 AS c2
+      FROM g WINDOW w AS (ORDER BY v
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    m AS (SELECT SUM(k1) AS n1, SUM(k2) AS n2,
+        SUM(k1 * (2 * c2 + k2)) AS a1,
+        SUM(k1 * (2 * c2 + k2) * (2 * c2 + k2)) AS q1,
+        SUM(k2 * (2 * c1 + k1)) AS a2,
+        SUM(k2 * (2 * c1 + k1) * (2 * c1 + k1)) AS q2
+      FROM cum),
+    f AS (SELECT n1, n2, a2,
+        n1 * q1 - a1 * a1 AS u1, n2 * q2 - a2 * a2 AS u2,
+        abs(a2 * n1 - a1 * n2 + n1 * n2 * (n2 - n1)) AS dn,
+        NULLIF(4 * n1 * (n1 - 1) * n2 * n2, 0) AS d1,
+        NULLIF(4 * n2 * (n2 - 1) * n1 * n1, 0) AS d2,
+        2 * n1 * n2 * (n1 + n2) AS dd
+      FROM m),
+    z AS (SELECT n1, n2, a2,
+        1000000 * (u1 // d1) + (1000000 * (u1 % d1)) // d1 AS w1,
+        1000000 * (u2 // d2) + (1000000 * (u2 % d2)) // d2 AS w2,
+        1000000 * (dn // dd) + (1000000 * (dn % dd)) // dd AS dm
+      FROM f)
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      CAST((1000 * a2) // (2 * n1 * n2) AS BIGINT) AS p_milli,
+      CAST((1000 * dm * dm * n1 * n2)
+        // NULLIF(1000000 * (n2 * w1 + n1 * w2), 0) AS BIGINT) AS w2_milli,
+      ((1000 * dm * dm * n1 * n2)
+        // NULLIF(1000000 * (n2 * w1 + n1 * w2), 0)) > 3841 AS reject_05
+    FROM z"""))
+
   // --------------------- Hodges–Lehmann shift (distributed selection)
   /** Hodges–Lehmann two-sample shift estimator — the median of ALL
     * n₁·n₂ pairwise differences x−y: the effect-size companion in
@@ -2940,5 +3061,5 @@ object StatTests {
       qAutocorr, qCohensD, qIqr, qPowerN, qSimpson, qForecastErr, qAnova,
       qLevene, qMannKendall, qKruskal, qKde, qGamesHowell, qWilson, qFriedman,
       qCochran, qLjungBox, qJonckheere, qCliffs, qCochranArmitage,
-      qMoodMedian, qCvm, qPageTrend, qHodgesLehmann)
+      qMoodMedian, qCvm, qPageTrend, qHodgesLehmann, qBrunnerMunzel)
 }

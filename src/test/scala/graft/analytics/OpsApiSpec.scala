@@ -2451,6 +2451,24 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out2.getLong(0) == 2L && out2.getLong(4) == 3500L, out2.toString)
   }
 
+  test("brunnerMunzel: placement moments from one scan, hand-checked W2") {
+    import spark.implicits._
+    // x = [1,2,3], y = [2,3,4,5]: placements P2x = 0,1,3 / P2y = 3,5,6,6;
+    // p_hat = 20/24, U1 = 14, U2 = 24, D = 56 ->
+    // W2 = (7/3)^2*144 / (49*(3*(14/24)+4*(24/48))) = 4.2667 -> 4266 milli
+    val d = Seq((1L, 1), (2L, 1), (3L, 1),
+      (2L, 0), (3L, 0), (4L, 0), (5L, 0)).toDF("v", "one")
+    val out = StatTests.brunnerMunzel(d, "v",
+      org.apache.spark.sql.functions.col("one") === 1).collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3),
+      out.getBoolean(4)) == ((3L, 4L, 833L, 4266L, true)), out.toString)
+    // stochastic equality: mirrored samples give p = 1/2, W2 = 0
+    val sym = Seq((1L, 1), (3L, 1), (1L, 0), (3L, 0)).toDF("v", "one")
+    val s = StatTests.brunnerMunzel(sym, "v",
+      org.apache.spark.sql.functions.col("one") === 1).collect().head
+    assert(s.getLong(2) == 500L && s.getLong(3) == 0L, s.toString)
+  }
+
   test("hodgesLehmannShift: exact order statistic over implicit pairs") {
     import spark.implicits._
     val one = org.apache.spark.sql.functions.col("one") === 1
