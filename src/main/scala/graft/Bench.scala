@@ -156,12 +156,15 @@ object Bench {
         .map(g => if (g.group(1).trim.isEmpty) 0
           else g.group(1).count(_ == ',') + 1)
     }
-    // Count keys of the "queries" object by counting quoted names before
-    // colons inside it — artifact is single-line JSON we wrote ourselves.
+    // Count entries of the "queries" object by commas + 1 — values are
+    // plain doubles, so commas only separate entries. Counting colons is
+    // WRONG here: query names like "memo_build:trade_graph" contain
+    // colons, which inflated the count and made equal-coverage refreshes
+    // look like shrinks.
     val existingRows: Option[Int] = existingTxt.flatMap { txt =>
       """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt)
         .map(g => if (g.group(1).trim.isEmpty) 0
-          else g.group(1).count(_ == ':'))
+          else g.group(1).count(_ == ',') + 1)
     }
     val shrinks = existingRows.exists(old => results.size < old)
     val noisier = existingNoisy.exists(old => noisyNames.size > old)

@@ -2972,7 +2972,10 @@ object StatTests {
       "hodgesLehmannShift: both samples must be non-empty")
     val (minX, maxX, n1) = (xs.getLong(0), xs.getLong(1), xs.getLong(2))
     val (minY, maxY, n2) = (ys.getLong(0), ys.getLong(1), ys.getLong(2))
-    val target = (BigInt(n1) * BigInt(n2) + 1) / 2
+    val pairsBig = BigInt(n1) * BigInt(n2)
+    require(pairsBig.isValidLong,
+      s"hodgesLehmannShift: n1*n2 = $pairsBig overflows the Long pairs column")
+    val target = (pairsBig + 1) / 2
     var lo = minX - maxY
     var hi = maxX - minY
     val gLo = math.min(minY, minX - hi)
@@ -3024,7 +3027,7 @@ object StatTests {
       lo = newLo; hi = newHi
     }
     spark.range(1).select(lit(n1).as("n1"), lit(n2).as("n2"),
-      lit(n1 * n2).as("pairs"), lit(lo).as("hl_shift"))
+      lit(pairsBig.toLong).as("pairs"), lit(lo).as("hl_shift"))
   }
 
   /** By how many cents does a typical purchase exceed a typical view?
