@@ -41,6 +41,33 @@ object Exact {
 /** Distributed scan primitives shared across operators. */
 object Scans {
 
+  /** Materialize like `localCheckpoint` but RESET the leaf's statistics.
+    *
+    * `LogicalRDD.fromDataset` (what localCheckpoint leaves behind)
+    * propagates the origin plan's size ESTIMATE, and Catalyst's
+    * size-only stats visitor MULTIPLIES child sizes at join nodes — so
+    * in an iterative operator whose round-r state joins two frames
+    * derived from the round-(r−1) checkpoint, the BigInt size estimate
+    * SQUARES every round. A single bounded loop (≤ ~15 rounds) never
+    * notices (≤ ~10⁴-digit numbers); NESTED loops (Borůvka's per-round
+    * CC merge, the SCC peel's per-outer-round fixpoints) compound the
+    * squarings and the driver disappears into `BigInteger.multiply`
+    * inside stats estimation — observed as a single-core planner hang.
+    *
+    * Rebuilding the frame from the checkpointed RDD resets the leaf to
+    * `defaultSizeInBytes`, CONSTANT across rounds. Cost: one extra
+    * Row decode/encode pass per materialization (loop-state frames are
+    * component-domain-sized — noise), and broadcast planning inside the
+    * loop is forfeited (the leaf claims default size), which is the
+    * safe direction for unbounded-size state. Use for loop STATE in
+    * nested iterative ops; plain localCheckpoint stays right for
+    * one-shot materializations and single bounded loops.
+    */
+  def rebase(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint()
+    cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+  }
+
   /** Inclusive running sum of `weight` over `orderCol` ascending, as a new
     * column `cumCol` — DISTRIBUTED, never a single-partition global window.
     *

@@ -1841,9 +1841,414 @@ object GraphOps {
     SELECT CAST(node AS BIGINT) AS node, CAST(ku AS BIGINT) AS katz_units
     FROM k ORDER BY katz_units DESC, node LIMIT 20"""))
 
+  // -------------------------------- strongly connected components (SCC)
+  /** Strongly connected components of a DIRECTED graph by the
+    * forward-coloring / backward-confirmation peel (Orzan 2004; Slota,
+    * Rathinam & Madduri 2014 — the standard distributed SCC next to
+    * sequential Tarjan, which has no parallel form):
+    *
+    * Outer round: (1) FORWARD color fixpoint col(v) = min id over
+    * {ancestors of v} ∪ {v} (min-label pushed along edge direction);
+    * each color class c then contains exactly one head, the node c
+    * itself (a smaller ancestor of c would have recolored the whole
+    * class). (2) BACKWARD reach from each head along reversed edges
+    * RESTRICTED to its own color class: a node that reaches its head
+    * inside the class is mutually reachable with it, and the set so
+    * confirmed is exactly SCC(c) (any member's ancestors outside the
+    * SCC would have lowered its color below c). (3) Extract every
+    * confirmed SCC — one per nonempty color class, so each round peels
+    * MANY SCCs — remove them, repeat on the induced subgraph.
+    *
+    * The SCC id is provably the minimum member id (a smaller member
+    * would be a smaller ancestor of the head), giving a canonical,
+    * partition-independent labeling with zero extra work.
+    *
+    * Scale shape: every step is a node-keyed equi-join + min/exists
+    * aggregation over (node, color) frames — state 16 bytes/node, no
+    * pair materialization, per-round localCheckpoint. Round counts:
+    * inner fixpoints are bounded by the forward/backward DIAMETER of
+    * the surviving graph (directed reachability has no pointer-jump
+    * shortcut — labels only move along real edges), outer rounds by
+    * the peel depth; both throw loudly at their bounds rather than
+    * return a partial labeling. The binding's graph is
+    * supplier-domain-bounded, so frames stay small at any corpus SF.
+    *
+    * Output: one row per SCC — (scc = min member id, size), ordered
+    * size desc, scc asc. Isolated nodes are singleton SCCs.
+    */
+  def stronglyConnectedComponents(edgesIn: DataFrame, nodesIn: DataFrame,
+      maxOuter: Int = 16, maxInner: Int = 120): DataFrame = {
+    val edges0 = edgesIn.select(col("src").cast("bigint").as("src"),
+      col("dst").cast("bigint").as("dst")).distinct().localCheckpoint()
+    var nodes = Scans.rebase(nodesIn
+      .select(col("node").cast("bigint").as("node")).distinct())
+    var edges = edges0
+    var assigned: DataFrame = null
+    var outer = 0
+    while (!nodes.isEmpty) {
+      if (outer >= maxOuter) throw new IllegalStateException(
+        s"stronglyConnectedComponents: peel did not finish in $maxOuter rounds")
+      // (1) forward min-label color fixpoint
+      var colr = Scans.rebase(nodes.withColumn("c", col("node")))
+      var conv = false
+      var i = 0
+      while (!conv) {
+        if (i >= maxInner) throw new IllegalStateException(
+          s"stronglyConnectedComponents: forward fixpoint exceeded $maxInner rounds")
+        val push = edges.join(colr, edges("src") === colr("node"))
+          .groupBy(edges("dst").as("pn")).agg(min(col("c")).as("nc"))
+        val upd = Scans.rebase(
+          colr.join(push, colr("node") === col("pn"), "left")
+            .select(colr("node"), col("c").as("old"),
+              least(col("c"), coalesce(col("nc"), col("c"))).as("c")))
+        conv = upd.filter(col("c") =!= col("old")).isEmpty
+        colr = upd.select(col("node"), col("c"))
+        i += 1
+      }
+      // (2) backward reach from heads inside each color class
+      val ec = edges
+        .join(colr.select(col("node").as("src"), col("c").as("cs")), "src")
+        .join(colr.select(col("node").as("dst"), col("c").as("cd")), "dst")
+        .filter(col("cs") === col("cd"))
+        .select(col("src"), col("dst"))
+      val ecb = Scans.rebase(ec)
+      var rch = Scans.rebase(
+        colr.filter(col("node") === col("c")).select(col("node")))
+      conv = false
+      i = 0
+      while (!conv) {
+        if (i >= maxInner) throw new IllegalStateException(
+          s"stronglyConnectedComponents: backward fixpoint exceeded $maxInner rounds")
+        val more = Scans.rebase(
+          ecb.join(rch, ecb("dst") === rch("node"))
+            .select(ecb("src").as("node")).distinct()
+            .join(rch, Seq("node"), "left_anti"))
+        conv = more.isEmpty
+        if (!conv) rch = Scans.rebase(rch.unionByName(more))
+        i += 1
+      }
+      // (3) extract confirmed SCCs, peel, recurse on the rest
+      val found = Scans.rebase(colr.join(rch, "node")
+        .select(col("node"), col("c").as("scc")))
+      assigned =
+        if (assigned == null) found
+        else assigned.unionByName(found).localCheckpoint()
+      nodes = Scans.rebase(
+        nodes.join(found.select(col("node")), Seq("node"), "left_anti"))
+      edges = Scans.rebase(edges
+        .join(found.select(col("node").as("src")), Seq("src"), "left_anti")
+        .join(found.select(col("node").as("dst")), Seq("dst"), "left_anti"))
+      outer += 1
+    }
+    assigned.groupBy(col("scc")).agg(count(lit(1)).as("size"))
+      .orderBy(col("size").desc, col("scc"))
+  }
+
+  /** Supplier dominance digraph: per order, each supplier's FIRST line
+    * position (min l_linenumber); s1 "beats" s2 in an order when s1's
+    * first line precedes s2's. Edge s1→s2 iff s1 beats s2 in strictly
+    * more than THREE TIMES the orders of the reverse (clear dominance —
+    * the 1× threshold makes transactional data one giant SCC; 3× leaves
+    * a dominant core plus genuine singletons). Pair generation is
+    * keyed on the ORDER id, so fan-out is bounded by per-order line
+    * count — never a supplier-pair scan.
+    */
+  private def dominanceEdges(s: org.apache.spark.sql.SparkSession,
+      dir: String) = {
+    val ol = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey").as("ok"), col("l_suppkey").as("sp"))
+      .agg(min(col("l_linenumber")).as("ln"))
+      .localCheckpoint()
+    val w = ol.as("x").join(ol.as("y"),
+        col("x.ok") === col("y.ok") && col("x.sp") =!= col("y.sp") &&
+          col("x.ln") < col("y.ln"))
+      .groupBy(col("x.sp").as("s1"), col("y.sp").as("s2"))
+      .agg(count(lit(1)).as("wns"))
+    w.as("w1").join(w.as("w2"),
+        col("w1.s1") === col("w2.s2") && col("w1.s2") === col("w2.s1"), "left")
+      .filter(col("w1.wns") > lit(3L) * coalesce(col("w2.wns"), lit(0L)))
+      .select(col("w1.s1").as("src"), col("w1.s2").as("dst"))
+  }
+
+  /** Dominance cycles among suppliers: SCCs of the who-ships-first
+    * dominance digraph — a nontrivial SCC is a set of suppliers with a
+    * cyclic (non-transitive) precedence relation, the directed-graph
+    * read that CC/k-core/triangles (all undirected) cannot give. The
+    * oracle computes the full transitive closure (recursive CTE),
+    * takes mutually-reachable pairs, and labels each node with the min
+    * of its mutual set — the definitional SCC, against which the
+    * engine's peel must agree exactly.
+    */
+  private val qScc = GraftQuery(
+    "qg_scc",
+    (s, dir) => {
+      val ol = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey").as("ok"), col("l_suppkey").as("sp"))
+        .agg(min(col("l_linenumber")).as("ln"))
+      stronglyConnectedComponents(
+        dominanceEdges(s, dir),
+        ol.select(col("sp").as("node")).distinct())
+    },
+    Some("""WITH RECURSIVE ol AS (SELECT l_orderkey AS ok, l_suppkey AS sp,
+        MIN(l_linenumber) AS ln FROM lineitem GROUP BY 1, 2),
+      w AS (SELECT x.sp AS s1, y.sp AS s2, COUNT(*) AS wns FROM ol x JOIN ol y
+        ON x.ok = y.ok AND x.sp <> y.sp AND x.ln < y.ln GROUP BY 1, 2),
+      e AS (SELECT w1.s1 AS src, w1.s2 AS dst FROM w w1 LEFT JOIN w w2
+        ON w2.s1 = w1.s2 AND w2.s2 = w1.s1
+        WHERE w1.wns > 3 * COALESCE(w2.wns, 0)),
+      nodes AS (SELECT DISTINCT sp AS node FROM ol),
+      reach (src, dst) AS (SELECT src, dst FROM e
+        UNION SELECT r.src, e.dst FROM reach r JOIN e ON e.src = r.dst),
+      mutual AS (SELECT a.src AS u, a.dst AS v FROM reach a
+        JOIN reach b ON b.src = a.dst AND b.dst = a.src),
+      lbl AS (SELECT n.node, LEAST(n.node, COALESCE(MIN(m.u), n.node)) AS scc
+        FROM nodes n LEFT JOIN mutual m ON m.v = n.node GROUP BY n.node)
+      SELECT CAST(scc AS BIGINT) AS scc, CAST(COUNT(*) AS BIGINT) AS size
+      FROM lbl GROUP BY scc ORDER BY size DESC, scc"""))
+
+  // ------------------------------------- minimum spanning forest (MST)
+  /** Minimum spanning forest by Borůvka rounds — THE distributed MST
+    * (each round every component picks its cheapest outgoing edge, all
+    * picks merge at once; components at least halve per round, so
+    * rounds ≤ ⌈log₂ n⌉; cf. the MapReduce MST literature, e.g.
+    * Karloff–Suri–Vassilvitskii MRC model).
+    *
+    * Determinism: edge keys are made UNIQUE by the composite
+    * DECIMAL(38,0) encoding ekey = w·10¹⁴ + a·10⁷ + b (requires node
+    * ids < 10⁷ and weights < 10²⁴ — loud require below), so the MST is
+    * unique and every tie is broken identically on any engine,
+    * partitioning, or retry — the distinct-weights precondition of
+    * Borůvka's no-cycle argument, by construction.
+    *
+    * Scale shape per round: two node-keyed joins stamp component ids
+    * on the edge list, one uniform-key min-agg picks each component's
+    * cheapest cross edge, and the merge relabels components via the
+    * pointer-jump CC fixpoint over the PICK graph only (component-
+    * domain-sized, shrinking geometrically — never the corpus edge
+    * list). Chosen edges accumulate; no pair explosion anywhere.
+    *
+    * Output (1 row): (n_nodes, n_components, mst_edges, total_w,
+    * max_w) — the forest identity n_components = n_nodes − mst_edges
+    * holds by construction and is test-pinned.
+    */
+  def minimumSpanningForest(edgesIn: DataFrame,
+      maxRounds: Int = 24): DataFrame = {
+    val e = edgesIn
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"), col("w"))
+      .groupBy(col("a"), col("b")).agg(min(col("w")).as("w"))
+      .withColumn("ekey", expr(
+        "cast(w as decimal(38,0)) * 100000000000000 + a * 10000000 + b"))
+      .localCheckpoint()
+    val nodes = e.select(col("a").as("node"))
+      .unionByName(e.select(col("b").as("node"))).distinct().localCheckpoint()
+    var comp = Scans.rebase(nodes.withColumn("c", col("node")))
+    var chosen: DataFrame = null
+    var done = false
+    var r = 0
+    while (!done) {
+      if (r >= maxRounds) throw new IllegalStateException(
+        s"minimumSpanningForest: did not converge in $maxRounds rounds")
+      val ce = e
+        .join(comp.select(col("node").as("a"), col("c").as("ca")), "a")
+        .join(comp.select(col("node").as("b"), col("c").as("cb")), "b")
+        .filter(col("ca") =!= col("cb"))
+        .select(col("ca"), col("cb"), col("ekey")).localCheckpoint()
+      if (ce.isEmpty) done = true
+      else {
+        val picks = ce.select(col("ca").as("cc"), col("ekey"))
+          .unionByName(ce.select(col("cb").as("cc"), col("ekey")))
+          .groupBy(col("cc")).agg(min(col("ekey")).as("ekey"))
+          .select(col("ekey")).distinct()
+          .join(e, "ekey")
+          .select(col("a"), col("b"), col("w"), col("ekey"))
+          .localCheckpoint()
+        chosen =
+          if (chosen == null) picks
+          else Scans.rebase(chosen.unionByName(picks))
+        // merge via CC over the COMPONENT-level pick graph (tiny), then
+        // compose: new comp = min old-comp label in the merged cluster,
+        // which is the min NODE id of the merged component (old labels
+        // are themselves component minima) — canonical at every round.
+        val pe = picks
+          .join(comp.select(col("node").as("a"), col("c").as("pca")), "a")
+          .join(comp.select(col("node").as("b"), col("c").as("pcb")), "b")
+          .select(col("pca").as("d1"), col("pcb").as("d2"))
+        val lbl = DedupOps.nearDupClusters(pe)
+          .select(col("doc_id").as("oc"), col("cluster_id").as("nc"))
+        comp = Scans.rebase(comp.join(lbl, comp("c") === col("oc"), "left")
+          .select(col("node"), coalesce(col("nc"), col("c")).as("c")))
+        r += 1
+      }
+    }
+    val nN = nodes.agg(count(lit(1)).as("n_nodes"))
+    val nC = comp.agg(countDistinct(col("c")).as("n_components"))
+    val ch =
+      if (chosen == null)
+        nodes.sparkSession.range(1).select(lit(0L).as("mst_edges"),
+          lit(0L).as("total_w"), lit(null).cast("bigint").as("max_w"))
+      else chosen.agg(count(lit(1)).as("mst_edges"),
+        sum(col("w")).cast("bigint").as("total_w"),
+        max(col("w")).cast("bigint").as("max_w"))
+    nN.crossJoin(broadcast(nC)).crossJoin(broadcast(ch))
+  }
+
+  // Oracle: Borůvka unrolled to a fixed round count (idempotent once
+  // converged — an exhausted round picks nothing and every later frame
+  // is unchanged), each round's component relabeling a from-scratch
+  // min-label closure (its own recursive CTE) over the accumulated
+  // forest. 16 rounds covers n ≤ 2¹⁶ nodes; sf0.01 needs ~11.
+  private val MstOracleRounds = 16
+
+  private def mstRoundSql(r: Int): String = {
+    val p = r - 1
+    s"""pk$r AS MATERIALIZED (SELECT DISTINCT ekey FROM (
+      SELECT cc, MIN(ekey) AS ekey FROM (
+        SELECT ca.c AS cc, e.ekey FROM e
+          JOIN c$p ca ON e.a = ca.node JOIN c$p cb ON e.b = cb.node
+          WHERE ca.c <> cb.c
+        UNION ALL
+        SELECT cb.c AS cc, e.ekey FROM e
+          JOIN c$p ca ON e.a = ca.node JOIN c$p cb ON e.b = cb.node
+          WHERE ca.c <> cb.c) GROUP BY cc)),
+    ch$r AS MATERIALIZED (SELECT DISTINCT a, b, w, ekey FROM (
+      SELECT a, b, w, ekey FROM ch$p
+      UNION ALL SELECT e.a, e.b, e.w, e.ekey FROM e JOIN pk$r USING (ekey))),
+    sy$r AS MATERIALIZED (SELECT a AS u, b AS v FROM ch$r
+      UNION ALL SELECT b AS u, a AS v FROM ch$r),
+    rc$r (node, lbl) AS (SELECT node, node AS lbl FROM nodes
+      UNION SELECT s.v, rc.lbl FROM rc$r rc JOIN sy$r s ON s.u = rc.node),
+    c$r AS MATERIALIZED (SELECT node, MIN(lbl) AS c FROM rc$r GROUP BY node)"""
+  }
+
+  private def mstSql: String = {
+    val rounds = (1 to MstOracleRounds).map(mstRoundSql).mkString(",\n    ")
+    val R = MstOracleRounds
+    s"""WITH RECURSIVE e0 AS MATERIALIZED (SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+        CAST(MIN(l_quantity) AS BIGINT) AS w
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2),
+      ed AS MATERIALIZED (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+        MIN(w) AS w FROM e0 GROUP BY 1, 2),
+      e AS MATERIALIZED (SELECT a, b, w,
+        CAST(w AS HUGEINT) * 100000000000000 + a * 10000000 + b AS ekey
+        FROM ed),
+      nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
+        SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)),
+      c0 AS MATERIALIZED (SELECT node, node AS c FROM nodes),
+      ch0 AS MATERIALIZED (SELECT a, b, w, CAST(0 AS HUGEINT) AS ekey FROM e WHERE FALSE),
+      $rounds
+      SELECT CAST((SELECT COUNT(*) FROM nodes) AS BIGINT) AS n_nodes,
+        CAST((SELECT COUNT(DISTINCT c) FROM c$R) AS BIGINT) AS n_components,
+        CAST((SELECT COUNT(*) FROM ch$R) AS BIGINT) AS mst_edges,
+        CAST((SELECT COALESCE(SUM(w), 0) FROM ch$R) AS BIGINT) AS total_w,
+        CAST((SELECT MAX(w) FROM ch$R) AS BIGINT) AS max_w"""
+  }
+
+  /** Cheapest trade backbone: minimum spanning forest of the
+    * (customer, supplier) trade graph under the min-quantity edge
+    * weight — the qg_sssp weighting reused, so the two bindings read
+    * the same weighted graph two ways.
+    */
+  private val qMst = GraftQuery(
+    "qg_mst",
+    (s, dir) => {
+      val e0 = Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .groupBy((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .agg(min(col("l_quantity")).cast("bigint").as("w"))
+      minimumSpanningForest(e0)
+    },
+    Some(mstSql))
+
+  // --------------------------- Weisfeiler–Leman color refinement (WL)
+  /** 1-WL color refinement (Weisfeiler–Leman 1968; the expressiveness
+    * ceiling of message-passing GNNs, cf. Xu et al. ICLR 2019 "How
+    * Powerful are Graph Neural Networks?"): color₀(v) = degree;
+    * color_{k+1}(v) = h60(color_k(v) | sorted multiset of neighbor
+    * colors). The per-round color-class profile is a cheap structural
+    * fingerprint of the graph (role equivalence, symmetry detection,
+    * graph-isomorphism screening) and tells how fast local structure
+    * individualizes — the readout behind GNN expressiveness arguments.
+    *
+    * Determinism: the multiset is serialized as the NUMERICALLY sorted
+    * comma-joined string of neighbor colors (collect order never
+    * matters), and h60 is the engine-shared md5-based 60-bit hash —
+    * bit-identical in DuckDB. One edge⋈color join + one uniform-key
+    * agg per round; color state 8 bytes/node.
+    *
+    * Output: one row per round 0..rounds — (round, n_colors, largest
+    * class size), ordered by round.
+    */
+  def wlRefinement(edgesIn: DataFrame, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, s"rounds must be in [1, 8]: $rounds")
+    val edges = edgesIn.select(col("src"), col("dst")).distinct()
+      .localCheckpoint()
+    var colr = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).cast("bigint").as("c")).localCheckpoint()
+    def summary(df: DataFrame, r: Int) =
+      df.groupBy(col("c")).agg(count(lit(1)).as("n"))
+        .agg(lit(r).as("round"), count(lit(1)).as("n_colors"),
+          max(col("n")).as("largest"))
+    var out = summary(colr, 0)
+    for (r <- 1 to rounds) {
+      val nb = edges
+        .join(colr.select(col("node").as("dst"), col("c").as("nc")), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(expr(
+          "array_join(transform(sort_array(collect_list(nc)), " +
+            "x -> cast(x as string)), ',')").as("ns"))
+      colr = colr.join(nb, "node")
+        .select(col("node"),
+          expr(Nlp.h60("concat(cast(c as string), '|', ns)")).as("c"))
+        .localCheckpoint()
+      out = out.unionByName(summary(colr, r))
+    }
+    out.orderBy(col("round"))
+  }
+
+  private val WlRounds = 3
+
+  private def wlRoundSql(r: Int): String = {
+    val p = r - 1
+    s"""a$r AS MATERIALIZED (SELECT e.src AS node,
+        string_agg(CAST(p.c AS VARCHAR), ',' ORDER BY p.c) AS ns
+      FROM e JOIN c$p p ON e.dst = p.node GROUP BY 1),
+    c$r AS MATERIALIZED (SELECT a$r.node,
+        ${Nlp.h60Sql(s"CAST(p.c AS VARCHAR) || '|' || a$r.ns")} AS c
+      FROM a$r JOIN c$p p ON a$r.node = p.node)"""
+  }
+
+  private def wlSql: String = {
+    val rounds = (1 to WlRounds).map(wlRoundSql).mkString(",\n    ")
+    val sums = (0 to WlRounds).map(r =>
+      s"""s$r AS (SELECT $r AS round, CAST(COUNT(*) AS BIGINT) AS n_colors,
+        CAST(MAX(n) AS BIGINT) AS largest
+      FROM (SELECT COUNT(*) AS n FROM c$r GROUP BY c))""").mkString(",\n    ")
+    val un = (0 to WlRounds).map(r => s"SELECT * FROM s$r")
+      .mkString(" UNION ALL ")
+    s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS src,
+        l_suppkey * 2 + 1 AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      e AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+      c0 AS MATERIALIZED (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS c
+        FROM e GROUP BY 1),
+      $rounds,
+      $sums
+      SELECT * FROM ($un) ORDER BY round"""
+  }
+
+  /** WL color-class profile of the symmetrized trade graph across 3
+    * refinement rounds — how fast node roles individualize.
+    */
+  private val qWl = GraftQuery(
+    "qg_wl_refine",
+    (s, dir) => wlRefinement(tradeEdges(s, dir), WlRounds),
+    Some(wlSql))
+
   def queries: Seq[GraftQuery] =
     Seq(qPageRank, qTriangles, qLpa, qKcore, qReach, qSubtree, qSssp, qPpr,
       qLinkPredict, qDegreeDist, qModularity, qHits, qAssortativity, qWalks,
       qHarmonic, qEcc, qBetweenness, qLocalClustering, qKTruss, qRichClub,
-      qKatz)
+      qKatz, qScc, qMst, qWl)
 }

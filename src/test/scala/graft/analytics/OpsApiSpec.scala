@@ -2825,6 +2825,53 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       org.apache.spark.sql.functions.col("v")).collect().head
     assert(f.isNullAt(2), f.toString)
   }
+
+  test("stronglyConnectedComponents: cycles found, min-member ids, singletons kept") {
+    import spark.implicits._
+    // 1→2→3→1 (SCC {1,2,3}), 3→4, 4⇄5 (SCC {4,5}), 6 isolated
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (5L, 4L))
+      .toDF("src", "dst")
+    val n = (1L to 6L).toDF("node")
+    val out = GraphOps.stronglyConnectedComponents(e, n).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 3L), (4L, 2L), (6L, 1L)), out.toString)
+    // a pure DAG: every node its own SCC
+    val dag = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    val d = GraphOps.stronglyConnectedComponents(
+      dag, (1L to 4L).toDF("node")).collect()
+    assert(d.length == 4 && d.forall(_.getLong(1) == 1L), d.mkString(","))
+  }
+
+  test("minimumSpanningForest: unique MST by composite key, forest identity") {
+    import spark.implicits._
+    // square 1-2(w1) 2-3(w2) 3-4(w1) 4-1(w5) + diagonal 1-3(w10):
+    // MST = {1-2, 3-4, 2-3}, total 4, max 2; plus disconnected 5-6(w7)
+    val e = Seq((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 1L), (4L, 1L, 5L),
+      (1L, 3L, 10L), (5L, 6L, 7L)).toDF("src", "dst", "w")
+    val r = GraphOps.minimumSpanningForest(e).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((6L, 2L, 4L, 11L, 7L)), r.toString)
+    // forest identity: n_components = n_nodes - mst_edges
+    assert(r.getLong(1) == r.getLong(0) - r.getLong(2))
+    // equal weights: the composite key tiebreak still yields ONE tree
+    val eq = Seq((1L, 2L, 3L), (2L, 3L, 3L), (1L, 3L, 3L)).toDF("src", "dst", "w")
+    val q = GraphOps.minimumSpanningForest(eq).collect().head
+    assert((q.getLong(0), q.getLong(1), q.getLong(2), q.getLong(3))
+      == ((3L, 1L, 2L, 6L)), q.toString)
+  }
+
+  test("wlRefinement: path graph refines ends/middles then stabilizes") {
+    import spark.implicits._
+    // path 1-2-3-4-5 symmetrized: degrees split {ends}/{middles} (2 colors,
+    // largest 3); round 1 splits node 3 ({2,2} neighborhood) from {2,4}
+    // ({1,2}) -> 3 colors, largest 2; rounds 2..3 stable at 3 colors.
+    val e0 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val e = e0.unionByName(e0.select($"dst".as("src"), $"src".as("dst")))
+    val out = GraphOps.wlRefinement(e, rounds = 3).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((0, 2L, 3L), (1, 3L, 2L), (2, 3L, 2L), (3, 3L, 2L)),
+      out.toString)
+  }
 }
 
 /** Row-collect helpers shared by the API tests. */

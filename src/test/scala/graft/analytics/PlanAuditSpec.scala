@@ -649,6 +649,25 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       .queryExecution.executedPlan.toString
     assert(!hl.contains("CartesianProduct") &&
       !hl.contains("BroadcastNestedLoopJoin") && !hl.contains("FileScan"),
-      s"qstat_hodges_lehmann returned more than the literal row:\n$hl")
+      s"qstat_hodges_lehmann planned more than the literal row:\n$hl")
+  }
+
+  test("r9 graph ops: SCC/MST/WL stay on keyed equi-joins, no cartesian") {
+    // scc's dominance pair generation is keyed on the ORDER id; mst's
+    // per-round pick/merge joins are node/component-keyed; wl's rounds
+    // are one edge⋈color join each. The iterative loops run at
+    // construction — the returned frames must plan clean too.
+    Seq("qg_scc", "qg_mst", "qg_wl_refine").foreach { name =>
+      val plan = graft.SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name planned a cartesian product:\n$plan")
+      // qg_mst's returned frame is the sanctioned three-way 1-row
+      // aggregate combine (broadcast cross of single rows) — BNL there
+      // is the correct plan, like every other 1-row summary op
+      if (name != "qg_mst")
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name planned a nested-loop join:\n$plan")
+    }
   }
 }
