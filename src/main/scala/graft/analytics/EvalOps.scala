@@ -713,6 +713,201 @@ object EvalOps {
       CAST(qm // (1000 * n * (kd - 1)) AS BIGINT) AS w_milli
     FROM q"""))
 
+  // ------------------------------------------- ROUGE-N (recall-oriented)
+  /** Macro-averaged ROUGE-N (Lin, ACL 2004 wksp) for n ∈ {1, 2} over
+    * (candidate, reference) pairs — the RECALL-oriented companion to
+    * [[bleuNgramPrecision]]'s corpus-level clipped precision, and
+    * per-pair-then-averaged where BLEU is micro (the two disagree
+    * exactly when quality varies with length — having both is the
+    * point). Per pair: clipped matches m = Σ_g min(cnt_c, cnt_r),
+    * recall = m/|ref grams|, precision = m/|cand grams|, and F1 =
+    * 2m/(|cand| + |ref|) (the harmonic identity — exact, no float
+    * mean). All three floored to bp per pair, then macro-averaged by
+    * one more floored division — composed-floors convention.
+    *
+    * Plan: the BLEU layout — ONE tokenize+explode per side carrying
+    * (n, gram)-tagged structs, per-(pair, n, gram) counts materialized
+    * once, the clipped equi-join keyed (pair, n, gram) (pair id in the
+    * key — skew-free), totals as (pair, n) aggregates of the SAME
+    * count frames. Pairs with zero grams on either side at a given n
+    * (sub-n-token docs) drop from that n's average, mirrored in-oracle.
+    *
+    * Output: one row per n — (n, pairs, recall_bp, precision_bp,
+    * f1_bp), ordered by n.
+    */
+  def rougeNgram(pairs: DataFrame, pairCol: String = "pair",
+      candCol: String = "cand_text", refCol: String = "ref_text"): DataFrame = {
+    val base = pairs.select(col(pairCol).as("pair"),
+        expr(Nlp.toksExprOn(candCol)).as("ct"),
+        expr(Nlp.toksExprOn(refCol)).as("rt"))
+      .withColumn("cg2", expr(Nlp.bigrams("ct")))
+      .withColumn("rg2", expr(Nlp.bigrams("rt")))
+    def gramCounts(tokCol: String, bigCol: String, cntCol: String) = base
+      .select(col("pair"), explode(concat(
+          expr(s"transform($tokCol, x -> struct(1 AS n, x AS gram))"),
+          expr(s"transform($bigCol, x -> struct(2 AS n, x AS gram))"))).as("t"))
+      .select(col("pair"), col("t.n").as("n"), col("t.gram").as("gram"))
+      .groupBy(col("pair"), col("n"), col("gram")).agg(count(lit(1)).as(cntCol))
+      .localCheckpoint()
+    val cc = gramCounts("ct", "cg2", "cc")
+    val rc = gramCounts("rt", "rg2", "rc")
+    val m = cc.join(rc, Seq("pair", "n", "gram"))
+      .groupBy(col("pair"), col("n"))
+      .agg(sum(least(col("cc"), col("rc"))).as("m"))
+    val ctot = cc.groupBy(col("pair"), col("n")).agg(sum(col("cc")).as("ctot"))
+    val rtot = rc.groupBy(col("pair"), col("n")).agg(sum(col("rc")).as("rtot"))
+    rtot.join(ctot, Seq("pair", "n"))
+      .join(m, Seq("pair", "n"), "left")
+      .select(col("n"), coalesce(col("m"), lit(0L)).as("m"),
+        col("ctot"), col("rtot"))
+      .withColumn("r_bp", expr("10000 * m div rtot"))
+      .withColumn("p_bp", expr("10000 * m div ctot"))
+      .withColumn("f_bp", expr("20000 * m div (ctot + rtot)"))
+      .groupBy(col("n"))
+      .agg(count(lit(1)).as("pairs"),
+        expr("sum(r_bp) div count(1)").as("recall_bp"),
+        expr("sum(p_bp) div count(1)").as("precision_bp"),
+        expr("sum(f_bp) div count(1)").as("f1_bp"))
+      .orderBy(col("n"))
+  }
+
+  private val qRouge = GraftQuery(
+    "qml_rouge",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val cand = d.filter(col("doc_id") % 2 === 0)
+        .select(expr("doc_id div 2").as("pair"), col("text").as("cand_text"))
+      val ref = d.filter(col("doc_id") % 2 === 1)
+        .select(expr("doc_id div 2").as("pair"), col("text").as("ref_text"))
+      rougeNgram(cand.join(ref, "pair"))
+    },
+    Some(s"""WITH cd AS (SELECT doc_id // 2 AS pair, ${Nlp.toksSql} AS toks
+        FROM documents WHERE doc_id % 2 = 0),
+      rd AS (SELECT doc_id // 2 AS pair, ${Nlp.toksSql} AS toks
+        FROM documents WHERE doc_id % 2 = 1),
+      cb AS (SELECT pair, toks, ${Nlp.bigramsSql("toks")} AS g2 FROM cd),
+      rb AS (SELECT pair, toks, ${Nlp.bigramsSql("toks")} AS g2 FROM rd),
+      c1 AS (SELECT pair, tok, COUNT(*) AS cc
+        FROM (SELECT pair, unnest(toks) AS tok FROM cd) GROUP BY pair, tok),
+      r1 AS (SELECT pair, tok, COUNT(*) AS rc
+        FROM (SELECT pair, unnest(toks) AS tok FROM rd) GROUP BY pair, tok),
+      m1 AS (SELECT pair, SUM(LEAST(cc, rc)) AS m
+        FROM c1 JOIN r1 USING (pair, tok) GROUP BY pair),
+      c2 AS (SELECT pair, g, COUNT(*) AS cc
+        FROM (SELECT pair, unnest(g2) AS g FROM cb) GROUP BY pair, g),
+      r2 AS (SELECT pair, g, COUNT(*) AS rc
+        FROM (SELECT pair, unnest(g2) AS g FROM rb) GROUP BY pair, g),
+      m2 AS (SELECT pair, SUM(LEAST(cc, rc)) AS m
+        FROM c2 JOIN r2 USING (pair, g) GROUP BY pair),
+      j1 AS (SELECT 1 AS n, COALESCE(m1.m, 0) AS m, len(cd.toks) AS ctot,
+          len(rd.toks) AS rtot
+        FROM rd JOIN cd USING (pair) LEFT JOIN m1 USING (pair)
+        WHERE len(rd.toks) > 0 AND len(cd.toks) > 0),
+      j2 AS (SELECT 2 AS n, COALESCE(m2.m, 0) AS m, len(cb.g2) AS ctot,
+          len(rb.g2) AS rtot
+        FROM rb JOIN cb USING (pair) LEFT JOIN m2 USING (pair)
+        WHERE len(rb.g2) > 0 AND len(cb.g2) > 0),
+      u AS (SELECT * FROM j1 UNION ALL SELECT * FROM j2),
+      b AS (SELECT n, 10000 * m // rtot AS r_bp, 10000 * m // ctot AS p_bp,
+          20000 * m // (ctot + rtot) AS f_bp FROM u)
+      SELECT n, CAST(COUNT(*) AS BIGINT) AS pairs,
+        CAST(SUM(r_bp) // COUNT(*) AS BIGINT) AS recall_bp,
+        CAST(SUM(p_bp) // COUNT(*) AS BIGINT) AS precision_bp,
+        CAST(SUM(f_bp) // COUNT(*) AS BIGINT) AS f1_bp
+      FROM b GROUP BY n ORDER BY n"""))
+
+  // ------------------------------------- split-conformal coverage audit
+  /** Split-conformal prediction for a scored binary classifier (Vovk et
+    * al.; Angelopoulos & Bates 2021 tutorial form): on a calibration
+    * split, nonconformity of the TRUE class is a = −score for positives
+    * and a = +score for negatives; q̂ is the ⌈(n+1)(1−α)⌉-th smallest
+    * calibration nonconformity (if that rank exceeds n, every set is
+    * the full label set — q̂ = NULL here); a test point's prediction
+    * SET contains class y iff a_y ≤ q̂. The guarantee P(true ∈ set) ≥
+    * 1 − α holds distribution-free — this op is the audit that it does,
+    * plus the efficiency readout (set sizes) that tells whether the
+    * scores are actually informative.
+    *
+    * Exactness: scores are integer, so q̂ is an exact order statistic —
+    * computed distributed as min{a : cum(a) ≥ k} over the value-
+    * collapsed nonconformity domain via [[Scans.rangedCumSum]] (never a
+    * global sort); k comes from a 1-row broadcast count. Everything
+    * downstream is one test-split scan against the broadcast q̂.
+    *
+    * Output (1 row): (n_cal, n_test, qhat, coverage_bp, avg_set_bp,
+    * n_both, n_empty).
+    */
+  def conformalCoverage(scored: DataFrame, alphaBp: Int = 1000,
+      idCol: String = "doc_id", scoreCol: String = "score",
+      labelCol: String = "label"): DataFrame = {
+    require(alphaBp > 0 && alphaBp < 10000, s"alphaBp in (0,10000): $alphaBp")
+    val s0 = scored.select(col(idCol).cast("long").as("id"),
+      col(scoreCol).cast("long").as("s"), col(labelCol).cast("boolean").as("y"))
+    val cal = s0.filter(col("id") % 2 === 0)
+    val tst = s0.filter(col("id") % 2 =!= 0)
+    val gc = cal.select(when(col("y"), -col("s")).otherwise(col("s")).as("a"))
+      .groupBy(col("a")).agg(count(lit(1)).as("k"))
+    val tot = gc.agg(sum(col("k")).as("n_cal")).localCheckpoint()
+    val qhat = Scans.rangedCumSum(gc, "a", col("k"), "cw")
+      .crossJoin(broadcast(tot))
+      .withColumn("kk",
+        expr(s"((n_cal + 1) * ${10000 - alphaBp} + 9999) div 10000"))
+      .agg(min(when(col("cw") >= col("kk"), col("a"))).as("qhat"),
+        max(col("n_cal")).as("n_cal"))
+      .localCheckpoint()
+    tst.crossJoin(broadcast(qhat))
+      .withColumn("pos_in", col("qhat").isNull || (-col("s") <= col("qhat")))
+      .withColumn("neg_in", col("qhat").isNull || (col("s") <= col("qhat")))
+      .withColumn("covered", when(col("y"), col("pos_in")).otherwise(col("neg_in")))
+      .agg(max(col("n_cal")).as("n_cal"), count(lit(1)).as("n_test"),
+        max(col("qhat")).as("qhat"),
+        expr("10000 * sum(case when covered then 1 else 0 end) div count(1)")
+          .as("coverage_bp"),
+        expr("""10000 * sum((case when pos_in then 1 else 0 end)
+            + (case when neg_in then 1 else 0 end)) div count(1)""")
+          .as("avg_set_bp"),
+        sum(when(col("pos_in") && col("neg_in"), 1L).otherwise(0L)).as("n_both"),
+        sum(when(!col("pos_in") && !col("neg_in"), 1L).otherwise(0L))
+          .as("n_empty"))
+  }
+
+  /** Conformal audit of the distilled quality filter at α = 10 %:
+    * even doc_ids calibrate, odd doc_ids test (the id-parity split —
+    * the same randomized-assignment shape as qe_logrank's arms).
+    * Coverage ≥ ~9000 bp is the distribution-free guarantee showing
+    * up in the data; avg_set_bp near 10⁴ (sets of one) is the
+    * efficiency read.
+    */
+  private val qConformal = GraftQuery(
+    "qml_conformal",
+    (s, dir) => conformalCoverage(LearnOps.scoredDocs(s, dir)),
+    Some(s"""WITH ${LearnOps.scoredCte},
+      cset AS (SELECT CASE WHEN lab = 1 THEN -score ELSE score END AS a
+        FROM cal WHERE doc_id % 2 = 0),
+      nct AS (SELECT COUNT(*) AS n_cal FROM cset),
+      kk AS (SELECT ((n_cal + 1) * 9000 + 9999) // 10000 AS k FROM nct),
+      rk AS (SELECT a, ROW_NUMBER() OVER (ORDER BY a) AS rn FROM cset),
+      qh AS (SELECT (SELECT a FROM rk, kk WHERE rn = kk.k) AS qhat),
+      tst AS (SELECT score AS s, lab FROM cal WHERE doc_id % 2 <> 0),
+      mm AS (SELECT s, lab,
+          (qhat IS NULL OR -s <= qhat) AS pos_in,
+          (qhat IS NULL OR s <= qhat) AS neg_in
+        FROM tst, qh)
+      SELECT (SELECT CAST(n_cal AS BIGINT) FROM nct) AS n_cal,
+        CAST(COUNT(*) AS BIGINT) AS n_test,
+        (SELECT CAST(qhat AS BIGINT) FROM qh) AS qhat,
+        CAST(10000 * SUM(CASE WHEN (CASE WHEN lab = 1 THEN pos_in
+            ELSE neg_in END) THEN 1 ELSE 0 END) // COUNT(*) AS BIGINT)
+          AS coverage_bp,
+        CAST(10000 * SUM((CASE WHEN pos_in THEN 1 ELSE 0 END)
+            + (CASE WHEN neg_in THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT)
+          AS avg_set_bp,
+        CAST(SUM(CASE WHEN pos_in AND neg_in THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_both,
+        CAST(SUM(CASE WHEN NOT pos_in AND NOT neg_in THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_empty
+      FROM mm"""))
+
   val queries: Seq[GraftQuery] = Seq(qAuc, qPrCurve, qKappa, qBradleyTerry,
-    qMcNemar, qBleu, qCronbach, qKrippendorff, qKendallW)
+    qMcNemar, qBleu, qCronbach, qKrippendorff, qKendallW, qRouge, qConformal)
 }

@@ -3058,11 +3058,209 @@ object StatTests {
         WHERE rn = (n1 * n2 + 1) // 2) AS hl_shift
     FROM n"""))
 
+  // ------------------------------------------- MAD robust outliers
+  /** Median-absolute-deviation outlier screen per group — the
+    * maximally-robust (50 % breakdown) companion to [[iqrOutliers]]'
+    * quartile fences: med = exact lower median, MAD = exact lower
+    * median of |x − med|, outlier ⟺ |x − med| > k·MAD (k = 3, the
+    * conventional "very conservative" fence; the 1.4826 normal-
+    * consistency factor is a CALLER-side scaling that cancels in the
+    * comparison and is deliberately omitted — all arithmetic stays
+    * integer). Group medians use the exact "smallest value with 2·cum
+    * ≥ n" device over per-group value domains (the [[iqrOutliers]] /
+    * Brown–Forsythe window — group-partitioned, never global).
+    *
+    * Output: one row per group — (g, n, median, mad, n_outliers,
+    * worst_lo, worst_hi), ordered by g.
+    */
+  def madOutliers(vals: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 3): DataFrame = {
+    require(k >= 1, s"fence multiplier must be >= 1, got $k")
+    val v = vals.select(col(groupCol).as("g"),
+        col(valueCol).cast("long").as("v"))
+      .filter(col("v").isNotNull)
+    def lowerMedian(df: DataFrame, c: String, out: String) = {
+      val gc = df.groupBy(col("g"), col(c)).agg(count(lit(1)).as("kk"))
+      val wc = Window.partitionBy(col("g")).orderBy(col(c))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wn = Window.partitionBy(col("g"))
+      gc.select(col("g"), col(c), sum(col("kk")).over(wc).as("cum"),
+          sum(col("kk")).over(wn).as("n"))
+        .groupBy(col("g"))
+        .agg(min(when(col("cum") * 2 >= col("n"), col(c))).as(out))
+    }
+    val med = lowerMedian(v, "v", "medv")
+    val dv = v.join(med, "g")
+      .select(col("g"), col("v"), abs(col("v") - col("medv")).as("d"),
+        col("medv"))
+      .localCheckpoint()
+    val mad = lowerMedian(dv.select(col("g"), col("d")), "d", "mad")
+    dv.join(mad, "g")
+      .withColumn("out", col("d") > lit(k.toLong) * col("mad"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), max(col("medv")).as("median"),
+        max(col("mad")).as("mad"),
+        sum(when(col("out"), 1L).otherwise(0L)).as("n_outliers"),
+        min(when(col("out"), col("v"))).as("worst_lo"),
+        max(when(col("out"), col("v"))).as("worst_hi"))
+      .orderBy(col("g"))
+  }
+
+  /** Event-value outliers per event type under the MAD fence — what
+    * survives the IQR screen's sensitivity to fat one-sided tails.
+    */
+  private val qMad = GraftQuery(
+    "qstat_mad_outliers",
+    (s, dir) => madOutliers(
+      Tables.events(s, dir)
+        .select(col("event_type").as("t"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents")),
+      "t", "cents"),
+    Some("""WITH raw AS (SELECT event_type AS g,
+        CAST(round(value * 100) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL),
+    gc AS (SELECT g, v, COUNT(*) AS k FROM raw GROUP BY g, v),
+    c1 AS (SELECT g, v, SUM(k) OVER (PARTITION BY g ORDER BY v
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        SUM(k) OVER (PARTITION BY g) AS n FROM gc),
+    med AS (SELECT g, MIN(CASE WHEN cum * 2 >= n THEN v END) AS medv
+      FROM c1 GROUP BY g),
+    dv AS (SELECT raw.g, raw.v, abs(raw.v - med.medv) AS d, med.medv
+      FROM raw JOIN med USING (g)),
+    dc AS (SELECT g, d, COUNT(*) AS k FROM dv GROUP BY g, d),
+    c2 AS (SELECT g, d, SUM(k) OVER (PARTITION BY g ORDER BY d
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        SUM(k) OVER (PARTITION BY g) AS n FROM dc),
+    mad AS (SELECT g, MIN(CASE WHEN cum * 2 >= n THEN d END) AS mad
+      FROM c2 GROUP BY g),
+    f AS (SELECT dv.g, dv.v, dv.medv, mad.mad, dv.d > 3 * mad.mad AS o
+      FROM dv JOIN mad USING (g))
+    SELECT g, CAST(COUNT(*) AS BIGINT) AS n, MAX(medv) AS median,
+      MAX(mad) AS mad,
+      CAST(SUM(CASE WHEN o THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      MIN(CASE WHEN o THEN v END) AS worst_lo,
+      MAX(CASE WHEN o THEN v END) AS worst_hi
+    FROM f GROUP BY g ORDER BY g"""))
+
+  // ------------------------------------------- Ansari–Bradley scale test
+  /** Ansari–Bradley two-sample SCALE test — do the samples differ in
+    * SPREAD around a common center, the rank-family companion closing
+    * the triple: location ([[mannWhitney]]), whole-curve ([[ksTest]]/
+    * CvM), scale (this). Scores fold ranks from both ends, s(j) =
+    * min(j, N+1−j): extreme values (either tail) get LOW scores, so a
+    * low sample-1 score sum says sample 1 is the more dispersed one.
+    *
+    * Tie handling is the textbook mid-score average: tied items share
+    * the MEAN of the positional scores their rank range occupies —
+    * computed in closed form per value group from the pooled exclusive
+    * count c and group size k as S_g = sumTo(c+k) − sumTo(c), where
+    * sumTo(x) = Σ_{j≤x} min(j, N+1−j) is two arithmetic series split at
+    * the fold h = ⌊N/2⌋. One value-collapsed [[Scans.rangedCumSum]]
+    * pass (the MWU scan), then per-group rational terms composed by
+    * floored division (k1·S/k for the statistic, S²/k for the tie-
+    * exact variance's Σs² — Hollander–Wolfe form); z² pre-squared
+    * against the χ²₁ critical in milli. DECIMAL(38,0) headroom to
+    * N ≈ 10⁶ per binding group (documented, loud beyond via null).
+    *
+    * Output (1 row): (n1, n2, c_units, z2_milli, reject_05) — c_units
+    * the (floored) sample-1 score sum.
+    */
+  def ansariBradley(vals: DataFrame, valueCol: String, isFirst: Column,
+      criticalMilli: Long = 3841L): DataFrame = {
+    val g = vals
+      .select(col(valueCol).as("v"), isFirst.cast("int").as("one"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("v"))
+      .agg(sum(col("one")).as("k1"), sum(lit(1) - col("one")).as("k2"))
+    val tot = g.agg(sum(col("k1")).as("tn1"), sum(col("k2")).as("tn2"))
+      .localCheckpoint()
+    // sumTo(x) = Σ_{j=1..x} min(j, N+1-j): x ≤ h rising series, beyond
+    // the fold a falling one; x(x+1) is even so the div is exact
+    def sumTo(x: String) =
+      s"""CASE WHEN $x <= hh THEN ($x * ($x + 1)) div 2
+        ELSE hh * (hh + 1) + ff * ($x - hh) - ($x * ($x + 1)) div 2 END"""
+    Scans.rangedCumSum(g, "v", col("k1") + col("k2"), "ci")
+      .crossJoin(broadcast(tot))
+      .withColumn("nn", col("tn1") + col("tn2"))
+      .withColumn("hh", expr("nn div 2"))
+      .withColumn("ff", col("nn") + 1)
+      .withColumn("k", col("k1") + col("k2"))
+      .withColumn("c", col("ci") - col("k"))
+      .withColumn("a1", col("c") + col("k"))
+      .withColumn("sg", expr(sumTo("a1")) - expr(sumTo("c")))
+      .agg(max(col("tn1")).as("n1"), max(col("tn2")).as("n2"),
+        max(col("nn")).as("nn"),
+        sum(expr("(k1 * sg) div k")).as("cu"),
+        sum(col("sg")).as("ss"),
+        sum(expr("(cast(sg as decimal(38,0)) * sg) div k")).as("ssq"))
+      .select(col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+        col("cu").cast("long").as("c_units"),
+        expr("""CAST((1000 * (cast(cu as decimal(38,0))
+            - (cast(n1 as decimal(38,0)) * ss) div nn)
+            * (cast(cu as decimal(38,0))
+            - (cast(n1 as decimal(38,0)) * ss) div nn)
+            * nn * nn * (nn - 1))
+          div nullif(cast(n1 as decimal(38,0)) * n2
+            * (cast(nn as decimal(38,0)) * ssq
+              - cast(ss as decimal(38,0)) * ss),
+            cast(0 as decimal(38,0))) AS BIGINT)""").as("z2_milli"))
+      .withColumn("reject_05", col("z2_milli") > criticalMilli)
+  }
+
+  /** Purchase vs view spreads (the qstat_brunner_munzel pairing read
+    * for SCALE): same center or not, are purchase values more
+    * dispersed than view values in rank terms.
+    */
+  private val qAnsari = GraftQuery(
+    "qstat_ansari_bradley",
+    (s, dir) => ansariBradley(
+      Tables.events(s, dir).filter(col("event_type").isin("purchase", "view"))
+        .select(expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+          col("event_type").as("t")),
+      "cents", col("t") === "purchase"),
+    Some("""WITH g AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+        SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS k1,
+        SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS k2
+      FROM events WHERE event_type IN ('purchase', 'view')
+        AND value IS NOT NULL GROUP BY 1),
+    tot AS (SELECT SUM(k1) AS tn1, SUM(k2) AS tn2, SUM(k1) + SUM(k2) AS nn,
+        (SUM(k1) + SUM(k2)) // 2 AS hh, SUM(k1) + SUM(k2) + 1 AS ff FROM g),
+    cum AS (SELECT k1, k2, k1 + k2 AS k,
+        COALESCE(SUM(k1 + k2) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+      FROM g),
+    sg AS (SELECT k1, k2, k, c,
+        (CASE WHEN c + k <= hh THEN ((c + k) * (c + k + 1)) // 2
+          ELSE hh * (hh + 1) + ff * (c + k - hh)
+            - ((c + k) * (c + k + 1)) // 2 END)
+        - (CASE WHEN c <= hh THEN (c * (c + 1)) // 2
+          ELSE hh * (hh + 1) + ff * (c - hh) - (c * (c + 1)) // 2 END) AS s
+      FROM cum, tot),
+    a AS (SELECT (SELECT tn1 FROM tot) AS n1, (SELECT tn2 FROM tot) AS n2,
+        (SELECT nn FROM tot) AS nn,
+        SUM((k1 * s) // k) AS cu, CAST(SUM(s) AS HUGEINT) AS ss,
+        SUM((CAST(s AS HUGEINT) * s) // k) AS ssq
+      FROM sg)
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      CAST(cu AS BIGINT) AS c_units,
+      CAST((1000 * (CAST(cu AS HUGEINT) - (CAST(n1 AS HUGEINT) * ss) // nn)
+          * (CAST(cu AS HUGEINT) - (CAST(n1 AS HUGEINT) * ss) // nn)
+          * nn * nn * (nn - 1))
+        // NULLIF(CAST(n1 AS HUGEINT) * n2
+          * (CAST(nn AS HUGEINT) * ssq - ss * ss), 0) AS BIGINT) AS z2_milli,
+      (1000 * (CAST(cu AS HUGEINT) - (CAST(n1 AS HUGEINT) * ss) // nn)
+          * (CAST(cu AS HUGEINT) - (CAST(n1 AS HUGEINT) * ss) // nn)
+          * nn * nn * (nn - 1))
+        // NULLIF(CAST(n1 AS HUGEINT) * n2
+          * (CAST(nn AS HUGEINT) * ssq - ss * ss), 0) > 3841 AS reject_05
+    FROM a"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qChisq, qKs, qBoot, qGini, qLinReg, qPettitt, qWMedian, qMwu,
       qBenford, qPareto, qRuns, qSpearman, qKendall, qTheilSen, qCramersV,
       qAutocorr, qCohensD, qIqr, qPowerN, qSimpson, qForecastErr, qAnova,
       qLevene, qMannKendall, qKruskal, qKde, qGamesHowell, qWilson, qFriedman,
       qCochran, qLjungBox, qJonckheere, qCliffs, qCochranArmitage,
-      qMoodMedian, qCvm, qPageTrend, qHodgesLehmann, qBrunnerMunzel)
+      qMoodMedian, qCvm, qPageTrend, qHodgesLehmann, qBrunnerMunzel,
+      qMad, qAnsari)
 }

@@ -2826,6 +2826,53 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f.isNullAt(2), f.toString)
   }
 
+  test("rougeNgram: hand-clipped counts, harmonic F1 identity") {
+    import spark.implicits._
+    // cand "a b c" vs ref "a b d": uni m=2/3 both sides; bi m=1/2 both
+    val cand = Seq((1L, "a b c")).toDF("pair", "cand_text")
+    val ref = Seq((1L, "a b d")).toDF("pair", "ref_text")
+    val out = EvalOps.rougeNgram(cand.join(ref, "pair")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(out == Seq((1, 1L, 6666L, 6666L, 6666L),
+      (2, 1L, 5000L, 5000L, 5000L)), out.toString)
+  }
+
+  test("conformalCoverage: exact order-statistic threshold, set membership") {
+    import spark.implicits._
+    // calibration (even ids): a = {-10, -5, 0, 3}; alpha 50% -> k = 3
+    // -> qhat = 0. tests (odd ids): s=7,y=1 covered; s=-2,y=0 covered;
+    // s=-1,y=1 NOT covered -> coverage 2/3, all singleton sets
+    val sc = Seq((0L, 10L, true), (2L, -5L, false), (4L, 0L, true),
+      (6L, 3L, false), (1L, 7L, true), (3L, -2L, false), (5L, -1L, true))
+      .toDF("doc_id", "score", "label")
+    val r = EvalOps.conformalCoverage(sc, alphaBp = 5000).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6))
+      == ((4L, 3L, 0L, 6666L, 10000L, 0L, 0L)), r.toString)
+  }
+
+  test("madOutliers: exact medians, 3-MAD fence catches the spike") {
+    import spark.implicits._
+    val v = Seq(("g", 1L), ("g", 2L), ("g", 3L), ("g", 4L), ("g", 100L))
+      .toDF("grp", "x")
+    val r = StatTests.madOutliers(v, "grp", "x").collect().head
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6))
+      == (("g", 5L, 3L, 1L, 1L, 100L, 100L)), r.toString)
+  }
+
+  test("ansariBradley: folded scores on a hand pair, z2 = 3.000 exact") {
+    import spark.implicits._
+    // s1 = {1, 10} (tails), s2 = {5, 6} (center): scores 1,2,2,1 ->
+    // C = 2, E = 3, Var = 1/3 -> z2 = 3.000, below the 3.841 critical
+    val v = Seq((1L, true), (10L, true), (5L, false), (6L, false))
+      .toDF("x", "one")
+    val r = StatTests.ansariBradley(v, "x", $"one").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getBoolean(4)) == ((2L, 2L, 2L, 3000L, false)), r.toString)
+  }
+
   test("stronglyConnectedComponents: cycles found, min-member ids, singletons kept") {
     import spark.implicits._
     // 1→2→3→1 (SCC {1,2,3}), 3→4, 4⇄5 (SCC {4,5}), 6 isolated
