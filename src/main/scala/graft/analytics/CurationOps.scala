@@ -557,5 +557,87 @@ object CurationOps {
     LEFT JOIN ed ON d.doc_id = ed.doc_id
     ORDER BY d.doc_id"""))
 
-  val queries: Seq[GraftQuery] = Seq(qPii, qC4, qParaDedup, qGopher, qWebPipeline)
+  // ------------------------- per-domain boilerplate line detection
+  /** Frequency-based boilerplate detection per domain (the
+    * RefinedWeb/CCNet line-dedup-within-domain pass): a line is
+    * BOILERPLATE in its group when it appears in ≥ `minDf` docs AND in
+    * ≥ `shareBp` (bp) of the group's docs — navigation chrome, cookie
+    * banners, footers. This is the cross-DOC frequency rule the
+    * within-doc repetition filters (qt_line_dedup) and the corpus-wide
+    * keep-first (qt_para_dedup) both miss: a footer appears once per
+    * doc and only floods one domain.
+    *
+    * Plan: explode lines once, hash to 60-bit keys, one
+    * (group, doc, hash) collapse, one (group, hash) df aggregation, one
+    * group-keyed doc count — every shuffle keyed by (group, hash) or
+    * group; no line text past the first map. Output: one row per group
+    * — (g, ndocs, n_boiler_lines, boiler_occurrences, line_occurrences,
+    * boiler_share_bp), ordered by g.
+    */
+  def boilerplateLines(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", groupCol: String = "source",
+      minDf: Int = 3, shareBp: Int = 1000): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    require(shareBp >= 1 && shareBp <= 10000, s"shareBp in [1,10000]: $shareBp")
+    val occ = docs.select(col(groupCol).as("g"), col(idCol).as("doc_id"),
+        explode(filter(split(col(textCol),
+          java.util.regex.Pattern.quote("\n")), x => x =!= "")).as("line"))
+      .withColumn("h", expr(Nlp.h60("line")))
+      .groupBy(col("g"), col("doc_id"), col("h"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val nd = occ.select(col("g"), col("doc_id")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("ndocs"))
+    val dfr = occ.groupBy(col("g"), col("h")).agg(count(lit(1)).as("df"))
+    occ.join(dfr, Seq("g", "h")).join(nd, "g")
+      .withColumn("boiler", col("df") >= minDf &&
+        col("df") * 10000 >= lit(shareBp.toLong) * col("ndocs"))
+      .groupBy(col("g"))
+      .agg(max(col("ndocs")).as("ndocs"),
+        countDistinct(when(col("boiler"), col("h"))).as("n_boiler_lines"),
+        sum(when(col("boiler"), col("cnt")).otherwise(0L))
+          .as("boiler_occurrences"),
+        sum(col("cnt")).as("line_occurrences"),
+        expr("""10000 * sum(case when boiler then cnt else 0 end)
+          div sum(cnt)""").as("boiler_share_bp"))
+      .orderBy(col("g"))
+  }
+
+  /** Boilerplate audit per source feed over the synthetic line view —
+    * the small vocabulary makes 4-token lines recur across docs of a
+    * source, exercising the df threshold hard.
+    */
+  private val qBoilerplate = GraftQuery(
+    "qt_boilerplate",
+    (s, dir) => boilerplateLines(
+      lineViewDf(s, dir).join(
+        Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        "doc_id")),
+    Some(s"""WITH lv AS ($lineViewSql),
+      d AS (SELECT lv.doc_id, lv.text, doc.source AS g
+        FROM lv JOIN documents doc ON doc.doc_id = lv.doc_id),
+      occ AS (SELECT g, doc_id, ${h60Sql("line")} AS h, COUNT(*) AS cnt
+        FROM (SELECT g, doc_id, unnest(list_filter(
+            regexp_split_to_array(text, chr(10)), x -> x != '')) AS line
+          FROM d)
+        GROUP BY g, doc_id, h),
+      nd AS (SELECT g, COUNT(DISTINCT doc_id) AS ndocs FROM occ GROUP BY g),
+      dfr AS (SELECT g, h, COUNT(*) AS df FROM occ GROUP BY g, h),
+      j AS (SELECT occ.g, occ.h, occ.cnt,
+          dfr.df >= 3 AND dfr.df * 10000 >= 1000 * nd.ndocs AS boiler,
+          nd.ndocs
+        FROM occ JOIN dfr ON dfr.g = occ.g AND dfr.h = occ.h
+        JOIN nd ON nd.g = occ.g)
+      SELECT g, CAST(MAX(ndocs) AS BIGINT) AS ndocs,
+        CAST(COUNT(DISTINCT CASE WHEN boiler THEN h END) AS BIGINT)
+          AS n_boiler_lines,
+        CAST(SUM(CASE WHEN boiler THEN cnt ELSE 0 END) AS BIGINT)
+          AS boiler_occurrences,
+        CAST(SUM(cnt) AS BIGINT) AS line_occurrences,
+        CAST(10000 * SUM(CASE WHEN boiler THEN cnt ELSE 0 END) // SUM(cnt)
+          AS BIGINT) AS boiler_share_bp
+      FROM j GROUP BY g ORDER BY g"""))
+
+  val queries: Seq[GraftQuery] = Seq(qPii, qC4, qParaDedup, qGopher,
+    qWebPipeline, qBoilerplate)
 }

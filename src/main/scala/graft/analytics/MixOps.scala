@@ -618,6 +618,74 @@ object MixOps {
     },
     Some(mwFkSql))
 
+  // ---------------------------- PPS systematic sampling (Madow 1949)
+  /** Probability-proportional-to-size SYSTEMATIC sampling — the
+    * classical πps design (Madow 1949; the workhorse behind audit
+    * sampling and weighted corpus subsetting): lay every unit's weight
+    * end-to-end on [0, W), fire n probes at the midpoints p_i =
+    * ⌊(2i+1)·W/(2n)⌋, and select each unit as many times as probes
+    * land in its interval — inclusion probability exactly n·w/W for
+    * w ≤ W/n, oversized units drawn with multiplicity (the textbook
+    * behavior). Zero randomness: units are ordered by content hash
+    * (id-tiebroken), so the draw is reproducible across engines,
+    * partitionings, and reruns — the [[Nlp.h60]] derandomization
+    * convention.
+    *
+    * Exactness: with F(t) = #probes < t = min(n, ⌈(⌈2nt/W⌉ − 1)/2⌉),
+    * a unit's multiplicity is F(c) − F(c−w) on its cumulative interval
+    * — prefix-count differences, every ceil on nonnegative integers,
+    * and Σ mult = F(W) = n EXACTLY (test-pinned). One
+    * [[Scans.rangedCumSum]] over the hash order + a 1-row broadcast
+    * total; no global sort, no per-probe pass.
+    *
+    * Output: selected units only — (id, w, mult), ordered by id.
+    */
+  def ppsSystematicSample(docs: DataFrame, n: Int, idCol: String = "doc_id",
+      weightCol: String = "n_chars", textCol: String = "text"): DataFrame = {
+    require(n >= 1, s"sample budget must be >= 1, got $n")
+    val v = docs.select(col(idCol).cast("long").as("id"),
+        col(weightCol).cast("long").as("w"), col(textCol).as("t"))
+      .filter(col("w") > 0)
+      .withColumn("ok", expr(
+        s"cast(${Nlp.h60("t")} as decimal(38,0)) * 10000000000 + id"))
+      .select(col("id"), col("w"), col("ok"))
+    val tot = v.agg(sum(col("w")).as("tw")).localCheckpoint()
+    def f(t: String) =
+      s"least(cast($n as bigint), ((2 * $n * cast(($t) as decimal(38,0)) + tw - 1) div tw) div 2)"
+    Scans.rangedCumSum(v, "ok", col("w"), "c")
+      .crossJoin(broadcast(tot))
+      .withColumn("mult",
+        (expr(f("c")) - expr(f("c - w"))).cast("long"))
+      .filter(col("mult") > 0)
+      .select(col("id"), col("w"), col("mult"))
+      .orderBy(col("id"))
+  }
+
+  private val PpsN = 200
+
+  /** 200-probe πps draw over the corpus by character mass — the
+    * deterministic weighted subset a size-budgeted curation pass
+    * starts from.
+    */
+  private val qPps = GraftQuery(
+    "qt_pps_sample",
+    (s, dir) => ppsSystematicSample(Tables.documents(s, dir), PpsN),
+    Some(s"""WITH v AS (SELECT doc_id AS id, n_chars AS w,
+        CAST(${h60Sql("text")} AS HUGEINT) * 10000000000 + doc_id AS ok
+      FROM documents WHERE n_chars > 0),
+    cum AS (SELECT id, w,
+        SUM(w) OVER (ORDER BY ok
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM v),
+    tw AS (SELECT SUM(w) AS tw FROM v),
+    m AS (SELECT id, w,
+        LEAST($PpsN, ((2 * $PpsN * CAST(c AS HUGEINT) + tw - 1) // tw) // 2)
+        - LEAST($PpsN, ((2 * $PpsN * CAST(c - w AS HUGEINT) + tw - 1) // tw) // 2)
+          AS mult
+      FROM cum, tw)
+    SELECT id, w, CAST(mult AS BIGINT) AS mult FROM m
+    WHERE mult > 0 ORDER BY id"""))
+
   def queries: Seq[GraftQuery] = Seq(qNormalize, qDomainMix, qSeqPack, qChunk,
-    qDsir, qShardPlan, qTokenBudget, qMwReweight)
+    qDsir, qShardPlan, qTokenBudget, qMwReweight, qPps)
 }

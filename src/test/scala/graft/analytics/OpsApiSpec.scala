@@ -2826,6 +2826,36 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f.isNullAt(2), f.toString)
   }
 
+  test("skyline2d: dominance by scan matches the definitional frontier") {
+    import spark.implicits._
+    // a/e tie on the frontier, b beats c (same y, cheaper x), d dominated
+    val v = Seq((1L, 1L, 5L), (2L, 2L, 7L), (3L, 3L, 7L), (4L, 2L, 3L),
+      (5L, 1L, 5L)).toDF("id", "price", "qual")
+    val out = ProfileOps.skyline2d(v, "id", "price", "qual").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 1L, 5L), (5L, 1L, 5L), (2L, 2L, 7L)), out.toString)
+  }
+
+  test("ppsSystematicSample: budget exact, mass-proportional multiplicity") {
+    import spark.implicits._
+    val d = Seq((1L, "alpha text", 55L), (2L, "beta text", 20L),
+      (3L, "gamma text", 15L), (4L, "delta text", 10L))
+      .toDF("doc_id", "text", "n_chars")
+    val out = StatTestsHelpers.collectPps(d, 10)
+    assert(out.values.sum == 10L, out.toString)          // sum mult == n exactly
+    assert(out(1L) >= 5L && out(1L) <= 6L, out.toString) // 55% unit: 5-6 probes
+  }
+
+  test("boilerplateLines: cross-doc frequency rule flags the shared footer") {
+    import spark.implicits._
+    val d = Seq((1L, "FOOTER\nunique one", "s"), (2L, "FOOTER\nunique two", "s"),
+      (3L, "FOOTER\nunique three", "s")).toDF("doc_id", "text", "source")
+    val r = CurationOps.boilerplateLines(d).collect().head
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == (("s", 3L, 1L, 3L, 6L, 5000L)),
+      r.toString)
+  }
+
   test("rougeNgram: hand-clipped counts, harmonic F1 identity") {
     import spark.implicits._
     // cand "a b c" vs ref "a b d": uni m=2/3 both sides; bi m=1/2 both
@@ -2919,6 +2949,13 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Seq((0, 2L, 3L), (1, 3L, 2L), (2, 3L, 2L), (3, 3L, 2L)),
       out.toString)
   }
+}
+
+/** Helper keeping the PPS multiplicity map extraction out of the test body. */
+private object StatTestsHelpers {
+  def collectPps(docs: org.apache.spark.sql.DataFrame, n: Int): Map[Long, Long] =
+    MixOps.ppsSystematicSample(docs, n).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
 }
 
 /** Row-collect helpers shared by the API tests. */
