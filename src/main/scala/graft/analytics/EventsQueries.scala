@@ -546,6 +546,70 @@ object EventsQueries {
       .toDF("user_id", "us", "s")
   }
 
+  /** EWMA level alerts — the SMOOTHED spend monitor next to [[qCusum]]'s
+    * drift detector, at the dyadic smoothing constant α = ½ that keeps
+    * EWMA integer-exact: s ← (s + x) div 2 from s = 0, alert while
+    * s > h. α = ½ is the one smoothing constant needing no float and no
+    * scale factor (each event's weight halves per later event; the
+    * floor loses < 1 cent per step and both engines floor identically).
+    * Same typed per-key fold as CUSUM (the reset-free prefix recurrence
+    * is equally inexpressible declaratively), same per-user recursive-
+    * CTE oracle, same constant-state streaming twin
+    * ([[graft.streaming.EwmaProcessor]]).
+    */
+  private val EwmaH = 12000L   // alert level (cents)
+
+  private val qEwma = GraftQuery(
+    "qe_ewma_alerts",
+    (s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"), round(col("value") * 100).cast("bigint").as("cents"))
+        .as[(Long, Long, Long, Long)]
+        .groupByKey(_._1)
+        .flatMapGroups { (u: Long, it: Iterator[(Long, Long, Long, Long)]) =>
+          var acc = 0L
+          it.toVector.sortBy(r => (r._2, r._3)).flatMap { case (_, us, _, c) =>
+            acc = Math.floorDiv(acc + c, 2L)
+            if (acc > EwmaH) Some((u, us, acc)) else None
+          }.iterator
+        }
+        .toDF("user_id", "us", "s")
+        .orderBy(col("user_id"), col("us"))
+    },
+    Some(s"""WITH RECURSIVE e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        CAST(round(value * 100) AS BIGINT) AS cents,
+        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+    c AS (
+      SELECT user_id, us, rn, (0 + cents) // 2 AS s
+      FROM e WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.us, e.rn, (c.s + e.cents) // 2
+      FROM c JOIN e ON e.user_id = c.user_id AND e.rn = c.rn + 1)
+    SELECT user_id, us, s FROM c WHERE s > $EwmaH ORDER BY user_id, us"""))
+
+  /** Streaming twin of [[qEwma]]: one long of smoothed-level state per
+    * entity on `transformWithState` — StreamingExtrasSpec pins stream ≡
+    * batch across a mid-key micro-batch split.
+    */
+  def ewmaAlertsStream(events: DataFrame, h: Long = EwmaH,
+      tsCol: String = "ts", userCol: String = "user_id",
+      idCol: String = "event_id", valueCol: String = "value"): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .select(col(userCol).cast("long").as("u"),
+        unix_micros(col(tsCol)).as("us"), col(idCol).cast("long").as("eid"),
+        round(col(valueCol) * 100).cast("bigint").as("cents"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new graft.streaming.EwmaProcessor(h),
+        TimeMode.None(), OutputMode.Append())
+      .toDF("user_id", "us", "s")
+  }
+
   /** Inter-event burstiness per event type — Goh & Barabási's
     * B = (σ−μ)/(σ+μ) over inter-arrival gaps: −1 = metronome-regular,
     * 0 = Poisson, →1 = heavy-tailed bursts. The temporal-pattern
@@ -2071,7 +2135,8 @@ object EventsQueries {
   val queries: Seq[GraftQuery] =
     Seq(qTumbling, qSliding, qSessions, qJson, qTopUsers, qDeltas, qZscore,
       qFunnel, qRetention, qResample, qHistogram, qPattern, qTransitions,
-      qDecayWma, qAttribution, qCusum, qMadAnomaly, qTopPaths, qSlidingDistinct,
+      qDecayWma, qAttribution, qCusum, qEwma, qMadAnomaly, qTopPaths,
+      qSlidingDistinct,
       qSeasonal, qFunnelTime, qCep, qStreak, qCoverage, qOhlc, qLatencySlo, qRfm,
       qLtv, qDauMau, qHeatmap, qStationary, qLifecycle, qSeqPatterns, qHllSliding,
       qShapley, qKaplanMeier, qNelsonAalen, qLogRank, qBurstiness)

@@ -84,38 +84,6 @@ object Scans {
       cumCol: String): DataFrame =
     rangedCumSums(df, orderCol, Seq(weight -> cumCol))
 
-  /** EXCLUSIVE running maximum of `value` over `orderCol` ascending, as
-    * `cumCol` — the [[rangedCumSum]] two-level scheme with max in place
-    * of sum: range-partition on the order key, per-partition maxima
-    * (≤ P rows) get exclusive prefix maxima via one tiny window, each
-    * partition then computes its local EXCLUSIVE running max in
-    * parallel and combines with its broadcast offset. `cumCol` is NULL
-    * on the global minimum row(s) (no strict predecessor) — the
-    * natural identity for max. Same uniqueness contract on `orderCol`.
-    * The 2-D skyline's "best competitor strictly before me" scan.
-    */
-  def rangedCumMaxExclusive(df: DataFrame, orderCol: String, value: Column,
-      cumCol: String): DataFrame = {
-    val spark = df.sparkSession
-    val p = spark.sessionState.conf.numShufflePartitions
-    val ranged = df.withColumn("_v", value)
-      .repartitionByRange(p, col(orderCol))
-      .withColumn("_pid", spark_partition_id())
-      .localCheckpoint()
-    val offs = ranged.groupBy(col("_pid")).agg(max(col("_v")).as("_pm"))
-      .withColumn("_off", max(col("_pm")).over(
-        Window.orderBy(col("_pid"))
-          .rowsBetween(Window.unboundedPreceding, -1)))
-      .drop("_pm")
-    val wLoc = Window.partitionBy(col("_pid")).orderBy(col(orderCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    ranged.join(broadcast(offs), "_pid")
-      .withColumn(cumCol, greatest(
-        coalesce(max(col("_v")).over(wLoc), col("_off")),
-        coalesce(col("_off"), max(col("_v")).over(wLoc))))
-      .drop("_pid", "_v", "_off")
-  }
-
   /** [[rangedCumSum]] for SEVERAL weights in one pass — one range
     * exchange, one offsets broadcast, one local Window operator carrying
     * all the running sums (KS needs two, the quartile scan three).

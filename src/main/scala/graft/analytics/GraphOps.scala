@@ -2246,9 +2246,114 @@ object GraphOps {
     (s, dir) => wlRefinement(tradeEdges(s, dir), WlRounds),
     Some(wlSql))
 
+  // ------------------------- maximal independent set (Luby, derandomized)
+  /** Maximal independent set by Luby's algorithm with HASH-derandomized
+    * priorities (Luby 1986 — THE parallel symmetry-breaking primitive;
+    * greedy-by-priority is inherently sequential, Luby breaks ties
+    * everywhere at once): per round, a surviving node joins the MIS iff
+    * its priority beats every surviving neighbor's; winners and their
+    * neighborhoods leave. With random priorities rounds are O(log n)
+    * w.h.p.; priorities here are h60('mis:'‖node) id-tiebroken into a
+    * unique DECIMAL — zero randomness, the same set on any engine,
+    * partitioning, or retry, and the salt makes the draw independent of
+    * every other hash-derandomized op. Progress is guaranteed (the
+    * global minimum-priority survivor always wins); the round bound
+    * throws loudly.
+    *
+    * MIS is the scale-out building block for anchor selection
+    * (ER blocking seeds, landmark picking, graph coarsening): a set
+    * that is mutually non-adjacent yet dominates the whole graph.
+    *
+    * Per round: two node-keyed joins restrict edges to survivors, one
+    * uniform-key min-agg finds each node's best surviving neighbor,
+    * one anti-join removes the closed neighborhood — loop state on
+    * [[Scans.rebase]] (nested-loop stats discipline). Output: MIS
+    * member ids, ordered.
+    */
+  def maximalIndependentSet(edgesIn: DataFrame,
+      maxRounds: Int = 16): DataFrame = {
+    val e0 = edgesIn.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+    val edges = e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var live = Scans.rebase(
+      edges.select(col("src").as("node")).distinct()
+        .withColumn("pr", expr(
+          s"cast(${Nlp.h60("concat('mis:', cast(node as string))")} " +
+            "as decimal(38,0)) * 10000000000 + node")))
+    var mis: DataFrame = null
+    var r = 0
+    while (!live.isEmpty) {
+      if (r >= maxRounds) throw new IllegalStateException(
+        s"maximalIndependentSet: did not converge in $maxRounds rounds")
+      val le = edges
+        .join(live.select(col("node").as("src")), "src")
+        .join(live.select(col("node").as("dst"), col("pr").as("pd")), "dst")
+      val nbrMin = le.groupBy(col("src").as("mn_node"))
+        .agg(min(col("pd")).as("mn"))
+      val winners = Scans.rebase(
+        live.join(nbrMin, live("node") === col("mn_node"), "left")
+          .filter(col("mn").isNull || col("pr") < col("mn"))
+          .select(col("node")))
+      mis = if (mis == null) winners
+        else Scans.rebase(mis.unionByName(winners))
+      val dead = winners.unionByName(
+          edges.join(winners.select(col("node").as("src")), "src")
+            .select(col("dst").as("node")))
+        .distinct()
+      live = Scans.rebase(live.join(dead, Seq("node"), "left_anti"))
+      r += 1
+    }
+    mis.orderBy(col("node"))
+  }
+
+  private val MisOracleRounds = 16
+
+  private def misRoundSql(r: Int): String = {
+    val p = r - 1
+    s"""mn$r AS MATERIALIZED (SELECT e.src AS node, MIN(lp.pr) AS mn
+      FROM e JOIN l$p la ON e.src = la.node JOIN l$p lp ON e.dst = lp.node
+      GROUP BY e.src),
+    w$r AS MATERIALIZED (SELECT l.node FROM l$p l
+      LEFT JOIN mn$r m ON l.node = m.node
+      WHERE m.mn IS NULL OR l.pr < m.mn),
+    s$r AS MATERIALIZED (SELECT node FROM s$p
+      UNION ALL SELECT node FROM w$r),
+    d$r AS MATERIALIZED (SELECT node FROM w$r
+      UNION ALL SELECT e.dst FROM e JOIN w$r ON e.src = w$r.node),
+    l$r AS MATERIALIZED (SELECT l.node, l.pr FROM l$p l
+      WHERE l.node NOT IN (SELECT node FROM d$r))"""
+  }
+
+  private def misSql: String = {
+    val rounds = (1 to MisOracleRounds).map(misRoundSql).mkString(",\n    ")
+    s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS src,
+        l_suppkey * 2 + 1 AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      e AS MATERIALIZED (SELECT src, dst FROM e0
+        UNION ALL SELECT dst, src FROM e0),
+      l0 AS MATERIALIZED (SELECT node,
+          CAST(${Nlp.h60Sql("'mis:' || CAST(node AS VARCHAR)")} AS HUGEINT)
+            * 10000000000 + node AS pr
+        FROM (SELECT DISTINCT src AS node FROM e)),
+      s0 AS MATERIALIZED (SELECT src AS node FROM e WHERE FALSE),
+      $rounds
+      SELECT CAST(node AS BIGINT) AS node FROM s$MisOracleRounds
+      ORDER BY node"""
+  }
+
+  /** MIS over the symmetrized trade graph — the derandomized Luby draw;
+    * OpsApiSpec pins independence + maximality on the result.
+    */
+  private val qMis = GraftQuery(
+    "qg_mis",
+    (s, dir) => maximalIndependentSet(tradeEdges(s, dir)),
+    Some(misSql))
+
   def queries: Seq[GraftQuery] =
     Seq(qPageRank, qTriangles, qLpa, qKcore, qReach, qSubtree, qSssp, qPpr,
       qLinkPredict, qDegreeDist, qModularity, qHits, qAssortativity, qWalks,
       qHarmonic, qEcc, qBetweenness, qLocalClustering, qKTruss, qRichClub,
-      qKatz, qScc, qMst, qWl)
+      qKatz, qScc, qMst, qWl, qMis)
 }

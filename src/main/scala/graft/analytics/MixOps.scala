@@ -621,7 +621,9 @@ object MixOps {
   // ---------------------------- PPS systematic sampling (Madow 1949)
   /** Probability-proportional-to-size SYSTEMATIC sampling — the
     * classical πps design (Madow 1949; the workhorse behind audit
-    * sampling and weighted corpus subsetting): lay every unit's weight
+    * sampling and weighted corpus subsetting; the fixed-BUDGET
+    * with-multiplicity design next to TextOps.weightedSample's
+    * priority top-k): lay every unit's weight
     * end-to-end on [0, W), fire n probes at the midpoints p_i =
     * ⌊(2i+1)·W/(2n)⌋, and select each unit as many times as probes
     * land in its interval — inclusion probability exactly n·w/W for

@@ -768,56 +768,7 @@ object ProfileOps {
       CAST(true_count + noise AS BIGINT) AS noisy_count, noise
     FROM n ORDER BY grp"""))
 
-  // ------------------------------------------- 2-D skyline (Pareto frontier)
-  /** 2-D skyline / Pareto frontier — the multi-objective "no row is
-    * strictly better on both axes" operator (Börzsönyi et al., ICDE
-    * 2001): keep rows not DOMINATED, where a dominator has x' ≤ x (x
-    * minimized), y' ≥ y (y maximized), and at least one strict. The
-    * naive plan is an O(n²) dominance anti-join; in 2-D the frontier is
-    * a SCAN: collapse to per-x max-y, then a row survives iff its y
-    * equals its x-group's max AND strictly exceeds the best y at any
-    * strictly smaller x — one value-domain aggregation plus one
-    * [[Scans.rangedCumMaxExclusive]] pass, zero pair joins at any
-    * scale. Duplicated frontier points all survive (no strict part).
-    *
-    * Output: (id, x, y) frontier rows ordered by (x, id).
-    */
-  def skyline2d(rows: DataFrame, idCol: String, minCol: String,
-      maxCol: String): DataFrame = {
-    val v = rows.select(col(idCol).as("id"), col(minCol).cast("long").as("x"),
-        col(maxCol).cast("long").as("y"))
-      .filter(col("x").isNotNull && col("y").isNotNull)
-    val gm = v.groupBy(col("x")).agg(max(col("y")).as("gy"))
-    val pm = Scans.rangedCumMaxExclusive(gm, "x", col("gy"), "pre")
-    v.join(pm, "x")
-      .filter(col("y") === col("gy") &&
-        (col("pre").isNull || col("y") > col("pre")))
-      .select(col("id"), col("x"), col("y"))
-      .orderBy(col("x"), col("id"))
-  }
-
-  /** Price/size Pareto frontier of the part catalog — the cheapest part
-    * at every size tier a buyer would ever rationally pick. The oracle
-    * is the DEFINITIONAL dominance NOT EXISTS, against which the
-    * scan-based frontier must agree row-for-row.
-    */
-  private val qSkyline = GraftQuery(
-    "qprof_skyline",
-    (s, dir) => skyline2d(
-      Tables.part(s, dir).select(col("p_partkey"),
-        expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("cents"),
-        col("p_size")),
-      "p_partkey", "cents", "p_size"),
-    Some("""WITH v AS (SELECT p_partkey AS id,
-        CAST(round(p_retailprice * 100) AS BIGINT) AS x,
-        CAST(p_size AS BIGINT) AS y FROM part)
-      SELECT id, x, y FROM v a
-      WHERE NOT EXISTS (SELECT 1 FROM v b
-        WHERE b.x <= a.x AND b.y >= a.y AND (b.x < a.x OR b.y > a.y))
-      ORDER BY x, id"""))
-
   val queries: Seq[GraftQuery] =
     Seq(qProfile, qProfileEvents, qHistQuantile, qExpectations, qDrift,
-      qDimProfile, qKAnon, qTClose, qFd, qJoinCard, qRandResponse, qDpCounts,
-      qSkyline)
+      qDimProfile, qKAnon, qTClose, qFd, qJoinCard, qRandResponse, qDpCounts)
 }

@@ -3061,7 +3061,8 @@ object StatTests {
   // ------------------------------------------- MAD robust outliers
   /** Median-absolute-deviation outlier screen per group — the
     * maximally-robust (50 % breakdown) companion to [[iqrOutliers]]'
-    * quartile fences: med = exact lower median, MAD = exact lower
+    * quartile fences (and the column-parameterized GROUPED form of
+    * qe_mad_anomaly's per-entity event screen): med = exact lower median, MAD = exact lower
     * median of |x − med|, outlier ⟺ |x − med| > k·MAD (k = 3, the
     * conventional "very conservative" fence; the 1.4826 normal-
     * consistency factor is a CALLER-side scaling that cancels in the
@@ -3141,6 +3142,97 @@ object StatTests {
       MIN(CASE WHEN o THEN v END) AS worst_lo,
       MAX(CASE WHEN o THEN v END) AS worst_hi
     FROM f GROUP BY g ORDER BY g"""))
+
+  // ----------------------------------- seasonal-median anomaly days
+  /** Seasonality-adjusted anomaly days — the robust STL-lite screen:
+    * expected level per calendar slot = exact lower median of the
+    * series within that weekday (seasonal component, outlier-proof
+    * where a weekday MEAN is dragged by the very anomalies we hunt),
+    * residual r = y − expected, and a day is anomalous when its
+    * residual sits outside the GLOBAL 3-MAD fence on residuals (the
+    * [[madOutliers]] device pooled across slots). Catches "weird for a
+    * Tuesday" days a raw fence misses (weekend lulls would dominate
+    * it) — the seasonality-aware upgrade over qe_mad_anomaly's
+    * per-entity level fence.
+    *
+    * All integer: weekday medians over 7 group-partitioned value
+    * domains, one global residual-domain median + MAD, one fence scan.
+    * Monday = 0 via the engine-shared weekday ≡ isodow−1 identity.
+    *
+    * Output: the anomalous days — (d, y, expected, resid), ordered by d.
+    */
+  def seasonalMedianAnomaly(daily: DataFrame, dateCol: String = "d",
+      valueCol: String = "y", k: Int = 3): DataFrame = {
+    require(k >= 1, s"fence multiplier must be >= 1, got $k")
+    val v = daily.select(col(dateCol).as("d"),
+        col(valueCol).cast("long").as("y"))
+      .filter(col("y").isNotNull)
+      .withColumn("dow", expr("(dayofweek(d) + 5) % 7"))
+    def lowerMedian(df: DataFrame, grp: Option[String], c: String,
+        out: String) = {
+      val gcols = grp.toSeq.map(col)
+      val gc = df.groupBy(gcols :+ col(c): _*).agg(count(lit(1)).as("kk"))
+      val wc = Window.partitionBy(gcols: _*).orderBy(col(c))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wn = Window.partitionBy(gcols: _*)
+      val cm = gc.select(gcols :+ col(c) :+
+        sum(col("kk")).over(wc).as("cum") :+
+        sum(col("kk")).over(wn).as("n"): _*)
+      (if (grp.isEmpty) cm.groupBy() else cm.groupBy(gcols: _*))
+        .agg(min(when(col("cum") * 2 >= col("n"), col(c))).as(out))
+    }
+    val sm = lowerMedian(v, Some("dow"), "y", "expected")
+    val r = v.join(sm, "dow")
+      .select(col("d"), col("y"), col("expected"),
+        (col("y") - col("expected")).as("resid"))
+      .localCheckpoint()
+    val medr = lowerMedian(r, None, "resid", "medr")
+    val rd = r.crossJoin(broadcast(medr))
+      .withColumn("dev", abs(col("resid") - col("medr")))
+      .localCheckpoint()
+    val mad = lowerMedian(rd.select(col("dev").as("dv")), None, "dv", "mad")
+    rd.crossJoin(broadcast(mad))
+      .filter(col("dev") > lit(k.toLong) * col("mad"))
+      .select(col("d"), col("y"), col("expected"), col("resid"))
+      .orderBy(col("d"))
+  }
+
+  /** Daily-revenue anomaly days, weekday-adjusted — which days were
+    * abnormal FOR THEIR WEEKDAY (83 of ~2400 days at the gate SF).
+    */
+  private val qSeasonalAnomaly = GraftQuery(
+    "qstat_seasonal_anomaly",
+    (s, dir) => seasonalMedianAnomaly(
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderdate").as("d"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("y")),
+      "d", "y"),
+    Some("""WITH dly AS (SELECT o_orderdate AS d,
+        SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS y
+      FROM orders GROUP BY 1),
+    w AS (SELECT d, y, isodow(d) - 1 AS dow FROM dly),
+    gc AS (SELECT dow, y, COUNT(*) AS k FROM w GROUP BY dow, y),
+    c1 AS (SELECT dow, y, SUM(k) OVER (PARTITION BY dow ORDER BY y
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        SUM(k) OVER (PARTITION BY dow) AS n FROM gc),
+    sm AS (SELECT dow, MIN(CASE WHEN cum * 2 >= n THEN y END) AS expected
+      FROM c1 GROUP BY dow),
+    r AS (SELECT w.d, w.y, sm.expected, w.y - sm.expected AS resid
+      FROM w JOIN sm USING (dow)),
+    rc AS (SELECT resid, COUNT(*) AS k FROM r GROUP BY resid),
+    c2 AS (SELECT resid, SUM(k) OVER (ORDER BY resid
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        SUM(k) OVER () AS n FROM rc),
+    mr AS (SELECT MIN(CASE WHEN cum * 2 >= n THEN resid END) AS medr FROM c2),
+    rd AS (SELECT r.*, abs(r.resid - mr.medr) AS dev FROM r, mr),
+    dc AS (SELECT dev, COUNT(*) AS k FROM rd GROUP BY dev),
+    c3 AS (SELECT dev, SUM(k) OVER (ORDER BY dev
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        SUM(k) OVER () AS n FROM dc),
+    md AS (SELECT MIN(CASE WHEN cum * 2 >= n THEN dev END) AS mad FROM c3)
+    SELECT d, CAST(y AS BIGINT) AS y, CAST(expected AS BIGINT) AS expected,
+      CAST(resid AS BIGINT) AS resid
+    FROM rd, md WHERE dev > 3 * mad ORDER BY d"""))
 
   // ------------------------------------------- Ansari–Bradley scale test
   /** Ansari–Bradley two-sample SCALE test — do the samples differ in
@@ -3262,5 +3354,5 @@ object StatTests {
       qLevene, qMannKendall, qKruskal, qKde, qGamesHowell, qWilson, qFriedman,
       qCochran, qLjungBox, qJonckheere, qCliffs, qCochranArmitage,
       qMoodMedian, qCvm, qPageTrend, qHodgesLehmann, qBrunnerMunzel,
-      qMad, qAnsari)
+      qMad, qAnsari, qSeasonalAnomaly)
 }

@@ -2826,14 +2826,43 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f.isNullAt(2), f.toString)
   }
 
-  test("skyline2d: dominance by scan matches the definitional frontier") {
+  test("maximalIndependentSet: independent, maximal, deterministic") {
     import spark.implicits._
-    // a/e tie on the frontier, b beats c (same y, cheaper x), d dominated
-    val v = Seq((1L, 1L, 5L), (2L, 2L, 7L), (3L, 3L, 7L), (4L, 2L, 3L),
-      (5L, 1L, 5L)).toDF("id", "price", "qual")
-    val out = ProfileOps.skyline2d(v, "id", "price", "qual").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
-    assert(out == Seq((1L, 1L, 5L), (5L, 1L, 5L), (2L, 2L, 7L)), out.toString)
+    // path 1-2-3-4-5 plus a triangle 6-7-8
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (6L, 7L), (7L, 8L), (6L, 8L)).toDF("src", "dst")
+    val mis = GraphOps.maximalIndependentSet(e).collect()
+      .map(_.getLong(0)).toSet
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (6L, 7L), (7L, 8L), (6L, 8L))
+    // independence: no edge inside the set
+    assert(!edges.exists { case (a, b) => mis(a) && mis(b) }, mis.toString)
+    // maximality: every non-member has a member neighbor
+    val nbrs = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet)
+    (1L to 8L).filterNot(mis).foreach { v =>
+      assert(nbrs(v).exists(mis), s"$v has no MIS neighbor in $mis")
+    }
+    // exactly one triangle vertex can be in the set
+    assert(Set(6L, 7L, 8L).count(mis) == 1, mis.toString)
+    // determinism: a second run draws the identical set
+    val again = GraphOps.maximalIndependentSet(e).collect()
+      .map(_.getLong(0)).toSet
+    assert(again == mis)
+  }
+
+  test("seasonalMedianAnomaly: weekday-adjusted spike flagged, flat days not") {
+    import spark.implicits._
+    // 14 flat days at 100 except one 10000 spike: weekday medians stay
+    // 100 (lower median), residuals 0 everywhere else, MAD 0 -> only
+    // the spike day exceeds the fence
+    val days = (1 to 14).map(i => (java.sql.Date.valueOf(f"2024-03-$i%02d"),
+      if (i == 9) 10000L else 100L)).toDF("d", "y")
+    val out = StatTests.seasonalMedianAnomaly(days, "d", "y").collect()
+    assert(out.length == 1, out.mkString(","))
+    val r = out.head
+    assert(r.getDate(0).toString == "2024-03-09" && r.getLong(1) == 10000L
+      && r.getLong(2) == 100L && r.getLong(3) == 9900L, r.toString)
   }
 
   test("ppsSystematicSample: budget exact, mass-proportional multiplicity") {

@@ -1187,6 +1187,50 @@ class StreamingExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("streaming EWMA: alert rows identical to the batch fold across batch splits") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def t(s: String) = Timestamp.valueOf(s)
+    val h = 250L
+    // user 1 ramps the smoothed level over h then decays below; user 2
+    // stays under. s <- (s + cents) div 2 from 0:
+    // u1: 400->200, 500->350 ALERT, 300->325 ALERT, 0->162
+    // u2: 300->150, 100->125
+    val rows = Seq(
+      (1L, t("2024-03-01 10:00:00"), 1L, 4.0),
+      (2L, t("2024-03-01 10:00:01"), 2L, 3.0),
+      (1L, t("2024-03-01 10:01:00"), 3L, 5.0),
+      (1L, t("2024-03-01 10:02:00"), 4L, 3.0),
+      (2L, t("2024-03-01 10:02:30"), 5L, 1.0),
+      (1L, t("2024-03-01 10:03:00"), 6L, 0.0))
+    val input = MemoryStream[(Long, Timestamp, Long, Double)](spark)
+    val out = graft.analytics.EventsQueries.ewmaAlertsStream(
+      input.toDS().toDF("user_id", "ts", "event_id", "value"), h = h)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("ewma_stream")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ewma").toString)
+      .start()
+    val (b1, b2) = rows.splitAt(3)   // split MID-run of user 1
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ewma_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val golden = rows.groupBy(_._1).flatMap { case (u, rs) =>
+      var acc = 0L
+      rs.sortBy(r => (r._2.getTime, r._3)).flatMap { case (_, ts, _, v) =>
+        acc = Math.floorDiv(acc + math.round(v * 100), 2L)
+        if (acc > h) Some((u, ts.getTime * 1000, acc)) else None
+      }
+    }.toSet
+    assert(got == golden, s"stream $got vs golden $golden")
+    assert(got.map(_._1) == Set(1L) && got.size == 2, got.toString)
+  }
+
   test("streaming CUSUM: alert rows identical to the batch fold across batch splits") {
     import spark.implicits._
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
