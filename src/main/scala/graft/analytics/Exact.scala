@@ -55,17 +55,39 @@ object Scans {
     * inside stats estimation — observed as a single-core planner hang.
     *
     * Rebuilding the frame from the checkpointed RDD resets the leaf to
-    * `defaultSizeInBytes`, CONSTANT across rounds. Cost: one extra
-    * Row decode/encode pass per materialization (loop-state frames are
-    * component-domain-sized — noise), and broadcast planning inside the
-    * loop is forfeited (the leaf claims default size), which is the
-    * safe direction for unbounded-size state. Use for loop STATE in
-    * nested iterative ops; plain localCheckpoint stays right for
-    * one-shot materializations and single bounded loops.
+    * `defaultSizeInBytes`, CONSTANT across rounds. Broadcast planning
+    * inside the loop is forfeited (the leaf claims default size) —
+    * the safe direction for unbounded-size state, and measured noise
+    * on the loops that use this (their wall time is job latency, not
+    * join strategy). Two tempting "improvements" are KNOWN BAD here:
+    * cache-based materialization (persist + count) fixes the stats but
+    * does NOT truncate the LOGICAL plan — an iterative op referencing
+    * its state 3× per round grows the plan tree 3^k nodes until AQE's
+    * plan-change logging OOMs the driver rendering the explain string
+    * (observed at 8 GB heap, sf0.1 SCC; LogicalRDD truncation is
+    * load-bearing, not cosmetic); and multi-hop/multi-jump fusion per
+    * materialization just moves cost from iteration count into plan
+    * size — per-iteration wall time scales with the number of
+    * joins in the plan, so total time is invariant (measured on the
+    * Borůvka merge). `parts > 0` coalesces first — a 32-task stage on
+    * a 10⁴-row frame is pure scheduler overhead.
     */
-  def rebase(df: DataFrame): DataFrame = {
-    val cp = df.localCheckpoint()
+  def rebase(df: DataFrame, parts: Int = 0): DataFrame = {
+    val cp = (if (parts > 0) df.coalesce(parts) else df).localCheckpoint()
     cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+  }
+
+  /** [[rebase]] the next loop state, releasing the previous one's
+    * blocks if its materialization holds any (a no-op for the
+    * checkpoint-backed path, where the context cleaner reclaims
+    * unreferenced checkpoint blocks — kept so loop call sites state
+    * their lifetime intent once, whatever rebase's storage becomes).
+    */
+  def rebaseSwap(next: DataFrame, prev: DataFrame,
+      parts: Int = 0): DataFrame = {
+    val c = rebase(next, parts)
+    if (prev != null) prev.unpersist(blocking = false)
+    c
   }
 
   /** Inclusive running sum of `weight` over `orderCol` ascending, as a new

@@ -1881,15 +1881,19 @@ object GraphOps {
     val edges0 = edgesIn.select(col("src").cast("bigint").as("src"),
       col("dst").cast("bigint").as("dst")).distinct().localCheckpoint()
     var nodes = Scans.rebase(nodesIn
-      .select(col("node").cast("bigint").as("node")).distinct())
+      .select(col("node").cast("bigint").as("node")).distinct(), 8)
     var edges = edges0
     var assigned: DataFrame = null
     var outer = 0
     while (!nodes.isEmpty) {
       if (outer >= maxOuter) throw new IllegalStateException(
         s"stronglyConnectedComponents: peel did not finish in $maxOuter rounds")
-      // (1) forward min-label color fixpoint
-      var colr = Scans.rebase(nodes.withColumn("c", col("node")))
+      // (1) forward min-label color fixpoint, pointer-jump accelerated:
+      // col(v) is an ANCESTOR-or-self of v, and ancestors(col(v)) ⊆
+      // ancestors(v), so the label-of-label shortcut col(v) ←
+      // min(col(v), col(col(v))) is sound — rounds drop from
+      // O(diameter) to O(log diameter), same fixpoint (min ancestor).
+      var colr = Scans.rebase(nodes.withColumn("c", col("node")), 8)
       var conv = false
       var i = 0
       while (!conv) {
@@ -1897,47 +1901,66 @@ object GraphOps {
           s"stronglyConnectedComponents: forward fixpoint exceeded $maxInner rounds")
         val push = edges.join(colr, edges("src") === colr("node"))
           .groupBy(edges("dst").as("pn")).agg(min(col("c")).as("nc"))
+        val parent = colr.select(col("node").as("pid"), col("c").as("pl"))
         val upd = Scans.rebase(
           colr.join(push, colr("node") === col("pn"), "left")
             .select(colr("node"), col("c").as("old"),
-              least(col("c"), coalesce(col("nc"), col("c"))).as("c")))
+              least(col("c"), coalesce(col("nc"), col("c"))).as("c1"))
+            .join(parent, col("c1") === col("pid"), "left")
+            .select(col("node"), col("old"),
+              least(col("c1"), coalesce(col("pl"), col("c1"))).as("c")), 8)
         conv = upd.filter(col("c") =!= col("old")).isEmpty
-        colr = upd.select(col("node"), col("c"))
+        colr.unpersist(blocking = false)
+        colr = upd
         i += 1
       }
-      // (2) backward reach from heads inside each color class
-      val ec = edges
+      // (2) backward confirmation as a DESCENDANT-min fixpoint within
+      // each color class (bw(v) = min node v reaches inside the class;
+      // the class head c is the class MINIMUM, so bw(v) = c ⟺ v reaches
+      // c ⟺ v ∈ SCC(c)) — same label-of-label shortcut as the forward
+      // pass (descendants(bw(v)) ⊆ descendants(v)), O(log diameter).
+      val ecb = Scans.rebase(edges
         .join(colr.select(col("node").as("src"), col("c").as("cs")), "src")
         .join(colr.select(col("node").as("dst"), col("c").as("cd")), "dst")
         .filter(col("cs") === col("cd"))
-        .select(col("src"), col("dst"))
-      val ecb = Scans.rebase(ec)
-      var rch = Scans.rebase(
-        colr.filter(col("node") === col("c")).select(col("node")))
+        .select(col("src"), col("dst")), 8)
+      var bw = Scans.rebase(colr.select(col("node"), col("c"),
+        col("node").as("b")), 8)
       conv = false
       i = 0
       while (!conv) {
         if (i >= maxInner) throw new IllegalStateException(
           s"stronglyConnectedComponents: backward fixpoint exceeded $maxInner rounds")
-        val more = Scans.rebase(
-          ecb.join(rch, ecb("dst") === rch("node"))
-            .select(ecb("src").as("node")).distinct()
-            .join(rch, Seq("node"), "left_anti"))
-        conv = more.isEmpty
-        if (!conv) rch = Scans.rebase(rch.unionByName(more))
+        val pull = ecb.join(bw, ecb("dst") === bw("node"))
+          .groupBy(ecb("src").as("pn")).agg(min(col("b")).as("nb"))
+        val parent = bw.select(col("node").as("pid"), col("b").as("pb"))
+        val upd = Scans.rebase(
+          bw.join(pull, bw("node") === col("pn"), "left")
+            .select(bw("node"), bw("c"), col("b").as("old"),
+              least(col("b"), coalesce(col("nb"), col("b"))).as("b1"))
+            .join(parent, col("b1") === col("pid"), "left")
+            .select(col("node"), col("c"), col("old"),
+              least(col("b1"), coalesce(col("pb"), col("b1"))).as("b")), 8)
+        conv = upd.filter(col("b") =!= col("old")).isEmpty
+        bw.unpersist(blocking = false)
+        bw = upd
         i += 1
       }
       // (3) extract confirmed SCCs, peel, recurse on the rest
-      val found = Scans.rebase(colr.join(rch, "node")
-        .select(col("node"), col("c").as("scc")))
+      val found = Scans.rebase(bw.filter(col("b") === col("c"))
+        .select(col("node"), col("c").as("scc")), 8)
       assigned =
-        if (assigned == null) found
-        else assigned.unionByName(found).localCheckpoint()
+        if (assigned == null) Scans.rebase(found, 8)
+        else Scans.rebaseSwap(assigned.unionByName(found), assigned, 8)
+      val prevNodes = nodes
+      val prevEdges = edges
       nodes = Scans.rebase(
-        nodes.join(found.select(col("node")), Seq("node"), "left_anti"))
+        nodes.join(found.select(col("node")), Seq("node"), "left_anti"), 8)
       edges = Scans.rebase(edges
         .join(found.select(col("node").as("src")), Seq("src"), "left_anti")
-        .join(found.select(col("node").as("dst")), Seq("dst"), "left_anti"))
+        .join(found.select(col("node").as("dst")), Seq("dst"), "left_anti"), 8)
+      Seq(prevNodes, prevEdges, colr, ecb, bw, found).foreach(
+        _.unpersist(blocking = false))
       outer += 1
     }
     assigned.groupBy(col("scc")).agg(count(lit(1)).as("size"))
@@ -2042,45 +2065,52 @@ object GraphOps {
       .localCheckpoint()
     val nodes = e.select(col("a").as("node"))
       .unionByName(e.select(col("b").as("node"))).distinct().localCheckpoint()
-    var comp = Scans.rebase(nodes.withColumn("c", col("node")))
-    var chosen: DataFrame = null
+    var comp = Scans.rebase(nodes.withColumn("c", col("node")), 8)
+    val allPicks = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var done = false
     var r = 0
     while (!done) {
       if (r >= maxRounds) throw new IllegalStateException(
         s"minimumSpanningForest: did not converge in $maxRounds rounds")
+      // ONE materialization per round: stamp component ids, take each
+      // component's min cross edge as a struct so the PARTNER component
+      // rides along with the winning ekey — no join-back, no separate
+      // cross-edge frame
       val ce = e
         .join(comp.select(col("node").as("a"), col("c").as("ca")), "a")
         .join(comp.select(col("node").as("b"), col("c").as("cb")), "b")
         .filter(col("ca") =!= col("cb"))
-        .select(col("ca"), col("cb"), col("ekey")).localCheckpoint()
-      if (ce.isEmpty) done = true
+      val picks = Scans.rebase(
+        ce.select(col("ca").as("cc"), col("ekey"), col("cb").as("oc"))
+          .unionByName(
+            ce.select(col("cb").as("cc"), col("ekey"), col("ca").as("oc")))
+          .groupBy(col("cc"))
+          .agg(min(struct(col("ekey"), col("oc"))).as("m"))
+          .select(col("cc"), col("m.ekey").as("ekey"),
+            col("m.oc").as("partner")), 8)
+      if (picks.isEmpty) done = true
       else {
-        val picks = ce.select(col("ca").as("cc"), col("ekey"))
-          .unionByName(ce.select(col("cb").as("cc"), col("ekey")))
-          .groupBy(col("cc")).agg(min(col("ekey")).as("ekey"))
-          .select(col("ekey")).distinct()
-          .join(e, "ekey")
-          .select(col("a"), col("b"), col("w"), col("ekey"))
-          .localCheckpoint()
-        chosen =
-          if (chosen == null) picks
-          else Scans.rebase(chosen.unionByName(picks))
-        // merge via CC over the COMPONENT-level pick graph (tiny), then
-        // compose: new comp = min old-comp label in the merged cluster,
-        // which is the min NODE id of the merged component (old labels
-        // are themselves component minima) — canonical at every round.
-        val pe = picks
-          .join(comp.select(col("node").as("a"), col("c").as("pca")), "a")
-          .join(comp.select(col("node").as("b"), col("c").as("pcb")), "b")
-          .select(col("pca").as("d1"), col("pcb").as("d2"))
-        val lbl = DedupOps.nearDupClusters(pe)
+        allPicks += picks.select(col("ekey"))
+        // merge: CC over the component-level pick graph (cc — partner
+        // covers every chosen edge from its picker's side; tiny frame,
+        // shrinking geometrically), then compose labels — new comp =
+        // min old-comp label in the merged cluster = min NODE id of the
+        // merged component (old labels are themselves component minima)
+        val lbl = DedupOps.nearDupClusters(
+            picks.select(col("cc").as("d1"), col("partner").as("d2")))
           .select(col("doc_id").as("oc"), col("cluster_id").as("nc"))
-        comp = Scans.rebase(comp.join(lbl, comp("c") === col("oc"), "left")
-          .select(col("node"), coalesce(col("nc"), col("c")).as("c")))
+        comp = Scans.rebaseSwap(
+          comp.join(lbl, comp("c") === col("oc"), "left")
+            .select(col("node"), coalesce(col("nc"), col("c")).as("c")),
+          comp, 8)
         r += 1
       }
     }
+    // the accumulated picks are only read HERE (totals): one dedup union
+    // at the end instead of a materialization per round
+    val chosen =
+      if (allPicks.isEmpty) null
+      else allPicks.reduce(_ unionByName _).distinct().join(e, "ekey")
     val nN = nodes.agg(count(lit(1)).as("n_nodes"))
     val nC = comp.agg(countDistinct(col("c")).as("n_components"))
     val ch =
@@ -2281,7 +2311,7 @@ object GraphOps {
       edges.select(col("src").as("node")).distinct()
         .withColumn("pr", expr(
           s"cast(${Nlp.h60("concat('mis:', cast(node as string))")} " +
-            "as decimal(38,0)) * 10000000000 + node")))
+            "as decimal(38,0)) * 10000000000 + node")), 8)
     var mis: DataFrame = null
     var r = 0
     while (!live.isEmpty) {
@@ -2295,14 +2325,16 @@ object GraphOps {
       val winners = Scans.rebase(
         live.join(nbrMin, live("node") === col("mn_node"), "left")
           .filter(col("mn").isNull || col("pr") < col("mn"))
-          .select(col("node")))
+          .select(col("node")), 8)
       mis = if (mis == null) winners
-        else Scans.rebase(mis.unionByName(winners))
+        else Scans.rebaseSwap(mis.unionByName(winners), mis, 8)
       val dead = winners.unionByName(
           edges.join(winners.select(col("node").as("src")), "src")
             .select(col("dst").as("node")))
         .distinct()
-      live = Scans.rebase(live.join(dead, Seq("node"), "left_anti"))
+      live = Scans.rebaseSwap(live.join(dead, Seq("node"), "left_anti"),
+        live, 8)
+      if (mis ne winners) winners.unpersist(blocking = false)
       r += 1
     }
     mis.orderBy(col("node"))
