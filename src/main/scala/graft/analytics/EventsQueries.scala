@@ -610,6 +610,155 @@ object EventsQueries {
       .toDF("user_id", "us", "s")
   }
 
+  /** Token-bucket admission audit — "which requests would a per-user
+    * rate limiter have rejected": a bucket of capacity `RlCap` refills
+    * at `RlRate` cents per second of event time; each event spends its
+    * value; an event whose cost exceeds the balance is rejected with
+    * the bucket unchanged (strict policy). The retroactive what-if
+    * behind quota/abuse-control tuning. Integer throughout (refill =
+    * rate·⌊Δus/10⁶⌋); the refill-then-spend recurrence is reset-free
+    * but CLAMPED above (min with cap), so like CUSUM/EWMA it needs the
+    * typed per-key fold; oracle = per-user recursive CTE; streaming
+    * twin = [[graft.streaming.RateLimitProcessor]] with two longs of
+    * state per entity.
+    */
+  private val RlCap = 20000L   // bucket capacity (cents)
+  private val RlRate = 50L     // refill (cents per second)
+
+  private val qRateLimit = GraftQuery(
+    "qe_rate_limit",
+    (s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"), round(col("value") * 100).cast("bigint").as("cents"))
+        .as[(Long, Long, Long, Long)]
+        .groupByKey(_._1)
+        .flatMapGroups { (u: Long, it: Iterator[(Long, Long, Long, Long)]) =>
+          var tok = -1L
+          var lastUs = 0L
+          it.toVector.sortBy(r => (r._2, r._3)).flatMap { case (_, us, _, c) =>
+            val avail =
+              if (tok < 0L) RlCap
+              else math.min(RlCap, tok + RlRate * ((us - lastUs) / 1000000L))
+            val admitted = avail >= c
+            tok = if (admitted) avail - c else avail
+            lastUs = us
+            if (admitted) None else Some((u, us, c, avail))
+          }.iterator
+        }
+        .toDF("user_id", "us", "cents", "avail")
+        .orderBy(col("user_id"), col("us"))
+    },
+    Some(s"""WITH RECURSIVE e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        CAST(round(value * 100) AS BIGINT) AS cents,
+        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+    c AS (
+      SELECT user_id, us, rn, cents, CAST($RlCap AS BIGINT) AS avail,
+        CASE WHEN $RlCap >= cents THEN $RlCap - cents
+          ELSE CAST($RlCap AS BIGINT) END AS tok
+      FROM e WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.us, e.rn, e.cents,
+        LEAST($RlCap, c.tok + $RlRate * ((e.us - c.us) // 1000000)) AS avail,
+        CASE WHEN LEAST($RlCap, c.tok + $RlRate * ((e.us - c.us) // 1000000))
+            >= e.cents
+          THEN LEAST($RlCap, c.tok + $RlRate * ((e.us - c.us) // 1000000))
+            - e.cents
+          ELSE LEAST($RlCap, c.tok + $RlRate * ((e.us - c.us) // 1000000))
+          END AS tok
+      FROM c JOIN e ON e.user_id = c.user_id AND e.rn = c.rn + 1)
+    SELECT user_id, us, cents, avail FROM c
+    WHERE avail < cents ORDER BY user_id, us"""))
+
+  /** Streaming twin of [[qRateLimit]]: (tokens, last-us) state on
+    * `transformWithState` — StreamingExtrasSpec pins stream ≡ batch
+    * across a mid-key micro-batch split.
+    */
+  def rateLimitStream(events: DataFrame, cap: Long = RlCap,
+      rate: Long = RlRate, tsCol: String = "ts", userCol: String = "user_id",
+      idCol: String = "event_id", valueCol: String = "value"): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .select(col(userCol).cast("long").as("u"),
+        unix_micros(col(tsCol)).as("us"), col(idCol).cast("long").as("eid"),
+        round(col(valueCol) * 100).cast("bigint").as("cents"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new graft.streaming.RateLimitProcessor(cap, rate),
+        TimeMode.None(), OutputMode.Append())
+      .toDF("user_id", "us", "cents", "avail")
+  }
+
+  /** Peak concurrency — the capacity-planning number: how many user
+    * sessions were EVER active at once, and when that peak was first
+    * hit. Sessions are the 30-minute-gap islands (the qe_sessionize_30m
+    * rule); each contributes +1 at its start and −1 just after its end,
+    * and the running sum over the unique endpoint order (time, starts
+    * before ends, user tiebreak — all folded into one composite key) is
+    * the instantaneous concurrency. The running sum is
+    * [[Scans.rangedCumSum]] — at any scale this is one range exchange,
+    * never a global single-partition window.
+    *
+    * Output (1 row): (n_sessions, peak, first_peak_us).
+    */
+  private val qPeakConcurrency = GraftQuery(
+    "qe_peak_concurrency",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      val iv = Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("pus", lag(col("us"), 1).over(w))
+        .withColumn("brk",
+          when(col("pus").isNull || col("us") - col("pus") > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum(col("brk")).over(w))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("us")).as("a"), max(col("us")).as("b"))
+      val pts = iv.select((col("a") * 2).as("t2"), lit(1L).as("d"),
+          col("user_id"))
+        .unionByName(iv.select(((col("b") + 1) * 2 + 1).as("t2"),
+          lit(-1L).as("d"), col("user_id")))
+        .withColumn("k", expr(
+          "cast(t2 as decimal(38,0)) * 10000000 + user_id"))
+      val cum = Scans.rangedCumSum(pts, "k", col("d"), "conc")
+        .localCheckpoint()
+      val peak = cum.agg(max(col("conc")).as("peak")).localCheckpoint()
+      val at = cum.crossJoin(broadcast(peak))
+        .filter(col("conc") === col("peak"))
+        .agg(min(col("k")).as("kmin"), max(col("peak")).as("peak"))
+      iv.agg(count(lit(1)).as("n_sessions"))
+        .crossJoin(broadcast(at))
+        .select(col("n_sessions"), col("peak").cast("long").as("peak"),
+          expr("cast((kmin div 10000000) div 2 as bigint)")
+            .as("first_peak_us"))
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+    l AS (SELECT user_id, us,
+        LAG(us) OVER (PARTITION BY user_id ORDER BY us) AS pus FROM e),
+    s AS (SELECT user_id, us,
+        CASE WHEN pus IS NULL OR us - pus > 1800000000 THEN 1 ELSE 0 END
+          AS brk FROM l),
+    g AS (SELECT user_id, us,
+        SUM(brk) OVER (PARTITION BY user_id ORDER BY us) AS sid FROM s),
+    iv AS (SELECT user_id, sid, MIN(us) AS a, MAX(us) AS b
+      FROM g GROUP BY 1, 2),
+    pts AS (SELECT CAST(a * 2 AS HUGEINT) * 10000000 + user_id AS k, 1 AS d
+        FROM iv
+      UNION ALL
+      SELECT CAST((b + 1) * 2 + 1 AS HUGEINT) * 10000000 + user_id, -1
+        FROM iv),
+    cum AS (SELECT k, SUM(d) OVER (ORDER BY k
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc FROM pts),
+    pk AS (SELECT MAX(conc) AS peak FROM cum),
+    at AS (SELECT MIN(k) AS kmin FROM cum, pk WHERE conc = peak)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM iv) AS n_sessions,
+      (SELECT CAST(peak AS BIGINT) FROM pk) AS peak,
+      (SELECT CAST((kmin // 10000000) // 2 AS BIGINT) FROM at)
+        AS first_peak_us"""))
+
   /** Inter-event burstiness per event type — Goh & Barabási's
     * B = (σ−μ)/(σ+μ) over inter-arrival gaps: −1 = metronome-regular,
     * 0 = Poisson, →1 = heavy-tailed bursts. The temporal-pattern
@@ -2135,8 +2284,8 @@ object EventsQueries {
   val queries: Seq[GraftQuery] =
     Seq(qTumbling, qSliding, qSessions, qJson, qTopUsers, qDeltas, qZscore,
       qFunnel, qRetention, qResample, qHistogram, qPattern, qTransitions,
-      qDecayWma, qAttribution, qCusum, qEwma, qMadAnomaly, qTopPaths,
-      qSlidingDistinct,
+      qDecayWma, qAttribution, qCusum, qEwma, qRateLimit, qPeakConcurrency,
+      qMadAnomaly, qTopPaths, qSlidingDistinct,
       qSeasonal, qFunnelTime, qCep, qStreak, qCoverage, qOhlc, qLatencySlo, qRfm,
       qLtv, qDauMau, qHeatmap, qStationary, qLifecycle, qSeqPatterns, qHllSliding,
       qShapley, qKaplanMeier, qNelsonAalen, qLogRank, qBurstiness)

@@ -3143,6 +3143,91 @@ object StatTests {
       MAX(CASE WHEN o THEN v END) AS worst_hi
     FROM f GROUP BY g ORDER BY g"""))
 
+  // ------------------------------------------- Hartley's Fmax screen
+  /** Hartley's Fmax variance-homogeneity screen — max/min of the k
+    * group variances, the one-number "can I even pool these groups"
+    * read BEFORE ANOVA-family tests (whose equal-variance assumption
+    * Brown–Forsythe tests formally; Fmax is the cheap triage number).
+    * Exact: per-group variance as the integer pair (num = n·Σx²−(Σx)²,
+    * den = n·(n−1)) in DECIMAL(38,0); the extreme groups are chosen by
+    * CROSS-MULTIPLIED comparison (num_a·den_b vs num_b·den_a — no
+    * division until the readout), deterministic group-id tiebreaks;
+    * fmax_milli is one floored division of the cross products. One
+    * corpus aggregation to a k-row frame; everything after is k-row
+    * arithmetic.
+    *
+    * Output (1 row): (k, g_hi, v_hi_milli, g_lo, v_lo_milli,
+    * fmax_milli).
+    */
+  def hartleyFmax(vals: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val g = vals.select(col(groupCol).as("g"),
+        col(valueCol).cast("long").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("v"))).as("s"),
+        sum(dec(col("v")) * col("v")).as("ss"))
+      .filter(col("n") >= 2)
+      .select(col("g"),
+        (dec(col("n")) * col("ss") - col("s") * col("s")).as("num"),
+        (dec(col("n")) * (col("n") - 1)).as("den"))
+      .localCheckpoint()
+    // k-row frame: extremes by cross-multiplied variance, id tiebreak
+    val hi = g.as("a").join(g.as("b"),
+        col("a.num") * col("b.den") < col("b.num") * col("a.den") ||
+          (col("a.num") * col("b.den") === col("b.num") * col("a.den") &&
+            col("a.g") < col("b.g")), "left_anti")
+      .select(col("g").as("g_hi"), col("num").as("num_hi"),
+        col("den").as("den_hi"))
+    val lo = g.as("a").join(g.as("b"),
+        col("a.num") * col("b.den") > col("b.num") * col("a.den") ||
+          (col("a.num") * col("b.den") === col("b.num") * col("a.den") &&
+            col("a.g") > col("b.g")), "left_anti")
+      .select(col("g").as("g_lo"), col("num").as("num_lo"),
+        col("den").as("den_lo"))
+    g.agg(count(lit(1)).as("k"))
+      .crossJoin(broadcast(hi)).crossJoin(broadcast(lo))
+      .select(col("k"), col("g_hi"),
+        expr("CAST((1000 * num_hi) div den_hi AS BIGINT)").as("v_hi_milli"),
+        col("g_lo"),
+        expr("CAST((1000 * num_lo) div den_lo AS BIGINT)").as("v_lo_milli"),
+        expr("""CAST((1000 * num_hi * den_lo)
+          div nullif(num_lo * den_hi, cast(0 as decimal(38,0)))
+          AS BIGINT)""").as("fmax_milli"))
+  }
+
+  /** Event-value variance spread across event types — how far from
+    * variance-homogeneous the ANOVA binding's groups really are.
+    */
+  private val qHartley = GraftQuery(
+    "qstat_hartley_fmax",
+    (s, dir) => hartleyFmax(
+      Tables.events(s, dir)
+        .select(col("event_type").as("t"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents")),
+      "t", "cents"),
+    Some("""WITH g AS (SELECT event_type AS g, COUNT(*) AS n,
+        SUM(CAST(round(value * 100) AS BIGINT)) AS s,
+        SUM(CAST(round(value * 100) AS HUGEINT)
+          * CAST(round(value * 100) AS BIGINT)) AS ss
+      FROM events WHERE value IS NOT NULL GROUP BY 1 HAVING COUNT(*) >= 2),
+    v AS (SELECT g, CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s AS num,
+        CAST(n AS HUGEINT) * (n - 1) AS den FROM g),
+    hi AS (SELECT g AS g_hi, num AS num_hi, den AS den_hi FROM v a
+      WHERE NOT EXISTS (SELECT 1 FROM v b
+        WHERE a.num * b.den < b.num * a.den
+          OR (a.num * b.den = b.num * a.den AND a.g < b.g))),
+    lo AS (SELECT g AS g_lo, num AS num_lo, den AS den_lo FROM v a
+      WHERE NOT EXISTS (SELECT 1 FROM v b
+        WHERE a.num * b.den > b.num * a.den
+          OR (a.num * b.den = b.num * a.den AND a.g > b.g)))
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS k, g_hi,
+      CAST((1000 * num_hi) // den_hi AS BIGINT) AS v_hi_milli,
+      g_lo, CAST((1000 * num_lo) // den_lo AS BIGINT) AS v_lo_milli,
+      CAST((1000 * num_hi * den_lo)
+        // NULLIF(num_lo * den_hi, 0) AS BIGINT) AS fmax_milli
+    FROM hi, lo"""))
+
   // ----------------------------------- seasonal-median anomaly days
   /** Seasonality-adjusted anomaly days — the robust STL-lite screen:
     * expected level per calendar slot = exact lower median of the
@@ -3354,5 +3439,5 @@ object StatTests {
       qLevene, qMannKendall, qKruskal, qKde, qGamesHowell, qWilson, qFriedman,
       qCochran, qLjungBox, qJonckheere, qCliffs, qCochranArmitage,
       qMoodMedian, qCvm, qPageTrend, qHodgesLehmann, qBrunnerMunzel,
-      qMad, qAnsari, qSeasonalAnomaly)
+      qMad, qAnsari, qSeasonalAnomaly, qHartley)
 }

@@ -1196,9 +1196,71 @@ object TextOps {
         AS alloc
     FROM rk ORDER BY grp"""))
 
+  // --------------------------------------- code-switch detection
+  /** Within-document language mixing ("code-switching") detector — the
+    * per-SEGMENT upgrade of [[langId]]'s whole-doc vote: a document that
+    * opens in one language and switches mid-way averages out to a
+    * confident-looking whole-doc label, which is exactly how mixed docs
+    * slip past per-doc language filters into "monolingual" corpora. The
+    * doc's tokens split into `segs` equal chunks, each chunk votes with
+    * the same stopword rule, a chunk with zero stopword hits abstains,
+    * and a doc is MIXED when labeled chunks disagree. Map-only — one
+    * nested array expression, streams as-is.
+    *
+    * Output: (doc_id, n_labeled, n_en, n_data, mixed), ordered by id.
+    */
+  def codeSwitch(docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      segs: Int = 4): org.apache.spark.sql.DataFrame = {
+    require(segs >= 2 && segs <= 16, s"segs in [2, 16], got $segs")
+    norm(docs, idCol, textCol)
+      .withColumn("toks", expr(toksExpr))
+      .withColumn("L", expr(s"(size(toks) + ${segs - 1}) div $segs"))
+      .withColumn("labs", expr(
+        s"""transform(sequence(0, ${segs - 1}), i -> CASE
+          WHEN size(filter(slice(toks, i * L + 1, L), x -> x IN $stopEn))
+             + size(filter(slice(toks, i * L + 1, L), x -> x IN $stopData))
+             = 0 THEN NULL
+          WHEN size(filter(slice(toks, i * L + 1, L), x -> x IN $stopEn)) * 3
+            >= size(filter(slice(toks, i * L + 1, L), x -> x IN $stopData))
+            THEN 'en' ELSE 'data' END)"""))
+      .select(col("doc_id"),
+        expr("size(filter(labs, p -> p IS NOT NULL))").as("n_labeled"),
+        expr("size(filter(labs, p -> p = 'en'))").as("n_en"),
+        expr("size(filter(labs, p -> p = 'data'))").as("n_data"),
+        expr("""size(filter(labs, p -> p = 'en')) > 0
+          AND size(filter(labs, p -> p = 'data')) > 0""").as("mixed"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qCodeSwitch = GraftQuery(
+    "qt_code_switch",
+    (s, dir) => codeSwitch(Tables.documents(s, dir)),
+    Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+    b AS (SELECT doc_id, toks, (len(toks) + 3) // 4 AS L FROM t),
+    lb AS (SELECT doc_id, list_transform(generate_series(0, 3), i -> CASE
+        WHEN len(list_filter(toks[i * L + 1 : (i + 1) * L],
+            x -> x IN $stopEn))
+          + len(list_filter(toks[i * L + 1 : (i + 1) * L],
+            x -> x IN $stopData)) = 0 THEN NULL
+        WHEN len(list_filter(toks[i * L + 1 : (i + 1) * L],
+            x -> x IN $stopEn)) * 3
+          >= len(list_filter(toks[i * L + 1 : (i + 1) * L],
+            x -> x IN $stopData))
+          THEN 'en' ELSE 'data' END) AS labs
+      FROM b)
+    SELECT doc_id,
+      CAST(len(list_filter(labs, p -> p IS NOT NULL)) AS INT) AS n_labeled,
+      CAST(len(list_filter(labs, p -> p = 'en')) AS INT) AS n_en,
+      CAST(len(list_filter(labs, p -> p = 'data')) AS INT) AS n_data,
+      len(list_filter(labs, p -> p = 'en')) > 0
+        AND len(list_filter(labs, p -> p = 'data')) > 0 AS mixed
+    FROM lb ORDER BY doc_id"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qTokens, qBpeTokens, qLangId, qQuality, qFingerprint, qSplit, qRebalance,
       qRepetition, qLineDedup, qContamination, qStratified, qWeighted,
       qReadability, qLangConfusion, qDupNgram, qReadPct, qLengthHist,
-      qSpanCorrupt, qFim, qTextTiling, qTauWeights, qKeyness, qNeyman)
+      qSpanCorrupt, qFim, qTextTiling, qTauWeights, qKeyness, qNeyman,
+      qCodeSwitch)
 }

@@ -2826,6 +2826,30 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f.isNullAt(2), f.toString)
   }
 
+  test("hartleyFmax: cross-multiplied extremes, exact milli ratio") {
+    import spark.implicits._
+    // a: {0,2} var 2; b: {0,6} var 18 -> Fmax = 9.000
+    val v = Seq(("a", 0L), ("a", 2L), ("b", 0L), ("b", 6L)).toDF("grp", "x")
+    val r = StatTests.hartleyFmax(v, "grp", "x").collect().head
+    assert((r.getLong(0), r.getString(1), r.getLong(2), r.getString(3),
+      r.getLong(4), r.getLong(5)) == ((2L, "b", 18000L, "a", 2000L, 9000L)),
+      r.toString)
+  }
+
+  test("codeSwitch: mid-document language flip flagged, pure docs not") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the the the the table table table table"),   // en -> data
+      (2L, "the the the the the the the the"),            // pure en
+      (3L, "window window window window")                 // no votes at all
+    ).toDF("doc_id", "text")
+    val out = TextOps.codeSwitch(d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getBoolean(4))).toSeq
+    assert(out == Seq((1L, 4, 2, 2, true), (2L, 4, 4, 0, false),
+      (3L, 0, 0, 0, false)), out.toString)
+  }
+
   test("maximalIndependentSet: independent, maximal, deterministic") {
     import spark.implicits._
     // path 1-2-3-4-5 plus a triangle 6-7-8

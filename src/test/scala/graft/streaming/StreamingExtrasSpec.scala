@@ -1231,6 +1231,55 @@ class StreamingExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.map(_._1) == Set(1L) && got.size == 2, got.toString)
   }
 
+  test("streaming rate limit: rejected rows identical to the batch fold across splits") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def t(s: String) = Timestamp.valueOf(s)
+    val cap = 300L; val rate = 1L   // cents per second
+    // u1: 250 admitted (tok 50); each later event sees only +10 cents
+    // of refill, so 200, 100, and 300 are ALL rejected (avail 60/70/80)
+    val rows = Seq(
+      (1L, t("2024-03-01 10:00:00"), 1L, 2.5),
+      (2L, t("2024-03-01 10:00:01"), 2L, 1.0),
+      (1L, t("2024-03-01 10:00:10"), 3L, 2.0),
+      (1L, t("2024-03-01 10:00:20"), 4L, 1.0),
+      (2L, t("2024-03-01 10:00:21"), 5L, 0.5),
+      (1L, t("2024-03-01 10:00:30"), 6L, 3.0))
+    val input = MemoryStream[(Long, Timestamp, Long, Double)](spark)
+    val out = graft.analytics.EventsQueries.rateLimitStream(
+      input.toDS().toDF("user_id", "ts", "event_id", "value"),
+      cap = cap, rate = rate)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("rl_stream")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-rl").toString)
+      .start()
+    val (b1, b2) = rows.splitAt(3)   // split MID-run of user 1
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("rl_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val golden = rows.groupBy(_._1).flatMap { case (u, rs) =>
+      var tok = -1L; var last = 0L
+      rs.sortBy(r => (r._2.getTime, r._3)).flatMap { case (_, ts, _, v) =>
+        val us = ts.getTime * 1000
+        val c = math.round(v * 100)
+        val avail = if (tok < 0) cap
+          else math.min(cap, tok + rate * ((us - last) / 1000000L))
+        val adm = avail >= c
+        tok = if (adm) avail - c else avail
+        last = us
+        if (adm) None else Some((u, us, c, avail))
+      }
+    }.toSet
+    assert(got == golden, s"stream $got vs golden $golden")
+    assert(got.map(_._1) == Set(1L) && got.size == 3, got.toString)
+  }
+
   test("streaming CUSUM: alert rows identical to the batch fold across batch splits") {
     import spark.implicits._
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
