@@ -657,7 +657,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // per-round pick/merge joins are node/component-keyed; wl's rounds
     // are one edge⋈color join each. The iterative loops run at
     // construction — the returned frames must plan clean too.
-    Seq("qg_scc", "qg_mst", "qg_wl_refine").foreach { name =>
+    Seq("qg_scc", "qg_mst", "qg_wl_refine", "qg_mis").foreach { name =>
       val plan = graft.SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
@@ -669,5 +669,36 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(!plan.contains("BroadcastNestedLoopJoin"),
           s"$name planned a nested-loop join:\n$plan")
     }
+  }
+
+  test("r9 sessions 4-5: folds, sweeps, and k-row selections stay clean") {
+    // rate_limit/ewma are typed per-key folds (one exchange on the
+    // entity key); peak_concurrency's cumsum is the ranged scan, never
+    // a partition-less window over the corpus-scaled endpoint domain;
+    // code_switch is map-only; conformal/rouge/ansari/mad ride ranged
+    // scans and (pair, n, gram)-keyed joins. hartley_fmax's k-row
+    // extreme selection is a sanctioned bounded cross (k = event
+    // types) — cartesian still banned, BNL there is the correct plan.
+    Seq("qe_rate_limit", "qe_ewma_alerts", "qe_peak_concurrency",
+      "qt_code_switch", "qml_conformal", "qml_rouge",
+      "qstat_ansari_bradley", "qstat_mad_outliers",
+      "qstat_seasonal_anomaly", "qt_pps_sample", "qt_boilerplate",
+      "qstat_hartley_fmax").foreach { name =>
+      val plan = graft.SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name planned a cartesian product:\n$plan")
+    }
+    // peak concurrency must not plan a partition-less window over the
+    // endpoint stream (the ranged scan's ≤P-row offsets frame is the
+    // only unpartitioned window allowed anywhere)
+    val pc = graft.SparkEntry.queries("qe_peak_concurrency")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!pc.contains("CartesianProduct"), pc)
+    // code_switch stays one whole-stage-codegen'd map pass: no join,
+    // no exchange before its final sort
+    val cs = graft.SparkEntry.queries("qt_code_switch")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!cs.contains("Join"), s"qt_code_switch planned a join:\n$cs")
   }
 }
