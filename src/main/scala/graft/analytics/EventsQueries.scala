@@ -696,9 +696,12 @@ object EventsQueries {
     * sessions were EVER active at once, and when that peak was first
     * hit. Sessions are the 30-minute-gap islands (the qe_sessionize_30m
     * rule); each contributes +1 at its start and −1 just after its end,
-    * and the running sum over the unique endpoint order (time, starts
-    * before ends, user tiebreak — all folded into one composite key) is
-    * the instantaneous concurrency. The running sum is
+    * and the running sum over the unique endpoint order (time, ENDS
+    * before starts at the same tick — a session over [a,b] is not
+    * active at b+1, so back-to-back sessions [a,b],[b+1,..] never count
+    * as simultaneous — user tiebreak, all folded into one composite
+    * key) is the instantaneous closed-interval concurrency. The
+    * running sum is
     * [[Scans.rangedCumSum]] — at any scale this is one range exchange,
     * never a global single-partition window.
     *
@@ -717,9 +720,9 @@ object EventsQueries {
         .withColumn("sid", sum(col("brk")).over(w))
         .groupBy(col("user_id"), col("sid"))
         .agg(min(col("us")).as("a"), max(col("us")).as("b"))
-      val pts = iv.select((col("a") * 2).as("t2"), lit(1L).as("d"),
+      val pts = iv.select((col("a") * 2 + 1).as("t2"), lit(1L).as("d"),
           col("user_id"))
-        .unionByName(iv.select(((col("b") + 1) * 2 + 1).as("t2"),
+        .unionByName(iv.select(((col("b") + 1) * 2).as("t2"),
           lit(-1L).as("d"), col("user_id")))
         .withColumn("k", expr(
           "cast(t2 as decimal(38,0)) * 10000000 + user_id"))
@@ -745,10 +748,10 @@ object EventsQueries {
         SUM(brk) OVER (PARTITION BY user_id ORDER BY us) AS sid FROM s),
     iv AS (SELECT user_id, sid, MIN(us) AS a, MAX(us) AS b
       FROM g GROUP BY 1, 2),
-    pts AS (SELECT CAST(a * 2 AS HUGEINT) * 10000000 + user_id AS k, 1 AS d
-        FROM iv
+    pts AS (SELECT CAST(a * 2 + 1 AS HUGEINT) * 10000000 + user_id AS k,
+        1 AS d FROM iv
       UNION ALL
-      SELECT CAST((b + 1) * 2 + 1 AS HUGEINT) * 10000000 + user_id, -1
+      SELECT CAST((b + 1) * 2 AS HUGEINT) * 10000000 + user_id, -1
         FROM iv),
     cum AS (SELECT k, SUM(d) OVER (ORDER BY k
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc FROM pts),

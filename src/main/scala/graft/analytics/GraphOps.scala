@@ -1963,7 +1963,11 @@ object GraphOps {
         _.unpersist(blocking = false))
       outer += 1
     }
-    assigned.groupBy(col("scc")).agg(count(lit(1)).as("size"))
+    // Empty node universe: the peel never runs and assigned stays null —
+    // return an empty (scc, size) frame, not NPE.
+    val res = if (assigned == null)
+      nodes.select(col("node"), col("node").as("scc")) else assigned
+    res.groupBy(col("scc")).agg(count(lit(1)).as("size"))
       .orderBy(col("size").desc, col("scc"))
   }
 
@@ -2037,8 +2041,9 @@ object GraphOps {
     * Karloff–Suri–Vassilvitskii MRC model).
     *
     * Determinism: edge keys are made UNIQUE by the composite
-    * DECIMAL(38,0) encoding ekey = w·10¹⁴ + a·10⁷ + b (requires node
-    * ids < 10⁷ and weights < 10²⁴ — loud require below), so the MST is
+    * DECIMAL(38,0) encoding ekey = w·10¹⁴ + a·10⁷ + b (requires
+    * non-negative node ids < 10⁷ and weights in [0, 10²⁴) — enforced by
+    * a loud require over one bounds agg below), so the MST is
     * unique and every tie is broken identically on any engine,
     * partitioning, or retry — the distinct-weights precondition of
     * Borůvka's no-cycle argument, by construction.
@@ -2057,12 +2062,37 @@ object GraphOps {
   def minimumSpanningForest(edgesIn: DataFrame,
       maxRounds: Int = 24): DataFrame = {
     val e = edgesIn
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"), col("w"))
+      .select(least(col("src").cast("bigint"), col("dst").cast("bigint"))
+          .as("a"),
+        greatest(col("src").cast("bigint"), col("dst").cast("bigint"))
+          .as("b"),
+        col("w"))
       .groupBy(col("a"), col("b")).agg(min(col("w")).as("w"))
       .withColumn("ekey", expr(
         "cast(w as decimal(38,0)) * 100000000000000 + a * 10000000 + b"))
       .localCheckpoint()
+    // The promised loud bound check: one agg over the (checkpointed,
+    // deduped) edge frame. b >= a by construction, so max(b) bounds both
+    // node ids; w rides the top 24 digits of the DECIMAL(38,0) ekey.
+    val bd = e.agg(max(col("b")).as("mb"), min(col("a")).as("ma"),
+      max(col("w").cast("decimal(38,0)")).as("mw"),
+      min(col("w").cast("decimal(38,0)")).as("mnw")).head()
+    if (!bd.isNullAt(0)) {
+      require(bd.getLong(0) < 10000000L,
+        s"minimumSpanningForest: node id ${bd.getLong(0)} >= 1e7 would " +
+          "collide in the ekey composite (w*1e14 + a*1e7 + b) — rekey " +
+          "node ids below 1e7")
+      require(bd.getLong(1) >= 0L,
+        s"minimumSpanningForest: negative node id ${bd.getLong(1)} breaks " +
+          "the ekey composite ordering")
+      require(bd.getDecimal(2).compareTo(
+          new java.math.BigDecimal(java.math.BigInteger.TEN.pow(24))) < 0,
+        s"minimumSpanningForest: weight ${bd.getDecimal(2)} >= 1e24 " +
+          "overflows DECIMAL(38,0) ekey")
+      require(bd.getDecimal(3).signum() >= 0,
+        s"minimumSpanningForest: negative weight ${bd.getDecimal(3)} " +
+          "breaks the ekey composite ordering")
+    }
     val nodes = e.select(col("a").as("node"))
       .unionByName(e.select(col("b").as("node"))).distinct().localCheckpoint()
     var comp = Scans.rebase(nodes.withColumn("c", col("node")), 8)
@@ -2127,8 +2157,12 @@ object GraphOps {
   // converged — an exhausted round picks nothing and every later frame
   // is unchanged), each round's component relabeling a from-scratch
   // min-label closure (its own recursive CTE) over the accumulated
-  // forest. 16 rounds covers n ≤ 2¹⁶ nodes; sf0.01 needs ~11.
-  private val MstOracleRounds = 16
+  // forest. 24 rounds matches the engine's maxRounds (n ≤ 2²⁴ nodes;
+  // sf0.01 needs ~11, sf1's ~165k nodes ~18); the final SELECT asserts
+  // the LAST round picked nothing, so an under-provisioned oracle fails
+  // loudly as an oracle bug instead of silently diverging from the
+  // engine.
+  private val MstOracleRounds = 24
 
   private def mstRoundSql(r: Int): String = {
     val p = r - 1
@@ -2169,7 +2203,10 @@ object GraphOps {
       $rounds
       SELECT CAST((SELECT COUNT(*) FROM nodes) AS BIGINT) AS n_nodes,
         CAST((SELECT COUNT(DISTINCT c) FROM c$R) AS BIGINT) AS n_components,
-        CAST((SELECT COUNT(*) FROM ch$R) AS BIGINT) AS mst_edges,
+        CAST((SELECT CASE WHEN (SELECT COUNT(*) FROM pk$R) = 0
+            THEN COUNT(*)
+            ELSE CAST('mst-oracle-underprovisioned: raise MstOracleRounds'
+              AS BIGINT) END FROM ch$R) AS BIGINT) AS mst_edges,
         CAST((SELECT COALESCE(SUM(w), 0) FROM ch$R) AS BIGINT) AS total_w,
         CAST((SELECT MAX(w) FROM ch$R) AS BIGINT) AS max_w"""
   }
@@ -2337,7 +2374,10 @@ object GraphOps {
       if (mis ne winners) winners.unpersist(blocking = false)
       r += 1
     }
-    mis.orderBy(col("node"))
+    // Edgeless input (empty frame or all self-loops): the loop never
+    // runs and mis stays null — return an empty (node) frame, not NPE.
+    val res = if (mis == null) live.select(col("node")) else mis
+    res.orderBy(col("node"))
   }
 
   private val MisOracleRounds = 16

@@ -2990,6 +2990,41 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       == ((3L, 1L, 2L, 6L)), q.toString)
   }
 
+  test("minimumSpanningForest: ekey bounds enforced loudly, int inputs widened") {
+    import spark.implicits._
+    // node id >= 1e7 would collide in the composite key: loud require
+    val big = Seq((1L, 10000000L, 1L)).toDF("src", "dst", "w")
+    val ex = intercept[IllegalArgumentException] {
+      GraphOps.minimumSpanningForest(big).collect()
+    }
+    assert(ex.getMessage.contains("1e7"), ex.getMessage)
+    // negative weight breaks ekey ordering: loud require
+    val neg = Seq((1L, 2L, -3L)).toDF("src", "dst", "w")
+    assert(intercept[IllegalArgumentException] {
+      GraphOps.minimumSpanningForest(neg).collect()
+    }.getMessage.contains("negative weight"))
+    // INT-typed node ids are widened to bigint before the a*1e7 product
+    // (no 32-bit wrap): 2000 * 1e7 overflows Int arithmetic
+    val ints = Seq((2000, 2001, 5), (2001, 2002, 3)).toDF("src", "dst", "w")
+    val r = GraphOps.minimumSpanningForest(ints).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((3L, 1L, 2L, 8L)), r.toString)
+  }
+
+  test("graph ops: edgeless / empty inputs return empty frames, not NPE") {
+    import spark.implicits._
+    // MIS on all-self-loop input: node universe empties after the
+    // self-loop filter -> empty result with the right schema
+    val selfOnly = Seq((1L, 1L), (2L, 2L)).toDF("src", "dst")
+    assert(GraphOps.maximalIndependentSet(selfOnly).collect().isEmpty)
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(GraphOps.maximalIndependentSet(noEdges).collect().isEmpty)
+    // SCC on an empty node universe
+    val scc = GraphOps.stronglyConnectedComponents(
+      noEdges, Seq.empty[Long].toDF("node"))
+    assert(scc.columns.toSeq == Seq("scc", "size") && scc.collect().isEmpty)
+  }
+
   test("wlRefinement: path graph refines ends/middles then stabilizes") {
     import spark.implicits._
     // path 1-2-3-4-5 symmetrized: degrees split {ends}/{middles} (2 colors,

@@ -691,10 +691,17 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     // peak concurrency must not plan a partition-less window over the
     // endpoint stream (the ranged scan's ≤P-row offsets frame is the
-    // only unpartitioned window allowed anywhere)
+    // only unpartitioned window allowed anywhere): every Window node is
+    // either partitioned by user_id (sessionize) or lives on the
+    // ranged scan's _pid-keyed frames — a Window mentioning neither is
+    // a global sort over the corpus-scaled endpoint stream.
     val pc = graft.SparkEntry.queries("qe_peak_concurrency")(spark, sf)
       .queryExecution.executedPlan.toString
-    assert(!pc.contains("CartesianProduct"), pc)
+    pc.linesIterator.filter(_.contains("Window ")).foreach { l =>
+      assert(l.contains("_pid") || l.contains("user_id"),
+        s"qe_peak_concurrency planned an unpartitioned window over a " +
+          s"corpus-scaled frame:\n$l")
+    }
     // code_switch stays one whole-stage-codegen'd map pass: no join,
     // no exchange before its final sort
     val cs = graft.SparkEntry.queries("qt_code_switch")(spark, sf)
