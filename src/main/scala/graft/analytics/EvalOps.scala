@@ -908,6 +908,271 @@ object EvalOps {
           AS BIGINT) AS n_empty
       FROM mm"""))
 
+  // ------------------------------------------------ pass@k estimator
+  /** The ∏-form factors of the unbiased pass@k estimator (Chen et al.
+    * 2021, "Evaluating Large Language Models Trained on Code", eq. 1):
+    *
+    *   pass@k = 1 − C(n−c, k)/C(n, k) = 1 − ∏_{i=0..k−1} (n−c−i)/(n−i)
+    *
+    * emitted as one UNROLLED product expression so both engines compute
+    * the identical exact integer rational (no floating C(n,k), which the
+    * naive binomial form overflows/rounds — the paper's own numpy note).
+    * GREATEST(·,0) zeroes the numerator when fewer than k failures
+    * exist (pass@k = 1 exactly). 128-bit products: n ≤ ~80 at k = 10
+    * stays ≪ 10³⁸ (DECIMAL(38,0) here, HUGEINT in the oracle).
+    */
+  private def passProd(base: String, k: Int, duck: Boolean): String = {
+    val cast = if (duck) "HUGEINT" else "decimal(38,0)"
+    (0 until k).map(i =>
+      s"greatest(cast(($base - $i) as $cast), cast(0 as $cast))")
+      .mkString(" * ")
+  }
+
+  /** Unbiased pass@k over repeated samples per task: n = samples drawn,
+    * c = samples passing, estimator macro-averaged over tasks (the
+    * paper's protocol). Tasks with n < max(ks) are excluded — the
+    * estimator is undefined below k draws. Output (1 row): n_tasks and
+    * one macro-mean basis-point column per k.
+    */
+  def passAtK(samples: DataFrame, taskCol: String, okCol: Column,
+      ks: Seq[Int] = Seq(1, 5, 10)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"ks must be >= 1: $ks")
+    val kmax = ks.max
+    val perTask = samples
+      .groupBy(col(taskCol).as("task"))
+      .agg(count(lit(1)).as("n"),
+        sum(okCol.cast("int")).as("c"))
+      .filter(col("n") >= kmax)
+    val passCols = ks.map { k =>
+      expr(s"""cast(10000 * ((${passProd("n", k, duck = false)})
+        - (${passProd("n - c", k, duck = false)}))
+        div (${passProd("n", k, duck = false)}) as bigint)""")
+        .as(s"p$k")
+    }
+    val aggCols = ks.map(k => expr(s"sum(p$k) div count(1)")
+      .cast("long").as(s"pass_at_${k}_bp"))
+    perTask.select(col("task") +: passCols: _*)
+      .agg(count(lit(1)).as("n_tasks"), aggCols: _*)
+  }
+
+  /** pass@{1,5,10} with events as the eval harness: each user is a
+    * "task", each of their events a sample, a purchase a pass — the
+    * estimator exercised end-to-end on corpus-scaled grouping (one
+    * exchange on the task key, then a 1-row rollup).
+    */
+  private val qPassAtK = GraftQuery(
+    "qml_pass_at_k",
+    (s, dir) => passAtK(Tables.events(s, dir), "user_id",
+      col("event_type") === "purchase"),
+    Some(s"""WITH t AS (SELECT user_id, COUNT(*) AS n,
+        SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
+      FROM events GROUP BY 1 HAVING COUNT(*) >= 10),
+    p AS (SELECT
+        10000 * ((${passProd("n", 1, duck = true)})
+          - (${passProd("n - c", 1, duck = true)}))
+          // (${passProd("n", 1, duck = true)}) AS p1,
+        10000 * ((${passProd("n", 5, duck = true)})
+          - (${passProd("n - c", 5, duck = true)}))
+          // (${passProd("n", 5, duck = true)}) AS p5,
+        10000 * ((${passProd("n", 10, duck = true)})
+          - (${passProd("n - c", 10, duck = true)}))
+          // (${passProd("n", 10, duck = true)}) AS p10
+      FROM t)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_tasks,
+      CAST(SUM(p1) // COUNT(*) AS BIGINT) AS pass_at_1_bp,
+      CAST(SUM(p5) // COUNT(*) AS BIGINT) AS pass_at_5_bp,
+      CAST(SUM(p10) // COUNT(*) AS BIGINT) AS pass_at_10_bp
+    FROM p"""))
+
+  // ----------------------------------------------------- chrF (chrF2)
+  /** chrF (Popović 2015, WMT's character n-gram F-score): whitespace
+    * is stripped, character n-grams n = 1..6 counted WITH multiplicity,
+    * per-order precision/recall from clipped matches, means over orders,
+    * then F_β with β = 2 (chrF2, the sacrebleu default). All integer:
+    * per-order ratios in micro-units (10⁶·m div total), order-mean by
+    * integer division over the order count (orders with an empty side
+    * are skipped on BOTH sides — same convention both engines), final
+    *
+    *   chrF2 = 5·P·R div (4·P + R)   (micro-units)
+    *
+    * Scale: map-only n-gram generation (one pass emits all 6 orders as
+    * (n, gram) rows), two grouped counts, one clipped-match join keyed
+    * on (pair, n, gram) — the [[rougeNgram]] shape at character level.
+    * Output: (pair, n_orders, p_micro, r_micro, chrf_micro) per pair.
+    */
+  def chrF(pairs: DataFrame, maxN: Int = 6,
+      candCol: String = "cand_text", refCol: String = "ref_text"): DataFrame = {
+    def strip(c: String) = regexp_replace(col(c), "\\s+", "")
+    def gramRows(txt: String) = {
+      // Spark's sequence(1, 0) DESCENDS ([1, 0]) instead of returning
+      // empty — short strings need the explicit length guard.
+      val perN = (1 to maxN).map { n =>
+        s"""case when length($txt) >= $n then
+           transform(sequence(1, length($txt) - ${n - 1}),
+             i -> named_struct('n', $n, 'g', substring($txt, i, $n)))
+           else cast(array() as array<struct<n:int,g:string>>) end"""
+      }.mkString(", ")
+      expr(s"flatten(array($perN))")
+    }
+    val base = pairs.select(col("pair"), strip(candCol).as("ct"),
+      strip(refCol).as("rt")).localCheckpoint()
+    def counts(txt: String, cnt: String) = base
+      .select(col("pair"), explode(gramRows(txt)).as("x"))
+      .groupBy(col("pair"), col("x.n").as("n"), col("x.g").as("g"))
+      .agg(count(lit(1)).as(cnt))
+    val m = counts("ct", "cc").join(counts("rt", "rc"), Seq("pair", "n", "g"))
+      .groupBy(col("pair"), col("n"))
+      .agg(sum(least(col("cc"), col("rc"))).as("m"))
+    val tots = base.select(col("pair") +: (1 to maxN).flatMap(n => Seq(
+        greatest(length(col("ct")) - (n - 1), lit(0)).cast("long").as(s"ct$n"),
+        greatest(length(col("rt")) - (n - 1), lit(0)).cast("long").as(s"rt$n"))): _*)
+      .select(col("pair"), explode(expr(
+        (1 to maxN).map(n => s"named_struct('n', $n, 'ctot', ct$n, 'rtot', rt$n)")
+          .mkString("array(", ", ", ")"))).as("t"))
+      .select(col("pair"), col("t.n").as("n"), col("t.ctot"), col("t.rtot"))
+      .filter(col("ctot") > 0 && col("rtot") > 0)
+    tots.join(m, Seq("pair", "n"), "left")
+      .select(col("pair"),
+        expr("1000000 * coalesce(m, 0) div ctot").as("p_n"),
+        expr("1000000 * coalesce(m, 0) div rtot").as("r_n"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n_orders"),
+        expr("sum(p_n) div count(1)").as("p_micro"),
+        expr("sum(r_n) div count(1)").as("r_micro"))
+      .withColumn("chrf_micro",
+        when(col("p_micro") * 4 + col("r_micro") > 0,
+          expr("5 * p_micro * r_micro div (4 * p_micro + r_micro)"))
+          .otherwise(lit(0L)))
+      .orderBy(col("pair"))
+  }
+
+  private val qChrf = GraftQuery(
+    "qml_chrf",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val cand = d.filter(col("doc_id") % 2 === 0)
+        .select(expr("doc_id div 2").as("pair"), col("text").as("cand_text"))
+      val ref = d.filter(col("doc_id") % 2 === 1)
+        .select(expr("doc_id div 2").as("pair"), col("text").as("ref_text"))
+      chrF(cand.join(ref, "pair"))
+    },
+    Some {
+      val gramsN = (1 to 6).map(n =>
+        s"""SELECT pair, $n AS n, unnest(list_transform(
+            generate_series(1, GREATEST(length(t) - ${n - 1}, 0)),
+            i -> substr(t, i, $n))) AS g FROM src""").mkString("\n      UNION ALL ")
+      val totsN = (1 to 6).map(n =>
+        s"""SELECT pair, $n AS n,
+            GREATEST(length(ct) - ${n - 1}, 0) AS ctot,
+            GREATEST(length(rt) - ${n - 1}, 0) AS rtot FROM b""")
+        .mkString("\n      UNION ALL ")
+      s"""WITH b AS MATERIALIZED (SELECT c.pair,
+          regexp_replace(c.text, '\\s+', '', 'g') AS ct,
+          regexp_replace(r.text, '\\s+', '', 'g') AS rt
+        FROM (SELECT doc_id // 2 AS pair, text FROM documents
+          WHERE doc_id % 2 = 0) c
+        JOIN (SELECT doc_id // 2 AS pair, text FROM documents
+          WHERE doc_id % 2 = 1) r USING (pair)),
+      cgr AS (WITH src AS (SELECT pair, ct AS t FROM b) $gramsN),
+      rgr AS (WITH src AS (SELECT pair, rt AS t FROM b) $gramsN),
+      cc AS (SELECT pair, n, g, COUNT(*) AS cc FROM cgr GROUP BY 1, 2, 3),
+      rc AS (SELECT pair, n, g, COUNT(*) AS rc FROM rgr GROUP BY 1, 2, 3),
+      m AS (SELECT pair, n, SUM(LEAST(cc, rc)) AS m
+        FROM cc JOIN rc USING (pair, n, g) GROUP BY 1, 2),
+      tt AS ($totsN),
+      pn AS (SELECT pair,
+          1000000 * COALESCE(m, 0) // ctot AS p_n,
+          1000000 * COALESCE(m, 0) // rtot AS r_n
+        FROM tt LEFT JOIN m USING (pair, n)
+        WHERE ctot > 0 AND rtot > 0),
+      agg AS (SELECT pair, COUNT(*) AS n_orders,
+          SUM(p_n) // COUNT(*) AS p_micro, SUM(r_n) // COUNT(*) AS r_micro
+        FROM pn GROUP BY pair)
+      SELECT CAST(pair AS BIGINT) AS pair, CAST(n_orders AS BIGINT) AS n_orders,
+        CAST(p_micro AS BIGINT) AS p_micro, CAST(r_micro AS BIGINT) AS r_micro,
+        CAST(CASE WHEN 4 * p_micro + r_micro > 0
+          THEN 5 * p_micro * r_micro // (4 * p_micro + r_micro)
+          ELSE 0 END AS BIGINT) AS chrf_micro
+      FROM agg ORDER BY pair"""
+    })
+
+  // ------------------------------------------------- word error rate
+  /** Word error rate: token-level Levenshtein distance over whitespace
+    * tokens, normalized by reference length — THE speech/translation
+    * transcript metric (NIST scoring convention; edits counted over
+    * words, not characters). The distance runs in the native codegen'd
+    * [[graft.functions.TokenLevenshtein]] kernel (one O(|c|·|r|) DP per
+    * pair on interned token ids — no UDF boxing, no character remap);
+    * the oracle remaps each pair's token vocabulary to single ASCII
+    * BYTES and uses DuckDB's `levenshtein` (byte-based — measured:
+    * chr(4000) vs 'ab' scores 3, so multi-byte codepoints are out),
+    * which is the same distance by construction while the pair
+    * vocabulary fits printable ASCII; a loud in-oracle guard fails the
+    * ORACLE (not the engine) if a pair ever exceeds that budget.
+    * wer_bp can exceed 10⁴ (a
+    * hypothesis much longer than its reference — standard).
+    * Output: (pair, n_edits, ref_len, wer_bp) per pair with a
+    * non-empty reference.
+    */
+  def wordErrorRate(pairs: DataFrame, candCol: String = "cand_text",
+      refCol: String = "ref_text"): DataFrame =
+    pairs.select(col("pair"),
+        expr(Nlp.toksExprOn(candCol)).as("ctoks"),
+        expr(Nlp.toksExprOn(refCol)).as("rtoks"))
+      .filter(size(col("rtoks")) > 0)
+      .select(col("pair"),
+        graft.functions.GraftFunctions
+          .graft_token_levenshtein(col("ctoks"), col("rtoks"))
+          .cast("long").as("n_edits"),
+        size(col("rtoks")).cast("long").as("ref_len"))
+      .withColumn("wer_bp", expr("10000 * n_edits div ref_len"))
+      .orderBy(col("pair"))
+
+  private val qWer = GraftQuery(
+    "qml_wer",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val cand = d.filter(col("doc_id") % 2 === 0)
+        .select(expr("doc_id div 2").as("pair"), col("text").as("cand_text"))
+      val ref = d.filter(col("doc_id") % 2 === 1)
+        .select(expr("doc_id div 2").as("pair"), col("text").as("ref_text"))
+      wordErrorRate(cand.join(ref, "pair"))
+    },
+    Some(s"""WITH b AS MATERIALIZED (SELECT c.pair, c.toks AS ctoks,
+          r.toks AS rtoks
+        FROM (SELECT doc_id // 2 AS pair, ${Nlp.toksSql} AS toks
+          FROM documents WHERE doc_id % 2 = 0) c
+        JOIN (SELECT doc_id // 2 AS pair, ${Nlp.toksSql} AS toks
+          FROM documents WHERE doc_id % 2 = 1) r USING (pair)
+        WHERE len(r.toks) > 0),
+      -- per-pair token vocabulary -> one printable-ASCII BYTE per token
+      -- (DuckDB levenshtein counts bytes, so codepoints > 127 are out)
+      vocab AS MATERIALIZED (SELECT pair, tok,
+          32 + ROW_NUMBER() OVER (PARTITION BY pair ORDER BY tok) AS cp
+        FROM (SELECT DISTINCT pair, unnest(ctoks) AS tok FROM b
+          UNION SELECT DISTINCT pair, unnest(rtoks) AS tok FROM b)),
+      cposs AS (SELECT pair, generate_subscripts(ctoks, 1) AS i,
+        unnest(ctoks) AS tok FROM b),
+      rposs AS (SELECT pair, generate_subscripts(rtoks, 1) AS i,
+        unnest(rtoks) AS tok FROM b),
+      cstr AS (SELECT pair,
+          COALESCE(string_agg(chr(CAST(cp AS INT)), '' ORDER BY i), '') AS s
+        FROM cposs JOIN vocab USING (pair, tok) GROUP BY pair),
+      rstr AS (SELECT pair, string_agg(chr(CAST(cp AS INT)), '' ORDER BY i)
+          AS s
+        FROM rposs JOIN vocab USING (pair, tok) GROUP BY pair)
+      SELECT CAST(b.pair AS BIGINT) AS pair,
+        CAST(CASE WHEN (SELECT MAX(cp) FROM vocab) <= 126
+          THEN levenshtein(COALESCE(c.s, ''), r.s)
+          ELSE CAST('wer-oracle-vocab-exceeds-ascii' AS BIGINT) END
+          AS BIGINT) AS n_edits,
+        CAST(len(b.rtoks) AS BIGINT) AS ref_len,
+        CAST(10000 * levenshtein(COALESCE(c.s, ''), r.s)
+          // len(b.rtoks) AS BIGINT) AS wer_bp
+      FROM b LEFT JOIN cstr c USING (pair) JOIN rstr r USING (pair)
+      ORDER BY pair"""))
+
   val queries: Seq[GraftQuery] = Seq(qAuc, qPrCurve, qKappa, qBradleyTerry,
-    qMcNemar, qBleu, qCronbach, qKrippendorff, qKendallW, qRouge, qConformal)
+    qMcNemar, qBleu, qCronbach, qKrippendorff, qKendallW, qRouge, qConformal,
+    qPassAtK, qChrf, qWer)
 }

@@ -488,6 +488,9 @@ object GraftFunctions {
   def graft_jaro_winkler(a: Column, b: Column): Column =
     GraftColumnBridge.column(JaroWinkler(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  def graft_token_levenshtein(a: Column, b: Column): Column =
+    GraftColumnBridge.column(TokenLevenshtein(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
   def graft_cdc_boundaries(t: Column, w: Int, buckets: Int): Column =
     GraftColumnBridge.column(CdcBoundaries(
       GraftColumnBridge.expression(t), w, buckets))

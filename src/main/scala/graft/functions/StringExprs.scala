@@ -6,6 +6,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -231,6 +232,119 @@ object DamerauLevenshtein {
       i += 1
     }
     d((n + 1) * w + m + 1)
+  }
+}
+
+/** Token-level Levenshtein distance on two STRING ARRAYS as a native
+  * codegen'd Catalyst expression — the word-error-rate (WER) kernel:
+  * insertions/deletions/substitutions counted over whole tokens, not
+  * characters. Spark's built-in `levenshtein` is character-only, and no
+  * fixed-width character re-encoding of tokens preserves unit edit cost
+  * (a 2-char token code makes one substitution cost 1–2 edits depending
+  * on shared halves), so the array-level distance needs its own
+  * expression — the same custom-Expression rationale as
+  * [[DamerauLevenshtein]].
+  *
+  * Oracle twin: DuckDB `levenshtein` over the per-pair token→codepoint
+  * remap (each distinct token of the pair mapped to one unicode char —
+  * DuckDB's levenshtein is codepoint-based, verified), which is exactly
+  * token-level distance as long as the pair's vocabulary fits the
+  * codepoint range the oracle allots.
+  *
+  * Cost: O(|a|·|b|) time, O(min) space (two-row DP over interned token
+  * ids — equality checks are int compares after one hash pass). Intended
+  * for bounded candidate/reference pairs, never a corpus cross join.
+  */
+case class TokenLevenshtein(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_token_levenshtein"
+  private def ok(t: DataType): Boolean = t match {
+    case org.apache.spark.sql.types.ArrayType(StringType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_token_levenshtein needs two ARRAY<STRING> arguments, got " +
+          s"(${left.dataType.sql}, ${right.dataType.sql})")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TokenLevenshtein.distance(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.TokenLevenshtein.distance($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
+object TokenLevenshtein {
+  /** Intern both token arrays against one shared map so equality becomes
+    * an int compare; nulls inside the arrays intern like a distinct
+    * sentinel token (id −1 ≠ every real id, and ≠ itself is NOT wanted —
+    * two nulls are the SAME token, so they get one shared id).
+    */
+  private def intern(a: ArrayData, b: ArrayData)
+      : (Array[Int], Array[Int]) = {
+    val map = new java.util.HashMap[UTF8String, Integer]()
+    var nullId = -1
+    def code(arr: ArrayData): Array[Int] = {
+      val out = new Array[Int](arr.numElements())
+      var i = 0
+      while (i < out.length) {
+        if (arr.isNullAt(i)) {
+          if (nullId < 0) { nullId = map.size() + 1000000000 }
+          out(i) = nullId
+        } else {
+          val s = arr.getUTF8String(i)
+          var id = map.get(s)
+          if (id == null) { id = Integer.valueOf(map.size()); map.put(s.clone(), id) }
+          out(i) = id.intValue()
+        }
+        i += 1
+      }
+      out
+    }
+    (code(a), code(b))
+  }
+
+  /** Static entry shared by interpreted eval and generated code. */
+  def distance(a: ArrayData, b: ArrayData): Int = {
+    val (s, t) = intern(a, b)
+    val n = s.length
+    val m = t.length
+    if (n == 0) return m
+    if (m == 0) return n
+    // two-row DP; prev(j) = d[i-1][j], cur(j) = d[i][j]
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    var j = 0
+    while (j <= m) { prev(j) = j; j += 1 }
+    var i = 1
+    while (i <= n) {
+      cur(0) = i
+      j = 1
+      while (j <= m) {
+        val cost = if (s(i - 1) == t(j - 1)) 0 else 1
+        var best = prev(j - 1) + cost
+        val ins = cur(j - 1) + 1
+        if (ins < best) best = ins
+        val del = prev(j) + 1
+        if (del < best) best = del
+        cur(j) = best
+        j += 1
+      }
+      val tmp = prev; prev = cur; cur = tmp
+      i += 1
+    }
+    prev(m)
   }
 }
 

@@ -2909,6 +2909,47 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       r.toString)
   }
 
+  test("passAtK: boundary tasks exact, C(n-c,k)/C(n,k) hand case") {
+    import spark.implicits._
+    // task 1: all pass -> 10000 at every k; task 2: none pass -> 0;
+    // task 3: n=10, c=5 -> k=1: 5000; k=5: 1 - 1/252 -> 9960; k=10:
+    // fewer than 10 failures -> numerator 0 -> 10000 exactly
+    val rows = (1 to 10).flatMap(i => Seq(
+      (1L, true), (2L, false), (3L, i <= 5)))
+    val r = EvalOps.passAtK(rows.toDF("task", "ok"), "task", $"ok")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((3L, (10000L + 0L + 5000L) / 3, (10000L + 0L + 9960L) / 3,
+        (10000L + 0L + 10000L) / 3)), r.toString)
+  }
+
+  test("chrF: hand n-gram counts, order skipping, F-beta-2 identity") {
+    import spark.implicits._
+    // cand "ab ab" vs ref "ab" (whitespace stripped -> "abab" vs "ab"):
+    // n=1: m=2, ctot=4, rtot=2 -> p=500000, r=1000000
+    // n=2: m=1 (clipped "ab"), ctot=3, rtot=1 -> p=333333, r=1000000
+    // n>=3: rtot=0 -> order skipped  =>  n_orders=2,
+    // P=416666, R=1000000, chrF2 = 5PR div (4P+R) = 781249
+    val p = Seq((1L, "ab ab", "ab")).toDF("pair", "cand_text", "ref_text")
+    val r = EvalOps.chrF(p).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((1L, 2L, 416666L, 1000000L, 781249L)), r.toString)
+  }
+
+  test("wordErrorRate: distances token-level, empty-candidate rule") {
+    import spark.implicits._
+    val p = Seq(
+      (1L, "the cat sat", "the cat sat"),   // 0 edits
+      (2L, "the dog sat", "the cat sat"),   // 1 sub
+      (3L, "", "a b c"),                    // empty cand -> 3 edits
+      (4L, "a b c d", "a b")                // 2 insertions -> wer 10000+
+    ).toDF("pair", "cand_text", "ref_text")
+    val out = EvalOps.wordErrorRate(p).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 0L, 3L, 0L), (2L, 1L, 3L, 3333L),
+      (3L, 3L, 3L, 10000L), (4L, 2L, 2L, 10000L)), out.mkString(","))
+  }
+
   test("rougeNgram: hand-clipped counts, harmonic F1 identity") {
     import spark.implicits._
     // cand "a b c" vs ref "a b d": uni m=2/3 both sides; bi m=1/2 both

@@ -173,4 +173,41 @@ class StringExprsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(GraftFunctions.graft_damerau(col("a"), col("b"))).collect()
     assert(n.head.isNullAt(0))
   }
+
+  test("tokenLevenshtein: token-unit edits, not characters") {
+    import spark.implicits._
+    def tl(a: Seq[String], b: Seq[String]): Int =
+      Seq((a, b)).toDF("a", "b")
+        .select(GraftFunctions.graft_token_levenshtein(col("a"), col("b")))
+        .collect().head.getInt(0)
+    assert(tl(Seq("the", "cat", "sat"), Seq("the", "cat", "sat")) === 0)
+    assert(tl(Seq("the", "cat", "sat"), Seq("the", "dog", "sat")) === 1)
+    // a substitution between very different-length tokens is STILL 1
+    assert(tl(Seq("a"), Seq("antidisestablishmentarianism")) === 1)
+    assert(tl(Seq.empty[String], Seq("x", "y")) === 2)
+    assert(tl(Seq("x", "y"), Seq.empty[String]) === 2)
+    assert(tl(Seq("a", "b", "c"), Seq("b", "c", "d")) === 2) // del a, ins d
+    // transposition costs 2 (plain Levenshtein, no Damerau swap)
+    assert(tl(Seq("a", "b"), Seq("b", "a")) === 2)
+    // equals char-level levenshtein under a 1-char-per-token encoding
+    val rnd = new scala.util.Random(7)
+    (1 to 200).foreach { _ =>
+      val x = (0 until rnd.nextInt(9)).map(_ => ('a' + rnd.nextInt(4)).toChar)
+      val y = (0 until rnd.nextInt(9)).map(_ => ('a' + rnd.nextInt(4)).toChar)
+      val viaChars = Seq((x.mkString, y.mkString)).toDF("a", "b")
+        .select(levenshtein(col("a"), col("b"))).collect().head.getInt(0)
+      assert(tl(x.map(c => s"tok_$c"), y.map(c => s"tok_$c")) === viaChars)
+    }
+    // nulls inside the arrays: two nulls are the SAME token
+    val withNulls = Seq((Seq[String](null, "a"), Seq[String](null, "a")))
+      .toDF("a", "b")
+      .select(GraftFunctions.graft_token_levenshtein(col("a"), col("b")))
+      .collect().head.getInt(0)
+    assert(withNulls === 0)
+    // null ARRAY propagates null
+    val n2 = Seq((Option(Seq("x")), Option.empty[Seq[String]])).toDF("a", "b")
+      .select(GraftFunctions.graft_token_levenshtein(col("a"), col("b")))
+      .collect()
+    assert(n2.head.isNullAt(0))
+  }
 }
