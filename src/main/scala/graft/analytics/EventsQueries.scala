@@ -2284,6 +2284,64 @@ object EventsQueries {
         // NULLIF(1000000 * f.v, 0)) > 3841 AS reject_05
     FROM fin f, tt"""))
 
+  // ------------------------------------------------------ Hampel filter
+  /** Hampel identifier over each user's event-value stream: a point is a
+    * telemetry GLITCH when it sits more than 3 window-MADs from its
+    * rolling window median (window = 3 before + self + 3 after, the
+    * classic 7-point Hampel form; Pearson et al. 2016 survey). Unlike
+    * the global fences (qstat_mad_outliers, per-group; qe_mad_anomaly,
+    * per-day), this is LOCAL: a value normal for the user's morning but
+    * absurd inside its 7-event neighborhood still flags — the spike
+    * filter run before any downstream aggregate trusts the values.
+    *
+    * Exactness and shape: values in integer cents; the window ARRAY is
+    * collected once per row (ROWS frame over the (us, event_id) total
+    * order — deterministic under timestamp ties), median and MAD are
+    * array expressions on the ≤7-element list (lower median at the
+    * partition edges' even sizes, both engines by construction).
+    * Window is partitioned by user — corpus-scaled parallelism, no
+    * global sort; per-row state is a bounded 7-long array. mad = 0
+    * (constant neighborhood) flags ANY deviation — the standard
+    * degenerate-Hampel rule.
+    *
+    * Output: flagged rows (user_id, us, cents, med, mad), ordered.
+    */
+  private val qHampel = GraftQuery(
+    "qe_hampel",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id")).rowsBetween(-3, 3)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"),
+          round(col("value") * 100).cast("bigint").as("cents"))
+        .withColumn("arr", sort_array(collect_list(col("cents")).over(w)))
+        .withColumn("med", expr("element_at(arr, cast((size(arr) + 1) div 2 as int))"))
+        .withColumn("mad", expr(
+          """element_at(array_sort(transform(arr, x -> abs(x - med))),
+             cast((size(arr) + 1) div 2 as int))"""))
+        .filter(abs(col("cents") - col("med")) > col("mad") * 3)
+        .select(col("user_id"), col("us"), col("cents"), col("med"),
+          col("mad"))
+        .orderBy(col("user_id"), col("us"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      wv AS (SELECT user_id, us, cents,
+          list_sort(list(cents) OVER (PARTITION BY user_id
+            ORDER BY us, event_id
+            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS arr
+        FROM e),
+      m AS (SELECT user_id, us, cents, arr,
+          arr[(len(arr) + 1) // 2] AS med FROM wv),
+      d AS (SELECT user_id, us, cents, med,
+          list_sort(list_transform(arr, x -> abs(x - med)))
+            [(len(arr) + 1) // 2] AS mad
+        FROM m)
+      SELECT user_id, us, cents, med, mad FROM d
+      WHERE abs(cents - med) > mad * 3
+      ORDER BY user_id, us"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qTumbling, qSliding, qSessions, qJson, qTopUsers, qDeltas, qZscore,
       qFunnel, qRetention, qResample, qHistogram, qPattern, qTransitions,
@@ -2291,5 +2349,5 @@ object EventsQueries {
       qMadAnomaly, qTopPaths, qSlidingDistinct,
       qSeasonal, qFunnelTime, qCep, qStreak, qCoverage, qOhlc, qLatencySlo, qRfm,
       qLtv, qDauMau, qHeatmap, qStationary, qLifecycle, qSeqPatterns, qHllSliding,
-      qShapley, qKaplanMeier, qNelsonAalen, qLogRank, qBurstiness)
+      qShapley, qKaplanMeier, qNelsonAalen, qLogRank, qBurstiness, qHampel)
 }

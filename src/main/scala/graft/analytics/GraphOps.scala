@@ -2423,9 +2423,164 @@ object GraphOps {
     (s, dir) => maximalIndependentSet(tradeEdges(s, dir)),
     Some(misSql))
 
+  // --------------------------------------- maximal matching (handshake)
+  /** Maximal matching by iterated MUTUAL-BEST handshake (the classic
+    * distributed symmetry-breaking matcher — Israeli–Itai 1986 family,
+    * derandomized): every live node points at its minimum-priority
+    * incident edge; an edge whose BOTH endpoints point at it joins the
+    * matching; matched nodes leave, repeat until no live edge remains.
+    * The result is maximal by construction (a surviving edge would
+    * still be live) and node-disjoint (each round's winners share no
+    * endpoint — a node points at ONE edge).
+    *
+    * This is the scale-out closure of [[MatchOps]]' one-round
+    * qj_mutual_best_match: iterating mutual-best to a fixpoint yields a
+    * full 1:1 assignment — THE record-linkage end-game (each customer
+    * entity paired with at most one supplier entity, no entity used
+    * twice), and the pair-assignment primitive dedup clustering uses to
+    * pick disjoint merge pairs.
+    *
+    * Determinism: edge priority is the h60 hash of the unique ekey
+    * composite (the [[minimumSpanningForest]] encoding — same bounds,
+    * same loud require), tie-broken by ekey itself, so every engine,
+    * partitioning, and retry draws the identical matching. HASHED
+    * priorities (not raw weights) are load-bearing for the round bound:
+    * against data weights an increasing path matches one edge per round
+    * (Θ(n) rounds); against random priorities a constant fraction of
+    * live edges dies per round — O(log m) rounds w.h.p.
+    *
+    * Per round: one symmetrize + uniform-key min-agg (node's best), two
+    * node-keyed equi-joins (mutual test), two anti-joins (peel) — no
+    * pair explosion; loop state on [[Scans.rebase]]. Output: the
+    * matched (a, b, w) pairs, ordered.
+    */
+  def maximalMatching(edgesIn: DataFrame, maxRounds: Int = 32): DataFrame = {
+    val e0 = edgesIn
+      .select(least(col("src").cast("bigint"), col("dst").cast("bigint"))
+          .as("a"),
+        greatest(col("src").cast("bigint"), col("dst").cast("bigint"))
+          .as("b"),
+        col("w"))
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(min(col("w")).as("w"))
+      .withColumn("ekey", expr(
+        "cast(w as decimal(38,0)) * 100000000000000 + a * 10000000 + b"))
+      .withColumn("ph", expr(
+        Nlp.h60("concat('match:', cast(ekey as string))")))
+      .localCheckpoint()
+    val bd = e0.agg(max(col("b")).as("mb"), min(col("a")).as("ma"),
+      max(col("w").cast("decimal(38,0)")).as("mw"),
+      min(col("w").cast("decimal(38,0)")).as("mnw")).head()
+    if (!bd.isNullAt(0)) {
+      require(bd.getLong(0) < 10000000L && bd.getLong(1) >= 0L,
+        s"maximalMatching: node ids must be in [0, 1e7) for the ekey " +
+          s"composite, got [${bd.getLong(1)}, ${bd.getLong(0)}]")
+      require(bd.getDecimal(3).signum() >= 0 && bd.getDecimal(2).compareTo(
+          new java.math.BigDecimal(java.math.BigInteger.TEN.pow(24))) < 0,
+        s"maximalMatching: weights must be in [0, 1e24), got " +
+          s"[${bd.getDecimal(3)}, ${bd.getDecimal(2)}]")
+    }
+    var live = Scans.rebase(e0, 8)
+    val picks = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    var r = 0
+    while (!live.isEmpty) {
+      if (r >= maxRounds) throw new IllegalStateException(
+        s"maximalMatching: did not converge in $maxRounds rounds")
+      val best = live.select(col("a").as("node"), col("ph"), col("ekey"))
+        .unionByName(live.select(col("b").as("node"), col("ph"), col("ekey")))
+        .groupBy(col("node"))
+        .agg(min(struct(col("ph"), col("ekey"))).as("m"))
+        .select(col("node"), col("m.ekey").as("bk"))
+      val mm = Scans.rebase(live
+        .join(best.select(col("node").as("a"), col("bk").as("ka")), "a")
+        .join(best.select(col("node").as("b"), col("bk").as("kb")), "b")
+        .filter(col("ekey") === col("ka") && col("ekey") === col("kb"))
+        .select(col("a"), col("b"), col("w")), 8)
+      picks += mm
+      val mn = mm.select(col("a").as("node"))
+        .unionByName(mm.select(col("b").as("node")))
+      val prev = live
+      live = Scans.rebase(live
+        .join(mn.select(col("node").as("a")), Seq("a"), "left_anti")
+        .join(mn.select(col("node").as("b")), Seq("b"), "left_anti"), 8)
+      prev.unpersist(blocking = false)
+      r += 1
+    }
+    val empty = e0.select(col("a"), col("b"), col("w")).limit(0)
+    picks.foldLeft(empty)(_ unionByName _)
+      .select(col("a"), col("b"), col("w").cast("bigint").as("w"))
+      .orderBy(col("a"))
+  }
+
+  // Oracle: the handshake unrolled to a fixed round count; the final
+  // WHERE asserts no live edge survives round R, so an under-provisioned
+  // oracle fails loudly as an oracle bug instead of silently returning a
+  // non-maximal matching.
+  private val MatchingOracleRounds = 24
+
+  private def matchingRoundSql(r: Int): String = {
+    val p = r - 1
+    s"""bs$r AS MATERIALIZED (SELECT node, ekey AS bk FROM (
+      SELECT node, ekey,
+          ROW_NUMBER() OVER (PARTITION BY node ORDER BY ph, ekey) AS rn
+        FROM (SELECT a AS node, ekey, ph FROM l$p
+          UNION ALL SELECT b, ekey, ph FROM l$p)) WHERE rn = 1),
+    mm$r AS MATERIALIZED (SELECT l.a, l.b, l.w FROM l$p l
+      JOIN bs$r x ON l.a = x.node AND l.ekey = x.bk
+      JOIN bs$r y ON l.b = y.node AND l.ekey = y.bk),
+    mn$r AS MATERIALIZED (SELECT a AS node FROM mm$r
+      UNION ALL SELECT b FROM mm$r),
+    ac$r AS MATERIALIZED (SELECT a, b, w FROM ac$p
+      UNION ALL SELECT a, b, w FROM mm$r),
+    l$r AS MATERIALIZED (SELECT * FROM l$p
+      WHERE a NOT IN (SELECT node FROM mn$r)
+        AND b NOT IN (SELECT node FROM mn$r))"""
+  }
+
+  private def matchingSql: String = {
+    val rounds = (1 to MatchingOracleRounds).map(matchingRoundSql)
+      .mkString(",\n    ")
+    val R = MatchingOracleRounds
+    s"""WITH e0 AS MATERIALIZED (SELECT o_custkey * 2 AS src,
+        l_suppkey * 2 + 1 AS dst, CAST(MIN(l_quantity) AS BIGINT) AS w
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2),
+      ed AS MATERIALIZED (SELECT LEAST(src, dst) AS a, GREATEST(src, dst)
+          AS b, MIN(w) AS w
+        FROM e0 WHERE src <> dst GROUP BY 1, 2),
+      l0 AS MATERIALIZED (SELECT a, b, w,
+          CAST(w AS HUGEINT) * 100000000000000 + a * 10000000 + b AS ekey,
+          ${Nlp.h60Sql("'match:' || CAST(CAST(w AS HUGEINT) " +
+            "* 100000000000000 + a * 10000000 + b AS VARCHAR)")} AS ph
+        FROM ed),
+      ac0 AS MATERIALIZED (SELECT a, b, w FROM l0 WHERE FALSE),
+      $rounds
+      SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+        CAST(w AS BIGINT) AS w
+      FROM ac$R
+      WHERE CASE WHEN (SELECT COUNT(*) FROM l$R) = 0 THEN TRUE
+        ELSE CAST('matching-oracle-underprovisioned' AS BOOLEAN) END
+      ORDER BY a"""
+  }
+
+  /** 1:1 trade assignment: each customer entity matched to at most one
+    * supplier entity over the min-quantity-weighted trade graph — the
+    * [[maximalMatching]] handshake on the qg_mst/qg_sssp weighting.
+    */
+  private val qMatching = GraftQuery(
+    "qg_matching",
+    (s, dir) => {
+      val e0 = Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .groupBy((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .agg(min(col("l_quantity")).cast("bigint").as("w"))
+      maximalMatching(e0)
+    },
+    Some(matchingSql))
+
   def queries: Seq[GraftQuery] =
     Seq(qPageRank, qTriangles, qLpa, qKcore, qReach, qSubtree, qSssp, qPpr,
       qLinkPredict, qDegreeDist, qModularity, qHits, qAssortativity, qWalks,
       qHarmonic, qEcc, qBetweenness, qLocalClustering, qKTruss, qRichClub,
-      qKatz, qScc, qMst, qWl, qMis)
+      qKatz, qScc, qMst, qWl, qMis, qMatching)
 }

@@ -3052,6 +3052,34 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       == ((3L, 1L, 2L, 8L)), r.toString)
   }
 
+  test("maximalMatching: node-disjoint, maximal, deterministic") {
+    import spark.implicits._
+    // path 1-2-3-4-5 + triangle 6-7-8 + isolated edge 9-10
+    val edges = Seq((1L, 2L, 5L), (2L, 3L, 1L), (3L, 4L, 2L), (4L, 5L, 9L),
+      (6L, 7L, 3L), (7L, 8L, 3L), (6L, 8L, 3L), (9L, 10L, 4L))
+    val e = edges.toDF("src", "dst", "w")
+    val m = GraphOps.maximalMatching(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // node-disjoint: every endpoint appears at most once
+    val ends = m.flatMap(p => Seq(p._1, p._2))
+    assert(ends.distinct.size == ends.size, m.toString)
+    // maximal: no input edge has both endpoints unmatched
+    val used = ends.toSet
+    assert(!edges.exists { case (a, b, _) => !used(a) && !used(b) },
+      m.toString)
+    // the triangle contributes exactly one pair; 9-10 always matches
+    assert(m.count(p => Set(6L, 7L, 8L)(p._1)) == 1, m.toString)
+    assert(m.contains((9L, 10L)), m.toString)
+    // determinism
+    val again = GraphOps.maximalMatching(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(again == m)
+    // empty input -> empty result, no NPE
+    assert(GraphOps.maximalMatching(
+      Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w"))
+      .collect().isEmpty)
+  }
+
   test("graph ops: edgeless / empty inputs return empty frames, not NPE") {
     import spark.implicits._
     // MIS on all-self-loop input: node universe empties after the
