@@ -768,7 +768,109 @@ object ProfileOps {
       CAST(true_count + noise AS BIGINT) AS noisy_count, noise
     FROM n ORDER BY grp"""))
 
+  // --------------------------------------- embedding distribution drift
+  /** Embedding-space drift detection by random projections + KS — the
+    * high-dimensional companion to qprof_drift (which buckets ONE scalar
+    * column): project every vector onto a few fixed Rademacher (±1)
+    * directions (Johnson–Lindenstrauss-style 1-D shadows; Cramér–Wold —
+    * two distributions differ only if some 1-D projection differs) and
+    * run the exact two-sample Kolmogorov–Smirnov test per direction
+    * between the reference and current shards. An embedding-model swap,
+    * a renormalization bug, or an upstream-content shift moves at least
+    * one shadow; per-dim means (qprof_embedding_dims) miss covariance-
+    * only drift that projections catch.
+    *
+    * Exactness: components are floored to integer micro-units BEFORE
+    * the signed sum (float dot products are partition-order-dependent;
+    * integer sums are not), so each projection is a deterministic
+    * BIGINT and the KS statistic is [[StatTests.ksTest]]'s exact
+    * cross-multiplied integer form. The sign matrix is an md5-derived
+    * literal baked into both engines — one source. Scale: map-only
+    * projection, then the KS ranged scan per direction — no pairs, no
+    * global sort, d×(one exchange).
+    *
+    * Output: one KS row per direction (dir, n1, n2, at_value, d_bp,
+    * reject_05), ordered by dir.
+    */
+  def embeddingDrift(emb: DataFrame, signs: Seq[Seq[Int]],
+      isRef: Column, vecCol: String = "embedding"): DataFrame = {
+    require(signs.nonEmpty && signs.forall(s => s.nonEmpty &&
+      s.forall(v => v == 1 || v == -1)), "signs must be ±1 rows")
+    val xi = expr(s"transform(cast($vecCol as array<double>), " +
+      "x -> cast(floor(x * 1000000) as bigint))")
+    signs.zipWithIndex.map { case (sg, j) =>
+      val proj = aggregate(
+        zip_with(xi, typedLit(sg).cast("array<bigint>"), (x, s) => x * s),
+        lit(0L), (acc, v) => acc + v)
+      StatTests.ksTest(emb.select(proj.as("v"), isRef.as("ref")), "v",
+          col("ref"))
+        .select(lit(j).as("dir"), col("n1"), col("n2"), col("at_value"),
+          col("d_bp"), col("reject_05"))
+    }.reduce(_ unionByName _).orderBy(col("dir"))
+  }
+
+  /** md5-derived ±1 (same bit rule as Nlp.h60 parity) — one source for
+    * the Spark literal and the SQL list below.
+    */
+  private def rademacher(j: Int, i: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"rp:$j:$i".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    if (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2 == 0) 1
+    else -1
+  }
+  private val DriftDirs = 4
+  private val driftSigns: Seq[Seq[Int]] =
+    (0 until DriftDirs).map(j => (0 until 64).map(i => rademacher(j, i)))
+
+  private val embDriftSql = {
+    val dirs = (0 until DriftDirs).map { j =>
+      val lst = driftSigns(j).mkString("[", ", ", "]")
+      s"""prj$j AS (SELECT vec_id % 2 = 0 AS ref,
+        list_sum(list_transform(generate_series(1, 64),
+          i -> CAST(floor(v[i] * 1000000) AS BIGINT) * ($lst)[i])) AS v
+      FROM e0),
+    g$j AS (SELECT v, SUM(CASE WHEN ref THEN 1 ELSE 0 END) AS k1,
+        SUM(CASE WHEN ref THEN 0 ELSE 1 END) AS k2
+      FROM prj$j WHERE v IS NOT NULL GROUP BY v),
+    cum$j AS (SELECT v,
+        SUM(k1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+          AND CURRENT ROW) AS c1,
+        SUM(k2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+          AND CURRENT ROW) AS c2
+      FROM g$j),
+    tot$j AS (SELECT SUM(k1) AS n1, SUM(k2) AS n2 FROM g$j),
+    d$j AS (SELECT v, n1, n2, ABS(c1 * n2 - c2 * n1) AS d_num
+      FROM cum$j CROSS JOIN tot$j
+      ORDER BY d_num DESC, v ASC LIMIT 1)"""
+    }
+    val out = (0 until DriftDirs).map(j =>
+      s"""SELECT $j AS dir, n1, n2, v AS at_value,
+        10000 * d_num // (n1 * n2) AS d_bp,
+        CAST(d_num AS HUGEINT) * d_num * 1000000 >
+          CAST(1844164 AS HUGEINT) * (n1 + n2) * n1 * n2 AS reject_05
+      FROM d$j""").mkString("\n      UNION ALL ")
+    s"""WITH e0 AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
+        FROM embeddings),
+      ${dirs.mkString(",\n    ")}
+      SELECT CAST(dir AS INT) AS dir, CAST(n1 AS BIGINT) AS n1,
+        CAST(n2 AS BIGINT) AS n2, CAST(at_value AS BIGINT) AS at_value,
+        CAST(d_bp AS BIGINT) AS d_bp, reject_05
+      FROM ($out) ORDER BY dir"""
+  }
+
+  /** Reference = even vec_ids, current = odd (the snapshot-parity split
+    * every drift query here uses) — same-model halves, so the expected
+    * read is "no rejection", and any flip is a real pipeline change.
+    */
+  private val qEmbDrift = GraftQuery(
+    "qprof_embedding_drift",
+    (s, dir) => embeddingDrift(Tables.embeddings(s, dir), driftSigns,
+      col("vec_id") % 2 === 0),
+    Some(embDriftSql))
+
   val queries: Seq[GraftQuery] =
     Seq(qProfile, qProfileEvents, qHistQuantile, qExpectations, qDrift,
-      qDimProfile, qKAnon, qTClose, qFd, qJoinCard, qRandResponse, qDpCounts)
+      qDimProfile, qKAnon, qTClose, qFd, qJoinCard, qRandResponse, qDpCounts,
+      qEmbDrift)
 }

@@ -3147,10 +3147,119 @@ object SimilarityOps {
     },
     Some(ariSql))
 
+  // -------------------- facility-location greedy selection (coreset)
+  /** Greedy facility-location selection over the kNN graph — the
+    * submodular coreset picker (Nemhauser–Wolsey–Fisher 1978 greedy,
+    * 1−1/e guarantee; the objective behind similarity-based training-
+    * data selection à la CRAIG/craig-style coresets): maximize
+    * F(S) = Σ_q max_{c∈S} sim(q, c), picking the element with the
+    * largest marginal gain k times. Complements [[kCenterSelect]]
+    * (minimax distance coverage — outlier-chasing) with SUM coverage —
+    * density-chasing: picks land in the corpus' mass centers.
+    *
+    * Scale: the exact objective is Ω(n²) (every (q, c) sim); the
+    * standard sparse relaxation scores sim only on the prebuilt kNN
+    * graph (sim(q,c) = 0 off-graph), so each round is one edge-list
+    * join against the per-q cover vector + one grouped sum — n·k rows,
+    * never all-pairs. The graph is the session-memoized qs_knn_graph
+    * index (built once, third consumer). Gains/covers are exact BIGINT
+    * micro-units (cosine floored to 10⁻⁶) — float summation order can
+    * flip an argmax across partitionings, integers cannot.
+    *
+    * Output: (sel_rank, vec_id, gain_micro, coverage_micro) per pick —
+    * gain the marginal objective increase, coverage the cumulative
+    * Σ_q cover(q) after the pick.
+    */
+  def facilityLocationSelect(edges: org.apache.spark.sql.DataFrame,
+      corpusIds: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val ids = corpusIds.select(col("vec_id")).distinct().localCheckpoint()
+    val dir0 = edges.select(col("src").as("q"), col("nbr").as("c"),
+      floor(col("cosine") * 1000000).cast("bigint").as("s"))
+    val sed = dir0
+      .unionByName(dir0.select(col("c").as("q"), col("q").as("c"), col("s")))
+      .unionByName(ids.select(col("vec_id").as("q"),
+        col("vec_id").as("c"), lit(1000000L).as("s")))
+      .groupBy(col("q"), col("c")).agg(max(col("s")).as("s"))
+      .localCheckpoint()
+    var cover = Scans.rebase(
+      ids.select(col("vec_id").as("q"), lit(0L).as("cv")), 8)
+    val picked = scala.collection.mutable.ListBuffer.empty[(Int, Long, Long, Long)]
+    for (r <- 1 to k) {
+      val pickedIds = picked.map(_._2).toSeq
+      val cand = if (pickedIds.isEmpty) sed
+        else sed.filter(!col("c").isin(pickedIds: _*))
+      val best = cand.join(cover, Seq("q"))
+        .groupBy(col("c"))
+        .agg(sum(greatest(col("s") - col("cv"), lit(0L))).as("gain"))
+        .orderBy(col("gain").desc, col("c"))
+        .limit(1).collect()(0)
+      val (cStar, gain) = (best.getLong(0), best.getLong(1))
+      val cEdges = sed.filter(col("c") === cStar)
+        .select(col("q"), col("s").as("cs"))
+      cover = Scans.rebaseSwap(
+        cover.join(broadcast(cEdges), Seq("q"), "left")
+          .select(col("q"),
+            greatest(col("cv"), coalesce(col("cs"), lit(0L))).as("cv")),
+        cover, 8)
+      val covTot = cover.agg(sum(col("cv"))).collect()(0).getLong(0)
+      picked += ((r, cStar, gain, covTot))
+    }
+    val s = edges.sparkSession
+    import s.implicits._
+    picked.toSeq.toDF("sel_rank", "vec_id", "gain_micro", "coverage_micro")
+      .orderBy(col("sel_rank"))
+  }
+
+  private val FacilityK = 5
+
+  private val facilitySql = {
+    val rounds = (1 to FacilityK).map { r =>
+      val p = r - 1
+      val notPicked = if (r == 1) ""
+        else "WHERE c NOT IN (" +
+          (1 until r).map(j => s"SELECT c FROM p$j").mkString(" UNION ALL ") + ")"
+      s"""g$r AS (SELECT c, SUM(GREATEST(s - cv, 0)) AS gain
+        FROM sca JOIN cov$p USING (q) $notPicked GROUP BY c),
+      p$r AS (SELECT c, gain FROM g$r ORDER BY gain DESC, c LIMIT 1),
+      cov$r AS MATERIALIZED (SELECT cov.q,
+          GREATEST(cov.cv, COALESCE(x.s, 0)) AS cv
+        FROM cov$p cov LEFT JOIN
+          (SELECT q, s FROM sca JOIN p$r USING (c)) x USING (q))"""
+    }
+    val out = (1 to FacilityK).map(r =>
+      s"""SELECT $r AS sel_rank, c AS vec_id, gain AS gain_micro,
+        (SELECT SUM(cv) FROM cov$r) AS coverage_micro FROM p$r""")
+      .mkString("\n      UNION ALL ")
+    s"""WITH $knnEdgeCtes,
+      dir0 AS (SELECT src AS q, nbr AS c,
+          CAST(floor(cosine * 1000000) AS BIGINT) AS s
+        FROM rkk WHERE rank <= $KnnK),
+      sca AS MATERIALIZED (SELECT q, c, MAX(s) AS s FROM (
+        SELECT q, c, s FROM dir0
+        UNION ALL SELECT c, q, s FROM dir0
+        UNION ALL SELECT vec_id, vec_id, 1000000 FROM e0) GROUP BY q, c),
+      cov0 AS MATERIALIZED (SELECT vec_id AS q, CAST(0 AS BIGINT) AS cv
+        FROM e0),
+      ${rounds.mkString(",\n      ")}
+      SELECT CAST(sel_rank AS INT) AS sel_rank, CAST(vec_id AS BIGINT)
+          AS vec_id,
+        CAST(gain_micro AS BIGINT) AS gain_micro,
+        CAST(coverage_micro AS BIGINT) AS coverage_micro
+      FROM ($out) ORDER BY sel_rank"""
+  }
+
+  private val qFacility = GraftQuery(
+    "qs_facility_select",
+    (s, dir) => facilityLocationSelect(knnEdgesMemo(s, dir),
+      Tables.embeddings(s, dir), FacilityK),
+    Some(facilitySql))
+
   val queries: Seq[GraftQuery] = Seq(qBrute, qAnnLsh, qAnnIvf, qAnnIvfTrained,
     qAnnLshMp, qAnnFiltered, qRecall, qMrr, qSq, qSqPacked, qCentroids, qKmeans,
     qOutliers, qSemDedup, qPq, qIvfPq, qIvfPqRes, qKnn, qRp, qMmr, qRrf,
     qKCenter, qGraphAnn, qHardNeg, qMrl, qRbp, qRbo, qBitext, qNdcg, qMap, qSilhouette,
     qShapley, qProbeCurve, qBinary, qCentroidPairs, qPcaPower, qAnisotropy,
-    qAri)
+    qAri, qFacility)
 }

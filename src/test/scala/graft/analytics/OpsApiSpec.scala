@@ -3052,6 +3052,21 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       == ((3L, 1L, 2L, 8L)), r.toString)
   }
 
+  test("facilityLocationSelect: hand marginal gains, hub first, tiebreak") {
+    import spark.implicits._
+    // hub 2 touches everyone; 3-4 is a strong side pair. round 1 picks
+    // the hub (gain = .9+.8+.7+self = 3.4e6); round 2 ties c=3/c=4 at
+    // 450000 -> smaller id wins; then 1 (100000), then 4 (50000).
+    val edges = Seq((1L, 1, 2L, 0.9), (3L, 1, 2L, 0.8), (4L, 1, 2L, 0.7),
+      (3L, 2, 4L, 0.95)).toDF("src", "rank", "nbr", "cosine")
+    val ids = Seq(1L, 2L, 3L, 4L).toDF("vec_id")
+    val out = SimilarityOps.facilityLocationSelect(edges, ids, 4).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1, 2L, 3400000L, 3400000L),
+      (2, 3L, 450000L, 3850000L), (3, 1L, 100000L, 3950000L),
+      (4, 4L, 50000L, 4000000L)), out.mkString(","))
+  }
+
   test("maximalMatching: node-disjoint, maximal, deterministic") {
     import spark.implicits._
     // path 1-2-3-4-5 + triangle 6-7-8 + isolated edge 9-10
