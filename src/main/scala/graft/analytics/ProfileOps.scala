@@ -869,8 +869,147 @@ object ProfileOps {
       col("vec_id") % 2 === 0),
     Some(embDriftSql))
 
+  // ------------------------------------ Mondrian k-anonymization (build)
+  /** Mondrian multidimensional k-anonymization (LeFevre, DeWitt &
+    * Ramakrishnan, ICDE 2006) over two integer quasi-identifier
+    * dimensions — the CONSTRUCTIVE side of qpriv_k_anon (that query
+    * audits a given generalization; this one builds it): recursively
+    * median-cut the QI space while both sides keep ≥ k records, emit
+    * each final cell's generalized ranges. Variant pinned here (and
+    * mirrored exactly by the oracle): per round every live cell tries
+    * ONLY its widest-raw-range dimension (tie → dim 1), lower-median
+    * threshold, left = v ≤ median; an inadmissible cut freezes the
+    * cell. Fixed depth bounds the rounds (cells ≤ 2^depth).
+    *
+    * Scale: per round one cell-keyed stats agg, one (cell, value)
+    * collapsed count + per-cell running sum — the window partition is
+    * bounded by the DIM's distinct-value domain (constant in corpus
+    * size for banded QI dims), never corpus rows — and one broadcast
+    * join of the ≤2^depth-row cut plan back onto the rows. Loop state
+    * rides [[Scans.rebase]].
+    *
+    * Output: (cell, n_rows, d1_min, d1_max, d2_min, d2_max) per final
+    * cell, ordered by cell id (the cut path, so stable across engines).
+    */
+  def mondrianAnonymize(rows: DataFrame, k: Int, depth: Int = 6,
+      idCol: String = "id", d1Col: String = "d1", d2Col: String = "d2")
+      : DataFrame = {
+    require(k >= 2 && depth >= 1, s"need k >= 2, depth >= 1: $k, $depth")
+    var st = Scans.rebase(rows.select(col(idCol).as("id"),
+      col(d1Col).cast("bigint").as("d1"), col(d2Col).cast("bigint").as("d2"))
+      .withColumn("cell", lit(1L)).withColumn("done", lit(false)), 8)
+    for (_ <- 1 to depth) {
+      val act = st.filter(!col("done"))
+      val stats = act.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"), min(col("d1")).as("a1"),
+          max(col("d1")).as("b1"), min(col("d2")).as("a2"),
+          max(col("d2")).as("b2"))
+        .withColumn("dim",
+          when(col("b1") - col("a1") >= col("b2") - col("a2"), 1)
+            .otherwise(2))
+      val vals = act.join(broadcast(stats.select(col("cell"), col("dim"))),
+          "cell")
+        .withColumn("v", when(col("dim") === 1, col("d1"))
+          .otherwise(col("d2")))
+      val cum = vals.groupBy(col("cell"), col("v"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))
+            .orderBy(col("v"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, 0)))
+      val med = cum.join(broadcast(stats.select(col("cell"), col("n"))),
+          "cell")
+        .groupBy(col("cell"))
+        .agg(min(when(col("cum") >= expr("(n + 1) div 2"), col("v")))
+          .as("med"))
+      val nl = cum.join(broadcast(med), "cell")
+        .filter(col("v") === col("med"))
+        .select(col("cell"), col("cum").as("nl"))
+      val plan = stats.join(med, "cell").join(nl, "cell")
+        .withColumn("ok",
+          col("nl") >= k && (col("n") - col("nl")) >= k)
+        .select(col("cell"), col("dim"), col("med"), col("ok"))
+      val prev = st
+      st = Scans.rebase(st.join(broadcast(plan), Seq("cell"), "left")
+        .select(col("id"), col("d1"), col("d2"),
+          when(!col("done") && col("ok"),
+            col("cell") * 2 + when((when(col("dim") === 1, col("d1"))
+              .otherwise(col("d2"))) > col("med"), 1L).otherwise(0L))
+            .otherwise(col("cell")).as("cell"),
+          (col("done") || !coalesce(col("ok"), lit(false))).as("done")), 8)
+      prev.unpersist(blocking = false)
+    }
+    st.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_rows"), min(col("d1")).as("d1_min"),
+        max(col("d1")).as("d1_max"), min(col("d2")).as("d2_min"),
+        max(col("d2")).as("d2_max"))
+      .orderBy(col("cell"))
+  }
+
+  private val MondrianK = 100
+  private val MondrianDepth = 6
+
+  private def mondrianRoundSql(r: Int, k: Int): String = {
+    val p = r - 1
+    s"""stats$r AS MATERIALIZED (SELECT cell, COUNT(*) AS n,
+        MIN(d1) AS a1, MAX(d1) AS b1, MIN(d2) AS a2, MAX(d2) AS b2,
+        CASE WHEN MAX(d1) - MIN(d1) >= MAX(d2) - MIN(d2) THEN 1 ELSE 2 END
+          AS dim
+      FROM st$p WHERE NOT done GROUP BY cell),
+    cum$r AS MATERIALIZED (SELECT cell, v, SUM(cnt) OVER (PARTITION BY cell
+        ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM (SELECT t.cell, CASE WHEN s.dim = 1 THEN t.d1 ELSE t.d2 END AS v,
+          COUNT(*) AS cnt
+        FROM st$p t JOIN stats$r s USING (cell)
+        WHERE NOT t.done GROUP BY 1, 2)),
+    med$r AS MATERIALIZED (SELECT c.cell,
+        MIN(CASE WHEN c.cum >= (s.n + 1) // 2 THEN c.v END) AS med
+      FROM cum$r c JOIN stats$r s USING (cell) GROUP BY c.cell),
+    plan$r AS MATERIALIZED (SELECT s.cell, s.dim, m.med,
+        (l.nl >= $k AND s.n - l.nl >= $k) AS ok
+      FROM stats$r s JOIN med$r m USING (cell)
+      JOIN (SELECT c.cell, c.cum AS nl FROM cum$r c
+        JOIN med$r m2 ON c.cell = m2.cell AND c.v = m2.med) l USING (cell)),
+    st$r AS MATERIALIZED (SELECT t.id, t.d1, t.d2,
+        CASE WHEN NOT t.done AND COALESCE(p.ok, FALSE)
+          THEN t.cell * 2 + (CASE WHEN (CASE WHEN p.dim = 1 THEN t.d1
+            ELSE t.d2 END) > p.med THEN 1 ELSE 0 END)
+          ELSE t.cell END AS cell,
+        (t.done OR NOT COALESCE(p.ok, FALSE)) AS done
+      FROM st$p t LEFT JOIN plan$r p USING (cell))"""
+  }
+
+  private val mondrianSql = {
+    val rounds = (1 to MondrianDepth)
+      .map(mondrianRoundSql(_, MondrianK)).mkString(",\n    ")
+    s"""WITH st0 AS MATERIALIZED (SELECT c_custkey AS id,
+        CAST(c_nationkey AS BIGINT) AS d1,
+        CAST(floor(c_acctbal) AS BIGINT) AS d2,
+        CAST(1 AS BIGINT) AS cell, FALSE AS done
+      FROM customer),
+    $rounds
+    SELECT CAST(cell AS BIGINT) AS cell, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      MIN(d1) AS d1_min, MAX(d1) AS d1_max,
+      MIN(d2) AS d2_min, MAX(d2) AS d2_max
+    FROM st$MondrianDepth GROUP BY cell ORDER BY cell"""
+  }
+
+  /** Customers k-anonymized over (nation, whole-dollar balance) — the
+    * cells this produces are exactly what qpriv_k_anon then audits.
+    */
+  private val qMondrian = GraftQuery(
+    "qpriv_mondrian",
+    (s, dir) => mondrianAnonymize(
+      Tables.customer(s, dir)
+        .select(col("c_custkey").as("id"),
+          col("c_nationkey").as("d1"),
+          floor(col("c_acctbal")).cast("bigint").as("d2")),
+      MondrianK, MondrianDepth),
+    Some(mondrianSql))
+
   val queries: Seq[GraftQuery] =
     Seq(qProfile, qProfileEvents, qHistQuantile, qExpectations, qDrift,
       qDimProfile, qKAnon, qTClose, qFd, qJoinCard, qRandResponse, qDpCounts,
-      qEmbDrift)
+      qEmbDrift, qMondrian)
 }

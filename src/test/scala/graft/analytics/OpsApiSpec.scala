@@ -3052,6 +3052,26 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       == ((3L, 1L, 2L, 8L)), r.toString)
   }
 
+  test("mondrianAnonymize: hand cuts, k floor holds, ids conserved") {
+    import spark.implicits._
+    // d2 constant -> 1-D: 1..10 at k=3 cuts once at the lower median 5
+    // (5 | 5), then both sides freeze (a 5-split would leave nr=2 < k)
+    val rows = (1L to 10L).map(i => (i, i, 7L)).toDF("id", "d1", "d2")
+    val out = ProfileOps.mondrianAnonymize(rows, k = 3, depth = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq((2L, 5L, 1L, 5L, 7L, 7L),
+      (3L, 5L, 6L, 10L, 7L, 7L)), out.mkString(","))
+    // k-anonymity floor on a bigger random-ish grid
+    val big = (1L to 200L).map(i => (i, i % 13, (i * 37) % 101))
+      .toDF("id", "d1", "d2")
+    val cells = ProfileOps.mondrianAnonymize(big, k = 20, depth = 5)
+      .collect()
+    assert(cells.forall(_.getLong(1) >= 20L), cells.mkString(","))
+    assert(cells.map(_.getLong(1)).sum == 200L)
+    assert(cells.length > 1)
+  }
+
   test("facilityLocationSelect: hand marginal gains, hub first, tiebreak") {
     import spark.implicits._
     // hub 2 touches everyone; 3-4 is a strong side pair. round 1 picks
