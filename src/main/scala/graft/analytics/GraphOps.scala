@@ -2562,6 +2562,154 @@ object GraphOps {
       ORDER BY a"""
   }
 
+  // ------------------------------- greedy coloring (Jones–Plassmann)
+  /** Distributed greedy graph coloring, Jones–Plassmann style (Jones &
+    * Plassmann 1993): per round, every uncolored node that holds the
+    * MINIMUM hash priority in its uncolored neighborhood colors itself
+    * with the smallest positive color absent among its already-colored
+    * neighbors. Same-round winners are mutually non-adjacent (the
+    * [[maximalIndependentSet]] local-minimum rule), so the greedy
+    * first-fit never conflicts — a proper coloring by construction,
+    * with ≤ Δ+1 colors, in O(log n / log log n) expected rounds
+    * against hashed priorities. Coloring is the conflict-free
+    * SCHEDULING primitive: color classes are batches safe to update
+    * concurrently (each class is an independent set).
+    *
+    * Completes the symmetry-breaking triad: [[maximalIndependentSet]]
+    * (one batch), [[maximalMatching]] (disjoint pairs), coloring (ALL
+    * nodes batched).
+    *
+    * Per round: the MIS winner test (two node-keyed joins + uniform-key
+    * min-agg), then the first-fit: winners' colored-neighbor DISTINCT
+    * colors (bounded by the winner's degree), explode candidate colors
+    * 1..cnt+1, one anti-join, min — all keyed on the node, no pair
+    * blow-up; loop state on [[Scans.rebase]]. Output: the color
+    * histogram (color, n_nodes) plus properness is test-pinned.
+    */
+  def greedyColoring(edgesIn: DataFrame, maxRounds: Int = 48): DataFrame =
+    greedyColoringAssignment(edgesIn, maxRounds)
+      .groupBy(col("color")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("color"))
+
+  /** The full (node, color) assignment behind [[greedyColoring]] —
+    * the loop itself; tests pin properness on it directly.
+    */
+  private[analytics] def greedyColoringAssignment(edgesIn: DataFrame,
+      maxRounds: Int = 48): DataFrame = {
+    val e0 = edgesIn.select(col("src").cast("bigint").as("src"),
+      col("dst").cast("bigint").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val edges = e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var unc = Scans.rebase(
+      edges.select(col("src").as("node")).distinct()
+        .withColumn("pr", expr(
+          s"cast(${Nlp.h60("concat('jp:', cast(node as string))")} " +
+            "as decimal(38,0)) * 10000000000 + node")), 8)
+    var colored: DataFrame = null
+    var r = 0
+    while (!unc.isEmpty) {
+      if (r >= maxRounds) throw new IllegalStateException(
+        s"greedyColoringAssignment: did not converge in $maxRounds rounds")
+      val le = edges
+        .join(unc.select(col("node").as("src")), "src")
+        .join(unc.select(col("node").as("dst"), col("pr").as("pd")), "dst")
+      val nbrMin = le.groupBy(col("src").as("mn_node"))
+        .agg(min(col("pd")).as("mn"))
+      val winners = Scans.rebase(
+        unc.join(nbrMin, unc("node") === col("mn_node"), "left")
+          .filter(col("mn").isNull || col("pr") < col("mn"))
+          .select(col("node")), 8)
+      val nbrColors =
+        if (colored == null)
+          winners.select(col("node"), lit(1).as("color")).limit(0)
+        else edges.join(winners.select(col("node").as("src")), "src")
+          .join(colored.select(col("node").as("dst"), col("color")), "dst")
+          .select(col("src").as("node"), col("color")).distinct()
+      val asg = Scans.rebase(
+        winners.join(nbrColors.groupBy(col("node"))
+            .agg(count(lit(1)).as("cnt")), Seq("node"), "left")
+          .select(col("node"),
+            explode(expr("sequence(1, cast(coalesce(cnt, 0) + 1 as int))"))
+              .as("color"))
+          .join(nbrColors, Seq("node", "color"), "left_anti")
+          .groupBy(col("node")).agg(min(col("color")).as("color")), 8)
+      colored = if (colored == null) asg
+        else Scans.rebaseSwap(colored.unionByName(asg), colored, 8)
+      unc = Scans.rebaseSwap(
+        unc.join(winners.select(col("node")), Seq("node"), "left_anti"),
+        unc, 8)
+      r += 1
+    }
+    if (colored == null) unc.select(col("node"), lit(1).as("color"))
+    else colored.orderBy(col("node"))
+  }
+
+  private val ColoringOracleRounds = 20
+
+  private def coloringRoundSql(r: Int): String = {
+    val p = r - 1
+    s"""mn$r AS MATERIALIZED (SELECT ge.src AS node, MIN(lp.pr) AS mn
+      FROM ge JOIN u$p la ON ge.src = la.node JOIN u$p lp ON ge.dst = lp.node
+      GROUP BY ge.src),
+    w$r AS MATERIALIZED (SELECT l.node FROM u$p l
+      LEFT JOIN mn$r m ON l.node = m.node
+      WHERE m.mn IS NULL OR l.pr < m.mn),
+    nc$r AS MATERIALIZED (SELECT DISTINCT w.node, c.color
+      FROM w$r w JOIN ge ON ge.src = w.node JOIN col$p c ON ge.dst = c.node),
+    asg$r AS MATERIALIZED (SELECT node, MIN(k) AS color FROM (
+      SELECT b.node, unnest(generate_series(1, b.cnt + 1)) AS k
+      FROM (SELECT w.node, COALESCE(n.cnt, 0) AS cnt FROM w$r w
+        LEFT JOIN (SELECT node, COUNT(*) AS cnt FROM nc$r GROUP BY node) n
+          ON w.node = n.node) b) cand
+      WHERE NOT EXISTS (SELECT 1 FROM nc$r x
+        WHERE x.node = cand.node AND x.color = cand.k)
+      GROUP BY node),
+    col$r AS MATERIALIZED (SELECT node, color FROM col$p
+      UNION ALL SELECT node, color FROM asg$r),
+    u$r AS MATERIALIZED (SELECT u.node, u.pr FROM u$p u
+      WHERE u.node NOT IN (SELECT node FROM w$r))"""
+  }
+
+  private def coloringSql: String = {
+    val rounds = (1 to ColoringOracleRounds).map(coloringRoundSql)
+      .mkString(",\n    ")
+    val R = ColoringOracleRounds
+    s"""WITH ${SimilarityOps.knnEdgeCtes},
+      ge AS MATERIALIZED (SELECT DISTINCT src, dst
+        FROM (SELECT src, nbr AS dst FROM edg)),
+      u0 AS MATERIALIZED (SELECT node,
+          CAST(${Nlp.h60Sql("'jp:' || CAST(node AS VARCHAR)")} AS HUGEINT)
+            * 10000000000 + node AS pr
+        FROM (SELECT DISTINCT src AS node FROM ge)),
+      col0 AS MATERIALIZED (SELECT src AS node, 1 AS color FROM ge
+        WHERE FALSE),
+      $rounds
+      SELECT CAST(color AS INT) AS color,
+        CAST(CASE WHEN (SELECT COUNT(*) FROM u$R) = 0 THEN COUNT(*)
+          ELSE CAST('coloring-oracle-underprovisioned' AS BIGINT) END
+          AS BIGINT) AS n_nodes
+      FROM col$R GROUP BY color ORDER BY color"""
+  }
+
+  /** Color classes of the kNN near-neighbor graph (the qs_knn_graph
+    * index, fourth consumer) — conflict-free merge batches over the
+    * near-duplicate graph; each class can be processed concurrently
+    * with no two adjacent (similar) items in one batch. The kNN graph
+    * (bounded degree, hash-spread) keeps the JP dependency chains
+    * short; the DENSE bipartite trade graph is the measured
+    * counterexample — its alternating priority runs sequentialize JP
+    * into hundreds of rounds, which is why this binding colors the
+    * sparse graph. Properness and the MIS-winner rule are pinned in
+    * OpsApiSpec.
+    */
+  private val qColoring = GraftQuery(
+    "qg_coloring",
+    (s, dir) => greedyColoring(SimilarityOps.knnEdgesMemo(s, dir)
+      .select(col("src"), col("nbr").as("dst"))),
+    Some(coloringSql))
+
   /** 1:1 trade assignment: each customer entity matched to at most one
     * supplier entity over the min-quantity-weighted trade graph — the
     * [[maximalMatching]] handshake on the qg_mst/qg_sssp weighting.
@@ -2582,5 +2730,5 @@ object GraphOps {
     Seq(qPageRank, qTriangles, qLpa, qKcore, qReach, qSubtree, qSssp, qPpr,
       qLinkPredict, qDegreeDist, qModularity, qHits, qAssortativity, qWalks,
       qHarmonic, qEcc, qBetweenness, qLocalClustering, qKTruss, qRichClub,
-      qKatz, qScc, qMst, qWl, qMis, qMatching)
+      qKatz, qScc, qMst, qWl, qMis, qMatching, qColoring)
 }

@@ -2124,7 +2124,7 @@ object SimilarityOps {
     * the graph-ANN search oracle, which walks these edges. Requires
     * nothing in scope; defines `e0` (the corpus) itself.
     */
-  private val knnEdgeCtes =
+  private[analytics] val knnEdgeCtes =
     s"""e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     ${lloydSqlDyn(IvfIters)},
     scs AS (SELECT vec_id, v,
@@ -2150,7 +2150,7 @@ object SimilarityOps {
     * walked by qs_graph_ann (the same "index built once, queried many
     * times" economics a real deployment has).
     */
-  private def knnEdgesMemo(s: org.apache.spark.sql.SparkSession,
+  private[analytics] def knnEdgesMemo(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     Memo.cached(s, s"knnEdges:$dir")(
       knnGraph(Tables.embeddings(s, dir), KnnK, dynTrained(s, dir)))

@@ -3115,6 +3115,32 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().isEmpty)
   }
 
+  test("greedyColoring: proper, first-fit-tight, deterministic") {
+    import spark.implicits._
+    // triangle 1-2-3 (needs 3 colors) + path to 4-5 + isolated pair 6-7
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (6L, 7L))
+    val e = edges.toDF("src", "dst")
+    val asg = GraphOps.greedyColoringAssignment(e).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // proper: no edge monochromatic
+    edges.foreach { case (a, b) =>
+      assert(asg(a) != asg(b), s"$a-$b both ${asg(a)} in $asg")
+    }
+    // every node colored, colors start at 1, triangle forces a 3
+    assert(asg.keySet == (1L to 7L).toSet, asg.toString)
+    assert(asg.values.min == 1 && asg.values.max >= 3, asg.toString)
+    // the histogram view is the assignment rolled up
+    val hist = GraphOps.greedyColoring(e).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(hist == asg.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap, hist.toString)
+    // determinism
+    val again = GraphOps.greedyColoringAssignment(e).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(again == asg)
+  }
+
   test("graph ops: edgeless / empty inputs return empty frames, not NPE") {
     import spark.implicits._
     // MIS on all-self-loop input: node universe empties after the
