@@ -647,8 +647,77 @@ object Relational3 {
       CROSS JOIN n
       ORDER BY lift_micro DESC, confidence_bp DESC, ante, cons LIMIT $ArTopK"""))
 
+  // ------------------------------- spatial radius join (grid-bucketed)
+  /** Spatial radius join — the missing join family next to as-of
+    * (time), interval (ranges), and band (scalar distance): all
+    * (supplier, customer) pairs within euclidean radius R on a plane,
+    * WITHOUT a cross product. The standard grid trick: bucket every
+    * point into an R×R cell, explode the probe side into its 3×3 cell
+    * neighborhood (any point within R of p lies in one of those 9
+    * cells), hash-join on the cell key, then the exact squared-distance
+    * filter. Probe fan-out is a fixed 9×; the join is a plain equi-join
+    * — this plan survives any corpus size where a distance cross join
+    * cannot (PlanAuditSpec pins no CartesianProduct).
+    *
+    * Coordinates are synthesized deterministically from entity keys
+    * (md5-derived µ-grid positions — the tables carry no geography);
+    * the OPERATOR is the real artifact. All-integer squared distances —
+    * no floating hypot, no engine disagreement on the boundary.
+    *
+    * Output: (s_suppkey, c_custkey, d2) pairs within R, ordered.
+    */
+  private val GeoR = 50000L
+  private val qGeoRadius = GraftQuery(
+    "qj_geo_radius",
+    (s, dir) => {
+      val cust = Tables.customer(s, dir).select(col("c_custkey"))
+        .withColumn("cx", expr(
+          s"${Nlp.h60("concat('gx:', cast(c_custkey as string))")} % 1000000"))
+        .withColumn("cy", expr(
+          s"${Nlp.h60("concat('gy:', cast(c_custkey as string))")} % 1000000"))
+        .withColumn("ccx", expr(s"cx div $GeoR"))
+        .withColumn("ccy", expr(s"cy div $GeoR"))
+      val supp = Tables.supplier(s, dir).select(col("s_suppkey"))
+        .withColumn("sx", expr(
+          s"${Nlp.h60("concat('gx:s', cast(s_suppkey as string))")} % 1000000"))
+        .withColumn("sy", expr(
+          s"${Nlp.h60("concat('gy:s', cast(s_suppkey as string))")} % 1000000"))
+        .withColumn("d", explode(expr(
+          "flatten(transform(sequence(-1, 1), a -> " +
+            "transform(sequence(-1, 1), b -> named_struct('a', a, 'b', b))))")))
+        .select(col("s_suppkey"), col("sx"), col("sy"),
+          (expr(s"sx div $GeoR") + col("d.a")).as("ccx"),
+          (expr(s"sy div $GeoR") + col("d.b")).as("ccy"))
+      supp.join(cust, Seq("ccx", "ccy"))
+        .withColumn("d2", expr("(cx - sx) * (cx - sx) + (cy - sy) * (cy - sy)"))
+        .filter(col("d2") <= GeoR * GeoR)
+        .select(col("s_suppkey"), col("c_custkey"), col("d2"))
+        .orderBy(col("s_suppkey"), col("c_custkey"))
+    },
+    Some(s"""WITH cust AS (SELECT c_custkey,
+        ${Nlp.h60Sql("'gx:' || CAST(c_custkey AS VARCHAR)")} % 1000000 AS cx,
+        ${Nlp.h60Sql("'gy:' || CAST(c_custkey AS VARCHAR)")} % 1000000 AS cy
+      FROM customer),
+      cc AS (SELECT c_custkey, cx, cy, cx // $GeoR AS ccx, cy // $GeoR AS ccy
+        FROM cust),
+      supp AS (SELECT s_suppkey,
+        ${Nlp.h60Sql("'gx:s' || CAST(s_suppkey AS VARCHAR)")} % 1000000 AS sx,
+        ${Nlp.h60Sql("'gy:s' || CAST(s_suppkey AS VARCHAR)")} % 1000000 AS sy
+      FROM supplier),
+      sp AS (SELECT s_suppkey, sx, sy,
+          sx // $GeoR + a AS ccx, sy // $GeoR + b AS ccy
+        FROM supp, (SELECT unnest([-1, 0, 1]) AS a),
+          (SELECT unnest([-1, 0, 1]) AS b))
+      SELECT s_suppkey, c_custkey,
+        (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy) AS d2
+      FROM sp JOIN cc USING (ccx, ccy)
+      WHERE (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy)
+        <= ${GeoR * GeoR}
+      ORDER BY s_suppkey, c_custkey"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qSessionWindow, qArrayFns, qMapFns, qPosexplode, qPivot, qAsof,
       qAsofNative, qRangeJoin, qMath, qBitwise, qUdf, qQ02, qQ15, qLateral,
-      qUnpivot, qCoPurchase, qIntervalOverlap, qIntervalNative, qAssocRules)
+      qUnpivot, qCoPurchase, qIntervalOverlap, qIntervalNative, qAssocRules,
+      qGeoRadius)
 }

@@ -652,6 +652,43 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"qstat_hodges_lehmann planned more than the literal row:\n$hl")
   }
 
+  test("r10 ops: pair tiers keyed, windows partitioned, no cartesian") {
+    // matching/coloring rounds run at construction on node-keyed joins;
+    // facility gains are kNN-edge joins; mondrian's per-round plan is a
+    // broadcast of <= 2^depth rows; geo_radius is a cell-key equi-join
+    // (the whole point — a distance cross join would be the failure);
+    // wer/chrf/pass@k are pair-keyed or grouped aggregates.
+    Seq("qg_matching", "qg_coloring", "qs_facility_select",
+      "qpriv_mondrian", "qj_geo_radius", "qml_wer", "qml_chrf",
+      "qml_pass_at_k", "qprof_embedding_drift").foreach { name =>
+      val plan = graft.SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name planned a cartesian product:\n$plan")
+      // embedding_drift's BNL is ksTest's sanctioned 1-row totals
+      // broadcast cross (the qstat_ks_test shape) — everything else
+      // must stay on hash joins
+      if (name != "qprof_embedding_drift")
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name planned a BNL join:\n$plan")
+    }
+    // hampel's only window is user-partitioned; geo_radius joins on the
+    // exploded 3x3 cell key, so the join itself must be a hash join
+    val hp = graft.SparkEntry.queries("qe_hampel")(spark, sf)
+      .queryExecution.executedPlan.toString
+    hp.linesIterator.filter(_.contains("Window ")).foreach { l =>
+      assert(l.contains("user_id"),
+        s"qe_hampel planned an unpartitioned window:\n$l")
+    }
+    // wer is one join then map-only: the token DP must not shuffle rows
+    val wer = graft.SparkEntry.queries("qml_wer")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(wer.contains("graft_token_levenshtein")
+      || wer.contains("tokenlevenshtein")
+      || wer.toLowerCase.contains("levenshtein"),
+      s"qml_wer lost the native kernel:\n$wer")
+  }
+
   test("r9 graph ops: SCC/MST/WL stay on keyed equi-joins, no cartesian") {
     // scc's dominance pair generation is keyed on the ORDER id; mst's
     // per-round pick/merge joins are node/component-keyed; wl's rounds
