@@ -3147,6 +3147,59 @@ object SimilarityOps {
     },
     Some(ariSql))
 
+  // ------------------------------- MIPS (inner-product) exact top-k
+  /** Maximum-inner-product top-k — the recommender scorer: rank by RAW
+    * dot product ⟨q, c⟩, NOT cosine. The two orders genuinely differ
+    * (a long candidate vector can out-dot a better-aligned short one),
+    * which is why rec-sys retrieval (user embedding × item embeddings,
+    * popularity encoded in the norm) is MIPS and semantic search is
+    * cosine — both belong in the tier. Same scale shape as
+    * [[cosineTopK]]: broadcast query side, one corpus scan, native
+    * codegen'd dots, per-query WindowGroupLimit top-k. The standard
+    * sub-quadratic path is the norm-augmentation reduction (Bachrach
+    * et al. 2014: append sqrt(M²−‖c‖²), queries get 0 — MIPS becomes
+    * cosine) feeding any ANN tier above; the exact form here is the
+    * recall baseline for it.
+    * Output: (query_id, rank, cand_id, dot).
+    */
+  def mipsTopK(corpus: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame, k: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : org.apache.spark.sql.DataFrame = {
+    val q = prep(queries, idCol, vecCol)
+      .select(col("vec_id").as("query_id"), col("v").as("va"))
+    val pairs = prep(corpus, idCol, vecCol)
+      .select(col("vec_id").as("cand_id"), col("v").as("vb"))
+      .crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("dot", graft_dot(col("va"), col("vb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("cand_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("dot"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val mipsSql =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.v AS va,
+        c.v AS vb
+      FROM e q JOIN e c ON q.vec_id < $NQ AND q.vec_id <> c.vec_id),
+    sc AS (SELECT query_id, cand_id, $dotFoldSql AS dot FROM p),
+    rk AS (SELECT query_id, cand_id, dot,
+      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, cand_id)
+        AS rank
+      FROM sc)
+    SELECT query_id, rank, cand_id, dot FROM rk WHERE rank <= $K
+    ORDER BY query_id, rank"""
+
+  private val qMips = GraftQuery(
+    "qs_mips_topk",
+    (s, dir) => mipsTopK(Tables.embeddings(s, dir),
+      Tables.embeddings(s, dir).filter(col("vec_id") < NQ), K),
+    Some(mipsSql))
+
   // -------------------- facility-location greedy selection (coreset)
   /** Greedy facility-location selection over the kNN graph — the
     * submodular coreset picker (Nemhauser–Wolsey–Fisher 1978 greedy,
@@ -3261,5 +3314,5 @@ object SimilarityOps {
     qOutliers, qSemDedup, qPq, qIvfPq, qIvfPqRes, qKnn, qRp, qMmr, qRrf,
     qKCenter, qGraphAnn, qHardNeg, qMrl, qRbp, qRbo, qBitext, qNdcg, qMap, qSilhouette,
     qShapley, qProbeCurve, qBinary, qCentroidPairs, qPcaPower, qAnisotropy,
-    qAri, qFacility)
+    qAri, qFacility, qMips)
 }
