@@ -995,54 +995,53 @@ object EvalOps {
     *
     *   chrF2 = 5·P·R div (4·P + R)   (micro-units)
     *
-    * Scale: map-only n-gram generation (one pass emits all 6 orders as
-    * (n, gram) rows), two grouped counts, one clipped-match join keyed
-    * on (pair, n, gram) — the [[rougeNgram]] shape at character level.
+    * Scale: ZERO SHUFFLE — the clipped-match count per order runs
+    * directly on the two strings in the native codegen'd
+    * [[graft.functions.CharGramClipped]] kernel (one hash-count pass
+    * per order, no gram arrays, no sorts, no interpreted lambdas), so
+    * the whole metric is scan-priced. Two slower shapes were measured
+    * on the way here and are documented on the kernel: explode +
+    * grouped-count + join (10 s at sf0.1 — every gram occurrence
+    * through an exchange), and in-row HOF gram arrays (8 s — the
+    * interpreted-lambda evaluator, not the data). The oracle keeps the
+    * explode-and-join formulation: two independent derivations of the
+    * same integers is the stronger gate.
     * Output: (pair, n_orders, p_micro, r_micro, chrf_micro) per pair.
     */
   def chrF(pairs: DataFrame, maxN: Int = 6,
       candCol: String = "cand_text", refCol: String = "ref_text"): DataFrame = {
     def strip(c: String) = regexp_replace(col(c), "\\s+", "")
-    def gramRows(txt: String) = {
-      // Spark's sequence(1, 0) DESCENDS ([1, 0]) instead of returning
-      // empty — short strings need the explicit length guard.
-      val perN = (1 to maxN).map { n =>
-        s"""case when length($txt) >= $n then
-           transform(sequence(1, length($txt) - ${n - 1}),
-             i -> named_struct('n', $n, 'g', substring($txt, i, $n)))
-           else cast(array() as array<struct<n:int,g:string>>) end"""
-      }.mkString(", ")
-      expr(s"flatten(array($perN))")
-    }
     val base = pairs.select(col("pair"), strip(candCol).as("ct"),
-      strip(refCol).as("rt")).localCheckpoint()
-    def counts(txt: String, cnt: String) = base
-      .select(col("pair"), explode(gramRows(txt)).as("x"))
-      .groupBy(col("pair"), col("x.n").as("n"), col("x.g").as("g"))
-      .agg(count(lit(1)).as(cnt))
-    val m = counts("ct", "cc").join(counts("rt", "rc"), Seq("pair", "n", "g"))
-      .groupBy(col("pair"), col("n"))
-      .agg(sum(least(col("cc"), col("rc"))).as("m"))
-    val tots = base.select(col("pair") +: (1 to maxN).flatMap(n => Seq(
-        greatest(length(col("ct")) - (n - 1), lit(0)).cast("long").as(s"ct$n"),
-        greatest(length(col("rt")) - (n - 1), lit(0)).cast("long").as(s"rt$n"))): _*)
-      .select(col("pair"), explode(expr(
-        (1 to maxN).map(n => s"named_struct('n', $n, 'ctot', ct$n, 'rtot', rt$n)")
-          .mkString("array(", ", ", ")"))).as("t"))
-      .select(col("pair"), col("t.n").as("n"), col("t.ctot"), col("t.rtot"))
-      .filter(col("ctot") > 0 && col("rtot") > 0)
-    tots.join(m, Seq("pair", "n"), "left")
-      .select(col("pair"),
-        expr("1000000 * coalesce(m, 0) div ctot").as("p_n"),
-        expr("1000000 * coalesce(m, 0) div rtot").as("r_n"))
-      .groupBy(col("pair"))
-      .agg(count(lit(1)).as("n_orders"),
-        expr("sum(p_n) div count(1)").as("p_micro"),
-        expr("sum(r_n) div count(1)").as("r_micro"))
+      strip(refCol).as("rt"))
+    val withM = (1 to maxN).foldLeft(base) { (d, n) =>
+      d.withColumn(s"m$n", graft.functions.GraftFunctions
+          .graft_chargram_clipped(col("ct"), col("rt"), n).cast("long"))
+        .withColumn(s"ct$n",
+          greatest(length(col("ct")) - (n - 1), lit(0)).cast("long"))
+        .withColumn(s"rt$n",
+          greatest(length(col("rt")) - (n - 1), lit(0)).cast("long"))
+    }
+    // Barrier before the combine: p/r/chrf reference every m_n several
+    // times and CollapseProject would re-evaluate the kernel per
+    // reference without it.
+    val scored = withM.drop("ct", "rt").localCheckpoint()
+    def valid(n: Int) = s"ct$n > 0 and rt$n > 0"
+    val nOrders = (1 to maxN)
+      .map(n => s"(case when ${valid(n)} then 1 else 0 end)").mkString(" + ")
+    def meanOf(tot: String) = (1 to maxN)
+      .map(n => s"(case when ${valid(n)} then 1000000 * m$n div $tot$n else 0 end)")
+      .mkString("(", " + ", s") div n_orders")
+    scored
+      .withColumn("n_orders", expr(s"cast($nOrders as bigint)"))
+      .filter(col("n_orders") > 0)
+      .withColumn("p_micro", expr(meanOf("ct")))
+      .withColumn("r_micro", expr(meanOf("rt")))
       .withColumn("chrf_micro",
         when(col("p_micro") * 4 + col("r_micro") > 0,
           expr("5 * p_micro * r_micro div (4 * p_micro + r_micro)"))
           .otherwise(lit(0L)))
+      .select(col("pair"), col("n_orders"), col("p_micro"), col("r_micro"),
+        col("chrf_micro"))
       .orderBy(col("pair"))
   }
 

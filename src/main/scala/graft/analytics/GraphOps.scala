@@ -2602,16 +2602,20 @@ object GraphOps {
     val edges = e0.unionByName(
         e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint()
-    var unc = Scans.rebase(
+    // ONE loop frame (node, pr, color-nullable): the loop's wall cost is
+    // Spark jobs, not rows (EXPLAINS_r9), so colored/uncolored ride one
+    // materialization per round instead of two
+    var state = Scans.rebase(
       edges.select(col("src").as("node")).distinct()
         .withColumn("pr", expr(
           s"cast(${Nlp.h60("concat('jp:', cast(node as string))")} " +
-            "as decimal(38,0)) * 10000000000 + node")), 8)
-    var colored: DataFrame = null
+            "as decimal(38,0)) * 10000000000 + node"))
+        .withColumn("color", lit(null).cast("int")), 8)
     var r = 0
-    while (!unc.isEmpty) {
+    while (!state.filter(col("color").isNull).isEmpty) {
       if (r >= maxRounds) throw new IllegalStateException(
         s"greedyColoringAssignment: did not converge in $maxRounds rounds")
+      val unc = state.filter(col("color").isNull)
       val le = edges
         .join(unc.select(col("node").as("src")), "src")
         .join(unc.select(col("node").as("dst"), col("pr").as("pd")), "dst")
@@ -2621,29 +2625,33 @@ object GraphOps {
         unc.join(nbrMin, unc("node") === col("mn_node"), "left")
           .filter(col("mn").isNull || col("pr") < col("mn"))
           .select(col("node")), 8)
-      val nbrColors =
-        if (colored == null)
-          winners.select(col("node"), lit(1).as("color")).limit(0)
-        else edges.join(winners.select(col("node").as("src")), "src")
-          .join(colored.select(col("node").as("dst"), col("color")), "dst")
-          .select(col("src").as("node"), col("color")).distinct()
-      val asg = Scans.rebase(
-        winners.join(nbrColors.groupBy(col("node"))
-            .agg(count(lit(1)).as("cnt")), Seq("node"), "left")
-          .select(col("node"),
-            explode(expr("sequence(1, cast(coalesce(cnt, 0) + 1 as int))"))
-              .as("color"))
-          .join(nbrColors, Seq("node", "color"), "left_anti")
-          .groupBy(col("node")).agg(min(col("color")).as("color")), 8)
-      colored = if (colored == null) asg
-        else Scans.rebaseSwap(colored.unionByName(asg), colored, 8)
-      unc = Scans.rebaseSwap(
-        unc.join(winners.select(col("node")), Seq("node"), "left_anti"),
-        unc, 8)
+      // winners' colored-neighbor color sets, then first-fit as ONE
+      // array expression (sorted distinct colors cs vs 1..k — the first
+      // index where they disagree is the smallest absent color), instead
+      // of the explode + anti-join + re-agg form: two fewer exchanges
+      // per round. Arrays are degree-bounded.
+      val nbrColors = edges.join(winners.select(col("node").as("src")), "src")
+        .join(state.filter(col("color").isNotNull)
+          .select(col("node").as("dst"), col("color")), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(sort_array(collect_set(col("color"))).as("cs"))
+      val asg = winners.join(nbrColors, Seq("node"), "left")
+        .select(col("node"),
+          when(col("cs").isNull, lit(1)).otherwise(coalesce(
+            expr("""array_min(filter(zip_with(cs, sequence(1, size(cs)),
+              (c, i) -> if(c <> i, i, cast(null as int))),
+              x -> x is not null))"""),
+            expr("size(cs) + 1"))).as("newc"))
+      val prev = state
+      state = Scans.rebaseSwap(
+        state.join(asg, Seq("node"), "left")
+          .select(col("node"), col("pr"),
+            coalesce(col("color"), col("newc")).as("color")),
+        prev, 8)
+      winners.unpersist(blocking = false)
       r += 1
     }
-    if (colored == null) unc.select(col("node"), lit(1).as("color"))
-    else colored.orderBy(col("node"))
+    state.select(col("node"), col("color")).orderBy(col("node"))
   }
 
   private val ColoringOracleRounds = 20

@@ -124,6 +124,82 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Clipped character-n-gram match count of two STRINGS — the chrF /
+  * ROUGE-char numerator Σ_g min(count_l(g), count_r(g)) computed
+  * directly on the code-point windows in ONE native pass: no gram
+  * arrays, no sorts, no higher-order functions. The first r10 chrF cut
+  * exploded grams through a grouped-count join (10 s at sf0.1); the
+  * second built per-row gram arrays with interpreted HOF lambdas
+  * (8 s — HOF evaluation cost, not data); this kernel makes the metric
+  * scan-priced. Windows count CODE POINTS (Spark `substring` / DuckDB
+  * `substr` semantics), so the oracle's explode-and-join formulation
+  * derives the same integers independently.
+  */
+case class CharGramClipped(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_chargram_clipped"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType && n >= 1)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two STRING inputs and n >= 1, " +
+        s"got ${left.dataType.sql}, ${right.dataType.sql}, n=$n")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CharGramClipped.count(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.CharGramClipped.count($a, $b, $n)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object CharGramClipped {
+  /** Shared by interpreted eval and generated code. */
+  def count(a: org.apache.spark.unsafe.types.UTF8String,
+      b: org.apache.spark.unsafe.types.UTF8String, n: Int): Int = {
+    val s = a.toString
+    val t = b.toString
+    // code-point index maps (surrogate-aware window boundaries)
+    def cpStarts(x: String): Array[Int] = {
+      val out = new Array[Int](x.codePointCount(0, x.length) + 1)
+      var i = 0; var j = 0
+      while (i < x.length) {
+        out(j) = i; j += 1; i = x.offsetByCodePoints(i, 1)
+      }
+      out(j) = x.length
+      out
+    }
+    val ps = cpStarts(s)
+    val pt = cpStarts(t)
+    val ns = ps.length - 1 - (n - 1)
+    val nt = pt.length - 1 - (n - 1)
+    if (ns <= 0 || nt <= 0) return 0
+    val m = new java.util.HashMap[String, Integer](ns * 2)
+    var i = 0
+    while (i < ns) {
+      val g = s.substring(ps(i), ps(i + n))
+      val c = m.get(g)
+      m.put(g, if (c == null) 1 else c + 1)
+      i += 1
+    }
+    var cnt = 0
+    i = 0
+    while (i < nt) {
+      val g = t.substring(pt(i), pt(i + n))
+      val c = m.get(g)
+      if (c != null && c > 0) { cnt += 1; m.put(g, c - 1) }
+      i += 1
+    }
+    cnt
+  }
+}
+
 object SortedIntersectCount {
   /** Linear merge over primitive longs; called from generated code. */
   def count(l: ArrayData, r: ArrayData): Int = {

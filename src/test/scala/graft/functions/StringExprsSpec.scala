@@ -174,6 +174,38 @@ class StringExprsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n.head.isNullAt(0))
   }
 
+  test("charGramClipped: multiset clipping, code points, short-string zero") {
+    import spark.implicits._
+    def cg(a: String, b: String, n: Int): Int =
+      Seq((a, b)).toDF("a", "b")
+        .select(GraftFunctions.graft_chargram_clipped(col("a"), col("b"), n))
+        .collect().head.getInt(0)
+    // "abab" vs "ab": unigrams min(2,1)+min(2,1)=2; bigrams "ab" min(2,1)=1
+    assert(cg("abab", "ab", 1) === 2)
+    assert(cg("abab", "ab", 2) === 1)
+    assert(cg("abab", "ab", 3) === 0)   // ref shorter than n -> 0
+    assert(cg("", "ab", 1) === 0)
+    assert(cg("abc", "abc", 3) === 1)
+    // clipping is min per gram, both directions agree
+    assert(cg("aaa", "aa", 1) === 2)
+    assert(cg("aa", "aaa", 1) === 2)
+    // code points: astral chars count as ONE window unit
+    val s = new String(Character.toChars(0x1F600)) // emoji, 2 UTF-16 units
+    assert(cg(s + "x", s + "x", 2) === 1)
+    assert(cg(s + "x", "yx", 2) === 0)
+    // agrees with the composed explode form on random strings
+    val rnd = new scala.util.Random(13)
+    def rs(): String =
+      (0 until rnd.nextInt(12)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    (1 to 200).foreach { _ =>
+      val (x, y, n) = (rs(), rs(), 1 + rnd.nextInt(3))
+      def grams(v: String) = v.sliding(n).filter(_.length == n).toSeq
+      val want = grams(x).groupBy(identity).map { case (g, o) =>
+        math.min(o.size, grams(y).count(_ == g)) }.sum
+      assert(cg(x, y, n) === want, s"'$x' '$y' n=$n")
+    }
+  }
+
   test("tokenLevenshtein: token-unit edits, not characters") {
     import spark.implicits._
     def tl(a: Seq[String], b: Seq[String]): Int =
