@@ -118,8 +118,17 @@ object Bench {
       case _ => ts.sorted.apply((ts.size - 1) / 2) // lower median
     }
     val resultsP50 = allNames.map(name => name -> p50(samples(name)))
-    val noisyNames = allNames.filter(name =>
-      samples(name).size >= 2 && samples(name).max > 2 * samples(name).min)
+    // noisy = PERSISTENTLY unstable: the median pass is > 2x the best
+    // pass. The previous max-based rule flagged any query with ONE bad
+    // pass, so a single GC pause / concurrent stage turned ~17 sub-second
+    // queries into flags per run (measured r10) and the refresh gate
+    // could never accept a full-coverage artifact; with min-over-N
+    // reporting, a lone outlier pass carries no signal — half the passes
+    // slow does.
+    val noisyNames = allNames.filter { name =>
+      val ts = samples(name)
+      ts.size >= 2 && p50(ts) > 2 * ts.min
+    }
     val noisy = noisyNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     def obj(rs: Seq[(String, Double)]) =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
