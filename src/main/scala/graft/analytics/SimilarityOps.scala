@@ -3239,15 +3239,21 @@ object SimilarityOps {
     var cover = Scans.rebase(
       ids.select(col("vec_id").as("q"), lit(0L).as("cv")), 8)
     val picked = scala.collection.mutable.ListBuffer.empty[(Int, Long, Long, Long)]
-    for (r <- 1 to k) {
+    var exhausted = false
+    for (r <- 1 to k if !exhausted) {
       val pickedIds = picked.map(_._2).toSeq
       val cand = if (pickedIds.isEmpty) sed
         else sed.filter(!col("c").isin(pickedIds: _*))
-      val best = cand.join(cover, Seq("q"))
+      val bestRows = cand.join(cover, Seq("q"))
         .groupBy(col("c"))
         .agg(sum(greatest(col("s") - col("cv"), lit(0L))).as("gain"))
         .orderBy(col("gain").desc, col("c"))
-        .limit(1).collect()(0)
+        .limit(1).collect()
+      // k larger than the candidate pool: stop with the picks made
+      // (selection semantics, not an error)
+      if (bestRows.isEmpty) { exhausted = true }
+      else {
+      val best = bestRows(0)
       val (cStar, gain) = (best.getLong(0), best.getLong(1))
       val cEdges = sed.filter(col("c") === cStar)
         .select(col("q"), col("s").as("cs"))
@@ -3258,6 +3264,7 @@ object SimilarityOps {
         cover, 8)
       val covTot = cover.agg(sum(col("cv"))).collect()(0).getLong(0)
       picked += ((r, cStar, gain, covTot))
+      }
     }
     val s = edges.sparkSession
     import s.implicits._
