@@ -118,16 +118,20 @@ object Bench {
       case _ => ts.sorted.apply((ts.size - 1) / 2) // lower median
     }
     val resultsP50 = allNames.map(name => name -> p50(samples(name)))
-    // noisy = PERSISTENTLY unstable: the median pass is > 2x the best
-    // pass. The previous max-based rule flagged any query with ONE bad
-    // pass, so a single GC pause / concurrent stage turned ~17 sub-second
-    // queries into flags per run (measured r10) and the refresh gate
-    // could never accept a full-coverage artifact; with min-over-N
-    // reporting, a lone outlier pass carries no signal — half the passes
-    // slow does.
+    // noisy = PERSISTENTLY unstable: the UPPER median pass is > 2x the
+    // best pass. The previous max-based rule flagged any query with ONE
+    // bad pass, so a single GC pause / concurrent stage turned ~17
+    // sub-second queries into flags per run (measured r10) and the
+    // refresh gate could never accept a full-coverage artifact; with
+    // min-over-N reporting a lone outlier carries no signal — the
+    // MAJORITY of passes slow does. Upper median, not the reported
+    // lower-median p50: at 2 samples the lower median EQUALS the min and
+    // the rule could never fire (at even sizes generally it under-reads);
+    // upper median degrades to the old max-based rule at 2 samples and
+    // to true one-outlier tolerance at 3+.
     val noisyNames = allNames.filter { name =>
       val ts = samples(name)
-      ts.size >= 2 && p50(ts) > 2 * ts.min
+      ts.size >= 2 && ts.sorted.apply(ts.size / 2) > 2 * ts.min
     }
     val noisy = noisyNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     def obj(rs: Seq[(String, Double)]) =

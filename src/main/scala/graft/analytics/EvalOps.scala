@@ -483,10 +483,8 @@ object EvalOps {
         .select(expr("doc_id div 2").as("pair"), col("text").as("ref_text"))
       bleuNgramPrecision(cand.join(ref, "pair"))
     },
-    Some(s"""WITH cd AS (SELECT doc_id // 2 AS pair, ${Nlp.toksSql} AS toks
-        FROM documents WHERE doc_id % 2 = 0),
-      rd AS (SELECT doc_id // 2 AS pair, ${Nlp.toksSql} AS toks
-        FROM documents WHERE doc_id % 2 = 1),
+    Some(s"""WITH cd AS (${pairedSideSql(s"${Nlp.toksSql} AS toks", 0)}),
+      rd AS (${pairedSideSql(s"${Nlp.toksSql} AS toks", 1)}),
       cb AS (SELECT pair, toks, ${Nlp.bigramsSql("toks")} AS g2 FROM cd),
       rb AS (SELECT pair, toks, ${Nlp.bigramsSql("toks")} AS g2 FROM rd),
       tot AS (SELECT (SELECT SUM(len(toks)) FROM cd) AS cand_tokens,
@@ -771,20 +769,29 @@ object EvalOps {
       .orderBy(col("n"))
   }
 
+  /** Even/odd document pairing — doc 2i is the CANDIDATE, 2i+1 its
+    * REFERENCE — shared by every text-metric binding (ROUGE, chrF, WER)
+    * so the pairing convention has one Spark source and one SQL source.
+    */
+  private def pairedDocs(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    d.filter(col("doc_id") % 2 === 0)
+      .select(expr("doc_id div 2").as("pair"), col("text").as("cand_text"))
+      .join(d.filter(col("doc_id") % 2 === 1)
+        .select(expr("doc_id div 2").as("pair"), col("text").as("ref_text")),
+        "pair")
+  }
+
+  /** One side of the pairing as SQL: parity 0 = candidate, 1 = reference. */
+  private def pairedSideSql(sel: String, parity: Int): String =
+    s"SELECT doc_id // 2 AS pair, $sel FROM documents WHERE doc_id % 2 = $parity"
+
   private val qRouge = GraftQuery(
     "qml_rouge",
-    (s, dir) => {
-      val d = Tables.documents(s, dir)
-      val cand = d.filter(col("doc_id") % 2 === 0)
-        .select(expr("doc_id div 2").as("pair"), col("text").as("cand_text"))
-      val ref = d.filter(col("doc_id") % 2 === 1)
-        .select(expr("doc_id div 2").as("pair"), col("text").as("ref_text"))
-      rougeNgram(cand.join(ref, "pair"))
-    },
-    Some(s"""WITH cd AS (SELECT doc_id // 2 AS pair, ${Nlp.toksSql} AS toks
-        FROM documents WHERE doc_id % 2 = 0),
-      rd AS (SELECT doc_id // 2 AS pair, ${Nlp.toksSql} AS toks
-        FROM documents WHERE doc_id % 2 = 1),
+    (s, dir) => rougeNgram(pairedDocs(s, dir)),
+    Some(s"""WITH cd AS (${pairedSideSql(s"${Nlp.toksSql} AS toks", 0)}),
+      rd AS (${pairedSideSql(s"${Nlp.toksSql} AS toks", 1)}),
       cb AS (SELECT pair, toks, ${Nlp.bigramsSql("toks")} AS g2 FROM cd),
       rb AS (SELECT pair, toks, ${Nlp.bigramsSql("toks")} AS g2 FROM rd),
       c1 AS (SELECT pair, tok, COUNT(*) AS cc
@@ -918,8 +925,11 @@ object EvalOps {
     * the identical exact integer rational (no floating C(n,k), which the
     * naive binomial form overflows/rounds — the paper's own numpy note).
     * GREATEST(·,0) zeroes the numerator when fewer than k failures
-    * exist (pass@k = 1 exactly). 128-bit products: n ≤ ~80 at k = 10
-    * stays ≪ 10³⁸ (DECIMAL(38,0) here, HUGEINT in the oracle).
+    * exist (pass@k = 1 exactly). 128-bit products (DECIMAL(38,0) here,
+    * HUGEINT in the oracle) hold only while n^kmax < 10³⁴ — ~2,500
+    * samples per task at k = 10 — and a loud bounds require below
+    * refuses beyond that rather than letting non-ANSI decimal NULLs
+    * silently deflate the macro mean.
     */
   private def passProd(base: String, k: Int, duck: Boolean): String = {
     val cast = if (duck) "HUGEINT" else "decimal(38,0)"
@@ -943,6 +953,18 @@ object EvalOps {
       .agg(count(lit(1)).as("n"),
         sum(okCol.cast("int")).as("c"))
       .filter(col("n") >= kmax)
+      .localCheckpoint()
+    // Loud overflow bound: 10^4 · ∏_{i<kmax}(n−i) must fit DECIMAL(38,0).
+    // Past it Spark's non-ANSI decimal multiply returns NULL, sum() skips
+    // the task but count() still divides by it, and the macro mean
+    // deflates SILENTLY (the oracle's HUGEINT at least errors) — so the
+    // operator refuses instead: n^kmax < 10^34 ⇒ n < 10^(34/kmax).
+    val nCap = math.pow(10, 34.0 / kmax).toLong
+    val mx = perTask.agg(max(col("n"))).head()
+    if (!mx.isNullAt(0)) require(mx.getLong(0) < nCap,
+      s"passAtK: a task has n=${mx.getLong(0)} samples; the unrolled " +
+        s"exact product overflows 128-bit past n=$nCap at k=$kmax — " +
+        "subsample tasks or lower max(ks)")
     val passCols = ks.map { k =>
       expr(s"""cast(10000 * ((${passProd("n", k, duck = false)})
         - (${passProd("n - c", k, duck = false)}))
@@ -1047,14 +1069,7 @@ object EvalOps {
 
   private val qChrf = GraftQuery(
     "qml_chrf",
-    (s, dir) => {
-      val d = Tables.documents(s, dir)
-      val cand = d.filter(col("doc_id") % 2 === 0)
-        .select(expr("doc_id div 2").as("pair"), col("text").as("cand_text"))
-      val ref = d.filter(col("doc_id") % 2 === 1)
-        .select(expr("doc_id div 2").as("pair"), col("text").as("ref_text"))
-      chrF(cand.join(ref, "pair"))
-    },
+    (s, dir) => chrF(pairedDocs(s, dir)),
     Some {
       val gramsN = (1 to 6).map(n =>
         s"""SELECT pair, $n AS n, unnest(list_transform(
@@ -1068,10 +1083,8 @@ object EvalOps {
       s"""WITH b AS MATERIALIZED (SELECT c.pair,
           regexp_replace(c.text, '\\s+', '', 'g') AS ct,
           regexp_replace(r.text, '\\s+', '', 'g') AS rt
-        FROM (SELECT doc_id // 2 AS pair, text FROM documents
-          WHERE doc_id % 2 = 0) c
-        JOIN (SELECT doc_id // 2 AS pair, text FROM documents
-          WHERE doc_id % 2 = 1) r USING (pair)),
+        FROM (${pairedSideSql("text", 0)}) c
+        JOIN (${pairedSideSql("text", 1)}) r USING (pair)),
       cgr AS (WITH src AS (SELECT pair, ct AS t FROM b) $gramsN),
       rgr AS (WITH src AS (SELECT pair, rt AS t FROM b) $gramsN),
       cc AS (SELECT pair, n, g, COUNT(*) AS cc FROM cgr GROUP BY 1, 2, 3),
@@ -1129,20 +1142,11 @@ object EvalOps {
 
   private val qWer = GraftQuery(
     "qml_wer",
-    (s, dir) => {
-      val d = Tables.documents(s, dir)
-      val cand = d.filter(col("doc_id") % 2 === 0)
-        .select(expr("doc_id div 2").as("pair"), col("text").as("cand_text"))
-      val ref = d.filter(col("doc_id") % 2 === 1)
-        .select(expr("doc_id div 2").as("pair"), col("text").as("ref_text"))
-      wordErrorRate(cand.join(ref, "pair"))
-    },
+    (s, dir) => wordErrorRate(pairedDocs(s, dir)),
     Some(s"""WITH b AS MATERIALIZED (SELECT c.pair, c.toks AS ctoks,
           r.toks AS rtoks
-        FROM (SELECT doc_id // 2 AS pair, ${Nlp.toksSql} AS toks
-          FROM documents WHERE doc_id % 2 = 0) c
-        JOIN (SELECT doc_id // 2 AS pair, ${Nlp.toksSql} AS toks
-          FROM documents WHERE doc_id % 2 = 1) r USING (pair)
+        FROM (${pairedSideSql(s"${Nlp.toksSql} AS toks", 0)}) c
+        JOIN (${pairedSideSql(s"${Nlp.toksSql} AS toks", 1)}) r USING (pair)
         WHERE len(r.toks) > 0),
       -- per-pair token vocabulary -> one printable-ASCII BYTE per token
       -- (DuckDB levenshtein counts bytes, so codepoints > 127 are out)

@@ -2041,9 +2041,9 @@ object GraphOps {
     * Karloff–Suri–Vassilvitskii MRC model).
     *
     * Determinism: edge keys are made UNIQUE by the composite
-    * DECIMAL(38,0) encoding ekey = w·10¹⁴ + a·10⁷ + b (requires
-    * non-negative node ids < 10⁷ and weights in [0, 10²⁴) — enforced by
-    * a loud require over one bounds agg below), so the MST is
+    * DECIMAL(38,0) encoding ekey = w·10¹⁴ + a·10⁷ + b (non-negative
+    * node ids < 10⁷, weights in [0, 10²⁴) — loudly required in the
+    * shared [[ekeyedEdges]] builder), so the MST is
     * unique and every tie is broken identically on any engine,
     * partitioning, or retry — the distinct-weights precondition of
     * Borůvka's no-cycle argument, by construction.
@@ -2059,8 +2059,14 @@ object GraphOps {
     * max_w) — the forest identity n_components = n_nodes − mst_edges
     * holds by construction and is test-pinned.
     */
-  def minimumSpanningForest(edgesIn: DataFrame,
-      maxRounds: Int = 24): DataFrame = {
+  /** Deduped, bigint-cast, bounds-checked (a, b, w, ekey) edge frame —
+    * the ONE construction of the unique composite key
+    * ekey = w·10¹⁴ + a·10⁷ + b shared by [[minimumSpanningForest]] and
+    * [[maximalMatching]], so the 1e7/1e24 invariants live in a single
+    * place. b ≥ a by construction, so max(b) bounds both node ids; the
+    * checkpointed frame is safe to consume from iterative loops.
+    */
+  private def ekeyedEdges(edgesIn: DataFrame, opName: String): DataFrame = {
     val e = edgesIn
       .select(least(col("src").cast("bigint"), col("dst").cast("bigint"))
           .as("a"),
@@ -2071,28 +2077,30 @@ object GraphOps {
       .withColumn("ekey", expr(
         "cast(w as decimal(38,0)) * 100000000000000 + a * 10000000 + b"))
       .localCheckpoint()
-    // The promised loud bound check: one agg over the (checkpointed,
-    // deduped) edge frame. b >= a by construction, so max(b) bounds both
-    // node ids; w rides the top 24 digits of the DECIMAL(38,0) ekey.
     val bd = e.agg(max(col("b")).as("mb"), min(col("a")).as("ma"),
       max(col("w").cast("decimal(38,0)")).as("mw"),
       min(col("w").cast("decimal(38,0)")).as("mnw")).head()
     if (!bd.isNullAt(0)) {
       require(bd.getLong(0) < 10000000L,
-        s"minimumSpanningForest: node id ${bd.getLong(0)} >= 1e7 would " +
-          "collide in the ekey composite (w*1e14 + a*1e7 + b) — rekey " +
-          "node ids below 1e7")
+        s"$opName: node id ${bd.getLong(0)} >= 1e7 would collide in the " +
+          "ekey composite (w*1e14 + a*1e7 + b) — rekey node ids below 1e7")
       require(bd.getLong(1) >= 0L,
-        s"minimumSpanningForest: negative node id ${bd.getLong(1)} breaks " +
-          "the ekey composite ordering")
+        s"$opName: negative node id ${bd.getLong(1)} breaks the ekey " +
+          "composite ordering")
       require(bd.getDecimal(2).compareTo(
           new java.math.BigDecimal(java.math.BigInteger.TEN.pow(24))) < 0,
-        s"minimumSpanningForest: weight ${bd.getDecimal(2)} >= 1e24 " +
-          "overflows DECIMAL(38,0) ekey")
+        s"$opName: weight ${bd.getDecimal(2)} >= 1e24 overflows " +
+          "DECIMAL(38,0) ekey")
       require(bd.getDecimal(3).signum() >= 0,
-        s"minimumSpanningForest: negative weight ${bd.getDecimal(3)} " +
-          "breaks the ekey composite ordering")
+        s"$opName: negative weight ${bd.getDecimal(3)} breaks the ekey " +
+          "composite ordering")
     }
+    e
+  }
+
+  def minimumSpanningForest(edgesIn: DataFrame,
+      maxRounds: Int = 24): DataFrame = {
+    val e = ekeyedEdges(edgesIn, "minimumSpanningForest")
     val nodes = e.select(col("a").as("node"))
       .unionByName(e.select(col("b").as("node"))).distinct().localCheckpoint()
     var comp = Scans.rebase(nodes.withColumn("c", col("node")), 8)
@@ -2455,31 +2463,11 @@ object GraphOps {
     * matched (a, b, w) pairs, ordered.
     */
   def maximalMatching(edgesIn: DataFrame, maxRounds: Int = 32): DataFrame = {
-    val e0 = edgesIn
-      .select(least(col("src").cast("bigint"), col("dst").cast("bigint"))
-          .as("a"),
-        greatest(col("src").cast("bigint"), col("dst").cast("bigint"))
-          .as("b"),
-        col("w"))
-      .filter(col("a") =!= col("b"))
-      .groupBy(col("a"), col("b")).agg(min(col("w")).as("w"))
-      .withColumn("ekey", expr(
-        "cast(w as decimal(38,0)) * 100000000000000 + a * 10000000 + b"))
+    val e0 = ekeyedEdges(edgesIn.filter(col("src") =!= col("dst")),
+        "maximalMatching")
       .withColumn("ph", expr(
         Nlp.h60("concat('match:', cast(ekey as string))")))
       .localCheckpoint()
-    val bd = e0.agg(max(col("b")).as("mb"), min(col("a")).as("ma"),
-      max(col("w").cast("decimal(38,0)")).as("mw"),
-      min(col("w").cast("decimal(38,0)")).as("mnw")).head()
-    if (!bd.isNullAt(0)) {
-      require(bd.getLong(0) < 10000000L && bd.getLong(1) >= 0L,
-        s"maximalMatching: node ids must be in [0, 1e7) for the ekey " +
-          s"composite, got [${bd.getLong(1)}, ${bd.getLong(0)}]")
-      require(bd.getDecimal(3).signum() >= 0 && bd.getDecimal(2).compareTo(
-          new java.math.BigDecimal(java.math.BigInteger.TEN.pow(24))) < 0,
-        s"maximalMatching: weights must be in [0, 1e24), got " +
-          s"[${bd.getDecimal(3)}, ${bd.getDecimal(2)}]")
-    }
     var live = Scans.rebase(e0, 8)
     val picks = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var r = 0

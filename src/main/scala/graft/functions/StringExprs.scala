@@ -245,11 +245,13 @@ object DamerauLevenshtein {
   * expression — the same custom-Expression rationale as
   * [[DamerauLevenshtein]].
   *
-  * Oracle twin: DuckDB `levenshtein` over the per-pair token→codepoint
-  * remap (each distinct token of the pair mapped to one unicode char —
-  * DuckDB's levenshtein is codepoint-based, verified), which is exactly
-  * token-level distance as long as the pair's vocabulary fits the
-  * codepoint range the oracle allots.
+  * Oracle twin: DuckDB `levenshtein` over a per-pair token→SINGLE-BYTE
+  * remap (each distinct token mapped to one printable-ASCII char).
+  * DuckDB's levenshtein counts BYTES, not code points — measured:
+  * chr(4000) vs 'ab' scores 3 — so the remap must stay single-byte,
+  * and the oracle enforces its vocabulary budget with a loud guard
+  * (see qml_wer in EvalOps). Equal to token-level distance by
+  * construction inside that budget.
   *
   * Cost: O(|a|·|b|) time, O(min) space (two-row DP over interned token
   * ids — equality checks are int compares after one hash pass). Intended

@@ -653,10 +653,12 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("r10 ops: pair tiers keyed, windows partitioned, no cartesian") {
-    // matching/coloring rounds run at construction on node-keyed joins;
-    // facility gains are kNN-edge joins; mondrian's per-round plan is a
-    // broadcast of <= 2^depth rows; geo_radius is a cell-key equi-join
-    // (the whole point — a distance cross join would be the failure);
+    // NOTE the audit's reach: matching/coloring/facility/mondrian run
+    // their per-round joins at CONSTRUCTION behind checkpoint barriers,
+    // so for those four this asserts only the returned frame (round
+    // shapes are pinned by scaladoc contract + EXPLAINS, not here).
+    // geo_radius is the load-bearing one — a distance CROSS join instead
+    // of the cell-key equi-join is exactly the failure this catches;
     // wer/chrf/pass@k are pair-keyed or grouped aggregates.
     Seq("qg_matching", "qg_coloring", "qs_facility_select",
       "qpriv_mondrian", "qj_geo_radius", "qml_wer", "qml_chrf",
@@ -734,6 +736,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // a global sort over the corpus-scaled endpoint stream.
     val pc = graft.SparkEntry.queries("qe_peak_concurrency")(spark, sf)
       .queryExecution.executedPlan.toString
+    assert(!pc.contains("CartesianProduct"), pc)
     pc.linesIterator.filter(_.contains("Window ")).foreach { l =>
       assert(l.contains("_pid") || l.contains("user_id"),
         s"qe_peak_concurrency planned an unpartitioned window over a " +
