@@ -3432,6 +3432,145 @@ object StatTests {
           * (CAST(nn AS HUGEINT) * ssq - ss * ss), 0) > 3841 AS reject_05
     FROM a"""))
 
+  // --------------------------- binary-segmentation changepoints
+  /** Hierarchical MULTI-changepoint detection by binary segmentation
+    * (Scott & Knott 1974 lineage; the standard first tool before PELT):
+    * recursively split each segment at the point maximizing the
+    * between-group sum of squares, accept a split only when it explains
+    * ≥ tauMilli/1000 of the segment's variance and both sides keep
+    * ≥ minSeg points. Complements qstat_pettitt (ONE rank-based shift)
+    * and qe_cusum_alerts (per-entity drift): this finds the global
+    * piecewise-constant structure — several regime changes, not one.
+    *
+    * Exact integer arithmetic throughout: with prefix sum S_t over the
+    * segment, A_t = n·S_t − t·S, between-SS share at t is
+    * A_t²/(t(n−t)·Q) with Q = n·Σy² − S² (n²·variance) — the score is
+    * the cross-multiplied milli ratio (A²·1000 div (t(n−t)Q)), so
+    * argmax and the acceptance test are partition-independent and
+    * engine-identical. Q = 0 (constant segment) never splits.
+    *
+    * Shape: the [[ProfileOps.mondrianAnonymize]] recursion pattern on
+    * the TIME axis — per level one segment-keyed stats agg, one
+    * per-segment running sum (window partitions bounded by the time
+    * domain, constant in corpus size), and a broadcast ≤ 2^depth-row
+    * split plan. Output: final segments (seg, d_from, d_to, n_days,
+    * total_cents), ordered.
+    */
+  def binarySegmentation(days: DataFrame, dayCol: String, valCol: String,
+      depth: Int = 3, minSeg: Int = 5, tauMilli: Int = 20): DataFrame = {
+    require(depth >= 1 && minSeg >= 1 && tauMilli >= 0,
+      s"bad params: depth=$depth minSeg=$minSeg tau=$tauMilli")
+    var st = Scans.rebase(days.select(col(dayCol).as("d"),
+        col(valCol).cast("bigint").as("y"))
+      .withColumn("seg", lit(1L)).withColumn("done", lit(false)), 8)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("seg")).orderBy(col("d"))
+    for (_ <- 1 to depth) {
+      val act = st.filter(!col("done"))
+      val stats = act.groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("s"),
+          (dec(count(lit(1))) * sum(dec(col("y")) * dec(col("y")))
+            - dec(sum(col("y"))) * dec(sum(col("y")))).as("q"))
+      val pref = act
+        .withColumn("t", row_number().over(w))
+        .withColumn("sl", sum(col("y")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+      val plan = pref.join(broadcast(stats), "seg")
+        .filter(col("t") >= minSeg && col("t") <= col("n") - minSeg &&
+          col("q") > 0)
+        .withColumn("a", dec(col("n")) * dec(col("sl"))
+          - dec(col("t")) * dec(col("s")))
+        .withColumn("score", expr(
+          "(a * a * 1000) div (cast(t as decimal(38,0)) * (n - t) * q)"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("seg"))
+            .orderBy(col("score").desc, col("t"))))
+        .filter(col("rn") === 1 && col("score") >= tauMilli)
+        .select(col("seg"), col("t").as("tstar"))
+      val prev = st
+      st = Scans.rebase(
+        pref.select(col("d"), col("y"), col("seg"), col("done"), col("t"))
+          .unionByName(st.filter(col("done")).withColumn("t", lit(0)))
+          .join(broadcast(plan), Seq("seg"), "left")
+          .select(col("d"), col("y"),
+            when(!col("done") && col("tstar").isNotNull,
+              col("seg") * 2 + when(col("t") > col("tstar"), 1L)
+                .otherwise(0L))
+              .otherwise(col("seg")).as("seg"),
+            (col("done") || col("tstar").isNull).as("done")), 8)
+      prev.unpersist(blocking = false)
+    }
+    st.groupBy(col("seg"))
+      .agg(min(col("d")).as("d_from"), max(col("d")).as("d_to"),
+        count(lit(1)).as("n_days"), sum(col("y")).as("total_cents"))
+      .orderBy(col("d_from"))
+  }
+
+  private val BinsegDepth = 3
+  private val BinsegMinSeg = 5
+  private val BinsegTau = 20
+
+  private def binsegRoundSql(r: Int): String = {
+    val p = r - 1
+    s"""stats$r AS MATERIALIZED (SELECT seg, COUNT(*) AS n, SUM(y) AS s,
+        CAST(COUNT(*) AS HUGEINT) * SUM(CAST(y AS HUGEINT) * y)
+          - CAST(SUM(y) AS HUGEINT) * SUM(y) AS q
+      FROM st$p WHERE NOT done GROUP BY seg),
+    pref$r AS MATERIALIZED (SELECT d, y, seg, done,
+        ROW_NUMBER() OVER (PARTITION BY seg ORDER BY d) AS t,
+        SUM(y) OVER (PARTITION BY seg ORDER BY d
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sl
+      FROM st$p WHERE NOT done),
+    plan$r AS MATERIALIZED (SELECT seg, t AS tstar FROM (
+      SELECT p.seg, p.t,
+          ROW_NUMBER() OVER (PARTITION BY p.seg ORDER BY
+            (CAST(s.n AS HUGEINT) * p.sl - CAST(p.t AS HUGEINT) * s.s)
+            * (CAST(s.n AS HUGEINT) * p.sl - CAST(p.t AS HUGEINT) * s.s)
+            * 1000 // (CAST(p.t AS HUGEINT) * (s.n - p.t) * s.q) DESC,
+            p.t) AS rn,
+          (CAST(s.n AS HUGEINT) * p.sl - CAST(p.t AS HUGEINT) * s.s)
+            * (CAST(s.n AS HUGEINT) * p.sl - CAST(p.t AS HUGEINT) * s.s)
+            * 1000 // (CAST(p.t AS HUGEINT) * (s.n - p.t) * s.q) AS score
+        FROM pref$r p JOIN stats$r s USING (seg)
+        WHERE p.t >= $BinsegMinSeg AND p.t <= s.n - $BinsegMinSeg
+          AND s.q > 0)
+      WHERE rn = 1 AND score >= $BinsegTau),
+    st$r AS MATERIALIZED (SELECT b.d, b.y,
+        CASE WHEN NOT b.done AND pl.tstar IS NOT NULL
+          THEN b.seg * 2 + (CASE WHEN b.t > pl.tstar THEN 1 ELSE 0 END)
+          ELSE b.seg END AS seg,
+        (b.done OR pl.tstar IS NULL) AS done
+      FROM (SELECT d, y, seg, done, t FROM pref$r
+        UNION ALL SELECT d, y, seg, done, 0 AS t FROM st$p WHERE done) b
+      LEFT JOIN plan$r pl USING (seg))"""
+  }
+
+  private val binsegSql = {
+    val rounds = (1 to BinsegDepth).map(binsegRoundSql).mkString(",\n    ")
+    s"""WITH st0 AS MATERIALIZED (SELECT CAST(ts AS DATE) AS d,
+        SUM(CAST(round(value * 100) AS BIGINT)) AS y,
+        CAST(1 AS BIGINT) AS seg, FALSE AS done
+      FROM events GROUP BY 1),
+    $rounds
+    SELECT CAST(seg AS BIGINT) AS seg, MIN(d) AS d_from, MAX(d) AS d_to,
+      CAST(COUNT(*) AS BIGINT) AS n_days,
+      CAST(SUM(y) AS BIGINT) AS total_cents
+    FROM st$BinsegDepth GROUP BY seg ORDER BY d_from"""
+  }
+
+  /** Regime changes in daily revenue: where did the level shift, and
+    * into how many stable stretches does the month decompose.
+    */
+  private val qBinseg = GraftQuery(
+    "qstat_binseg",
+    (s, dir) => binarySegmentation(
+      Tables.events(s, dir)
+        .groupBy(col("ts").cast("date").as("d"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents")),
+      "d", "cents", BinsegDepth, BinsegMinSeg, BinsegTau),
+    Some(binsegSql))
+
   val queries: Seq[GraftQuery] =
     Seq(qChisq, qKs, qBoot, qGini, qLinReg, qPettitt, qWMedian, qMwu,
       qBenford, qPareto, qRuns, qSpearman, qKendall, qTheilSen, qCramersV,
@@ -3439,5 +3578,5 @@ object StatTests {
       qLevene, qMannKendall, qKruskal, qKde, qGamesHowell, qWilson, qFriedman,
       qCochran, qLjungBox, qJonckheere, qCliffs, qCochranArmitage,
       qMoodMedian, qCvm, qPageTrend, qHodgesLehmann, qBrunnerMunzel,
-      qMad, qAnsari, qSeasonalAnomaly, qHartley)
+      qMad, qAnsari, qSeasonalAnomaly, qHartley, qBinseg)
 }

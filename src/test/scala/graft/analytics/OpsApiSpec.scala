@@ -3052,6 +3052,24 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       == ((3L, 1L, 2L, 8L)), r.toString)
   }
 
+  test("binarySegmentation: clean step found once, flat never splits") {
+    import spark.implicits._
+    def day(i: Int) = java.sql.Date.valueOf(f"2024-02-${i}%02d")
+    // 10 days at 100, 10 at 200: one split exactly at the step, then
+    // both children are constant (Q = 0) and never split again
+    val step = (1 to 20).map(i => (day(i), if (i <= 10) 100L else 200L))
+      .toDF("d", "cents")
+    val out = StatTests.binarySegmentation(step, "d", "cents")
+      .collect().map(r => (r.getDate(1).toString, r.getDate(2).toString,
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(("2024-02-01", "2024-02-10", 10L, 1000L),
+      ("2024-02-11", "2024-02-20", 10L, 2000L)), out.mkString(","))
+    // constant series: Q = 0, no split ever
+    val flat = (1 to 20).map(i => (day(i), 500L)).toDF("d", "cents")
+    val f = StatTests.binarySegmentation(flat, "d", "cents").collect()
+    assert(f.length == 1 && f.head.getLong(3) == 20L, f.mkString(","))
+  }
+
   test("mondrianAnonymize: hand cuts, k floor holds, ids conserved") {
     import spark.implicits._
     // d2 constant -> 1-D: 1..10 at k=3 cuts once at the lower median 5

@@ -662,7 +662,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // wer/chrf/pass@k are pair-keyed or grouped aggregates.
     Seq("qg_matching", "qg_coloring", "qs_facility_select",
       "qpriv_mondrian", "qj_geo_radius", "qml_wer", "qml_chrf",
-      "qml_pass_at_k", "qprof_embedding_drift").foreach { name =>
+      "qml_pass_at_k", "qprof_embedding_drift", "qstat_binseg")
+      .foreach { name =>
       val plan = graft.SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
