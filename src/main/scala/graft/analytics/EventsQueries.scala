@@ -1527,11 +1527,15 @@ object EventsQueries {
     * (most recent / most frequent / highest spend). Output is the
     * 125-cell segment rollup — user count and exact average cents.
     *
-    * Scale: one scan → per-user agg (uniform key), then three rank
-    * windows over the USER frame (row count = user domain, not event
-    * count). The windows are unpartitioned by construction (global
-    * quintiles); for an unbounded user base, partition by a coarse hash
-    * and quantile within partitions, or score against fixed thresholds.
+    * Scale: one scan → per-user agg (uniform key), then three EXACT
+    * global ranks over the USER frame via [[Scans.globalRank]] (the
+    * two-level range-exchange + broadcast-offset scheme — NO
+    * unpartitioned corpus-scaled window anywhere; the only global
+    * window is the ≤P-row per-partition-offsets frame). Quintile is
+    * then pure arithmetic on (rank, n): SQL-standard NTILE puts the
+    * first n mod 5 buckets one row over n div 5 — both branches
+    * integer-exact, so the scores are bit-identical to the oracle's
+    * NTILE(5) (PlanAuditSpec pins the plan; the gate pins the values).
     */
   private val qRfm = GraftQuery(
     "qe_rfm",
@@ -1541,15 +1545,27 @@ object EventsQueries {
         .agg(max(to_date(col("ts"))).as("last_day"),
           count(lit(1)).as("f"),
           sum(expr("CAST(round(value * 100) AS BIGINT)")).as("m"))
-      val maxd = perUser.agg(max(col("last_day")).as("maxd"))
-      val scored = perUser.crossJoin(broadcast(maxd))
+      val maxd = perUser.agg(max(col("last_day")).as("maxd"),
+        count(lit(1)).as("nu"))
+      var scored = perUser.crossJoin(broadcast(maxd))
         .withColumn("rec_days", datediff(col("maxd"), col("last_day")).cast("long"))
-        .withColumn("r_q",
-          ntile(5).over(Window.orderBy(col("last_day").asc, col("user_id").asc)))
-        .withColumn("f_q",
-          ntile(5).over(Window.orderBy(col("f").asc, col("user_id").asc)))
-        .withColumn("m_q",
-          ntile(5).over(Window.orderBy(col("m").asc, col("user_id").asc)))
+      scored = Scans.globalRank(scored,
+        Seq(col("last_day").asc, col("user_id").asc), "r_rn")
+      scored = Scans.globalRank(scored,
+        Seq(col("f").asc, col("user_id").asc), "f_rn")
+      scored = Scans.globalRank(scored,
+        Seq(col("m").asc, col("user_id").asc), "m_rn")
+      // NTILE(5) from exact rank: first (nu % 5) buckets hold
+      // (nu div 5 + 1) rows, the rest (nu div 5); greatest(…, 1) keeps
+      // the never-taken else-branch division total when nu < 5
+      def quint(rn: String): Column = when(
+        col(rn) <= expr(s"(nu % 5) * (nu div 5 + 1)"),
+        expr(s"($rn + (nu div 5)) div (nu div 5 + 1)")).otherwise(
+        expr(s"(nu % 5) + ($rn - (nu % 5) * (nu div 5 + 1) " +
+          s"+ greatest(nu div 5, 1) - 1) div greatest(nu div 5, 1)"))
+      scored = scored.withColumn("r_q", quint("r_rn"))
+        .withColumn("f_q", quint("f_rn"))
+        .withColumn("m_q", quint("m_rn"))
       scored.groupBy(col("r_q"), col("f_q"), col("m_q"))
         .agg(count(lit(1)).as("n_users"),
           sum(col("m")).as("tot_cents"),

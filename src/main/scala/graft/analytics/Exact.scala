@@ -142,6 +142,34 @@ object Scans {
     }.drop("_pid").drop(wcols.map(_._1): _*)
       .drop(wcols.indices.map(i => s"_off$i"): _*)
   }
+
+  /** Exact 1-based GLOBAL rank under `sortCols` as a new column `out`,
+    * without a single-partition window — the same two-level scheme as
+    * [[rangedCumSum]] (and `MatchOps.sortedNeighborhoodPairs`'s bucket
+    * ranks): range-exchange on the sort key, per-partition row counts
+    * get exclusive prefix offsets via one ≤P-row window, every
+    * partition ranks locally in parallel and adds its broadcast offset.
+    * `sortCols` must be a STRICT total order (include a unique
+    * tie-break column) or ranks become partition-placement-dependent.
+    * The ranged frame is materialized for the same
+    * `spark_partition_id()` determinism reason as [[rangedCumSums]].
+    */
+  def globalRank(df: DataFrame, sortCols: Seq[Column],
+      out: String): DataFrame = {
+    val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(p, sortCols: _*)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    val offs = ranged.groupBy(col("_pid")).agg(count(lit(1)).as("_bn"))
+      .withColumn("_off", coalesce(sum(col("_bn")).over(
+        Window.orderBy(col("_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_pid"), col("_off"))
+    ranged.join(broadcast(offs), "_pid")
+      .withColumn(out, col("_off") + row_number().over(
+        Window.partitionBy(col("_pid")).orderBy(sortCols: _*)))
+      .drop("_pid", "_off")
+  }
 }
 
 /** DuckDB-side fragments mirroring [[Exact]]. Keep in lock-step. */

@@ -791,13 +791,24 @@ object GraphOps {
   /** Trade graph with exact integer weights: min lineitem quantity ever
     * shipped across each (customer, supplier) pair — one keyed
     * aggregation over the same orders⋈lineitem join as [[tradeEdges]].
+    * Memoized (directed form) per (session, dir): qg_sssp, qg_mst and
+    * qg_matching all start from this frame — the orders⋈lineitem
+    * aggregation is their expensive common prefix, warmed on the
+    * memo_build:trade_graph bench line with [[tradeEdges]].
     */
+  private[analytics] def weightedTradeE0(
+      s: org.apache.spark.sql.SparkSession, dir: String) =
+    Memo.cached(s, s"weightedTradeE0:$dir") {
+      Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .groupBy((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .agg(min(col("l_quantity")).cast("bigint").as("w"))
+    }
+
   private def weightedTradeEdges(s: org.apache.spark.sql.SparkSession,
       dir: String) = {
-    val e0 = Tables.orders(s, dir)
-      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
-      .groupBy((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-      .agg(min(col("l_quantity")).cast("bigint").as("w"))
+    val e0 = weightedTradeE0(s, dir)
     e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
   }
 
@@ -1272,7 +1283,10 @@ object GraphOps {
     * whichever binding runs first.
     */
   def warmTradeGraph(s: org.apache.spark.sql.SparkSession,
-      dir: String): Unit = tradeEdges(s, dir).count(): Unit
+      dir: String): Unit = {
+    tradeEdges(s, dir).count()
+    weightedTradeE0(s, dir).count(): Unit
+  }
   def warmLandmarkBfs(s: org.apache.spark.sql.SparkSession,
       dir: String): Unit = landmarkBfs(s, dir).count(): Unit
 
@@ -2049,11 +2063,24 @@ object GraphOps {
     * Borůvka's no-cycle argument, by construction.
     *
     * Scale shape per round: two node-keyed joins stamp component ids
-    * on the edge list, one uniform-key min-agg picks each component's
-    * cheapest cross edge, and the merge relabels components via the
-    * pointer-jump CC fixpoint over the PICK graph only (component-
+    * on the edge list, one pair-keyed min-agg CONTRACTS the multigraph
+    * (min edge per component pair — the cycle property retires every
+    * other parallel edge), one uniform-key min-agg over the contracted
+    * graph picks each component's cheapest cross edge, and the merge
+    * relabels components via [[resolvePickForest]] (hook-to-min +
+    * pointer doubling over the pick pseudo-forest only — component-
     * domain-sized, shrinking geometrically — never the corpus edge
     * list). Chosen edges accumulate; no pair explosion anywhere.
+    *
+    * Tail: once the contracted graph fits
+    * [[MstLocalSolveEdgeBudget]] rows it is solved EXACTLY with one
+    * local Kruskal pass — the filtering/contraction MSF recipe of the
+    * MapReduce-MST literature (Lattanzi–Moseley–Suri–Vassilvitskii,
+    * SPAA 2011: contract distributed rounds until the remainder fits
+    * one machine, finish locally). The budget is corpus-INDEPENDENT
+    * (≈3 MB — broadcast-sized), so the collect is constant at any
+    * scale, while the ~log₂ n tail rounds it replaces were each a full
+    * multi-job scheduler floor on a few-hundred-row frame.
     *
     * Output (1 row): (n_nodes, n_components, mst_edges, total_w,
     * max_w) — the forest identity n_components = n_nodes − mst_edges
@@ -2098,49 +2125,198 @@ object GraphOps {
     e
   }
 
-  def minimumSpanningForest(edgesIn: DataFrame,
-      maxRounds: Int = 24): DataFrame = {
+  /** Resolve the Borůvka PICK pseudo-forest to merged-component labels.
+    *
+    * Input: (cc, partner) — every component with a cross edge points at
+    * the component across its minimum-ekey pick. Under the unique ekey
+    * total order the only cycles in this functional graph are MUTUAL
+    * PAIRS (two components whose minimum cross edge is the same edge) —
+    * a longer cycle would need each pick strictly cheaper than the next
+    * all the way around. Hook-to-min breaks each mutual pair at its
+    * smaller label (that member roots itself), leaving a forest;
+    * pointer DOUBLING (p ← p∘p, ONE self-join per materialization)
+    * then reaches every root in ⌈log₂ depth⌉ rounds — a third of the
+    * joins per round of the general [[DedupOps.nearDupClusters]]
+    * min-label fixpoint this replaced, on frames that are
+    * component-domain-sized to begin with. The merged label is the
+    * MINIMUM old label in each tree (old labels are node-id minima, so
+    * the min over merged labels is the merged component's node-id
+    * minimum — the invariant the oracle's min-label closure checks):
+    * one tree-root groupBy + map-back join, evaluated lazily inside the
+    * caller's relabel.
+    *
+    * Output: (oc, nc) — old label → merged label, defined for every
+    * picker (components without cross edges don't appear; the caller's
+    * left join + coalesce keeps their label).
+    *
+    * `localBudget`: when the pick frame itself fits the bounded local
+    * budget (row count is already known to the caller — the frame is
+    * checkpointed), the forest is resolved with one driver union-find
+    * pass and returned as a broadcast mapping instead of paying the
+    * doubling loop's per-round job floors — the same
+    * corpus-independent-bound reasoning as [[MstLocalSolveEdgeBudget]].
+    * Tests force the distributed path with localBudget = 0 and pin its
+    * equivalence to the local one.
+    */
+  private[analytics] def resolvePickForest(picks: DataFrame,
+      nPicks: Long, localBudget: Long): DataFrame = {
+    if (nPicks <= localBudget) {
+      val spark = picks.sparkSession
+      val rows = picks.select(col("cc"), col("partner")).collect()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var root = x
+        while (parent.getOrElse(root, root) != root) root = parent(root)
+        var c0 = x
+        while (parent.getOrElse(c0, c0) != root) {
+          val nx = parent(c0); parent(c0) = root; c0 = nx
+        }
+        root
+      }
+      rows.foreach { row =>
+        val (rl, rh) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (rl != rh) parent(math.max(rl, rh)) = math.min(rl, rh)
+      }
+      val merged = rows.iterator.map(_.getLong(0))
+        .map(x => (x, find(x))).filter { case (x, nc) => nc != x }.toSeq
+      return broadcast(spark.createDataFrame(merged).toDF("oc", "nc"))
+    }
+    val pp = picks.select(col("cc").as("c2"), col("partner").as("p2"))
+    var p = Scans.rebase(
+      picks.join(pp, col("partner") === col("c2"))
+        .select(col("cc"),
+          when(col("p2") === col("cc") && col("partner") > col("cc"),
+            col("cc")).otherwise(col("partner")).as("p")), 8)
+    var converged = false
+    while (!converged) {
+      val t = p.select(col("cc").as("x"), col("p").as("px"))
+      val np = Scans.rebaseSwap(
+        p.join(t, col("p") === col("x"))
+          .select(col("cc"), col("p").as("old"), col("px").as("p")), p, 8)
+      converged = np.filter(col("p") =!= col("old")).isEmpty
+      p = np.select(col("cc"), col("p"))
+    }
+    val roots = p.groupBy(col("p")).agg(min(col("cc")).as("nc"))
+    p.join(roots, "p").select(col("cc").as("oc"), col("nc"))
+  }
+
+  /** Contracted-graph row budget below which [[minimumSpanningForest]]
+    * finishes with one local Kruskal pass instead of more distributed
+    * rounds. 2¹⁶ rows × ~48 B ≈ 3 MB — broadcast-sized and
+    * corpus-independent (the contracted graph shrinks geometrically;
+    * the corpus never reaches the driver), so the collect is
+    * constant-budget at any scale.
+    */
+  private val MstLocalSolveEdgeBudget: Long = 1L << 16
+
+  def minimumSpanningForest(edgesIn: DataFrame, maxRounds: Int = 24,
+      localBudget: Long = MstLocalSolveEdgeBudget): DataFrame = {
+    val dbg = sys.env.contains("GRAFT_MST_DEBUG")
+    var t0 = System.nanoTime()
+    def mark(tag: String): Unit = if (dbg) {
+      val t1 = System.nanoTime()
+      System.err.println(f"[mst] $tag%-22s ${(t1 - t0) / 1e9}%.2fs")
+      t0 = t1
+    }
     val e = ekeyedEdges(edgesIn, "minimumSpanningForest")
+    mark("ekeyedEdges")
+    val spark = e.sparkSession
     val nodes = e.select(col("a").as("node"))
       .unionByName(e.select(col("b").as("node"))).distinct().localCheckpoint()
-    var comp = Scans.rebase(nodes.withColumn("c", col("node")), 8)
+    var comp = nodes.withColumn("c", col("node"))
+    mark("nodes+comp init")
     val allPicks = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    // the loop iterates on the CONTRACTED graph g (lo < hi component
+    // pair, min ekey) — the node-level edge list is read exactly once
+    // (g₀ = the deduped ekeyed pairs under identity labels); every later
+    // round relabels and re-contracts g itself, which shrinks
+    // geometrically, instead of re-stamping the corpus edge list
+    var g = e.select(col("a").as("lo"), col("b").as("hi"), col("ekey"))
     var done = false
     var r = 0
     while (!done) {
       if (r >= maxRounds) throw new IllegalStateException(
         s"minimumSpanningForest: did not converge in $maxRounds rounds")
-      // ONE materialization per round: stamp component ids, take each
-      // component's min cross edge as a struct so the PARTNER component
-      // rides along with the winning ekey — no join-back, no separate
-      // cross-edge frame
-      val ce = e
-        .join(comp.select(col("node").as("a"), col("c").as("ca")), "a")
-        .join(comp.select(col("node").as("b"), col("c").as("cb")), "b")
-        .filter(col("ca") =!= col("cb"))
-      val picks = Scans.rebase(
-        ce.select(col("ca").as("cc"), col("ekey"), col("cb").as("oc"))
-          .unionByName(
-            ce.select(col("cb").as("cc"), col("ekey"), col("ca").as("oc")))
-          .groupBy(col("cc"))
-          .agg(min(struct(col("ekey"), col("oc"))).as("m"))
-          .select(col("cc"), col("m.ekey").as("ekey"),
-            col("m.oc").as("partner")), 8)
-      if (picks.isEmpty) done = true
-      else {
+      val m = g.count()
+      mark(s"round $r count m=$m")
+      if (m == 0L) done = true
+      else if (m <= localBudget) {
+        // local Kruskal tail (see scaladoc): ascending-ekey pass with a
+        // path-compressing union-find whose group root is always the
+        // group's MINIMUM label — the same merged-label convention as
+        // the distributed rounds, so the final relabel is one broadcast
+        // join
+        val rows = g.sort(col("ekey")).collect()
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var root = x
+          while (parent.getOrElse(root, root) != root) root = parent(root)
+          var c0 = x
+          while (parent.getOrElse(c0, c0) != root) {
+            val nx = parent(c0); parent(c0) = root; c0 = nx
+          }
+          root
+        }
+        val chosen = scala.collection.mutable.ArrayBuffer
+          .empty[java.math.BigDecimal]
+        rows.foreach { row =>
+          val (rl, rh) = (find(row.getLong(0)), find(row.getLong(1)))
+          if (rl != rh) {
+            parent(math.max(rl, rh)) = math.min(rl, rh)
+            chosen += row.getDecimal(2)
+          }
+        }
+        val ekeyType = g.schema("ekey").dataType
+        allPicks += spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            chosen.map(org.apache.spark.sql.Row(_)).toSeq, 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("ekey", ekeyType))))
+        val merged = rows.iterator
+          .flatMap(row => Iterator(row.getLong(0), row.getLong(1)))
+          .toSet.iterator.map((x: Long) => (x, find(x)))
+          .filter { case (x, nc) => nc != x }.toSeq
+        val lbl = broadcast(spark.createDataFrame(merged).toDF("oc", "nc"))
+        comp = comp.join(lbl, comp("c") === col("oc"), "left")
+          .select(col("node"), coalesce(col("nc"), col("c")).as("c"))
+        mark(s"round $r local solve")
+        done = true
+      } else {
+        // distributed round: each component's min cross edge, read off
+        // the CONTRACTED graph (m rows, not the corpus edge list), with
+        // the partner component riding along in the min-struct
+        val picks = Scans.rebase(
+          g.select(col("lo").as("cc"), col("ekey"), col("hi").as("oc"))
+            .unionByName(
+              g.select(col("hi").as("cc"), col("ekey"), col("lo").as("oc")))
+            .groupBy(col("cc"))
+            .agg(min(struct(col("ekey"), col("oc"))).as("m"))
+            .select(col("cc"), col("m.ekey").as("ekey"),
+              col("m.oc").as("partner")), 8)
+        mark(s"round $r picks")
         allPicks += picks.select(col("ekey"))
-        // merge: CC over the component-level pick graph (cc — partner
-        // covers every chosen edge from its picker's side; tiny frame,
-        // shrinking geometrically), then compose labels — new comp =
-        // min old-comp label in the merged cluster = min NODE id of the
-        // merged component (old labels are themselves component minima)
-        val lbl = DedupOps.nearDupClusters(
-            picks.select(col("cc").as("d1"), col("partner").as("d2")))
-          .select(col("doc_id").as("oc"), col("cluster_id").as("nc"))
+        val lbl = resolvePickForest(picks, picks.count(), localBudget)
+        mark(s"round $r resolve")
         comp = Scans.rebaseSwap(
           comp.join(lbl, comp("c") === col("oc"), "left")
             .select(col("node"), coalesce(col("nc"), col("c")).as("c")),
           comp, 8)
+        // relabel + re-contract the component graph itself (cycle
+        // property retires non-minimal parallel edges; merged self-loops
+        // are dropped) — the corpus edge list never reappears
+        g = Scans.rebaseSwap(
+          g.join(lbl.select(col("oc").as("lo"), col("nc").as("nlo")),
+              Seq("lo"), "left")
+            .join(lbl.select(col("oc").as("hi"), col("nc").as("nhi")),
+              Seq("hi"), "left")
+            .select(coalesce(col("nlo"), col("lo")).as("clo"),
+              coalesce(col("nhi"), col("hi")).as("chi"), col("ekey"))
+            .filter(col("clo") =!= col("chi"))
+            .groupBy(least(col("clo"), col("chi")).as("lo"),
+              greatest(col("clo"), col("chi")).as("hi"))
+            .agg(min(col("ekey")).as("ekey")),
+          g, 8)
+        mark(s"round $r recontract")
         r += 1
       }
     }
@@ -2158,7 +2334,9 @@ object GraphOps {
       else chosen.agg(count(lit(1)).as("mst_edges"),
         sum(col("w")).cast("bigint").as("total_w"),
         max(col("w")).cast("bigint").as("max_w"))
-    nN.crossJoin(broadcast(nC)).crossJoin(broadcast(ch))
+    val out = nN.crossJoin(broadcast(nC)).crossJoin(broadcast(ch))
+    if (dbg) { out.collect(); mark("epilogue") }
+    out
   }
 
   // Oracle: Borůvka unrolled to a fixed round count (idempotent once
@@ -2226,14 +2404,7 @@ object GraphOps {
     */
   private val qMst = GraftQuery(
     "qg_mst",
-    (s, dir) => {
-      val e0 = Tables.orders(s, dir)
-        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
-        .groupBy((col("o_custkey") * 2).as("src"),
-          (col("l_suppkey") * 2 + 1).as("dst"))
-        .agg(min(col("l_quantity")).cast("bigint").as("w"))
-      minimumSpanningForest(e0)
-    },
+    (s, dir) => minimumSpanningForest(weightedTradeE0(s, dir)),
     Some(mstSql))
 
   // --------------------------- Weisfeiler–Leman color refinement (WL)
@@ -2503,8 +2674,11 @@ object GraphOps {
   // Oracle: the handshake unrolled to a fixed round count; the final
   // WHERE asserts no live edge survives round R, so an under-provisioned
   // oracle fails loudly as an oracle bug instead of silently returning a
-  // non-maximal matching.
-  private val MatchingOracleRounds = 24
+  // non-maximal matching. 32 MATCHES the engine's maxRounds default
+  // (like MstOracleRounds): a corpus converging anywhere inside the
+  // engine's budget must also be inside the oracle's, or a correct
+  // engine result would trip the oracle's convergence assert.
+  private val MatchingOracleRounds = 32
 
   private def matchingRoundSql(r: Int): String = {
     val p = r - 1
@@ -2642,7 +2816,9 @@ object GraphOps {
     state.select(col("node"), col("color")).orderBy(col("node"))
   }
 
-  private val ColoringOracleRounds = 20
+  // 48 matches greedyColoring's engine maxRounds default — same
+  // provisioning-parity rule as MatchingOracleRounds/MstOracleRounds.
+  private val ColoringOracleRounds = 48
 
   private def coloringRoundSql(r: Int): String = {
     val p = r - 1
@@ -2712,14 +2888,7 @@ object GraphOps {
     */
   private val qMatching = GraftQuery(
     "qg_matching",
-    (s, dir) => {
-      val e0 = Tables.orders(s, dir)
-        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
-        .groupBy((col("o_custkey") * 2).as("src"),
-          (col("l_suppkey") * 2 + 1).as("dst"))
-        .agg(min(col("l_quantity")).cast("bigint").as("w"))
-      maximalMatching(e0)
-    },
+    (s, dir) => maximalMatching(weightedTradeE0(s, dir)),
     Some(matchingSql))
 
   def queries: Seq[GraftQuery] =

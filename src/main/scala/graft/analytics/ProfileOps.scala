@@ -799,9 +799,17 @@ object ProfileOps {
     val xi = expr(s"transform(cast($vecCol as array<double>), " +
       "x -> cast(floor(x * 1000000) as bigint))")
     signs.zipWithIndex.map { case (sg, j) =>
-      val proj = aggregate(
+      // loud per-row dimension guard: a vector shorter/longer than the
+      // sign row would zip_with-pad to NULL and silently VANISH from the
+      // KS counts (while the oracle's list_sum keeps a partial sum) —
+      // assert_true throws instead; it returns NULL on success, so the
+      // when() wrapper just gates the projection on it
+      val guard = assert_true(size(col(vecCol)) === lit(sg.size),
+        lit(s"embeddingDrift: $vecCol length must equal the sign-row " +
+          s"length ${sg.size} (direction $j)"))
+      val proj = when(guard.isNull, aggregate(
         zip_with(xi, typedLit(sg).cast("array<bigint>"), (x, s) => x * s),
-        lit(0L), (acc, v) => acc + v)
+        lit(0L), (acc, v) => acc + v))
       StatTests.ksTest(emb.select(proj.as("v"), isRef.as("ref")), "v",
           col("ref"))
         .select(lit(j).as("dir"), col("n1"), col("n2"), col("at_value"),
@@ -820,14 +828,15 @@ object ProfileOps {
     else -1
   }
   private val DriftDirs = 4
+  private val DriftDim = 64
   private val driftSigns: Seq[Seq[Int]] =
-    (0 until DriftDirs).map(j => (0 until 64).map(i => rademacher(j, i)))
+    (0 until DriftDirs).map(j => (0 until DriftDim).map(i => rademacher(j, i)))
 
   private val embDriftSql = {
     val dirs = (0 until DriftDirs).map { j =>
       val lst = driftSigns(j).mkString("[", ", ", "]")
       s"""prj$j AS (SELECT vec_id % 2 = 0 AS ref,
-        list_sum(list_transform(generate_series(1, 64),
+        list_sum(list_transform(generate_series(1, ${driftSigns.head.size}),
           i -> CAST(floor(v[i] * 1000000) AS BIGINT) * ($lst)[i])) AS v
       FROM e0),
     g$j AS (SELECT v, SUM(CASE WHEN ref THEN 1 ELSE 0 END) AS k1,

@@ -591,20 +591,32 @@ object Relational3 {
     * classic metrics in exact fixed point: support (pair share of all
     * baskets, bp), confidence (directional P(B|A), bp), and lift
     * (10⁶·nAB·N DIV (nA·nB) — >10⁶ means positively associated). The
-    * metrics layer over the same bounded per-basket pair fan-out as
-    * [[coOccurrenceTopK]] (basket size caps the join; a corpus with
-    * unbounded baskets needs a per-basket cap first), plus two item-key
-    * count joins and one 1-row broadcast total. `minPairs` prunes the
-    * rule tail before the metric joins — the standard min-support pass.
+    * metrics layer over the same per-basket pair fan-out as
+    * [[coOccurrenceTopK]], plus two item-key count joins and one 1-row
+    * broadcast total. `minPairs` prunes the rule tail before the metric
+    * joins — the standard min-support pass.
+    *
+    * Skew guard: the basket self-join is QUADRATIC in the hottest
+    * basket, so baskets with more than `maxBasket` distinct items are
+    * excluded OUTRIGHT — from pair generation, the item counts, and the
+    * basket total alike (the consistent frequent-itemset convention:
+    * degenerate mega-transactions are catalog noise, and one 10⁶-item
+    * basket would otherwise fan out 10¹² pairs). Mirrored in-oracle;
+    * OpsApiSpec pins the exclusion.
+    *
     * Output: top `topK` rules by (lift DESC, confidence DESC, a, b);
     * both directions of a pair appear as separate rules (confidence is
     * directional; lift/support are symmetric).
     */
   def assocRules(df: DataFrame, groupCol: String, itemCol: String,
-      minPairs: Long = 3, topK: Int = 20): DataFrame = {
-    require(minPairs >= 1 && topK >= 1)
-    val b = df.select(col(groupCol).as("g"), col(itemCol).as("item"))
-      .distinct().localCheckpoint()
+      minPairs: Long = 3, topK: Int = 20, maxBasket: Int = 256): DataFrame = {
+    require(minPairs >= 1 && topK >= 1 && maxBasket >= 2,
+      s"bad params: minPairs=$minPairs topK=$topK maxBasket=$maxBasket")
+    val b0 = df.select(col(groupCol).as("g"), col(itemCol).as("item"))
+      .distinct()
+    val b = b0.join(b0.groupBy(col("g")).agg(count(lit(1)).as("_bn"))
+        .filter(col("_bn") <= maxBasket).select(col("g")), "g")
+      .localCheckpoint()
     val n = b.agg(countDistinct(col("g")).as("n_baskets"))
     val itemCnt = b.groupBy(col("item")).agg(count(lit(1)).as("ni"))
     val pairs = b.as("x").join(b.as("y"),
@@ -627,12 +639,16 @@ object Relational3 {
 
   private val ArMinPairs = 3
   private val ArTopK = 20
+  private val ArMaxBasket = 256
 
   private val qAssocRules = GraftQuery(
     "qj_assoc_rules",
     (s, dir) => assocRules(Tables.lineitem(s, dir), "l_orderkey", "l_partkey",
-      ArMinPairs, ArTopK),
-    Some(s"""WITH b AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem),
+      ArMinPairs, ArTopK, ArMaxBasket),
+    Some(s"""WITH b0 AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem),
+      b AS MATERIALIZED (SELECT b0.g, b0.item FROM b0 JOIN (
+        SELECT g FROM b0 GROUP BY g HAVING COUNT(*) <= $ArMaxBasket) ok
+        ON b0.g = ok.g),
       n AS (SELECT COUNT(DISTINCT g) AS n_baskets FROM b),
       ic AS (SELECT item, COUNT(*) AS ni FROM b GROUP BY item),
       p AS (SELECT x.item AS ante, y.item AS cons, COUNT(*) AS nab

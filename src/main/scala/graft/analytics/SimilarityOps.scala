@@ -67,6 +67,58 @@ object SimilarityOps {
     s"$dotFoldSql / (sqrt(${normFoldSql("va")}) * sqrt(${normFoldSql("vb")}))"
 
   /** Normalize any (idCol, vecCol) frame to (vec_id, v, nrm). */
+  /** Literal→broadcast-join switchover for cell assignment: up to this
+    * many centroids ride the plan as ONE matrix literal (O(1) plan
+    * NODES, but the literal value itself — C·dim doubles — is copied
+    * into every serialized plan, task binary, and explain string);
+    * above it the codebook becomes a broadcast TABLE and the plan stays
+    * O(1) in bytes too. C ≈ √n is ~250 at sf0.1, so every shipped
+    * binding stays on the literal path; the join path is the 100 TB
+    * regime (C ~ 10⁵–10⁶), where inlining the codebook would be a
+    * plan-size bomb.
+    */
+  private[analytics] val CentroidLiteralMax = 1024
+
+  /** Nearest-centroid (argmax-dot) cell assignment on a prepped frame
+    * (must carry `vec_id` and `v`): adds `cell`, the 1-based codebook
+    * index. Two physically different, bit-identical paths:
+    *
+    *  - C ≤ `literalMax`: the fused [[graft.functions.ArrayExprs]]
+    *    DotScores matrix-literal kernel + array_position-of-max —
+    *    map-only, no join; ties resolve to the LOWEST cell index.
+    *  - C > `literalMax`: the codebook becomes a broadcast (cell, w)
+    *    table; each row scores all C broadcast rows (a broadcast
+    *    nested-loop with bounded per-row fan-out C — exactly the FLOPs
+    *    the literal kernel does, now without the plan-text payload), a
+    *    partial agg takes max(struct(dot, −cell)) so ties resolve to
+    *    the SAME lowest cell, and one id-keyed join maps cells back.
+    *
+    * DotProduct and DotScores share the per-element contract
+    * (sequential accumulation, truncate-to-shorter, NULL element → 0),
+    * so the paths agree bit-for-bit — OpsApiSpec pins the equivalence
+    * and the C = 10⁴ plan-size bound.
+    */
+  private[analytics] def withArgmaxCell(df: org.apache.spark.sql.DataFrame,
+      cents: Seq[Seq[Double]],
+      literalMax: Int = CentroidLiteralMax): org.apache.spark.sql.DataFrame =
+    if (cents.size <= literalMax)
+      df.withColumn("_sc", graft_dot_scores(typedLit(cents), col("v")))
+        .withColumn("cell", expr("array_position(_sc, array_max(_sc))"))
+        .drop("_sc")
+    else {
+      val spark = df.sparkSession
+      val codebook = broadcast(spark.createDataFrame(
+          cents.zipWithIndex.map { case (w, i) => ((i + 1).toLong, w) })
+        .toDF("_cell", "_w"))
+      val cells = df.select(col("vec_id"), col("v")).crossJoin(codebook)
+        .select(col("vec_id"), col("_cell"),
+          graft_dot(col("_w"), col("v")).as("_dot"))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("_dot"), (-col("_cell")).as("_nc"))).as("_m"))
+        .select(col("vec_id"), (-col("_m._nc")).as("cell"))
+      df.join(cells, "vec_id")
+    }
+
   private def prep(df: org.apache.spark.sql.DataFrame, idCol: String, vecCol: String) =
     df.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(graft_dot(col("v"), col("v"))))
@@ -143,17 +195,16 @@ object SimilarityOps {
       idCol: String = "vec_id", vecCol: String = "embedding",
       nprobe: Int = 2): org.apache.spark.sql.DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
-    // Fused native kernel: ONE matrix literal + one expression, O(1) plan
-    // size in C — C separate graft_dot(lit, v) columns blow the codegen
-    // method budget once C reaches sqrt(n) scale (see DotScores scaladoc).
-    val scoreArr = graft_dot_scores(typedLit(cents), col("v"))
-    def withCell(df: org.apache.spark.sql.DataFrame) =
-      df.withColumn("sc", scoreArr)
-        .withColumn("cell", expr("array_position(sc, array_max(sc))"))
-    val corpusCells = withCell(prep(corpus, idCol, vecCol))
+    // Corpus side: argmax-only assignment through the literal/broadcast
+    // switchover. Query side keeps the matrix-literal score ARRAY (it
+    // needs the top-nprobe cells, and queries are the tiny broadcast
+    // side of the probe join anyway).
+    val corpusCells = withArgmaxCell(prep(corpus, idCol, vecCol), cents)
       .select(col("vec_id").as("cand_id"), col("v").as("vb"),
         col("nrm").as("nb"), col("cell"))
-    val q0 = withCell(prep(queries, idCol, vecCol))
+    val q0 = prep(queries, idCol, vecCol)
+      .withColumn("sc", graft_dot_scores(typedLit(cents), col("v")))
+      .withColumn("cell", expr("array_position(sc, array_max(sc))"))
     val q =
       if (nprobe == 2)
         q0.withColumn("p2",
@@ -1707,13 +1758,7 @@ object SimilarityOps {
   def kmeansStep(vecs: org.apache.spark.sql.DataFrame,
       cents: Seq[Seq[Double]] = centroids,
       idCol: String = "vec_id", vecCol: String = "embedding"): org.apache.spark.sql.DataFrame = {
-    // Fused native kernel: ONE matrix literal + one expression, O(1) plan
-    // size in C — C separate graft_dot(lit, v) columns blow the codegen
-    // method budget once C reaches sqrt(n) scale (see DotScores scaladoc).
-    val scoreArr = graft_dot_scores(typedLit(cents), col("v"))
-    val assigned = prep(vecs, idCol, vecCol)
-      .withColumn("sc", scoreArr)
-      .withColumn("cell", expr("array_position(sc, array_max(sc))"))
+    val assigned = withArgmaxCell(prep(vecs, idCol, vecCol), cents)
     labelCentroids(assigned, labelCol = "cell", vecCol = "v")
       .withColumnRenamed("label", "cell")
   }
@@ -2005,13 +2050,7 @@ object SimilarityOps {
       idCol: String = "vec_id", vecCol: String = "embedding"): org.apache.spark.sql.DataFrame = {
     require(cents.nonEmpty, "semDedup requires a trained coarse quantizer " +
       "(size it with semDedupCellCount(n) ~ sqrt(n), train with trainCentroids)")
-    // Fused native kernel: ONE matrix literal + one expression, O(1) plan
-    // size in C — C separate graft_dot(lit, v) columns blow the codegen
-    // method budget once C reaches sqrt(n) scale (see DotScores scaladoc).
-    val scoreArr = graft_dot_scores(typedLit(cents), col("v"))
-    val assigned = prep(corpus, idCol, vecCol)
-      .withColumn("sc", scoreArr)
-      .withColumn("cell", expr("array_position(sc, array_max(sc))"))
+    val assigned = withArgmaxCell(prep(corpus, idCol, vecCol), cents)
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
     val lo = assigned.select(col("cell"), col("vec_id").as("query_id"),
       col("v").as("va"), col("nrm").as("na"))
@@ -2092,13 +2131,7 @@ object SimilarityOps {
     require(k >= 1, s"k must be >= 1, got $k")
     require(cents.nonEmpty, "knnGraph requires a trained coarse quantizer " +
       "(size it with semDedupCellCount(n), train with trainCentroids)")
-    // Fused native kernel: ONE matrix literal + one expression, O(1) plan
-    // size in C — C separate graft_dot(lit, v) columns blow the codegen
-    // method budget once C reaches sqrt(n) scale (see DotScores scaladoc).
-    val scoreArr = graft_dot_scores(typedLit(cents), col("v"))
-    val assigned = prep(corpus, idCol, vecCol)
-      .withColumn("sc", scoreArr)
-      .withColumn("cell", expr("array_position(sc, array_max(sc))"))
+    val assigned = withArgmaxCell(prep(corpus, idCol, vecCol), cents)
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
     val lo = assigned.select(col("cell"), col("vec_id").as("src"),
       col("v").as("va"), col("nrm").as("na"))

@@ -3455,6 +3455,13 @@ object StatTests {
     * domain, constant in corpus size), and a broadcast ≤ 2^depth-row
     * split plan. Output: final segments (seg, d_from, d_to, n_days,
     * total_cents), ordered.
+    *
+    * `dayCol` must be UNIQUE per row (a strict total order): duplicate
+    * keys would make the per-segment row_number — and therefore the
+    * split point — partition/engine-dependent. Asserted loudly inside
+    * the level-1 window (one lag comparison per row, no extra action);
+    * pre-aggregate to the day grain first, as the qstat_binseg binding
+    * does.
     */
   def binarySegmentation(days: DataFrame, dayCol: String, valCol: String,
       depth: Int = 3, minSeg: Int = 5, tauMilli: Int = 20): DataFrame = {
@@ -3472,7 +3479,11 @@ object StatTests {
           (dec(count(lit(1))) * sum(dec(col("y")) * dec(col("y")))
             - dec(sum(col("y"))) * dec(sum(col("y")))).as("q"))
       val pref = act
-        .withColumn("t", row_number().over(w))
+        .withColumn("t", when(assert_true(
+          coalesce(lag(col("d"), 1).over(w) =!= col("d"), lit(true)),
+          lit("binarySegmentation: dayCol must be unique per row — " +
+            "pre-aggregate to the day grain first")).isNull,
+          row_number().over(w)))
         .withColumn("sl", sum(col("y")).over(
           w.rowsBetween(org.apache.spark.sql.expressions.Window
             .unboundedPreceding, 0)))

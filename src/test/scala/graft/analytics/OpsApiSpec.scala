@@ -799,6 +799,43 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"got $out")
   }
 
+  test("withArgmaxCell: broadcast-join path ≡ matrix-literal path, ties to lowest cell") {
+    import spark.implicits._
+    // deterministic pseudo-random vectors, plus a vector EQUIDISTANT from
+    // centroids 1 and 2 (exact dot tie) to pin the tie rule on both paths
+    def hv(i: Int): Seq[Double] =
+      (0 until 8).map(d => ((i * 31 + d * 17) % 13 - 6).toDouble / 6.0)
+    val cents = (0 until 5).map(c => hv(c * 97 + 1))
+    val emb = ((1 to 40).map(i => (i.toLong, hv(i))) :+
+      (99L, Seq.fill(8)(0.0))).toDF("vec_id", "embedding")
+    val prepped = emb.selectExpr("vec_id",
+      "cast(embedding as array<double>) as v")
+    val lits = SimilarityOps.withArgmaxCell(prepped, cents)
+      .selectExpr("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val joined = SimilarityOps.withArgmaxCell(prepped, cents, literalMax = 0)
+      .selectExpr("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lits == joined, s"literal=$lits join=$joined")
+    // the all-zero vector dots 0.0 against EVERY centroid: both paths
+    // must resolve the 5-way tie to cell 1
+    assert(lits(99L) == 1L, lits.toString)
+  }
+
+  test("withArgmaxCell: C = 10⁴ plans a broadcast codebook, not a literal bomb") {
+    import spark.implicits._
+    val bigC = (0 until 10000).map(c =>
+      (0 until 4).map(d => ((c * 31 + d * 7) % 17 - 8).toDouble))
+    val prepped = Seq((1L, Seq(1.0, 0.0, 0.0, 0.0))).toDF("vec_id", "v")
+    val plan = SimilarityOps.withArgmaxCell(prepped, bigC)
+      .queryExecution.executedPlan.toString
+    // 10⁴×4 doubles inlined as a literal would be ≥ ~200 KB of plan text;
+    // the broadcast-join path keeps the plan codebook-free and compact
+    assert(plan.length < 100000, s"plan text ${plan.length} chars")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan.take(2000))
+  }
+
   test("semDedupCellCount sizing keeps intra-cell pair fan-out sub-quadratic") {
     import spark.implicits._
     // pseudo-random corpus (hash-derived, deterministic), n large enough
@@ -1610,6 +1647,27 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rules(("a", "b")) == ((6666L, 6666L, 1000000L)), rules.toString)
     // b->a: same pair, confidence 2/2 = 1
     assert(rules(("b", "a")) == ((6666L, 10000L, 1000000L)), rules.toString)
+  }
+
+  test("assocRules: maxBasket skew guard excludes mega-baskets everywhere") {
+    import spark.implicits._
+    // basket 9 has 5 items (> cap 4): its pairs, its item counts, AND its
+    // row in the basket total must all vanish — metrics must equal the
+    // capped corpus computed from scratch, not a partially-filtered mix
+    val mega = (1 to 5).map(i => (9L, s"m$i"))
+    val baskets = (Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (3L, "a"))
+      ++ mega).toDF("g", "item")
+    val rules = Relational3.assocRules(baskets, "g", "item", minPairs = 1,
+        topK = 50, maxBasket = 4)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    assert(!rules.keys.exists(k => k._1.startsWith("m") ||
+      k._2.startsWith("m")), rules.toString)
+    // n_baskets = 3 (not 4): support 2/3 as in the uncapped 3-basket case
+    assert(rules(("a", "b")) == ((6666L, 6666L, 1000000L)), rules.toString)
+    assert(intercept[IllegalArgumentException] {
+      Relational3.assocRules(baskets, "g", "item", maxBasket = 1)
+    }.getMessage.contains("maxBasket"))
   }
 
   test("readability: counts and FK grade exact on a hand-counted sentence") {
@@ -3050,6 +3108,24 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r = GraphOps.minimumSpanningForest(ints).collect().head
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
       == ((3L, 1L, 2L, 8L)), r.toString)
+  }
+
+  test("minimumSpanningForest: distributed rounds ≡ local Kruskal tail") {
+    import spark.implicits._
+    // a graph big enough to mix long chains (deep pick forests — the
+    // pointer-doubling path) with dense cliques and parallel-ish weights;
+    // localBudget = 0 forces every round distributed, the default budget
+    // solves the tail locally — the two MUST agree row-for-row
+    val chain = (1L until 80L).map(i => (i, i + 1, (i * 37 % 11) + 1))
+    val spokes = (1L to 40L).map(i => (100L + i, 100L + (i * 7 % 40) + 1,
+      (i * 13 % 9) + 1))
+    val bridge = Seq((40L, 120L, 2L), (200L, 201L, 4L))
+    val e = (chain ++ spokes ++ bridge).toDF("src", "dst", "w")
+    val local = GraphOps.minimumSpanningForest(e).collect().head
+    val dist = GraphOps.minimumSpanningForest(e, localBudget = 0L)
+      .collect().head
+    assert(local == dist, s"local=$local dist=$dist")
+    assert(local.getLong(1) == local.getLong(0) - local.getLong(2))
   }
 
   test("binarySegmentation: clean step found once, flat never splits") {
