@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, expr}
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -27,6 +28,40 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val mustBeBucketed = Seq(
     "qd_exact_dedup", "qd_ngram_jaccard", "qd_minhash_lsh", "qd_simhash",
     "qd_embedding_neardup", "qs_ann_lsh", "qs_ann_ivf")
+
+  test("Scans.rebase keeps loop-state stats FLAT across nested rounds") {
+    // The SCC/MST/MIS loops carry state through Scans.rebase because
+    // Catalyst's size-only stats visitor MULTIPLIES child sizes at
+    // joins and localCheckpoint's LogicalRDD INHERITS the origin
+    // estimate — so a loop whose round-r state self-joins round-(r−1)
+    // state SQUARES the BigInt estimate per round until the driver
+    // hangs in BigInteger.multiply (EXPLAINS_r9). This pin simulates
+    // four nested rounds and asserts the rebased state is a LogicalRDD
+    // leaf claiming EXACTLY defaultSizeInBytes every round — swap
+    // rebase for plain localCheckpoint and the first self-join round
+    // goes super-default and this test goes red.
+    import spark.implicits._
+    val default = BigInt(spark.sessionState.conf.defaultSizeInBytes)
+    var st = Scans.rebase((1L to 64L).toDF("k"), 2)
+    for (r <- 1 to 4) {
+      val lp = st.queryExecution.optimizedPlan
+      assert(lp.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD],
+        s"round $r: rebase must leave a LogicalRDD leaf, got " +
+          lp.getClass.getName)
+      assert(lp.stats.sizeInBytes == default,
+        s"round $r: loop-state stats ${lp.stats.sizeInBytes} != " +
+          s"default $default — rebase stopped resetting the estimate")
+      st = Scans.rebase(
+        st.join(st.selectExpr("k as k2"), expr("k = k2")).select(col("k")), 2)
+    }
+    // the contrast that gives the pin its teeth: plain localCheckpoint
+    // INHERITS a join-multiplied estimate instead of the default
+    val joined = st.join(st.selectExpr("k as k2"), expr("k = k2"))
+      .select(col("k")).localCheckpoint()
+    assert(joined.queryExecution.optimizedPlan.stats.sizeInBytes != default,
+      "localCheckpoint unexpectedly resets stats — if Spark changed " +
+        "this, rebase may be simplifiable; re-measure EXPLAINS_r9 first")
+  }
 
   test("pair-generation plans contain no CartesianProduct or BNL join") {
     mustBeBucketed.foreach { name =>

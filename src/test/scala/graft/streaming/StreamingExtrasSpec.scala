@@ -1422,6 +1422,158 @@ class StreamingExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(emitted.get() == 1000000L,
       s"duplicates leaked after restart: ${emitted.get() - 1000000L}")
   }
+
+  // ---- 10⁶-entity soaks for the monitor twins (r10 verdict item 4):
+  // the stream ≡ batch pins elsewhere use a handful of keys; these
+  // drive each per-key fold to one MILLION entities in RocksDB (one/two
+  // longs of state per key — ~16 MB total, nowhere near heap scale) and
+  // assert the EXACT state value survives a stop + checkpoint restart:
+  // the run-2 probe's emitted value is a function of run-1 state, so a
+  // lost or corrupted store changes the output, not just a metric.
+  private val SoakUsers = 1000000L
+  private val SoakProbe = 200000L
+  private def soakWaves: Seq[Range] =
+    (0 until 4).map(i => (i * 250000) until ((i + 1) * 250000))
+
+  private def assertSoakState(q: org.apache.spark.sql.streaming.StreamingQuery,
+      want: Long, what: String): Unit = {
+    val sop = q.recentProgress.flatMap(_.stateOperators).maxBy(_.numRowsTotal)
+    // transformWithState reports one row per key per internal column
+    // family (the value state + key bookkeeping → 2/key on Spark 4.1);
+    // the metric pins state SCALE — exact per-key values are proved by
+    // the run-2 probes below
+    assert(sop.numRowsTotal == 2 * want,
+      s"$what state store holds ${sop.numRowsTotal} rows, want ${2 * want}")
+    val custom = sop.customMetrics
+    val rocks = custom.keySet().toArray.map(_.toString)
+      .filter(_.startsWith("rocksdb"))
+    assert(rocks.nonEmpty && rocks.exists(k => custom.get(k).longValue() > 0L),
+      s"$what: no live RocksDB metrics — wrong provider? $custom")
+  }
+
+  test("EwmaProcessor soak: 10^6 entities, exact state across a restart") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = Files.createTempDirectory("graft-ewma-1m").toString
+    val t1 = Timestamp.valueOf("2024-03-01 10:00:00")
+    val t2 = Timestamp.valueOf("2024-03-01 10:00:20")
+    val emitted = new java.util.concurrent.atomic.AtomicLong
+    val exact = new java.util.concurrent.atomic.AtomicLong
+    val input = MemoryStream[(Long, Timestamp, Long, Double)](spark)
+    def start() = graft.analytics.EventsQueries.ewmaAlertsStream(
+        input.toDS().toDF("user_id", "ts", "event_id", "value"), h = 4000L)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        emitted.addAndGet(b.count())
+        // s = 5000 can ONLY arise from the run-2 zero-value probe on a
+        // RETAINED run-1 level of 10000 (run-1 rows emit s = 10000)
+        exact.addAndGet(b.filter("s = 5000").count()); ()
+      }.start()
+    val q1 = start()
+    soakWaves.foreach { w =>
+      input.addData(w.map(u => (u.toLong, t1, u.toLong, 200.0)))
+      q1.processAllAvailable()
+    }
+    assert(emitted.get() == SoakUsers, s"run 1 alerts ${emitted.get()}")
+    assertSoakState(q1, SoakUsers, "ewma")
+    q1.stop()
+    val q2 = start()
+    input.addData((0L until SoakProbe).map(u => (u, t2, SoakUsers + u, 0.0)))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(emitted.get() == SoakUsers + SoakProbe,
+      s"run 2 should alert on every probe: ${emitted.get()}")
+    assert(exact.get() == SoakProbe,
+      s"run-2 levels not the exact continuation (want s=5000 ×$SoakProbe, " +
+        s"got ${exact.get()})")
+  }
+
+  test("RateLimitProcessor soak: 10^6 buckets, exact tokens across a restart") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = Files.createTempDirectory("graft-rl-1m").toString
+    val t1 = Timestamp.valueOf("2024-03-01 10:00:00")
+    val t2 = Timestamp.valueOf("2024-03-01 10:00:20")
+    val emitted = new java.util.concurrent.atomic.AtomicLong
+    val exact = new java.util.concurrent.atomic.AtomicLong
+    val input = MemoryStream[(Long, Timestamp, Long, Double)](spark)
+    def start() = graft.analytics.EventsQueries.rateLimitStream(
+        input.toDS().toDF("user_id", "ts", "event_id", "value"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        emitted.addAndGet(b.count())
+        // avail = 2000 = run-1 residue 1000 + 20 s × 50 c/s refill: only
+        // reachable by continuing run-1 state (a fresh bucket admits)
+        exact.addAndGet(b.filter("avail = 2000").count()); ()
+      }.start()
+    val q1 = start()
+    soakWaves.foreach { w =>
+      // 19000 of the 20000-cent bucket: admitted (no emission), tok 1000
+      input.addData(w.map(u => (u.toLong, t1, u.toLong, 190.0)))
+      q1.processAllAvailable()
+    }
+    assert(emitted.get() == 0L, s"run 1 should admit everything: ${emitted.get()}")
+    assertSoakState(q1, SoakUsers, "rate-limit")
+    q1.stop()
+    val q2 = start()
+    // +20 s: avail = min(cap, 1000 + 1000) = 2000 < 10000 → reject+emit;
+    // a LOST bucket would re-open at cap 20000 and admit silently
+    input.addData((0L until SoakProbe).map(u => (u, t2, SoakUsers + u, 100.0)))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(emitted.get() == SoakProbe,
+      s"run 2 should reject every probe: ${emitted.get()}")
+    assert(exact.get() == SoakProbe,
+      s"run-2 avail not the exact token continuation: ${exact.get()}")
+  }
+
+  test("CepProcessor soak: 10^6 open DFA states, match completes after restart") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = Files.createTempDirectory("graft-cep-1m").toString
+    val t1 = Timestamp.valueOf("2024-03-01 10:00:00")
+    val t2 = Timestamp.valueOf("2024-03-01 10:00:01")
+    val t3 = Timestamp.valueOf("2024-03-01 10:00:20")
+    val emitted = new java.util.concurrent.atomic.AtomicLong
+    val exact = new java.util.concurrent.atomic.AtomicLong
+    val input = MemoryStream[(Long, Timestamp, Long, String)](spark)
+    def start() = graft.analytics.EventsQueries.cepStream(
+        input.toDS().toDF("user_id", "ts", "event_id", "event_type"),
+        Seq("view", "click", "purchase"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        emitted.addAndGet(b.count())
+        exact.addAndGet(b.filter("n_matches = 1").count()); ()
+      }.start()
+    val q1 = start()
+    soakWaves.foreach { w =>
+      // view + click in one batch: every user's DFA parks at stage 2
+      input.addData(w.flatMap(u => Seq(
+        (u.toLong, t1, u.toLong * 2, "view"),
+        (u.toLong, t2, u.toLong * 2 + 1, "click"))))
+      q1.processAllAvailable()
+    }
+    assert(emitted.get() == SoakUsers && exact.get() == 0L,
+      s"run 1: ${emitted.get()} rows, ${exact.get()} premature matches")
+    assertSoakState(q1, SoakUsers, "cep")
+    q1.stop()
+    val q2 = start()
+    // the closing 'purchase' completes view+ click+ purchase ONLY if the
+    // open stage-2 state survived the restart (fresh state → count 0)
+    input.addData((0L until SoakProbe).map(u =>
+      (u, t3, 3 * SoakUsers + u, "purchase")))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(emitted.get() == SoakUsers + SoakProbe, s"rows: ${emitted.get()}")
+    assert(exact.get() == SoakProbe,
+      s"run-2 matches ${exact.get()}, want $SoakProbe — DFA state lost")
+  }
 }
 
 /** Event-time sessionization on raw transformWithState timers: per-key
