@@ -1890,8 +1890,82 @@ object GraphOps {
     * Output: one row per SCC — (scc = min member id, size), ordered
     * size desc, scc asc. Isolated nodes are singleton SCCs.
     */
+  /** Row budget under which a graph loop operator solves the WHOLE
+    * problem with one bounded driver pass instead of paying per-round
+    * scheduler floors — the same filtering-literature reasoning as
+    * [[MstLocalSolveEdgeBudget]] (reduce distributedly until it fits
+    * one machine, then finish exactly). 2¹⁸ (node + edge) rows of two
+    * longs ≈ 4 MB — a fixed, corpus-independent bound in the same class
+    * as Spark's own broadcast threshold. Each operator's distributed
+    * path stays the primary (unbounded-regime) implementation and is
+    * pinned ≡ the local one by OpsApiSpec with localBudget = 0.
+    */
+  private val GraphLocalSolveRowBudget: Long = 1L << 18
+
+  /** Bounded-size exact SCC: one iterative Tarjan pass over the
+    * collected (nodes, edges), labels = minimum member id — the same
+    * canonical labeling the distributed peel produces (Tarjan and the
+    * peel compute the same partition; the label rule is shared).
+    */
+  private def sccLocal(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val spark = nodes.sparkSession
+    val ns = nodes.select(col("node")).collect().map(_.getLong(0))
+    val inU = ns.toSet
+    val adj = scala.collection.mutable.HashMap
+      .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+    edges.select(col("src"), col("dst")).collect().foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      // the distributed peel propagates labels only across the node
+      // UNIVERSE (joins against the node frame); mirror that here
+      if (inU(a) && inU(b))
+        adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty) += b
+    }
+    val index = scala.collection.mutable.HashMap.empty[Long, Int]
+    val low = scala.collection.mutable.HashMap.empty[Long, Int]
+    val onStk = scala.collection.mutable.HashSet.empty[Long]
+    val stk = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val call = scala.collection.mutable.ArrayBuffer.empty[(Long, Iterator[Long])]
+    val sccOf = scala.collection.mutable.HashMap.empty[Long, Long]
+    var counter = 0
+    def open(v: Long): Unit = {
+      index(v) = counter; low(v) = counter; counter += 1
+      stk += v; onStk += v
+      call += ((v, adj.getOrElse(v, Nil).iterator))
+    }
+    ns.foreach { root =>
+      if (!index.contains(root)) {
+        open(root)
+        while (call.nonEmpty) {
+          val (v, it) = call.last
+          if (it.hasNext) {
+            val w = it.next()
+            if (!index.contains(w)) open(w)
+            else if (onStk(w)) low(v) = math.min(low(v), index(w))
+          } else {
+            call.remove(call.size - 1)
+            if (call.nonEmpty) {
+              val p = call.last._1
+              low(p) = math.min(low(p), low(v))
+            }
+            if (low(v) == index(v)) {
+              val members = scala.collection.mutable.ArrayBuffer.empty[Long]
+              var w = 0L
+              do {
+                w = stk.remove(stk.size - 1); onStk -= w; members += w
+              } while (w != v)
+              val id = members.min
+              members.foreach(m => sccOf(m) = id)
+            }
+          }
+        }
+      }
+    }
+    spark.createDataFrame(ns.toSeq.map(n => (n, sccOf(n)))).toDF("node", "scc")
+  }
+
   def stronglyConnectedComponents(edgesIn: DataFrame, nodesIn: DataFrame,
-      maxOuter: Int = 16, maxInner: Int = 120): DataFrame = {
+      maxOuter: Int = 16, maxInner: Int = 120,
+      localBudget: Long = GraphLocalSolveRowBudget): DataFrame = {
     val edges0 = edgesIn.select(col("src").cast("bigint").as("src"),
       col("dst").cast("bigint").as("dst")).distinct().localCheckpoint()
     var nodes = Scans.rebase(nodesIn
@@ -1899,7 +1973,9 @@ object GraphOps {
     var edges = edges0
     var assigned: DataFrame = null
     var outer = 0
-    while (!nodes.isEmpty) {
+    val boundedLocal = nodes.count() + edges0.count() <= localBudget
+    if (boundedLocal) assigned = sccLocal(nodes, edges0)
+    while (!boundedLocal && !nodes.isEmpty) {
       if (outer >= maxOuter) throw new IllegalStateException(
         s"stronglyConnectedComponents: peel did not finish in $maxOuter rounds")
       // (1) forward min-label color fixpoint, pointer-jump accelerated:
@@ -2753,11 +2829,57 @@ object GraphOps {
       .groupBy(col("color")).agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("color"))
 
+  /** Bounded-size exact Jones–Plassmann: the SAME round process as the
+    * distributed loop (winners = uncolored local priority minima;
+    * first-fit against PREVIOUS rounds' colors only), simulated in one
+    * driver pass over the collected (node, pr) + symmetrized edges —
+    * JP's output is a deterministic function of (graph, priorities), so
+    * the simulation is color-for-color identical to the loop (OpsApiSpec
+    * pins it with localBudget = 0). Priorities are collected, never
+    * recomputed, so there is exactly ONE h60 priority source.
+    */
+  private def coloringLocal(state: DataFrame, edges: DataFrame,
+      maxRounds: Int): DataFrame = {
+    val spark = state.sparkSession
+    val pr = state.select(col("node"), col("pr")).collect()
+      .map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    val adj = scala.collection.mutable.HashMap
+      .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+    edges.select(col("src"), col("dst")).collect().foreach { r =>
+      adj.getOrElseUpdate(r.getLong(0),
+        scala.collection.mutable.ArrayBuffer.empty) += r.getLong(1)
+    }
+    val color = scala.collection.mutable.HashMap.empty[Long, Int]
+    var uncolored = pr.keySet
+    var r = 0
+    while (uncolored.nonEmpty) {
+      if (r >= maxRounds) throw new IllegalStateException(
+        s"greedyColoringAssignment: did not converge in $maxRounds rounds")
+      val winners = uncolored.iterator.filter { n =>
+        val p = pr(n)
+        adj.getOrElse(n, Nil).forall(m =>
+          !uncolored.contains(m) || pr(m).compareTo(p) > 0)
+      }.toVector
+      val assignedNow = winners.map { n =>
+        val used = adj.getOrElse(n, Nil).iterator
+          .flatMap(m => color.get(m)).toSet
+        var c = 1
+        while (used.contains(c)) c += 1
+        n -> c
+      }
+      assignedNow.foreach { case (n, c) => color(n) = c }
+      uncolored = uncolored -- winners
+      r += 1
+    }
+    spark.createDataFrame(color.toSeq).toDF("node", "color")
+  }
+
   /** The full (node, color) assignment behind [[greedyColoring]] —
     * the loop itself; tests pin properness on it directly.
     */
   private[analytics] def greedyColoringAssignment(edgesIn: DataFrame,
-      maxRounds: Int = 48): DataFrame = {
+      maxRounds: Int = 48,
+      localBudget: Long = GraphLocalSolveRowBudget): DataFrame = {
     val e0 = edgesIn.select(col("src").cast("bigint").as("src"),
       col("dst").cast("bigint").as("dst"))
       .filter(col("src") =!= col("dst"))
@@ -2773,6 +2895,9 @@ object GraphOps {
           s"cast(${Nlp.h60("concat('jp:', cast(node as string))")} " +
             "as decimal(38,0)) * 10000000000 + node"))
         .withColumn("color", lit(null).cast("int")), 8)
+    if (state.count() + edges.count() <= localBudget)
+      return coloringLocal(state, edges, maxRounds)
+        .select(col("node"), col("color")).orderBy(col("node"))
     var r = 0
     while (!state.filter(col("color").isNull).isEmpty) {
       if (r >= maxRounds) throw new IllegalStateException(

@@ -3235,6 +3235,29 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again == asg)
   }
 
+  test("SCC and coloring: distributed loops ≡ bounded local tails") {
+    import spark.implicits._
+    // a directed mix: 3-cycle, 2-cycle bridged off it, a DAG tail, and
+    // an isolated node — plus a denser pseudo-random layer so the JP
+    // simulation sees multi-round structure; localBudget = 0 forces the
+    // distributed loops, the default takes the driver pass
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 4L), (5L, 6L))
+    val rnd = (0 until 120).map(i =>
+      ((i * 37 % 30).toLong + 10L, (i * 53 % 30).toLong + 10L))
+    val e = (cyc ++ rnd).toDF("src", "dst")
+    val n = ((1L to 7L) ++ (10L until 40L)).toDF("node")
+    def sccSet(budget: Long) = GraphOps
+      .stronglyConnectedComponents(e, n, localBudget = budget)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sccSet(0L) == sccSet(1L << 18))
+    def colors(budget: Long) = GraphOps
+      .greedyColoringAssignment(e, localBudget = budget)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val (cl, cd) = (colors(1L << 18), colors(0L))
+    assert(cl == cd, s"local=$cl dist=$cd")
+  }
+
   test("graph ops: edgeless / empty inputs return empty frames, not NPE") {
     import spark.implicits._
     // MIS on all-self-loop input: node universe empties after the
