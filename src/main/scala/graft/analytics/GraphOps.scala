@@ -2592,8 +2592,41 @@ object GraphOps {
     * [[Scans.rebase]] (nested-loop stats discipline). Output: MIS
     * member ids, ordered.
     */
-  def maximalIndependentSet(edgesIn: DataFrame,
-      maxRounds: Int = 16): DataFrame = {
+  /** Bounded-size exact Luby tail: the SAME local-minimum winner rounds
+    * as the distributed loop, run to completion over the collected
+    * (live node, pr) + live-restricted edges — the MIS is a
+    * deterministic function of (graph, priorities), so the simulation
+    * is member-for-member identical (OpsApiSpec pins localBudget = 0 ≡
+    * default). Winners with no surviving neighbor are selected exactly
+    * as the loop's mn-IS-NULL branch does.
+    */
+  private def misLocal(live: DataFrame, le: DataFrame): Seq[Long] = {
+    val pr = live.select(col("node"), col("pr")).collect()
+      .map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    val adj = scala.collection.mutable.HashMap
+      .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+    le.select(col("src"), col("dst")).collect().foreach { r =>
+      adj.getOrElseUpdate(r.getLong(0),
+        scala.collection.mutable.ArrayBuffer.empty) += r.getLong(1)
+    }
+    var liveSet = pr.keySet
+    val mis = scala.collection.mutable.ArrayBuffer.empty[Long]
+    while (liveSet.nonEmpty) {
+      val winners = liveSet.iterator.filter { n =>
+        val p = pr(n)
+        adj.getOrElse(n, Nil).forall(m =>
+          !liveSet.contains(m) || pr(m).compareTo(p) > 0)
+      }.toVector
+      mis ++= winners
+      val dead = winners.toSet ++ winners.iterator
+        .flatMap(w => adj.getOrElse(w, Nil))
+      liveSet = liveSet -- dead
+    }
+    mis.toSeq
+  }
+
+  def maximalIndependentSet(edgesIn: DataFrame, maxRounds: Int = 16,
+      localBudget: Long = GraphLocalSolveRowBudget): DataFrame = {
     val e0 = edgesIn.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
     val edges = e0.unionByName(
@@ -2604,35 +2637,65 @@ object GraphOps {
         .withColumn("pr", expr(
           s"cast(${Nlp.h60("concat('mis:', cast(node as string))")} " +
             "as decimal(38,0)) * 10000000000 + node")), 8)
+    // live-RESTRICTED symmetric edges ride the loop as materialized
+    // state (winners' closed neighborhoods leave, so this frame
+    // collapses geometrically on dense graphs) — both the per-round
+    // winner test and the bounded local tail read it
+    var le = Scans.rebase(edges
+      .join(live.select(col("node").as("src")), "src")
+      .join(live.select(col("node").as("dst"), col("pr").as("pd")), "dst"), 8)
     var mis: DataFrame = null
     var r = 0
-    while (!live.isEmpty) {
-      if (r >= maxRounds) throw new IllegalStateException(
-        s"maximalIndependentSet: did not converge in $maxRounds rounds")
-      val le = edges
-        .join(live.select(col("node").as("src")), "src")
-        .join(live.select(col("node").as("dst"), col("pr").as("pd")), "dst")
-      val nbrMin = le.groupBy(col("src").as("mn_node"))
-        .agg(min(col("pd")).as("mn"))
-      val winners = Scans.rebase(
-        live.join(nbrMin, live("node") === col("mn_node"), "left")
-          .filter(col("mn").isNull || col("pr") < col("mn"))
-          .select(col("node")), 8)
-      mis = if (mis == null) winners
-        else Scans.rebaseSwap(mis.unionByName(winners), mis, 8)
-      val dead = winners.unionByName(
-          edges.join(winners.select(col("node").as("src")), "src")
-            .select(col("dst").as("node")))
-        .distinct()
-      live = Scans.rebaseSwap(live.join(dead, Seq("node"), "left_anti"),
-        live, 8)
-      if (mis ne winners) winners.unpersist(blocking = false)
-      r += 1
+    var done = false
+    while (!done) {
+      val m = le.count()
+      if (m == 0L || m <= localBudget) {
+        // no live edges → every survivor wins (the mn-IS-NULL branch);
+        // otherwise only EDGE-INCIDENT survivors (≤ 2m rows, bounded by
+        // the budget) are collected for the driver pass — edge-free
+        // survivors always win regardless of rounds and stay a
+        // distributed anti-join, so a huge-live/small-edge frontier
+        // never reaches the driver
+        val tail =
+          if (m == 0L) live.select(col("node"))
+          else {
+            val spark = live.sparkSession
+            import spark.implicits._
+            val inc = le.select(col("src").as("node")).distinct()
+            val isolated = live.join(inc, Seq("node"), "left_anti")
+              .select(col("node"))
+            isolated.unionByName(
+              misLocal(live.join(inc, Seq("node")), le).toDF("node"))
+          }
+        mis = if (mis == null) tail
+          else Scans.rebaseSwap(mis.unionByName(tail), mis, 8)
+        done = true
+      } else {
+        if (r >= maxRounds) throw new IllegalStateException(
+          s"maximalIndependentSet: did not converge in $maxRounds rounds")
+        val nbrMin = le.groupBy(col("src").as("mn_node"))
+          .agg(min(col("pd")).as("mn"))
+        val winners = Scans.rebase(
+          live.join(nbrMin, live("node") === col("mn_node"), "left")
+            .filter(col("mn").isNull || col("pr") < col("mn"))
+            .select(col("node")), 8)
+        mis = if (mis == null) winners
+          else Scans.rebaseSwap(mis.unionByName(winners), mis, 8)
+        val dead = winners.unionByName(
+            edges.join(winners.select(col("node").as("src")), "src")
+              .select(col("dst").as("node")))
+          .distinct()
+        live = Scans.rebaseSwap(live.join(dead, Seq("node"), "left_anti"),
+          live, 8)
+        le = Scans.rebaseSwap(edges
+          .join(live.select(col("node").as("src")), "src")
+          .join(live.select(col("node").as("dst"), col("pr").as("pd")),
+            "dst"), le, 8)
+        if (mis ne winners) winners.unpersist(blocking = false)
+        r += 1
+      }
     }
-    // Edgeless input (empty frame or all self-loops): the loop never
-    // runs and mis stays null — return an empty (node) frame, not NPE.
-    val res = if (mis == null) live.select(col("node")) else mis
-    res.orderBy(col("node"))
+    mis.orderBy(col("node"))
   }
 
   private val MisOracleRounds = 16
@@ -2709,7 +2772,60 @@ object GraphOps {
     * pair explosion; loop state on [[Scans.rebase]]. Output: the
     * matched (a, b, w) pairs, ordered.
     */
-  def maximalMatching(edgesIn: DataFrame, maxRounds: Int = 32): DataFrame = {
+  /** Bounded-size exact handshake tail: the SAME mutual-best rounds as
+    * the distributed loop (best per node by min (ph, ekey); an edge
+    * both of whose endpoints point at it matches; matched nodes leave),
+    * run to completion over the collected live edge list. Deterministic
+    * function of (edges, hashed priorities) — matching-for-matching
+    * identical to the loop (OpsApiSpec pins it with localBudget = 0).
+    * Progress per pass is guaranteed (the globally minimum live edge is
+    * always mutual-best), so the pass counter is a pure safety bound.
+    */
+  private def matchingLocal(live: DataFrame): DataFrame = {
+    val spark = live.sparkSession
+    val proj = live.select(col("a"), col("b"), col("w"))
+    val rows = live.select(col("a"), col("b"), col("w"), col("ekey"),
+      col("ph")).collect()
+    val matched = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val dead = scala.collection.mutable.HashSet.empty[Long]
+    var remaining = rows.indices.toVector
+    var guard = 0
+    while (remaining.nonEmpty) {
+      guard += 1
+      require(guard <= rows.length + 1,
+        "maximalMatching: local handshake failed to progress (bug)")
+      val best = scala.collection.mutable.HashMap
+        .empty[Long, (Long, java.math.BigDecimal)]
+      def offer(n: Long, ph: Long, ek: java.math.BigDecimal): Unit =
+        best.get(n) match {
+          case Some((bph, bek))
+            if bph < ph || (bph == ph && bek.compareTo(ek) <= 0) => ()
+          case _ => best(n) = (ph, ek)
+        }
+      remaining.foreach { i =>
+        val r = rows(i); val ek = r.getDecimal(3); val ph = r.getLong(4)
+        offer(r.getLong(0), ph, ek); offer(r.getLong(1), ph, ek)
+      }
+      val mm = remaining.filter { i =>
+        val r = rows(i); val ek = r.getDecimal(3)
+        best(r.getLong(0))._2.compareTo(ek) == 0 &&
+          best(r.getLong(1))._2.compareTo(ek) == 0
+      }
+      matched ++= mm
+      mm.foreach { i => dead += rows(i).getLong(0); dead += rows(i).getLong(1) }
+      remaining = remaining.filterNot { i =>
+        dead(rows(i).getLong(0)) || dead(rows(i).getLong(1))
+      }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        matched.map(i => org.apache.spark.sql.Row(
+          rows(i).get(0), rows(i).get(1), rows(i).get(2))).toSeq, 1),
+      proj.schema)
+  }
+
+  def maximalMatching(edgesIn: DataFrame, maxRounds: Int = 32,
+      localBudget: Long = GraphLocalSolveRowBudget): DataFrame = {
     val e0 = ekeyedEdges(edgesIn.filter(col("src") =!= col("dst")),
         "maximalMatching")
       .withColumn("ph", expr(
@@ -2718,28 +2834,39 @@ object GraphOps {
     var live = Scans.rebase(e0, 8)
     val picks = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var r = 0
-    while (!live.isEmpty) {
-      if (r >= maxRounds) throw new IllegalStateException(
-        s"maximalMatching: did not converge in $maxRounds rounds")
-      val best = live.select(col("a").as("node"), col("ph"), col("ekey"))
-        .unionByName(live.select(col("b").as("node"), col("ph"), col("ekey")))
-        .groupBy(col("node"))
-        .agg(min(struct(col("ph"), col("ekey"))).as("m"))
-        .select(col("node"), col("m.ekey").as("bk"))
-      val mm = Scans.rebase(live
-        .join(best.select(col("node").as("a"), col("bk").as("ka")), "a")
-        .join(best.select(col("node").as("b"), col("bk").as("kb")), "b")
-        .filter(col("ekey") === col("ka") && col("ekey") === col("kb"))
-        .select(col("a"), col("b"), col("w")), 8)
-      picks += mm
-      val mn = mm.select(col("a").as("node"))
-        .unionByName(mm.select(col("b").as("node")))
-      val prev = live
-      live = Scans.rebase(live
-        .join(mn.select(col("node").as("a")), Seq("a"), "left_anti")
-        .join(mn.select(col("node").as("b")), Seq("b"), "left_anti"), 8)
-      prev.unpersist(blocking = false)
-      r += 1
+    var done = false
+    while (!done) {
+      val m = live.count()
+      if (m == 0L) done = true
+      else if (m <= localBudget) {
+        // matched suppliers/customers drop ALL their incident edges, so
+        // the live list collapses fast — finish the tail rounds in one
+        // bounded driver pass instead of three jobs per round
+        picks += matchingLocal(live)
+        done = true
+      } else {
+        if (r >= maxRounds) throw new IllegalStateException(
+          s"maximalMatching: did not converge in $maxRounds rounds")
+        val best = live.select(col("a").as("node"), col("ph"), col("ekey"))
+          .unionByName(live.select(col("b").as("node"), col("ph"), col("ekey")))
+          .groupBy(col("node"))
+          .agg(min(struct(col("ph"), col("ekey"))).as("m"))
+          .select(col("node"), col("m.ekey").as("bk"))
+        val mm = Scans.rebase(live
+          .join(best.select(col("node").as("a"), col("bk").as("ka")), "a")
+          .join(best.select(col("node").as("b"), col("bk").as("kb")), "b")
+          .filter(col("ekey") === col("ka") && col("ekey") === col("kb"))
+          .select(col("a"), col("b"), col("w")), 8)
+        picks += mm
+        val mn = mm.select(col("a").as("node"))
+          .unionByName(mm.select(col("b").as("node")))
+        val prev = live
+        live = Scans.rebase(live
+          .join(mn.select(col("node").as("a")), Seq("a"), "left_anti")
+          .join(mn.select(col("node").as("b")), Seq("b"), "left_anti"), 8)
+        prev.unpersist(blocking = false)
+        r += 1
+      }
     }
     val empty = e0.select(col("a"), col("b"), col("w")).limit(0)
     picks.foldLeft(empty)(_ unionByName _)

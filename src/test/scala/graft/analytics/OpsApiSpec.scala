@@ -3256,6 +3256,20 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     val (cl, cd) = (colors(1L << 18), colors(0L))
     assert(cl == cd, s"local=$cl dist=$cd")
+    // matching: same pin on the weighted variant (handshake rounds vs
+    // the bounded local handshake — must be matching-for-matching equal)
+    val we = (cyc ++ rnd).zipWithIndex
+      .map { case ((a, b), i) => (a, b, (i * 29 % 23 + 1).toLong) }
+      .toDF("src", "dst", "w")
+    def matches(budget: Long) = GraphOps
+      .maximalMatching(we, localBudget = budget)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(matches(1L << 18) == matches(0L))
+    // MIS: the Luby tail must pick the identical member set
+    def mis(budget: Long) = GraphOps
+      .maximalIndependentSet(e, localBudget = budget)
+      .collect().map(_.getLong(0)).toSeq
+    assert(mis(1L << 18) == mis(0L))
   }
 
   test("graph ops: edgeless / empty inputs return empty frames, not NPE") {
