@@ -784,4 +784,21 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       .queryExecution.executedPlan.toString
     assert(!cs.contains("Join"), s"qt_code_switch planned a join:\n$cs")
   }
+
+  test("qe_rfm ranks via the _pid two-level scheme — no global ntile windows") {
+    // r10 verdict item 2: the three quintile scores ride EXACT global
+    // ranks from Scans.globalRank (range exchange + broadcast offsets),
+    // never an unpartitioned ntile over the corpus-scaled user frame.
+    // Every Window node must mention _pid (the per-partition row_number
+    // or the ≤P-row offsets frame — the one sanctioned tiny global
+    // window); ntile must be gone entirely.
+    val plan = graft.SparkEntry.queries("qe_rfm")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ntile"),
+      s"qe_rfm regressed to ntile windows:\n$plan")
+    plan.linesIterator.filter(_.contains("Window ")).foreach { l =>
+      assert(l.contains("_pid"),
+        s"qe_rfm planned a non-_pid window over the user frame:\n$l")
+    }
+  }
 }
