@@ -437,10 +437,44 @@ object DedupOps {
     * rounds — OpsApiSpec pins a 200-hop chain). Lineage is cut with a
     * localCheckpoint each round so the plan stays flat.
     */
-  def nearDupClusters(pairs: DataFrame, maxIter: Int = 100): DataFrame = {
-    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
-      .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
+  def nearDupClusters(pairs: DataFrame, maxIter: Int = 100,
+      localBudget: Long = 1L << 18): DataFrame = {
+    val edges = pairs.select(col("d1").cast("bigint").as("a"),
+        col("d2").cast("bigint").as("b"))
+      .union(pairs.select(col("d2").cast("bigint").as("a"),
+        col("d1").cast("bigint").as("b")))
       .localCheckpoint()
+    // Bounded local tail (the GraphOps.GraphLocalSolveRowBudget
+    // reasoning — a fixed ~4 MB corpus-independent driver budget): a
+    // near-dup PAIR list is |duplicates|-sized, usually minuscule next
+    // to the corpus, and connected components are algorithm-independent
+    // — a driver union-find with min-label roots returns the identical
+    // (doc_id, component-min) labeling the fixpoint converges to
+    // (OpsApiSpec pins localBudget = 0 ≡ default), without the
+    // O(log diameter) × job-floor rounds. Above budget the distributed
+    // fixpoint below runs unchanged.
+    if (edges.count() <= localBudget) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var root = x
+        while (parent.getOrElse(root, root) != root) root = parent(root)
+        var c = x
+        while (parent.getOrElse(c, c) != root) {
+          val nx = parent(c); parent(c) = root; c = nx
+        }
+        root
+      }
+      val rows = edges.collect()
+      rows.foreach { r =>
+        val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      return rows.iterator.map(_.getLong(0)).toSet.iterator
+        .map((x: Long) => (x, find(x))).toSeq
+        .toDF("doc_id", "cluster_id")
+    }
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .localCheckpoint()

@@ -147,12 +147,19 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     // propagation would need ~201 rounds; the pointer jump shortcuts
     // label chains exponentially, so ~12 rounds must suffice.
     val chain = (0L until 200L).map(i => (i, i + 1)).toDF("d1", "d2")
-    val labels = DedupOps.nearDupClusters(chain, maxIter = 14)
+    // localBudget = 0 forces the distributed fixpoint (the default takes
+    // the bounded union-find tail on a 200-pair input)
+    val labels = DedupOps.nearDupClusters(chain, maxIter = 14,
+        localBudget = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.size == 201 && labels.values.forall(_ == 0L), s"got $labels")
+    // the local tail must produce the identical labeling
+    val local = DedupOps.nearDupClusters(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == labels)
     // truncation must fail loudly, not return split clusters
     val e = intercept[IllegalStateException] {
-      DedupOps.nearDupClusters(chain, maxIter = 3).collect()
+      DedupOps.nearDupClusters(chain, maxIter = 3, localBudget = 0L).collect()
     }
     assert(e.getMessage.contains("did not converge"), e.getMessage)
   }
