@@ -2179,14 +2179,145 @@ object SimilarityOps {
     SELECT src, rank, nbr, cosine FROM rkk WHERE rank <= $KnnK
     ORDER BY src, rank"""
 
+  // -------------------- cross-cell long-range edges (HNSW navigability)
+  /** Long-range edges that make the quantizer-local kNN graph NAVIGABLE —
+    * the HNSW/DiskANN structural insight (Malkov & Yashunin 2018 §4.1):
+    * greedy/beam routing needs links that cross the coarse partition.
+    * [[knnGraph]]'s edges live strictly inside one quantizer cell, so a
+    * beam could only ever reach clusters it was seeded in; the r8–r10
+    * search compensated with a corpus-scaled entry set (one entry per 10
+    * vectors — an O(n/10) scored frontier per query). These edges fix the
+    * GRAPH instead: every vector also links to its `xK` nearest neighbors
+    * inside each of its `xCells` next-best quantizer cells (score ranks
+    * 2..xCells+1), so routing hops across cell boundaries and a small
+    * fixed entry set suffices (recall 0.45 → 0.94 at 24 entries, sf0.1).
+    *
+    * Scale shape: the (vector, secondary-cell) frame is n·xCells rows;
+    * the candidate join is blocked per cell exactly like [[knnGraph]]'s
+    * intra-cell join; the per-(src, cell) top-xK window rides the same
+    * uniform src keys. Total added edges: n·xCells·xK — the edge list
+    * stays n·const. Cell ranks come from the same dot-score vector the
+    * argmax assignment reads (literal path: an array_sort on codegen'd
+    * scores, no shuffle) or from the broadcast codebook join (large-C
+    * path, same volume [[withArgmaxCell]] already processes).
+    *
+    * Output: (src, nbr, cosine) — union with the primary edges and
+    * symmetrize before searching.
+    */
+  def crossCellEdges(corpus: org.apache.spark.sql.DataFrame,
+      cents: Seq[Seq[Double]], xCells: Int, xK: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      literalMax: Int = CentroidLiteralMax): org.apache.spark.sql.DataFrame =
+    crossEdgesFrom(assignWithSecondaries(
+      prep(corpus, idCol, vecCol), cents, xCells, literalMax), xK)
+      .select(col("src"), col("nbr"), col("cosine"))
+
+  /** (vec_id, v, nrm, cell, xcells): primary cell (argmax) plus the
+    * `xCells` next-best cells from ONE dot-score pass — ties break to
+    * the smaller cell id, the same rule as [[withArgmaxCell]] and the
+    * SQL mirrors. Literal path sorts (-score, cell) structs in-row
+    * (map-only, whole-stage codegen); the large-C path ranks the
+    * broadcast codebook join with a per-vector window (n·C rows — the
+    * volume the assignment join already processes).
+    */
+  private def assignWithSecondaries(p: org.apache.spark.sql.DataFrame,
+      cents: Seq[Seq[Double]], xCells: Int,
+      literalMax: Int = CentroidLiteralMax): org.apache.spark.sql.DataFrame = {
+    require(xCells >= 1, s"xCells must be >= 1, got $xCells")
+    require(cents.size > xCells,
+      s"need more centroids (${cents.size}) than secondary cells ($xCells)")
+    if (cents.size <= literalMax)
+      p.withColumn("_sc", graft_dot_scores(typedLit(cents), col("v")))
+        .withColumn("cell", expr("array_position(_sc, array_max(_sc))"))
+        .withColumn("xcells", expr(
+          s"transform(slice(array_sort(transform(_sc, (s, i) -> struct(-s AS ns, i + 1 AS c))), 2, $xCells), x -> CAST(x.c AS BIGINT))"))
+        .drop("_sc")
+    else {
+      val spark = p.sparkSession
+      val codebook = broadcast(spark.createDataFrame(
+          cents.zipWithIndex.map { case (w, i) => ((i + 1).toLong, w) })
+        .toDF("_cell", "_w"))
+      val wC = Window.partitionBy(col("vec_id"))
+        .orderBy(col("_dot").desc, col("_cell"))
+      val ranked = p.select(col("vec_id"), col("v")).crossJoin(codebook)
+        .select(col("vec_id"), col("_cell"),
+          graft_dot(col("_w"), col("v")).as("_dot"))
+        .withColumn("_crk", row_number().over(wC))
+        .filter(col("_crk") <= xCells + 1)
+        .groupBy(col("vec_id"))
+        .agg(max(when(col("_crk") === 1, col("_cell"))).as("cell"),
+          sort_array(collect_list(when(col("_crk") > 1,
+            struct(col("_crk"), col("_cell"))))).as("_xs"))
+        .select(col("vec_id"), col("cell"),
+          expr("transform(_xs, x -> x._cell)").as("xcells"))
+      p.join(ranked, "vec_id")
+    }
+  }
+
+  /** The cross-edge join + per-(src, cell) top-xK cut over an
+    * [[assignWithSecondaries]] frame. Output keeps `cosine` for the
+    * public operator; the memo drops it.
+    */
+  private def crossEdgesFrom(a: org.apache.spark.sql.DataFrame,
+      xK: Int): org.apache.spark.sql.DataFrame = {
+    require(xK >= 1, s"xK must be >= 1, got $xK")
+    val sec = a.select(col("vec_id").as("src"), col("v").as("va"),
+      col("nrm").as("na"), explode(col("xcells")).as("scell"))
+    val tgt = a.select(col("cell").cast("long").as("scell"),
+      col("vec_id").as("nbr"), col("v").as("vb"), col("nrm").as("nb"))
+    val wX = Window.partitionBy(col("src"), col("scell"))
+      .orderBy(col("cosine").desc, col("nbr"))
+    withCosine(sec.join(tgt, Seq("scell")).filter(col("src") =!= col("nbr")))
+      .withColumn("rank", row_number().over(wX))
+      .filter(col("rank") <= xK)
+      .select(col("src"), col("nbr"), col("cosine"))
+  }
+
+  /** One-scan cell assignment shared by the kNN-graph and cross-edge
+    * builders: primary cell (argmax) PLUS the GXCells next-best cells,
+    * all from a single codegen'd dot-score vector, checkpointed — the
+    * "assignment stage table" both edge builds join against. Building
+    * the secondary ranks here (instead of a second corpus scan inside
+    * [[crossCellEdges]]) is what keeps the navigable-graph build at
+    * roughly the r10 primary-only cost.
+    */
+  private def annAssignedMemo(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Memo.cached(s, s"annAssigned:$dir")(assignWithSecondaries(
+      prep(Tables.embeddings(s, dir), "vec_id", "embedding"),
+      dynTrained(s, dir), GXCells))
+
   /** Session-memoized kNN graph — built once, read by qs_knn_graph and
     * walked by qs_graph_ann (the same "index built once, queried many
-    * times" economics a real deployment has).
+    * times" economics a real deployment has). Same join/window as the
+    * public [[knnGraph]], reading the shared assignment stage table.
     */
   private[analytics] def knnEdgesMemo(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
-    Memo.cached(s, s"knnEdges:$dir")(
-      knnGraph(Tables.embeddings(s, dir), KnnK, dynTrained(s, dir)))
+    Memo.cached(s, s"knnEdges:$dir") {
+      val a = annAssignedMemo(s, dir)
+      val lo = a.select(col("cell"), col("vec_id").as("src"),
+        col("v").as("va"), col("nrm").as("na"))
+      val hi = a.select(col("cell"), col("vec_id").as("nbr"),
+        col("v").as("vb"), col("nrm").as("nb"))
+      val w = Window.partitionBy(col("src"))
+        .orderBy(col("cosine").desc, col("nbr"))
+      withCosine(lo.join(hi, Seq("cell")).filter(col("src") =!= col("nbr")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= KnnK)
+        .select(col("src"), col("rank"), col("nbr"), col("cosine"))
+        .orderBy(col("src"), col("rank"))
+    }
+
+  /** Session-memoized cross-cell long-range edges ([[crossCellEdges]]
+    * semantics), built from the same assignment stage table — no second
+    * corpus scan.
+    */
+  private def crossEdgesMemo(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Memo.cached(s, s"crossEdges:$dir")(
+      crossEdgesFrom(annAssignedMemo(s, dir), GXK)
+        .select(col("src"), col("nbr")))
 
   private val qKnn = GraftQuery(
     "qs_knn_graph",
@@ -2218,18 +2349,23 @@ object SimilarityOps {
       entries: org.apache.spark.sql.DataFrame,
       edges: org.apache.spark.sql.DataFrame,
       k: Int, beam: Int, rounds: Int,
+      entryK: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding"): org.apache.spark.sql.DataFrame = {
     require(beam >= k, s"beam ($beam) must be >= k ($k)")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    // entryK: how many scored entry points seed the beam (HNSW-style
+    // descent keeps this well below the working beam width; 0 = beam)
+    val eK = if (entryK > 0) entryK else beam
+    require(eK >= k, s"entryK ($eK) must be >= k ($k)")
     val q = prep(queries, idCol, vecCol)
       .select(col("vec_id").as("query_id"), col("v").as("va"), col("nrm").as("na"))
     val corp = prep(corpus, idCol, vecCol)
       .select(col("vec_id").as("cand_id"), col("v").as("vb"), col("nrm").as("nb"))
     val wB = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
-    def topBeam(scored: org.apache.spark.sql.DataFrame) =
+    def topBeam(scored: org.apache.spark.sql.DataFrame, cut: Int) =
       scored.withColumn("rk", row_number().over(wB))
-        .filter(col("rk") <= beam)
+        .filter(col("rk") <= cut)
         .select(col("query_id"), col("cand_id"), col("cosine"))
     val ent = prep(entries, idCol, vecCol)
       .select(col("vec_id").as("cand_id"), col("v").as("vb"), col("nrm").as("nb"))
@@ -2238,7 +2374,7 @@ object SimilarityOps {
     // re-deriving (and re-executing) every earlier round inside both
     // branches of the expansion union
     var beamDf = topBeam(withCosine(ent.crossJoin(broadcast(q))
-      .filter(col("query_id") =!= col("cand_id")))).localCheckpoint()
+      .filter(col("query_id") =!= col("cand_id"))), eK).localCheckpoint()
     for (r <- 1 to rounds) {
       val expanded = edges.select(col("src").as("cand_id"), col("nbr"))
         .join(broadcast(beamDf.select(col("query_id"), col("cand_id"))),
@@ -2250,7 +2386,7 @@ object SimilarityOps {
       val next = topBeam(withCosine(
         corp.join(broadcast(expanded), Seq("cand_id"))
           .join(broadcast(q.select(col("query_id"), col("va"), col("na"))),
-            Seq("query_id"))))
+            Seq("query_id"))), beam)
       // interior beams feed two branches of the next expansion (and its
       // broadcast) — materialize; the last beam feeds only the final cut
       beamDf = if (r < rounds) next.localCheckpoint() else next
@@ -2258,14 +2394,22 @@ object SimilarityOps {
     topK(beamDf, k)
   }
 
-  // beam 40 (r8, up from 10): with K = 5 targets per query the beam must
-  // hold enough simultaneous hypotheses to survive greedy routing on a
-  // weakly-clustered corpus; 40 is where the recall curve flattens
-  // (0.78 @ 30 → 0.91 @ 40 with degree 12). Frontier stays queries×beam
-  // rows — broadcast-sized.
-  private val GBeam = 60
-  private val GRounds = 3
-  private val GEntryMod = 10
+  // r11 retune (HNSW 2-layer): with [[crossCellEdges]] making the graph
+  // navigable, the search no longer buys recall with a huge entry set
+  // and a wide beam — a small entry layer (every 16th vector, top-24
+  // scored per query) plus beam 40 over TWO rounds reaches recall 0.94
+  // at sf0.1, vs 0.87 for the r10 setup (200 entries, beam 60, 3
+  // rounds). Measured ladder (sf0.1): without cross edges, 24 entries
+  // collapse to 0.45 — the navigability is the cross-cell links, not
+  // the beam width. Frontier stays queries×beam rows — broadcast-sized.
+  private val GBeam = 40
+  private val GRounds = 2
+  private val GEntryMod = 16
+  private val GEntryK = 24
+  // 3 secondary cells × 2 links each: +6 edges/node before
+  // symmetrization — HNSW's usual long-link budget next to KnnK = 12
+  private val GXCells = 3
+  private val GXK = 2
 
   private val graphAnnSql = {
     val cv = "cv AS (SELECT vec_id AS cand_id, v AS vb FROM e0)"
@@ -2273,7 +2417,7 @@ object SimilarityOps {
       s"""c$r AS (SELECT DISTINCT query_id, cand_id FROM (
         SELECT query_id, cand_id FROM b${r - 1}
         UNION ALL
-        SELECT b.query_id, g.nbr AS cand_id FROM b${r - 1} b JOIN edg g ON g.src = b.cand_id)
+        SELECT b.query_id, g.nbr AS cand_id FROM b${r - 1} b JOIN edgh g ON g.src = b.cand_id)
       WHERE query_id <> cand_id),
     sc_$r AS (SELECT c.query_id, c.cand_id, $cosineSql AS cosine
       FROM c$r c JOIN qv ON qv.query_id = c.query_id
@@ -2283,7 +2427,23 @@ object SimilarityOps {
           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rk
         FROM sc_$r) WHERE rk <= $GBeam)"""
     }
+    // edgh = the primary intra-cell edges + the crossCellEdges long
+    // links (score ranks 2..GXCells+1, top GXK per (src, cell)),
+    // symmetrized — the navigable graph the beam actually walks
     s"""WITH $knnEdgeCtes,
+    scr AS (SELECT s.vec_id, s.v, g.c AS scell,
+      ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY s.sc[g.c] DESC, g.c) AS crk
+      FROM scs s, cells g),
+    secx AS (SELECT vec_id, v, scell FROM scr WHERE crk BETWEEN 2 AND ${GXCells + 1}),
+    prx AS (SELECT a.vec_id AS src, b.vec_id AS nbr, a.scell, a.v AS va, b.v AS vb
+      FROM secx a JOIN e b ON b.cell = a.scell AND a.vec_id <> b.vec_id),
+    scx AS (SELECT src, nbr, scell, $cosineSql AS cosine FROM prx),
+    rkx AS (SELECT src, nbr, cosine,
+      ROW_NUMBER() OVER (PARTITION BY src, scell ORDER BY cosine DESC, nbr) AS rank
+      FROM scx),
+    edgx AS (SELECT src, nbr FROM rkx WHERE rank <= $GXK),
+    edg1b AS (SELECT src, nbr FROM edg1 UNION ALL SELECT src, nbr FROM edgx),
+    edgh AS (SELECT src, nbr FROM edg1b UNION ALL SELECT nbr, src FROM edg1b),
     qv AS (SELECT vec_id AS query_id, v AS va FROM e0 WHERE vec_id < $NQ),
     $cv,
     ev AS (SELECT vec_id AS cand_id, v AS vb FROM e0 WHERE vec_id % $GEntryMod = 0),
@@ -2292,7 +2452,7 @@ object SimilarityOps {
     b0 AS (SELECT query_id, cand_id, cosine FROM (
         SELECT query_id, cand_id, cosine,
           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rk
-        FROM sc_0) WHERE rk <= $GBeam),
+        FROM sc_0) WHERE rk <= $GEntryK),
     ${roundCtes.mkString(",\n    ")}
     SELECT query_id, rank, cand_id, cosine FROM (
       SELECT query_id, cand_id, cosine,
@@ -2311,14 +2471,19 @@ object SimilarityOps {
     Memo.cached(s, s"graphAnnTopK:$dir") {
       val corpus = Tables.embeddings(s, dir)
       val e = knnEdgesMemo(s, dir)
-      // search on the SYMMETRIZED graph (HNSW keeps links bidirectional):
-      // reverse edges double routing connectivity at zero build cost
-      val sym = e.select(col("src"), col("nbr"))
-        .union(e.select(col("nbr").as("src"), col("src").as("nbr")))
+      // navigable graph = intra-cell kNN edges + cross-cell long links
+      // (HNSW 2-layer, r11), SYMMETRIZED (HNSW keeps links
+      // bidirectional): reverse edges double routing connectivity at
+      // zero build cost
+      val x = crossEdgesMemo(s, dir)
+      val base = e.select(col("src"), col("nbr"))
+        .union(x.select(col("src"), col("nbr")))
+      val sym = base
+        .union(base.select(col("nbr").as("src"), col("src").as("nbr")))
       graphAnnSearch(corpus,
         corpus.filter(col("vec_id") < NQ),
         corpus.filter(col("vec_id") % GEntryMod === 0),
-        sym, K, GBeam, GRounds)
+        sym, K, GBeam, GRounds, GEntryK)
     }
 
   private val qGraphAnn = GraftQuery(

@@ -1874,6 +1874,34 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(names.distinct.length == names.length, s"name matched twice: ${names.toSeq}")
   }
 
+  test("crossCellEdges: links land in secondary cells only, <= xK per cell; literal ≡ broadcast path") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = SimilarityOps.trainCentroids(emb)
+    val xCells = 2; val xK = 3
+    val x = SimilarityOps.crossCellEdges(emb, cents, xCells, xK).collect()
+    assert(x.nonEmpty, "expected some cross-cell edges")
+    // budget: at most xCells * xK long links per source
+    val bySrc = x.groupBy(_.getLong(0))
+    assert(bySrc.values.forall(_.length <= xCells * xK),
+      s"per-src budget exceeded: ${bySrc.view.mapValues(_.length).toMap}")
+    // a long link must CROSS the partition: src and nbr never share a
+    // primary cell (nbr's cell is one of src's secondary cells)
+    val cellOf = SimilarityOps.withArgmaxCell(
+        emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v")), cents)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(x.forall(r => cellOf(r.getLong(0)) != cellOf(r.getLong(1))),
+      "cross edge connected two vectors in the same primary cell")
+    // the corpus-scaled branch (broadcast codebook + rank window) must
+    // produce the identical edge set as the literal branch
+    val xj = SimilarityOps.crossCellEdges(emb, cents, xCells, xK,
+      literalMax = 0).collect()
+    assert(x.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      xj.map(r => (r.getLong(0), r.getLong(1))).toSet,
+      "literal and broadcast cross-edge paths diverged")
+  }
+
   test("graphAnnSearch: k ranked rows per query; beam result dominates entry-only scoring") {
     import org.apache.spark.sql.functions.col
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
