@@ -590,6 +590,83 @@ object EventsQueries {
       FROM c JOIN e ON e.user_id = c.user_id AND e.rn = c.rn + 1)
     SELECT user_id, us, s FROM c WHERE s > $EwmaH ORDER BY user_id, us"""))
 
+  /** Holt double-exponential (level + trend) smoother at the dyadic
+    * pair α = β = ½ — the trend-aware sibling of [[qEwma]], INTEGER-
+    * EXACT: both recurrences are arithmetic right-shifts,
+    *
+    *   l' = (cents + l + b) >> 1,  b' = ((l' − l) + b) >> 1,
+    *
+    * seeded l₁ = cents₁, b₁ = 0. `>> 1` (floor), NOT `div` (truncates
+    * toward zero): the trend is SIGNED, and the JVM and DuckDB agree on
+    * two's-complement shift semantics, so level/trend/forecast are
+    * bit-identical across engines. Emits every event's post-update
+    * (level, trend, one-step forecast l + b) — the per-entity demand
+    * forecast a spend monitor reads.
+    *
+    * Same typed per-key fold as CUSUM/EWMA (a reset-free prefix
+    * recurrence is inexpressible declaratively), same recursive-CTE
+    * oracle, same constant-state streaming twin
+    * ([[graft.streaming.HoltProcessor]] — TWO longs per entity).
+    */
+  private val qHolt = GraftQuery(
+    "qe_holt_trend",
+    (s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"), round(col("value") * 100).cast("bigint").as("cents"))
+        .as[(Long, Long, Long, Long)]
+        .groupByKey(_._1)
+        .flatMapGroups { (u: Long, it: Iterator[(Long, Long, Long, Long)]) =>
+          var l = 0L; var b = 0L; var seeded = false
+          it.toVector.sortBy(r => (r._2, r._3)).map { case (_, us, _, c) =>
+            if (!seeded) { l = c; b = 0L; seeded = true }
+            else {
+              val l0 = l
+              l = (c + l + b) >> 1
+              b = ((l - l0) + b) >> 1
+            }
+            (u, us, l, b, l + b)
+          }.iterator
+        }
+        .toDF("user_id", "us", "level", "trend", "forecast")
+        .orderBy(col("user_id"), col("us"))
+    },
+    Some("""WITH RECURSIVE e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        CAST(round(value * 100) AS BIGINT) AS cents,
+        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+    c AS (
+      SELECT user_id, us, rn, cents AS l, CAST(0 AS BIGINT) AS b
+      FROM e WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.us, e.rn,
+        (e.cents + c.l + c.b) >> 1 AS l,
+        (((e.cents + c.l + c.b) >> 1) - c.l + c.b) >> 1 AS b
+      FROM c JOIN e ON e.user_id = c.user_id AND e.rn = c.rn + 1)
+    SELECT user_id, us, l AS level, b AS trend, l + b AS forecast
+    FROM c ORDER BY user_id, us"""))
+
+  /** Streaming twin of [[qHolt]]: two longs of (level, trend) state per
+    * entity on `transformWithState` — StreamingExtrasSpec pins stream ≡
+    * batch across a mid-key micro-batch split.
+    */
+  def holtTrendStream(events: DataFrame,
+      tsCol: String = "ts", userCol: String = "user_id",
+      idCol: String = "event_id", valueCol: String = "value"): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .select(col(userCol).cast("long").as("u"),
+        unix_micros(col(tsCol)).as("us"), col(idCol).cast("long").as("eid"),
+        round(col(valueCol) * 100).cast("bigint").as("cents"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new graft.streaming.HoltProcessor,
+        TimeMode.None(), OutputMode.Append())
+      .toDF("user_id", "us", "level", "trend", "forecast")
+  }
+
   /** Streaming twin of [[qEwma]]: one long of smoothed-level state per
     * entity on `transformWithState` — StreamingExtrasSpec pins stream ≡
     * batch across a mid-key micro-batch split.
@@ -2361,7 +2438,8 @@ object EventsQueries {
   val queries: Seq[GraftQuery] =
     Seq(qTumbling, qSliding, qSessions, qJson, qTopUsers, qDeltas, qZscore,
       qFunnel, qRetention, qResample, qHistogram, qPattern, qTransitions,
-      qDecayWma, qAttribution, qCusum, qEwma, qRateLimit, qPeakConcurrency,
+      qDecayWma, qAttribution, qCusum, qEwma, qHolt, qRateLimit,
+      qPeakConcurrency,
       qMadAnomaly, qTopPaths, qSlidingDistinct,
       qSeasonal, qFunnelTime, qCep, qStreak, qCoverage, qOhlc, qLatencySlo, qRfm,
       qLtv, qDauMau, qHeatmap, qStationary, qLifecycle, qSeqPatterns, qHllSliding,

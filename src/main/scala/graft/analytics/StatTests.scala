@@ -3582,6 +3582,110 @@ object StatTests {
       "d", "cents", BinsegDepth, BinsegMinSeg, BinsegTau),
     Some(binsegSql))
 
+  // --------------------- Benjamini–Hochberg FDR correction
+  /** Benjamini–Hochberg step-up FDR correction over a FAMILY of
+    * hypothesis tests — the multiple-testing control every per-entity
+    * screening query needs once the family is corpus-scaled (millions
+    * of users/documents each tested for anomaly): reject the k* lowest
+    * p-values where k* = max{k : p₍k₎ ≤ k·α/m}.
+    *
+    * Takes (id, p_micro) — p-values as integer micro-units, the module's
+    * fixed-point convention, so the step-up comparison
+    * p_micro·m ≤ rank·α_micro is ALL-INTEGER exact (no float thresholds).
+    * Ranking the corpus-scaled family uses [[Scans.globalRank]] (range
+    * exchange + broadcast offsets — no single-partition window); k* is a
+    * 1-row aggregate broadcast back. BH's step-up property (reject ALL
+    * ranks ≤ k*, even those above their own line) is preserved.
+    *
+    * Output: input columns + p_rank (1-based ascending p, id tie-break)
+    * + rejected.
+    */
+  def bhFdr(tests: DataFrame, idCol: String, pMicroCol: String,
+      alphaMicro: Long): DataFrame = {
+    require(alphaMicro > 0L && alphaMicro <= 1000000L,
+      s"alphaMicro must be in (0, 1e6], got $alphaMicro")
+    val ranked = Scans.globalRank(tests,
+      Seq(col(pMicroCol), col(idCol)), "p_rank")
+    val m = ranked.agg(count(lit(1)).as("_m"))
+    val withM = ranked.crossJoin(broadcast(m))
+    val kstar = withM
+      .agg(max(when(col(pMicroCol) * col("_m") <= col("p_rank") * alphaMicro,
+        col("p_rank"))).as("_kstar"))
+    withM.crossJoin(broadcast(kstar))
+      .withColumn("rejected", col("p_rank") <= coalesce(col("_kstar"), lit(0L)))
+      .drop("_m", "_kstar")
+  }
+
+  /** qstat_bh_fdr binding: per-user spend-anomaly screening. Each user's
+    * mean event value is tested against the global mean with an EXACT
+    * Chebyshev-bound p-value — p = min(1, 1/z²) where
+    * z² = n·(mean_u − mean)²/σ², kept rational end-to-end:
+    *
+    *   z² = (N·S_u − n_u·S)² / (n_u·(N·Q − S²))      (cents: S=Σc, Q=Σc²)
+    *
+    * so p_micro = ⌊10⁶·num/den⌋ is one DECIMAL(38,0) integer division —
+    * no erf/exp (the qstat_kde lesson: transcendentals drift across
+    * engines). Chebyshev is conservative but exactly valid under ANY
+    * value distribution. On this synthetic corpus the global null is
+    * TRUE (users share one value distribution), so zero rejections is
+    * the CORRECT BH outcome — the rejection path is proven on planted
+    * outliers in OpsApiSpec.
+    *
+    * Scale shape: one user-key agg, one 1-row global-moment agg
+    * broadcast back, then [[bhFdr]]'s ranked exchange — no all-pairs,
+    * no global window.
+    */
+  private val BhAlphaMicro = 50000L
+
+  private val qBhFdr = GraftQuery(
+    "qstat_bh_fdr",
+    (s, dir) => {
+      val cents = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      val per = cents.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("s"))
+      val glob = cents.agg(count(lit(1)).as("_nn"), sum(col("c")).as("_ss"),
+        sum(dec(col("c")) * dec(col("c"))).as("_qq"))
+      val tests = per.crossJoin(broadcast(glob))
+        .withColumn("_num", dec(col("n")) *
+          (dec(col("_nn")) * col("_qq") - dec(col("_ss")) * dec(col("_ss"))))
+        .withColumn("_dev", dec(col("_nn")) * dec(col("s")) -
+          dec(col("n")) * dec(col("_ss")))
+        .withColumn("_den", col("_dev") * col("_dev"))
+        .withColumn("p_micro",
+          when(col("_den") === 0 || col("_num") >= col("_den"), lit(1000000L))
+            .otherwise(expr("CAST((_num * 1000000) DIV _den AS BIGINT)")))
+        .select(col("user_id"), col("n"), col("p_micro"))
+      bhFdr(tests, "user_id", "p_micro", BhAlphaMicro)
+        .select(col("user_id"), col("n"), col("p_micro"), col("p_rank"),
+          col("rejected"))
+        .orderBy(col("p_rank"))
+    },
+    Some(s"""WITH cts AS (SELECT user_id,
+        CAST(round(value * 100) AS BIGINT) AS c FROM events),
+      per AS (SELECT user_id, COUNT(*) AS n, SUM(c) AS s
+        FROM cts GROUP BY user_id),
+      g AS (SELECT COUNT(*) AS nn, SUM(c) AS ss,
+        SUM(CAST(c AS HUGEINT) * c) AS qq FROM cts),
+      z AS (SELECT user_id, n,
+        CAST(n AS HUGEINT) * (CAST(nn AS HUGEINT) * qq
+          - CAST(ss AS HUGEINT) * ss) AS num,
+        (CAST(nn AS HUGEINT) * s - CAST(n AS HUGEINT) * ss)
+          * (CAST(nn AS HUGEINT) * s - CAST(n AS HUGEINT) * ss) AS den
+        FROM per, g),
+      p AS (SELECT user_id, n,
+        CASE WHEN den = 0 OR num >= den THEN 1000000
+          ELSE CAST(num * 1000000 // den AS BIGINT) END AS p_micro FROM z),
+      r AS (SELECT user_id, n, p_micro,
+        ROW_NUMBER() OVER (ORDER BY p_micro, user_id) AS p_rank FROM p),
+      mm AS (SELECT COUNT(*) AS m FROM p),
+      k AS (SELECT MAX(CASE WHEN p_micro * m <= p_rank * $BhAlphaMicro
+          THEN p_rank END) AS kstar FROM r, mm)
+      SELECT user_id, n, p_micro, p_rank,
+        p_rank <= COALESCE(kstar, 0) AS rejected
+      FROM r, k ORDER BY p_rank"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qChisq, qKs, qBoot, qGini, qLinReg, qPettitt, qWMedian, qMwu,
       qBenford, qPareto, qRuns, qSpearman, qKendall, qTheilSen, qCramersV,
@@ -3589,5 +3693,5 @@ object StatTests {
       qLevene, qMannKendall, qKruskal, qKde, qGamesHowell, qWilson, qFriedman,
       qCochran, qLjungBox, qJonckheere, qCliffs, qCochranArmitage,
       qMoodMedian, qCvm, qPageTrend, qHodgesLehmann, qBrunnerMunzel,
-      qMad, qAnsari, qSeasonalAnomaly, qHartley, qBinseg)
+      qMad, qAnsari, qSeasonalAnomaly, qHartley, qBinseg, qBhFdr)
 }

@@ -1874,6 +1874,29 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(names.distinct.length == names.length, s"name matched twice: ${names.toSeq}")
   }
 
+  test("bhFdr: planted signal rejected, step-up rescues an above-line rank, null family rejects nothing") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // m = 10, alpha = 0.5 -> step-up line is rank * 50000 micro.
+    // rank 2 (p = 110000) exceeds ITS OWN line (100000) but rank 3
+    // (140000 <= 150000) holds, so BH's step-up rejects ranks 1..3.
+    val ps = Seq((1L, 10000L), (2L, 110000L), (3L, 140000L), (4L, 600000L),
+      (5L, 700000L), (6L, 800000L), (7L, 850000L), (8L, 900000L),
+      (9L, 950000L), (10L, 1000000L)).toDF("id", "p_micro")
+    val out = StatTests.bhFdr(ps, "id", "p_micro", 500000L)
+      .select(col("id"), col("p_rank"), col("rejected")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.length == 10)
+    assert(out.filter(_._3).map(_._1).sorted.sameElements(Seq(1L, 2L, 3L)),
+      s"expected ids 1-3 rejected (step-up through rank 3): ${out.toSeq}")
+    assert(out.find(_._1 == 2L).get._2 == 2L, "rank order broke")
+    // a uniform null family (p spread evenly above the line) rejects none
+    val nul = (1L to 100L).map(i => (i, 10000L * i)).toDF("id", "p_micro")
+    val r0 = StatTests.bhFdr(nul, "id", "p_micro", 50000L)
+      .filter(col("rejected")).count()
+    assert(r0 == 0L, s"null family produced $r0 rejections")
+  }
+
   test("crossCellEdges: links land in secondary cells only, <= xK per cell; literal ≡ broadcast path") {
     import org.apache.spark.sql.functions.col
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")

@@ -1231,6 +1231,52 @@ class StreamingExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.map(_._1) == Set(1L) && got.size == 2, got.toString)
   }
 
+  test("streaming Holt trend: level/trend/forecast identical to the batch fold across splits") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def t(s: String) = Timestamp.valueOf(s)
+    // u1 ramps then drops (trend goes NEGATIVE — the >> 1 floor case `div`
+    // would get wrong); u2 seeds in batch 1 and continues in batch 2
+    val rows = Seq(
+      (1L, t("2024-03-01 10:00:00"), 1L, 4.0),
+      (2L, t("2024-03-01 10:00:01"), 2L, 3.0),
+      (1L, t("2024-03-01 10:01:00"), 3L, 8.0),
+      (1L, t("2024-03-01 10:02:00"), 4L, 0.0),
+      (2L, t("2024-03-01 10:02:30"), 5L, 1.0),
+      (1L, t("2024-03-01 10:03:00"), 6L, 0.0))
+    val input = MemoryStream[(Long, Timestamp, Long, Double)](spark)
+    val out = graft.analytics.EventsQueries.holtTrendStream(
+      input.toDS().toDF("user_id", "ts", "event_id", "value"))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("holt_stream")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-holt").toString)
+      .start()
+    val (b1, b2) = rows.splitAt(3)   // split MID-run of both users
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("holt_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val golden = rows.groupBy(_._1).flatMap { case (u, rs) =>
+      var l = 0L; var b = 0L; var seeded = false
+      rs.sortBy(r => (r._2.getTime, r._3)).map { case (_, ts, _, v) =>
+        val c = math.round(v * 100)
+        if (!seeded) { l = c; b = 0L; seeded = true }
+        else { val l0 = l; l = (c + l + b) >> 1; b = ((l - l0) + b) >> 1 }
+        (u, ts.getTime * 1000, l, b, l + b)
+      }
+    }.toSet
+    assert(got == golden, s"stream $got vs golden $golden")
+    // the drop phase must show a negative trend somewhere for user 1
+    assert(got.exists(r => r._1 == 1L && r._4 < 0L),
+      s"expected a negative trend row for user 1: $got")
+  }
+
   test("streaming rate limit: rejected rows identical to the batch fold across splits") {
     import spark.implicits._
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
