@@ -3143,9 +3143,143 @@ object GraphOps {
     (s, dir) => maximalMatching(weightedTradeE0(s, dir)),
     Some(matchingSql))
 
+  // ---------------------------------------------- densest subgraph (peel)
+  /** Densest-subgraph PEEL TRACE — Bahmani, Kumar & Vassilvitskii's
+    * MapReduce algorithm (VLDB 2012): each round removes EVERY node
+    * whose degree is ≤ (1+ε)·(average degree) and records the surviving
+    * subgraph's size and density; the best-density round is a
+    * 2(1+ε)-approximation of the densest subgraph. ε = ½ here, so the
+    * peel condition is the ALL-INTEGER "keep v iff 2·deg(v)·n > 3·m₂"
+    * (m₂ = symmetrized edge count; threshold (1+ε)·m₂/n without any
+    * division), and density is emitted in micro-units as
+    * m₂·10⁶ div 2n.
+    *
+    * Scale shape per round: one uniform-key degree aggregation, ONE
+    * 1-row (n, m₂) scalar fetch (the kCore/pageRank sanctioned driver
+    * read — it also lets exhausted rounds short-circuit to literal
+    * rows), and two left-semi joins of the edge list against the
+    * survivor set. Each round removes ≥ a constant fraction of nodes
+    * (fewer than n·ε/(1+ε) nodes can exceed (1+ε)·average), so
+    * O(log₁.₅ n) rounds empty any graph; the fixed `rounds` horizon
+    * keeps the oracle a finite CTE chain, with (n = 0) rows past
+    * exhaustion.
+    *
+    * On a near-uniform graph round 0 (the whole graph) IS the best
+    * round — no node beats 1.5× average, one peel empties it, and
+    * "whole graph" is the correct densest answer there. The
+    * discriminating case (a planted clique on a sparse fringe, where
+    * the best round isolates the clique exactly) is pinned in
+    * OpsApiSpec.
+    *
+    * Input contract: symmetrized edge list. Output: one row per round
+    * 0..rounds — (round, nodes, edges, density_micro, is_best).
+    */
+  def densestSubgraph(edgesIn: DataFrame, rounds: Int = 5,
+      srcCol: String = "src", dstCol: String = "dst",
+      prepared: Boolean = false): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    // prepared = true: edgesIn is already distinct — skip the redundant
+    // full-edge-list dedup shuffle (the reachability pattern)
+    val e0 = edgesIn.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    var edges = (if (prepared) e0 else e0.distinct()).localCheckpoint()
+    val spark = edgesIn.sparkSession
+    // ONE degree pass per round feeds everything: (m2, n) fall out of it
+    // as sum/count (no separate countDistinct scan) via the sanctioned
+    // 1-row scalar fetch (the kCore/pageRank pattern), so the peel
+    // threshold is a LITERAL and exhausted rounds emit literal zero rows
+    // with no jobs at all. BigInt for the density product — m₂·10⁶
+    // outruns a long once m₂ > ~9·10¹².
+    val traces = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var live = true
+    for (r <- 0 to rounds) {
+      if (live) {
+        val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("_d"))
+          .localCheckpoint()
+        val row = deg.agg(coalesce(sum(col("_d")), lit(0L)).as("_m2"),
+          count(lit(1)).as("_n")).head()
+        val m2 = row.getLong(0); val n = row.getLong(1)
+        val dens = ((BigInt(m2) * 1000000) / (2 * math.max(n, 1L))).toLong
+        traces += spark.range(1).select(lit(r.toLong).as("round"),
+          lit(n).as("nodes"), lit(m2 / 2).as("edges"),
+          lit(dens).as("density_micro"))
+        if (n == 0) live = false
+        else if (r < rounds) {
+          val keep = deg
+            .filter(lit(2L) * col("_d") * lit(n) > lit(3L) * lit(m2))
+            .select(col("src"))
+          edges = edges.join(keep, Seq("src"), "left_semi")
+            .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
+            .localCheckpoint()
+        }
+      } else
+        traces += spark.range(1).select(lit(r.toLong).as("round"),
+          lit(0L).as("nodes"), lit(0L).as("edges"),
+          lit(0L).as("density_micro"))
+    }
+    val trace = traces.reduce(_ unionByName _)
+    val best = trace.agg(max(col("density_micro")).as("_best"))
+    trace.crossJoin(broadcast(best))
+      .withColumn("is_best", col("density_micro") === col("_best"))
+      .drop("_best")
+      .orderBy(col("round"))
+  }
+
+  private val DensestRounds = 5
+
+  // every peel CTE is MATERIALIZED: DuckDB inlines plain CTEs per
+  // reference, and the 3-references-per-round chain re-inlines e0 3^R
+  // times (the EXPLAINS_r9 3^k plan-growth finding, DuckDB edition) —
+  // enough re-opened parquet scans to exhaust the fd limit
+  private def densestItSql(prev: String, s: String, out: String) =
+    s"""$s AS MATERIALIZED (SELECT COUNT(*) AS m2, COUNT(DISTINCT src) AS n FROM $prev),
+    k$out AS MATERIALIZED (SELECT src FROM (SELECT src, COUNT(*) AS d FROM $prev
+        GROUP BY src) CROSS JOIN $s WHERE 2 * d * n > 3 * m2),
+    $out AS MATERIALIZED (SELECT t.src, t.dst FROM $prev t
+      JOIN k$out a ON t.src = a.src JOIN k$out b ON t.dst = b.src)"""
+
+  // Peel on the part co-purchase graph (the one derived graph in the
+  // corpus with real degree heterogeneity — hub parts): baskets are
+  // ≤ ~7 lines, so the intra-order pair join is bounded per order.
+  private val densestSql = {
+    val its = (0 until DensestRounds)
+      .map(r => densestItSql(s"e$r", s"s$r", s"e${r + 1}"))
+    val trace = (0 to DensestRounds).map(r =>
+      s"""SELECT $r AS round, n AS nodes, m2 // 2 AS edges,
+        (m2 * 1000000) // (2 * greatest(n, 1)) AS density_micro FROM s$r""")
+    s"""WITH px AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    e0 AS MATERIALIZED (SELECT x AS src, y AS dst FROM px UNION ALL SELECT y, x FROM px),
+    ${its.mkString(",\n    ")},
+    s$DensestRounds AS (SELECT COUNT(*) AS m2, COUNT(DISTINCT src) AS n
+      FROM e$DensestRounds),
+    tr AS (${trace.mkString("\n      UNION ALL ")}),
+    bb AS (SELECT MAX(density_micro) AS best FROM tr)
+    SELECT round, nodes, edges, density_micro,
+      density_micro = best AS is_best
+    FROM tr, bb ORDER BY round"""
+  }
+
+  private val qDensest = GraftQuery(
+    "qg_densest",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("g"), col("l_partkey").as("item"))
+      val pairs = li.join(li.select(col("g"), col("item").as("item2")), Seq("g"))
+        .filter(col("item") < col("item2"))
+        .select(col("item").as("src"), col("item2").as("dst"))
+        .distinct()
+      // forward half is src < dst and the reversed half src > dst, so the
+      // symmetrized union is distinct by construction
+      densestSubgraph(
+        pairs.unionByName(pairs.select(col("dst").as("src"), col("src").as("dst"))),
+        DensestRounds, prepared = true)
+    },
+    Some(densestSql))
+
   def queries: Seq[GraftQuery] =
     Seq(qPageRank, qTriangles, qLpa, qKcore, qReach, qSubtree, qSssp, qPpr,
       qLinkPredict, qDegreeDist, qModularity, qHits, qAssortativity, qWalks,
       qHarmonic, qEcc, qBetweenness, qLocalClustering, qKTruss, qRichClub,
-      qKatz, qScc, qMst, qWl, qMis, qMatching, qColoring)
+      qKatz, qScc, qMst, qWl, qMis, qMatching, qColoring, qDensest)
 }

@@ -1874,6 +1874,28 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(names.distinct.length == names.length, s"name matched twice: ${names.toSeq}")
   }
 
+  test("densestSubgraph: peel isolates a planted clique from a sparse fringe") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // K6 on nodes 1..6 (density 15/6 = 2.5) + a 20-node path fringe
+    // (density ~0.95); whole graph density 34/26 ~ 1.31
+    val clique = for (a <- 1L to 6L; b <- 1L to 6L if a < b) yield (a, b)
+    val path = (101L until 120L).map(i => (i, i + 1))
+    val und = (clique ++ path).toDF("src", "dst")
+    val edges = und.unionByName(und.select(col("dst").as("src"), col("src").as("dst")))
+    val tr = GraphOps.densestSubgraph(edges, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(tr.length == 4, tr.mkString(", "))
+    assert(tr(0) == (0L, 26L, 34L, 1307692L, false), s"round 0: ${tr(0)}")
+    // round 1 peels the whole fringe (deg <= 2 < 1.5 x avg) and keeps
+    // exactly the clique — the best-density round
+    assert(tr(1) == (1L, 6L, 15L, 2500000L, true), s"round 1: ${tr(1)}")
+    // the clique itself is regular, so round 2 empties; zeros are never best
+    assert(tr(2)._2 == 0L && !tr(2)._5 && !tr(3)._5, tr.mkString(", "))
+    assert(tr.count(_._5) == 1, s"exactly one best round: ${tr.mkString(", ")}")
+  }
+
   test("bhFdr: planted signal rejected, step-up rescues an above-line rank, null family rejects nothing") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
