@@ -3686,6 +3686,120 @@ object StatTests {
         p_rank <= COALESCE(kstar, 0) AS rejected
       FROM r, k ORDER BY p_rank"""))
 
+  // ------------------------------- CUPED variance reduction (A/B tier)
+  /** CUPED covariate adjustment (Deng, Xu, Kohavi & Walker, WSDM 2013 —
+    * the industry-standard A/B variance-reduction technique): replace
+    * each unit's post-period metric y with y′ = y − θ·(x − x̄), where x
+    * is the PRE-period covariate and θ = Cov(x,y)/Var(x); the adjusted
+    * means preserve the treatment effect while shrinking variance by
+    * the squared x↔y correlation.
+    *
+    * Exact-arithmetic discipline: θ is the integer ratio
+    * (N·Sxy − Sx·Sy)·10⁶ div (N·Sxx − Sx²), and each unit's adjusted
+    * value is kept on the N-scaled integer lattice
+    * a = 10⁶·N·y − θμ·(N·x − Sx), so means and the variance-kept ratio
+    * (N·Σa² − (Σa)²)·rescaled are pure DECIMAL(38,0) quotients — every
+    * emitted number is bit-identical across engines. Bound: Σa² needs
+    * ~(6 + log₁₀(N·y_max))² digits; DECIMAL(38,0) holds to about
+    * N·y_max ≈ 10¹⁶ (corpus cents, not rows), loudly past any test SF.
+    *
+    * Scale shape: one unit-key aggregation, one 1-row moment aggregate
+    * broadcast back, a map-side adjustment, and per-variant 1-row
+    * aggregates — no window, no pair join, nothing corpus-scaled on a
+    * single partition.
+    *
+    * On this synthetic corpus x and y are nearly independent (per-user
+    * activity is homogeneous), so θ ≈ 0 and var_keep ≈ 10⁶ is the
+    * CORRECT null outcome; OpsApiSpec plants a correlated family where
+    * CUPED cuts variance by ~4× and preserves the planted lift.
+    *
+    * Input: one row per unit — (idCol, variantCol, xCol, yCol), x/y
+    * integer (cents). Output: one row per variant — (variant, users,
+    * mean_y_micro, mean_adj_micro) plus the pooled (theta_micro,
+    * var_keep_micro) constants on every row.
+    */
+  def cuped(units: DataFrame, idCol: String, variantCol: String,
+      xCol: String, yCol: String): DataFrame = {
+    val per = units.select(col(idCol).as("_id"),
+      col(variantCol).as("variant"),
+      col(xCol).cast("bigint").as("_x"), col(yCol).cast("bigint").as("_y"))
+    val g = per.agg(count(lit(1)).as("_nu"),
+      coalesce(sum(col("_x")), lit(0L)).as("_sx"),
+      coalesce(sum(col("_y")), lit(0L)).as("_sy"),
+      coalesce(sum(dec(col("_x")) * dec(col("_x"))), lit(0L).cast("decimal(38,0)")).as("_sxx"),
+      coalesce(sum(dec(col("_x")) * dec(col("_y"))), lit(0L).cast("decimal(38,0)")).as("_sxy"),
+      coalesce(sum(dec(col("_y")) * dec(col("_y"))), lit(0L).cast("decimal(38,0)")).as("_syy"))
+    val adj = per.crossJoin(broadcast(g))
+      .withColumn("_theta", expr("""CASE
+        WHEN _nu * _sxx - CAST(_sx AS DECIMAL(38,0)) * _sx = 0 THEN CAST(0 AS BIGINT)
+        ELSE ((_nu * _sxy - CAST(_sx AS DECIMAL(38,0)) * _sy) * 1000000)
+          DIV (_nu * _sxx - CAST(_sx AS DECIMAL(38,0)) * _sx) END"""))
+      .withColumn("_a", expr(
+        "1000000 * CAST(_nu AS DECIMAL(38,0)) * _y - _theta * (CAST(_nu AS DECIMAL(38,0)) * _x - _sx)"))
+    val pooled = adj.agg(
+      first(col("_nu")).as("_nu"), first(col("_theta")).as("_theta"),
+      first(col("_syy")).as("_syy"), first(col("_sy")).as("_sy"),
+      coalesce(sum(col("_a")), lit(0L).cast("decimal(38,0)")).as("_sa"),
+      coalesce(sum(col("_a") * col("_a")), lit(0L).cast("decimal(38,0)")).as("_saa"))
+      .withColumn("_vary", expr("_nu * _syy - CAST(_sy AS DECIMAL(38,0)) * _sy"))
+      .select(col("_theta").as("theta_micro"),
+        expr("""CASE WHEN _vary = 0 THEN CAST(1000000 AS BIGINT)
+          ELSE (_nu * _saa - _sa * _sa)
+            DIV (_vary * _nu * _nu * 1000000) END""").as("var_keep_micro"))
+    adj.groupBy(col("variant"))
+      .agg(count(lit(1)).as("users"),
+        expr("(1000000 * CAST(SUM(_y) AS DECIMAL(38,0))) DIV COUNT(*)").as("mean_y_micro"),
+        expr("SUM(_a) DIV (COUNT(*) * first(_nu))").as("mean_adj_micro"))
+      .crossJoin(broadcast(pooled))
+      .orderBy(col("variant"))
+  }
+
+  private val qCuped = GraftQuery(
+    "qstat_cuped",
+    (s, dir) => {
+      // pre-period covariate: spend in Jan 1-15; post metric: Jan 16-30;
+      // synthetic variant assignment by user parity
+      val per = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("ts") < lit("2024-01-16").cast("timestamp"), col("c"))
+          .otherwise(lit(0L))).as("x"),
+          sum(when(col("ts") >= lit("2024-01-16").cast("timestamp"), col("c"))
+            .otherwise(lit(0L))).as("y"))
+        .withColumn("variant", col("user_id") % 2)
+      cuped(per, "user_id", "variant", "x", "y")
+    },
+    Some("""WITH per AS (SELECT user_id, user_id % 2 AS variant,
+        SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+          THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS x,
+        SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+          THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS y
+      FROM events GROUP BY user_id),
+    g AS (SELECT COUNT(*) AS nu, SUM(x) AS sx, SUM(y) AS sy,
+        SUM(CAST(x AS HUGEINT) * x) AS sxx, SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        SUM(CAST(y AS HUGEINT) * y) AS syy FROM per),
+    th AS (SELECT CASE WHEN nu * sxx - CAST(sx AS HUGEINT) * sx = 0 THEN 0
+        ELSE ((nu * sxy - CAST(sx AS HUGEINT) * sy) * 1000000)
+          // (nu * sxx - CAST(sx AS HUGEINT) * sx) END AS theta_micro FROM g),
+    adj AS (SELECT variant,  y,
+        1000000 * CAST(nu AS HUGEINT) * y
+          - theta_micro * (CAST(nu AS HUGEINT) * x - sx) AS a
+      FROM per, g, th),
+    po AS (SELECT (SELECT nu FROM g) AS nu, SUM(a) AS sa, SUM(a * a) AS saa
+      FROM adj),
+    keep AS (SELECT CASE WHEN g.nu * syy - CAST(sy AS HUGEINT) * sy = 0
+        THEN 1000000
+        ELSE (po.nu * saa - sa * sa)
+          // ((g.nu * syy - CAST(sy AS HUGEINT) * sy) * po.nu * po.nu * 1000000)
+        END AS var_keep_micro FROM po, g)
+    SELECT variant, COUNT(*) AS users,
+      CAST((1000000 * SUM(y)) // COUNT(*) AS BIGINT) AS mean_y_micro,
+      CAST(SUM(a) // (COUNT(*) * (SELECT nu FROM g)) AS BIGINT) AS mean_adj_micro,
+      CAST((SELECT theta_micro FROM th) AS BIGINT) AS theta_micro,
+      CAST((SELECT var_keep_micro FROM keep) AS BIGINT) AS var_keep_micro
+    FROM adj GROUP BY variant ORDER BY variant"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qChisq, qKs, qBoot, qGini, qLinReg, qPettitt, qWMedian, qMwu,
       qBenford, qPareto, qRuns, qSpearman, qKendall, qTheilSen, qCramersV,
@@ -3693,5 +3807,5 @@ object StatTests {
       qLevene, qMannKendall, qKruskal, qKde, qGamesHowell, qWilson, qFriedman,
       qCochran, qLjungBox, qJonckheere, qCliffs, qCochranArmitage,
       qMoodMedian, qCvm, qPageTrend, qHodgesLehmann, qBrunnerMunzel,
-      qMad, qAnsari, qSeasonalAnomaly, qHartley, qBinseg, qBhFdr)
+      qMad, qAnsari, qSeasonalAnomaly, qHartley, qBinseg, qBhFdr, qCuped)
 }

@@ -1874,6 +1874,34 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(names.distinct.length == names.length, s"name matched twice: ${names.toSeq}")
   }
 
+  test("cuped: planted covariate correlation cuts variance and de-biases the lift") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // y = x + small noise + 5000-cent treatment lift; x = 1000*i, variant
+    // by parity, so the raw lift estimate is badly confounded by the
+    // odd/even x imbalance while the adjusted one is not
+    val lift = 5000L
+    val units = (1L to 40L).map { i =>
+      val x = 1000L * i
+      val v = i % 2
+      (i, v, x, x + (i % 7) * 100L + v * lift)
+    }.toDF("id", "variant", "x", "y")
+    val out = StatTests.cuped(units, "id", "variant", "x", "y").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val theta = out(0L).getLong(4)
+    assert(theta > 900000L && theta < 1100000L, s"theta_micro = $theta (expected ~1e6)")
+    val varKeep = out(0L).getLong(5)
+    assert(varKeep < 250000L, s"var_keep_micro = $varKeep (expected >4x reduction)")
+    // adjusted delta recovers the planted lift better than the raw delta
+    val rawDelta = out(1L).getLong(2) - out(0L).getLong(2)
+    val adjDelta = out(1L).getLong(3) - out(0L).getLong(3)
+    val target = lift * 1000000L
+    assert(math.abs(adjDelta - target) < math.abs(rawDelta - target),
+      s"adjusted delta $adjDelta not closer to $target than raw $rawDelta")
+    assert(math.abs(adjDelta - target) < 200000000L,
+      s"adjusted delta $adjDelta too far from planted lift $target")
+  }
+
   test("densestSubgraph: peel isolates a planted clique from a sparse fringe") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
