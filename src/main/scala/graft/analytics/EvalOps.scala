@@ -1175,7 +1175,76 @@ object EvalOps {
       FROM b LEFT JOIN cstr c USING (pair) JOIN rstr r USING (pair)
       ORDER BY pair"""))
 
+  // ------------------------------------------------- ROUGE-L (LCS-based)
+  /** Macro-averaged ROUGE-L (Lin, ACL 2004 wksp §3.1) — the LCS member
+    * of the ROUGE family: credits matches that are IN ORDER but not
+    * necessarily contiguous, sitting between [[rougeNgram]]'s exact
+    * n-gram hits and [[wordErrorRate]]'s alignment cost. Per pair:
+    * recall = LCS/|ref|, precision = LCS/|cand|, F = 2·LCS/(|c|+|r|)
+    * (the harmonic identity — exact), floored to bp and macro-averaged
+    * (composed-floors convention, same as ROUGE-N).
+    *
+    * The LCS runs in the native codegen'd [[graft.functions.TokenLcs]]
+    * kernel (one O(|c|·|r|) two-row max DP per pair over interned token
+    * ids — map-only, no UDF boxing, no join). The oracle computes the
+    * same DP as a bounded recursive CTE: one row per (pair, prefix i),
+    * each step deriving DP row i+1 from row i with the running-max
+    * identity d[i][j] = max_{k≤j} max(d[i−1][k], d[i−1][k−1] + eq_k) —
+    * the column-prefix dependency unrolled so a single nested
+    * list_transform expresses the row.
+    *
+    * Output: ONE row — (pairs, recall_bp, precision_bp, f1_bp) over all
+    * pairs with both sides non-empty.
+    */
+  def rougeL(pairs: DataFrame, candCol: String = "cand_text",
+      refCol: String = "ref_text"): DataFrame =
+    pairs.select(col("pair"),
+        expr(Nlp.toksExprOn(candCol)).as("ctoks"),
+        expr(Nlp.toksExprOn(refCol)).as("rtoks"))
+      .filter(size(col("ctoks")) > 0 && size(col("rtoks")) > 0)
+      .select(col("pair"),
+        graft.functions.GraftFunctions
+          .graft_token_lcs(col("ctoks"), col("rtoks"))
+          .cast("long").as("lcs"),
+        size(col("ctoks")).cast("long").as("ctot"),
+        size(col("rtoks")).cast("long").as("rtot"))
+      .withColumn("r_bp", expr("10000 * lcs div rtot"))
+      .withColumn("p_bp", expr("10000 * lcs div ctot"))
+      .withColumn("f_bp", expr("20000 * lcs div (ctot + rtot)"))
+      .agg(count(lit(1)).as("pairs"),
+        expr("sum(r_bp) div count(1)").as("recall_bp"),
+        expr("sum(p_bp) div count(1)").as("precision_bp"),
+        expr("sum(f_bp) div count(1)").as("f1_bp"))
+
+  private val qRougeL = GraftQuery(
+    "qml_rouge_l",
+    (s, dir) => rougeL(pairedDocs(s, dir)),
+    Some(s"""WITH RECURSIVE
+      cd AS (${pairedSideSql(s"${Nlp.toksSql} AS ctoks", 0)}),
+      rd AS (${pairedSideSql(s"${Nlp.toksSql} AS rtoks", 1)}),
+      b AS MATERIALIZED (SELECT pair, ctoks, rtoks FROM cd JOIN rd USING (pair)
+        WHERE len(ctoks) > 0 AND len(rtoks) > 0),
+      dp AS (
+        SELECT pair, 0 AS i, ctoks, rtoks,
+          list_transform(generate_series(0, len(rtoks)), x -> 0) AS row
+        FROM b
+        UNION ALL
+        SELECT pair, i + 1, ctoks, rtoks,
+          list_prepend(0, list_transform(generate_series(1, len(rtoks)), j ->
+            list_max(list_transform(generate_series(1, j), k ->
+              greatest(row[k + 1], row[k] + CASE WHEN rtoks[k] = ctoks[i + 1]
+                THEN 1 ELSE 0 END)))))
+        FROM dp WHERE i < len(ctoks)),
+      fin AS (SELECT pair, row[len(rtoks) + 1] AS lcs,
+          len(ctoks) AS ctot, len(rtoks) AS rtot
+        FROM dp WHERE i = len(ctoks))
+      SELECT CAST(COUNT(*) AS BIGINT) AS pairs,
+        CAST(SUM(10000 * lcs // rtot) // COUNT(*) AS BIGINT) AS recall_bp,
+        CAST(SUM(10000 * lcs // ctot) // COUNT(*) AS BIGINT) AS precision_bp,
+        CAST(SUM(20000 * lcs // (ctot + rtot)) // COUNT(*) AS BIGINT) AS f1_bp
+      FROM fin"""))
+
   val queries: Seq[GraftQuery] = Seq(qAuc, qPrCurve, qKappa, qBradleyTerry,
-    qMcNemar, qBleu, qCronbach, qKrippendorff, qKendallW, qRouge, qConformal,
-    qPassAtK, qChrf, qWer)
+    qMcNemar, qBleu, qCronbach, qKrippendorff, qKendallW, qRouge, qRougeL,
+    qConformal, qPassAtK, qChrf, qWer)
 }

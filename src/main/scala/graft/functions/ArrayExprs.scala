@@ -491,6 +491,9 @@ object GraftFunctions {
   def graft_token_levenshtein(a: Column, b: Column): Column =
     GraftColumnBridge.column(TokenLevenshtein(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  def graft_token_lcs(a: Column, b: Column): Column =
+    GraftColumnBridge.column(TokenLcs(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
   def graft_chargram_clipped(a: Column, b: Column, n: Int): Column =
     GraftColumnBridge.column(CharGramClipped(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b), n))

@@ -293,7 +293,7 @@ object TokenLevenshtein {
     * sentinel token (id −1 ≠ every real id, and ≠ itself is NOT wanted —
     * two nulls are the SAME token, so they get one shared id).
     */
-  private def intern(a: ArrayData, b: ArrayData)
+  private[functions] def internPair(a: ArrayData, b: ArrayData)
       : (Array[Int], Array[Int]) = {
     val map = new java.util.HashMap[UTF8String, Integer]()
     var nullId = -1
@@ -319,7 +319,7 @@ object TokenLevenshtein {
 
   /** Static entry shared by interpreted eval and generated code. */
   def distance(a: ArrayData, b: ArrayData): Int = {
-    val (s, t) = intern(a, b)
+    val (s, t) = internPair(a, b)
     val n = s.length
     val m = t.length
     if (n == 0) return m
@@ -341,6 +341,78 @@ object TokenLevenshtein {
         val del = prev(j) + 1
         if (del < best) best = del
         cur(j) = best
+        j += 1
+      }
+      val tmp = prev; prev = cur; cur = tmp
+      i += 1
+    }
+    prev(m)
+  }
+}
+
+/** Token-level LONGEST COMMON SUBSEQUENCE length as a native codegen'd
+  * Catalyst expression — the kernel under ROUGE-L (Lin, ACL 2004 wksp
+  * §3.1: the LCS-based variant that credits in-order matches without
+  * requiring them contiguous, where ROUGE-N credits only exact n-gram
+  * hits). Same interning discipline as [[TokenLevenshtein]] (one shared
+  * hash pass, then int-compare DP) and the same custom-Expression
+  * rationale: no Spark builtin computes sequence LCS, and a Scala UDF
+  * would box both token arrays per pair.
+  *
+  * Cost: O(|a|·|b|) time, O(min-side) space via the two-row max DP.
+  * Intended for bounded candidate/reference pairs, never a corpus
+  * cross join.
+  */
+case class TokenLcs(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_token_lcs"
+  private def ok(t: DataType): Boolean = t match {
+    case org.apache.spark.sql.types.ArrayType(StringType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_token_lcs needs two ARRAY<STRING> arguments, got " +
+          s"(${left.dataType.sql}, ${right.dataType.sql})")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TokenLcs.lcs(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.TokenLcs.lcs($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
+object TokenLcs {
+  /** Static entry shared by interpreted eval and generated code. Interns
+    * through [[TokenLevenshtein]]'s shared-map discipline (two nulls are
+    * the same token).
+    */
+  def lcs(a: ArrayData, b: ArrayData): Int = {
+    val (s, t) = TokenLevenshtein.internPair(a, b)
+    val n = s.length
+    val m = t.length
+    if (n == 0 || m == 0) return 0
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    var i = 1
+    while (i <= n) {
+      var j = 1
+      while (j <= m) {
+        cur(j) =
+          if (s(i - 1) == t(j - 1)) prev(j - 1) + 1
+          else if (prev(j) >= cur(j - 1)) prev(j)
+          else cur(j - 1)
         j += 1
       }
       val tmp = prev; prev = cur; cur = tmp

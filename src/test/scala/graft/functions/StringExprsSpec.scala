@@ -242,4 +242,41 @@ class StringExprsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()
     assert(n2.head.isNullAt(0))
   }
+
+  test("tokenLcs: longest common subsequence over tokens; LCS + indel identity") {
+    import spark.implicits._
+    def lc(a: Seq[String], b: Seq[String]): Int =
+      Seq((a, b)).toDF("a", "b")
+        .select(GraftFunctions.graft_token_lcs(col("a"), col("b")))
+        .collect().head.getInt(0)
+    assert(lc(Seq("a", "b", "c", "d", "e"), Seq("a", "c", "e", "x")) === 3)
+    assert(lc(Seq("the", "cat", "sat"), Seq("the", "cat", "sat")) === 3)
+    assert(lc(Seq("a", "b"), Seq("b", "a")) === 1)    // order matters
+    assert(lc(Seq.empty[String], Seq("x")) === 0)
+    assert(lc(Seq("x"), Seq.empty[String]) === 0)
+    assert(lc(Seq("x", "y", "z"), Seq("p", "q")) === 0)
+    // repeated tokens: LCS of "a a b a" / "a b a a" is "a b a" or "a a a" = 3
+    assert(lc(Seq("a", "a", "b", "a"), Seq("a", "b", "a", "a")) === 3)
+    // randomized identity vs an insert/delete-only reference:
+    // 2*LCS(a,b) = |a| + |b| - d_indel(a,b)
+    def indel(a: Seq[String], b: Seq[String]): Int = {
+      val (n, m) = (a.length, b.length)
+      var prev = Array.tabulate(m + 1)(identity)
+      for (i <- 1 to n) {
+        val cur = new Array[Int](m + 1); cur(0) = i
+        for (j <- 1 to m)
+          cur(j) = if (a(i - 1) == b(j - 1)) prev(j - 1)
+            else math.min(prev(j), cur(j - 1)) + 1
+        prev = cur
+      }
+      prev(m)
+    }
+    val rnd = new scala.util.Random(11)
+    (1 to 100).foreach { _ =>
+      val x = (0 until rnd.nextInt(10)).map(_ => s"t${rnd.nextInt(4)}")
+      val y = (0 until rnd.nextInt(10)).map(_ => s"t${rnd.nextInt(4)}")
+      assert(2 * lc(x, y) === x.length + y.length - indel(x, y),
+        s"$x vs $y")
+    }
+  }
 }
