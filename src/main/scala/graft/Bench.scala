@@ -65,7 +65,10 @@ object Bench {
           (s, d) => graft.analytics.GraphOps.warmLandmarkBfs(s, d)),
         ("memo_build:graph_ann_index",
           Set("qs_knn_graph", "qs_graph_ann", "qs_ann_recall"),
-          (s, d) => graft.analytics.SimilarityOps.warmGraphAnnIndex(s, d)))
+          (s, d) => graft.analytics.SimilarityOps.warmGraphAnnIndex(s, d)),
+        ("memo_build:copurchase_pairs",
+          Set("qj_copurchase_topk", "qj_assoc_rules", "qg_densest"),
+          (s, d) => graft.analytics.Relational3.warmCopurchasePairs(s, d)))
     val activeWarmups = warmups.filter { case (_, consumes, _) =>
       names.exists(q => consumes(q._1)) }
     val samples = scala.collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)

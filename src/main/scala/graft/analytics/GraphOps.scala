@@ -3262,19 +3262,14 @@ object GraphOps {
 
   private val qDensest = GraftQuery(
     "qg_densest",
-    (s, dir) => {
-      val li = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("g"), col("l_partkey").as("item"))
-      val pairs = li.join(li.select(col("g"), col("item").as("item2")), Seq("g"))
-        .filter(col("item") < col("item2"))
-        .select(col("item").as("src"), col("item2").as("dst"))
-        .distinct()
-      // forward half is src < dst and the reversed half src > dst, so the
-      // symmetrized union is distinct by construction
+    (s, dir) =>
+      // the memoized co-purchase pair-count frame IS the symmetric
+      // distinct edge list (both directions, item <> co_item) — shared
+      // with qj_copurchase_topk via memo_build:copurchase_pairs
       densestSubgraph(
-        pairs.unionByName(pairs.select(col("dst").as("src"), col("src").as("dst"))),
-        DensestRounds, prepared = true)
-    },
+        Relational3.copurchasePairsMemo(s, dir)
+          .select(col("item").as("src"), col("co_item").as("dst")),
+        DensestRounds, prepared = true),
     Some(densestSql))
 
   def queries: Seq[GraftQuery] =

@@ -442,10 +442,21 @@ object Relational3 {
       k: Int = 3): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val b = rows.select(col(groupCol).as("g"), col(itemCol).as("item")).distinct()
-    val pairs = b.as("a")
+    coOccurrenceTopKFrom(coOccurrencePairs(b), k)
+  }
+
+  /** (item, co_item, n_groups) co-occurrence counts, both directions, from
+    * a distinct (g, item) basket frame — the shared heart of
+    * [[coOccurrenceTopK]], [[assocRules]] and the densest-subgraph
+    * binding.
+    */
+  private def coOccurrencePairs(b: DataFrame): DataFrame =
+    b.as("a")
       .join(b.as("b"), col("a.g") === col("b.g") && col("a.item") =!= col("b.item"))
       .groupBy(col("a.item").as("item"), col("b.item").as("co_item"))
       .agg(count(lit(1)).as("n_groups"))
+
+  private def coOccurrenceTopKFrom(pairs: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("item"))
       .orderBy(col("n_groups").desc, col("co_item"))
     pairs.withColumn("rk", row_number().over(w))
@@ -453,10 +464,35 @@ object Relational3 {
       .orderBy(col("item"), col("rk"))
   }
 
+  /** Memoized distinct (order, part) basket frame — the common prefix of
+    * qj_copurchase_topk, qj_assoc_rules and qg_densest (three bindings
+    * re-ran the same 600k-row dedup before r11 session 2).
+    */
+  private[analytics] def basketItemsMemo(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    Memo.cached(s, s"basketItems:$dir")(
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("g"), col("l_partkey").as("item"))
+        .distinct())
+
+  /** Memoized UNCAPPED co-purchase pair counts over [[basketItemsMemo]] —
+    * read by qj_copurchase_topk (rank window) and qg_densest (the pair
+    * set IS its symmetric edge list). qj_assoc_rules builds its own
+    * capped pairs (the maxBasket skew guard is part of its contract)
+    * but shares the basket frame. Warmed on memo_build:copurchase_pairs.
+    */
+  private[analytics] def copurchasePairsMemo(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    Memo.cached(s, s"copurchasePairs:$dir")(
+      coOccurrencePairs(basketItemsMemo(s, dir)))
+
+  /** Bench warm-up hook for the shared basket + pair memos. */
+  def warmCopurchasePairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = copurchasePairsMemo(s, dir).count(): Unit
+
   private val qCoPurchase = GraftQuery(
     "qj_copurchase_topk",
-    (s, dir) => coOccurrenceTopK(Tables.lineitem(s, dir),
-      "l_orderkey", "l_partkey"),
+    (s, dir) => coOccurrenceTopKFrom(copurchasePairsMemo(s, dir), 3),
     Some("""WITH b AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem),
       p AS (SELECT x.item AS item, y.item AS co_item, COUNT(*) AS n_groups
         FROM b x JOIN b y ON x.g = y.g AND x.item <> y.item GROUP BY 1, 2),
@@ -609,22 +645,41 @@ object Relational3 {
     * directional; lift/support are symmetric).
     */
   def assocRules(df: DataFrame, groupCol: String, itemCol: String,
-      minPairs: Long = 3, topK: Int = 20, maxBasket: Int = 256): DataFrame = {
+      minPairs: Long = 3, topK: Int = 20, maxBasket: Int = 256,
+      basketsPrepared: Boolean = false): DataFrame = {
     require(minPairs >= 1 && topK >= 1 && maxBasket >= 2,
       s"bad params: minPairs=$minPairs topK=$topK maxBasket=$maxBasket")
-    val b0 = df.select(col(groupCol).as("g"), col(itemCol).as("item"))
-      .distinct()
-    val b = b0.join(b0.groupBy(col("g")).agg(count(lit(1)).as("_bn"))
-        .filter(col("_bn") <= maxBasket).select(col("g")), "g")
-      .localCheckpoint()
+    // basketsPrepared = true: df is already the distinct (group, item)
+    // frame (the memoized basket table) — skip the dedup shuffle
+    val b0raw = df.select(col(groupCol).as("g"), col(itemCol).as("item"))
+    val b0 = if (basketsPrepared) b0raw else b0raw.distinct()
+    // ADAPTIVE skew guard: the maxBasket cap only changes the result when
+    // some basket actually exceeds it. Measure the hottest basket first
+    // (one agg, sanctioned 1-row fetch); under the cap the filter is a
+    // proven no-op, so skip the filter join + re-checkpoint — identical
+    // output at every scale, the guard join only when it guards.
+    val maxBn = b0.groupBy(col("g")).agg(count(lit(1)).as("_bn"))
+      .agg(max(col("_bn")).as("_mx")).head().getLong(0)
+    val b =
+      if (maxBn <= maxBasket) { if (basketsPrepared) b0 else b0.localCheckpoint() }
+      else b0.join(b0.groupBy(col("g")).agg(count(lit(1)).as("_bn"))
+          .filter(col("_bn") <= maxBasket).select(col("g")), "g")
+        .localCheckpoint()
+    assocRulesFrom(coOccurrencePairs(b)
+      .select(col("item").as("ante"), col("co_item").as("cons"),
+        col("n_groups").as("nab")),
+      b, minPairs, topK)
+  }
+
+  /** Rule scoring over a prebuilt (ante, cons, nab) pair-count frame and
+    * its basket frame — shared by [[assocRules]] and the memo-reading
+    * qj_assoc_rules fast path.
+    */
+  private def assocRulesFrom(pairsIn: DataFrame, b: DataFrame,
+      minPairs: Long, topK: Int): DataFrame = {
     val n = b.agg(countDistinct(col("g")).as("n_baskets"))
     val itemCnt = b.groupBy(col("item")).agg(count(lit(1)).as("ni"))
-    val pairs = b.as("x").join(b.as("y"),
-        col("x.g") === col("y.g") && col("x.item") =!= col("y.item"))
-      .groupBy(col("x.item").as("ante"), col("y.item").as("cons"))
-      .agg(count(lit(1)).as("nab"))
-      .filter(col("nab") >= minPairs)
-    pairs
+    pairsIn.filter(col("nab") >= minPairs)
       .join(itemCnt.select(col("item").as("ante"), col("ni").as("na")), "ante")
       .join(itemCnt.select(col("item").as("cons"), col("ni").as("nb")), "cons")
       .crossJoin(broadcast(n))
@@ -643,8 +698,22 @@ object Relational3 {
 
   private val qAssocRules = GraftQuery(
     "qj_assoc_rules",
-    (s, dir) => assocRules(Tables.lineitem(s, dir), "l_orderkey", "l_partkey",
-      ArMinPairs, ArTopK, ArMaxBasket),
+    (s, dir) => {
+      // fast path: when the measured hottest basket is under the cap,
+      // the capped pair frame equals the memoized uncapped one — reuse
+      // it (shared with qj_copurchase_topk/qg_densest) instead of
+      // re-running the basket self-join
+      val b = basketItemsMemo(s, dir)
+      val maxBn = b.groupBy(col("g")).agg(count(lit(1)).as("_bn"))
+        .agg(max(col("_bn")).as("_mx")).head().getLong(0)
+      if (maxBn <= ArMaxBasket)
+        assocRulesFrom(copurchasePairsMemo(s, dir)
+          .select(col("item").as("ante"), col("co_item").as("cons"),
+            col("n_groups").as("nab")),
+          b, ArMinPairs, ArTopK)
+      else assocRules(b, "g", "item",
+        ArMinPairs, ArTopK, ArMaxBasket, basketsPrepared = true)
+    },
     Some(s"""WITH b0 AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem),
       b AS MATERIALIZED (SELECT b0.g, b0.item FROM b0 JOIN (
         SELECT g FROM b0 GROUP BY g HAVING COUNT(*) <= $ArMaxBasket) ok
