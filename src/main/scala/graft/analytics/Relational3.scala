@@ -646,7 +646,8 @@ object Relational3 {
     */
   def assocRules(df: DataFrame, groupCol: String, itemCol: String,
       minPairs: Long = 3, topK: Int = 20, maxBasket: Int = 256,
-      basketsPrepared: Boolean = false): DataFrame = {
+      basketsPrepared: Boolean = false,
+      uncappedPairs: Option[DataFrame] = None): DataFrame = {
     require(minPairs >= 1 && topK >= 1 && maxBasket >= 2,
       s"bad params: minPairs=$minPairs topK=$topK maxBasket=$maxBasket")
     // basketsPrepared = true: df is already the distinct (group, item)
@@ -659,16 +660,24 @@ object Relational3 {
     // proven no-op, so skip the filter join + re-checkpoint — identical
     // output at every scale, the guard join only when it guards.
     val maxBn = b0.groupBy(col("g")).agg(count(lit(1)).as("_bn"))
-      .agg(max(col("_bn")).as("_mx")).head().getLong(0)
-    val b =
-      if (maxBn <= maxBasket) { if (basketsPrepared) b0 else b0.localCheckpoint() }
-      else b0.join(b0.groupBy(col("g")).agg(count(lit(1)).as("_bn"))
+      .agg(coalesce(max(col("_bn")), lit(0L)).as("_mx")).head().getLong(0)
+    if (maxBn <= maxBasket) {
+      // the cap filter is a proven no-op — a caller-supplied prebuilt
+      // uncapped pair frame (the co-purchase memo) is valid as-is
+      val b = if (basketsPrepared) b0 else b0.localCheckpoint()
+      val pairs = uncappedPairs.getOrElse(coOccurrencePairs(b)
+        .select(col("item").as("ante"), col("co_item").as("cons"),
+          col("n_groups").as("nab")))
+      assocRulesFrom(pairs, b, minPairs, topK)
+    } else {
+      val b = b0.join(b0.groupBy(col("g")).agg(count(lit(1)).as("_bn"))
           .filter(col("_bn") <= maxBasket).select(col("g")), "g")
         .localCheckpoint()
-    assocRulesFrom(coOccurrencePairs(b)
-      .select(col("item").as("ante"), col("co_item").as("cons"),
-        col("n_groups").as("nab")),
-      b, minPairs, topK)
+      assocRulesFrom(coOccurrencePairs(b)
+        .select(col("item").as("ante"), col("co_item").as("cons"),
+          col("n_groups").as("nab")),
+        b, minPairs, topK)
+    }
   }
 
   /** Rule scoring over a prebuilt (ante, cons, nab) pair-count frame and
@@ -698,22 +707,15 @@ object Relational3 {
 
   private val qAssocRules = GraftQuery(
     "qj_assoc_rules",
-    (s, dir) => {
-      // fast path: when the measured hottest basket is under the cap,
-      // the capped pair frame equals the memoized uncapped one — reuse
-      // it (shared with qj_copurchase_topk/qg_densest) instead of
-      // re-running the basket self-join
-      val b = basketItemsMemo(s, dir)
-      val maxBn = b.groupBy(col("g")).agg(count(lit(1)).as("_bn"))
-        .agg(max(col("_bn")).as("_mx")).head().getLong(0)
-      if (maxBn <= ArMaxBasket)
-        assocRulesFrom(copurchasePairsMemo(s, dir)
+    (s, dir) =>
+      // the memoized uncapped pair frame (shared with qj_copurchase_topk
+      // and qg_densest) is handed to the operator, whose adaptive guard
+      // uses it exactly when the cap is a proven no-op
+      assocRules(basketItemsMemo(s, dir), "g", "item",
+        ArMinPairs, ArTopK, ArMaxBasket, basketsPrepared = true,
+        uncappedPairs = Some(copurchasePairsMemo(s, dir)
           .select(col("item").as("ante"), col("co_item").as("cons"),
-            col("n_groups").as("nab")),
-          b, ArMinPairs, ArTopK)
-      else assocRules(b, "g", "item",
-        ArMinPairs, ArTopK, ArMaxBasket, basketsPrepared = true)
-    },
+            col("n_groups").as("nab")))),
     Some(s"""WITH b0 AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem),
       b AS MATERIALIZED (SELECT b0.g, b0.item FROM b0 JOIN (
         SELECT g FROM b0 GROUP BY g HAVING COUNT(*) <= $ArMaxBasket) ok

@@ -2131,8 +2131,17 @@ object SimilarityOps {
     require(k >= 1, s"k must be >= 1, got $k")
     require(cents.nonEmpty, "knnGraph requires a trained coarse quantizer " +
       "(size it with semDedupCellCount(n), train with trainCentroids)")
-    val assigned = withArgmaxCell(prep(corpus, idCol, vecCol), cents)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    knnEdgesFrom(withArgmaxCell(prep(corpus, idCol, vecCol), cents)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell")), k)
+  }
+
+  /** The intra-cell pair join + per-source rank cut over a (vec_id, v,
+    * nrm, cell) assignment frame — ONE body shared by the public
+    * [[knnGraph]] and [[knnEdgesMemo]] so the tie rule / cut / filter
+    * cannot drift from the shared `knnEdgeCtes` oracle.
+    */
+  private def knnEdgesFrom(assigned: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
     val lo = assigned.select(col("cell"), col("vec_id").as("src"),
       col("v").as("va"), col("nrm").as("na"))
     val hi = assigned.select(col("cell"), col("vec_id").as("nbr"),
@@ -2153,8 +2162,10 @@ object SimilarityOps {
   private val KnnK = 12
 
   /** CTE chain producing the kNN-graph edge list as `edg (src, nbr)`
-    * (+ the ranked form `rkk`); shared by the qs_knn_graph oracle and
-    * the graph-ANN search oracle, which walks these edges. Requires
+    * (+ the ranked form `rkk`); shared by the qs_knn_graph oracle, the
+    * qg_coloring oracle (which reads the symmetrized `edg`), and the
+    * graph-ANN search oracle (which AUGMENTS `edg1` with the
+    * cross-cell long links into `edgh` — see graphAnnSql). Requires
     * nothing in scope; defines `e0` (the corpus) itself.
     */
   private[analytics] val knnEdgeCtes =
@@ -2294,20 +2305,9 @@ object SimilarityOps {
     */
   private[analytics] def knnEdgesMemo(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
-    Memo.cached(s, s"knnEdges:$dir") {
-      val a = annAssignedMemo(s, dir)
-      val lo = a.select(col("cell"), col("vec_id").as("src"),
-        col("v").as("va"), col("nrm").as("na"))
-      val hi = a.select(col("cell"), col("vec_id").as("nbr"),
-        col("v").as("vb"), col("nrm").as("nb"))
-      val w = Window.partitionBy(col("src"))
-        .orderBy(col("cosine").desc, col("nbr"))
-      withCosine(lo.join(hi, Seq("cell")).filter(col("src") =!= col("nbr")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= KnnK)
-        .select(col("src"), col("rank"), col("nbr"), col("cosine"))
-        .orderBy(col("src"), col("rank"))
-    }
+    Memo.cached(s, s"knnEdges:$dir")(
+      knnEdgesFrom(annAssignedMemo(s, dir)
+        .select(col("vec_id"), col("v"), col("nrm"), col("cell")), KnnK))
 
   /** Session-memoized cross-cell long-range edges ([[crossCellEdges]]
     * semantics), built from the same assignment stage table — no second

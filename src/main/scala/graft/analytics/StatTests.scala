@@ -3695,18 +3695,23 @@ object StatTests {
     * the squared x↔y correlation.
     *
     * Exact-arithmetic discipline: θ is the integer ratio
-    * (N·Sxy − Sx·Sy)·10⁶ div (N·Sxx − Sx²), and each unit's adjusted
-    * value is kept on the N-scaled integer lattice
-    * a = 10⁶·N·y − θμ·(N·x − Sx), so means and the variance-kept ratio
-    * (N·Σa² − (Σa)²)·rescaled are pure DECIMAL(38,0) quotients — every
-    * emitted number is bit-identical across engines. Bound: Σa² needs
-    * ~(6 + log₁₀(N·y_max))² digits; DECIMAL(38,0) holds to about
-    * N·y_max ≈ 10¹⁶ (corpus cents, not rows), loudly past any test SF.
+    * (N·Sxy − Sx·Sy)·10⁶ div (N·Sxx − Sx²) over the six global moments
+    * (N, Sx, Sy, Sxx, Sxy, Syy), and everything else EXPANDS
+    * ALGEBRAICALLY from those moments plus per-variant (n_v, Sx_v,
+    * Sy_v) — the adjusted lattice values a = 10⁶·N·y − θμ·(N·x − Sx)
+    * are never materialized per row, because Σa = 10⁶·N·Sy_v exactly
+    * (the adjustment is mean-preserving) and
+    * Σa² = 10¹²N²·Syy − 2·10⁶N·θμ·covnum + θμ²·varnum collapses the
+    * variance-kept ratio to
+    * (10⁶·vary − 2·θμ·covnum + θμ²·varnum div 10⁶) div vary. Overflow
+    * headroom: Cauchy–Schwarz bounds every product by ~10¹²·vary, so
+    * DECIMAL(38,0) holds to vary ≈ 10²⁶ — N·y_max² ≈ 10²⁶ corpus
+    * cents², ~12 orders past the per-row-Σa² formulation this replaced
+    * (which silently nulled around N ≈ 10⁵ cent-scale users).
     *
-    * Scale shape: one unit-key aggregation, one 1-row moment aggregate
-    * broadcast back, a map-side adjustment, and per-variant 1-row
-    * aggregates — no window, no pair join, nothing corpus-scaled on a
-    * single partition.
+    * Scale shape: ONE unit-key aggregation and two 1-row/`per-variant`
+    * moment aggregates — no second pass over units, no window, no pair
+    * join, nothing corpus-scaled on a single partition.
     *
     * On this synthetic corpus x and y are nearly independent (per-user
     * activity is homogeneous), so θ ≈ 0 and var_keep ≈ 10⁶ is the
@@ -3729,28 +3734,34 @@ object StatTests {
       coalesce(sum(dec(col("_x")) * dec(col("_x"))), lit(0L).cast("decimal(38,0)")).as("_sxx"),
       coalesce(sum(dec(col("_x")) * dec(col("_y"))), lit(0L).cast("decimal(38,0)")).as("_sxy"),
       coalesce(sum(dec(col("_y")) * dec(col("_y"))), lit(0L).cast("decimal(38,0)")).as("_syy"))
-    val adj = per.crossJoin(broadcast(g))
-      .withColumn("_theta", expr("""CASE
-        WHEN _nu * _sxx - CAST(_sx AS DECIMAL(38,0)) * _sx = 0 THEN CAST(0 AS BIGINT)
-        ELSE ((_nu * _sxy - CAST(_sx AS DECIMAL(38,0)) * _sy) * 1000000)
-          DIV (_nu * _sxx - CAST(_sx AS DECIMAL(38,0)) * _sx) END"""))
-      .withColumn("_a", expr(
-        "1000000 * CAST(_nu AS DECIMAL(38,0)) * _y - _theta * (CAST(_nu AS DECIMAL(38,0)) * _x - _sx)"))
-    val pooled = adj.agg(
-      first(col("_nu")).as("_nu"), first(col("_theta")).as("_theta"),
-      first(col("_syy")).as("_syy"), first(col("_sy")).as("_sy"),
-      coalesce(sum(col("_a")), lit(0L).cast("decimal(38,0)")).as("_sa"),
-      coalesce(sum(col("_a") * col("_a")), lit(0L).cast("decimal(38,0)")).as("_saa"))
-      .withColumn("_vary", expr("_nu * _syy - CAST(_sy AS DECIMAL(38,0)) * _sy"))
-      .select(col("_theta").as("theta_micro"),
-        expr("""CASE WHEN _vary = 0 THEN CAST(1000000 AS BIGINT)
-          ELSE (_nu * _saa - _sa * _sa)
-            DIV (_vary * _nu * _nu * 1000000) END""").as("var_keep_micro"))
-    adj.groupBy(col("variant"))
+      .withColumn("_covnum",
+        expr("_nu * _sxy - CAST(_sx AS DECIMAL(38,0)) * _sy"))
+      .withColumn("_varnum",
+        expr("_nu * _sxx - CAST(_sx AS DECIMAL(38,0)) * _sx"))
+      .withColumn("_vary",
+        expr("_nu * _syy - CAST(_sy AS DECIMAL(38,0)) * _sy"))
+      .withColumn("theta_micro", expr("""CASE
+        WHEN _varnum = 0 THEN CAST(0 AS BIGINT)
+        ELSE (_covnum * 1000000) DIV _varnum END"""))
+      .withColumn("var_keep_micro", expr("""CASE
+        WHEN _vary = 0 THEN CAST(1000000 AS BIGINT)
+        ELSE greatest(CAST(0 AS BIGINT),
+          (1000000 * _vary - 2 * theta_micro * _covnum
+            + (theta_micro * theta_micro * _varnum) DIV 1000000)
+          DIV _vary) END"""))
+    per.groupBy(col("variant"))
       .agg(count(lit(1)).as("users"),
-        expr("(1000000 * CAST(SUM(_y) AS DECIMAL(38,0))) DIV COUNT(*)").as("mean_y_micro"),
-        expr("SUM(_a) DIV (COUNT(*) * first(_nu))").as("mean_adj_micro"))
-      .crossJoin(broadcast(pooled))
+        coalesce(sum(col("_x")), lit(0L)).as("_sxv"),
+        coalesce(sum(col("_y")), lit(0L)).as("_syv"))
+      .crossJoin(broadcast(g.select(col("_nu"), col("_sx"),
+        col("theta_micro"), col("var_keep_micro"))))
+      .select(col("variant"), col("users"),
+        expr("(1000000 * CAST(_syv AS DECIMAL(38,0))) DIV users").as("mean_y_micro"),
+        expr("""(1000000 * CAST(_nu AS DECIMAL(38,0)) * _syv
+          - theta_micro * (CAST(_nu AS DECIMAL(38,0)) * _sxv
+            - users * CAST(_sx AS DECIMAL(38,0))))
+          DIV (users * _nu)""").as("mean_adj_micro"),
+        col("theta_micro"), col("var_keep_micro"))
       .orderBy(col("variant"))
   }
 
@@ -3779,26 +3790,30 @@ object StatTests {
     g AS (SELECT COUNT(*) AS nu, SUM(x) AS sx, SUM(y) AS sy,
         SUM(CAST(x AS HUGEINT) * x) AS sxx, SUM(CAST(x AS HUGEINT) * y) AS sxy,
         SUM(CAST(y AS HUGEINT) * y) AS syy FROM per),
-    th AS (SELECT CASE WHEN nu * sxx - CAST(sx AS HUGEINT) * sx = 0 THEN 0
-        ELSE ((nu * sxy - CAST(sx AS HUGEINT) * sy) * 1000000)
-          // (nu * sxx - CAST(sx AS HUGEINT) * sx) END AS theta_micro FROM g),
-    adj AS (SELECT variant,  y,
-        1000000 * CAST(nu AS HUGEINT) * y
-          - theta_micro * (CAST(nu AS HUGEINT) * x - sx) AS a
-      FROM per, g, th),
-    po AS (SELECT (SELECT nu FROM g) AS nu, SUM(a) AS sa, SUM(a * a) AS saa
-      FROM adj),
-    keep AS (SELECT CASE WHEN g.nu * syy - CAST(sy AS HUGEINT) * sy = 0
-        THEN 1000000
-        ELSE (po.nu * saa - sa * sa)
-          // ((g.nu * syy - CAST(sy AS HUGEINT) * sy) * po.nu * po.nu * 1000000)
-        END AS var_keep_micro FROM po, g)
+    d AS (SELECT nu, sx,
+        nu * sxy - CAST(sx AS HUGEINT) * sy AS covnum,
+        nu * sxx - CAST(sx AS HUGEINT) * sx AS varnum,
+        nu * syy - CAST(sy AS HUGEINT) * sy AS vary FROM g),
+    t AS (SELECT nu, sx, covnum, varnum, vary,
+        CASE WHEN varnum = 0 THEN 0
+          ELSE (covnum * 1000000) // varnum END AS theta_micro FROM d),
+    k AS (SELECT nu, sx, theta_micro,
+        CASE WHEN vary = 0 THEN 1000000
+          ELSE greatest(0,
+            (1000000 * vary - 2 * theta_micro * covnum
+              + (theta_micro * theta_micro * varnum) // 1000000) // vary)
+        END AS var_keep_micro FROM t)
     SELECT variant, COUNT(*) AS users,
       CAST((1000000 * SUM(y)) // COUNT(*) AS BIGINT) AS mean_y_micro,
-      CAST(SUM(a) // (COUNT(*) * (SELECT nu FROM g)) AS BIGINT) AS mean_adj_micro,
-      CAST((SELECT theta_micro FROM th) AS BIGINT) AS theta_micro,
-      CAST((SELECT var_keep_micro FROM keep) AS BIGINT) AS var_keep_micro
-    FROM adj GROUP BY variant ORDER BY variant"""))
+      CAST((1000000 * CAST(nu AS HUGEINT) * SUM(y)
+          - theta_micro * (CAST(nu AS HUGEINT) * SUM(x)
+            - COUNT(*) * CAST(sx AS HUGEINT)))
+        // (COUNT(*) * nu) AS BIGINT) AS mean_adj_micro,
+      CAST(theta_micro AS BIGINT) AS theta_micro,
+      CAST(var_keep_micro AS BIGINT) AS var_keep_micro
+    FROM per, k
+    GROUP BY variant, nu, sx, theta_micro, var_keep_micro
+    ORDER BY variant"""))
 
   val queries: Seq[GraftQuery] =
     Seq(qChisq, qKs, qBoot, qGini, qLinReg, qPettitt, qWMedian, qMwu,

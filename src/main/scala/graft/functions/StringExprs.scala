@@ -399,7 +399,10 @@ object TokenLcs {
     * the same token).
     */
   def lcs(a: ArrayData, b: ArrayData): Int = {
-    val (s, t) = TokenLevenshtein.internPair(a, b)
+    val (s0, t0) = TokenLevenshtein.internPair(a, b)
+    // LCS is symmetric — keep the DP rows on the SHORTER side so the
+    // O(min-side) space claim holds whichever argument is longer
+    val (s, t) = if (t0.length <= s0.length) (s0, t0) else (t0, s0)
     val n = s.length
     val m = t.length
     if (n == 0 || m == 0) return 0

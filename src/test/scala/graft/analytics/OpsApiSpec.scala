@@ -1675,6 +1675,10 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(intercept[IllegalArgumentException] {
       Relational3.assocRules(baskets, "g", "item", maxBasket = 1)
     }.getMessage.contains("maxBasket"))
+    // empty input: the adaptive hottest-basket probe must see 0 (not a
+    // null -> NPE) and return an empty rules frame
+    val none = Seq.empty[(Long, String)].toDF("g", "item")
+    assert(Relational3.assocRules(none, "g", "item").count() == 0L)
   }
 
   test("readability: counts and FK grade exact on a hand-counted sentence") {
