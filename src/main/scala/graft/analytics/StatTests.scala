@@ -3815,6 +3815,85 @@ object StatTests {
     GROUP BY variant, nu, sx, theta_micro, var_keep_micro
     ORDER BY variant"""))
 
+  // --------------------- delta-method ratio metrics (A/B tier)
+  /** Per-variant RATIO metric with its delta-method standard error —
+    * the canonical A/B-testing pitfall (Deng et al., KDD 2018 "Applying
+    * the Delta Method in Metric Analytics"): for a metric like
+    * clicks/views the unit of ANALYSIS (user) differs from the unit of
+    * the metric (event), so the naive binomial SE on pooled events is
+    * wrong; the right variance treats each user's (x_i, y_i) as one
+    * observation of the ratio R̂ = ΣY/ΣX,
+    *
+    *   Var(R̂)/R̂² = n·Σ(y_i·Sx − Sy·x_i)² / ((n−1)·Sx²·Sy²).
+    *
+    * Same moment-expansion discipline as [[cuped]]: the quadratic form
+    * expands to Sx²·Syy − 2·Sx·Sy·Sxy + Sy²·Sxx, so the whole statistic
+    * is integer arithmetic on six per-variant moments — one unit-key
+    * aggregation, one per-variant 1-row aggregate, nothing per-row
+    * downstream and nothing corpus-scaled on one partition. Emitted as
+    * rel_se2_nano (relative variance ×10⁹; relative → comparable across
+    * variants whose ratios differ). Constant-ratio data (y = c·x) gives
+    * exactly 0.
+    *
+    * Input: one row per unit — (variantCol, xCol = denominator,
+    * yCol = numerator), integers. Output: one row per variant —
+    * (variant, users, num_sum, den_sum, ratio_micro, rel_se2_nano).
+    */
+  def ratioMetricDelta(units: DataFrame, variantCol: String,
+      xCol: String, yCol: String): DataFrame =
+    units.select(col(variantCol).as("variant"),
+        col(xCol).cast("bigint").as("_x"), col(yCol).cast("bigint").as("_y"))
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("users"),
+        coalesce(sum(col("_x")), lit(0L)).as("_sx"),
+        coalesce(sum(col("_y")), lit(0L)).as("_sy"),
+        coalesce(sum(dec(col("_x")) * dec(col("_x"))), lit(0L).cast("decimal(38,0)")).as("_sxx"),
+        coalesce(sum(dec(col("_x")) * dec(col("_y"))), lit(0L).cast("decimal(38,0)")).as("_sxy"),
+        coalesce(sum(dec(col("_y")) * dec(col("_y"))), lit(0L).cast("decimal(38,0)")).as("_syy"))
+      .withColumn("_num", expr("""CAST(_sx AS DECIMAL(38,0)) * _sx * _syy
+        - 2 * CAST(_sx AS DECIMAL(38,0)) * _sy * _sxy
+        + CAST(_sy AS DECIMAL(38,0)) * _sy * _sxx"""))
+      .select(col("variant"), col("users"),
+        col("_sy").as("num_sum"), col("_sx").as("den_sum"),
+        expr("""CASE WHEN _sx = 0 THEN CAST(0 AS BIGINT)
+          ELSE (1000000 * CAST(_sy AS DECIMAL(38,0))) DIV _sx END""").as("ratio_micro"),
+        expr("""CASE WHEN users <= 1 OR _sx = 0 OR _sy = 0 THEN CAST(0 AS BIGINT)
+          ELSE (users * _num * 1000000000)
+            DIV ((users - 1) * CAST(_sx AS DECIMAL(38,0)) * _sx
+              * CAST(_sy AS DECIMAL(38,0)) * _sy) END""").as("rel_se2_nano"))
+      .orderBy(col("variant"))
+
+  private val qRatioDelta = GraftQuery(
+    "qstat_ratio_delta",
+    (s, dir) => ratioMetricDelta(
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+        .withColumn("variant", col("user_id") % 2),
+      "variant", "x", "y"),
+    Some("""WITH per AS (SELECT user_id, user_id % 2 AS variant,
+        SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS x,
+        SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+      FROM events GROUP BY user_id),
+    g AS (SELECT variant, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        SUM(CAST(y AS HUGEINT) * y) AS syy FROM per GROUP BY variant),
+    d AS (SELECT variant, n, sx, sy,
+        CAST(sx AS HUGEINT) * sx * syy
+          - 2 * CAST(sx AS HUGEINT) * sy * sxy
+          + CAST(sy AS HUGEINT) * sy * sxx AS num FROM g)
+    SELECT variant, n AS users,
+      CAST(sy AS BIGINT) AS num_sum, CAST(sx AS BIGINT) AS den_sum,
+      CAST(CASE WHEN sx = 0 THEN 0
+        ELSE (1000000 * sy) // sx END AS BIGINT) AS ratio_micro,
+      CAST(CASE WHEN n <= 1 OR sx = 0 OR sy = 0 THEN 0
+        ELSE (n * num * 1000000000)
+          // ((n - 1) * CAST(sx AS HUGEINT) * sx * sy * sy)
+        END AS BIGINT) AS rel_se2_nano
+    FROM d ORDER BY variant"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qChisq, qKs, qBoot, qGini, qLinReg, qPettitt, qWMedian, qMwu,
       qBenford, qPareto, qRuns, qSpearman, qKendall, qTheilSen, qCramersV,
@@ -3822,5 +3901,6 @@ object StatTests {
       qLevene, qMannKendall, qKruskal, qKde, qGamesHowell, qWilson, qFriedman,
       qCochran, qLjungBox, qJonckheere, qCliffs, qCochranArmitage,
       qMoodMedian, qCvm, qPageTrend, qHodgesLehmann, qBrunnerMunzel,
-      qMad, qAnsari, qSeasonalAnomaly, qHartley, qBinseg, qBhFdr, qCuped)
+      qMad, qAnsari, qSeasonalAnomaly, qHartley, qBinseg, qBhFdr, qCuped,
+      qRatioDelta)
 }

@@ -1878,6 +1878,27 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(names.distinct.length == names.length, s"name matched twice: ${names.toSeq}")
   }
 
+  test("ratioMetricDelta: hand-computed SE; constant-ratio data scores exactly 0") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // variant 0: units (x,y) = (2,1),(4,1): R = 1/3, d_i = ±1/3,
+    // s2 = 2/9, Var(R)/R^2 = ((2/9)/(2*9))/(1/9) = 1/9 -> 111111111 nano
+    // variant 1: y = 2x exactly -> delta-method variance is exactly 0
+    val units = Seq((0L, 2L, 1L), (0L, 4L, 1L),
+      (1L, 3L, 6L), (1L, 5L, 10L), (1L, 7L, 14L)).toDF("variant", "x", "y")
+    val out = StatTests.ratioMetricDelta(units, "variant", "x", "y")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getLong(4) == 333333L, out(0L).toString)   // 1e6/3
+    assert(out(0L).getLong(5) == 111111111L, out(0L).toString)
+    assert(out(1L).getLong(4) == 2000000L, out(1L).toString)
+    assert(out(1L).getLong(5) == 0L,
+      s"constant-ratio data must have zero delta-method variance: ${out(1L)}")
+    // degenerate singleton variant reports 0 rather than dividing by n-1=0
+    val one = Seq((9L, 3L, 1L)).toDF("variant", "x", "y")
+    assert(StatTests.ratioMetricDelta(one, "variant", "x", "y")
+      .collect().head.getLong(5) == 0L)
+  }
+
   test("cuped: planted covariate correlation cuts variance and de-biases the lift") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
