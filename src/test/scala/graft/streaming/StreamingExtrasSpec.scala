@@ -1536,6 +1536,47 @@ class StreamingExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"got ${exact.get()})")
   }
 
+  test("HoltProcessor soak: 10^6 entities, exact (level, trend) across a restart") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = Files.createTempDirectory("graft-holt-1m").toString
+    val t1 = Timestamp.valueOf("2024-03-01 10:00:00")
+    val t2 = Timestamp.valueOf("2024-03-01 10:00:20")
+    val emitted = new java.util.concurrent.atomic.AtomicLong
+    val exact = new java.util.concurrent.atomic.AtomicLong
+    val input = MemoryStream[(Long, Timestamp, Long, Double)](spark)
+    def start() = graft.analytics.EventsQueries.holtTrendStream(
+        input.toDS().toDF("user_id", "ts", "event_id", "value"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        emitted.addAndGet(b.count())
+        // (level 10000, trend -5000) can ONLY arise from the run-2
+        // zero-value probe applied to a RETAINED run-1 seed of
+        // (l = 20000, b = 0): l' = (0+20000+0)>>1, b' = (l'-20000)>>1.
+        // A lost store re-seeds the probe to (l = 0, b = 0) instead.
+        exact.addAndGet(b.filter("level = 10000 AND trend = -5000").count()); ()
+      }.start()
+    val q1 = start()
+    soakWaves.foreach { w =>
+      input.addData(w.map(u => (u.toLong, t1, u.toLong, 200.0)))
+      q1.processAllAvailable()
+    }
+    assert(emitted.get() == SoakUsers, s"run 1 rows ${emitted.get()}")
+    assertSoakState(q1, SoakUsers, "holt")
+    q1.stop()
+    val q2 = start()
+    input.addData((0L until SoakProbe).map(u => (u, t2, SoakUsers + u, 0.0)))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(emitted.get() == SoakUsers + SoakProbe,
+      s"run 2 should emit every probe row: ${emitted.get()}")
+    assert(exact.get() == SoakProbe,
+      s"run-2 (level, trend) not the exact continuation (want " +
+        s"(10000, -5000) ×$SoakProbe, got ${exact.get()})")
+  }
+
   test("RateLimitProcessor soak: 10^6 buckets, exact tokens across a restart") {
     import spark.implicits._
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
