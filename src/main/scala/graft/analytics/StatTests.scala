@@ -3894,6 +3894,57 @@ object StatTests {
         END AS BIGINT) AS rel_se2_nano
     FROM d ORDER BY variant"""))
 
+  // --------------------- sample-ratio-mismatch check (A/B tier)
+  /** Sample-ratio mismatch — the experiment-health check every A/B
+    * platform runs FIRST (Fabijan et al., ICSE-SEIP 2019: a biased
+    * assignment invalidates every downstream metric): a chi-square
+    * goodness-of-fit of the observed variant counts against the
+    * designed 50/50 split. For two variants the statistic collapses to
+    *
+    *   χ² = (O₀ − O₁)² / N,
+    *
+    * so the α = 0.001 decision (SRM convention — the test must be very
+    * sure before it kills an experiment) is the ALL-INTEGER comparison
+    * (O₀−O₁)²·10⁶ > χ²₍₀.₀₀₁,1₎·N with the critical value pre-scaled
+    * (10.827566 → 10827566 micro). One unit-key dedup + one 1-row
+    * aggregate; nothing else.
+    *
+    * Output: ONE row — (users_a, users_b, chisq_micro, srm_detected).
+    */
+  private val SrmCritMicro = 10827566L   // χ²(0.001, df=1) · 10⁶
+
+  def sampleRatioMismatch(units: DataFrame,
+      variantCol: String): DataFrame =
+    units.select(col(variantCol).as("_v"))
+      .agg(sum(when(col("_v") === 0, 1L).otherwise(0L)).as("users_a"),
+        sum(when(col("_v") =!= 0, 1L).otherwise(0L)).as("users_b"))
+      .select(col("users_a"), col("users_b"),
+        expr("""CASE WHEN users_a + users_b = 0 THEN CAST(0 AS BIGINT)
+          ELSE ((users_a - users_b) * (users_a - users_b) * 1000000)
+            DIV (users_a + users_b) END""").as("chisq_micro"),
+        expr(s"""CASE WHEN users_a + users_b = 0 THEN false
+          ELSE (users_a - users_b) * (users_a - users_b) * 1000000
+            > $SrmCritMicro * (users_a + users_b) END""").as("srm_detected"))
+
+  private val qSrm = GraftQuery(
+    "qstat_srm",
+    (s, dir) => sampleRatioMismatch(
+      Tables.events(s, dir).select(col("user_id")).distinct()
+        .withColumn("variant", col("user_id") % 2),
+      "variant"),
+    Some(s"""WITH u AS (SELECT DISTINCT user_id, user_id % 2 AS v FROM events),
+      c AS (SELECT SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS users_a,
+        SUM(CASE WHEN v <> 0 THEN 1 ELSE 0 END) AS users_b FROM u)
+      SELECT CAST(users_a AS BIGINT) AS users_a,
+        CAST(users_b AS BIGINT) AS users_b,
+        CAST(CASE WHEN users_a + users_b = 0 THEN 0
+          ELSE ((users_a - users_b) * (users_a - users_b) * 1000000)
+            // (users_a + users_b) END AS BIGINT) AS chisq_micro,
+        CASE WHEN users_a + users_b = 0 THEN false
+          ELSE (users_a - users_b) * (users_a - users_b) * 1000000
+            > $SrmCritMicro * (users_a + users_b) END AS srm_detected
+      FROM c"""))
+
   val queries: Seq[GraftQuery] =
     Seq(qChisq, qKs, qBoot, qGini, qLinReg, qPettitt, qWMedian, qMwu,
       qBenford, qPareto, qRuns, qSpearman, qKendall, qTheilSen, qCramersV,
@@ -3902,5 +3953,5 @@ object StatTests {
       qCochran, qLjungBox, qJonckheere, qCliffs, qCochranArmitage,
       qMoodMedian, qCvm, qPageTrend, qHodgesLehmann, qBrunnerMunzel,
       qMad, qAnsari, qSeasonalAnomaly, qHartley, qBinseg, qBhFdr, qCuped,
-      qRatioDelta)
+      qRatioDelta, qSrm)
 }

@@ -1878,6 +1878,21 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(names.distinct.length == names.length, s"name matched twice: ${names.toSeq}")
   }
 
+  test("sampleRatioMismatch: planted imbalance detected at the 0.001 bar, near-balance is not") {
+    import spark.implicits._
+    // 600 vs 400: chi2 = 200^2/1000 = 40 >> 10.83 -> SRM
+    val bad = ((1L to 600L).map(i => (i, 0L)) ++ (1L to 400L).map(i => (i, 1L)))
+      .toDF("id", "variant")
+    val b = StatTests.sampleRatioMismatch(bad, "variant").collect().head
+    assert((b.getLong(0), b.getLong(1)) == ((600L, 400L)), b.toString)
+    assert(b.getLong(2) == 40000000L && b.getBoolean(3), b.toString)
+    // 520 vs 480: chi2 = 40^2/1000 = 1.6 < 10.83 -> healthy
+    val ok = ((1L to 520L).map(i => (i, 0L)) ++ (1L to 480L).map(i => (i, 1L)))
+      .toDF("id", "variant")
+    val o = StatTests.sampleRatioMismatch(ok, "variant").collect().head
+    assert(o.getLong(2) == 1600000L && !o.getBoolean(3), o.toString)
+  }
+
   test("ratioMetricDelta: hand-computed SE; constant-ratio data scores exactly 0") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
