@@ -3218,8 +3218,12 @@ object GraphOps {
     }
     val trace = traces.reduce(_ unionByName _)
     val best = trace.agg(max(col("density_micro")).as("_best"))
+    // nodes > 0 guard: on an empty (or uniformly-zero-density) input
+    // every exhausted round ties max at 0 — "zeros are never best"
+    // (documented above, now enforced rather than assumed non-degenerate)
     trace.crossJoin(broadcast(best))
-      .withColumn("is_best", col("density_micro") === col("_best"))
+      .withColumn("is_best",
+        col("density_micro") === col("_best") && col("nodes") > 0)
       .drop("_best")
       .orderBy(col("round"))
   }
@@ -3256,7 +3260,7 @@ object GraphOps {
     tr AS (${trace.mkString("\n      UNION ALL ")}),
     bb AS (SELECT MAX(density_micro) AS best FROM tr)
     SELECT round, nodes, edges, density_micro,
-      density_micro = best AS is_best
+      density_micro = best AND nodes > 0 AS is_best
     FROM tr, bb ORDER BY round"""
   }
 

@@ -3857,10 +3857,23 @@ object StatTests {
         col("_sy").as("num_sum"), col("_sx").as("den_sum"),
         expr("""CASE WHEN _sx = 0 THEN CAST(0 AS BIGINT)
           ELSE (1000000 * CAST(_sy AS DECIMAL(38,0))) DIV _sx END""").as("ratio_micro"),
+        // STAGED division (r12, mirrored in the oracle): divide the
+        // nano-scaled quadratic form by Sx² first, then apply the
+        // n/(n−1) factor against Sy². The governing DECIMAL(38,0) bound
+        // improves from users·_num·10⁹ ≤ 10³⁸ to _num·10⁹ ≤ 10³⁸ — a
+        // factor-of-users headroom gain (10⁶ users with Sx ~ 10⁸ now
+        // fits; by Cauchy–Schwarz _num ≤ 4n³V⁴, so the safe region is
+        // n³V⁴ ≤ 2.5·10²⁸ for per-user values ≤ V). The stage-1 BIGINT
+        // quotient is SELF-LIMITING: _q ≈ rel_se2_nano·(n−1)/n, so it
+        // can only overflow a long when the reported relative variance
+        // would itself exceed the BIGINT output column (~9·10⁹ in nano
+        // units — SE 10⁵× the ratio, far past any meaningful readout).
+        // Composed floors shift the result by < n/((n−1)·Sy²) nano vs
+        // the single-floor form — sub-unit once Sy > ~2.
         expr("""CASE WHEN users <= 1 OR _sx = 0 OR _sy = 0 THEN CAST(0 AS BIGINT)
-          ELSE (users * _num * 1000000000)
-            DIV ((users - 1) * CAST(_sx AS DECIMAL(38,0)) * _sx
-              * CAST(_sy AS DECIMAL(38,0)) * _sy) END""").as("rel_se2_nano"))
+          ELSE (users * CAST((_num * 1000000000)
+                DIV (CAST(_sx AS DECIMAL(38,0)) * _sx) AS DECIMAL(38,0)))
+            DIV ((users - 1) * CAST(_sy AS DECIMAL(38,0)) * _sy) END""").as("rel_se2_nano"))
       .orderBy(col("variant"))
 
   private val qRatioDelta = GraftQuery(
@@ -3889,8 +3902,8 @@ object StatTests {
       CAST(CASE WHEN sx = 0 THEN 0
         ELSE (1000000 * sy) // sx END AS BIGINT) AS ratio_micro,
       CAST(CASE WHEN n <= 1 OR sx = 0 OR sy = 0 THEN 0
-        ELSE (n * num * 1000000000)
-          // ((n - 1) * CAST(sx AS HUGEINT) * sx * sy * sy)
+        ELSE (n * ((num * 1000000000) // (CAST(sx AS HUGEINT) * sx)))
+          // ((n - 1) * CAST(sy AS HUGEINT) * sy)
         END AS BIGINT) AS rel_se2_nano
     FROM d ORDER BY variant"""))
 
@@ -3918,13 +3931,21 @@ object StatTests {
     units.select(col(variantCol).as("_v"))
       .agg(sum(when(col("_v") === 0, 1L).otherwise(0L)).as("users_a"),
         sum(when(col("_v") =!= 0, 1L).otherwise(0L)).as("users_b"))
+      // the squared-difference product rides DECIMAL(38,0) (the module
+      // dec() discipline): in LongType, (users_a−users_b)²·10⁶ wraps
+      // negative past ~3·10⁶ units of imbalance — the health gate would
+      // PASS exactly the worst inputs (and diverge from the HUGEINT
+      // oracle). Decimal keeps it exact to ~10¹⁵ users of imbalance.
       .select(col("users_a"), col("users_b"),
         expr("""CASE WHEN users_a + users_b = 0 THEN CAST(0 AS BIGINT)
-          ELSE ((users_a - users_b) * (users_a - users_b) * 1000000)
+          ELSE (CAST(users_a - users_b AS DECIMAL(38,0))
+              * (users_a - users_b) * 1000000)
             DIV (users_a + users_b) END""").as("chisq_micro"),
         expr(s"""CASE WHEN users_a + users_b = 0 THEN false
-          ELSE (users_a - users_b) * (users_a - users_b) * 1000000
-            > $SrmCritMicro * (users_a + users_b) END""").as("srm_detected"))
+          ELSE CAST(users_a - users_b AS DECIMAL(38,0))
+              * (users_a - users_b) * 1000000
+            > CAST($SrmCritMicro AS DECIMAL(38,0)) * (users_a + users_b) END""")
+          .as("srm_detected"))
 
   private val qSrm = GraftQuery(
     "qstat_srm",

@@ -1893,6 +1893,38 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(o.getLong(2) == 1600000L && !o.getBoolean(3), o.toString)
   }
 
+  test("sampleRatioMismatch: extreme imbalance stays detected (no silent long wrap)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // (a-b)^2 * 1e6 wraps a long once |a-b| > ~3e6; 4M-vs-0 used to flip
+    // chisq negative and srm_detected FALSE exactly when the mismatch is
+    // worst. The DECIMAL(38,0) route keeps it exact.
+    val units = spark.range(4000000L).select(col("id"), lit(0L).as("variant"))
+    val r = StatTests.sampleRatioMismatch(units, "variant").collect().head
+    assert(r.getLong(0) == 4000000L && r.getLong(1) == 0L, r.toString)
+    // chi2 = (4e6)^2 / 4e6 = 4e6 -> 4e12 micro, positive and detected
+    assert(r.getLong(2) == 4000000000000L, s"chisq_micro wrapped: ${r.getLong(2)}")
+    assert(r.getBoolean(3), s"extreme SRM must be detected: $r")
+  }
+
+  test("ratioMetricDelta: large-magnitude family survives the staged division") {
+    import spark.implicits._
+    // n=1000 users with x ~ 1e8 and y ~ tens: _num ~ 1e28, so the old
+    // single-floor numerator users*_num*1e9 ~ 1e40 silently NULLed
+    // DECIMAL(38,0); the staged form's worst operand is _num*1e9 ~ 1e37.
+    val rows = (1L to 1000L).map(i => (0L, 100000000L + i * 1000L, i % 61))
+    val units = rows.toDF("variant", "x", "y")
+    val out = StatTests.ratioMetricDelta(units, "variant", "x", "y").collect().head
+    val n = BigInt(1000)
+    val sx = BigInt(rows.map(_._2).sum); val sy = BigInt(rows.map(_._3).sum)
+    val num = rows.map { case (_, x, y) =>
+      val d = sx * y - sy * x; d * d }.sum
+    val expected = (n * ((num * BigInt(1000000000L)) / (sx * sx))) /
+      ((n - 1) * sy * sy)
+    assert(out.getLong(5) == expected.toLong,
+      s"rel_se2_nano ${out.getLong(5)} != BigInt-exact $expected")
+    assert(out.getLong(5) > 0L, "large family must not NULL/zero out")
+  }
+
   test("ratioMetricDelta: hand-computed SE; constant-ratio data scores exactly 0") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
@@ -1962,6 +1994,15 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the clique itself is regular, so round 2 empties; zeros are never best
     assert(tr(2)._2 == 0L && !tr(2)._5 && !tr(3)._5, tr.mkString(", "))
     assert(tr.count(_._5) == 1, s"exactly one best round: ${tr.mkString(", ")}")
+  }
+
+  test("densestSubgraph: empty input marks NO round best (zeros are never best)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val tr = GraphOps.densestSubgraph(empty, rounds = 2).collect()
+    assert(tr.length == 3, tr.mkString(", "))
+    assert(tr.forall(r => r.getLong(1) == 0L && !r.getBoolean(4)),
+      s"empty graph rounds must not be flagged best: ${tr.mkString(", ")}")
   }
 
   test("bhFdr: planted signal rejected, step-up rescues an above-line rank, null family rejects nothing") {
