@@ -2284,6 +2284,63 @@ object SimilarityOps {
       .select(col("src"), col("nbr"), col("cosine"))
   }
 
+  /** Streaming maintenance twin of the navigable ANN graph — the
+    * incremental-insert path for [[knnGraph]] + [[crossCellEdges]]
+    * (HNSW's insert, re-expressed on engine-managed per-key state):
+    * each arriving vector is routed to its primary cell (as a MEMBER)
+    * and its `xCells` secondary cells (as a cross-link VISITOR), both
+    * from the same one-pass dot-score assignment the batch build uses,
+    * and a [[graft.streaming.GraphAnnInsertProcessor]] per quantizer
+    * cell maintains every resident's exact top-k adjacency in RocksDB
+    * as inserts arrive.
+    *
+    * Because the batch graph is cell-local by construction, the
+    * maintained state equals the batch rebuild over the same arrivals
+    * EDGE FOR EDGE (same tie rule, same cosines — pinned in
+    * StreamingExtrasSpec), so search recall over the streamed graph is
+    * identical to the bulk path's, not merely within ε. The codebook
+    * rides the plan as a literal (C ≤ [[CentroidLiteralMax]]) — the
+    * deployment contract is the IVF one: retrain periodically, restart
+    * the query with the new codebook (state keyed by cell id must not
+    * outlive its quantizer).
+    *
+    * Output (append mode, change-log): (cell, src, member, nbrs,
+    * cosines) — src's new adjacency within that cell; keep the LATEST
+    * row per (cell, src). Member rows are the intra-cell kNN edges,
+    * visitor rows the cross-cell links; symmetrize downstream exactly
+    * as [[graphAnnSearch]]'s callers do.
+    */
+  def graphAnnStream(vectors: org.apache.spark.sql.DataFrame,
+      cents: Seq[Seq[Double]],
+      k: Int = KnnK, xCells: Int = GXCells, xK: Int = GXK,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      stateTtl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig}
+    require(cents.size <= CentroidLiteralMax,
+      s"graphAnnStream ships the codebook as a plan literal; C = " +
+        s"${cents.size} exceeds $CentroidLiteralMax — shrink the " +
+        "codebook or shard the stream (the large-C broadcast-join " +
+        "assignment path needs a batch aggregation)")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val routed = assignWithSecondaries(prep(vectors, idCol, vecCol), cents, xCells)
+      .select(col("vec_id").cast("long").as("vec_id"), col("v"), col("nrm"),
+        explode(expr(
+          """concat(array(struct(CAST(cell AS BIGINT) AS c, true AS m)),
+             transform(xcells, x -> struct(x AS c, false AS m)))""")).as("r"))
+      .select(col("r.c").as("cell"), col("vec_id"),
+        col("r.m").as("member"), col("v"), col("nrm"))
+      .as[(Long, Long, Boolean, Array[Double], Double)]
+    val timeMode =
+      if (stateTtl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
+    routed.groupByKey(_._1)
+      .transformWithState(
+        new graft.streaming.GraphAnnInsertProcessor(k, xK, stateTtl),
+        timeMode, OutputMode.Append())
+      .toDF("cell", "src", "member", "nbrs", "cosines")
+  }
+
   /** One-scan cell assignment shared by the kNN-graph and cross-edge
     * builders: primary cell (argmax) PLUS the GXCells next-best cells,
     * all from a single codegen'd dot-score vector, checkpointed — the

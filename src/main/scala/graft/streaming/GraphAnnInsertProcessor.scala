@@ -1,0 +1,159 @@
+package graft.streaming
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+
+object GraphAnnInsertProcessor {
+  /** One resident of a quantizer cell: role (member = primary cell,
+    * else cross-link visitor), its vector + precomputed norm, and its
+    * CURRENT adjacency inside this cell — the exact top-`cap`
+    * neighbors among the cell's members seen so far, sorted by
+    * (cosine desc, id asc), the batch builders' tie rule.
+    */
+  final case class Node(member: Boolean, v: Array[Double], nrm: Double,
+      nbrs: Array[Long], cos: Array[Double])
+
+  /** (cell, vecId, member, v, nrm) — one routed arrival. */
+  type In = (Long, Long, Boolean, Array[Double], Double)
+
+  /** (cell, src, member, nbrs, cosines) — src's NEW adjacency in this
+    * cell after the batch; latest emission per (cell, src) wins.
+    */
+  type Out = (Long, Long, Boolean, Array[Long], Array[Double])
+}
+
+/** Incremental maintenance of the navigable ANN graph — the streaming
+  * twin of [[graft.analytics.SimilarityOps.knnGraph]] +
+  * [[graft.analytics.SimilarityOps.crossCellEdges]], keyed by quantizer
+  * cell (the HNSW insert path re-expressed on the engine-managed
+  * per-key state the reference is built around,
+  * `InvokeStatefulLambda.java:61-65`).
+  *
+  * The batch graph is CELL-LOCAL by construction: a vector's intra-cell
+  * kNN edges depend only on its primary cell's members, and its
+  * cross-cell links only on each secondary cell's members. So per-cell
+  * state suffices to maintain the EXACT graph online — stronger than
+  * HNSW's approximate insert, whose beam-searched links drift from a
+  * bulk rebuild. Each arrival:
+  *
+  *  1. scores against the cell's current members (one state scan — the
+  *     same candidate set the batch intra-cell join enumerates),
+  *  2. takes its own top-`knnK` (member) / top-`xK` (visitor) adjacency,
+  *  3. if it is a MEMBER, offers itself to every resident's adjacency
+  *     (members hold up to `knnK`, visitors up to `xK`), displacing the
+  *     worst link when full — exact top-k maintenance under insert-only
+  *     arrivals, so after any prefix of the stream the state equals the
+  *     batch build over that prefix, edge for edge and tie for tie.
+  *
+  * Emissions are change-logged per batch: every resident whose
+  * adjacency changed emits one (cell, src, member, nbrs, cosines) row;
+  * consumers keep the LATEST row per (cell, src) — the
+  * [[MergeStateProcessor]] latest-wins convention. Replayed ids
+  * (at-least-once) are first-wins no-ops. Cosines are computed as
+  * dot(v,o)/(nrm·onrm) with sequential index-order accumulation —
+  * bit-identical to the codegen'd DotProduct the batch plan uses.
+  *
+  * Scale shape: state is sharded by the uniform quantizer-cell key
+  * (~n/C residents per cell, the IVF premise); per-arrival work is one
+  * cell scan — exactly the batch join's per-row candidate volume. Total
+  * state = one Node per (vector, 1 + xCells) routing, i.e. the same
+  * n·const the batch edge list carries, in RocksDB. `stateTtl` bounds
+  * it on unbounded streams (sliding-corpus trade, as
+  * [[BandNearDupProcessor]]).
+  */
+final class GraphAnnInsertProcessor(knnK: Int, xK: Int,
+    stateTtl: TTLConfig = TTLConfig.NONE)
+    extends StatefulProcessor[Long, GraphAnnInsertProcessor.In, GraphAnnInsertProcessor.Out] {
+  import GraphAnnInsertProcessor._
+
+  require(knnK >= 1, s"knnK must be >= 1, got $knnK")
+  require(xK >= 1, s"xK must be >= 1, got $xK")
+
+  @transient private var nodes: MapState[Long, Node] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    nodes = getHandle.getMapState[Long, Node]("cellNodes",
+      Encoders.scalaLong, Encoders.product[Node], stateTtl)
+
+  /** dot(a, b) with sequential index-order accumulation and
+    * truncate-to-shorter — the DotProduct expression's contract.
+    */
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0; val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** (cos desc, id asc) — the shared batch tie rule. */
+  private def beats(c1: Double, i1: Long, c2: Double, i2: Long): Boolean =
+    c1 > c2 || (c1 == c2 && i1 < i2)
+
+  /** Insert (cos, id) into an adjacency if it makes the top-`cap`;
+    * returns the updated arrays or null when unchanged.
+    */
+  private def offer(nbrs: Array[Long], cos: Array[Double], cap: Int,
+      id: Long, c: Double): (Array[Long], Array[Double]) = {
+    val n = nbrs.length
+    if (n >= cap && !beats(c, id, cos(n - 1), nbrs(n - 1))) return null
+    var p = 0
+    while (p < n && beats(cos(p), nbrs(p), c, id)) p += 1
+    val keep = if (n >= cap) n - 1 else n
+    val nn = new Array[Long](keep + 1); val nc = new Array[Double](keep + 1)
+    System.arraycopy(nbrs, 0, nn, 0, p); System.arraycopy(cos, 0, nc, 0, p)
+    nn(p) = id; nc(p) = c
+    System.arraycopy(nbrs, p, nn, p + 1, keep - p)
+    System.arraycopy(cos, p, nc, p + 1, keep - p)
+    (nn, nc)
+  }
+
+  override def handleInputRows(cell: Long, rows: Iterator[In],
+      timerValues: TimerValues): Iterator[Out] = {
+    // one state scan per (key, batch): the cell's residents are bounded
+    // by the quantizer premise (~n/C), the same working set the batch
+    // intra-cell join holds per task
+    val local = mutable.LinkedHashMap.empty[Long, Node]
+    nodes.iterator().foreach { case (id, nd) => local(id) = nd }
+    val changed = mutable.LinkedHashSet.empty[Long]
+    rows.toVector.sortBy(_._2).foreach { case (_, id, isMember, v, nrm) =>
+      if (!local.contains(id)) {
+        val cap = if (isMember) knnK else xK
+        var myN = Array.emptyLongArray; var myC = Array.emptyDoubleArray
+        local.foreach { case (oid, o) =>
+          if (o.member) {
+            val c = dot(v, o.v) / (nrm * o.nrm)
+            offer(myN, myC, cap, oid, c) match {
+              case null => ()
+              case (nn, nc) => myN = nn; myC = nc
+            }
+            ()
+          }
+          // a new MEMBER offers itself to every resident (members keep
+          // knnK links, visitors keep xK); visitors are targets only
+          if (isMember) {
+            val oCap = if (o.member) knnK else xK
+            val c = dot(o.v, v) / (o.nrm * nrm)
+            offer(o.nbrs, o.cos, oCap, id, c) match {
+              case null => ()
+              case (nn, nc) =>
+                local(oid) = o.copy(nbrs = nn, cos = nc)
+                changed += oid
+            }
+            ()
+          }
+        }
+        local(id) = Node(isMember, v, nrm, myN, myC)
+        changed += id
+      }
+    }
+    // write back + emit EAGERLY — state puts must not ride a lazy
+    // iterator the sink may drain after the store commit window
+    val out = changed.toVector.map { id =>
+      val nd = local(id)
+      nodes.updateValue(id, nd)
+      (cell, id, nd.member, nd.nbrs, nd.cos)
+    }
+    out.iterator
+  }
+}

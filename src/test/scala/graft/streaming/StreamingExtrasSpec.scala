@@ -1661,6 +1661,114 @@ class StreamingExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exact.get() == SoakProbe,
       s"run-2 matches ${exact.get()}, want $SoakProbe — DFA state lost")
   }
+
+  test("graphAnnStream: incrementally-built graph equals the batch rebuild edge for edge") {
+    import graft.analytics.SimilarityOps
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = SimilarityOps.trainCentroids(corpus)
+    val k = 6; val xCells = 2; val xK = 2
+    // batch rebuild on the full corpus: intra-cell kNN + cross-cell links
+    val bk = SimilarityOps.knnGraph(corpus, k, cents).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val bx = SimilarityOps.crossCellEdges(corpus, cents, xCells, xK).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // stream the same 500 vectors in 3 waves; latest emission per
+    // (cell, src) wins (all emissions of one src ride one cell key →
+    // one task, in order; foreachBatch appends batches in order)
+    val rows = corpus.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val input = MemoryStream[(Long, Array[Float])](spark)
+    val buf = mutable.Buffer.empty[(Long, Long, Boolean, Seq[Long], Seq[Double])]
+    val q = SimilarityOps.graphAnnStream(
+        input.toDS().toDF("vec_id", "embedding"), cents, k, xCells, xK)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-gann").toString)
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val got = b.collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getBoolean(2), r.getSeq[Long](3), r.getSeq[Double](4)))
+        buf.synchronized { buf ++= got }; ()
+      }.start()
+    rows.grouped(200).foreach { w => input.addData(w.toSeq); q.processAllAvailable() }
+    q.stop()
+    val fin = buf.synchronized {
+      buf.zipWithIndex.groupBy { case (r, _) => (r._1, r._2, r._3) }
+        .map { case (_, v) => v.maxBy(_._2)._1 }.toSeq
+    }
+    // member rows ARE the batch kNN edges — same order = same ranks
+    val sk = fin.filter(_._3).flatMap { case (_, src, _, nbrs, cos) =>
+      nbrs.indices.map(i => (src, i + 1, nbrs(i), cos(i))) }
+    assert(sk.toSet == bk.toSet,
+      s"kNN edges differ: stream ${sk.size} vs batch ${bk.length}; " +
+        s"missing ${(bk.toSet -- sk.toSet).take(3)}, extra ${(sk.toSet -- bk.toSet).take(3)}")
+    // visitor rows ARE the cross-cell links (per secondary cell)
+    val sx = fin.filter(!_._3).flatMap { case (_, src, _, nbrs, cos) =>
+      nbrs.indices.map(i => (src, nbrs(i), cos(i))) }.toSet
+    assert(sx == bx,
+      s"cross edges differ: stream ${sx.size} vs batch ${bx.size}; " +
+        s"missing ${(bx -- sx).take(3)}, extra ${(sx -- bx).take(3)}")
+  }
+
+  test("GraphAnnInsertProcessor soak: 10^6 residents, exact adjacency across a restart") {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = Files.createTempDirectory("graft-gann-1m").toString
+    val cells = 250000L
+    val emitted = new java.util.concurrent.atomic.AtomicLong
+    val exact = new java.util.concurrent.atomic.AtomicLong
+    val input = MemoryStream[(Long, Long, Boolean, Array[Double], Double)](spark)
+    def start() = input.toDS().groupByKey(_._1)
+      .transformWithState(new GraphAnnInsertProcessor(4, 2),
+        TimeMode.None(), OutputMode.Append())
+      .toDF("cell", "src", "member", "nbrs", "cosines")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        emitted.addAndGet(b.count())
+        // a probe visitor's top-2 over cell c's four members (1, j),
+        // j = 0..3, against (1, 0) is EXACTLY [id(j=0), id(j=1)] =
+        // [c, c + 250000] with cosine 1.0 first — only derivable from
+        // retained run-1 member vectors (lost state → 0 neighbors)
+        exact.addAndGet(b.filter("member = false AND size(nbrs) = 2 AND " +
+          "nbrs[0] = src - 1000000 AND nbrs[1] = src - 750000 AND " +
+          "cosines[0] = CAST(1 AS DOUBLE)").count()); ()
+      }.start()
+    val q1 = start()
+    soakWaves.zipWithIndex.foreach { case (w, j) =>
+      // wave j: one member per cell with v = (1, j); 4 waves fill every
+      // cell with 4 members — adjacency churn on every arrival
+      input.addData(w.map(u => (u.toLong % cells, u.toLong, true,
+        Array(1.0, j.toDouble), math.sqrt(1.0 + j * j))))
+      q1.processAllAvailable()
+    }
+    // wave j changes j+1 adjacencies per cell: (1+2+3+4) × 250k cells
+    assert(emitted.get() == 10L * cells, s"run 1 emissions ${emitted.get()}")
+    val sop = q1.recentProgress.flatMap(_.stateOperators).maxBy(_.numRowsTotal)
+    assert(sop.numRowsTotal >= SoakUsers,
+      s"map state holds ${sop.numRowsTotal} rows, want >= $SoakUsers")
+    val custom = sop.customMetrics
+    val rocks = custom.keySet().toArray.map(_.toString).filter(_.startsWith("rocksdb"))
+    assert(rocks.nonEmpty && rocks.exists(kk => custom.get(kk).longValue() > 0L),
+      s"graph-ann: no live RocksDB metrics — wrong provider? $custom")
+    q1.stop()
+    val q2 = start()
+    // probe: one VISITOR per cell (cross-link insert path); emits only
+    // itself, with adjacency computed against restored member state
+    input.addData((0L until SoakProbe).map(c =>
+      (c, 1000000L + c, false, Array(1.0, 0.0), 1.0)))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(emitted.get() == 10L * cells + SoakProbe,
+      s"run 2 should emit exactly one row per probe: ${emitted.get()}")
+    assert(exact.get() == SoakProbe,
+      s"run-2 adjacency not the exact continuation (want $SoakProbe exact " +
+        s"top-2 rows, got ${exact.get()}) — member state lost or reordered")
+  }
 }
 
 /** Event-time sessionization on raw transformWithState timers: per-key
