@@ -836,21 +836,25 @@ object VocabOps {
     Some(bigramNoveltySql))
 
   // ------------------------------------- tokenizer fertility bake-off
-  /** Per-language tokenizer FERTILITY comparison — chars-per-token of the
-    * BPE merge replay vs the greedy WordPiece matcher over the SAME
-    * learned piece inventory. Fertility (how many characters one token
+  /** Per-language tokenizer FERTILITY comparison — chars-per-token of
+    * the BPE merge replay, the greedy WordPiece matcher over the SAME
+    * learned piece inventory, and (r12) the Viterbi segmenter over the
+    * [[unigramLmTrain]]ed vocabulary — all three major subword
+    * families, same corpus. Fertility (how many characters one token
     * carries, µ-units) is the number that decides tokenizer budgets per
     * language: a language whose fertility collapses under one scheme is
-    * paying more sequence length for the same text. Composes three
-    * existing linear ops ([[bpeTokenize]], [[wordpieceTokenize]], the
-    * memoized [[bpeTrain]]) with two uniform doc-key joins + one
-    * language-key agg — nothing new touches the corpus beyond the two
-    * tokenize scans.
+    * paying more sequence length for the same text. Composes existing
+    * linear ops ([[bpeTokenize]], [[wordpieceTokenize]],
+    * [[unigramTokenize]], the memoized trainers) with three uniform
+    * doc-key joins + one language-key agg — nothing new touches the
+    * corpus beyond the three tokenize scans.
     * Output: (lang, n_docs, n_chars, n_bpe_tokens, n_wp_tokens,
-    * bpe_cpt_micro, wp_cpt_micro) ordered by lang; docs with no [a-z]+
-    * word are absent from both tokenizers and excluded identically.
+    * n_uni_tokens, bpe_cpt_micro, wp_cpt_micro, uni_cpt_micro) ordered
+    * by lang; docs with no [a-z]+ word are absent from all three
+    * tokenizers and excluded identically.
     */
   def tokenizerFertility(docs: DataFrame, merges: Seq[BpeMerge],
+      uniPieces: Seq[(String, Int)],
       idCol: String = "doc_id", textCol: String = "text",
       langCol: String = "lang", charsCol: String = "n_chars"): DataFrame = {
     val pieces = ('a' to 'z').map(_.toString) ++ merges.map(m => m.lhs + m.rhs)
@@ -858,21 +862,25 @@ object VocabOps {
       .select(col("doc_id"), col("n_bpe_tokens"))
     val wp = wordpieceTokenize(docs, pieces, idCol, textCol)
       .select(col("doc_id"), col("n_wp_tokens"))
+    val uni = unigramTokenize(docs, uniPieces, idCol, textCol)
+      .select(col("doc_id"), col("n_uni_tokens"))
     docs.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
         col(charsCol).cast("long").as("chars"))
-      .join(bpe, "doc_id").join(wp, "doc_id")
+      .join(bpe, "doc_id").join(wp, "doc_id").join(uni, "doc_id")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("chars")).as("n_chars"),
         sum(col("n_bpe_tokens")).as("n_bpe_tokens"),
-        sum(col("n_wp_tokens")).as("n_wp_tokens"))
+        sum(col("n_wp_tokens")).as("n_wp_tokens"),
+        sum(col("n_uni_tokens")).as("n_uni_tokens"))
       .select(col("lang"), col("n_docs"), col("n_chars"),
-        col("n_bpe_tokens"), col("n_wp_tokens"),
+        col("n_bpe_tokens"), col("n_wp_tokens"), col("n_uni_tokens"),
         expr("1000000L * n_chars div n_bpe_tokens").as("bpe_cpt_micro"),
-        expr("1000000L * n_chars div n_wp_tokens").as("wp_cpt_micro"))
+        expr("1000000L * n_chars div n_wp_tokens").as("wp_cpt_micro"),
+        expr("1000000L * n_chars div n_uni_tokens").as("uni_cpt_micro"))
       .orderBy(col("lang"))
   }
 
-  private val fertilitySql = {
+  private lazy val fertilitySql = {
     val applied = (1 to BpeRounds).foldLeft("regexp_replace(w, '(.)', '<\\1>', 'g')") {
       (acc, t) =>
         s"replace($acc, '<' || b$t.l || '><' || b$t.r || '>', '<' || b$t.l || b$t.r || '>')"
@@ -900,26 +908,276 @@ object VocabOps {
     done AS (SELECT w, n FROM seg WHERE pos = length(w) + 1),
     wt AS (SELECT doc_id, SUM(CAST(n AS BIGINT)) AS nwp
       FROM dw JOIN done USING (w) GROUP BY doc_id),
-    j AS (SELECT d.lang, d.n_chars, bt.nbpe, wt.nwp
+    $uniTrainCtes,
+    ${uniSegSql(s"upieces$UniRounds", "F")},
+    udone AS (SELECT w, CAST(len(ps) AS BIGINT) AS n
+      FROM uwkF WHERE pos = 0),
+    ut AS (SELECT doc_id, SUM(n) AS nuni
+      FROM dw JOIN udone USING (w) GROUP BY doc_id),
+    j AS (SELECT d.lang, d.n_chars, bt.nbpe, wt.nwp, ut.nuni
       FROM documents d JOIN bt ON d.doc_id = bt.doc_id
-      JOIN wt ON d.doc_id = wt.doc_id)
+      JOIN wt ON d.doc_id = wt.doc_id
+      JOIN ut ON d.doc_id = ut.doc_id)
     SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
       CAST(SUM(nbpe) AS BIGINT) AS n_bpe_tokens,
       CAST(SUM(nwp) AS BIGINT) AS n_wp_tokens,
+      CAST(SUM(nuni) AS BIGINT) AS n_uni_tokens,
       CAST(1000000 * SUM(n_chars) // SUM(nbpe) AS BIGINT) AS bpe_cpt_micro,
-      CAST(1000000 * SUM(n_chars) // SUM(nwp) AS BIGINT) AS wp_cpt_micro
+      CAST(1000000 * SUM(n_chars) // SUM(nwp) AS BIGINT) AS wp_cpt_micro,
+      CAST(1000000 * SUM(n_chars) // SUM(nuni) AS BIGINT) AS uni_cpt_micro
     FROM j GROUP BY lang ORDER BY lang"""
   }
 
-  private val qFertility = GraftQuery(
+  // lazy: the unigram CTE builders live later in the object; qFertility
+  // is only dereferenced from `queries` (post-init), so laziness just
+  // defers the string build past construction order
+  private lazy val qFertility = GraftQuery(
     "qt_tokenizer_fertility",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
       tokenizerFertility(docs,
-        Memo.value(s, s"bpe_merges:$dir")(bpeTrain(docs, BpeRounds)))
+        Memo.value(s, s"bpe_merges:$dir")(bpeTrain(docs, BpeRounds)),
+        Memo.value(s, s"unigram_pieces:$dir")(unigramLmTrain(docs))
+          .map(t => (t._1, t._3)))
     },
     Some(fertilitySql))
+
+  // ------------------------------------- unigram LM (SentencePiece)
+  /** Unigram-LM subword trainer (Kudo, ACL 2018 — the SentencePiece
+    * algorithm; the third major tokenizer family next to [[bpeTrain]]'s
+    * merge learning and [[wordpieceTokenize]]'s greedy matching): seed a
+    * large candidate vocabulary from corpus substrings, then alternate
+    * (E) Viterbi-segment the corpus under the current piece costs and
+    * (M) re-estimate costs from piece usage, pruning pieces the optimal
+    * segmentations never use (single characters are never pruned — the
+    * character-coverage invariant).
+    *
+    * Exact-integer instantiation (the family discipline — no log()/exp()
+    * cross-engine drift): piece cost = Elias-gamma bits 2⌊log₂ r⌋+1 at
+    * usage rank r (the [[zipfSurprisal]] rank-structured surprisal, via
+    * exact bit lengths), the E-step is HARD EM (Viterbi counts — the
+    * standard approximation Kudo §3.2 notes), and Viterbi itself is a
+    * min-cost DP with the deterministic tie rule (cost asc, longer
+    * piece, lexicographic). Every quantity is an integer, so the whole
+    * trainer is oracle-checkable like the BPE chain.
+    *
+    * Scale shape: the corpus collapses ONCE to the distinct-word
+    * frequency table (uniform-key agg); seeding explodes each distinct
+    * word into its ≤ len·maxLen substrings (bounded per word, vocab-
+    * domain only); each EM round is one map-only Viterbi fold over the
+    * distinct words + one piece-key usage agg ("one posting-table agg
+    * per iteration") + a ≤(seedK+26)-row driver fetch for the re-rank —
+    * the [[bpeTrain]] sanctioned driver-loop shape. The corpus is never
+    * touched after the first scan.
+    *
+    * Returns the final vocabulary in rank order: (piece, usage, bits)
+    * with usage from the last E-step.
+    */
+  def unigramLmTrain(docs: DataFrame, rounds: Int = UniRounds,
+      seedK: Int = UniSeedK, maxLen: Int = UniMaxLen,
+      idCol: String = "doc_id", textCol: String = "text"): Seq[(String, Long, Int)] = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(seedK >= 1, s"seedK must be >= 1, got $seedK")
+    require(maxLen >= 1, s"maxLen must be >= 1, got $maxLen")
+    val wf = uniWordFreq(docs, idCol, textCol).persist()
+    try {
+      // seed: every substring of length 1..maxLen of every distinct
+      // word, frequency-weighted by position multiplicity (the bounded-
+      // window stand-in for SentencePiece's suffix-array seeding)
+      val subs = wf.select(explode(expr(
+          s"""flatten(transform(sequence(1, length(w)), i ->
+            transform(sequence(i, least(i + ${maxLen - 1}, length(w))), jj ->
+              substring(w, i, jj - i + 1))))""")).as("piece"), col("cnt"))
+        .groupBy(col("piece")).agg(sum(col("cnt")).as("freq"))
+      val top = subs.orderBy(col("freq").desc, col("piece")).limit(seedK)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val chFreq = subs.filter(length(col("piece")) === 1).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      val alphabet = ('a' to 'z')
+        .map(c => (c.toString, chFreq.getOrElse(c.toString, 0L)))
+      var pieces = uniRanked((top ++ alphabet).distinct)
+      for (_ <- 1 to rounds) {
+        val pLit = uniPiecesLit(pieces.map(t => (t._1, t._3)))
+        val uMap = wf
+          .withColumn("lp", expr(uniViterbiExpr(pLit)).getField("lp"))
+          .select(explode(expr(uniWalkExpr)).as("piece"), col("cnt"))
+          .groupBy(col("piece")).agg(sum(col("cnt")).as("usage"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        pieces = uniRanked(pieces.collect {
+          case (p, _, _) if uMap.getOrElse(p, 0L) > 0 || p.length == 1 =>
+            (p, uMap.getOrElse(p, 0L))
+        })
+      }
+      pieces
+    } finally { wf.unpersist(); () }
+  }
+
+  /** Viterbi segmentation under a trained unigram vocabulary — the
+    * serving half ([[bpeTokenize]] replays merges, this minimizes total
+    * piece bits): per DISTINCT word one DP fold + backward walk, then
+    * the uniform word-key join back to occurrences (the
+    * [[wordpieceTokenize]] Heaps'-law shape).
+    * Output: (doc_id, n_words, n_uni_tokens).
+    */
+  def unigramTokenize(docs: DataFrame, pieces: Seq[(String, Int)],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(('a' to 'z').forall(c => pieces.exists(_._1 == c.toString)),
+      "pieces must cover all single characters (Viterbi totality)")
+    val pLit = uniPiecesLit(pieces)
+    val occ = norm(docs, idCol, textCol)
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+    val perWord = occ.select(col("w")).distinct()
+      .withColumn("lp", expr(uniViterbiExpr(pLit)).getField("lp"))
+      .select(col("w"), size(expr(uniWalkExpr)).as("_n"))
+    occ.join(perWord, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("_n")).cast("long").as("n_uni_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  private[analytics] val UniRounds = 2
+  private[analytics] val UniSeedK = 60
+  private[analytics] val UniMaxLen = 4
+
+  private def uniWordFreq(docs: DataFrame, idCol: String, textCol: String) =
+    norm(docs, idCol, textCol)
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+
+  /** (usage desc, piece) ranking with Elias-gamma bit costs
+    * 2⌊log₂ r⌋+1 — ⌊log₂⌋ via exact bit length, the zipfSurprisal
+    * convention (`length(bin(rank)) - 1` in both engines).
+    */
+  private def uniRanked(ps: Seq[(String, Long)]): Seq[(String, Long, Int)] =
+    ps.sortBy { case (p, f) => (-f, p) }.zipWithIndex.map { case ((p, f), i) =>
+      (p, f, 2 * (63 - java.lang.Long.numberOfLeadingZeros(i + 1L)) + 1)
+    }
+
+  private def uniPiecesLit(pieces: Seq[(String, Int)]): String =
+    pieces.map { case (p, b) => s"named_struct('p', '$p', 'b', $b)" }
+      .mkString("array(", ", ", ")")
+
+  /** Forward Viterbi DP as ONE `aggregate` fold over character
+    * positions: state carries cs (best cost per prefix, 1-based) and lp
+    * (the best segmentation's LAST piece per prefix — the backpointer).
+    * The candidate argmin is an array_min over (cost, −len, piece)
+    * structs, so ties deterministically prefer the longer then
+    * lexicographically smaller piece; single-character coverage makes
+    * the candidate set non-empty at every position.
+    */
+  private def uniViterbiExpr(pLit: String): String = {
+    val cand = s"""array_min(transform(filter($pLit,
+        s -> length(s.p) <= j AND substring(w, j - length(s.p) + 1, length(s.p)) = s.p),
+      s -> named_struct('c', element_at(acc.cs, j - length(s.p) + 1) + s.b,
+        'nl', -length(s.p), 'p', s.p)))"""
+    s"""aggregate(sequence(1, length(w)),
+      named_struct('cs', array(0), 'lp', array('')),
+      (acc, j) -> element_at(transform(array($cand),
+        m -> named_struct('cs', concat(acc.cs, array(m.c)),
+          'lp', concat(acc.lp, array(m.p)))), 1))"""
+  }
+
+  /** Backward walk over the `lp` backpointers (column `lp` must be in
+    * scope): emits the optimal piece sequence in reading order.
+    */
+  private val uniWalkExpr =
+    """aggregate(sequence(1, length(w)),
+      named_struct('pos', length(w), 'ps', cast(array() as array<string>)),
+      (acc, x) -> IF(acc.pos > 0,
+        named_struct('pos', acc.pos - length(element_at(lp, acc.pos + 1)),
+          'ps', concat(array(element_at(lp, acc.pos + 1)), acc.ps)),
+        acc),
+      acc -> acc.ps)"""
+
+  // ---- oracle: the identical trainer as DuckDB CTEs — substring seed,
+  // then per round a forward-DP recursive CTE carrying (cs, lp) lists,
+  // a backpointer-walk recursive CTE, the usage agg, and the re-rank
+  private val uniWfSql =
+    """uwf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM
+      (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents)
+      GROUP BY w)"""
+
+  private def uniSeedSql(seedK: Int, maxLen: Int) =
+    s"""usu1 AS (SELECT w, cnt, unnest(generate_series(1, length(w))) AS i FROM uwf),
+    usu2 AS (SELECT w, cnt, i,
+      unnest(generate_series(i, least(i + ${maxLen - 1}, length(w)))) AS jj FROM usu1),
+    usub AS (SELECT substr(w, i, jj - i + 1) AS piece, SUM(cnt) AS freq
+      FROM usu2 GROUP BY 1),
+    usk AS (SELECT piece, freq FROM usub ORDER BY freq DESC, piece LIMIT $seedK),
+    uch AS (SELECT chr(CAST(96 + g AS INTEGER)) AS piece,
+        COALESCE((SELECT freq FROM usub
+          WHERE usub.piece = chr(CAST(96 + g AS INTEGER))), 0) AS freq
+      FROM (SELECT unnest(generate_series(1, 26)) AS g)),
+    up0f AS (SELECT DISTINCT piece, freq
+      FROM (SELECT * FROM usk UNION ALL SELECT * FROM uch)),
+    upieces0 AS (SELECT piece, 2 * (length(bin(rank)) - 1) + 1 AS bits FROM
+      (SELECT piece, ROW_NUMBER() OVER (ORDER BY freq DESC, piece) AS rank
+       FROM up0f))"""
+
+  /** Forward-DP + backpointer-walk recursive CTE pair segmenting every
+    * distinct word under the `piecesCte` vocabulary — `uwk$sfx` rows at
+    * pos = 0 carry the optimal piece list `ps`. Shared by the training
+    * rounds and the fertility oracle's final-vocab pass.
+    */
+  private def uniSegSql(piecesCte: String, sfx: String) =
+    s"""uvit$sfx AS (
+      SELECT w, 0 AS i, [0] AS cs, [''] AS lp FROM uwf
+      UNION ALL
+      SELECT w, i + 1, list_append(cs, best.c), list_append(lp, best.p)
+      FROM (SELECT w, i, cs, lp,
+          (SELECT struct_pack(c := cs[i + 2 - length(p.piece)] + p.bits,
+              p := p.piece)
+           FROM $piecesCte p
+           WHERE length(p.piece) <= i + 1
+             AND substr(w, i + 2 - length(p.piece), length(p.piece)) = p.piece
+           ORDER BY cs[i + 2 - length(p.piece)] + p.bits,
+             length(p.piece) DESC, p.piece
+           LIMIT 1) AS best
+        FROM uvit$sfx WHERE i < length(w))),
+    uwk$sfx AS (
+      SELECT w, length(w) AS pos, []::VARCHAR[] AS ps, lp
+      FROM uvit$sfx WHERE i = length(w)
+      UNION ALL
+      SELECT w, pos - length(lp[pos + 1]), list_prepend(lp[pos + 1], ps), lp
+      FROM uwk$sfx WHERE pos > 0)"""
+
+  private def uniRoundSql(r: Int) =
+    s"""${uniSegSql(s"upieces${r - 1}", r.toString)},
+    uusage$r AS (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS usage FROM
+      (SELECT w, unnest(ps) AS piece FROM uwk$r WHERE pos = 0) JOIN uwf USING (w)
+      GROUP BY piece),
+    upr$r AS (SELECT p.piece, COALESCE(u.usage, 0) AS usage,
+        ROW_NUMBER() OVER (ORDER BY COALESCE(u.usage, 0) DESC, p.piece) AS rank
+      FROM upieces${r - 1} p LEFT JOIN uusage$r u USING (piece)
+      WHERE COALESCE(u.usage, 0) > 0 OR length(p.piece) = 1),
+    upieces$r AS (SELECT piece, 2 * (length(bin(rank)) - 1) + 1 AS bits
+      FROM upr$r)"""
+
+  private[analytics] val uniTrainCtes =
+    s"""$uniWfSql,
+    ${uniSeedSql(UniSeedK, UniMaxLen)},
+    ${(1 to UniRounds).map(uniRoundSql).mkString(",\n    ")}"""
+
+  private val unigramSql =
+    s"""WITH RECURSIVE $uniTrainCtes
+    SELECT CAST(rank AS INT) AS rank, piece, CAST(usage AS BIGINT) AS usage,
+      CAST(2 * (length(bin(rank)) - 1) + 1 AS INT) AS bits
+    FROM upr$UniRounds ORDER BY rank"""
+
+  private val qUnigram = GraftQuery(
+    "qt_unigram_lm",
+    (s, dir) => {
+      import s.implicits._
+      Memo.value(s, s"unigram_pieces:$dir")(
+        unigramLmTrain(Tables.documents(s, dir)))
+        .zipWithIndex.map { case ((p, u, b), i) => (i + 1, p, u, b) }
+        .toDF("rank", "piece", "usage", "bits")
+        .orderBy(col("rank"))
+    },
+    Some(unigramSql))
 
   // ---------------------------------------------- stupid-backoff LM
   /** Stupid-backoff bigram LM scoring (Brants et al. 2007, "Large
@@ -1475,5 +1733,5 @@ object VocabOps {
     Seq(qVocab, qKeywords, qEditDist, qBm25, qBpeTrain, qBpeTokenize, qCountMin,
       qPhrase, qBigramNovelty, qVocabCoverage, qWordpiece, qBackoff,
       qFertility, qPrf, qPieceUsage, qHeaps, qColloc, qChao1, qKneserNey,
-      qZipfSurprisal, qGoodTuring, qYuleK, qBurstiness)
+      qZipfSurprisal, qGoodTuring, qYuleK, qBurstiness, qUnigram)
 }

@@ -1485,6 +1485,26 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq == Seq((1L, 2L, 4L, 1L), (2L, 1L, 2L, 0L)), out.mkString(", "))
   }
 
+  test("unigramLmTrain: repeated motif learned, unused seeds pruned, Viterbi segments minimally") {
+    import spark.implicits._
+    val docs = Seq.tabulate(30)(i => (i.toLong, "abcdabcd abcd qrst"))
+      .toDF("doc_id", "text")
+    val vocab = VocabOps.unigramLmTrain(docs)
+    // EM rank 1/2 = the two real pieces by Viterbi usage (abcd is chosen
+    // 3x per doc, qrst once); everything else prunes down to the 26
+    // never-pruned single chars
+    assert(vocab.map(_._1).take(2) == Seq("abcd", "qrst"), vocab.take(4).toString)
+    assert(vocab.head._2 == 90L && vocab(1)._2 == 30L, vocab.take(2).toString)
+    assert(vocab.length == 28, s"expected 2 pieces + 26 chars, got ${vocab.length}")
+    // interior seed substrings (bcda, dabc, ...) had zero optimal usage
+    assert(!vocab.exists(v => Set("bcda", "cdab", "dabc")(v._1)),
+      s"unused seeds not pruned: ${vocab.map(_._1)}")
+    // serving: abcdabcd -> [abcd, abcd], abcd -> [abcd], qrst -> [qrst]
+    val t = VocabOps.unigramTokenize(docs, vocab.map(v => (v._1, v._3)))
+      .collect().head
+    assert((t.getLong(1), t.getLong(2)) == ((3L, 4L)), t.toString)
+  }
+
   test("hilbertIndex: matches the canonical 4x4 curve; every step is unit distance") {
     import org.apache.spark.sql.functions.{col, expr}
     import spark.implicits._
