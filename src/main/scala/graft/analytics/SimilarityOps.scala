@@ -2453,15 +2453,26 @@ object SimilarityOps {
 
   // r11 retune (HNSW 2-layer): with [[crossCellEdges]] making the graph
   // navigable, the search no longer buys recall with a huge entry set
-  // and a wide beam — a small entry layer (every 16th vector, top-24
-  // scored per query) plus beam 40 over TWO rounds reaches recall 0.94
-  // at sf0.1, vs 0.87 for the r10 setup (200 entries, beam 60, 3
+  // and a wide beam — a small entry layer plus beam 40 reaches recall
+  // 0.94 at sf0.1, vs 0.87 for the r10 setup (200 entries, beam 60, 3
   // rounds). Measured ladder (sf0.1): without cross edges, 24 entries
   // collapse to 0.45 — the navigability is the cross-cell links, not
   // the beam width. Frontier stays queries×beam rows — broadcast-sized.
+  //
+  // r12 retune (the descent step): the entry layer was the one term
+  // still LINEAR in n per query batch (scoring every 16th vector). The
+  // small-world graph itself does the descent HNSW uses extra layers
+  // for, so the entry sample sparsens 16× (every 256th vector) and the
+  // beam runs ONE more constant-cost round. Measured A/B at sf0.1 under
+  // identical load: recall 0.94 -> 0.94 (2 rounds at mod 256 drop to
+  // 0.64 — the third round IS the descent), index+recall harness
+  // 5.60+5.52 s -> 4.56+4.86 s. At 100× the saved entry term dominates:
+  // rounds cost O(queries·beam·degree) regardless of n, entries cost
+  // O(n/mod); extend the ladder (mod 4096 + round 4) when n/256 itself
+  // gets large — EXPLAINS_r12 §1.
   private val GBeam = 40
-  private val GRounds = 2
-  private val GEntryMod = 16
+  private val GRounds = 3
+  private val GEntryMod = 256
   private val GEntryK = 24
   // 3 secondary cells × 2 links each: +6 edges/node before
   // symmetrization — HNSW's usual long-link budget next to KnnK = 12
