@@ -598,6 +598,49 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(strided.isEmpty)
   }
 
+  test("duplicateSpans: planted near-verbatim recall — exact at stride 1, 1/stride when misaligned") {
+    import org.apache.spark.sql.functions.{col, expr}
+    import spark.implicits._
+    // 40 doc pairs, each sharing one verbatim 12-token passage embedded
+    // in globally-unique filler (edits everywhere EXCEPT the passage —
+    // the Lee et al. 2021 near-verbatim shape). Pair i's copies start at
+    // offsets 8 and 8 + (i mod 4), so exactly the i ≡ 0 (mod 4) pairs
+    // are offset-ALIGNED mod 4.
+    def alpha(n: Int): String = {
+      val s = new StringBuilder; var v = n
+      while ({ s.append(('a' + v % 26).toChar); v /= 26; v > 0 }) ()
+      s.toString
+    }
+    var fc = 0
+    def filler(k: Int): Seq[String] = Seq.fill(k) { fc += 1; "f" + alpha(fc) }
+    val L = 12; val W = 8
+    val docs = (0 until 40).flatMap { i =>
+      val passage = (0 until L).map(j => "p" + alpha(i) + "q" + alpha(j))
+      Seq((2L * i, (filler(8) ++ passage ++ filler(6)).mkString(" ")),
+        (2L * i + 1, (filler(8 + i % 4) ++ passage ++ filler(5)).mkString(" ")))
+    }.toDF("doc_id", "text")
+    def detectedPairs(stride: Int): Long = {
+      val dup = DedupOps.duplicateSpans(docs, w = W, stride = stride)
+        .select(col("span_hash").as("h"))
+      docs.select(col("doc_id"),
+          graft.functions.GraftFunctions
+            .graft_span_hashes(col("text"), W, stride).as(Seq("pos", "h")))
+        .join(dup, "h")
+        .select(expr("doc_id div 2")).distinct().count()
+    }
+    // stride 1: spans are emitted at EVERY offset, so any shared run of
+    // >= w tokens is caught regardless of where it sits — recall 1.0 vs
+    // exact substring dedup on aligned duplicates (what stride 1 cannot
+    // see is only sub-w runs, by the w-window definition)
+    assert(detectedPairs(1) == 40L, "stride 1 must catch every planted pair")
+    // stride 4: a shared passage is caught iff its two copies' offsets
+    // agree mod stride AND the passage spans >= stride emitted slots
+    // (L - w + 1 = 5 >= 4 here) — exactly the 10 aligned pairs, the
+    // 1/stride recall law for uniformly-misaligned duplicates
+    assert(detectedPairs(4) == 10L,
+      "stride 4 must catch exactly the offset-aligned quarter")
+  }
+
   test("labelCentroids computes exact per-label dimension means") {
     import spark.implicits._
     val vecs = Seq(
