@@ -170,6 +170,33 @@ object Scans {
         Window.partitionBy(col("_pid")).orderBy(sortCols: _*)))
       .drop("_pid", "_off")
   }
+
+  /** Inclusive running MIN of `value` over `sortCols` ascending — the
+    * [[rangedCumSums]] two-level scheme with (min, least) in place of
+    * (sum, +): range-exchange on the sort key, per-partition minima get
+    * exclusive prefix FLOORS via one ≤P-row window, every partition
+    * takes its local running min in parallel and leasts in its
+    * broadcast floor (null floor on the first partition — `least`
+    * skips nulls). Same strict-total-order and materialization
+    * contract as the sum variant.
+    */
+  def rangedRunningMin(df: DataFrame, sortCols: Seq[Column], value: Column,
+      out: String): DataFrame = {
+    val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.withColumn("_rmv", value)
+      .repartitionByRange(p, sortCols: _*)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    val offs = ranged.groupBy(col("_pid")).agg(min(col("_rmv")).as("_pm"))
+      .withColumn("_floor", min(col("_pm")).over(
+        Window.orderBy(col("_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("_pid"), col("_floor"))
+    val wLoc = Window.partitionBy(col("_pid")).orderBy(sortCols: _*)
+    ranged.join(broadcast(offs), "_pid")
+      .withColumn(out, least(min(col("_rmv")).over(wLoc), col("_floor")))
+      .drop("_pid", "_floor", "_rmv")
+  }
 }
 
 /** DuckDB-side fragments mirroring [[Exact]]. Keep in lock-step. */

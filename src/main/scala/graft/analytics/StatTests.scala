@@ -3598,20 +3598,34 @@ object StatTests {
     * ranks ≤ k*, even those above their own line) is preserved.
     *
     * Output: input columns + p_rank (1-based ascending p, id tie-break)
-    * + rejected.
+    * + q_value_micro + rejected. q_value_micro is the BH-ADJUSTED
+    * p-value users actually report — q₍k₎ = min_{j≥k} min(1, m·p₍j₎/j),
+    * a suffix running-min over the ranked family, computed DISTRIBUTED
+    * via [[Scans.rangedRunningMin]] on rank descending (never a
+    * single-partition window). Floor convention: each term is
+    * ⌊m·p_micro/j⌋ capped at 10⁶, so rejection implies
+    * q_value_micro ≤ α_micro (the converse can differ only in the
+    * sub-micro remainder; `rejected` stays the EXACT all-integer
+    * step-up comparison).
     */
   def bhFdr(tests: DataFrame, idCol: String, pMicroCol: String,
       alphaMicro: Long): DataFrame = {
     require(alphaMicro > 0L && alphaMicro <= 1000000L,
       s"alphaMicro must be in (0, 1e6], got $alphaMicro")
+    // ONE ranked exchange: checkpoint the ranked frame so its three
+    // consumers (family count, k* aggregate, output) read the same
+    // materialized blocks instead of re-running the rank join+window
     val ranked = Scans.globalRank(tests,
-      Seq(col(pMicroCol), col(idCol)), "p_rank")
+      Seq(col(pMicroCol), col(idCol)), "p_rank").localCheckpoint()
     val m = ranked.agg(count(lit(1)).as("_m"))
     val withM = ranked.crossJoin(broadcast(m))
     val kstar = withM
       .agg(max(when(col(pMicroCol) * col("_m") <= col("p_rank") * alphaMicro,
         col("p_rank"))).as("_kstar"))
-    withM.crossJoin(broadcast(kstar))
+    Scans.rangedRunningMin(withM, Seq(col("p_rank").desc),
+        least(lit(1000000L), expr(s"($pMicroCol * _m) div p_rank")),
+        "q_value_micro")
+      .crossJoin(broadcast(kstar))
       .withColumn("rejected", col("p_rank") <= coalesce(col("_kstar"), lit(0L)))
       .drop("_m", "_kstar")
   }
@@ -3659,7 +3673,7 @@ object StatTests {
         .select(col("user_id"), col("n"), col("p_micro"))
       bhFdr(tests, "user_id", "p_micro", BhAlphaMicro)
         .select(col("user_id"), col("n"), col("p_micro"), col("p_rank"),
-          col("rejected"))
+          col("q_value_micro"), col("rejected"))
         .orderBy(col("p_rank"))
     },
     Some(s"""WITH cts AS (SELECT user_id,
@@ -3681,10 +3695,15 @@ object StatTests {
         ROW_NUMBER() OVER (ORDER BY p_micro, user_id) AS p_rank FROM p),
       mm AS (SELECT COUNT(*) AS m FROM p),
       k AS (SELECT MAX(CASE WHEN p_micro * m <= p_rank * $BhAlphaMicro
-          THEN p_rank END) AS kstar FROM r, mm)
-      SELECT user_id, n, p_micro, p_rank,
+          THEN p_rank END) AS kstar FROM r, mm),
+      qv AS (SELECT r.*, CAST(MIN(LEAST(1000000, p_micro * m // p_rank))
+          OVER (ORDER BY p_rank DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS q_value_micro
+        FROM r, mm)
+      SELECT user_id, n, p_micro, p_rank, q_value_micro,
         p_rank <= COALESCE(kstar, 0) AS rejected
-      FROM r, k ORDER BY p_rank"""))
+      FROM qv, k ORDER BY p_rank"""))
 
   // ------------------------------- CUPED variance reduction (A/B tier)
   /** CUPED covariate adjustment (Deng, Xu, Kohavi & Walker, WSDM 2013 —

@@ -2084,6 +2084,15 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.filter(_._3).map(_._1).sorted.sameElements(Seq(1L, 2L, 3L)),
       s"expected ids 1-3 rejected (step-up through rank 3): ${out.toSeq}")
     assert(out.find(_._1 == 2L).get._2 == 2L, "rank order broke")
+    // q-values: suffix-min of min(1e6, m*p/k) — hand-computed:
+    // v = (100000, 550000, 466666, capped 1e6 beyond), so q(1) = 100000,
+    // q(2) = q(3) = 466666, q(>=4) = 1e6; rejected <=> q <= alpha here
+    val qv = StatTests.bhFdr(ps, "id", "p_micro", 500000L)
+      .select(col("p_rank"), col("q_value_micro")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(qv(1L) == 100000L && qv(2L) == 466666L && qv(3L) == 466666L,
+      qv.toString)
+    assert((4L to 10L).forall(qv(_) == 1000000L), qv.toString)
     // a uniform null family (p spread evenly above the line) rejects none
     val nul = (1L to 100L).map(i => (i, 10000L * i)).toDF("id", "p_micro")
     val r0 = StatTests.bhFdr(nul, "id", "p_micro", 50000L)
