@@ -208,28 +208,36 @@ object TextOps {
     * Output: (doc_id, exact_contam, partial_contam, contaminated), one row
     * per training doc.
     */
+  // Base pass: normalized fingerprint + token array, all codegen'd.
+  // Shared by the batch check and the streaming twin so the hash
+  // domains cannot drift.
+  private def contamBase(df: org.apache.spark.sql.DataFrame) = df
+    .withColumn("nrm", trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+    .withColumn("fp60", expr(h60("nrm")))
+    .withColumn("toks", expr(toksExpr))
+    .select(col("doc_id"), col("fp60"), col("toks"))
+
+  // Window hashes as one row per (doc, window): explode the window starts,
+  // then slice/join/md5 as TOP-LEVEL expressions. Keeping the md5 out of a
+  // transform() lambda keeps it inside whole-stage codegen (higher-order
+  // lambdas run interpreted — this was a measured ~5× on the sf0.1 binding),
+  // and the per-doc distinct that the array form needed is subsumed by the
+  // post-join doc_id distinct.
+  private def contamWindowHashes(b: org.apache.spark.sql.DataFrame,
+      window: Int) = b
+    .filter(expr(s"size(toks) >= $window"))
+    .select(col("doc_id"), col("toks"),
+      explode(expr(s"sequence(1, size(toks) - $window + 1)")).as("i"))
+    .select(col("doc_id"),
+      expr(h60(s"array_join(slice(toks, i, $window), ' ')")).as("h"))
+
   def contaminationCheck(train: org.apache.spark.sql.DataFrame,
       benchmark: org.apache.spark.sql.DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       benchTextCol: String = "text", window: Int = 8): org.apache.spark.sql.DataFrame = {
-    // Base pass: normalized fingerprint + token array, all codegen'd.
-    def base(df: org.apache.spark.sql.DataFrame) = df
-      .withColumn("nrm", trim(regexp_replace(lower(col("text")), "\\s+", " ")))
-      .withColumn("fp60", expr(h60("nrm")))
-      .withColumn("toks", expr(toksExpr))
-      .select(col("doc_id"), col("fp60"), col("toks"))
-    // Window hashes as one row per (doc, window): explode the window starts,
-    // then slice/join/md5 as TOP-LEVEL expressions. Keeping the md5 out of a
-    // transform() lambda keeps it inside whole-stage codegen (higher-order
-    // lambdas run interpreted — this was a measured ~5× on the sf0.1 binding),
-    // and the per-doc distinct that the array form needed is subsumed by the
-    // post-join doc_id distinct.
-    def windowHashes(b: org.apache.spark.sql.DataFrame) = b
-      .filter(expr(s"size(toks) >= $window"))
-      .select(col("doc_id"), col("toks"),
-        explode(expr(s"sequence(1, size(toks) - $window + 1)")).as("i"))
-      .select(col("doc_id"),
-        expr(h60(s"array_join(slice(toks, i, $window), ' ')")).as("h"))
+    def base(df: org.apache.spark.sql.DataFrame) = contamBase(df)
+    def windowHashes(b: org.apache.spark.sql.DataFrame) =
+      contamWindowHashes(b, window)
     val tn = base(norm(train, idCol, textCol))
     val bn = base(
       benchmark.select(col(benchTextCol).as("text"), lit(0L).as("doc_id")))
@@ -248,6 +256,61 @@ object TextOps {
         coalesce(col("p"), lit(false)).as("partial_contam"),
         (coalesce(col("e"), lit(false)) || coalesce(col("p"), lit(false)))
           .as("contaminated"))
+  }
+
+  /** Streaming INCREMENTAL contamination — the [[contaminationCheck]]
+    * twin for the real deployment shape: training docs stream in while
+    * the benchmark suite also EVOLVES (new eval sets land after docs
+    * were already ingested). Both sides map to the identical hash
+    * domains as the batch check (normalized-text fp60 for exact,
+    * `window`-token shingle h60 for partial — the shared
+    * [[contamBase]]/[[contamWindowHashes]] exprs), the union is keyed
+    * by tagged hash, and a [[graft.streaming.ContaminationProcessor]]
+    * holds per-hash (benchmark-seen, train-doc list) state: a train
+    * arrival on a benchmark-marked hash flags immediately; a LATE
+    * benchmark arrival retro-flags every stored doc — so the flag SET
+    * converges to the batch result under any interleaving
+    * (StreamingExtrasSpec pins stream ≡ batch across a split with a
+    * late benchmark).
+    *
+    * Scale shape: state shards on the uniform 60-bit hash key; the
+    * train side stores one long per (window, doc) occurrence — the
+    * price of retroactivity (the batch check broadcasts the benchmark
+    * instead because it has it all up front); `stateTtl` bounds state
+    * on unbounded streams, trading away retro-flags older than the TTL.
+    *
+    * Output (append): (doc_id, kind) — kind 'e' (exact) / 'p'
+    * (partial), one row per flag event; consumers dedup on both.
+    */
+  def contaminationStream(train: org.apache.spark.sql.DataFrame,
+      benchmark: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      benchTextCol: String = "text", window: Int = 8,
+      stateTtl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig}
+    val spark = train.sparkSession
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame, bench: Boolean) = {
+      val b = contamBase(df)
+      b.select(concat(lit("e:"), col("fp60")).as("k"),
+          lit(bench).as("bench"), col("doc_id"))
+        .unionByName(contamWindowHashes(b, window)
+          .select(concat(lit("p:"), col("h")).as("k"),
+            lit(bench).as("bench"), col("doc_id")))
+    }
+    val tagged = rows(norm(train, idCol, textCol), bench = false)
+      .unionByName(rows(
+        norm(benchmark.select(col(benchTextCol).as("text"),
+          lit(0L).as("doc_id")), "doc_id", "text"), bench = true))
+      .as[(String, Boolean, Long)]
+    val timeMode =
+      if (stateTtl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
+    tagged.groupByKey(_._1)
+      .transformWithState(
+        new graft.streaming.ContaminationProcessor(stateTtl),
+        timeMode, OutputMode.Append())
+      .toDF("doc_id", "kind")
   }
 
   /** Within-document repetition removal, C4/Gopher-style: split the text on

@@ -1662,6 +1662,53 @@ class StreamingExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"run-2 matches ${exact.get()}, want $SoakProbe — DFA state lost")
   }
 
+  test("contaminationStream: late benchmark retro-flags stored docs; flag set equals batch") {
+    import graft.analytics.TextOps
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val b1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val b2 = "one two three four five six seven eight nine ten"
+    val trainRows = Seq(
+      (1L, b1),                                                   // exact + partial vs b1
+      (2L, "prefix words then one two three four five six seven eight tail"), // partial vs b2
+      (3L, "completely different words nothing shared here at all okay"))
+    val benchRows = Seq((101L, b1), (102L, b2))
+    // batch truth on the full corpora
+    val batch = TextOps.contaminationCheck(
+        trainRows.toDF("doc_id", "text"), benchRows.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2)))).toMap
+    assert(batch == Map(1L -> ((true, true)), 2L -> ((false, true)),
+      3L -> ((false, false))), batch.toString)
+    // stream: docs 2,3 + benchmark b1 land first; doc 1 and the LATE
+    // benchmark b2 land second — b2 must retro-flag the stored doc 2
+    val trainIn = MemoryStream[(Long, String)](spark)
+    val benchIn = MemoryStream[(Long, String)](spark)
+    val q = TextOps.contaminationStream(
+        trainIn.toDS().toDF("doc_id", "text"), benchIn.toDS().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("contam_out")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-contam").toString)
+      .start()
+    trainIn.addData(trainRows(1), trainRows(2))
+    benchIn.addData(benchRows.head)
+    q.processAllAvailable()
+    val early = spark.table("contam_out")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(early.isEmpty, s"nothing contaminated yet: $early")
+    trainIn.addData(trainRows.head)
+    benchIn.addData(benchRows(1))
+    q.processAllAvailable()
+    q.stop()
+    val flags = spark.table("contam_out")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val streamed = trainRows.map(_._1).map(d =>
+      d -> ((flags.contains((d, "e")), flags.contains((d, "p"))))).toMap
+    assert(streamed == batch,
+      s"stream flag set $streamed differs from batch $batch")
+  }
+
   test("graphAnnStream: incrementally-built graph equals the batch rebuild edge for edge") {
     import graft.analytics.SimilarityOps
     import spark.implicits._
