@@ -3985,6 +3985,348 @@ object StatTests {
             > $SrmCritMicro * (users_a + users_b) END AS srm_detected
       FROM c"""))
 
+  // --------------------- difference-in-differences (A/B tier)
+  /** Difference-in-differences — the quasi-experimental 2×2 estimator
+    * (Card & Krueger 1994 lineage) for launches WITHOUT randomized
+    * assignment: with treatment group T/C observed pre/post, the effect
+    * estimate is (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre), the
+    * parallel-trends-adjusted lift.
+    *
+    * Exact arithmetic, composed-floors convention: each group delta is
+    * ONE cross-multiplied micro floor
+    * Δ_micro = ⌊10⁶·(S_post·n_pre − S_pre·n_post) / (n_post·n_pre)⌋ and
+    * did_micro = ΔT_micro − ΔC_micro (two floors, error < 2 micro —
+    * the single-floor form's 4-way denominator product would cap
+    * headroom at n⁴·S instead of n²·S). DECIMAL(38,0) holds to
+    * S·n ≤ 10³² — 10⁹ observations of 10⁹-cent values.
+    *
+    * Scale shape: ONE 4-cell aggregation over the observation frame;
+    * everything else is 1-row arithmetic.
+    *
+    * Input: one row per unit-period observation — (treatCol ≠ 0 ⇒ T,
+    * postCol ≠ 0 ⇒ post, valueCol integer). Output: one row with the
+    * four cell (n, sum, mean_micro), both deltas, and did_micro.
+    */
+  def diffInDiff(obs: DataFrame, treatCol: String, postCol: String,
+      valueCol: String): DataFrame =
+    obs.select((col(treatCol) =!= 0).as("_t"), (col(postCol) =!= 0).as("_p"),
+        col(valueCol).cast("bigint").as("_v"))
+      .agg(
+        sum(when(col("_t") && !col("_p"), 1L).otherwise(0L)).as("n_tpre"),
+        coalesce(sum(when(col("_t") && !col("_p"), col("_v"))), lit(0L)).as("s_tpre"),
+        sum(when(col("_t") && col("_p"), 1L).otherwise(0L)).as("n_tpost"),
+        coalesce(sum(when(col("_t") && col("_p"), col("_v"))), lit(0L)).as("s_tpost"),
+        sum(when(!col("_t") && !col("_p"), 1L).otherwise(0L)).as("n_cpre"),
+        coalesce(sum(when(!col("_t") && !col("_p"), col("_v"))), lit(0L)).as("s_cpre"),
+        sum(when(!col("_t") && col("_p"), 1L).otherwise(0L)).as("n_cpost"),
+        coalesce(sum(when(!col("_t") && col("_p"), col("_v"))), lit(0L)).as("s_cpost"))
+      .withColumn("mean_tpre_micro",
+        expr("CASE WHEN n_tpre = 0 THEN CAST(0 AS BIGINT) ELSE (1000000 * CAST(s_tpre AS DECIMAL(38,0))) DIV n_tpre END"))
+      .withColumn("mean_tpost_micro",
+        expr("CASE WHEN n_tpost = 0 THEN CAST(0 AS BIGINT) ELSE (1000000 * CAST(s_tpost AS DECIMAL(38,0))) DIV n_tpost END"))
+      .withColumn("mean_cpre_micro",
+        expr("CASE WHEN n_cpre = 0 THEN CAST(0 AS BIGINT) ELSE (1000000 * CAST(s_cpre AS DECIMAL(38,0))) DIV n_cpre END"))
+      .withColumn("mean_cpost_micro",
+        expr("CASE WHEN n_cpost = 0 THEN CAST(0 AS BIGINT) ELSE (1000000 * CAST(s_cpost AS DECIMAL(38,0))) DIV n_cpost END"))
+      .withColumn("delta_t_micro",
+        expr("""CASE WHEN n_tpre = 0 OR n_tpost = 0 THEN CAST(0 AS BIGINT)
+          ELSE (1000000 * (CAST(s_tpost AS DECIMAL(38,0)) * n_tpre
+            - CAST(s_tpre AS DECIMAL(38,0)) * n_tpost))
+            DIV (CAST(n_tpost AS DECIMAL(38,0)) * n_tpre) END"""))
+      .withColumn("delta_c_micro",
+        expr("""CASE WHEN n_cpre = 0 OR n_cpost = 0 THEN CAST(0 AS BIGINT)
+          ELSE (1000000 * (CAST(s_cpost AS DECIMAL(38,0)) * n_cpre
+            - CAST(s_cpre AS DECIMAL(38,0)) * n_cpost))
+            DIV (CAST(n_cpost AS DECIMAL(38,0)) * n_cpre) END"""))
+      .withColumn("did_micro", col("delta_t_micro") - col("delta_c_micro"))
+
+  /** DiD binding: treatment = odd user ids, post = second half of the
+    * observed window (cutoff = midpoint of min/max event time, exact
+    * epoch-second arithmetic mirrored in the oracle), value = event
+    * cents. On this synthetic corpus assignment is id-parity and
+    * behavior homogeneous, so did ≈ 0 is the correct null; the
+    * discriminating path (planted treatment-post lift recovered while a
+    * shared time trend cancels) is pinned in OpsApiSpec.
+    */
+  private val qDid = GraftQuery(
+    "qstat_did",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      val cut = ev.agg(((unix_timestamp(min(col("ts")))
+        + unix_timestamp(max(col("ts")))) / 2).cast("long").as("_cut"))
+      diffInDiff(
+        ev.crossJoin(broadcast(cut))
+          .select((col("user_id") % 2).as("treat"),
+            (unix_timestamp(col("ts")) >= col("_cut")).cast("int").as("post"),
+            col("c")),
+        "treat", "post", "c")
+    },
+    Some("""WITH ev AS (SELECT user_id, ts,
+        CAST(round(value * 100) AS BIGINT) AS c FROM events),
+      cut AS (SELECT (epoch(MIN(ts)) + epoch(MAX(ts))) // 2 AS cutsec FROM ev),
+      o AS (SELECT user_id % 2 <> 0 AS t, epoch(ts) >= cutsec AS p, c
+        FROM ev, cut),
+      g AS (SELECT
+        SUM(CASE WHEN t AND NOT p THEN 1 ELSE 0 END) AS n_tpre,
+        COALESCE(SUM(CASE WHEN t AND NOT p THEN c END), 0) AS s_tpre,
+        SUM(CASE WHEN t AND p THEN 1 ELSE 0 END) AS n_tpost,
+        COALESCE(SUM(CASE WHEN t AND p THEN c END), 0) AS s_tpost,
+        SUM(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END) AS n_cpre,
+        COALESCE(SUM(CASE WHEN NOT t AND NOT p THEN c END), 0) AS s_cpre,
+        SUM(CASE WHEN NOT t AND p THEN 1 ELSE 0 END) AS n_cpost,
+        COALESCE(SUM(CASE WHEN NOT t AND p THEN c END), 0) AS s_cpost
+        FROM o),
+      d AS (SELECT *,
+        CASE WHEN n_tpre = 0 OR n_tpost = 0 THEN 0
+          ELSE (1000000 * (CAST(s_tpost AS HUGEINT) * n_tpre
+            - CAST(s_tpre AS HUGEINT) * n_tpost))
+            // (CAST(n_tpost AS HUGEINT) * n_tpre) END AS dt,
+        CASE WHEN n_cpre = 0 OR n_cpost = 0 THEN 0
+          ELSE (1000000 * (CAST(s_cpost AS HUGEINT) * n_cpre
+            - CAST(s_cpre AS HUGEINT) * n_cpost))
+            // (CAST(n_cpost AS HUGEINT) * n_cpre) END AS dc
+        FROM g)
+      SELECT CAST(n_tpre AS BIGINT) AS n_tpre, CAST(s_tpre AS BIGINT) AS s_tpre,
+        CAST(n_tpost AS BIGINT) AS n_tpost, CAST(s_tpost AS BIGINT) AS s_tpost,
+        CAST(n_cpre AS BIGINT) AS n_cpre, CAST(s_cpre AS BIGINT) AS s_cpre,
+        CAST(n_cpost AS BIGINT) AS n_cpost, CAST(s_cpost AS BIGINT) AS s_cpost,
+        CAST(CASE WHEN n_tpre = 0 THEN 0 ELSE (1000000 * CAST(s_tpre AS HUGEINT)) // n_tpre END AS BIGINT) AS mean_tpre_micro,
+        CAST(CASE WHEN n_tpost = 0 THEN 0 ELSE (1000000 * CAST(s_tpost AS HUGEINT)) // n_tpost END AS BIGINT) AS mean_tpost_micro,
+        CAST(CASE WHEN n_cpre = 0 THEN 0 ELSE (1000000 * CAST(s_cpre AS HUGEINT)) // n_cpre END AS BIGINT) AS mean_cpre_micro,
+        CAST(CASE WHEN n_cpost = 0 THEN 0 ELSE (1000000 * CAST(s_cpost AS HUGEINT)) // n_cpost END AS BIGINT) AS mean_cpost_micro,
+        CAST(dt AS BIGINT) AS delta_t_micro, CAST(dc AS BIGINT) AS delta_c_micro,
+        CAST(dt - dc AS BIGINT) AS did_micro
+      FROM d"""))
+
+  // --------------------- post-stratification (A/B tier)
+  /** Post-stratified variant means — the weighting fix when variant
+    * composition drifts across strata (the SRM sibling that CORRECTS
+    * rather than alarms; classic survey-sampling estimator): each
+    * variant's stratum means are re-weighted by the POOLED stratum
+    * shares, ȳ_v^ps = Σ_s (N_s/N)·ȳ_{v,s}, so a variant that
+    * over-sampled a high-value stratum stops inheriting the bias.
+    *
+    * Exact arithmetic, composed floors: each stratum term is one
+    * cross-multiplied micro floor ⌊10⁶·N_s·S_{v,s} / (N·n_{v,s})⌋,
+    * summed over the stratum domain (≤ |strata| terms, error
+    * < |strata| micro). A stratum a variant never entered contributes
+    * 0 and is counted in missing_strata (the estimator is then
+    * partially weighted — flagged, not hidden).
+    *
+    * Scale shape: one (variant, stratum) aggregation + one
+    * stratum-domain aggregation broadcast back; the final rollup is
+    * variant-domain-sized.
+    *
+    * Output: one row per variant — (variant, users, raw_mean_micro,
+    * poststrat_mean_micro, n_strata, missing_strata).
+    */
+  def postStratified(obs: DataFrame, variantCol: String, strataCol: String,
+      valueCol: String): DataFrame = {
+    val o = obs.select(col(variantCol).as("variant"),
+      col(strataCol).as("_s"), col(valueCol).cast("bigint").as("_v"))
+    val pop = o.groupBy(col("_s")).agg(count(lit(1)).as("_ns"))
+    val tot = pop.agg(coalesce(sum(col("_ns")), lit(0L)).as("_n"))
+    val vs = o.groupBy(col("variant"), col("_s"))
+      .agg(count(lit(1)).as("_nvs"), sum(col("_v")).as("_svs"))
+    vs.join(broadcast(pop), "_s").crossJoin(broadcast(tot))
+      .withColumn("_term",
+        expr("""(1000000 * CAST(_ns AS DECIMAL(38,0)) * _svs)
+          DIV (CAST(_n AS DECIMAL(38,0)) * _nvs)"""))
+      .groupBy(col("variant"))
+      .agg(sum(col("_nvs")).as("users"),
+        sum(col("_svs")).as("_sv"),
+        sum(col("_term")).as("poststrat_mean_micro"),
+        count(lit(1)).as("_covered"))
+      .crossJoin(broadcast(pop.agg(count(lit(1)).as("n_strata"))))
+      .select(col("variant"), col("users"),
+        expr("(1000000 * CAST(_sv AS DECIMAL(38,0))) DIV users")
+          .as("raw_mean_micro"),
+        col("poststrat_mean_micro"), col("n_strata"),
+        (col("n_strata") - col("_covered")).as("missing_strata"))
+      .orderBy(col("variant"))
+  }
+
+  private val qPostStrat = GraftQuery(
+    "qstat_poststrat",
+    (s, dir) => postStratified(
+      Tables.events(s, dir)
+        .select((col("user_id") % 2).as("variant"), col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("c")),
+      "variant", "event_type", "c"),
+    Some("""WITH o AS (SELECT user_id % 2 AS variant, event_type AS st,
+        CAST(round(value * 100) AS BIGINT) AS c FROM events),
+      pop AS (SELECT st, COUNT(*) AS ns FROM o GROUP BY st),
+      tot AS (SELECT SUM(ns) AS n FROM pop),
+      vs AS (SELECT variant, st, COUNT(*) AS nvs, SUM(c) AS svs
+        FROM o GROUP BY variant, st),
+      t AS (SELECT variant, nvs, svs,
+          (1000000 * CAST(ns AS HUGEINT) * svs)
+            // (CAST(n AS HUGEINT) * nvs) AS term
+        FROM vs JOIN pop USING (st), tot),
+      a AS (SELECT variant, SUM(nvs) AS users, SUM(svs) AS sv,
+          SUM(term) AS ps, COUNT(*) AS covered
+        FROM t GROUP BY variant),
+      k AS (SELECT COUNT(*) AS n_strata FROM pop)
+      SELECT variant, CAST(users AS BIGINT) AS users,
+        CAST((1000000 * CAST(sv AS HUGEINT)) // users AS BIGINT) AS raw_mean_micro,
+        CAST(ps AS BIGINT) AS poststrat_mean_micro,
+        CAST(n_strata AS BIGINT) AS n_strata,
+        CAST(n_strata - covered AS BIGINT) AS missing_strata
+      FROM a, k ORDER BY variant"""))
+
+  // --------------------- group-sequential looks (A/B tier)
+  /** Group-sequential monitoring — the "peeking" guard (Pocock 1977 /
+    * O'Brien & Fleming 1979): an experiment checked at K interim looks
+    * must spend its α across them, or repeated testing inflates false
+    * positives far past the nominal level. The OBF spending shape keeps
+    * early looks conservative: the look-k boundary is z_k = c·√(K/k),
+    * so in SQUARED (chi-square) space the all-integer decision is
+    *
+    *   χ²₍k₎ · k ≥ c² · K        (c² pre-scaled to micro units).
+    *
+    * χ² at each look is the cumulative 2×2 conversion test in the
+    * [[qChisq]] exact form — N·(ad−bc)²·10⁶ div the four margins, all
+    * DECIMAL(38,0). `crossed` marks each look past its boundary;
+    * `stop_look` (broadcast 1-row min) is where a sequential monitor
+    * would have stopped.
+    *
+    * Scale shape: each unit fans out map-side to looks k..K (≤ K rows,
+    * the hll_sliding windowing pattern — no range join), then one
+    * (look)-key aggregation; the boundary comparison is a K-row frame.
+    *
+    * Input: one row per unit — (variantCol ≠ 0 splits arms, convCol ≠ 0
+    * = converted, lookCol ∈ 1..K = the look at which the unit's data
+    * arrived). Output: one row per look 1..K present —
+    * (look, users_a, conv_a, users_b, conv_b, chisq_micro, bound_micro,
+    * crossed, stop_look).
+    */
+  def groupSequential(units: DataFrame, variantCol: String, convCol: String,
+      lookCol: String, looks: Int = GsLooks,
+      critC2Micro: Long = GsObfC2Micro): DataFrame = {
+    require(looks >= 1, s"looks must be >= 1, got $looks")
+    val u = units.select((col(variantCol) =!= 0).as("_b"),
+        (col(convCol) =!= 0).as("_c"),
+        col(lookCol).cast("long").as("_l"))
+      .filter(col("_l").between(1, looks))
+      .select(col("_b"), col("_c"),
+        explode(expr(s"sequence(_l, ${looks}L)")).as("look"))
+    val g = u.groupBy(col("look"))
+      .agg(sum(when(!col("_b") && col("_c"), 1L).otherwise(0L)).as("conv_a"),
+        sum(when(!col("_b") && !col("_c"), 1L).otherwise(0L)).as("_na"),
+        sum(when(col("_b") && col("_c"), 1L).otherwise(0L)).as("conv_b"),
+        sum(when(col("_b") && !col("_c"), 1L).otherwise(0L)).as("_nb"))
+      .withColumn("users_a", col("conv_a") + col("_na"))
+      .withColumn("users_b", col("conv_b") + col("_nb"))
+      .withColumn("chisq_micro", expr("""CASE
+        WHEN users_a = 0 OR users_b = 0 OR conv_a + conv_b = 0
+          OR _na + _nb = 0 THEN CAST(0 AS BIGINT)
+        ELSE (CAST(users_a + users_b AS DECIMAL(38,0))
+            * (CAST(conv_a AS DECIMAL(38,0)) * _nb
+              - CAST(conv_b AS DECIMAL(38,0)) * _na)
+            * (CAST(conv_a AS DECIMAL(38,0)) * _nb
+              - CAST(conv_b AS DECIMAL(38,0)) * _na) * 1000000)
+          DIV (CAST(users_a AS DECIMAL(38,0)) * users_b
+            * (conv_a + conv_b) * (_na + _nb)) END"""))
+      .withColumn("bound_micro",
+        expr(s"($critC2Micro * ${looks}L) DIV look"))
+      .withColumn("crossed", col("chisq_micro") >= col("bound_micro"))
+    val stop = g.agg(min(when(col("crossed"), col("look"))).as("stop_look"))
+    g.crossJoin(broadcast(stop))
+      .select(col("look"), col("users_a"), col("conv_a"),
+        col("users_b"), col("conv_b"), col("chisq_micro"),
+        col("bound_micro"), col("crossed"), col("stop_look"))
+      .orderBy(col("look"))
+  }
+
+  private val GsLooks = 5
+  // O'Brien–Fleming K=5, two-sided alpha=0.05: final-look critical
+  // z = 2.040 (the standard tabulated value), c^2 in micro units
+  private val GsObfC2Micro = 4161600L
+
+  /** Binding: weekly looks over the event window (look = capped week of
+    * the user's FIRST event), arms by id parity, conversion = the user
+    * ever purchases. Homogeneous corpus ⇒ no look should cross (the
+    * null-honesty convention); the crossing + stop path is pinned on a
+    * planted drifted family in OpsApiSpec.
+    */
+  private val qGroupSeq = GraftQuery(
+    "qstat_group_seq",
+    (s, dir) => groupSequential(
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as("_t0"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+        .select((col("user_id") % 2).as("variant"), col("conv"),
+          least(lit(GsLooks.toLong),
+            lit(1L) + (dayofmonth(col("_t0")) - 1) / 7).as("look")),
+      "variant", "conv", "look"),
+    Some(s"""WITH per AS (SELECT user_id, MIN(ts) AS t0,
+        MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id),
+      u AS (SELECT user_id % 2 <> 0 AS b, conv <> 0 AS c,
+        LEAST($GsLooks, 1 + (day(t0) - 1) // 7) AS l FROM per),
+      f AS (SELECT b, c, unnest(generate_series(l, $GsLooks)) AS look FROM u),
+      g AS (SELECT look,
+        SUM(CASE WHEN NOT b AND c THEN 1 ELSE 0 END) AS conv_a,
+        SUM(CASE WHEN NOT b AND NOT c THEN 1 ELSE 0 END) AS na,
+        SUM(CASE WHEN b AND c THEN 1 ELSE 0 END) AS conv_b,
+        SUM(CASE WHEN b AND NOT c THEN 1 ELSE 0 END) AS nb
+        FROM f GROUP BY look),
+      x AS (SELECT look, conv_a, na, conv_b, nb,
+        conv_a + na AS users_a, conv_b + nb AS users_b FROM g),
+      z AS (SELECT *, CASE
+          WHEN users_a = 0 OR users_b = 0 OR conv_a + conv_b = 0
+            OR na + nb = 0 THEN 0
+          ELSE (CAST(users_a + users_b AS HUGEINT)
+              * (CAST(conv_a AS HUGEINT) * nb - CAST(conv_b AS HUGEINT) * na)
+              * (CAST(conv_a AS HUGEINT) * nb - CAST(conv_b AS HUGEINT) * na)
+              * 1000000)
+            // (CAST(users_a AS HUGEINT) * users_b
+              * (conv_a + conv_b) * (na + nb)) END AS chisq_micro,
+          ($GsObfC2Micro * $GsLooks) // look AS bound_micro
+        FROM x),
+      st AS (SELECT MIN(CASE WHEN chisq_micro >= bound_micro THEN look END)
+        AS stop_look FROM z)
+      SELECT CAST(look AS BIGINT) AS look,
+        CAST(users_a AS BIGINT) AS users_a, CAST(conv_a AS BIGINT) AS conv_a,
+        CAST(users_b AS BIGINT) AS users_b, CAST(conv_b AS BIGINT) AS conv_b,
+        CAST(chisq_micro AS BIGINT) AS chisq_micro,
+        CAST(bound_micro AS BIGINT) AS bound_micro,
+        chisq_micro >= bound_micro AS crossed,
+        CAST(stop_look AS BIGINT) AS stop_look
+      FROM z, st ORDER BY look"""))
+
+  /** Streaming SRM monitor — [[sampleRatioMismatch]] as a per-experiment
+    * transformWithState twin (two longs of state per key, the
+    * CUSUM/EWMA/Holt/rate-limit monitor family): unit-assignment events
+    * stream in keyed by experiment, each batch updates the two arm
+    * counts and re-emits the current (users_a, users_b, chisq_micro,
+    * srm_detected) row — latest emission per key wins. Counts are exact
+    * BigInt (the batch DECIMAL(38,0) discipline), so stream ≡ batch on
+    * everything seen, pinned across batch splits in
+    * StreamingExtrasSpec.
+    * Input: (keyCol, variantCol). Output: (exp_key, users_a, users_b,
+    * chisq_micro, srm_detected).
+    */
+  def srmStream(units: DataFrame, keyCol: String, variantCol: String,
+      stateTtl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig}
+    val spark = units.sparkSession
+    import spark.implicits._
+    val keyed = units.select(col(keyCol).cast("string").as("k"),
+        col(variantCol).cast("long").as("v"))
+      .as[(String, Long)]
+    val timeMode =
+      if (stateTtl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
+    keyed.groupByKey(_._1)
+      .transformWithState(new graft.streaming.SrmProcessor(stateTtl),
+        timeMode, OutputMode.Append())
+      .toDF("exp_key", "users_a", "users_b", "chisq_micro", "srm_detected")
+  }
+
   val queries: Seq[GraftQuery] =
     Seq(qChisq, qKs, qBoot, qGini, qLinReg, qPettitt, qWMedian, qMwu,
       qBenford, qPareto, qRuns, qSpearman, qKendall, qTheilSen, qCramersV,
@@ -3993,5 +4335,5 @@ object StatTests {
       qCochran, qLjungBox, qJonckheere, qCliffs, qCochranArmitage,
       qMoodMedian, qCvm, qPageTrend, qHodgesLehmann, qBrunnerMunzel,
       qMad, qAnsari, qSeasonalAnomaly, qHartley, qBinseg, qBhFdr, qCuped,
-      qRatioDelta, qSrm)
+      qRatioDelta, qSrm, qDid, qPostStrat, qGroupSeq)
 }

@@ -2059,6 +2059,76 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tr.count(_._5) == 1, s"exactly one best round: ${tr.mkString(", ")}")
   }
 
+  test("diffInDiff: shared time trend cancels, planted treatment-post lift recovered") {
+    import spark.implicits._
+    // baseline 1000 (T) / 800 (C); post adds a SHARED +500 trend to
+    // both arms plus a +300 treatment effect only to T-post: the naive
+    // post-only T-C diff is 200+300, DiD isolates exactly +300
+    val obs = (1L to 400L).map { i =>
+      val t = i % 2; val p = (i / 2) % 2
+      val base = if (t == 1) 1000L else 800L
+      (t, p, base + p * 500L + t * p * 300L)
+    }.toDF("treat", "post", "v")
+    val r = StatTests.diffInDiff(obs, "treat", "post", "v").collect().head
+    assert(r.getAs[Long]("did_micro") == 300000000L, r.toString)
+    assert(r.getAs[Long]("delta_t_micro") == 800000000L, r.toString)
+    assert(r.getAs[Long]("delta_c_micro") == 500000000L, r.toString)
+    // empty cell reports 0 delta rather than dividing by zero
+    val oneCell = Seq((1L, 1L, 5L)).toDF("treat", "post", "v")
+    val e = StatTests.diffInDiff(oneCell, "treat", "post", "v").collect().head
+    assert(e.getAs[Long]("did_micro") == 0L, e.toString)
+  }
+
+  test("postStratified: composition-drift bias corrected by pooled stratum weights") {
+    import spark.implicits._
+    // value depends ONLY on stratum (hi=2000, lo=1000) — no true variant
+    // effect. Variant 1 over-samples the hi stratum (3:1 vs 1:3), so raw
+    // means differ by 500 while post-stratified means are EQUAL.
+    val obs =
+      Seq.fill(30)((0L, "hi", 2000L)) ++ Seq.fill(90)((0L, "lo", 1000L)) ++
+      Seq.fill(90)((1L, "hi", 2000L)) ++ Seq.fill(30)((1L, "lo", 1000L))
+    val out = StatTests.postStratified(obs.toDF("variant", "st", "v"),
+      "variant", "st", "v").collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getAs[Long]("raw_mean_micro") == 1250000000L, out(0L).toString)
+    assert(out(1L).getAs[Long]("raw_mean_micro") == 1750000000L, out(1L).toString)
+    // pooled weights: both strata 120/240 -> ps mean = (2000+1000)/2
+    assert(out(0L).getAs[Long]("poststrat_mean_micro")
+        == out(1L).getAs[Long]("poststrat_mean_micro"),
+      s"poststrat must equalize: ${out(0L)} vs ${out(1L)}")
+    assert(out(0L).getAs[Long]("poststrat_mean_micro") == 1500000000L)
+    assert(out(0L).getAs[Long]("missing_strata") == 0L)
+  }
+
+  test("groupSequential: planted drift crosses OBF at a late look; early looks hold") {
+    import spark.implicits._
+    // looks 1-2: arms identical (120 conv / 180 non each). Looks 3-5: arm
+    // b's conversion collapses (20/280 per look) — the cumulative chi2
+    // crosses the easier late boundaries but NOT at looks 1-2.
+    val mk = (v: Long, c: Long, l: Long, n: Int) =>
+      Seq.fill(n)((v, c, l))
+    val units = ((1L to 2L).flatMap(l =>
+        mk(0L, 1L, l, 120) ++ mk(0L, 0L, l, 180) ++
+        mk(1L, 1L, l, 120) ++ mk(1L, 0L, l, 180)) ++
+      (3L to 5L).flatMap(l =>
+        mk(0L, 1L, l, 120) ++ mk(0L, 0L, l, 180) ++
+        mk(1L, 1L, l, 20) ++ mk(1L, 0L, l, 280)))
+      .toDF("variant", "conv", "look")
+    val out = StatTests.groupSequential(units, "variant", "conv", "look")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("chisq_micro"), r.getAs[Boolean]("crossed"),
+          r.getAs[Long]("stop_look"))))
+      .toMap
+    assert(out.size == 5)
+    assert(!out(1L)._2 && !out(2L)._2, s"balanced looks must hold: $out")
+    assert(out(4L)._2 && out(5L)._2, s"drifted tail must cross: $out")
+    val stop = out(1L)._3
+    assert(stop >= 3L && out(stop)._2, s"stop_look $stop inconsistent: $out")
+    // boundary ladder is the OBF shape: monotone decreasing in k
+    val bounds = StatTests.groupSequential(units, "variant", "conv", "look")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("bound_micro")).toMap
+    assert((1L to 4L).forall(k => bounds(k) > bounds(k + 1)), bounds.toString)
+  }
+
   test("densestSubgraph: empty input marks NO round best (zeros are never best)") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("src", "dst")

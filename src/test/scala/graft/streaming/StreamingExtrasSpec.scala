@@ -1662,6 +1662,48 @@ class StreamingExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"run-2 matches ${exact.get()}, want $SoakProbe — DFA state lost")
   }
 
+  test("srmStream: per-experiment counts equal the batch SRM gate across batch splits") {
+    import graft.analytics.StatTests
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // exp "bad": 600 vs 400 (SRM); exp "ok": 520 vs 480 (healthy) —
+    // split so each experiment's arms straddle the batch boundary
+    val bad = (1 to 600).map(_ => ("bad", 0L)) ++ (1 to 400).map(_ => ("bad", 1L))
+    val ok = (1 to 520).map(_ => ("ok", 0L)) ++ (1 to 480).map(_ => ("ok", 1L))
+    val all = bad ++ ok
+    val (w1, w2) = all.splitAt(all.length / 2)
+    val input = MemoryStream[(String, Long)](spark)
+    val latest = mutable.Map.empty[String, (Long, Long, Long, Boolean)]
+    val q = StatTests.srmStream(
+        input.toDS().toDF("exp", "variant"), "exp", "variant")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-srm").toString)
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.collect().foreach(r => latest.synchronized {
+          latest(r.getString(0)) =
+            (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))
+        }); ()
+      }.start()
+    input.addData(w1); q.processAllAvailable()
+    input.addData(w2); q.processAllAvailable()
+    q.stop()
+    // batch truth per experiment on the same unit sets
+    val bBad = StatTests.sampleRatioMismatch(
+      bad.zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
+        .toDF("id", "variant"), "variant").collect().head
+    val bOk = StatTests.sampleRatioMismatch(
+      ok.zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
+        .toDF("id", "variant"), "variant").collect().head
+    val got = latest.synchronized(latest.toMap)
+    assert(got("bad") == ((bBad.getLong(0), bBad.getLong(1),
+      bBad.getLong(2), bBad.getBoolean(3))), s"bad: $got vs $bBad")
+    assert(got("ok") == ((bOk.getLong(0), bOk.getLong(1),
+      bOk.getLong(2), bOk.getBoolean(3))), s"ok: $got vs $bOk")
+    assert(got("bad")._4 && !got("ok")._4, got.toString)
+  }
+
   test("contaminationStream: late benchmark retro-flags stored docs; flag set equals batch") {
     import graft.analytics.TextOps
     import spark.implicits._
