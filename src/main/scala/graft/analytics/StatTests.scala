@@ -4298,6 +4298,81 @@ object StatTests {
         CAST(stop_look AS BIGINT) AS stop_look
       FROM z, st ORDER BY look"""))
 
+  // --------------------- winsorized metric delta (A/B tier)
+  /** Winsorized per-variant means — the metric-capping step every
+    * heavy-tailed A/B metric runs before comparison (one whale user
+    * otherwise swings the raw mean; capping at a high pooled quantile
+    * trades a small bias for a large variance cut): values are clamped
+    * at the POOLED ⌈p·n⌉-th order statistic (pooled, not per-variant —
+    * a per-arm cap would itself differ under treatment and bias the
+    * delta), then per-variant raw and winsorized means are exact micro
+    * floors.
+    *
+    * The cap is the EXACT order statistic, distributed: one
+    * value-collapsed count frame, [[Scans.rangedCumSum]] over the value
+    * domain (never a global window), cap = min value whose cumulative
+    * count reaches ⌈n·p/1000⌉ (all-integer: 1000·cum ≥ n·p), broadcast
+    * back as one row — the split-conformal threshold machinery applied
+    * to metric hygiene.
+    *
+    * Output: one row per variant — (variant, users, raw_mean_micro,
+    * wins_mean_micro, cap), cap on every row.
+    */
+  def winsorizedDelta(units: DataFrame, variantCol: String,
+      valueCol: String, pMilli: Int = 990): DataFrame = {
+    require(pMilli >= 1 && pMilli <= 1000,
+      s"pMilli must be in [1, 1000], got $pMilli")
+    val u = units.select(col(variantCol).as("variant"),
+      col(valueCol).cast("bigint").as("_v"))
+    val vc = u.groupBy(col("_v")).agg(count(lit(1)).as("_c"))
+    val cum = Scans.rangedCumSum(vc, "_v", col("_c"), "_cum")
+    val n1 = u.agg(count(lit(1)).as("_n"))
+    val cap = cum.crossJoin(broadcast(n1))
+      .agg(min(when(col("_cum") * 1000 >= col("_n") * pMilli, col("_v")))
+        .as("cap"))
+    u.crossJoin(broadcast(cap))
+      .groupBy(col("variant"), col("cap"))
+      .agg(count(lit(1)).as("users"), sum(col("_v")).as("_s"),
+        sum(least(col("_v"), col("cap"))).as("_sw"))
+      .select(col("variant"), col("users"),
+        expr("(1000000 * CAST(_s AS DECIMAL(38,0))) DIV users")
+          .as("raw_mean_micro"),
+        expr("(1000000 * CAST(_sw AS DECIMAL(38,0))) DIV users")
+          .as("wins_mean_micro"),
+        col("cap"))
+      .orderBy(col("variant"))
+  }
+
+  /** Binding: per-user total spend in cents, arms by id parity, cap at
+    * the pooled p99. Uniform corpus ⇒ raw ≈ winsorized (null honesty);
+    * the whale-correction path is pinned on a planted outlier family in
+    * OpsApiSpec.
+    */
+  private val qWinsor = GraftQuery(
+    "qstat_winsorized_delta",
+    (s, dir) => winsorizedDelta(
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("spend"))
+        .select((col("user_id") % 2).as("variant"), col("spend")),
+      "variant", "spend"),
+    Some("""WITH per AS (SELECT user_id, user_id % 2 AS variant,
+        SUM(CAST(round(value * 100) AS BIGINT)) AS v
+      FROM events GROUP BY user_id),
+      vc AS (SELECT v, COUNT(*) AS c FROM per GROUP BY v),
+      cum AS (SELECT v, SUM(c) OVER (ORDER BY v
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm FROM vc),
+      n1 AS (SELECT COUNT(*) AS n FROM per),
+      cap AS (SELECT MIN(CASE WHEN cm * 1000 >= n * 990 THEN v END) AS cap
+        FROM cum, n1)
+      SELECT variant, CAST(COUNT(*) AS BIGINT) AS users,
+        CAST((1000000 * CAST(SUM(v) AS HUGEINT)) // COUNT(*) AS BIGINT)
+          AS raw_mean_micro,
+        CAST((1000000 * CAST(SUM(LEAST(v, cap)) AS HUGEINT)) // COUNT(*)
+          AS BIGINT) AS wins_mean_micro,
+        CAST(cap AS BIGINT) AS cap
+      FROM per, cap GROUP BY variant, cap ORDER BY variant"""))
+
   /** Streaming SRM monitor — [[sampleRatioMismatch]] as a per-experiment
     * transformWithState twin (two longs of state per key, the
     * CUSUM/EWMA/Holt/rate-limit monitor family): unit-assignment events
@@ -4335,5 +4410,5 @@ object StatTests {
       qCochran, qLjungBox, qJonckheere, qCliffs, qCochranArmitage,
       qMoodMedian, qCvm, qPageTrend, qHodgesLehmann, qBrunnerMunzel,
       qMad, qAnsari, qSeasonalAnomaly, qHartley, qBinseg, qBhFdr, qCuped,
-      qRatioDelta, qSrm, qDid, qPostStrat, qGroupSeq)
+      qRatioDelta, qSrm, qDid, qPostStrat, qGroupSeq, qWinsor)
 }

@@ -2129,6 +2129,33 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((1L to 4L).forall(k => bounds(k) > bounds(k + 1)), bounds.toString)
   }
 
+  test("winsorizedDelta: pooled-p99 cap neutralizes a planted whale; null family unchanged") {
+    import spark.implicits._
+    // 100 users per arm at 1000 cents, plus one 10^7-cent whale in arm 1:
+    // the raw arm-1 mean is ~100x inflated; capped at the pooled p99 the
+    // arms read nearly equal again
+    val units = ((1L to 100L).map(i => (0L, 1000L + i % 3)) ++
+      (1L to 99L).map(i => (1L, 1000L + i % 3)) :+ (1L, 10000000L))
+      .toDF("variant", "v")
+    val out = StatTests.winsorizedDelta(units, "variant", "v")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val cap = out(0L).getAs[Long]("cap")
+    assert(cap <= 1002L, s"pooled p99 must sit in the bulk, got $cap")
+    val rawGap = out(1L).getAs[Long]("raw_mean_micro") -
+      out(0L).getAs[Long]("raw_mean_micro")
+    val winsGap = out(1L).getAs[Long]("wins_mean_micro") -
+      out(0L).getAs[Long]("wins_mean_micro")
+    assert(rawGap > 90000000000L, s"whale must inflate the raw gap: $rawGap")
+    assert(math.abs(winsGap) < 1000000L,
+      s"winsorized gap must collapse to the bulk difference: $winsGap")
+    // all-below-cap family: winsorized == raw exactly
+    val calm = (1L to 50L).map(i => (i % 2, 100L + i)).toDF("variant", "v")
+    StatTests.winsorizedDelta(calm, "variant", "v", pMilli = 1000)
+      .collect().foreach(r =>
+        assert(r.getAs[Long]("raw_mean_micro") == r.getAs[Long]("wins_mean_micro"),
+          r.toString))
+  }
+
   test("densestSubgraph: empty input marks NO round best (zeros are never best)") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("src", "dst")

@@ -1662,6 +1662,45 @@ class StreamingExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"run-2 matches ${exact.get()}, want $SoakProbe — DFA state lost")
   }
 
+  test("SrmProcessor soak: 10^6 assignments over 250k experiments, exact counts across a restart") {
+    import graft.analytics.StatTests
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = Files.createTempDirectory("graft-srm-1m").toString
+    val keys = 250000L
+    val emitted = new java.util.concurrent.atomic.AtomicLong
+    val exact = new java.util.concurrent.atomic.AtomicLong
+    val input = MemoryStream[(String, Long)](spark)
+    def start() = StatTests.srmStream(
+        input.toDS().toDF("exp", "variant"), "exp", "variant")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        emitted.addAndGet(b.count())
+        // (3, 2) is ONLY reachable as run-1 (2, 2) + the run-2 arm-0
+        // probe; a lost store would re-open at (1, 0)
+        exact.addAndGet(b.filter("users_a = 3 AND users_b = 2").count()); ()
+      }.start()
+    val q1 = start()
+    soakWaves.zipWithIndex.foreach { case (w, j) =>
+      // waves 0-1 feed arm 0, waves 2-3 arm 1: every key ends at (2, 2)
+      input.addData(w.map(u => ((u % 250000).toString, (j / 2).toLong)))
+      q1.processAllAvailable()
+    }
+    assert(emitted.get() == 4L * keys, s"run 1 emissions ${emitted.get()}")
+    assertSoakState(q1, keys, "srm")
+    q1.stop()
+    val q2 = start()
+    input.addData((0L until SoakProbe).map(k => (k.toString, 0L)))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(emitted.get() == 4L * keys + SoakProbe, s"rows: ${emitted.get()}")
+    assert(exact.get() == SoakProbe,
+      s"run-2 counts not the exact continuation (want (3,2) x$SoakProbe, " +
+        s"got ${exact.get()})")
+  }
+
   test("srmStream: per-experiment counts equal the batch SRM gate across batch splits") {
     import graft.analytics.StatTests
     import spark.implicits._
