@@ -788,6 +788,9 @@ object EventsQueries {
     "qe_peak_concurrency",
     (s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      // materialize the session intervals once: three consumers below
+      // (both endpoint branches + the n_sessions agg) would otherwise
+      // each re-run the per-user window + groupBy over the corpus
       val iv = Tables.events(s, dir)
         .select(col("user_id"), unix_micros(col("ts")).as("us"))
         .withColumn("pus", lag(col("us"), 1).over(w))
@@ -797,6 +800,7 @@ object EventsQueries {
         .withColumn("sid", sum(col("brk")).over(w))
         .groupBy(col("user_id"), col("sid"))
         .agg(min(col("us")).as("a"), max(col("us")).as("b"))
+        .localCheckpoint()
       val pts = iv.select((col("a") * 2 + 1).as("t2"), lit(1L).as("d"),
           col("user_id"))
         .unionByName(iv.select(((col("b") + 1) * 2).as("t2"),
