@@ -785,6 +785,34 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!cs.contains("Join"), s"qt_code_switch planned a join:\n$cs")
   }
 
+  test("r12 ops: A/B estimators and tokenizer tiers never cartesian; q-values ride _pid windows") {
+    // did/poststrat/group_seq/winsorized: their only BNLs are the
+    // sanctioned bounded broadcasts (1-row cutoffs/caps/totals,
+    // stratum-domain pop frame, K-row stop frame) — pin no-cartesian;
+    // group_seq's cumulative looks are the map-side <=K explode, so no
+    // range join can appear either. fertility runs all three tokenizers
+    // over the distinct-word domain with word-key joins back.
+    Seq("qstat_did", "qstat_poststrat", "qstat_group_seq",
+      "qstat_winsorized_delta", "qt_tokenizer_fertility").foreach { name =>
+      val plan = graft.SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name planned a cartesian product:\n$plan")
+    }
+    // bh_fdr's q-value suffix-min must ride the rangedRunningMin
+    // two-level scheme: every Window node mentions _pid (local scans +
+    // the <=P-row offsets window), never a global running min over the
+    // corpus-scaled ranked family
+    val bh = graft.SparkEntry.queries("qstat_bh_fdr")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!bh.contains("CartesianProduct"),
+      s"qstat_bh_fdr planned a cartesian product:\n$bh")
+    bh.linesIterator.filter(_.contains("Window ")).foreach { l =>
+      assert(l.contains("_pid"),
+        s"qstat_bh_fdr planned a non-_pid window over the ranked family:\n$l")
+    }
+  }
+
   test("qe_rfm ranks via the _pid two-level scheme — no global ntile windows") {
     // r10 verdict item 2: the three quintile scores ride EXACT global
     // ranks from Scans.globalRank (range exchange + broadcast offsets),

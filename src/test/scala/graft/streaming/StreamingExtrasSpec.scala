@@ -1701,6 +1701,50 @@ class StreamingExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"got ${exact.get()})")
   }
 
+  test("ContaminationProcessor soak: 10^6 stored hashes, late benchmark retro-flags after restart") {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = Files.createTempDirectory("graft-contam-1m").toString
+    val emitted = new java.util.concurrent.atomic.AtomicLong
+    val docSum = new java.util.concurrent.atomic.AtomicLong
+    val input = MemoryStream[(String, Boolean, Long)](spark)
+    def start() = input.toDS().groupByKey(_._1)
+      .transformWithState(new ContaminationProcessor(),
+        TimeMode.None(), OutputMode.Append())
+      .toDF("doc_id", "kind")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rows = b.collect()
+        emitted.addAndGet(rows.length)
+        rows.foreach(r => docSum.addAndGet(r.getLong(0))); ()
+      }.start()
+    val q1 = start()
+    soakWaves.foreach { w =>
+      // one train doc per hash key: no benchmark seen -> zero emissions
+      input.addData(w.map(u => (s"p:$u", false, u.toLong)))
+      q1.processAllAvailable()
+    }
+    assert(emitted.get() == 0L, s"run 1 must emit nothing: ${emitted.get()}")
+    val sop = q1.recentProgress.flatMap(_.stateOperators).maxBy(_.numRowsTotal)
+    assert(sop.numRowsTotal >= SoakUsers,
+      s"state holds ${sop.numRowsTotal} rows, want >= $SoakUsers")
+    q1.stop()
+    val q2 = start()
+    // LATE benchmark lands on 200k of the stored hashes: each must
+    // retro-flag exactly its stored train doc (doc id == key id), so
+    // count AND doc-id sum are fully determined by retained state
+    input.addData((0L until SoakProbe).map(k => (s"p:$k", true, 0L)))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(emitted.get() == SoakProbe,
+      s"run 2 should retro-flag one doc per probed hash: ${emitted.get()}")
+    assert(docSum.get() == SoakProbe * (SoakProbe - 1) / 2,
+      s"retro-flagged doc ids not the exact stored set: ${docSum.get()}")
+  }
+
   test("srmStream: per-experiment counts equal the batch SRM gate across batch splits") {
     import graft.analytics.StatTests
     import spark.implicits._
