@@ -2324,7 +2324,12 @@ object SimilarityOps {
         "assignment path needs a batch aggregation)")
     val spark = vectors.sparkSession
     import spark.implicits._
+    // null-id rows are dropped (a null would kill the query inside the
+    // primitive-Long deserializer); zero-norm vectors are dropped too —
+    // their cosines are NaN, carrying no geometry (the batch build
+    // ranks NaN first, a quirk not worth reproducing into state)
     val routed = assignWithSecondaries(prep(vectors, idCol, vecCol), cents, xCells)
+      .filter(col("vec_id").isNotNull && col("nrm") > 0.0)
       .select(col("vec_id").cast("long").as("vec_id"), col("v"), col("nrm"),
         explode(expr(
           """concat(array(struct(CAST(cell AS BIGINT) AS c, true AS m)),

@@ -3877,21 +3877,23 @@ object StatTests {
         expr("""CASE WHEN _sx = 0 THEN CAST(0 AS BIGINT)
           ELSE (1000000 * CAST(_sy AS DECIMAL(38,0))) DIV _sx END""").as("ratio_micro"),
         // STAGED division (r12, mirrored in the oracle): divide the
-        // nano-scaled quadratic form by Sx² first, then apply the
-        // n/(n−1) factor against Sy². The governing DECIMAL(38,0) bound
-        // improves from users·_num·10⁹ ≤ 10³⁸ to _num·10⁹ ≤ 10³⁸ — a
-        // factor-of-users headroom gain (10⁶ users with Sx ~ 10⁸ now
-        // fits; by Cauchy–Schwarz _num ≤ 4n³V⁴, so the safe region is
-        // n³V⁴ ≤ 2.5·10²⁸ for per-user values ≤ V). The stage-1 BIGINT
-        // quotient is SELF-LIMITING: _q ≈ rel_se2_nano·(n−1)/n, so it
-        // can only overflow a long when the reported relative variance
-        // would itself exceed the BIGINT output column (~9·10⁹ in nano
-        // units — SE 10⁵× the ratio, far past any meaningful readout).
+        // nano-scaled quadratic form by Sx² first (an EXACT decimal
+        // floor — subtract the pmod remainder so the decimal division
+        // has none; the result would overflow a long whenever Sy is
+        // large, since _q = rel·(n−1)·Sy²/n), then apply the n/(n−1)
+        // factor against Sy². Headroom, both stages in DECIMAL:
+        // stage 1 needs _num·10⁹ ≤ 10³⁸ (vs the single-floor form's
+        // users·_num·10⁹ — a factor-of-users gain; by Cauchy–Schwarz
+        // _num ≤ 4n³V⁴, so n³V⁴ ≤ 2.5·10²⁸ at per-user values ≤ V);
+        // stage 2 needs users·_q ≈ rel_se2_nano·(n−1)·Sy² ≤ 10³²
+        // (the decimal(38,6) quotient's integer headroom) — any
+        // meaningful readout (rel ≤ 10⁹ nano) holds to Sy ≈ 3·10¹¹.
         // Composed floors shift the result by < n/((n−1)·Sy²) nano vs
         // the single-floor form — sub-unit once Sy > ~2.
         expr("""CASE WHEN users <= 1 OR _sx = 0 OR _sy = 0 THEN CAST(0 AS BIGINT)
-          ELSE (users * CAST((_num * 1000000000)
-                DIV (CAST(_sx AS DECIMAL(38,0)) * _sx) AS DECIMAL(38,0)))
+          ELSE (users * ((_num * 1000000000
+                - pmod(_num * 1000000000, CAST(_sx AS DECIMAL(38,0)) * _sx))
+              / (CAST(_sx AS DECIMAL(38,0)) * _sx)))
             DIV ((users - 1) * CAST(_sy AS DECIMAL(38,0)) * _sy) END""").as("rel_se2_nano"))
       .orderBy(col("variant"))
 
@@ -4051,22 +4053,27 @@ object StatTests {
   private val qDid = GraftQuery(
     "qstat_did",
     (s, dir) => {
+      // unix_micros / epoch_us, the repo's time convention: DuckDB's
+      // epoch() returns a FRACTIONAL DOUBLE and // on doubles does not
+      // floor, so a whole-seconds cut would diverge by a sub-second
+      // window around the midpoint (caught in the r12 review pass)
       val ev = Tables.events(s, dir)
         .select(col("user_id"), col("ts"),
           expr("CAST(round(value * 100) AS BIGINT)").as("c"))
-      val cut = ev.agg(((unix_timestamp(min(col("ts")))
-        + unix_timestamp(max(col("ts")))) / 2).cast("long").as("_cut"))
+      val cut = ev.agg(((unix_micros(min(col("ts")))
+        + unix_micros(max(col("ts")))) / 2).cast("long").as("_cut"))
       diffInDiff(
         ev.crossJoin(broadcast(cut))
           .select((col("user_id") % 2).as("treat"),
-            (unix_timestamp(col("ts")) >= col("_cut")).cast("int").as("post"),
+            (unix_micros(col("ts")) >= col("_cut")).cast("int").as("post"),
             col("c")),
         "treat", "post", "c")
     },
     Some("""WITH ev AS (SELECT user_id, ts,
         CAST(round(value * 100) AS BIGINT) AS c FROM events),
-      cut AS (SELECT (epoch(MIN(ts)) + epoch(MAX(ts))) // 2 AS cutsec FROM ev),
-      o AS (SELECT user_id % 2 <> 0 AS t, epoch(ts) >= cutsec AS p, c
+      cut AS (SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS cutsec
+        FROM ev),
+      o AS (SELECT user_id % 2 <> 0 AS t, epoch_us(ts) >= cutsec AS p, c
         FROM ev, cut),
       g AS (SELECT
         SUM(CASE WHEN t AND NOT p THEN 1 ELSE 0 END) AS n_tpre,
@@ -4391,8 +4398,12 @@ object StatTests {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig}
     val spark = units.sparkSession
     import spark.implicits._
+    // null key/variant rows are dropped — the batch twin counts a null
+    // variant in NEITHER arm (both when-branches miss), and a null here
+    // would kill the query deserializing into a primitive Long
     val keyed = units.select(col(keyCol).cast("string").as("k"),
         col(variantCol).cast("long").as("v"))
+      .filter(col("k").isNotNull && col("v").isNotNull)
       .as[(String, Long)]
     val timeMode =
       if (stateTtl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()

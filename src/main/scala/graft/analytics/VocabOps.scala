@@ -985,15 +985,19 @@ object VocabOps {
       // seed: every substring of length 1..maxLen of every distinct
       // word, frequency-weighted by position multiplicity (the bounded-
       // window stand-in for SentencePiece's suffix-array seeding)
+      // persisted: the top-K fetch and the single-char fetch below would
+      // otherwise each re-run the substring explode + aggregation
       val subs = wf.select(explode(expr(
           s"""flatten(transform(sequence(1, length(w)), i ->
             transform(sequence(i, least(i + ${maxLen - 1}, length(w))), jj ->
               substring(w, i, jj - i + 1))))""")).as("piece"), col("cnt"))
         .groupBy(col("piece")).agg(sum(col("cnt")).as("freq"))
+        .persist()
       val top = subs.orderBy(col("freq").desc, col("piece")).limit(seedK)
         .collect().map(r => (r.getString(0), r.getLong(1)))
       val chFreq = subs.filter(length(col("piece")) === 1).collect()
         .map(r => (r.getString(0), r.getLong(1))).toMap
+      subs.unpersist()
       val alphabet = ('a' to 'z')
         .map(c => (c.toString, chFreq.getOrElse(c.toString, 0L)))
       var pieces = uniRanked((top ++ alphabet).distinct)

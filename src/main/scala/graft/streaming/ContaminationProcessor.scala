@@ -44,12 +44,18 @@ final class ContaminationProcessor(stateTtl: TTLConfig = TTLConfig.NONE)
       seen = true
       benchSeen.update(true)
       // retroactive flags: every train doc stored before the benchmark
-      // set grew to cover this hash
+      // set grew to cover this hash — after which the stored list is
+      // never read again, so release it (a hot contaminated shingle
+      // would otherwise grow state forever for zero benefit)
       trainDocs.get().foreach(d => out += ((d, kind)))
+      trainDocs.clear()
     }
     train.sortBy(_._3).foreach { case (_, _, d) =>
       if (seen) out += ((d, kind))
-      trainDocs.appendValue(d)
+      // store only while retroactivity still needs it: once the hash is
+      // benchmark-marked, arrivals are flagged immediately and stored
+      // docs have no future reader
+      else trainDocs.appendValue(d)
     }
     out.result().iterator
   }

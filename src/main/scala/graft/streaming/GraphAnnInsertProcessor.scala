@@ -86,9 +86,15 @@ final class GraphAnnInsertProcessor(knnK: Int, xK: Int,
     s
   }
 
-  /** (cos desc, id asc) — the shared batch tie rule. */
-  private def beats(c1: Double, i1: Long, c2: Double, i2: Long): Boolean =
-    c1 > c2 || (c1 == c2 && i1 < i2)
+  /** (cos desc, id asc) — the shared batch tie rule, compared with
+    * java.lang.Double.compare so the total order matches Spark's window
+    * sort exactly (NaN above every double, -0.0 below 0.0) even on
+    * degenerate cosines the wrapper normally filters out.
+    */
+  private def beats(c1: Double, i1: Long, c2: Double, i2: Long): Boolean = {
+    val cmp = java.lang.Double.compare(c1, c2)
+    cmp > 0 || (cmp == 0 && i1 < i2)
+  }
 
   /** Insert (cos, id) into an adjacency if it makes the top-`cap`;
     * returns the updated arrays or null when unchanged.

@@ -1986,6 +1986,21 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.getLong(5) == expected.toLong,
       s"rel_se2_nano ${out.getLong(5)} != BigInt-exact $expected")
     assert(out.getLong(5) > 0L, "large family must not NULL/zero out")
+    // the OPPOSITE regime (r12 review): tiny denominator, huge numerator
+    // — x_i = 1 (Sx = 1000) with y ~ 1e9 ± 2e8: the stage-1 quotient is
+    // ~4e28, far past LongType; it must ride the exact decimal floor
+    val rows2 = (1L to 1000L).map(i =>
+      (0L, 1L, 1000000000L + (if (i % 2 == 0) 200000000L else -200000000L)))
+    val out2 = StatTests.ratioMetricDelta(rows2.toDF("variant", "x", "y"),
+      "variant", "x", "y").collect().head
+    val sx2 = BigInt(1000); val sy2 = BigInt(rows2.map(_._3).sum)
+    val num2 = rows2.map { case (_, x, y) =>
+      val d = sx2 * y - sy2 * x; d * d }.sum
+    val exp2 = (n * ((num2 * BigInt(1000000000L)) / (sx2 * sx2))) /
+      ((n - 1) * sy2 * sy2)
+    assert(out2.getLong(5) == exp2.toLong,
+      s"tiny-Sx/huge-Sy family: ${out2.getLong(5)} != BigInt-exact $exp2")
+    assert(out2.getLong(5) > 0L, "stage-1 quotient must not wrap/NULL")
   }
 
   test("ratioMetricDelta: hand-computed SE; constant-ratio data scores exactly 0") {
