@@ -142,20 +142,27 @@ object Bench {
     val total = results.map(_._2).sum
     val totalP50 = resultsP50.map(_._2).sum
     val loads = passLoads.map(s => "\"" + s + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","value_p50":$totalP50,"reps":$pass,"policy":"min-over-$pass-interleaved-passes; p50 alongside; memo_build:* rows are shared-prefix warm-ups charged once per pass; refresh refuses to overwrite a less-noisy artifact (SPARK_GRAFT_BENCH_FORCE=1 overrides)","loadavg_per_pass":$loads,"noisy":$noisy,"queries":${obj(results)},"queries_p50":${obj(resultsP50)},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","value_p50":$totalP50,"reps":$pass,"policy":"min-over-$pass-interleaved-passes; p50 alongside; memo_build:* rows are shared-prefix warm-ups charged once per pass; refresh refuses to overwrite a less-noisy artifact, where noise counts only queries >= 1s and a strictly-better common-row total wins regardless (SPARK_GRAFT_BENCH_FORCE=1 overrides)","loadavg_per_pass":$loads,"noisy":$noisy,"queries":${obj(results)},"queries_p50":${obj(resultsP50)},"sf":"$sfDir"}"""
     println(line)
     // Also persist the full JSON in-repo: the driver captures only the tail
     // of stdout, which truncated BENCH_r02.json mid-line. A committed file
     // keeps every per-query number auditable regardless of stdout capture.
     // Default is cwd-relative (the sbt project root), not an absolute path.
     //
-    // Refresh gate (r8): a noisier OR narrower rerun must not clobber a
-    // cleaner committed artifact (r7 shipped a 96-noisy-flag refresh over
-    // a 9-flag one; an r8 single-query filtered run clobbered a 313-row
-    // artifact because it had fewer noisy flags). Two checks, both
-    // required to pass before overwriting:
+    // Refresh gate (r8, amended r13): a noisier OR narrower rerun must
+    // not clobber a cleaner committed artifact (r7 shipped a 96-noisy-
+    // flag refresh over a 9-flag one; an r8 single-query filtered run
+    // clobbered a 313-row artifact because it had fewer noisy flags).
+    // Checks before overwriting:
     //   1. coverage: this run must have at least as many query rows;
-    //   2. noise: this run must not have more noisy flags.
+    //   2. noise: this run must not have more noisy flags, where only
+    //      flags on queries >= 1s count toward the gate (a sub-second
+    //      query that doubles under a GC pause carries no signal —
+    //      r11/r12 both saw strictly-faster full runs refused over
+    //      sub-second flags); AND
+    //   3. a run whose common-row total is strictly better than the
+    //      existing artifact's is accepted even if noisier (coverage
+    //      check 1 still applies — faster-but-narrower still loses).
     // Otherwise keep the existing file and write to <out>.rejected;
     // SPARK_GRAFT_BENCH_FORCE=1 overrides.
     val out = java.nio.file.Paths.get(
@@ -182,16 +189,40 @@ object Bench {
         .map(g => if (g.group(1).trim.isEmpty) 0
           else g.group(1).count(_ == ',') + 1)
     }
+    // Per-query times of the committed artifact — drives both the
+    // ">= 1s flags only" noise comparison and the common-row total.
+    val existingTimes: Map[String, Double] = existingTxt.flatMap { txt =>
+      """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt).map { g =>
+        """"([^"]+)":([-0-9.eE]+)""".r.findAllMatchIn(g.group(1))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    }.getOrElse(Map.empty)
+    val existingNoisyNames: Seq[String] = existingTxt.flatMap { txt =>
+      """"noisy":\[([^\]]*)\]""".r.findFirstMatchIn(txt).map { g =>
+        """"([^"]+)"""".r.findAllMatchIn(g.group(1)).map(_.group(1)).toSeq
+      }
+    }.getOrElse(Seq.empty)
+    val resultTimes = results.toMap
+    val newNoisyMajor = noisyNames.count(n => resultTimes.getOrElse(n, 0.0) >= 1.0)
+    val oldNoisyMajor = existingNoisyNames.count(n => existingTimes.getOrElse(n, 0.0) >= 1.0)
+    val commonNames = results.map(_._1).filter(existingTimes.contains)
+    val newCommonTotal = commonNames.map(resultTimes).sum
+    val oldCommonTotal = commonNames.map(existingTimes).sum
+    val betterTotal = commonNames.nonEmpty && newCommonTotal < oldCommonTotal
     val shrinks = existingRows.exists(old => results.size < old)
-    val noisier = existingNoisy.exists(old => noisyNames.size > old)
+    val noisier = existingNoisy.isDefined && newNoisyMajor > oldNoisyMajor
     val target0 =
       if (!force && shrinks) {
         System.err.println(s"[bench] REFUSING refresh: this run covers ${results.size} queries vs the existing artifact's ${existingRows.get} — keeping $out, writing ${out}.rejected")
         java.nio.file.Paths.get(out.toString + ".rejected")
-      } else if (!force && noisier) {
-        System.err.println(s"[bench] REFUSING refresh: this run has ${noisyNames.size} noisy flags vs the existing artifact's ${existingNoisy.get} — keeping $out, writing ${out}.rejected")
+      } else if (!force && noisier && !betterTotal) {
+        System.err.println(f"[bench] REFUSING refresh: this run has $newNoisyMajor >=1s noisy flags vs the existing artifact's $oldNoisyMajor and its common-row total ($newCommonTotal%.1f s over ${commonNames.size} rows) does not beat the artifact's ($oldCommonTotal%.1f s) — keeping $out, writing ${out}.rejected")
         java.nio.file.Paths.get(out.toString + ".rejected")
-      } else out
+      } else {
+        if (noisier && betterTotal)
+          System.err.println(f"[bench] accepting noisier run: common-row total $newCommonTotal%.1f s beats the artifact's $oldCommonTotal%.1f s over ${commonNames.size} rows")
+        out
+      }
     System.err.println(s"[bench] writing full results to $target0")
     try {
       java.nio.file.Files.write(target0,

@@ -3612,11 +3612,15 @@ object StatTests {
       alphaMicro: Long): DataFrame = {
     require(alphaMicro > 0L && alphaMicro <= 1000000L,
       s"alphaMicro must be in (0, 1e6], got $alphaMicro")
-    // ONE ranked exchange: checkpoint the ranked frame so its three
-    // consumers (family count, k* aggregate, output) read the same
-    // materialized blocks instead of re-running the rank join+window
+    // ONE ranked exchange: globalRank checkpoints its range-exchanged
+    // frame INTERNALLY (pinning shuffle + partition placement), so the
+    // three consumers here (family count, k* aggregate, output) only
+    // re-run the cheap broadcast-offset join + per-partition window on
+    // top of pinned blocks. A second localCheckpoint here would
+    // materialize the corpus-sized ranked family twice per run —
+    // rangedRunningMin checkpoints again internally (r12 ADVICE)
     val ranked = Scans.globalRank(tests,
-      Seq(col(pMicroCol), col(idCol)), "p_rank").localCheckpoint()
+      Seq(col(pMicroCol), col(idCol)), "p_rank")
     val m = ranked.agg(count(lit(1)).as("_m"))
     val withM = ranked.crossJoin(broadcast(m))
     val kstar = withM
@@ -4060,8 +4064,11 @@ object StatTests {
       val ev = Tables.events(s, dir)
         .select(col("user_id"), col("ts"),
           expr("CAST(round(value * 100) AS BIGINT)").as("c"))
-      val cut = ev.agg(((unix_micros(min(col("ts")))
-        + unix_micros(max(col("ts")))) / 2).cast("long").as("_cut"))
+      // integer DIV, not double `/ 2` + cast: the double round-trip is
+      // exact only while the micros sum stays under 2^53 — DIV matches
+      // DuckDB's `//` at any precision/epoch (r12 verdict item 1)
+      val cut = ev.agg(min(col("ts")).as("_mn"), max(col("ts")).as("_mx"))
+        .select(expr("(unix_micros(_mn) + unix_micros(_mx)) DIV 2").as("_cut"))
       diffInDiff(
         ev.crossJoin(broadcast(cut))
           .select((col("user_id") % 2).as("treat"),
@@ -4071,9 +4078,9 @@ object StatTests {
     },
     Some("""WITH ev AS (SELECT user_id, ts,
         CAST(round(value * 100) AS BIGINT) AS c FROM events),
-      cut AS (SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS cutsec
+      cut AS (SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS cut_us
         FROM ev),
-      o AS (SELECT user_id % 2 <> 0 AS t, epoch_us(ts) >= cutsec AS p, c
+      o AS (SELECT user_id % 2 <> 0 AS t, epoch_us(ts) >= cut_us AS p, c
         FROM ev, cut),
       g AS (SELECT
         SUM(CASE WHEN t AND NOT p THEN 1 ELSE 0 END) AS n_tpre,
@@ -4238,7 +4245,16 @@ object StatTests {
             * (conv_a + conv_b) * (_na + _nb)) END"""))
       .withColumn("bound_micro",
         expr(s"($critC2Micro * ${looks}L) DIV look"))
-      .withColumn("crossed", col("chisq_micro") >= col("bound_micro"))
+      // the decision is the EXACT product form chisq·k ≥ c²·K (the
+      // docstring's rule), not chisq ≥ ⌊c²K/k⌋ — when c²K is not
+      // divisible by k the floored bound would declare a look in the
+      // truncated gap crossed though the exact rule says hold (r12
+      // ADVICE). bound_micro stays the floored DISPLAY value. DECIMAL:
+      // chisq_micro is ~10⁶·n, so the long product overflows at
+      // corpus n ≳ 2⁶³/(10⁶·K)
+      .withColumn("crossed", expr(
+        s"CAST(chisq_micro AS DECIMAL(38,0)) * look >= " +
+          s"CAST($critC2Micro AS DECIMAL(38,0)) * ${looks}L"))
     val stop = g.agg(min(when(col("crossed"), col("look"))).as("stop_look"))
     g.crossJoin(broadcast(stop))
       .select(col("look"), col("users_a"), col("conv_a"),
@@ -4294,16 +4310,19 @@ object StatTests {
               * (conv_a + conv_b) * (na + nb)) END AS chisq_micro,
           ($GsObfC2Micro * $GsLooks) // look AS bound_micro
         FROM x),
-      st AS (SELECT MIN(CASE WHEN chisq_micro >= bound_micro THEN look END)
-        AS stop_look FROM z)
+      z2 AS (SELECT *, CAST(chisq_micro AS HUGEINT) * look
+            >= CAST($GsObfC2Micro AS HUGEINT) * $GsLooks AS crossed
+        FROM z),
+      st AS (SELECT MIN(CASE WHEN crossed THEN look END)
+        AS stop_look FROM z2)
       SELECT CAST(look AS BIGINT) AS look,
         CAST(users_a AS BIGINT) AS users_a, CAST(conv_a AS BIGINT) AS conv_a,
         CAST(users_b AS BIGINT) AS users_b, CAST(conv_b AS BIGINT) AS conv_b,
         CAST(chisq_micro AS BIGINT) AS chisq_micro,
         CAST(bound_micro AS BIGINT) AS bound_micro,
-        chisq_micro >= bound_micro AS crossed,
+        crossed,
         CAST(stop_look AS BIGINT) AS stop_look
-      FROM z, st ORDER BY look"""))
+      FROM z2, st ORDER BY look"""))
 
   // --------------------- winsorized metric delta (A/B tier)
   /** Winsorized per-variant means — the metric-capping step every
@@ -4400,9 +4419,13 @@ object StatTests {
     import spark.implicits._
     // null key/variant rows are dropped — the batch twin counts a null
     // variant in NEITHER arm (both when-branches miss), and a null here
-    // would kill the query deserializing into a primitive Long
+    // would kill the query deserializing into a primitive Long. The arm
+    // split happens BEFORE any numeric cast: the batch twin's predicate
+    // is `=!= 0` on the raw column, so a fractional variant in (-1,1)
+    // (e.g. 0.5) must land in arm B — casting first would truncate it
+    // to 0 and misfile it in arm A (r12 ADVICE)
     val keyed = units.select(col(keyCol).cast("string").as("k"),
-        col(variantCol).cast("long").as("v"))
+        (col(variantCol) =!= 0).cast("long").as("v"))
       .filter(col("k").isNotNull && col("v").isNotNull)
       .as[(String, Long)]
     val timeMode =

@@ -2144,6 +2144,30 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((1L to 4L).forall(k => bounds(k) > bounds(k + 1)), bounds.toString)
   }
 
+  test("groupSequential: crossing is the exact product rule, not the floored bound") {
+    import spark.implicits._
+    // 2x2 at look 1 only (cumulative identical at every look):
+    // arm a = 2 conv + 1 non, arm b = 0 conv + 1 non
+    //   chisq_micro = 4*(2*1-0*1)^2*10^6 div (3*1*2*2) = 1333333.
+    // With c2 = 888889, K = 3: c2K = 2666667 (odd). At look 2 the
+    // FLOORED bound is 2666667 div 2 = 1333333 = chisq — the floored
+    // rule says crossed — but the exact rule 1333333*2 = 2666666 <
+    // 2666667 says hold (r12 ADVICE truncated-gap case). Look 3:
+    // 1333333*3 = 3999999 >= 2666667 crosses under both.
+    val units = (Seq.fill(2)((0L, 1L, 1L)) ++ Seq((0L, 0L, 1L)) ++
+      Seq((1L, 0L, 1L))).toDF("variant", "conv", "look")
+    val out = StatTests.groupSequential(units, "variant", "conv", "look",
+        looks = 3, critC2Micro = 888889L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("chisq_micro"), r.getAs[Long]("bound_micro"),
+          r.getAs[Boolean]("crossed"), r.getAs[Long]("stop_look"))))
+      .toMap
+    assert(out(2L)._1 == 1333333L, s"setup drifted: $out")
+    assert(out(2L)._1 == out(2L)._2 && !out(2L)._3,
+      s"look-2 chisq equals the floored bound but the exact rule holds: $out")
+    assert(!out(1L)._3 && out(3L)._3 && out(1L)._4 == 3L, out.toString)
+  }
+
   test("winsorizedDelta: pooled-p99 cap neutralizes a planted whale; null family unchanged") {
     import spark.implicits._
     // 100 users per arm at 1000 cents, plus one 10^7-cent whale in arm 1:

@@ -1787,6 +1787,39 @@ class StreamingExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got("bad")._4 && !got("ok")._4, got.toString)
   }
 
+  test("srmStream: fractional variant encodings split arms pre-cast, equal to batch") {
+    import graft.analytics.StatTests
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // variant 0.5 is NONZERO: the batch gate's `=!= 0` counts it in arm
+    // B; a cast-first stream would truncate 0.5 -> 0 into arm A (r12
+    // ADVICE). 30 zeros vs 70 halves must read 30/70, not 100/0.
+    val units = (1 to 30).map(_ => ("e", 0.0)) ++ (1 to 70).map(_ => ("e", 0.5))
+    val input = MemoryStream[(String, Double)](spark)
+    val latest = mutable.Map.empty[String, (Long, Long, Long, Boolean)]
+    val q = StatTests.srmStream(
+        input.toDS().toDF("exp", "variant"), "exp", "variant")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-srm-frac").toString)
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.collect().foreach(r => latest.synchronized {
+          latest(r.getString(0)) =
+            (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))
+        }); ()
+      }.start()
+    input.addData(units); q.processAllAvailable()
+    q.stop()
+    val batch = StatTests.sampleRatioMismatch(
+      units.zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
+        .toDF("id", "variant"), "variant").collect().head
+    val got = latest.synchronized(latest.toMap)
+    assert(got("e")._1 == 30L && got("e")._2 == 70L, got.toString)
+    assert(got("e") == ((batch.getLong(0), batch.getLong(1),
+      batch.getLong(2), batch.getBoolean(3))), s"$got vs $batch")
+  }
+
   test("contaminationStream: late benchmark retro-flags stored docs; flag set equals batch") {
     import graft.analytics.TextOps
     import spark.implicits._
