@@ -2305,17 +2305,30 @@ object SimilarityOps {
     * outlive its quantizer).
     *
     * Output (append mode, change-log): (cell, src, member, nbrs,
-    * cosines) — src's new adjacency within that cell; keep the LATEST
-    * row per (cell, src). Member rows are the intra-cell kNN edges,
-    * visitor rows the cross-cell links; symmetrize downstream exactly
-    * as [[graphAnnSearch]]'s callers do.
+    * cosines, alive) — src's new adjacency within that cell; keep the
+    * LATEST row per (cell, src) and drop rows whose latest emission has
+    * alive = false (a tombstone). Member rows are the intra-cell kNN
+    * edges, visitor rows the cross-cell links; symmetrize downstream
+    * exactly as [[graphAnnSearch]]'s callers do.
+    *
+    * Deletes (r13): pass `deleteCol` — rows with the flag true remove
+    * their id from the graph. A tombstone carries the SAME vector as
+    * its insert (it must route to the identical primary + secondary
+    * cells); the processor removes the resident, emits alive = false,
+    * and re-links every survivor that pointed at a removed member by an
+    * exact cell-local rescan, so the maintained graph equals the batch
+    * rebuild over the survivor set under any insert/delete interleaving
+    * (pinned in StreamingExtrasSpec). TTL expiry remains the blunt
+    * fallback: it drops state without re-linking — use explicit
+    * tombstones when a sliding corpus needs the exact graph.
     */
   def graphAnnStream(vectors: org.apache.spark.sql.DataFrame,
       cents: Seq[Seq[Double]],
       k: Int = KnnK, xCells: Int = GXCells, xK: Int = GXK,
       idCol: String = "vec_id", vecCol: String = "embedding",
       stateTtl: org.apache.spark.sql.streaming.TTLConfig =
-        org.apache.spark.sql.streaming.TTLConfig.NONE): org.apache.spark.sql.DataFrame = {
+        org.apache.spark.sql.streaming.TTLConfig.NONE,
+      deleteCol: String = ""): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig}
     require(cents.size <= CentroidLiteralMax,
       s"graphAnnStream ships the codebook as a plan literal; C = " +
@@ -2328,22 +2341,36 @@ object SimilarityOps {
     // primitive-Long deserializer); zero-norm vectors are dropped too —
     // their cosines are NaN, carrying no geometry (the batch build
     // ranks NaN first, a quirk not worth reproducing into state)
-    val routed = assignWithSecondaries(prep(vectors, idCol, vecCol), cents, xCells)
+    // deleteCol (r13): rows with the flag true are tombstones — they
+    // carry the SAME vector as the insert (a delete must route to the
+    // identical primary + secondary cells), and the processor removes
+    // the resident and re-links survivors exactly. Empty = insert-only.
+    val del =
+      if (deleteCol.isEmpty) lit(false)
+      else coalesce(col(deleteCol).cast("boolean"), lit(false))
+    // prep() inlined with the tombstone flag carried through (prep
+    // projects id/vec only; assignWithSecondaries preserves extras)
+    val prepped = vectors
+      .select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("v"), del.as("_del"))
+      .withColumn("nrm", sqrt(graft_dot(col("v"), col("v"))))
+    val routed = assignWithSecondaries(prepped, cents, xCells)
       .filter(col("vec_id").isNotNull && col("nrm") > 0.0)
       .select(col("vec_id").cast("long").as("vec_id"), col("v"), col("nrm"),
+        col("_del"),
         explode(expr(
           """concat(array(struct(CAST(cell AS BIGINT) AS c, true AS m)),
              transform(xcells, x -> struct(x AS c, false AS m)))""")).as("r"))
       .select(col("r.c").as("cell"), col("vec_id"),
-        col("r.m").as("member"), col("v"), col("nrm"))
-      .as[(Long, Long, Boolean, Array[Double], Double)]
+        col("r.m").as("member"), col("v"), col("nrm"), col("_del"))
+      .as[(Long, Long, Boolean, Array[Double], Double, Boolean)]
     val timeMode =
       if (stateTtl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
     routed.groupByKey(_._1)
       .transformWithState(
         new graft.streaming.GraphAnnInsertProcessor(k, xK, stateTtl),
         timeMode, OutputMode.Append())
-      .toDF("cell", "src", "member", "nbrs", "cosines")
+      .toDF("cell", "src", "member", "nbrs", "cosines", "alive")
   }
 
   /** One-scan cell assignment shared by the kNN-graph and cross-edge
@@ -2479,6 +2506,24 @@ object SimilarityOps {
   private val GRounds = 3
   private val GEntryMod = 256
   private val GEntryK = 24
+  // r13 (verdict task 4): the ladder is SELF-SIZING — rung 1 is the r12
+  // tuning (mod 256, 3 rounds) while the per-query entry scan n/mod
+  // stays within GEntryBudget candidates; each further rung sparsens
+  // the entry sample 16× and buys the lost descent back with one more
+  // constant-cost beam round (rounds cost O(queries·beam·degree)
+  // regardless of n; entries cost O(n/mod) — the geometric ladder keeps
+  // the only n-linear term bounded). sf0.01 (n=500) and sf0.1 (n=2000)
+  // both select rung 1, so the static DuckDB oracle — which bakes in
+  // mod 256 / 3 rounds — stays exact at every gate sf; rung 2+ is
+  // exercised by the sf1 scale rehearsal (mod 4096, 4 rounds at
+  // n=20000) with the recall pin measured there (EXPLAINS_r13).
+  private val GEntryBudget = 64L
+  private[graft] def entryLadder(n: Long): (Long, Int) = {
+    var mod = GEntryMod.toLong
+    var rounds = GRounds
+    while (n / mod > GEntryBudget) { mod *= 16; rounds += 1 }
+    (mod, rounds)
+  }
   // 3 secondary cells × 2 links each: +6 edges/node before
   // symmetrization — HNSW's usual long-link budget next to KnnK = 12
   private val GXCells = 3
@@ -2553,10 +2598,13 @@ object SimilarityOps {
         .union(x.select(col("src"), col("nbr")))
       val sym = base
         .union(base.select(col("nbr").as("src"), col("src").as("nbr")))
+      // self-sizing entry ladder: one count() (parquet metadata read)
+      // picks the rung; rung 1 at every oracle sf (see entryLadder)
+      val (mod, rounds) = entryLadder(corpus.count())
       graphAnnSearch(corpus,
         corpus.filter(col("vec_id") < NQ),
-        corpus.filter(col("vec_id") % GEntryMod === 0),
-        sym, K, GBeam, GRounds, GEntryK)
+        corpus.filter(col("vec_id") % mod === 0),
+        sym, K, GBeam, rounds, GEntryK)
     }
 
   private val qGraphAnn = GraftQuery(

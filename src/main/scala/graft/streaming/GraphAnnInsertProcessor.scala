@@ -15,13 +15,18 @@ object GraphAnnInsertProcessor {
   final case class Node(member: Boolean, v: Array[Double], nrm: Double,
       nbrs: Array[Long], cos: Array[Double])
 
-  /** (cell, vecId, member, v, nrm) — one routed arrival. */
-  type In = (Long, Long, Boolean, Array[Double], Double)
-
-  /** (cell, src, member, nbrs, cosines) — src's NEW adjacency in this
-    * cell after the batch; latest emission per (cell, src) wins.
+  /** (cell, vecId, member, v, nrm, delete) — one routed arrival;
+    * delete = true is a tombstone for vecId in this cell (r13).
     */
-  type Out = (Long, Long, Boolean, Array[Long], Array[Double])
+  type In = (Long, Long, Boolean, Array[Double], Double, Boolean)
+
+  /** (cell, src, member, nbrs, cosines, alive) — src's NEW adjacency in
+    * this cell after the batch; latest emission per (cell, src) wins.
+    * alive = false is a tombstone: src left the cell (delete/expiry) and
+    * downstream must drop its row — distinguishable from a live
+    * resident with an empty adjacency (sole member of its cell).
+    */
+  type Out = (Long, Long, Boolean, Array[Long], Array[Double], Boolean)
 }
 
 /** Incremental maintenance of the navigable ANN graph — the streaming
@@ -43,9 +48,20 @@ object GraphAnnInsertProcessor {
   *  2. takes its own top-`knnK` (member) / top-`xK` (visitor) adjacency,
   *  3. if it is a MEMBER, offers itself to every resident's adjacency
   *     (members hold up to `knnK`, visitors up to `xK`), displacing the
-  *     worst link when full — exact top-k maintenance under insert-only
-  *     arrivals, so after any prefix of the stream the state equals the
-  *     batch build over that prefix, edge for edge and tie for tie.
+  *     worst link when full — exact top-k maintenance under inserts, so
+  *     after any prefix of the stream the state equals the batch build
+  *     over that prefix, edge for edge and tie for tie.
+  *
+  * DELETES (r13): an arrival flagged `delete` tombstones its id in this
+  * cell — the resident is removed, a (… alive=false) tombstone row is
+  * emitted, and every survivor whose adjacency referenced a removed
+  * MEMBER rebuilds its links by one full rescan of the surviving
+  * members. The stored top-k alone cannot re-link (it never holds the
+  * (k+1)-th best), but the cell state holds every member vector, so the
+  * rebuild is exact and the post-delete state equals the batch build
+  * over the SURVIVOR set under any insert/delete interleaving (pinned
+  * in StreamingExtrasSpec). Within one micro-batch deletes apply after
+  * inserts, so a delete wins over its own id's same-batch insert.
   *
   * Emissions are change-logged per batch: every resident whose
   * adjacency changed emits one (cell, src, member, nbrs, cosines) row;
@@ -122,7 +138,15 @@ final class GraphAnnInsertProcessor(knnK: Int, xK: Int,
     val local = mutable.LinkedHashMap.empty[Long, Node]
     nodes.iterator().foreach { case (id, nd) => local(id) = nd }
     val changed = mutable.LinkedHashSet.empty[Long]
-    rows.toVector.sortBy(_._2).foreach { case (_, id, isMember, v, nrm) =>
+    // inserts apply first, deletes second: within one micro-batch a
+    // delete of X wins over X's own insert, so the batch is equivalent
+    // to the batch build over the SURVIVOR set under any row order.
+    // At-least-once caveat (same class as the insert first-wins rule):
+    // a replayed old insert arriving after X's delete would resurrect
+    // X — replays are idempotent while X's liveness is unchanged.
+    val batch = rows.toVector
+    val deletes = batch.filter(_._6).sortBy(_._2)
+    batch.filterNot(_._6).sortBy(_._2).foreach { case (_, id, isMember, v, nrm, _) =>
       if (!local.contains(id)) {
         val cap = if (isMember) knnK else xK
         var myN = Array.emptyLongArray; var myC = Array.emptyDoubleArray
@@ -153,12 +177,54 @@ final class GraphAnnInsertProcessor(knnK: Int, xK: Int,
         changed += id
       }
     }
+    // ---- delete / expiry path (r13, the r12 verdict's open lifecycle
+    // gap): remove each tombstoned resident; every survivor whose
+    // adjacency referenced a removed MEMBER rebuilds its links by a
+    // full rescan of the surviving members — the stored top-k cannot
+    // know the (k+1)-th best, but the cell state holds every member
+    // vector, so the re-link is EXACT (the same cell-locality argument
+    // as insert). Visitor deletions affect only their own row:
+    // adjacency entries are always member ids.
+    val removed = mutable.LinkedHashMap.empty[Long, Boolean] // id -> wasMember
+    deletes.foreach { case (_, id, _, _, _, _) =>
+      local.remove(id).foreach { nd =>
+        removed(id) = nd.member
+        changed -= id // a same-batch insert emission is superseded
+      }
+    }
+    val removedMembers = removed.collect { case (id, true) => id }.toSet
+    if (removedMembers.nonEmpty) {
+      val affected = local.collect {
+        case (rid, r) if r.nbrs.exists(removedMembers.contains) => rid
+      }.toVector
+      affected.foreach { rid =>
+        val r = local(rid)
+        val cap = if (r.member) knnK else xK
+        var myN = Array.emptyLongArray; var myC = Array.emptyDoubleArray
+        local.foreach { case (oid, o) =>
+          if (o.member && oid != rid) {
+            val c = dot(r.v, o.v) / (r.nrm * o.nrm)
+            offer(myN, myC, cap, oid, c) match {
+              case null => ()
+              case (nn, nc) => myN = nn; myC = nc
+            }
+            ()
+          }
+        }
+        local(rid) = r.copy(nbrs = myN, cos = myC)
+        changed += rid
+      }
+    }
     // write back + emit EAGERLY — state puts must not ride a lazy
     // iterator the sink may drain after the store commit window
     val out = changed.toVector.map { id =>
       val nd = local(id)
       nodes.updateValue(id, nd)
-      (cell, id, nd.member, nd.nbrs, nd.cos)
+      (cell, id, nd.member, nd.nbrs, nd.cos, true)
+    } ++ removed.toVector.map { case (id, wasMember) =>
+      nodes.removeKey(id)
+      (cell, id, wasMember, Array.emptyLongArray, Array.emptyDoubleArray,
+        false)
     }
     out.iterator
   }

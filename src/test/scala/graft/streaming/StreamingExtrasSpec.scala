@@ -1886,7 +1886,7 @@ class StreamingExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rows = corpus.select("vec_id", "embedding").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     val input = MemoryStream[(Long, Array[Float])](spark)
-    val buf = mutable.Buffer.empty[(Long, Long, Boolean, Seq[Long], Seq[Double])]
+    val buf = mutable.Buffer.empty[(Long, Long, Boolean, Seq[Long], Seq[Double], Boolean)]
     val q = SimilarityOps.graphAnnStream(
         input.toDS().toDF("vec_id", "embedding"), cents, k, xCells, xK)
       .writeStream.outputMode("append")
@@ -1894,7 +1894,8 @@ class StreamingExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
         Files.createTempDirectory("graft-gann").toString)
       .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val got = b.collect().map(r => (r.getLong(0), r.getLong(1),
-          r.getBoolean(2), r.getSeq[Long](3), r.getSeq[Double](4)))
+          r.getBoolean(2), r.getSeq[Long](3), r.getSeq[Double](4),
+          r.getBoolean(5)))
         buf.synchronized { buf ++= got }; ()
       }.start()
     rows.grouped(200).foreach { w => input.addData(w.toSeq); q.processAllAvailable() }
@@ -1902,22 +1903,86 @@ class StreamingExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
     val fin = buf.synchronized {
       buf.zipWithIndex.groupBy { case (r, _) => (r._1, r._2, r._3) }
         .map { case (_, v) => v.maxBy(_._2)._1 }.toSeq
-    }
+    }.filter(_._6)
     // member rows ARE the batch kNN edges — same order = same ranks
-    val sk = fin.filter(_._3).flatMap { case (_, src, _, nbrs, cos) =>
+    val sk = fin.filter(_._3).flatMap { case (_, src, _, nbrs, cos, _) =>
       nbrs.indices.map(i => (src, i + 1, nbrs(i), cos(i))) }
     assert(sk.toSet == bk.toSet,
       s"kNN edges differ: stream ${sk.size} vs batch ${bk.length}; " +
         s"missing ${(bk.toSet -- sk.toSet).take(3)}, extra ${(sk.toSet -- bk.toSet).take(3)}")
     // visitor rows ARE the cross-cell links (per secondary cell)
-    val sx = fin.filter(!_._3).flatMap { case (_, src, _, nbrs, cos) =>
+    val sx = fin.filter(!_._3).flatMap { case (_, src, _, nbrs, cos, _) =>
       nbrs.indices.map(i => (src, nbrs(i), cos(i))) }.toSet
     assert(sx == bx,
       s"cross edges differ: stream ${sx.size} vs batch ${bx.size}; " +
         s"missing ${(bx -- sx).take(3)}, extra ${(sx -- bx).take(3)}")
   }
 
-  test("GraphAnnInsertProcessor soak: 10^6 residents, exact adjacency across a restart") {
+  test("graphAnnStream with deletes: maintained graph equals the batch rebuild on survivors") {
+    import graft.analytics.SimilarityOps
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = SimilarityOps.trainCentroids(corpus)
+    val k = 6; val xCells = 2; val xK = 2
+    val rows = corpus.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val byId = rows.toMap
+    // every id % 3 == 1 is deleted: first-wave ids in a LATER batch
+    // than their insert, second-wave ids in the SAME batch, plus one
+    // never-inserted id (a no-op tombstone)
+    val gone = rows.map(_._1).filter(_ % 3 == 1).toSet
+    val (w1, w2) = rows.splitAt(rows.length / 2)
+    val waves: Seq[Seq[(Long, Array[Float], Boolean)]] = Seq(
+      w1.toSeq.map { case (id, v) => (id, v, false) },
+      w2.toSeq.map { case (id, v) => (id, v, false) } ++
+        w2.toSeq.collect { case (id, v) if gone(id) => (id, v, true) } ++
+        Seq((99999L, byId(rows.head._1), true)),
+      w1.toSeq.collect { case (id, v) if gone(id) => (id, v, true) })
+    // batch truth: the full rebuild over the survivor set
+    val surv = corpus.filter(col("vec_id") % 3 =!= 1)
+    val bk = SimilarityOps.knnGraph(surv, k, cents).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val bx = SimilarityOps.crossCellEdges(surv, cents, xCells, xK).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val input = MemoryStream[(Long, Array[Float], Boolean)](spark)
+    val buf = mutable.Buffer.empty[(Long, Long, Boolean, Seq[Long], Seq[Double], Boolean)]
+    val q = SimilarityOps.graphAnnStream(
+        input.toDS().toDF("vec_id", "embedding", "del"), cents, k, xCells, xK,
+        deleteCol = "del")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-gann-del").toString)
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val got = b.collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getBoolean(2), r.getSeq[Long](3), r.getSeq[Double](4),
+          r.getBoolean(5)))
+        buf.synchronized { buf ++= got }; ()
+      }.start()
+    waves.foreach { w => input.addData(w); q.processAllAvailable() }
+    q.stop()
+    val latest = buf.synchronized {
+      buf.zipWithIndex.groupBy { case (r, _) => (r._1, r._2, r._3) }
+        .map { case (_, v) => v.maxBy(_._2)._1 }.toSeq
+    }
+    // every routed copy of a deleted id ends on a tombstone
+    assert(latest.filter(r => gone(r._2)).forall(!_._6),
+      "a deleted id's latest emission must be alive = false")
+    val fin = latest.filter(_._6)
+    val sk = fin.filter(_._3).flatMap { case (_, src, _, nbrs, cos, _) =>
+      nbrs.indices.map(i => (src, i + 1, nbrs(i), cos(i))) }.toSet
+    assert(sk == bk,
+      s"kNN edges differ: stream ${sk.size} vs batch ${bk.size}; " +
+        s"missing ${(bk -- sk).take(3)}, extra ${(sk -- bk).take(3)}")
+    val sx = fin.filter(!_._3).flatMap { case (_, src, _, nbrs, cos, _) =>
+      nbrs.indices.map(i => (src, nbrs(i), cos(i))) }.toSet
+    assert(sx == bx,
+      s"cross edges differ: stream ${sx.size} vs batch ${bx.size}; " +
+        s"missing ${(bx -- sx).take(3)}, extra ${(sx -- bx).take(3)}")
+  }
+
+  test("GraphAnnInsertProcessor soak: 10^6 residents, restart, delete churn, exact adjacency") {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     import spark.implicits._
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -1926,11 +1991,12 @@ class StreamingExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
     val cells = 250000L
     val emitted = new java.util.concurrent.atomic.AtomicLong
     val exact = new java.util.concurrent.atomic.AtomicLong
-    val input = MemoryStream[(Long, Long, Boolean, Array[Double], Double)](spark)
+    val tomb = new java.util.concurrent.atomic.AtomicLong
+    val input = MemoryStream[(Long, Long, Boolean, Array[Double], Double, Boolean)](spark)
     def start() = input.toDS().groupByKey(_._1)
       .transformWithState(new GraphAnnInsertProcessor(4, 2),
         TimeMode.None(), OutputMode.Append())
-      .toDF("cell", "src", "member", "nbrs", "cosines")
+      .toDF("cell", "src", "member", "nbrs", "cosines", "alive")
       .writeStream.outputMode("append")
       .option("checkpointLocation", ckpt)
       .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -1941,14 +2007,15 @@ class StreamingExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
         // retained run-1 member vectors (lost state → 0 neighbors)
         exact.addAndGet(b.filter("member = false AND size(nbrs) = 2 AND " +
           "nbrs[0] = src - 1000000 AND nbrs[1] = src - 750000 AND " +
-          "cosines[0] = CAST(1 AS DOUBLE)").count()); ()
+          "cosines[0] = CAST(1 AS DOUBLE)").count())
+        tomb.addAndGet(b.filter("alive = false").count()); ()
       }.start()
     val q1 = start()
     soakWaves.zipWithIndex.foreach { case (w, j) =>
       // wave j: one member per cell with v = (1, j); 4 waves fill every
       // cell with 4 members — adjacency churn on every arrival
       input.addData(w.map(u => (u.toLong % cells, u.toLong, true,
-        Array(1.0, j.toDouble), math.sqrt(1.0 + j * j))))
+        Array(1.0, j.toDouble), math.sqrt(1.0 + j * j), false)))
       q1.processAllAvailable()
     }
     // wave j changes j+1 adjacencies per cell: (1+2+3+4) × 250k cells
@@ -1962,13 +2029,27 @@ class StreamingExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"graph-ann: no live RocksDB metrics — wrong provider? $custom")
     q1.stop()
     val q2 = start()
+    // delete-churn wave AGAINST RESTORED STATE (r13): tombstone the
+    // wave-3 member of every cell. Each cell's three survivors carried
+    // id c+750000 in their top-3 adjacency (only 3 candidates at cap
+    // 4), so every survivor re-links: 3 re-link rows + 1 tombstone per
+    // cell. The probe below then reads the post-churn graph.
+    input.addData((0L until cells).map(c =>
+      (c, c + 750000L, true, Array(1.0, 3.0), math.sqrt(10.0), true)))
+    q2.processAllAvailable()
+    assert(emitted.get() == 10L * cells + 4L * cells,
+      s"churn wave should emit 4 rows/cell: ${emitted.get()}")
+    assert(tomb.get() == cells,
+      s"churn wave should emit one tombstone/cell: ${tomb.get()}")
     // probe: one VISITOR per cell (cross-link insert path); emits only
-    // itself, with adjacency computed against restored member state
+    // itself, with adjacency computed against the restored, re-linked
+    // member state — top-2 over the j=0..2 survivors is unchanged
+    // ([id(j=0), id(j=1)]), so the exact-probe predicate still holds
     input.addData((0L until SoakProbe).map(c =>
-      (c, 1000000L + c, false, Array(1.0, 0.0), 1.0)))
+      (c, 1000000L + c, false, Array(1.0, 0.0), 1.0, false)))
     q2.processAllAvailable()
     q2.stop()
-    assert(emitted.get() == 10L * cells + SoakProbe,
+    assert(emitted.get() == 10L * cells + 4L * cells + SoakProbe,
       s"run 2 should emit exactly one row per probe: ${emitted.get()}")
     assert(exact.get() == SoakProbe,
       s"run-2 adjacency not the exact continuation (want $SoakProbe exact " +
