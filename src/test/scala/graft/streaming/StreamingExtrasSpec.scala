@@ -1918,6 +1918,117 @@ class StreamingExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"missing ${(bx -- sx).take(3)}, extra ${(sx -- bx).take(3)}")
   }
 
+  test("bm25Stream: maintained index ranks bit-identically to batch bm25Rank") {
+    import graft.analytics.VocabOps
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val terms = Seq("spark", "query", "dup")
+    val batchTop = VocabOps.bm25Rank(docs, terms).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[(Long, String)](spark)
+    val buf = mutable.Buffer.empty[(String, Long, Long, Long)]
+    val q = VocabOps.bm25Stream(input.toDS().toDF("doc_id", "text"), terms)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-bm25").toString)
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val got = b.collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        buf.synchronized { buf ++= got }; ()
+      }.start()
+    val waves = rows.grouped(200).toSeq
+    waves.foreach { w => input.addData(w); q.processAllAvailable() }
+    val postedOnce = buf.synchronized(buf.count(_._1.startsWith("t:")))
+    // at-least-once: re-deliver the whole first wave — postings are
+    // first-wins no-ops, the seen-doc shard guard holds the stats
+    input.addData(waves.head); q.processAllAvailable()
+    q.stop()
+    val all = buf.synchronized(buf.toVector)
+    assert(all.count(_._1.startsWith("t:")) == postedOnce,
+      "replayed postings must not re-emit")
+    // assemble latest state: postings are immutable (keep first), shard
+    // stats keep the LATEST row per shard then sum
+    val postings = all.filter(_._1.startsWith("t:"))
+      .groupBy(r => (r._1, r._2)).map(_._2.head)
+      .map(r => (r._1.drop(2), r._2, r._3, r._4)).toSeq
+      .toDF("token", "doc_id", "tf", "dl")
+    val shard = all.zipWithIndex.filter(_._1._1.startsWith("s:"))
+      .groupBy(_._1._1).map(_._2.maxBy(_._2)._1)
+    val stats = Seq((shard.map(_._3).sum, shard.map(_._4).sum))
+      .toDF("n_docs", "sum_dl")
+    assert(stats.head.getLong(0) == rows.size, "shard stats must cover every doc")
+    val streamTop = VocabOps.bm25RankFromPostings(postings, stats).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(streamTop == batchTop,
+      s"stream ranking diverged:\n stream $streamTop\n batch  $batchTop")
+  }
+
+  test("Bm25PostingsProcessor soak: 10^6 postings, restart, replays are no-ops") {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = Files.createTempDirectory("graft-bm25-1m").toString
+    val emittedPosts = new java.util.concurrent.atomic.AtomicLong
+    val shardLatest = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]
+    val input = MemoryStream[(String, Long, Long, Long)](spark)
+    def start() = input.toDS().groupByKey(_._1)
+      .transformWithState(new Bm25PostingsProcessor(),
+        TimeMode.None(), OutputMode.Append())
+      .toDF("key", "doc_id", "tf", "dl")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        emittedPosts.addAndGet(b.filter("key LIKE 't:%'").count())
+        b.filter("key LIKE 's:%'").collect().foreach(r =>
+          shardLatest.put(r.getString(0), (r.getLong(2), r.getLong(3)))); ()
+      }.start()
+    def dlOf(u: Long): Long = u % 50 + 10
+    val q1 = start()
+    soakWaves.foreach { w =>
+      // each doc u: one posting on term key t:t<u%4> + one stats row on
+      // shard s:<u%64> — 10^6 postings total, ~250k per term key
+      input.addData(w.flatMap(u => Seq(
+        (s"t:t${u % 4}", u.toLong, u.toLong % 7 + 1, dlOf(u.toLong)),
+        (s"s:${u % 64}", u.toLong, 0L, dlOf(u.toLong)))))
+      q1.processAllAvailable()
+    }
+    assert(emittedPosts.get() == SoakUsers, s"run 1 postings ${emittedPosts.get()}")
+    val sop = q1.recentProgress.flatMap(_.stateOperators).maxBy(_.numRowsTotal)
+    assert(sop.numRowsTotal >= SoakUsers,
+      s"state holds ${sop.numRowsTotal} rows, want >= $SoakUsers")
+    val custom = sop.customMetrics
+    val rocks = custom.keySet().toArray.map(_.toString).filter(_.startsWith("rocksdb"))
+    assert(rocks.nonEmpty && rocks.exists(kk => custom.get(kk).longValue() > 0L),
+      s"bm25: no live RocksDB metrics — wrong provider? $custom")
+    q1.stop()
+    val q2 = start()
+    // replay the whole first wave AGAINST RESTORED STATE: postings are
+    // first-wins no-ops and the stats shards see no new doc — zero
+    // emissions is only possible if every state entry survived
+    input.addData(soakWaves.head.flatMap(u => Seq(
+      (s"t:t${u % 4}", u.toLong, u.toLong % 7 + 1, dlOf(u.toLong)),
+      (s"s:${u % 64}", u.toLong, 0L, dlOf(u.toLong)))))
+    q2.processAllAvailable()
+    assert(emittedPosts.get() == SoakUsers,
+      s"replays must not re-emit postings: ${emittedPosts.get()}")
+    // one genuinely new doc: exactly one posting + its shard re-emits
+    input.addData(Seq(("t:t0", 2000000L, 3L, 10L), ("s:0", 2000000L, 0L, 10L)))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(emittedPosts.get() == SoakUsers + 1, s"want exactly one new posting")
+    val n = shardLatest.values().toArray.map(_.asInstanceOf[(Long, Long)])
+    val wantSum = (0L until SoakUsers).map(dlOf).sum + 10L
+    assert(n.map(_._1).sum == SoakUsers + 1,
+      s"shard n_docs sum ${n.map(_._1).sum}, want ${SoakUsers + 1}")
+    assert(n.map(_._2).sum == wantSum,
+      s"shard sum_dl ${n.map(_._2).sum}, want $wantSum")
+  }
+
   test("graphAnnStream with deletes: maintained graph equals the batch rebuild on survivors") {
     import graft.analytics.SimilarityOps
     import spark.implicits._
