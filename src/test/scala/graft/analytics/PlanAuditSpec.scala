@@ -829,4 +829,82 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"qe_rfm planned a non-_pid window over the user frame:\n$l")
     }
   }
+
+  // ----------------------- shuffle-VOLUME gate (r13, verdict task 5)
+  // The shape audits above assert what a plan must not contain; this
+  // gate asserts how much a run may MOVE: total shuffle bytes written
+  // across every job of a query (localCheckpoint loops included — a
+  // plan-tree walk would miss them) must stay within a per-query
+  // multiple of the parquet bytes read. Budgets are measured ratios at
+  // HEAD with ~2.5x headroom — the point is the regression: an operator
+  // that silently starts re-shuffling its corpus (a lost broadcast, an
+  // un-pruned column, a window that widens its frame) blows its budget
+  // long before it shows up as a bench regression. Listener metrics are
+  // async, so totals are polled until stable.
+  //
+  // Budgets are RATIOS of uncompressed shuffle bytes to (snappy)
+  // parquet bytes read at sf0.001, so >1 does not mean "shuffled more
+  // than the input": explodes (shingles, tokens) widen rows, iterative
+  // queries shuffle per round, and 6k-row inputs amortize nothing.
+  // They are per-query constants, not cross-query comparables.
+  test("shuffle-volume gate: per-query shuffle bytes within committed budgets") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+    val shuffleB = new java.util.concurrent.atomic.AtomicLong
+    val inputB = new java.util.concurrent.atomic.AtomicLong
+    val l = new SparkListener {
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        val tm = s.stageInfo.taskMetrics
+        if (tm != null) {
+          shuffleB.addAndGet(tm.shuffleWriteMetrics.bytesWritten)
+          inputB.addAndGet(tm.inputMetrics.bytesRead)
+          ()
+        }
+      }
+    }
+    def stable(): (Long, Long) = {
+      var prev = (-1L, -1L)
+      var cur = (shuffleB.get, inputB.get)
+      var tries = 0
+      while (prev != cur && tries < 50) {
+        Thread.sleep(100); prev = cur
+        cur = (shuffleB.get, inputB.get); tries += 1
+      }
+      cur
+    }
+    // measured at HEAD (r13 calibration run, sf0.001): q01 0.27,
+    // q09 0.17, mst 0.07, label_prop 0.11, scc 0.07, pagerank 0.09,
+    // knn 0.19, hl 0.07, theil_sen 0.09, bh_fdr 0.25, winnow 157.5,
+    // minhash_lsh 73.5, cc_stars 0.18, bm25 2.57, peak 0.07, bt 0.21,
+    // mondrian 0.01 — budgets ≈ 2.5-3x those. The two large ratios are
+    // REAL and by design (chargram/shingle explodes widen 30-word-vocab
+    // docs that snappy crushed to ~6 KB), which is exactly why budgets
+    // are per-query.
+    val budgets: Seq[(String, Double)] = Seq(
+      "q01_pricing_summary" -> 1.0, "q09_product_profit" -> 0.5,
+      "qg_mst" -> 0.25, "qg_label_prop" -> 0.4, "qg_scc" -> 0.25,
+      "qg_pagerank" -> 0.3, "qs_knn_graph" -> 0.6,
+      "qstat_hodges_lehmann" -> 0.25, "qstat_theil_sen" -> 0.3,
+      "qstat_bh_fdr" -> 0.8, "qd_winnow" -> 400.0,
+      "qd_minhash_lsh" -> 200.0, "qd_cc_stars" -> 0.6,
+      "qt_bm25" -> 8.0, "qe_peak_concurrency" -> 0.25,
+      "qml_bradley_terry" -> 0.7, "qpriv_mondrian" -> 0.1)
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val measured = budgets.map { case (name, k) =>
+        Memo.clear() // every query pays its own builds — attribution
+        stable()     // drain any stragglers from the previous query
+        shuffleB.set(0L); inputB.set(0L)
+        graft.SparkEntry.queries(name)(spark, sf)
+          .write.format("noop").mode("overwrite").save()
+        val (s, i) = stable()
+        assert(i > 0L, s"$name read no parquet input — metric wiring broke?")
+        val ratio = s.toDouble / i
+        assert(ratio <= k,
+          f"$name shuffled $s bytes = $ratio%.2fx its $i input bytes " +
+            f"(budget ${k}x) — a broadcast lost or a corpus re-shuffle crept in")
+        f"$name ratio=$ratio%.2f (budget $k)"
+      }
+      info(measured.mkString("; "))
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
 }
