@@ -296,6 +296,8 @@ object DedupOps {
     val rem = 60 % nChunks
     def off(i: Int) = if (i < rem) i * (base + 1) else rem * (base + 1) + (i - rem) * base
     def width(i: Int) = if (i < rem) base + 1 else base
+    def chunkVal(s: String, i: Int): String =
+      s"(shiftright($s, ${off(i)}) & ${(1L << width(i)) - 1}L)"
     // token hashes materialized once per doc, majority vote in the native
     // SimHash60 expression (codegen'd tight loop; the pure array-lambda
     // form recomputed the hash array per bit — 60×); repartition barrier so
@@ -305,21 +307,73 @@ object DedupOps {
       .select(col("doc_id"), GraftFunctions.graft_simhash60(col("hs")).as("simhash"))
       .repartition(col("doc_id"))
     val chunkArr = (0 until nChunks).map(i =>
-      s"named_struct('ck', $i, 'cv', shiftright(simhash, ${off(i)}) & ${(1 << width(i)) - 1})")
+      s"named_struct('ck', $i, 'cv', ${chunkVal("simhash", i)})")
       .mkString("array(", ", ", ")")
     val chunked = sigs.select(col("doc_id"), col("simhash"),
         explode(expr(chunkArr)).as("x"))
       .select(col("doc_id"), col("simhash"), col("x.ck").as("ck"), col("x.cv").as("cv"))
-    val cand = chunked.as("a").join(chunked.as("b"),
-        col("a.ck") === col("b.ck") && col("a.cv") === col("b.cv") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        col("a.simhash").as("s1"), col("b.simhash").as("s2"))
-      .distinct()  // a pair can collide in several chunks
-    cand
-      .withColumn("hamming", expr("bit_count(s1 ^ s2)"))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("d1"), col("d2"), col("hamming"))
+    // ---- intra-bucket triangle blocking (r13): the chunk join's cost
+    // is Σ_buckets C(b,2) candidate enumerations, and a sort-merge join
+    // runs each KEY group in one task — the r13 sf1 rehearsal corpus
+    // (50k docs over a 30-word vocab, signatures correlated) put 9,176
+    // docs in one (chunk, value) bucket = 42M pair evaluations on a
+    // single core while 31 idled (memo_build:neardup_clusters measured
+    // exponent 2.01, 2.6 → 263 s). Blocking splits every bucket into
+    // ⌈b/T⌉ hash blocks and keys the join by (bucket, ordered block
+    // pair) — the embeddingNearDup triangle idiom — so per-task work is
+    // ≤ C(T,2)·(pairs per doc) and the hot bucket fans out over
+    // nb·(nb+1)/2 tasks. Exactness: every pair meets in exactly one
+    // block-pair key of each colliding chunk (p = min, q = max of the
+    // two block ids; same-block pairs meet at p = q with the doc_id <
+    // guard). Bucket sizes ride a broadcast of the ≤ nChunks·2^9-row
+    // count table — no corpus-keyed shuffle added.
+    val blockT = 512
+    val bsize = chunked.groupBy(col("ck"), col("cv"))
+      .agg(count(lit(1)).as("_b"))
+      .withColumn("_nb", expr(s"int(ceil(_b / ${blockT}d))"))
+      .select(col("ck"), col("cv"), col("_nb"))
+    val blocked = chunked.join(broadcast(bsize), Seq("ck", "cv"))
+      .withColumn("_blk", pmod(xxhash64(col("doc_id")), col("_nb")))
+    // EXPLICIT partition counts on the join keys: the sides are a few
+    // MB, so AQE's byte-based coalescing would merge them into one
+    // task — but the join's OUTPUT is the candidate enumeration (420M
+    // rows at sf1), invisible to input-byte heuristics. Measured: the
+    // coalesced plan enumerated everything on one core (~102 s at sf1);
+    // a user-specified repartition is exempt from AQE coalescing, so
+    // the block-pair key groups actually fan out. EXPLAINS_r13 §2.
+    val p = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val aSide = blocked
+      .select(col("doc_id"), col("simhash"), col("ck"), col("cv"),
+        col("_blk").as("_p"), explode(expr("sequence(_blk, _nb - 1)")).as("_q"))
+      .repartition(p, col("ck"), col("cv"), col("_p"), col("_q"))
+    val bSide = blocked
+      .select(col("doc_id").as("_bid"), col("simhash").as("_bsig"),
+        col("ck"), col("cv"),
+        explode(expr("sequence(0L, _blk)")).as("_p"), col("_blk").as("_q"))
+      .repartition(p, col("ck"), col("cv"), col("_p"), col("_q"))
+    // multi-chunk collisions dedup MAP-SIDE, not with distinct(): the
+    // first matching chunk index is a pure expression of the two
+    // signatures (unique per pair, and pigeonhole guarantees one for
+    // every verified pair), so "emit only from that chunk" replaces a
+    // candidate-volume exchange with a codegen filter — the linear doc
+    // exchange into the join is the only shuffle in the pair phase.
+    val firstMatch = (0 until nChunks).map(i =>
+      s"${chunkVal("s1", i)} = ${chunkVal("s2", i)}")
+      .mkString("array(", ", ", ")")
+    // a cross-block pair meets exactly ONCE, with roles fixed by block
+    // (a = lower block), so doc ids are canonicalized by least/greatest;
+    // a same-block pair (p = q) meets in both role orders and keeps the
+    // doc_id < guard
+    aSide.join(bSide,
+        Seq("ck", "cv", "_p", "_q"))
+      .filter(col("doc_id") =!= col("_bid") &&
+        (col("_p") < col("_q") || col("doc_id") < col("_bid")))
+      .select(least(col("doc_id"), col("_bid")).as("d1"),
+        greatest(col("doc_id"), col("_bid")).as("d2"),
+        col("simhash").as("s1"), col("_bsig").as("s2"), col("ck"))
+      .filter(expr("bit_count(s1 ^ s2)") <= maxHamming &&
+        col("ck") === expr(s"array_position($firstMatch, true) - 1"))
+      .select(col("d1"), col("d2"), expr("bit_count(s1 ^ s2)").as("hamming"))
       .orderBy(col("d1"), col("d2"))
   }
 
