@@ -2392,7 +2392,7 @@ object SimilarityOps {
     * times" economics a real deployment has). Same join/window as the
     * public [[knnGraph]], reading the shared assignment stage table.
     */
-  private[analytics] def knnEdgesMemo(s: org.apache.spark.sql.SparkSession,
+  private[graft] def knnEdgesMemo(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     Memo.cached(s, s"knnEdges:$dir")(
       knnEdgesFrom(annAssignedMemo(s, dir)
@@ -2402,7 +2402,7 @@ object SimilarityOps {
     * semantics), built from the same assignment stage table — no second
     * corpus scan.
     */
-  private def crossEdgesMemo(s: org.apache.spark.sql.SparkSession,
+  private[graft] def crossEdgesMemo(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     Memo.cached(s, s"crossEdges:$dir")(
       crossEdgesFrom(annAssignedMemo(s, dir), GXK)
@@ -2507,22 +2507,28 @@ object SimilarityOps {
   private val GEntryMod = 256
   private val GEntryK = 24
   // r13 (verdict task 4): the ladder is SELF-SIZING — rung 1 is the r12
-  // tuning (mod 256, 3 rounds) while the per-query entry scan n/mod
-  // stays within GEntryBudget candidates; each further rung sparsens
-  // the entry sample 16× and buys the lost descent back with one more
-  // constant-cost beam round (rounds cost O(queries·beam·degree)
-  // regardless of n; entries cost O(n/mod) — the geometric ladder keeps
-  // the only n-linear term bounded). sf0.01 (n=500) and sf0.1 (n=2000)
-  // both select rung 1, so the static DuckDB oracle — which bakes in
-  // mod 256 / 3 rounds — stays exact at every gate sf; rung 2+ is
-  // exercised by the sf1 scale rehearsal (mod 4096, 4 rounds at
-  // n=20000) with the recall pin measured there (EXPLAINS_r13).
+  // tuning (mod 256, 3 rounds, beam 40) while the per-query entry scan
+  // n/mod stays within GEntryBudget candidates; each further rung
+  // sparsens the entry sample 16×, adds one beam round, and TRIPLES
+  // the beam. The beam growth is the measured requirement, not a
+  // flourish: at the sf1 rehearsal (n = 20,000 isotropic vectors)
+  // EVERY beam-40 config plateaued near 0.8 recall — rung 1's own
+  // (mod 256, 3 rounds) read 0.79, so the loss was corpus size vs the
+  // FIXED beam, not the sparser entry — while (mod 4096, 4 rounds,
+  // beam 120) restored 0.97 at wall-clock parity (EXPLAINS_r13 §3;
+  // the HNSW convention of growing ef with n). Per-round cost stays
+  // O(queries·beam·degree), n-independent; entries cost O(n/mod) —
+  // the geometric ladder keeps the only n-linear term bounded. sf0.01
+  // (n=500) and sf0.1 (n=2000) both select rung 1, so the static
+  // DuckDB oracle — which bakes in mod 256 / 3 rounds / beam 40 —
+  // stays exact at every gate sf.
   private val GEntryBudget = 64L
-  private[graft] def entryLadder(n: Long): (Long, Int) = {
+  private[graft] def entryLadder(n: Long): (Long, Int, Int) = {
     var mod = GEntryMod.toLong
     var rounds = GRounds
-    while (n / mod > GEntryBudget) { mod *= 16; rounds += 1 }
-    (mod, rounds)
+    var beam = GBeam
+    while (n / mod > GEntryBudget) { mod *= 16; rounds += 1; beam *= 3 }
+    (mod, rounds, beam)
   }
   // 3 secondary cells × 2 links each: +6 edges/node before
   // symmetrization — HNSW's usual long-link budget next to KnnK = 12
@@ -2584,7 +2590,7 @@ object SimilarityOps {
     * beam search runs once per (session, sf) like the kNN index it
     * walks.
     */
-  private def graphAnnMemo(s: org.apache.spark.sql.SparkSession,
+  private[graft] def graphAnnMemo(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     Memo.cached(s, s"graphAnnTopK:$dir") {
       val corpus = Tables.embeddings(s, dir)
@@ -2600,11 +2606,11 @@ object SimilarityOps {
         .union(base.select(col("nbr").as("src"), col("src").as("nbr")))
       // self-sizing entry ladder: one count() (parquet metadata read)
       // picks the rung; rung 1 at every oracle sf (see entryLadder)
-      val (mod, rounds) = entryLadder(corpus.count())
+      val (mod, rounds, beam) = entryLadder(corpus.count())
       graphAnnSearch(corpus,
         corpus.filter(col("vec_id") < NQ),
         corpus.filter(col("vec_id") % mod === 0),
-        sym, K, GBeam, rounds, GEntryK)
+        sym, K, beam, rounds, GEntryK)
     }
 
   private val qGraphAnn = GraftQuery(

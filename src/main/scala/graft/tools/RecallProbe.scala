@@ -22,12 +22,40 @@ object RecallProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val n = graft.analytics.Tables.embeddings(spark, sfDir).count()
-    val (mod, rounds) = graft.analytics.SimilarityOps.entryLadder(n)
-    println(s"[recall] $sfDir corpus=$n ladder=(mod=$mod, rounds=$rounds)")
+    val (mod, rounds, beam) = graft.analytics.SimilarityOps.entryLadder(n)
+    println(s"[recall] $sfDir corpus=$n ladder=(mod=$mod, rounds=$rounds, beam=$beam)")
     val t0 = System.nanoTime()
     val rows = graft.SparkEntry.queries("qs_ann_recall")(spark, sfDir).collect()
     println(f"[recall] harness ${(System.nanoTime() - t0) / 1e9}%.1f s")
     rows.foreach(r => println(s"[recall] $r"))
+    // ladder A/B over the PRODUCTION navigable graph (same memoized
+    // edges the qs_graph_ann binding walks): vary entry mod / rounds
+    if (args.length > 1 && args(1) == "ab") {
+      import org.apache.spark.sql.functions._
+      import graft.analytics.{SimilarityOps, Tables}
+      val corpus = Tables.embeddings(spark, sfDir)
+      val q = corpus.filter(col("vec_id") < 20)
+      val exact = SimilarityOps.cosineTopK(corpus, q, 5).localCheckpoint()
+      val e = SimilarityOps.knnEdgesMemo(spark, sfDir)
+      val x = SimilarityOps.crossEdgesMemo(spark, sfDir)
+      val base = e.select(col("src"), col("nbr"))
+        .union(x.select(col("src"), col("nbr")))
+      val sym = base
+        .union(base.select(col("nbr").as("src"), col("src").as("nbr")))
+        .localCheckpoint()
+      for ((mod, rounds, beam) <- Seq((4096, 4, 120), (4096, 5, 120),
+          (4096, 4, 160), (4096, 5, 160), (4096, 6, 160), (256, 4, 120),
+          (4096, 4, 200), (4096, 5, 200))) {
+        val t1 = System.nanoTime()
+        val r = SimilarityOps.annRecall(exact,
+          SimilarityOps.graphAnnSearch(corpus, q,
+            corpus.filter(col("vec_id") % mod === 0), sym, 5, beam, rounds,
+            entryK = 24)).collect()(0)
+        println(f"[recall] ab mod=$mod%5d rounds=$rounds beam=$beam -> " +
+          f"${r.getDouble(r.fieldIndex("recall"))}%.3f  " +
+          f"${(System.nanoTime() - t1) / 1e9}%.1f s")
+      }
+    }
     spark.stop()
   }
 }

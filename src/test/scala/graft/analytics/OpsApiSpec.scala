@@ -2264,18 +2264,20 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       "literal and broadcast cross-edge paths diverged")
   }
 
-  test("entryLadder: rung 1 at every oracle sf; 16x sparser + one round per rung") {
-    // rung 1 (mod 256, 3 rounds) must hold at sf0.01 (n=500) and sf0.1
-    // (n=2000) — the static DuckDB oracle bakes those constants in —
-    // and up to the 64-candidate budget boundary n = 256*64
-    assert(SimilarityOps.entryLadder(500L) == ((256L, 3)))
-    assert(SimilarityOps.entryLadder(2000L) == ((256L, 3)))
-    assert(SimilarityOps.entryLadder(256L * 64) == ((256L, 3)))
-    // one past the budget: 16x sparser entries, one more beam round
-    assert(SimilarityOps.entryLadder(256L * 64 + 256) == ((4096L, 4)))
-    assert(SimilarityOps.entryLadder(20000L) == ((4096L, 4)))
-    assert(SimilarityOps.entryLadder(4096L * 64) == ((4096L, 4)))
-    assert(SimilarityOps.entryLadder(4096L * 64 + 4096) == ((65536L, 5)))
+  test("entryLadder: rung 1 at every oracle sf; 16x sparser, +1 round, 3x beam per rung") {
+    // rung 1 (mod 256, 3 rounds, beam 40) must hold at sf0.01 (n=500)
+    // and sf0.1 (n=2000) — the static DuckDB oracle bakes those
+    // constants in — and up to the 64-candidate budget boundary
+    assert(SimilarityOps.entryLadder(500L) == ((256L, 3, 40)))
+    assert(SimilarityOps.entryLadder(2000L) == ((256L, 3, 40)))
+    assert(SimilarityOps.entryLadder(256L * 64) == ((256L, 3, 40)))
+    // one past the budget: 16x sparser entries, one more round, and 3x
+    // the beam (the sf1-measured requirement — beam 40 plateaus ~0.8
+    // recall at n=20k regardless of entries/rounds; 120 restores 0.97)
+    assert(SimilarityOps.entryLadder(256L * 64 + 256) == ((4096L, 4, 120)))
+    assert(SimilarityOps.entryLadder(20000L) == ((4096L, 4, 120)))
+    assert(SimilarityOps.entryLadder(4096L * 64) == ((4096L, 4, 120)))
+    assert(SimilarityOps.entryLadder(4096L * 64 + 4096) == ((65536L, 5, 360)))
   }
 
   test("graphAnnSearch: k ranked rows per query; beam result dominates entry-only scoring") {
