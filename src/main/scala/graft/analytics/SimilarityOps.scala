@@ -2506,29 +2506,38 @@ object SimilarityOps {
   private val GRounds = 3
   private val GEntryMod = 256
   private val GEntryK = 24
-  // r13 (verdict task 4): the ladder is SELF-SIZING — rung 1 is the r12
-  // tuning (mod 256, 3 rounds, beam 40) while the per-query entry scan
-  // n/mod stays within GEntryBudget candidates; each further rung
-  // sparsens the entry sample 16×, adds one beam round, and TRIPLES
-  // the beam. The beam growth is the measured requirement, not a
-  // flourish: at the sf1 rehearsal (n = 20,000 isotropic vectors)
-  // EVERY beam-40 config plateaued near 0.8 recall — rung 1's own
-  // (mod 256, 3 rounds) read 0.79, so the loss was corpus size vs the
-  // FIXED beam, not the sparser entry — while (mod 4096, 4 rounds,
-  // beam 120) restored 0.97 at wall-clock parity (EXPLAINS_r13 §3;
-  // the HNSW convention of growing ef with n). Per-round cost stays
-  // O(queries·beam·degree), n-independent; entries cost O(n/mod) —
-  // the geometric ladder keeps the only n-linear term bounded. sf0.01
-  // (n=500) and sf0.1 (n=2000) both select rung 1, so the static
-  // DuckDB oracle — which bakes in mod 256 / 3 rounds / beam 40 —
-  // stays exact at every gate sf.
+  // r13 (verdict task 4): the ladder is SELF-SIZING along two
+  // independent axes. ENTRY MOD follows the cost budget — sparsen 16×
+  // whenever the per-query entry scan n/mod would exceed GEntryBudget
+  // candidates (the only n-linear search term stays bounded). BEAM and
+  // ROUNDS follow recall, per DECADE of corpus: the sf1/sf10
+  // rehearsals measured that a fixed beam decays with n regardless of
+  // entries or rounds (beam 40: 0.94 → 0.79 → —; beam 120: — → 0.97 →
+  // 0.72), so the search effort scales beam ×3 / rounds +1 per 10× n —
+  // three calibrated points all ≥ 0.94 on the isotropic corpus
+  // (2k: 40/3, 20k: 120/4, 200k: 360/5); EXPLAINS_r13 §3, the HNSW
+  // grow-ef-with-n convention, here beam ∝ n^0.48 because the flat
+  // cell-local graph has no hierarchy to lean on. Per-round cost is
+  // O(queries·beam·degree), n-independent. sf0.01 (n=500) and sf0.1
+  // (n=2000) both select the base config, so the static DuckDB oracle
+  // — which bakes in mod 256 / 3 rounds / beam 40 — stays exact at
+  // every gate sf.
   private val GEntryBudget = 64L
+  // Beam/rounds scale PER DECADE of corpus, decoupled from the entry
+  // mod: the sf10 rehearsal showed within-rung decay (n=200k still
+  // selects mod 4096, but beam 120 reads 0.72 recall — the rung
+  // boundary is an entry-COST rule and says nothing about search
+  // effort). Three calibrated points, each ≥ 0.94 recall on the
+  // isotropic corpus: (2k: beam 40, 3 rounds) (20k: 120, 4)
+  // (200k: 360, 5) — beam ×3 and rounds +1 per 10× n, i.e. beam
+  // ∝ n^0.48. ceil on the decade is the recall-safe rounding for
+  // intermediate sizes (costs beam, never recall).
   private[graft] def entryLadder(n: Long): (Long, Int, Int) = {
     var mod = GEntryMod.toLong
-    var rounds = GRounds
-    var beam = GBeam
-    while (n / mod > GEntryBudget) { mod *= 16; rounds += 1; beam *= 3 }
-    (mod, rounds, beam)
+    while (n / mod > GEntryBudget) mod *= 16
+    val dec = math.max(0,
+      math.ceil(math.log10(n / 2000.0) - 1e-9).toInt)
+    (mod, GRounds + dec, GBeam * math.pow(3, dec).toInt)
   }
   // 3 secondary cells × 2 links each: +6 edges/node before
   // symmetrization — HNSW's usual long-link budget next to KnnK = 12

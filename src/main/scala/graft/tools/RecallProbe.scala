@@ -43,9 +43,9 @@ object RecallProbe {
       val sym = base
         .union(base.select(col("nbr").as("src"), col("src").as("nbr")))
         .localCheckpoint()
-      for ((mod, rounds, beam) <- Seq((4096, 4, 120), (4096, 5, 120),
-          (4096, 4, 160), (4096, 5, 160), (4096, 6, 160), (256, 4, 120),
-          (4096, 4, 200), (4096, 5, 200))) {
+      for ((mod, rounds, beam) <- Seq((4096, 4, 120), (4096, 4, 200),
+          (4096, 5, 200), (4096, 4, 360), (4096, 5, 360),
+          (4096, 6, 360), (4096, 5, 600))) {
         val t1 = System.nanoTime()
         val r = SimilarityOps.annRecall(exact,
           SimilarityOps.graphAnnSearch(corpus, q,

@@ -2264,20 +2264,23 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       "literal and broadcast cross-edge paths diverged")
   }
 
-  test("entryLadder: rung 1 at every oracle sf; 16x sparser, +1 round, 3x beam per rung") {
-    // rung 1 (mod 256, 3 rounds, beam 40) must hold at sf0.01 (n=500)
+  test("entryLadder: base config at every oracle sf; mod by budget, beam/rounds by decade") {
+    // base (mod 256, 3 rounds, beam 40) must hold at sf0.01 (n=500)
     // and sf0.1 (n=2000) — the static DuckDB oracle bakes those
-    // constants in — and up to the 64-candidate budget boundary
+    // constants in
     assert(SimilarityOps.entryLadder(500L) == ((256L, 3, 40)))
     assert(SimilarityOps.entryLadder(2000L) == ((256L, 3, 40)))
-    assert(SimilarityOps.entryLadder(256L * 64) == ((256L, 3, 40)))
-    // one past the budget: 16x sparser entries, one more round, and 3x
-    // the beam (the sf1-measured requirement — beam 40 plateaus ~0.8
-    // recall at n=20k regardless of entries/rounds; 120 restores 0.97)
-    assert(SimilarityOps.entryLadder(256L * 64 + 256) == ((4096L, 4, 120)))
+    // beam/rounds step per DECADE of corpus (sf1/sf10 calibration:
+    // fixed beam decays with n regardless of entries/rounds — 40/120
+    // read 0.79/0.72 a decade past their calibration, 120/360 restore
+    // 0.97/0.94); ceil is the recall-safe rounding between decades
     assert(SimilarityOps.entryLadder(20000L) == ((4096L, 4, 120)))
-    assert(SimilarityOps.entryLadder(4096L * 64) == ((4096L, 4, 120)))
-    assert(SimilarityOps.entryLadder(4096L * 64 + 4096) == ((65536L, 5, 360)))
+    assert(SimilarityOps.entryLadder(200000L) == ((4096L, 5, 360)))
+    assert(SimilarityOps.entryLadder(5000L) == ((256L, 4, 120)))
+    // entry mod follows the 64-candidate cost budget independently
+    assert(SimilarityOps.entryLadder(256L * 64) == ((256L, 4, 120)))
+    assert(SimilarityOps.entryLadder(256L * 64 + 256) == ((4096L, 4, 120)))
+    assert(SimilarityOps.entryLadder(4096L * 64 + 4096) == ((65536L, 6, 1080)))
   }
 
   test("graphAnnSearch: k ranked rows per query; beam result dominates entry-only scoring") {
