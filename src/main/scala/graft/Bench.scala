@@ -64,7 +64,8 @@ object Bench {
           Set("qg_betweenness", "qg_harmonic", "qg_ecc"),
           (s, d) => graft.analytics.GraphOps.warmLandmarkBfs(s, d)),
         ("memo_build:graph_ann_index",
-          Set("qs_knn_graph", "qs_graph_ann", "qs_ann_recall"),
+          Set("qs_knn_graph", "qs_graph_ann", "qs_ann_recall",
+            "qs_graph_ann_rounds"),
           (s, d) => graft.analytics.SimilarityOps.warmGraphAnnIndex(s, d)),
         ("memo_build:copurchase_pairs",
           Set("qj_copurchase_topk", "qj_assoc_rules", "qg_densest"),

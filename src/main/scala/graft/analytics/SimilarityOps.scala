@@ -2544,7 +2544,9 @@ object SimilarityOps {
   private val GXCells = 3
   private val GXK = 2
 
-  private val graphAnnSql = {
+  // CTE body shared by qs_graph_ann and qs_graph_ann_rounds (r13):
+  // index build + entry scoring + the GRounds beam rounds, no final cut
+  private val graphAnnCtes = {
     val cv = "cv AS (SELECT vec_id AS cand_id, v AS vb FROM e0)"
     val roundCtes = (1 to GRounds).map { r =>
       s"""c$r AS (SELECT DISTINCT query_id, cand_id FROM (
@@ -2563,7 +2565,7 @@ object SimilarityOps {
     // edgh = the primary intra-cell edges + the crossCellEdges long
     // links (score ranks 2..GXCells+1, top GXK per (src, cell)),
     // symmetrized — the navigable graph the beam actually walks
-    s"""WITH $knnEdgeCtes,
+    s"""$knnEdgeCtes,
     scr AS (SELECT s.vec_id, s.v, g.c AS scell,
       ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY s.sc[g.c] DESC, g.c) AS crk
       FROM scs s, cells g),
@@ -2586,12 +2588,46 @@ object SimilarityOps {
         SELECT query_id, cand_id, cosine,
           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rk
         FROM sc_0) WHERE rk <= $GEntryK),
-    ${roundCtes.mkString(",\n    ")}
+    ${roundCtes.mkString(",\n    ")}"""
+  }
+
+  private val graphAnnSql =
+    s"""WITH $graphAnnCtes
     SELECT query_id, rank, cand_id, cosine FROM (
       SELECT query_id, cand_id, cosine,
         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
       FROM b$GRounds) WHERE rank <= $K
     ORDER BY query_id, rank"""
+
+  // recall@K after each beam round against the exact top-K — the
+  // in-oracle pin of "the round IS the descent" (r12's measured A/B,
+  // now a hash-checked curve): recall must be non-decreasing in rounds
+  // and the last row equals qs_ann_recall's graph_ann figure
+  private val graphAnnRoundsSql = {
+    val xact = s"""xp AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.v AS va, c.v AS vb
+      FROM e0 q JOIN e0 c ON q.vec_id < $NQ AND q.vec_id <> c.vec_id),
+    xsc AS (SELECT query_id, cand_id, $cosineSql AS cosine FROM xp),
+    xtop AS (SELECT query_id, cand_id FROM (
+        SELECT query_id, cand_id,
+          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+        FROM xsc) WHERE rank <= $K)"""
+    val recCtes = (1 to GRounds).map { r =>
+      s"""tr$r AS (SELECT query_id, cand_id FROM (
+        SELECT query_id, cand_id,
+          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rk
+        FROM b$r) WHERE rk <= $K),
+    rec$r AS (SELECT CAST($r AS BIGINT) AS rounds,
+      CAST(SUM(CASE WHEN t.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        / COUNT(*) AS recall
+      FROM xtop x LEFT JOIN tr$r t
+        ON t.query_id = x.query_id AND t.cand_id = x.cand_id)"""
+    }
+    val union = (1 to GRounds).map(r => s"SELECT rounds, recall FROM rec$r")
+      .mkString(" UNION ALL ")
+    s"""WITH $graphAnnCtes,
+    $xact,
+    ${recCtes.mkString(",\n    ")}
+    SELECT rounds, recall FROM ($union) ORDER BY rounds"""
   }
 
   /** Session-memoized graph-ANN search result — qs_graph_ann's binding
@@ -2599,33 +2635,61 @@ object SimilarityOps {
     * beam search runs once per (session, sf) like the kNN index it
     * walks.
     */
+  /** The navigable graph the beam walks — intra-cell kNN edges +
+    * cross-cell long links (HNSW 2-layer, r11), SYMMETRIZED (HNSW keeps
+    * links bidirectional): reverse edges double routing connectivity at
+    * zero build cost. Both edge memos are session-cached.
+    */
+  private def navigableEdges(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val e = knnEdgesMemo(s, dir)
+    val x = crossEdgesMemo(s, dir)
+    val base = e.select(col("src"), col("nbr"))
+      .union(x.select(col("src"), col("nbr")))
+    base.union(base.select(col("nbr").as("src"), col("src").as("nbr")))
+  }
+
   private[graft] def graphAnnMemo(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     Memo.cached(s, s"graphAnnTopK:$dir") {
       val corpus = Tables.embeddings(s, dir)
-      val e = knnEdgesMemo(s, dir)
-      // navigable graph = intra-cell kNN edges + cross-cell long links
-      // (HNSW 2-layer, r11), SYMMETRIZED (HNSW keeps links
-      // bidirectional): reverse edges double routing connectivity at
-      // zero build cost
-      val x = crossEdgesMemo(s, dir)
-      val base = e.select(col("src"), col("nbr"))
-        .union(x.select(col("src"), col("nbr")))
-      val sym = base
-        .union(base.select(col("nbr").as("src"), col("src").as("nbr")))
       // self-sizing entry ladder: one count() (parquet metadata read)
-      // picks the rung; rung 1 at every oracle sf (see entryLadder)
+      // picks the config; base at every oracle sf (see entryLadder)
       val (mod, rounds, beam) = entryLadder(corpus.count())
       graphAnnSearch(corpus,
         corpus.filter(col("vec_id") < NQ),
         corpus.filter(col("vec_id") % mod === 0),
-        sym, K, beam, rounds, GEntryK)
+        navigableEdges(s, dir), K, beam, rounds, GEntryK)
     }
 
   private val qGraphAnn = GraftQuery(
     "qs_graph_ann",
     (s, dir) => graphAnnMemo(s, dir),
     Some(graphAnnSql))
+
+  /** Recall@K after EACH beam round vs the exact top-K — the r12 "the
+    * round IS the descent" A/B as a hash-checked oracle curve: recall
+    * must climb with rounds, and the final row equals qs_ann_recall's
+    * graph_ann figure. Shares the memoized navigable graph; one extra
+    * exact baseline (broadcast-query corpus scan) checkpointed across
+    * the per-round joins.
+    */
+  private val qGraphAnnRounds = GraftQuery(
+    "qs_graph_ann_rounds",
+    (s, dir) => {
+      val corpus = Tables.embeddings(s, dir)
+      val q = corpus.filter(col("vec_id") < NQ)
+      val exact = cosineTopK(corpus, q, K).localCheckpoint()
+      val sym = navigableEdges(s, dir)
+      val (mod, rounds, beam) = entryLadder(corpus.count())
+      (1 to rounds).map { r =>
+        annRecall(exact, graphAnnSearch(corpus, q,
+            corpus.filter(col("vec_id") % mod === 0), sym, K, beam, r,
+            GEntryK))
+          .select(lit(r.toLong).as("rounds"), col("recall"))
+      }.reduce(_.unionByName(_)).orderBy(col("rounds"))
+    },
+    Some(graphAnnRoundsSql))
 
   /** Bench warm-up hook: forces the kNN index + beam-search memo shared
     * by qs_knn_graph / qs_graph_ann / qs_ann_recall onto its own timed
@@ -3653,7 +3717,7 @@ object SimilarityOps {
   val queries: Seq[GraftQuery] = Seq(qBrute, qAnnLsh, qAnnIvf, qAnnIvfTrained,
     qAnnLshMp, qAnnFiltered, qRecall, qMrr, qSq, qSqPacked, qCentroids, qKmeans,
     qOutliers, qSemDedup, qPq, qIvfPq, qIvfPqRes, qKnn, qRp, qMmr, qRrf,
-    qKCenter, qGraphAnn, qHardNeg, qMrl, qRbp, qRbo, qBitext, qNdcg, qMap, qSilhouette,
+    qKCenter, qGraphAnn, qGraphAnnRounds, qHardNeg, qMrl, qRbp, qRbo, qBitext, qNdcg, qMap, qSilhouette,
     qShapley, qProbeCurve, qBinary, qCentroidPairs, qPcaPower, qAnisotropy,
     qAri, qFacility, qMips)
 }

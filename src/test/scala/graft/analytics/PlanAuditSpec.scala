@@ -137,6 +137,13 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"sorted-neighborhood pair generation regressed to all-pairs:\n$plan")
   }
 
+  test("qs_graph_ann_rounds: per-round recall joins stay keyed, no cartesian") {
+    val plan = graft.SparkEntry.queries("qs_graph_ann_rounds")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"rounds curve regressed to a cartesian:\n$plan")
+  }
+
   test("qs_graph_ann's final cut reads the checkpointed beam; no cartesian anywhere") {
     val plan = graft.SparkEntry.queries("qs_graph_ann")(spark, sf)
       .queryExecution.executedPlan.toString
