@@ -175,45 +175,47 @@ object Bench {
           java.nio.charset.StandardCharsets.UTF_8)
       }.toOption
       else None
-    val existingNoisy: Option[Int] = existingTxt.flatMap { txt =>
-      """"noisy":\[([^\]]*)\]""".r.findFirstMatchIn(txt)
-        .map(g => if (g.group(1).trim.isEmpty) 0
-          else g.group(1).count(_ == ',') + 1)
-    }
-    // Count entries of the "queries" object by commas + 1 — values are
-    // plain doubles, so commas only separate entries. Counting colons is
-    // WRONG here: query names like "memo_build:trade_graph" contain
-    // colons, which inflated the count and made equal-coverage refreshes
-    // look like shrinks.
-    val existingRows: Option[Int] = existingTxt.flatMap { txt =>
-      """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt)
-        .map(g => if (g.group(1).trim.isEmpty) 0
-          else g.group(1).count(_ == ',') + 1)
-    }
-    // Per-query times of the committed artifact — drives both the
-    // ">= 1s flags only" noise comparison and the common-row total.
-    val existingTimes: Map[String, Double] = existingTxt.flatMap { txt =>
+    // ONE parser per artifact field (r13 review: the earlier comma-
+    // counting duplicates could drift from these — the r8 colon-count
+    // bug in this exact spot is the precedent). Names may contain
+    // colons; values are plain doubles.
+    val existingTimes: Option[Map[String, Double]] = existingTxt.flatMap { txt =>
       """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt).map { g =>
         """"([^"]+)":([-0-9.eE]+)""".r.findAllMatchIn(g.group(1))
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       }
-    }.getOrElse(Map.empty)
-    val existingNoisyNames: Seq[String] = existingTxt.flatMap { txt =>
+    }
+    val existingNoisyNames: Option[Seq[String]] = existingTxt.flatMap { txt =>
       """"noisy":\[([^\]]*)\]""".r.findFirstMatchIn(txt).map { g =>
         """"([^"]+)"""".r.findAllMatchIn(g.group(1)).map(_.group(1)).toSeq
       }
-    }.getOrElse(Seq.empty)
+    }
+    val oldTimes = existingTimes.getOrElse(Map.empty)
     val resultTimes = results.toMap
     val newNoisyMajor = noisyNames.count(n => resultTimes.getOrElse(n, 0.0) >= 1.0)
-    val oldNoisyMajor = existingNoisyNames.count(n => existingTimes.getOrElse(n, 0.0) >= 1.0)
-    val commonNames = results.map(_._1).filter(existingTimes.contains)
+    val oldNoisyMajor = existingNoisyNames.getOrElse(Seq.empty)
+      .count(n => oldTimes.getOrElse(n, 0.0) >= 1.0)
+    // common-row comparison EXCLUDES failed rows (a query that errored
+    // every pass reports 0.0): a 0.0 on either side would read as a
+    // phantom speedup/slowdown and let a broken rerun manufacture a
+    // "strictly better" total (r13 review)
+    val commonNames = results.map(_._1).filter(n =>
+      oldTimes.getOrElse(n, 0.0) > 0.0 && resultTimes.getOrElse(n, 0.0) > 0.0)
     val newCommonTotal = commonNames.map(resultTimes).sum
-    val oldCommonTotal = commonNames.map(existingTimes).sum
+    val oldCommonTotal = commonNames.map(oldTimes).sum
     val betterTotal = commonNames.nonEmpty && newCommonTotal < oldCommonTotal
+    val existingRows: Option[Int] = existingTimes.map(_.size)
     val shrinks = existingRows.exists(old => results.size < old)
-    val noisier = existingNoisy.isDefined && newNoisyMajor > oldNoisyMajor
+    val noisier = existingNoisyNames.isDefined && newNoisyMajor > oldNoisyMajor
+    // a query that failed every pass here but was green in the artifact
+    // means this RUN is broken, not the artifact stale — refuse
+    val broken = results.collect { case (n, t)
+      if t == 0.0 && oldTimes.getOrElse(n, 0.0) > 0.0 => n }
     val target0 =
-      if (!force && shrinks) {
+      if (!force && broken.nonEmpty) {
+        System.err.println(s"[bench] REFUSING refresh: ${broken.size} queries failed every pass that the artifact has green (${broken.take(3).mkString(", ")}…) — keeping $out, writing ${out}.rejected")
+        java.nio.file.Paths.get(out.toString + ".rejected")
+      } else if (!force && shrinks) {
         System.err.println(s"[bench] REFUSING refresh: this run covers ${results.size} queries vs the existing artifact's ${existingRows.get} — keeping $out, writing ${out}.rejected")
         java.nio.file.Paths.get(out.toString + ".rejected")
       } else if (!force && noisier && !betterTotal) {

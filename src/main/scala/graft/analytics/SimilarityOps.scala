@@ -2433,19 +2433,24 @@ object SimilarityOps {
     *
     * Output: (query_id, rank, cand_id, cosine), rank <= k.
     */
-  def graphAnnSearch(corpus: org.apache.spark.sql.DataFrame,
+  /** The beam-search loop itself, returning EVERY round's beam frame
+    * (r13; the recall-vs-rounds curve needs the intermediates — running
+    * the search once per round count would walk R(R+1)/2 rounds and
+    * re-score the entry layer R times). With allBeams = false the last
+    * beam is left un-checkpointed (it feeds only one consumer).
+    */
+  private def graphAnnBeamsAll(corpus: org.apache.spark.sql.DataFrame,
       queries: org.apache.spark.sql.DataFrame,
       entries: org.apache.spark.sql.DataFrame,
       edges: org.apache.spark.sql.DataFrame,
-      k: Int, beam: Int, rounds: Int,
+      beam: Int, rounds: Int,
       entryK: Int = 0,
-      idCol: String = "vec_id", vecCol: String = "embedding"): org.apache.spark.sql.DataFrame = {
-    require(beam >= k, s"beam ($beam) must be >= k ($k)")
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      allBeams: Boolean = false): List[org.apache.spark.sql.DataFrame] = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     // entryK: how many scored entry points seed the beam (HNSW-style
     // descent keeps this well below the working beam width; 0 = beam)
     val eK = if (entryK > 0) entryK else beam
-    require(eK >= k, s"entryK ($eK) must be >= k ($k)")
     val q = prep(queries, idCol, vecCol)
       .select(col("vec_id").as("query_id"), col("v").as("va"), col("nrm").as("na"))
     val corp = prep(corpus, idCol, vecCol)
@@ -2464,6 +2469,7 @@ object SimilarityOps {
     // branches of the expansion union
     var beamDf = topBeam(withCosine(ent.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("cand_id"))), eK).localCheckpoint()
+    val perRound = scala.collection.mutable.ListBuffer.empty[org.apache.spark.sql.DataFrame]
     for (r <- 1 to rounds) {
       val expanded = edges.select(col("src").as("cand_id"), col("nbr"))
         .join(broadcast(beamDf.select(col("query_id"), col("cand_id"))),
@@ -2478,9 +2484,25 @@ object SimilarityOps {
             Seq("query_id"))), beam)
       // interior beams feed two branches of the next expansion (and its
       // broadcast) — materialize; the last beam feeds only the final cut
-      beamDf = if (r < rounds) next.localCheckpoint() else next
+      // (or the per-round curve when allBeams asked for it)
+      beamDf = if (r < rounds || allBeams) next.localCheckpoint() else next
+      perRound += beamDf
     }
-    topK(beamDf, k)
+    perRound.toList
+  }
+
+  /** Beam search — the top-k cut of [[graphAnnBeamsAll]]'s final round. */
+  def graphAnnSearch(corpus: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame,
+      entries: org.apache.spark.sql.DataFrame,
+      edges: org.apache.spark.sql.DataFrame,
+      k: Int, beam: Int, rounds: Int,
+      entryK: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): org.apache.spark.sql.DataFrame = {
+    require(beam >= k, s"beam ($beam) must be >= k ($k)")
+    require(entryK <= 0 || entryK >= k, s"entryK ($entryK) must be >= k ($k)")
+    topK(graphAnnBeamsAll(corpus, queries, entries, edges, beam, rounds,
+      entryK, idCol, vecCol, allBeams = false).last, k)
   }
 
   // r11 retune (HNSW 2-layer): with [[crossCellEdges]] making the graph
@@ -2640,7 +2662,7 @@ object SimilarityOps {
     * links bidirectional): reverse edges double routing connectivity at
     * zero build cost. Both edge memos are session-cached.
     */
-  private def navigableEdges(s: org.apache.spark.sql.SparkSession,
+  private[graft] def navigableEdges(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val e = knnEdgesMemo(s, dir)
     val x = crossEdgesMemo(s, dir)
@@ -2682,11 +2704,15 @@ object SimilarityOps {
       val exact = cosineTopK(corpus, q, K).localCheckpoint()
       val sym = navigableEdges(s, dir)
       val (mod, rounds, beam) = entryLadder(corpus.count())
-      (1 to rounds).map { r =>
-        annRecall(exact, graphAnnSearch(corpus, q,
-            corpus.filter(col("vec_id") % mod === 0), sym, K, beam, r,
-            GEntryK))
-          .select(lit(r.toLong).as("rounds"), col("recall"))
+      // ONE search pass: every round's beam comes back checkpointed, so
+      // the curve costs the same rounds the plain search walks (r13
+      // review — per-round re-search would walk R(R+1)/2 rounds)
+      val beams = graphAnnBeamsAll(corpus, q,
+        corpus.filter(col("vec_id") % mod === 0), sym, beam, rounds,
+        GEntryK, allBeams = true)
+      beams.zipWithIndex.map { case (b, i) =>
+        annRecall(exact, topK(b, K))
+          .select(lit((i + 1).toLong).as("rounds"), col("recall"))
       }.reduce(_.unionByName(_)).orderBy(col("rounds"))
     },
     Some(graphAnnRoundsSql))

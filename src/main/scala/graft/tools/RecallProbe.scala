@@ -36,13 +36,9 @@ object RecallProbe {
       val corpus = Tables.embeddings(spark, sfDir)
       val q = corpus.filter(col("vec_id") < 20)
       val exact = SimilarityOps.cosineTopK(corpus, q, 5).localCheckpoint()
-      val e = SimilarityOps.knnEdgesMemo(spark, sfDir)
-      val x = SimilarityOps.crossEdgesMemo(spark, sfDir)
-      val base = e.select(col("src"), col("nbr"))
-        .union(x.select(col("src"), col("nbr")))
-      val sym = base
-        .union(base.select(col("nbr").as("src"), col("src").as("nbr")))
-        .localCheckpoint()
+      // the PRODUCTION graph builder — the probe must measure the
+      // graph qs_graph_ann actually walks, not a reimplementation
+      val sym = SimilarityOps.navigableEdges(spark, sfDir).localCheckpoint()
       for ((mod, rounds, beam) <- Seq((4096, 4, 120), (4096, 4, 200),
           (4096, 5, 200), (4096, 4, 360), (4096, 5, 360),
           (4096, 6, 360), (4096, 5, 600))) {
