@@ -66,6 +66,49 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!pairs.exists(p => p._1 == 13L || p._2 == 13L), s"false pair: $pairs")
   }
 
+  test("simhashPairs: triangle-blocked hot buckets equal brute-force hamming pairs") {
+    import spark.implicits._
+    // 1,500 docs over a 6-word vocab: the majority-vote signatures
+    // correlate hard, so (chunk, value) buckets blow past the 512-doc
+    // block threshold — the sf1-measured regime the r13 triangle
+    // blocking exists for. The oracle sfs never reach that threshold
+    // (≤ 500 docs), so the blocked path needs its own exactness pin:
+    // the pair set must equal a driver-side brute-force hamming scan
+    // over the same signatures.
+    val vocab = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val docs = (0L until 1500L).map { i =>
+      val words = (0 until 40).map(p =>
+        vocab(math.floorMod((i * 40 + p) * 2654435761L,
+          vocab.length.toLong).toInt))
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = DedupOps.simhashPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over the engine's own signatures (same expression)
+    val sigs = docs.select(org.apache.spark.sql.functions.col("doc_id"),
+        graft.functions.GraftFunctions.graft_simhash60(
+          org.apache.spark.sql.functions.expr(
+            s"transform(${Nlp.toksExpr}, t -> ${Nlp.h60("t")})")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val brute = (for {
+      i <- sigs.indices; j <- (i + 1) until sigs.length
+      if java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2) <= 6
+    } yield (sigs(i)._1, sigs(j)._1)).toSet
+    assert(got == brute,
+      s"blocked pair set diverged: got ${got.size} vs brute ${brute.size}; " +
+        s"missing ${(brute -- got).take(3)}, extra ${(got -- brute).take(3)}")
+    // the pin only has teeth if blocking actually fired: recompute the
+    // production chunk layout (4×9 + 3×8 bits) and assert a hot bucket
+    def off(i: Int) = if (i < 4) i * 9 else 36 + (i - 4) * 8
+    def width(i: Int) = if (i < 4) 9 else 8
+    val hottest = sigs.flatMap { case (_, s) =>
+      (0 until 7).map(i => (i, (s >>> off(i)) & ((1L << width(i)) - 1))) }
+      .groupBy(identity).map(_._2.length).max
+    assert(hottest > 512,
+      s"corpus no longer exceeds the 512-doc block threshold ($hottest) — " +
+        "the blocked path went untested; make the vocab smaller")
+  }
+
   test("embeddingNearDup and cosineTopK on custom column names") {
     import spark.implicits._
     val vecs = Seq(
