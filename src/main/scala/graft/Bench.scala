@@ -1,6 +1,42 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** A run slower than the artifact by more than this on the common-row
+    * total is refused even if flag-clean — run-to-run spread on this box
+    * is ±3–7%, so 3% rejects the degraded-but-clean reruns (the r13
+    * driver capture overwrote a 316.6 s artifact with a 355.6 s one
+    * started at loadavg 4.26) while tolerating ordinary jitter. */
+  val SlowerTolerance = 1.03
+
+  /** Pure refresh-gate decision (unit-tested in BenchGateSpec): None =
+    * accept, Some(reason) = refuse and write to <out>.rejected.
+    * Rules, in order:
+    *   1. broken: a query green in the artifact failed every pass here;
+    *   2. coverage: this run has fewer query rows than the artifact;
+    *   3. noise: more >=1s noisy flags AND not a strictly-better
+    *      common-row total;
+    *   4. slower (r14, symmetric to 3): common-row total worse than the
+    *      artifact's by > SlowerTolerance, regardless of flags — a
+    *      flag-clean-but-degraded rerun must not clobber a faster one.
+    * force bypasses all four. */
+  def refreshVerdict(force: Boolean, broken: Seq[String],
+      newRows: Int, oldRows: Option[Int],
+      noisier: Boolean, newNoisyMajor: Int, oldNoisyMajor: Int,
+      commonRows: Int, newCommonTotal: Double, oldCommonTotal: Double)
+      : Option[String] = {
+    val betterTotal = commonRows > 0 && newCommonTotal < oldCommonTotal
+    if (force) None
+    else if (broken.nonEmpty)
+      Some(s"${broken.size} queries failed every pass that the artifact has green (${broken.take(3).mkString(", ")}…)")
+    else if (oldRows.exists(newRows < _))
+      Some(s"this run covers $newRows queries vs the existing artifact's ${oldRows.get}")
+    else if (noisier && !betterTotal)
+      Some(f"this run has $newNoisyMajor >=1s noisy flags vs the existing artifact's $oldNoisyMajor and its common-row total ($newCommonTotal%.1f s over $commonRows rows) does not beat the artifact's ($oldCommonTotal%.1f s)")
+    else if (commonRows > 0 && newCommonTotal > oldCommonTotal * SlowerTolerance)
+      Some(f"this run's common-row total ($newCommonTotal%.1f s over $commonRows rows) is >${(SlowerTolerance - 1) * 100}%.0f%% worse than the artifact's ($oldCommonTotal%.1f s)")
+    else None
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -143,7 +179,7 @@ object Bench {
     val total = results.map(_._2).sum
     val totalP50 = resultsP50.map(_._2).sum
     val loads = passLoads.map(s => "\"" + s + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","value_p50":$totalP50,"reps":$pass,"policy":"min-over-$pass-interleaved-passes; p50 alongside; memo_build:* rows are shared-prefix warm-ups charged once per pass; refresh refuses to overwrite a less-noisy artifact, where noise counts only queries >= 1s and a strictly-better common-row total wins regardless (SPARK_GRAFT_BENCH_FORCE=1 overrides)","loadavg_per_pass":$loads,"noisy":$noisy,"queries":${obj(results)},"queries_p50":${obj(resultsP50)},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","value_p50":$totalP50,"reps":$pass,"policy":"min-over-$pass-interleaved-passes; p50 alongside; memo_build:* rows are shared-prefix warm-ups charged once per pass; refresh refuses to overwrite a less-noisy artifact, where noise counts only queries >= 1s and a strictly-better common-row total wins regardless; a run >3% slower on the common-row total is refused even if flag-clean (SPARK_GRAFT_BENCH_FORCE=1 overrides)","loadavg_per_pass":$loads,"noisy":$noisy,"queries":${obj(results)},"queries_p50":${obj(resultsP50)},"sf":"$sfDir"}"""
     println(line)
     // Also persist the full JSON in-repo: the driver captures only the tail
     // of stdout, which truncated BENCH_r02.json mid-line. A committed file
@@ -211,21 +247,18 @@ object Bench {
     // means this RUN is broken, not the artifact stale — refuse
     val broken = results.collect { case (n, t)
       if t == 0.0 && oldTimes.getOrElse(n, 0.0) > 0.0 => n }
-    val target0 =
-      if (!force && broken.nonEmpty) {
-        System.err.println(s"[bench] REFUSING refresh: ${broken.size} queries failed every pass that the artifact has green (${broken.take(3).mkString(", ")}…) — keeping $out, writing ${out}.rejected")
+    val verdict = refreshVerdict(force, broken, results.size, existingRows,
+      noisier, newNoisyMajor, oldNoisyMajor,
+      commonNames.size, newCommonTotal, oldCommonTotal)
+    val target0 = verdict match {
+      case Some(reason) =>
+        System.err.println(s"[bench] REFUSING refresh: $reason — keeping $out, writing ${out}.rejected")
         java.nio.file.Paths.get(out.toString + ".rejected")
-      } else if (!force && shrinks) {
-        System.err.println(s"[bench] REFUSING refresh: this run covers ${results.size} queries vs the existing artifact's ${existingRows.get} — keeping $out, writing ${out}.rejected")
-        java.nio.file.Paths.get(out.toString + ".rejected")
-      } else if (!force && noisier && !betterTotal) {
-        System.err.println(f"[bench] REFUSING refresh: this run has $newNoisyMajor >=1s noisy flags vs the existing artifact's $oldNoisyMajor and its common-row total ($newCommonTotal%.1f s over ${commonNames.size} rows) does not beat the artifact's ($oldCommonTotal%.1f s) — keeping $out, writing ${out}.rejected")
-        java.nio.file.Paths.get(out.toString + ".rejected")
-      } else {
+      case None =>
         if (noisier && betterTotal)
           System.err.println(f"[bench] accepting noisier run: common-row total $newCommonTotal%.1f s beats the artifact's $oldCommonTotal%.1f s over ${commonNames.size} rows")
         out
-      }
+    }
     System.err.println(s"[bench] writing full results to $target0")
     try {
       java.nio.file.Files.write(target0,
