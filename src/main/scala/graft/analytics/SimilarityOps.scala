@@ -2318,9 +2318,15 @@ object SimilarityOps {
     * and re-links every survivor that pointed at a removed member by an
     * exact cell-local rescan, so the maintained graph equals the batch
     * rebuild over the survivor set under any insert/delete interleaving
-    * (pinned in StreamingExtrasSpec). TTL expiry remains the blunt
-    * fallback: it drops state without re-linking — use explicit
-    * tombstones when a sliding corpus needs the exact graph.
+    * (pinned in StreamingExtrasSpec). TTL expiry is INCOHERENT by
+    * construction (r13 verdict): RocksDB drops expired MapState entries
+    * without the re-link, so survivors keep adjacency edges into
+    * vanished residents until some later arrival rewrites them.
+    * Tombstones are therefore the ONLY supported expiry route — a
+    * non-NONE `stateTtl` throws unless the caller passes
+    * `allowIncoherentTtl = true` to opt into the documented staleness
+    * (acceptable when the consumer re-validates neighbors at read
+    * time, e.g. a serving layer that drops dead ids from beam results).
     */
   def graphAnnStream(vectors: org.apache.spark.sql.DataFrame,
       cents: Seq[Seq[Double]],
@@ -2328,8 +2334,14 @@ object SimilarityOps {
       idCol: String = "vec_id", vecCol: String = "embedding",
       stateTtl: org.apache.spark.sql.streaming.TTLConfig =
         org.apache.spark.sql.streaming.TTLConfig.NONE,
-      deleteCol: String = ""): org.apache.spark.sql.DataFrame = {
+      deleteCol: String = "",
+      allowIncoherentTtl: Boolean = false): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig}
+    require(stateTtl == TTLConfig.NONE || allowIncoherentTtl,
+      "graphAnnStream: TTL expiry drops residents WITHOUT re-linking " +
+        "survivors (orphan adjacency edges) — use explicit tombstones " +
+        "via deleteCol for coherent expiry, or pass allowIncoherentTtl " +
+        "= true to accept stale edges until the next arrival rewrites them")
     require(cents.size <= CentroidLiteralMax,
       s"graphAnnStream ships the codebook as a plan literal; C = " +
         s"${cents.size} exceeds $CentroidLiteralMax — shrink the " +
@@ -2671,13 +2683,40 @@ object SimilarityOps {
     base.union(base.select(col("nbr").as("src"), col("src").as("nbr")))
   }
 
+  /** The base ladder rung every static oracle SQL bakes in (mod 256, 3
+    * rounds, beam 40) — [[graphAnnSql]]/[[graphAnnRoundsSql]] are fixed
+    * text, so an oracle-compared sf whose corpus selects a HIGHER rung
+    * would hash-mismatch with no hint at the cause (r13 ADVICE). The
+    * ladder is correct behavior at scale; [[ladderFor]] logs loudly
+    * when a non-base config is selected so the divergence self-diagnoses.
+    */
+  private val LadderBase = (GEntryMod.toLong, GRounds, GBeam)
+
+  /** entryLadder over the memoized corpus count — ONE count job per
+    * (session, sf) instead of one per ANN query (r13 verdict item 7;
+    * parquet metadata makes each cheap at bench sf, but it was an
+    * unmemoized repeated job on the hot path).
+    */
+  private[graft] def ladderFor(s: org.apache.spark.sql.SparkSession,
+      dir: String): (Long, Int, Int) = {
+    val n = Memo.value(s, s"embCount:$dir")(Tables.embeddings(s, dir).count())
+    val cfg = entryLadder(n)
+    if (cfg != LadderBase)
+      System.err.println(s"[graft-ann] WARN: entryLadder selected non-base config " +
+        s"(mod, rounds, beam) = $cfg for n = $n at $dir — the static " +
+        s"oracle SQL bakes $LadderBase; an oracle hash mismatch on " +
+        "qs_graph_ann/qs_graph_ann_rounds at this sf is the ladder, " +
+        "not the search")
+    cfg
+  }
+
   private[graft] def graphAnnMemo(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     Memo.cached(s, s"graphAnnTopK:$dir") {
       val corpus = Tables.embeddings(s, dir)
-      // self-sizing entry ladder: one count() (parquet metadata read)
-      // picks the config; base at every oracle sf (see entryLadder)
-      val (mod, rounds, beam) = entryLadder(corpus.count())
+      // self-sizing entry ladder: one memoized count() picks the
+      // config; base at every oracle sf (see entryLadder/ladderFor)
+      val (mod, rounds, beam) = ladderFor(s, dir)
       graphAnnSearch(corpus,
         corpus.filter(col("vec_id") < NQ),
         corpus.filter(col("vec_id") % mod === 0),
@@ -2703,7 +2742,7 @@ object SimilarityOps {
       val q = corpus.filter(col("vec_id") < NQ)
       val exact = cosineTopK(corpus, q, K).localCheckpoint()
       val sym = navigableEdges(s, dir)
-      val (mod, rounds, beam) = entryLadder(corpus.count())
+      val (mod, rounds, beam) = ladderFor(s, dir)
       // ONE search pass: every round's beam comes back checkpointed, so
       // the curve costs the same rounds the plain search walks (r13
       // review — per-round re-search would walk R(R+1)/2 rounds)

@@ -4064,11 +4064,13 @@ object StatTests {
       val ev = Tables.events(s, dir)
         .select(col("user_id"), col("ts"),
           expr("CAST(round(value * 100) AS BIGINT)").as("c"))
-      // integer DIV, not double `/ 2` + cast: the double round-trip is
-      // exact only while the micros sum stays under 2^53 — DIV matches
-      // DuckDB's `//` at any precision/epoch (r12 verdict item 1)
+      // integer halving, not double `/ 2` + cast: the double round-trip
+      // is exact only while the micros sum stays under 2^53. shiftright
+      // (arithmetic shift) FLOORS like DuckDB's `//`, where DIV would
+      // truncate toward zero and diverge on a negative micros sum
+      // (pre-1970 timestamps) — r13 ADVICE; exact at any precision/epoch
       val cut = ev.agg(min(col("ts")).as("_mn"), max(col("ts")).as("_mx"))
-        .select(expr("(unix_micros(_mn) + unix_micros(_mx)) DIV 2").as("_cut"))
+        .select(expr("shiftright(unix_micros(_mn) + unix_micros(_mx), 1)").as("_cut"))
       diffInDiff(
         ev.crossJoin(broadcast(cut))
           .select((col("user_id") % 2).as("treat"),

@@ -149,12 +149,29 @@ object VocabOps {
     * Feed the latest state into [[bm25RankFromPostings]] for a ranking
     * that equals the batch [[bm25Rank]] bit for bit (pinned in
     * StreamingExtrasSpec with a 10⁶-posting soak).
+    *
+    * TTL caveat (r13 ADVICE, mirroring [[SimilarityOps.graphAnnStream]]):
+    * with a non-NONE TTL the `seenDocs` replay guard and the
+    * `corpusStats` counters expire INDEPENDENTLY — an at-least-once
+    * redelivery after a seen-entry expires re-increments n_docs/sum_dl
+    * while the stats value persists, silently drifting the corpus stats
+    * (and an expired posting re-emits). A non-NONE `stateTtl` therefore
+    * throws unless `allowIncoherentTtl = true` opts into the documented
+    * drift (acceptable when ingest is exactly-once upstream or stats
+    * are periodically rebuilt from a batch scan).
     */
   def bm25Stream(docs: DataFrame, terms: Seq[String],
       idCol: String = "doc_id", textCol: String = "text", shards: Int = 64,
       stateTtl: org.apache.spark.sql.streaming.TTLConfig =
-        org.apache.spark.sql.streaming.TTLConfig.NONE): DataFrame = {
+        org.apache.spark.sql.streaming.TTLConfig.NONE,
+      allowIncoherentTtl: Boolean = false): DataFrame = {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig}
+    require(stateTtl == TTLConfig.NONE || allowIncoherentTtl,
+      "bm25Stream: TTL expires the seenDocs replay guard and the " +
+        "corpusStats counters independently — redelivery after a " +
+        "seen-entry expires double-counts n_docs/sum_dl. Pass " +
+        "allowIncoherentTtl = true to accept the drift, or keep " +
+        "TTLConfig.NONE and expire via periodic batch rebuilds")
     require(terms.nonEmpty, "bm25Stream needs at least one query term")
     require(terms.forall(t => t.nonEmpty && t.forall(c => c >= 'a' && c <= 'z')),
       s"query terms must be [a-z]+ (the tokenizer's alphabet): $terms")

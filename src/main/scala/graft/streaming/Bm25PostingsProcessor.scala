@@ -43,6 +43,12 @@ object Bm25PostingsProcessor {
   * the batch [[graft.analytics.VocabOps.bm25Rank]] bit for bit — same
   * integer inputs, same float expression tree, same sorted-token fold
   * (pinned in StreamingExtrasSpec, with a 10⁶-posting soak + restart).
+  *
+  * TTL caveat: the three states expire independently, so a non-NONE
+  * `stateTtl` lets a redelivery after a `seenDocs` expiry re-increment
+  * the still-live `corpusStats` (and an expired posting re-emit) —
+  * [[graft.analytics.VocabOps.bm25Stream]] gates this behind an
+  * explicit `allowIncoherentTtl` opt-in.
   */
 final class Bm25PostingsProcessor(stateTtl: TTLConfig = TTLConfig.NONE)
     extends StatefulProcessor[String, Bm25PostingsProcessor.In, Bm25PostingsProcessor.Out] {

@@ -878,6 +878,17 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
       cur
     }
+    // CALIBRATION ENVIRONMENT (r13 ADVICE: ratios are machine-measured
+    // constants, not universals): Spark 4.1.2 / Scala 2.13, local[*]
+    // on the 32-core round box, sf0.001 parquet (snappy),
+    // spark.sql.shuffle.partitions as set by the suite's session,
+    // lz4 shuffle compression (uncompressed WRITE bytes are what the
+    // listener reports). A Spark upgrade, codec change, or different
+    // core count can legitimately shift ratios: re-measure with
+    //   SPARK_GRAFT_GATE_CALIBRATE=1 sbt "testOnly *PlanAuditSpec* -- -z shuffle-volume"
+    // which prints every measured ratio WITHOUT asserting, then update
+    // the constants from that output instead of hand-tuning one by one.
+    //
     // measured at HEAD (r13 calibration run, sf0.001): q01 0.27,
     // q09 0.17, mst 0.07, label_prop 0.11, scc 0.07, pagerank 0.09,
     // knn 0.19, hl 0.07, theil_sen 0.09, bh_fdr 0.25, winnow 157.5,
@@ -895,6 +906,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       "qd_minhash_lsh" -> 200.0, "qd_cc_stars" -> 0.6,
       "qt_bm25" -> 8.0, "qe_peak_concurrency" -> 0.25,
       "qml_bradley_terry" -> 0.7, "qpriv_mondrian" -> 0.1)
+    // recalibration mode: measure + print, no asserts (r13 ADVICE)
+    val calibrate = sys.env.get("SPARK_GRAFT_GATE_CALIBRATE").contains("1")
     spark.sparkContext.addSparkListener(l)
     try {
       val measured = budgets.map { case (name, k) =>
@@ -906,12 +919,13 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
         val (s, i) = stable()
         assert(i > 0L, s"$name read no parquet input — metric wiring broke?")
         val ratio = s.toDouble / i
-        assert(ratio <= k,
+        if (!calibrate) assert(ratio <= k,
           f"$name shuffled $s bytes = $ratio%.2fx its $i input bytes " +
             f"(budget ${k}x) — a broadcast lost or a corpus re-shuffle crept in")
         f"$name ratio=$ratio%.2f (budget $k)"
       }
       info(measured.mkString("; "))
+      if (calibrate) println("[gate-calibrate] " + measured.mkString("\n[gate-calibrate] "))
     } finally spark.sparkContext.removeSparkListener(l)
   }
 }

@@ -1918,6 +1918,34 @@ class StreamingExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"missing ${(bx -- sx).take(3)}, extra ${(sx -- bx).take(3)}")
   }
 
+  test("graphAnnStream / bm25Stream: non-NONE TTL throws without the incoherence opt-in") {
+    // r13 verdict: TTL expiry drops graph residents without re-linking
+    // survivors (orphan edges) and expires bm25's replay guard
+    // independently of its counters (stats drift) — tombstones /
+    // batch rebuilds are the supported expiry; TTL needs the loud opt-in
+    import graft.analytics.{SimilarityOps, VocabOps}
+    import org.apache.spark.sql.streaming.TTLConfig
+    import spark.implicits._
+    val ttl = TTLConfig(java.time.Duration.ofMinutes(5))
+    val vecs = MemoryStream[(Long, Array[Float])](spark)
+      .toDS().toDF("vec_id", "embedding")
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(-1.0, 0.0), Seq(0.0, -1.0))
+    val e1 = intercept[IllegalArgumentException] {
+      SimilarityOps.graphAnnStream(vecs, cents, stateTtl = ttl)
+    }
+    assert(e1.getMessage.contains("tombstones"), e1.getMessage)
+    // with the opt-in the builder proceeds (plan construction succeeds)
+    SimilarityOps.graphAnnStream(vecs, cents, stateTtl = ttl,
+      allowIncoherentTtl = true)
+    val docs = MemoryStream[(Long, String)](spark).toDS().toDF("doc_id", "text")
+    val e2 = intercept[IllegalArgumentException] {
+      VocabOps.bm25Stream(docs, Seq("spark"), stateTtl = ttl)
+    }
+    assert(e2.getMessage.contains("seenDocs"), e2.getMessage)
+    VocabOps.bm25Stream(docs, Seq("spark"), stateTtl = ttl,
+      allowIncoherentTtl = true)
+  }
+
   test("bm25Stream: maintained index ranks bit-identically to batch bm25Rank") {
     import graft.analytics.VocabOps
     import spark.implicits._
