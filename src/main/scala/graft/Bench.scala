@@ -91,8 +91,14 @@ object Bench {
       Seq(
         ("memo_build:neardup_clusters",
           Set("qd_neardup_clusters", "qd_cluster_canonical",
-            "qd_cluster_weights", "qd_cluster_stats", "qd_cc_stars"),
+            "qd_cluster_weights", "qd_cluster_stats"),
           (s, d) => graft.analytics.DedupOps.warmNearDupClusters(s, d)),
+        // r14: the clusters path runs on the budgeted edge build, so the
+        // exact pair list (qd_simhash's answer, qd_cc_stars's input)
+        // gets its own attribution line
+        ("memo_build:simhash_pairs",
+          Set("qd_simhash", "qd_cc_stars"),
+          (s, d) => graft.analytics.DedupOps.warmSimhashPairs(s, d)),
         ("memo_build:trade_graph",
           (n: String) => n.startsWith("qg_"),
           (s, d) => graft.analytics.GraphOps.warmTradeGraph(s, d)),

@@ -109,6 +109,91 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
         "the blocked path went untested; make the vocab smaller")
   }
 
+  test("simhashClusterEdges: budgeted closure equals full pair-list closure on a planted hot bucket") {
+    import spark.implicits._
+    // the r13 hot-bucket family (6-word vocab, 1,500 docs → correlated
+    // signatures, buckets past any practical block threshold) PLUS
+    // planted exact duplicates so the identical-signature collapse path
+    // carries real mass. blockT = 64 forces the block-pair fan-out so
+    // the exactness argument is exercised on the BLOCKED decomposition.
+    val vocab = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val base = (0L until 1200L).map { i =>
+      val words = (0 until 40).map(p =>
+        vocab(math.floorMod((i * 40 + p) * 2654435761L,
+          vocab.length.toLong).toInt))
+      (i, words.mkString(" "))
+    }
+    // 300 exact duplicates of the first 100 docs (ids 2000+)
+    val dups = (0 until 300).map(j => (2000L + j, base(j % 100)._2))
+    val docs = (base ++ dups).toDF("doc_id", "text")
+    def closure(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      pairs.flatMap(p => Seq(p._1, p._2)).distinct
+        .map(x => x -> find(x)).toMap
+    }
+    val full = DedupOps.simhashPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val budgeted = DedupOps.simhashClusterEdges(docs, blockT = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(closure(budgeted) == closure(full),
+      s"budgeted closure diverged from the full pair-list closure: " +
+        s"${closure(budgeted).size} vs ${closure(full).size} labeled docs")
+    // the budget must actually bite on this corpus, or the pin is hollow
+    assert(budgeted.size < full.size,
+      s"pair budget emitted ${budgeted.size} edges vs ${full.size} " +
+        "verified pairs — the collision-dense family stopped being dense")
+    // and the doc set must match exactly (clusters consumers key on it)
+    assert(budgeted.flatMap(p => Seq(p._1, p._2)).toSet ==
+      full.flatMap(p => Seq(p._1, p._2)).toSet,
+      "budgeted edge set covers a different doc set than the pair list")
+  }
+
+  test("simhashClusterEdges: closure identical at sf0.1 (and sf1 when the rehearsal set exists)") {
+    def closureOf(pairs: Array[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      pairs.flatMap(p => Seq(p._1, p._2)).distinct
+        .map(x => x -> find(x)).toMap
+    }
+    def check(dir: String): Unit = {
+      val docs = Tables.documents(spark, dir)
+      val full = DedupOps.simhashPairs(docs)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val budgeted = DedupOps.simhashClusterEdges(docs)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(closureOf(budgeted) == closureOf(full),
+        s"budgeted closure diverged from full closure at $dir")
+    }
+    check("/root/testdata/sf0.1")
+    // the sf1 rehearsal decade (deterministic GenSf output) when present;
+    // cancels cleanly on boxes that never generated it
+    if (new java.io.File("/tmp/graft_sf1/documents.parquet").exists())
+      check("/tmp/graft_sf1")
+    else info("sf1 rehearsal set absent — sf0.1 pin only " +
+      "(regenerate with graft.tools.GenSf)")
+  }
+
   test("embeddingNearDup and cosineTopK on custom column names") {
     import spark.implicits._
     val vecs = Seq(
