@@ -2503,6 +2503,41 @@ object SimilarityOps {
     perRound.toList
   }
 
+  /** Beam search over a STREAM-MAINTAINED graph — the serve side of
+    * [[graphAnnStream]] (r13 verdict task 8: bm25Stream got
+    * bm25RankFromPostings; this closes the same maintain-but-can't-serve
+    * asymmetry for the ANN tier).
+    *
+    * `state` is the maintained snapshot of the change-log: the LATEST
+    * row per (cell, src) — exactly what the documented consumer keeps.
+    * Tombstoned rows (latest emission alive = false) are dropped here;
+    * live member rows contribute the intra-cell kNN adjacency, visitor
+    * rows the cross-cell links, and both are symmetrized exactly as the
+    * batch callers symmetrize [[knnGraph]] ∪ [[crossCellEdges]].
+    * `residents` carries the live ids' vectors (the ingest side owns
+    * them — the change-log intentionally ships adjacency, not
+    * embeddings); entries are the same `id % entryMod == 0` sample the
+    * batch walker seeds from. With the r13 pin that the maintained
+    * graph EQUALS the batch rebuild edge for edge, this search is
+    * bit-identical to [[graphAnnSearch]] over a batch-built index on
+    * the same residents (pinned in StreamingExtrasSpec).
+    */
+  def graphAnnSearchFromState(state: org.apache.spark.sql.DataFrame,
+      residents: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame,
+      k: Int, beam: Int = GBeam, rounds: Int = GRounds,
+      entryMod: Long = GEntryMod.toLong, entryK: Int = GEntryK,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): org.apache.spark.sql.DataFrame = {
+    val base = state.filter(col("alive"))
+      .select(col("src"), explode(col("nbrs")).as("nbr"))
+    val sym = base.union(
+      base.select(col("nbr").as("src"), col("src").as("nbr")))
+    val entries = residents.filter(col(idCol) % entryMod === 0)
+    graphAnnSearch(residents, queries, entries, sym, k, beam, rounds,
+      entryK, idCol, vecCol)
+  }
+
   /** Beam search — the top-k cut of [[graphAnnBeamsAll]]'s final round. */
   def graphAnnSearch(corpus: org.apache.spark.sql.DataFrame,
       queries: org.apache.spark.sql.DataFrame,

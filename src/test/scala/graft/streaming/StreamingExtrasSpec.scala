@@ -2119,6 +2119,26 @@ class StreamingExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sx == bx,
       s"cross edges differ: stream ${sx.size} vs batch ${bx.size}; " +
         s"missing ${(bx -- sx).take(3)}, extra ${(sx -- bx).take(3)}")
+    // ---- serve path (r14): graphAnnSearchFromState over the POST-CHURN
+    // maintained snapshot must be bit-identical to the batch walker over
+    // a batch-built index on the survivors — the maintain-AND-serve pin
+    // (bm25Stream/bm25RankFromPostings's twin for the ANN tier)
+    val stateDf = fin.toDF("cell", "src", "member", "nbrs", "cosines", "alive")
+    val queries = surv.filter(col("vec_id") < 50)
+    val kq = 6
+    val served = SimilarityOps.graphAnnSearchFromState(
+        stateDf, surv, queries, kq)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val batchBase = (bk.map { case (src, _, nbr, _) => (src, nbr) } ++
+      bx.map { case (src, nbr, _) => (src, nbr) }).toSeq
+    val batchSym = (batchBase ++ batchBase.map(_.swap)).toDF("src", "nbr")
+    val batchTop = SimilarityOps.graphAnnSearch(surv, queries,
+        surv.filter(col("vec_id") % 256 === 0), batchSym, kq, 40, 3, 24)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(served.toSeq == batchTop.toSeq,
+      s"served top-k diverged from the batch walker: ${served.length} vs " +
+        s"${batchTop.length} rows; first diff ${
+          served.zip(batchTop).find(p => p._1 != p._2)}")
   }
 
   test("GraphAnnInsertProcessor soak: 10^6 residents, restart, delete churn, exact adjacency") {
