@@ -46,9 +46,24 @@ object Bench {
     // noise-robust estimator of the plan's actual cost (noise is strictly
     // additive here — GC pauses, host contention — never negative).
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
-    val spark = SparkSession.builder()
+    // Rehearsal IO profile (r13 verdict task 4): >1 GB shuffle writes and
+    // evicted memo blocks go through this box's VIRTUAL disk, whose
+    // writeback variance (18–80 s on a 1.5 GB materialization, pure
+    // iowait) is the sf10 measurement noise floor. SPARK_GRAFT_TMPFS=1
+    // points spark.local.dir at tmpfs (126 GB on this box) so shuffle
+    // spill never touches the virtual disk; combine with
+    // SPARK_GRAFT_MEMO_SER=1 (see Memo) for the memo blocks. Off by
+    // default: the committed bench artifact's calibration is the plain
+    // profile.
+    val tmpfs = sys.env.get("SPARK_GRAFT_TMPFS").contains("1")
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+    val spark = (if (tmpfs) {
+      val d = "/dev/shm/graft-spark-local"
+      new java.io.File(d).mkdirs()
+      builder0.config("spark.local.dir", d)
+    } else builder0)
       .config("spark.ui.enabled", "false")
       // wide-row codegen headroom (see Verify)
       .config("spark.sql.codegen.maxFields", "200")

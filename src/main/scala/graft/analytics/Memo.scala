@@ -39,11 +39,30 @@ object Memo {
   /** Memoize `build` under `key` for the lifetime of `spark`. The result
     * is eagerly materialized with `localCheckpoint()` unless the builder
     * already returns a checkpointed frame (`checkpoint = false`).
+    *
+    * Storage profile (r13 verdict task 4): localCheckpoint's default
+    * level keeps DESERIALIZED row objects in memory — a >1 GB memo
+    * frame's per-object overhead evicts blocks to disk, and on the
+    * rehearsal box that write-back is the measurement noise floor
+    * (18–80 s run-to-run on a 58.7M-row frame, pure iowait —
+    * EXPLAINS_r13 §1b). `SPARK_GRAFT_MEMO_SER=1` switches memo blocks
+    * to MEMORY_AND_DISK_SER: partitions stored as one serialized
+    * buffer (UnsafeRow bytes, no per-object headers), several-fold
+    * smaller, so they STAY in memory; reads pay a deserialize copy —
+    * cheap next to virtual-disk writeback, but nonzero, which is why
+    * it is a profile (rehearsal/sf10 runs) and not the default (bench
+    * at sf0.1, where every memo fits in memory deserialized anyway).
+    * Pair with SPARK_GRAFT_TMPFS=1 (Bench) to take shuffle spill off
+    * the virtual disk too.
     */
   def cached(spark: SparkSession, key: String, checkpoint: Boolean = true)(
       build: => DataFrame): DataFrame =
     frames.getOrElseUpdate((System.identityHashCode(spark), key),
-      if (checkpoint) build.localCheckpoint() else build)
+      if (!checkpoint) build
+      else if (sys.env.get("SPARK_GRAFT_MEMO_SER").contains("1"))
+        build.localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      else build.localCheckpoint())
 
   /** Drop all memoized frames. Bench calls this between interleaved
     * passes: within a pass the sharing is real suite economics (the first

@@ -77,14 +77,39 @@ object DedupProbe {
       }
       println(s"[dedup] verified (with chunk multiplicity) = $verified")
     }
-    val pairs = timed("simhashPairs materialize") {
-      DedupOps.simhashPairs(docs).localCheckpoint()
+    // budget-only mode ("budget" as arg 2): skip the full pair list —
+    // at collision-dense sf10 the verified list is intrinsically
+    // quadratic (~10^4 core-seconds by problem statement); the budgeted
+    // path is the one that must complete there (r13 verdict task 1)
+    val budgetOnly = args.length > 1 && args(1) == "budget"
+    val clFull = if (budgetOnly) None else Some {
+      val pairs = timed("simhashPairs materialize") {
+        DedupOps.simhashPairs(docs).localCheckpoint()
+      }
+      println(s"[dedup] verified pairs = ${pairs.count()}")
+      val cl = timed("nearDupClusters fixpoint") {
+        DedupOps.nearDupClusters(pairs)
+      }
+      println(s"[dedup] clustered rows = ${cl.count()}")
+      cl
     }
-    println(s"[dedup] verified pairs = ${pairs.count()}")
-    val cl = timed("nearDupClusters fixpoint") {
-      DedupOps.nearDupClusters(pairs)
+    val edges = timed("simhashClusterEdges materialize") {
+      DedupOps.simhashClusterEdges(docs).localCheckpoint()
     }
-    println(s"[dedup] clustered rows = ${cl.count()}")
+    println(s"[dedup] budgeted edges = ${edges.count()}")
+    val clB = timed("nearDupClusters over budgeted edges") {
+      DedupOps.nearDupClusters(edges).localCheckpoint()
+    }
+    println(s"[dedup] budgeted clustered rows = ${clB.count()}")
+    clFull.foreach { cl =>
+      val mismatches = cl.as("a")
+        .join(clB.as("b"), col("a.doc_id") === col("b.doc_id"), "full")
+        .filter(col("a.cluster_id").isNull || col("b.cluster_id").isNull ||
+          col("a.cluster_id") =!= col("b.cluster_id"))
+        .count()
+      println(s"[dedup] budgeted-vs-full label mismatches = $mismatches" +
+        (if (mismatches == 0) " (closure identical)" else " *** DIVERGED ***"))
+    }
     spark.stop()
   }
 }

@@ -8,6 +8,15 @@ descending — e ≈ 1 is linear, e ≈ 1.5 the designed intra-cell bound,
 anything above that needs a named follow-up in EXPLAINS_r13.
 
 Usage: tools/scale_exponents.py <bench_lo.json> <bench_hi.json> [ratio]
+       tools/scale_exponents.py <bench_lo.json> <bench_hi.json> --gate tools/exponent_ceilings.json
+
+Gate mode (r13 verdict task 3): compares each common row's exponent to
+its committed ceiling + margin and exits 1 on any breach, so a change
+that reintroduces a quadratic fails loudly instead of hiding until the
+next manual rehearsal. Rows with sf1 time under min_hi_seconds are
+skipped (sub-second exponents are job-overhead noise); rows absent
+from the ceilings file are reported as UNENROLLED (new bench rows
+should be enrolled when they enter the top-25).
 """
 import json
 import math
@@ -19,8 +28,44 @@ def load(path):
         return json.load(f)
 
 
+def gate(lo, hi, ceilings_path):
+    cfg = load(ceilings_path)
+    ratio = float(cfg.get("ratio", 10.0))
+    margin = float(cfg.get("margin", 0.15))
+    min_hi = float(cfg.get("min_hi_seconds", 1.0))
+    ceilings = cfg["queries"]
+    qlo, qhi = lo["queries"], hi["queries"]
+    breaches, skipped, unenrolled, ok = [], [], [], []
+    for q in sorted(set(qlo) & set(qhi)):
+        tl, th = qlo[q], qhi[q]
+        if tl <= 0 or th <= 0 or th < min_hi:
+            skipped.append(q)
+            continue
+        e = math.log(th / tl) / math.log(ratio)
+        if q not in ceilings:
+            unenrolled.append((q, e))
+            continue
+        lim = ceilings[q] + margin
+        (breaches if e > lim else ok).append((q, e, ceilings[q], tl, th))
+    for q, e, c, tl, th in ok:
+        print(f"[gate] OK   {q}: e={e:.2f} <= {c:.2f}+{margin} ({tl:.2f}s -> {th:.2f}s)")
+    for q, e in unenrolled:
+        print(f"[gate] UNENROLLED {q}: e={e:.2f} — add a ceiling when this row joins the gate set")
+    if skipped:
+        print(f"[gate] skipped {len(skipped)} sub-{min_hi}s/failed rows: {', '.join(skipped)}")
+    for q, e, c, tl, th in breaches:
+        print(f"[gate] BREACH {q}: exponent {e:.2f} > ceiling {c:.2f} + margin {margin} "
+              f"({tl:.2f}s -> {th:.2f}s) — a scale regression or a very noisy run; "
+              f"re-run before trusting, then find the new shuffle/skew")
+    print(f"[gate] {len(ok)} ok, {len(breaches)} breach, "
+          f"{len(unenrolled)} unenrolled, {len(skipped)} skipped")
+    return 1 if breaches else 0
+
+
 def main():
     lo_path, hi_path = sys.argv[1], sys.argv[2]
+    if len(sys.argv) > 4 and sys.argv[3] == "--gate":
+        sys.exit(gate(load(lo_path), load(hi_path), sys.argv[4]))
     ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 10.0
     lo, hi = load(lo_path), load(hi_path)
     qlo, qhi = lo["queries"], hi["queries"]
