@@ -14,13 +14,18 @@ object DedupProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0)
       else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder()
+    val b0 = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.maxFields", "200")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .getOrCreate()
+    // same rehearsal IO profile as Bench (SCALE.md r14): tmpfs local dir
+    val spark = (if (sys.env.get("SPARK_GRAFT_TMPFS").contains("1")) {
+      val d = "/dev/shm/graft-spark-local"
+      new java.io.File(d).mkdirs()
+      b0.config("spark.local.dir", d)
+    } else b0).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import graft.analytics.{DedupOps, Tables}
     val docs = Tables.documents(spark, sfDir)

@@ -837,6 +837,77 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // ----------------------- pair-tier COUNT pins (r14, verdict task 5)
+  // Shuffle bytes bound what a run MOVES; these pin what the pair tiers
+  // ENUMERATE — the load-bearing sf10 scaling evidence (candidate and
+  // verified counts were what decomposed the r13 quadratic, not wall
+  // clock). Deterministic data + deterministic signatures → exact
+  // committed constants at sf0.001; a drifting count means a changed
+  // signature expression, bucket layout, or dedup rule, each of which
+  // must be a deliberate (re-committed) decision, never an accident.
+  // Recalibrate after a deliberate change with
+  //   SPARK_GRAFT_GATE_CALIBRATE=1 sbt "testOnly *PlanAuditSpec* -- -z count-pins"
+  test("pair-tier count pins at sf0.001: candidate/verified/budget volumes") {
+    import org.apache.spark.sql.functions.{count, explode, lit}
+    import graft.functions.GraftFunctions
+    val calibrate = sys.env.get("SPARK_GRAFT_GATE_CALIBRATE").contains("1")
+    val docs = Tables.documents(spark, sf)
+    def sumC2(buckets: org.apache.spark.sql.DataFrame): Long =
+      buckets.agg(expr("sum(b * (b - 1) div 2)")).head.getLong(0)
+    // simhash: doc-level bucket candidates (what the pair join must
+    // enumerate), distinct-sig bucket candidates (what the r14 budget
+    // path enumerates after the collapse), verified pairs, budget edges
+    val sigs = docs.select(col("doc_id"),
+      GraftFunctions.graft_simhash60(expr(
+        s"transform(${Nlp.toksExpr}, t -> ${Nlp.h60("t")})")).as("simhash"))
+    val layout = DedupOps.simhashChunks(6)
+    val chunkArr = layout.zipWithIndex.map { case ((off, w), i) =>
+      s"named_struct('ck', $i, 'cv', (shiftright(simhash, $off) & ${(1L << w) - 1}L))"
+    }.mkString("array(", ", ", ")")
+    def chunkBuckets(fr: org.apache.spark.sql.DataFrame) = fr
+      .select(explode(expr(chunkArr)).as("x"))
+      .groupBy(col("x.ck"), col("x.cv")).agg(count(lit(1)).as("b"))
+    val measured = Seq(
+      "simhash_candidates_doc" -> sumC2(chunkBuckets(sigs)),
+      "simhash_candidates_distinct_sig" ->
+        sumC2(chunkBuckets(sigs.select(col("simhash")).distinct())),
+      "simhash_verified_pairs" -> DedupOps.simhashPairs(docs).count(),
+      "simhash_budget_edges" -> DedupOps.simhashClusterEdges(docs).count(),
+      "minhash_band_candidates" -> sumC2(docs.select(
+          GraftFunctions.graft_minhash_affine(
+            GraftFunctions.graft_shingle_hashes(col("text"), 3), 16).as("sig"))
+        .select(explode(expr("transform(sequence(0, 3), b -> struct(b AS band, " +
+          "concat_ws(',', transform(slice(sig, b * 4 + 1, 4), " +
+          "x -> cast(x as string))) AS bv))")).as("bd"))
+        .groupBy(col("bd.band"), col("bd.bv")).agg(count(lit(1)).as("b"))),
+      "minhash_verified_pairs" -> DedupOps.minhashLsh(docs).count(),
+      "ngram_prefix_candidates" -> sumC2(docs.select(
+          GraftFunctions.graft_prefix_explode(
+            GraftFunctions.graft_shingle_hashes(col("text"), 3), 0.8).as("ph"))
+        .groupBy(col("ph")).agg(count(lit(1)).as("b"))
+        .filter(col("b") <= DedupOps.ShingleDfCap)),
+      "ngram_verified_pairs" -> DedupOps.ngramJaccard(docs).count())
+    // committed at HEAD (r14 calibration, sf0.001 = 500 docs)
+    val pinned = Map(
+      "simhash_candidates_doc" -> 42046L,
+      "simhash_candidates_distinct_sig" -> 41032L,
+      "simhash_verified_pairs" -> 149L,
+      "simhash_budget_edges" -> 145L,
+      "minhash_band_candidates" -> 112L,
+      "minhash_verified_pairs" -> 28L,
+      "ngram_prefix_candidates" -> 2894L,
+      "ngram_verified_pairs" -> 28L)
+    if (calibrate)
+      println(measured.map { case (k, v) => s"""      "$k" -> ${v}L,""" }
+        .mkString("[count-pins]\n", "\n", ""))
+    else measured.foreach { case (k, v) =>
+      assert(v == pinned(k),
+        s"$k drifted: measured $v vs committed ${pinned(k)} — a signature " +
+          "expression, bucket layout, or dedup rule changed; if deliberate, " +
+          "recalibrate with SPARK_GRAFT_GATE_CALIBRATE=1 and re-commit")
+    }
+  }
+
   // ----------------------- shuffle-VOLUME gate (r13, verdict task 5)
   // The shape audits above assert what a plan must not contain; this
   // gate asserts how much a run may MOVE: total shuffle bytes written
@@ -905,7 +976,38 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       "qstat_bh_fdr" -> 0.8, "qd_winnow" -> 400.0,
       "qd_minhash_lsh" -> 200.0, "qd_cc_stars" -> 0.6,
       "qt_bm25" -> 8.0, "qe_peak_concurrency" -> 0.25,
-      "qml_bradley_terry" -> 0.7, "qpriv_mondrian" -> 0.1)
+      "qml_bradley_terry" -> 0.7, "qpriv_mondrian" -> 0.1,
+      // r14 (verdict task 5): full top-25 bench rows + every memo build.
+      // Measured at r14 calibration (sf0.001): neardup_clusters 0.41,
+      // simhash_pairs 1.34, trade_graph 0.07, landmark_bfs 0.06,
+      // graph_ann_index 0.09, copurchase_pairs 0.08, ann_recall 0.11,
+      // mis 0.04, wl 0.10, subtree 0.14, betweenness 0.05, walks 0.07,
+      // hits 0.08, matching 0.03, audio_fp 33.4, ppr 0.07,
+      // dup_ngram 31.1, bpe 1.28, ktruss 0.25, kcore 0.06, katz 0.07,
+      // densest 0.07, rouge 0.14, qd_simhash 22.7 — budgets ~2.5-3x.
+      // (The >20x ratios are chargram/shingle/span explodes widening
+      // snappy-crushed 30-word-vocab docs — real, by design, per-query.)
+      "memo_build:neardup_clusters" -> 1.2,
+      "memo_build:simhash_pairs" -> 4.0,
+      "memo_build:trade_graph" -> 0.25,
+      "memo_build:landmark_bfs" -> 0.2,
+      "memo_build:graph_ann_index" -> 0.3,
+      "memo_build:copurchase_pairs" -> 0.25,
+      "qs_ann_recall" -> 0.35, "qg_mis" -> 0.15, "qg_wl_refine" -> 0.3,
+      "qg_subtree_rollup" -> 0.45, "qg_betweenness" -> 0.2,
+      "qg_random_walks" -> 0.25, "qg_hits" -> 0.25, "qg_matching" -> 0.12,
+      "qm_audio_fingerprint" -> 90.0, "qg_ppr" -> 0.25,
+      "qt_dup_ngram_rate" -> 85.0, "qt_bpe_tokenize" -> 4.0,
+      "qg_ktruss" -> 0.75, "qg_kcore" -> 0.2, "qg_katz" -> 0.25,
+      "qg_densest" -> 0.25, "qml_rouge" -> 0.45, "qd_simhash" -> 60.0)
+    // memo_build rows run their warm function instead of a query binding
+    val memoRunners: Map[String, (SparkSession, String) => Unit] = Map(
+      "memo_build:neardup_clusters" -> (DedupOps.warmNearDupClusters _),
+      "memo_build:simhash_pairs" -> (DedupOps.warmSimhashPairs _),
+      "memo_build:trade_graph" -> (GraphOps.warmTradeGraph _),
+      "memo_build:landmark_bfs" -> (GraphOps.warmLandmarkBfs _),
+      "memo_build:graph_ann_index" -> (SimilarityOps.warmGraphAnnIndex _),
+      "memo_build:copurchase_pairs" -> (Relational3.warmCopurchasePairs _))
     // recalibration mode: measure + print, no asserts (r13 ADVICE)
     val calibrate = sys.env.get("SPARK_GRAFT_GATE_CALIBRATE").contains("1")
     spark.sparkContext.addSparkListener(l)
@@ -914,8 +1016,11 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
         Memo.clear() // every query pays its own builds — attribution
         stable()     // drain any stragglers from the previous query
         shuffleB.set(0L); inputB.set(0L)
-        graft.SparkEntry.queries(name)(spark, sf)
-          .write.format("noop").mode("overwrite").save()
+        memoRunners.get(name) match {
+          case Some(run) => run(spark, sf)
+          case None => graft.SparkEntry.queries(name)(spark, sf)
+            .write.format("noop").mode("overwrite").save()
+        }
         val (s, i) = stable()
         assert(i > 0L, s"$name read no parquet input — metric wiring broke?")
         val ratio = s.toDouble / i
