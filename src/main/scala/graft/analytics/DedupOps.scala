@@ -512,15 +512,22 @@ object DedupOps {
     val mh = maxHamming
     val forest = udf { ms: Seq[org.apache.spark.sql.Row] =>
       // deterministic scan order: sort by (simhash, rep) so identical
-      // prefixes union early and the connected-skip kicks in fast
-      val m = ms.map(r => (r.getLong(0), r.getLong(1)))
-        .sortBy(t => (t._2, t._1)).toArray
-      val n = m.length
+      // prefixes union early and the connected-skip kicks in fast.
+      // Primitive parallel arrays, not tuples — this loop runs the full
+      // per-task candidate volume (≤ (2·blockT)²/2 iterations) and a
+      // boxed tuple per access would double its cost.
+      val sorted = ms.map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy(t => (t._2, t._1))
+      val n = sorted.length
+      val rep = new Array[Long](n)
+      val sig = new Array[Long](n)
+      var x = 0
+      sorted.foreach { t => rep(x) = t._1; sig(x) = t._2; x += 1 }
       val parent = Array.tabulate(n)(identity)
-      def find(x: Int): Int = {
-        var r = x
+      def find(y: Int): Int = {
+        var r = y
         while (parent(r) != r) r = parent(r)
-        var c = x
+        var c = y
         while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
         r
       }
@@ -528,13 +535,15 @@ object DedupOps {
       var sk = 0L
       var i = 1
       while (i < n) {
+        var ri = find(i) // maintained across the j loop: a union roots i at min(ri, rj)
         var j = 0
         while (j < i) {
-          val ri = find(i); val rj = find(j)
+          val rj = find(j)
           if (ri == rj) sk += 1L
-          else if (java.lang.Long.bitCount(m(i)._2 ^ m(j)._2) <= mh) {
+          else if (java.lang.Long.bitCount(sig(i) ^ sig(j)) <= mh) {
             parent(math.max(ri, rj)) = math.min(ri, rj)
-            out += ((math.min(m(i)._1, m(j)._1), math.max(m(i)._1, m(j)._1)))
+            ri = math.min(ri, rj)
+            out += ((math.min(rep(i), rep(j)), math.max(rep(i), rep(j))))
           }
           j += 1
         }
