@@ -998,7 +998,7 @@ object DedupOps {
     // printed once per build, not once per consumer)
     acc.filter(_.value > 0L).foreach { a =>
       System.err.println(s"[graft-dedup] pair budget active at $dir: " +
-        s"clusters-only edge build elided >= ${a.value} candidate pair " +
+        s"clusters-only edge build elided ~${a.value} candidate pair " +
         "checks between already-connected docs (plus all identical-" +
         "signature pairs, collapsed to membership edges). Cluster " +
         "closure is EXACT; the materialized edge list is smaller than " +
