@@ -262,7 +262,6 @@ object Bench {
     val oldCommonTotal = commonNames.map(oldTimes).sum
     val betterTotal = commonNames.nonEmpty && newCommonTotal < oldCommonTotal
     val existingRows: Option[Int] = existingTimes.map(_.size)
-    val shrinks = existingRows.exists(old => results.size < old)
     val noisier = existingNoisyNames.isDefined && newNoisyMajor > oldNoisyMajor
     // a query that failed every pass here but was green in the artifact
     // means this RUN is broken, not the artifact stale — refuse

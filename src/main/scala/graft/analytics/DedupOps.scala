@@ -449,12 +449,14 @@ object DedupOps {
       blockT)._1
 
   /** [[simhashClusterEdges]] over a prepared (doc_id, simhash) frame,
-    * returning the edge frame plus a (skippedChecks, treeEdges)
-    * accumulator pair — `skipped` counts candidate pairs whose hamming
-    * check was elided because both ends were already connected; it is an
-    * upper bound on verified pairs the budget did not materialize, so
-    * `skipped > 0` after materialization means the full pair list is
-    * strictly larger than the edge set (the loud-flag trigger).
+    * returning the edge frame plus the skipped-checks accumulator:
+    * candidate pairs whose hamming check the FOREST phase elided because
+    * both ends were already connected (≈ count, accumulators can
+    * over-count on task retries). It bounds only the forest phase's
+    * elisions — pairs elided by the identical-signature COLLAPSE
+    * (hamming-0 pairs replaced by membership edges) are not counted
+    * here; [[clusterEdgesMemo]]'s loud flag checks the collapse
+    * separately via the sig memo's doc/distinct counts.
     */
   private[analytics] def clusterEdgesFromSigs(rawSigs: DataFrame,
       maxHamming: Int = 6, blockT: Int = 8192)
@@ -496,7 +498,7 @@ object DedupOps {
     // quirk); the if() guards the empty lower range.
     val tasks = chunked.join(broadcast(bsize), Seq("ck", "cv"))
       .withColumn("_blk", pmod(xxhash64(col("rep")), col("_nb")).cast("int"))
-      .select(col("ck"), col("cv"), col("rep"), col("simhash"),
+      .select(col("ck"), col("cv"), col("rep"), col("simhash"), col("_blk"),
         explode(expr(
           """concat(
                transform(sequence(_blk, _nb - 1), q -> struct(_blk AS p, int(q) AS q)),
@@ -504,25 +506,26 @@ object DedupOps {
                   transform(sequence(0, _blk - 1), p -> struct(int(p) AS p, _blk AS q))))"""))
           .as("t"))
       .select(col("ck"), col("cv"), col("t.p").as("p"), col("t.q").as("q"),
-        col("rep"), col("simhash"))
+        col("rep"), col("simhash"), col("_blk"))
     val p = spark.sessionState.conf.numShufflePartitions
     val grouped = tasks.repartition(p, col("ck"), col("cv"), col("p"), col("q"))
       .groupBy(col("ck"), col("cv"), col("p"), col("q"))
-      .agg(collect_list(struct(col("rep"), col("simhash"))).as("ms"))
+      .agg(collect_list(struct(col("rep"), col("simhash"), col("_blk"))).as("ms"))
     val mh = maxHamming
-    val forest = udf { ms: Seq[org.apache.spark.sql.Row] =>
+    val forest = udf { (ms: Seq[org.apache.spark.sql.Row], cross: Boolean) =>
       // deterministic scan order: sort by (simhash, rep) so identical
       // prefixes union early and the connected-skip kicks in fast.
       // Primitive parallel arrays, not tuples — this loop runs the full
       // per-task candidate volume (≤ (2·blockT)²/2 iterations) and a
       // boxed tuple per access would double its cost.
-      val sorted = ms.map(r => (r.getLong(0), r.getLong(1)))
+      val sorted = ms.map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
         .sortBy(t => (t._2, t._1))
       val n = sorted.length
       val rep = new Array[Long](n)
       val sig = new Array[Long](n)
+      val blk = new Array[Int](n)
       var x = 0
-      sorted.foreach { t => rep(x) = t._1; sig(x) = t._2; x += 1 }
+      sorted.foreach { t => rep(x) = t._1; sig(x) = t._2; blk(x) = t._3; x += 1 }
       val parent = Array.tabulate(n)(identity)
       def find(y: Int): Int = {
         var r = y
@@ -538,12 +541,19 @@ object DedupOps {
         var ri = find(i) // maintained across the j loop: a union roots i at min(ri, rj)
         var j = 0
         while (j < i) {
-          val rj = find(j)
-          if (ri == rj) sk += 1L
-          else if (java.lang.Long.bitCount(sig(i) ^ sig(j)) <= mh) {
-            parent(math.max(ri, rj)) = math.min(ri, rj)
-            ri = math.min(ri, rj)
-            out += ((math.min(rep(i), rep(j)), math.max(rep(i), rep(j))))
+          // a cross-block task (p != q) OWNS only its cross-block pairs:
+          // within-block pairs belong to the (p, p) task, so evaluating
+          // them here would double hot-bucket CPU and inflate `skipped`
+          // nb-fold (r14 review). The union over tasks of owned pair
+          // sets still covers every bucket pair — exactness unchanged.
+          if (!cross || blk(i) != blk(j)) {
+            val rj = find(j)
+            if (ri == rj) sk += 1L
+            else if (java.lang.Long.bitCount(sig(i) ^ sig(j)) <= mh) {
+              parent(math.max(ri, rj)) = math.min(ri, rj)
+              ri = math.min(ri, rj)
+              out += ((math.min(rep(i), rep(j)), math.max(rep(i), rep(j))))
+            }
           }
           j += 1
         }
@@ -553,7 +563,7 @@ object DedupOps {
       out.toSeq
     }
     val forestEdges = grouped
-      .select(explode(forest(col("ms"))).as("e"))
+      .select(explode(forest(col("ms"), col("p") =!= col("q"))).as("e"))
       .select(col("e._1").as("d1"), col("e._2").as("d2"))
       .distinct() // the same tree edge can be chosen in several buckets
     (membership.unionByName(forestEdges), skipped)
@@ -995,15 +1005,23 @@ object DedupOps {
     }
     // Memo.cached localCheckpoints eagerly, so on first build the
     // accumulator is final here; on memo hits acc stays None (flag
-    // printed once per build, not once per consumer)
-    acc.filter(_.value > 0L).foreach { a =>
-      System.err.println(s"[graft-dedup] pair budget active at $dir: " +
-        s"clusters-only edge build elided ~${a.value} candidate pair " +
-        "checks between already-connected docs (plus all identical-" +
-        "signature pairs, collapsed to membership edges). Cluster " +
-        "closure is EXACT; the materialized edge list is smaller than " +
-        "the verified pair list — use simhashPairs/qd_simhash when the " +
-        "pair rows themselves are the answer")
+    // printed once per build, not once per consumer). The flag must
+    // also fire when ALL the elision came from the identical-signature
+    // collapse (a pure exact-duplication corpus never enters the forest
+    // loop — r14 review), so check the collapse via two cheap counts on
+    // the checkpointed sig memo.
+    acc.foreach { a =>
+      val sigs = simhashSigsMemo(s, dir)
+      val collapsed = sigs.count() - sigs.select(col("simhash")).distinct().count()
+      if (a.value > 0L || collapsed > 0L)
+        System.err.println(s"[graft-dedup] pair budget active at $dir: " +
+          s"clusters-only edge build elided ~${a.value} candidate pair " +
+          s"checks between already-connected docs and collapsed " +
+          s"$collapsed identical-signature docs to membership edges. " +
+          "Cluster closure is EXACT; the materialized edge list is " +
+          "smaller than the verified pair list — use " +
+          "simhashPairs/qd_simhash when the pair rows themselves are " +
+          "the answer")
     }
     edges
   }

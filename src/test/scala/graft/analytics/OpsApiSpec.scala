@@ -12,6 +12,28 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
 
+  /** Driver-side union-find closure over an edge list — the reference
+    * semantics both simhashClusterEdges pins compare against (doc ->
+    * component-min label, docs restricted to those appearing in an edge,
+    * matching nearDupClusters' emit contract).
+    */
+  private def unionFindClosure(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(x => x -> find(x)).toMap
+  }
+
   private lazy val spark = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
@@ -126,29 +148,13 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     // 300 exact duplicates of the first 100 docs (ids 2000+)
     val dups = (0 until 300).map(j => (2000L + j, base(j % 100)._2))
     val docs = (base ++ dups).toDF("doc_id", "text")
-    def closure(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent(r)
-        var c = x
-        while (parent.getOrElse(c, c) != r) { val nx = parent(c); parent(c) = r; c = nx }
-        r
-      }
-      pairs.foreach { case (a, b) =>
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-      }
-      pairs.flatMap(p => Seq(p._1, p._2)).distinct
-        .map(x => x -> find(x)).toMap
-    }
     val full = DedupOps.simhashPairs(docs)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     val budgeted = DedupOps.simhashClusterEdges(docs, blockT = 64)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    assert(closure(budgeted) == closure(full),
+    assert(unionFindClosure(budgeted) == unionFindClosure(full),
       s"budgeted closure diverged from the full pair-list closure: " +
-        s"${closure(budgeted).size} vs ${closure(full).size} labeled docs")
+        s"${unionFindClosure(budgeted).size} vs ${unionFindClosure(full).size} labeled docs")
     // the budget must actually bite on this corpus, or the pin is hollow
     assert(budgeted.size < full.size,
       s"pair budget emitted ${budgeted.size} edges vs ${full.size} " +
@@ -160,29 +166,13 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("simhashClusterEdges: closure identical at sf0.1 (and sf1 when the rehearsal set exists)") {
-    def closureOf(pairs: Array[(Long, Long)]): Map[Long, Long] = {
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent(r)
-        var c = x
-        while (parent.getOrElse(c, c) != r) { val nx = parent(c); parent(c) = r; c = nx }
-        r
-      }
-      pairs.foreach { case (a, b) =>
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-      }
-      pairs.flatMap(p => Seq(p._1, p._2)).distinct
-        .map(x => x -> find(x)).toMap
-    }
     def check(dir: String): Unit = {
       val docs = Tables.documents(spark, dir)
       val full = DedupOps.simhashPairs(docs)
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       val budgeted = DedupOps.simhashClusterEdges(docs)
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
-      assert(closureOf(budgeted) == closureOf(full),
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(unionFindClosure(budgeted) == unionFindClosure(full),
         s"budgeted closure diverged from full closure at $dir")
     }
     check("/root/testdata/sf0.1")

@@ -846,7 +846,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
   // signature expression, bucket layout, or dedup rule, each of which
   // must be a deliberate (re-committed) decision, never an accident.
   // Recalibrate after a deliberate change with
-  //   SPARK_GRAFT_GATE_CALIBRATE=1 sbt "testOnly *PlanAuditSpec* -- -z count-pins"
+  //   SPARK_GRAFT_GATE_CALIBRATE=1 sbt 'testOnly *PlanAuditSpec* -- -z "count pins"'
   test("pair-tier count pins at sf0.001: candidate/verified/budget volumes") {
     import org.apache.spark.sql.functions.{count, explode, lit}
     import graft.functions.GraftFunctions

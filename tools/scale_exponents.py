@@ -35,10 +35,20 @@ def gate(lo, hi, ceilings_path):
     min_hi = float(cfg.get("min_hi_seconds", 1.0))
     ceilings = cfg["queries"]
     qlo, qhi = lo["queries"], hi["queries"]
-    breaches, skipped, unenrolled, ok = [], [], [], []
+    breaches, skipped, unenrolled, ok, failed = [], [], [], [], []
+    # an enrolled row that is MISSING from a run, or that failed every
+    # pass (Bench reports 0.0), is a broken query, not a skip — strictly
+    # worse than an exponent regression (r14 review)
+    for q in sorted(ceilings):
+        if q not in qlo or q not in qhi:
+            failed.append((q, "missing from the run — renamed, or its warm-up trigger left the enrolled set"))
+        elif qlo[q] <= 0 or qhi[q] <= 0:
+            failed.append((q, f"failed every pass (t_lo={qlo[q]}, t_hi={qhi[q]}) — see Bench stderr"))
     for q in sorted(set(qlo) & set(qhi)):
         tl, th = qlo[q], qhi[q]
-        if tl <= 0 or th <= 0 or th < min_hi:
+        if tl <= 0 or th <= 0:
+            continue  # enrolled ones already in `failed`; unenrolled carry no gate signal
+        if th < min_hi:
             skipped.append(q)
             continue
         e = math.log(th / tl) / math.log(ratio)
@@ -52,14 +62,16 @@ def gate(lo, hi, ceilings_path):
     for q, e in unenrolled:
         print(f"[gate] UNENROLLED {q}: e={e:.2f} — add a ceiling when this row joins the gate set")
     if skipped:
-        print(f"[gate] skipped {len(skipped)} sub-{min_hi}s/failed rows: {', '.join(skipped)}")
+        print(f"[gate] skipped {len(skipped)} sub-{min_hi}s rows: {', '.join(skipped)}")
     for q, e, c, tl, th in breaches:
         print(f"[gate] BREACH {q}: exponent {e:.2f} > ceiling {c:.2f} + margin {margin} "
               f"({tl:.2f}s -> {th:.2f}s) — a scale regression or a very noisy run; "
               f"re-run before trusting, then find the new shuffle/skew")
-    print(f"[gate] {len(ok)} ok, {len(breaches)} breach, "
+    for q, why in failed:
+        print(f"[gate] FAILED {q}: {why}")
+    print(f"[gate] {len(ok)} ok, {len(breaches)} breach, {len(failed)} failed, "
           f"{len(unenrolled)} unenrolled, {len(skipped)} skipped")
-    return 1 if breaches else 0
+    return 1 if breaches or failed else 0
 
 
 def main():
