@@ -67,6 +67,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       // wide-row codegen headroom (see Verify)
       .config("spark.sql.codegen.maxFields", "200")
+      // NOTE (r15): spark.sql.join.preferSortMergeJoin=false was A/B-tested
+      // here and REJECTED — at sf0.1 every sampled static plan stayed
+      // BHJ/SMJ (the SHJ size band [10MB, threshold×partitions] is empty
+      // at this scale), and two back-to-back family A/Bs read -3.7% then
+      // +3.7%, i.e. pure window noise. Re-evaluate on a real cluster where
+      // the band is populated.
       // same deployment hook as Verify: functions + optimizer rule
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()

@@ -1011,8 +1011,13 @@ object DedupOps {
     // loop — r14 review), so check the collapse via two cheap counts on
     // the checkpointed sig memo.
     acc.foreach { a =>
+      // r15 (r14 verdict task 7): ONE aggregation job derives both counts
+      // — the previous count() + distinct().count() pair cost two jobs on
+      // every cold build, charged to whichever warm-up row ran first
       val sigs = simhashSigsMemo(s, dir)
-      val collapsed = sigs.count() - sigs.select(col("simhash")).distinct().count()
+      val cc = sigs.agg(count(lit(1)).as("n"),
+        countDistinct(col("simhash")).as("nd")).head()
+      val collapsed = cc.getLong(0) - cc.getLong(1)
       if (a.value > 0L || collapsed > 0L)
         System.err.println(s"[graft-dedup] pair budget active at $dir: " +
           s"clusters-only edge build elided ~${a.value} candidate pair " +

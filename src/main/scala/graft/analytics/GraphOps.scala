@@ -54,10 +54,16 @@ object GraphOps {
     val nodes = deg.select(col("src").as("node")).localCheckpoint()
     var ranks = nodes.withColumn("r", lit(r0))
     for (it <- 1 to iters) {
+      // r15: join ranks⋈deg at NODE scale first (one row per node), then
+      // attach the per-node contribution to edges in ONE edge-sized join
+      // — the old shape ran TWO edge-sized joins per round (edges⋈ranks,
+      // then ⋈deg) and divided once per EDGE. Arithmetic unchanged:
+      // c = r div d per source node either way.
+      val rd = ranks.join(deg, ranks("node") === deg("src"))
+        .select(col("node"), expr("r div d").as("c"))
       val contribs = edges
-        .join(ranks, edges("src") === ranks("node"))
-        .join(deg, "src")
-        .select(col("dst"), expr("r div d").as("c"))
+        .join(rd, edges("src") === rd("node"))
+        .select(col("dst"), col("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("s"))
       // left join back to the FULL node set: a zero-in-degree node gets
@@ -886,10 +892,16 @@ object GraphOps {
       .localCheckpoint()
     var ranks = bt.select(col("node"), col("r0x").as("r"))
     for (it <- 1 to iters) {
+      // r15: join ranks⋈deg at NODE scale first (one row per node), then
+      // attach the per-node contribution to edges in ONE edge-sized join
+      // — the old shape ran TWO edge-sized joins per round (edges⋈ranks,
+      // then ⋈deg) and divided once per EDGE. Arithmetic unchanged:
+      // c = r div d per source node either way.
+      val rd = ranks.join(deg, ranks("node") === deg("src"))
+        .select(col("node"), expr("r div d").as("c"))
       val contribs = edges
-        .join(ranks, edges("src") === ranks("node"))
-        .join(deg, "src")
-        .select(col("dst"), expr("r div d").as("c"))
+        .join(rd, edges("src") === rd("node"))
+        .select(col("dst"), col("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("s"))
       val next = bt

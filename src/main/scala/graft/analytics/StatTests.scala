@@ -4065,12 +4065,14 @@ object StatTests {
         .select(col("user_id"), col("ts"),
           expr("CAST(round(value * 100) AS BIGINT)").as("c"))
       // integer halving, not double `/ 2` + cast: the double round-trip
-      // is exact only while the micros sum stays under 2^53. shiftright
-      // (arithmetic shift) FLOORS like DuckDB's `//`, where DIV would
-      // truncate toward zero and diverge on a negative micros sum
-      // (pre-1970 timestamps) — r13 ADVICE; exact at any precision/epoch
+      // is exact only while the micros sum stays under 2^53. DIV
+      // truncates toward zero — which is what the oracle's DuckDB `//`
+      // was MEASURED to do (-7//2 = -3, r14 ADVICE; the r13-era claim
+      // that `//` floors was wrong), so DIV matches the oracle on every
+      // sign, including a negative (pre-1970) micros sum where
+      // shiftright's floor would diverge by 1µs on odd sums
       val cut = ev.agg(min(col("ts")).as("_mn"), max(col("ts")).as("_mx"))
-        .select(expr("shiftright(unix_micros(_mn) + unix_micros(_mx), 1)").as("_cut"))
+        .select(expr("(unix_micros(_mn) + unix_micros(_mx)) DIV 2").as("_cut"))
       diffInDiff(
         ev.crossJoin(broadcast(cut))
           .select((col("user_id") % 2).as("treat"),

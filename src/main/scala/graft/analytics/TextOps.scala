@@ -773,6 +773,9 @@ object TextOps {
         explode(expr(Nlp.shingles("toks"))).as("sh"))
       .filter(col("sh") =!= "")
       .select(col("doc_id"), col("grp"), expr(h60("sh")).as("h"))
+      // r15: occ feeds both the df count and the join back — checkpoint
+      // so the tokenize+shingle+hash explode runs once, not twice
+      .localCheckpoint()
     val df60 = occ.groupBy(col("h")).agg(count(lit(1)).as("ndocs"))
     occ.join(df60, "h")
       .groupBy(col("grp"))

@@ -788,6 +788,20 @@ class OpsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(total > 990000000000L && total <= 1000000000000L, s"mass: $total")
   }
 
+  test("pageRank matches the hand-computed exact fixed point (r15 node-first contribution join)") {
+    import spark.implicits._
+    // asymmetric out-degrees exercise the per-NODE r div d path: d(1)=2,
+    // d(2)=d(3)=1. Hand-computed over 2 rounds at scale 10^12:
+    //   r0 = 333333333333, base = 49999999999
+    //   r1 = (616666666665, 191666666665, 191666666665)
+    //   r2 = (375833333329, 312083333331, 312083333331)
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val out = GraphOps.pageRank(e, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 375833333329L, 2L -> 312083333331L,
+      3L -> 312083333331L), s"exact fixed point diverged: $out")
+  }
+
   test("pageRank keeps zero-in-degree nodes and their outgoing mass") {
     import spark.implicits._
     // node 3 satisfies the out-degree contract but nothing links TO it:

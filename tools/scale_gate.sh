@@ -28,12 +28,23 @@ print(','.join(sorted(n for n in q if not n.startswith('memo_build:'))))")
 LO=/tmp/gate_sf01.json
 HI=/tmp/gate_sf1.json
 rm -f "$LO" "$HI"
+# r14 ADVICE: keep each pass's sbt output in a log and surface its tail
+# on failure — under `set -e` a compile error or sf1 OOM used to abort
+# the gate with no diagnostics at all.
+run_pass() { # $1 = log file; rest = env assignments
+  local log=$1; shift
+  if ! env "$@" sbt -batch "runMain graft.Bench" >"$log" 2>&1; then
+    echo "[gate] PASS FAILED — tail of $log:" >&2
+    tail -n 25 "$log" >&2
+    exit 1
+  fi
+}
 echo "[gate] pass 1/2: sf0.1 ($(echo "$ONLY" | tr ',' '\n' | wc -l) rows, REPS=$REPS)"
-env SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+run_pass /tmp/gate_sf01.log SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
     SPARK_GRAFT_ONLY="$ONLY" SPARK_GRAFT_BENCH_REPS="$REPS" \
-    SPARK_GRAFT_BENCH_OUT="$LO" sbt -batch "runMain graft.Bench" >/dev/null 2>&1
+    SPARK_GRAFT_BENCH_OUT="$LO"
 echo "[gate] pass 2/2: sf1"
-env SPARK_GRAFT_SF_DIR="$SF1" SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=24g \
+run_pass /tmp/gate_sf1.log SPARK_GRAFT_SF_DIR="$SF1" SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=24g \
     SPARK_GRAFT_ONLY="$ONLY" SPARK_GRAFT_BENCH_REPS="$REPS" \
-    SPARK_GRAFT_BENCH_OUT="$HI" sbt -batch "runMain graft.Bench" >/dev/null 2>&1
+    SPARK_GRAFT_BENCH_OUT="$HI"
 python3 tools/scale_exponents.py "$LO" "$HI" --gate tools/exponent_ceilings.json
